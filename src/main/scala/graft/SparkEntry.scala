@@ -1,13 +1,300 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.clf.ClfParser
+import graft.stage.Staging
+import graft.analytics.LogAnalytics
+import graft.ext.Similarity
+
+/**
+ * Driver contract (SURVEY.md §7.2): one declared query per implemented
+ * operator, each with DuckDB-equivalent oracle SQL where SQL-expressible.
+ *
+ * Determinism rules (SURVEY.md §5.2): every query ends with an explicit
+ * orderBy; aggregates are integer-exact or string-exact (no raw double
+ * sums); timestamps are emitted as formatted strings; column names are
+ * identical between the Spark result and the oracle SQL.
+ */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- deterministic CLF-line synthesis from `events` ----
+  // `events` stands in for the cleansed log table (SURVEY.md §7.2); parse
+  // queries synthesize a CLF line from its columns so DuckDB can recompute
+  // the expected output directly from the same columns.
+  private def synthStatus: Column =
+    when(col("event_type") === "purchase", 200L)
+      .when(col("event_type") === "error", 500L)
+      .otherwise(302L)
+
+  private def synthMethod: Column =
+    when(col("event_type") === "purchase", "POST")
+      .when(col("event_type") === "signup", "PUT")
+      .when(col("event_type") === "view", "HEAD")
+      .otherwise("GET")
+
+  private def synthLine: Column = ClfParser.format(
+    ip       = concat(lit("10."), (col("user_id") % 256).cast("string"), lit(".0.1")),
+    userId   = col("user_id"),
+    ts       = col("ts"),
+    method   = synthMethod,
+    resource = concat(lit("/r/"), col("event_type")),
+    protocol = lit("HTTP/1.1"),
+    status   = synthStatus,
+    size     = col("event_id"),
+    referer  = concat(lit("https://example.com/"), col("event_type")),
+    agent    = lit("graft/1.0")
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q02_requests_per_user")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/P5 — exact distinct count
+    "q01_distinct_users" -> ((s, d) =>
+      LogAnalytics.distinctUsers(t(s, d, "events"))),
+
+    // A2/P7 — grouped count (partial+final hash agg)
+    "q02_requests_per_user" -> ((s, d) =>
+      LogAnalytics.requestsPerUser(t(s, d, "events"), "user_id", "event_type")
+        .orderBy(col("user_id"))),
+
+    // A3/P2 — filtered global count ("HTTP 200" stand-in)
+    "q03_success_count" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("success_count"))),
+
+    // A4/P3/W1 — count with IS NOT NULL, limit after agg
+    "q04_nonnull_count" -> ((s, d) =>
+      t(s, d, "events").filter(col("user_id").isNotNull)
+        .agg(count(lit(1)).as("nonnull_count")).limit(10)),
+
+    // S3/S4/P1/P8/F1 — full CLF parse round-trip
+    "q05_parse_clf" -> ((s, d) =>
+      ClfParser.parse(t(s, d, "events").select(synthLine.as("value")))
+        .select(
+          col("ip_address"), col("user_id"),
+          date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_s"),
+          col("request_method"), col("request_resource"),
+          col("request_protocol"), col("status_code"), col("size"),
+          col("referer"))
+        .orderBy(col("size"))),
+
+    // S5/P4 — day-slice scan via SQL scalar subquery (the partition-pruned
+    // pattern; the physical pruning itself is exercised by q16's layout)
+    "q06_partition_pruned_scan" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_events")
+      s.sql(
+        """SELECT CAST(to_date(ts) AS STRING) AS date, count(*) AS cnt
+          |FROM graft_events
+          |WHERE to_date(ts) = (SELECT min(to_date(ts)) FROM graft_events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // F2 — CLF timestamp format → parse round-trip, min/max
+    "q07_ts_parse" -> ((s, d) =>
+      t(s, d, "events")
+        .select(try_to_timestamp(
+          date_format(col("ts"), ClfParser.tsPattern),
+          lit(ClfParser.tsPattern)).as("tt"))
+        .agg(
+          date_format(min(col("tt")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max(col("tt")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))),
+
+    // F3 — positional request split
+    "q08_split_request" -> ((s, d) =>
+      t(s, d, "events")
+        .select(split(
+          concat(synthMethod, lit(" /r/"), col("event_type"), lit(" HTTP/1.1")),
+          " ").getItem(0).as("request_method"))
+        .groupBy("request_method").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("request_method"))),
+
+    // A5 — HLL++ sketch (no oracle; bounded vs q01 by rsd)
+    "q09_approx_distinct" -> ((s, d) =>
+      LogAnalytics.approxDistinctUsers(t(s, d, "events"))),
+
+    // J1 — equi inner join, small dims broadcast
+    "q10_join_users_dim" -> ((s, d) =>
+      t(s, d, "events")
+        .join(broadcast(t(s, d, "customer")),
+          col("user_id") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_name"))),
+
+    // J2 — left anti join (NOT EXISTS)
+    "q11_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "events"), col("c_custkey") === col("user_id"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // W2 — ranking window top-k per key
+    "q12_topk_per_user" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // X2 — JSON path extraction
+    "q13_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k"))),
+
+    // X1 — exact dedup (dropDuplicates)
+    "q14_dedup" -> ((s, d) =>
+      t(s, d, "events").dropDuplicates("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // S10/F4 — totals row assembled in ONE scan (vs the reference's three)
+    "q15_totals_row" -> ((s, d) =>
+      LogAnalytics.totalsRow(
+        t(s, d, "events"),
+        runDate = date_format(col("ts"), "yyyy-MM-dd"),
+        successPred = col("event_type") === "purchase")),
+
+    // S7/P6/S5 — partitioned parquet stage → pruned re-read → per-day counts
+    "q16_roundtrip_parquet" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q16").toString
+      Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
+      Staging.readAll(s, tmp)
+        .withColumn("date", col("date").cast("string"))
+        .groupBy("date").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("date"))
+    }),
+
+    // S1/S2 — source file enumeration via metadata column (no oracle)
+    "q17_input_files" -> ((s, d) =>
+      s.read.option("pathGlobFilter", "*.parquet")
+        .parquet(s"$d/events.parquet")
+        .select(col("_metadata.file_path").as("file_path"))
+        .agg(count_distinct(col("file_path")).as("n_files"))),
+
+    // X2 — tokenize + term counts (explode = built-in generator)
+    "q18_token_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(20)),
+
+    // X3/W2 — brute-force cosine top-k (no oracle; property: rank-1 = self)
+    "q19_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+    })
+  )
+
+  /** DuckDB-equivalent SQL per oracled query (same column names & types). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_distinct_users" ->
+      "SELECT count(DISTINCT user_id) AS distinct_users FROM events",
+
+    "q02_requests_per_user" ->
+      """SELECT user_id, count(event_type) AS requests_count
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q03_success_count" ->
+      "SELECT count(*) AS success_count FROM events WHERE event_type = 'purchase'",
+
+    "q04_nonnull_count" ->
+      "SELECT count(*) AS nonnull_count FROM events WHERE user_id IS NOT NULL LIMIT 10",
+
+    "q05_parse_clf" ->
+      """SELECT '10.' || (user_id % 256) || '.0.1' AS ip_address,
+        |  user_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS time_s,
+        |  CASE WHEN event_type = 'purchase' THEN 'POST'
+        |       WHEN event_type = 'signup' THEN 'PUT'
+        |       WHEN event_type = 'view' THEN 'HEAD'
+        |       ELSE 'GET' END AS request_method,
+        |  '/r/' || event_type AS request_resource,
+        |  'HTTP/1.1' AS request_protocol,
+        |  CAST(CASE WHEN event_type = 'purchase' THEN 200
+        |            WHEN event_type = 'error' THEN 500
+        |            ELSE 302 END AS BIGINT) AS status_code,
+        |  event_id AS size,
+        |  'https://example.com/' || event_type AS referer
+        |FROM events ORDER BY size""".stripMargin,
+
+    "q06_partition_pruned_scan" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, count(*) AS cnt
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_ts_parse" ->
+      """SELECT strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |       strftime(max(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events""".stripMargin,
+
+    "q08_split_request" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'POST'
+        |            WHEN event_type = 'signup' THEN 'PUT'
+        |            WHEN event_type = 'view' THEN 'HEAD'
+        |            ELSE 'GET' END AS request_method,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_join_users_dim" ->
+      """SELECT n_name, count(*) AS cnt
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin,
+
+    "q12_topk_per_user" ->
+      """SELECT user_id, event_type, cnt, rn FROM (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_dedup" ->
+      "SELECT count(*) AS cnt FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+
+    "q15_totals_row" ->
+      """SELECT strftime(max(ts), '%Y-%m-%d') AS run_date,
+        |       count(DISTINCT user_id) AS user_count,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS total_successful_requests
+        |FROM events""".stripMargin,
+
+    "q16_roundtrip_parquet" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_token_counts" ->
+      """SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents) u
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+  )
 }

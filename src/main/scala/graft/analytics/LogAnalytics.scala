@@ -1,0 +1,62 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's aggregate job re-expressed as one declarative pass
+ * (`/root/reference/sree-etl-tdk-glue-job.py:51-94`): distinct user count,
+ * per-user request counts, total successful (HTTP 200) requests.
+ *
+ * Improvement over the reference (SURVEY.md §4): the reference runs three
+ * independent actions that each re-scan the day partition; here the three
+ * scalars come out of a single multi-aggregate scan, and the per-user table
+ * is one partial+final hash aggregate.
+ */
+object LogAnalytics {
+
+  /** Per-user request counts — `tdk_user_requests_table`
+    * (`/root/reference/sree-etl-tdk-glue-job.py:55-60`). */
+  def requestsPerUser(
+      df: DataFrame,
+      userCol: String = "user_id",
+      requestCol: String = "request_resource"): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(count(col(requestCol)).as("requests_count"))
+
+  /** Exact distinct users (`sree-etl-tdk-glue-job.py:51-52`). */
+  def distinctUsers(df: DataFrame, userCol: String = "user_id"): DataFrame =
+    df.agg(count_distinct(col(userCol)).as("distinct_users"))
+
+  /** Scale successor of [[distinctUsers]]: HLL++ sketch, no exact shuffle
+    * of the full key set — the 100 TB answer to "how many users". */
+  def approxDistinctUsers(
+      df: DataFrame, userCol: String = "user_id", rsd: Double = 0.01): DataFrame =
+    df.agg(approx_count_distinct(col(userCol), rsd).as("approx_distinct_users"))
+
+  /**
+   * The totals row — `tdk_total_requests_table`
+   * (`/root/reference/sree-etl-tdk-glue-job.py:79-86`) — computed in ONE
+   * scan instead of the reference's three: `(run_date, user_count,
+   * total_successful_requests)`. `successPred` is the "HTTP 200" predicate
+   * expressed over whatever schema `df` has.
+   */
+  def totalsRow(
+      df: DataFrame,
+      runDate: org.apache.spark.sql.Column,
+      successPred: org.apache.spark.sql.Column,
+      userCol: String = "user_id"): DataFrame =
+    df.agg(
+      max(runDate).as("run_date"),
+      count_distinct(col(userCol)).as("user_count"),
+      sum(when(successPred, 1L).otherwise(0L)).as("total_successful_requests")
+    )
+
+  /** The reference's Athena validation trio (`/root/reference/README.md:62-66`)
+    * as runnable Spark SQL over a registered table name. */
+  def athenaSql(table: String): Seq[String] = Seq(
+    s"SELECT count(*) AS cnt FROM $table WHERE user_id IS NOT NULL LIMIT 10",
+    s"SELECT user_id, count(*) AS cnt FROM $table GROUP BY user_id",
+    s"SELECT count(*) AS cnt FROM $table WHERE status_code = 200"
+  )
+}

@@ -1,0 +1,48 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class LogAnalyticsSpec extends GraftSpec {
+  import spark.implicits._
+
+  // golden fixture: 6 requests, 3 users (one NULL user), 2 with status 200
+  private lazy val logs = Seq(
+    (Some(1L), "/a", 200L),
+    (Some(1L), "/b", 404L),
+    (Some(1L), "/c", 200L),
+    (Some(2L), "/a", 500L),
+    (Some(2L), "/d", 301L),
+    (None,     "/e", 304L)
+  ).toDF("user_id", "request_resource", "status_code")
+    .withColumn("time", to_timestamp(lit("2024-05-06 07:08:09")))
+
+  test("requestsPerUser matches hand-computed golden counts") {
+    val got = LogAnalytics.requestsPerUser(logs)
+      .orderBy(asc_nulls_first("user_id"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1)))
+    assert(got.toSeq == Seq((None, 1L), (Some(1L), 3L), (Some(2L), 2L)))
+  }
+
+  test("distinctUsers excludes NULLs (SQL count-distinct semantics)") {
+    assert(LogAnalytics.distinctUsers(logs).collect()(0).getLong(0) == 2L)
+  }
+
+  test("totalsRow computes all three scalars in one pass") {
+    val r = LogAnalytics.totalsRow(
+      logs,
+      runDate = date_format(col("time"), "yyyy-MM-dd"),
+      successPred = col("status_code") === 200
+    ).collect()(0)
+    assert(r.getAs[String]("run_date") == "2024-05-06")
+    assert(r.getAs[Long]("user_count") == 2L)
+    assert(r.getAs[Long]("total_successful_requests") == 2L)
+  }
+
+  test("approx distinct is within rsd of exact") {
+    val exact = 2.0
+    val approx = LogAnalytics.approxDistinctUsers(logs, rsd = 0.01)
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05)
+  }
+}

@@ -1,0 +1,27 @@
+package graft.stage
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class StagingSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("stage → readDay returns exactly the requested partition, pruned") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-02 09:00:00")
+    ).toDF("id", "t").withColumn("time", to_timestamp(col("t"))).drop("t")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    Staging.stage(Staging.withDate(df), tmp)
+
+    val day1 = Staging.readDay(spark, tmp, "2024-01-01")
+    assert(day1.count() == 2L)
+    assert(day1.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // partition pruning is visible in the physical plan
+    val plan = day1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+}
