@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one declared query N times with timing + formatted plan.
+  * Usage: runMain graft.Explain <queryKey> [sfDir] [reps]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val key   = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps  = if (args.length > 2) args(2).toInt else 3
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(key)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n  = fn(spark, sfDir).count()
+      println(f"[explain] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+    }
+    fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

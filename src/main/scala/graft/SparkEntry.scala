@@ -65,7 +65,7 @@ object SparkEntry {
     // A2/P7 — grouped count (partial+final hash agg)
     "q02_requests_per_user" -> ((s, d) =>
       LogAnalytics.requestsPerUser(t(s, d, "events"), "user_id", "event_type")
-        .orderBy(col("user_id"))),
+        .orderBy(col("user_id").asc_nulls_last)),
 
     // A3/P2 — filtered global count ("HTTP 200" stand-in)
     "q03_success_count" -> ((s, d) =>
@@ -86,7 +86,7 @@ object SparkEntry {
           col("request_method"), col("request_resource"),
           col("request_protocol"), col("status_code"), col("size"),
           col("referer"))
-        .orderBy(col("size"))),
+        .orderBy(col("size").asc_nulls_last)),
 
     // S5/P4 — day-slice scan via SQL scalar subquery (the partition-pruned
     // pattern; the physical pruning itself is exercised by q16's layout)
@@ -96,7 +96,7 @@ object SparkEntry {
         """SELECT CAST(to_date(ts) AS STRING) AS date, count(*) AS cnt
           |FROM graft_events
           |WHERE to_date(ts) = (SELECT min(to_date(ts)) FROM graft_events)
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
+          |GROUP BY 1 ORDER BY 1 ASC NULLS LAST""".stripMargin)
     }),
 
     // F2 — CLF timestamp format → parse round-trip, min/max
@@ -116,7 +116,7 @@ object SparkEntry {
           concat(synthMethod, lit(" /r/"), col("event_type"), lit(" HTTP/1.1")),
           " ").getItem(0).as("request_method"))
         .groupBy("request_method").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("request_method"))),
+        .orderBy(col("request_method").asc_nulls_last)),
 
     // A5 — HLL++ sketch (no oracle; bounded vs q01 by rsd)
     "q09_approx_distinct" -> ((s, d) =>
@@ -130,7 +130,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("n_name"))),
+        .orderBy(col("n_name").asc_nulls_last)),
 
     // J2 — left anti join (NOT EXISTS)
     "q11_anti_join" -> ((s, d) =>
@@ -146,7 +146,7 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("event_type").asc)
       counts.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
-        .orderBy(col("user_id"), col("rn"))
+        .orderBy(col("user_id").asc_nulls_last, col("rn").asc_nulls_last)
     }),
 
     // X2 — JSON path extraction
@@ -154,7 +154,7 @@ object SparkEntry {
       t(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("k").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("k"))),
+        .orderBy(col("k").asc_nulls_last)),
 
     // X1 — exact dedup (dropDuplicates)
     "q14_dedup" -> ((s, d) =>
@@ -170,7 +170,9 @@ object SparkEntry {
 
     // S7/P6/S5 — partitioned parquet stage → pruned re-read → per-day counts
     "q16_roundtrip_parquet" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q16").toString
+      // fixed per-sf path: overwrite-mode reuses it, so repeated bench /
+      // correctness runs don't accumulate temp dirs (ADVICE r1)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q16_${d.hashCode.toHexString}"
       Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
       Staging.readAll(s, tmp)
         .withColumn("date", col("date").cast("string"))
@@ -191,7 +193,7 @@ object SparkEntry {
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("term").asc)
+        .orderBy(col("cnt").desc_nulls_first, col("term").asc_nulls_last)
         .limit(20)),
 
     // X3/W2 — brute-force cosine top-k (no oracle; property: rank-1 = self)
@@ -272,7 +274,7 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q13_json_extract" ->
-      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -24,6 +24,10 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The DuckDB oracle compares naive UTC-stored parquet values; every
+    // timestamp-rendering function (date_format/to_date) must therefore run
+    // in UTC regardless of the host machine's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.columns.contains(c) && d.schema(c).dataType == LongType)
