@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -200,7 +200,15 @@ object SparkEntry {
     "q19_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
-    })
+    }),
+
+    // X1+ — MinHash/LSH near-dup pairs, exact-Jaccard verified. The LSH
+    // banding only finds candidates; the output is the deterministic set of
+    // pairs with true Jaccard ≥ 0.6, so DuckDB can recompute it all-pairs.
+    "q20_near_dedup" -> ((s, d) =>
+      Dedup.nearDuplicatePairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -297,6 +305,28 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
         |  FROM documents) u
         |WHERE length(term) > 0
-        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    // Exact all-pairs Jaccard ≥ 0.6 over the same word-trigram shingles the
+    // Spark side builds; LSH on the Spark side is recall machinery only.
+    "q20_near_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks, generate_series(1, 4000) g(i)
+        |  WHERE i + 2 <= len(t)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, n_common, n_union,
+        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE n_union > 0
+        |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }
