@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{AnnLsh, Dedup, Similarity}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -208,6 +208,20 @@ object SparkEntry {
     "q20_near_dedup" -> ((s, d) =>
       Dedup.nearDuplicatePairs(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.6)
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)),
+
+    // X3+ — bucketed ANN top-k (no oracle; recall-vs-brute-force property
+    // test in AnnLshSpec). Same query set as q19 so recall is comparable.
+    "q21_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      AnnLsh.annTopK(emb.filter(col("vec_id") < 8), emb, k = 5, dim = 64)
+    }),
+
+    // X3+ — exact embedding near-dup pairs within a blocking key (label):
+    // deterministic (no LSH in the result path), so fully oracle-able.
+    "q22_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairsBlocked(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.40)
         .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last))
   )
 
@@ -327,6 +341,52 @@ object SparkEntry {
         |FROM pairs
         |WHERE n_union > 0
         |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Brute-force cosine top-k recomputed all-pairs: dot and norm are
+    // left-folds in array order in both engines → bit-identical doubles,
+    // so ranks and sims hash-match exactly.
+    "q19_cosine_topk" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(q.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(c.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8),
+        |r AS (
+        |  SELECT q_id, nn_id, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s)
+        |SELECT q_id, nn_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // The harness events table is a single parquet file; the metadata-column
+    // scan must see exactly that file set.
+    "q17_input_files" ->
+      """SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files
+        |FROM read_parquet('/root/testdata/sf0.01/events.parquet', filename=true)""".stripMargin,
+
+    // Exact within-label cosine pairs; the dot/norm folds run in array
+    // order in both engines, so the doubles are bit-identical (rounded to
+    // 6 dp as extra armor). Threshold 0.40 sits in a value gap at sf0.01
+    // and sf0.1 (nearest pair >1e-4 away), so the float compare is safe.
+    "q22_embedding_neardup" ->
+      """WITH p AS (
+        |  SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT block, a_id, b_id, round(sim, 6) AS sim
+        |FROM p WHERE sim >= 0.40 ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -32,6 +32,26 @@ object Similarity {
    * Exact brute-force cosine top-k: every query vector against the whole
    * corpus. Queries are broadcast (small side); corpus partitions stream.
    */
+  /**
+   * Exact embedding near-duplicate pairs within a blocking key (e.g. a
+   * cluster id, language, or length bucket): shuffle both sides once by
+   * `blockCol`, compare only within-block pairs, keep cosine ≥ threshold.
+   * The blocked join is the deterministic scale path for near-dup mining —
+   * work is Σ|block|² instead of |corpus|²; for unblocked data use
+   * [[AnnLsh]] buckets as the block key instead.
+   */
+  def nearDupPairsBlocked(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("block"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))

@@ -15,9 +15,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df):
+    # exact compare, incl. float bits — the driver hashes raw values
     df = df[sorted(df.columns)]
-    df = df.round(6)
-    return [tuple(str(x) for x in row) for row in df.itertuples(index=False)]
+    return [tuple(repr(x) for x in row) for row in df.itertuples(index=False)]
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
