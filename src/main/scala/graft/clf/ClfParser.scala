@@ -48,6 +48,18 @@ object ClfParser {
     when(c.rlike("^-?[0-9]+(\\.[0-9]+)?$"), c.cast("double"))
 
   /**
+   * Raw log-directory read (S1/S2/S3): distributed line-oriented text scan
+   * of every file matching `glob` under `dir` — the Spark-native form of
+   * the reference's list-fetch-decode loop
+   * (`/root/reference/sree-etl-tdk-lambda.py:147-164`), which materialized
+   * whole files in one process. Returns `value: string` lines ready for
+   * [[parse]]; `input_file_name()` is available for provenance.
+   */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+           glob: String = "*.log"): DataFrame =
+    spark.read.option("pathGlobFilter", glob).text(dir)
+
+  /**
    * Parse raw log lines (`value: string`, as produced by `spark.read.text`)
    * into the canonical 11-column cleansed schema (SURVEY.md §1.3).
    */

@@ -24,10 +24,13 @@ object Staging {
   def withDate(df: DataFrame, tsCol: String = "time"): DataFrame =
     df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
 
-  /** Stage to Snappy Parquet partitioned by `date`. */
+  /** Stage to Snappy Parquet partitioned by `date`. Dynamic partition
+    * overwrite: only the date partitions present in `df` are replaced, so a
+    * daily ingest re-run is idempotent without clobbering earlier days. */
   def stage(df: DataFrame, path: String): Unit =
     df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .partitionBy("date")
       .parquet(path)

@@ -24,4 +24,23 @@ class StagingSpec extends GraftSpec {
     val plan = day1.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
   }
+
+  test("register: staged layout queryable through the catalog, idempotent") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-02 11:00:00")
+    ).toDF("id", "t").withColumn("time", to_timestamp(col("t"))).drop("t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_register").toString
+    Staging.stage(Staging.withDate(df), tmp)
+
+    Staging.register(spark, "graft_staged_test", tmp)
+    Staging.register(spark, "graft_staged_test", tmp) // idempotent
+    assert(spark.catalog.tableExists("graft_staged_test"))
+    assert(spark.table("graft_staged_test").count() == 2L)
+    // partition filter works through the catalog table too
+    val day = spark.table("graft_staged_test")
+      .filter(col("date") === "2024-01-02")
+    assert(day.count() == 1L)
+    assert(day.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
 }
