@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnLsh, Dedup, Similarity}
+import graft.ext.{AnnLsh, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -222,7 +222,62 @@ object SparkEntry {
     "q22_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairsBlocked(t(s, d, "embeddings"),
           "vec_id", "embedding", "label", threshold = 0.40)
-        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last))
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)),
+
+    // X2+ — marker-word language identification, grouped
+    "q23_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang_pred").asc_nulls_last)),
+
+    // X2+ — per-doc quality score (length / stopword / token-shape mix)
+    "q24_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("score"))
+        .filter(col("n_tokens") > 0)
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+ — BPE-ish regex tokenization, corpus totals
+    "q25_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextOps.bpeTokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_distinct"))),
+
+    // X2+ — content-addressed document fingerprint (min shingle md5)
+    "q26_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X1+ — SimHash near-dup pairs via pigeonhole chunk bucketing (recall
+    // is exactly 1 for hamming ≤ 6 by construction → oracle-able all-pairs)
+    "q27_simhash_neardup" -> ((s, d) =>
+      TextOps.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)),
+
+    // X4 — exact binary dedup by content hash over BinaryType payloads
+    "q28_binary_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(Multimodal.syntheticPayload(col("text")).as("payload"))
+        .agg(count(lit(1)).as("n_assets"),
+          count_distinct(Multimodal.contentHash(col("payload"))).as("n_distinct"))),
+
+    // X4 — multimodal metadata accounting: per-mime byte totals, content
+    // dedup, and frame-slice counts over binary payloads
+    "q29_multimodal_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(concat(lit("text/"), col("lang")).as("mime"),
+          Multimodal.syntheticPayload(col("text")).as("payload"))
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(Multimodal.byteLength(col("payload"))).as("total_bytes"),
+          count_distinct(Multimodal.contentHash(col("payload"))).as("n_distinct_content"),
+          sum(size(Multimodal.frames(col("payload"), 64)).cast("long")).as("n_frames"))
+        .orderBy(col("mime").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -387,6 +442,108 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT block, a_id, b_id, round(sim, 6) AS sim
-        |FROM p WHERE sim >= 0.40 ORDER BY a_id, b_id""".stripMargin
+        |FROM p WHERE sim >= 0.40 ORDER BY a_id, b_id""".stripMargin,
+
+    // Marker lists, occurrence counting, and the tie-break CASE order
+    // mirror TextOps.langId exactly (ties → alphabetically first code).
+    "q23_langid" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT
+        |    len(list_filter(tk, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['the','and','of','to','in'], t))) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['el','los','las','una','y'], t))) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr
+        |  FROM toks),
+        |lp AS (
+        |  SELECT CASE
+        |    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM sc)
+        |SELECT lang_pred, count(*) AS cnt FROM lp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same arithmetic, same operation order as TextOps.qualityScore.
+    "q24_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(tk) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','in'], t))) AS DOUBLE) AS stops,
+        |    CAST(list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS DOUBLE) AS sumlen
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  round(least(nt / 100.0, 1.0) * 0.4
+        |        + (stops / nt) * 0.3
+        |        + greatest(0.0, 1.0 - abs(sumlen / nt - 5.0) / 5.0) * 0.3, 6) AS score
+        |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    "q25_bpe_tokens" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |FROM (SELECT unnest(regexp_extract_all(lower(text),
+        |             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        |      FROM documents)""".stripMargin,
+
+    "q26_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, generate_series(1, 4000) g(i)
+        |  WHERE i + 2 <= len(t))
+        |SELECT doc_id, min(md5(s)) AS fp FROM sh
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // All-pairs recompute of the 48-bit SimHash: the pigeonhole bucketing
+    // on the Spark side has recall exactly 1 for hamming ≤ 6, so the
+    // bucketed result equals this exhaustive one.
+    "q27_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, md5(t) AS h FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS t
+        |    FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
+        |                   >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok, generate_series(0, 47) g(j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // md5 over a VARCHAR hashes its UTF-8 bytes — identical to Spark's md5
+    // over the text cast to binary.
+    "q28_binary_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_assets,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    "q29_multimodal_meta" ->
+      """SELECT 'text/' || lang AS mime,
+        |       CAST(count(*) AS BIGINT) AS n_assets,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_content,
+        |       CAST(sum(greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1)) AS BIGINT) AS n_frames
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline (SURVEY.md §2.11 /
+ * north-star): language identification, quality scoring, regex ("BPE-ish")
+ * tokenization, document fingerprinting, and SimHash near-duplicate
+ * mining. Every operator is a composition of built-in codegen'd
+ * expressions — deterministic, UDF-free, shuffle-free per row — so results
+ * are exactly reproducible by any engine (the DuckDB oracles recompute
+ * them all-pairs / per-row).
+ *
+ * The reference has no text analytics beyond grouped counting
+ * (`/root/reference/sree-etl-tdk-glue-job.py:51-68`); these extend the same
+ * declarative style to the document domain.
+ */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  // ---- language identification (marker-word heuristic) ----
+
+  /** Marker words per language — tiny fixed stopword cores. Order of this
+    * seq is the tie-break order (alphabetical by code). */
+  private[ext] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des")
+  )
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(markers), t)))
+
+  /**
+   * Heuristic language ID: count marker-word occurrences per language,
+   * pick the max (ties → alphabetically first code); no hits → "und".
+   * O(tokens × markers) per row, no shuffle.
+   */
+  def langId(text: Column): Column = {
+    val toks   = tokens(text)
+    val scores = langMarkers.map { case (code, ms) => code -> markerHits(toks, ms) }
+    val best   = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
+      when(best > 0 && s === best, lit(code)).otherwise(acc)
+    }
+  }
+
+  // ---- quality scoring ----
+
+  /**
+   * Document quality score in [0,1]: length component (saturating at 100
+   * tokens), English-stopword ratio, and mean-token-length closeness to 5.
+   * Pure double arithmetic in a fixed operation order → bit-reproducible.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio =
+      markerHits(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val meanLen = sumLen.cast("double") / nTok
+    round(
+      least(nTok / 100.0d, lit(1.0d)) * 0.4d
+        + stopRatio * 0.3d
+        + greatest(lit(0.0d), lit(1.0d) - abs(meanLen - 5.0d) / 5.0d) * 0.3d,
+      6)
+  }
+
+  // ---- regex ("BPE-ish") tokenization ----
+
+  /** Letter-runs, digit-runs, and single punctuation marks — the shape of a
+    * byte-pair-encoder pre-tokenizer, as one RE2-safe regex. */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeTokenPattern), lit(0))
+
+  // ---- document fingerprinting ----
+
+  /**
+   * Deterministic document fingerprint: the lexicographic minimum of the
+   * md5 hex digests of the word n-gram shingles (a 1-hash MinHash — docs
+   * sharing their min shingle collide). Content-addressed, engine-agnostic.
+   */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(Dedup.shingles(text, n), s => md5(s)))
+
+  // ---- SimHash near-duplicate mining ----
+
+  /** SimHash width: 48 bits (12 md5 hex digits × 4). Packed into a long
+    * with headroom — 64-bit packing would overflow LongType, which ANSI
+    * mode turns into a runtime error. */
+  val simhashBits = 48
+
+  /**
+   * 48-bit SimHash over the token multiset: bit j of a token is bit
+   * (j % 4) of hex digit (j / 4) of the token's md5; the document bit j is
+   * the sign of Σ_tokens (±1). Computed relationally — explode tokens, one
+   * md5 per token, 48 map-side partial sums in ONE hash aggregate — so the
+   * cost is O(tokens) rows through a partial agg, not O(tokens × 48).
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val sums: Seq[Column] = (0 until simhashBits).map { j =>
+      val digit = instr(lit("0123456789abcdef"), substring(col("h"), j / 4 + 1, 1)) - 1
+      val bit   = shiftright(digit, j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val packed = (0 until simhashBits).reverse
+      .foldLeft(lit(0L): Column)((acc, j) =>
+        acc * 2 + when(col(s"s$j") > 0, 1L).otherwise(0L))
+    tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+   * pigeonhole bucketing: split the 48 bits into `chunks` equal chunks and
+   * equi-join on (chunk index, chunk value) — any pair within distance
+   * < `chunks` shares at least one identical chunk, so recall is EXACTLY 1
+   * (pigeonhole, not probabilistic) while the join stays linear per bucket.
+   */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
+    val bitsPerChunk = simhashBits / chunks
+    val sh = simhash(df, idCol, textCol)
+    // one (id, chunk, ckey) row per chunk, chunk values via literal shifts
+    val chunkRows = (0 until chunks).map { c =>
+      sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
+    }.reduce(_ unionAll _)
+    val a = chunkRows.select(col(idCol).as("a_id"), col("simhash").as("a_sh"),
+      col("chunk"), col("ckey"))
+    val b = chunkRows.select(col(idCol).as("b_id"), col("simhash").as("b_sh"),
+      col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("langId: marker majority wins; tie → alphabetical; no hits → und") {
+    val df = Seq(
+      "the cat and the dog",          // en
+      "der hund und die katze ist",   // de
+      "le chat et la porte",          // fr
+      "xyzzy plugh quux",             // und
+      "the der"                       // tie en=de → de (alphabetical)
+    ).toDF("text").select(TextOps.langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und", "de"))
+  }
+
+  test("qualityScore: bounded in [0,1], longer well-formed text scores higher") {
+    val df = Seq(
+      ("good", ("the quick brown fox and the lazy dog walk to town in rain " * 5)),
+      ("bad", "x")
+    ).toDF("k", "text")
+      .select($"k", TextOps.qualityScore($"text").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(df("good") > df("bad"))
+  }
+
+  test("bpeTokens: letter runs, digit runs, single punctuation") {
+    val toks = Seq("Hello, world42! x")
+      .toDF("text").select(TextOps.bpeTokens($"text").as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(toks == Seq("hello", ",", "world", "42", "!", "x"))
+  }
+
+  test("fingerprint: equal for identical text, differs on change, null when short") {
+    val fps = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "a b c d e f h"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).isDefined)
+    assert(fps(4L).isEmpty)
+    // doc 3 shares shingles with 1 but the MIN shingle hash may or may not
+    // move; what must hold is determinism:
+    assert(fps(3L).isDefined)
+  }
+
+  test("simhash: identical docs → distance 0; near-dup close; unrelated far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val sh = TextOps.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hd(sh(1L), sh(2L)) == 0)
+    assert(hd(sh(1L), sh(3L)) < hd(sh(1L), sh(4L)))
+  }
+
+  test("simhashNearDupPairs: identical pair found with hamming 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.simhashNearDupPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+}
