@@ -26,14 +26,17 @@ object ClfParser {
 
   /** One regex over the whole line; groups 1-9 are the CLF fields. */
   private[graft] val clfRegex =
-    """^(\S+)\s+(\S+)\s+(\S+)\s+\[([^\]]*)\]\s+"((?:[^"\\]|\\.)*)"\s+(\S+)\s+(\S+)\s+"((?:[^"\\]|\\.)*)"\s+"((?:[^"\\]|\\.)*)"\s*$"""
+    """^(\S+)\s+(\S+)\s+(\S+)\s+\[([^\]]*+)\]\s+"((?:[^"\\]|\\.)*+)"\s+(\S+)\s+(\S+)\s+"((?:[^"\\]|\\.)*+)"\s+"((?:[^"\\]|\\.)*+)"\s*$"""
 
   /** CLF timestamp pattern, e.g. `13/Nov/2015:11:45:42 +0000`. */
   private[graft] val tsPattern = "dd/MMM/yyyy:HH:mm:ss Z"
 
-  /** Extract group `i`; `""` (no match / empty) and `-` both mean NULL. */
-  private def grp(line: Column, i: Int): Column =
-    nullif(nullif(regexp_extract(line, clfRegex, i), lit("")), lit("-"))
+  /** Field separator / match marker used by the single-pass rewrite in
+    * [[parse]] — control chars that cannot appear in a sane log line. A
+    * valid line that *does* contain them lands on the malformed path
+    * (all-NULL row), consistent with the tolerance contract. */
+  private val sep  = ""
+  private val mark = ""
 
   /** Unescape `\"` and `\\` inside a quoted field. */
   private def unescape(c: Column): Column =
@@ -62,15 +65,36 @@ object ClfParser {
   /**
    * Parse raw log lines (`value: string`, as produced by `spark.read.text`)
    * into the canonical 11-column cleansed schema (SURVEY.md §1.3).
+   *
+   * Single-pass: the 9-group line regex executes EXACTLY ONCE per line —
+   * one `regexp_replace` rewrites a matching line into a control-char-
+   * delimited record (`f1f2…`), one `split` recovers the
+   * fields, and the `` marker + field count distinguish non-matching
+   * lines (regexp_replace leaves those unchanged). At scan-dominated scale
+   * the parse regex is the top CPU cost, so this is ~9× less regex work
+   * than extracting each group separately. Remaining regexes run on short
+   * already-extracted fields, not the line.
    */
   def parse(raw: DataFrame): DataFrame = {
-    val v   = col("value")
-    val req = unescape(grp(v, 5))
-    raw.select(
-      grp(v, 1).as("ip_address"),
-      asDouble(grp(v, 2)).as("rfc_1413_identity"),
-      asLong(grp(v, 3)).as("user_id"),
-      try_to_timestamp(grp(v, 4), lit(tsPattern)).as("time"),
+    val repl = mark + (1 to 9).map("$" + _).mkString(sep)
+    val one = raw
+      .withColumn("_m", regexp_replace(col("value"), clfRegex, repl))
+      .withColumn("_p", split(col("_m"), sep))
+      .withColumn("_ok",
+        col("_m").startsWith(mark) && size(col("_p")) === 9)
+    // field i of the matched record; "" and "-" both mean NULL
+    def f(i: Int): Column = {
+      val v =
+        if (i == 1) substring(element_at(col("_p"), 1), 2, Int.MaxValue)
+        else element_at(col("_p"), i)
+      when(col("_ok"), nullif(nullif(v, lit("")), lit("-")))
+    }
+    val req = unescape(f(5))
+    one.select(
+      f(1).as("ip_address"),
+      asDouble(f(2)).as("rfc_1413_identity"),
+      asLong(f(3)).as("user_id"),
+      try_to_timestamp(f(4), lit(tsPattern)).as("time"),
       regexp_extract(req, """^(\S+)""", 1).as("request_method"),
       when(req.rlike("""^\S+\s+.*\s+\S+$"""),
            regexp_extract(req, """^\S+\s+(.*)\s+\S+$""", 1))
@@ -78,10 +102,10 @@ object ClfParser {
       when(req.rlike("""^\S+\s+.*\s+\S+$"""),
            regexp_extract(req, """(\S+)$""", 1))
         .as("request_protocol"),
-      asLong(grp(v, 6)).as("status_code"),
-      asLong(grp(v, 7)).as("size"),
-      unescape(grp(v, 8)).as("referer"),
-      unescape(grp(v, 9)).as("user_agent")
+      asLong(f(6)).as("status_code"),
+      asLong(f(7)).as("size"),
+      unescape(f(8)).as("referer"),
+      unescape(f(9)).as("user_agent")
     )
   }
 
