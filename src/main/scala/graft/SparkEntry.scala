@@ -88,15 +88,22 @@ object SparkEntry {
           col("referer"))
         .orderBy(col("size").asc_nulls_last)),
 
-    // S5/P4 — day-slice scan via SQL scalar subquery (the partition-pruned
-    // pattern; the physical pruning itself is exercised by q16's layout)
+    // S5/P4 — REAL partition pruning: stage events once into a
+    // date-partitioned layout (cached across runs — testdata is immutable),
+    // then read one day with a literal predicate; the plan lists exactly
+    // one partition directory (PartitionFilters in .explain), like the
+    // reference's push_down_predicate day read.
     "q06_partition_pruned_scan" -> ((s, d) => {
-      t(s, d, "events").createOrReplaceTempView("graft_events")
-      s.sql(
-        """SELECT CAST(to_date(ts) AS STRING) AS date, count(*) AS cnt
-          |FROM graft_events
-          |WHERE to_date(ts) = (SELECT min(to_date(ts)) FROM graft_events)
-          |GROUP BY 1 ORDER BY 1 ASC NULLS LAST""".stripMargin)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q06_${d.hashCode.toHexString}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
+        Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
+      // the ingest-day literal (the reference computes "today" driver-side)
+      val minDate = t(s, d, "events")
+        .agg(min(date_format(col("ts"), "yyyy-MM-dd"))).collect()(0).getString(0)
+      Staging.readDay(s, tmp, minDate)
+        .groupBy(col("date").cast("string").as("date"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("date").asc_nulls_last)
     }),
 
     // F2 — CLF timestamp format → parse round-trip, min/max
@@ -277,7 +284,18 @@ object SparkEntry {
           sum(Multimodal.byteLength(col("payload"))).as("total_bytes"),
           count_distinct(Multimodal.contentHash(col("payload"))).as("n_distinct_content"),
           sum(size(Multimodal.frames(col("payload"), 64)).cast("long")).as("n_frames"))
-        .orderBy(col("mime").asc_nulls_last))
+        .orderBy(col("mime").asc_nulls_last)),
+
+    // X3+ — per-label embedding centroids, one value per (label, dim):
+    // posexplode → partial+final avg, map-side combined; no array
+    // reassembly, no collect. Rounded to 6 dp (cross-partition float-sum
+    // order makes ~1e-16 noise; rounding absorbs it for the oracle).
+    "q30_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .orderBy(col("label").asc_nulls_last, col("pos").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -317,6 +335,15 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // avg = sum/count per (label, dim); rounded to 6 dp on both sides so
+    // summation-order float noise (~1e-16) cannot flip the compare.
+    "q30_centroids" ->
+      """SELECT label, CAST(p - 1 AS BIGINT) AS pos,
+        |       round(avg(CAST(embedding[p] AS DOUBLE)), 6) AS c
+        |FROM embeddings, generate_series(1, 512) g(p)
+        |WHERE p <= len(embedding)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q07_ts_parse" ->
       """SELECT strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS min_ts,

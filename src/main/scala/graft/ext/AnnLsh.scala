@@ -61,7 +61,11 @@ object AnnLsh {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bitsPerTable: Int, numTables: Int, seed: Long = 42L): DataFrame = {
     val planes = planeMatrix(bitsPerTable * numTables, dim, seed)
-    df.withColumn("sig", signatureBits(col(vecCol), planes))
+    // materialize the sign bits before the per-table explode — projection
+    // collapse would otherwise inline the bits×dim dot-product expression
+    // into every table entry (numTables× recompute)
+    df.select(col(idCol), signatureBits(col(vecCol), planes).as("sig"))
+      .localCheckpoint()
       .select(
         col(idCol),
         explode(transform(sequence(lit(0), lit(numTables - 1)), t =>

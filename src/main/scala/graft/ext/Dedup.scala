@@ -69,10 +69,19 @@ object Dedup {
   def candidatePairs(
       df: DataFrame, idCol: String, shingleCol: String,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // Materialize the signatures and CUT the lineage BEFORE the band
+    // explode: projection collapse otherwise inlines the full
+    // |shingles|×|hashes| signature expression into the per-band transform
+    // and the self-join recomputes it once per band per side (measured
+    // 200s+ instead of ~1s at sf0.1). The signature table is one array of
+    // `bands×rowsPerBand` longs per doc — tiny relative to the corpus, the
+    // textbook recompute-vs-store win.
     val sig = df
       .filter(size(col(shingleCol)) > 0)
-      .withColumn("sig", minhashSignature(col(shingleCol), bands * rowsPerBand))
-    val bb = bandBuckets(sig, idCol, "sig", bands, rowsPerBand)
+      .select(col(idCol),
+        minhashSignature(col(shingleCol), bands * rowsPerBand).as("sig"))
+      .localCheckpoint()
+    val bb = bandBuckets(sig, idCol, "sig", bands, rowsPerBand).localCheckpoint()
     val a  = bb.select(col(idCol).as("a_id"), col("band"), col("bucket"))
     val b  = bb.select(col(idCol).as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -94,7 +103,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // materialized once: reused by candidate generation AND both sides of
+    // the verify join (3 consumers — recomputing the shingling per branch
+    // triples the scan)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     val cands = candidatePairs(
       sh.withColumnRenamed("id", idCol), idCol, "sh", bands, rowsPerBand)
     cands

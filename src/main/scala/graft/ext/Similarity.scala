@@ -43,23 +43,33 @@ object Similarity {
   def nearDupPairsBlocked(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    // norms once per ROW before the join — computing cosine() inline would
+    // re-fold both norms once per PAIR (|block|× redundant work); the
+    // value is the identical double, so oracle equivalence is unaffected
+    val withNorm = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("block"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("nrm").as("a_n"))
+    val b = withNorm.select(col("block"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("nrm").as("b_n"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("sim", dot(col("a_vec"), col("b_vec")) / (col("a_n") * col("b_n")))
       .filter(col("sim") >= threshold)
       .select(col("block"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_n")))
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      norm(col("embedding")).as("nn_n"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(q) // broadcast nested-loop: corpus stays partitioned, no shuffle
-      .withColumn("sim", cosine(col("q_emb"), col("nn_emb")))
+      .withColumn("sim",
+        dot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

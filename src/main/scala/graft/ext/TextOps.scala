@@ -131,7 +131,9 @@ object TextOps {
       maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
     val bitsPerChunk = simhashBits / chunks
-    val sh = simhash(df, idCol, textCol)
+    // materialized once — the per-chunk union below has `chunks` branches,
+    // each of which would otherwise re-run the whole tokenize+aggregate
+    val sh = simhash(df, idCol, textCol).localCheckpoint()
     // one (id, chunk, ckey) row per chunk, chunk values via literal shifts
     val chunkRows = (0 until chunks).map { c =>
       sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),
@@ -146,7 +148,7 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // prune BEFORE the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -45,4 +45,13 @@ class LogAnalyticsSpec extends GraftSpec {
       .collect()(0).getLong(0).toDouble
     assert(math.abs(approx - exact) / exact <= 0.05)
   }
+
+  test("athena validation trio runs over a registered table") {
+    logs.createOrReplaceTempView("graft_athena_test")
+    val Seq(nonnull, perUser, success) =
+      LogAnalytics.athenaSql("graft_athena_test").map(spark.sql)
+    assert(nonnull.collect()(0).getLong(0) == 5L)  // 5 rows with non-null user
+    assert(perUser.count() == 3L)                  // users 1, 2, and the NULL group
+    assert(success.collect()(0).getLong(0) == 2L)  // 2 with status 200
+  }
 }
