@@ -97,7 +97,9 @@ object AnnLsh {
       .join(corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb")), "nn_id")
       .join(broadcast(
         queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
-      .withColumn("sim", Similarity.cosine(col("q_emb"), col("nn_emb")))
+      .withColumn("sim",
+        Similarity.nativeDot(col("q_emb"), col("nn_emb"))
+          / (Similarity.norm(col("q_emb")) * Similarity.norm(col("nn_emb"))))
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

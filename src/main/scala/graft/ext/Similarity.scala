@@ -24,6 +24,16 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Codegen'd dot product over `array<float>` columns — same value as
+    * [[dot]] (ascending-index double accumulation), ~none of its cost:
+    * higher-order functions evaluate interpreted and allocate a zipped
+    * array per pair, while [[graft.functions.FloatDotProduct]] emits a
+    * tight primitive loop inside whole-stage codegen. Requires the
+    * `graft.functions.GraftExtensions` session extension (all graft entry
+    * points enable it). */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -54,7 +64,7 @@ object Similarity {
       col("vec").as("b_vec"), col("nrm").as("b_n"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", dot(col("a_vec"), col("b_vec")) / (col("a_n") * col("b_n")))
+      .withColumn("sim", nativeDot(col("a_vec"), col("b_vec")) / (col("a_n") * col("b_n")))
       .filter(col("sim") >= threshold)
       .select(col("block"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
@@ -69,7 +79,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(q) // broadcast nested-loop: corpus stays partitioned, no shuffle
       .withColumn("sim",
-        dot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
+        nativeDot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression: Σ aᵢ·bᵢ over two `array<float>` columns in
+ * double precision, ascending index order (bit-identical to the
+ * left-fold `aggregate(zip_with(...))` formulation and to DuckDB's list
+ * sum, so oracle equivalence is preserved).
+ *
+ * Why a custom Expression (SURVEY.md §4 allows exactly this case): Spark's
+ * higher-order functions (`ArrayTransform`/`ArrayAggregate`/`ZipWith`) do
+ * not participate in whole-stage codegen — every element evaluation goes
+ * through the interpreted lambda path and allocates an intermediate zipped
+ * array. For the similarity hot loops (dot products over 64-float
+ * embeddings, executed per candidate pair) this expression generates a
+ * tight primitive loop instead: no allocation, no virtual calls, fused
+ * into the surrounding codegen stage. Null semantics match the HOF
+ * version: null array, length mismatch, or null element → NULL.
+ */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  /** Can be NULL even for non-null inputs (length mismatch, null element) —
+    * without this override codegen treats isNull as constant false and
+    * silently drops the null result. */
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Session extension registering the engine's native functions — enable
+ * with `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+ * (done by every graft entry point and the test harness). Queries call it
+ * as `graft_dot(a, b)` / `functions.call_function("graft_dot", a, b)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+}

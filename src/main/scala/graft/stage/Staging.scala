@@ -26,9 +26,14 @@ object Staging {
 
   /** Stage to Snappy Parquet partitioned by `date`. Dynamic partition
     * overwrite: only the date partitions present in `df` are replaced, so a
-    * daily ingest re-run is idempotent without clobbering earlier days. */
+    * daily ingest re-run is idempotent without clobbering earlier days.
+    * Rows are shuffled onto their date before the write so each partition
+    * directory gets one well-sized file instead of one sliver per task —
+    * without this, T tasks × D days produce T×D small files, the classic
+    * small-files failure at scale. */
   def stage(df: DataFrame, path: String): Unit =
-    df.write
+    df.repartition(col("date"))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")

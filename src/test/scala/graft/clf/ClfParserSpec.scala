@@ -90,4 +90,19 @@ class ClfParserSpec extends GraftSpec {
     assert(r.getAs[Long]("status_code") == 301L)
     assert(r.getAs[Long]("size") == 42L)
   }
+
+  test("parseTyped: typed Dataset[LogLine] with None for '-' and malformed") {
+    import spark.implicits._
+    val raw = Seq(
+      """10.0.0.1 - 7 [13/Nov/2015:11:45:42 +0000] "GET /a HTTP/1.0" 200 - "-" "ua"""",
+      "not a log line"
+    ).toDF("value")
+    val rows = ClfParser.parseTyped(raw).collect()
+    assert(rows(0).user_id.contains(7L))
+    assert(rows(0).size.isEmpty)          // '-' → None
+    assert(rows(0).referer.isEmpty)
+    assert(rows(0).request_resource.contains("/a"))
+    assert(rows(1).ip_address.isEmpty)    // malformed → all-None
+    assert(rows(1).time.isEmpty)
+  }
 }
