@@ -295,7 +295,27 @@ object SparkEntry {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("c"))
-        .orderBy(col("label").asc_nulls_last, col("pos").asc_nulls_last))
+        .orderBy(col("label").asc_nulls_last, col("pos").asc_nulls_last)),
+
+    // §2.7 — set operations: EXCEPT / INTERSECT / UNION over user-id sets
+    "q31_set_ops" -> ((s, d) => {
+      def users(et: String) = t(s, d, "events")
+        .filter(col("event_type") === et).select("user_id").distinct()
+      val purch = users("purchase"); val err = users("error")
+      purch.except(err).agg(lit("except").as("op"), count(lit(1)).as("cnt"))
+        .unionAll(purch.intersect(err)
+          .agg(lit("intersect").as("op"), count(lit(1)).as("cnt")))
+        .unionAll(purch.unionAll(err).distinct()
+          .agg(lit("union").as("op"), count(lit(1)).as("cnt")))
+        .orderBy(col("op").asc_nulls_last)
+    }),
+
+    // §2.8 — rollup: per-event-type counts plus the grand-total row
+    "q32_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -564,6 +584,21 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_assets,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "q31_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'except' AS op, count(*) AS cnt FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (SELECT * FROM p UNION SELECT * FROM e)
+        |ORDER BY op""".stripMargin,
+
+    "q32_rollup" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type NULLS LAST""".stripMargin,
 
     "q29_multimodal_meta" ->
       """SELECT 'text/' || lang AS mime,
