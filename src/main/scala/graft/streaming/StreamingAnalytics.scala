@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One request row for stateful processing (typed view of the parsed
+  * stream restricted to the session-relevant columns). */
+final case class SessionEvent(user_id: Long, epoch: Long)
+
+/** A closed browsing session: consecutive requests of one user with no
+  * gap larger than the configured idle timeout. */
+final case class UserSession(
+    user_id: Long, session_start: Long, session_end: Long, n_requests: Long)
+
+/**
+ * Streaming analytics over the parsed CLF stream — the event-time toolbox
+ * the batch reference never had (SURVEY.md §2.10 keeps these out of the
+ * t2 contract; they are capability extensions for continuous ingest):
+ *
+ *  - [[windowedCounts]]: tumbling event-time windows with a watermark, so
+ *    state is bounded and late data beyond the delay is dropped — the
+ *    streaming successor of the reference's per-day batch aggregation.
+ *  - [[sessionize]]: gap-based sessionization with
+ *    `flatMapGroupsWithState` + event-time timeout — custom state keyed by
+ *    user, closed either by an explicit gap in that user's stream or by
+ *    the watermark passing the idle deadline.
+ *
+ * Scale: both operators shuffle once by their grouping key and keep
+ * per-key state O(1); the watermark bounds total state by active keys ×
+ * window/gap, not by stream length.
+ */
+object StreamingAnalytics {
+
+  /** Per-window, per-status request counts with bounded state. */
+  def windowedCounts(
+      parsed: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("time").isNotNull)
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowLength), col("status_code"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("status_code"), col("cnt"))
+
+  /**
+   * Gap-based sessions: a user's session closes when either a later event
+   * of the same user arrives more than `gapSeconds` after the previous
+   * one, or the watermark passes the session's idle deadline (event-time
+   * timeout) — so sessions close even for users who never return.
+   */
+  def sessionize(
+      parsed: DataFrame,
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val events = parsed
+      .filter(col("user_id").isNotNull && col("time").isNotNull)
+      .withWatermark("time", watermarkDelay)
+      .select(col("user_id"), col("time"),
+        unix_timestamp(col("time")).as("epoch"))
+
+    implicit val se = Encoders.product[SessionEvent]
+    implicit val us = Encoders.product[UserSession]
+    implicit val lk = Encoders.scalaLong
+
+    def update(
+        userId: Long,
+        rows: Iterator[org.apache.spark.sql.Row],
+        state: GroupState[UserSession]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val closed = state.get
+        state.remove()
+        return Iterator.single(closed)
+      }
+      val incoming = rows.map(r => r.getAs[Long]("epoch")).toSeq.sorted
+      var open = state.getOption
+      val closed = Seq.newBuilder[UserSession]
+      incoming.foreach { e =>
+        open match {
+          case Some(s) if e - s.session_end <= gapSeconds =>
+            open = Some(s.copy(
+              session_end = math.max(s.session_end, e),
+              n_requests = s.n_requests + 1))
+          case Some(s) => // explicit gap: close and start fresh
+            closed += s
+            open = Some(UserSession(userId, e, e, 1L))
+          case None =>
+            open = Some(UserSession(userId, e, e, 1L))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // close via watermark once the idle gap has provably elapsed
+        state.setTimeoutTimestamp((s.session_end + gapSeconds) * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .groupByKey(r => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.GraftSpec
+import graft.clf.ClfParser
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingAnalyticsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def line(user: Long, hhmmss: String, status: Long): String =
+    s"""10.0.0.1 - $user [13/Nov/2015:$hhmmss +0000] "GET /r HTTP/1.0" $status 1 "-" "ua""""
+
+  test("windowedCounts: tumbling event-time windows per status") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = StreamingAnalytics.windowedCounts(
+      ClfParser.parse(mem.toDF()), "1 hour", "10 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("graft_wc").outputMode("update").start()
+    try {
+      mem.addData(
+        line(1, "10:05:00", 200), line(1, "10:55:00", 200),
+        line(2, "10:30:00", 500), line(2, "11:10:00", 200))
+      q.processAllAvailable()
+      val rows = spark.table("graft_wc")
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toInstant.toString,
+          r.getAs[Long]("status_code"), r.getAs[Long]("cnt"))).toSet
+      assert(rows == Set(
+        ("2015-11-13T10:00:00Z", 200L, 2L),
+        ("2015-11-13T10:00:00Z", 500L, 1L),
+        ("2015-11-13T11:00:00Z", 200L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes a session; watermark closes idle ones") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sessions = StreamingAnalytics.sessionize(
+      ClfParser.parse(mem.toDF()), gapSeconds = 600L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_sess").outputMode("append").start()
+    try {
+      // user 1: two requests 5 min apart (one session), then a request
+      // 2 hours later → explicit gap closes the first session
+      mem.addData(line(1, "10:00:00", 200), line(1, "10:05:00", 200))
+      q.processAllAvailable()
+      mem.addData(line(1, "12:00:00", 200))
+      q.processAllAvailable()
+      val afterGap = spark.table("graft_sess").as[UserSession].collect()
+      assert(afterGap.exists(s =>
+        s.user_id == 1L && s.n_requests == 2L &&
+          s.session_end - s.session_start == 300L))
+
+      // a later event from another user advances the watermark far past
+      // user 1's idle deadline → the 12:00 session closes by timeout
+      mem.addData(line(2, "15:00:00", 200))
+      q.processAllAvailable()
+      mem.addData(line(2, "18:00:00", 200))
+      q.processAllAvailable()
+      val all = spark.table("graft_sess").as[UserSession].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_requests == 1L))
+    } finally q.stop()
+  }
+}
