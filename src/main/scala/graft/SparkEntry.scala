@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnLsh, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -315,7 +315,16 @@ object SparkEntry {
       t(s, d, "events")
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("event_type").asc_nulls_last))
+        .orderBy(col("event_type").asc_nulls_last)),
+
+    // X3+ — IVF ANN: coarse-quantizer cells + nprobe probing (no oracle;
+    // recall ≥ 0.9 property in AnnIvfSpec — 0.925 measured at nprobe 10/16)
+    "q33_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+      AnnIvf.annTopK(emb.filter(col("vec_id") < 8), emb, centroids,
+        kNeighbors = 5, nprobe = 10)
+    })
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
