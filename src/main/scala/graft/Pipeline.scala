@@ -51,6 +51,9 @@ object Pipeline {
    *                    determinism, where the reference used "today"
    * @param sink        result-table sink (JDBC in production, parquet here)
    * @param archiveDir  where processed inputs move; None = leave in place
+   * @param catalogTable register the staged layout under this catalog name
+   *                     (the reference's Glue-table ensure,
+   *                     `sree-etl-tdk-lambda.py:196-200`); None = skip
    */
   def run(
       spark: SparkSession,
@@ -59,7 +62,8 @@ object Pipeline {
       date: String,
       sink: Sink,
       archiveDir: Option[String] = None,
-      glob: String = "*.log"): Report = {
+      glob: String = "*.log",
+      catalogTable: Option[String] = None): Report = {
 
     // provenance column is captured at scan time, BEFORE caching —
     // input_file_name() over an InMemoryRelation evaluates to ""
@@ -73,6 +77,7 @@ object Pipeline {
       val parsed  = ClfParser.parse(raw)
       val rejects = ClfParser.rejects(raw).count()
       Staging.stage(parsed.withColumn("date", lit(date)), stagingPath)
+      catalogTable.foreach(Staging.register(spark, _, stagingPath))
 
       // Aggregate over the staged day slice (partition-pruned re-read, as
       // the reference's Glue job does) so the sink reflects what was staged.

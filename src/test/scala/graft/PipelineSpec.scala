@@ -36,7 +36,8 @@ class PipelineSpec extends GraftSpec {
       stagingPath = s"$root/staging",
       date = "2015-11-13",
       sink = new ParquetSink(s"$root/results"),
-      archiveDir = Some(s"$root/processed"))
+      archiveDir = Some(s"$root/processed"),
+      catalogTable = Some("graft_pipeline_staged"))
 
     // only *.log files admitted
     assert(report.inputFiles.length == 2)
@@ -48,10 +49,11 @@ class PipelineSpec extends GraftSpec {
     assert(report.userCount == 2)
     assert(report.totalSuccessful == 3)
 
-    // staged layout is partition-pruned readable
+    // staged layout is partition-pruned readable, directly and via catalog
     val day = graft.stage.Staging.readDay(spark, s"$root/staging", "2015-11-13")
     assert(day.count() == 5)
     assert(Files.exists(Paths.get(s"$root/staging/date=2015-11-13")))
+    assert(spark.table("graft_pipeline_staged").count() == 5)
 
     // per-user counts golden: 7→2, 9→1 (null user counted too: count(request_resource))
     val rpu = spark.read.parquet(s"$root/results/user_requests")
