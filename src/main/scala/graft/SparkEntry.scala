@@ -324,7 +324,15 @@ object SparkEntry {
       val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
       AnnIvf.annTopK(emb.filter(col("vec_id") < 8), emb, centroids,
         kNeighbors = 5, nprobe = 10)
-    })
+    }),
+
+    // W+ — batch sessionization: lag + running-sum window (the analytic
+    // window family beyond ranking; batch twin of the streaming sessionizer)
+    "q34_session_counts" -> ((s, d) =>
+      LogAnalytics.sessionCounts(t(s, d, "events"),
+          userCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 1800L)
+        .orderBy(col("user_id").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -608,6 +616,24 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY ROLLUP(event_type)
         |ORDER BY event_type NULLS LAST""".stripMargin,
+
+    // lag + conditional flag + per-user sum. Alignment with Spark: order on
+    // the microsecond-truncated timestamp (Spark sees micros, DuckDB nanos)
+    // with event_id tie-break, and floor epochs to whole seconds (Spark's
+    // unix_timestamp truncates; DuckDB's epoch keeps fractions).
+    "q34_session_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(tsu) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q29_multimodal_meta" ->
       """SELECT 'text/' || lang AS mime,

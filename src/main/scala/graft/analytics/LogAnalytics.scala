@@ -52,6 +52,32 @@ object LogAnalytics {
       sum(when(successPred, 1L).otherwise(0L)).as("total_successful_requests")
     )
 
+  /**
+   * Batch sessionization: per-user session counts where a session breaks
+   * when the gap to the previous event exceeds `gapSeconds`. Classic
+   * lag-then-running-sum window pattern — one shuffle by user, no state;
+   * the batch counterpart of
+   * [[graft.streaming.StreamingAnalytics.sessionize]].
+   */
+  def sessionCounts(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "time",
+      tieCol: String = "request_resource",
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull ||
+        (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), newSession.as("ns"))
+      .groupBy(col(userCol))
+      .agg(sum(col("ns")).as("n_sessions"))
+  }
+
   /** The reference's Athena validation trio (`/root/reference/README.md:62-66`)
     * as runnable Spark SQL over a registered table name. */
   def athenaSql(table: String): Seq[String] = Seq(

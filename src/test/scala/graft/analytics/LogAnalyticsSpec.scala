@@ -46,6 +46,21 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(math.abs(approx - exact) / exact <= 0.05)
   }
 
+  test("sessionCounts: gap splits sessions; null users excluded") {
+    import spark.implicits._
+    val events = Seq(
+      (Some(1L), "2024-05-06 10:00:00", "/a"),
+      (Some(1L), "2024-05-06 10:10:00", "/b"), // same session (10 min)
+      (Some(1L), "2024-05-06 12:00:00", "/c"), // new session (>30 min gap)
+      (Some(2L), "2024-05-06 09:00:00", "/a"),
+      (None,     "2024-05-06 09:00:00", "/x")  // null user dropped
+    ).toDF("user_id", "t", "request_resource")
+      .withColumn("time", to_timestamp(col("t"))).drop("t")
+    val got = LogAnalytics.sessionCounts(events, gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("athena validation trio runs over a registered table") {
     logs.createOrReplaceTempView("graft_athena_test")
     val Seq(nonnull, perUser, success) =
