@@ -332,7 +332,35 @@ object SparkEntry {
       LogAnalytics.sessionCounts(t(s, d, "events"),
           userCol = "user_id", tsCol = "ts", tieCol = "event_id",
           gapSeconds = 1800L)
-        .orderBy(col("user_id").asc_nulls_last))
+        .orderBy(col("user_id").asc_nulls_last)),
+
+    // X2+ — structured JSON parsing into MapType + map explode (the typed
+    // counterpart of q13's path extraction)
+    "q35_json_map" -> ((s, d) =>
+      t(s, d, "events")
+        .select(from_json(col("props"), lit("MAP<STRING, BIGINT>")).as("m"))
+        .select(explode(col("m")).as(Seq("key", "v")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+        .orderBy(col("key").asc_nulls_last)),
+
+    // J+ — star-schema join over the big fact table. The big-big pair
+    // (lineitem ⋈ orders) is left to the planner: at harness scale orders
+    // fits the auto-broadcast threshold; at cluster scale the same
+    // declarative plan becomes a shuffle join — that choice is Catalyst's,
+    // which is the point. Dims are broadcast explicitly. Revenue summed as
+    // exact integral 1e-4 units (per-item round to long) so the aggregate
+    // is order-independent.
+    "q36_star_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000d, 0)
+            .cast("long")).as("revenue_e4"))
+        .orderBy(col("n_name").asc_nulls_last, col("o_orderpriority").asc_nulls_last))
   )
 
   /** DuckDB-equivalent SQL per oracled query (same column names & types). */
@@ -634,6 +662,24 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_json_map" ->
+      """SELECT k AS key, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-item revenue is integral in 1e-4 units (cents × 2-dp discount),
+    // so round-then-sum is exact and summation order cannot matter
+    "q36_star_join" ->
+      """SELECT n_name, o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q29_multimodal_meta" ->
       """SELECT 'text/' || lang AS mime,
