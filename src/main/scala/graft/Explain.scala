@@ -24,6 +24,7 @@ object Explain {
       val t0 = System.nanoTime()
       val n  = fn(spark, sfDir).count()
       println(f"[explain] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      graft.ext.Materialize.release(spark)
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()

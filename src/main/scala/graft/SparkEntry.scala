@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Dedup, Materialize, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -184,7 +184,7 @@ object SparkEntry {
       Staging.readAll(s, tmp)
         .withColumn("date", col("date").cast("string"))
         .groupBy("date").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("date"))
+        .orderBy(col("date").asc_nulls_last)
     }),
 
     // S1/S2 — source file enumeration via metadata column (no oracle)
@@ -335,10 +335,17 @@ object SparkEntry {
         .orderBy(col("user_id").asc_nulls_last)),
 
     // X2+ — structured JSON parsing into MapType + map explode (the typed
-    // counterpart of q13's path extraction)
+    // counterpart of q13's path extraction). The parsed map is materialized
+    // (lineage cut) before the explode: InferFiltersFromGenerate +
+    // projection collapse otherwise evaluate from_json 3× per row (twice in
+    // the inferred size/isnotnull generator filter, once in the projection)
+    // — invisible on toy props, 3× the dominant cost when props is a real
+    // multi-KB document. After the cut the plan holds exactly ONE from_json.
     "q35_json_map" -> ((s, d) =>
-      t(s, d, "events")
-        .select(from_json(col("props"), lit("MAP<STRING, BIGINT>")).as("m"))
+      Materialize.cut(
+        t(s, d, "events")
+          .filter(col("props").isNotNull)
+          .select(from_json(col("props"), lit("MAP<STRING, BIGINT>")).as("m")))
         .select(explode(col("m")).as(Seq("key", "v")))
         .groupBy("key")
         .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
@@ -363,7 +370,35 @@ object SparkEntry {
         .orderBy(col("n_name").asc_nulls_last, col("o_orderpriority").asc_nulls_last))
   )
 
-  /** DuckDB-equivalent SQL per oracled query (same column names & types). */
+  /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
+    * left-folds in array order in both engines → bit-identical doubles, so
+    * ranks and sims hash-match exactly. Shared by q19 (brute force) and q21
+    * (LSH ANN: its 4-bit × 32-table settings hold measured recall 1.0 on
+    * the harness embeddings and candidates are scored exactly, so its
+    * output EQUALS brute force — AnnLshSpec guards the recall property). */
+  private val bruteForceTopkSql: String =
+    """WITH s AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+      |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 8),
+      |r AS (
+      |  SELECT q_id, nn_id, sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s)
+      |SELECT q_id, nn_id, sim, rank FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB-equivalent SQL per oracled query (same column names & types).
+    * Oracles containing `__OUT__` are partial oracles: Verify substitutes
+    * the dump directory, and the SQL reads the Spark result back to check a
+    * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
     "q01_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS distinct_users FROM events",
@@ -490,11 +525,18 @@ object SparkEntry {
         |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // Brute-force cosine top-k recomputed all-pairs: dot and norm are
-    // left-folds in array order in both engines → bit-identical doubles,
-    // so ranks and sims hash-match exactly.
-    "q19_cosine_topk" ->
-      """WITH s AS (
+    "q19_cosine_topk" -> bruteForceTopkSql,
+
+    "q21_ann_topk" -> bruteForceTopkSql,
+
+    // PARTIAL oracle (scored-subset property): IVF recall at nprobe 10/16
+    // is 0.925, so the returned SET differs from brute force by design —
+    // but every returned (q_id, nn_id) pair's sim must equal the exact
+    // cosine, which DuckDB recomputes here. The Spark output is read back,
+    // its (q_id, nn_id, rank) pass through, and sim is REPLACED by the
+    // recomputed exact value: any inexact score breaks the hash compare.
+    "q33_ivf_topk" ->
+      """WITH bf AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
         |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
@@ -503,14 +545,23 @@ object SparkEntry {
         |     * sqrt(list_aggregate(list_transform(c.embedding,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
         |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 8),
-        |r AS (
-        |  SELECT q_id, nn_id, sim,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY sim DESC, nn_id) AS rank
-        |  FROM s)
-        |SELECT q_id, nn_id, sim, rank FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+        |  WHERE q.vec_id < 8)
+        |SELECT r.q_id, r.nn_id, bf.sim, r.rank
+        |FROM read_parquet('__OUT__/q33_ivf_topk/*.parquet') r
+        |JOIN bf ON r.q_id = bf.q_id AND r.nn_id = bf.nn_id
+        |ORDER BY r.q_id, r.rank""".stripMargin,
+
+    // PARTIAL oracle (sketch-accuracy property): DuckDB cannot replay
+    // Spark's HLL++ sketch, but it can recompute the exact distinct count
+    // and assert the sketch landed within 5× the configured rsd (0.01).
+    // If the bound holds the read-back row passes through unchanged; if it
+    // ever breaks, the oracle returns zero rows and the compare fails.
+    "q09_approx_distinct" ->
+      """SELECT r.approx_distinct_users
+        |FROM read_parquet('__OUT__/q09_approx_distinct/*.parquet') r
+        |WHERE abs(r.approx_distinct_users
+        |          - (SELECT count(DISTINCT user_id) FROM events))
+        |      <= 0.05 * (SELECT count(DISTINCT user_id) FROM events)""".stripMargin,
 
     // The harness events table is a single parquet file; the metadata-column
     // scan must see exactly that file set.

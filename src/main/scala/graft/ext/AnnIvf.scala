@@ -36,41 +36,42 @@ object AnnIvf {
 
   /**
    * Train `k` coarse centroids with `iters` Lloyd iterations.
-   * Returns (cell INT, centroid ARRAY<FLOAT>, c_norm DOUBLE), materialized.
+   * Returns (cell BIGINT, centroid ARRAY<FLOAT>, c_norm DOUBLE), materialized.
+   * Cell ids are the seed vectors' `vec_id`s — distinct and deterministic
+   * is all the downstream equi-joins need; using them directly avoids a
+   * global ranking window over the seed rows (k rows, but WindowExec still
+   * warns about the single-partition move on every run).
    */
   def trainCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val base = corpus
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("v_norm"))
-      .localCheckpoint()
+    val base = Materialize.cut(
+      corpus.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("v_norm")))
 
     // deterministic init: the k vectors with the smallest seeded hash
-    var centroids = base
-      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
-      .limit(k)
-      .select(
-        (row_number().over(
-          Window.orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)) - 1)
-          .as("cell"),
-        col("embedding").as("centroid"),
-        col("v_norm").as("c_norm"))
-      .localCheckpoint()
+    var centroids = Materialize.cut(
+      base
+        .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+        .limit(k)
+        .select(
+          col("vec_id").cast("long").as("cell"),
+          col("embedding").as("centroid"),
+          col("v_norm").as("c_norm")))
 
     (1 to iters).foreach { _ =>
       val assigned = assignCells(base, centroids)
       // new centroid = per-(cell, dim) mean, reassembled in dim order
-      centroids = assigned
-        .join(base, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"),
-          transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
-        .withColumn("c_norm", Similarity.norm(col("centroid")))
-        .localCheckpoint()
+      centroids = Materialize.cut(
+        assigned
+          .join(base, "vec_id")
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"),
+            transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+          .withColumn("c_norm", Similarity.norm(col("centroid"))))
     }
     centroids
   }
@@ -98,7 +99,7 @@ object AnnIvf {
   def annTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       kNeighbors: Int, nprobe: Int): DataFrame = {
-    val cells = assignCells(corpus, centroids).localCheckpoint()
+    val cells = Materialize.cut(assignCells(corpus, centroids))
     val corpusCells = corpus
       .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
         Similarity.norm(col("embedding")).as("nn_n"))

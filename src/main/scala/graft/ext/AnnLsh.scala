@@ -64,8 +64,8 @@ object AnnLsh {
     // materialize the sign bits before the per-table explode — projection
     // collapse would otherwise inline the bits×dim dot-product expression
     // into every table entry (numTables× recompute)
-    df.select(col(idCol), signatureBits(col(vecCol), planes).as("sig"))
-      .localCheckpoint()
+    Materialize.cut(
+      df.select(col(idCol), signatureBits(col(vecCol), planes).as("sig")))
       .select(
         col(idCol),
         explode(transform(sequence(lit(0), lit(numTables - 1)), t =>

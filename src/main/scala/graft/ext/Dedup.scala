@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
  * candidate pairs, linear in candidates. There is NO all-pairs comparison
  * anywhere: docs meet only if some band of their MinHash signatures
  * collides, which for b bands of r rows happens with probability
- * 1-(1-s^r)^b for Jaccard s — the standard LSH S-curve. Skew note: a
- * cluster of m identical docs produces m(m-1)/2 candidate pairs in one
- * bucket; run exact dedup (`dropDuplicates` on a content hash, see
- * `q14_dedup`/`q22_binary_dedup`) FIRST so only genuine near-dups remain.
+ * 1-(1-s^r)^b for Jaccard s — the standard LSH S-curve.
+ *
+ * Skew guard (enforced in [[nearDuplicatePairs]]): a cluster of m
+ * byte-identical docs shares every MinHash band, so naively it puts m rows
+ * in one LSH bucket and the self-join emits m(m-1)/2 candidate pairs for
+ * content that is already known identical — the classic web-crawl skew
+ * (boilerplate pages repeated millions of times make one bucket quadratic).
+ * The pipeline therefore collapses exact duplicates by content hash FIRST,
+ * runs LSH over one representative per distinct text, and restores member
+ * pairs arithmetically on output: candidate generation is O(1) per
+ * identical group regardless of m; only the final, output-inherent pair
+ * expansion is quadratic in m.
+ *
+ * Materialization points use [[Materialize.cut]] (lineage cut + explicit
+ * release lifecycle; parquet-spill mode for executor-loss safety on real
+ * clusters — see that object's doc).
  *
  * The reference has no near-dup operator (its dedup surface is exact,
  * `/root/reference/sree-etl-tdk-glue-job.py:51-52` distinct) — this is the
@@ -80,7 +92,9 @@ object Dedup {
   /**
    * Candidate pairs (a_id < b_id) from a bucket-equi self-join — the
    * co-located alternative to an all-pairs cross join. `distinct` collapses
-   * pairs that collide in several bands.
+   * pairs that collide in several bands. NOTE: no exact-dup collapse here —
+   * this is the raw LSH stage; [[nearDuplicatePairs]] wraps it with the
+   * skew guard.
    */
   def candidatePairs(
       df: DataFrame, idCol: String, shingleCol: String,
@@ -92,11 +106,10 @@ object Dedup {
     // 200s+ instead of ~1s at sf0.1). The signature table is one array of
     // `bands×rowsPerBand` longs per doc — tiny relative to the corpus, the
     // textbook recompute-vs-store win.
-    val sig = df
-      .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol),
-        minhashSignature(col(shingleCol), bands * rowsPerBand).as("sig"))
-      .localCheckpoint()
+    val sig = Materialize.cut(
+      df.filter(size(col(shingleCol)) > 0)
+        .select(col(idCol),
+          minhashSignature(col(shingleCol), bands * rowsPerBand).as("sig")))
     pairsFromSig(sig, idCol, bands, rowsPerBand)
   }
 
@@ -105,7 +118,7 @@ object Dedup {
     * checkpointing is needed). */
   private def pairsFromSig(
       sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bb = bandBuckets(sig, idCol, "sig", bands, rowsPerBand).localCheckpoint()
+    val bb = Materialize.cut(bandBuckets(sig, idCol, "sig", bands, rowsPerBand))
     val a  = bb.select(col(idCol).as("a_id"), col("band"), col("bucket"))
     val b  = bb.select(col(idCol).as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -114,6 +127,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-duplicate groups by content hash: `(ghash, id)` membership rows.
+    * md5 (128-bit) keys the groups — collision probability is negligible at
+    * any corpus size that fits an exabyte. */
+  private[ext] def memberships(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("ghash"), col(idCol).as("id"))
+
+  /** One representative (least id) per distinct text: `(ghash, id, text)`.
+    * `first(text)` is deterministic here — every text in a group is
+    * byte-identical by construction. */
+  private[ext] def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("ghash"),
+        col(idCol).as("id"), col(textCol).as("text"))
+      .groupBy(col("ghash"))
+      .agg(min(col("id")).as("id"), first(col("text")).as("text"))
+
   /**
    * Near-duplicate pairs with EXACT Jaccard ≥ `threshold`, found via LSH
    * candidates and verified precisely: output is deterministic (LSH affects
@@ -121,38 +149,74 @@ object Dedup {
    * `threshold` ≥ 0.5: miss probability (1-s^2)^16 < 1e-3 at s=0.6,
    * < 1e-9 at s=0.85).
    *
+   * Exact duplicates are collapsed before LSH (see the skew-guard note in
+   * the object doc) and their pairs restored on output: a within-group pair
+   * of identical docs has n_common = n_union = |shingles| and jaccard
+   * exactly 1.0; a cross-group pair inherits its representatives' exact
+   * stats (identical texts have identical shingle sets). Costs one extra
+   * linear scan (the membership projection) versus the uncollapsed
+   * pipeline.
+   *
    * Columns: a_id, b_id, n_common, n_union, jaccard.
    */
   def nearDuplicatePairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val members = Materialize.cut(memberships(df, idCol, textCol))
+    val reps = representatives(df, idCol, textCol)
+
     // TWO materialization stages, deliberately: shingles first, signature
     // second FROM the materialized shingles. Fusing them into one
     // projection lets projection collapse inline the shingle expression
     // into the 32-hash signature transform (32× shingle recompute —
     // measured 9s vs 5s at sf0.1). The shingle table also feeds both
-    // sides of the verify join below.
-    val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
-    val sig = sh
-      .select(col("id").as(idCol),
-        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-      .localCheckpoint()
-    val cands = pairsFromSig(sig, idCol, bands, rowsPerBand)
-    cands
-      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    // sides of the verify join and the group-stat lookups below.
+    val sh = Materialize.cut(
+      reps.select(col("ghash"), col("id"), shingles(col("text"), n).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val sig = Materialize.cut(
+      sh.select(col("id"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig")))
+
+    // representative-level LSH candidates, exact-Jaccard verified
+    val repPairs = pairsFromSig(sig, "id", bands, rowsPerBand)
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh"),
+        col("ghash").as("a_gh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh"),
+        col("ghash").as("b_gh")), "b_id")
       .select(
-        col("a_id"), col("b_id"),
+        col("a_gh"), col("b_gh"),
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_common"),
         size(array_union(col("a_sh"), col("b_sh"))).cast("long").as("n_union"))
       .filter(col("n_union") > 0)
       .withColumn("jaccard",
         col("n_common").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= threshold)
+
+    // cross-group expansion: every member pair across two near-dup groups
+    // shares the representatives' exact stats
+    val cross = repPairs
+      .join(members.select(col("ghash").as("a_gh"), col("id").as("ma")), "a_gh")
+      .join(members.select(col("ghash").as("b_gh"), col("id").as("mb")), "b_gh")
+      .select(
+        least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"),
+        col("n_common"), col("n_union"), col("jaccard"))
+
+    // within-group pairs: identical docs, jaccard exactly 1. Groups whose
+    // representative has an empty shingle set are absent from `sh`, so the
+    // inner join drops them — matching the uncollapsed pipeline, where
+    // empty-shingle docs never reached the verify stage.
+    val within = members.select(col("ghash"), col("id").as("a_id"))
+      .join(members.select(col("ghash"), col("id").as("b_id")), "ghash")
+      .filter(col("a_id") < col("b_id"))
+      .join(sh.select(col("ghash"), size(col("sh")).cast("long").as("nsh")), "ghash")
+      .select(col("a_id"), col("b_id"),
+        col("nsh").as("n_common"), col("nsh").as("n_union"),
+        lit(1.0).as("jaccard"))
+
+    cross.unionAll(within)
   }
 
   /**

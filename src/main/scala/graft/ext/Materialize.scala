@@ -1,0 +1,83 @@
+package graft.ext
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Managed lineage-cut points for the dedup/ANN operators.
+ *
+ * Why cuts exist at all: Catalyst's projection collapse inlines a column's
+ * defining expression into every consumer, so an expensive narrow
+ * intermediate (MinHash signature, parsed JSON map, SimHash) placed under a
+ * generator or self-join fan-out gets recomputed once per fan-out row —
+ * measured 200s+ vs ~1s on the LSH band explode. Materializing the
+ * intermediate is the textbook recompute-vs-store win.
+ *
+ * Two modes, selected by `spark.graft.materialize`:
+ *
+ *  - `local` (default): `localCheckpoint()` — blocks live in the executors'
+ *    BlockManager. Fastest, but blocks are lost with an executor, so a
+ *    downstream stage failure cannot recompute them: right for local mode
+ *    and short-lived jobs, wrong for a 1000-executor cluster where executor
+ *    loss is routine.
+ *  - `parquet`: spill to `spark.graft.materialize.dir` (any Hadoop FS —
+ *    HDFS/S3 on a cluster) and read back. Survives executor loss and keeps
+ *    no BlockManager state; the reliable choice for long cluster jobs.
+ *
+ * Lifecycle: every cut pins resources (blocks or files) for the life of the
+ * session unless released. Callers that fully consume their results (one
+ * action, result leaves Spark) should call [[release]] afterwards — Bench
+ * and Verify do, per query — which unpersists all pinned blocks and deletes
+ * all spill files created since the last release. Do NOT release while a
+ * DataFrame derived from a cut is still to be consumed: the cut truncated
+ * its lineage, so the data is unrecoverable after release.
+ */
+object Materialize {
+
+  private val counter = new AtomicLong(0)
+  private val spillPaths = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** Materialize `df` and cut its lineage (see class doc for mode choice). */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    mode(spark) match {
+      case "parquet" =>
+        val path = s"${spillDir(spark)}/${spark.sparkContext.applicationId}" +
+          s"_cut${counter.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(path)
+        spillPaths.synchronized { spillPaths += path }
+        spark.read.parquet(path)
+      case _ =>
+        df.localCheckpoint()
+    }
+  }
+
+  /**
+   * Release everything pinned by [[cut]] since the last release: unpersist
+   * every block-manager-resident RDD of the session (localCheckpoint blocks
+   * are session-lived otherwise — the round-2 bench ran 37 queries against
+   * an ever-growing block population) and delete parquet spill directories.
+   * Only call once every DataFrame built from the cuts has been consumed.
+   */
+  def release(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    val paths = spillPaths.synchronized {
+      val p = spillPaths.toList; spillPaths.clear(); p
+    }
+    paths.foreach { p =>
+      val path = new Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+  }
+
+  private def mode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.materialize", "local")
+
+  private def spillDir(spark: SparkSession): String =
+    spark.conf.get("spark.graft.materialize.dir",
+      s"${sys.props("java.io.tmpdir")}/graft_materialize")
+}

@@ -133,7 +133,7 @@ object TextOps {
     val bitsPerChunk = simhashBits / chunks
     // materialized once — the per-chunk union below has `chunks` branches,
     // each of which would otherwise re-run the whole tokenize+aggregate
-    val sh = simhash(df, idCol, textCol).localCheckpoint()
+    val sh = Materialize.cut(simhash(df, idCol, textCol))
     // one (id, chunk, ckey) row per chunk, chunk values via literal shifts
     val chunkRows = (0 until chunks).map { c =>
       sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),

@@ -42,6 +42,52 @@ class DedupSpec extends GraftSpec {
     assert(again.select("doc_id").as[Long].collect().sorted.sameElements(ids))
   }
 
+  test("skew guard: m identical docs cost 1 LSH row, not m²/2 candidates") {
+    // 100 byte-identical docs plus two distinct ones. Without the
+    // exact-dup collapse every band bucket holds all 100 and the self-join
+    // emits 4950 candidate pairs; with it, LSH sees one representative per
+    // distinct text, so the candidate stage must produce ZERO pairs (the
+    // three texts share no shingles) while the OUTPUT still restores all
+    // 4950 member pairs at jaccard exactly 1.
+    val docs = (1L to 100L).map(i => (i, "the same boilerplate page body repeated verbatim across the crawl")) ++
+      Seq((101L, "one unrelated document about catalyst optimizer internals here"),
+          (102L, "another unrelated document describing shuffle partitioning strategy"))
+    val df = docs.toDF("doc_id", "text")
+
+    val reps = Dedup.representatives(df, "doc_id", "text")
+    assert(reps.count() == 3)
+    val shReps = reps.select($"id".as("doc_id"), Dedup.shingles($"text").as("sh"))
+    assert(Dedup.candidatePairs(shReps, "doc_id", "sh").count() == 0)
+
+    val out = Dedup.nearDuplicatePairs(df, "doc_id", "text", threshold = 0.6)
+    assert(out.count() == 100L * 99L / 2L)
+    assert(out.filter($"jaccard" =!= 1.0).count() == 0)
+    // cross-group restoration: every member of the identical group pairs
+    // with a near-dup of the representative, not only with the rep itself
+    val docs2 = df.union(Seq(
+      (103L, "the same boilerplate page body repeated verbatim across the crawl!")).toDF("doc_id", "text"))
+    val out2 = Dedup.nearDuplicatePairs(docs2, "doc_id", "text", threshold = 0.5)
+    assert(out2.filter($"b_id" === 103L).count() == 100) // 103 ~ every clone
+  }
+
+  test("materialize: parquet spill mode yields identical pairs and cleans up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_spec").toString
+    val local = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.materialize", "parquet")
+    spark.conf.set("spark.graft.materialize.dir", dir)
+    try {
+      val spilled = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      assert(spilled.collect().map(_.toSeq).toSet == local)
+      assert(new java.io.File(dir).listFiles().nonEmpty) // cuts actually spilled
+      Materialize.release(spark)
+      assert(new java.io.File(dir).listFiles().isEmpty)  // release deletes spills
+    } finally {
+      spark.conf.set("spark.graft.materialize", "local")
+      spark.conf.unset("spark.graft.materialize.dir")
+    }
+  }
+
   test("candidate generation never cross-joins: pair count bounded by bands") {
     // 3 unrelated docs share no shingles — with no bucket collision there
     // must be zero candidates (probabilistic but astronomically safe).
