@@ -8,6 +8,11 @@ import graft.ext.Materialize
  * Benchmark main: times every declared query on `SPARK_GRAFT_SF_DIR`
  * (default sf0.1) and prints ONE JSON line for the driver.
  *
+ * What a timed run executes: [[Harness.consume]] — a noop-sink write that
+ * produces every output column and honors the final sort. `count()` would
+ * let Catalyst prune the very compute some queries exist to measure (see
+ * the consume scaladoc; round-3 finding).
+ *
  * Steady-state measurement, two mechanisms:
  *
  *  - JIT/codegen warm-up: each query first runs once on the tiny sf0.001
@@ -20,11 +25,14 @@ import graft.ext.Materialize
  *    38.9 s to a query whose steady state is ~1 s because lineage-cut
  *    blocks from 30+ earlier queries had accumulated in the BlockManager
  *    (GC pressure) and the first sf0.1 run still pays scale-dependent
- *    one-offs. `Materialize.release` between runs keeps the block
- *    population flat; the min of two runs reports the repeatable number.
+ *    one-offs. `Materialize.release` between runs (scoped + blocking, so
+ *    cleanup cost lands here, not in a later query's timed region) keeps
+ *    the block population flat; the min of two runs reports the repeatable
+ *    number.
  *
- * A query that throws is recorded under "errors" and makes the exit code
- * nonzero — a broken query must never look green in BENCH.
+ * A query that throws in ANY timed run is recorded under "errors" ONLY —
+ * it is omitted from "queries" (a partial timing would read as a fast
+ * success) — and makes the exit code nonzero.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,15 +47,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietRddWarnings()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, warmDir).count(); Materialize.release(spark) }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { Harness.consume(fn(spark, warmDir)); Materialize.release(spark) }
       catch { case _: Throwable => () } // warm-up failure surfaces in the timed run
       def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { Harness.consume(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
             false
@@ -56,11 +65,9 @@ object Bench {
         Materialize.release(spark) // outside the timed region: session hygiene, not query cost
         if (ok) Some(dt) else None
       }
-      val secs = timedRun() match {
-        case Some(a) => math.min(a, timedRun().getOrElse(a))
-        case None    => 0.0
-      }
-      name -> secs
+      val secs = timedRun().map(a => math.min(a, timedRun().getOrElse(a)))
+      // an error in either run disqualifies the timing: errors-only reporting
+      if (errors.contains(name)) None else secs.map(name -> _)
     }
 
     def jstr(s: String): String =

@@ -19,11 +19,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietRddWarnings()
     val fn = SparkEntry.queries(key)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n  = fn(spark, sfDir).count()
-      println(f"[explain] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      Harness.consume(fn(spark, sfDir)) // same action Bench times
+      println(f"[explain] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       graft.ext.Materialize.release(spark)
     }
     fn(spark, sfDir).explain("formatted")

@@ -535,8 +535,14 @@ object SparkEntry {
     // cosine, which DuckDB recomputes here. The Spark output is read back,
     // its (q_id, nn_id, rank) pass through, and sim is REPLACED by the
     // recomputed exact value: any inexact score breaks the hash compare.
+    // Structurally guarded: the dump must be exactly 8 queries × ranks
+    // 1..5 (40 distinct (q_id, rank) rows); otherwise — including an empty
+    // dump, which would hash-match vacuously — the oracle emits a single
+    // sentinel row that can never match.
     "q33_ivf_topk" ->
-      """WITH bf AS (
+      """WITH r AS (SELECT q_id, nn_id, rank
+        |           FROM read_parquet('__OUT__/q33_ivf_topk/*.parquet')),
+        |bf AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
         |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
@@ -545,23 +551,37 @@ object SparkEntry {
         |     * sqrt(list_aggregate(list_transform(c.embedding,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
         |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 8)
+        |  WHERE q.vec_id < 8),
+        |chk AS (
+        |  SELECT coalesce(count(*) = 40
+        |           AND count(DISTINCT q_id) = 8
+        |           AND count(DISTINCT q_id || ':' || rank) = 40
+        |           AND min(rank) = 1 AND max(rank) = 5, FALSE) AS ok
+        |  FROM r)
         |SELECT r.q_id, r.nn_id, bf.sim, r.rank
-        |FROM read_parquet('__OUT__/q33_ivf_topk/*.parquet') r
-        |JOIN bf ON r.q_id = bf.q_id AND r.nn_id = bf.nn_id
-        |ORDER BY r.q_id, r.rank""".stripMargin,
+        |FROM r JOIN bf ON r.q_id = bf.q_id AND r.nn_id = bf.nn_id
+        |WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, CAST(-1 AS BIGINT)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY q_id, rank""".stripMargin,
 
     // PARTIAL oracle (sketch-accuracy property): DuckDB cannot replay
     // Spark's HLL++ sketch, but it can recompute the exact distinct count
     // and assert the sketch landed within 5× the configured rsd (0.01).
-    // If the bound holds the read-back row passes through unchanged; if it
-    // ever breaks, the oracle returns zero rows and the compare fails.
+    // Structurally guarded: the oracle ALWAYS emits exactly one row — the
+    // read-back value when the dump is exactly one row inside the bound,
+    // a -1 sentinel otherwise — so an empty or multi-row dump mismatches
+    // instead of passing vacuously (empty-equals-empty).
     "q09_approx_distinct" ->
-      """SELECT r.approx_distinct_users
-        |FROM read_parquet('__OUT__/q09_approx_distinct/*.parquet') r
-        |WHERE abs(r.approx_distinct_users
-        |          - (SELECT count(DISTINCT user_id) FROM events))
-        |      <= 0.05 * (SELECT count(DISTINCT user_id) FROM events)""".stripMargin,
+      """WITH d AS (SELECT approx_distinct_users
+        |           FROM read_parquet('__OUT__/q09_approx_distinct/*.parquet')),
+        |     x AS (SELECT count(DISTINCT user_id) AS c FROM events)
+        |SELECT CASE WHEN (SELECT count(*) FROM d) = 1
+        |             AND abs((SELECT max(approx_distinct_users) FROM d)
+        |                     - (SELECT c FROM x)) <= 0.05 * (SELECT c FROM x)
+        |        THEN (SELECT max(approx_distinct_users) FROM d)
+        |        ELSE CAST(-1 AS BIGINT) END AS approx_distinct_users""".stripMargin,
 
     // The harness events table is a single parquet file; the metadata-column
     // scan must see exactly that file set.

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietRddWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -39,8 +40,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // partial oracles read the Spark dump back (scored-subset / bound
-    // checks — see SparkEntry.oracleSql doc); patch in the actual dump dir
-    val outAbs = Paths.get(outDir).toAbsolutePath.toString
+    // checks — see SparkEntry.oracleSql doc); patch in the actual dump dir.
+    // The path lands inside a single-quoted SQL literal — escape quotes so
+    // an apostrophe in the path can't break (or inject into) the oracle.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString.replace("'", "''")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
       .mkString("{", ",", "}")

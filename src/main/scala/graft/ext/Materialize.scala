@@ -29,15 +29,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Lifecycle: every cut pins resources (blocks or files) for the life of the
  * session unless released. Callers that fully consume their results (one
  * action, result leaves Spark) should call [[release]] afterwards — Bench
- * and Verify do, per query — which unpersists all pinned blocks and deletes
- * all spill files created since the last release. Do NOT release while a
+ * and Verify do, per query — which unpersists the pinned blocks and deletes
+ * the spill files created since the last release. Do NOT release while a
  * DataFrame derived from a cut is still to be consumed: the cut truncated
  * its lineage, so the data is unrecoverable after release.
+ *
+ * [[release]] is scoped and synchronous by design:
+ *
+ *  - Scoped: only the RDDs that [[cut]] itself pinned are unpersisted —
+ *    caller-owned `cache()`/`localCheckpoint()` DataFrames (e.g. the
+ *    pipeline's cached day slice) are left intact, and a caller can never
+ *    lose an unrelated lineage-truncated DataFrame to a release it didn't
+ *    ask for.
+ *  - Blocking: `unpersist(blocking = true)`. The round-3 bench showed the
+ *    async form letting a backlog of block-removal work from earlier
+ *    queries collide with later ones (q33 measured ~4× its isolated
+ *    steady state); a synchronous release keeps cleanup cost attributed to
+ *    the release call site, outside any timed region.
  */
 object Materialize {
 
   private val counter = new AtomicLong(0)
   private val spillPaths = scala.collection.mutable.ArrayBuffer[String]()
+  private val cutRddIds = scala.collection.mutable.ArrayBuffer[Int]()
 
   /** Materialize `df` and cut its lineage (see class doc for mode choice). */
   def cut(df: DataFrame): DataFrame = {
@@ -50,20 +64,29 @@ object Materialize {
         spillPaths.synchronized { spillPaths += path }
         spark.read.parquet(path)
       case _ =>
-        df.localCheckpoint()
+        // record exactly the RDD ids this cut pins (localCheckpoint is
+        // eager, so the new persistent RDD exists on return)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        cutRddIds.synchronized { cutRddIds ++= added }
+        out
     }
   }
 
   /**
-   * Release everything pinned by [[cut]] since the last release: unpersist
-   * every block-manager-resident RDD of the session (localCheckpoint blocks
-   * are session-lived otherwise — the round-2 bench ran 37 queries against
-   * an ever-growing block population) and delete parquet spill directories.
-   * Only call once every DataFrame built from the cuts has been consumed.
+   * Release everything pinned by [[cut]] since the last release — and ONLY
+   * that: tracked checkpoint blocks are unpersisted synchronously and
+   * tracked parquet spill directories deleted; persisted RDDs the caller
+   * created itself are untouched. Only call once every DataFrame built from
+   * the cuts has been consumed.
    */
   def release(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val ids = cutRddIds.synchronized {
+      val i = cutRddIds.toList; cutRddIds.clear(); i
+    }
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
     val paths = spillPaths.synchronized {
       val p = spillPaths.toList; spillPaths.clear(); p
     }
