@@ -2,6 +2,7 @@ package graft.stage
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /**
  * Partitioned columnar staging layer: Snappy Parquet partitioned by ingest
@@ -52,11 +53,39 @@ object Staging {
   def readAll(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Register the staged layout as a catalog table (idempotent). */
+  /** The canonical cleansed schema, hand-declared (SURVEY.md §1.3) — the
+    * 11 parsed CLF columns. Matches the reference's explicit Glue DDL
+    * (`/root/reference/sree-etl-tdk-lambda.py:62-78`) with its column-name
+    * drift canonicalized on the DDL names. */
+  val cleansedDdl: String =
+    """ip_address STRING, rfc_1413_identity DOUBLE, user_id BIGINT,
+      |time TIMESTAMP, request_method STRING, request_resource STRING,
+      |request_protocol STRING, status_code BIGINT, size BIGINT,
+      |referer STRING, user_agent STRING""".stripMargin
+
+  /** [[cleansedDdl]] plus the ingest-date partition column — the full
+    * catalog-table schema of the staged layout (partition columns last, as
+    * Spark orders them). */
+  def stagedSchema: StructType =
+    StructType.fromDDL(s"$cleansedDdl, date STRING")
+
+  /**
+   * Register the staged layout as a catalog table (idempotent), with the
+   * schema DECLARED rather than inferred — parity with the reference's
+   * hand-written DDL (`sree-etl-tdk-lambda.py:62-78, PARTITIONED BY date`
+   * `:78`). Declaring catches drift: a staged file whose columns wander
+   * from the canonical schema surfaces as a read error on the catalog
+   * table instead of silently changing the table's shape. The MSCK pass
+   * discovers the existing `date=` directories (partition METADATA, not
+   * schema — still required for an external partitioned location).
+   */
   def register(spark: SparkSession, table: String, path: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       spark.sql(
-        s"CREATE TABLE $table USING parquet OPTIONS (path '$path')")
+        s"""CREATE TABLE $table ($cleansedDdl, date STRING)
+           |USING parquet
+           |PARTITIONED BY (date)
+           |LOCATION '$path'""".stripMargin)
       spark.sql(s"MSCK REPAIR TABLE $table")
     }
 }

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One request row for stateful processing (typed view of the parsed
-  * stream restricted to the session-relevant columns). */
-final case class SessionEvent(user_id: Long, epoch: Long)
+  * stream restricted to the session-relevant columns). `time` carries the
+  * event-time watermark through the typed projection; `epoch` is its
+  * whole-second form the session arithmetic runs on. */
+final case class SessionEvent(
+    user_id: Long, epoch: Long, time: java.sql.Timestamp)
 
 /** A closed browsing session: consecutive requests of one user with no
   * gap larger than the configured idle timeout. */
@@ -56,26 +59,30 @@ object StreamingAnalytics {
       parsed: DataFrame,
       gapSeconds: Long = 1800L,
       watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
-    val events = parsed
-      .filter(col("user_id").isNotNull && col("time").isNotNull)
-      .withWatermark("time", watermarkDelay)
-      .select(col("user_id"), col("time"),
-        unix_timestamp(col("time")).as("epoch"))
-
     implicit val se = Encoders.product[SessionEvent]
     implicit val us = Encoders.product[UserSession]
     implicit val lk = Encoders.scalaLong
 
+    // typed from the projection on: the state path below is encoder-checked
+    // Dataset[SessionEvent], so a column rename/retype upstream is a compile
+    // or bind error here instead of a runtime getAs failure mid-stream
+    val events: Dataset[SessionEvent] = parsed
+      .filter(col("user_id").isNotNull && col("time").isNotNull)
+      .withWatermark("time", watermarkDelay)
+      .select(col("user_id"), unix_timestamp(col("time")).as("epoch"),
+        col("time"))
+      .as[SessionEvent]
+
     def update(
         userId: Long,
-        rows: Iterator[org.apache.spark.sql.Row],
+        rows: Iterator[SessionEvent],
         state: GroupState[UserSession]): Iterator[UserSession] = {
       if (state.hasTimedOut) {
         val closed = state.get
         state.remove()
         return Iterator.single(closed)
       }
-      val incoming = rows.map(r => r.getAs[Long]("epoch")).toSeq.sorted
+      val incoming = rows.map(_.epoch).toSeq.sorted
       var open = state.getOption
       val closed = Seq.newBuilder[UserSession]
       incoming.foreach { e =>
@@ -100,7 +107,7 @@ object StreamingAnalytics {
     }
 
     events
-      .groupByKey(r => r.getAs[Long]("user_id"))
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }

@@ -54,6 +54,10 @@ class PipelineSpec extends GraftSpec {
     assert(day.count() == 5)
     assert(Files.exists(Paths.get(s"$root/staging/date=2015-11-13")))
     assert(spark.table("graft_pipeline_staged").count() == 5)
+    // catalog schema is the DECLARED canonical cleansed schema (SURVEY
+    // §1.3) + date partition — not whatever inference produced
+    assert(spark.table("graft_pipeline_staged").schema ==
+      graft.stage.Staging.stagedSchema)
 
     // per-user counts golden: 7→2, 9→1 (null user counted too: count(request_resource))
     val rpu = spark.read.parquet(s"$root/results/user_requests")
