@@ -367,7 +367,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000d, 0)
             .cast("long")).as("revenue_e4"))
-        .orderBy(col("n_name").asc_nulls_last, col("o_orderpriority").asc_nulls_last))
+        .orderBy(col("n_name").asc_nulls_last, col("o_orderpriority").asc_nulls_last)),
+
+    // X1+ — TRANSITIVE near-dup dedup: connected components (bounded
+    // min-label propagation) over the exact-Jaccard-verified pair graph,
+    // one survivor (least id) per component. Deterministic like q20 — LSH
+    // affects only candidate recall — so DuckDB can recompute it all-pairs
+    // and close the graph with a recursive CTE.
+    "q37_dedup_survivors" -> ((s, d) =>
+      Dedup.dedupTransitive(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -758,6 +769,35 @@ object SparkEntry {
         |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_content,
         |       CAST(sum(greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1)) AS BIGINT) AS n_frames
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same pair graph as q20 (exact all-pairs Jaccard ≥ 0.6 over word
+    // trigrams), then the transitive closure via a recursive CTE: a doc
+    // survives iff it is the minimum of its connected component (docs in
+    // no pair are their own singleton component).
+    "q37_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks, generate_series(1, 4000) g(i)
+        |  WHERE i + 2 <= len(t)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) = src
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -222,9 +222,11 @@ object Dedup {
   /**
    * Near-dup dedup: drop every doc that has a verified near-duplicate with
    * a smaller id (canonical survivor = least id of each duplicate group).
-   * One-hop semantics, not transitive closure — A~B and B~C with A≁C keeps
-   * A and C; at a ≥0.8 threshold chains are rare and this avoids an
-   * iterative connected-components pass.
+   * One-hop semantics, not transitive closure — a chain A~B~C with A≁C
+   * whose middle doc carries the largest id keeps both endpoints; at a
+   * ≥0.8 threshold chains are rare and this avoids an iterative pass. For
+   * low-threshold dedup use [[dedupTransitive]], which collapses each
+   * connected component to its least id.
    */
   def dedup(
       df: DataFrame, idCol: String, textCol: String,
@@ -233,5 +235,72 @@ object Dedup {
     val dupIds = nearDuplicatePairs(df, idCol, textCol, threshold, n, bands, rowsPerBand)
       .select(col("b_id").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Connected components of the undirected pair graph `(a_id, b_id)` by
+   * iterative min-label propagation: every node starts labeled with its own
+   * id; each round replaces a node's label with the minimum over itself and
+   * its neighbors' labels; at the fixpoint each node carries the least id
+   * of its component. Returns `(id, component)` for every id that appears
+   * in at least one pair.
+   *
+   * Scale: one round = one equi-join of the edge list against the label
+   * table plus one min-aggregation — both linear in |edges|, both ordinary
+   * shuffles on the id key; there is no driver-side graph state. The label
+   * table is cut each round ([[Materialize.cut]]): iterative plans
+   * otherwise nest one join DEEPER per round and re-execute the whole
+   * history each action. Rounds needed = eccentricity of each component's
+   * minimum node (long chains propagate one hop per round); `maxIters`
+   * bounds the cost, and an unconverged stop is CONSERVATIVE — some chain
+   * members keep a higher label, splitting a long component, never merging
+   * two components wrongly. Duplicate chains in real corpora are shallow;
+   * the loop exits as soon as a round changes nothing.
+   */
+  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val p = Materialize.cut(pairs.select(col("a_id"), col("b_id")))
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = Materialize.cut(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nmin"))
+      val stepped = Materialize.cut(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"),
+            (coalesce(col("nmin"), col("component")) < col("component"))
+              .as("chg")))
+      changed = stepped.filter(col("chg")).count()
+      labels = stepped.select("id", "component")
+      it += 1
+    }
+    labels
+  }
+
+  /**
+   * Transitive near-dup dedup: [[dedup]]'s one-hop drop rule replaced by
+   * connected components, so a chain A~B~C with A≁C keeps exactly one
+   * survivor (the least id of the component) instead of both endpoints.
+   * The right tool below ~0.8 thresholds, where chains are common; costs
+   * [[components]]' bounded label-propagation rounds on top of the pair
+   * pipeline.
+   */
+  def dedupTransitive(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2, maxIters: Int = 10): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, n, bands, rowsPerBand)
+    val losers = components(pairs, maxIters)
+      .filter(col("component") < col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

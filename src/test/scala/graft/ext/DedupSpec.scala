@@ -70,6 +70,42 @@ class DedupSpec extends GraftSpec {
     assert(out2.filter($"b_id" === 103L).count() == 100) // 103 ~ every clone
   }
 
+  test("dedupTransitive: a chain collapses to one survivor") {
+    // 1 ~ 3 and 2 ~ 3 at J = 0.8 (16 shared of 20 trigrams), 1 ≁ 2
+    // (J = 14/22 ≈ 0.64 < 0.7). The middle doc has the LARGEST id, so the
+    // one-hop rule (drop docs with a smaller-id near-dup) drops only 3 and
+    // keeps both endpoints; connected components keep exactly the least id.
+    val w = (1 to 24).map(i => f"w$i%02d")
+    val chain = Seq(
+      (1L, w.slice(0, 20).mkString(" ")),  // tokens w01..w20
+      (2L, w.slice(4, 24).mkString(" ")),  // tokens w05..w24 (far end)
+      (3L, w.slice(2, 22).mkString(" ")),  // tokens w03..w22 (middle)
+      (4L, "entirely unrelated text about broadcast joins and partition pruning")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup.nearDuplicatePairs(chain, "doc_id", "text", threshold = 0.7)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L))) // chain edges only
+
+    val oneHop = Dedup.dedup(chain, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(oneHop.sameElements(Array(1L, 2L, 4L))) // per-edge: both endpoints
+
+    val cc = Dedup.dedupTransitive(chain, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(cc.sameElements(Array(1L, 4L))) // one survivor per component
+  }
+
+  test("components: labels converge to the component minimum") {
+    // two components: a 4-chain 10-11-12-13 (needs >1 round) and a pair
+    val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("materialize: parquet spill mode yields identical pairs and cleans up") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_spec").toString
     val local = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
