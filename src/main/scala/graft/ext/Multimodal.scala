@@ -1,7 +1,43 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+/**
+ * The decode seam of the multimodal surface: binary payload column in,
+ * fixed-width feature column out. Everything upstream (content hashing,
+ * dedup, partitioning) and downstream (ANN, centroids, similarity) of a
+ * media pipeline composes against this trait, so swapping the honest test
+ * stub for a production codec is ONE class — no call-site changes.
+ *
+ * Production implementation contract (not buildable in this environment —
+ * no image/audio libraries): a `mapPartitions` batch decoder. Per
+ * partition: group rows into fixed-size batches (bounding peak decoder
+ * memory to batch_size × max_payload), hand the payload byte buffers to
+ * the codec (JVM lib, or a native decoder via JNI/FFM — Arrow record
+ * batches if the codec is out-of-process), emit one `Array[Double]` of
+ * exactly [[dims]] features per row, never materialize a partition's
+ * payloads at once. Per-row cost only, no shuffle — identical to the
+ * stub's plan shape, which is what the specs pin.
+ */
+trait BinaryDecoder {
+  /** Fixed feature-vector width every decoded row must have. */
+  def dims: Int
+
+  /** Append `outCol` (`array<double>`, length [[dims]]) decoded from the
+    * BinaryType column `payloadCol`. Must add no shuffle. */
+  def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame
+}
+
+/** The environment-honest [[BinaryDecoder]]: deterministic pseudo-features
+  * from the payload hash ([[Multimodal.decodeStub]]) — a pure codegen'd
+  * expression, so the plumbing a real codec would ride (schema, per-row
+  * evaluation, no shuffle) is exercised for real while the feature values
+  * are clearly fake. */
+final class StubDecoder(val dims: Int = 4) extends BinaryDecoder {
+  def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, Multimodal.decodeStub(col(payloadCol), dims))
+}
 
 /**
  * Multimodal column handling: images / audio / video ride through the
@@ -45,10 +81,11 @@ object Multimodal {
       i => payload.substr(i * frameSize + 1, lit(frameSize)))
 
   /**
-   * STUB decoder: deterministic pseudo-feature vector derived from the
-   * payload hash — a placeholder for a real image/audio feature extractor
-   * (clearly fake values in [0,1); stable across runs and engines that
-   * share xxhash64).
+   * STUB decoder expression: deterministic pseudo-feature vector derived
+   * from the payload hash — a placeholder for a real image/audio feature
+   * extractor (clearly fake values in [0,1); stable across runs and
+   * engines that share xxhash64). [[StubDecoder]] wraps this as the
+   * test implementation of the [[BinaryDecoder]] seam.
    */
   def decodeStub(payload: Column, dims: Int = 4): Column =
     transform(sequence(lit(0), lit(dims - 1)), i =>

@@ -28,6 +28,16 @@ class MultimodalSpec extends GraftSpec {
     assert(r.getBoolean(1))
   }
 
+  test("BinaryDecoder seam: stub impl appends a dims-wide feature column") {
+    val dec: BinaryDecoder = new StubDecoder(dims = 6) // through the trait
+    val out = dec.decode(assets, "payload", "features")
+    assert(out.columns.toSeq == Seq("payload", "features"))
+    val feats = out.select($"features").as[Seq[Double]].collect()
+    assert(feats.forall(_.length == dec.dims))
+    // decoding must stay shuffle-free: per-row expression, single stage
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("decodeStub: deterministic fixed-width features in [0,1)") {
     val f1 = assets.select(Multimodal.decodeStub($"payload", 4).as("f"))
       .as[Seq[Double]].collect()
