@@ -35,6 +35,25 @@ final case class UserSession(
  */
 object StreamingAnalytics {
 
+  /**
+   * Streaming exact dedup — the continuous-ingest twin of the batch
+   * `dropDuplicates` surface (X1): emits the first arrival of each key and
+   * drops re-deliveries (at-least-once sources, retried micro-batches)
+   * that land within the watermark horizon. State is one entry per
+   * distinct key seen inside the horizon and is evicted as the watermark
+   * passes — bounded by arrival rate × delay, not by stream length, which
+   * is what makes exact dedup viable on an unbounded 100 TB/day feed.
+   * Keys must not include the event-time column itself.
+   */
+  def dedupStream(
+      parsed: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("time").isNotNull)
+      .withWatermark("time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-window, per-status request counts with bounded state. */
   def windowedCounts(
       parsed: DataFrame,

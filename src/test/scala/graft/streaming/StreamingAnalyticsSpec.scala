@@ -33,6 +33,25 @@ class StreamingAnalyticsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: re-deliveries within the watermark are dropped") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingAnalytics.dedupStream(
+      ClfParser.parse(mem.toDF()), Seq("user_id", "time"), "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("graft_dedup").outputMode("append").start()
+    try {
+      // same-batch duplicate + a distinct second key
+      mem.addData(line(1, "10:00:00", 200), line(1, "10:00:00", 200),
+        line(2, "10:10:00", 200))
+      q.processAllAvailable()
+      // cross-batch re-delivery of the first key, still inside the horizon
+      mem.addData(line(1, "10:00:00", 200))
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session; watermark closes idle ones") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
