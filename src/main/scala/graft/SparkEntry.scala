@@ -77,9 +77,17 @@ object SparkEntry {
       t(s, d, "events").filter(col("user_id").isNotNull)
         .agg(count(lit(1)).as("nonnull_count")).limit(10)),
 
-    // S3/S4/P1/P8/F1 — full CLF parse round-trip
+    // S3/S4/P1/P8/F1 — full CLF parse round-trip. The raw-line repartition
+    // exists because the harness tables are single-row-group parquet files
+    // (one scan split), which would serialize the CPU-bound parse onto one
+    // core; a real ingest reads many log files (and the text source splits
+    // within files), so source splits provide this parallelism and
+    // ClfParser itself never repartitions. Shuffling the narrow line
+    // column costs ~ms; it buys the full cluster width for the regex work.
     "q05_parse_clf" -> ((s, d) =>
-      ClfParser.parse(t(s, d, "events").select(synthLine.as("value")))
+      ClfParser.parse(t(s, d, "events")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(synthLine.as("value")))
         .select(
           col("ip_address"), col("user_id"),
           date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_s"),
