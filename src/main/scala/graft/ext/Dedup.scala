@@ -4,6 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
+ * Result of [[Dedup.componentsResult]]: the label table `(id, component)`,
+ * the number of propagation rounds executed, and the residual — how many
+ * labels still changed in the final round. `residual == 0` proves the
+ * fixpoint was reached; a positive residual means the iteration cap was hit
+ * first and some deep-chain members still carry a non-minimal label (a
+ * CONSERVATIVE state: components may be split, never wrongly merged).
+ */
+final case class ComponentsResult(labels: DataFrame, rounds: Int, residual: Long) {
+  def converged: Boolean = residual == 0L
+}
+
+/**
  * Near-duplicate detection at training-data scale: MinHash signatures over
  * word-shingle sets, LSH banding to co-locate candidates, exact Jaccard
  * verification of candidates only. Built entirely from codegen'd built-in
@@ -256,8 +268,34 @@ object Dedup {
    * members keep a higher label, splitting a long component, never merging
    * two components wrongly. Duplicate chains in real corpora are shallow;
    * the loop exits as soon as a round changes nothing.
+   *
+   * Non-convergence is never silent: [[components]] THROWS if the cap is
+   * hit with labels still moving; [[componentsResult]] returns the residual
+   * so a caller can decide (accept the conservative split, or resume with a
+   * higher cap). The last run's round count is exported via
+   * [[lastComponentsRounds]] for bench telemetry.
    */
-  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val r = componentsResult(pairs, maxIters)
+    if (!r.converged)
+      throw new IllegalStateException(
+        s"Dedup.components did not converge within $maxIters rounds: " +
+          s"${r.residual} labels still changed in the final round. " +
+          "The graph has a chain deeper than maxIters hops from its " +
+          "component minimum; raise maxIters, or call componentsResult to " +
+          "accept the conservative (split, never wrongly merged) labels.")
+    r.labels
+  }
+
+  /** Round count of the most recent [[componentsResult]] run in this JVM —
+    * bench telemetry only (a data-shape change that doubles propagation
+    * rounds should be visible across bench rounds). */
+  val lastComponentsRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[components]] without the convergence throw: runs up to `maxIters`
+    * min-label rounds and reports how far it got (see [[ComponentsResult]]).
+    * The labels are exact iff `residual == 0`. */
+  def componentsResult(pairs: DataFrame, maxIters: Int = 50): ComponentsResult = {
     val p = Materialize.cut(pairs.select(col("a_id"), col("b_id")))
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -282,7 +320,8 @@ object Dedup {
       labels = stepped.select("id", "component")
       it += 1
     }
-    labels
+    lastComponentsRounds.set(it)
+    ComponentsResult(labels, it, changed)
   }
 
   /**
@@ -291,12 +330,13 @@ object Dedup {
    * survivor (the least id of the component) instead of both endpoints.
    * The right tool below ~0.8 thresholds, where chains are common; costs
    * [[components]]' bounded label-propagation rounds on top of the pair
-   * pipeline.
+   * pipeline. Throws (via [[components]]) rather than silently
+   * under-dedup if the pair graph has a chain deeper than `maxIters`.
    */
   def dedupTransitive(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 2, maxIters: Int = 10): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 2, maxIters: Int = 50): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, n, bands, rowsPerBand)
     val losers = components(pairs, maxIters)
       .filter(col("component") < col("id"))

@@ -106,6 +106,30 @@ class DedupSpec extends GraftSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("components: a 14-hop chain converges under the default cap, throws under a tight one") {
+    // path graph 0-1-2-…-14: node 14 is 14 hops from the component minimum,
+    // so min-label propagation needs 14 rounds (+1 to observe the fixpoint).
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+
+    val ok = Dedup.componentsResult(chain) // default maxIters
+    assert(ok.converged && ok.residual == 0L)
+    assert(ok.rounds >= 14)
+    val labels = ok.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 15 && labels.values.forall(_ == 0L))
+    assert(Dedup.lastComponentsRounds.get() == ok.rounds)
+
+    // capped run: never silent — componentsResult reports the residual, and
+    // its partial labels are conservative (split, never wrongly merged) …
+    val capped = Dedup.componentsResult(chain, maxIters = 5)
+    assert(!capped.converged && capped.residual > 0L && capped.rounds == 5)
+    val partial = capped.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.forall { case (id, c) => c <= id }) // labels only move down
+
+    // … while the strict entry point throws instead of under-deduping
+    val e = intercept[IllegalStateException](Dedup.components(chain, maxIters = 5))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("materialize: parquet spill mode yields identical pairs and cleans up") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_spec").toString
     val local = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
