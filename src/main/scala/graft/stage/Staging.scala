@@ -81,11 +81,17 @@ object Staging {
    */
   def register(spark: SparkSession, table: String, path: String): Unit =
     if (!spark.catalog.tableExists(table)) {
+      // quote both interpolations: the path goes inside a single-quoted SQL
+      // literal (an apostrophe in a filesystem path would otherwise break —
+      // or inject into — the DDL), and the table name is a backtick-quoted
+      // identifier so names with dots/dashes/reserved words register too.
+      val loc = path.replace("'", "''")
+      val ident = s"`${table.replace("`", "``")}`"
       spark.sql(
-        s"""CREATE TABLE $table ($cleansedDdl, date STRING)
+        s"""CREATE TABLE $ident ($cleansedDdl, date STRING)
            |USING parquet
            |PARTITIONED BY (date)
-           |LOCATION '$path'""".stripMargin)
-      spark.sql(s"MSCK REPAIR TABLE $table")
+           |LOCATION '$loc'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE $ident")
     }
 }

@@ -43,4 +43,18 @@ class StagingSpec extends GraftSpec {
     assert(day.count() == 1L)
     assert(day.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
+
+  test("register: apostrophe in the location path and a reserved-word table name") {
+    val df = Seq((1L, "2024-01-01 10:00:00"))
+      .toDF("id", "t").withColumn("time", to_timestamp(col("t"))).drop("t")
+    val base = java.nio.file.Files.createTempDirectory("graft_reg_quote")
+    val tmp = java.nio.file.Files.createDirectory(base.resolve("o'brien")).toString
+    Staging.stage(Staging.withDate(df), tmp)
+
+    // an unquoted interpolation would die on the apostrophe in the path or
+    // on the reserved identifier; the quoted DDL registers both fine
+    Staging.register(spark, "table", tmp)
+    try assert(spark.table("`table`").count() == 1L)
+    finally spark.sql("DROP TABLE IF EXISTS `table`")
+  }
 }
