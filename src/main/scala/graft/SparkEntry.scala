@@ -529,8 +529,8 @@ object SparkEntry {
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks, generate_series(1, 4000) g(i)
-        |  WHERE i + 2 <= len(t)
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
         |  GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -683,8 +683,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 100),
         |sh AS (
         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, generate_series(1, 4000) g(i)
-        |  WHERE i + 2 <= len(t))
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks))
         |SELECT doc_id, min(md5(s)) AS fp FROM sh
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -788,8 +788,8 @@ object SparkEntry {
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks, generate_series(1, 4000) g(i)
-        |  WHERE i + 2 <= len(t)
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
         |  GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
