@@ -43,7 +43,10 @@ object StreamingAnalytics {
    * distinct key seen inside the horizon and is evicted as the watermark
    * passes — bounded by arrival rate × delay, not by stream length, which
    * is what makes exact dedup viable on an unbounded 100 TB/day feed.
-   * Keys must not include the event-time column itself.
+   * Keys typically exclude the event-time column: with `time` in the key
+   * set, two arrivals of the same logical record only collapse when their
+   * timestamps are byte-equal, degrading the within-watermark semantics to
+   * plain exact-key dedup.
    */
   def dedupStream(
       parsed: DataFrame,

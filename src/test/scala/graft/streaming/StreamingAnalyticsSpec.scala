@@ -36,8 +36,11 @@ class StreamingAnalyticsSpec extends GraftSpec {
   test("dedupStream: re-deliveries within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
+    // key excludes the event-time column — the documented contract: any
+    // same-key arrival inside the watermark horizon drops, byte-equal
+    // timestamp or not
     val out = StreamingAnalytics.dedupStream(
-      ClfParser.parse(mem.toDF()), Seq("user_id", "time"), "1 hour")
+      ClfParser.parse(mem.toDF()), Seq("user_id"), "1 hour")
     val q = out.writeStream.format("memory")
       .queryName("graft_dedup").outputMode("append").start()
     try {
@@ -45,8 +48,10 @@ class StreamingAnalyticsSpec extends GraftSpec {
       mem.addData(line(1, "10:00:00", 200), line(1, "10:00:00", 200),
         line(2, "10:10:00", 200))
       q.processAllAvailable()
-      // cross-batch re-delivery of the first key, still inside the horizon
-      mem.addData(line(1, "10:00:00", 200))
+      // cross-batch re-deliveries inside the horizon: one byte-identical,
+      // one with a DIFFERENT timestamp — exact-key dedup would emit the
+      // latter; within-watermark key dedup drops both
+      mem.addData(line(1, "10:00:00", 200), line(1, "10:20:00", 200))
       q.processAllAvailable()
       assert(spark.table("graft_dedup").count() == 2)
     } finally q.stop()
