@@ -305,23 +305,31 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nc")).as("nmin"))
-      val stepped = Materialize.cut(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nmin"), col("component")))
-              .as("component"),
-            (coalesce(col("nmin"), col("component")) < col("component"))
-              .as("chg")))
+      val stepped = Materialize.cut(componentsStep(edges, labels))
       changed = stepped.filter(col("chg")).count()
       labels = stepped.select("id", "component")
       it += 1
     }
     lastComponentsRounds.set(it)
     ComponentsResult(labels, it, changed)
+  }
+
+  /** One min-label propagation round: neighbor-min lookup (equi-join on the
+    * id key + map-side-combined min aggregation) joined back onto the label
+    * table. Exposed for plan auditing — this is the plan that executes once
+    * per round, so its shape (ordinary shuffled equi-joins, never a
+    * nested-loop or cartesian) is what makes [[components]] scale. */
+  private[graft] def componentsStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(min(col("nc")).as("nmin"))
+    labels.join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("component"), coalesce(col("nmin"), col("component")))
+          .as("component"),
+        (coalesce(col("nmin"), col("component")) < col("component"))
+          .as("chg"))
   }
 
   /**

@@ -49,6 +49,29 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q37 components round: equi-joins only, even with broadcast disabled") {
+    // the label-propagation round executes up to maxIters times per q37 run;
+    // at 100 TB neither the edge list nor the label table is broadcastable,
+    // so the round must stay an ordinary shuffled equi-join + hash
+    // aggregate — never a nested-loop or cartesian shape
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+      val p = graft.ext.Dedup.componentsStep(edges, labels)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+      assert(p.contains("HashAggregate")) // partial min agg combines map-side
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
