@@ -64,15 +64,24 @@ object Materialize {
         spillPaths.synchronized { spillPaths += path }
         spark.read.parquet(path)
       case _ =>
-        // record exactly the RDD ids this cut pins (localCheckpoint is
-        // eager, so the new persistent RDD exists on return)
-        val before = spark.sparkContext.getPersistentRDDs.keySet
+        // record exactly the RDD this cut pins: eager localCheckpoint wraps
+        // the persisted RDD in a LogicalRDD leaf of the returned plan, so
+        // the id comes from the DataFrame itself — never from a before/
+        // after diff of the context-global persistent-RDD registry, which
+        // under concurrent cuts (or a caller persisting on another thread
+        // between the snapshots) could adopt and later force-unpersist an
+        // unrelated caller-owned RDD
         val out = df.localCheckpoint()
-        val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-        cutRddIds.synchronized { cutRddIds ++= added }
+        val ids = out.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }
+        cutRddIds.synchronized { cutRddIds ++= ids }
         out
     }
   }
+
+  /** Ids currently tracked for the next [[release]] — test visibility. */
+  private[ext] def trackedIds: Seq[Int] = cutRddIds.synchronized(cutRddIds.toSeq)
 
   /**
    * Release everything pinned by [[cut]] since the last release — and ONLY
