@@ -80,8 +80,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // q37 telemetry: label-propagation rounds of the LAST components run
+    // (the second timed sf run) — a data-shape change that deepens the
+    // dedup chain shows up here across bench rounds before it shows up as
+    // a timing regression
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()}}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
