@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Dedup, Materialize, Multimodal, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -386,7 +386,39 @@ object SparkEntry {
       Dedup.dedupTransitive(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.6)
         .select(col("doc_id"))
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+ — repetition/duplication quality signals (Gopher-style): every
+    // metric is per-row HOF arithmetic — the whole query is a projection,
+    // zero shuffles before the output sort
+    "q38_repetition" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+          TextOps.dupWordFrac(col("text")).as("dup_word_frac"),
+          TextOps.topBigramCount(col("text")).as("top_bigram_cnt"))
+        .withColumn("top_bigram_frac",
+          when(col("n_words") > 1,
+            col("top_bigram_cnt").cast("double")
+              / (col("n_words") - 1L).cast("double"))
+            .otherwise(lit(0.0d)))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X1+/X3+ — benchmark contamination screen: 5-gram shingle overlap of
+    // each non-benchmark doc against the broadcast benchmark shingle set
+    // (benchmark = doc_id % 97, a deterministic stand-in eval suite)
+    "q39_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Contamination.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -806,6 +838,63 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) = src
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Integer-derived doubles with a single division → bit-exact both sides.
+    "q38_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+        |        FROM toks)),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+        |    SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words
+        |  FROM toks)
+        |SELECT m.doc_id, m.n_words, m.n_distinct_words,
+        |       CASE WHEN m.n_words > 0
+        |            THEN CAST(m.n_words - m.n_distinct_words AS DOUBLE)
+        |                 / CAST(m.n_words AS DOUBLE)
+        |            ELSE 0.0 END AS dup_word_frac,
+        |       CAST(coalesce(top.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |       CASE WHEN m.n_words > 1
+        |            THEN CAST(coalesce(top.top_bigram_cnt, 0) AS DOUBLE)
+        |                 / CAST(m.n_words - 1 AS DOUBLE)
+        |            ELSE 0.0 END AS top_bigram_frac
+        |FROM m LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same 5-gram shingling as the Spark side (split, no empty-filter —
+    // mirrors Dedup.shingles); benchmark = doc_id % 97 docs.
+    "q39_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        |        FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |agg AS (
+        |  SELECT sh.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(count(b.s) AS BIGINT) AS n_contaminated
+        |  FROM sh LEFT JOIN bench b USING (s)
+        |  WHERE sh.doc_id % 97 <> 0
+        |  GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_contaminated,
+        |       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |         AS contamination
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

@@ -71,6 +71,52 @@ object TextOps {
       6)
   }
 
+  // ---- repetition / duplication quality signals ----
+
+  /** All word bigrams of the token array in order, repeats kept — the
+    * frequency-bearing variant of [[Dedup.shingles]] (which distincts). */
+  private[ext] def bigramsAll(toks: Column): Column = {
+    val z = arrays_zip(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+    transform(
+      filter(z, x => x.getField("0").isNotNull && x.getField("1").isNotNull),
+      x => concat_ws(" ", x.getField("0"), x.getField("1")))
+  }
+
+  /** Occurrence count of the most frequent element of a string array,
+    * computed per row: sort, then scan runs inside one `aggregate` HOF.
+    * O(k log k) per row and ZERO shuffle — the mode-by-groupBy formulation
+    * would explode 100 TB of corpus into a corpus-sized shuffle to answer
+    * a per-document question. Empty array → 0. */
+  private[ext] def topRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Count of the most frequent word bigram — the repeated-phrase signal
+    * (a high value marks boilerplate/spam the way Gopher's top-n-gram
+    * fraction does; Rae et al. 2021, arXiv:2112.11446 §A1.1). */
+  def topBigramCount(text: Column): Column =
+    topRunCount(bigramsAll(tokens(text)))
+
+  /** Fraction of words that are repeats of an earlier word:
+    * (n - n_distinct) / n, 0 for empty docs. Integer-derived double with a
+    * single division → bit-reproducible across engines. */
+  def dupWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    when(n > 0,
+      (n - size(array_distinct(toks)).cast("long")).cast("double")
+        / n.cast("double"))
+      .otherwise(lit(0.0d))
+  }
+
   // ---- regex ("BPE-ish") tokenization ----
 
   /** Letter-runs, digit-runs, and single punctuation marks — the shape of a

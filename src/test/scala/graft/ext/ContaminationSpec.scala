@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.GraftSpec
+
+class ContaminationSpec extends GraftSpec {
+  import spark.implicits._
+
+  // 10-word docs → 6 distinct 5-gram shingles each (all words distinct)
+  private val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  // shares the first 9 words with benchText → shingles 1..5 of 6 overlap
+  private val partialText = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+  private val cleanText = "one two three four five six seven eight nine ten"
+
+  test("contamination: exact overlap fractions against the benchmark set") {
+    val corpus = Seq(
+      (1L, benchText),   // fully contained in the benchmark → 6/6
+      (2L, partialText), // 5 of its 6 shingles are benchmark shingles
+      (3L, cleanText),   // no overlap
+      (4L, "too few words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val r = Contamination.contamination(corpus, bench, "doc_id", "text")
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_contaminated"),
+          x.getAs[Double]("contamination")))
+      .toMap
+    assert(r(1L) == (6L, 6L, 1.0))
+    assert(r(2L) == (6L, 5L, 5.0 / 6.0))
+    assert(r(3L) == (6L, 0L, 0.0))
+    assert(!r.contains(4L)) // <5 tokens → no shingles → absent, not 0/0
+  }
+
+  test("plan: benchmark side broadcasts; corpus never joins all-pairs") {
+    val corpus = (1L to 50L).map(i => (i, s"$cleanText word$i")).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val p = Contamination.contamination(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+}

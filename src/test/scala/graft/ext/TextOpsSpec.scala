@@ -65,6 +65,24 @@ class TextOpsSpec extends GraftSpec {
     assert(hd(sh(1L), sh(3L)) < hd(sh(1L), sh(4L)))
   }
 
+  test("repetition: top bigram run and duplicate-word fraction") {
+    val df = Seq(
+      // "a b" occurs 3× (positions 1,3,5), 8 words, 3 distinct
+      (1L, "a b a b a b c c"),
+      // all distinct: top bigram count 1, dup frac 0
+      (2L, "one two three four"),
+      // single word: no bigrams at all
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+        TextOps.topBigramCount($"text").as("top"),
+        TextOps.dupWordFrac($"text").as("dup"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == (3L, (8.0 - 3.0) / 8.0))
+    assert(r(2L) == (1L, 0.0))
+    assert(r(3L) == (0L, 0.0))
+  }
+
   test("simhashNearDupPairs: identical pair found with hamming 0") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
