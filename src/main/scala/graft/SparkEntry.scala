@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -418,7 +418,22 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // X+ — stratified quota by stable content-hash order: exactly 20 docs
+    // per language, reproducible across engines/reruns (no rand())
+    "q40_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedTake(t(s, d, "documents"), "lang", col("text"),
+          "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang").asc_nulls_last, col("rk").asc_nulls_last)),
+
+    // X+ — sequence packing (concat-and-chunk into 256-token contexts,
+    // hash-sharded 8 ways): one shuffle by shard, integer window arithmetic
+    "q41_packing" -> ((s, d) =>
+      Packing.pack(t(s, d, "documents"), "doc_id",
+          size(TextOps.tokens(col("text"))), contextLen = 256L, shards = 8)
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -895,6 +910,34 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_contaminated,
         |       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
         |         AS contamination
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // md5 hex ordering is engine-agnostic (lowercase hex both sides).
+    "q40_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |                                 ORDER BY md5(text), doc_id)
+        |              AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q41_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |           AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |       CAST(tok_offset AS BIGINT) AS tok_offset,
+        |       CAST(tok_offset // 256 AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing: assign each document a position in the concatenated
+ * token stream and the fixed-size context window ("bin") its start falls
+ * into — the concat-and-chunk packing LLM pretraining uses to fill
+ * `contextLen`-token windows without padding.
+ *
+ * Scale design: global concatenation is inherently serial, so the
+ * distributed idiom packs per SHARD — documents are hash-sharded, each
+ * shard concatenates independently (one running-sum window per shard),
+ * and shard count sets both parallelism and the number of independent
+ * token streams. One shuffle (by shard), integer arithmetic only, state
+ * O(1) per row.
+ *
+ * The reference has no packing surface; SURVEY.md §2.11 extension.
+ */
+object Packing {
+
+  /**
+   * Per-shard concat-and-chunk: returns `idCol, shard, n_tokens,
+   * tok_offset, bin` where `tok_offset` is the document's first-token
+   * position in its shard's stream (docs ordered by `idCol`) and
+   * `bin = tok_offset / contextLen`. Deterministic: every column is
+   * integer arithmetic over the stable (shard, id) order.
+   */
+  def pack(
+      df: DataFrame, idCol: String, nTokens: Column,
+      contextLen: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", (col("tok_offset") / contextLen).cast("long"))
+  }
+}
