@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.clf.ClfParser
+import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
 import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Sampling, Similarity, TextOps}
@@ -433,7 +434,24 @@ object SparkEntry {
     "q41_packing" -> ((s, d) =>
       Packing.pack(t(s, d, "documents"), "doc_id",
           size(TextOps.tokens(col("text"))), contextLen = 256L, shards = 8)
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // S8/S9 — JDBC sink + source round-trip through embedded Derby (the
+    // offline stand-in for the reference's Oracle endpoint): the aggregate
+    // is written with DataFrameWriter.jdbc in overwrite mode and read back
+    // with spark.read.jdbc; the oracle recomputes the aggregate directly
+    // from events, so any value or type corrupted by the JDBC path
+    // hash-mismatches. max (not sum) keeps the double deterministic.
+    "q42_jdbc_roundtrip" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graft_q42;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val agg = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      new JdbcSink(url, props).overwrite(agg, "user_event_stats")
+      s.read.jdbc(url, "user_event_stats", props)
+        .orderBy(col("user_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -938,6 +956,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
         |       CAST(tok_offset AS BIGINT) AS tok_offset,
         |       CAST(tok_offset // 256 AS BIGINT) AS bin
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // The Spark side routes this aggregate through a Derby JDBC write +
+    // read-back; the oracle computes it directly from the source table.
+    "q42_jdbc_roundtrip" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
