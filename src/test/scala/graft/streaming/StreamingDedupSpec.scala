@@ -58,6 +58,30 @@ class StreamingDedupSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("processBatch: replaying a batch after a crash emits no duplicates") {
+    // foreachBatch is at-least-once: a sink failure after the store advance
+    // replays the batch against the already-updated store. The replayed
+    // docs must all drop as near-dups of their own stored reps — replay
+    // converges instead of re-emitting.
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_replay").resolve("store").toString
+    val batch = Seq(
+      (1L, baseA, ts("2015-11-13 10:00:00")),
+      (2L, textB, ts("2015-11-13 10:00:30"))
+    ).toDF("doc_id", "text", "time")
+
+    val first = StreamingDedup.processBatch(batch, statePath, threshold = 0.5)
+    assert(first.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    first.unpersist(true)
+
+    val replay = StreamingDedup.processBatch(batch, statePath, threshold = 0.5)
+    assert(replay.count() == 0L)
+    replay.unpersist(true)
+    // and the store did not grow from the replay
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("processBatch: short docs pass through and never enter the store") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_sdedup_short").resolve("store").toString
