@@ -101,8 +101,17 @@ object TextOps {
 
   /** Count of the most frequent word bigram — the repeated-phrase signal
     * (a high value marks boilerplate/spam the way Gopher's top-n-gram
-    * fraction does; Rae et al. 2021, arXiv:2112.11446 §A1.1). */
+    * fraction does; Rae et al. 2021, arXiv:2112.11446 §A1.1). Backed by
+    * the codegen'd `graft_top_bigram` expression
+    * ([[graft.functions.TopBigramCount]]): one O(n) hash-count pass per
+    * row instead of the five interpreted HOF trees of
+    * [[topBigramCountHof]], its semantics twin (spec-asserted equal). */
   def topBigramCount(text: Column): Column =
+    call_function("graft_top_bigram", tokens(text))
+
+  /** HOF formulation of [[topBigramCount]] — kept as the engine-agnostic
+    * semantics reference the spec checks the native expression against. */
+  private[ext] def topBigramCountHof(text: Column): Column =
     topRunCount(bigramsAll(tokens(text)))
 
   /** Fraction of words that are repeats of an earlier word:

@@ -89,9 +89,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
  * as `graft_dot(a, b)` / `functions.call_function("graft_dot", a, b)`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_bigram"),
+      new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),
+      (children: Seq[Expression]) => TopBigramCount(children.head)))
+  }
 }

@@ -83,6 +83,21 @@ class TextOpsSpec extends GraftSpec {
     assert(r(3L) == (0L, 0.0))
   }
 
+  test("topBigramCount: native expression equals the HOF twin on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = docs.select(
+      TextOps.topBigramCount($"text").as("native"),
+      TextOps.topBigramCountHof($"text").as("hof"))
+    assert(d.filter($"native" =!= $"hof").count() == 0)
+    assert(d.filter($"native" > 1).count() > 0) // corpus actually repeats
+    // null text → NULL from both formulations
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextOps.topBigramCount($"text").as("native"),
+        TextOps.topBigramCountHof($"text").as("hof"))
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("simhashNearDupPairs: identical pair found with hamming 0") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
