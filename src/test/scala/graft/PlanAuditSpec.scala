@@ -72,6 +72,19 @@ class PlanAuditSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q40/q41: window queries shuffle data once (plus the output sort)") {
+    // stratifiedTake and pack each need exactly one hash shuffle (by
+    // stratum / by shard) before their window; the only other exchange
+    // allowed is the final presentation orderBy's range partitioning. A
+    // third exchange would mean the window or a join re-shuffled the data.
+    Seq("q40_stratified_sample", "q41_packing").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("Window"), s"$k lost its window")
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$k shuffles ${exchanges}x:\n$p")
+    }
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
