@@ -451,7 +451,24 @@ object SparkEntry {
       new JdbcSink(url, props).overwrite(agg, "user_event_stats")
       s.read.jdbc(url, "user_event_stats", props)
         .orderBy(col("user_id").asc_nulls_last)
-    })
+    }),
+
+    // A+ — per-language token-distribution report (exact interpolated
+    // percentiles): the data-mix summary a training pipeline publishes.
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // (n-1)·p linear-interpolation definition, so the doubles match
+    // bit-for-bit. One partial+final aggregation by lang.
+    "q43_token_mix" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          call_function("percentile", col("n_tokens"), lit(0.5d)).as("p50"),
+          call_function("percentile", col("n_tokens"), lit(0.9d)).as("p90"))
+        .orderBy(col("lang").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -962,6 +979,18 @@ object SparkEntry {
     // read-back; the oracle computes it directly from the source table.
     "q42_jdbc_roundtrip" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_token_mix" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50,
+        |       quantile_cont(n_tokens, 0.9) AS p90
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
