@@ -914,7 +914,9 @@ object SparkEntry {
         |            THEN CAST(m.n_words - m.n_distinct_words AS DOUBLE)
         |                 / CAST(m.n_words AS DOUBLE)
         |            ELSE 0.0 END AS dup_word_frac,
-        |       CAST(coalesce(top.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |       CASE WHEN m.n_words IS NOT NULL
+        |            THEN CAST(coalesce(top.top_bigram_cnt, 0) AS BIGINT)
+        |            END AS top_bigram_cnt,
         |       CASE WHEN m.n_words > 1
         |            THEN CAST(coalesce(top.top_bigram_cnt, 0) AS DOUBLE)
         |                 / CAST(m.n_words - 1 AS DOUBLE)

@@ -52,6 +52,9 @@ object Materialize {
   private val counter = new AtomicLong(0)
   private val spillPaths = scala.collection.mutable.ArrayBuffer[String]()
   private val cutRddIds = scala.collection.mutable.ArrayBuffer[Int]()
+  // active per-thread scope (see [[scoped]]); null outside any scope
+  private val scopeIds = new ThreadLocal[scala.collection.mutable.ArrayBuffer[Int]]()
+  private val scopeSpills = new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
 
   /** Materialize `df` and cut its lineage (see class doc for mode choice). */
   def cut(df: DataFrame): DataFrame = {
@@ -62,6 +65,7 @@ object Materialize {
           s"_cut${counter.incrementAndGet()}"
         df.write.mode("overwrite").parquet(path)
         spillPaths.synchronized { spillPaths += path }
+        Option(scopeSpills.get()).foreach(_ += path)
         spark.read.parquet(path)
       case _ =>
         // record exactly the RDD this cut pins: eager localCheckpoint wraps
@@ -76,7 +80,39 @@ object Materialize {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
         }
         cutRddIds.synchronized { cutRddIds ++= ids }
+        Option(scopeIds.get()).foreach(_ ++= ids)
         out
+    }
+  }
+
+  /**
+   * Run `f` in a cut scope and release ONLY the cuts `f` made on this
+   * thread when it completes — the release discipline for callers that
+   * share the session with concurrent work (e.g. a `foreachBatch` stage
+   * running next to other streams or batch jobs), where the whole-session
+   * [[release]] would unpersist someone else's in-flight checkpoints.
+   * Scopes do not nest; cuts made by `f` on OTHER threads (Spark actions
+   * are synchronous, so this does not happen in practice) stay tracked for
+   * the session-wide release.
+   */
+  def scoped[T](spark: SparkSession)(f: => T): T = {
+    val ids = scala.collection.mutable.ArrayBuffer[Int]()
+    val spills = scala.collection.mutable.ArrayBuffer[String]()
+    scopeIds.set(ids)
+    scopeSpills.set(spills)
+    try f
+    finally {
+      scopeIds.remove()
+      scopeSpills.remove()
+      cutRddIds.synchronized { cutRddIds --= ids }
+      spillPaths.synchronized { spillPaths --= spills }
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
+      spills.foreach { p =>
+        val path = new Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
     }
   }
 

@@ -36,6 +36,8 @@ object Packing {
     df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
         nTokens.cast("long").as("n_tokens"))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("bin", (col("tok_offset") / contextLen).cast("long"))
+      // integral division, NOT `/`: Divide casts longs through double, and
+      // beyond 2^53 the truncated quotient can be off by one
+      .withColumn("bin", expr(s"tok_offset div ${contextLen}L"))
   }
 }

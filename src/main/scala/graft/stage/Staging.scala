@@ -83,10 +83,13 @@ object Staging {
     if (!spark.catalog.tableExists(table)) {
       // quote both interpolations: the path goes inside a single-quoted SQL
       // literal (an apostrophe in a filesystem path would otherwise break —
-      // or inject into — the DDL), and the table name is a backtick-quoted
-      // identifier so names with dots/dashes/reserved words register too.
+      // or inject into — the DDL), and the table name is backtick-quoted
+      // PER dot-separated part — quoting the whole string would turn
+      // `db.tbl` into a single-part name and desynchronize the DDL from
+      // the tableExists check above.
       val loc = path.replace("'", "''")
-      val ident = s"`${table.replace("`", "``")}`"
+      val ident = table.split('.')
+        .map(p => s"`${p.replace("`", "``")}`").mkString(".")
       spark.sql(
         s"""CREATE TABLE $ident ($cleansedDdl, date STRING)
            |USING parquet

@@ -25,21 +25,29 @@ import graft.ext.{Dedup, Materialize}
  *     against the store's buckets (never all-pairs), candidates verified by
  *     exact Jaccard against the stored shingle sets — matches drop;
  *  3. eviction: store rows whose event time has fallen more than
- *     `horizonSeconds` behind the high-water mark are deleted, so state is
- *     bounded by arrival rate × horizon, not stream length — the same
- *     guarantee a watermark gives built-in streaming state.
+ *     `horizonSeconds` behind the high-water mark are expired BEFORE
+ *     matching, so state is bounded by arrival rate × horizon and an
+ *     expired rep stops vetoing new arrivals — the same guarantee a
+ *     watermark gives built-in streaming state.
  *
  * The store holds one row per surviving doc inside the horizon — id, event
  * time, shingle set, MinHash signature — in parquet at `statePath` (any
  * Hadoop FS; HDFS/S3 on a cluster). At 100 TB/day the store stays a
  * bucket-equi-join away from each micro-batch and its size is set by the
- * horizon, not the feed.
+ * horizon, not the feed. It is read ONCE per batch (lineage-cut) and
+ * advanced by an atomic-swap write (new store → `<statePath>.tmp`, then
+ * swap), with the swap's half-states recovered on the next batch — a
+ * crash can never silently reset the store to empty.
  *
- * Semantics across restarts: the store is rewritten once per batch AFTER
- * survivors are computed; replaying a batch against an already-updated
- * store drops the replayed docs as near-dups of themselves — re-delivery
- * converges rather than duplicating (at-least-once sink contract, the
- * standard `foreachBatch` position).
+ * Delivery contract (at-least-once, like any `foreachBatch` sink): the
+ * batch's survivors are EMITTED BEFORE the store advances. A failure in
+ * the downstream emit leaves the store untouched, so the replayed batch
+ * recomputes and re-emits the same survivors (duplicates possible, loss
+ * not); a crash after the store advanced replays into a store that
+ * already holds the batch's reps, so the replay emits nothing — and its
+ * docs were already emitted before the advance. Cuts are scoped
+ * ([[graft.ext.Materialize.scoped]]): concurrent streams or batch jobs on
+ * the same session keep their own checkpoints.
  *
  * Docs with fewer than `n` tokens have no shingles, pass through as
  * survivors, and never enter the store (near-dup of a <n-token text is
@@ -53,50 +61,51 @@ import graft.ext.{Dedup, Materialize}
 object StreamingDedup {
 
   /**
-   * Process one micro-batch: returns the batch's near-dup survivors
-   * (materialized — consume then `unpersist()`), and advances the store at
-   * `statePath` (evict past-horizon reps, append this batch's surviving
-   * reps). Driver-side scalars: one `first()` for the event-time high-water
-   * mark — metadata, not data. Calls `Materialize.release` on exit, the
-   * per-unit-of-work lifecycle Bench/Verify use.
+   * Process one micro-batch: compute the batch's near-dup survivors, hand
+   * them to `emit` (which must fully consume them — they are unpersisted
+   * on return), then advance the store at `statePath`. Driver-side
+   * scalars: one `first()` for the event-time high-water mark — metadata,
+   * not data.
    */
   def processBatch(
       batch: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text", timeCol: String = "time",
       threshold: Double = 0.8, horizonSeconds: Long = 3600L, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 2)(emit: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
-    try {
+    Materialize.scoped(spark) {
       // 1. within-batch near-dup dedup; checkpointed because both the
       // output and the rep projection below read it (LSH is the expensive
       // part — never run it twice)
-      val local = Dedup.dedup(batch, idCol, textCol, threshold, n, bands, rowsPerBand)
-        .localCheckpoint()
+      val local = Materialize.cut(
+        Dedup.dedup(batch, idCol, textCol, threshold, n, bands, rowsPerBand))
 
       // survivors' representative rows; cut BEFORE the band explode so the
       // signature is computed once, not once per band (projection collapse)
-      val rep = local.select(
-          col(idCol).as("id"), col(timeCol).as("ts"),
-          Dedup.shingles(col(textCol), n).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", Dedup.minhashSignature(col("sh"), bands * rowsPerBand))
-        .localCheckpoint()
+      val rep = Materialize.cut(
+        local.select(
+            col(idCol).as("id"), col(timeCol).as("ts"),
+            Dedup.shingles(col(textCol), n).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", Dedup.minhashSignature(col("sh"), bands * rowsPerBand)))
 
-      // 2. store lookup. EVICT FIRST: the high-water mark over stored and
-      // batch event times defines the horizon, and a rep that has fallen
-      // out of it is expired state — it must stop vetoing new arrivals
-      // BEFORE the match, exactly as a watermark expires built-in state.
+      // 2. store load — exactly one disk scan (checkpointed), then evict:
+      // the high-water mark over stored and batch event times defines the
+      // horizon, and a rep that has fallen out of it is expired state — it
+      // must stop vetoing new arrivals BEFORE the match, exactly as a
+      // watermark expires built-in state
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val rawStore =
+      recoverSwap(fs, statePath)
+      val store0 = Materialize.cut(
         if (fs.exists(new Path(statePath))) spark.read.parquet(statePath)
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          rep.schema)
-      val hwm = rawStore.select(col("ts"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rep.schema))
+      val hwm = store0.select(col("ts"))
         .unionAll(rep.select(col("ts")))
         .agg(max(col("ts")).as("hwm")).first().getTimestamp(0)
       val store =
-        if (hwm == null) rawStore
-        else rawStore.filter(col("ts") >= lit(
+        if (hwm == null) store0
+        else store0.filter(col("ts") >= lit(
           new java.sql.Timestamp(hwm.getTime - horizonSeconds * 1000L)))
 
       // band-bucket equi-join new reps vs live stored reps, exact-Jaccard
@@ -116,28 +125,50 @@ object StreamingDedup {
             >= threshold)
         .select(col("new_id").as(idCol)).distinct()
 
-      val survivors = local.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
+      val survivors = Materialize.cut(local.join(dropped, Seq(idCol), "left_anti"))
 
-      // 3. advance the store: live (post-eviction) rows plus this batch's
-      // surviving reps. Materialize the new store BEFORE the overwrite —
-      // its plan reads the old store files.
+      // 3. EMIT FIRST: a downstream failure must leave the store untouched
+      // so the replay re-emits these survivors instead of losing them
+      // (every cut above is released by the enclosing scope, exception or
+      // not — emit must fully consume before returning)
+      emit(survivors)
+
+      // 4. advance the store — live (post-eviction) rows plus this batch's
+      // surviving reps — via atomic-ish swap: materialize, write to .tmp,
+      // delete the old directory, rename. Both crash half-states are
+      // recovered by recoverSwap on the next batch.
       if (hwm != null) {
-        val newStore = store.unionByName(
-            rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
-          .localCheckpoint()
-        newStore.write.mode("overwrite").parquet(statePath)
-        newStore.unpersist(blocking = true)
+        val newStore = Materialize.cut(store.unionByName(
+          rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
+        val tmp = new Path(tmpPath(statePath))
+        newStore.write.mode("overwrite").parquet(tmp.toString)
+        val dest = new Path(statePath)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(tmp, dest)
       }
-      local.unpersist(blocking = true)
-      rep.unpersist(blocking = true)
-      survivors
-    } finally Materialize.release(spark)
+    }
+  }
+
+  private def tmpPath(statePath: String): String = statePath + ".swap-tmp"
+
+  /** Complete or discard a half-finished store swap: dest missing but tmp
+    * present (crash between delete and rename) → the tmp IS the advanced
+    * store, finish the rename; both present (crash before the delete) →
+    * the dest is the consistent pre-advance store, discard the tmp. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit = {
+    val dest = new Path(statePath)
+    val tmp = new Path(tmpPath(statePath))
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dest)) fs.rename(tmp, dest)
+      else fs.delete(tmp, true)
+    }
   }
 
   /**
    * `foreachBatch` adapter: `stream.writeStream.foreachBatch(sink(...))`.
-   * `onSurvivors` must fully consume the survivor DataFrame (it is
-   * unpersisted when the callback returns).
+   * `onSurvivors` is the downstream emit — it runs BEFORE the store
+   * advances (see the delivery contract in the object doc) and must fully
+   * consume the survivor DataFrame.
    */
   def sink(
       statePath: String,
@@ -145,10 +176,8 @@ object StreamingDedup {
       threshold: Double = 0.8, horizonSeconds: Long = 3600L, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2)(
       onSurvivors: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    (batch, batchId) => {
-      val survivors = processBatch(batch, statePath, idCol, textCol, timeCol,
-        threshold, horizonSeconds, n, bands, rowsPerBand)
-      try onSurvivors(survivors, batchId)
-      finally survivors.unpersist(blocking = true)
-    }
+    (batch, batchId) =>
+      processBatch(batch, statePath, idCol, textCol, timeCol,
+        threshold, horizonSeconds, n, bands, rowsPerBand)(
+        survivors => onSurvivors(survivors, batchId))
 }

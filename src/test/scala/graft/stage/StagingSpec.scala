@@ -56,5 +56,13 @@ class StagingSpec extends GraftSpec {
     Staging.register(spark, "table", tmp)
     try assert(spark.table("`table`").count() == 1L)
     finally spark.sql("DROP TABLE IF EXISTS `table`")
+
+    // a qualified name must stay a two-part identifier (quoting the whole
+    // string would create a table literally named "db.tbl" and
+    // desynchronize from the tableExists idempotence check)
+    Staging.register(spark, "default.graft_reg_qual", tmp)
+    Staging.register(spark, "default.graft_reg_qual", tmp) // still idempotent
+    try assert(spark.table("default.graft_reg_qual").count() == 1L)
+    finally spark.sql("DROP TABLE IF EXISTS default.graft_reg_qual")
   }
 }

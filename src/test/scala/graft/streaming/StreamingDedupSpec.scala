@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.GraftSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 class StreamingDedupSpec extends GraftSpec {
@@ -16,6 +17,9 @@ class StreamingDedupSpec extends GraftSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().toSeq.sorted
+
   test("near-dup re-deliveries drop across batches; state is horizon-bounded") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
@@ -27,7 +31,7 @@ class StreamingDedupSpec extends GraftSpec {
       .writeStream
       .foreachBatch(StreamingDedup.sink(statePath,
         threshold = 0.5, horizonSeconds = 3600L) { (survivors, batchId) =>
-        emitted += batchId -> survivors.select("doc_id").as[Long].collect().toSeq.sorted
+        emitted += batchId -> ids(survivors)
       })
       .start()
     try {
@@ -58,11 +62,36 @@ class StreamingDedupSpec extends GraftSpec {
     } finally q.stop()
   }
 
-  test("processBatch: replaying a batch after a crash emits no duplicates") {
-    // foreachBatch is at-least-once: a sink failure after the store advance
-    // replays the batch against the already-updated store. The replayed
-    // docs must all drop as near-dups of their own stored reps — replay
-    // converges instead of re-emitting.
+  test("emit failure leaves the store untouched; the retry re-emits (no loss)") {
+    // at-least-once: the downstream emit runs BEFORE the store advances, so
+    // a sink failure must not burn the batch's survivors into the store —
+    // the replay recomputes and re-emits them
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_fail").resolve("store").toString
+    val batch = Seq(
+      (1L, baseA, ts("2015-11-13 10:00:00")),
+      (2L, textB, ts("2015-11-13 10:00:30"))
+    ).toDF("doc_id", "text", "time")
+
+    val boom = intercept[RuntimeException] {
+      StreamingDedup.processBatch(batch, statePath, threshold = 0.5) { _ =>
+        throw new RuntimeException("downstream sink down")
+      }
+    }
+    assert(boom.getMessage.contains("sink down"))
+    assert(!new java.io.File(statePath).exists()) // store never advanced
+
+    var retried: Seq[Long] = Nil
+    StreamingDedup.processBatch(batch, statePath, threshold = 0.5) { s =>
+      retried = ids(s)
+    }
+    assert(retried == Seq(1L, 2L)) // re-emitted in full — nothing lost
+  }
+
+  test("replay after a successful emit converges: no duplicates, store stable") {
+    // crash AFTER the store advance but before the offsets commit: the
+    // replayed batch finds its own reps in the store and emits nothing —
+    // its docs were already emitted before the advance
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_sdedup_replay").resolve("store").toString
     val batch = Seq(
@@ -70,16 +99,37 @@ class StreamingDedupSpec extends GraftSpec {
       (2L, textB, ts("2015-11-13 10:00:30"))
     ).toDF("doc_id", "text", "time")
 
-    val first = StreamingDedup.processBatch(batch, statePath, threshold = 0.5)
-    assert(first.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
-    first.unpersist(true)
+    var first: Seq[Long] = Nil
+    StreamingDedup.processBatch(batch, statePath, threshold = 0.5)(s => first = ids(s))
+    assert(first == Seq(1L, 2L))
 
-    val replay = StreamingDedup.processBatch(batch, statePath, threshold = 0.5)
-    assert(replay.count() == 0L)
-    replay.unpersist(true)
-    // and the store did not grow from the replay
+    var replay: Seq[Long] = Nil
+    StreamingDedup.processBatch(batch, statePath, threshold = 0.5)(s => replay = ids(s))
+    assert(replay.isEmpty)
     assert(spark.read.parquet(statePath)
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("half-finished store swaps are recovered, not treated as empty state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_swap")
+    val statePath = base.resolve("store").toString
+    val batch1 = Seq((1L, baseA, ts("2015-11-13 10:00:00")))
+      .toDF("doc_id", "text", "time")
+    StreamingDedup.processBatch(batch1, statePath, threshold = 0.5)(_ => ())
+
+    // simulate a crash between the delete and the rename: only .swap-tmp
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(statePath),
+      new org.apache.hadoop.fs.Path(statePath + ".swap-tmp"))
+    assert(!new java.io.File(statePath).exists())
+
+    // next batch must recover the advanced store and still drop the dup
+    var out: Seq[Long] = Nil
+    StreamingDedup.processBatch(
+      Seq((9L, nearA1, ts("2015-11-13 10:05:00"))).toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(s => out = ids(s))
+    assert(out.isEmpty) // doc 1's rep survived the interrupted swap
   }
 
   test("processBatch: short docs pass through and never enter the store") {
@@ -89,19 +139,19 @@ class StreamingDedupSpec extends GraftSpec {
       (1L, "two words", ts("2015-11-13 10:00:00")),
       (2L, baseA, ts("2015-11-13 10:00:10"))
     ).toDF("doc_id", "text", "time")
-    val s1 = StreamingDedup.processBatch(batch, statePath, threshold = 0.5)
-    assert(s1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
-    s1.unpersist(true)
+    var s1: Seq[Long] = Nil
+    StreamingDedup.processBatch(batch, statePath, threshold = 0.5)(s => s1 = ids(s))
+    assert(s1 == Seq(1L, 2L))
     assert(spark.read.parquet(statePath)
       .select("id").as[Long].collect().toSet == Set(2L))
 
     // an identical short doc re-delivered later is NOT near-dup-deduped
     // (no shingles — compose with dedupStream for exact-key dedup)
-    val s2 = StreamingDedup.processBatch(
+    var s2: Seq[Long] = Nil
+    StreamingDedup.processBatch(
       Seq((3L, "two words", ts("2015-11-13 10:05:00")))
         .toDF("doc_id", "text", "time"),
-      statePath, threshold = 0.5)
-    assert(s2.select("doc_id").as[Long].collect().toSet == Set(3L))
-    s2.unpersist(true)
+      statePath, threshold = 0.5)(s => s2 = ids(s))
+    assert(s2 == Seq(3L))
   }
 }
