@@ -91,19 +91,22 @@ object Materialize {
    * share the session with concurrent work (e.g. a `foreachBatch` stage
    * running next to other streams or batch jobs), where the whole-session
    * [[release]] would unpersist someone else's in-flight checkpoints.
-   * Scopes do not nest; cuts made by `f` on OTHER threads (Spark actions
-   * are synchronous, so this does not happen in practice) stay tracked for
-   * the session-wide release.
+   * Scopes nest: an inner scope releases only its own cuts and the outer
+   * scope's tracking resumes when it exits. Cuts made by `f` on OTHER
+   * threads (Spark actions are synchronous, so this does not happen in
+   * practice) stay tracked for the session-wide release.
    */
   def scoped[T](spark: SparkSession)(f: => T): T = {
     val ids = scala.collection.mutable.ArrayBuffer[Int]()
     val spills = scala.collection.mutable.ArrayBuffer[String]()
+    val prevIds = scopeIds.get()
+    val prevSpills = scopeSpills.get()
     scopeIds.set(ids)
     scopeSpills.set(spills)
     try f
     finally {
-      scopeIds.remove()
-      scopeSpills.remove()
+      if (prevIds == null) scopeIds.remove() else scopeIds.set(prevIds)
+      if (prevSpills == null) scopeSpills.remove() else scopeSpills.set(prevSpills)
       cutRddIds.synchronized { cutRddIds --= ids }
       spillPaths.synchronized { spillPaths --= spills }
       val live = spark.sparkContext.getPersistentRDDs

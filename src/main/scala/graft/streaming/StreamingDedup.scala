@@ -35,9 +35,15 @@ import graft.ext.{Dedup, Materialize}
  * Hadoop FS; HDFS/S3 on a cluster). At 100 TB/day the store stays a
  * bucket-equi-join away from each micro-batch and its size is set by the
  * horizon, not the feed. It is read ONCE per batch (lineage-cut) and
- * advanced by an atomic-swap write (new store → `<statePath>.tmp`, then
- * swap), with the swap's half-states recovered on the next batch — a
- * crash can never silently reset the store to empty.
+ * advanced by a swap write (new store → `<statePath>.swap-tmp`, then
+ * delete + rename), with the swap's half-states recovered — guarded by
+ * the `_SUCCESS` completeness marker — on the next batch, so a crash can
+ * never silently reset the store to empty. The swap relies on atomic
+ * directory rename, so put `statePath` on a filesystem that has it
+ * (HDFS, POSIX); on an object store without atomic rename (plain S3A)
+ * a crash INSIDE the rename can still tear the store — keep the
+ * (small, horizon-bounded) store on real-rename storage even when the
+ * corpus lives on S3.
  *
  * Delivery contract (at-least-once, like any `foreachBatch` sink): the
  * batch's survivors are EMITTED BEFORE the store advances. A failure in
@@ -134,34 +140,58 @@ object StreamingDedup {
       emit(survivors)
 
       // 4. advance the store — live (post-eviction) rows plus this batch's
-      // surviving reps — via atomic-ish swap: materialize, write to .tmp,
-      // delete the old directory, rename. Both crash half-states are
-      // recovered by recoverSwap on the next batch.
+      // surviving reps — by swap: write to .swap-tmp (every input is
+      // already lineage-cut, so no extra materialization is needed and the
+      // plan never reads the directory being replaced), delete the old
+      // directory, rename. Both crash half-states are recovered by
+      // recoverSwap on the next batch; a swap step that reports failure
+      // throws so the batch retries instead of silently not advancing.
       if (hwm != null) {
-        val newStore = Materialize.cut(store.unionByName(
-          rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
+        store.unionByName(
+            rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+          .write.mode("overwrite").parquet(tmpPath(statePath))
         val tmp = new Path(tmpPath(statePath))
-        newStore.write.mode("overwrite").parquet(tmp.toString)
         val dest = new Path(statePath)
-        if (fs.exists(dest)) fs.delete(dest, true)
-        fs.rename(tmp, dest)
+        if (fs.exists(dest) && !fs.delete(dest, true))
+          throw new IllegalStateException(s"store swap: could not delete $dest")
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"store swap: could not rename $tmp to $dest")
       }
     }
   }
 
   private def tmpPath(statePath: String): String = statePath + ".swap-tmp"
 
-  /** Complete or discard a half-finished store swap: dest missing but tmp
-    * present (crash between delete and rename) → the tmp IS the advanced
-    * store, finish the rename; both present (crash before the delete) →
-    * the dest is the consistent pre-advance store, discard the tmp. */
+  /** True iff the directory holds a COMPLETE parquet write — Spark's file
+    * committer drops the `_SUCCESS` marker only after the job commits, so
+    * its absence marks a torn write. */
+  private def complete(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Complete or discard a half-finished store swap, trusting only
+    * directories whose write committed (`_SUCCESS`): dest missing + tmp
+    * complete (crash between delete and rename) → the tmp IS the advanced
+    * store, finish the rename; tmp torn (crash mid-write) → discard it,
+    * whatever store state exists stands; both complete (crash before the
+    * delete) → the dest is the consistent pre-advance store, discard the
+    * tmp. A torn dest with no complete tmp is unrecoverable — throw
+    * rather than silently treat partial state as the store. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit = {
     val dest = new Path(statePath)
     val tmp = new Path(tmpPath(statePath))
+    val destOk = fs.exists(dest) && complete(fs, dest)
     if (fs.exists(tmp)) {
-      if (!fs.exists(dest)) fs.rename(tmp, dest)
-      else fs.delete(tmp, true)
-    }
+      if (complete(fs, tmp) && !destOk) {
+        if (fs.exists(dest) && !fs.delete(dest, true))
+          throw new IllegalStateException(s"swap recovery: could not delete torn $dest")
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"swap recovery: could not promote $tmp")
+      } else if (!fs.delete(tmp, true))
+        throw new IllegalStateException(s"swap recovery: could not discard $tmp")
+    } else if (fs.exists(dest) && !destOk)
+      throw new IllegalStateException(
+        s"store at $dest is a torn write with no recovery candidate; " +
+          "delete it to restart from empty state")
   }
 
   /**

@@ -132,6 +132,26 @@ class StreamingDedupSpec extends GraftSpec {
     assert(out.isEmpty) // doc 1's rep survived the interrupted swap
   }
 
+  test("a torn .swap-tmp (no _SUCCESS) is discarded, never promoted") {
+    // crash MID-write of the very first store: tmp exists with a partial
+    // file and no _SUCCESS marker, no store yet. Promoting it would wedge
+    // every later read; recovery must discard it and start clean.
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_torn")
+    val statePath = base.resolve("store").toString
+    val torn = java.nio.file.Files.createDirectory(base.resolve("store.swap-tmp"))
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      "not parquet".getBytes)
+
+    var out: Seq[Long] = Nil
+    StreamingDedup.processBatch(
+      Seq((1L, baseA, ts("2015-11-13 10:00:00"))).toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(s => out = ids(s))
+    assert(out == Seq(1L))
+    assert(!java.nio.file.Files.exists(torn)) // torn write discarded
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("processBatch: short docs pass through and never enter the store") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_sdedup_short").resolve("store").toString
