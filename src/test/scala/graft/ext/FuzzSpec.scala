@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Randomized differential tests against driver-side reference
+ * implementations (deterministic seeds — the suite never flakes):
+ *
+ *  - [[Dedup.components]] vs union-find: the distributed min-label
+ *    propagation must agree with the textbook sequential algorithm on
+ *    arbitrary graphs, not just the hand-picked chains in DedupSpec.
+ *  - `graft_top_bigram` vs a naive Scala mode count: the codegen'd
+ *    expression must agree with the obvious formulation on arbitrary
+ *    token arrays (repeats, singletons, empties).
+ */
+class FuzzSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def cases[T](gen: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("components agrees with driver-side union-find on random graphs") {
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      nodes <- Gen.chooseNum(2, 40)
+      nEdge <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(nEdge, for {
+        a <- Gen.chooseNum(0L, nodes.toLong - 1)
+        b <- Gen.chooseNum(0L, nodes.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+
+    cases(graphGen, 12, seed = 0xC0FFEEL).foreach { edges =>
+      // reference: union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+
+      val got = Dedup.components(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("graft_top_bigram agrees with a naive mode count on random token arrays") {
+    val toksGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(0, 30)
+      t <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "x"))
+    } yield t
+
+    val all = cases(toksGen, 60, seed = 0xBEEFL)
+    val expected = all.map { t =>
+      if (t.length < 2) 0L
+      else t.sliding(2).toSeq.groupBy(identity).values.map(_.size.toLong).max
+    }
+    val got = all.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "toks")
+      .select($"i", call_function("graft_top_bigram", $"toks").as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(got == expected)
+  }
+}
