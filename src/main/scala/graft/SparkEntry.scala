@@ -453,6 +453,16 @@ object SparkEntry {
         .orderBy(col("user_id").asc_nulls_last)
     }),
 
+    // X3+ — corpus-wide kNN self-join via IVF cells (semantic-dedup
+    // primitive): within-cell equi-join, never all-pairs; partial oracle
+    // recomputes every returned sim exactly and checks rank structure
+    "q44_knn_join" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings")
+      val centroids = AnnIvf.trainCentroids(corpus, k = 16)
+      AnnIvf.knnJoin(corpus, centroids, kNeighbors = 3)
+        .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+    }),
+
     // A+ — per-language token-distribution report (exact interpolated
     // percentiles): the data-mix summary a training pipeline publishes.
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
@@ -982,6 +992,47 @@ object SparkEntry {
     "q42_jdbc_roundtrip" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PARTIAL oracle (scored-subset property, q33 style): the returned
+    // NEIGHBOR SET is cell-restricted by design, but every returned pair's
+    // sim must equal the exact cosine (recomputed here and substituted —
+    // any inexact score breaks the hash), ranks must be contiguous from 1
+    // with ≤ 3 per query, no self-pairs, and the rank order must agree
+    // with the exact sims (ties by nn_id). Any violation — including an
+    // empty dump — collapses to a sentinel row that can never match.
+    "q44_knn_join" ->
+      """WITH r AS (SELECT q_id, nn_id, rank
+        |           FROM read_parquet('__OUT__/q44_knn_join/*.parquet')),
+        |bf AS (
+        |  SELECT r.q_id, r.nn_id, r.rank,
+        |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        |  FROM r
+        |  JOIN embeddings a ON r.q_id = a.vec_id
+        |  JOIN embeddings b ON r.nn_id = b.vec_id),
+        |per AS (SELECT q_id, count(*) AS c, min(rank) AS mn, max(rank) AS mx
+        |        FROM r GROUP BY 1),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM r) > 0
+        |      AND (SELECT count(*) FROM r)
+        |          = (SELECT count(DISTINCT q_id::VARCHAR || ':' || rank::VARCHAR) FROM r)
+        |      AND NOT EXISTS (SELECT 1 FROM per WHERE mn <> 1 OR mx <> c OR c > 3)
+        |      AND NOT EXISTS (SELECT 1 FROM r WHERE q_id = nn_id)
+        |      AND NOT EXISTS (
+        |        SELECT 1 FROM bf x JOIN bf y
+        |          ON x.q_id = y.q_id AND x.rank < y.rank
+        |        WHERE x.sim < y.sim OR (x.sim = y.sim AND x.nn_id > y.nn_id)),
+        |      FALSE) AS ok)
+        |SELECT q_id, nn_id, sim, rank FROM bf WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, CAST(-1 AS BIGINT)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY q_id, rank""".stripMargin,
 
     "q43_token_mix" ->
       """WITH d AS (

@@ -95,10 +95,13 @@ object AnnIvf {
   /**
    * ANN top-k: probe each query's `nprobe` nearest cells, equi-join on
    * `cell` against the cell-keyed corpus, score candidates exactly.
+   * `excludeSelf` drops the query's own corpus row before ranking — for
+   * self-join uses where rank 1 would otherwise always be the vector
+   * itself.
    */
   def annTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      kNeighbors: Int, nprobe: Int): DataFrame = {
+      kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
     val cells = Materialize.cut(assignCells(corpus, centroids))
     val corpusCells = corpus
       .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
@@ -118,7 +121,10 @@ object AnnIvf {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
-    probes.join(corpusCells, "cell")
+    val scored = probes.join(corpusCells, "cell")
+    val candidates =
+      if (excludeSelf) scored.filter(col("q_id") =!= col("nn_id")) else scored
+    candidates
       .withColumn("sim",
         Similarity.nativeDot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
       .select(col("q_id"), col("nn_id"), col("sim"))
@@ -126,4 +132,20 @@ object AnnIvf {
       .filter(col("rank") <= kNeighbors)
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
+
+  /**
+   * Corpus-wide kNN SELF-join — the embedding-side primitive behind
+   * semantic dedup and density clustering: every vector's `kNeighbors`
+   * nearest neighbors among its `nprobe` nearest IVF cells, scored exactly
+   * (cosine, ties → lowest id). This is [[annTopK]] with the corpus as its
+   * own query set and self-pairs excluded: candidate generation is the
+   * cell equi-join (nprobe × the per-cell block, never all-pairs), so the
+   * quadratic term is bounded per cell and tuned by the k/nprobe knobs —
+   * the standard IVF answer to "give every one of 10^9 vectors its
+   * neighbors" where the all-pairs join is 10^18.
+   */
+  def knnJoin(
+      corpus: DataFrame, centroids: DataFrame,
+      kNeighbors: Int, nprobe: Int = 4): DataFrame =
+    annTopK(corpus, corpus, centroids, kNeighbors, nprobe, excludeSelf = true)
 }
