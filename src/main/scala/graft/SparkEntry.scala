@@ -1019,6 +1019,11 @@ object SparkEntry {
         |chk AS (
         |  SELECT coalesce(
         |      (SELECT count(*) FROM r) > 0
+        |      -- coverage floor: nprobe includes each vector's own cell, so
+        |      -- nearly every vector must produce neighbor rows — a dump
+        |      -- that silently lost most queries cannot pass
+        |      AND (SELECT count(DISTINCT q_id) FROM r)
+        |          >= 0.9 * (SELECT count(*) FROM embeddings)
         |      AND (SELECT count(*) FROM r)
         |          = (SELECT count(DISTINCT q_id::VARCHAR || ':' || rank::VARCHAR) FROM r)
         |      AND NOT EXISTS (SELECT 1 FROM per WHERE mn <> 1 OR mx <> c OR c > 3)

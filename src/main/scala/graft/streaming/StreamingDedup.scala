@@ -36,9 +36,10 @@ import graft.ext.{Dedup, Materialize}
  * bucket-equi-join away from each micro-batch and its size is set by the
  * horizon, not the feed. It is read ONCE per batch (lineage-cut) and
  * advanced by a swap write (new store → `<statePath>.swap-tmp`, then
- * delete + rename), with the swap's half-states recovered — guarded by
- * the `_SUCCESS` completeness marker — on the next batch, so a crash can
- * never silently reset the store to empty. The swap relies on atomic
+ * delete + rename), with the swap's half-states recovered — guarded by a
+ * commit marker this object writes itself after every successful store
+ * write, independent of the committer's `_SUCCESS` conf — on the next
+ * batch, so a crash can never silently reset the store to empty. The swap relies on atomic
  * directory rename, so put `statePath` on a filesystem that has it
  * (HDFS, POSIX); on an object store without atomic rename (plain S3A)
  * a crash INSIDE the rename can still tear the store — keep the
@@ -151,6 +152,10 @@ object StreamingDedup {
             rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
           .write.mode("overwrite").parquet(tmpPath(statePath))
         val tmp = new Path(tmpPath(statePath))
+        // our OWN commit marker, created only after the write returned —
+        // independent of whether the cluster's committer conf writes
+        // _SUCCESS (marksuccessfuljobs is often off on object stores)
+        fs.create(new Path(tmp, CommitMarker), true).close()
         val dest = new Path(statePath)
         if (fs.exists(dest) && !fs.delete(dest, true))
           throw new IllegalStateException(s"store swap: could not delete $dest")
@@ -161,12 +166,13 @@ object StreamingDedup {
   }
 
   private def tmpPath(statePath: String): String = statePath + ".swap-tmp"
+  private val CommitMarker = "_GRAFT_COMMIT"
 
-  /** True iff the directory holds a COMPLETE parquet write — Spark's file
-    * committer drops the `_SUCCESS` marker only after the job commits, so
-    * its absence marks a torn write. */
+  /** True iff the directory holds a COMPLETE store write: the marker this
+    * object creates itself after every successful write (so completeness
+    * detection does not depend on the committer's `_SUCCESS` conf). */
   private def complete(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
-    fs.exists(new Path(dir, "_SUCCESS"))
+    fs.exists(new Path(dir, CommitMarker))
 
   /** Complete or discard a half-finished store swap, trusting only
     * directories whose write committed (`_SUCCESS`): dest missing + tmp

@@ -66,8 +66,11 @@ class AnnIvfSpec extends GraftSpec {
     // probed-cell recall vs brute force over a query slice: nprobe 4/16
     // on NEAR-UNIFORM vectors is the adversarial case for any ANN index
     // (no cluster structure to exploit) — measure, don't assume
+    // brute k=4 ranks the self-pair first (cosine 1); excluding it leaves
+    // exactly the top-3 TRUE neighbors — no further rank filter, which
+    // would cut the denominator to top-2
     val truth = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, k = 4)
-      .filter(col("nn_id") =!= col("q_id")).filter(col("rank") <= 3)
+      .filter(col("nn_id") =!= col("q_id"))
       .select("q_id", "nn_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = knn.filter(_._1 < 32).map(t => (t._1, t._2)).toSet

@@ -23,16 +23,20 @@ class FuzzSpec extends GraftSpec {
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
 
   test("components agrees with driver-side union-find on random graphs") {
+    // total generator (no filters): b derived as a + delta mod nodes, so
+    // every seed yields a case — small graphs are fuzzed, none drop
     val graphGen: Gen[Seq[(Long, Long)]] = for {
       nodes <- Gen.chooseNum(2, 40)
       nEdge <- Gen.chooseNum(1, 60)
       edges <- Gen.listOfN(nEdge, for {
         a <- Gen.chooseNum(0L, nodes.toLong - 1)
-        b <- Gen.chooseNum(0L, nodes.toLong - 1) if a != b
-      } yield (math.min(a, b), math.max(a, b)))
+        d <- Gen.chooseNum(1L, nodes.toLong - 1)
+      } yield { val b = (a + d) % nodes; (math.min(a, b), math.max(a, b)) })
     } yield edges
 
-    cases(graphGen, 12, seed = 0xC0FFEEL).foreach { edges =>
+    val graphs = cases(graphGen, 12, seed = 0xC0FFEEL)
+    assert(graphs.size == 12) // generation is total — nothing sampled away
+    graphs.foreach { edges =>
       // reference: union-find with path compression
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
