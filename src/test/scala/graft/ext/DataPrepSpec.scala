@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class DataPrepSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val goodDup = "the quick brown fox jumps over the lazy cat near the river bank today"
+  private val spam = Seq.fill(30)("buy now").mkString(" ") // one bigram 30×
+  private val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val other = "completely different words about spark catalyst codegen and shuffles here"
+
+  test("prepare: dedups, filters spam, decontaminates, quotas, packs") {
+    val docs = Seq(
+      (1L, good, "en"),
+      (2L, goodDup, "en"),   // near-dup of 1 → dropped by stage 1
+      (3L, spam, "en"),      // top bigram 29 ≤ 50 but dupWordFrac ≈ 0.93 → dropped
+      (4L, benchText, "en"), // fully contaminated vs bench → dropped
+      (5L, other, "es")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val out = DataPrep.prepare(docs, bench,
+      config = DataPrep.Config(
+        dedupThreshold = 0.5, minQuality = 0.1, maxDupWordFrac = 0.5,
+        contaminationCap = 0.5, contextLen = 10L, shards = 2))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("lang"), r.getAs[Long]("rk"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"))).toMap
+
+    assert(rows.keySet == Set(1L, 5L))
+    assert(rows(1L)._2 == 1L && rows(5L)._2 == 1L)  // rank 1 in each stratum
+    assert(rows(1L)._3 == 1L && rows(5L)._3 == 1L)  // shard = id % 2, both odd
+    assert(rows(1L)._4 == 14L)                      // token count carried
+    // same shard, packed sequentially: doc 1 opens bin 0; its 14 tokens
+    // push doc 5's start past the 10-token context → bin 1
+    assert(rows(1L)._5 == 0L && rows(5L)._5 == 1L)
+  }
+
+  test("prepare: per-stratum quota bounds the output deterministically") {
+    // per-doc texts share NO tokens (a common template would make them
+    // genuine near-dups at trigram level and dedup would rightly collapse
+    // them — this test is about the quota, not the dedup)
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to 8).map(j => s"w$i-$j").mkString(" "),
+        if (i % 2 == 0) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val cfg = DataPrep.Config(perStratumQuota = 3, contextLen = 10L, shards = 2)
+
+    val a = DataPrep.prepare(docs, bench, config = cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a.size == 6) // 3 per language
+    // reproducible on a reshuffled input — the whole point of hash order
+    val b = DataPrep.prepare(docs.repartition(7), bench, config = cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
