@@ -463,6 +463,25 @@ object SparkEntry {
         .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
     }),
 
+    // A+/S+ — table profiling ("analyze table"): per-column null and
+    // exact distinct counts in ONE scan — a single multi-distinct
+    // aggregate (Catalyst plans it as one Expand + partial/final agg),
+    // then a stack unpivot of the 1-row result. The declared-schema
+    // companion: register() catches shape drift, this catches value drift.
+    "q45_profile" -> ((s, d) => {
+      val profCols = Seq("event_id", "user_id", "event_type", "value")
+      val aggs = count(lit(1)).as("n_rows") +: profCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct")))
+      t(s, d, "events")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${profCols.size}, " + profCols.map(c =>
+            s"'$c', n_rows, ${c}_nulls, ${c}_distinct").mkString(", ") +
+            ") AS (col_name, n_rows, n_nulls, n_distinct)"))
+        .orderBy(col("col_name").asc_nulls_last)
+    }),
+
     // A+ — per-language token-distribution report (exact interpolated
     // percentiles): the data-mix summary a training pipeline publishes.
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
@@ -1038,6 +1057,22 @@ object SparkEntry {
         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, CAST(-1 AS BIGINT)
         |WHERE NOT (SELECT ok FROM chk)
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q45_profile" -> {
+      val profCols = Seq("event_id", "user_id", "event_type", "value")
+      val a = profCols.map(c =>
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}_nulls, " +
+          s"count(DISTINCT $c) AS ${c}_distinct").mkString(",\n  ")
+      val arms = profCols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, CAST(${c}_nulls AS BIGINT) AS n_nulls, " +
+          s"CAST(${c}_distinct AS BIGINT) AS n_distinct FROM a").mkString("\n  UNION ALL ")
+      s"""WITH a AS (SELECT count(*) AS n_rows,
+         |  $a
+         |  FROM events)
+         |SELECT * FROM (
+         |  $arms)
+         |ORDER BY col_name""".stripMargin
+    },
 
     "q43_token_mix" ->
       """WITH d AS (

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
  * token streams. One shuffle (by shard), integer arithmetic only, state
  * O(1) per row.
  *
- * The reference has no packing surface; SURVEY.md §2.11 extension.
+ * The reference has no packing surface (it never concatenates rows; its
+ * writes are per-day partitions, `/root/reference/sree-etl-tdk-lambda.py:
+ * 112-122`); SURVEY.md §2.11 extension.
  */
 object Packing {
 

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
  * same corpus always yields the same sample — on this engine, on a rerun
  * after an executor loss, and on the DuckDB oracle.
  *
- * The reference has no sampling surface; SURVEY.md §2.11 extension.
+ * The reference has no sampling surface (its analytics are full-table
+ * grouped counts, `/root/reference/sree-etl-tdk-glue-job.py:51-68`);
+ * SURVEY.md §2.11 extension.
  */
 object Sampling {
 
