@@ -434,6 +434,7 @@ object SparkEntry {
     "q41_packing" -> ((s, d) =>
       Packing.pack(t(s, d, "documents"), "doc_id",
           size(TextOps.tokens(col("text"))), contextLen = 256L, shards = 8)
+        .select("doc_id", "shard", "n_tokens", "tok_offset", "bin")
         .orderBy(col("doc_id").asc_nulls_last)),
 
     // S8/S9 — JDBC sink + source round-trip through embedded Derby (the

@@ -24,19 +24,20 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /**
-   * Per-shard concat-and-chunk: returns `idCol, shard, n_tokens,
-   * tok_offset, bin` where `tok_offset` is the document's first-token
-   * position in its shard's stream (docs ordered by `idCol`) and
-   * `bin = tok_offset / contextLen`. Deterministic: every column is
-   * integer arithmetic over the stable (shard, id) order.
+   * Per-shard concat-and-chunk: appends `shard, n_tokens, tok_offset,
+   * bin` to the input rows, where `tok_offset` is the document's
+   * first-token position in its shard's stream (docs ordered by `idCol`)
+   * and `bin = tok_offset / contextLen`. Input columns pass through, so a
+   * pipeline never needs a re-attach self-join. Deterministic: every
+   * added column is integer arithmetic over the stable (shard, id) order.
    */
   def pack(
       df: DataFrame, idCol: String, nTokens: Column,
       contextLen: Long, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        nTokens.cast("long").as("n_tokens"))
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integral division, NOT `/`: Divide casts longs through double, and
       // beyond 2^53 the truncated quotient can be off by one

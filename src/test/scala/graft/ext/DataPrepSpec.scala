@@ -15,8 +15,8 @@ class DataPrepSpec extends GraftSpec {
   test("prepare: dedups, filters spam, decontaminates, quotas, packs") {
     val docs = Seq(
       (1L, good, "en"),
-      (2L, goodDup, "en"),   // near-dup of 1 → dropped by stage 1
-      (3L, spam, "en"),      // top bigram 29 ≤ 50 but dupWordFrac ≈ 0.93 → dropped
+      (2L, goodDup, "en"),   // near-dup of 1 → dropped by the dedup stage
+      (3L, spam, "en"),      // top bigram "buy now" ×30, dupWordFrac ≈ 0.97 → filtered
       (4L, benchText, "en"), // fully contaminated vs bench → dropped
       (5L, other, "es")
     ).toDF("doc_id", "text", "lang")
@@ -25,7 +25,8 @@ class DataPrepSpec extends GraftSpec {
     val out = DataPrep.prepare(docs, bench,
       config = DataPrep.Config(
         dedupThreshold = 0.5, minQuality = 0.1, maxDupWordFrac = 0.5,
-        contaminationCap = 0.5, contextLen = 10L, shards = 2))
+        contaminationCap = 0.5, perStratumQuota = Some(10),
+        contextLen = 10L, shards = 2))
     val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
       (r.getAs[String]("lang"), r.getAs[Long]("rk"), r.getAs[Long]("shard"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"))).toMap
@@ -48,7 +49,7 @@ class DataPrepSpec extends GraftSpec {
         if (i % 2 == 0) "en" else "es"))
       .toDF("doc_id", "text", "lang")
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
-    val cfg = DataPrep.Config(perStratumQuota = 3, contextLen = 10L, shards = 2)
+    val cfg = DataPrep.Config(perStratumQuota = Some(3), contextLen = 10L, shards = 2)
 
     val a = DataPrep.prepare(docs, bench, config = cfg)
       .select("doc_id").as[Long].collect().sorted.toSeq
