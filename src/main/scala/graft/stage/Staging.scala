@@ -70,6 +70,27 @@ object Staging {
     StructType.fromDDL(s"$cleansedDdl, date STRING")
 
   /**
+   * Stage as a BUCKETED catalog table: rows are hash-partitioned into
+   * `numBuckets` files per partition by `bucketCol` at write time, so
+   * later equi-joins and aggregations on that column read co-located
+   * data and skip their shuffle entirely — the write-once answer to the
+   * biggest recurring cost of a 100 TB fact table joined on the same key
+   * every day. Catalyst proves it: a join of two tables bucketed the
+   * same way on the join key plans with NO Exchange on either side
+   * (StagingSpec asserts exactly that). Bucket counts must match across
+   * tables meant to join; `sortBy` within buckets lets the join skip its
+   * sort as well when both sides agree.
+   */
+  def stageBucketed(
+      df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /**
    * Register the staged layout as a catalog table (idempotent), with the
    * schema DECLARED rather than inferred — parity with the reference's
    * hand-written DDL (`sree-etl-tdk-lambda.py:62-78, PARTITIONED BY date`

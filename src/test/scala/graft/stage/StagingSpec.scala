@@ -65,4 +65,28 @@ class StagingSpec extends GraftSpec {
     try assert(spark.table("default.graft_reg_qual").count() == 1L)
     finally spark.sql("DROP TABLE IF EXISTS default.graft_reg_qual")
   }
+
+  test("bucketed staging: the co-located join runs with zero Exchange") {
+    val facts = (1L to 500L).map(i => (i % 50, s"r$i")).toDF("user_id", "payload")
+    val dims = (0L to 49L).map(i => (i, s"u$i")).toDF("user_id", "name")
+    try {
+      Staging.stageBucketed(facts, "graft_bkt_facts", "user_id", 4)
+      Staging.stageBucketed(dims, "graft_bkt_dims", "user_id", 4)
+
+      // broadcast off: without bucketing this join MUST shuffle both
+      // sides; with matching buckets Catalyst plans no Exchange at all
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("graft_bkt_facts")
+          .join(spark.table("graft_bkt_dims"), "user_id")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+        assert(joined.count() == 500L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
 }
