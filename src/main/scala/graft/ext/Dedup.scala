@@ -139,6 +139,15 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard of two shingle-set columns: |a ∩ b| / |a ∪ b| as an
+    * integer-derived double (bit-reproducible). Guard `size(array_union)`
+    * > 0 before comparing — THE near-dup verify predicate, shared by the
+    * batch pipeline below and the streaming rep-store verify
+    * ([[graft.streaming.StreamingDedup]]) so the two can never drift. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
   /** Exact-duplicate groups by content hash: `(ghash, id)` membership rows.
     * md5 (128-bit) keys the groups — collision probability is negligible at
     * any corpus size that fits an exabyte. */
@@ -309,6 +318,15 @@ object Dedup {
       changed = stepped.filter(col("chg")).count()
       labels = stepped.select("id", "component")
       it += 1
+    }
+    if (changed > 0) {
+      // the cap was hit with the LAST round still moving labels — which is
+      // also what an exact fixpoint reached in round maxIters looks like.
+      // Disambiguate with one probe round (join + count, not charged to
+      // the cap): zero further changes proves the labels are complete; a
+      // positive count is the true residual. Without this, a chain exactly
+      // maxIters hops deep would throw despite having converged.
+      changed = componentsStep(edges, labels).filter(col("chg")).count()
     }
     lastComponentsRounds.set(it)
     ComponentsResult(labels, it, changed)

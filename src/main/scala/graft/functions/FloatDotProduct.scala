@@ -90,13 +90,25 @@ case class FloatDotProduct(left: Expression, right: Expression)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // arity is checked here, not by indexing into children: an extra
+    // argument would otherwise be SILENTLY discarded (wrong-but-plausible
+    // results for a user who thought they passed an option) and a missing
+    // one would surface as a bare NoSuchElementException
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "graft_dot"),
-      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => FloatDotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_dot requires exactly 2 arguments, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),
-      (children: Seq[Expression]) => TopBigramCount(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TopBigramCount(c)
+        case _ => throw new IllegalArgumentException(
+          s"graft_top_bigram requires exactly 1 argument, got ${children.size}")
+      }))
   }
 }

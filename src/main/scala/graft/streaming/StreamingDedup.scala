@@ -127,9 +127,7 @@ object StreamingDedup {
         .join(rep.select(col("id").as("new_id"), col("sh").as("new_sh")), "new_id")
         .join(store.select(col("id").as("old_id"), col("sh").as("old_sh")), "old_id")
         .filter(size(array_union(col("new_sh"), col("old_sh"))) > 0 &&
-          size(array_intersect(col("new_sh"), col("old_sh"))).cast("double")
-            / size(array_union(col("new_sh"), col("old_sh"))).cast("double")
-            >= threshold)
+          Dedup.jaccard(col("new_sh"), col("old_sh")) >= threshold)
         .select(col("new_id").as(idCol)).distinct()
 
       val survivors = Materialize.cut(local.join(dropped, Seq(idCol), "left_anti"))
@@ -147,7 +145,12 @@ object StreamingDedup {
       // directory, rename. Both crash half-states are recovered by
       // recoverSwap on the next batch; a swap step that reports failure
       // throws so the batch retries instead of silently not advancing.
-      if (hwm != null) {
+      // A batch that contributed no reps and evicted nothing is a no-op —
+      // skip the swap entirely rather than re-write the full store (and
+      // re-open the swap's crash window) on every idle trigger.
+      val changedStore = rep.limit(1).count() > 0 ||
+        (hwm != null && store.count() != store0.count())
+      if (hwm != null && changedStore) {
         store.unionByName(
             rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
           .write.mode("overwrite").parquet(tmpPath(statePath))

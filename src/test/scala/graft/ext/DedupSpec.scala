@@ -130,6 +130,18 @@ class DedupSpec extends GraftSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("components: a fixpoint reached exactly in the last allowed round converges") {
+    // 5-edge path: node 5 is 5 hops from the minimum, so round 5 (the cap)
+    // makes the final label move. That is indistinguishable from a capped
+    // stop without the probe round — the result must be converged, not a
+    // spurious throw.
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val r = Dedup.componentsResult(chain, maxIters = 5)
+    assert(r.converged && r.rounds == 5)
+    assert(r.labels.collect().map(_.getLong(1)).forall(_ == 0L))
+    assert(Dedup.components(chain, maxIters = 5).count() == 6) // no throw
+  }
+
   test("materialize: parquet spill mode yields identical pairs and cleans up") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_spec").toString
     val local = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)

@@ -45,4 +45,17 @@ class FloatDotProductSpec extends GraftSpec {
         "CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d")
     assert(r.collect()(0).getDouble(0) == 32.0)
   }
+
+  test("native functions reject wrong arity instead of ignoring arguments") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // an extra argument must error, never be silently discarded
+    val e1 = intercept[Throwable](
+      spark.sql("SELECT graft_top_bigram(array('a', 'b'), 5)").collect())
+    assert(messages(e1).contains("exactly 1 argument"), messages(e1))
+    val e2 = intercept[Throwable](
+      spark.sql("SELECT graft_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").collect())
+    assert(messages(e2).contains("exactly 2 arguments"), messages(e2))
+  }
 }
