@@ -49,8 +49,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Harness.quietRddWarnings()
 
+    // Optional comma-separated query-name filter (substring match) for
+    // local iteration — e.g. SPARK_GRAFT_ONLY=q18,q37. Unset = all queries,
+    // the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .flatMap { case (name, fn) =>
       try { Harness.consume(fn(spark, warmDir)); Materialize.release(spark) }
       catch { case _: Throwable => () } // warm-up failure surfaces in the timed run
       def timedRun(): Option[Double] = {
@@ -66,6 +72,13 @@ object Bench {
         if (ok) Some(dt) else None
       }
       val secs = timedRun().map(a => math.min(a, timedRun().getOrElse(a)))
+      if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+        val sc = spark.sparkContext
+        val blocks = sc.getPersistentRDDs.values.map(_.partitions.length).sum
+        System.err.println(f"[bench-debug] $name%-26s ${secs.getOrElse(-1.0)}%7.2f s " +
+          f"rdds=${sc.getPersistentRDDs.size} parts=$blocks " +
+          f"mem=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)}MB")
+      }
       // an error in either run disqualifies the timing: errors-only reporting
       if (errors.contains(name)) None else secs.map(name -> _)
     }
