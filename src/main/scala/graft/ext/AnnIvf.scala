@@ -1,8 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /**
  * IVF (inverted-file) approximate nearest neighbors — the data-adaptive
@@ -10,114 +10,171 @@ import org.apache.spark.sql.expressions.Window
  * coarse centroids partitions the corpus into cells; a query probes only
  * its `nprobe` nearest cells and scores candidates exactly.
  *
- * Scale design (100 TB): centroids are k rows — always broadcast. Cell
- * assignment is one broadcast pass over the corpus (no shuffle of the
- * corpus beyond the final per-cell grouping); Lloyd refinement iterations
- * are each one pass + one tiny per-(cell, dim) aggregate. Query-time work
- * is |queries| × nprobe cells joined against the cell-keyed corpus — an
- * equi-join on `cell`, never a nested loop. Like every ANN method, pruning
- * on near-uniform random vectors (the synthetic test data) requires
- * probing most cells for high recall; on real clustered embeddings cells
- * match the cluster structure and nprobe ≪ k holds recall.
+ * Scale design (100 TB): centroids are k rows — metadata-sized, so they
+ * ride along as ONE literal `array<struct>` inside the row expressions
+ * rather than as a join side. Cell assignment is therefore a narrow
+ * per-row argmin — zero shuffle, zero join, evaluated inside whole-stage
+ * codegen — where the crossJoin+groupBy formulation shuffled the whole
+ * corpus once per assignment pass (and each Lloyd iteration re-joined the
+ * corpus to fetch embeddings back). Probe selection is a per-row
+ * `array_sort` over k struct distances instead of a ranking window — the
+ * |queries|-wide window shuffle is gone too. The only remaining shuffles
+ * are inherent to IVF: the candidate equi-join on `cell` and the final
+ * per-query top-k window. Training never pins the corpus: each Lloyd pass
+ * re-scans the 2-column columnar source (at 100 TB, iters extra scans beat
+ * caching the corpus in executor memory by design).
  *
  * Determinism: centroid init picks the k corpus vectors with the smallest
  * seeded hash, refinement is fixed-iteration (no convergence test), and
- * ties break on cell id — identical output across runs.
+ * ties break on cell id — identical output across runs. Driver-side norms
+ * use the same ascending-index double fold as [[Similarity.norm]], so the
+ * collected `c_norm` is bit-identical to the Spark-computed one.
  */
 object AnnIvf {
 
-  private def asDouble(vec: Column): Column =
-    transform(vec, x => x.cast("double"))
+  /** Driver-resident centroid set: (cell id, vector, norm). k rows —
+    * the same "tiny metadata scalars" class as a broadcast dim table. */
+  private type Cents = Seq[(Long, Seq[Float], Double)]
 
-  /** Cosine distance (1 - cos) between a float vector and a double
-    * centroid, computed with the codegen'd dot product. */
-  private def cosDist(vec: Column, vecNorm: Column, centroid: Column, cNorm: Column): Column =
-    lit(1.0) - Similarity.nativeDot(vec, centroid) / (vecNorm * cNorm)
+  /** Ascending-index double fold — bit-identical to [[Similarity.norm]]. */
+  private def jvmNorm(v: Seq[Float]): Double = {
+    var acc = 0.0
+    v.foreach(x => acc += x.toDouble * x.toDouble)
+    math.sqrt(acc)
+  }
+
+  private def collectCents(centroids: DataFrame): Cents =
+    centroids.select(col("cell"), col("centroid"), col("c_norm"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Vector norm via the codegen'd dot — bit-identical to
+    * [[Similarity.norm]] (FloatDotProductSpec pins `graft_dot` == the HOF
+    * fold) and, unlike it, runs inside whole-stage codegen. Duplicated
+    * uses collapse via codegen subexpression elimination. */
+  private def vNorm(vec: Column): Column =
+    sqrt(Similarity.nativeDot(vec, vec))
+
+  /** One `struct(dist, cell)` per centroid, fully UNROLLED (k is
+    * metadata-sized): every distance is a codegen'd `graft_dot` against an
+    * `array<float>` literal. The higher-order-function formulation
+    * (`transform` over an array literal) is NOT used deliberately — HOFs
+    * evaluate via CodegenFallback, which drags the whole per-row argmin
+    * subtree into interpreted mode (measured 30s vs 1.3s on q33). */
+  private def distStructs(vec: Column, vn: Column, cents: Cents): Seq[Column] =
+    cents.map { case (cell, v, n) =>
+      struct(
+        (lit(1.0) - Similarity.nativeDot(vec, typedLit(v)) / (vn * lit(n)))
+          .as("dist"),
+        lit(cell).as("cell"))
+    }
+
+  /** Nearest cell: argmin via a codegen'd `least` over the unrolled
+    * `struct(dist, cell)` terms — ties to the lowest cell id, the same
+    * ordering as a struct-min aggregate. Zero shuffle, zero join. */
+  private def cellOf(vec: Column, cents: Cents): Column = {
+    val ds = distStructs(vec, vNorm(vec), cents)
+    (if (ds.sizeIs > 1) least(ds: _*) else ds.head).getField("cell")
+  }
 
   /**
    * Train `k` coarse centroids with `iters` Lloyd iterations.
-   * Returns (cell BIGINT, centroid ARRAY<FLOAT>, c_norm DOUBLE), materialized.
-   * Cell ids are the seed vectors' `vec_id`s — distinct and deterministic
-   * is all the downstream equi-joins need; using them directly avoids a
-   * global ranking window over the seed rows (k rows, but WindowExec still
-   * warns about the single-partition move on every run).
+   * Returns (cell BIGINT, centroid ARRAY<FLOAT>, c_norm DOUBLE) as a
+   * local (driver-resident) DataFrame. Cell ids are the seed vectors'
+   * `vec_id`s — distinct and deterministic is all the downstream
+   * equi-joins need. Each iteration is ONE corpus pass: per-row argmin
+   * (narrow) → posexplode → per-(cell, dim) mean — the partial aggregate
+   * reduces each partition to ≤ k·dim rows before the tiny shuffle.
    */
   def trainCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val base = Materialize.cut(
-      corpus.select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("v_norm")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
 
     // deterministic init: the k vectors with the smallest seeded hash
-    var centroids = Materialize.cut(
-      base
-        .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
-        .limit(k)
-        .select(
-          col("vec_id").cast("long").as("cell"),
-          col("embedding").as("centroid"),
-          col("v_norm").as("c_norm")))
+    var cents: Cents = base
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().toSeq
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, jvmNorm(v)) })
+      .sortBy(_._1)
 
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(base, centroids)
-      // new centroid = per-(cell, dim) mean, reassembled in dim order
-      centroids = Materialize.cut(
-        assigned
-          .join(base, "vec_id")
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cell"),
-            transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
-          .withColumn("c_norm", Similarity.norm(col("centroid"))))
+      // new centroid = per-(cell, dim) mean, reassembled in dim order.
+      // TWO selects, deliberately: `select(cellOf, posexplode)` in one
+      // projection puts the argmin in the Project ABOVE the Generate
+      // (plan-audited), re-evaluating the k dots once per exploded
+      // ELEMENT (dim×). Aliased a select earlier, `cell` crosses the
+      // Generate as an attribute, computed once per row.
+      cents = base
+        .select(cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+        .collect().toSeq
+        .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, jvmNorm(v)) })
+        .sortBy(_._1)
     }
-    centroids
+    cents.toDF("cell", "centroid", "c_norm")
   }
 
-  /** Nearest-centroid cell per corpus vector: one broadcast pass, argmin
-    * via a struct-min aggregate (ties → lowest cell id). */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("v_norm"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        struct(
-          cosDist(col("embedding"), col("v_norm"), col("centroid"), col("c_norm"))
-            .as("dist"),
-          col("cell")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min(col("dc")).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+  /** Dev-only: the Lloyd-iteration aggregation plan for [[Scratch]]-style
+    * plan audits (same shape as the loop body in [[trainCentroids]]). */
+  private[graft] def iterPlanProbe(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
+    corpus.select(col("vec_id"), col("embedding"))
+      .select(cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+  }
+
+  /** Nearest-centroid cell per corpus vector: a narrow per-row argmin over
+    * the literal centroid array — no shuffle, no join. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
+    corpus.select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
+  }
 
   /**
    * ANN top-k: probe each query's `nprobe` nearest cells, equi-join on
    * `cell` against the cell-keyed corpus, score candidates exactly.
    * `excludeSelf` drops the query's own corpus row before ranking — for
    * self-join uses where rank 1 would otherwise always be the vector
-   * itself.
+   * itself. Probe cells come from a per-row `array_sort` over the k
+   * centroid distances (ties → lowest cell id, the order the ranking
+   * window used); the corpus side computes its cell inline on the way
+   * into the join — the only corpus-wide shuffle left is the candidate
+   * equi-join itself.
    */
   def annTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
-    val cells = Materialize.cut(assignCells(corpus, centroids))
-    val corpusCells = corpus
-      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-        Similarity.norm(col("embedding")).as("nn_n"))
-      .join(cells.withColumnRenamed("vec_id", "nn_id"), "nn_id")
+    val cents = collectCents(centroids)
+    val corpusCells = corpus.select(
+      col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      vNorm(col("embedding")).as("nn_n"),
+      cellOf(col("embedding"), cents).as("cell"))
 
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cell").asc)
+    // nprobe nearest cells per query: per-row sort of the k unrolled
+    // struct distances (ascending (dist, cell) — the order the ranking
+    // window used), then explode. No crossJoin, no window shuffle.
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.norm(col("embedding")).as("q_n"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        cosDist(col("q_emb"), col("q_n"), col("centroid"), col("c_norm")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_n"), col("cell"))
+        vNorm(col("embedding")).as("q_n"))
+      .select(col("q_id"), col("q_emb"), col("q_n"),
+        explode(slice(
+          sort_array(array(
+            distStructs(col("q_emb"), col("q_n"), cents): _*)),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_emb"), col("q_n"), col("pc.cell").as("cell"))
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
