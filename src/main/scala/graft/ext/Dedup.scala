@@ -78,9 +78,18 @@ object Dedup {
   /**
    * MinHash signature: element i = min over shingles of `xxhash64(shingle, i)`.
    * `numHashes` independent hash functions via the seed column — one array
-   * expression, no shuffle, O(|shingles| × numHashes) per row.
+   * expression, no shuffle. Backed by the codegen'd `graft_minhash`
+   * expression ([[graft.functions.MinHashSignature]]): each shingle string
+   * is hashed once and the `numHashes` lanes derived by cheap int folds —
+   * O(|shingles| × (|s| + k)) instead of the interpreted HOF twin's
+   * O(|shingles| × k × |s|) (spec-asserted bit-equal).
    */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingleCol, lit(numHashes))
+
+  /** HOF formulation of [[minhashSignature]] — kept as the engine-agnostic
+    * semantics reference the spec checks the native expression against. */
+  private[graft] def minhashSignatureHof(shingleCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(shingleCol, s => xxhash64(s, i))))
 

@@ -103,6 +103,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot requires exactly 2 arguments, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, k) if k.foldable && k.dataType == IntegerType =>
+          MinHashSignature(a, k.eval().asInstanceOf[Int])
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "graft_minhash requires a literal integer numHashes as argument 2")
+        case _ => throw new IllegalArgumentException(
+          s"graft_minhash requires exactly 2 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),
       (children: Seq[Expression]) => children match {
