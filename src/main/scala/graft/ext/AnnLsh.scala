@@ -30,52 +30,35 @@ import org.apache.spark.sql.expressions.Window
  */
 object AnnLsh {
 
-  /** Deterministic ±1 hyperplane matrix (numPlanes × dim) from a seeded
-    * 64-bit LCG (Knuth MMIX constants). */
-  private[ext] def planeMatrix(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    var state = seed
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      if (state >= 0) 1.0 else -1.0
-    }
-    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
-  }
-
-  /** Signature bits: element h = 1 if vec · plane_h > 0 else 0. */
-  private def signatureBits(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val planesLit = typedLit(planes)
-    transform(sequence(lit(0), lit(planes.length - 1)), h =>
-      when(
-        aggregate(
-          zip_with(vec, element_at(planesLit, h + 1),
-            (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x) > 0d,
-        1L).otherwise(0L))
-  }
+  /** Deterministic ±1 hyperplane matrix (numPlanes × dim) — the
+    * [[graft.functions.LshBuckets]] LCG matrix reshaped for inspection. */
+  private[ext] def planeMatrix(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    graft.functions.LshBuckets.planeRows(numPlanes, dim, seed)
+      .map(_.toDouble).toSeq.grouped(dim).toSeq
 
   /**
    * One `(id, table, bucket)` row per hash table; bucket packs the table's
    * `bitsPerTable` sign bits into a long.
+   *
+   * All `numTables × bitsPerTable` plane dots happen in ONE codegen'd
+   * expression per row ([[graft.functions.LshBuckets]] — the planes
+   * matrix loop is two JIT'd loops behind a single call), posexploded
+   * into `(table, bucket)` rows. The per-plane formulations both lose:
+   * interpreted HOF folds cost numPlanes CodegenFallback trees per row
+   * (plus a lineage cut to stop projection collapse inlining them
+   * numTables×), and numPlanes separate `graft_dot` calls bloat the
+   * generated projection past JIT comfort (measured 4.1 s vs 2.2 s on
+   * q21). Here the generator input is one fused call, evaluated once per
+   * row — nothing to protect, nothing to shuffle before the
+   * (table, bucket) candidate join.
    */
   def buckets(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bitsPerTable: Int, numTables: Int, seed: Long = 42L): DataFrame = {
-    val planes = planeMatrix(bitsPerTable * numTables, dim, seed)
-    // materialize the sign bits before the per-table explode — projection
-    // collapse would otherwise inline the bits×dim dot-product expression
-    // into every table entry (numTables× recompute)
-    Materialize.cut(
-      df.select(col(idCol), signatureBits(col(vecCol), planes).as("sig")))
-      .select(
-        col(idCol),
-        explode(transform(sequence(lit(0), lit(numTables - 1)), t =>
-          struct(
-            t.as("table"),
-            aggregate(
-              slice(col("sig"), t * bitsPerTable + 1, lit(bitsPerTable)),
-              lit(0L), (acc, b) => acc * 2 + b).as("bucket")))).as("tb"))
-      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+      bitsPerTable: Int, numTables: Int, seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+        posexplode(call_function("graft_lsh_buckets", col(vecCol),
+          lit(bitsPerTable), lit(numTables), lit(dim), lit(seed)))
+          .as(Seq("table", "bucket")))
 
   /**
    * ANN top-k: bucket queries and corpus, equi-join on (table, bucket) for

@@ -155,11 +155,23 @@ object TextOps {
   /**
    * 48-bit SimHash over the token multiset: bit j of a token is bit
    * (j % 4) of hex digit (j / 4) of the token's md5; the document bit j is
-   * the sign of Σ_tokens (±1). Computed relationally — explode tokens, one
-   * md5 per token, 48 map-side partial sums in ONE hash aggregate — so the
-   * cost is O(tokens) rows through a partial agg, not O(tokens × 48).
+   * the sign of Σ_tokens (±1). One narrow pass via the codegen'd
+   * `graft_simhash` expression ([[graft.functions.SimHash48]]) — zero
+   * shuffle, one raw-digest md5 per token. Tokenless docs are dropped,
+   * matching the relational twin below (explode emits no row for them).
    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol), call_function("graft_simhash", col("tk")).as("simhash"))
+
+  /** Relational formulation of [[simhash]] — explode tokens, one md5 per
+    * token, 48 map-side partial sums in one hash aggregate (O(tokens) rows
+    * through a partial agg, not O(tokens × 48)). Kept as the
+    * engine-agnostic semantics reference the spec checks the native
+    * expression against; also the shape the DuckDB oracle mirrors. */
+  private[graft] def simhashRelational(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
     val sums: Seq[Column] = (0 until simhashBits).map { j =>
@@ -180,21 +192,31 @@ object TextOps {
    * equi-join on (chunk index, chunk value) — any pair within distance
    * < `chunks` shares at least one identical chunk, so recall is EXACTLY 1
    * (pigeonhole, not probabilistic) while the join stays linear per bucket.
+   *
+   * (Chunk-PAIR keys — C(chunks,2) combos, which square the bucket count
+   * the quadratic within-bucket term divides by — were measured SLOWER
+   * here: on a near-dup-heavy corpus every true pair is re-found under
+   * every clean combo, so the 3.5× row fan-out and the bigger distinct
+   * outweigh the random-collision saving. Worth revisiting only for
+   * corpora where buckets are collision-dominated, not duplicate-heavy.)
    */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
     val bitsPerChunk = simhashBits / chunks
-    // materialized once — the per-chunk union below has `chunks` branches,
-    // each of which would otherwise re-run the whole tokenize+aggregate
+    // materialized once — the self-join below reads it from both sides,
+    // which would otherwise re-run the md5 token pass twice (at corpus
+    // scale: re-scan the full text twice vs store a 2-column table)
     val sh = Materialize.cut(simhash(df, idCol, textCol))
-    // one (id, chunk, ckey) row per chunk, chunk values via literal shifts
-    val chunkRows = (0 until chunks).map { c =>
-      sh.select(col(idCol), col("simhash"), lit(c).as("chunk"),
+    // one (id, chunk, ckey) row per chunk in a single posexplode pass —
+    // chunk values via literal shifts of the simhash ATTRIBUTE, so the
+    // hash is never recomputed per chunk
+    val chunkRows = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * bitsPerChunk)
-          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
-    }.reduce(_ unionAll _)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*))
+        .as(Seq("chunk", "ckey")))
     val a = chunkRows.select(col(idCol).as("a_id"), col("simhash").as("a_sh"),
       col("chunk"), col("ckey"))
     val b = chunkRows.select(col(idCol).as("b_id"), col("simhash").as("b_sh"),

@@ -114,6 +114,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_minhash requires exactly 2 arguments, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getCanonicalName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, bits, tables, dim, seed)
+            if Seq(bits, tables, dim).forall(e => e.foldable && e.dataType == IntegerType)
+              && seed.foldable && seed.dataType == LongType =>
+          LshBuckets(v,
+            bits.eval().asInstanceOf[Int], tables.eval().asInstanceOf[Int],
+            dim.eval().asInstanceOf[Int], seed.eval().asInstanceOf[Long])
+        case c if c.size == 5 => throw new IllegalArgumentException(
+          "graft_lsh_buckets requires literal (int bits, int tables, int dim, " +
+            "bigint seed) as arguments 2-5")
+        case _ => throw new IllegalArgumentException(
+          s"graft_lsh_buckets requires exactly 5 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash48].getCanonicalName, "graft_simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => SimHash48(c)
+        case _ => throw new IllegalArgumentException(
+          s"graft_simhash requires exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),
       (children: Seq[Expression]) => children match {

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.GraftSpec
+import graft.{GraftSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends GraftSpec {
@@ -63,6 +63,19 @@ class TextOpsSpec extends GraftSpec {
     def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(hd(sh(1L), sh(2L)) == 0)
     assert(hd(sh(1L), sh(3L)) < hd(sh(1L), sh(4L)))
+  }
+
+  test("graft_simhash matches the relational twin bit-exactly; empty docs dropped") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents").limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((-1L, ""), (-2L, "   "), (-3L, "one two")).toDF("doc_id", "text"))
+    val native = TextOps.simhash(docs, "doc_id", "text")
+    val twin = TextOps.simhashRelational(docs, "doc_id", "text")
+    assert(native.unionAll(twin).distinct().count() == twin.count(),
+      "native and relational simhash disagree on some doc")
+    // tokenless docs are absent from BOTH formulations
+    assert(native.filter(col("doc_id") < -2L).count() == 1)
+    assert(native.filter(col("doc_id").isin(-1L, -2L)).count() == 0)
   }
 
   test("repetition: top bigram run and duplicate-word fraction") {
