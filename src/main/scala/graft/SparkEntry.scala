@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -498,7 +498,71 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           call_function("percentile", col("n_tokens"), lit(0.5d)).as("p50"),
           call_function("percentile", col("n_tokens"), lit(0.9d)).as("p90"))
-        .orderBy(col("lang").asc_nulls_last))
+        .orderBy(col("lang").asc_nulls_last)),
+
+    // X2+/A+ — TF-IDF-shaped distinctive terms per language. The idf is
+    // log-free (weight = tf/df, one correctly-rounded division of exact
+    // integers) so the doubles hash-match any IEEE engine — ln is
+    // libm-dependent and would break the oracle.
+    "q46_distinctive_terms" -> ((s, d) =>
+      TextOps.distinctiveTerms(t(s, d, "documents"), "lang", "text", k = 5)
+        .orderBy(col("lang").asc_nulls_last, col("rank").asc_nulls_last)),
+
+    // X3+ — symmetric per-vector int8 quantization with an exact
+    // reconstruction-error audit; every step is an exact IEEE operation,
+    // so codes, scales, and errors hash-match DuckDB's recompute.
+    "q47_quantize_int8" -> ((s, d) =>
+      Quantize.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id").asc_nulls_last)),
+
+    // S7+ — range-sorted ("cluster by") layout round-trip: write events
+    // range-partitioned + sorted on (user_id, ts), then a selective
+    // re-read that parquet footer min/max skipping serves from ~1 of the
+    // 8 files (StagingSpec asserts the disjoint per-file key ranges).
+    "q48_sorted_layout" -> ((s, d) => {
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q48_${d.hashCode.toHexString}"
+      Staging.stageRangeSorted(t(s, d, "events"), tmp,
+        numFiles = 8, Seq("user_id", "ts"))
+      s.read.parquet(tmp)
+        .filter(col("user_id").between(10L, 19L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), max(col("value")).as("max_value"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }),
+
+    // A5+ — approx percentiles (Greenwald-Khanna sketch): the
+    // bounded-memory scale path next to q43's exact percentiles (exact
+    // `percentile` buffers every value per group; the sketch holds
+    // O(1/ε) — the difference between a report and an OOM at 100 TB).
+    // Partial oracle in the q09 style: DuckDB brackets each sketch value
+    // with the exact 0.45/0.55 (0.85/0.95) discrete quantiles.
+    "q49_approx_quantiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          call_function("approx_percentile",
+            col("n_tokens"), lit(0.5d), lit(10000)).as("p50a"),
+          call_function("approx_percentile",
+            col("n_tokens"), lit(0.9d), lit(10000)).as("p90a"))
+        .orderBy(col("lang").asc_nulls_last)),
+
+    // X1+ — q39's contamination screen through the Bloom-pruned path:
+    // same exact output (it shares q39's full oracle — false positives
+    // are removed by the verify join), but the benchmark set rides as a
+    // ~10-bit-per-shingle binary instead of a broadcast string table and
+    // the corpus stream is pruned narrowly before any join.
+    "q50_bloom_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Contamination.contaminationBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -507,6 +571,33 @@ object SparkEntry {
     * (LSH ANN: its 4-bit × 32-table settings hold measured recall 1.0 on
     * the harness embeddings and candidates are scored exactly, so its
     * output EQUALS brute force — AnnLshSpec guards the recall property). */
+  /** Exact contamination recompute (same 5-gram shingling as
+    * Dedup.shingles; benchmark = doc_id % 97 docs) — shared by q39 (the
+    * broadcast-join path) and q50 (the Bloom-pruned path): both must
+    * produce this identical exact result. */
+  private val contaminationOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |              || ' ' || t[i+4] AS s
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+      |        FROM toks)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |agg AS (
+      |  SELECT sh.doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_shingles,
+      |         CAST(count(b.s) AS BIGINT) AS n_contaminated
+      |  FROM sh LEFT JOIN bench b USING (s)
+      |  WHERE sh.doc_id % 97 <> 0
+      |  GROUP BY sh.doc_id)
+      |SELECT doc_id, n_shingles, n_contaminated,
+      |       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+      |         AS contamination
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   private val bruteForceTopkSql: String =
     """WITH s AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
@@ -955,29 +1046,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // Same 5-gram shingling as the Spark side (split, no empty-filter —
-    // mirrors Dedup.shingles); benchmark = doc_id % 97 docs.
-    "q39_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |              || ' ' || t[i+4] AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
-        |        FROM toks)),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-        |agg AS (
-        |  SELECT sh.doc_id,
-        |         CAST(count(*) AS BIGINT) AS n_shingles,
-        |         CAST(count(b.s) AS BIGINT) AS n_contaminated
-        |  FROM sh LEFT JOIN bench b USING (s)
-        |  WHERE sh.doc_id % 97 <> 0
-        |  GROUP BY sh.doc_id)
-        |SELECT doc_id, n_shingles, n_contaminated,
-        |       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
-        |         AS contamination
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    // mirrors Dedup.shingles); benchmark = doc_id % 97 docs. Shared with
+    // q50: the Bloom-pruned path must produce the identical exact result.
+    "q39_contamination" -> contaminationOracleSql,
+
+    "q50_bloom_contamination" -> contaminationOracleSql,
 
     // md5 hex ordering is engine-agnostic (lowercase hex both sides).
     "q40_stratified_sample" ->
@@ -1085,6 +1158,81 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       quantile_cont(n_tokens, 0.5) AS p50,
         |       quantile_cont(n_tokens, 0.9) AS p90
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same distinct-token explode as TextOps.tokens + array_distinct;
+    // weight is one exact integer division — engine-identical doubles.
+    "q46_distinctive_terms" ->
+      """WITH perdoc AS (
+        |  SELECT lang,
+        |         unnest(list_distinct(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0))) AS term
+        |  FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM perdoc GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |j AS (SELECT tf.lang, tf.term, tf.tf, dfq.df,
+        |             CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS weight
+        |      FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY weight DESC, tf DESC, term ASC) AS BIGINT) AS rank
+        |      FROM j)
+        |SELECT lang, term, tf, df, weight, rank FROM r
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // Exact IEEE recompute of scale, codes, and reconstruction error —
+    // DuckDB round() is the same HALF_UP rule as Spark's.
+    "q47_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM e),
+        |q AS (
+        |  SELECT vec_id, scale, maxabs, embedding,
+        |         CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+        |         END AS q
+        |  FROM s)
+        |SELECT vec_id, scale, q,
+        |       CASE WHEN maxabs = 0 THEN 0.0
+        |            ELSE list_max(list_transform(list_zip(q, embedding),
+        |              p -> abs(CAST(p[1] AS DOUBLE) * scale
+        |                       - CAST(p[2] AS DOUBLE))))
+        |       END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // The layout round-trip must preserve content exactly: recompute the
+    // selective aggregate from the source table.
+    "q48_sorted_layout" ->
+      """SELECT user_id, count(*) AS cnt, max(value) AS max_value
+        |FROM events WHERE user_id BETWEEN 10 AND 19
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Partial oracle (q09 style): the sketch quantile must land inside
+    // the exact [p-0.05, p+0.05] discrete-quantile envelope per language;
+    // driving from the exact side LEFT JOIN the dump makes a missing
+    // dump row a NULL (hash mismatch) and an extra row a count mismatch.
+    "q49_approx_quantiles" ->
+      """WITH d AS (SELECT lang, n_docs, p50a, p90a
+        |           FROM read_parquet('__OUT__/q49_approx_quantiles/*.parquet')),
+        |t AS (SELECT lang,
+        |        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                             y -> length(y) > 0)) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |x AS (SELECT lang, count(*) AS n_docs,
+        |        quantile_disc(n_tokens, 0.45) AS p50lo,
+        |        quantile_disc(n_tokens, 0.55) AS p50hi,
+        |        quantile_disc(n_tokens, 0.85) AS p90lo,
+        |        quantile_disc(n_tokens, 0.95) AS p90hi
+        |      FROM t GROUP BY 1)
+        |SELECT x.lang, x.n_docs,
+        |  CASE WHEN d.p50a BETWEEN x.p50lo AND x.p50hi THEN d.p50a
+        |       ELSE CAST(-1 AS BIGINT) END AS p50a,
+        |  CASE WHEN d.p90a BETWEEN x.p90lo AND x.p90hi THEN d.p90a
+        |       ELSE CAST(-1 AS BIGINT) END AS p90a
+        |FROM x LEFT JOIN d USING (lang) ORDER BY lang""".stripMargin
   )
 }

@@ -48,4 +48,56 @@ object Contamination {
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /**
+   * [[contamination]] with a BLOOM-FILTER prune — same exact output
+   * (false positives are removed by an exact verify join; q50 shares
+   * q39's oracle to prove it), different scale regime: when the
+   * benchmark's distinct shingle set is too large to broadcast raw (a
+   * full eval-suite registry is tens of GB of strings), its Bloom filter
+   * at `fpp`≈1% is ~10 bits per shingle — 50-100× smaller — and rides to
+   * every task as one binary value. The corpus's exploded shingle stream
+   * is pruned against the filter IN PLACE (narrow, codegen'd
+   * `might_contain`, no join, no shuffle); only the surviving ~ε·|corpus
+   * shingles| + true hits take the exact equi-join, so the join cost
+   * tracks the CONTAMINATION RATE instead of the corpus size. Per-doc
+   * shingle totals are counted before the prune — arithmetic the prune
+   * cannot perturb.
+   *
+   * Built on Spark's own sketch expressions (`BloomFilterAggregate` /
+   * `BloomFilterMightContain`, the pair behind runtime row-level
+   * filtering), driven through the same xxhash64 both sides share.
+   */
+  def contaminationBloom(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      expectedItems: Long = 1000000L, fpBits: Long = 8 * 1024 * 1024): DataFrame = {
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .distinct()
+
+    // build: one pass over the benchmark shingles → a single binary value
+    val bloomBytes = benchShingles
+      .select(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(expectedItems), lit(fpBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain =
+      call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("s")))
+
+    val exploded = corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("s"))
+    val totals = exploded.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    // prune narrowly, then verify ONLY the survivors exactly
+    val verified = exploded
+      .filter(mightContain)
+      .join(benchShingles.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+    totals.join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
 }

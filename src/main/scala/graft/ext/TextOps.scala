@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -124,6 +125,42 @@ object TextOps {
       (n - size(array_distinct(toks)).cast("long")).cast("double")
         / n.cast("double"))
       .otherwise(lit(0.0d))
+  }
+
+  // ---- corpus-distinctive terms (TF-IDF-shaped data-mix report) ----
+
+  /**
+   * Top-k corpus-distinctive terms per language: for each language, the
+   * terms whose document frequency concentrates in that language — the
+   * data-mix report a multilingual training pipeline publishes (and the
+   * classic TF-IDF shape: a per-slice tf weighted against a corpus-wide
+   * df). `tf` counts documents of the language containing the term (one
+   * per doc via the distinct-token explode), `df` counts containing
+   * documents corpus-wide, and `weight = tf / df` ∈ (0, 1]. The idf is
+   * deliberately LOG-FREE: tf and df are exact integers and one IEEE-754
+   * division is correctly rounded, so the doubles are bit-identical in any
+   * engine — `ln` is libm-dependent and would break the oracle hash.
+   *
+   * Scale: one explode pass, a (lang, term) partial+final count, a
+   * term-keyed rollup of those counts (no second corpus pass — `df` is the
+   * sum of the per-language tfs), one join on term, and a per-language
+   * top-k window with `WindowGroupLimit` rank pushdown. Ties break
+   * (weight desc, tf desc, term asc) — deterministic.
+   */
+  def distinctiveTerms(
+      df: DataFrame, langCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val perDoc = df.select(col(langCol).as("lang"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val tf = perDoc.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(sum(col("tf")).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("weight").desc, col("tf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("weight", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("term"), col("tf"), col("df"),
+        col("weight"), col("rank"))
   }
 
   // ---- regex ("BPE-ish") tokenization ----

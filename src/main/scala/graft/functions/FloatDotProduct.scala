@@ -137,6 +137,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
       }))
+    // Spark's Bloom sketch pair (the machinery behind runtime row-level
+    // filtering) lives in the INTERNAL function registry, not the
+    // resolvable one — expose both sides for the Bloom-pruned
+    // contamination screen. Thin passthroughs: the expressions are
+    // Spark's own.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            v, items, bits).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg requires exactly 3 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "graft_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+        case _ => throw new IllegalArgumentException(
+          s"graft_might_contain requires exactly 2 arguments, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.GraftSpec
+import org.apache.spark.sql.functions._
 
 class ContaminationSpec extends GraftSpec {
   import spark.implicits._
@@ -30,6 +31,29 @@ class ContaminationSpec extends GraftSpec {
     assert(r(2L) == (6L, 5L, 5.0 / 6.0))
     assert(r(3L) == (6L, 0L, 0.0))
     assert(!r.contains(4L)) // <5 tokens → no shingles → absent, not 0/0
+  }
+
+  test("bloom-pruned path: identical exact output to the broadcast-join path") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val direct = Contamination.contamination(corpus, bench, "doc_id", "text")
+    val bloom = Contamination.contaminationBloom(corpus, bench, "doc_id", "text")
+    assert(direct.count() > 0)
+    assert(direct.unionAll(bloom).distinct().count() == direct.count(),
+      "bloom path diverged from the exact path on some doc")
+  }
+
+  test("bloom prune keeps per-doc totals: a clean doc still reports all shingles") {
+    val corpus = Seq((1L, cleanText), (2L, partialText)).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val r = Contamination.contaminationBloom(corpus, bench, "doc_id", "text")
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_contaminated")))
+      .toMap
+    assert(r(1L) == (6L, 0L)) // zero bloom hits must not drop the doc
+    assert(r(2L) == (6L, 5L))
   }
 
   test("plan: benchmark side broadcasts; corpus never joins all-pairs") {

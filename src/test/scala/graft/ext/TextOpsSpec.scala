@@ -78,6 +78,26 @@ class TextOpsSpec extends GraftSpec {
     assert(native.filter(col("doc_id").isin(-1L, -2L)).count() == 0)
   }
 
+  test("distinctiveTerms: language-exclusive terms outrank shared ones") {
+    val df = Seq(
+      (1L, "en", "hello world shared"),
+      (2L, "en", "hello again shared"),
+      (3L, "de", "hallo welt shared")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.distinctiveTerms(df, "lang", "text", k = 10)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    // en-exclusive "hello": tf 2, df 2 → weight 1.0
+    assert(r(("en", "hello")) == (2L, 2L, 1.0))
+    // "shared" appears in all 3 docs: en tf 2 / df 3, de tf 1 / df 3
+    assert(r(("en", "shared")) == (2L, 3L, 2.0 / 3.0))
+    assert(r(("de", "shared")) == (1L, 3L, 1.0 / 3.0))
+    // de-exclusive terms carry weight 1.0 and outrank "shared"
+    assert(r(("de", "hallo")) == (1L, 1L, 1.0))
+  }
+
   test("repetition: top bigram run and duplicate-word fraction") {
     val df = Seq(
       // "a b" occurs 3× (positions 1,3,5), 8 words, 3 distinct

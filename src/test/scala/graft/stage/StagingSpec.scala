@@ -25,6 +25,38 @@ class StagingSpec extends GraftSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("range-sorted layout: disjoint per-file key ranges; hash layout spans") {
+    val df = (1L to 4000L).map(i => ((i * 2654435761L) % 1000L, i))
+      .toDF("k", "payload")
+    val sorted = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    Staging.stageRangeSorted(df, sorted, numFiles = 8, Seq("k"))
+
+    // per-file min/max via the metadata column — the same stats parquet
+    // footers carry, which is what makes a selective scan skip files
+    def ranges(path: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+        .sortBy(_._1).toSeq
+
+    val rs = ranges(sorted)
+    assert(rs.size > 1)
+    rs.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file ranges: $rs")
+      case _ =>
+    }
+
+    // the unsorted (round-robin) layout: every file spans ~the full domain,
+    // so min/max stats can never skip anything
+    val unsorted = java.nio.file.Files.createTempDirectory("graft_un").toString
+    df.repartition(8).write.mode("overwrite").parquet(unsorted)
+    val us = ranges(unsorted)
+    assert(us.forall { case (lo, hi) => hi - lo > 900L },
+      s"expected full-domain spans, got $us")
+  }
+
   test("register: staged layout queryable through the catalog, idempotent") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"),
