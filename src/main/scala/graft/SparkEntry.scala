@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, Sampling, Scrub, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -562,7 +562,29 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // J1+ — salted shuffle join: hot-key volume spread over 8 synthetic
+    // sub-keys, small side replicated 8×; result proven identical to the
+    // plain join by a plain-join oracle.
+    "q51_salted_join" -> ((s, d) =>
+      SkewJoin.saltedJoin(t(s, d, "events"), t(s, d, "customer"),
+          "user_id", "c_custkey", saltSrc = col("event_id"), salts = 8)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)),
+
+    // F+/P+ — PII scrub of the parsed log stream: /24-coarsened client
+    // IP, peppered sha2-256 user token. Both are deterministic built-ins,
+    // so DuckDB recomputes the scrubbed values exactly.
+    "q52_anonymize" -> ((s, d) =>
+      ClfParser.parse(t(s, d, "events")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(synthLine.as("value")))
+        .select(
+          Scrub.anonymizeIpv4(col("ip_address")).as("ip_masked"),
+          Scrub.pseudonymizeId(col("user_id"), "graft-pepper").as("user_token"),
+          col("status_code"), col("size"))
+        .orderBy(col("size").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1233,6 +1255,26 @@ object SparkEntry {
         |       ELSE CAST(-1 AS BIGINT) END AS p50a,
         |  CASE WHEN d.p90a BETWEEN x.p90lo AND x.p90hi THEN d.p90a
         |       ELSE CAST(-1 AS BIGINT) END AS p90a
-        |FROM x LEFT JOIN d USING (lang) ORDER BY lang""".stripMargin
+        |FROM x LEFT JOIN d USING (lang) ORDER BY lang""".stripMargin,
+
+    // The salted join must EQUAL the plain join — the oracle is the
+    // unsalted formulation.
+    "q51_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Recompute the scrub from the synthesized columns: the synthetic ip
+    // is '10.<user_id%256>.0.1' → masked '10.<user_id%256>.0.0'; the user
+    // token is sha256 of the peppered decimal id (hex, lowercase in both
+    // engines).
+    "q52_anonymize" ->
+      """SELECT '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.0' AS ip_masked,
+        |       sha256('graft-pepper' || CAST(user_id AS VARCHAR)) AS user_token,
+        |       CAST(CASE WHEN event_type = 'purchase' THEN 200
+        |                 WHEN event_type = 'error' THEN 500
+        |                 ELSE 302 END AS BIGINT) AS status_code,
+        |       event_id AS size
+        |FROM events ORDER BY size""".stripMargin
   )
 }
