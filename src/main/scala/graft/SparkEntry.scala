@@ -1255,7 +1255,8 @@ object SparkEntry {
         |       ELSE CAST(-1 AS BIGINT) END AS p50a,
         |  CASE WHEN d.p90a BETWEEN x.p90lo AND x.p90hi THEN d.p90a
         |       ELSE CAST(-1 AS BIGINT) END AS p90a
-        |FROM x LEFT JOIN d USING (lang) ORDER BY lang""".stripMargin,
+        |FROM x LEFT JOIN d ON x.lang IS NOT DISTINCT FROM d.lang
+        |ORDER BY x.lang""".stripMargin,
 
     // The salted join must EQUAL the plain join — the oracle is the
     // unsalted formulation.

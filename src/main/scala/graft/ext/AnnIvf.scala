@@ -72,10 +72,14 @@ object AnnIvf {
 
   /** Nearest cell: argmin via a codegen'd `least` over the unrolled
     * `struct(dist, cell)` terms — ties to the lowest cell id, the same
-    * ordering as a struct-min aggregate. Zero shuffle, zero join. */
+    * ordering as a struct-min aggregate. Zero shuffle, zero join. An
+    * EMPTY centroid set yields NULL cell — callers' downstream equi-joins
+    * and assignments then degrade to empty output, the behavior of the
+    * crossJoin formulation this replaced, instead of a plan-build throw. */
   private def cellOf(vec: Column, cents: Cents): Column = {
     val ds = distStructs(vec, vNorm(vec), cents)
-    (if (ds.sizeIs > 1) least(ds: _*) else ds.head).getField("cell")
+    if (ds.isEmpty) lit(null).cast("long")
+    else (if (ds.sizeIs > 1) least(ds: _*) else ds.head).getField("cell")
   }
 
   /**
@@ -102,18 +106,12 @@ object AnnIvf {
       .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, jvmNorm(v)) })
       .sortBy(_._1)
 
-    (1 to iters).foreach { _ =>
-      // new centroid = per-(cell, dim) mean, reassembled in dim order.
-      // TWO selects, deliberately: `select(cellOf, posexplode)` in one
-      // projection puts the argmin in the Project ABOVE the Generate
-      // (plan-audited), re-evaluating the k dots once per exploded
-      // ELEMENT (dim×). Aliased a select earlier, `cell` crosses the
-      // Generate as an attribute, computed once per row.
-      cents = base
-        .select(cellOf(col("embedding"), cents).as("cell"), col("embedding"))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
+    // an empty corpus seeds zero centroids; iterating would argmin over
+    // nothing (and a null-cell group would surface as a phantom cell 0)
+    (1 to (if (cents.isEmpty) 0 else iters)).foreach { _ =>
+      // new centroid = per-(cell, dim) mean ([[iterPlan]] — the
+      // plan-audited one-pass shape), reassembled in dim order
+      cents = iterPlan(base, cents)
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
@@ -125,22 +123,32 @@ object AnnIvf {
     cents.toDF("cell", "centroid", "c_norm")
   }
 
-  /** Dev-only: the Lloyd-iteration aggregation plan for [[Scratch]]-style
-    * plan audits (same shape as the loop body in [[trainCentroids]]). */
-  private[graft] def iterPlanProbe(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = collectCents(centroids)
-    corpus.select(col("vec_id"), col("embedding"))
+  /** The Lloyd-iteration aggregation plan — one corpus pass: per-row
+    * argmin (narrow, BELOW the posexplode Generate: `select(cellOf,
+    * posexplode)` in one projection would re-run the k dots once per
+    * exploded element, dim×) → per-(cell, dim) partial mean. ONE builder
+    * shared by the training loop and [[iterPlanProbe]], so the
+    * plan-audited shape IS the executed shape. */
+  private def iterPlan(base: DataFrame, cents: Cents): DataFrame =
+    base
       .select(cellOf(col("embedding"), cents).as("cell"), col("embedding"))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
       .agg(avg(col("v").cast("double")).as("m"))
-  }
+
+  /** Dev-only: [[iterPlan]] on collected centroids, for PlanAuditSpec. */
+  private[graft] def iterPlanProbe(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    iterPlan(corpus.select(col("vec_id"), col("embedding")),
+      collectCents(centroids))
 
   /** Nearest-centroid cell per corpus vector: a narrow per-row argmin over
-    * the literal centroid array — no shuffle, no join. */
+    * the literal centroid array — no shuffle, no join. Empty centroid set
+    * → empty output (every id's nearest cell is undefined). */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = collectCents(centroids)
-    corpus.select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
+    val assigned = corpus.select(col("vec_id"),
+      cellOf(col("embedding"), cents).as("cell"))
+    if (cents.isEmpty) assigned.filter(lit(false)) else assigned
   }
 
   /**
@@ -158,6 +166,13 @@ object AnnIvf {
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
     val cents = collectCents(centroids)
+    // no centroids (empty training corpus) → no cells → no candidates;
+    // return the empty result in the declared shape rather than building
+    // probe expressions over zero struct terms
+    if (cents.isEmpty)
+      return queries.filter(lit(false)).select(
+        col("vec_id").as("q_id"), col("vec_id").as("nn_id"),
+        lit(0.0d).as("sim"), lit(0L).as("rank"))
     val corpusCells = corpus.select(
       col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
       vNorm(col("embedding")).as("nn_n"),

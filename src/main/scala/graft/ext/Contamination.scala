@@ -72,9 +72,11 @@ object Contamination {
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       expectedItems: Long = 1000000L, fpBits: Long = 8 * 1024 * 1024): DataFrame = {
-    val benchShingles = bench
+    // materialized: consumed twice (bloom build + verify join) — without
+    // the cut each consumer would re-shingle the full benchmark corpus
+    val benchShingles = Materialize.cut(bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
-      .distinct()
+      .distinct())
 
     // build: one pass over the benchmark shingles → a single binary value
     val bloomBytes = benchShingles
@@ -84,8 +86,11 @@ object Contamination {
     val mightContain =
       call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("s")))
 
-    val exploded = corpus
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("s"))
+    // materialized: the totals aggregate and the pruned verify branch both
+    // read it — uncut, each branch is a full redundant corpus text scan,
+    // the dominant cost at the scale regime this operator exists for
+    val exploded = Materialize.cut(corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("s")))
     val totals = exploded.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"))
     // prune narrowly, then verify ONLY the survivors exactly

@@ -78,4 +78,15 @@ class AnnIvfSpec extends GraftSpec {
     info(f"knnJoin recall vs brute force (nprobe 4/16, uniform data): $recall%.3f")
     assert(recall > 0.4)
   }
+
+  test("empty corpus: training, assignment, and topK degrade to empty, not throw") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val empty = emb.filter(col("vec_id") < 0)
+    val cents = AnnIvf.trainCentroids(empty, k = 4)
+    assert(cents.count() == 0)
+    assert(AnnIvf.assignCells(emb, cents).count() == 0)
+    val topk = AnnIvf.annTopK(emb.limit(5), emb, cents, kNeighbors = 3, nprobe = 2)
+    assert(topk.count() == 0)
+    assert(topk.columns.toSeq == Seq("q_id", "nn_id", "sim", "rank"))
+  }
 }

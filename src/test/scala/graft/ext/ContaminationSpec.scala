@@ -40,6 +40,7 @@ class ContaminationSpec extends GraftSpec {
     val direct = Contamination.contamination(corpus, bench, "doc_id", "text")
     val bloom = Contamination.contaminationBloom(corpus, bench, "doc_id", "text")
     assert(direct.count() > 0)
+    assert(bloom.count() == direct.count(), "bloom path dropped/added docs")
     assert(direct.unionAll(bloom).distinct().count() == direct.count(),
       "bloom path diverged from the exact path on some doc")
   }

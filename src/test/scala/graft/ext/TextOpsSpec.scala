@@ -71,6 +71,7 @@ class TextOpsSpec extends GraftSpec {
       .unionAll(Seq((-1L, ""), (-2L, "   "), (-3L, "one two")).toDF("doc_id", "text"))
     val native = TextOps.simhash(docs, "doc_id", "text")
     val twin = TextOps.simhashRelational(docs, "doc_id", "text")
+    assert(native.count() == twin.count(), "native dropped/added docs")
     assert(native.unionAll(twin).distinct().count() == twin.count(),
       "native and relational simhash disagree on some doc")
     // tokenless docs are absent from BOTH formulations
