@@ -73,4 +73,44 @@ class FuzzSpec extends GraftSpec {
       .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
     assert(got == expected)
   }
+
+  // arbitrary unicode strings (not just ASCII words) — the native
+  // expressions hash raw UTF-8 bytes, so multi-byte code points are the
+  // edge their twins must agree on
+  private val uniStr: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    s <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "ß", "中", "文", "🙂", " ", "\t")))
+  } yield s.mkString
+
+  test("graft_minhash agrees with its HOF twin on random unicode shingles") {
+    val arrGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(0, 15)
+      t <- Gen.listOfN(n, uniStr)
+    } yield t
+    val all = cases(arrGen, 50, seed = 0x314159L)
+    val mismatches = all.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "sh")
+      .select(
+        Dedup.minhashSignature($"sh", 8).as("native"),
+        Dedup.minhashSignatureHof($"sh", 8).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_simhash agrees with the relational twin on random unicode docs") {
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 10)
+      t <- Gen.listOfN(n, uniStr)
+    } yield t.mkString(" ")
+    val docs = cases(docGen, 50, seed = 0x51AL).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = TextOps.simhash(docs, "doc_id", "text")
+    val twin = TextOps.simhashRelational(docs, "doc_id", "text")
+    assert(native.count() == twin.count())
+    assert(native.unionAll(twin).distinct().count() == twin.count())
+  }
 }
