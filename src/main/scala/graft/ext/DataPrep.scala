@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
  * End-to-end training-data preparation: the composition a 100 TB corpus
  * actually runs, built entirely from this package's oracled operators —
  *
+ *  0. optional PII scrub ([[Scrub.maskEmails]] — per-row, first, so every
+ *     downstream stat and the shipped corpus see only masked text);
  *  1. quality filtering ([[TextOps.qualityScore]] floor plus repetition
  *     ceilings on [[TextOps.dupWordFrac]] / [[TextOps.topBigramCount]] —
  *     all per-row codegen'd expressions, a pure filter);
@@ -36,8 +38,10 @@ import org.apache.spark.sql.functions._
 object DataPrep {
 
   /** Tuning knobs; defaults are the operators' own defaults. A `None`
-    * quota skips the stratum stage entirely (no `rk` column). */
+    * quota skips the stratum stage entirely (no `rk` column);
+    * `maskEmails` turns on the stage-0 PII scrub. */
   final case class Config(
+      maskEmails: Boolean = false,
       dedupThreshold: Double = 0.8,
       minQuality: Double = 0.2,
       maxDupWordFrac: Double = 0.9,
@@ -60,9 +64,16 @@ object DataPrep {
       config: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
 
+    // 0. optional PII scrub — FIRST, so the masked text is what every
+    // downstream stage (and the shipped corpus) sees: a dedup or
+    // fingerprint computed on unmasked text would leak through its stats
+    val scrubbed =
+      if (config.maskEmails) docs.withColumn(textCol, Scrub.maskEmails(text))
+      else docs
+
     // 1. quality + repetition filters (pure per-row projection) — before
     // anything that shuffles, so junk never costs a shuffle
-    val screened = docs
+    val screened = scrubbed
       .filter(TextOps.qualityScore(text) >= config.minQuality)
       .filter(TextOps.dupWordFrac(text) <= config.maxDupWordFrac)
       .filter(TextOps.topBigramCount(text) <= config.maxTopBigram)

@@ -40,6 +40,19 @@ class DataPrepSpec extends GraftSpec {
     assert(rows(1L)._5 == 0L && rows(5L)._5 == 1L)
   }
 
+  test("prepare: maskEmails scrubs text before any downstream stage sees it") {
+    val docs = Seq(
+      (1L, s"$good write to someone@example.com for details", "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = DataPrep.prepare(docs, bench,
+      config = DataPrep.Config(maskEmails = true,
+        minQuality = 0.0, maxDupWordFrac = 1.0, maxTopBigram = 100L,
+        contextLen = 100L, shards = 2))
+    val text = out.collect()(0).getAs[String]("text")
+    assert(text.contains("<email>") && !text.contains("someone@example.com"))
+  }
+
   test("prepare: per-stratum quota bounds the output deterministically") {
     // per-doc texts share NO tokens (a common template would make them
     // genuine near-dups at trigram level and dedup would rightly collapse
