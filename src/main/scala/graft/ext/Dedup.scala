@@ -196,12 +196,15 @@ object Dedup {
     val members = Materialize.cut(memberships(df, idCol, textCol))
     val reps = representatives(df, idCol, textCol)
 
-    // TWO materialization stages, deliberately: shingles first, signature
-    // second FROM the materialized shingles. Fusing them into one
-    // projection lets projection collapse inline the shingle expression
-    // into the 32-hash signature transform (32× shingle recompute —
-    // measured 9s vs 5s at sf0.1). The shingle table also feeds both
-    // sides of the verify join and the group-stat lookups below.
+    // TWO materialization stages, deliberately — and not only because the
+    // historical HOF signature would inline the shingle expression 32×
+    // when fused: a localCheckpoint cannot COLUMN-PRUNE, so a single
+    // combined (ghash, id, sh, sig) table makes every signature consumer
+    // (the band explode) deserialize the heavy shingle arrays and every
+    // verify-join consumer deserialize the 32-long signatures (merged
+    // variant measured ~0.4 s slower on q20/q37 at sf0.1). The shingle
+    // table feeds both sides of the verify join and the group-stat
+    // lookups below; the signature table feeds only the LSH stage.
     val sh = Materialize.cut(
       reps.select(col("ghash"), col("id"), shingles(col("text"), n).as("sh"))
         .filter(size(col("sh")) > 0))

@@ -110,6 +110,37 @@ class PlanAuditSpec extends GraftSpec {
         s"got ${gen.requiredChildOutput.map(_.name)}")
   }
 
+  test("q46: per-language top-k pushes the rank limit into the window") {
+    val p = plan("q46_distinctive_terms")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q48: the selective re-read pushes its filter to the parquet scan") {
+    val p = plan("q48_sorted_layout")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), " +
+      "GreaterThanOrEqual(user_id,10), LessThanOrEqual(user_id,19)]"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q47: quantization is a pure narrow projection — zero exchanges " +
+    "before the output sort") {
+    val df = SparkEntry.queries("q47_quantize_int8")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the output-sort exchange, got $exchanges")
+  }
+
+  test("q50: the bloom prune is a narrow filter below the verify join") {
+    // might_contain must sit in a Filter that is NOT preceded by a join on
+    // its input side — the prune happens before any pairing
+    val df = SparkEntry.queries("q50_bloom_contamination")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    val filterLine = p.linesIterator.find(_.contains("might_contain")).get
+    assert(filterLine.contains("Filter") || filterLine.contains("filter"),
+      s"bloom probe not in a Filter: $filterLine")
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
