@@ -53,6 +53,29 @@ object DataPrep {
       shards: Int = 256)
 
   /**
+   * Stages 0+1 as a standalone screen: the optional PII scrub
+   * ([[Scrub.maskEmails]] — first, so every downstream stat and the
+   * shipped corpus see only masked text; masking after the fact would
+   * leak PII through statistics computed on the raw form) and the
+   * quality + repetition filters. Every operation is a stateless per-row
+   * codegen'd expression — no shuffle, no watermark, no aggregation — so
+   * the SAME call works on a batch DataFrame, on a streaming DataFrame,
+   * or inside a `foreachBatch` ahead of
+   * [[graft.streaming.StreamingDedup.processBatch]] (the streaming
+   * corpus-prep composition; StreamingPrepSpec drives it end-to-end).
+   */
+  def screen(docs: DataFrame, textCol: String, config: Config = Config()): DataFrame = {
+    val text: Column = col(textCol)
+    val scrubbed =
+      if (config.maskEmails) docs.withColumn(textCol, Scrub.maskEmails(text))
+      else docs
+    scrubbed
+      .filter(TextOps.qualityScore(text) >= config.minQuality)
+      .filter(TextOps.dupWordFrac(text) <= config.maxDupWordFrac)
+      .filter(TextOps.topBigramCount(text) <= config.maxTopBigram)
+  }
+
+  /**
    * Prepare `docs` (idCol, textCol, stratumCol) against an eval `bench`:
    * returns the packed survivor set — original columns plus `shard`,
    * `n_tokens`, `tok_offset`, `bin` (and `rk` when a quota is set).
@@ -64,19 +87,8 @@ object DataPrep {
       config: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
 
-    // 0. optional PII scrub — FIRST, so the masked text is what every
-    // downstream stage (and the shipped corpus) sees: a dedup or
-    // fingerprint computed on unmasked text would leak through its stats
-    val scrubbed =
-      if (config.maskEmails) docs.withColumn(textCol, Scrub.maskEmails(text))
-      else docs
-
-    // 1. quality + repetition filters (pure per-row projection) — before
-    // anything that shuffles, so junk never costs a shuffle
-    val screened = scrubbed
-      .filter(TextOps.qualityScore(text) >= config.minQuality)
-      .filter(TextOps.dupWordFrac(text) <= config.maxDupWordFrac)
-      .filter(TextOps.topBigramCount(text) <= config.maxTopBigram)
+    // 0.+1.: the stream-safe screen (see [[screen]])
+    val screened = screen(docs, textCol, config)
 
     // 2. near-dup removal (transitive: one survivor per duplicate chain),
     // cut before the two-branch fan-out below

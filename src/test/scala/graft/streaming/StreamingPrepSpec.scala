@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.GraftSpec
+import graft.ext.DataPrep
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming corpus-prep composition: [[DataPrep.screen]] (stateless
+  * per-row scrub + quality filters — stream-safe by construction) feeding
+  * [[StreamingDedup.processBatch]] inside one foreachBatch. This is the
+  * micro-batch twin of the batch `DataPrep.prepare` front half, running
+  * against the same operators — no streaming-only reimplementation to
+  * drift. */
+class StreamingPrepSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog near the quiet river today"
+  private val goodDup =
+    "the quick brown fox jumps over the lazy cat near the quiet river today"
+  private val spam = Array.fill(30)("buy now").mkString(" ")
+  private val mailed =
+    "completely different words about spark catalyst codegen shuffles " +
+      "please contact someone@example.com regarding the nightly delivery"
+
+  test("stream screen → near-dup store: junk dropped, emails masked, dups dropped") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sprep").resolve("store").toString
+    val cfg = DataPrep.Config(maskEmails = true,
+      minQuality = 0.1, maxDupWordFrac = 0.5, maxTopBigram = 5L)
+
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = mem.toDF().toDF("doc_id", "text", "time")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.processBatch(
+            DataPrep.screen(batch, "text", cfg), statePath,
+            threshold = 0.5) { out =>
+          emitted ++= out.select(col("doc_id"), col("text"))
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, good, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, spam, Timestamp.valueOf("2024-01-01 10:00:01")),
+        (3L, mailed, Timestamp.valueOf("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 arrives later — the store drops it
+      mem.addData((4L, goodDup, Timestamp.valueOf("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = emitted.toMap
+    assert(byId.keySet == Set(1L, 3L), s"got ${emitted.map(_._1)}")
+    assert(byId(3L).contains("<email>") && !byId(3L).contains("@example.com"))
+  }
+}
