@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, Sampling, Scrub, Similarity, SkewJoin, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -584,7 +584,48 @@ object SparkEntry {
           Scrub.anonymizeIpv4(col("ip_address")).as("ip_masked"),
           Scrub.pseudonymizeId(col("user_id"), "graft-pepper").as("user_token"),
           col("status_code"), col("size"))
-        .orderBy(col("size").asc_nulls_last))
+        .orderBy(col("size").asc_nulls_last)),
+
+    // J+ — backward as-of join: each purchase matched to the same user's
+    // most recent click at or before it (ties: greatest event_id). Union-tag
+    // + running-window formulation — one shuffle, |L|+|R| rows through it,
+    // no (purchase × earlier-click) pair blowup; the oracle computes the
+    // identical join the naive way (left join + row_number prune).
+    "q53_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      AsofJoin.asofBackward(
+          left = e.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          right = e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("event_id", "ts"), rightTie = "event_id")
+        .select(
+          col("event_id").as("p_event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          col("asof_event_id").as("c_event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"))
+        .orderBy(col("p_event_id").asc_nulls_last)
+    }),
+
+    // J+ — bucketized range join: events banded by value into half-open
+    // [lo, hi) classes through an EQUI join on bucket id + residual bound
+    // filter (never a nested-loop/cartesian plan — PlanAuditSpec asserts);
+    // the oracle runs the plain BETWEEN join.
+    "q54_range_join" -> ((s, d) => {
+      val bands = s.range(0, 10).select(
+        col("id").as("band"),
+        (col("id") * 50.0d).as("lo"),
+        (col("id") * 50.0d + 50.0d).as("hi"))
+      RangeJoin.pointInRange(
+          t(s, d, "events").select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", bucketWidth = 50.0d)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).as("sum_eid"))
+        .orderBy(col("band").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1276,6 +1317,41 @@ object SparkEntry {
         |                 WHEN event_type = 'error' THEN 500
         |                 ELSE 302 END AS BIGINT) AS status_code,
         |       event_id AS size
-        |FROM events ORDER BY size""".stripMargin
+        |FROM events ORDER BY size""".stripMargin,
+
+    // The naive as-of formulation: materialize every (purchase,
+    // earlier-click) pair, keep rn=1. LEFT JOIN so unmatched purchases
+    // survive with null clicks — identical to the operator's left-outer
+    // inclusive-backward semantics. CAST(ts AS TIMESTAMP) pins DuckDB to
+    // the same microsecond precision Spark reads.
+    "q53_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |j AS (SELECT l.event_id AS p_event_id, l.user_id AS user_id,
+        |             l.ts AS pts, r.event_id AS c_event_id, r.ts AS cts,
+        |             row_number() OVER (PARTITION BY l.event_id
+        |                                ORDER BY r.ts DESC, r.event_id DESC)
+        |               AS rn
+        |      FROM l LEFT JOIN r
+        |        ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |SELECT p_event_id, user_id,
+        |  strftime(date_trunc('second', pts), '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c_event_id,
+        |  strftime(date_trunc('second', cts), '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM j WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
+
+    // The plain BETWEEN join the bucketized equi-join must equal.
+    "q54_range_join" ->
+      """WITH b AS (SELECT range AS band,
+        |             CAST(range * 50.0 AS DOUBLE) AS lo,
+        |             CAST(range * 50.0 + 50.0 AS DOUBLE) AS hi
+        |           FROM range(0, 10))
+        |SELECT CAST(b.band AS BIGINT) AS band, count(*) AS cnt,
+        |       CAST(sum(e.event_id) AS BIGINT) AS sum_eid
+        |FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
