@@ -141,6 +141,24 @@ class PlanAuditSpec extends GraftSpec {
       s"bloom probe not in a Filter: $filterLine")
   }
 
+  test("q53: as-of join is a single window pass — no join node, one " +
+    "hash shuffle") {
+    // the union-tag formulation must never degrade to the pair-
+    // materializing (purchase × earlier-click) join the oracle runs
+    val p = plan("q53_asof_join")
+    assert(p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("Join"), s"pair-materializing join appeared:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected exactly one key shuffle:\n$p")
+  }
+
+  test("q54: range join plans as a hash equi-join on the bucket id") {
+    val p = plan("q54_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
