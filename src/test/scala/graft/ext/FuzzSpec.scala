@@ -113,4 +113,64 @@ class FuzzSpec extends GraftSpec {
     assert(native.count() == twin.count())
     assert(native.unionAll(twin).distinct().count() == twin.count())
   }
+
+  test("asofBackward agrees with a driver-side scan on random frames") {
+    // tiny key/time domains force the edge cases: equal-time ties (both
+    // sides), duplicate left rows, keys missing from either side
+    val frameGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])] =
+      for {
+        nl <- Gen.chooseNum(1, 25)
+        nr <- Gen.chooseNum(0, 25)
+        mk = for {
+          k <- Gen.chooseNum(0L, 4L)
+          t <- Gen.chooseNum(0L, 9L)
+          id <- Gen.chooseNum(0L, 99L)
+        } yield (id, k, t)
+        l <- Gen.listOfN(nl, mk)
+        r <- Gen.listOfN(nr, mk)
+      } yield (l, r)
+
+    cases(frameGen, 15, seed = 0xA50FL).foreach { case (l, r) =>
+      val left = l.toDF("id", "key", "time")
+      val right = r.toDF("rid", "rkey", "rtime")
+      val got = AsofJoin.asofBackward(left, right, "key", "rkey",
+          "time", "rtime", Seq("rid"), "rid")
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+          Option(row.get(3)).map(_.asInstanceOf[Long])))
+        .sorted
+      val expected = l.map { case (id, k, t) =>
+        val m = r.filter { case (_, rk, rt) => rk == k && rt <= t }
+          .sortBy { case (rid, _, rt) => (rt, rid) }.lastOption.map(_._1)
+        (id, k, t, m)
+      }.sorted
+      assert(got.toSeq == expected, s"l=$l r=$r")
+    }
+  }
+
+  test("pointInRange agrees with the naive filter on random intervals, " +
+    "negatives included") {
+    val caseGen: Gen[(Seq[Double], Seq[(Long, Double, Double)])] = for {
+      np <- Gen.chooseNum(1, 30)
+      nr <- Gen.chooseNum(1, 10)
+      ps <- Gen.listOfN(np, Gen.chooseNum(-120, 120).map(_ / 4.0))
+      rs <- Gen.listOfN(nr, for {
+        lo <- Gen.chooseNum(-120, 120).map(_ / 4.0)
+        len <- Gen.chooseNum(0, 80).map(_ / 4.0)
+      } yield (lo, lo + len))
+    } yield (ps, rs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) })
+
+    cases(caseGen, 12, seed = 0x4A11L).foreach { case (ps, rs) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "v")
+      val ranges = rs.toDF("rid", "lo", "hi")
+      val got = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", 7.0)
+        .select($"pid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      val expected = ps.zipWithIndex.flatMap { case (v, i) =>
+        rs.filter { case (_, lo, hi) => v >= lo && v < hi }
+          .map(r => (i.toLong, r._1))
+      }.sorted
+      assert(got == expected, s"ps=$ps rs=$rs")
+    }
+  }
 }
