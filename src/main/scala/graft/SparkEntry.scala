@@ -625,7 +625,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("event_id")).as("sum_eid"))
         .orderBy(col("band").asc_nulls_last)
-    })
+    }),
+
+    // X2+ — overlapping token-window chunking (64-token chunks, stride
+    // 48 ⇒ 16-token overlap): the long-document context-window prep step
+    // as a pure narrow Generate — zero shuffles before the output sort.
+    // Chunk content certified as an md5 over the rejoined tokens, which
+    // the oracle recomputes with DuckDB list slicing.
+    "q55_chunk" -> ((s, d) =>
+      TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id").asc_nulls_last, col("chunk_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1352,6 +1362,26 @@ object SparkEntry {
         |SELECT CAST(b.band AS BIGINT) AS band, count(*) AS cnt,
         |       CAST(sum(e.event_id) AS BIGINT) AS sum_eid
         |FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Recompute the chunking with list slicing: same whitespace tokens,
+    // same ceil chunk count ((max(n-64,0)+47)//48 + 1), same md5 over the
+    // space-rejoined slice. unnest(range(...)) is the per-row index
+    // explode (DuckDB's range TABLE function rejects lateral columns).
+    "q55_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                         y -> length(y) > 0) AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1))
+        |          AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(chunk_id*48 + 64, n) - chunk_id*48 AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[chunk_id*48 + 1 : least(chunk_id*48 + 64, n)],
+        |      ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

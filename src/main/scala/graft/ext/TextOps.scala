@@ -23,6 +23,44 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /**
+   * Overlapping token-window chunking — the context-window prep step for
+   * long documents: each document becomes ceil-many chunks of up to
+   * `chunkSize` tokens, each advanced by `stride` tokens (stride <
+   * chunkSize ⇒ adjacent chunks share `chunkSize - stride` tokens, so no
+   * training sequence straddles a hard cut). The final chunk keeps the
+   * tail even when shorter; empty documents produce no chunks.
+   *
+   * Narrow and shuffle-free: one Generate (explode of the per-row chunk
+   * index range) per document, chunk extraction is an O(chunkSize) array
+   * slice — at 100 TB this is a pure map stage that scales with input
+   * splits. Chunk content is certified compactly as an md5 over the
+   * space-rejoined tokens (both engines hash identical UTF-8 bytes)
+   * instead of shipping chunk text through the dump.
+   */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val lastChunk = floor(
+      (greatest(col("_n") - chunkSize, lit(0L)) + (stride - 1).toLong) /
+        lit(stride))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .withColumn("_chunk",
+        slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+  }
+
   // ---- language identification (marker-word heuristic) ----
 
   /** Marker words per language — tiny fixed stopword cores. Order of this

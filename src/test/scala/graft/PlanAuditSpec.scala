@@ -159,6 +159,14 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("HashJoin"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("q55: chunking is a narrow Generate — no shuffle before the " +
+    "output sort") {
+    val p = plan("q55_chunk")
+    assert(p.contains("Generate"), p.linesIterator.take(12).mkString("\n"))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"chunking shuffled:\n$p")
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

@@ -142,4 +142,46 @@ class TextOpsSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
+
+  test("chunkTokens: overlap, tail chunk, short docs, empty docs") {
+    // 10 tokens, size 4, stride 3 ⇒ chunks [0,4) [3,7) [6,10): the last
+    // stride lands exactly on the tail, overlap is size - stride = 1
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),    // shorter than one chunk → one short chunk
+      (3L, "   "),    // whitespace only → zero chunks
+      (4L, "x y z w") // exactly one chunk, no second
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L),
+      (2L, 0L, 2L), (4L, 0L, 4L)))
+    // overlapping chunks of the same doc differ, identical docs chunk alike
+    val md = TextOps.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(3))).toMap
+    assert(md((1L, 0L)) != md((1L, 1L)))
+    val twin = Seq((9L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val tw = TextOps.chunkTokens(twin, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(1), r.getString(3))).toMap
+    assert((0L to 2L).forall(i => tw(i) == md((1L, i))),
+      "chunking is content-determined, not id-determined")
+  }
+
+  test("chunkTokens: agrees with a driver-side scan on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val expected = docs.select($"doc_id", $"text").collect().flatMap { r =>
+      val toks = Option(r.getString(1)).getOrElse("")
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) Seq.empty
+      else (0L to ((math.max(n - 64, 0) + 47) / 48).toLong).map { i =>
+        (r.getLong(0), i, math.min(i * 48 + 64, n) - i * 48)
+      }
+    }.sorted.toSeq
+    assert(got == expected)
+  }
 }
