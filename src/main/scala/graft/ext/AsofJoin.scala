@@ -57,16 +57,20 @@ object AsofJoin {
     val pStruct = struct(rightPayload.map(right(_)): _*)
     val lType = left.select(lStruct).schema.head.dataType
     val pType = right.select(pStruct).schema.head.dataType
+    // the tie column keeps its own type — any orderable column works, and
+    // a lossy numeric cast here would corrupt (or, under ANSI, throw on)
+    // string ties
+    val tieType = right.select(right(rightTie)).schema.head.dataType
 
     val lhs = left.select(
       left(leftKey).as("_k"), left(leftTime).as("_t"),
-      lit(1).as("_side"), lit(null).cast("long").as("_tie"),
+      lit(1).as("_side"), lit(null).cast(tieType).as("_tie"),
       lStruct.as("_l"), lit(null).cast(pType).as("_p"))
     val rhs = right
       .filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
       .select(
         right(rightKey).as("_k"), right(rightTime).as("_t"),
-        lit(0).as("_side"), right(rightTie).cast("long").as("_tie"),
+        lit(0).as("_side"), right(rightTie).as("_tie"),
         lit(null).cast(lType).as("_l"), pStruct.as("_p"))
 
     // Rows at equal (_k, _t): right (side 0) before left (side 1), so the

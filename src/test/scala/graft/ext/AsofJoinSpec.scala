@@ -51,6 +51,17 @@ class AsofJoinSpec extends GraftSpec {
     assert(joined.count() == left.count(), "every left row survives exactly once")
   }
 
+  test("a string tie column orders lexicographically, no numeric cast") {
+    val r = Seq(
+      ("ver-a", "a", ts("2024-01-01 09:00:00"), "x"),
+      ("ver-b", "a", ts("2024-01-01 09:00:00"), "y")
+    ).toDF("rid", "rkey", "rtime", "tag")
+    val j = AsofJoin.asofBackward(left, r, "key", "rkey", "time", "rtime",
+      Seq("rid"), "rid")
+    val m = j.collect().map(row => row.getLong(0) -> row.getString(3)).toMap
+    assert(m(1L) == "ver-b", "greatest string tie must win")
+  }
+
   test("right rows with null key or time are dropped, not matched") {
     val r2 = right.unionByName(Seq(
       (98L, null.asInstanceOf[String], ts("2024-01-01 01:00:00"), "nullkey"),
