@@ -635,7 +635,28 @@ object SparkEntry {
     "q55_chunk" -> ((s, d) =>
       TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text",
           chunkSize = 64, stride = 48)
-        .orderBy(col("doc_id").asc_nulls_last, col("chunk_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last, col("chunk_id").asc_nulls_last)),
+
+    // J+ — forward as-of join, q53's mirror: each signup matched to the
+    // same user's FIRST error at or after it (nearest following event).
+    // Same single-shuffle union-tag window, ordered by descending time.
+    "q56_asof_forward" -> ((s, d) => {
+      val e = t(s, d, "events")
+      AsofJoin.asofForward(
+          left = e.filter(col("event_type") === "signup")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          right = e.filter(col("event_type") === "error")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("event_id", "ts"), rightTie = "event_id")
+        .select(
+          col("event_id").as("s_event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s_ts"),
+          col("asof_event_id").as("e_event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("e_ts"))
+        .orderBy(col("s_event_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1382,6 +1403,27 @@ object SparkEntry {
         |  CAST(least(chunk_id*48 + 64, n) - chunk_id*48 AS BIGINT) AS n_tok,
         |  md5(array_to_string(toks[chunk_id*48 + 1 : least(chunk_id*48 + 64, n)],
         |      ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q53's naive formulation mirrored forward: smallest r.ts >= l.ts,
+    // ties to the greatest event_id.
+    "q56_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'error'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |j AS (SELECT l.event_id AS s_event_id, l.user_id AS user_id,
+        |             l.ts AS sts, r.event_id AS e_event_id, r.ts AS ets,
+        |             row_number() OVER (PARTITION BY l.event_id
+        |                                ORDER BY r.ts ASC, r.event_id DESC)
+        |               AS rn
+        |      FROM l LEFT JOIN r
+        |        ON l.user_id = r.user_id AND r.ts >= l.ts)
+        |SELECT s_event_id, user_id,
+        |  strftime(date_trunc('second', sts), '%Y-%m-%d %H:%M:%S') AS s_ts,
+        |  e_event_id,
+        |  strftime(date_trunc('second', ets), '%Y-%m-%d %H:%M:%S') AS e_ts
+        |FROM j WHERE rn = 1 ORDER BY s_event_id""".stripMargin
   )
 }

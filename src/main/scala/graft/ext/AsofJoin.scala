@@ -49,7 +49,34 @@ object AsofJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String],
-      rightTie: String): DataFrame = {
+      rightTie: String): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightTie, backward = true)
+
+  /**
+   * Forward (mirror) as-of: the single right row with the SMALLEST time at
+   * or after the left row's time within the key — "next event after": the
+   * first error after a deploy, the next restock after a stock-out. Same
+   * single-shuffle union-tag shape, with the window ordered by descending
+   * time so the running deposit at each left row is the nearest following
+   * right row. Tie and null semantics as in [[asofBackward]].
+   */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String],
+      rightTie: String): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightTie, backward = false)
+
+  private def asof(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String],
+      rightTie: String,
+      backward: Boolean): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
 
     val leftCols = left.columns.toSeq
@@ -75,9 +102,13 @@ object AsofJoin {
 
     // Rows at equal (_k, _t): right (side 0) before left (side 1), so the
     // deposit is visible to the left row; among rights, ascending _tie so
-    // `last` lands on the greatest.
+    // `last` lands on the greatest. Forward direction = the same running
+    // scan over descending time: the last deposit seen before a left row
+    // is then the SMALLEST right time at or after it.
+    val tOrd = if (backward) col("_t").asc_nulls_first
+               else col("_t").desc_nulls_first
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc_nulls_first, col("_side").asc, col("_tie").asc)
+      .orderBy(tOrd, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lhs.unionByName(rhs)

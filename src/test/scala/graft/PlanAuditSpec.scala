@@ -141,15 +141,17 @@ class PlanAuditSpec extends GraftSpec {
       s"bloom probe not in a Filter: $filterLine")
   }
 
-  test("q53: as-of join is a single window pass — no join node, one " +
-    "hash shuffle") {
+  test("q53/q56: as-of joins are a single window pass — no join node, " +
+    "one hash shuffle") {
     // the union-tag formulation must never degrade to the pair-
-    // materializing (purchase × earlier-click) join the oracle runs
-    val p = plan("q53_asof_join")
-    assert(p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
-    assert(!p.contains("Join"), s"pair-materializing join appeared:\n$p")
-    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashShuffles == 1, s"expected exactly one key shuffle:\n$p")
+    // materializing (left × candidate-right) join the oracles run
+    Seq("q53_asof_join", "q56_asof_forward").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("Window"), s"$k: " + p.linesIterator.take(12).mkString("\n"))
+      assert(!p.contains("Join"), s"$k: pair-materializing join appeared:\n$p")
+      val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashShuffles == 1, s"$k: expected exactly one key shuffle:\n$p")
+    }
   }
 
   test("q54: range join plans as a hash equi-join on the bucket id") {

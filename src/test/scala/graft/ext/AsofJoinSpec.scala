@@ -51,6 +51,18 @@ class AsofJoinSpec extends GraftSpec {
     assert(joined.count() == left.count(), "every left row survives exactly once")
   }
 
+  test("asofForward: nearest following row, inclusive, ties to greatest") {
+    val j = AsofJoin.asofForward(left, right, "key", "rkey", "time", "rtime",
+      Seq("rid", "tag"), "rid")
+    val m = j.collect().map(r =>
+      r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(m(3L).contains(11L), "08:00 → nearest following is the 09:00 tie; greatest rid wins")
+    assert(m(2L).contains(11L), "equal time is inclusive")
+    assert(m(1L).contains(12L), "10:00 → next is 11:00")
+    assert(m(4L).isEmpty, "key absent from right")
+    assert(m(5L).contains(20L), "future right row is forward-visible")
+  }
+
   test("a string tie column orders lexicographically, no numeric cast") {
     val r = Seq(
       ("ver-a", "a", ts("2024-01-01 09:00:00"), "x"),

@@ -145,6 +145,20 @@ class FuzzSpec extends GraftSpec {
         (id, k, t, m)
       }.sorted
       assert(got.toSeq == expected, s"l=$l r=$r")
+
+      val gotF = AsofJoin.asofForward(left, right, "key", "rkey",
+          "time", "rtime", Seq("rid"), "rid")
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+          Option(row.get(3)).map(_.asInstanceOf[Long])))
+        .sorted
+      val expectedF = l.map { case (id, k, t) =>
+        // nearest following time; ties at that time to the greatest rid
+        val m = r.filter { case (_, rk, rt) => rk == k && rt >= t }
+          .sortBy { case (rid, _, rt) => (-rt, rid) }.lastOption.map(_._1)
+        (id, k, t, m)
+      }.sorted
+      assert(gotF.toSeq == expectedF, s"forward: l=$l r=$r")
     }
   }
 
