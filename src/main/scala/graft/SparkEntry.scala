@@ -656,6 +656,36 @@ object SparkEntry {
           col("asof_event_id").as("e_event_id"),
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("e_ts"))
         .orderBy(col("s_event_id").asc_nulls_last)
+    }),
+
+    // J+/W2+ — keyed range join composed with sessionization: day-gap
+    // click sessions per user become [start, last_click + 1 day) epoch
+    // intervals — disjoint BY the gap rule (the next session starts more
+    // than a day after the last click) — and each error event range-joins
+    // into its own user's attribution window. The interval join is the
+    // bucketized equi-join on (user, bucket) — the per-entity interval
+    // case — never a nested loop.
+    "q57_session_attribution" -> ((s, d) => {
+      val day = 86400L
+      val e = t(s, d, "events")
+      val sessions = LogAnalytics.sessionIntervals(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          userCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapSeconds = day)
+        .select(col("user_id").as("s_user"), col("session_idx"),
+          col("start_ep").cast("double").as("lo"),
+          (col("end_ep") + day).cast("double").as("hi"))
+      val errors = e
+        .filter(col("event_type") === "error" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).cast("double").as("ep"))
+      RangeJoin.pointInRange(errors, "ep", sessions, "lo", "hi",
+          bucketWidth = day.toDouble, keys = Seq("user_id" -> "s_user"))
+        .select(col("event_id").as("e_event_id"), col("user_id"),
+          col("session_idx"))
+        .orderBy(col("e_event_id").asc_nulls_last)
     })
   )
 
@@ -1424,6 +1454,36 @@ object SparkEntry {
         |  strftime(date_trunc('second', sts), '%Y-%m-%d %H:%M:%S') AS s_ts,
         |  e_event_id,
         |  strftime(date_trunc('second', ets), '%Y-%m-%d %H:%M:%S') AS e_ts
-        |FROM j WHERE rn = 1 ORDER BY s_event_id""".stripMargin
+        |FROM j WHERE rn = 1 ORDER BY s_event_id""".stripMargin,
+
+    // Recompute the click sessions with the q34-style lag/running-sum
+    // windows, take per-session epoch bounds, and BETWEEN-join the error
+    // events — the plain formulation of the keyed bucketized range join.
+    "q57_session_attribution" ->
+      """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 86400
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM g),
+        |i AS (SELECT user_id, session_idx,
+        |        min(ep) AS start_ep, max(ep) AS end_ep
+        |      FROM s GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id,
+        |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+        |      FROM events WHERE event_type = 'error'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT e.event_id AS e_event_id, e.user_id,
+        |       CAST(i.session_idx AS BIGINT) AS session_idx
+        |FROM e JOIN i ON e.user_id = i.user_id
+        |  AND e.ep >= i.start_ep AND e.ep < i.end_ep + 86400
+        |ORDER BY e_event_id""".stripMargin
   )
 }

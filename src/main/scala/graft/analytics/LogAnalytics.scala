@@ -78,6 +78,41 @@ object LogAnalytics {
       .agg(sum(col("ns")).as("n_sessions"))
   }
 
+  /**
+   * Session INTERVALS — [[sessionCounts]]'s sibling that keeps each
+   * session's bounds instead of only counting: per (user, session index),
+   * the epoch-second min and max event time. Same lag-then-running-sum
+   * pattern and the same single shuffle: the session-index window
+   * partitions by user, and the bounds aggregation groups by
+   * (user, session_idx) — a superset of the window's clustering, so no
+   * second exchange. Intervals of one user never overlap (consecutive
+   * sessions are separated by more than `gapSeconds`), which is what makes
+   * them range-join targets (q57).
+   */
+  def sessionIntervals(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "time",
+      tieCol: String = "request_resource",
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull ||
+        (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(tieCol), newSession.as("_ns"))
+      .withColumn("session_idx", sum(col("_ns")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(unix_timestamp(col(tsCol))).as("start_ep"),
+        max(unix_timestamp(col(tsCol))).as("end_ep"))
+  }
+
   /** The reference's Athena validation trio (`/root/reference/README.md:62-66`)
     * as runnable Spark SQL over a registered table name. */
   def athenaSql(table: String): Seq[String] = Seq(

@@ -35,11 +35,18 @@ object RangeJoin {
    * of `ranges`' columns. A range whose `hi` falls exactly on a bucket
    * boundary contributes one bucket row that can never pass the residual
    * filter (the interval is half-open) — harmless, filtered, not emitted.
+   *
+   * `keys` adds equality predicates (pointKeyCol, rangeKeyCol) for the
+   * per-entity interval case — events into the same user's sessions, IPs
+   * into the same tenant's blocks. The keys join as ordinary equi-columns
+   * alongside the bucket id, so they ride the same hash partitioning and
+   * sharpen it: only same-key, same-bucket rows ever pair.
    */
   def pointInRange(
       points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
 
     val w = lit(bucketWidth)
@@ -50,8 +57,10 @@ object RangeJoin {
       .withColumn("_rb",
         explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
 
-    p.join(r, col("_pb") === col("_rb") &&
-        col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_pb", "_rb")
+    val cond = keys.foldLeft(col("_pb") === col("_rb") &&
+        col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)) {
+      case (c, (pk, rk)) => c && p(pk) === r(rk)
+    }
+    p.join(r, cond).drop("_pb", "_rb")
   }
 }

@@ -154,11 +154,13 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
-  test("q54: range join plans as a hash equi-join on the bucket id") {
-    val p = plan("q54_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join degraded to a nested loop:\n$p")
-    assert(p.contains("HashJoin"), p.linesIterator.take(12).mkString("\n"))
+  test("q54/q57: range joins plan as hash equi-joins on the bucket id") {
+    Seq("q54_range_join", "q57_session_attribution").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$k: range join degraded to a nested loop:\n$p")
+      assert(p.contains("HashJoin"), s"$k: " + p.linesIterator.take(12).mkString("\n"))
+    }
   }
 
   test("q55: chunking is a narrow Generate — no shuffle before the " +

@@ -61,6 +61,38 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("sessionIntervals: bounds per session, disjoint, counts agree") {
+    import spark.implicits._
+    val events = Seq(
+      (Some(1L), "2024-05-06 10:00:00", "/a"),
+      (Some(1L), "2024-05-06 10:10:00", "/b"),
+      (Some(1L), "2024-05-06 12:00:00", "/c"),
+      (Some(2L), "2024-05-06 09:00:00", "/a"),
+      (None,     "2024-05-06 09:00:00", "/x")
+    ).toDF("user_id", "t", "request_resource")
+      .withColumn("time", to_timestamp(col("t"))).drop("t")
+    val iv = LogAnalytics.sessionIntervals(events, gapSeconds = 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val ep = java.time.LocalDateTime.parse("2024-05-06T10:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(iv == Seq(
+      (1L, 1L, ep, ep + 600),          // 10:00–10:10 session
+      (1L, 2L, ep + 7200, ep + 7200),  // single-event 12:00 session
+      (2L, 1L, ep - 3600, ep - 3600)))
+    // per-user interval counts equal sessionCounts
+    val fromIv = iv.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val counts = LogAnalytics.sessionCounts(events, gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromIv == counts)
+    // one shuffle: the bounds groupBy reuses the window's user clustering
+    val p = LogAnalytics.sessionIntervals(events, gapSeconds = 1800L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected one shuffle:\n$p")
+  }
+
   test("athena validation trio runs over a registered table") {
     logs.createOrReplaceTempView("graft_athena_test")
     val Seq(nonnull, perUser, success) =

@@ -48,6 +48,22 @@ class RangeJoinSpec extends GraftSpec {
     assert(out.isEmpty, "a (point, range) pair was emitted more than once")
   }
 
+  test("keyed mode: a point only matches intervals of its own key") {
+    // two users with overlapping numeric intervals — without the key the
+    // point at 5.0 would match both
+    val sessions = Seq(
+      ("u1", "s1", 0.0, 10.0),
+      ("u2", "s2", 0.0, 10.0),
+      ("u1", "s3", 40.0, 60.0)
+    ).toDF("suser", "session", "lo", "hi")
+    val points = Seq(("u1", 1L, 5.0), ("u2", 2L, 5.0), ("u1", 3L, 45.0),
+      ("u3", 4L, 5.0)).toDF("puser", "pid", "v")
+    val got = RangeJoin.pointInRange(points, "v", sessions, "lo", "hi", 10.0,
+        keys = Seq("puser" -> "suser"))
+      .select(col("pid"), col("session")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "s1"), (2L, "s2"), (3L, "s3")))
+  }
+
   test("plan: an equi hash join on the bucket id, never a nested loop") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("value"))
