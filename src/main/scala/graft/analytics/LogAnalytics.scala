@@ -64,7 +64,19 @@ object LogAnalytics {
       userCol: String = "user_id",
       tsCol: String = "time",
       tieCol: String = "request_resource",
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L): DataFrame =
+    sessionIndexed(df, userCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(userCol))
+      .agg(max(col("session_idx")).as("n_sessions"))
+
+  /** The shared session-index pass behind [[sessionCounts]] and
+    * [[sessionIntervals]]: each surviving row tagged with its 1-based
+    * session index (running sum of gap-break markers) — one window, one
+    * shuffle by user. Kept private so the gap rule exists exactly once. */
+  private def sessionIndexed(
+      df: DataFrame,
+      userCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
     val prev = lag(col(tsCol), 1).over(w)
@@ -73,9 +85,10 @@ object LogAnalytics {
         (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds, 1L)
       .otherwise(0L)
     df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol), newSession.as("ns"))
-      .groupBy(col(userCol))
-      .agg(sum(col("ns")).as("n_sessions"))
+      .select(col(userCol), col(tsCol), col(tieCol), newSession.as("_ns"))
+      .withColumn("session_idx", sum(col("_ns")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
   }
 
   /**
@@ -94,24 +107,12 @@ object LogAnalytics {
       userCol: String = "user_id",
       tsCol: String = "time",
       tieCol: String = "request_resource",
-      gapSeconds: Long = 1800L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
-    val prev = lag(col(tsCol), 1).over(w)
-    val newSession = when(
-      prev.isNull ||
-        (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds, 1L)
-      .otherwise(0L)
-    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol), col(tsCol), col(tieCol), newSession.as("_ns"))
-      .withColumn("session_idx", sum(col("_ns")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+      gapSeconds: Long = 1800L): DataFrame =
+    sessionIndexed(df, userCol, tsCol, tieCol, gapSeconds)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         min(unix_timestamp(col(tsCol))).as("start_ep"),
         max(unix_timestamp(col(tsCol))).as("end_ep"))
-  }
 
   /** The reference's Athena validation trio (`/root/reference/README.md:62-66`)
     * as runnable Spark SQL over a registered table name. */

@@ -78,6 +78,10 @@ object AsofJoin {
       rightTie: String,
       backward: Boolean): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val clash = left.columns.toSet.intersect(rightPayload.map("asof_" + _).toSet)
+    require(clash.isEmpty,
+      s"left already has column(s) ${clash.mkString(", ")} that the " +
+        "asof_-prefixed payload would duplicate; rename before joining")
 
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(left(_)): _*)

@@ -57,8 +57,11 @@ object RangeJoin {
       .withColumn("_rb",
         explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
 
-    val cond = keys.foldLeft(col("_pb") === col("_rb") &&
-        col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)) {
+    // every cross-side reference frame-qualified: a column name shared by
+    // both inputs (a ranges-side "v", a points-side "lo") must not make
+    // the residual ambiguous
+    val cond = keys.foldLeft(p("_pb") === r("_rb") &&
+        p(pointCol) >= r(loCol) && p(pointCol) < r(hiCol)) {
       case (c, (pk, rk)) => c && p(pk) === r(rk)
     }
     p.join(r, cond).drop("_pb", "_rb")

@@ -74,6 +74,15 @@ class AsofJoinSpec extends GraftSpec {
     assert(m(1L) == "ver-b", "greatest string tie must win")
   }
 
+  test("a left column that would collide with an asof_ output is rejected") {
+    val clashing = left.withColumn("asof_rid", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(clashing, right, "key", "rkey", "time", "rtime",
+        Seq("rid"), "rid")
+    }
+    assert(e.getMessage.contains("asof_rid"))
+  }
+
   test("right rows with null key or time are dropped, not matched") {
     val r2 = right.unionByName(Seq(
       (98L, null.asInstanceOf[String], ts("2024-01-01 01:00:00"), "nullkey"),

@@ -48,6 +48,15 @@ class RangeJoinSpec extends GraftSpec {
     assert(out.isEmpty, "a (point, range) pair was emitted more than once")
   }
 
+  test("shared column names across sides stay unambiguous") {
+    // points carries its own "lo" column — the residual must resolve
+    // lo/hi against the ranges side, not throw AMBIGUOUS_REFERENCE
+    val points = Seq((15.0, -1.0), (95.0, -2.0)).toDF("v", "lo")
+    val hits = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", 10.0)
+      .select(col("v"), col("label")).as[(Double, String)].collect().toSet
+    assert(hits == Set((15.0, "narrow"), (15.0, "wide")))
+  }
+
   test("keyed mode: a point only matches intervals of its own key") {
     // two users with overlapping numeric intervals — without the key the
     // point at 5.0 would match both
