@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Crash-safe advance of a parquet state directory, shared by the
+ * `foreachBatch` stores ([[StreamingDedup]], [[StreamingAsof]]): write the
+ * new state to `<statePath>.swap-tmp`, stamp our OWN commit marker (only
+ * after the write returned — independent of whether the cluster's
+ * committer conf writes `_SUCCESS`; marksuccessfuljobs is often off on
+ * object stores), delete the old directory, rename. Both crash
+ * half-states are recovered by [[recover]] on the next batch; a swap step
+ * that reports failure throws so the batch retries instead of silently
+ * not advancing.
+ *
+ * The swap relies on atomic directory rename, so `statePath` must live on
+ * a filesystem that has it (HDFS, POSIX); on an object store without
+ * atomic rename (plain S3A) a crash INSIDE the rename can still tear the
+ * store — keep the (small, horizon-bounded) store on real-rename storage
+ * even when the corpus lives on S3.
+ */
+private[streaming] object StateSwap {
+
+  private def tmpPath(statePath: String): String = statePath + ".swap-tmp"
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  /** True iff the directory holds a COMPLETE store write: the marker this
+    * object creates itself after every successful write. */
+  private def complete(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, CommitMarker))
+
+  /** Replace the store at `statePath` with `rows`. Every input plan
+    * feeding `rows` must already be lineage-cut, so the write never reads
+    * the directory being replaced. */
+  def advance(fs: FileSystem, statePath: String, rows: DataFrame): Unit = {
+    rows.write.mode("overwrite").parquet(tmpPath(statePath))
+    val tmp = new Path(tmpPath(statePath))
+    fs.create(new Path(tmp, CommitMarker), true).close()
+    val dest = new Path(statePath)
+    if (fs.exists(dest) && !fs.delete(dest, true))
+      throw new IllegalStateException(s"store swap: could not delete $dest")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"store swap: could not rename $tmp to $dest")
+  }
+
+  /** Complete or discard a half-finished store swap, trusting only
+    * directories whose write committed: dest missing + tmp complete
+    * (crash between delete and rename) → the tmp IS the advanced store,
+    * finish the rename; tmp torn (crash mid-write) → discard it, whatever
+    * store state exists stands; both complete (crash before the delete) →
+    * the dest is the consistent pre-advance store, discard the tmp. A
+    * torn dest with no complete tmp is unrecoverable — throw rather than
+    * silently treat partial state as the store. */
+  def recover(fs: FileSystem, statePath: String): Unit = {
+    val dest = new Path(statePath)
+    val tmp = new Path(tmpPath(statePath))
+    val destOk = fs.exists(dest) && complete(fs, dest)
+    if (fs.exists(tmp)) {
+      if (complete(fs, tmp) && !destOk) {
+        if (fs.exists(dest) && !fs.delete(dest, true))
+          throw new IllegalStateException(s"swap recovery: could not delete torn $dest")
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"swap recovery: could not promote $tmp")
+      } else if (!fs.delete(tmp, true))
+        throw new IllegalStateException(s"swap recovery: could not discard $tmp")
+    } else if (fs.exists(dest) && !destOk)
+      throw new IllegalStateException(
+        s"store at $dest is a torn write with no recovery candidate; " +
+          "delete it to restart from empty state")
+  }
+}

@@ -35,16 +35,10 @@ import graft.ext.{Dedup, Materialize}
  * Hadoop FS; HDFS/S3 on a cluster). At 100 TB/day the store stays a
  * bucket-equi-join away from each micro-batch and its size is set by the
  * horizon, not the feed. It is read ONCE per batch (lineage-cut) and
- * advanced by a swap write (new store → `<statePath>.swap-tmp`, then
- * delete + rename), with the swap's half-states recovered — guarded by a
- * commit marker this object writes itself after every successful store
- * write, independent of the committer's `_SUCCESS` conf — on the next
- * batch, so a crash can never silently reset the store to empty. The swap relies on atomic
- * directory rename, so put `statePath` on a filesystem that has it
- * (HDFS, POSIX); on an object store without atomic rename (plain S3A)
- * a crash INSIDE the rename can still tear the store — keep the
- * (small, horizon-bounded) store on real-rename storage even when the
- * corpus lives on S3.
+ * advanced by a crash-safe swap write with both half-states recovered on
+ * the next batch, so a crash can never silently reset the store to empty
+ * (mechanics — commit marker, recovery, rename caveats — in the shared
+ * [[StateSwap]] helper).
  *
  * Delivery contract (at-least-once, like any `foreachBatch` sink): the
  * batch's survivors are EMITTED BEFORE the store advances. A failure in
@@ -102,7 +96,7 @@ object StreamingDedup {
       // must stop vetoing new arrivals BEFORE the match, exactly as a
       // watermark expires built-in state
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      recoverSwap(fs, statePath)
+      StateSwap.recover(fs, statePath)
       val store0 = Materialize.cut(
         if (fs.exists(new Path(statePath))) spark.read.parquet(statePath)
         else spark.createDataFrame(
@@ -139,68 +133,18 @@ object StreamingDedup {
       emit(survivors)
 
       // 4. advance the store — live (post-eviction) rows plus this batch's
-      // surviving reps — by swap: write to .swap-tmp (every input is
-      // already lineage-cut, so no extra materialization is needed and the
-      // plan never reads the directory being replaced), delete the old
-      // directory, rename. Both crash half-states are recovered by
-      // recoverSwap on the next batch; a swap step that reports failure
-      // throws so the batch retries instead of silently not advancing.
-      // A batch that contributed no reps and evicted nothing is a no-op —
-      // skip the swap entirely rather than re-write the full store (and
-      // re-open the swap's crash window) on every idle trigger.
+      // surviving reps — by [[StateSwap]] (every input is already
+      // lineage-cut, so no extra materialization is needed and the plan
+      // never reads the directory being replaced). A batch that
+      // contributed no reps and evicted nothing is a no-op — skip the
+      // swap entirely rather than re-write the full store (and re-open
+      // the swap's crash window) on every idle trigger.
       val changedStore = rep.limit(1).count() > 0 ||
         (hwm != null && store.count() != store0.count())
-      if (hwm != null && changedStore) {
-        store.unionByName(
-            rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
-          .write.mode("overwrite").parquet(tmpPath(statePath))
-        val tmp = new Path(tmpPath(statePath))
-        // our OWN commit marker, created only after the write returned —
-        // independent of whether the cluster's committer conf writes
-        // _SUCCESS (marksuccessfuljobs is often off on object stores)
-        fs.create(new Path(tmp, CommitMarker), true).close()
-        val dest = new Path(statePath)
-        if (fs.exists(dest) && !fs.delete(dest, true))
-          throw new IllegalStateException(s"store swap: could not delete $dest")
-        if (!fs.rename(tmp, dest))
-          throw new IllegalStateException(s"store swap: could not rename $tmp to $dest")
-      }
+      if (hwm != null && changedStore)
+        StateSwap.advance(fs, statePath, store.unionByName(
+          rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
     }
-  }
-
-  private def tmpPath(statePath: String): String = statePath + ".swap-tmp"
-  private val CommitMarker = "_GRAFT_COMMIT"
-
-  /** True iff the directory holds a COMPLETE store write: the marker this
-    * object creates itself after every successful write (so completeness
-    * detection does not depend on the committer's `_SUCCESS` conf). */
-  private def complete(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
-    fs.exists(new Path(dir, CommitMarker))
-
-  /** Complete or discard a half-finished store swap, trusting only
-    * directories whose write committed (`_SUCCESS`): dest missing + tmp
-    * complete (crash between delete and rename) → the tmp IS the advanced
-    * store, finish the rename; tmp torn (crash mid-write) → discard it,
-    * whatever store state exists stands; both complete (crash before the
-    * delete) → the dest is the consistent pre-advance store, discard the
-    * tmp. A torn dest with no complete tmp is unrecoverable — throw
-    * rather than silently treat partial state as the store. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit = {
-    val dest = new Path(statePath)
-    val tmp = new Path(tmpPath(statePath))
-    val destOk = fs.exists(dest) && complete(fs, dest)
-    if (fs.exists(tmp)) {
-      if (complete(fs, tmp) && !destOk) {
-        if (fs.exists(dest) && !fs.delete(dest, true))
-          throw new IllegalStateException(s"swap recovery: could not delete torn $dest")
-        if (!fs.rename(tmp, dest))
-          throw new IllegalStateException(s"swap recovery: could not promote $tmp")
-      } else if (!fs.delete(tmp, true))
-        throw new IllegalStateException(s"swap recovery: could not discard $tmp")
-    } else if (fs.exists(dest) && !destOk)
-      throw new IllegalStateException(
-        s"store at $dest is a torn write with no recovery candidate; " +
-          "delete it to restart from empty state")
   }
 
   /**
