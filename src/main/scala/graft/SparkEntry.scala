@@ -686,7 +686,24 @@ object SparkEntry {
         .select(col("event_id").as("e_event_id"), col("user_id"),
           col("session_idx"))
         .orderBy(col("e_event_id").asc_nulls_last)
-    })
+    }),
+
+    // A5+ — sketch-based frequent items (DataSketches via approx_top_k):
+    // the 100-TB heavy-hitters path where an exact groupBy's key space no
+    // longer fits. Harness domains fit the sketch's tracked map
+    // (maxItemsTracked=1024 ≥ 150 users), so no purge ever happens and the
+    // sketch counts are EXACT — the oracle is the plain exact top-k, with
+    // the deterministic (cnt desc, user) tie-break applied on our side of
+    // the sketch output rather than trusting sketch ordering.
+    "q58_heavy_hitters" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .agg(call_function("approx_top_k",
+          col("user_id"), lit(200), lit(1024)).as("tk"))
+        .select(explode(col("tk")).as("s"))
+        .select(col("s.item").as("user_id"), col("s.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id").asc_nulls_last)
+        .limit(10))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1484,6 +1501,14 @@ object SparkEntry {
         |       CAST(i.session_idx AS BIGINT) AS session_idx
         |FROM e JOIN i ON e.user_id = i.user_id
         |  AND e.ep >= i.start_ep AND e.ep < i.end_ep + 86400
-        |ORDER BY e_event_id""".stripMargin
+        |ORDER BY e_event_id""".stripMargin,
+
+    // Exact top-k with the same (cnt desc, user) tie-break — valid
+    // because the sketch's tracked map exceeds the user domain, so its
+    // counts are exact (no purge; ApproxTopKSpec pins this).
+    "q58_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id IS NOT NULL GROUP BY 1
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
   )
 }
