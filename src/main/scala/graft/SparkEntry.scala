@@ -703,6 +703,25 @@ object SparkEntry {
         .select(explode(col("tk")).as("s"))
         .select(col("s.item").as("user_id"), col("s.count").as("cnt"))
         .orderBy(col("cnt").desc, col("user_id").asc_nulls_last)
+        .limit(10)),
+
+    // A5+ — q58 through the MERGEABLE sketch workflow: per-event-type
+    // sub-sketches (accumulate) folded into one (combine) and read out
+    // (estimate) — the shape a 100-TB pipeline persists per day/partition
+    // and folds at query time instead of re-scanning history. SHARES
+    // q58's exact oracle verbatim: combining purge-free sub-sketches
+    // loses nothing.
+    "q59_heavy_hitters_merge" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(call_function("approx_top_k_accumulate",
+          col("user_id"), lit(1024)).as("sk"))
+        .agg(call_function("approx_top_k_combine", col("sk"), lit(1024)).as("sk"))
+        .select(explode(call_function("approx_top_k_estimate",
+          col("sk"), lit(200))).as("s"))
+        .select(col("s.item").as("user_id"), col("s.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id").asc_nulls_last)
         .limit(10))
   )
 
@@ -1506,9 +1525,17 @@ object SparkEntry {
     // Exact top-k with the same (cnt desc, user) tie-break — valid
     // because the sketch's tracked map exceeds the user domain, so its
     // counts are exact (no purge; ApproxTopKSpec pins this).
-    "q58_heavy_hitters" ->
-      """SELECT user_id, count(*) AS cnt FROM events
-        |WHERE user_id IS NOT NULL GROUP BY 1
-        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+    "q58_heavy_hitters" -> heavyHittersOracleSql,
+
+    // The merge path must lose nothing: same exact oracle as q58.
+    "q59_heavy_hitters_merge" -> heavyHittersOracleSql
   )
+
+  /** Exact top-10 users by event count, (cnt desc, user) tie-break —
+    * shared by q58 (single-pass sketch) and q59 (accumulate → combine →
+    * estimate): both are exact while the tracked map never purges. */
+  private val heavyHittersOracleSql: String =
+    """SELECT user_id, count(*) AS cnt FROM events
+      |WHERE user_id IS NOT NULL GROUP BY 1
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 }

@@ -25,6 +25,25 @@ class HeavyHittersSpec extends GraftSpec {
     assert(sketch == exact, "sketch diverged from exact counts — purge happened?")
   }
 
+  test("accumulate → combine → estimate equals the single-pass sketch") {
+    // the mergeable-sketch workflow: per-type sub-sketches combined into
+    // one, estimates still exact while no purge happens — what a 100-TB
+    // pipeline persists per day/partition and folds at query time
+    val e = Tables(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("user_id").isNotNull)
+    val merged = e.groupBy(col("event_type"))
+      .agg(call_function("approx_top_k_accumulate",
+        col("user_id"), lit(1024)).as("sk"))
+      .agg(call_function("approx_top_k_combine", col("sk"), lit(1024)).as("sk"))
+      .select(explode(call_function("approx_top_k_estimate",
+        col("sk"), lit(200))).as("s"))
+      .select(col("s.item").as("user_id"), col("s.count").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == exact, "combined sub-sketches diverged from exact counts")
+  }
+
   test("q58 equals the exact top-10 with the (cnt desc, user) tie-break") {
     val got = SparkEntry.queries("q58_heavy_hitters")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
