@@ -722,7 +722,29 @@ object SparkEntry {
           col("sk"), lit(200))).as("s"))
         .select(col("s.item").as("user_id"), col("s.count").as("cnt"))
         .orderBy(col("cnt").desc, col("user_id").asc_nulls_last)
-        .limit(10))
+        .limit(10)),
+
+    // S7++ — Z-ORDERED layout: files are rectangles in the
+    // (l_orderkey, l_partkey) plane via a Morton-interleave sort key, so
+    // parquet footer min/max skip files for selective predicates on
+    // EITHER key — q48's single-key "cluster by" generalized to two
+    // dimensions (StagingSpec contrasts the layouts: a k1-sort leaves k2
+    // spanning the full domain in every file). The read-back filters on
+    // the NON-leading key, exactly the scan a plain sort is blind to.
+    // Aggregates are order-insensitive (count/max), immune to layout-
+    // induced summation reorder.
+    "q60_zorder_layout" -> ((s, d) => {
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q60_${d.hashCode.toHexString}"
+      Staging.stageZOrdered(t(s, d, "lineitem"), tmp, numFiles = 16,
+        "l_orderkey", "l_partkey")
+      s.read.parquet(tmp)
+        .filter(col("l_partkey").between(1L, 200L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1528,7 +1550,15 @@ object SparkEntry {
     "q58_heavy_hitters" -> heavyHittersOracleSql,
 
     // The merge path must lose nothing: same exact oracle as q58.
-    "q59_heavy_hitters_merge" -> heavyHittersOracleSql
+    "q59_heavy_hitters_merge" -> heavyHittersOracleSql,
+
+    // Layout changes WHERE bytes live, never WHAT the table says: the
+    // oracle recomputes the selective aggregate from the source table.
+    "q60_zorder_layout" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —

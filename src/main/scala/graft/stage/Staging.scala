@@ -1,6 +1,6 @@
 package graft.stage
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -109,6 +109,53 @@ object Staging {
       df: DataFrame, path: String, numFiles: Int, sortCols: Seq[String]): Unit =
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /**
+   * Morton (Z-order) value: bit-interleave two non-negative integer
+   * columns into one long, so sorting by the result clusters rows that
+   * are close in BOTH dimensions. `a`'s bit i lands at position 2i,
+   * `b`'s at 2i+1; with the default 21 bits per column the result stays
+   * inside a signed long with room to spare.
+   *
+   * The expression is a static tree of 2×`bits` shift/mask/or terms —
+   * all codegen'd built-ins, no UDF. Inputs MUST be non-negative and
+   * < 2^bits: a negative value's arithmetic shift would smear sign bits
+   * across every lane and destroy locality (it still sorts, it just
+   * stops clustering). Pre-bucket wider domains before interleaving.
+   */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Stage with a Z-ORDERED layout: rows are range-partitioned and sorted
+   * on the Morton interleave of TWO key columns, so every output file
+   * covers a small rectangle of the 2-D key space and parquet footer
+   * min/max stats skip files for selective predicates on EITHER column —
+   * the multi-dimensional extension of [[stageRangeSorted]], whose
+   * single-key sort skips only on its leading column while the trailing
+   * one spans the full domain in every file (StagingSpec contrasts the
+   * two layouts). The standard answer when a 100 TB fact table is
+   * queried selectively by more than one key and you only get one
+   * physical order to spend.
+   */
+  def stageZOrdered(
+      df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bits: Int = 21): Unit =
+    df.withColumn("__graft_z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
       .write.mode("overwrite")
       .option("compression", "snappy")
       .parquet(path)

@@ -57,6 +57,58 @@ class StagingSpec extends GraftSpec {
       s"expected full-domain spans, got $us")
   }
 
+  test("zValue interleaves bits: a at even lanes, b at odd") {
+    // a=5 (101), b=3 (011) → lanes 0,4 from a, 1,3 from b → 11011₂ = 27
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Staging.zValue(col("a"), col("b")).as("z"))
+      .head().getLong(0)
+    assert(r == 27L)
+    // order-sensitivity: swapping the operands moves each bit one lane
+    val s = Seq((3L, 5L)).toDF("a", "b")
+      .select(Staging.zValue(col("a"), col("b")).as("z"))
+      .head().getLong(0)
+    assert(s == 0x27L + 0, s"expected 39, got $s") // 100111₂ = 39
+  }
+
+  test("z-ordered layout: files are 2-D rectangles; single-key sort is not") {
+    // two independent uniform keys over [0, 1000)
+    val df = (1L to 8000L).map { i =>
+      ((i * 2654435761L) % 1000L, (i * 40503L) % 1000L, i)
+    }.toDF("k1", "k2", "payload")
+
+    def spans(path: String, c: String): Seq[Long] =
+      spark.read.parquet(path)
+        .groupBy(col("_metadata.file_path"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span")).toSeq
+
+    val zpath = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Staging.stageZOrdered(df, zpath, numFiles = 16, "k1", "k2")
+    val z1 = spans(zpath, "k1"); val z2 = spans(zpath, "k2")
+    assert(z1.size > 4)
+    // each file covers a rectangle well under the full 1000-wide domain
+    // on BOTH keys (ideal for 16 files is ~250 per side)
+    assert(z1.sum / z1.size < 600, s"k1 spans too wide: $z1")
+    assert(z2.sum / z2.size < 600, s"k2 spans too wide: $z2")
+
+    // the single-key sort: surgical on k1, blind on k2 (full-domain span)
+    val spath = java.nio.file.Files.createTempDirectory("graft_z1").toString
+    Staging.stageRangeSorted(df, spath, numFiles = 16, Seq("k1"))
+    val s2 = spans(spath, "k2")
+    assert(s2.forall(_ > 900L), s"expected full-domain k2 spans, got $s2")
+
+    // and the payoff: a selective predicate on EITHER column intersects
+    // only a strict subset of the z-layout's files
+    def hitFiles(c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(zpath)
+        .filter(col(c).between(lo, hi))
+        .select(col("_metadata.file_path")).distinct().count()
+    val total = spark.read.parquet(zpath)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(hitFiles("k1", 0L, 99L) < total)
+    assert(hitFiles("k2", 0L, 99L) < total)
+  }
+
   test("register: staged layout queryable through the catalog, idempotent") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"),
