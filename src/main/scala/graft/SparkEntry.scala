@@ -744,6 +744,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           max(col("l_extendedprice")).as("max_price"))
         .orderBy(col("l_returnflag").asc_nulls_last)
+    }),
+
+    // W2+/A2+ — top-k per group as a MERGEABLE AGGREGATE (typed
+    // Aggregator via functions.udaf): the window formulation (q12) must
+    // shuffle + sort every counted row per group; the k-bounded buffer
+    // ships at most k candidates per group per map task through the
+    // shuffle — at 100 TB the difference between sorting the table and
+    // merging kilobytes. Exactness + the partial/final ObjectHashAggregate
+    // plan shape are spec'd (TopKAggSpec); deterministic
+    // (cnt desc, user asc) tie-break hash-matches the row_number oracle.
+    "q61_topk_agg" -> ((s, d) => {
+      val topk5 = udaf(new graft.functions.TopKAggregator(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKEntry]())
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(topk5(col("cnt"), col("user_id")).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("e.item").as("user_id"), col("e.metric").as("cnt"))
+        .orderBy(col("event_type").asc_nulls_last, col("rk").asc)
     })
   )
 
@@ -1558,7 +1581,20 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt,
         |       max(l_extendedprice) AS max_price
         |FROM lineitem WHERE l_partkey BETWEEN 1 AND 200
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same exact answer as the window formulation, same tie-break.
+    "q61_topk_agg" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, cnt
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
