@@ -767,6 +767,24 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
           col("e.item").as("user_id"), col("e.metric").as("cnt"))
         .orderBy(col("event_type").asc_nulls_last, col("rk").asc)
+    }),
+
+    // X1+ — INCREMENTAL dedup: today's batch (odd doc_ids) screened
+    // against the settled corpus (even doc_ids) — exact content-hash
+    // anti-join plus cross-side-only LSH with exact-Jaccard verify, the
+    // continuous-corpus-growth twin of q20/q37 (which re-dedup a whole
+    // corpus). Batch-internal duplicates survive by contract: that's
+    // dedup()'s job; this operator answers "is it new vs what we
+    // accepted already". Deterministic (LSH affects recall only; band
+    // params put recall ≈ 1 at τ = 0.6, same argument as q20).
+    "q62_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupIncremental(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -1594,7 +1612,35 @@ object SparkEntry {
         |                            ORDER BY cnt DESC, user_id) AS rk
         |  FROM c)
         |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, cnt
-        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    // Survivor = batch doc with no byte-identical corpus text and no
+    // corpus doc at Jaccard ≥ 0.6 over distinct trigram shingles (same
+    // shingling as the q20 oracle; n_union > 0 guards unshingleable docs,
+    // which survive by definition).
+    "q62_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
+        |  GROUP BY doc_id),
+        |near AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |    AND len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6)
+        |SELECT b.doc_id, b.lang
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+        |  AND b.doc_id NOT IN (SELECT doc_id FROM near)
+        |ORDER BY b.doc_id""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —

@@ -381,4 +381,80 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /**
+   * INCREMENTAL dedup: keep exactly the `batch` rows whose text is NEW
+   * relative to `corpus` — no byte-identical copy already accepted
+   * (content-hash anti-join) and no verified near-duplicate at
+   * `threshold` (rep-level LSH candidates BETWEEN the two sides,
+   * exact-Jaccard verified; same shingle/band parameters and the same
+   * [[jaccard]] predicate as the batch pipeline, so the two modes can
+   * never drift). This is the continuous-corpus-growth operator: a daily
+   * crawl is screened against everything accepted so far without
+   * re-deduping history.
+   *
+   * Semantics are one-sided on purpose: the corpus is settled (nothing
+   * there is ever dropped), and batch-INTERNAL duplicates are out of
+   * scope — run [[dedup]]/[[dedupTransitive]] on the batch first; the
+   * composition is associative because this filter depends only on
+   * (batch text, corpus texts).
+   *
+   * Scale: every stage is linear in the side it touches. Both sides
+   * collapse to one representative per DISTINCT text before shingling
+   * (the skew guard — a billion-copy boilerplate group costs one row on
+   * each side); the exact stage is an equi anti-join on 128-bit content
+   * hashes; the near stage joins band buckets batch×corpus only (never
+   * within a side, so a pathological all-similar batch cannot
+   * self-explode) and verifies candidates with exact set Jaccard. In a
+   * persistent pipeline the corpus rep/signature tables are the "index":
+   * they derive once, append per accepted batch, and amortize to zero —
+   * deriving them here keeps the operator self-contained.
+   *
+   * Batch and corpus ids must be globally unique across both sides (the
+   * usual contract for a corpus with monotone ingest ids).
+   */
+  def dedupIncremental(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val bm = Materialize.cut(memberships(batch, idCol, textCol)) // (ghash, id)
+
+    // exact stage: batch groups whose content the corpus already holds
+    val corpusHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("ghash")).distinct()
+    val freshGroups = Materialize.cut(
+      bm.select("ghash").distinct()
+        .join(corpusHashes, Seq("ghash"), "left_anti"))
+
+    // near stage: one rep per fresh batch group vs one rep per corpus
+    // text. Shingle and signature tables are cut separately for the same
+    // column-pruning reason as nearDuplicatePairs (a fused table drags
+    // the heavy shingle arrays through the band explode).
+    def shTable(reps: DataFrame): DataFrame = Materialize.cut(
+      reps.select(col("ghash"), shingles(col("text"), n).as("sh"))
+        .filter(size(col("sh")) > 0))
+    def sigTable(sh: DataFrame): DataFrame = Materialize.cut(
+      sh.select(col("ghash"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig")))
+    val bSh = shTable(
+      representatives(batch, idCol, textCol).join(freshGroups, "ghash"))
+    val cSh = shTable(representatives(corpus, idCol, textCol))
+
+    val bBk = bandBuckets(sigTable(bSh), "ghash", "sig", bands, rowsPerBand)
+      .select(col("ghash").as("b_gh"), col("band"), col("bucket"))
+    val cBk = bandBuckets(sigTable(cSh), "ghash", "sig", bands, rowsPerBand)
+      .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
+    val dropped = bBk.join(cBk, Seq("band", "bucket"))
+      .select("b_gh", "c_gh").distinct()
+      .join(bSh.select(col("ghash").as("b_gh"), col("sh").as("b_sh")), "b_gh")
+      .join(cSh.select(col("ghash").as("c_gh"), col("sh").as("c_sh")), "c_gh")
+      .filter(size(array_union(col("b_sh"), col("c_sh"))) > 0 &&
+        jaccard(col("b_sh"), col("c_sh")) >= threshold)
+      .select(col("b_gh").as("ghash")).distinct()
+
+    val survivors = bm
+      .join(freshGroups.join(dropped, Seq("ghash"), "left_anti"), "ghash")
+      .select(col("id").as(idCol))
+    batch.join(survivors, Seq(idCol), "left_semi")
+  }
 }

@@ -96,6 +96,39 @@ class DedupSpec extends GraftSpec {
     assert(cc.sameElements(Array(1L, 4L))) // one survivor per component
   }
 
+  test("dedupIncremental: exact copies and near-dups of the corpus drop; fresh and short docs survive") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "completely different words about spark catalyst codegen and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // byte-identical to corpus 10 → exact-stage drop
+      (20L, "the quick brown fox jumps over the lazy dog near the river"),
+      // near-dup of corpus 10 (one word changed) → near-stage drop
+      (21L, "the quick brown fox jumps over the lazy cat near the river"),
+      // fresh content → survives
+      (22L, "a wholly novel document mentioning watermarks state stores and sinks"),
+      // batch-internal duplicates of fresh content: BOTH survive —
+      // within-batch dedup is dedup()'s job, not the incremental screen's
+      (23L, "another new text that resembles nothing in the settled corpus today"),
+      (24L, "another new text that resembles nothing in the settled corpus today"),
+      // too short to shingle → no near check possible → survives
+      (25L, "two words")
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.dedupIncremental(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(22L, 23L, 24L, 25L))
+
+    // one-sided: the corpus itself is never touched, and re-screening the
+    // survivors is a no-op (idempotent by construction)
+    val again = Dedup.dedupIncremental(out, corpus, "doc_id", "text",
+      threshold = 0.5)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(22L, 23L, 24L, 25L))
+  }
+
   test("components: labels converge to the component minimum") {
     // two components: a 4-chain 10-11-12-13 (needs >1 round) and a pair
     val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
