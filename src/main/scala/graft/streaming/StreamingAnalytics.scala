@@ -57,6 +57,41 @@ object StreamingAnalytics {
       .withWatermark("time", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Watermarked STREAM-STREAM interval join — the native join of two
+   * unbounded streams, not a `foreachBatch` workaround: each left event
+   * pairs with same-key right events whose event time falls in
+   * `[leftTime, leftTime + horizonSeconds]`. Both sides carry
+   * watermarks and the join condition bounds the two event times
+   * against each other — exactly the proof Structured Streaming needs
+   * to know when a buffered row can never match again, so per-side
+   * state is bounded by arrival rate × (watermark delay + horizon),
+   * not by stream length. Complements [[StreamingAsof]]: that one
+   * enriches against a SETTLED reference feed and keeps only the
+   * nearest match; this one is for two live streams where every
+   * in-horizon pair matters (impression→click attribution).
+   *
+   * The key column must be named the same on both sides (it joins and
+   * deduplicates to one output column); all other column names must be
+   * disjoint, the usual contract for a two-stream join.
+   */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, horizonSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(horizonSeconds >= 0L,
+      s"horizonSeconds must be >= 0, got $horizonSeconds")
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+        l(keyCol) === r(keyCol) &&
+          r(rightTime) >= l(leftTime) &&
+          r(rightTime) <= l(leftTime) +
+            expr(s"INTERVAL $horizonSeconds SECOND"),
+        "inner")
+      .drop(r(keyCol))
+  }
+
   /** Per-window, per-status request counts with bounded state. */
   def windowedCounts(
       parsed: DataFrame,

@@ -57,6 +57,36 @@ class StreamingAnalyticsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: same-key in-horizon pairs across batches; out-of-horizon and cross-key absent") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2015-11-13 $s")
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingAnalytics.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_time", "imp_id"),
+      clicks.toDF().toDF("user_id", "click_time", "click_id"),
+      "user_id", "imp_time", "click_time",
+      horizonSeconds = 60L, watermarkDelay = "1 hour")
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_ij").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("10:00:00"), "I1"), (1L, ts("10:01:30"), "I2"))
+      clicks.addData(
+        (1L, ts("10:00:30"), "C1"), // in I1's horizon
+        (1L, ts("10:02:00"), "C2"), // past I1's horizon, inside I2's
+        (2L, ts("10:00:10"), "C3")) // same time range, different key
+      q.processAllAvailable()
+      // a later batch matches against the BUFFERED impression state
+      clicks.addData((1L, ts("10:00:50"), "C4"))
+      q.processAllAvailable()
+      val pairs = spark.table("graft_ij")
+        .collect()
+        .map(r => (r.getAs[String]("imp_id"), r.getAs[String]("click_id")))
+        .toSet
+      assert(pairs == Set(("I1", "C1"), ("I2", "C2"), ("I1", "C4")))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session; watermark closes idle ones") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
