@@ -160,6 +160,69 @@ object Staging {
       .option("compression", "snappy")
       .parquet(path)
 
+  /** Per-partition compaction outcome: file count before/after and the
+    * partition's total bytes. Partitions below the trigger are absent. */
+  final case class CompactionStat(
+      partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /**
+   * Small-file compaction for a [[stage]]d (single-column-partitioned)
+   * layout: rewrite every partition whose parquet file count exceeds
+   * what `targetFileBytes` calls for, coalescing to
+   * `ceil(bytes / targetFileBytes)` files. Continuous ingest — a
+   * streaming sink draining micro-batches, or many small daily
+   * re-loads — accretes slivers; at 100 TB the resulting
+   * open/footer/seek overhead and NameNode/listing pressure dominate
+   * scan cost, so compaction is standing maintenance, not cleanup.
+   *
+   * Mechanics per hot partition: read only that partition directory,
+   * `repartition(n)`, write to a sibling temp dir, then swap via two
+   * FileSystem renames (original → `.bak`, tmp → original) and drop the
+   * backup — readers see the old or the new complete directory, never a
+   * mix, and a crash mid-swap leaves a recoverable `.bak`. Row content
+   * is byte-preserved (same schema, same values; StagingSpec asserts
+   * set-equality and that cool partitions keep their exact files). The
+   * per-partition loop is driver-side METADATA iteration (one listing
+   * per partition — the same scale as any table-maintenance job), while
+   * every byte of data moves through executors.
+   */
+  def compact(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: String = "date"): Seq[CompactionStat] = {
+    require(targetFileBytes > 0L, s"targetFileBytes must be > 0")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    parts.flatMap { p =>
+      val files = fs.listStatus(p.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (files.size <= want) None
+      else {
+        val dir = p.getPath
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir.getParent, s".${dir.getName}.compact-tmp")
+        val bak = new org.apache.hadoop.fs.Path(
+          dir.getParent, s".${dir.getName}.compact-bak")
+        fs.delete(tmp, true); fs.delete(bak, true)
+        spark.read.parquet(dir.toString)
+          .repartition(want)
+          .write.mode("overwrite")
+          .option("compression", "snappy")
+          .parquet(tmp.toString)
+        require(fs.rename(dir, bak), s"compact: could not back up $dir")
+        require(fs.rename(tmp, dir), s"compact: could not promote $tmp")
+        fs.delete(bak, true)
+        val after = fs.listStatus(dir).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        Some(CompactionStat(dir.getName, files.size, after, bytes))
+      }
+    }
+  }
+
   /**
    * Register the staged layout as a catalog table (idempotent), with the
    * schema DECLARED rather than inferred — parity with the reference's

@@ -109,6 +109,37 @@ class StagingSpec extends GraftSpec {
     assert(hitFiles("k2", 0L, 99L) < total)
   }
 
+  test("compact: sliver partitions coalesce, content identical, cool partitions untouched") {
+    // day 1: 12 sliver files; day 2: already one file
+    val day1 = (1L to 600L).map(i => (i, "2024-01-01")).toDF("id", "date")
+    val day2 = (601L to 650L).map(i => (i, "2024-01-02")).toDF("id", "date")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    day1.repartition(12).write.mode("overwrite").partitionBy("date").parquet(tmp)
+    day2.coalesce(1).write.mode("append").partitionBy("date").parquet(tmp)
+
+    val before = spark.read.parquet(tmp)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$tmp/date=$part")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val day2Files = files("2024-01-02")
+    assert(files("2024-01-01").size == 12)
+
+    // huge target → every hot partition compacts to exactly one file
+    val stats = Staging.compact(spark, tmp, targetFileBytes = 1L << 30)
+    assert(stats.map(s => s.partition -> (s.filesBefore, s.filesAfter)).toMap ==
+      Map("date=2024-01-01" -> (12, 1)))
+    assert(files("2024-01-01").size == 1)
+    // the cool partition kept its exact files (not rewritten)
+    assert(files("2024-01-02") == day2Files)
+    // content byte-preserved
+    val afterRows = spark.read.parquet(tmp).collect().map(_.toSeq).toSet
+    assert(afterRows == beforeRows)
+    // idempotent: a second pass finds nothing to do
+    assert(Staging.compact(spark, tmp, targetFileBytes = 1L << 30).isEmpty)
+  }
+
   test("register: staged layout queryable through the catalog, idempotent") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"),
