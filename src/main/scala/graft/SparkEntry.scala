@@ -785,6 +785,51 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.6)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // P+/X2+ — deterministic train/val/test split: content-hash cut
+    // points, a pure projection (no shuffle until the audit groupBy).
+    // Split membership is a function of the text alone — rebuilds,
+    // repartitions, and engine swaps cannot leak eval rows into train,
+    // and exact duplicates can never straddle a boundary (SamplingSpec).
+    "q63_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(t(s, d, "documents"), col("text"),
+          Seq("train", "val", "test"), Seq("cc", "e6"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split").asc_nulls_last, col("lang").asc_nulls_last)),
+
+    // X2+ — deterministic corpus shuffle: a salted content hash IS the
+    // epoch's permutation; the head-20 here plans as TakeOrdered (per-
+    // partition top-k + driver merge, never a global sort), and the
+    // full-corpus path is shuffledLayout's range-sorted write
+    // (SamplingSpec: path-order streaming replays the permutation).
+    "q64_corpus_shuffle" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("shuffle_key"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Sampling.shuffleKey(col("doc_id"), "epoch42").as("shuffle_key"))
+        .orderBy(col("shuffle_key")).limit(20)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("pos", "doc_id", "shuffle_key")
+        .orderBy("pos")
+    }),
+
+    // S+ — JSONL roundtrip with a DECLARED schema: the interchange
+    // format LLM corpora actually ship in. Schema inference would scan
+    // the data once just to guess types (and guess differently per
+    // sample) — at 100 TB the schema is a contract, so it's declared on
+    // read exactly like the parquet staging DDL (S13).
+    "q65_jsonl_roundtrip" -> ((s, d) => {
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q65_${d.hashCode.toHexString}"
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(4)
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang").asc_nulls_last)
     })
   )
 
@@ -1640,7 +1685,32 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)
         |  AND b.doc_id NOT IN (SELECT doc_id FROM near)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Same hex cut points against the same lowercase-hex md5.
+    "q63_hash_split" ->
+      """SELECT CASE WHEN md5(text) < 'cc' THEN 'train'
+        |            WHEN md5(text) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same salted-hash permutation, same head.
+    "q64_corpus_shuffle" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         md5('epoch42' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS pos,
+        |       doc_id, shuffle_key
+        |FROM o ORDER BY shuffle_key LIMIT 20""".stripMargin,
+
+    // The sink/source roundtrip changes bytes-on-disk, not table
+    // contents: recompute the audit from the source table.
+    "q65_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —

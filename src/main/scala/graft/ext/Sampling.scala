@@ -46,4 +46,49 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /**
+   * Deterministic train/val/test split: label each row by where its
+   * content hash falls among ascending hex cut points —
+   * `labels(i)` for `md5 < cutsHex(i)`, the last label above the last
+   * cut. A hex prefix like "cc" splits at 204/256 ≈ 0.8. Pure
+   * projection (no shuffle, no state); membership is a function of
+   * content alone, so the split is stable across reruns, engines, and
+   * repartitioning — which is what keeps eval rows out of the train
+   * set when the corpus is rebuilt. The same-hash-same-split property
+   * also means exact duplicates can never straddle the boundary.
+   */
+  def hashSplit(
+      df: DataFrame, key: Column, labels: Seq[String], cutsHex: Seq[String],
+      splitCol: String = "split"): DataFrame = {
+    require(labels.size == cutsHex.size + 1,
+      s"need exactly one more label than cut, got ${labels.size} labels / ${cutsHex.size} cuts")
+    require(cutsHex == cutsHex.sorted, s"cuts must ascend: $cutsHex")
+    val h = md5(key.cast("binary"))
+    val e = cutsHex.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((cut, lab), acc) => when(h < lit(cut), lit(lab)).otherwise(acc)
+    }
+    df.withColumn(splitCol, e)
+  }
+
+  /** Deterministic shuffle key: the content hash of `salt` + `key`.
+    * Sorting by it is a reproducible corpus-wide random permutation —
+    * change the salt, get an independent epoch order. */
+  def shuffleKey(key: Column, salt: String): Column =
+    md5(concat_ws("", lit(salt), key.cast("string")).cast("binary"))
+
+  /**
+   * Deterministic global shuffle as a LAYOUT: range-partition + sort the
+   * corpus by [[shuffleKey]] and write, so training readers stream the
+   * files in path order and see a reproducible random permutation with
+   * no single-reducer bottleneck — the sort is a distributed range sort,
+   * never one partition holding a global row_number. The epoch-reshuffle
+   * answer at 100 TB: one linear rewrite per salt.
+   */
+  def shuffledLayout(
+      df: DataFrame, path: String, numFiles: Int, key: Column,
+      salt: String): Unit =
+    graft.stage.Staging.stageRangeSorted(
+      df.withColumn("shuffle_key", shuffleKey(key, salt)),
+      path, numFiles, Seq("shuffle_key"))
 }

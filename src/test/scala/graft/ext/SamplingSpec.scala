@@ -37,6 +37,58 @@ class SamplingSpec extends GraftSpec {
     assert(taken.toSet == again.toSet)
   }
 
+  test("hashSplit: total, disjoint, repartition-stable; duplicates never straddle") {
+    val twin = docs.unionAll(docs) // every text twice
+    val split = Sampling.hashSplit(twin, col("text"),
+      Seq("train", "val", "test"), Seq("cc", "e6"))
+    // total: every row gets exactly one label; pure projection
+    assert(split.filter(col("split").isNull).count() == 0)
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") + byLabel("test")) // ≈ 80/10/10
+    // same-content rows always land in the same split
+    val leaks = split.groupBy("text")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(leaks == 0)
+    // stable under repartitioning
+    val again = Sampling.hashSplit(twin.repartition(9), col("text"),
+      Seq("train", "val", "test"), Seq("cc", "e6"))
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("shuffledLayout: reading files in order replays one deterministic permutation per salt") {
+    val p1 = java.nio.file.Files.createTempDirectory("graft_shuf1").toString
+    Sampling.shuffledLayout(docs, p1, numFiles = 4, col("doc_id"), "epoch1")
+    // the layout IS the order: shuffle_key ranges are disjoint across
+    // files and sorted within them, so path-order streaming is global order
+    val ranges = spark.read.parquet(p1)
+      .groupBy(col("_metadata.file_path"))
+      .agg(min(col("shuffle_key")).as("lo"), max(col("shuffle_key")).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $ranges")
+      case _ =>
+    }
+    // deterministic: rewriting with the same salt replays the same order;
+    // a different salt produces a genuinely different permutation
+    val order1 = spark.read.parquet(p1).orderBy("shuffle_key")
+      .select("doc_id").as[Long].collect().toSeq
+    val p1b = java.nio.file.Files.createTempDirectory("graft_shuf1b").toString
+    Sampling.shuffledLayout(docs.repartition(11), p1b, 4, col("doc_id"), "epoch1")
+    val order1b = spark.read.parquet(p1b).orderBy("shuffle_key")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order1b)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_shuf2").toString
+    Sampling.shuffledLayout(docs, p2, 4, col("doc_id"), "epoch2")
+    val order2 = spark.read.parquet(p2).orderBy("shuffle_key")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order1 != order2)
+    assert(order1.sorted == order2.sorted) // same corpus, different order
+  }
+
   test("pack: offsets are per-shard prefix sums; bins chunk the stream") {
     val r = Packing.pack(docs, "doc_id", size(TextOps.tokens(col("text"))),
         contextLen = 10L, shards = 2)
