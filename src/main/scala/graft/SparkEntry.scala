@@ -830,7 +830,44 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang").asc_nulls_last)
-    })
+    }),
+
+    // §2.8+ — PIVOT with DECLARED value list: one shuffle, counts fan
+    // out to columns map-side. Declaring the values matters at scale:
+    // `pivot(col)` without them runs a whole extra distinct-collect job
+    // over the corpus just to learn the column set (and the plan then
+    // depends on the data). Missing cells filled to 0 to keep the wide
+    // row total (pivot's count yields null for empty cells).
+    "q66_pivot" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy(col("source").asc_nulls_last)),
+
+    // §2.8+ — UNPIVOT (melt): the wide pivot back to long form — the
+    // roundtrip proves the two operators are exact inverses on a
+    // 0-filled matrix. Unpivot is a pure narrow Expand (no shuffle).
+    "q67_unpivot" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+        .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "cnt")
+        .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last)
+    }),
+
+    // §2.8+ — CUBE: all four grouping sets of (lang, source) in one
+    // pass — the Expand-based twin of q32's ROLLUP, completing the
+    // grouping-sets family.
+    "q68_cube" -> ((s, d) =>
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1710,7 +1747,32 @@ object SparkEntry {
     "q65_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT source,
+        |       count(*) FILTER (WHERE lang = 'de') AS de,
+        |       count(*) FILTER (WHERE lang = 'en') AS en,
+        |       count(*) FILTER (WHERE lang = 'es') AS es,
+        |       count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |       count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Long form over the full domain cross — absent combinations are 0
+    // rows, matching the unpivoted 0-filled matrix.
+    "q67_unpivot" ->
+      """SELECT s.source, l.lang, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+        |LEFT JOIN (SELECT source, lang, count(*) AS cnt
+        |           FROM documents GROUP BY 1, 2) c
+        |  USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
+    "q68_cube" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        |GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
