@@ -867,7 +867,24 @@ object SparkEntry {
       t(s, d, "documents")
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last))
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
+
+    // A5+ — MERGEABLE distinct-count sketches (DataSketches HLL):
+    // accumulate per event_type, union the sub-sketches, estimate —
+    // q59's workflow for COUNT DISTINCT. This is what a 100 TB pipeline
+    // persists per day/partition and folds at query time instead of
+    // re-scanning history for every distinct-users question. Exactness
+    // argument mirrors q58: at harness cardinalities the sketch stays
+    // in its coupon (exact) regime, so the estimate equals the exact
+    // count — HllMergeSpec pins both that and merge-losslessness, plus
+    // the 3-sigma envelope in the dense regime.
+    "q69_hll_merge" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("distinct_users")))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1772,7 +1789,13 @@ object SparkEntry {
     "q68_cube" ->
       """SELECT lang, source, count(*) AS cnt FROM documents
         |GROUP BY CUBE(lang, source)
-        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin,
+
+    // Exact because the sketch never leaves its coupon regime at
+    // harness cardinalities (HllMergeSpec pins it).
+    "q69_hll_merge" ->
+      """SELECT count(DISTINCT user_id) AS distinct_users
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
