@@ -171,6 +171,34 @@ class PlanAuditSpec extends GraftSpec {
     assert(hashShuffles == 0, s"chunking shuffled:\n$p")
   }
 
+  test("q62: the incremental screen is equi-joins only, even with broadcast disabled") {
+    // at 100 TB neither the batch nor the corpus side fits a broadcast;
+    // every stage (hash anti-join, band-bucket join, verify join) must
+    // stay an ordinary shuffled equi-join — never a nested-loop shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q62_incremental_dedup")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q64: the shuffled head is TakeOrdered, never a global sort") {
+    val p = plan("q64_corpus_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q66: pivot carries its declared values — no distinct-collect pre-job") {
+    // the declared value list appears as pivotfirst literals, proving no
+    // extra job ran to discover the column set; the plan holds exactly
+    // the two aggregation exchanges pivot needs plus the output sort
+    val p = plan("q66_pivot")
+    assert(p.contains("pivotfirst(lang"), p)
+    assert(p.contains(", de, en, es, fr, zh,"), p)
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
