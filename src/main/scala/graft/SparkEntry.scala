@@ -884,7 +884,25 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("distinct_users")))
+          .as("distinct_users"))),
+
+    // S+/A2+ — CDC log compaction: the latest event per user as ONE
+    // max_by aggregation over the packed row struct — each map task
+    // reduces to one candidate per key before the shuffle, where the
+    // ranking-window twin must shuffle and sort the whole change log
+    // (StagingSpec proves window-equality; the upsert write built on
+    // this rewrites only touched partitions). Order = (ts, event_id):
+    // total per key, and DuckDB's CAST(ts AS TIMESTAMP) truncates to
+    // the same micros Spark reads (q53 precedent).
+    "q70_cdc_compact" -> ((s, d) =>
+      Staging.latestByKey(
+          t(s, d, "events")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select("user_id", "event_id", "event_type", "ts"),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
+        .orderBy(col("user_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1795,7 +1813,18 @@ object SparkEntry {
     // harness cardinalities (HllMergeSpec pins it).
     "q69_hll_merge" ->
       """SELECT count(DISTINCT user_id) AS distinct_users
-        |FROM events WHERE user_id IS NOT NULL""".stripMargin
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+
+    // Same (ts desc, event_id desc) total order per key.
+    "q70_cdc_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —

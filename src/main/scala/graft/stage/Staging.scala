@@ -160,6 +160,65 @@ object Staging {
       .option("compression", "snappy")
       .parquet(path)
 
+  /**
+   * CDC log compaction: the LATEST row per key, "latest" defined by the
+   * lexicographic order of `orderCols` (make it a total order per key —
+   * e.g. a version plus a unique tie-break — or the winner is
+   * undefined). Implemented as ONE aggregation with `max_by` over the
+   * packed row struct, not a ranking window: the window formulation
+   * must shuffle and SORT every change-log row per key, while the
+   * aggregate reduces each map task to one candidate row per key before
+   * the shuffle — on a 100 TB change log with hot keys, kilobytes
+   * instead of the table. Columns come back in `df`'s order.
+   */
+  def latestByKey(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val payload = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__latest"))
+      .select(df.columns.map { c =>
+        if (keyCols.contains(c)) col(c) else col(s"__latest.$c")
+      }: _*)
+  }
+
+  /**
+   * Copy-on-write UPSERT into a [[stage]]d layout: merge `updates` into
+   * the partitions they touch — and ONLY those partitions — keeping the
+   * latest version of each key ([[latestByKey]] semantics over
+   * existing ∪ updates). Untouched partitions keep their exact bytes:
+   * the existing side reads with a partition-value IN-filter (pruned at
+   * planning time) and the write uses dynamic partition overwrite, so a
+   * one-day correction to a 10-year table costs one day's rewrite, not
+   * ten years'. The touched-partition list is a collected metadata
+   * scalar (distinct partition values of the update batch), the same
+   * driver-side scale as any partition listing.
+   *
+   * Requires every key to live in exactly one partition value (true for
+   * ingest-date-keyed layouts); a key that MOVES partitions would leave
+   * its old row behind — that needs a full-table merge by design.
+   */
+  def upsertPartitions(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      partitionCol: String = "date"): Unit = {
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched: _*))
+      .select(updates.columns.map(col): _*) // align column order for union
+    latestByKey(existing.unionAll(updates), keyCols, orderCols)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** Per-partition compaction outcome: file count before/after and the
     * partition's total bytes. Partitions below the trigger are absent. */
   final case class CompactionStat(

@@ -140,6 +140,55 @@ class StagingSpec extends GraftSpec {
     assert(Staging.compact(spark, tmp, targetFileBytes = 1L << 30).isEmpty)
   }
 
+  test("latestByKey: equals the ranking-window twin; no window, no input sort") {
+    val log = (1L to 5000L).map { i =>
+      (i % 40, i, s"v$i", (i * 2654435761L) % 1000L) // key, version, payload, noise
+    }.toDF("k", "ver", "payload", "noise")
+
+    val viaAgg = Staging.latestByKey(log, Seq("k"), Seq("ver"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("ver").desc)
+    val viaWindow = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    // the whole point: an aggregate, not a per-key sort of the log
+    val p = viaAgg.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_max"), p)
+  }
+
+  test("upsertPartitions: touched partition merges latest-wins, untouched keeps its bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val base = Seq(
+      (1L, 1L, "a0", "2024-01-01"),
+      (2L, 1L, "b0", "2024-01-01"),
+      (3L, 1L, "c0", "2024-01-02"),
+      (4L, 1L, "d0", "2024-01-02")
+    ).toDF("id", "ver", "payload", "date")
+    Staging.stage(base, tmp)
+
+    def files(part: String): Set[String] =
+      new java.io.File(s"$tmp/date=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val day1Files = files("2024-01-01")
+
+    // update key 3, insert key 5 — both day 2; day 1 untouched
+    val updates = Seq(
+      (3L, 2L, "c1", "2024-01-02"),
+      (5L, 1L, "e0", "2024-01-02")
+    ).toDF("id", "ver", "payload", "date")
+    Staging.upsertPartitions(spark, tmp, updates, Seq("id"), Seq("ver"))
+
+    val after = spark.read.parquet(tmp)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("ver"),
+        r.getAs[String]("payload"))).toSet
+    assert(after == Set(
+      (1L, 1L, "a0"), (2L, 1L, "b0"),          // day 1 as staged
+      (3L, 2L, "c1"), (4L, 1L, "d0"), (5L, 1L, "e0"))) // day 2 merged
+    assert(files("2024-01-01") == day1Files, "untouched partition rewritten")
+  }
+
   test("register: staged layout queryable through the catalog, idempotent") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"),
