@@ -902,7 +902,42 @@ object SparkEntry {
           Seq("user_id"), Seq("ts", "event_id"))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"))
-        .orderBy(col("user_id").asc_nulls_last))
+        .orderBy(col("user_id").asc_nulls_last)),
+
+    // W+/A2+ — BATCH tumbling event-time buckets: the batch twin of the
+    // streaming windowedCounts (§2.10), same epoch-aligned window(). One
+    // shuffle on (bucket, type); bucket rendered as a string so both
+    // engines compare the same value (q16's date-string precedent).
+    "q71_time_buckets" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("event_type"), col("cnt"))
+        .orderBy(col("bucket_start").asc_nulls_last,
+          col("event_type").asc_nulls_last)),
+
+    // W+ — RANGE-frame trailing window: per-user daily counts with a
+    // 3-day trailing sum via rangeBetween on the day epoch — the VALUE-
+    // based frame family next to q34's row-based lag. Two shuffles
+    // total: the daily pre-aggregate collapses the event stream to
+    // ≤ users × days rows BEFORE the window sees it — the window never
+    // sorts raw events.
+    "q72_trailing_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day_ep"))
+        .rangeBetween(-2, 0)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day_ep"))
+        .groupBy(col("user_id"), col("day_ep"))
+        .agg(count(lit(1)).as("day_cnt"))
+        .withColumn("trail3", sum(col("day_cnt")).over(w))
+        .orderBy(col("user_id").asc_nulls_last, col("day_ep").asc)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1824,7 +1859,31 @@ object SparkEntry {
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
         |SELECT user_id, event_id AS last_event_id,
         |       event_type AS last_event_type
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Epoch-aligned 1-hour buckets == date_trunc on the hour.
+    "q71_time_buckets" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |               '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |       event_type, count(*) AS cnt
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same integer day epochs (truncating div — q34/q57 precedent),
+    // same RANGE frame.
+    "q72_trailing_window" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+        |           AS day_ep,
+        |         count(*) AS day_cnt
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT user_id, day_ep, day_cnt,
+        |       CAST(sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day_ep
+        |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS trail3
+        |FROM d ORDER BY user_id, day_ep""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
