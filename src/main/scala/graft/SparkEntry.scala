@@ -937,6 +937,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("day_cnt"))
         .withColumn("trail3", sum(col("day_cnt")).over(w))
         .orderBy(col("user_id").asc_nulls_last, col("day_ep").asc)
+    }),
+
+    // S+/J+ — snapshot diff (change feed): yesterday's corpus vs a
+    // synthesized today (every 13th doc dropped, every 7th edited,
+    // every 17th re-ingested under a new id) classified
+    // insert/update/delete by one full-outer equi-join with null-safe
+    // value compare — downstream consumers scale with the delta, not
+    // the corpus. Unchanged keys never appear.
+    "q73_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val after = docs
+        .filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Staging.snapshotDiff(docs, after, Seq("doc_id"), Seq("text"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -1883,7 +1902,28 @@ object SparkEntry {
         |       CAST(sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day_ep
         |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS trail3
-        |FROM d ORDER BY user_id, day_ep""".stripMargin
+        |FROM d ORDER BY user_id, day_ep""".stripMargin,
+
+    // Same synthesized "today", same null-safe classification.
+    "q73_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |           AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 17 = 0)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |       CASE WHEN b.doc_id IS NULL THEN 'insert'
+        |            WHEN a.doc_id IS NULL THEN 'delete'
+        |            WHEN b.text IS DISTINCT FROM a.text THEN 'update'
+        |       END AS change
+        |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |WHERE (b.doc_id IS NULL OR a.doc_id IS NULL
+        |       OR b.text IS DISTINCT FROM a.text)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —

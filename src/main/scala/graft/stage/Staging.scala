@@ -219,6 +219,39 @@ object Staging {
       .parquet(path)
   }
 
+  /**
+   * Snapshot diff — the change feed between two versions of a keyed
+   * table: one row per key that was `insert`ed, `delete`d, or whose
+   * `valueCols` changed (`update`); unchanged keys are absent. One
+   * shuffled full-outer equi-join on the key, value comparison
+   * null-safe (`<=>`), so NULL→value and value→NULL count as updates.
+   * This is how a corpus publishes "what changed since yesterday"
+   * without shipping the table: downstream consumers (index refresh,
+   * incremental re-embedding, cache invalidation) scale with the delta,
+   * not the corpus.
+   */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty)
+    val b = before.select(
+      keyCols.map(col) ++ valueCols.map(c => col(c).as(s"__b_$c"))
+        :+ lit(true).as("__in_b"): _*)
+    val a = after.select(
+      keyCols.map(col) ++ valueCols.map(c => col(c).as(s"__a_$c"))
+        :+ lit(true).as("__in_a"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__in_b").isNull, lit("insert"))
+          .when(col("__in_a").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Per-partition compaction outcome: file count before/after and the
     * partition's total bytes. Partitions below the trigger are absent. */
   final case class CompactionStat(

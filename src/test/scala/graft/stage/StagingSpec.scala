@@ -189,6 +189,25 @@ class StagingSpec extends GraftSpec {
     assert(files("2024-01-01") == day1Files, "untouched partition rewritten")
   }
 
+  test("snapshotDiff: insert/update/delete classified; unchanged absent; null-safe compare") {
+    val before = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String]), (5L, Option("e"))
+    ).toDF("id", "v")
+    val after = Seq(
+      (1L, Option("a")),   // unchanged → absent
+      (2L, Option("b2")),  // update
+      // 3 missing → delete
+      (4L, Option("d2")),  // NULL → value: update, not a no-op
+      (5L, None: Option[String]), // value → NULL: update
+      (6L, Option("f"))    // insert
+    ).toDF("id", "v")
+    val diff = Staging.snapshotDiff(before, after, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "update", 3L -> "delete", 4L -> "update",
+      5L -> "update", 6L -> "insert"))
+  }
+
   test("register: staged layout queryable through the catalog, idempotent") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"),
