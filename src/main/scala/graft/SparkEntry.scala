@@ -956,6 +956,33 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Staging.snapshotDiff(docs, after, Seq("doc_id"), Seq("text"))
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // S+ — CSV roundtrip with DECLARED schema and FAILFAST: the other
+    // interchange format (q65's JSONL sibling). The text column rides
+    // through the writer's quoting/escaping and must come back byte-
+    // identical — the audit hashes every text, so one mangled quote or
+    // delimiter breaks the compare. FAILFAST because at scale a silent
+    // PERMISSIVE null-out is corruption, not tolerance (the CLF parser
+    // keeps its explicit reject channel for the lenient path).
+    "q74_csv_roundtrip" -> ((s, d) => {
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q74_${d.hashCode.toHexString}"
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("header", "true").option("escape", "\"")
+        .option("mode", "FAILFAST")
+        .csv(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text").cast("binary"))).as("n_texts"),
+          sum(length(col("text")).cast("long")).as("total_len"))
+        .orderBy(col("lang").asc_nulls_last)
     })
   )
 
@@ -1923,7 +1950,15 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
         |WHERE (b.doc_id IS NULL OR a.doc_id IS NULL
         |       OR b.text IS DISTINCT FROM a.text)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Byte-fidelity audit recomputed from the source table: any
+    // quoting/escaping loss in the roundtrip breaks n_texts or total_len.
+    "q74_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_texts,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
