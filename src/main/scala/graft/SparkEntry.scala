@@ -513,6 +513,10 @@ object SparkEntry {
     // so codes, scales, and errors hash-match DuckDB's recompute.
     "q47_quantize_int8" -> ((s, d) =>
       Quantize.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        // codes serialized to one scalar: the driver's pandas comparator
+        // sorts every column, and an array cell is unhashable there
+        .withColumn("q",
+          concat_ws(",", transform(col("q"), _.cast("string"))))
         .orderBy(col("vec_id").asc_nulls_last)),
 
     // S7+ — range-sorted ("cluster by") layout round-trip: write events
@@ -1617,7 +1621,9 @@ object SparkEntry {
         |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
         |         END AS q
         |  FROM s)
-        |SELECT vec_id, scale, q,
+        |SELECT vec_id, scale,
+        |       array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)),
+        |                       ',') AS q,
         |       CASE WHEN maxabs = 0 THEN 0.0
         |            ELSE list_max(list_transform(list_zip(q, embedding),
         |              p -> abs(CAST(p[1] AS DOUBLE) * scale
