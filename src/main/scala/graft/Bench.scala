@@ -108,8 +108,17 @@ object Bench {
     // dedup chain shows up here across bench rounds before it shows up as
     // a timing regression
     val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()}}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: stdout capture windows can truncate a long run's tail,
+    // losing early per-query timings; the file always carries the full line.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -514,9 +514,12 @@ object SparkEntry {
     "q47_quantize_int8" -> ((s, d) =>
       Quantize.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
         // codes serialized to one scalar: the driver's pandas comparator
-        // sorts every column, and an array cell is unhashable there
+        // sorts every column, and an array cell is unhashable there. A
+        // NULL code array stays NULL (concat_ws alone would render "")
+        // to match the oracle's array_to_string(NULL, ',') = NULL.
         .withColumn("q",
-          concat_ws(",", transform(col("q"), _.cast("string"))))
+          when(col("q").isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(",", transform(col("q"), _.cast("string")))))
         .orderBy(col("vec_id").asc_nulls_last)),
 
     // S7+ — range-sorted ("cluster by") layout round-trip: write events
@@ -987,6 +990,23 @@ object SparkEntry {
           count_distinct(md5(col("text").cast("binary"))).as("n_texts"),
           sum(length(col("text")).cast("long")).as("total_len"))
         .orderBy(col("lang").asc_nulls_last)
+    }),
+
+    // X1+ — q62's PERSISTED-INDEX twin: the corpus side arrives as a
+    // buildDedupIndex table (here derived inline; in production read from
+    // parquet and appended per accepted batch) instead of raw text, so a
+    // daily screen never re-shingles the settled corpus. Same screen core
+    // as q62 → identical semantics, same oracle.
+    "q75_indexed_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupIncrementalIndexed(
+          docs.filter(col("doc_id") % 2 === 1),
+          Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          "doc_id", "text", threshold = 0.6)
+        .accepted
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -1822,29 +1842,7 @@ object SparkEntry {
     // corpus doc at Jaccard ≥ 0.6 over distinct trigram shingles (same
     // shingling as the q20 oracle; n_union > 0 guards unshingleable docs,
     // which survive by definition).
-    "q62_incremental_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |near AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |    AND len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6)
-        |SELECT b.doc_id, b.lang
-        |FROM documents b
-        |WHERE b.doc_id % 2 = 1
-        |  AND NOT EXISTS (SELECT 1 FROM documents c
-        |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)
-        |  AND b.doc_id NOT IN (SELECT doc_id FROM near)
-        |ORDER BY b.doc_id""".stripMargin,
+    "q62_incremental_dedup" -> incrementalDedupOracleSql,
 
     // Same hex cut points against the same lowercase-hex md5.
     "q63_hash_split" ->
@@ -1964,8 +1962,40 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_texts,
         |       CAST(sum(length(text)) AS BIGINT) AS total_len
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Identical semantics to q62 by construction (same screen core, the
+    // corpus side merely arrives pre-indexed) — shared exact oracle.
+    "q75_indexed_dedup" -> incrementalDedupOracleSql
   )
+
+  /** Exact incremental-dedup recompute (odd-id batch vs even-id corpus:
+    * exact copies out via NOT EXISTS, near-dups out via all-pairs trigram
+    * Jaccard ≥ 0.6) — shared by q62 (self-contained screen) and q75 (the
+    * persisted-index screen): both must produce this identical result. */
+  private val incrementalDedupOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM toks)
+      |  GROUP BY doc_id),
+      |near AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM sh a, sh b
+      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |    AND len(list_distinct(a.s || b.s)) > 0
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6)
+      |SELECT b.doc_id, b.lang
+      |FROM documents b
+      |WHERE b.doc_id % 2 = 1
+      |  AND NOT EXISTS (SELECT 1 FROM documents c
+      |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+      |  AND b.doc_id NOT IN (SELECT doc_id FROM near)
+      |ORDER BY b.doc_id""".stripMargin
 
   /** Exact top-10 users by event count, (cnt desc, user) tie-break —
     * shared by q58 (single-pass sketch) and q59 (accumulate → combine →

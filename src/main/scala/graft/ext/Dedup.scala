@@ -16,6 +16,18 @@ final case class ComponentsResult(labels: DataFrame, rounds: Int, residual: Long
 }
 
 /**
+ * Result of [[Dedup.dedupIncrementalIndexed]]: the batch rows that
+ * survived the screen, and the index rows (`ghash, sh, sig` — the
+ * [[Dedup.buildDedupIndex]] schema) to APPEND to the persisted corpus
+ * index so tomorrow's screen sees today's accepted texts without
+ * re-deriving anything. `indexAppend` is one row per distinct accepted
+ * text and its ghashes are disjoint from the fed index by construction
+ * (they survived the exact stage), so a plain parquet append keeps the
+ * index exactly equal to a from-scratch build over corpus ∪ accepted.
+ */
+final case class IncrementalDedupResult(accepted: DataFrame, indexAppend: DataFrame)
+
+/**
  * Near-duplicate detection at training-data scale: MinHash signatures over
  * word-shingle sets, LSH banding to co-locate candidates, exact Jaccard
  * verification of candidates only. Built entirely from codegen'd built-in
@@ -405,10 +417,12 @@ object Dedup {
    * each side); the exact stage is an equi anti-join on 128-bit content
    * hashes; the near stage joins band buckets batch×corpus only (never
    * within a side, so a pathological all-similar batch cannot
-   * self-explode) and verifies candidates with exact set Jaccard. In a
-   * persistent pipeline the corpus rep/signature tables are the "index":
-   * they derive once, append per accepted batch, and amortize to zero —
-   * deriving them here keeps the operator self-contained.
+   * self-explode) and verifies candidates with exact set Jaccard.
+   * Deriving the corpus tables here keeps the operator self-contained
+   * but costs a full corpus re-shingle per call — a persistent daily
+   * pipeline should use [[dedupIncrementalIndexed]] with a
+   * [[buildDedupIndex]] table persisted once and appended per accepted
+   * batch, which amortizes the corpus side to one columnar scan.
    *
    * Batch and corpus ids must be globally unique across both sides (the
    * usual contract for a corpus with monotone ingest ids).
@@ -417,32 +431,117 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // corpus-side tables derived in place, lineage-cut exactly as before
+    // the indexed overload existed: shingle and signature tables cut
+    // SEPARATELY for the same column-pruning reason as nearDuplicatePairs
+    // (a fused localCheckpoint cannot prune, so a merged table would drag
+    // the heavy shingle arrays through the band explode).
+    val corpusHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("ghash")).distinct()
+    val cSh = Materialize.cut(
+      representatives(corpus, idCol, textCol)
+        .select(col("ghash"), shingles(col("text"), n).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val cSig = Materialize.cut(
+      cSh.select(col("ghash"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig")))
+    screen(batch, idCol, textCol, threshold, n, bands, rowsPerBand,
+      corpusHashes, cSh, cSig).accepted
+  }
+
+  /**
+   * PERSISTED-INDEX incremental dedup: [[dedupIncremental]] with the
+   * corpus side supplied as a precomputed [[buildDedupIndex]] table
+   * instead of raw corpus text, plus the index rows for the accepted
+   * batch. This is the amortized form of the daily screen: the
+   * self-contained overload re-shingles and re-signs the ENTIRE settled
+   * corpus on every call — at 100 TB that is a full-corpus scan per
+   * daily batch for tables that never change. With the index persisted
+   * (parquet — columnar, so the band explode reads only `sig` and the
+   * verify join only `sh`), each day costs one index scan plus work
+   * linear in the batch, and the maintenance loop is:
+   *
+   * {{{
+   * val r = Dedup.dedupIncrementalIndexed(todaysBatch, index, "id", "text", 0.6)
+   * r.accepted.write.…           // new corpus rows
+   * r.indexAppend.write.mode("append").parquet(indexPath) // index keeps up
+   * }}}
+   *
+   * `index ∪ indexAppend` is EXACTLY `buildDedupIndex(corpus ∪ accepted)`
+   * (spec-asserted): accepted ghashes are fresh by construction, so the
+   * append never duplicates an index row, and the screen's results can
+   * never drift from the self-contained overload's (also spec-asserted —
+   * both run the same [[screen]] core). `indexAppend` includes accepted
+   * texts too short to shingle (empty `sh`, NULL `sig`): they carry no
+   * near-dup signal but their content hash must screen future exact
+   * copies.
+   *
+   * The index must have been built with the SAME `n`/`bands`/
+   * `rowsPerBand` passed here — signatures from different parameters are
+   * incomparable (bucket hashes span different signature slices).
+   */
+  def dedupIncrementalIndexed(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2): IncrementalDedupResult =
+    screen(batch, idCol, textCol, threshold, n, bands, rowsPerBand,
+      corpusHashes = index.select("ghash"),
+      cSh  = index.filter(size(col("sh")) > 0).select("ghash", "sh"),
+      cSig = index.filter(col("sig").isNotNull).select("ghash", "sig"))
+
+  /**
+   * Derive the incremental-dedup index of a corpus: one row per DISTINCT
+   * text — `ghash` (128-bit content hash), `sh` (the shingle set, empty
+   * for texts too short to shingle), `sig` (the MinHash signature, NULL
+   * when `sh` is empty). Ids are deliberately absent: the screen matches
+   * on content, so the index is id-stable under re-ingestion and two
+   * indexes built from permuted corpora are identical. Derive ONCE,
+   * persist as parquet, append each accepted batch's
+   * [[IncrementalDedupResult.indexAppend]] — never rebuild from history.
+   */
+  def buildDedupIndex(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame =
+    indexOfReps(representatives(corpus, idCol, textCol), n, bands, rowsPerBand)
+
+  /** Index rows of a `(ghash, id, text)` representative table. */
+  private def indexOfReps(
+      reps: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    reps.select(col("ghash"), shingles(col("text"), n).as("sh"))
+      .withColumn("sig", when(size(col("sh")) > 0,
+        minhashSignature(col("sh"), bands * rowsPerBand)))
+
+  /**
+   * The shared screen core both incremental overloads run, so the two
+   * can never drift. Corpus side arrives as three tables: `corpusHashes`
+   * `(ghash)` for the exact stage, `cSh` `(ghash, sh)` (non-empty
+   * shingle sets only) for the verify join, `cSig` `(ghash, sig)` for
+   * the band explode. Batch-side stages are cut exactly as the
+   * historical self-contained pipeline cut them.
+   */
+  private def screen(
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      n: Int, bands: Int, rowsPerBand: Int,
+      corpusHashes: DataFrame, cSh: DataFrame, cSig: DataFrame): IncrementalDedupResult = {
     val bm = Materialize.cut(memberships(batch, idCol, textCol)) // (ghash, id)
 
     // exact stage: batch groups whose content the corpus already holds
-    val corpusHashes = corpus
-      .select(md5(col(textCol).cast("binary")).as("ghash")).distinct()
     val freshGroups = Materialize.cut(
       bm.select("ghash").distinct()
         .join(corpusHashes, Seq("ghash"), "left_anti"))
 
-    // near stage: one rep per fresh batch group vs one rep per corpus
-    // text. Shingle and signature tables are cut separately for the same
-    // column-pruning reason as nearDuplicatePairs (a fused table drags
-    // the heavy shingle arrays through the band explode).
-    def shTable(reps: DataFrame): DataFrame = Materialize.cut(
-      reps.select(col("ghash"), shingles(col("text"), n).as("sh"))
+    // near stage: one rep per fresh batch group vs the corpus side
+    val bReps = representatives(batch, idCol, textCol).join(freshGroups, "ghash")
+    val bSh = Materialize.cut(
+      bReps.select(col("ghash"), shingles(col("text"), n).as("sh"))
         .filter(size(col("sh")) > 0))
-    def sigTable(sh: DataFrame): DataFrame = Materialize.cut(
-      sh.select(col("ghash"),
+    val bSig = Materialize.cut(
+      bSh.select(col("ghash"),
         minhashSignature(col("sh"), bands * rowsPerBand).as("sig")))
-    val bSh = shTable(
-      representatives(batch, idCol, textCol).join(freshGroups, "ghash"))
-    val cSh = shTable(representatives(corpus, idCol, textCol))
 
-    val bBk = bandBuckets(sigTable(bSh), "ghash", "sig", bands, rowsPerBand)
+    val bBk = bandBuckets(bSig, "ghash", "sig", bands, rowsPerBand)
       .select(col("ghash").as("b_gh"), col("band"), col("bucket"))
-    val cBk = bandBuckets(sigTable(cSh), "ghash", "sig", bands, rowsPerBand)
+    val cBk = bandBuckets(cSig, "ghash", "sig", bands, rowsPerBand)
       .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
     val dropped = bBk.join(cBk, Seq("band", "bucket"))
       .select("b_gh", "c_gh").distinct()
@@ -452,9 +551,14 @@ object Dedup {
         jaccard(col("b_sh"), col("c_sh")) >= threshold)
       .select(col("b_gh").as("ghash")).distinct()
 
-    val survivors = bm
-      .join(freshGroups.join(dropped, Seq("ghash"), "left_anti"), "ghash")
-      .select(col("id").as(idCol))
-    batch.join(survivors, Seq(idCol), "left_semi")
+    val acceptedGroups = freshGroups.join(dropped, Seq("ghash"), "left_anti")
+    val survivors = bm.join(acceptedGroups, "ghash").select(col("id").as(idCol))
+    val accepted = batch.join(survivors, Seq(idCol), "left_semi")
+    // index rows for the accepted groups, short-text groups included —
+    // lazily planned, so the self-contained overload (which discards it)
+    // never pays for it
+    val indexAppend = indexOfReps(
+      bReps.join(acceptedGroups, "ghash"), n, bands, rowsPerBand)
+    IncrementalDedupResult(accepted, indexAppend)
   }
 }

@@ -122,19 +122,32 @@ object Staging {
    *
    * The expression is a static tree of 2×`bits` shift/mask/or terms —
    * all codegen'd built-ins, no UDF. Inputs MUST be non-negative and
-   * < 2^bits: a negative value's arithmetic shift would smear sign bits
-   * across every lane and destroy locality (it still sorts, it just
-   * stops clustering). Pre-bucket wider domains before interleaving.
+   * < 2^bits — and the expression ENFORCES it: an out-of-range value
+   * raises at execution time instead of silently dropping its high bits
+   * (which would keep the sort "working" while the clustering — and the
+   * file skipping built on it — quietly degrades at exactly the large
+   * key domains Z-ordering exists for; a negative value's arithmetic
+   * shift would likewise smear sign bits across every lane). Pre-bucket
+   * wider domains before interleaving, e.g. `col / lit(k)`. NULL inputs
+   * pass through as NULL (sorted last by the layout writers).
    */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val al = a.cast("long")
     val bl = b.cast("long")
-    (0 until bits).flatMap { i =>
+    val z = (0 until bits).flatMap { i =>
       Seq(
         shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
         shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    // one mask test guards both failure modes: a value ≥ 2^bits has a high
+    // bit set, a negative value has ALL high bits set (sign extension)
+    val highBits = lit(-1L << bits)
+    when(al.isNull || bl.isNull, lit(null).cast("long"))
+      .when(al.bitwiseOR(bl).bitwiseAND(highBits) === 0L, z)
+      .otherwise(raise_error(format_string(
+        s"zValue: inputs must be in [0, 2^$bits); got a=%s b=%s — " +
+          "pre-bucket wider domains before interleaving", al, bl)))
   }
 
   /**
@@ -199,6 +212,19 @@ object Staging {
    * Requires every key to live in exactly one partition value (true for
    * ingest-date-keyed layouts); a key that MOVES partitions would leave
    * its old row behind — that needs a full-table merge by design.
+   * NULL partition values in `updates` THROW: `isin` pruning can never
+   * match NULL, so the existing `__HIVE_DEFAULT_PARTITION__` rows would
+   * be excluded from the merge while dynamic overwrite still replaced
+   * that directory with updates-only rows — silent data loss. Assign a
+   * real partition value before upserting (the documented contract is an
+   * ingest-date key, which is never NULL).
+   *
+   * Concurrency contract — ONE maintainer per table: the
+   * read-merge-overwrite sequence is not transactional, so two
+   * concurrent upserts to the same partition (or an upsert racing
+   * [[compact]]) can lose one writer's rows. Serialize all maintenance
+   * of a staged path behind a single scheduler slot, the same
+   * assumption every non-transactional COW layout makes.
    */
   def upsertPartitions(
       spark: SparkSession, path: String, updates: DataFrame,
@@ -206,6 +232,10 @@ object Staging {
       partitionCol: String = "date"): Unit = {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"upsertPartitions: updates contain NULL '$partitionCol' values; " +
+        "NULL cannot be isin-pruned, so the merge would silently drop the " +
+        "existing NULL-partition rows. Assign a real partition value first.")
     if (touched.isEmpty) return
     val existing = spark.read.parquet(path)
       .filter(col(partitionCol).isin(touched: _*))
@@ -270,13 +300,27 @@ object Staging {
    * Mechanics per hot partition: read only that partition directory,
    * `repartition(n)`, write to a sibling temp dir, then swap via two
    * FileSystem renames (original → `.bak`, tmp → original) and drop the
-   * backup — readers see the old or the new complete directory, never a
-   * mix, and a crash mid-swap leaves a recoverable `.bak`. Row content
-   * is byte-preserved (same schema, same values; StagingSpec asserts
-   * set-equality and that cool partitions keep their exact files). The
-   * per-partition loop is driver-side METADATA iteration (one listing
-   * per partition — the same scale as any table-maintenance job), while
-   * every byte of data moves through executors.
+   * backup. Readers never see a MIXED directory (each rename is atomic
+   * on HDFS-like filesystems), but the swap as a whole is NOT atomic:
+   * between the two renames the partition directory is briefly ABSENT,
+   * so a concurrent reader in that window sees the partition as empty,
+   * and a crash there leaves the table without it until the `.bak` is
+   * manually renamed back (the backup always holds the complete old
+   * data — recovery is one rename, never data loss). Run compaction in
+   * a maintenance window if readers cannot tolerate the gap. Row
+   * content is byte-preserved (same schema, same values; StagingSpec
+   * asserts set-equality and that cool partitions keep their exact
+   * files). The per-partition loop is driver-side METADATA iteration
+   * (one listing per partition — the same scale as any
+   * table-maintenance job), while every byte of data moves through
+   * executors.
+   *
+   * Concurrency contract — ONE maintainer per table, shared with
+   * [[upsertPartitions]]: a compaction racing another compaction or an
+   * upsert on the same partition can observe a half-swapped directory
+   * or resurrect pre-upsert rows from its already-read snapshot.
+   * Serialize all maintenance of a staged path behind a single
+   * scheduler slot.
    */
   def compact(
       spark: SparkSession, path: String,

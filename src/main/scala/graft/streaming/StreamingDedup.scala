@@ -82,10 +82,14 @@ object StreamingDedup {
         Dedup.dedup(batch, idCol, textCol, threshold, n, bands, rowsPerBand))
 
       // survivors' representative rows; cut BEFORE the band explode so the
-      // signature is computed once, not once per band (projection collapse)
+      // signature is computed once, not once per band (projection collapse).
+      // ghash (the same 128-bit content hash the batch index keys on) rides
+      // along so the store doubles as a batch dedup index — see
+      // [[storeAsDedupIndex]].
       val rep = Materialize.cut(
         local.select(
             col(idCol).as("id"), col(timeCol).as("ts"),
+            md5(col(textCol).cast("binary")).as("ghash"),
             Dedup.shingles(col(textCol), n).as("sh"))
           .filter(size(col("sh")) > 0)
           .withColumn("sig", Dedup.minhashSignature(col("sh"), bands * rowsPerBand)))
@@ -146,6 +150,27 @@ object StreamingDedup {
           rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
     }
   }
+
+  /**
+   * View a streaming rep store as a BATCH incremental-dedup index (the
+   * [[graft.ext.Dedup.buildDedupIndex]] schema: `ghash, sh, sig`), so a
+   * batch job can screen against what the stream has emitted without
+   * re-deriving anything — one shared format for both screens:
+   *
+   * {{{
+   * val idx = StreamingDedup.storeAsDedupIndex(spark.read.parquet(statePath))
+   * Dedup.dedupIncrementalIndexed(dailyBatch, idx, "doc_id", "text", 0.8)
+   * }}}
+   *
+   * Scope caveats, both inherent to what the store IS: it covers only the
+   * event-time horizon (evicted reps no longer screen — by design, that
+   * is the stream's own guarantee), and only shingleable docs (short docs
+   * pass through the stream without entering the store, so the batch
+   * exact stage cannot see them either). The stream must have run with
+   * the same `n`/`bands`/`rowsPerBand` as the batch screen.
+   */
+  def storeAsDedupIndex(store: DataFrame): DataFrame =
+    store.select("ghash", "sh", "sig")
 
   /**
    * `foreachBatch` adapter: `stream.writeStream.foreachBatch(sink(...))`.

@@ -199,6 +199,27 @@ class PlanAuditSpec extends GraftSpec {
     assert("Exchange".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q70: CDC compaction is a max_by aggregate — no ranking window, no per-key sort") {
+    // the window twin must shuffle and SORT every change-log row per key;
+    // the aggregate reduces each map task to one candidate per key before
+    // the shuffle — this is the entire scale argument of latestByKey
+    val p = plan("q70_cdc_compact")
+    assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
+    assert(p.contains("partial_max_by"),
+      "map-side partial max_by missing:\n" + p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q73: snapshot diff is exactly one full-outer equi-join") {
+    // the change feed costs one shuffled key join — a second join (or a
+    // nested-loop shape) would mean the null-safe compare re-paired rows
+    val p = plan("q73_snapshot_diff")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+      .findAllIn(p).toSeq
+    assert(joins.length == 1, s"expected exactly one join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

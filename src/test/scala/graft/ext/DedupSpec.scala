@@ -129,6 +129,68 @@ class DedupSpec extends GraftSpec {
       Seq(22L, 23L, 24L, 25L))
   }
 
+  test("dedupIncrementalIndexed: index-fed screen ≡ self-contained; append ≡ from-scratch rebuild") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "completely different words about spark catalyst codegen and shuffles"),
+      (12L, "so short") // un-shingleable corpus text: ghash-only index row
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river"), // exact drop
+      (21L, "the quick brown fox jumps over the lazy cat near the river"), // near drop
+      (22L, "a wholly novel document mentioning watermarks state stores and sinks"),
+      (25L, "two words") // un-shingleable fresh text: survives, indexed by hash
+    ).toDF("doc_id", "text")
+
+    // the index screens identically to deriving the corpus side in place
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val r = Dedup.dedupIncrementalIndexed(batch, index, "doc_id", "text", threshold = 0.5)
+    val selfContained = Dedup.dedupIncremental(batch, corpus, "doc_id", "text", threshold = 0.5)
+    assert(r.accepted.select("doc_id").as[Long].collect().sorted.toSeq == Seq(22L, 25L))
+    assert(selfContained.select("doc_id").as[Long].collect().sorted.toSeq == Seq(22L, 25L))
+
+    // index ∪ indexAppend is EXACTLY a from-scratch build over
+    // corpus ∪ accepted — the append loop never diverges from rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ghash", "sh", "sig").collect().map(x =>
+        (x.getString(0), x.getSeq[String](1).toList,
+          Option(x.getSeq[Long](2)).map(_.toList))).toSet
+    val appended = rows(index) ++ rows(r.indexAppend)
+    val rebuilt = rows(Dedup.buildDedupIndex(
+      corpus.unionAll(r.accepted), "doc_id", "text"))
+    assert(appended == rebuilt)
+    // the short fresh text is in the append (hash-only, NULL signature):
+    // tomorrow's exact stage must see it
+    assert(rows(r.indexAppend).exists { case (_, sh, sig) => sh.isEmpty && sig.isEmpty })
+
+    // screening the same batch against the grown index drops everything —
+    // exact copies of what was just accepted never re-enter
+    val again = Dedup.dedupIncrementalIndexed(
+      batch, index.unionAll(r.indexAppend), "doc_id", "text", threshold = 0.5)
+    assert(again.accepted.count() == 0)
+  }
+
+  test("dedup index: parquet roundtrip screens identically (the persisted form)") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "completely different words about spark catalyst codegen and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (21L, "the quick brown fox jumps over the lazy cat near the river"),
+      (22L, "a wholly novel document mentioning watermarks state stores and sinks")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val r = Dedup.dedupIncrementalIndexed(
+      batch, spark.read.parquet(dir), "doc_id", "text", threshold = 0.5)
+    assert(r.accepted.select("doc_id").as[Long].collect().toSeq == Seq(22L))
+    // the daily loop: append the accepted rows' index, re-read, re-screen
+    r.indexAppend.write.mode("append").parquet(dir)
+    val again = Dedup.dedupIncrementalIndexed(
+      batch, spark.read.parquet(dir), "doc_id", "text", threshold = 0.5)
+    assert(again.accepted.count() == 0)
+  }
+
   test("components: labels converge to the component minimum") {
     // two components: a 4-chain 10-11-12-13 (needs >1 round) and a pair
     val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))

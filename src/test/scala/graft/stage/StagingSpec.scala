@@ -70,6 +70,30 @@ class StagingSpec extends GraftSpec {
     assert(s == 0x27L + 0, s"expected 39, got $s") // 100111₂ = 39
   }
 
+  test("zValue: out-of-range inputs raise instead of silently truncating; NULL passes through") {
+    // 2^21 is the first value whose high bit the 21-bit interleave would
+    // silently drop — it must fail loudly, not degrade the clustering
+    val wide = Seq((1L << 21, 3L)).toDF("a", "b")
+      .select(Staging.zValue(col("a"), col("b")).as("z"))
+    val e = intercept[Exception](wide.collect())
+    assert(e.getMessage.contains("zValue"), e.getMessage)
+    // same guard on the second operand and on negatives
+    assert(intercept[Exception](
+      Seq((3L, -1L)).toDF("a", "b")
+        .select(Staging.zValue(col("a"), col("b"))).collect()
+    ).getMessage.contains("zValue"))
+    // widening `bits` legitimizes the same key
+    val ok = Seq((1L << 21, 3L)).toDF("a", "b")
+      .select(Staging.zValue(col("a"), col("b"), bits = 22).as("z"))
+      .head().getLong(0)
+    assert(ok != 0L)
+    // NULL input is a NULL z-value, not an error
+    val n = Seq((Some(5L), None: Option[Long])).toDF("a", "b")
+      .select(Staging.zValue(col("a"), col("b")).as("z"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("z-ordered layout: files are 2-D rectangles; single-key sort is not") {
     // two independent uniform keys over [0, 1000)
     val df = (1L to 8000L).map { i =>
@@ -187,6 +211,35 @@ class StagingSpec extends GraftSpec {
       (1L, 1L, "a0"), (2L, 1L, "b0"),          // day 1 as staged
       (3L, 2L, "c1"), (4L, 1L, "d0"), (5L, 1L, "e0"))) // day 2 merged
     assert(files("2024-01-01") == day1Files, "untouched partition rewritten")
+  }
+
+  test("upsertPartitions: NULL partition values throw before any write") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString
+    val base = Seq(
+      (1L, 1L, "a0", Option("2024-01-01")),
+      (2L, 1L, "b0", None: Option[String]) // existing NULL-partition row
+    ).toDF("id", "ver", "payload", "date")
+    Staging.stage(base, tmp)
+    val beforeRows = spark.read.parquet(tmp).collect().map(_.toSeq).toSet
+
+    // a NULL-keyed update would merge against nothing (isin never matches
+    // NULL) while dynamic overwrite replaced the NULL partition with the
+    // update alone — the guard must refuse before touching the table
+    val updates = Seq((2L, 2L, "b1", None: Option[String]))
+      .toDF("id", "ver", "payload", "date")
+    val e = intercept[IllegalArgumentException](
+      Staging.upsertPartitions(spark, tmp, updates, Seq("id"), Seq("ver")))
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // nothing was written: the table is byte-for-byte what was staged
+    assert(spark.read.parquet(tmp).collect().map(_.toSeq).toSet == beforeRows)
+
+    // a well-keyed upsert on the same table still works
+    val good = Seq((1L, 2L, "a1", Option("2024-01-01")))
+      .toDF("id", "ver", "payload", "date")
+    Staging.upsertPartitions(spark, tmp, good, Seq("id"), Seq("ver"))
+    val after = spark.read.parquet(tmp)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    assert(after == Set((1L, "a1"), (2L, "b0")))
   }
 
   test("snapshotDiff: insert/update/delete classified; unchanged absent; null-safe compare") {

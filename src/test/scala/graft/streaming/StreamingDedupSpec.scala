@@ -152,6 +152,32 @@ class StreamingDedupSpec extends GraftSpec {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("the rep store doubles as a batch dedup index (one shared format)") {
+    import graft.ext.Dedup
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_idx").resolve("store").toString
+    // the stream accepts two docs; its store is now the settled corpus
+    StreamingDedup.processBatch(
+      Seq((1L, baseA, ts("2015-11-13 10:00:00")),
+          (2L, textB, ts("2015-11-13 10:00:30")))
+        .toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(_ => ())
+
+    val index = StreamingDedup.storeAsDedupIndex(spark.read.parquet(statePath))
+    val batch = Seq(
+      (10L, baseA),  // byte-identical to a streamed doc → exact-stage drop
+      (11L, nearA1), // near-dup of a streamed doc → near-stage drop
+      (12L, textC)   // fresh → survives
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupIncrementalIndexed(batch, index, "doc_id", "text",
+      threshold = 0.5)
+    assert(ids(r.accepted) == Seq(12L))
+    // identical to the self-contained screen against the emitted corpus
+    assert(ids(Dedup.dedupIncremental(batch,
+      Seq((1L, baseA), (2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)) == Seq(12L))
+  }
+
   test("processBatch: short docs pass through and never enter the store") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_sdedup_short").resolve("store").toString
