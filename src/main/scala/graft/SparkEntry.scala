@@ -993,16 +993,22 @@ object SparkEntry {
     }),
 
     // X1+ — q62's PERSISTED-INDEX twin: the corpus side arrives as a
-    // buildDedupIndex table (here derived inline; in production read from
-    // parquet and appended per accepted batch) instead of raw text, so a
-    // daily screen never re-shingles the settled corpus. Same screen core
-    // as q62 → identical semantics, same oracle.
+    // buildDedupIndex table written to parquet and read back — the actual
+    // production shape (derive once, append per accepted batch), and the
+    // shape the screen is tuned for: from a columnar scan the band explode
+    // reads only `sig` and the verify join only `sh`; an inline index plan
+    // would instead re-inline the minhash expression into every band
+    // (projection collapse — the candidatePairs pathology). Same screen
+    // core as q62 → identical semantics, same oracle.
     "q75_indexed_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q75_${d.hashCode.toHexString}"
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
       Dedup.dedupIncrementalIndexed(
           docs.filter(col("doc_id") % 2 === 1),
-          Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text"),
+          s.read.parquet(tmp),
           "doc_id", "text", threshold = 0.6)
         .accepted
         .select(col("doc_id"), col("lang"))
