@@ -113,7 +113,10 @@ object Bench {
     println(line)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // A query-filtered run writes to a .partial path so a local iteration
+    // can never masquerade as a full run's durable record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "/tmp/graft_bench.json" else "/tmp/graft_bench.partial.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -162,6 +162,51 @@ class FuzzSpec extends GraftSpec {
     }
   }
 
+  test("dedupIncrementalIndexed agrees with the self-contained screen on random corpora") {
+    // tiny vocabulary → dense shingle overlap, so every case exercises the
+    // exact stage (verbatim repeats), the near stage (borderline Jaccard
+    // pairs), and the un-shingleable path (2-word docs). Both overloads run
+    // the same screen core on the same deterministic signatures, so their
+    // outputs must be EQUAL — no recall caveat applies to this comparison.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(2, 10)
+      w <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield w.mkString(" ")
+    val caseGen: Gen[(Seq[(Long, String)], Seq[(Long, String)])] = for {
+      nc <- Gen.chooseNum(1, 10)
+      nb <- Gen.chooseNum(1, 10)
+      cs <- Gen.listOfN(nc, docGen)
+      bs <- Gen.listOfN(nb, docGen)
+    } yield (
+      cs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bs.zipWithIndex.map { case (t, i) => (100L + i, t) })
+
+    def indexRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ghash", "sh", "sig").collect().map(x =>
+        (x.getString(0), x.getSeq[String](1).toList,
+          Option(x.getSeq[Long](2)).map(_.toList))).toSet
+
+    cases(caseGen, 5, seed = 0xDED0L).foreach { case (c, b) =>
+      val corpus = c.toDF("doc_id", "text")
+      val batch = b.toDF("doc_id", "text")
+      val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+      val r = Dedup.dedupIncrementalIndexed(batch, index, "doc_id", "text",
+        threshold = 0.5)
+      val viaIndex = r.accepted.select("doc_id").as[Long].collect().sorted.toSeq
+      val selfContained = Dedup
+        .dedupIncremental(batch, corpus, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaIndex == selfContained, s"corpus=$c batch=$b")
+      // the append loop can never drift from a from-scratch rebuild
+      assert(indexRows(index) ++ indexRows(r.indexAppend) ==
+        indexRows(Dedup.buildDedupIndex(
+          corpus.unionAll(r.accepted), "doc_id", "text")),
+        s"index drift: corpus=$c batch=$b")
+    }
+  }
+
   test("pointInRange agrees with the naive filter on random intervals, " +
     "negatives included") {
     val caseGen: Gen[(Seq[Double], Seq[(Long, Double, Double)])] = for {
