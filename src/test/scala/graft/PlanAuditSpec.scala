@@ -184,6 +184,21 @@ class PlanAuditSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q75: the parquet index is scanned column-pruned per consumer") {
+    // the whole point of persisting the index: the band explode must read
+    // only (ghash, sig) and the verify join only (ghash, sh) — a scan that
+    // drags all three columns would deserialize the heavy shingle arrays
+    // through the explode, which a localCheckpointed index cannot avoid
+    val p = plan("q75_indexed_dedup")
+    assert(p.contains("ReadSchema: struct<ghash:string,sig:array<bigint>>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    assert(p.contains("ReadSchema: struct<ghash:string,sh:array<string>>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    assert(!p.contains("sh:array<string>,sig"),
+      "an index scan reads all columns:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("q64: the shuffled head is TakeOrdered, never a global sort") {
     val p = plan("q64_corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"), p)
