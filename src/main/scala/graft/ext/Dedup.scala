@@ -479,15 +479,50 @@ object Dedup {
    * The index must have been built with the SAME `n`/`bands`/
    * `rowsPerBand` passed here — signatures from different parameters are
    * incomparable (bucket hashes span different signature slices).
+   *
+   * `corpusBuckets` (optional) removes the last per-call corpus cost: by
+   * default the candidate stage re-explodes the index into `bands` rows
+   * per signature and SHUFFLES them on `(band, bucket)` every call — at a
+   * billion-text corpus that is ~10^10 tiny rows through the wire per
+   * daily batch. Pass the [[stageDedupBuckets]] catalog table instead and
+   * the join reads the corpus side pre-bucketed on exactly the join key:
+   * only the (small) batch side shuffles, the corpus side is a bare
+   * columnar scan (spec-asserted: one Exchange in the candidate join,
+   * batch side only). Must be built from the SAME index generation —
+   * stage it when the index is built, append when the index appends.
    */
   def dedupIncrementalIndexed(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 2): IncrementalDedupResult =
+      bands: Int = 16, rowsPerBand: Int = 2,
+      corpusBuckets: Option[DataFrame] = None): IncrementalDedupResult =
     screen(batch, idCol, textCol, threshold, n, bands, rowsPerBand,
       corpusHashes = index.select("ghash"),
       cSh  = index.filter(size(col("sh")) > 0).select("ghash", "sh"),
-      cSig = index.filter(col("sig").isNotNull).select("ghash", "sig"))
+      cSig = index.filter(col("sig").isNotNull).select("ghash", "sig"),
+      corpusBuckets = corpusBuckets)
+
+  /**
+   * Persist the index's exploded band-bucket table `(ghash, band, bucket)`
+   * as a catalog table BUCKETED on `(band, bucket)` — the candidate
+   * join's exact key — so every incremental screen reads the corpus side
+   * co-located and shuffle-free ([[stageBucketed]]'s write-once argument
+   * applied to the dedup index; the same bucket-table layout Hive-era
+   * LSH pipelines used). `append = true` adds a new batch's bucket rows
+   * to the existing table (Spark verifies the bucket spec matches).
+   * Size `numBuckets` for the SETTLED corpus — it is fixed at creation,
+   * so at 100 TB pick enough buckets that one bucket's rows fit an
+   * executor's scan budget (e.g. 4096); re-stage to change it.
+   */
+  def stageDedupBuckets(
+      index: DataFrame, table: String, numBuckets: Int,
+      bands: Int = 16, rowsPerBand: Int = 2, append: Boolean = false): Unit =
+    bandBuckets(index.filter(col("sig").isNotNull), "ghash", "sig",
+        bands, rowsPerBand)
+      .write.mode(if (append) "append" else "overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, "band", "bucket")
+      .saveAsTable(table)
 
   /**
    * Derive the incremental-dedup index of a corpus: one row per DISTINCT
@@ -522,7 +557,8 @@ object Dedup {
   private def screen(
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
       n: Int, bands: Int, rowsPerBand: Int,
-      corpusHashes: DataFrame, cSh: DataFrame, cSig: DataFrame): IncrementalDedupResult = {
+      corpusHashes: DataFrame, cSh: DataFrame, cSig: DataFrame,
+      corpusBuckets: Option[DataFrame] = None): IncrementalDedupResult = {
     val bm = Materialize.cut(memberships(batch, idCol, textCol)) // (ghash, id)
 
     // exact stage: batch groups whose content the corpus already holds
@@ -541,10 +577,13 @@ object Dedup {
 
     val bBk = bandBuckets(bSig, "ghash", "sig", bands, rowsPerBand)
       .select(col("ghash").as("b_gh"), col("band"), col("bucket"))
-    val cBk = bandBuckets(cSig, "ghash", "sig", bands, rowsPerBand)
+    // corpus buckets from the pre-bucketed catalog table when given
+    // (renaming is a projection — it keeps the table's bucket layout on
+    // (band, bucket)); otherwise re-exploded from the signature table
+    val cBk = corpusBuckets
+      .getOrElse(bandBuckets(cSig, "ghash", "sig", bands, rowsPerBand))
       .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
-    val dropped = bBk.join(cBk, Seq("band", "bucket"))
-      .select("b_gh", "c_gh").distinct()
+    val dropped = candidateGhPairs(bBk, cBk)
       .join(bSh.select(col("ghash").as("b_gh"), col("sh").as("b_sh")), "b_gh")
       .join(cSh.select(col("ghash").as("c_gh"), col("sh").as("c_sh")), "c_gh")
       .filter(size(array_union(col("b_sh"), col("c_sh"))) > 0 &&
@@ -561,4 +600,16 @@ object Dedup {
       bReps.join(acceptedGroups, "ghash"), n, bands, rowsPerBand)
     IncrementalDedupResult(accepted, indexAppend)
   }
+
+  /** The candidate-generation join of the incremental screen, split out so
+    * its physical shape is plan-auditable in isolation: batch buckets
+    * `(b_gh, band, bucket)` equi-joined to corpus buckets
+    * `(c_gh, band, bucket)` on the band key. When the corpus side is a
+    * [[stageDedupBuckets]] catalog table, its scan satisfies the join's
+    * partitioning requirement outright and only the batch side gets an
+    * Exchange — the corpus is never shuffled (DedupSpec pins exactly one
+    * hash Exchange below the join with broadcast disabled). */
+  private[graft] def candidateGhPairs(bBk: DataFrame, cBk: DataFrame): DataFrame =
+    bBk.join(cBk, Seq("band", "bucket"))
+      .select("b_gh", "c_gh").distinct()
 }

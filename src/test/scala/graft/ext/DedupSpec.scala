@@ -191,6 +191,50 @@ class DedupSpec extends GraftSpec {
     assert(again.accepted.count() == 0)
   }
 
+  test("bucketed band-bucket table: same screen result, corpus side never shuffles") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "completely different words about spark catalyst codegen and shuffles"),
+      (12L, "a third corpus text mentioning broadcast joins and partition pruning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (21L, "the quick brown fox jumps over the lazy cat near the river"), // near drop
+      (22L, "a wholly novel document mentioning watermarks state stores and sinks")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    try {
+      Dedup.stageDedupBuckets(index, "graft_dedup_bk", numBuckets = 4)
+
+      // the pre-bucketed corpus side screens identically
+      val viaBuckets = Dedup.dedupIncrementalIndexed(
+        batch, index, "doc_id", "text", threshold = 0.5,
+        corpusBuckets = Some(spark.table("graft_dedup_bk")))
+      assert(viaBuckets.accepted.select("doc_id").as[Long].collect().toSeq
+        == Seq(22L))
+
+      // plan shape of the candidate join, broadcast off: exactly ONE hash
+      // Exchange (the batch side) — the bucketed corpus scan satisfies the
+      // join's partitioning itself, plus the distinct's own exchange
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bBk = Dedup.bandBuckets(
+            index.filter(col("sig").isNotNull), "ghash", "sig", 16, 2)
+          .select(col("ghash").as("b_gh"), col("band"), col("bucket"))
+        val cBk = spark.table("graft_dedup_bk")
+          .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
+        val p = Dedup.candidateGhPairs(bBk, cBk)
+          .queryExecution.executedPlan.toString
+        // band-keyed exchanges only: the distinct's (b_gh, c_gh) exchange
+        // is candidate-sized and out of scope here
+        val exchanges = "Exchange hashpartitioning\\(band"
+          .r.findAllIn(p).size
+        assert(exchanges == 1, s"corpus side shuffled:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dedup_bk")
+  }
+
   test("components: labels converge to the component minimum") {
     // two components: a 4-chain 10-11-12-13 (needs >1 round) and a pair
     val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
