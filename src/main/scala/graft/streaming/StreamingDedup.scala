@@ -102,8 +102,16 @@ object StreamingDedup {
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       StateSwap.recover(fs, statePath)
       val store0 = Materialize.cut(
-        if (fs.exists(new Path(statePath))) spark.read.parquet(statePath)
-        else spark.createDataFrame(
+        if (fs.exists(new Path(statePath))) {
+          val raw = spark.read.parquet(statePath)
+          // migrate a store written before ghash joined the schema: the
+          // stream itself never reads ghash (its match is sig buckets +
+          // shingle verify), so NULL is fully functional — the rows just
+          // don't contribute to storeAsDedupIndex until they age out of
+          // the horizon and post-migration rows replace them
+          if (raw.columns.contains("ghash")) raw
+          else raw.withColumn("ghash", lit(null).cast("string"))
+        } else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rep.schema))
       val hwm = store0.select(col("ts"))
         .unionAll(rep.select(col("ts")))

@@ -232,6 +232,19 @@ class DedupSpec extends GraftSpec {
         assert(exchanges == 1, s"corpus side shuffled:\n$p")
         assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // the maintenance loop's append half: bucket rows of the accepted
+      // batch append into the same table (bucket spec verified by Spark),
+      // and re-screening the batch against the grown index + grown bucket
+      // table drops everything
+      val r = Dedup.dedupIncrementalIndexed(
+        batch, index, "doc_id", "text", threshold = 0.5)
+      Dedup.stageDedupBuckets(r.indexAppend, "graft_dedup_bk",
+        numBuckets = 4, append = true)
+      val again = Dedup.dedupIncrementalIndexed(
+        batch, index.unionAll(r.indexAppend), "doc_id", "text", threshold = 0.5,
+        corpusBuckets = Some(spark.table("graft_dedup_bk")))
+      assert(again.accepted.count() == 0)
     } finally spark.sql("DROP TABLE IF EXISTS graft_dedup_bk")
   }
 

@@ -178,6 +178,41 @@ class StreamingDedupSpec extends GraftSpec {
       "doc_id", "text", threshold = 0.5)) == Seq(12L))
   }
 
+  test("a pre-ghash store migrates in place: no crash, old reps still veto") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_mig").resolve("store").toString
+    // hand-write an old-schema store (id, ts, sh, sig — no ghash) with a
+    // commit marker, exactly what a pre-migration build left behind
+    val oldRows = Seq((1L, ts("2015-11-13 10:00:00"), baseA))
+      .toDF("id", "ts", "text")
+      .select(col("id"), col("ts"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(asize(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+    oldRows.write.mode("overwrite").parquet(statePath)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(statePath, "_GRAFT_COMMIT"), true).close()
+
+    // the next batch reads the old store without crashing AND its rep
+    // still vetoes a near-dup re-delivery
+    var out: Seq[Long] = Nil
+    StreamingDedup.processBatch(
+      Seq((9L, nearA1, ts("2015-11-13 10:05:00")),
+          (10L, textB, ts("2015-11-13 10:05:30")))
+        .toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(s => out = ids(s))
+    assert(out == Seq(10L)) // 9 dropped against the migrated rep
+    // the advanced store is on the new schema: old row carries NULL ghash,
+    // the new survivor carries a real one
+    val stored = spark.read.parquet(statePath)
+      .select("id", "ghash").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(stored.keySet == Set(1L, 10L))
+    assert(stored(1L).isEmpty && stored(10L).nonEmpty)
+  }
+
   test("processBatch: short docs pass through and never enter the store") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_sdedup_short").resolve("store").toString
