@@ -522,6 +522,11 @@ object Dedup {
       .write.mode(if (append) "append" else "overwrite")
       .format("parquet")
       .bucketBy(numBuckets, "band", "bucket")
+      // sorted within buckets: while a bucket holds one file (a fresh
+      // stage), a sort-merge candidate join skips the corpus-side SORT as
+      // well as its shuffle; appends add files per bucket, after which
+      // Spark correctly re-sorts — re-stage periodically to restore it
+      .sortBy("band", "bucket")
       .saveAsTable(table)
 
   /**
