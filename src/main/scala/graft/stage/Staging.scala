@@ -129,7 +129,8 @@ object Staging {
    * key domains Z-ordering exists for; a negative value's arithmetic
    * shift would likewise smear sign bits across every lane). Pre-bucket
    * wider domains before interleaving, e.g. `col / lit(k)`. NULL inputs
-   * pass through as NULL (sorted last by the layout writers).
+   * pass through as NULL (the layout writers' default ascending order
+   * groups them in the first range).
    */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
