@@ -113,14 +113,16 @@ object Bench {
     println(line)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
-    // A query-filtered run writes to a .partial path so a local iteration
-    // can never masquerade as a full run's durable record.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isEmpty) "/tmp/graft_bench.json" else "/tmp/graft_bench.partial.json")
+    // A query-filtered run writes to a .partial path — also when the
+    // destination came from the env override — so a local iteration can
+    // never masquerade as a full run's durable record. Best-effort by
+    // design: a bad path must never turn a green run's exit code red.
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val out = if (only.isEmpty) base else base + ".partial"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -595,14 +595,26 @@ object Dedup {
         jaccard(col("b_sh"), col("c_sh")) >= threshold)
       .select(col("b_gh").as("ghash")).distinct()
 
-    val acceptedGroups = freshGroups.join(dropped, Seq("ghash"), "left_anti")
+    // cut: the verify stage above is the expensive half of the screen, and
+    // BOTH outputs consume its result — the documented daily loop runs two
+    // actions (accepted.write, indexAppend.write), which would otherwise
+    // re-execute candidate join + Jaccard verify once per action
+    val acceptedGroups = Materialize.cut(
+      freshGroups.join(dropped, Seq("ghash"), "left_anti"))
     val survivors = bm.join(acceptedGroups, "ghash").select(col("id").as(idCol))
     val accepted = batch.join(survivors, Seq(idCol), "left_semi")
-    // index rows for the accepted groups, short-text groups included —
-    // lazily planned, so the self-contained overload (which discards it)
-    // never pays for it
-    val indexAppend = indexOfReps(
-      bReps.join(acceptedGroups, "ghash"), n, bands, rowsPerBand)
+    // index rows for the accepted groups: shingleable groups reuse the
+    // already-materialized shingle/signature tables (never re-run LSH
+    // inputs); the short-text remainder — absent from bSh, near-dup-inert,
+    // indexed for its content hash only — re-derives its (cheap, empty)
+    // shingles via indexOfReps
+    val indexAppend = bSh.join(bSig, Seq("ghash"))
+      .join(acceptedGroups, Seq("ghash"))
+      .select("ghash", "sh", "sig")
+      .unionByName(indexOfReps(
+        bReps.join(acceptedGroups, Seq("ghash"))
+          .join(bSh.select("ghash"), Seq("ghash"), "left_anti"),
+        n, bands, rowsPerBand))
     IncrementalDedupResult(accepted, indexAppend)
   }
 

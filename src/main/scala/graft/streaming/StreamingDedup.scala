@@ -170,15 +170,20 @@ object StreamingDedup {
    * Dedup.dedupIncrementalIndexed(dailyBatch, idx, "doc_id", "text", 0.8)
    * }}}
    *
-   * Scope caveats, both inherent to what the store IS: it covers only the
+   * Scope caveats, all inherent to what the store IS: it covers only the
    * event-time horizon (evicted reps no longer screen — by design, that
-   * is the stream's own guarantee), and only shingleable docs (short docs
+   * is the stream's own guarantee); only shingleable docs (short docs
    * pass through the stream without entering the store, so the batch
-   * exact stage cannot see them either). The stream must have run with
-   * the same `n`/`bands`/`rowsPerBand` as the batch screen.
+   * exact stage cannot see them either); and only reps written AFTER the
+   * ghash column joined the store schema — migrated pre-ghash rows carry
+   * NULL and are excluded here (a NULL key can never match either screen
+   * stage, so keeping them would only pay dead candidate-join work),
+   * which means they don't veto batch duplicates until the horizon
+   * retires them. The stream must have run with the same `n`/`bands`/
+   * `rowsPerBand` as the batch screen.
    */
   def storeAsDedupIndex(store: DataFrame): DataFrame =
-    store.select("ghash", "sh", "sig")
+    store.filter(col("ghash").isNotNull).select("ghash", "sh", "sig")
 
   /**
    * `foreachBatch` adapter: `stream.writeStream.foreachBatch(sink(...))`.

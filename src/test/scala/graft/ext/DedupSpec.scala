@@ -151,17 +151,14 @@ class DedupSpec extends GraftSpec {
 
     // index ∪ indexAppend is EXACTLY a from-scratch build over
     // corpus ∪ accepted — the append loop never diverges from rebuild
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("ghash", "sh", "sig").collect().map(x =>
-        (x.getString(0), x.getSeq[String](1).toList,
-          Option(x.getSeq[Long](2)).map(_.toList))).toSet
-    val appended = rows(index) ++ rows(r.indexAppend)
-    val rebuilt = rows(Dedup.buildDedupIndex(
+    val appended = DedupIndexRows(index) ++ DedupIndexRows(r.indexAppend)
+    val rebuilt = DedupIndexRows(Dedup.buildDedupIndex(
       corpus.unionAll(r.accepted), "doc_id", "text"))
     assert(appended == rebuilt)
     // the short fresh text is in the append (hash-only, NULL signature):
     // tomorrow's exact stage must see it
-    assert(rows(r.indexAppend).exists { case (_, sh, sig) => sh.isEmpty && sig.isEmpty })
+    assert(DedupIndexRows(r.indexAppend)
+      .exists { case (_, sh, sig) => sh.isEmpty && sig.isEmpty })
 
     // screening the same batch against the grown index drops everything —
     // exact copies of what was just accepted never re-enter

@@ -183,11 +183,6 @@ class FuzzSpec extends GraftSpec {
       cs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
       bs.zipWithIndex.map { case (t, i) => (100L + i, t) })
 
-    def indexRows(df: org.apache.spark.sql.DataFrame) =
-      df.select("ghash", "sh", "sig").collect().map(x =>
-        (x.getString(0), x.getSeq[String](1).toList,
-          Option(x.getSeq[Long](2)).map(_.toList))).toSet
-
     cases(caseGen, 5, seed = 0xDED0L).foreach { case (c, b) =>
       val corpus = c.toDF("doc_id", "text")
       val batch = b.toDF("doc_id", "text")
@@ -200,8 +195,8 @@ class FuzzSpec extends GraftSpec {
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(viaIndex == selfContained, s"corpus=$c batch=$b")
       // the append loop can never drift from a from-scratch rebuild
-      assert(indexRows(index) ++ indexRows(r.indexAppend) ==
-        indexRows(Dedup.buildDedupIndex(
+      assert(DedupIndexRows(index) ++ DedupIndexRows(r.indexAppend) ==
+        DedupIndexRows(Dedup.buildDedupIndex(
           corpus.unionAll(r.accepted), "doc_id", "text")),
         s"index drift: corpus=$c batch=$b")
     }
