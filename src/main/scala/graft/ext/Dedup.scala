@@ -588,12 +588,7 @@ object Dedup {
     val cBk = corpusBuckets
       .getOrElse(bandBuckets(cSig, "ghash", "sig", bands, rowsPerBand))
       .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
-    val dropped = candidateGhPairs(bBk, cBk)
-      .join(bSh.select(col("ghash").as("b_gh"), col("sh").as("b_sh")), "b_gh")
-      .join(cSh.select(col("ghash").as("c_gh"), col("sh").as("c_sh")), "c_gh")
-      .filter(size(array_union(col("b_sh"), col("c_sh"))) > 0 &&
-        jaccard(col("b_sh"), col("c_sh")) >= threshold)
-      .select(col("b_gh").as("ghash")).distinct()
+    val dropped = nearDropped(bSh, bBk, cSh, cBk, threshold)
 
     // cut: the verify stage above is the expensive half of the screen, and
     // BOTH outputs consume its result — the documented daily loop runs two
@@ -629,4 +624,22 @@ object Dedup {
   private[graft] def candidateGhPairs(bBk: DataFrame, cBk: DataFrame): DataFrame =
     bBk.join(cBk, Seq("band", "bucket"))
       .select("b_gh", "c_gh").distinct()
+
+  /** The near stage's dropped-group computation — LSH candidates, exact
+    * Jaccard verify, ≥-threshold groups — exactly as [[screen]] runs it.
+    * Split out (like [[candidateGhPairs]], its first stage) so audits can
+    * plan it directly against a parquet index: inside the screen the
+    * surrounding lineage cuts execute this eagerly, hiding its scans from
+    * the final query plan, while PlanAuditSpec must see that the index
+    * feeds the band explode reading only `(ghash, sig)` and the verify
+    * join only `(ghash, sh)`. */
+  private[graft] def nearDropped(
+      bSh: DataFrame, bBk: DataFrame, cSh: DataFrame, cBk: DataFrame,
+      threshold: Double): DataFrame =
+    candidateGhPairs(bBk, cBk)
+      .join(bSh.select(col("ghash").as("b_gh"), col("sh").as("b_sh")), "b_gh")
+      .join(cSh.select(col("ghash").as("c_gh"), col("sh").as("c_sh")), "c_gh")
+      .filter(size(array_union(col("b_sh"), col("c_sh"))) > 0 &&
+        jaccard(col("b_sh"), col("c_sh")) >= threshold)
+      .select(col("b_gh").as("ghash")).distinct()
 }

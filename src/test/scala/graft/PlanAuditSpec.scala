@@ -184,19 +184,42 @@ class PlanAuditSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q75: the parquet index is scanned column-pruned per consumer") {
+  test("q75's verify stage: the parquet index is scanned column-pruned per consumer") {
     // the whole point of persisting the index: the band explode must read
     // only (ghash, sig) and the verify join only (ghash, sh) — a scan that
     // drags all three columns would deserialize the heavy shingle arrays
-    // through the explode, which a localCheckpointed index cannot avoid
-    val p = plan("q75_indexed_dedup")
-    assert(p.contains("ReadSchema: struct<ghash:string,sig:array<bigint>>"),
-      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
-    assert(p.contains("ReadSchema: struct<ghash:string,sh:array<string>>"),
-      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // through the explode, which a localCheckpointed index cannot avoid.
+    // Audited on Dedup.nearDropped — the exact stage screen runs — because
+    // inside the full query the surrounding lineage cuts execute it
+    // eagerly and its scans never reach the final plan.
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val Dedup = graft.ext.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_audit").toString
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val bIdx = Dedup.buildDedupIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val bSh = bIdx.filter(asize(col("sh")) > 0).select("ghash", "sh")
+    val bBk = Dedup.bandBuckets(
+        bIdx.filter(col("sig").isNotNull).select("ghash", "sig"),
+        "ghash", "sig", 16, 2)
+      .select(col("ghash").as("b_gh"), col("band"), col("bucket"))
+    val cSh = index.filter(asize(col("sh")) > 0).select("ghash", "sh")
+    val cBk = Dedup.bandBuckets(
+        index.filter(col("sig").isNotNull).select("ghash", "sig"),
+        "ghash", "sig", 16, 2)
+      .select(col("ghash").as("c_gh"), col("band"), col("bucket"))
+
+    val p = Dedup.nearDropped(bSh, bBk, cSh, cBk, 0.6)
+      .queryExecution.executedPlan.toString
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(p.contains("ReadSchema: struct<ghash:string,sig:array<bigint>>"), schemas)
+    assert(p.contains("ReadSchema: struct<ghash:string,sh:array<string>>"), schemas)
     assert(!p.contains("sh:array<string>,sig"),
-      "an index scan reads all columns:\n" +
-        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+      s"an index scan reads all columns:\n$schemas")
   }
 
   test("q64: the shuffled head is TakeOrdered, never a global sort") {
