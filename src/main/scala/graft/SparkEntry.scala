@@ -1028,7 +1028,8 @@ object SparkEntry {
     * produce this identical exact result. */
   private val contaminationOracleSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0) AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
@@ -1180,7 +1181,8 @@ object SparkEntry {
     // Spark side builds; LSH on the Spark side is recall machinery only.
     "q20_near_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -1333,7 +1335,8 @@ object SparkEntry {
 
     "q26_fingerprint" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
         |  FROM documents WHERE doc_id < 100),
         |sh AS (
         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -1439,7 +1442,8 @@ object SparkEntry {
     // no pair are their own singleton component).
     "q37_dedup_survivors" ->
       """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -1981,7 +1985,8 @@ object SparkEntry {
     * persisted-index screen): both must produce this identical result. */
   private val incrementalDedupOracleSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0) AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s

@@ -198,7 +198,8 @@ object AnnIvf {
       if (excludeSelf) scored.filter(col("q_id") =!= col("nn_id")) else scored
     candidates
       .withColumn("sim",
-        Similarity.nativeDot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
+        Similarity.nativeDot(col("q_emb"), col("nn_emb"))
+          / nullif(col("q_n") * col("nn_n"), lit(0.0))) // NULL on zero norms
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kNeighbors)

@@ -76,13 +76,19 @@ object AnnLsh {
       .select(col("q_id"), col("nn_id")).distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
+    // norms once per ROW in the join projections — inline norm() in the
+    // sim expression would re-fold both interpreted HOF norms once per
+    // CANDIDATE (the exact per-pair recompute nearDupPairsBlocked's
+    // comment warns against); NULL sim on zero norms, see Similarity doc
     cand
-      .join(corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb")), "nn_id")
+      .join(corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        Similarity.norm(col("embedding")).as("nn_n")), "nn_id")
       .join(broadcast(
-        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Similarity.norm(col("embedding")).as("q_n"))), "q_id")
       .withColumn("sim",
         Similarity.nativeDot(col("q_emb"), col("nn_emb"))
-          / (Similarity.norm(col("q_emb")) * Similarity.norm(col("nn_emb"))))
+          / nullif(col("q_n") * col("nn_n"), lit(0.0)))
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

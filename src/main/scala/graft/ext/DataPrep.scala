@@ -12,28 +12,34 @@ import org.apache.spark.sql.functions._
  *  1. quality filtering ([[TextOps.qualityScore]] floor plus repetition
  *     ceilings on [[TextOps.dupWordFrac]] / [[TextOps.topBigramCount]] —
  *     all per-row codegen'd expressions, a pure filter);
- *  2. near-duplicate removal ([[Dedup.dedupTransitive]] — exact-collapse
- *     skew guard, banded LSH, exact-Jaccard verify, connected components);
- *  3. benchmark decontamination ([[Contamination.contamination]] — drop
+ *  2. benchmark decontamination ([[Contamination.contamination]] — drop
  *     docs whose shingle overlap with the eval corpus exceeds the cap;
  *     docs too short to shingle pass, matching the screen's domain);
+ *  3. near-duplicate removal ([[Dedup.dedupTransitive]] — exact-collapse
+ *     skew guard, banded LSH, exact-Jaccard verify, connected components);
  *  4. optional deterministic per-language quota
  *     ([[Sampling.stratifiedTake]] — reproducible across engines and
  *     reruns);
  *  5. sequence packing ([[Packing.pack]] — shard/bin/offset columns for
  *     fixed-size context windows, input columns passing through).
  *
- * Stage order is the cost order: the near-free per-row filters run FIRST
- * so the spam and boilerplate they remove never inflate the dedup
- * stage's LSH shuffles — and so a quality-failing doc can never be the
- * least-id canonical survivor that silently takes its whole near-dup
- * group down with it. The filtered corpus is lineage-cut before fanning
- * out into the decontamination screen and its anti-join (the repo-wide
- * cut-before-fan-out rule); call
- * [[Materialize.release]] after fully consuming the result, as Bench and
- * Verify do per unit of work. The quota stage only exists when a quota
- * is configured — an unbounded "quota" would still pay a
- * per-stratum window whose parallelism is the stratum count.
+ * Stage order is drop-reason safety first, cost second: the near-free
+ * per-row filters run FIRST so the spam and boilerplate they remove never
+ * inflate the later shuffles — and so a quality-failing doc can never be
+ * the least-id canonical survivor that silently takes its whole near-dup
+ * group down with it. Decontamination precedes dedup for the same
+ * reason: were the order reversed, a contaminated survivor would first
+ * suppress its clean near-dups as duplicates and then be dropped itself —
+ * the whole group would vanish even though a clean member should have
+ * shipped. Both orders pay the same linear broadcast screen; this one
+ * runs it on the slightly larger pre-dedup corpus in exchange for never
+ * losing a clean group. The screened corpus is lineage-cut before
+ * fanning out into the decontamination screen and its anti-join (the
+ * repo-wide cut-before-fan-out rule); call [[Materialize.release]] after
+ * fully consuming the result, as Bench and Verify do per unit of work.
+ * The quota stage only exists when a quota is configured — an unbounded
+ * "quota" would still pay a per-stratum window whose parallelism is the
+ * stratum count.
  */
 object DataPrep {
 
@@ -87,27 +93,28 @@ object DataPrep {
       config: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
 
-    // 0.+1.: the stream-safe screen (see [[screen]])
-    val screened = screen(docs, textCol, config)
+    // 0.+1.: the stream-safe screen (see [[screen]]), cut before the
+    // two-branch decontamination fan-out below
+    val screened = Materialize.cut(screen(docs, textCol, config))
 
-    // 2. near-dup removal (transitive: one survivor per duplicate chain),
-    // cut before the two-branch fan-out below
-    val deduped = Materialize.cut(
-      Dedup.dedupTransitive(screened, idCol, textCol,
-        threshold = config.dedupThreshold))
-
-    // 3. decontamination: drop docs over the overlap cap (shingle-less
-    // docs are absent from the screen's output and pass through)
+    // 2. decontamination BEFORE dedup (see the object doc's ordering
+    // argument): drop docs over the overlap cap so a contaminated doc can
+    // never become the canonical survivor whose clean near-dups were
+    // already suppressed as duplicates when it is removed
     val contaminated = Contamination
-      .contamination(deduped, bench, idCol, textCol, config.contaminationNgram)
+      .contamination(screened, bench, idCol, textCol, config.contaminationNgram)
       .filter(col("contamination") > config.contaminationCap)
       .select(col(idCol))
-    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+    val clean = screened.join(contaminated, Seq(idCol), "left_anti")
+
+    // 3. near-dup removal (transitive: one survivor per duplicate chain)
+    val deduped = Dedup.dedupTransitive(clean, idCol, textCol,
+      threshold = config.dedupThreshold)
 
     // 4. optional deterministic per-stratum quota, then 5. packing
     val sampled = config.perStratumQuota match {
-      case Some(k) => Sampling.stratifiedTake(clean, stratumCol, text, idCol, k)
-      case None    => clean
+      case Some(k) => Sampling.stratifiedTake(deduped, stratumCol, text, idCol, k)
+      case None    => deduped
     }
     Packing.pack(sampled, idCol, size(TextOps.tokens(text)),
       config.contextLen, config.shards)

@@ -72,9 +72,16 @@ object Dedup {
     * (~300× per row, measured 7.5s vs <1s at sf0.1). Here the token
     * expression is evaluated n times per ROW (once per zip argument).
     * Tail tuples padded with null by `arrays_zip` are filtered out, so a
-    * text with fewer than n tokens yields an empty set. */
+    * text with fewer than n tokens yields an empty set.
+    *
+    * Boundary-empty tokens are dropped (as [[TextOps.tokens]] drops them):
+    * `split` on `\s+` keeps the empty string a leading/trailing whitespace
+    * run produces, and without the filter two docs differing ONLY in
+    * surrounding whitespace would grow phantom shingles, depress their
+    * Jaccard below 1, and evade dedup (and mismatch benchmark text in the
+    * contamination screen, which shares this shingler). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(text), "\\s+")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     val shifted = (0 until n).map { k =>
       if (k == 0) toks
       else slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))

@@ -36,7 +36,16 @@ object Packing {
       contextLen: Long, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+    // numeric ids shard by value (cheap, oracle-replayable); any other id
+    // type shards by hash — a blind pmod would CAST a string id to null
+    // (every row in one null shard = one serial window task) or throw
+    // under ANSI mode
+    val shardOf = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(idCol), lit(shards.toLong))
+      case _ => pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    }
+    df.withColumn("shard", shardOf)
       .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integral division, NOT `/`: Divide casts longs through double, and

@@ -20,10 +20,16 @@ object Scrub {
 
   /** GDPR-style IPv4 coarsening: zero the host octet (`1.2.3.45` →
     * `1.2.3.0`) — the widely deployed anonymization that keeps /24
-    * locality for analytics while dropping the host identity. Non-IPv4
-    * strings pass through unchanged (no match, no replace). */
+    * locality for analytics while dropping the host identity. The match
+    * is ANCHORED to a full dotted-quad so non-IPv4 strings really do pass
+    * through unchanged — an unanchored `\.[0-9]+$` would silently corrupt
+    * any value ending in dot-digits (`v1.2.3` → `v1.2.0`). Shape-matched,
+    * not range-validated (`999.0.0.1` still masks); a port-suffixed
+    * `1.2.3.4:8080` is out of scope and passes through (the CLF client
+    * field carries no port — split it off upstream if yours does). */
   def anonymizeIpv4(ip: Column): Column =
-    regexp_replace(ip, "\\.[0-9]{1,3}$", ".0")
+    regexp_replace(ip,
+      "^([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})\\.[0-9]{1,3}$", "$1.0")
 
   /** Deterministic pseudonymization: sha2-256 of `pepper || id`. The same
     * id always maps to the same token (joins and per-user aggregates still

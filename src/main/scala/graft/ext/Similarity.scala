@@ -14,6 +14,15 @@ import org.apache.spark.sql.expressions.Window
  * beyond the final top-k exchange, whose size is |queries| × k, not |corpus|.
  * For corpus×corpus all-pairs use the LSH/IVF bucketed variant ([[Dedup]] /
  * [[AnnLsh]]) so candidates co-locate by bucket instead of cross-joining.
+ *
+ * Zero-norm vectors: cosine against an all-zero vector is undefined, and
+ * the naive 0/0 yields NaN — which Spark orders ABOVE every double, so an
+ * unguarded zero corpus vector would rank as the TOP neighbor of every
+ * query it meets (and pass every `sim >= threshold` filter). Every scoring
+ * site here and in [[AnnLsh]]/[[AnnIvf]] therefore divides by
+ * `nullif(norm_product, 0)`: a zero vector scores NULL — last under the
+ * descending rank windows, false in every threshold filter — and can never
+ * displace a real neighbor.
  */
 object Similarity {
 
@@ -36,12 +45,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL (not NaN) when either vector has zero norm — see the object doc. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
-  /**
-   * Exact brute-force cosine top-k: every query vector against the whole
-   * corpus. Queries are broadcast (small side); corpus partitions stream.
-   */
   /**
    * Exact embedding near-duplicate pairs within a blocking key (e.g. a
    * cluster id, language, or length bucket): shuffle both sides once by
@@ -64,11 +71,16 @@ object Similarity {
       col("vec").as("b_vec"), col("nrm").as("b_n"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", nativeDot(col("a_vec"), col("b_vec")) / (col("a_n") * col("b_n")))
-      .filter(col("sim") >= threshold)
+      .withColumn("sim",
+        nativeDot(col("a_vec"), col("b_vec")) / nullif(col("a_n") * col("b_n"), lit(0.0)))
+      .filter(col("sim") >= threshold) // NULL sim (zero norm) fails here
       .select(col("block"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /**
+   * Exact brute-force cosine top-k: every query vector against the whole
+   * corpus. Queries are broadcast (small side); corpus partitions stream.
+   */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -79,7 +91,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(q) // broadcast nested-loop: corpus stays partitioned, no shuffle
       .withColumn("sim",
-        nativeDot(col("q_emb"), col("nn_emb")) / (col("q_n") * col("nn_n")))
+        nativeDot(col("q_emb"), col("nn_emb")) / nullif(col("q_n") * col("nn_n"), lit(0.0)))
       .select(col("q_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

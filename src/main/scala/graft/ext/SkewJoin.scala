@@ -43,9 +43,12 @@ object SkewJoin {
     require(salts > 0, s"salts must be positive, got $salts")
     val b = big.withColumn("_salt_b", pmod(xxhash64(saltSrc), lit(salts.toLong)))
     val sm = small.withColumn("_salt_s",
-      explode(sequence(lit(0L), lit(salts - 1L))))
-    b.join(sm.hint("shuffle_hash"),
-        col(bigKey) === col(smallKey) && col("_salt_b") === col("_salt_s"))
+        explode(sequence(lit(0L), lit(salts - 1L))))
+      .hint("shuffle_hash")
+    // frame-qualified key references: unqualified col(bigKey) would be
+    // ambiguous whenever both sides name their key the same way — the
+    // most common join shape (RangeJoin takes the same care)
+    b.join(sm, b(bigKey) === sm(smallKey) && b("_salt_b") === sm("_salt_s"))
       .drop("_salt_b", "_salt_s")
   }
 }

@@ -95,6 +95,10 @@ object TextOps {
    * Document quality score in [0,1]: length component (saturating at 100
    * tokens), English-stopword ratio, and mean-token-length closeness to 5.
    * Pure double arithmetic in a fixed operation order → bit-reproducible.
+   * A tokenless doc scores 0.0 — without the guard the 0/0 ratios make
+   * the score NaN, and Spark orders NaN ABOVE every double, so a
+   * `score >= floor` quality gate would admit exactly the empty/
+   * whitespace-only junk it exists to reject.
    */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
@@ -103,11 +107,11 @@ object TextOps {
       markerHits(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
     val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     val meanLen = sumLen.cast("double") / nTok
-    round(
+    when(size(toks) === 0, lit(0.0d)).otherwise(round(
       least(nTok / 100.0d, lit(1.0d)) * 0.4d
         + stopRatio * 0.3d
         + greatest(lit(0.0d), lit(1.0d) - abs(meanLen - 5.0d) / 5.0d) * 0.3d,
-      6)
+      6))
   }
 
   // ---- repetition / duplication quality signals ----

@@ -40,6 +40,30 @@ class DataPrepSpec extends GraftSpec {
     assert(rows(1L)._5 == 0L && rows(5L)._5 == 1L)
   }
 
+  test("prepare: a contaminated canonical survivor cannot take its clean near-dup down") {
+    // X (least id) embeds the benchmark text verbatim → contaminated above
+    // the cap; Y is X with one benchmark word changed → its 5-gram overlap
+    // collapses (every gram through that position differs) while its
+    // trigram Jaccard with X stays ≥ 0.6. Were dedup to run FIRST, Y would
+    // be suppressed as X's duplicate and X then dropped as contaminated —
+    // the whole group gone. Decontamination-before-dedup ships Y.
+    val benchWords = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tail = "river bank sunset horizon meadow forest"
+    val docs = Seq(
+      (1L, s"$benchWords $tail", "en"),
+      (2L, s"${benchWords.replace("epsilon", "zulu")} $tail", "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchWords)).toDF("doc_id", "text")
+
+    val out = DataPrep.prepare(docs, bench,
+        config = DataPrep.Config(
+          dedupThreshold = 0.6, minQuality = 0.0, maxDupWordFrac = 1.0,
+          maxTopBigram = 100L, contaminationCap = 0.4,
+          contextLen = 100L, shards = 2))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(2L), s"clean near-dup lost: $out")
+  }
+
   test("prepare: maskEmails scrubs text before any downstream stage sees it") {
     val docs = Seq(
       (1L, s"$good write to someone@example.com for details", "en")

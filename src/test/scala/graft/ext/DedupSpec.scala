@@ -24,6 +24,27 @@ class DedupSpec extends GraftSpec {
     assert(r(4L).isEmpty)
   }
 
+  test("shingles: surrounding whitespace is invisible — no phantom boundary shingles") {
+    // split on \s+ keeps the empty token a leading/trailing run produces;
+    // unfiltered, "a b c d " grows a phantom "c d " shingle and two docs
+    // differing only in whitespace stop being exact near-dups
+    val r = Seq(
+      (1L, "a b c d"),
+      (2L, "  a b c d \n"),
+      (3L, " \t ") // whitespace-only: zero tokens, zero shingles
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    assert(r(1L) == Set("a b c", "b c d"))
+    assert(r(2L) == r(1L))
+    assert(r(3L).isEmpty)
+    val pairs = Dedup.nearDuplicatePairs(
+      Seq((1L, "a b c d e f"), (2L, "  a b c d e f \n")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.9)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Double]("jaccard")))
+    assert(pairs.toSeq == Seq((1L, 1.0))) // whitespace twins ARE exact dups
+  }
+
   test("near-dup pair detected; unrelated pair absent; exact dup jaccard = 1") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
       .collect()

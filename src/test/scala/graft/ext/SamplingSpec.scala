@@ -108,4 +108,23 @@ class SamplingSpec extends GraftSpec {
     assert(r(1L) == (1L, 4L, 0L, 0L))
     assert(r(3L) == (1L, 4L, 4L, 0L))
   }
+
+  test("pack: string doc ids hash-shard across shards, not one null shard") {
+    // pmod on a string id would cast to null (every row in ONE serial
+    // window partition) or throw under ANSI — string ids must hash-shard
+    val docs = (1 to 40).map(i => (s"doc-$i", "four short tokens here"))
+      .toDF("doc_id", "text")
+    val r = Packing.pack(docs, "doc_id", size(TextOps.tokens(col("text"))),
+        contextLen = 10L, shards = 4)
+      .select("doc_id", "shard").collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(r.forall { case (_, s) => s >= 0L && s < 4L })
+    assert(r.map(_._2).distinct.length > 1, "all rows landed in one shard")
+    // deterministic: same ids → same shards on re-run
+    val again = Packing.pack(docs.repartition(7), "doc_id",
+        size(TextOps.tokens(col("text"))), contextLen = 10L, shards = 4)
+      .select("doc_id", "shard").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.toMap == again)
+  }
 }

@@ -7,11 +7,16 @@ class ScrubSpec extends GraftSpec {
   import spark.implicits._
 
   test("anonymizeIpv4 zeroes the host octet only; non-IPs pass through") {
-    val r = Seq("192.168.1.45", "10.0.0.255", "not-an-ip", "1.2.3.4.5")
+    // anchored to a full dotted-quad: values that merely END in dot-digits
+    // (version strings, dotted hostnames, five-part sequences) must come
+    // back byte-identical, not corrupted
+    val r = Seq("192.168.1.45", "10.0.0.255", "not-an-ip", "1.2.3.4.5",
+      "v1.2.3", "server.42", "1.2.3.4:8080")
       .toDF("ip")
       .select(Scrub.anonymizeIpv4(col("ip")).as("m"))
       .collect().map(_.getString(0)).toSeq
-    assert(r == Seq("192.168.1.0", "10.0.0.0", "not-an-ip", "1.2.3.4.0"))
+    assert(r == Seq("192.168.1.0", "10.0.0.0", "not-an-ip", "1.2.3.4.5",
+      "v1.2.3", "server.42", "1.2.3.4:8080"))
   }
 
   test("pseudonymizeId: stable, peppered, 64-hex") {

@@ -36,4 +36,24 @@ class SimilaritySpec extends GraftSpec {
       .filter(col("rank") === 2).collect()(0)
     assert(nn.getAs[Long]("nn_id") == 3L) // (0.9,0.1) closer to x-axis than (1,1)
   }
+
+  test("zero-norm corpus vector scores NULL sim and never displaces a real neighbor") {
+    // 0/0 would be NaN, which Spark orders ABOVE every double — an
+    // unguarded zero vector would be the rank-1 "neighbor" of every query
+    val corpus = vecs.unionAll(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), corpus, k = 5)
+      .select("rank", "nn_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    // every real vector outranks the zero vector; its sim is NULL, not NaN
+    assert(top.filter(_._1 <= 4).forall(_._2 != 99L))
+    assert(top.find(_._2 == 99L).get == ((5L, 99L, true)))
+    // and the threshold path: a zero-vector pair fails the filter instead
+    // of passing it as NaN
+    val pairs = Similarity.nearDupPairsBlocked(
+      corpus.withColumn("blk", lit(1)), "vec_id", "embedding", "blk",
+      threshold = 0.0)
+    assert(pairs.filter(col("a_id") === 99L || col("b_id") === 99L).count() == 0)
+  }
 }

@@ -20,6 +20,19 @@ class SkewJoinSpec extends GraftSpec {
     assert(salted.count() == plain.count(), "row multiplicity changed")
   }
 
+  test("both sides naming the key identically still joins (frame-qualified condition)") {
+    // the most common join shape: fact.user_id == dim.user_id — an
+    // unqualified col("user_id") condition would die with an
+    // ambiguous-reference AnalysisException before running
+    val big = ((1L to 100L).map(i => (42L, i)) ++ Seq((7L, 0L)))
+      .toDF("user_id", "src")
+    val small = Seq((42L, "hot"), (7L, "cold")).toDF("user_id", "v")
+    val out = SkewJoin.saltedJoin(big, small,
+      "user_id", "user_id", saltSrc = col("src"), salts = 4)
+    assert(out.count() == 101L)
+    assert(out.filter(col("v") === "hot").count() == 100L)
+  }
+
   test("a hot key's rows spread over multiple salt partitions; join shuffles") {
     // one hot key carrying 1000 rows, 10 cold keys
     val big = ((1L to 1000L).map(i => (42L, i)) ++ (1L to 10L).map(i => (i, -i)))

@@ -20,12 +20,15 @@ class TextOpsSpec extends GraftSpec {
   test("qualityScore: bounded in [0,1], longer well-formed text scores higher") {
     val df = Seq(
       ("good", ("the quick brown fox and the lazy dog walk to town in rain " * 5)),
-      ("bad", "x")
-    ).toDF("k", "text")
+      ("bad", "x"),
+      ("empty", ""),    // tokenless: must be 0.0, NOT NaN — Spark orders
+      ("blank", "   ")  // NaN above every double, so a `>= floor` quality
+    ).toDF("k", "text") // gate would otherwise ADMIT empty junk
       .select($"k", TextOps.qualityScore($"text").as("s"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(df.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(df.values.forall(s => s >= 0.0 && s <= 1.0)) // NaN fails this too
     assert(df("good") > df("bad"))
+    assert(df("empty") == 0.0 && df("blank") == 0.0)
   }
 
   test("bpeTokens: letter runs, digit runs, single punctuation") {
