@@ -1013,6 +1013,24 @@ object SparkEntry {
         .accepted
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X3+ — q33's PERSISTED-INDEX twin (the ANN side of the q75 story):
+    // the inverted file — cell assignment, embedding, precomputed norm per
+    // vector — is derived once by buildIvfIndex, written to parquet, read
+    // back, and probed by annTopKIndexed, so a standing 100-TB corpus pays
+    // cell assignment once per centroid generation (append per new batch),
+    // not once per query batch. Same probe/score core as q33's annTopK →
+    // identical output; same partial oracle (every returned sim recomputed
+    // exactly, 8×5-rank structural guard).
+    "q76_ivf_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q76_${d.hashCode.toHexString}"
+      AnnIvf.buildIvfIndex(emb, centroids).write.mode("overwrite").parquet(tmp)
+      AnnIvf.annTopKIndexed(emb.filter(col("vec_id") < 8), s.read.parquet(tmp),
+        centroids, kNeighbors = 5, nprobe = 10)
     })
   )
 
@@ -1213,33 +1231,10 @@ object SparkEntry {
     // Structurally guarded: the dump must be exactly 8 queries × ranks
     // 1..5 (40 distinct (q_id, rank) rows); otherwise — including an empty
     // dump, which would hash-match vacuously — the oracle emits a single
-    // sentinel row that can never match.
-    "q33_ivf_topk" ->
-      """WITH r AS (SELECT q_id, nn_id, rank
-        |           FROM read_parquet('__OUT__/q33_ivf_topk/*.parquet')),
-        |bf AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
-        |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |    / (sqrt(list_aggregate(list_transform(q.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |     * sqrt(list_aggregate(list_transform(c.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 8),
-        |chk AS (
-        |  SELECT coalesce(count(*) = 40
-        |           AND count(DISTINCT q_id) = 8
-        |           AND count(DISTINCT q_id || ':' || rank) = 40
-        |           AND min(rank) = 1 AND max(rank) = 5, FALSE) AS ok
-        |  FROM r)
-        |SELECT r.q_id, r.nn_id, bf.sim, r.rank
-        |FROM r JOIN bf ON r.q_id = bf.q_id AND r.nn_id = bf.nn_id
-        |WHERE (SELECT ok FROM chk)
-        |UNION ALL
-        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, CAST(-1 AS BIGINT)
-        |WHERE NOT (SELECT ok FROM chk)
-        |ORDER BY q_id, rank""".stripMargin,
+    // sentinel row that can never match. Shared (modulo the dump path) by
+    // q33's self-contained screen and q76's persisted-index screen: both
+    // must satisfy this identical contract.
+    "q33_ivf_topk" -> ivfPartialOracleSql("q33_ivf_topk"),
 
     // PARTIAL oracle (sketch-accuracy property): DuckDB cannot replay
     // Spark's HLL++ sketch, but it can recompute the exact distinct count
@@ -1976,8 +1971,40 @@ object SparkEntry {
 
     // Identical semantics to q62 by construction (same screen core, the
     // corpus side merely arrives pre-indexed) — shared exact oracle.
-    "q75_indexed_dedup" -> incrementalDedupOracleSql
+    "q75_indexed_dedup" -> incrementalDedupOracleSql,
+
+    "q76_ivf_indexed" -> ivfPartialOracleSql("q76_ivf_indexed")
   )
+
+  /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):
+    * exact-cosine recompute of every returned sim + the 8×5-rank
+    * structural guard, parameterized only by the dump directory. */
+  private def ivfPartialOracleSql(key: String): String =
+    s"""WITH r AS (SELECT q_id, nn_id, rank
+       |           FROM read_parquet('__OUT__/$key/*.parquet')),
+       |bf AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+       |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(q.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |     * sqrt(list_aggregate(list_transform(c.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 8),
+       |chk AS (
+       |  SELECT coalesce(count(*) = 40
+       |           AND count(DISTINCT q_id) = 8
+       |           AND count(DISTINCT q_id || ':' || rank) = 40
+       |           AND min(rank) = 1 AND max(rank) = 5, FALSE) AS ok
+       |  FROM r)
+       |SELECT r.q_id, r.nn_id, bf.sim, r.rank
+       |FROM r JOIN bf ON r.q_id = bf.q_id AND r.nn_id = bf.nn_id
+       |WHERE (SELECT ok FROM chk)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, CAST(-1 AS BIGINT)
+       |WHERE NOT (SELECT ok FROM chk)
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Exact incremental-dedup recompute (odd-id batch vs even-id corpus:
     * exact copies out via NOT EXISTS, near-dups out via all-pairs trigram

@@ -151,33 +151,31 @@ object AnnIvf {
     if (cents.isEmpty) assigned.filter(lit(false)) else assigned
   }
 
-  /**
-   * ANN top-k: probe each query's `nprobe` nearest cells, equi-join on
-   * `cell` against the cell-keyed corpus, score candidates exactly.
-   * `excludeSelf` drops the query's own corpus row before ranking — for
-   * self-join uses where rank 1 would otherwise always be the vector
-   * itself. Probe cells come from a per-row `array_sort` over the k
-   * centroid distances (ties → lowest cell id, the order the ranking
-   * window used); the corpus side computes its cell inline on the way
-   * into the join — the only corpus-wide shuffle left is the candidate
-   * equi-join itself.
-   */
-  def annTopK(
-      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
-    val cents = collectCents(centroids)
-    // no centroids (empty training corpus) → no cells → no candidates;
-    // return the empty result in the declared shape rather than building
-    // probe expressions over zero struct terms
-    if (cents.isEmpty)
-      return queries.filter(lit(false)).select(
-        col("vec_id").as("q_id"), col("vec_id").as("nn_id"),
-        lit(0.0d).as("sim"), lit(0L).as("rank"))
-    val corpusCells = corpus.select(
-      col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-      vNorm(col("embedding")).as("nn_n"),
-      cellOf(col("embedding"), cents).as("cell"))
+  /** The empty result in the declared output shape — returned when there
+    * are no centroids (empty training corpus), rather than building probe
+    * expressions over zero struct terms. */
+  private def emptyTopK(queries: DataFrame): DataFrame =
+    queries.filter(lit(false)).select(
+      col("vec_id").as("q_id"), col("vec_id").as("nn_id"),
+      lit(0.0d).as("sim"), lit(0L).as("rank"))
 
+  /** The inverted-file row set of a corpus under a centroid set: one row
+    * per vector — `(cell, nn_id, nn_emb, nn_n)`, i.e. cell assignment,
+    * id, embedding, and precomputed norm. The probe/score core joins this
+    * on `cell`. */
+  private def ivfCellsOf(corpus: DataFrame, cents: Cents): DataFrame =
+    corpus.select(
+      cellOf(col("embedding"), cents).as("cell"),
+      col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      vNorm(col("embedding")).as("nn_n"))
+
+  /** The probe/score core shared by [[annTopK]] and [[annTopKIndexed]]
+    * (one code path — the two can never drift): probe each query's
+    * `nprobe` nearest cells, equi-join on `cell` against the inverted
+    * file, score candidates exactly, rank per query. */
+  private def topKFromCells(
+      queries: DataFrame, corpusCells: DataFrame, cents: Cents,
+      kNeighbors: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
     // nprobe nearest cells per query: per-row sort of the k unrolled
     // struct distances (ascending (dist, cell) — the order the ranking
     // window used), then explode. No crossJoin, no window shuffle.
@@ -207,6 +205,98 @@ object AnnIvf {
   }
 
   /**
+   * ANN top-k: probe each query's `nprobe` nearest cells, equi-join on
+   * `cell` against the cell-keyed corpus, score candidates exactly.
+   * `excludeSelf` drops the query's own corpus row before ranking — for
+   * self-join uses where rank 1 would otherwise always be the vector
+   * itself. Probe cells come from a per-row `array_sort` over the k
+   * centroid distances (ties → lowest cell id, the order the ranking
+   * window used); the corpus side computes its cell inline on the way
+   * into the join — the only corpus-wide shuffle left is the candidate
+   * equi-join itself. Self-contained: the corpus side re-derives its
+   * cells and norms EVERY call — right for one-off screens; a standing
+   * corpus queried daily should persist [[buildIvfIndex]] once and probe
+   * it with [[annTopKIndexed]].
+   */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+    val cents = collectCents(centroids)
+    if (cents.isEmpty) return emptyTopK(queries)
+    topKFromCells(queries, ivfCellsOf(corpus, cents), cents,
+      kNeighbors, nprobe, excludeSelf)
+  }
+
+  /**
+   * Derive the PERSISTED form of the inverted file: one row per corpus
+   * vector — `cell` (nearest-centroid assignment), `nn_id`, `nn_emb`,
+   * `nn_n` (precomputed norm). Derive ONCE per centroid generation,
+   * persist as parquet, and probe with [[annTopKIndexed]]: the
+   * self-contained [[annTopK]] re-runs k codegen'd dots plus a norm over
+   * EVERY corpus vector on EVERY call — at 100 TB that is the dominant
+   * per-query-batch cost for tables that never change between batches.
+   * New vectors append without touching history:
+   * `buildIvfIndex(newBatch, sameCentroids)` assigns cells with the SAME
+   * centroid literals, so `index ∪ append` equals a from-scratch build
+   * over corpus ∪ batch (spec-asserted). The index is tied to its
+   * centroid generation — after retraining, rebuild (cell ids and
+   * assignments are meaningless across generations). Empty centroid set
+   * → empty index (every vector's nearest cell is undefined), matching
+   * [[assignCells]].
+   */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
+    val idx = ivfCellsOf(corpus, cents)
+    if (cents.isEmpty) idx.filter(lit(false)) else idx
+  }
+
+  /**
+   * [[annTopK]] against a precomputed [[buildIvfIndex]] table instead of
+   * raw corpus vectors — the amortized form of the standing-corpus
+   * screen: per call, only the (small) query batch pays cell assignment
+   * and norms; the corpus side is a bare columnar scan of the persisted
+   * inverted file. Must be probed with the SAME `centroids` that built
+   * the index (cell ids from different generations are incomparable).
+   * Pass a [[stageIvfCells]] catalog table as `index` and the candidate
+   * join reads the corpus side pre-bucketed on exactly its join key —
+   * only the query side shuffles (spec-asserted: one cell-keyed Exchange
+   * with broadcast disabled). Same probe/score core as [[annTopK]], so
+   * the two can never drift.
+   */
+  def annTopKIndexed(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      kNeighbors: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+    val cents = collectCents(centroids)
+    if (cents.isEmpty) return emptyTopK(queries)
+    topKFromCells(queries, index.select("cell", "nn_id", "nn_emb", "nn_n"),
+      cents, kNeighbors, nprobe, excludeSelf)
+  }
+
+  /**
+   * Persist the inverted file as a catalog table BUCKETED on `cell` —
+   * the candidate join's exact key — so every [[annTopKIndexed]] probe
+   * reads the corpus side co-located and shuffle-free (the same
+   * write-once shuffle elimination as [[Dedup.stageDedupBuckets]],
+   * applied to the ANN index). `append = true` adds a new batch's index
+   * rows to the existing table (Spark verifies the bucket spec matches).
+   * `numBuckets` is fixed at creation — size it for the settled corpus
+   * so one bucket's vectors fit an executor's scan budget; re-stage to
+   * change it.
+   */
+  def stageIvfCells(
+      index: DataFrame, table: String, numBuckets: Int,
+      append: Boolean = false): Unit =
+    index.select("cell", "nn_id", "nn_emb", "nn_n")
+      .write.mode(if (append) "append" else "overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, "cell")
+      // sorted within buckets: a fresh stage also skips the corpus-side
+      // sort if the join plans sort-merge; appends add files per bucket,
+      // after which Spark correctly re-sorts — re-stage to restore it
+      .sortBy("cell")
+      .saveAsTable(table)
+
+  /**
    * Corpus-wide kNN SELF-join — the embedding-side primitive behind
    * semantic dedup and density clustering: every vector's `kNeighbors`
    * nearest neighbors among its `nprobe` nearest IVF cells, scored exactly
@@ -221,4 +311,16 @@ object AnnIvf {
       corpus: DataFrame, centroids: DataFrame,
       kNeighbors: Int, nprobe: Int = 4): DataFrame =
     annTopK(corpus, corpus, centroids, kNeighbors, nprobe, excludeSelf = true)
+
+  /** [[knnJoin]] from the persisted inverted file alone — the query side
+    * is derived FROM the index (`nn_id, nn_emb` back to `vec_id,
+    * embedding`), so a corpus-wide neighbor refresh never rescans the raw
+    * corpus table. Probe norms are recomputed on the (narrow, codegen'd)
+    * query projection; the corpus side reads its precomputed `nn_n`. */
+  def knnJoinIndexed(
+      index: DataFrame, centroids: DataFrame,
+      kNeighbors: Int, nprobe: Int = 4): DataFrame =
+    annTopKIndexed(
+      index.select(col("nn_id").as("vec_id"), col("nn_emb").as("embedding")),
+      index, centroids, kNeighbors, nprobe, excludeSelf = true)
 }

@@ -79,6 +79,82 @@ class AnnIvfSpec extends GraftSpec {
     assert(recall > 0.4)
   }
 
+  test("persisted index: indexed topK ≡ self-contained; index append ≡ from-scratch rebuild") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("sim"), r.getAs[Long]("rank"))).toSeq
+
+    // the parquet round-trip IS the production shape — spec it, not just
+    // the in-memory frame
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      AnnIvf.buildIvfIndex(emb, centroids).write.mode("overwrite").parquet(tmp)
+      val index = spark.read.parquet(tmp)
+      val self = rows(AnnIvf.annTopK(queries, emb, centroids,
+        kNeighbors = 5, nprobe = 10))
+      val indexed = rows(AnnIvf.annTopKIndexed(queries, index, centroids,
+        kNeighbors = 5, nprobe = 10))
+      assert(indexed == self)
+
+      // append half of the maintenance loop: index(old) ∪ buildIvfIndex(new)
+      // equals buildIvfIndex(old ∪ new) under the SAME centroid generation
+      val oldHalf = emb.filter(col("vec_id") % 2 === 0)
+      val newHalf = emb.filter(col("vec_id") % 2 === 1)
+      val appended = AnnIvf.buildIvfIndex(oldHalf, centroids)
+        .unionAll(AnnIvf.buildIvfIndex(newHalf, centroids))
+      def idxRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("nn_id"),
+          r.getSeq[Float](r.fieldIndex("nn_emb")).toSeq,
+          r.getAs[Double]("nn_n"))).toSet
+      assert(idxRows(appended) == idxRows(AnnIvf.buildIvfIndex(emb, centroids)))
+
+      // and the probe against the appended index screens identically
+      assert(rows(AnnIvf.annTopKIndexed(queries, appended, centroids,
+        kNeighbors = 5, nprobe = 10)) == self)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("cell-bucketed index table: same result, corpus side never shuffles") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+    try {
+      AnnIvf.stageIvfCells(AnnIvf.buildIvfIndex(emb, centroids),
+        "graft_ivf_cells", numBuckets = 4)
+      val index = spark.table("graft_ivf_cells")
+      val self = AnnIvf.annTopK(queries, emb, centroids,
+        kNeighbors = 5, nprobe = 10).collect().toSeq
+      assert(AnnIvf.annTopKIndexed(queries, index, centroids,
+        kNeighbors = 5, nprobe = 10).collect().toSeq == self)
+
+      // plan shape with broadcast off: ONE cell-keyed Exchange — the probe
+      // (query) side — while the bucketed corpus scan satisfies the
+      // candidate join's partitioning itself. The window's q_id Exchange
+      // is downstream and out of scope for the cell count.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = AnnIvf.annTopKIndexed(queries, index, centroids,
+          kNeighbors = 5, nprobe = 10).queryExecution.executedPlan.toString
+        val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).size
+        assert(cellExchanges == 1, s"corpus side shuffled:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // knnJoinIndexed: the corpus-wide neighbor refresh from the index
+      // alone matches the raw-corpus knnJoin
+      assert(
+        AnnIvf.knnJoinIndexed(index, centroids, kNeighbors = 3).collect().toSeq
+          == AnnIvf.knnJoin(emb, centroids, kNeighbors = 3).collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
+  }
+
   test("empty corpus: training, assignment, and topK degrade to empty, not throw") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val empty = emb.filter(col("vec_id") < 0)
@@ -88,5 +164,13 @@ class AnnIvfSpec extends GraftSpec {
     val topk = AnnIvf.annTopK(emb.limit(5), emb, cents, kNeighbors = 3, nprobe = 2)
     assert(topk.count() == 0)
     assert(topk.columns.toSeq == Seq("q_id", "nn_id", "sim", "rank"))
+    // the persisted-index path degrades the same way
+    val idx = AnnIvf.buildIvfIndex(emb, cents)
+    assert(idx.count() == 0)
+    assert(idx.columns.toSeq == Seq("cell", "nn_id", "nn_emb", "nn_n"))
+    val topkIdx = AnnIvf.annTopKIndexed(emb.limit(5), idx, cents,
+      kNeighbors = 3, nprobe = 2)
+    assert(topkIdx.count() == 0)
+    assert(topkIdx.columns.toSeq == Seq("q_id", "nn_id", "sim", "rank"))
   }
 }
