@@ -50,9 +50,14 @@ object Bench {
     Harness.quietRddWarnings()
 
     // Optional comma-separated query-name filter (substring match) for
-    // local iteration — e.g. SPARK_GRAFT_ONLY=q18,q37. Unset = all queries,
-    // the driver contract.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // local iteration — e.g. SPARK_GRAFT_ONLY=q18,q37. Unset OR set-but-
+    // empty = all queries, the driver contract: without the nonEmpty
+    // filters an empty var would run the full set (every name contains "")
+    // yet route the durable record to the .partial path, leaving the real
+    // full-run file stale.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -49,12 +49,9 @@ object AnnIvf {
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1)
 
-  /** Vector norm via the codegen'd dot — bit-identical to
-    * [[Similarity.norm]] (FloatDotProductSpec pins `graft_dot` == the HOF
-    * fold) and, unlike it, runs inside whole-stage codegen. Duplicated
-    * uses collapse via codegen subexpression elimination. */
-  private def vNorm(vec: Column): Column =
-    sqrt(Similarity.nativeDot(vec, vec))
+  /** Codegen'd vector norm — [[Similarity.norm]]; duplicated uses
+    * collapse via codegen subexpression elimination. */
+  private def vNorm(vec: Column): Column = Similarity.norm(vec)
 
   /** One `struct(dist, cell)` per centroid, fully UNROLLED (k is
     * metadata-sized): every distance is a codegen'd `graft_dot` against an

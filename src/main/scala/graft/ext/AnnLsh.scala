@@ -77,9 +77,9 @@ object AnnLsh {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
     // norms once per ROW in the join projections — inline norm() in the
-    // sim expression would re-fold both interpreted HOF norms once per
-    // CANDIDATE (the exact per-pair recompute nearDupPairsBlocked's
-    // comment warns against); NULL sim on zero norms, see Similarity doc
+    // sim expression would re-fold both norms once per CANDIDATE (the
+    // exact per-pair recompute nearDupPairsBlocked's comment warns
+    // against); NULL sim on zero norms, see Similarity doc
     cand
       .join(corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
         Similarity.norm(col("embedding")).as("nn_n")), "nn_id")

@@ -105,7 +105,11 @@ object DataPrep {
       .contamination(screened, bench, idCol, textCol, config.contaminationNgram)
       .filter(col("contamination") > config.contaminationCap)
       .select(col(idCol))
-    val clean = screened.join(contaminated, Seq(idCol), "left_anti")
+    // cut before the dedup fan-out: dedupTransitive reads its input three
+    // times (membership cut, shingle cut, final anti-join), and without
+    // this cut each read would re-run the whole corpus-wide contamination
+    // aggregate + anti-join above
+    val clean = Materialize.cut(screened.join(contaminated, Seq(idCol), "left_anti"))
 
     // 3. near-dup removal (transitive: one survivor per duplicate chain)
     val deduped = Dedup.dedupTransitive(clean, idCol, textCol,

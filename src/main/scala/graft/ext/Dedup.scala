@@ -485,7 +485,9 @@ object Dedup {
    *
    * The index must have been built with the SAME `n`/`bands`/
    * `rowsPerBand` passed here — signatures from different parameters are
-   * incomparable (bucket hashes span different signature slices).
+   * incomparable (bucket hashes span different signature slices). An
+   * index persisted before the boundary-empty shingle fix must be run
+   * through [[repairPreFixShingles]] once and rewritten.
    *
    * `corpusBuckets` (optional) removes the last per-call corpus cost: by
    * default the candidate stage re-explodes the index into `bands` rows
@@ -557,6 +559,46 @@ object Dedup {
     reps.select(col("ghash"), shingles(col("text"), n).as("sh"))
       .withColumn("sig", when(size(col("sh")) > 0,
         minhashSignature(col("sh"), bands * rowsPerBand)))
+
+  /**
+   * Repair `sh`/`sig` columns persisted BEFORE [[shingles]] dropped
+   * boundary-empty tokens: the old shingler kept the empty token a
+   * leading/trailing whitespace run produces, so a stored set may hold
+   * phantom windows (visible as a leading or trailing space in the joined
+   * n-gram) that no longer exist under current semantics — they depress
+   * Jaccard against freshly-shingled text, so a near-dup re-delivery of a
+   * whitespace-padded doc would evade the screen. Stale rows are repaired
+   * in place: phantom windows are dropped (the survivors are byte-equal
+   * to current [[shingles]] output — boundary empties only ever removed
+   * whole windows, never changed surviving ones), and `sig` is re-signed
+   * from the repaired set, NULL when it empties (the text is below the
+   * n-token floor under current semantics). Clean rows — everything
+   * written post-fix — pass through bit-unchanged, so the repair is
+   * idempotent and safe to leave in a load path; columns other than
+   * `sh`/`sig` ride along. Run once over a persisted [[buildDedupIndex]]
+   * parquet and rewrite it (then re-stage any [[stageDedupBuckets]] table
+   * from the repaired index — its buckets hash the old signatures); the
+   * streaming rep store applies this automatically on every store load.
+   */
+  def repairPreFixShingles(
+      df: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // a current-semantics shingle re-splits into exactly n non-empty
+    // tokens (tokens themselves never contain whitespace)
+    def full(s: Column): Column =
+      size(filter(split(s, " "), t => length(t) > 0)) === n
+    val stale = exists(col("sh"), s => !full(s))
+    val repaired = when(stale, filter(col("sh"), s => full(s)))
+      .otherwise(col("sh"))
+    // one withColumns: BOTH replacements read the ORIGINAL sh — a second
+    // chained withColumn would re-evaluate `stale` against the repaired
+    // set (always clean) and keep the old signature
+    df.withColumns(Map(
+      "sh" -> repaired,
+      "sig" -> when(stale, when(size(repaired) > 0,
+          minhashSignature(repaired, bands * rowsPerBand)))
+        .otherwise(col("sig"))))
+  }
 
   /**
    * The shared screen core both incremental overloads run, so the two

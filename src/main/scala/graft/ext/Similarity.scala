@@ -43,11 +43,15 @@ object Similarity {
   def nativeDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Vector norm via the codegen'd dot (bit-identical to `sqrt(dot(a,a))`
+    * — FloatDotProductSpec pins the twins — but stays inside whole-stage
+    * codegen, which matters because every scoring site here hoists a norm
+    * into a per-corpus-row projection). */
+  def norm(a: Column): Column = sqrt(nativeDot(a, a))
 
   /** NULL (not NaN) when either vector has zero norm — see the object doc. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    nativeDot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /**
    * Exact embedding near-duplicate pairs within a blocking key (e.g. a

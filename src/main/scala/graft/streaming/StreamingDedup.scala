@@ -109,8 +109,20 @@ object StreamingDedup {
           // shingle verify), so NULL is fully functional — the rows just
           // don't contribute to storeAsDedupIndex until they age out of
           // the horizon and post-migration rows replace them
-          if (raw.columns.contains("ghash")) raw
-          else raw.withColumn("ghash", lit(null).cast("string"))
+          val withGhash =
+            if (raw.columns.contains("ghash")) raw
+            else raw.withColumn("ghash", lit(null).cast("string"))
+          // repair rows persisted before the boundary-empty shingle fix
+          // (no-op on clean rows): a stale stored set holds phantom
+          // windows that depress Jaccard, so a near-dup re-delivery of a
+          // whitespace-padded doc would evade the cross-batch screen
+          // until the row aged out of the horizon. Rows whose repaired
+          // set empties are below the n-token floor under current
+          // semantics — a rebuilt store would not contain them, so they
+          // leave (their ghash never screened cross-batch: the stream's
+          // match is shingle-based)
+          Dedup.repairPreFixShingles(withGhash, n, bands, rowsPerBand)
+            .filter(size(col("sh")) > 0)
         } else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rep.schema))
       val hwm = store0.select(col("ts"))
@@ -180,7 +192,10 @@ object StreamingDedup {
    * stage, so keeping them would only pay dead candidate-join work),
    * which means they don't veto batch duplicates until the horizon
    * retires them. The stream must have run with the same `n`/`bands`/
-   * `rowsPerBand` as the batch screen.
+   * `rowsPerBand` as the batch screen. A store last written before the
+   * boundary-empty shingle fix is read here RAW — either let the stream
+   * advance once (its load repairs and rewrites stale rows) or pass the
+   * frame through [[graft.ext.Dedup.repairPreFixShingles]] first.
    */
   def storeAsDedupIndex(store: DataFrame): DataFrame =
     store.filter(col("ghash").isNotNull).select("ghash", "sh", "sig")

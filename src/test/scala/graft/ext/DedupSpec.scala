@@ -341,4 +341,36 @@ class DedupSpec extends GraftSpec {
     val sh = distinctDocs.select($"doc_id", Dedup.shingles($"text").as("sh"))
     assert(Dedup.candidatePairs(sh, "doc_id", "sh").count() == 0)
   }
+
+  test("repairPreFixShingles: stale persisted rows equal a post-fix rebuild; clean rows untouched") {
+    // hand-written PRE-FIX shingle sets: the old shingler kept the empty
+    // token a leading/trailing whitespace run produces, so padded texts
+    // persisted phantom boundary windows (the extra space inside them)
+    val padded = Seq(
+      (1L, "alpha beta gamma delta ",
+        Seq("alpha beta gamma", "beta gamma delta", "gamma delta ")),
+      (2L, " epsilon zeta eta theta",
+        Seq(" epsilon zeta", "epsilon zeta eta", "zeta eta theta")),
+      (3L, "iota kappa lambda mu", // clean: no padding, no phantoms
+        Seq("iota kappa lambda", "kappa lambda mu")),
+      (4L, "solo word ", // repaired set empties: below the n-token floor
+        Seq("solo word "))
+    ).toDF("doc_id", "text", "sh")
+    val oldIdx = padded.select(
+        md5($"text".cast("binary")).as("ghash"), $"sh")
+      .withColumn("sig",
+        when(size($"sh") > 0, Dedup.minhashSignature($"sh", 32)))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ghash", "sh", "sig").collect().map { r =>
+        (r.getString(0), r.getSeq[String](1).sorted,
+          Option(r.getSeq[Long](2)).map(_.toList))
+      }.toSet
+
+    // repairing what the old shingler persisted must land EXACTLY on what
+    // the current shingler would build from the same texts — same phantom
+    // windows dropped, same re-signed signatures, same empty-set NULL sig
+    assert(rows(Dedup.repairPreFixShingles(oldIdx)) ==
+      rows(Dedup.buildDedupIndex(padded.select("doc_id", "text"), "doc_id", "text")))
+  }
 }

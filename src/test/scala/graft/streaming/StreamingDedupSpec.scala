@@ -235,4 +235,36 @@ class StreamingDedupSpec extends GraftSpec {
       statePath, threshold = 0.5)(s => s2 = ids(s))
     assert(s2 == Seq(3L))
   }
+
+  test("a pre-shingle-fix store repairs on load: re-deliveries still screened") {
+    import org.apache.spark.sql.functions._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_shfix").resolve("store").toString
+    // 5 tokens → 3 real trigrams; the PRE-FIX shingler also persisted the
+    // phantom trailing window "delta epsilon " for the padded ingest.
+    // Stale Jaccard vs a trimmed re-delivery is 3/4 = 0.75 < the 0.8
+    // threshold — without the on-load repair the duplicate would re-emit.
+    val text = "alpha beta gamma delta epsilon"
+    val realSh =
+      Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+    Seq((1L, ts("2015-11-13 10:00:00"))).toDF("id", "ts")
+      .withColumn("ghash", md5(lit(text + " ").cast("binary")))
+      .withColumn("sh", typedLit(realSh :+ "delta epsilon "))
+      .withColumn("sig", graft.ext.Dedup.minhashSignature(col("sh"), 32))
+      .write.parquet(statePath)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(statePath, "_GRAFT_COMMIT"), true).close()
+
+    var emitted: Seq[Long] = null
+    StreamingDedup.processBatch(
+      Seq((2L, text, ts("2015-11-13 10:10:00"))).toDF("doc_id", "text", "time"),
+      statePath)(s => emitted = ids(s))
+    assert(emitted.isEmpty) // repaired store row vetoes (Jaccard 1.0)
+
+    // the advance rewrote the repaired row: the phantom window is gone
+    val storedSh = spark.read.parquet(statePath)
+      .select("sh").collect().map(_.getSeq[String](0).sorted).toSeq
+    assert(storedSh == Seq(realSh.sorted))
+  }
 }
