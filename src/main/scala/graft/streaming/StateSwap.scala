@@ -9,7 +9,10 @@ import org.apache.spark.sql.DataFrame
  * new state to `<statePath>.swap-tmp`, stamp our OWN commit marker (only
  * after the write returned — independent of whether the cluster's
  * committer conf writes `_SUCCESS`; marksuccessfuljobs is often off on
- * object stores), delete the old directory, rename. Both crash
+ * object stores), un-commit then delete the old directory (its marker
+ * removed first — one atomic file delete — so a crash inside the
+ * non-atomic recursive delete can never leave a partially-deleted
+ * directory that still looks complete), rename. All crash
  * half-states are recovered by [[recover]] on the next batch; a swap step
  * that reports failure throws so the batch retries instead of silently
  * not advancing.
@@ -38,6 +41,15 @@ private[streaming] object StateSwap {
     val tmp = new Path(tmpPath(statePath))
     fs.create(new Path(tmp, CommitMarker), true).close()
     val dest = new Path(statePath)
+    // un-commit dest BEFORE the recursive delete: directory delete is not
+    // atomic, and a crash partway through must not leave a dest that lost
+    // data files yet still carries its marker — recovery would trust it
+    // and discard the complete tmp. Removing the single marker file first
+    // is atomic; any crash after it leaves dest torn, which recovery
+    // resolves by promoting the (already complete) tmp.
+    val destMarker = new Path(dest, CommitMarker)
+    if (fs.exists(destMarker) && !fs.delete(destMarker, false))
+      throw new IllegalStateException(s"store swap: could not un-commit $dest")
     if (fs.exists(dest) && !fs.delete(dest, true))
       throw new IllegalStateException(s"store swap: could not delete $dest")
     if (!fs.rename(tmp, dest))

@@ -132,6 +132,38 @@ class StreamingDedupSpec extends GraftSpec {
     assert(out.isEmpty) // doc 1's rep survived the interrupted swap
   }
 
+  test("a dest torn mid-delete (marker gone) is replaced by the complete tmp") {
+    // advance un-commits dest (atomic marker delete) before the
+    // NON-atomic recursive delete — so the worst crash inside that delete
+    // leaves a marker-less, partially-deleted dest plus a complete tmp.
+    // Recovery must promote the tmp, never trust the torn dest.
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_tear")
+    val statePath = base.resolve("store").toString
+    StreamingDedup.processBatch(
+      Seq((1L, baseA, ts("2015-11-13 10:00:00"))).toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(_ => ())
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the complete advanced store becomes the tmp; dest is rebuilt as the
+    // mid-delete wreck: one junk file, marker already removed
+    assert(fs.rename(new Path(statePath), new Path(statePath + ".swap-tmp")))
+    val wreck = java.nio.file.Files.createDirectory(base.resolve("store"))
+    java.nio.file.Files.write(wreck.resolve("part-00000.parquet"),
+      "half-deleted".getBytes)
+
+    var out: Seq[Long] = Nil
+    StreamingDedup.processBatch(
+      Seq((9L, nearA1, ts("2015-11-13 10:05:00"))).toDF("doc_id", "text", "time"),
+      statePath, threshold = 0.5)(s => out = ids(s))
+    assert(out.isEmpty) // doc 1's rep survived via the promoted tmp
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath + ".swap-tmp")))
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("a torn .swap-tmp (no _SUCCESS) is discarded, never promoted") {
     // crash MID-write of the very first store: tmp exists with a partial
     // file and no _SUCCESS marker, no store yet. Promoting it would wedge
