@@ -109,7 +109,10 @@ object Pipeline {
     fs.mkdirs(dest)
     files.foreach { f =>
       val src = new Path(f)
-      fs.rename(src, new Path(dest, src.getName))
+      // a silently-failed rename would leave the file in the inbox to be
+      // re-ingested under the NEXT run's date — fail the run instead
+      require(fs.rename(src, new Path(dest, src.getName)),
+        s"archive: could not move $src to $dest")
     }
   }
 }

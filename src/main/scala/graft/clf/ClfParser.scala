@@ -81,7 +81,13 @@ object ClfParser {
       .withColumn("_m", regexp_replace(col("value"), clfRegex, repl))
       .withColumn("_p", split(col("_m"), sep))
       .withColumn("_ok",
-        col("_m").startsWith(mark) && size(col("_p")) === 9)
+        col("_m").startsWith(mark) && size(col("_p")) === 9 &&
+          // a raw line that already contains the control chars would
+          // garble the rewritten record's field boundaries (it can even
+          // split into exactly 9 parts) — such lines are malformed by
+          // the tolerance contract, so enforce it: plain substring
+          // scans, no extra regex over the line
+          !col("value").contains(sep) && !col("value").contains(mark))
     // field i of the matched record; "" and "-" both mean NULL
     def f(i: Int): Column = {
       val v =

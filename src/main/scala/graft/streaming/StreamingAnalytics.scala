@@ -111,6 +111,16 @@ object StreamingAnalytics {
    * of the same user arrives more than `gapSeconds` after the previous
    * one, or the watermark passes the session's idle deadline (event-time
    * timeout) — so sessions close even for users who never return.
+   *
+   * Late data (in-watermark, cross-batch): an event within `gapSeconds`
+   * of the open session's bounds joins it, extending it backward or
+   * forward; an event more than a gap BEFORE the open session closes
+   * immediately as its own single-event session — it belongs to an
+   * already-emitted stretch of the timeline, and merging it forward would
+   * bridge a gap the rule defines as a break. This is enrich-at-arrival
+   * precision: an already-emitted session is never retro-merged (for full
+   * retro-merge semantics use Spark's `session_window` aggregation, which
+   * buffers until the watermark instead of emitting on gap detection).
    */
   def sessionize(
       parsed: DataFrame,
@@ -144,13 +154,25 @@ object StreamingAnalytics {
       val closed = Seq.newBuilder[UserSession]
       incoming.foreach { e =>
         open match {
-          case Some(s) if e - s.session_end <= gapSeconds =>
+          // within the gap of EITHER bound: a late-but-in-watermark event
+          // extends the open session backward (start must move with it —
+          // counting the event while keeping the old start would misstate
+          // the bounds), an in-order event extends it forward
+          case Some(s) if e >= s.session_start - gapSeconds &&
+              e <= s.session_end + gapSeconds =>
             open = Some(s.copy(
+              session_start = math.min(s.session_start, e),
               session_end = math.max(s.session_end, e),
               n_requests = s.n_requests + 1))
-          case Some(s) => // explicit gap: close and start fresh
-            closed += s
+          case Some(s) if e > s.session_end => // explicit forward gap:
+            closed += s                        // close and start fresh
             open = Some(UserSession(userId, e, e, 1L))
+          case Some(_) => // late event more than a gap BEFORE the open
+            // session: it belongs to an earlier, already-closed stretch of
+            // this user's timeline, so it closes immediately as its own
+            // session — merging it forward would bridge a gap the rule
+            // says is a break
+            closed += UserSession(userId, e, e, 1L)
           case None =>
             open = Some(UserSession(userId, e, e, 1L))
         }

@@ -72,6 +72,20 @@ class ClfParserSpec extends GraftSpec {
     assert(ClfParser.rejects(fixtures.toDF("value")).count() == 1L)
   }
 
+  test("a line embedding the parser's control chars is malformed, never garbled") {
+    // these lines MATCH the CLF grammar, but the / inside a
+    // quoted field would corrupt the single-pass rewrite's field
+    // boundaries — the tolerance contract sends them to the all-NULL
+    // path instead of emitting shifted garbage fields
+    val sneaky = Seq(
+      "10.0.0.9 - 9 [13/Nov/2015:11:45:42 +0000] \"GET /a HTTP/1.1\" 200 1 \"-\" \"UAx\"",
+      "10.0.0.9 - 9 [13/Nov/2015:11:45:42 +0000] \"GET /a HTTP/1.1\" 200 1 \"-\" \"UAx\"")
+    ClfParser.parse(sneaky.toDF("value")).collect().foreach { r =>
+      assert((0 until r.length).forall(i => r.isNullAt(i) || r.get(i) == ""),
+        r.toString)
+    }
+  }
+
   test("format∘parse round-trip preserves all fields") {
     val df = Seq((7L, "2021-03-04 05:06:07")).toDF("uid", "t")
       .select(ClfParser.format(
