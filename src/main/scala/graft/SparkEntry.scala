@@ -1031,6 +1031,23 @@ object SparkEntry {
       AnnIvf.buildIvfIndex(emb, centroids).write.mode("overwrite").parquet(tmp)
       AnnIvf.annTopKIndexed(emb.filter(col("vec_id") < 8), s.read.parquet(tmp),
         centroids, kNeighbors = 5, nprobe = 10)
+    }),
+
+    // X3+ — q21's PERSISTED-INDEX twin (completing the q75/q76 symmetry
+    // for the LSH side): the bucket hashes, embedding, and norm per
+    // corpus vector are derived once by buildLshIndex, written to
+    // parquet, read back, and probed by annTopKIndexed — a standing
+    // 100-TB corpus pays its numTables × bitsPerTable plane dots once,
+    // not once per query batch. Same probe/score core as q21's annTopK →
+    // identical output; same brute-force oracle (recall 1.0 at these
+    // settings on the harness embeddings, candidates scored exactly).
+    "q77_lsh_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q77_${d.hashCode.toHexString}"
+      AnnLsh.buildLshIndex(emb, dim = 64).write.mode("overwrite").parquet(tmp)
+      AnnLsh.annTopKIndexed(emb.filter(col("vec_id") < 8),
+        s.read.parquet(tmp), k = 5, dim = 64)
     })
   )
 
@@ -1973,7 +1990,11 @@ object SparkEntry {
     // corpus side merely arrives pre-indexed) — shared exact oracle.
     "q75_indexed_dedup" -> incrementalDedupOracleSql,
 
-    "q76_ivf_indexed" -> ivfPartialOracleSql("q76_ivf_indexed")
+    "q76_ivf_indexed" -> ivfPartialOracleSql("q76_ivf_indexed"),
+
+    // Identical semantics to q21 by construction (same probe/score core,
+    // the corpus side merely arrives pre-indexed) — shared exact oracle.
+    "q77_lsh_indexed" -> bruteForceTopkSql
   )
 
   /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):
