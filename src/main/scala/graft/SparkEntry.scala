@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1048,6 +1048,30 @@ object SparkEntry {
       AnnLsh.buildLshIndex(emb, dim = 64).write.mode("overwrite").parquet(tmp)
       AnnLsh.annTopKIndexed(emb.filter(col("vec_id") < 8),
         s.read.parquet(tmp), k = 5, dim = 64)
+    }),
+
+    // X1-X4 composition — the END-TO-END corpus-prep operator a
+    // RedPajama-style user actually invokes, hash-gated as one query:
+    // scrub → quality/repetition screen → decontaminate (vs the q39-style
+    // doc_id % 97 bench, RAW text — prepare scrubs only the corpus side)
+    // → transitive near-dup dedup → per-lang quota → sequence packing,
+    // all over the same frame, so stage INTERACTION (who feeds whom, in
+    // which text form) is oracle-verified, not just each stage alone.
+    // The DuckDB oracle is the CTE-chain composition of the per-stage
+    // oracles (q52's mask regex, q24's score, q38's repetition counts,
+    // q39's 5-gram overlap, q37's recursive-CC survivors, q40's md5
+    // quota, q41's shard/offset/bin arithmetic).
+    "q78_dataprep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DataPrep.prepare(docs,
+          bench = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          idCol = "doc_id", textCol = "text", stratumCol = "lang",
+          config = DataPrep.Config(
+            maskEmails = true, dedupThreshold = 0.6,
+            perStratumQuota = Some(20), contextLen = 256L, shards = 8))
+        .select(col("doc_id"), col("lang"), col("rk"), col("shard"),
+          col("n_tokens"), col("tok_offset"), col("bin"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -1994,7 +2018,124 @@ object SparkEntry {
 
     // Identical semantics to q21 by construction (same probe/score core,
     // the corpus side merely arrives pre-indexed) — shared exact oracle.
-    "q77_lsh_indexed" -> bruteForceTopkSql
+    "q77_lsh_indexed" -> bruteForceTopkSql,
+
+    // The full corpus-prep chain, each CTE the per-stage oracle (q52
+    // mask / q24 score / q38 repetition / q39 contamination / q37
+    // recursive-CC dedup / q40 quota / q41 packing) wired in DataPrep's
+    // stage order over the scrubbed text; bench shingles come from RAW
+    // text (prepare scrubs only the corpus side). Thresholds inline:
+    // score >= 0.2, dup_word_frac <= 0.9, top bigram <= 50,
+    // contamination > 0.5 drops, Jaccard >= 0.6, quota 20/lang,
+    // context 256 over 8 shards.
+    "q78_dataprep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |             '<email>', 'g')), '\s+'),
+        |                     x -> length(x) > 0) AS t,
+        |         regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |             '<email>', 'g') AS mtext
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+        |        FROM toks)),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+        |    SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |  GROUP BY doc_id),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(len(t) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in'], x))) AS DOUBLE) AS stops,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) AS sumlen,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words
+        |  FROM toks),
+        |screened AS (
+        |  SELECT toks.doc_id, toks.lang, toks.t, toks.mtext
+        |  FROM toks JOIN qual ON toks.doc_id = qual.doc_id
+        |  LEFT JOIN top ON toks.doc_id = top.doc_id
+        |  WHERE (CASE WHEN qual.n_words = 0 THEN 0.0
+        |         ELSE round(least(qual.nt / 100.0, 1.0) * 0.4
+        |              + (qual.stops / qual.nt) * 0.3
+        |              + greatest(0.0, 1.0 - abs(qual.sumlen / qual.nt - 5.0) / 5.0) * 0.3, 6)
+        |         END) >= 0.2
+        |    AND (CASE WHEN qual.n_words > 0
+        |         THEN CAST(qual.n_words - qual.n_distinct_words AS DOUBLE)
+        |              / CAST(qual.n_words AS DOUBLE)
+        |         ELSE 0.0 END) <= 0.9
+        |    AND coalesce(top.top_bigram_cnt, 0) <= 50),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        |        FROM screened)),
+        |benchsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] AS s
+        |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> length(x) > 0) AS t
+        |              FROM documents WHERE doc_id % 97 = 0))),
+        |contaminated AS (
+        |  SELECT doc_id FROM (
+        |    SELECT sh5.doc_id, count(*) AS n_sh, count(benchsh.s) AS n_hit
+        |    FROM sh5 LEFT JOIN benchsh ON sh5.s = benchsh.s
+        |    GROUP BY sh5.doc_id)
+        |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) > 0.5),
+        |clean AS (
+        |  SELECT s.* FROM screened s
+        |  LEFT JOIN contaminated c ON s.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL),
+        |sh3 AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM clean)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM clean
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |survivors AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) = src),
+        |sampled AS (
+        |  SELECT doc_id, lang, t, rk FROM (
+        |    SELECT doc_id, lang, t,
+        |           CAST(row_number() OVER (PARTITION BY lang
+        |                                   ORDER BY md5(mtext), doc_id)
+        |                AS BIGINT) AS rk
+        |    FROM clean WHERE doc_id IN (SELECT doc_id FROM survivors)) q
+        |  WHERE rk <= 20),
+        |p AS (
+        |  SELECT doc_id, lang, rk,
+        |         CAST(doc_id % 8 AS BIGINT) AS shard,
+        |         CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM sampled),
+        |o AS (
+        |  SELECT doc_id, lang, rk, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |           AS tok_offset
+        |  FROM p)
+        |SELECT doc_id, lang, rk, shard, n_tokens,
+        |       CAST(tok_offset AS BIGINT) AS tok_offset,
+        |       CAST(tok_offset // 256 AS BIGINT) AS bin
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 
   /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):
