@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
  * its `nprobe` nearest cells and scores candidates exactly.
  *
  * Scale design (100 TB): centroids are k rows — metadata-sized, so they
- * ride along as ONE literal `array<struct>` inside the row expressions
- * rather than as a join side. Cell assignment is therefore a narrow
- * per-row argmin — zero shuffle, zero join, evaluated inside whole-stage
- * codegen — where the crossJoin+groupBy formulation shuffled the whole
- * corpus once per assignment pass (and each Lloyd iteration re-joined the
- * corpus to fetch embeddings back). Probe selection is a per-row
- * `array_sort` over k struct distances instead of a ranking window — the
- * |queries|-wide window shuffle is gone too. The only remaining shuffles
+ * ride along as ONE reference-object matrix inside a single native
+ * expression ([[graft.functions.IvfNearestCells]]) rather than as a join
+ * side. Cell assignment is therefore a narrow per-row argmin — zero
+ * shuffle, zero join, evaluated inside whole-stage codegen at ANY k
+ * (k sizes the matrix, never the generated code) — where the
+ * crossJoin+groupBy formulation shuffled the whole corpus once per
+ * assignment pass (and each Lloyd iteration re-joined the corpus to
+ * fetch embeddings back). Probe selection is the same native call at
+ * `nprobe` instead of a ranking window — the |queries|-wide window
+ * shuffle is gone too. The only remaining shuffles
  * are inherent to IVF: the candidate equi-join on `cell` and the final
  * per-query top-k window. Training never pins the corpus: each Lloyd pass
  * re-scans the 2-column columnar source (at 100 TB, iters extra scans beat
@@ -53,12 +55,33 @@ object AnnIvf {
     * collapse via codegen subexpression elimination. */
   private def vNorm(vec: Column): Column = Similarity.norm(vec)
 
-  /** One `struct(dist, cell)` per centroid, fully UNROLLED (k is
-    * metadata-sized): every distance is a codegen'd `graft_dot` against an
-    * `array<float>` literal. The higher-order-function formulation
-    * (`transform` over an array literal) is NOT used deliberately — HOFs
-    * evaluate via CodegenFallback, which drags the whole per-row argmin
-    * subtree into interpreted mode (measured 30s vs 1.3s on q33). */
+  /** The `nprobe` nearest cells, ascending (dist, cell), via the native
+    * [[graft.functions.IvfNearestCells]] expression: the whole centroid
+    * matrix is ONE reference object behind a single codegen'd call, so k
+    * sizes data, never generated code — the lift for the unrolled form's
+    * k-ceiling (thousands of literal `graft_dot` terms blow past
+    * Janino/JIT method limits and fall back to interpreted evaluation).
+    * [[nearestCellsUnrolled]] is kept as the engine-level semantics
+    * reference; AnnIvfSpec pins the two bit-equal at k=16 and k=256 and
+    * the executed plan CodegenFallback-free at k=256. */
+  private def nearestCells(vec: Column, cents: Cents, nprobe: Int): Column =
+    call_function("graft_ivf_cells", vec,
+      typedLit(cents.map(_._1)),
+      typedLit(cents.flatMap(_._2)),
+      typedLit(cents.map(_._3)),
+      lit(cents.head._2.length), lit(nprobe))
+
+  /** One `struct(dist, cell)` per centroid, fully UNROLLED: every distance
+    * a separate codegen'd `graft_dot` against an `array<float>` literal.
+    * Retired from the production path by [[nearestCells]] (one term per
+    * centroid caps k — see its doc); kept, with [[cellOfUnrolled]] /
+    * [[nearestCellsUnrolled]], as the built-ins-only semantics reference
+    * the spec checks the native expression against (the
+    * [[TextOps.topBigramCountHof]] pattern). The higher-order-function
+    * formulation (`transform` over an array literal) is NOT used even
+    * here — HOFs evaluate via CodegenFallback, which drags the whole
+    * per-row argmin subtree into interpreted mode (measured 30s vs 1.3s
+    * on q33). */
   private def distStructs(vec: Column, vn: Column, cents: Cents): Seq[Column] =
     cents.map { case (cell, v, n) =>
       struct(
@@ -67,17 +90,48 @@ object AnnIvf {
         lit(cell).as("cell"))
     }
 
-  /** Nearest cell: argmin via a codegen'd `least` over the unrolled
+  /** Unrolled-form nearest cell: argmin via a codegen'd `least` over the
     * `struct(dist, cell)` terms — ties to the lowest cell id, the same
-    * ordering as a struct-min aggregate. Zero shuffle, zero join. An
-    * EMPTY centroid set yields NULL cell — callers' downstream equi-joins
-    * and assignments then degrade to empty output, the behavior of the
-    * crossJoin formulation this replaced, instead of a plan-build throw. */
-  private def cellOf(vec: Column, cents: Cents): Column = {
+    * ordering as a struct-min aggregate. Dev-only reference for
+    * [[cellOf]]'s native path. */
+  private[ext] def cellOfUnrolled(vec: Column, cents: Cents): Column = {
     val ds = distStructs(vec, vNorm(vec), cents)
     if (ds.isEmpty) lit(null).cast("long")
     else (if (ds.sizeIs > 1) least(ds: _*) else ds.head).getField("cell")
   }
+
+  /** Unrolled-form probe cells: per-row sort of the k struct distances,
+    * sliced to `nprobe`, projected to cell ids — dev-only reference for
+    * [[nearestCells]] (the `transform` HOF is acceptable here only
+    * because this never runs in a production plan). */
+  private[ext] def nearestCellsUnrolled(vec: Column, cents: Cents, nprobe: Int): Column =
+    transform(
+      slice(sort_array(array(distStructs(vec, vNorm(vec), cents): _*)), 1, nprobe),
+      s => s.getField("cell"))
+
+  /** Dev-only: the native probe-cell selection as a frame, for spec
+    * comparison against [[nearestCellsUnrolled]]. */
+  private[graft] def probeCellsNative(
+      queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    queries.select(col("vec_id"),
+      nearestCells(col("embedding"), collectCents(centroids), nprobe).as("cells"))
+
+  /** Dev-only: [[assignCells]] through the unrolled reference path. */
+  private[graft] def assignCellsUnrolled(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
+    val assigned = corpus.select(col("vec_id"),
+      cellOfUnrolled(col("embedding"), cents).as("cell"))
+    if (cents.isEmpty) assigned.filter(lit(false)) else assigned
+  }
+
+  /** Nearest cell: element 0 of the native 1-probe [[nearestCells]] —
+    * zero shuffle, zero join, one expression node at any k. An EMPTY
+    * centroid set yields NULL cell — callers' downstream equi-joins and
+    * assignments then degrade to empty output, the behavior of the
+    * crossJoin formulation this replaced, instead of a plan-build throw. */
+  private def cellOf(vec: Column, cents: Cents): Column =
+    if (cents.isEmpty) lit(null).cast("long")
+    else nearestCells(vec, cents, 1).getItem(0)
 
   /**
    * Train `k` coarse centroids with `iters` Lloyd iterations.
@@ -173,18 +227,14 @@ object AnnIvf {
   private def topKFromCells(
       queries: DataFrame, corpusCells: DataFrame, cents: Cents,
       kNeighbors: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
-    // nprobe nearest cells per query: per-row sort of the k unrolled
-    // struct distances (ascending (dist, cell) — the order the ranking
-    // window used), then explode. No crossJoin, no window shuffle.
+    // nprobe nearest cells per query: the native one-call selection
+    // (ascending (dist, cell) — the order the ranking window used), then
+    // explode. No crossJoin, no window shuffle, k-independent codegen.
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         vNorm(col("embedding")).as("q_n"))
       .select(col("q_id"), col("q_emb"), col("q_n"),
-        explode(slice(
-          sort_array(array(
-            distStructs(col("q_emb"), col("q_n"), cents): _*)),
-          1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_emb"), col("q_n"), col("pc.cell").as("cell"))
+        explode(nearestCells(col("q_emb"), cents, nprobe)).as("cell"))
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)

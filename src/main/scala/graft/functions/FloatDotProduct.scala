@@ -166,6 +166,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_might_contain requires exactly 2 arguments, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_ivf_cells"),
+      new ExpressionInfo(classOf[IvfNearestCells].getCanonicalName, "graft_ivf_cells"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, cells, flat, norms, dim, nprobe)
+            if Seq(cells, flat, norms).forall(_.foldable)
+              && Seq(dim, nprobe).forall(e => e.foldable && e.dataType == IntegerType) =>
+          IvfNearestCells(v,
+            cells.eval().asInstanceOf[ArrayData].toLongArray().toSeq,
+            flat.eval().asInstanceOf[ArrayData].toFloatArray().toSeq,
+            norms.eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
+            dim.eval().asInstanceOf[Int], nprobe.eval().asInstanceOf[Int])
+        case c if c.size == 6 => throw new IllegalArgumentException(
+          "graft_ivf_cells requires literal (array<bigint> cells, array<float> " +
+            "matrix, array<double> norms, int dim, int nprobe) as arguments 2-6")
+        case _ => throw new IllegalArgumentException(
+          s"graft_ivf_cells requires exactly 6 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigramCount].getCanonicalName, "graft_top_bigram"),
       (children: Seq[Expression]) => children match {

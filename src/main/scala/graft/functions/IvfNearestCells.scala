@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression: the `nprobe` nearest IVF centroids of an
+ * `array<float>` vector — cell ids ordered by ascending (cosine distance,
+ * cell id) — with the whole centroid matrix folded into ONE expression
+ * node evaluated as two tight JIT'd loops (norm fold, then k distance
+ * folds with streaming selection).
+ *
+ * Why a custom Expression (same SURVEY.md §4 case as [[LshBuckets]], and
+ * the lift for the k-ceiling its unrolled predecessor had): the unrolled
+ * `least(struct(dist, cell) × k)` / `sort_array(array(...))` formulation
+ * emits one codegen'd `graft_dot` term PER CENTROID — at the q33-scale
+ * k=16 that is the measured 30s→1.3s win over interpreted HOFs, but at
+ * IVF's √N rule a 10⁹-vector corpus wants k in the thousands, where
+ * thousands of literal terms in a single projection blow past
+ * Janino/JIT method limits and fall back to interpreted evaluation (the
+ * exact pathology [[LshBuckets]] documents for 128 plane dots). Here k
+ * only sizes a reference-object float matrix, never the generated code:
+ * the expression stays a single call inside whole-stage codegen at any k
+ * (AnnIvfSpec pins no-CodegenFallback at k=256 and bit-equality with the
+ * unrolled form, which AnnIvf keeps as the semantics reference).
+ *
+ * Semantics twin of the unrolled form, field for field:
+ * `dist = 1 - dot/(norm(v)·c_norm)` with the ascending-index double folds
+ * of `graft_dot`/[[graft.ext.Similarity.norm]]; dist is NULL-valued (and
+ * sorts FIRST, Spark's nulls-first struct field order) when the dot is
+ * indeterminate (vector/dim length mismatch, null element) or the
+ * denominator is exactly zero (Spark's `Divide`-by-zero → NULL); NaN
+ * sorts GREATEST (Spark's double total order = `java.lang.Double
+ * .compare`); ties break to the lowest cell id. Null vector → NULL.
+ * Output length is `min(nprobe, k)`.
+ */
+case class IvfNearestCells(
+    child: Expression,
+    cells: Seq[Long], flat: Seq[Float], norms: Seq[Double],
+    dim: Int, nprobe: Int)
+    extends UnaryExpression {
+  require(dim > 0, s"bad dim=$dim")
+  require(nprobe > 0, s"bad nprobe=$nprobe")
+  require(cells.nonEmpty, "graft_ivf_cells requires a non-empty centroid set")
+  require(flat.size == cells.size * dim,
+    s"centroid matrix size ${flat.size} != k*dim ${cells.size * dim}")
+  require(norms.size == cells.size,
+    s"norms size ${norms.size} != k ${cells.size}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_cells requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val flatArr: Array[Float] = flat.toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    IvfNearestCells.compute(a.asInstanceOf[ArrayData],
+      cellsArr, flatArr, normsArr, dim, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("ivfCells", cellsArr, "long[]")
+    val flatRef = ctx.addReferenceObj("ivfCents", flatArr, "float[]")
+    val normsRef = ctx.addReferenceObj("ivfNorms", normsArr, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.IvfNearestCells$$.MODULE$$.compute(" +
+        s"$a, $cellsRef, $flatRef, $normsRef, $dim, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestCells =
+    copy(child = newChild)
+}
+
+object IvfNearestCells {
+
+  /** Order twin of Spark's ascending `struct(dist, cell)` comparison:
+    * NULL dist first, then `Double.compare` (NaN greatest), then cell. */
+  private def before(
+      aNull: Boolean, a: Double, aCell: Long,
+      bNull: Boolean, b: Double, bCell: Long): Boolean =
+    if (aNull != bNull) aNull
+    else if (!aNull && java.lang.Double.compare(a, b) != 0)
+      java.lang.Double.compare(a, b) < 0
+    else aCell < bCell
+
+  /** All k distances + `min(nprobe, k)`-selection in one pass; called from
+    * generated code. */
+  def compute(
+      arr: ArrayData, cells: Array[Long], flat: Array[Float],
+      norms: Array[Double], dim: Int, nprobe: Int): ArrayData = {
+    val k = cells.length
+    // vector norm: ascending-index double fold (Similarity.norm twin);
+    // indeterminate (length mismatch / null element) → every dist NULL
+    val n = arr.numElements()
+    var indet = n != dim
+    var vn = 0.0
+    if (!indet) {
+      var i = 0
+      while (i < dim && !indet) {
+        if (arr.isNullAt(i)) indet = true
+        else { val x = arr.getFloat(i).toDouble; vn += x * x }
+        i += 1
+      }
+    }
+    vn = math.sqrt(vn)
+
+    val take = math.min(nprobe, k)
+    // streaming partial selection: ordered best-so-far of length `take` —
+    // O(k·take) worst case, O(k) when the probe count is small (the
+    // assignment path is take=1), no per-row allocation beyond the result
+    val bn = new Array[Boolean](take)
+    val bd = new Array[Double](take)
+    val bc = new Array[Long](take)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var dNull = indet
+      var d = 0.0
+      if (!indet) {
+        var dot = 0.0
+        val off = c * dim
+        var i = 0
+        while (i < dim) {
+          dot += arr.getFloat(i).toDouble * flat(off + i).toDouble
+          i += 1
+        }
+        val denom = vn * norms(c)
+        if (denom == 0.0) dNull = true  // Divide-by-zero → NULL dist
+        else d = 1.0 - dot / denom
+      }
+      val cell = cells(c)
+      if (filled < take || before(dNull, d, cell, bn(filled - 1), bd(filled - 1), bc(filled - 1))) {
+        var pos = if (filled < take) filled else take - 1
+        while (pos > 0 && before(dNull, d, cell, bn(pos - 1), bd(pos - 1), bc(pos - 1))) {
+          bn(pos) = bn(pos - 1); bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1)
+          pos -= 1
+        }
+        bn(pos) = dNull; bd(pos) = d; bc(pos) = cell
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bc)
+  }
+}

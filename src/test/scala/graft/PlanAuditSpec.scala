@@ -86,10 +86,10 @@ class PlanAuditSpec extends GraftSpec {
   }
 
   test("IVF Lloyd iteration: argmin below the generator, one tiny shuffle") {
-    // the per-row centroid argmin (the unrolled least() over k dot
-    // products) must sit in the Project BELOW the posexplode Generate —
-    // above it, the k dots re-run once per exploded ELEMENT (dim×,
-    // measured 5.1s vs 1.3s per q44 training at sf0.1)
+    // the per-row centroid argmin (the native graft_ivf_cells selection
+    // over the k-centroid matrix) must sit in the Project BELOW the
+    // posexplode Generate — above it, the k dots re-run once per exploded
+    // ELEMENT (dim×, measured 5.1s vs 1.3s per q44 training at sf0.1)
     import org.apache.spark.sql.execution.{GenerateExec, ProjectExec, SparkPlan}
     val emb = Tables(spark, sfDir, "embeddings")
     val cent = graft.ext.AnnIvf.trainCentroids(emb, k = 4, iters = 0)
@@ -103,7 +103,7 @@ class PlanAuditSpec extends GraftSpec {
     assert(gens.nonEmpty, s"no Generate in:\n$exec")
     val gen = gens.head
     val argminBelow = gen.child.collect { case pr: ProjectExec => pr }
-      .exists(_.projectList.exists(_.sql.contains("least")))
+      .exists(_.projectList.exists(_.sql.contains("graft_ivf_cells")))
     assert(argminBelow, s"argmin not below Generate:\n$exec")
     assert(gen.requiredChildOutput.map(_.name) == Seq("cell"),
       "Generate must pass through only the cell attribute, " +

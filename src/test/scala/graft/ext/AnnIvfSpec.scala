@@ -155,6 +155,42 @@ class AnnIvfSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
   }
 
+  test("native nearest-cells ≡ unrolled reference; codegen holds at k=256") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // bit-equality of assignment AND probe selection at a small k and at a
+    // k the unrolled form was architecturally capped near
+    for (k <- Seq(16, 256)) {
+      val centroids = AnnIvf.trainCentroids(emb, k = k, iters = 1)
+      def cellsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+      assert(cellsOf(AnnIvf.assignCells(emb, centroids))
+        == cellsOf(AnnIvf.assignCellsUnrolled(emb, centroids)),
+        s"assignment drifted from the unrolled reference at k=$k")
+      // probe path (nprobe > 1): ordered cell lists must match per query
+      val cents = centroids.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq.sortBy(_._1)
+      val both = emb.filter(col("vec_id") < 32).select(col("vec_id"),
+          AnnIvf.nearestCellsUnrolled(col("embedding"), cents, 4).as("ref"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val native = AnnIvf.annTopK(emb.filter(col("vec_id") < 32), emb, centroids,
+        kNeighbors = 1, nprobe = 4) // exercises the native probe end-to-end
+      assert(native.count() > 0)
+      val nativeProbe = AnnIvf.probeCellsNative(emb.filter(col("vec_id") < 32), centroids, 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(nativeProbe == both, s"probe selection drifted at k=$k")
+    }
+    // plan shape at k=256: the executed assignment plan must stay inside
+    // whole-stage codegen with zero CodegenFallback nodes — the exact
+    // regression the unrolled form hit at large k
+    val centroids = AnnIvf.trainCentroids(emb, k = 256, iters = 1)
+    val plan = AnnIvf.assignCells(emb, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+    // the `*(n)` operator prefix IS the whole-stage-codegen marker in
+    // executedPlan.toString; the assignment projection must carry it
+    assert(plan.contains("*(1) Project"), plan.take(2000))
+  }
+
   test("empty corpus: training, assignment, and topK degrade to empty, not throw") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val empty = emb.filter(col("vec_id") < 0)
