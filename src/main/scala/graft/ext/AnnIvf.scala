@@ -343,6 +343,24 @@ object AnnIvf {
       .sortBy("cell")
       .saveAsTable(table)
 
+  /** The [[Dedup.maintainDedupIndex]] loop for the IVF side: compact the
+    * [[buildIvfIndex]] parquet dir's append-accreted small files and,
+    * when `bucketTable` is set, re-stage the [[stageIvfCells]] table
+    * whole from the compacted index (restoring the fresh-stage
+    * single-file-per-bucket sort-elision). Probe results unchanged by
+    * construction; same swap contract as
+    * [[graft.stage.Staging.compactDir]]. */
+  def maintainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      bucketTable: Option[String] = None, numBuckets: Int = 256,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[graft.stage.Staging.CompactionStat] = {
+    val stat = graft.stage.Staging.compactDir(spark, indexPath, targetFileBytes)
+    bucketTable.foreach(t =>
+      stageIvfCells(spark.read.parquet(indexPath), t, numBuckets))
+    stat
+  }
+
   /**
    * Corpus-wide kNN SELF-join — the embedding-side primitive behind
    * semantic dedup and density clustering: every vector's `kNeighbors`

@@ -472,6 +472,8 @@ object Dedup {
    * val r = Dedup.dedupIncrementalIndexed(todaysBatch, index, "id", "text", 0.6)
    * r.accepted.write.…           // new corpus rows
    * r.indexAppend.write.mode("append").parquet(indexPath) // index keeps up
+   * // periodically (appends accrete one small file per batch):
+   * Dedup.maintainDedupIndex(spark, indexPath, Some(bucketTable), 4096)
    * }}}
    *
    * `index ∪ indexAppend` is EXACTLY `buildDedupIndex(corpus ∪ accepted)`
@@ -534,9 +536,40 @@ object Dedup {
       // sorted within buckets: while a bucket holds one file (a fresh
       // stage), a sort-merge candidate join skips the corpus-side SORT as
       // well as its shuffle; appends add files per bucket, after which
-      // Spark correctly re-sorts — re-stage periodically to restore it
+      // Spark correctly re-sorts — [[maintainDedupIndex]] re-stages
+      // periodically to restore it
       .sortBy("band", "bucket")
       .saveAsTable(table)
+
+  /**
+   * Standing maintenance for a persisted [[buildDedupIndex]] parquet dir
+   * and (optionally) its [[stageDedupBuckets]] catalog table — the loop
+   * the daily append docs promise but previously left to the operator: N
+   * `indexAppend` cycles accrete one small parquet file per batch (at
+   * 100 TB the footer/open/listing overhead dominates the index scan)
+   * and each `stageDedupBuckets(append = true)` adds files per bucket,
+   * losing the fresh-stage single-file sort-elision. One call compacts
+   * the index dir in place ([[graft.stage.Staging.compactDir]] — same
+   * absence-window / `.bak`-recovery / one-maintainer contract) and,
+   * when `bucketTable` is set, re-stages the bucket table WHOLE from the
+   * compacted index, restoring both properties. Screen results are
+   * unchanged by construction — compaction only moves rows between
+   * files, and the re-staged table holds exactly the index's band
+   * buckets (DedupSpec runs 3 append cycles + maintenance and asserts
+   * byte-identical screens and a bounded file count). Run it on the
+   * schedule small files accrete on — e.g. weekly against daily appends.
+   */
+  def maintainDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      bucketTable: Option[String] = None, numBuckets: Int = 256,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[graft.stage.Staging.CompactionStat] = {
+    val stat = graft.stage.Staging.compactDir(spark, indexPath, targetFileBytes)
+    bucketTable.foreach(t => stageDedupBuckets(
+      spark.read.parquet(indexPath), t, numBuckets, bands, rowsPerBand))
+    stat
+  }
 
   /**
    * Derive the incremental-dedup index of a corpus: one row per DISTINCT

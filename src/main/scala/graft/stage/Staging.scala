@@ -332,31 +332,58 @@ object Staging {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
-    parts.flatMap { p =>
-      val files = fs.listStatus(p.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val bytes = files.map(_.getLen).sum
-      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      if (files.size <= want) None
-      else {
-        val dir = p.getPath
-        val tmp = new org.apache.hadoop.fs.Path(
-          dir.getParent, s".${dir.getName}.compact-tmp")
-        val bak = new org.apache.hadoop.fs.Path(
-          dir.getParent, s".${dir.getName}.compact-bak")
-        fs.delete(tmp, true); fs.delete(bak, true)
-        spark.read.parquet(dir.toString)
-          .repartition(want)
-          .write.mode("overwrite")
-          .option("compression", "snappy")
-          .parquet(tmp.toString)
-        require(fs.rename(dir, bak), s"compact: could not back up $dir")
-        require(fs.rename(tmp, dir), s"compact: could not promote $tmp")
-        fs.delete(bak, true)
-        val after = fs.listStatus(dir).count(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-        Some(CompactionStat(dir.getName, files.size, after, bytes))
-      }
+    parts.flatMap(p => compactOneDir(spark, fs, p.getPath, targetFileBytes))
+  }
+
+  /**
+   * [[compact]] for a FLAT (unpartitioned) parquet directory — the layout
+   * of the persisted dedup/ANN index dirs ([[graft.ext.Dedup
+   * .buildDedupIndex]] / [[graft.ext.AnnIvf.buildIvfIndex]] /
+   * [[graft.ext.AnnLsh.buildLshIndex]] parquet), whose daily
+   * `indexAppend` writes accrete one small file per batch. Same swap
+   * mechanics, same absence-window / `.bak`-recovery / one-maintainer
+   * contract as [[compact]], applied to the directory itself: the temp
+   * and backup dirs are dot-prefixed SIBLINGS of `path`. Returns None
+   * when the directory is already at or under the target file count.
+   */
+  def compactDir(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[CompactionStat] = {
+    require(targetFileBytes > 0L, s"targetFileBytes must be > 0")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    compactOneDir(spark, fs, root, targetFileBytes)
+  }
+
+  /** The shared per-directory rewrite-and-swap core of [[compact]] /
+    * [[compactDir]]: coalesce to `ceil(bytes / targetFileBytes)` parquet
+    * files via a sibling temp dir and two renames. */
+  private def compactOneDir(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      targetFileBytes: Long): Option[CompactionStat] = {
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= want) None
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}.compact-tmp")
+      val bak = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}.compact-bak")
+      fs.delete(tmp, true); fs.delete(bak, true)
+      spark.read.parquet(dir.toString)
+        .repartition(want)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(tmp.toString)
+      require(fs.rename(dir, bak), s"compact: could not back up $dir")
+      require(fs.rename(tmp, dir), s"compact: could not promote $tmp")
+      fs.delete(bak, true)
+      val after = fs.listStatus(dir).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      Some(CompactionStat(dir.getName, files.size, after, bytes))
     }
   }
 

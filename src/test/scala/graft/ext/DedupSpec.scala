@@ -266,6 +266,55 @@ class DedupSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dedup_bk")
   }
 
+  test("maintenance loop: 3 append cycles + maintainDedupIndex — screen identical, files bounded") {
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_maint").toString
+    def parquetFiles(p: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(hp).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    try {
+      Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      Dedup.stageDedupBuckets(spark.read.parquet(dir), "graft_maint_bk", numBuckets = 4)
+      // three daily cycles: screen, append index rows, append bucket rows
+      for (i <- 1 to 3) {
+        val r = Dedup.dedupIncrementalIndexed(
+          corpus.filter(col("doc_id") % 4 === i), spark.read.parquet(dir),
+          "doc_id", "text", threshold = 0.6)
+        r.indexAppend.write.mode("append").parquet(dir)
+        Dedup.stageDedupBuckets(r.indexAppend, "graft_maint_bk",
+          numBuckets = 4, append = true)
+      }
+      val probe = corpus.filter(col("doc_id") % 97 === 3)
+      def screen(): Seq[Long] = Dedup.dedupIncrementalIndexed(
+          probe, spark.read.parquet(dir), "doc_id", "text", threshold = 0.6,
+          corpusBuckets = Some(spark.table("graft_maint_bk")))
+        .accepted.select("doc_id").as[Long].collect().toSeq.sorted
+      val before = screen()
+      val filesBefore = parquetFiles(dir)
+      assert(filesBefore > 1, "appends should have accreted files")
+
+      val stat = Dedup.maintainDedupIndex(spark, dir,
+        bucketTable = Some("graft_maint_bk"), numBuckets = 4)
+      assert(stat.nonEmpty, "maintenance should have compacted the index dir")
+      // toy index is far under one target file — compaction lands on 1
+      assert(parquetFiles(dir) == 1, s"index files: ${parquetFiles(dir)}")
+      // bucket table re-staged whole: back to ≤ 1 file per bucket
+      val tableDir = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_maint_bk"))
+        .location.getPath
+      assert(parquetFiles(tableDir) <= 4, s"bucket files: ${parquetFiles(tableDir)}")
+      // the screen is byte-identical through the swap
+      assert(screen() == before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_maint_bk")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("components: labels converge to the component minimum") {
     // two components: a 4-chain 10-11-12-13 (needs >1 round) and a pair
     val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
