@@ -613,6 +613,16 @@ object Dedup {
    * from the repaired index — its buckets hash the old signatures); the
    * streaming rep store applies this automatically on every store load.
    */
+  /** True where a persisted `sh` set still holds a pre-fix phantom
+    * window — exactly the rows [[repairPreFixShingles]] would rewrite (or
+    * drop, when the repaired set empties). A cheap single-column
+    * predicate for "does this store/index still need the one-time repair
+    * PERSISTED": the streaming store uses it to force a swap when a
+    * batch would otherwise skip the write and leave stale rows on disk. */
+  def hasPreFixShingles(n: Int = 3): Column =
+    exists(col("sh"), s =>
+      !(size(filter(split(s, " "), t => length(t) > 0)) === n))
+
   def repairPreFixShingles(
       df: DataFrame, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
@@ -620,7 +630,7 @@ object Dedup {
     // tokens (tokens themselves never contain whitespace)
     def full(s: Column): Column =
       size(filter(split(s, " "), t => length(t) > 0)) === n
-    val stale = exists(col("sh"), s => !full(s))
+    val stale = hasPreFixShingles(n)
     val repaired = when(stale, filter(col("sh"), s => full(s)))
       .otherwise(col("sh"))
     // one withColumns: BOTH replacements read the ORIGINAL sh — a second

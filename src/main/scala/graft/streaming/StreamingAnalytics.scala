@@ -114,10 +114,13 @@ object StreamingAnalytics {
    *
    * Late data (in-watermark, cross-batch): an event within `gapSeconds`
    * of the open session's bounds joins it, extending it backward or
-   * forward; an event more than a gap BEFORE the open session closes
-   * immediately as its own single-event session — it belongs to an
-   * already-emitted stretch of the timeline, and merging it forward would
-   * bridge a gap the rule defines as a break. This is enrich-at-arrival
+   * forward; events more than a gap BEFORE the open session close
+   * immediately as LATE sessions — they belong to an already-emitted
+   * stretch of the timeline, and merging them forward would bridge a gap
+   * the rule defines as a break. Late events of the same batch within a
+   * gap of each other merge into ONE late session (they are
+   * simultaneously visible, so the gap rule applies among them) rather
+   * than fragmenting into singletons. This is enrich-at-arrival
    * precision: an already-emitted session is never retro-merged (for full
    * retro-merge semantics use Spark's `session_window` aggregation, which
    * buffers until the watermark instead of emitting on gap detection).
@@ -151,7 +154,17 @@ object StreamingAnalytics {
       }
       val incoming = rows.map(_.epoch).toSeq.sorted
       var open = state.getOption
+      // late events (more than a gap BEFORE the open session) belong to
+      // an earlier, already-emitted stretch of the timeline. They come
+      // FIRST in the sorted walk, so consecutive ones within a gap of
+      // EACH OTHER accumulate into one late session — without this they
+      // would fragment into N singletons even though all are
+      // simultaneously visible in the batch — and the accumulator closes
+      // for good once the walk crosses into (or past) the open session's
+      // range: ascending order makes that transition permanent.
+      var lateOpen: Option[UserSession] = None
       val closed = Seq.newBuilder[UserSession]
+      def closeLate(): Unit = { lateOpen.foreach(closed += _); lateOpen = None }
       incoming.foreach { e =>
         open match {
           // within the gap of EITHER bound: a late-but-in-watermark event
@@ -160,23 +173,34 @@ object StreamingAnalytics {
           // the bounds), an in-order event extends it forward
           case Some(s) if e >= s.session_start - gapSeconds &&
               e <= s.session_end + gapSeconds =>
+            closeLate()
             open = Some(s.copy(
               session_start = math.min(s.session_start, e),
               session_end = math.max(s.session_end, e),
               n_requests = s.n_requests + 1))
           case Some(s) if e > s.session_end => // explicit forward gap:
+            closeLate()
             closed += s                        // close and start fresh
             open = Some(UserSession(userId, e, e, 1L))
-          case Some(_) => // late event more than a gap BEFORE the open
-            // session: it belongs to an earlier, already-closed stretch of
-            // this user's timeline, so it closes immediately as its own
-            // session — merging it forward would bridge a gap the rule
-            // says is a break
-            closed += UserSession(userId, e, e, 1L)
+          case Some(_) => // late event: merge into the accumulating late
+            // session while the batch's late events stay within a gap of
+            // each other; a wider break closes it and starts the next.
+            // Never merged FORWARD into the open session — that would
+            // bridge a gap the rule says is a break.
+            lateOpen match {
+              case Some(ls) if e <= ls.session_end + gapSeconds =>
+                lateOpen = Some(ls.copy(
+                  session_end = math.max(ls.session_end, e),
+                  n_requests = ls.n_requests + 1))
+              case other =>
+                other.foreach(closed += _)
+                lateOpen = Some(UserSession(userId, e, e, 1L))
+            }
           case None =>
             open = Some(UserSession(userId, e, e, 1L))
         }
       }
+      closeLate()
       open.foreach { s =>
         state.update(s)
         // close via watermark once the idle gap has provably elapsed

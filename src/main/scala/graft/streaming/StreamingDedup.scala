@@ -101,17 +101,19 @@ object StreamingDedup {
       // watermark expires built-in state
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       StateSwap.recover(fs, statePath)
-      val store0 = Materialize.cut(
+      // migrate a store written before ghash joined the schema: the
+      // stream itself never reads ghash (its match is sig buckets +
+      // shingle verify), so NULL is fully functional — the rows just
+      // don't contribute to storeAsDedupIndex until they age out of
+      // the horizon and post-migration rows replace them
+      val rawStore: Option[DataFrame] =
         if (fs.exists(new Path(statePath))) {
           val raw = spark.read.parquet(statePath)
-          // migrate a store written before ghash joined the schema: the
-          // stream itself never reads ghash (its match is sig buckets +
-          // shingle verify), so NULL is fully functional — the rows just
-          // don't contribute to storeAsDedupIndex until they age out of
-          // the horizon and post-migration rows replace them
-          val withGhash =
-            if (raw.columns.contains("ghash")) raw
-            else raw.withColumn("ghash", lit(null).cast("string"))
+          Some(if (raw.columns.contains("ghash")) raw
+            else raw.withColumn("ghash", lit(null).cast("string")))
+        } else None
+      val store0 = Materialize.cut(rawStore match {
+        case Some(withGhash) =>
           // repair rows persisted before the boundary-empty shingle fix
           // (no-op on clean rows): a stale stored set holds phantom
           // windows that depress Jaccard, so a near-dup re-delivery of a
@@ -123,8 +125,9 @@ object StreamingDedup {
           // match is shingle-based)
           Dedup.repairPreFixShingles(withGhash, n, bands, rowsPerBand)
             .filter(size(col("sh")) > 0)
-        } else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rep.schema))
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rep.schema)
+      })
       val hwm = store0.select(col("ts"))
         .unionAll(rep.select(col("ts")))
         .agg(max(col("ts")).as("hwm")).first().getTimestamp(0)
@@ -162,9 +165,20 @@ object StreamingDedup {
       // never reads the directory being replaced). A batch that
       // contributed no reps and evicted nothing is a no-op — skip the
       // swap entirely rather than re-write the full store (and re-open
-      // the swap's crash window) on every idle trigger.
+      // the swap's crash window) on every idle trigger — UNLESS the
+      // on-load repair changed rows: then disk still holds pre-fix
+      // shingles that store0 only fixed in memory, and skipping would
+      // leave them stale indefinitely (storeAsDedupIndex readers see the
+      // raw parquet). The repair disjunct scans the raw store's sh
+      // column, so it sits LAST: || short-circuits, and the scan is paid
+      // only on the idle batches the other two disjuncts would skip —
+      // at most once per pre-fix store, since the swap it forces
+      // persists the repair.
+      def repairChangedRows: Boolean = rawStore.exists(
+        _.filter(Dedup.hasPreFixShingles(n)).limit(1).count() > 0)
       val changedStore = rep.limit(1).count() > 0 ||
-        (hwm != null && store.count() != store0.count())
+        (hwm != null && store.count() != store0.count()) ||
+        repairChangedRows
       if (hwm != null && changedStore)
         StateSwap.advance(fs, statePath, store.unionByName(
           rep.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
@@ -194,8 +208,10 @@ object StreamingDedup {
    * retires them. The stream must have run with the same `n`/`bands`/
    * `rowsPerBand` as the batch screen. A store last written before the
    * boundary-empty shingle fix is read here RAW — either let the stream
-   * advance once (its load repairs and rewrites stale rows) or pass the
-   * frame through [[graft.ext.Dedup.repairPreFixShingles]] first.
+   * process ONE batch (its load repairs stale rows, and the swap
+   * persists the repair even when the batch itself adds and evicts
+   * nothing) or pass the frame through
+   * [[graft.ext.Dedup.repairPreFixShingles]] first.
    */
   def storeAsDedupIndex(store: DataFrame): DataFrame =
     store.filter(col("ghash").isNotNull).select("ghash", "sh", "sig")

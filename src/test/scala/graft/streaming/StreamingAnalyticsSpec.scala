@@ -116,4 +116,30 @@ class StreamingAnalyticsSpec extends GraftSpec {
       assert(all.exists(s => s.user_id == 1L && s.n_requests == 1L))
     } finally q.stop()
   }
+
+  test("sessionize: same-batch late events within a gap merge into one late session") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sessions = StreamingAnalytics.sessionize(
+      ClfParser.parse(mem.toDF()), gapSeconds = 600L, watermarkDelay = "6 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_sess_late").outputMode("append").start()
+    try {
+      // open a session at 12:00
+      mem.addData(line(1, "12:00:00", 200))
+      q.processAllAvailable()
+      // one batch of in-watermark late events, all > gap before 12:00:
+      // a lone event at 09:00 (its own late session — 10:00 is an hour
+      // away) and a 10:00/10:05/10:08 cluster whose internal gaps are
+      // within 600s — ONE merged late session, not three singletons
+      mem.addData(
+        line(1, "09:00:00", 200), line(1, "10:00:00", 200),
+        line(1, "10:05:00", 200), line(1, "10:08:00", 200))
+      q.processAllAvailable()
+      val late = spark.table("graft_sess_late").as[UserSession].collect()
+        .map(s => (s.n_requests, s.session_end - s.session_start)).toSet
+      assert(late == Set((1L, 0L), (3L, 480L)),
+        s"late cluster fragmented: $late")
+    } finally q.stop()
+  }
 }

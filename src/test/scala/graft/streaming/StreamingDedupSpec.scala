@@ -299,4 +299,45 @@ class StreamingDedupSpec extends GraftSpec {
       .select("sh").collect().map(_.getSeq[String](0).sorted).toSeq
     assert(storedSh == Seq(realSh.sorted))
   }
+
+  test("an idle batch still persists the on-load repair of a pre-fix store") {
+    import org.apache.spark.sql.functions._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_idlefix").resolve("store").toString
+    val text = "alpha beta gamma delta epsilon"
+    val realSh =
+      Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+    Seq((1L, ts("2015-11-13 10:00:00"))).toDF("id", "ts")
+      .withColumn("ghash", md5(lit(text + " ").cast("binary")))
+      .withColumn("sh", typedLit(realSh :+ "delta epsilon "))
+      .withColumn("sig", graft.ext.Dedup.minhashSignature(col("sh"), 32))
+      .write.parquet(statePath)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(statePath, "_GRAFT_COMMIT"), true).close()
+
+    // an EMPTY batch adds no reps and evicts nothing — before the repair
+    // disjunct joined changedStore, this skipped the swap and left the
+    // phantom window on disk indefinitely (storeAsDedupIndex readers of
+    // the raw parquet kept seeing pre-fix shingles)
+    var emitted: Seq[Long] = null
+    StreamingDedup.processBatch(
+      Seq.empty[(Long, String, Timestamp)].toDF("doc_id", "text", "time"),
+      statePath)(s => emitted = ids(s))
+    assert(emitted.isEmpty)
+    val storedSh = spark.read.parquet(statePath)
+      .select("sh").collect().map(_.getSeq[String](0).sorted).toSeq
+    assert(storedSh == Seq(realSh.sorted),
+      "idle batch left pre-fix shingles on disk")
+
+    // and the NEXT idle batch is a true no-op again: disk is clean, so
+    // the repair disjunct stops forcing swaps (no standing write churn)
+    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(statePath))
+      .getModificationTime
+    StreamingDedup.processBatch(
+      Seq.empty[(Long, String, Timestamp)].toDF("doc_id", "text", "time"),
+      statePath)(s => emitted = ids(s))
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(statePath))
+      .getModificationTime == mtime, "clean store was re-swapped on idle")
+  }
 }
