@@ -84,9 +84,15 @@ object AnnIvf {
     * on q33). */
   private def distStructs(vec: Column, vn: Column, cents: Cents): Seq[Column] =
     cents.map { case (cell, v, n) =>
+      // undefined distance (zero-norm side → nullif'd denominator, or an
+      // indeterminate dot → NULL) coalesces to +Infinity: sorts last,
+      // same rule as the native expression — and a bare Divide would
+      // THROW under ANSI mode the moment a zero norm appeared
       struct(
-        (lit(1.0) - Similarity.nativeDot(vec, typedLit(v)) / (vn * lit(n)))
-          .as("dist"),
+        coalesce(
+          lit(1.0) - Similarity.nativeDot(vec, typedLit(v))
+            / nullif(vn * lit(n), lit(0.0)),
+          lit(Double.PositiveInfinity)).as("dist"),
         lit(cell).as("cell"))
     }
 
@@ -128,7 +134,13 @@ object AnnIvf {
     * zero shuffle, zero join, one expression node at any k. An EMPTY
     * centroid set yields NULL cell — callers' downstream equi-joins and
     * assignments then degrade to empty output, the behavior of the
-    * crossJoin formulation this replaced, instead of a plan-build throw. */
+    * crossJoin formulation this replaced, instead of a plan-build throw.
+    * A NULL vector also yields NULL cell (its nearest cell is undefined,
+    * so the row degrades out of the cell equi-join) — the one DELIBERATE
+    * divergence from the unrolled reference, which would assign a null
+    * vector to the lowest cell id and let it ride into candidate scoring
+    * with NULL sims; FuzzSpec pins the twins equal everywhere else
+    * (zero norms, NaN, length mismatch, null elements, ties). */
   private def cellOf(vec: Column, cents: Cents): Column =
     if (cents.isEmpty) lit(null).cast("long")
     else nearestCells(vec, cents, 1).getItem(0)

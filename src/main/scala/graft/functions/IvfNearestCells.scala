@@ -29,13 +29,18 @@ import org.apache.spark.sql.types._
  *
  * Semantics twin of the unrolled form, field for field:
  * `dist = 1 - dot/(norm(v)·c_norm)` with the ascending-index double folds
- * of `graft_dot`/[[graft.ext.Similarity.norm]]; dist is NULL-valued (and
- * sorts FIRST, Spark's nulls-first struct field order) when the dot is
- * indeterminate (vector/dim length mismatch, null element) or the
- * denominator is exactly zero (Spark's `Divide`-by-zero → NULL); NaN
- * sorts GREATEST (Spark's double total order = `java.lang.Double
- * .compare`); ties break to the lowest cell id. Null vector → NULL.
- * Output length is `min(nprobe, k)`.
+ * of `graft_dot`/[[graft.ext.Similarity.norm]]. An UNDEFINED distance —
+ * indeterminate dot (vector/dim length mismatch, null element) or an
+ * exactly-zero denominator (zero-norm vector or centroid) — evaluates as
+ * `+Infinity`, so undefined sorts LAST and a zero-norm centroid can never
+ * capture the corpus. This is the `nullif`-guarded convention of
+ * [[graft.ext.Similarity.cosine]] made total: a bare `Divide` would
+ * THROW under ANSI mode (Spark 4's default) the first time a zero norm
+ * appeared at scale. NaN distances (NaN elements) sort after +Infinity
+ * (Spark's double total order = `java.lang.Double.compare`); ties break
+ * to the lowest cell id. Null vector → NULL (nearest cell undefined —
+ * the row degrades out of the cell equi-join). Output length is
+ * `min(nprobe, k)`.
  */
 case class IvfNearestCells(
     child: Expression,
@@ -81,15 +86,12 @@ case class IvfNearestCells(
 
 object IvfNearestCells {
 
-  /** Order twin of Spark's ascending `struct(dist, cell)` comparison:
-    * NULL dist first, then `Double.compare` (NaN greatest), then cell. */
-  private def before(
-      aNull: Boolean, a: Double, aCell: Long,
-      bNull: Boolean, b: Double, bCell: Long): Boolean =
-    if (aNull != bNull) aNull
-    else if (!aNull && java.lang.Double.compare(a, b) != 0)
-      java.lang.Double.compare(a, b) < 0
-    else aCell < bCell
+  /** Ascending `(dist, cell)` order: `Double.compare` (NaN greatest — the
+    * same total order Spark sorts doubles with), ties to the lower cell. */
+  private def before(a: Double, aCell: Long, b: Double, bCell: Long): Boolean = {
+    val cmp = java.lang.Double.compare(a, b)
+    cmp < 0 || (cmp == 0 && aCell < bCell)
+  }
 
   /** All k distances + `min(nprobe, k)`-selection in one pass; called from
     * generated code. */
@@ -98,7 +100,8 @@ object IvfNearestCells {
       norms: Array[Double], dim: Int, nprobe: Int): ArrayData = {
     val k = cells.length
     // vector norm: ascending-index double fold (Similarity.norm twin);
-    // indeterminate (length mismatch / null element) → every dist NULL
+    // indeterminate (length mismatch / null element) → every dist
+    // undefined → +Infinity, sorts last
     val n = arr.numElements()
     var indet = n != dim
     var vn = 0.0
@@ -116,14 +119,12 @@ object IvfNearestCells {
     // streaming partial selection: ordered best-so-far of length `take` —
     // O(k·take) worst case, O(k) when the probe count is small (the
     // assignment path is take=1), no per-row allocation beyond the result
-    val bn = new Array[Boolean](take)
     val bd = new Array[Double](take)
     val bc = new Array[Long](take)
     var filled = 0
     var c = 0
     while (c < k) {
-      var dNull = indet
-      var d = 0.0
+      var d = Double.PositiveInfinity
       if (!indet) {
         var dot = 0.0
         val off = c * dim
@@ -133,17 +134,19 @@ object IvfNearestCells {
           i += 1
         }
         val denom = vn * norms(c)
-        if (denom == 0.0) dNull = true  // Divide-by-zero → NULL dist
-        else d = 1.0 - dot / denom
+        // zero denominator: undefined stays +Infinity (a bare divide
+        // would THROW under ANSI; NULL-and-sort-first would let a
+        // zero-norm centroid capture the whole corpus)
+        if (denom != 0.0) d = 1.0 - dot / denom
       }
       val cell = cells(c)
-      if (filled < take || before(dNull, d, cell, bn(filled - 1), bd(filled - 1), bc(filled - 1))) {
+      if (filled < take || before(d, cell, bd(filled - 1), bc(filled - 1))) {
         var pos = if (filled < take) filled else take - 1
-        while (pos > 0 && before(dNull, d, cell, bn(pos - 1), bd(pos - 1), bc(pos - 1))) {
-          bn(pos) = bn(pos - 1); bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1)
+        while (pos > 0 && before(d, cell, bd(pos - 1), bc(pos - 1))) {
+          bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1)
           pos -= 1
         }
-        bn(pos) = dNull; bd(pos) = d; bc(pos) = cell
+        bd(pos) = d; bc(pos) = cell
         if (filled < take) filled += 1
       }
       c += 1

@@ -279,4 +279,62 @@ class FuzzSpec extends GraftSpec {
       assert(got == expected, s"ps=$ps rs=$rs")
     }
   }
+
+  test("graft_ivf_cells agrees with the unrolled twin on adversarial vectors " +
+    "(zero norms, NaN, length mismatch, null elements, duplicate centroids)") {
+    val dim = 4
+    def jnorm(v: Seq[Float]): Double = {
+      var a = 0.0; v.foreach(x => a += x.toDouble * x.toDouble); math.sqrt(a)
+    }
+    // centroid sets: ordinary values plus exact-zero vectors (zero c_norm →
+    // NULL dist for every input) and, on even sizes, a duplicated vector
+    // under two cell ids (pure tie — must break to the lower cell)
+    val centGen: Gen[Seq[(Long, Seq[Float], Double)]] = for {
+      k <- Gen.chooseNum(1, 6)
+      vs <- Gen.listOfN(k, Gen.listOfN(dim,
+        Gen.frequency(9 -> Gen.chooseNum(-50, 50).map(_ / 10.0f),
+          1 -> Gen.const(0.0f))))
+    } yield {
+      val tied = if (k >= 2 && k % 2 == 0) vs.init :+ vs.head else vs
+      tied.zipWithIndex.map { case (v, i) =>
+        (i.toLong * 3 + 1, v.toSeq, jnorm(v.toSeq)) }
+    }
+    // vectors: ordinary, all-zero (zero norm), NaN-bearing, wrong length,
+    // null-element — every class the expression's null/NaN rules cover.
+    // Whole-NULL embeddings are excluded: native NULL-cell vs the unrolled
+    // lowest-cell there is the one documented deliberate divergence.
+    val elemGen: Gen[Option[Float]] = Gen.frequency(
+      12 -> Gen.chooseNum(-50, 50).map(x => Some(x / 10.0f)),
+      2 -> Gen.const(Some(0.0f)),
+      1 -> Gen.const(Some(Float.NaN)),
+      1 -> Gen.const(Option.empty[Float]))
+    val vecGen: Gen[Seq[Option[Float]]] = for {
+      n <- Gen.frequency(8 -> Gen.const(dim), 1 -> Gen.const(dim - 1),
+        1 -> Gen.const(dim + 1))
+      v <- Gen.listOfN(n, elemGen)
+    } yield v
+
+    val caseGen = for {
+      cents <- centGen
+      nv <- Gen.chooseNum(3, 12)
+      vecs <- Gen.listOfN(nv, vecGen)
+    } yield (cents, vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+
+    cases(caseGen, 10, seed = 0x1FFC3115L).foreach { case (cents, vecs) =>
+      val corpus = vecs.toDF("vec_id", "embedding")
+      val centroids = cents.toDF("cell", "centroid", "c_norm")
+      def cellsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(cellsOf(AnnIvf.assignCells(corpus, centroids))
+        == cellsOf(AnnIvf.assignCellsUnrolled(corpus, centroids)),
+        s"assignment drifted: cents=$cents vecs=$vecs")
+      val nprobe = math.min(2, cents.size)
+      val ref = corpus.select(col("vec_id"),
+          AnnIvf.nearestCellsUnrolled(col("embedding"), cents, nprobe).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val native = AnnIvf.probeCellsNative(corpus, centroids, nprobe)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(native == ref, s"probe order drifted: cents=$cents vecs=$vecs")
+    }
+  }
 }
