@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.ext.Materialize
 
@@ -112,7 +113,21 @@ object Bench {
     // (the second timed sf run) — a data-shape change that deepens the
     // dedup chain shows up here across bench rounds before it shows up as
     // a timing regression
-    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()}}"""
+    // Per-job floor: the min wall time of a trivial 32-row one-shuffle
+    // job. Small queries here are SCHEDULING-bound, not data-bound (q30 at
+    // sf0.1 ≈ 2× this floor; trainCentroids' three sequential collects ≈
+    // 3×), and the floor swings 4× across sandbox VM generations — the
+    // entire round-9 q30/q33 "regression" was a floor move on byte-
+    // identical plans. Recording it per run lets a cross-round diff
+    // normalize: timing deltas on untouched queries that track the floor
+    // ratio are environment, not plans. Measured AFTER the queries so the
+    // floor itself is steady-state (scheduler warm), min-of-5.
+    val jobFloor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 1000, 1, cpus.toInt).groupBy(col("id") % 7).count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":$jobFloor}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
     println(line)
