@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1072,7 +1072,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rk"), col("shard"),
           col("n_tokens"), col("tok_offset"), col("bin"))
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // X1+ — exact substring (duplicate-span) detection: 12-token windows
+    // recurring across documents, per-doc coverage by interval union —
+    // the boilerplate-detection mode document-level Jaccard is blind to
+    "q79_dup_spans" -> ((s, d) =>
+      SpanDedup.dupSpanStats(t(s, d, "documents"), "doc_id", "text",
+          spanLen = 12, minDocs = 2)
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2135,7 +2143,39 @@ object SparkEntry {
         |SELECT doc_id, lang, rk, shard, n_tokens,
         |       CAST(tok_offset AS BIGINT) AS tok_offset,
         |       CAST(tok_offset // 256 AS BIGINT) AS bin
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Exact recompute of the 12-token duplicated-window census and the
+    // per-doc interval-union coverage — same tokenizer, same md5 window
+    // keys (both engines hash identical UTF-8 bytes), 1-based positions.
+    "q79_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+11], ' ')) AS wkey
+        |  FROM (SELECT doc_id, t, n, unnest(range(1, greatest(n - 10, 1))) AS i
+        |        FROM sized WHERE n >= 12)),
+        |dup AS (SELECT wkey FROM wins GROUP BY wkey
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey)),
+        |wcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+        |         FROM dw GROUP BY doc_id),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens
+        |        FROM (SELECT doc_id, unnest(range(pos, pos + 12)) AS p FROM dw)
+        |        GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+        |       coalesce(w.dup_windows, 0) AS dup_windows,
+        |       coalesce(c.covered_tokens, 0) AS covered_tokens,
+        |       round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / s.n, 6)
+        |         AS dup_frac
+        |FROM sized s
+        |LEFT JOIN wcnt w USING (doc_id)
+        |LEFT JOIN cov c USING (doc_id)
+        |WHERE s.n > 0
+        |ORDER BY s.doc_id""".stripMargin
   )
 
   /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact substring (duplicate-span) detection — the token-window form of
+ * "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ * 2022): find token spans of length `spanLen` that recur across documents
+ * and measure, per document, how much of it is covered by such spans.
+ * Complements [[Dedup]]'s whole-document similarity family: MinHash/SimHash
+ * find documents that are MOSTLY the same; span detection finds boilerplate
+ * (licenses, headers, templated paragraphs) embedded in otherwise-unique
+ * documents — the duplication mode document-level Jaccard is blind to.
+ *
+ * Relational shape (no suffix arrays — those are a single-node design;
+ * this is the shuffle-bounded equivalent):
+ *
+ *   1. window pass: one narrow Generate per document emits every
+ *      `spanLen`-token window as a row `(doc, pos, wkey)` where `wkey` is
+ *      the md5 of the space-rejoined window — 128-bit content addressing,
+ *      so the shuffle carries a fixed-width key instead of the window text
+ *      (collision odds at 2^64 windows ≈ 10^-20; the tradeoff
+ *      [[Multimodal.contentHash]] already documents).
+ *   2. span census: windows seen in ≥ `minDocs` DISTINCT documents — a
+ *      hash aggregate on `wkey`. Never all-pairs: a span shared by m
+ *      documents costs m census rows, not m² pair rows.
+ *   3. coverage: duplicated windows join back on `wkey` (the census side
+ *      arrives partitioned on exactly that key from step 2 — one shuffle
+ *      for the window side, none for the census), then per-document
+ *      interval union via DISTINCT covered positions — the explode is
+ *      `spanLen`× only on DUPLICATED windows, so clean corpora pay ~zero.
+ *
+ * At 100 TB every stage is a bounded hash shuffle on a fixed-width key;
+ * the window fan-out (one row per token position) is the inherent cost of
+ * substring-granular dedup and stays linear in corpus tokens.
+ */
+object SpanDedup {
+
+  /** All `spanLen`-token windows of `textCol`: `(idCol, pos, wkey)` with
+    * 1-based `pos` and `wkey` = md5 of the space-rejoined window. Documents
+    * shorter than `spanLen` tokens emit no rows. */
+  def tokenWindows(
+      docs: DataFrame, idCol: String, textCol: String, spanLen: Int): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") >= spanLen)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(1L), col("_n") - (spanLen - 1).toLong)).as("pos"))
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), col("pos").cast("int"), lit(spanLen))))
+          .as("wkey"))
+  }
+
+  /** Window keys occurring in at least `minDocs` distinct documents, with
+    * their document frequency: `(wkey, span_docs)`. */
+  def duplicatedSpans(windows: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    windows
+      .groupBy(col("wkey"))
+      .agg(countDistinct(col(idCol)).as("span_docs"))
+      .filter(col("span_docs") >= minDocs)
+
+  /**
+   * Per-document duplicated-span statistics: for each document with at
+   * least one token, the token count, the number of its windows that
+   * recur in ≥ `minDocs` distinct documents, the number of token
+   * positions covered by at least one such window (overlapping spans
+   * union, not sum), and the covered fraction. Documents with zero
+   * duplicated windows (including those shorter than `spanLen`) report
+   * zeros — absence of duplication is a result, not a missing row.
+   */
+  def dupSpanStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Int = 2): DataFrame = {
+    val wins = tokenWindows(docs, idCol, textCol, spanLen)
+    val dup = duplicatedSpans(wins, idCol, minDocs)
+
+    // duplicated windows only; census side is pre-partitioned on wkey
+    val dupWins = wins.join(dup.select("wkey"), "wkey")
+
+    val winCnt = dupWins.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_windows"))
+
+    // interval union as DISTINCT positions: the explode is spanLen× on
+    // duplicated windows only
+    val covered = dupWins
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1).toLong)).as("p"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("p")).as("covered_tokens"))
+
+    docs
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .join(winCnt, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
+  }
+}
