@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1080,7 +1080,17 @@ object SparkEntry {
     "q79_dup_spans" -> ((s, d) =>
       SpanDedup.dupSpanStats(t(s, d, "documents"), "doc_id", "text",
           spanLen = 12, minDocs = 2)
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+ — reference-LM quality scoring (CCNet-style): add-one bigram
+    // model trained on the src0 slice, every document scored by mean
+    // negative log-probability against it
+    "q80_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = LmScore.train(docs.filter(col("source") === "src0"), "text")
+      LmScore.score(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2175,7 +2185,38 @@ object SparkEntry {
         |LEFT JOIN wcnt w USING (doc_id)
         |LEFT JOIN cov c USING (doc_id)
         |WHERE s.n > 0
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Exact recompute of the add-one bigram LM (trained on src0, scored
+    // everywhere): c1 derived from the bigram table, V = distinct ref
+    // tokens at all positions. Both engines sum correctly-rounded ln
+    // doubles; round-6 absorbs fold-order ulp noise (the q30 pattern).
+    "q80_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, source, t,
+        |               unnest(range(1, greatest(len(t), 1))) AS i
+        |        FROM toks)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |        WHERE source = 'src0' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |         -ln((coalesce(c12.c12, 0) + 1.0) /
+        |             (coalesce(c1.c1, 0) + (SELECT v FROM v))) AS nl
+        |  FROM bg
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(nl), 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram language-model quality scoring — the CCNet-style perplexity
+ * filter (Wenzek et al., 2020: score web text against an LM trained on a
+ * trusted reference corpus; high perplexity ⇒ junk, boilerplate, or
+ * wrong-language text). [[TextOps.qualityScore]] judges a document by its
+ * own surface statistics; this judges it against what a REFERENCE corpus
+ * looks like — the two catch different junk.
+ *
+ * Model = add-one-smoothed token bigrams: `p(w2|w1) = (c(w1,w2) + 1) /
+ * (c(w1,·) + V)` with `c(w1,·)` the predecessor count (derived from the
+ * bigram table, so the model is self-consistent by construction) and `V`
+ * the reference vocabulary size. A document's score is the mean negative
+ * log-probability of its bigrams — length-normalized, so long and short
+ * documents compare on the same scale.
+ *
+ * Scale shape: training is two hash aggregates over one narrow
+ * bigram Generate (posexplode + `element_at` — no higher-order functions,
+ * the whole pass stays in whole-stage codegen). Scoring is the same
+ * Generate followed by two equi-joins against the count tables — AQE
+ * broadcasts them when small, shuffle-hash otherwise; a hot bigram is
+ * ONE build-side row, so frequency skew never concentrates a partition.
+ * Both model frames are plain DataFrames: persist them as parquet/catalog
+ * tables and a standing reference model is trained once, not per batch —
+ * the same amortization contract as `Dedup.buildDedupIndex` /
+ * `AnnIvf.buildIvfIndex`.
+ */
+object LmScore {
+
+  /** A trained bigram LM: `bigrams` = (w1, w2, c12), `contexts` =
+    * (w1, c1) with c1 = Σ_w2 c12, and the reference vocabulary size.
+    * `vocabSize` counts distinct tokens at ALL positions (not just
+    * predecessors) — the smoothing denominator's event space. */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame, vocabSize: Long)
+
+  /** One row per adjacent token pair of `textCol`: `(…, w1, w2)`.
+    * Documents with < 2 tokens emit no rows. */
+  private def bigramRows(docs: DataFrame, cols: Seq[Column], textCol: String): DataFrame =
+    docs
+      .select(cols :+ TextOps.tokens(col(textCol)).as("_toks"): _*)
+      .select(cols ++ Seq(col("_toks"), posexplode(col("_toks")).as(Seq("_i", "w1"))): _*)
+      .filter(col("_i") < size(col("_toks")) - 1)
+      .select(cols ++ Seq(col("w1"),
+        element_at(col("_toks"), col("_i") + lit(2)).as("w2")): _*)
+
+  /** Train a [[BigramLm]] on a reference corpus. The single driver-side
+    * value is the vocabulary-size scalar — metadata, same class as a
+    * broadcast dim's row count. */
+  def train(ref: DataFrame, textCol: String): BigramLm = {
+    val bigrams = bigramRows(ref, Seq.empty, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = ref
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")))
+      .head().getLong(0)
+    BigramLm(bigrams, contexts, v)
+  }
+
+  /**
+   * Mean negative log-probability per document: `(idCol, n_bigrams,
+   * nll)` with `nll` rounded to 6 dp (both engines sum correctly-rounded
+   * `ln` doubles; the rounding absorbs the ulp-level fold-order noise a
+   * distributed average necessarily has). Documents with < 2 tokens have
+   * no bigrams and are absent — scoring something requires evidence.
+   */
+  def score(docs: DataFrame, idCol: String, textCol: String, lm: BigramLm): DataFrame = {
+    require(lm.vocabSize > 0, "cannot score against an empty-vocabulary model")
+    bigramRows(docs, Seq(col(idCol)), textCol)
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + lit(lm.vocabSize.toDouble)))).as("_nl"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_nl")), 6).as("nll"))
+  }
+
+  /** The filter form: documents whose mean NLL is at most `maxNll` —
+    * i.e. text the reference model finds unsurprising. Pass-through
+    * columns survive; sub-2-token documents are dropped (no evidence,
+    * no pass — the conservative default for a quality GATE). */
+  def screen(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm, maxNll: Double): DataFrame =
+    docs.join(
+      score(docs, idCol, textCol, lm)
+        .filter(col("nll") <= maxNll)
+        .select(col(idCol)),
+      Seq(idCol))
+}
