@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1090,6 +1090,18 @@ object SparkEntry {
       val lm = LmScore.train(docs.filter(col("source") === "src0"), "text")
       LmScore.score(docs, "doc_id", "text", lm)
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X3+ — product quantization ADC: 8×16 sub-codebooks (squared-L2
+    // k-means via the native l2 metric), broadcast ADC sweep over the
+    // 32×-smaller code table, exact re-rank of the top-50 — sims are
+    // exact cosine, PQ decides only which candidates surface (no full
+    // oracle; recall + rerank=|corpus|≡brute-force properties in AnnPqSpec)
+    "q81_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      AnnPq.topK(emb.filter(col("vec_id") < 8), emb, cb,
+        kNeighbors = 5, rerank = 50)
     })
   )
 
@@ -2033,6 +2045,11 @@ object SparkEntry {
     "q75_indexed_dedup" -> incrementalDedupOracleSql,
 
     "q76_ivf_indexed" -> ivfPartialOracleSql("q76_ivf_indexed"),
+
+    // PQ returns exact-cosine sims after re-rank (ADC decides only which
+    // candidates surface) — same exact-sim + 8×5-rank-structure partial
+    // oracle as the IVF family.
+    "q81_pq_topk" -> ivfPartialOracleSql("q81_pq_topk"),
 
     // Identical semantics to q21 by construction (same probe/score core,
     // the corpus side merely arrives pre-indexed) — shared exact oracle.

@@ -169,19 +169,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ivf_cells"),
       new ExpressionInfo(classOf[IvfNearestCells].getCanonicalName, "graft_ivf_cells"),
       (children: Seq[Expression]) => children match {
-        case Seq(v, cells, flat, norms, dim, nprobe)
-            if Seq(cells, flat, norms).forall(_.foldable)
-              && Seq(dim, nprobe).forall(e => e.foldable && e.dataType == IntegerType) =>
+        // 6-arg form: cosine. Optional 7th literal string selects the
+        // metric ('cosine' | 'l2' | 'ip' — the PQ paths use 'l2').
+        case v +: cells +: flat +: norms +: dim +: nprobe +: rest
+            if rest.size <= 1
+              && Seq(cells, flat, norms).forall(_.foldable)
+              && Seq(dim, nprobe).forall(e => e.foldable && e.dataType == IntegerType)
+              && rest.forall(e => e.foldable && e.dataType == StringType) =>
           IvfNearestCells(v,
             cells.eval().asInstanceOf[ArrayData].toLongArray().toSeq,
             flat.eval().asInstanceOf[ArrayData].toFloatArray().toSeq,
             norms.eval().asInstanceOf[ArrayData].toDoubleArray().toSeq,
-            dim.eval().asInstanceOf[Int], nprobe.eval().asInstanceOf[Int])
-        case c if c.size == 6 => throw new IllegalArgumentException(
+            dim.eval().asInstanceOf[Int], nprobe.eval().asInstanceOf[Int],
+            rest.headOption.map(_.eval().toString).getOrElse("cosine"))
+        case c if c.size == 6 || c.size == 7 => throw new IllegalArgumentException(
           "graft_ivf_cells requires literal (array<bigint> cells, array<float> " +
-            "matrix, array<double> norms, int dim, int nprobe) as arguments 2-6")
+            "matrix, array<double> norms, int dim, int nprobe[, string metric]) " +
+            "as arguments 2-7")
         case _ => throw new IllegalArgumentException(
-          s"graft_ivf_cells requires exactly 6 arguments, got ${children.size}")
+          s"graft_ivf_cells requires 6 or 7 arguments, got ${children.size}")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_top_bigram"),

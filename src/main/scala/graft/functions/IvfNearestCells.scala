@@ -27,7 +27,12 @@ import org.apache.spark.sql.types._
  * (AnnIvfSpec pins no-CodegenFallback at k=256 and bit-equality with the
  * unrolled form, which AnnIvf keeps as the semantics reference).
  *
- * Semantics twin of the unrolled form, field for field:
+ * Three metrics share the one selection loop (see
+ * [[IvfNearestCells.metricCodes]]): `cosine` (the default, and the only
+ * one the 6-argument SQL form exposes), `l2` (squared euclidean — the PQ
+ * sub-codebook metric), and `ip` (negated inner product).
+ *
+ * Cosine semantics twin the unrolled form, field for field:
  * `dist = 1 - dot/(norm(v)·c_norm)` with the ascending-index double folds
  * of `graft_dot`/[[graft.ext.Similarity.norm]]. An UNDEFINED distance —
  * indeterminate dot (vector/dim length mismatch, null element) or an
@@ -45,7 +50,7 @@ import org.apache.spark.sql.types._
 case class IvfNearestCells(
     child: Expression,
     cells: Seq[Long], flat: Seq[Float], norms: Seq[Double],
-    dim: Int, nprobe: Int)
+    dim: Int, nprobe: Int, metric: String = "cosine")
     extends UnaryExpression {
   require(dim > 0, s"bad dim=$dim")
   require(nprobe > 0, s"bad nprobe=$nprobe")
@@ -54,6 +59,8 @@ case class IvfNearestCells(
     s"centroid matrix size ${flat.size} != k*dim ${cells.size * dim}")
   require(norms.size == cells.size,
     s"norms size ${norms.size} != k ${cells.size}")
+  require(IvfNearestCells.metricCodes.contains(metric),
+    s"unknown metric '$metric' (one of ${IvfNearestCells.metricCodes.keys.mkString(", ")})")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -66,10 +73,11 @@ case class IvfNearestCells(
   @transient private lazy val cellsArr: Array[Long] = cells.toArray
   @transient private lazy val flatArr: Array[Float] = flat.toArray
   @transient private lazy val normsArr: Array[Double] = norms.toArray
+  private def metricCode: Int = IvfNearestCells.metricCodes(metric)
 
   override def nullSafeEval(a: Any): Any =
     IvfNearestCells.compute(a.asInstanceOf[ArrayData],
-      cellsArr, flatArr, normsArr, dim, nprobe)
+      cellsArr, flatArr, normsArr, dim, nprobe, metricCode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cellsRef = ctx.addReferenceObj("ivfCells", cellsArr, "long[]")
@@ -77,7 +85,7 @@ case class IvfNearestCells(
     val normsRef = ctx.addReferenceObj("ivfNorms", normsArr, "double[]")
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.IvfNearestCells$$.MODULE$$.compute(" +
-        s"$a, $cellsRef, $flatRef, $normsRef, $dim, $nprobe)")
+        s"$a, $cellsRef, $flatRef, $normsRef, $dim, $nprobe, $metricCode)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfNearestCells =
@@ -85,6 +93,17 @@ case class IvfNearestCells(
 }
 
 object IvfNearestCells {
+
+  /** Distance metrics. `cosine` is the ANN production metric; `l2`
+    * (SQUARED euclidean — monotone in the true distance, so the argmin
+    * and the probe ORDER are identical and the sqrt is never paid) is
+    * what PQ sub-codebook training/encoding minimizes (reconstruction
+    * error is norm-sensitive — cosine on sub-vectors would collapse
+    * magnitudes); `ip` (negated inner product) ranks by raw dot for
+    * pre-normalized embeddings. All three share the undefined-→+Infinity
+    * rule; `l2`/`ip` have no denominator, so only an indeterminate dot
+    * (length mismatch / null element) is undefined. */
+  val metricCodes: Map[String, Int] = Map("cosine" -> 0, "l2" -> 1, "ip" -> 2)
 
   /** Ascending `(dist, cell)` order: `Double.compare` (NaN greatest — the
     * same total order Spark sorts doubles with), ties to the lower cell. */
@@ -97,23 +116,23 @@ object IvfNearestCells {
     * generated code. */
   def compute(
       arr: ArrayData, cells: Array[Long], flat: Array[Float],
-      norms: Array[Double], dim: Int, nprobe: Int): ArrayData = {
+      norms: Array[Double], dim: Int, nprobe: Int, metric: Int): ArrayData = {
     val k = cells.length
     // vector norm: ascending-index double fold (Similarity.norm twin);
     // indeterminate (length mismatch / null element) → every dist
     // undefined → +Infinity, sorts last
     val n = arr.numElements()
     var indet = n != dim
-    var vn = 0.0
+    var vnsq = 0.0
     if (!indet) {
       var i = 0
       while (i < dim && !indet) {
         if (arr.isNullAt(i)) indet = true
-        else { val x = arr.getFloat(i).toDouble; vn += x * x }
+        else { val x = arr.getFloat(i).toDouble; vnsq += x * x }
         i += 1
       }
     }
-    vn = math.sqrt(vn)
+    val vn = math.sqrt(vnsq)
 
     val take = math.min(nprobe, k)
     // streaming partial selection: ordered best-so-far of length `take` —
@@ -133,11 +152,18 @@ object IvfNearestCells {
           dot += arr.getFloat(i).toDouble * flat(off + i).toDouble
           i += 1
         }
-        val denom = vn * norms(c)
-        // zero denominator: undefined stays +Infinity (a bare divide
-        // would THROW under ANSI; NULL-and-sort-first would let a
-        // zero-norm centroid capture the whole corpus)
-        if (denom != 0.0) d = 1.0 - dot / denom
+        if (metric == 1) {
+          // squared L2 via the norm identity: ||v-c||² = ||v||² - 2v·c + ||c||²
+          d = vnsq - 2.0 * dot + norms(c) * norms(c)
+        } else if (metric == 2) {
+          d = -dot
+        } else {
+          val denom = vn * norms(c)
+          // zero denominator: undefined stays +Infinity (a bare divide
+          // would THROW under ANSI; NULL-and-sort-first would let a
+          // zero-norm centroid capture the whole corpus)
+          if (denom != 0.0) d = 1.0 - dot / denom
+        }
       }
       val cell = cells(c)
       if (filled < take || before(d, cell, bd(filled - 1), bc(filled - 1))) {

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+class AnnPqSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def emb(dir: String) = graft.Tables(spark, dir, "embeddings")
+
+  test("sub-code assignment matches a JVM brute-force squared-L2 argmin") {
+    val corpus = emb("/root/testdata/sf0.001")
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 16, iters = 2)
+    assert(cb.books.size == 8 && cb.books.forall(_.size == 16))
+    val got = AnnPq.buildPqIndex(corpus, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = corpus.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    raw.take(50).foreach { case (id, v) =>
+      val expect = (0 until cb.m).map { j =>
+        val sub = v.slice(j * cb.subDim, (j + 1) * cb.subDim)
+        cb.books(j).zipWithIndex.map { case (c, ci) =>
+          val d = sub.zip(c).map { case (a, b) =>
+            (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+          (d, ci.toLong)
+        }.minBy(x => (x._1, x._2))._2
+      }
+      assert(got(id) == expect, s"codes drifted for vec $id")
+    }
+  }
+
+  test("rerank = |corpus| makes PQ exactly brute force (approximation only prunes)") {
+    val corpus = emb("/root/testdata/sf0.001")
+    val n = corpus.count().toInt
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 16, iters = 1)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val pq = AnnPq.topK(queries, corpus, cb, kNeighbors = 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(pq.toSeq == bf.toSeq)
+  }
+
+  test("ADC recall vs brute force at rerank 50/2000 on sf0.01 embeddings") {
+    val corpus = emb("/root/testdata/sf0.01")
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 16, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val got = AnnPq.topK(queries, corpus, cb, kNeighbors = 5, rerank = 50)
+      .select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"PQ recall at rerank 50 (m=8, ksub=16): $recall%.3f")
+    assert(recall >= 0.5, f"PQ recall $recall%.3f collapsed")
+    // exact re-rank contract: every returned sim is the exact cosine
+    assert(got.size == truth.size)
+  }
+
+  test("index append with same codebooks equals from-scratch rebuild") {
+    val corpus = emb("/root/testdata/sf0.001")
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 8, iters = 1)
+    val old = corpus.filter(col("vec_id") % 2 === 0)
+    val batch = corpus.filter(col("vec_id") % 2 === 1)
+    val unioned = AnnPq.buildPqIndex(old, cb).unionByName(AnnPq.buildPqIndex(batch, cb))
+    val rebuilt = AnnPq.buildPqIndex(corpus, cb)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2))).toSet
+    assert(key(unioned) == key(rebuilt))
+  }
+
+  test("empty corpus: empty books, empty index, empty topK — never a throw") {
+    val empty = emb("/root/testdata/sf0.001").filter(lit(false))
+    val cb = AnnPq.trainCodebooks(empty, m = 8, ksub = 16)
+    assert(cb.books.isEmpty)
+    assert(AnnPq.buildPqIndex(empty, cb).count() == 0)
+    val q = emb("/root/testdata/sf0.001").filter(col("vec_id") < 2)
+    assert(AnnPq.topK(q, empty, cb, 5, 10).count() == 0)
+  }
+}
