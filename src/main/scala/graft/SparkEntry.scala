@@ -1102,6 +1102,19 @@ object SparkEntry {
       val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
       AnnPq.topK(emb.filter(col("vec_id") < 8), emb, cb,
         kNeighbors = 5, rerank = 50)
+    }),
+
+    // X3+ — IVF-PQ (the FAISS IVFPQ layout): coarse cells bound COMPUTE
+    // (nprobe/k of the corpus touched), PQ codes bound MEMORY/IO (touched
+    // rows are m-byte codes); exact re-rank keeps sims exact (no full
+    // oracle; nprobe=k ≡ flat-PQ + recall properties in AnnPqSpec)
+    "q82_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+      AnnPq.ivfPqTopK(emb.filter(col("vec_id") < 8),
+        AnnPq.buildIvfPqIndex(emb, centroids, cb), emb, centroids, cb,
+        kNeighbors = 5, nprobe = 10, rerank = 50)
     })
   )
 
@@ -2050,6 +2063,7 @@ object SparkEntry {
     // candidates surface) — same exact-sim + 8×5-rank-structure partial
     // oracle as the IVF family.
     "q81_pq_topk" -> ivfPartialOracleSql("q81_pq_topk"),
+    "q82_ivfpq_topk" -> ivfPartialOracleSql("q82_ivfpq_topk"),
 
     // Identical semantics to q21 by construction (same probe/score core,
     // the corpus side merely arrives pre-indexed) — shared exact oracle.

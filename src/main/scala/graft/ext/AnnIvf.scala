@@ -36,7 +36,7 @@ object AnnIvf {
 
   /** Driver-resident centroid set: (cell id, vector, norm). k rows —
     * the same "tiny metadata scalars" class as a broadcast dim table. */
-  private type Cents = Seq[(Long, Seq[Float], Double)]
+  private[ext] type Cents = Seq[(Long, Seq[Float], Double)]
 
   /** Ascending-index double fold — bit-identical to [[Similarity.norm]]. */
   private def jvmNorm(v: Seq[Float]): Double = {
@@ -45,7 +45,7 @@ object AnnIvf {
     math.sqrt(acc)
   }
 
-  private def collectCents(centroids: DataFrame): Cents =
+  private[ext] def collectCents(centroids: DataFrame): Cents =
     centroids.select(col("cell"), col("centroid"), col("c_norm"))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
@@ -64,7 +64,7 @@ object AnnIvf {
     * [[nearestCellsUnrolled]] is kept as the engine-level semantics
     * reference; AnnIvfSpec pins the two bit-equal at k=16 and k=256 and
     * the executed plan CodegenFallback-free at k=256. */
-  private def nearestCells(vec: Column, cents: Cents, nprobe: Int): Column =
+  private[ext] def nearestCells(vec: Column, cents: Cents, nprobe: Int): Column =
     call_function("graft_ivf_cells", vec,
       typedLit(cents.map(_._1)),
       typedLit(cents.flatMap(_._2)),
@@ -141,7 +141,7 @@ object AnnIvf {
     * vector to the lowest cell id and let it ride into candidate scoring
     * with NULL sims; FuzzSpec pins the twins equal everywhere else
     * (zero norms, NaN, length mismatch, null elements, ties). */
-  private def cellOf(vec: Column, cents: Cents): Column =
+  private[ext] def cellOf(vec: Column, cents: Cents): Column =
     if (cents.isEmpty) lit(null).cast("long")
     else nearestCells(vec, cents, 1).getItem(0)
 

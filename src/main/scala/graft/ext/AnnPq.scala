@@ -149,30 +149,20 @@ object AnnPq {
       col("vec_id").as("q_id"), col("vec_id").as("nn_id"),
       lit(0.0d).as("sim"), lit(0L).as("rank"))
 
-  /**
-   * PQ top-k against a precomputed [[buildPqIndex]] table: ADC sweep of
-   * the broadcast query batch over the code table → top-`rerank`
-   * candidates per query → exact re-rank against raw embeddings →
-   * top-`kNeighbors`. `corpus` supplies raw vectors for the re-rank only
-   * (touched for |queries|·rerank ids — at scale, the point-lookup side).
-   * Must be scored with the SAME `cb` that built the index.
-   */
-  def topKIndexed(
-      queries: DataFrame, index: DataFrame, corpus: DataFrame, cb: Codebooks,
+  /** The ADC-score → prune → exact-re-rank core shared by [[topKIndexed]]
+    * and [[ivfPqTopK]] (one code path — the two can never drift).
+    * `paired` carries one row per (query, candidate code row):
+    * `(q_id, q_emb, q_n, nn_id, codes, nn_n)`. ADC approx sims are NULL
+    * on zero norms (rank last, the Similarity convention); the re-rank
+    * join touches raw embeddings for the surviving candidate ids only. */
+  private def adcRerank(
+      paired: DataFrame, corpus: DataFrame, cb: Codebooks,
       kNeighbors: Int, rerank: Int): DataFrame = {
-    if (cb.books.isEmpty) return emptyTopK(queries)
     require(rerank >= kNeighbors,
       s"rerank window $rerank smaller than k $kNeighbors")
-    val q = broadcast(queries.select(
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      Similarity.norm(col("embedding")).as("q_n")))
-
-    // ADC sweep: corpus codes never shuffle; approx sim NULL on zero
-    // norms (ranks last), the Similarity convention
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_sim").desc, col("nn_id").asc)
-    val cands = index.select(col("nn_id"), col("codes"), col("nn_n"))
-      .join(q)
+    val cands = paired
       .withColumn("approx_sim",
         adcDot(col("q_emb"), col("codes"), cb) /
           nullif(col("q_n") * col("nn_n"), lit(0.0)))
@@ -180,7 +170,6 @@ object AnnPq {
       .withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= rerank)
 
-    // exact re-rank: only candidate ids touch raw embeddings
     val wE = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
     corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
@@ -195,6 +184,29 @@ object AnnPq {
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
+  private def queriesWithNorm(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      Similarity.norm(col("embedding")).as("q_n"))
+
+  /**
+   * PQ top-k against a precomputed [[buildPqIndex]] table: ADC sweep of
+   * the broadcast query batch over the code table → top-`rerank`
+   * candidates per query → exact re-rank against raw embeddings →
+   * top-`kNeighbors`. `corpus` supplies raw vectors for the re-rank only
+   * (touched for |queries|·rerank ids — at scale, the point-lookup side).
+   * Must be scored with the SAME `cb` that built the index.
+   */
+  def topKIndexed(
+      queries: DataFrame, index: DataFrame, corpus: DataFrame, cb: Codebooks,
+      kNeighbors: Int, rerank: Int): DataFrame = {
+    if (cb.books.isEmpty) return emptyTopK(queries)
+    // ADC sweep: corpus codes never shuffle (broadcast nested-loop of the
+    // small query batch, the bruteForceTopK plan over 32× fewer bytes)
+    val paired = index.select(col("nn_id"), col("codes"), col("nn_n"))
+      .join(broadcast(queriesWithNorm(queries)))
+    adcRerank(paired, corpus, cb, kNeighbors, rerank)
+  }
+
   /** Self-contained form: derive the code table inline (one-off screens).
     * A standing corpus should persist [[buildPqIndex]] once and call
     * [[topKIndexed]] — the same amortization contract as
@@ -203,4 +215,50 @@ object AnnPq {
       queries: DataFrame, corpus: DataFrame, cb: Codebooks,
       kNeighbors: Int, rerank: Int): DataFrame =
     topKIndexed(queries, buildPqIndex(corpus, cb), corpus, cb, kNeighbors, rerank)
+
+  // ---- IVF-PQ: coarse cells over compressed codes ----
+
+  /**
+   * The combined IVF-PQ index: `(cell, nn_id, codes, nn_n)` — coarse-cell
+   * assignment (cosine, [[AnnIvf]]'s quantizer) PLUS the PQ codes, in one
+   * corpus pass. This is the canonical 10⁹-vector layout (FAISS IVFPQ):
+   * IVF bounds COMPUTE (a query touches nprobe cells, ~nprobe/k of the
+   * corpus), PQ bounds MEMORY/IO (the touched rows are m-byte codes, not
+   * raw floats) — the two cuts multiply. Same generation contracts as the
+   * parts: append new batches under the SAME centroids + codebooks;
+   * rebuild after retraining either.
+   */
+  def buildIvfPqIndex(
+      corpus: DataFrame, centroids: DataFrame, cb: Codebooks): DataFrame = {
+    val cents = AnnIvf.collectCents(centroids)
+    val idx = corpus.select(
+      AnnIvf.cellOf(col("embedding"), cents).as("cell"),
+      col("vec_id").as("nn_id"),
+      codesOf(col("embedding"), cb).as("codes"),
+      Similarity.norm(col("embedding")).as("nn_n"))
+    if (cents.isEmpty || cb.books.isEmpty) idx.filter(lit(false)) else idx
+  }
+
+  /**
+   * IVF-PQ top-k: probe each query's `nprobe` nearest cells, equi-join on
+   * `cell` against the combined index, ADC-score ONLY the probed cells'
+   * codes, exact-re-rank the ADC top-`rerank`. With `nprobe` = the full
+   * cell count this degrades exactly to [[topKIndexed]] over every code
+   * row (spec-pinned); with both approximations open it reads
+   * ~(nprobe/k)·|corpus| code rows — the two-axis budget dial. Returned
+   * sims remain EXACT cosine (the re-rank contract); IVF probing and PQ
+   * scoring decide only which candidates surface.
+   */
+  def ivfPqTopK(
+      queries: DataFrame, index: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, cb: Codebooks,
+      kNeighbors: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val cents = AnnIvf.collectCents(centroids)
+    if (cents.isEmpty || cb.books.isEmpty) return emptyTopK(queries)
+    val paired = queriesWithNorm(queries)
+      .select(col("q_id"), col("q_emb"), col("q_n"),
+        explode(AnnIvf.nearestCells(col("q_emb"), cents, nprobe)).as("cell"))
+      .join(index.select(col("cell"), col("nn_id"), col("codes"), col("nn_n")), "cell")
+    adcRerank(paired, corpus, cb, kNeighbors, rerank)
+  }
 }

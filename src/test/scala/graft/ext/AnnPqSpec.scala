@@ -71,6 +71,40 @@ class AnnPqSpec extends GraftSpec {
     assert(key(unioned) == key(rebuilt))
   }
 
+  test("ivfPqTopK with nprobe = all cells degrades exactly to topKIndexed") {
+    val corpus = emb("/root/testdata/sf0.001")
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 16, iters = 1)
+    val centroids = AnnIvf.trainCentroids(corpus, k = 16, iters = 1)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val combined = AnnPq.buildIvfPqIndex(corpus, centroids, cb)
+    val full = AnnPq.ivfPqTopK(queries, combined, corpus, centroids, cb,
+      kNeighbors = 5, nprobe = 16, rerank = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val flat = AnnPq.topKIndexed(queries, AnnPq.buildPqIndex(corpus, cb), corpus, cb,
+      kNeighbors = 5, rerank = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(full.toSeq == flat.toSeq)
+  }
+
+  test("ivfPqTopK recall vs brute force (nprobe 10/16, rerank 50) on sf0.01") {
+    val corpus = emb("/root/testdata/sf0.01")
+    val cb = AnnPq.trainCodebooks(corpus, m = 8, ksub = 16, iters = 2)
+    val centroids = AnnIvf.trainCentroids(corpus, k = 16, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val combined = AnnPq.buildIvfPqIndex(corpus, centroids, cb)
+    val got = AnnPq.ivfPqTopK(queries, combined, corpus, centroids, cb,
+      kNeighbors = 5, nprobe = 10, rerank = 50)
+      .select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"IVF-PQ recall (nprobe 10/16, rerank 50): $recall%.3f")
+    assert(recall >= 0.4, f"IVF-PQ recall $recall%.3f collapsed")
+    assert(got.size == truth.size)
+  }
+
   test("empty corpus: empty books, empty index, empty topK — never a throw") {
     val empty = emb("/root/testdata/sf0.001").filter(lit(false))
     val cb = AnnPq.trainCodebooks(empty, m = 8, ksub = 16)
@@ -78,5 +112,9 @@ class AnnPqSpec extends GraftSpec {
     assert(AnnPq.buildPqIndex(empty, cb).count() == 0)
     val q = emb("/root/testdata/sf0.001").filter(col("vec_id") < 2)
     assert(AnnPq.topK(q, empty, cb, 5, 10).count() == 0)
+    val cents = AnnIvf.trainCentroids(empty, k = 4, iters = 1)
+    assert(AnnPq.buildIvfPqIndex(empty, cents, cb).count() == 0)
+    assert(AnnPq.ivfPqTopK(q, AnnPq.buildIvfPqIndex(empty, cents, cb),
+      empty, cents, cb, 5, 2, 10).count() == 0)
   }
 }
