@@ -62,6 +62,28 @@ object LmScore {
     BigramLm(bigrams, contexts, v)
   }
 
+  /** Persist a trained model: count frames as parquet, the vocab scalar
+    * as a 1-row meta table — a standing reference model is trained once
+    * per corpus generation and probed by every batch (the
+    * `Dedup.buildDedupIndex` amortization contract). Overwrites any
+    * model previously at `path`. */
+  def saveModel(lm: BigramLm, path: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    lm.bigrams.sparkSession.range(1)
+      .select(lit(lm.vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveModel]] directory. The count frames come back as bare
+    * columnar scans — scoring against a loaded model reads parquet, it
+    * never re-tokenizes the reference corpus. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/meta").head().getLong(0))
+
   /**
    * Mean negative log-probability per document: `(idCol, n_bigrams,
    * nll)` with `nll` rounded to 6 dp (both engines sum correctly-rounded

@@ -258,6 +258,36 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q79: span census is hash joins on the window key — no cartesian, " +
+    "windows generated narrowly") {
+    val p = plan("q79_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the window fan-out is a Generate (explode), never a join against a
+    // positions table
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q80: LM scoring is equi-joins against the count frames — " +
+    "no cartesian even with broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q80_lm_score")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q81: the ADC sweep broadcasts the query batch — the code table " +
+    "side never shuffles before scoring") {
+    val p = plan("q81_pq_topk")
+    // broadcast nested loop of the tiny query batch over the code scan
+    // (the bruteForceTopK plan over ~32× fewer bytes); the only exchanges
+    // are the ranking windows' q_id partitions and the rerank join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning(nn_id"), s"code side shuffled:\n$p")
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
