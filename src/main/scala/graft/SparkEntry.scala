@@ -1115,7 +1115,15 @@ object SparkEntry {
       AnnPq.ivfPqTopK(emb.filter(col("vec_id") < 8),
         AnnPq.buildIvfPqIndex(emb, centroids, cb), emb, centroids, cb,
         kNeighbors = 5, nprobe = 10, rerank = 50)
-    })
+    }),
+
+    // X1+ — the CUT step of exact substring dedup: rebuild text from the
+    // tokens not covered by any cross-doc duplicated 12-token span (every
+    // occurrence removed; a fully-boilerplate doc becomes empty)
+    "q83_span_removal" -> ((s, d) =>
+      SpanDedup.removeDupSpans(t(s, d, "documents"), "doc_id", "text",
+          spanLen = 12, minDocs = 2)
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2215,6 +2223,42 @@ object SparkEntry {
         |FROM sized s
         |LEFT JOIN wcnt w USING (doc_id)
         |LEFT JOIN cov c USING (doc_id)
+        |WHERE s.n > 0
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // The cut step over the same census: tokens at covered positions
+    // removed, text re-joined in position order, empty string when
+    // everything was boilerplate.
+    "q83_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+11], ' ')) AS wkey
+        |  FROM (SELECT doc_id, t, n, unnest(range(1, greatest(n - 10, 1))) AS i
+        |        FROM sized WHERE n >= 12)),
+        |dup AS (SELECT wkey FROM wins GROUP BY wkey
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |          SELECT doc_id, unnest(range(pos, pos + 12)) AS p
+        |          FROM wins JOIN dup USING (wkey))),
+        |tk AS (SELECT doc_id, i AS p, t[i] AS w
+        |       FROM (SELECT doc_id, t, unnest(range(1, n + 1)) AS i
+        |             FROM sized WHERE n > 0)),
+        |clean AS (
+        |  SELECT tk.doc_id,
+        |         string_agg(tk.w, ' ' ORDER BY tk.p) AS clean_text,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM tk
+        |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY tk.doc_id)
+        |SELECT s.doc_id,
+        |       coalesce(c.clean_text, '') AS clean_text,
+        |       coalesce(c.n_kept, 0) AS n_kept
+        |FROM sized s LEFT JOIN clean c USING (doc_id)
         |WHERE s.n > 0
         |ORDER BY s.doc_id""".stripMargin,
 

@@ -62,6 +62,57 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("span_docs"))
       .filter(col("span_docs") >= minDocs)
 
+  /** The (idCol, pos, covered-position) rows of every duplicated window —
+    * the interval-union input shared by [[dupSpanStats]] (which counts
+    * them) and [[removeDupSpans]] (which subtracts them). */
+  private def coveredPositions(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Int): DataFrame = {
+    val wins = tokenWindows(docs, idCol, textCol, spanLen)
+    wins.join(duplicatedSpans(wins, idCol, minDocs).select("wkey"), "wkey")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1).toLong)).as("p"))
+      .distinct()
+  }
+
+  /**
+   * The CUT step of exact substring dedup (Lee et al. remove the
+   * duplicated substrings themselves, not whole documents): rebuild each
+   * document's text from the tokens NOT covered by any cross-document
+   * duplicated span — every occurrence goes, boilerplate does not get a
+   * "first copy" pass. Returns `(idCol, clean_text, n_kept)` for every
+   * document with at least one token; a fully-boilerplate document comes
+   * back as the empty string with `n_kept` 0 — deletion is a result.
+   *
+   * Scale: the per-document rebuild is a hash aggregate whose groups are
+   * single documents (collect + sort is bounded by document length, the
+   * same envelope as [[TextOps.chunkTokens]]'s slices); covered positions
+   * arrive from the census join, so clean corpora pay one narrow
+   * anti-join and re-concatenation.
+   */
+  def removeDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Int = 2): DataFrame = {
+    val covered = coveredPositions(docs, idCol, textCol, spanLen, minDocs)
+    val toks = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "w")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("p"), col("w"))
+    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol), size(TextOps.tokens(col(textCol))).as("_n"))
+      .filter(col("_n") > 0)
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /**
    * Per-document duplicated-span statistics: for each document with at
    * least one token, the token count, the number of its windows that
@@ -83,13 +134,11 @@ object SpanDedup {
     val winCnt = dupWins.groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_windows"))
 
-    // interval union as DISTINCT positions: the explode is spanLen× on
-    // duplicated windows only
-    val covered = dupWins
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (spanLen - 1).toLong)).as("p"))
+    // interval union = the shared coveredPositions rows ([[removeDupSpans]]
+    // subtracts the same rows — count and cut can never disagree)
+    val covered = coveredPositions(docs, idCol, textCol, spanLen, minDocs)
       .groupBy(col(idCol))
-      .agg(countDistinct(col("p")).as("covered_tokens"))
+      .agg(count(lit(1)).as("covered_tokens"))
 
     docs
       .select(col(idCol),

@@ -54,6 +54,30 @@ class SpanDedupSpec extends GraftSpec {
     assert(got(3L) == ((5L, 0L, 0L, 0.0)))
   }
 
+  test("removeDupSpans cuts every occurrence, keeps order, empties boilerplate") {
+    val docs = Seq(
+      (1L, "a b c d x"),    // "a b c d" shared with doc 2 → keeps "x"
+      (2L, "z a b c d"),    // → keeps "z"
+      (3L, "u v w"),        // clean → unchanged
+      (4L, "a b c d")       // nothing but the shared run → empty
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.removeDupSpans(docs, "doc_id", "text", span, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("x", 1L)))
+    assert(got(2L) == (("z", 1L)))
+    assert(got(3L) == (("u v w", 3L)))
+    assert(got(4L) == (("", 0L)))
+  }
+
+  test("stats and removal agree: n_tokens - covered_tokens = n_kept") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(3))).toMap
+    val kept = SpanDedup.removeDupSpans(docs, "doc_id", "text", 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats == kept)
+  }
+
   test("agrees with a brute-force substring census on the sf0.001 documents") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val L = 12
