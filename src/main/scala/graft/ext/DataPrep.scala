@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
  *  1. quality filtering ([[TextOps.qualityScore]] floor plus repetition
  *     ceilings on [[TextOps.dupWordFrac]] / [[TextOps.topBigramCount]] —
  *     all per-row codegen'd expressions, a pure filter);
+ *  1.5. optional reference-LM perplexity gate ([[LmScore.screen]] — the
+ *     CCNet-style against-a-reference quality axis; see the Config
+ *     field doc for placement rationale);
  *  2. benchmark decontamination ([[Contamination.contamination]] — drop
  *     docs whose shingle overlap with the eval corpus exceeds the cap;
  *     docs too short to shingle pass, matching the screen's domain);
@@ -56,7 +59,18 @@ object DataPrep {
       contaminationNgram: Int = 5,
       perStratumQuota: Option[Int] = None,
       contextLen: Long = 2048L,
-      shards: Int = 256)
+      shards: Int = 256,
+      // optional reference-LM perplexity gate ([[LmScore.screen]]): docs
+      // whose mean NLL under the model exceeds the cap drop — the
+      // against-a-reference quality axis the surface-statistic filters
+      // don't have. Runs AFTER the per-row screen (it pays a bigram
+      // shuffle, so the free filters shrink its input) and BEFORE
+      // dedup/decontamination (an LM-failing doc must never be the
+      // canonical survivor that suppressed its passing near-dups).
+      // Evidence-free (<2-token) docs drop, the screen's conservative
+      // contract. Not part of [[screen]]: that stage is promised
+      // stateless/stream-safe, and this one joins.
+      lmFilter: Option[(LmScore.BigramLm, Double)] = None)
 
   /**
    * Stages 0+1 as a standalone screen: the optional PII scrub
@@ -93,9 +107,17 @@ object DataPrep {
       config: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
 
-    // 0.+1.: the stream-safe screen (see [[screen]]), cut before the
-    // two-branch decontamination fan-out below
-    val screened = Materialize.cut(screen(docs, textCol, config))
+    // 0.+1.: the stream-safe screen (see [[screen]]), then the optional
+    // reference-LM gate (1.5 — after the free filters, before anything
+    // that could crown a survivor; see the Config field doc), cut before
+    // the two-branch decontamination fan-out below
+    val preScreened = screen(docs, textCol, config)
+    val lmScreened = config.lmFilter match {
+      case Some((lm, maxNll)) =>
+        LmScore.screen(preScreened, idCol, textCol, lm, maxNll)
+      case None => preScreened
+    }
+    val screened = Materialize.cut(lmScreened)
 
     // 2. decontamination BEFORE dedup (see the object doc's ordering
     // argument): drop docs over the overlap cap so a contaminated doc can

@@ -40,6 +40,36 @@ class DataPrepSpec extends GraftSpec {
     assert(rows(1L)._5 == 0L && rows(5L)._5 == 1L)
   }
 
+  test("prepare: the optional LM gate drops out-of-distribution docs, " +
+    "leaves everything else identical") {
+    val docs = Seq(
+      (1L, good, "en"),
+      (5L, other, "es"),
+      // junk the surface filters pass but a reference LM rejects:
+      // plausible lengths, unseen vocabulary
+      (9L, "zxq wvu tsr qpo nml kji hgf edc bax zyw vut srq pon mlk", "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // model trained on the in-distribution docs only
+    val lm = LmScore.train(Seq((0L, good), (1L, other)).toDF("doc_id", "text"), "text")
+    val base = DataPrep.Config(minQuality = 0.1, contextLen = 10L, shards = 2)
+
+    val without = DataPrep.prepare(docs, bench, config = base)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(without == Seq(1L, 5L, 9L)) // surface filters pass the junk
+
+    val nll9 = LmScore.score(docs, "doc_id", "text", lm)
+      .filter(col("doc_id") === 9L).head().getDouble(2)
+    val nllGood = LmScore.score(docs, "doc_id", "text", lm)
+      .filter(col("doc_id") === 1L).head().getDouble(2)
+    assert(nllGood < nll9)
+    val cap = (nllGood + nll9) / 2
+    val withLm = DataPrep.prepare(docs, bench,
+        config = base.copy(lmFilter = Some((lm, cap))))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(withLm == Seq(1L, 5L))
+  }
+
   test("prepare: a contaminated canonical survivor cannot take its clean near-dup down") {
     // X (least id) embeds the benchmark text verbatim → contaminated above
     // the cap; Y is X with one benchmark word changed → its 5-gram overlap
