@@ -337,4 +337,81 @@ class FuzzSpec extends GraftSpec {
       assert(native == ref, s"probe order drifted: cents=$cents vecs=$vecs")
     }
   }
+
+  // tiny-vocab docs: heavy n-gram collisions, repeats, empties — the
+  // worst case for span census and LM smoothing alike
+  private val docGen: Gen[Seq[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(2, 8)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("dupSpanStats + removeDupSpans agree with a driver-side reference " +
+    "on random tiny-vocab corpora") {
+    val L = 3
+    cases(docGen, 10, seed = 0x5FA2DEDL).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // reference census + interval union + cut
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val wins = toks.flatMap { case (id, ts) =>
+        (0 to ts.length - L).map(i => (id, i + 1, ts.slice(i, i + L).mkString(" "))) }
+      val dupKeys = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expStats = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+        val mine = wins.filter(w => w._1 == id && dupKeys(w._3))
+        val cov = mine.flatMap(w => w._2 until (w._2 + L)).distinct
+        id -> ((ts.length.toLong, mine.size.toLong, cov.size.toLong))
+      }.toMap
+      val gotStats = SpanDedup.dupSpanStats(df, "doc_id", "text", L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotStats == expStats, s"stats drifted: docs=$docs")
+
+      val expClean = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+        val mine = wins.filter(w => w._1 == id && dupKeys(w._3))
+        val cov = mine.flatMap(w => w._2 until (w._2 + L)).toSet
+        val kept = ts.zipWithIndex.collect { case (w, i) if !cov(i + 1) => w }
+        id -> ((kept.mkString(" "), kept.size.toLong))
+      }.toMap
+      val gotClean = SpanDedup.removeDupSpans(df, "doc_id", "text", L)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(gotClean == expClean, s"cut drifted: docs=$docs")
+    }
+  }
+
+  test("LmScore agrees with a driver-side add-one bigram reference " +
+    "on random tiny-vocab corpora") {
+    cases(docGen, 10, seed = 0x11A2B3CL).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val ref = docs.filter(_._1 % 2 == 0)
+      val lm = LmScore.train(df.filter(col("doc_id") % 2 === 0), "text")
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val refBigrams = ref.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq }
+      val c12 = refBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = refBigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = ref.flatMap(d => toks(d._2)).distinct.size.toLong
+      if (v == 0L) {
+        intercept[IllegalArgumentException] {
+          LmScore.score(df, "doc_id", "text", lm) }
+      } else {
+        val expect = docs.flatMap { case (id, t) =>
+          val bs = toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+          if (bs.isEmpty) None
+          else {
+            val nls = bs.map(b => -math.log(
+              (c12.getOrElse(b, 0L) + 1.0) / (c1.getOrElse(b._1, 0L) + v.toDouble)))
+            Some(id -> ((bs.size.toLong,
+              BigDecimal(nls.sum / nls.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+          }
+        }.toMap
+        val got = LmScore.score(df, "doc_id", "text", lm)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(got == expect, s"scores drifted: docs=$docs v=$v")
+      }
+    }
+  }
 }
