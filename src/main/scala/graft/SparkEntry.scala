@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, Similarity, SkewJoin, SpanDedup, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1123,7 +1123,17 @@ object SparkEntry {
     "q83_span_removal" -> ((s, d) =>
       SpanDedup.removeDupSpans(t(s, d, "documents"), "doc_id", "text",
           spanLen = 12, minDocs = 2)
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X1+/X3+ — semantic dedup (SemDeDup): embedding-cosine pairs within
+    // label blocks → shared transitive closure → least-id survivors; the
+    // duplication mode token-level dedup can't see (threshold 0.40 sits
+    // in q22's value gap, so the float compare is safe)
+    "q84_semantic_dedup" -> ((s, d) =>
+      SemDedup.dedupExact(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.40)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2261,6 +2271,33 @@ object SparkEntry {
         |FROM sized s LEFT JOIN clean c USING (doc_id)
         |WHERE s.n > 0
         |ORDER BY s.doc_id""".stripMargin,
+
+    // q37's recursive-closure pattern over q22's bit-identical cosine:
+    // within-label pairs ≥ 0.40 → transitive closure → least-id
+    // survivors (NULL sims from zero norms fail the >= and never edge).
+    "q84_semantic_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.40),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM p),
+        |reach(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT s.src AS vec_id, emb.label
+        |FROM (SELECT src FROM reach GROUP BY src HAVING min(dst) = src) s
+        |JOIN embeddings emb ON emb.vec_id = s.src
+        |ORDER BY vec_id""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref
