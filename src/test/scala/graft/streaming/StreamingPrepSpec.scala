@@ -61,4 +61,47 @@ class StreamingPrepSpec extends GraftSpec {
     assert(byId.keySet == Set(1L, 3L), s"got ${emitted.map(_._1)}")
     assert(byId(3L).contains("<email>") && !byId(3L).contains("@example.com"))
   }
+
+  test("the reference-LM gate composes into the same foreachBatch: " +
+    "out-of-distribution docs drop at the micro-batch boundary") {
+    implicit val ctx = spark.sqlContext
+    import graft.ext.LmScore
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sprep_lm").resolve("store").toString
+    val cfg = DataPrep.Config(minQuality = 0.1, maxDupWordFrac = 0.5,
+      maxTopBigram = 5L)
+    // a STANDING model, trained once before the stream starts — the
+    // persisted-model contract: per batch the gate only joins count frames
+    val lm = LmScore.train(Seq((0L, good), (1L, mailed)).toDF("doc_id", "text"), "text")
+    val junk = "zxq wvu tsr qpo nml kji hgf edc bax zyw vut srq pon mlk"
+    val cap = {
+      val probe = Seq((1L, good), (9L, junk)).toDF("doc_id", "text")
+      val s = LmScore.score(probe, "doc_id", "text", lm)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(s(1L) < s(9L))
+      (s(1L) + s(9L)) / 2
+    }
+
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = mem.toDF().toDF("doc_id", "text", "time")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.processBatch(
+            LmScore.screen(DataPrep.screen(batch, "text", cfg),
+              "doc_id", "text", lm, cap),
+            statePath, threshold = 0.5) { out =>
+          emitted ++= out.select(col("doc_id")).collect().map(_.getLong(0))
+        }
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, good, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (9L, junk, Timestamp.valueOf("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.toSet == Set(1L), s"got $emitted")
+  }
 }
