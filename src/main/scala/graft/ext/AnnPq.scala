@@ -160,6 +160,11 @@ object AnnPq {
       kNeighbors: Int, rerank: Int): DataFrame = {
     require(rerank >= kNeighbors,
       s"rerank window $rerank smaller than k $kNeighbors")
+    // rank<=rerank over the per-pair stream: Catalyst's WindowGroupLimit
+    // inserts a partial per-partition top-`rerank` BELOW the window's
+    // exchange (plan-verified), so the shuffle carries ≤ rerank rows per
+    // query per partition — the sweep never materializes |q|·|corpus|
+    // rows across the wire
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_sim").desc, col("nn_id").asc)
     val cands = paired

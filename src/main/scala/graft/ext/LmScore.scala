@@ -49,11 +49,17 @@ object LmScore {
 
   /** Train a [[BigramLm]] on a reference corpus. The single driver-side
     * value is the vocabulary-size scalar — metadata, same class as a
-    * broadcast dim's row count. */
+    * broadcast dim's row count. The bigram aggregate is LINEAGE-CUT
+    * before the model is handed out: `contexts` derives from it and
+    * every [[score]] joins both frames, so a lazy model would re-run the
+    * reference-corpus aggregation once per consumer — a trained model
+    * should mean the training work is DONE (and [[saveModel]]'d models
+    * get this for free from the parquet read-back). */
   def train(ref: DataFrame, textCol: String): BigramLm = {
-    val bigrams = bigramRows(ref, Seq.empty, textCol)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+    val bigrams = Materialize.cut(
+      bigramRows(ref, Seq.empty, textCol)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")))
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = ref
       .select(explode(TextOps.tokens(col(textCol))).as("w"))

@@ -62,18 +62,29 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("span_docs"))
       .filter(col("span_docs") >= minDocs)
 
-  /** The (idCol, pos, covered-position) rows of every duplicated window —
-    * the interval-union input shared by [[dupSpanStats]] (which counts
-    * them) and [[removeDupSpans]] (which subtracts them). */
-  private def coveredPositions(
+  /** The `(idCol, pos)` rows of every duplicated window — census joined
+    * back to the window stream, LINEAGE-CUT before return (the repo's
+    * cut-before-fan-out rule: [[dupSpanStats]] forks this frame into a
+    * count and a coverage branch, and without the cut each branch would
+    * re-run the whole census aggregate; the cut is cheap because only
+    * DUPLICATED windows survive the join). */
+  private def dupWindows(
       docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Int): DataFrame = {
     val wins = tokenWindows(docs, idCol, textCol, spanLen)
-    wins.join(duplicatedSpans(wins, idCol, minDocs).select("wkey"), "wkey")
+    Materialize.cut(
+      wins.join(duplicatedSpans(wins, idCol, minDocs).select("wkey"), "wkey")
+        .select(col(idCol), col("pos")))
+  }
+
+  /** Interval union of a [[dupWindows]] frame as DISTINCT covered
+    * positions — the one implementation both the counter and the cutter
+    * consume. */
+  private def coveredOf(dupWins: DataFrame, idCol: String, spanLen: Int): DataFrame =
+    dupWins
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1).toLong)).as("p"))
       .distinct()
-  }
 
   /**
    * The CUT step of exact substring dedup (Lee et al. remove the
@@ -93,7 +104,8 @@ object SpanDedup {
   def removeDupSpans(
       docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Int = 2): DataFrame = {
-    val covered = coveredPositions(docs, idCol, textCol, spanLen, minDocs)
+    val covered = coveredOf(
+      dupWindows(docs, idCol, textCol, spanLen, minDocs), idCol, spanLen)
     val toks = docs
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "w")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("p"), col("w"))
@@ -125,18 +137,15 @@ object SpanDedup {
   def dupSpanStats(
       docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Int = 2): DataFrame = {
-    val wins = tokenWindows(docs, idCol, textCol, spanLen)
-    val dup = duplicatedSpans(wins, idCol, minDocs)
-
-    // duplicated windows only; census side is pre-partitioned on wkey
-    val dupWins = wins.join(dup.select("wkey"), "wkey")
+    // ONE census execution behind the cut, forked into both branches
+    val dupWins = dupWindows(docs, idCol, textCol, spanLen, minDocs)
 
     val winCnt = dupWins.groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_windows"))
 
-    // interval union = the shared coveredPositions rows ([[removeDupSpans]]
-    // subtracts the same rows — count and cut can never disagree)
-    val covered = coveredPositions(docs, idCol, textCol, spanLen, minDocs)
+    // interval union = the same coveredOf rows [[removeDupSpans]]
+    // subtracts — count and cut can never disagree
+    val covered = coveredOf(dupWins, idCol, spanLen)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("covered_tokens"))
 
