@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1133,7 +1133,13 @@ object SparkEntry {
       SemDedup.dedupExact(t(s, d, "embeddings"), "vec_id", "embedding",
           "label", threshold = 0.40)
         .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id").asc_nulls_last))
+        .orderBy(col("vec_id").asc_nulls_last)),
+
+    // X2+/X3+ — lexical retrieval: BM25 top-20 for a 3-term query — the
+    // term-based first-stage ranker beside the embedding ANN family
+    "q85_bm25" -> ((s, d) =>
+      TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        query = "dup key window", k = 20))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2298,6 +2304,44 @@ object SparkEntry {
         |FROM (SELECT src FROM reach GROUP BY src HAVING min(dst) = src) s
         |JOIN embeddings emb ON emb.vec_id = s.src
         |ORDER BY vec_id""".stripMargin,
+
+    // Exact BM25 recompute (Lucene idf variant, k1=1.2 b=0.75, query
+    // "dup key window"): integer-derived doubles + ln, round-6 armor
+    // over the per-doc term-fold order.
+    "q85_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM lens),
+        |post AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('dup', 'key', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM post GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term,
+        |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+        |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         idf.idf * tf.tf /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+        |           AS s
+        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+        |         round(sum(s), 6) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, matched, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |         AS rank
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

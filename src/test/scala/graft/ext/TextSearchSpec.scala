@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+class TextSearchSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    // N=3, dl = 4,4,2, avgdl = 10/3
+    val docs = Seq(
+      (1L, "cat dog cat bird"),
+      (2L, "dog dog dog dog"),
+      (3L, "fish whale")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text", "cat dog", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    def idf(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long, idfV: Double) =
+      idfV * tf / (tf + 1.2 * (0.25 + 0.75 * dl / (10.0 / 3.0)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(w(2, 4, idf(1)) + w(1, 4, idf(2))) // cat df=1, dog df=2
+    val d2 = r6(w(4, 4, idf(2)))
+    val expect = Seq((1L, 2L, d1), (2L, 1L, d2)).sortBy(x => (-x._3, x._1))
+      .zipWithIndex.map { case ((id, m, s), i) => (id, m, s, i + 1L) }
+    assert(got.toSeq == expect)
+    assert(!got.exists(_._1 == 3L)) // no query term → not retrieved
+  }
+
+  test("single matching term ranks by tf then id; k truncates") {
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "x y y y"), (3L, "x x y y"), (4L, "y y y y")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text", "x", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L)) // tf 3 > tf 2 > tf 1; k=2 cuts doc 2
+  }
+
+  test("query casing and duplicate terms cannot desync the match") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val a = TextSearch.bm25TopK(docs, "doc_id", "text", "ALPHA alpha", k = 5).collect()
+    val b = TextSearch.bm25TopK(docs, "doc_id", "text", "alpha", k = 5).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("empty corpus and empty query degrade loudly or emptily") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextSearch.bm25TopK(empty, "doc_id", "text", "x", k = 5).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25TopK(empty, "doc_id", "text", "   ", k = 5)
+    }
+  }
+}
