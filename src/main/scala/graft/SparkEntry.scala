@@ -1139,7 +1139,23 @@ object SparkEntry {
     // term-based first-stage ranker beside the embedding ANN family
     "q85_bm25" -> ((s, d) =>
       TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
-        query = "dup key window", k = 20))
+        query = "dup key window", k = 20)),
+
+    // A+/W+ — ordered funnel: users reaching view → click → purchase in
+    // strict timestamp order, 1-day step cap; N event-log scans for N
+    // stages, anchors cut between steps
+    "q86_funnel" -> ((s, d) =>
+      LogAnalytics.funnel(t(s, d, "events"),
+          stages = Seq("view", "click", "purchase"),
+          maxStepSeconds = Some(86400L))
+        .orderBy(col("step").asc_nulls_last)),
+
+    // A+ — weekly cohort retention: users by first-event week × active
+    // week offset (offset 0 = the 100% column)
+    "q87_cohort_retention" -> ((s, d) =>
+      LogAnalytics.cohortRetention(t(s, d, "events"))
+        .orderBy(col("cohort_week").asc_nulls_last,
+          col("week_offset").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2342,6 +2358,56 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         |         AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
+    // precedent), strict > on the anchor, 1-day cap on floor-second
+    // epochs (Spark's cast-to-long truncates; DuckDB's epoch keeps
+    // fractions).
+    "q86_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |                   CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |a1 AS (SELECT user_id, min(tsu) AS t FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |a2 AS (SELECT e.user_id, min(e.tsu) AS t
+        |       FROM ev e JOIN a1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tsu > a1.t
+        |         AND CAST(floor(epoch(e.tsu)) AS BIGINT)
+        |             <= CAST(floor(epoch(a1.t)) AS BIGINT) + 86400
+        |       GROUP BY 1),
+        |a3 AS (SELECT e.user_id, min(e.tsu) AS t
+        |       FROM ev e JOIN a2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tsu > a2.t
+        |         AND CAST(floor(epoch(e.tsu)) AS BIGINT)
+        |             <= CAST(floor(epoch(a2.t)) AS BIGINT) + 86400
+        |       GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM a1) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM a2)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM a3)
+        |ORDER BY step""".stripMargin,
+
+    // Monday-truncated weeks in both engines; offsets are exact
+    // multiples of 7 days, so the integer week division is lossless.
+    "q87_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |first AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(tsu)) AS DATE) AS cohort_week
+        |  FROM ev GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', tsu) AS DATE) AS w
+        |  FROM ev)
+        |SELECT f.cohort_week,
+        |       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM active a JOIN first f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

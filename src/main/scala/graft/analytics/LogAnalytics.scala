@@ -121,4 +121,95 @@ object LogAnalytics {
     s"SELECT user_id, count(*) AS cnt FROM $table GROUP BY user_id",
     s"SELECT count(*) AS cnt FROM $table WHERE status_code = 200"
   )
+
+  /**
+   * Ordered funnel analysis: how many users reached each stage of
+   * `stages` IN ORDER — stage i+1 counts only when it happens STRICTLY
+   * after the user's earliest qualifying stage-i event (the
+   * earliest-completion semantics: each step anchors at the first time
+   * the user got that far, which makes the result deterministic and
+   * monotonically non-increasing down the funnel). `maxStepSeconds`
+   * bounds each step's gap when set — a purchase a month after the click
+   * stops counting as conversion.
+   *
+   * Shape: one per-user conditional-min aggregate per stage, each joined
+   * to the previous anchor — N-1 equi-joins on the user key for an
+   * N-stage funnel, no window, no per-user event sorting, no UDF state
+   * machine. Each anchor (a ≤-|users|-row 2-column frame) is lineage-cut
+   * before the next stage and the count branch both read it, so an
+   * N-stage funnel scans the event log exactly N times — never the
+   * O(N²) a naive anchor chain re-executes. Returns `(step, stage,
+   * users)` with `step` 1-based in funnel order; a stage nobody reached
+   * reports 0, and counts are monotonically non-increasing.
+   */
+  def funnel(
+      df: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      maxStepSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel requires at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"repeated stage in $stages — a stage can anchor only once")
+
+    def countOf(step: Int, stage: String, anchor: DataFrame): DataFrame =
+      anchor.agg(
+        lit(step.toLong).as("step"), lit(stage).as("stage"),
+        count(lit(1)).as("users"))
+
+    // anchor 1: earliest stage-1 event per user
+    var anchor = graft.ext.Materialize.cut(
+      df.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("_t")))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += countOf(1, stages.head, anchor)
+    stages.drop(1).zipWithIndex.foreach { case (stage, i) =>
+      val within = maxStepSeconds match {
+        case Some(s) =>
+          col(tsCol).cast("long") <= col("_t").cast("long") + s
+        case None => lit(true)
+      }
+      anchor = graft.ext.Materialize.cut(
+        df.filter(col(typeCol) === stage)
+          .join(anchor, Seq(userCol))
+          .filter(col(tsCol) > col("_t") && within)
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as("_t")))
+      frames += countOf(i + 2, stage, anchor)
+    }
+    frames.result().reduce(_ unionByName _)
+      .select(col("step"), col("stage"), col("users"))
+  }
+
+  /**
+   * Weekly cohort retention: users grouped by the Monday-truncated week
+   * of their FIRST event (the cohort), counted distinctly in every later
+   * week they were active, keyed by whole-week offset from the cohort
+   * week. Offset 0 is the cohort week itself (every cohort member is
+   * active there by construction — the standard 100% column). Returns
+   * `(cohort_week date, week_offset, users)`.
+   *
+   * Shape: first-event aggregate (one shuffle on the user key), joined
+   * back to per-(user, week) activity — the join reuses the user-key
+   * partitioning — then one count-distinct per (cohort, offset) cell.
+   * Week arithmetic is epoch-day subtraction of two Monday truncations,
+   * exact in both engines.
+   */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val first = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val active = df
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("w"))
+      .distinct()
+    active.join(first, Seq(userCol))
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("users"))
+  }
 }

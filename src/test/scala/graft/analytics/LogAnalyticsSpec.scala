@@ -101,4 +101,62 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(perUser.count() == 3L)                  // users 1, 2, and the NULL group
     assert(success.collect()(0).getLong(0) == 2L)  // 2 with status 200
   }
+
+  private def ev(user: Long, t: String, typ: String) =
+    (user, java.sql.Timestamp.valueOf(t), typ)
+
+  test("funnel: strict order, step cap, out-of-order completions don't count") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      ev(1L, "2024-01-01 10:00:00", "view"),
+      ev(1L, "2024-01-01 10:05:00", "click"),
+      ev(1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE click — stops at click
+      ev(2L, "2024-01-01 09:00:00", "view"),
+      ev(2L, "2024-01-01 09:10:00", "purchase"),
+      ev(2L, "2024-01-01 09:20:00", "click"),
+      // user 3: click outside the 1-hour cap — stops at view
+      ev(3L, "2024-01-01 08:00:00", "view"),
+      ev(3L, "2024-01-01 09:30:00", "click"),
+      // user 4: never viewed — not even stage 1
+      ev(4L, "2024-01-01 07:00:00", "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = LogAnalytics.funnel(events,
+        Seq("view", "click", "purchase"), maxStepSeconds = Some(3600L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: anchor is the EARLIEST qualifying event, not any event") {
+    // user's first view is late; an earlier click must not count, a
+    // later one must
+    val events = Seq(
+      ev(1L, "2024-01-01 10:00:00", "click"),
+      ev(1L, "2024-01-01 11:00:00", "view"),
+      ev(2L, "2024-01-01 10:00:00", "view"),
+      ev(2L, "2024-01-01 10:30:00", "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = LogAnalytics.funnel(events, Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("view" -> 2L, "click" -> 1L))
+  }
+
+  test("cohortRetention: offsets key off the first-event Monday week") {
+    val events = Seq(
+      // user 1: first event Tue Jan 2 (cohort = Mon Jan 1), active weeks 0 and 2
+      ev(1L, "2024-01-02 10:00:00", "view"),
+      ev(1L, "2024-01-16 10:00:00", "view"),
+      // user 2: cohort Mon Jan 8, active weeks 0 and 1
+      ev(2L, "2024-01-08 10:00:00", "view"),
+      ev(2L, "2024-01-10 10:00:00", "view"), // same week — one activity row
+      ev(2L, "2024-01-15 10:00:00", "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = LogAnalytics.cohortRetention(events)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
 }
