@@ -47,33 +47,76 @@ object StreamingAnn {
     StructField("nn_emb", ArrayType(FloatType)),
     StructField("nn_n", DoubleType)))
 
-  /**
-   * Commit one micro-batch of `(vec_id, embedding)` rows into the index
-   * at `indexPath` under the FIXED `centroids` generation. Returns false
-   * (and does nothing) when `batchId` is already committed — the
-   * at-least-once replay path. Empty batches still commit their marker
-   * partition, so a replayed empty delivery is also a no-op.
-   */
-  def appendBatch(
-      batch: DataFrame, indexPath: String,
-      centroids: DataFrame, batchId: Long): Boolean = {
-    val spark = batch.sparkSession
+  /** The [[graft.ext.AnnPq.buildPqIndex]] schema. */
+  private val pqIndexSchema = StructType(Seq(
+    StructField("nn_id", LongType),
+    StructField("codes", ArrayType(LongType)),
+    StructField("nn_n", DoubleType)))
+
+  /** The append-only commit shared by every streamed index flavor:
+    * write the batch's rows to a dot-prefixed temp dir, one atomic
+    * rename to `batch=<batchId>/`. Returns false (nothing done) when the
+    * batch is already committed — the at-least-once replay path. Empty
+    * batches still commit their marker partition, so a replayed empty
+    * delivery is also a no-op. */
+  private def commitBatch(
+      spark: SparkSession, indexPath: String, batchId: Long,
+      writeRows: String => Unit): Boolean = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = new Path(indexPath, s"batch=$batchId")
     if (fs.exists(committed)) return false
     val tmp = new Path(indexPath, s".batch=$batchId.tmp")
     fs.delete(tmp, true) // a crash before rename left at most this orphan
-    AnnIvf.buildIvfIndex(batch, centroids)
-      .write.mode("overwrite").parquet(tmp.toString)
+    writeRows(tmp.toString)
     require(fs.rename(tmp, committed),
       s"StreamingAnn: could not commit $tmp -> $committed")
     true
   }
 
+  private def loadCommitted(
+      spark: SparkSession, indexPath: String,
+      schema: StructType): DataFrame = {
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasBatch)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(indexPath)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /**
+   * Commit one micro-batch of `(vec_id, embedding)` rows into the IVF
+   * index at `indexPath` under the FIXED `centroids` generation.
+   */
+  def appendBatch(
+      batch: DataFrame, indexPath: String,
+      centroids: DataFrame, batchId: Long): Boolean =
+    commitBatch(batch.sparkSession, indexPath, batchId,
+      tmp => AnnIvf.buildIvfIndex(batch, centroids)
+        .write.mode("overwrite").parquet(tmp))
+
+  /** The PQ twin: commit one micro-batch's [[graft.ext.AnnPq
+    * .buildPqIndex]] rows under the FIXED codebook generation (codes
+    * across generations are incomparable — retraining means a fresh
+    * `indexPath`, the IVF contract verbatim). */
+  def appendPqBatch(
+      batch: DataFrame, indexPath: String,
+      cb: graft.ext.AnnPq.Codebooks, batchId: Long): Boolean =
+    commitBatch(batch.sparkSession, indexPath, batchId,
+      tmp => graft.ext.AnnPq.buildPqIndex(batch, cb)
+        .write.mode("overwrite").parquet(tmp))
+
   /** `foreachBatch` adapter:
     * `stream.writeStream.foreachBatch(StreamingAnn.sink(path, centroids))`. */
   def sink(indexPath: String, centroids: DataFrame): (DataFrame, Long) => Unit =
     (batch, batchId) => { appendBatch(batch, indexPath, centroids, batchId); () }
+
+  /** `foreachBatch` adapter for the PQ index. */
+  def pqSink(indexPath: String, cb: graft.ext.AnnPq.Codebooks): (DataFrame, Long) => Unit =
+    (batch, batchId) => { appendPqBatch(batch, indexPath, cb, batchId); () }
 
   /**
    * The committed index as one frame in the [[graft.ext.AnnIvf
@@ -84,15 +127,12 @@ object StreamingAnn {
    * (probes return no candidates) rather than a schema-inference error —
    * the same degrade-to-empty contract as the rest of the IVF surface.
    */
-  def loadIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatch = fs.exists(root) && fs.listStatus(root)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!hasBatch)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-    else spark.read.parquet(indexPath)
-      .select("cell", "nn_id", "nn_emb", "nn_n")
-  }
+  def loadIndex(spark: SparkSession, indexPath: String): DataFrame =
+    loadCommitted(spark, indexPath, indexSchema)
+
+  /** The committed PQ code table in the [[graft.ext.AnnPq.buildPqIndex]]
+    * shape — pass straight to `topKIndexed`. Same degrade-to-empty
+    * contract. */
+  def loadPqIndex(spark: SparkSession, indexPath: String): DataFrame =
+    loadCommitted(spark, indexPath, pqIndexSchema)
 }

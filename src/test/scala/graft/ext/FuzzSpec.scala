@@ -381,6 +381,52 @@ class FuzzSpec extends GraftSpec {
     }
   }
 
+  test("funnel agrees with a driver-side per-user walker on random event logs") {
+    val evGen: Gen[Seq[(Long, Long, String)]] = for {
+      nUsers <- Gen.chooseNum(1, 6)
+      nEv <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(nEv, for {
+        u <- Gen.chooseNum(0L, nUsers.toLong - 1)
+        t <- Gen.chooseNum(0L, 50L) // coarse secs → plenty of ties
+        ty <- Gen.oneOf("a", "b", "c", "x")
+      } yield (u, t, ty))
+    } yield evs
+
+    val stages = Seq("a", "b", "c")
+    cases(evGen, 12, seed = 0xF0AE10L).foreach { evs =>
+      val df = evs.map { case (u, t, ty) =>
+        (u, new java.sql.Timestamp(t * 1000L), ty) }
+        .toDF("user_id", "ts", "event_type")
+      Seq(Option.empty[Long], Some(10L)).foreach { cap =>
+        // reference: per user, anchor at the earliest qualifying event of
+        // each successive stage (strictly later than the previous anchor,
+        // within the cap when set)
+        val expect = scala.collection.mutable.Map(
+          stages.map(_ -> 0L): _*)
+        evs.groupBy(_._1).foreach { case (_, userEvs) =>
+          var anchor = Option.empty[Long]
+          var alive = true
+          stages.foreach { st =>
+            if (alive) {
+              val cand = userEvs.filter(e => e._3 == st &&
+                anchor.forall(a => e._2 > a &&
+                  cap.forall(c => e._2 <= a + c)))
+              if (cand.isEmpty) alive = false
+              else {
+                anchor = Some(cand.map(_._2).min)
+                expect(st) += 1L
+              }
+            }
+          }
+        }
+        val got = graft.analytics.LogAnalytics.funnel(df, stages,
+            maxStepSeconds = cap)
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        assert(got == expect.toMap, s"cap=$cap evs=$evs")
+      }
+    }
+  }
+
   test("LmScore agrees with a driver-side add-one bigram reference " +
     "on random tiny-vocab corpora") {
     cases(docGen, 10, seed = 0x11A2B3CL).foreach { docs =>

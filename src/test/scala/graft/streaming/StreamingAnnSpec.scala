@@ -63,6 +63,42 @@ class StreamingAnnSpec extends GraftSpec {
     assert(StreamingAnn.loadIndex(spark, indexPath).count() == n0)
   }
 
+  test("streamed PQ code table == batch-built PQ index probe") {
+    implicit val ctx = spark.sqlContext
+    import graft.ext.AnnPq
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 1)
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_spq").resolve("index").toString
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(StreamingAnn.pqSink(indexPath, cb)).start()
+    try {
+      val all = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      all.grouped((all.length + 1) / 2).foreach { slice =>
+        mem.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val queries = emb.filter(col("vec_id") < 4)
+    val streamed = rows(AnnPq.topKIndexed(queries,
+      StreamingAnn.loadPqIndex(spark, indexPath), emb, cb,
+      kNeighbors = 5, rerank = 30))
+    val batchBuilt = rows(AnnPq.topKIndexed(queries,
+      AnnPq.buildPqIndex(emb, cb), emb, cb, kNeighbors = 5, rerank = 30))
+    assert(streamed == batchBuilt)
+
+    // replay no-op + empty-path degrade, the IVF contracts verbatim
+    assert(!StreamingAnn.appendPqBatch(
+      emb.limit(5).select("vec_id", "embedding"), indexPath, cb, 0L))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_spq_empty").resolve("index").toString
+    assert(StreamingAnn.loadPqIndex(spark, fresh).count() == 0)
+  }
+
   test("an index path with no committed batch reads as an empty index") {
     val emb = Tables(spark, sfDir, "embeddings")
     val centroids = AnnIvf.trainCentroids(emb, k = 4, iters = 1)
