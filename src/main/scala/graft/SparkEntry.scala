@@ -1155,7 +1155,16 @@ object SparkEntry {
     "q87_cohort_retention" -> ((s, d) =>
       LogAnalytics.cohortRetention(t(s, d, "events"))
         .orderBy(col("cohort_week").asc_nulls_last,
-          col("week_offset").asc_nulls_last))
+          col("week_offset").asc_nulls_last)),
+
+    // X+ — training-mixture sampling: per-source rates over the content
+    // hash (prefix-of-hash-order property: raising a rate only adds rows)
+    "q88_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "documents"), "source", col("text"),
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2408,6 +2417,19 @@ object SparkEntry {
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
         |FROM active a JOIN first f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same md5-prefix thresholds (8 hex digits = the 1/2^32 rate
+    // quantization): src0 keeps all, src1 < 0x80000000, src2
+    // < 0x40000000, others < 0x19999999 (floor(0.1 * 2^32)).
+    "q88_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE source
+        |        WHEN 'src0' THEN TRUE
+        |        WHEN 'src1' THEN substr(md5(text), 1, 8) < '80000000'
+        |        WHEN 'src2' THEN substr(md5(text), 1, 8) < '40000000'
+        |        ELSE substr(md5(text), 1, 8) < '19999999'
+        |      END
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

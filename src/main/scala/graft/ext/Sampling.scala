@@ -71,6 +71,34 @@ object Sampling {
     df.withColumn(splitCol, e)
   }
 
+  /**
+   * Per-stratum mixture sampling — the training-data MIXING primitive
+   * (a Pile/RedPajama-style recipe assigns every source a different
+   * sampling rate; temperature-weighted mixtures reduce to rates
+   * computed upstream): keep a row iff the [0,1) fraction of its content
+   * hash sorts below its stratum's rate. Pure per-row filter — no
+   * shuffle, deterministic across reruns, engines, AND rate changes:
+   * raising one stratum's rate only ADDS rows (the kept set is a prefix
+   * of hash order per stratum), so yesterday's 10% sample is a subset of
+   * today's 20% — the property that makes incremental mixture rebuilds
+   * cheap. Rates quantize to 1/2³² (the 8-hex-digit prefix); strata
+   * absent from `rates` use `defaultRate`; rate ≥ 1 keeps everything,
+   * ≤ 0 drops everything.
+   */
+  def mixtureSample(
+      df: DataFrame, stratumCol: String, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    def keep(r: Double): Column =
+      if (r >= 1.0) lit(true)
+      else if (r <= 0.0) lit(false)
+      else substring(md5(key.cast("binary")), 1, 8) <
+        lit(f"${math.floor(r * 4294967296.0).toLong}%08x")
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((s, r), els) => when(col(stratumCol) === s, keep(r)).otherwise(els)
+    }
+    df.filter(cond)
+  }
+
   /** Deterministic shuffle key: the content hash of `salt` + `key`.
     * Sorting by it is a reproducible corpus-wide random permutation —
     * change the salt, get an independent epoch order. */

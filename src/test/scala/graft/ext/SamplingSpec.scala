@@ -127,4 +127,32 @@ class SamplingSpec extends GraftSpec {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r.toMap == again)
   }
+
+  test("mixtureSample: rate boundaries, default rate, and subset monotonicity") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def kept(rates: Map[String, Double], dflt: Double): Set[Long] =
+      Sampling.mixtureSample(docs, "source", col("text"), rates, dflt)
+        .select("doc_id").as[Long].collect().toSet
+
+    // rate 1 keeps the whole stratum, rate 0 drops it, default applies
+    // to unlisted strata
+    val all = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val k1 = kept(Map("src0" -> 1.0, "src1" -> 0.0), 0.5)
+    assert(all.filter(_._2 == "src0").map(_._1).toSet.subsetOf(k1))
+    assert(!k1.exists(id => all.exists(x => x._1 == id && x._2 == "src1")))
+
+    // raising a rate only ADDS rows (kept set is a hash-order prefix per
+    // stratum) — the incremental-rebuild property
+    val lo = kept(Map("src2" -> 0.2), 0.0)
+    val hi = kept(Map("src2" -> 0.6), 0.0)
+    assert(lo.subsetOf(hi))
+    assert(lo.size < hi.size)
+
+    // deterministic across repartition
+    assert(kept(Map("src2" -> 0.6), 0.0)
+      == Sampling.mixtureSample(docs.repartition(7), "source", col("text"),
+          Map("src2" -> 0.6), 0.0)
+        .select("doc_id").as[Long].collect().toSet)
+  }
 }
