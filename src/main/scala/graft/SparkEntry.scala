@@ -1164,7 +1164,19 @@ object SparkEntry {
           rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
           defaultRate = 0.1)
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+ — generative classification (the CCNet language-ID move over
+    // domain models): per-source bigram LMs, label = argmin mean NLL on
+    // the rounded scores (ties → smallest label, cross-engine safe)
+    "q89_lm_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def lmOf(src: String) =
+        LmScore.train(docs.filter(col("source") === src), "text")
+      LmScore.classify(docs, "doc_id", "text",
+          Map("src0" -> lmOf("src0"), "src1" -> lmOf("src1")))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2429,6 +2441,50 @@ object SparkEntry {
         |        WHEN 'src2' THEN substr(md5(text), 1, 8) < '40000000'
         |        ELSE substr(md5(text), 1, 8) < '19999999'
         |      END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Two q80-shape model recomputes (src0, src1), argmin on the ROUNDED
+    // score with the label tiebreak — rounding first is what makes the
+    // argmin deterministic cross-engine.
+    "q89_lm_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, source, t,
+        |               unnest(range(1, greatest(len(t), 1))) AS i
+        |        FROM toks)),
+        |c12_0 AS (SELECT w1, w2, count(*) AS c FROM bg
+        |          WHERE source = 'src0' GROUP BY 1, 2),
+        |c1_0 AS (SELECT w1, sum(c) AS c FROM c12_0 GROUP BY 1),
+        |v_0 AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        |c12_1 AS (SELECT w1, w2, count(*) AS c FROM bg
+        |          WHERE source = 'src1' GROUP BY 1, 2),
+        |c1_1 AS (SELECT w1, sum(c) AS c FROM c12_1 GROUP BY 1),
+        |v_1 AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src1')),
+        |s0 AS (
+        |  SELECT bg.doc_id, 'src0' AS label,
+        |         round(avg(-ln((coalesce(c12_0.c, 0) + 1.0) /
+        |               (coalesce(c1_0.c, 0) + (SELECT v FROM v_0)))), 6) AS nll
+        |  FROM bg LEFT JOIN c12_0 USING (w1, w2) LEFT JOIN c1_0 USING (w1)
+        |  GROUP BY bg.doc_id),
+        |s1 AS (
+        |  SELECT bg.doc_id, 'src1' AS label,
+        |         round(avg(-ln((coalesce(c12_1.c, 0) + 1.0) /
+        |               (coalesce(c1_1.c, 0) + (SELECT v FROM v_1)))), 6) AS nll
+        |  FROM bg LEFT JOIN c12_1 USING (w1, w2) LEFT JOIN c1_1 USING (w1)
+        |  GROUP BY bg.doc_id),
+        |u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+        |r AS (SELECT doc_id, label, nll,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY nll, label) AS rn
+        |      FROM u)
+        |SELECT doc_id, label, nll FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored

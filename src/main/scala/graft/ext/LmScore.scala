@@ -109,6 +109,37 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_nl")), 6).as("nll"))
   }
 
+  /**
+   * Generative classification over a model family — the CCNet/fastText
+   * recipe's relational core (CCNet tags language by which per-language
+   * LM finds the text least surprising; domain tagging is the same move
+   * over per-domain models): score `docs` under every model in `models`
+   * and keep, per document, the label whose mean NLL is lowest. Ties
+   * break to the lexicographically smallest label; comparison happens on
+   * the ROUNDED score ([[score]]'s 6-dp contract), so the argmin is
+   * deterministic cross-engine — an unrounded tie would let a 1-ulp fold
+   * difference flip the label. Returns `(idCol, label, nll)`; documents
+   * with no bigrams are absent (no evidence, no label). Cost: one
+   * [[score]] pass per model over the SAME bigram Generate shape — k
+   * models = k count-frame join families, each pruned by its own
+   * (lineage-cut) model.
+   */
+  def classify(
+      docs: DataFrame, idCol: String, textCol: String,
+      models: Map[String, BigramLm]): DataFrame = {
+    require(models.nonEmpty, "classify requires at least one model")
+    models.toSeq.sortBy(_._1)
+      .map { case (label, lm) =>
+        score(docs, idCol, textCol, lm)
+          .select(col(idCol), lit(label).as("label"), col("nll"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("nll"), col("label"))).as("_best"))
+      .select(col(idCol),
+        col("_best.label").as("label"), col("_best.nll").as("nll"))
+  }
+
   /** The filter form: documents whose mean NLL is at most `maxNll` —
     * i.e. text the reference model finds unsurprising. Pass-through
     * columns survive; sub-2-token documents are dropped (no evidence,

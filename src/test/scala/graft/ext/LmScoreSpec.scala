@@ -77,6 +77,35 @@ class LmScoreSpec extends GraftSpec {
     assert(scores(loaded) == scores(lm))
   }
 
+  test("classify: label = argmin rounded NLL, ties to the smallest label") {
+    val docs = Seq(
+      (1L, "a b a b"),   // clearly model A's distribution
+      (2L, "x y x y"),   // clearly model B's
+      (3L, "q r")        // unseen by both → identical scores → tie → "A"
+    ).toDF("doc_id", "text")
+    val mA = LmScore.train(Seq((0L, "a b a b a b")).toDF("doc_id", "text"), "text")
+    val mB = LmScore.train(Seq((0L, "x y x y x y")).toDF("doc_id", "text"), "text")
+    val got = LmScore.classify(docs, "doc_id", "text", Map("B" -> mB, "A" -> mA))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "A", 2L -> "B", 3L -> "A"))
+  }
+
+  test("classify recovers the training source for in-distribution docs") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def lmOf(src: String) =
+      LmScore.train(docs.filter(col("source") === src), "text")
+    val got = LmScore.classify(docs, "doc_id", "text",
+        Map("src0" -> lmOf("src0"), "src1" -> lmOf("src1")))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    // perfect separation isn't expected on near-uniform synthetic text;
+    // a model must at least prefer its own training docs on average
+    val acc = got.filter(col("source").isin("src0", "src1"))
+      .select(avg(when(col("label") === col("source"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    info(f"own-source recovery accuracy: $acc%.2f")
+    assert(acc > 0.5)
+  }
+
   test("empty-vocabulary model is rejected loudly") {
     val lm = LmScore.train(Seq((0L, "")).toDF("doc_id", "text"), "text")
     assert(lm.vocabSize == 0L)
