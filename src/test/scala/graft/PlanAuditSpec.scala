@@ -288,6 +288,33 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("Exchange hashpartitioning(nn_id"), s"code side shuffled:\n$p")
   }
 
+  test("q85: retrieval plans as TakeOrdered over the score aggregate — " +
+    "no global sort of the corpus") {
+    val p = plan("q85_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86: funnel stages are user-key equi-joins — no cartesian, " +
+    "no ranking window") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q86_funnel")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("Window"), s"funnel should be join-shaped, not windowed:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q88: mixture sampling is a pure narrow filter — zero exchanges " +
+    "before the output sort") {
+    val p = plan("q88_mixture_sample")
+    // the only exchange is the final orderBy's range partitioning
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"mixture filter shuffled:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
