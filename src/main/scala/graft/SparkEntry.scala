@@ -1176,7 +1176,14 @@ object SparkEntry {
       LmScore.classify(docs, "doc_id", "text",
           Map("src0" -> lmOf("src0"), "src1" -> lmOf("src1")))
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // X2+ — token-distribution entropy (vocabulary diversity): the
+    // quality axis dup_word_frac saturates on — H = ln(n) − (Σ c·ln c)/n
+    // in one explode + two hash aggregates
+    "q90_word_entropy" -> ((s, d) =>
+      TextOps.wordEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2486,6 +2493,21 @@ object SparkEntry {
         |      FROM u)
         |SELECT doc_id, label, nll FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Same entropy identity H = ln(n) - (sum c*ln c)/n over the same
+    // token counts; round-6 armor over the per-doc fold order.
+    "q90_word_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+        |        FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

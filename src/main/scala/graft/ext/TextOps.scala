@@ -169,6 +169,31 @@ object TextOps {
       .otherwise(lit(0.0d))
   }
 
+  /**
+   * Per-document Shannon entropy of the TOKEN distribution — the
+   * vocabulary-diversity axis of quality: boilerplate and keyword spam
+   * score low even when [[dupWordFrac]]'s any-repeat fraction saturates
+   * (a 50%-duplicated doc can repeat one word or many; entropy tells
+   * them apart). Computed via the aggregation identity
+   * `H = ln(n) − (Σ c·ln c)/n` — one token explode, one (doc, token)
+   * count, one per-doc fold; no per-row HOFs, no second pass for the
+   * total. Returns `(idCol, n_tokens, entropy)` with entropy in nats,
+   * rounded to 6 dp (the engine's float-compare armor); single-token
+   * docs score exactly 0.0, tokenless docs are absent.
+   */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).cast("long").as("n_tokens"),
+        round(
+          log(sum(col("_c"))) -
+            sum(col("_c") * log(col("_c"))) / sum(col("_c")),
+          6).as("entropy"))
+
   // ---- corpus-distinctive terms (TF-IDF-shaped data-mix report) ----
 
   /**

@@ -187,4 +187,35 @@ class TextOpsSpec extends GraftSpec {
     }.sorted.toSeq
     assert(got == expected)
   }
+
+  test("wordEntropy: hand cases — uniform max, single-token zero, " +
+    "spam low, tokenless absent") {
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4 → ln 4
+      (2L, "a a a a"),      // one word → 0
+      (3L, "x"),            // single token → exactly 0.0
+      (4L, ""),             // tokenless → absent
+      (5L, "a a b b")       // two × two → ln 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.wordEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> ((4L, r6(math.log(4.0)))),
+      2L -> ((4L, 0.0)),
+      3L -> ((1L, 0.0)),
+      5L -> ((4L, r6(math.log(2.0))))))
+    // the quality story: both these docs repeat 75% of their words, so
+    // dupWordFrac cannot tell them apart — entropy separates one-word
+    // spam (0) from two-word repetition (ln 2) at EQUAL dup frac:
+    val same = Seq((6L, "a a a a"), (7L, "a a a a b b b b"))
+      .toDF("doc_id", "text")
+    val dup = same.select(col("doc_id"), TextOps.dupWordFrac(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup(6L) == dup(7L)) // indistinguishable to the repeat fraction
+    val ent = TextOps.wordEntropy(same, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ent(6L) < ent(7L))  // entropy separates them
+  }
 }
