@@ -1183,7 +1183,19 @@ object SparkEntry {
     // in one explode + two hash aggregates
     "q90_word_entropy" -> ((s, d) =>
       TextOps.wordEntropy(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+/X3+ — hybrid retrieval: BM25 recalls 50 candidates lexically,
+    // exact cosine against vec 0's embedding re-ranks to 10 — the
+    // two-stage ranker (query embedding collected as plan metadata)
+    "q91_hybrid_retrieval" -> ((s, d) => {
+      val qv = t(s, d, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      TextSearch.hybridTopK(t(s, d, "documents"), "doc_id", "text",
+        query = "dup key window",
+        embeddings = t(s, d, "embeddings"), embIdCol = "vec_id",
+        embCol = "embedding", queryVec = qv, candidates = 50, k = 10)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2508,6 +2520,56 @@ object SparkEntry {
         |       CAST(sum(c) AS BIGINT) AS n_tokens,
         |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q85's BM25 CTE chain at candidates=50, then the exact cosine
+    // (q19's bit-identical fold) against vec 0's embedding, rounded
+    // BEFORE ranking — the q89 determinism rule.
+    "q91_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM lens),
+        |post AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('dup', 'key', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM post GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term,
+        |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+        |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         idf.idf * tf.tf /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+        |           AS s
+        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
+        |cand AS (
+        |  SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT c.doc_id, c.score,
+        |         round(
+        |           list_aggregate(list_transform(list_zip(e.embedding, (SELECT q FROM qv)),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |           / (sqrt(list_aggregate(list_transform(e.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |            * sqrt(list_aggregate(list_transform((SELECT q FROM qv),
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+        |           AS sim
+        |  FROM cand c LEFT JOIN embeddings e ON e.vec_id = c.doc_id)
+        |SELECT doc_id, score, sim,
+        |       CAST(row_number() OVER (ORDER BY sim DESC NULLS LAST, doc_id)
+        |            AS BIGINT) AS rank
+        |FROM sims ORDER BY rank LIMIT 10""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

@@ -80,4 +80,43 @@ object TextSearch {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
   }
+
+  /**
+   * Hybrid retrieval — the standard two-stage ranker: [[bm25TopK]]
+   * recalls `candidates` documents lexically, then the EXACT cosine of
+   * each candidate's embedding against `queryVec` re-ranks to the final
+   * `k`. Lexical recall bounds the expensive stage (only `candidates`
+   * rows touch embeddings — a point-lookup join at scale); the dense
+   * re-rank fixes vocabulary mismatch inside that budget. Candidates
+   * without an embedding row rank by NULL sim (last — no evidence
+   * doesn't outrank evidence); zero-norm embeddings likewise, the
+   * [[Similarity]] convention. Returns `(idCol, score, sim, rank)` —
+   * both signals kept, rank by (sim desc, id asc), sims rounded to 6 dp.
+   */
+  def hybridTopK(
+      docs: DataFrame, idCol: String, textCol: String, query: String,
+      embeddings: DataFrame, embIdCol: String, embCol: String,
+      queryVec: Seq[Float], candidates: Int, k: Int): DataFrame = {
+    require(k <= candidates,
+      s"final k $k exceeds the candidate budget $candidates")
+    val qNorm = {
+      var acc = 0.0
+      queryVec.foreach(x => acc += x.toDouble * x.toDouble)
+      math.sqrt(acc)
+    }
+    val cands = bm25TopK(docs, idCol, textCol, query, candidates)
+      .select(col(idCol), col("score"))
+    cands
+      .join(embeddings.select(col(embIdCol).as(idCol), col(embCol).as("_e")),
+        Seq(idCol), "left")
+      .withColumn("sim", round(
+        Similarity.nativeDot(col("_e"), typedLit(queryVec)) /
+          nullif(Similarity.norm(col("_e")) * lit(qNorm), lit(0.0)), 6))
+      .select(col(idCol), col("score"), col("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc_nulls_last, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("rank").asc_nulls_last)
+  }
 }

@@ -47,6 +47,30 @@ class TextSearchSpec extends GraftSpec {
     assert(a.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("hybridTopK: dense re-rank reorders lexical candidates; " +
+    "missing embeddings rank last") {
+    val docs = Seq(
+      (1L, "x x x"),   // strongest BM25 for "x"
+      (2L, "x x y"),
+      (3L, "x y y"),
+      (4L, "z z z")    // no query term → never a candidate
+    ).toDF("doc_id", "text")
+    // embeddings: doc 3 is closest to the query vector, doc 1 farthest,
+    // doc 2 has NO embedding row
+    val emb = Seq(
+      (1L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = TextSearch.hybridTopK(docs, "doc_id", "text", "x",
+        emb, "vec_id", "embedding", queryVec = Seq(1.0f, 0.0f),
+        candidates = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // BM25 order was 1, 2, 3; cosine re-rank: 3 (sim 1) > 1 (sim -1) >
+    // 2 (NULL sim, last). Doc 4 never entered the candidate set.
+    assert(got == Seq((3L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
   test("empty corpus and empty query degrade loudly or emptily") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextSearch.bm25TopK(empty, "doc_id", "text", "x", k = 5).count() == 0)
