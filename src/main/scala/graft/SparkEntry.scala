@@ -2450,12 +2450,13 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same md5-prefix thresholds (8 hex digits = the 1/2^32 rate
-    // quantization): src0 keeps all, src1 < 0x80000000, src2
-    // < 0x40000000, others < 0x19999999 (floor(0.1 * 2^32)).
+    // quantization): src0 keeps every hashable (non-NULL) row, src1
+    // < 0x80000000, src2 < 0x40000000, others < 0x19999999
+    // (floor(0.1 * 2^32)). NULL text is un-sampleable at every rate.
     "q88_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CASE source
-        |        WHEN 'src0' THEN TRUE
+        |        WHEN 'src0' THEN text IS NOT NULL
         |        WHEN 'src1' THEN substr(md5(text), 1, 8) < '80000000'
         |        WHEN 'src2' THEN substr(md5(text), 1, 8) < '40000000'
         |        ELSE substr(md5(text), 1, 8) < '19999999'

@@ -82,14 +82,18 @@ object Sampling {
    * of hash order per stratum), so yesterday's 10% sample is a subset of
    * today's 20% — the property that makes incremental mixture rebuilds
    * cheap. Rates quantize to 1/2³² (the 8-hex-digit prefix); strata
-   * absent from `rates` use `defaultRate`; rate ≥ 1 keeps everything,
-   * ≤ 0 drops everything.
+   * absent from `rates` use `defaultRate`; rate ≥ 1 keeps every
+   * hashable row, ≤ 0 drops everything. A NULL `key` has no hash
+   * position, so the row is un-sampleable and drops at EVERY rate —
+   * including 1.0; were rate-1 to keep it, nudging a stratum from 1.0
+   * to 0.999999 would discontinuously drop its NULL-keyed rows, and the
+   * monotone-subset property above would break at exactly one point.
    */
   def mixtureSample(
       df: DataFrame, stratumCol: String, key: Column,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     def keep(r: Double): Column =
-      if (r >= 1.0) lit(true)
+      if (r >= 1.0) key.isNotNull
       else if (r <= 0.0) lit(false)
       else substring(md5(key.cast("binary")), 1, 8) <
         lit(f"${math.floor(r * 4294967296.0).toLong}%08x")

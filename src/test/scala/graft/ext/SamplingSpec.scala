@@ -154,5 +154,15 @@ class SamplingSpec extends GraftSpec {
       == Sampling.mixtureSample(docs.repartition(7), "source", col("text"),
           Map("src2" -> 0.6), 0.0)
         .select("doc_id").as[Long].collect().toSet)
+
+    // a NULL key is un-sampleable at EVERY rate, including 1.0 — keeping
+    // it at rate 1 would break subset-monotonicity at exactly that point
+    val withNull = Seq((900L, "src0", null.asInstanceOf[String]),
+        (901L, "src0", "real text"))
+      .toDF("doc_id", "source", "text")
+    val keptNull = Sampling.mixtureSample(withNull, "source", col("text"),
+        Map("src0" -> 1.0), 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(901L))
   }
 }
