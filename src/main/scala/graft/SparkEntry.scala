@@ -1195,6 +1195,21 @@ object SparkEntry {
         query = "dup key window",
         embeddings = t(s, d, "embeddings"), embIdCol = "vec_id",
         embCol = "embedding", queryVec = qv, candidates = 50, k = 10)
+    }),
+
+    // X1+ — registry decontamination with attribution: two synthetic
+    // benchmarks (doc_id % 97 and % 89 slices), one row per contaminated
+    // (doc, benchmark) pair with that benchmark's own overlap
+    "q92_multi_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val benches = docs.filter(col("doc_id") % 97 === 0)
+        .select(lit("bench_a").as("bench"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select(lit("bench_b").as("bench"), col("text")))
+      Contamination.multiContamination(
+          docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+          benches, "doc_id", "text", "bench")
+        .orderBy(col("doc_id").asc_nulls_last, col("bench").asc_nulls_last)
     })
   )
 
@@ -2571,6 +2586,36 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY sim DESC NULLS LAST, doc_id)
         |            AS BIGINT) AS rank
         |FROM sims ORDER BY rank LIMIT 10""".stripMargin,
+
+    // q39's 5-gram shingling against two labeled benchmark slices, one
+    // row per contaminated (doc, bench) pair, totals on one denominator.
+    "q92_multi_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        |        FROM toks)),
+        |reg AS (
+        |  SELECT DISTINCT 'bench_a' AS bench, s FROM sh WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT DISTINCT 'bench_b' AS bench, s FROM sh WHERE doc_id % 89 = 0),
+        |corp AS (SELECT doc_id, s FROM sh
+        |         WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |        FROM corp GROUP BY 1),
+        |hit AS (
+        |  SELECT c.doc_id, r.bench, CAST(count(*) AS BIGINT) AS n_contaminated
+        |  FROM corp c JOIN reg r USING (s)
+        |  GROUP BY 1, 2)
+        |SELECT h.doc_id, h.bench, t.n_shingles, h.n_contaminated,
+        |       CAST(h.n_contaminated AS DOUBLE) / t.n_shingles AS contamination
+        |FROM hit h JOIN tot t USING (doc_id)
+        |ORDER BY h.doc_id, h.bench""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

@@ -50,6 +50,46 @@ object Contamination {
   }
 
   /**
+   * Multi-benchmark contamination with per-benchmark ATTRIBUTION: one
+   * row per (document, benchmark) with that benchmark's own overlap —
+   * the registry form of the screen (a real pipeline checks against a
+   * SUITE of eval sets, and "which benchmark leaked into this document"
+   * decides whether to drop the doc or fix the benchmark split).
+   * `benches` carries `(benchCol, textCol)`; output is `(idCol,
+   * benchCol, n_shingles, n_contaminated, contamination)`, restricted to
+   * pairs with at least one overlapping shingle (a zero row per
+   * document × benchmark would be |corpus|·|registry| rows of nothing —
+   * absence means clean). `n_shingles` is the document's total, so
+   * per-benchmark fractions compare on one denominator.
+   *
+   * Same scale contract as [[contamination]]: the registry's distinct
+   * (benchmark, shingle) set broadcasts; a shingle shared by k
+   * benchmarks fans each matching corpus shingle out k ways — the
+   * attribution cost, bounded by the registry (small) side.
+   */
+  def multiContamination(
+      corpus: DataFrame, benches: DataFrame,
+      idCol: String, textCol: String, benchCol: String, n: Int = 5): DataFrame = {
+    val registry = broadcast(
+      benches.select(col(benchCol),
+          explode(Dedup.shingles(col(textCol), n)).as("s"))
+        .distinct())
+    val docShingles = corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("s"))
+    val totals = docShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    docShingles
+      .join(registry, Seq("s")) // inner: only contaminated pairs survive
+      .groupBy(col(idCol), col(benchCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col(benchCol), col("n_shingles"),
+        col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
+  /**
    * [[contamination]] with a BLOOM-FILTER prune — same exact output
    * (false positives are removed by an exact verify join; q50 shares
    * q39's oracle to prove it), different scale regime: when the

@@ -66,4 +66,45 @@ class ContaminationSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("multiContamination: per-benchmark attribution on one denominator; " +
+    "clean pairs absent") {
+    val corpus = Seq(
+      (1L, benchText),   // fully in bench A; 5/6 of it also in bench B
+      (2L, partialText), // 5/6 in A, 6/6 in B (B IS partialText)
+      (3L, cleanText)
+    ).toDF("doc_id", "text")
+    val benches = Seq(("A", benchText), ("B", partialText))
+      .toDF("bench", "text")
+    val r = Contamination.multiContamination(
+        corpus, benches, "doc_id", "text", "bench")
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("bench")) ->
+        ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_contaminated"),
+          x.getAs[Double]("contamination"))))
+      .toMap
+    assert(r((1L, "A")) == ((6L, 6L, 1.0)))
+    assert(r((1L, "B")) == ((6L, 5L, 5.0 / 6.0)))
+    assert(r((2L, "A")) == ((6L, 5L, 5.0 / 6.0)))
+    assert(r((2L, "B")) == ((6L, 6L, 1.0)))
+    assert(!r.keySet.exists(_._1 == 3L)) // clean doc: no rows at all
+  }
+
+  test("multiContamination with a single benchmark equals the hit rows " +
+    "of the single-benchmark screen") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val single = Contamination.contamination(corpus, bench, "doc_id", "text")
+      .filter(col("n_contaminated") > 0)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = Contamination.multiContamination(corpus,
+        bench.select(lit("only").as("bench"), col("text")),
+        "doc_id", "text", "bench")
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == single)
+    assert(multi.nonEmpty)
+  }
 }
