@@ -1210,7 +1210,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
           benches, "doc_id", "text", "bench")
         .orderBy(col("doc_id").asc_nulls_last, col("bench").asc_nulls_last)
-    })
+    }),
+
+    // X+ — the per-epoch composition: mixture rates → salted epoch
+    // permutation → packed context windows; same (rates, salt) =
+    // byte-identical epoch, new salt = new order without resampling
+    "q93_epoch_build" -> ((s, d) =>
+      DataPrep.buildEpoch(t(s, d, "documents"), "doc_id", "text", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.2,
+          salt = "epoch1", contextLen = 256L, shards = 4)
+        .select(col("doc_id"), col("source"), col("epoch_key"),
+          col("shard"), col("n_tokens"), col("tok_offset"), col("bin"))
+        .orderBy(col("doc_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2616,6 +2627,34 @@ object SparkEntry {
         |       CAST(h.n_contaminated AS DOUBLE) / t.n_shingles AS contamination
         |FROM hit h JOIN tot t USING (doc_id)
         |ORDER BY h.doc_id, h.bench""".stripMargin,
+
+    // Mixture thresholds (1.0 / 0.5 / default 0.2 → 0x33333333), the
+    // salted md5 epoch key, doc_id%4 shards, running sum in
+    // (epoch_key, doc_id) order — q88 + q41's oracles composed.
+    "q93_epoch_build" ->
+      """WITH sampled AS (
+        |  SELECT doc_id, source, text,
+        |         md5('epoch1' || text) AS epoch_key,
+        |         CAST(doc_id % 4 AS BIGINT) AS shard,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                 x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE CASE source
+        |          WHEN 'src0' THEN text IS NOT NULL
+        |          WHEN 'src1' THEN substr(md5(text), 1, 8) < '80000000'
+        |          ELSE substr(md5(text), 1, 8) < '33333333'
+        |        END),
+        |packed AS (
+        |  SELECT doc_id, source, epoch_key, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard
+        |                             ORDER BY epoch_key, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |           AS tok_offset
+        |  FROM sampled)
+        |SELECT doc_id, source, epoch_key, shard, n_tokens,
+        |       CAST(tok_offset AS BIGINT) AS tok_offset,
+        |       CAST(tok_offset // 256 AS BIGINT) AS bin
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     // Exact recompute of the add-one bigram LM (trained on src0, scored
     // everywhere): c1 derived from the bigram table, V = distinct ref

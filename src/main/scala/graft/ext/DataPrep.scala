@@ -145,4 +145,32 @@ object DataPrep {
     Packing.pack(sampled, idCol, size(TextOps.tokens(text)),
       config.contextLen, config.shards)
   }
+
+  /**
+   * Build one training EPOCH from a prepared corpus — the composition a
+   * training job runs per epoch over an already-[[prepare]]d dataset:
+   *
+   *  1. mixture sampling ([[Sampling.mixtureSample]] — per-stratum rates,
+   *     the source-weighting recipe; deterministic, monotone in the rate);
+   *  2. epoch ordering ([[Sampling.shuffleKey]] — a salted content-hash
+   *     permutation; a new salt is a new independent epoch order);
+   *  3. packing ([[Packing.packOrdered]] — per-shard concat-and-chunk in
+   *     the epoch order, shard layout stable across epochs).
+   *
+   * Everything is content-derived: two epochs with the same (rates,
+   * salt) are byte-identical, and changing only the salt re-permutes
+   * without resampling. Returns the sampled rows plus `epoch_key, shard,
+   * n_tokens, tok_offset, bin`.
+   */
+  def buildEpoch(
+      docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double, salt: String,
+      contextLen: Long, shards: Int): DataFrame = {
+    val text: Column = col(textCol)
+    val sampled = Sampling
+      .mixtureSample(docs, stratumCol, text, rates, defaultRate)
+      .withColumn("epoch_key", Sampling.shuffleKey(text, salt))
+    Packing.packOrdered(sampled, idCol, col("epoch_key").asc,
+      size(TextOps.tokens(text)), contextLen, shards)
+  }
 }

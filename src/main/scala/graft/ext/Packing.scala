@@ -33,8 +33,24 @@ object Packing {
    */
   def pack(
       df: DataFrame, idCol: String, nTokens: Column,
+      contextLen: Long, shards: Int): DataFrame =
+    packOrdered(df, idCol, col(idCol).asc, nTokens, contextLen, shards)
+
+  /**
+   * [[pack]] with an explicit within-shard stream order — the EPOCH
+   * form: order by a salted shuffle key ([[Sampling.shuffleKey]]) and
+   * each shard's stream is a reproducible random permutation, so packed
+   * windows mix documents instead of replaying id order (the
+   * curriculum-vs-shuffle knob). Sharding still comes from `idCol`
+   * (numeric → value mod, else hash), so the shard layout is stable
+   * across epochs — only the order inside each stream changes with the
+   * salt. Callers must make `order` total (tie-break on `idCol`) when
+   * the order column can collide.
+   */
+  def packOrdered(
+      df: DataFrame, idCol: String, order: Column, nTokens: Column,
       contextLen: Long, shards: Int): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+    val w = Window.partitionBy(col("shard")).orderBy(order, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // numeric ids shard by value (cheap, oracle-replayable); any other id
     // type shards by hash — a blind pmod would CAST a string id to null

@@ -70,6 +70,30 @@ class DataPrepSpec extends GraftSpec {
     assert(withLm == Seq(1L, 5L))
   }
 
+  test("buildEpoch: same (rates, salt) is byte-identical; a new salt " +
+    "re-permutes without resampling") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def epoch(salt: String) = DataPrep.buildEpoch(docs, "doc_id", "text",
+        "source", rates = Map("src0" -> 1.0, "src1" -> 0.5),
+        defaultRate = 0.2, salt = salt, contextLen = 256L, shards = 4)
+      .select("doc_id", "shard", "tok_offset", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val e1a = epoch("epoch1"); val e1b = epoch("epoch1"); val e2 = epoch("epoch2")
+    assert(e1a.toSeq.sorted == e1b.toSeq.sorted)        // reproducible
+    val ids1 = e1a.map(_._1).toSet; val ids2 = e2.map(_._1).toSet
+    assert(ids1 == ids2)                                // same sampled set
+    // shard layout is id-derived → stable across salts; the ORDER inside
+    // each shard (hence offsets) changes
+    assert(e1a.map(x => x._1 -> x._2).toMap == e2.map(x => x._1 -> x._2).toMap)
+    assert(e1a.map(x => x._1 -> x._3).toMap != e2.map(x => x._1 -> x._3).toMap)
+    // each shard's stream is gapless: offsets are a prefix sum
+    val byShard = e1a.groupBy(_._2)
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+    }
+  }
+
   test("prepare: a contaminated canonical survivor cannot take its clean near-dup down") {
     // X (least id) embeds the benchmark text verbatim → contaminated above
     // the cap; Y is X with one benchmark word changed → its 5-gram overlap
