@@ -1221,7 +1221,51 @@ object SparkEntry {
           salt = "epoch1", contextLen = 256L, shards = 4)
         .select(col("doc_id"), col("source"), col("epoch_key"),
           col("shard"), col("n_tokens"), col("tok_offset"), col("bin"))
-        .orderBy(col("doc_id").asc_nulls_last))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // X2+/X3+ — q85's lexical retrieval against the PERSISTED inverted
+    // index (build → parquet round-trip → probe, the q75/q76/q77
+    // timing convention: the build + write is paid INSIDE the query).
+    // Completes the standing-index symmetry for the lexical family: the
+    // 100-TB corpus pays tokenization once per generation, not once per
+    // query batch. Same scoring core as q85's bm25TopK → identical
+    // output, same exact-BM25 oracle.
+    "q94_bm25_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q94_${d.hashCode.toHexString}"
+      TextSearch.buildLexicalIndex(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      TextSearch.bm25TopKIndexed(s.read.parquet(tmp), "dup key window",
+        k = 20, idCol = "doc_id")
+    }),
+
+    // S+ — JSONL round-trip, the de-facto LLM-corpus interchange format
+    // (one JSON object per line; what a crawler hands the pipeline and
+    // what an exporter ships). Unlike q74's flat CSV this exercises the
+    // NESTED surface — a struct column and an array column survive the
+    // trip — read back schema-explicit + FAILFAST (silent-null corruption
+    // is a dropped corpus shard at 100 TB, fail loudly). Line-splittable,
+    // so a 100-TB dump parallelizes like text: one task per split, no
+    // multiline mode.
+    "q95_jsonl_roundtrip" -> ((s, d) => {
+      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q95_${d.hashCode.toHexString}"
+      t(s, d, "documents").select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          TextOps.tokens(col("text")).as("toks"))
+        .coalesce(4)
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("doc_id BIGINT, meta STRUCT<lang: STRING, source: STRING, n_chars: BIGINT>, toks ARRAY<STRING>")
+        .option("mode", "FAILFAST")
+        .json(tmp)
+        .groupBy(col("meta.lang").as("lang"), col("meta.source").as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("total_toks"),
+          max(col("meta.n_chars")).as("max_chars"))
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1257,6 +1301,47 @@ object SparkEntry {
       |       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
       |         AS contamination
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Exact BM25 recompute (Lucene idf variant, k1=1.2 b=0.75, query
+    * "dup key window"): integer-derived doubles + ln, round-6 armor over
+    * the per-doc term-fold order. Shared by q85 (self-contained corpus
+    * scan) and q94 (persisted inverted index): both probe paths fold
+    * through TextSearch.rankCore, so they must produce this identical
+    * exact result. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0) AS t
+      |  FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |          FROM lens),
+      |post AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(t) AS term FROM toks)
+      |  WHERE term IN ('dup', 'key', 'window')),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM post GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT term,
+      |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+      |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+      |  FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         idf.idf * tf.tf /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+      |           AS s
+      |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+      |         round(sum(s), 6) AS score
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, matched, score,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |         AS rank
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   private val bruteForceTopkSql: String =
     """WITH s AS (
@@ -2387,43 +2472,18 @@ object SparkEntry {
         |JOIN embeddings emb ON emb.vec_id = s.src
         |ORDER BY vec_id""".stripMargin,
 
-    // Exact BM25 recompute (Lucene idf variant, k1=1.2 b=0.75, query
-    // "dup key window"): integer-derived doubles + ln, round-6 armor
-    // over the per-doc term-fold order.
-    "q85_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                       x -> length(x) > 0) AS t
-        |  FROM documents),
-        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT count(*) AS n,
-        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |          FROM lens),
-        |post AS (
-        |  SELECT doc_id, term FROM (
-        |    SELECT doc_id, unnest(t) AS term FROM toks)
-        |  WHERE term IN ('dup', 'key', 'window')),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM post GROUP BY 1, 2),
-        |idf AS (
-        |  SELECT term,
-        |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
-        |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
-        |  FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         idf.idf * tf.tf /
-        |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
-        |           AS s
-        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
-        |         round(sum(s), 6) AS score
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, matched, score,
-        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-        |         AS rank
-        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q85_bm25" -> bm25OracleSql,
+
+    "q94_bm25_indexed" -> bm25OracleSql,
+
+    // The round-trip is the identity on (doc_id, meta, toks) — the oracle
+    // is the same aggregate straight off the parquet table.
+    "q95_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0))) AS BIGINT) AS total_toks,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

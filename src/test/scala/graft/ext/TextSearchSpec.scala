@@ -77,5 +77,84 @@ class TextSearchSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       TextSearch.bm25TopK(empty, "doc_id", "text", "   ", k = 5)
     }
+    val emptyIdx = TextSearch.buildLexicalIndex(empty, "doc_id", "text")
+    assert(TextSearch.bm25TopKIndexed(emptyIdx, "x", k = 5).count() == 0)
+  }
+
+  private def topRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).toSeq
+
+  test("persisted lexical index: indexed probe ≡ self-contained; " +
+    "index append ≡ from-scratch rebuild") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val self = topRows(
+      TextSearch.bm25TopK(docs, "doc_id", "text", "dup key window", k = 20))
+
+    // the parquet round-trip IS the production shape — spec it, not just
+    // the in-memory frame
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lex_idx").toString
+    try {
+      TextSearch.buildLexicalIndex(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      val index = spark.read.parquet(tmp)
+      assert(topRows(TextSearch.bm25TopKIndexed(index, "dup key window",
+        k = 20, idCol = "doc_id")) == self)
+
+      // append half of the maintenance loop: index(old) ∪ build(new)
+      // equals build(old ∪ new) — per-doc-local stripes make it exact
+      val oldHalf = docs.filter(col("doc_id") % 2 === 0)
+      val newHalf = docs.filter(col("doc_id") % 2 === 1)
+      val appended = TextSearch.buildLexicalIndex(oldHalf, "doc_id", "text")
+        .unionAll(TextSearch.buildLexicalIndex(newHalf, "doc_id", "text"))
+      def idxRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("term"),
+          if (r.isNullAt(r.fieldIndex("tf"))) -1L else r.getAs[Long]("tf"),
+          r.getAs[Long]("dl"))).toSet
+      assert(idxRows(appended) ==
+        idxRows(TextSearch.buildLexicalIndex(docs, "doc_id", "text")))
+
+      // and the probe's N/avgdl/df over the appended index reflect the
+      // union automatically — same ranking as from-scratch
+      assert(topRows(TextSearch.bm25TopKIndexed(appended, "dup key window",
+        k = 20, idCol = "doc_id")) == self)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("zero-token docs stay in the index's corpus stats (N, avgdl)") {
+    val docs = Seq((1L, "cat dog"), (2L, "   "), (3L, "cat")).toDF("doc_id", "text")
+    val index = TextSearch.buildLexicalIndex(docs, "doc_id", "text")
+    // doc-length stripe carries ALL 3 docs, incl. the tokenless one
+    assert(index.filter(col("term").isNull).count() == 3)
+    assert(topRows(TextSearch.bm25TopKIndexed(index, "cat", k = 5, idCol = "doc_id"))
+      == topRows(TextSearch.bm25TopK(docs, "doc_id", "text", "cat", k = 5)))
+  }
+
+  test("staged postings table: same result, scan prunes to the query " +
+    "terms' buckets") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    try {
+      val index = TextSearch.buildLexicalIndex(docs, "doc_id", "text")
+      TextSearch.stageLexicalPostings(index, "graft_lex_post", numBuckets = 16)
+      val staged = Some(spark.table("graft_lex_post"))
+      val self = topRows(
+        TextSearch.bm25TopK(docs, "doc_id", "text", "dup key window", k = 20))
+      assert(topRows(TextSearch.bm25TopKIndexed(index, "dup key window",
+        k = 20, idCol = "doc_id", postings = staged)) == self)
+
+      // the inverted-index point-lookup: `term IN (...)` prunes the scan
+      // to at most |terms| of the 16 buckets before a row is read
+      val p = TextSearch.bm25TopKIndexed(index, "dup key window", k = 20,
+          idCol = "doc_id", postings = staged)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(p)
+        .getOrElse(fail(s"no bucket pruning in plan:\n$p"))
+      assert(sel.group(2).toInt == 16, p)
+      assert(sel.group(1).toInt <= 3, s"opened ${sel.group(1)} buckets:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lex_post")
   }
 }
