@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.LogAnalytics
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1265,7 +1265,23 @@ object SparkEntry {
           sum(size(col("toks")).cast("long")).as("total_toks"),
           max(col("meta.n_chars")).as("max_chars"))
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
-    })
+    }),
+
+    // A+ — ingest pre-flight: per-column profile of the documents table
+    // (null rates, exact cardinality, native-type min/max) in ONE scan —
+    // the check that catches a silently-corrupted corpus shard before it
+    // feeds the pipeline. Exact mode here (oracle-replayable); the 100-TB
+    // form is exact=false (HLL++ fold, no Expand — plan spec'd).
+    "q96_audit_profile" -> ((s, d) =>
+      Audit.profile(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // A+/J+ — referential integrity between documents and embeddings:
+    // null/dup keys, orphans on both sides, matched count — each side
+    // collapsed to distinct-key counts BEFORE the reconciling join.
+    "q97_audit_integrity" -> ((s, d) =>
+      Audit.integrity(t(s, d, "documents"), "doc_id",
+        t(s, d, "embeddings"), "vec_id"))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2484,6 +2500,49 @@ object SparkEntry {
         |                x -> length(x) > 0))) AS BIGINT) AS total_toks,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // One UNION ALL branch per profiled column; min/max on the native
+    // type, cast to VARCHAR only at the end — same as the Spark side.
+    "q96_audit_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+    // Same reconcile shape: per-side distinct-key counts, full outer
+    // join (USING k coalesces, NULL groups never match), one aggregate,
+    // 7 fixed rows.
+    "q97_audit_integrity" ->
+      """WITH l AS (SELECT doc_id AS k, count(*) AS lcnt
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT vec_id AS k, count(*) AS rcnt
+        |      FROM embeddings GROUP BY 1),
+        |j AS (SELECT k, lcnt, rcnt FROM l FULL OUTER JOIN r USING (k)),
+        |agg AS (SELECT
+        |  coalesce(sum(CASE WHEN k IS NULL THEN lcnt END), 0) AS left_null_keys,
+        |  coalesce(sum(CASE WHEN k IS NULL THEN rcnt END), 0) AS right_null_keys,
+        |  count(CASE WHEN k IS NOT NULL AND lcnt > 1 THEN 1 END) AS left_dup_keys,
+        |  count(CASE WHEN k IS NOT NULL AND rcnt > 1 THEN 1 END) AS right_dup_keys,
+        |  count(CASE WHEN k IS NOT NULL AND lcnt IS NOT NULL
+        |             AND rcnt IS NULL THEN 1 END) AS left_orphans,
+        |  count(CASE WHEN k IS NOT NULL AND lcnt IS NULL
+        |             AND rcnt IS NOT NULL THEN 1 END) AS right_orphans,
+        |  count(CASE WHEN k IS NOT NULL AND lcnt IS NOT NULL
+        |             AND rcnt IS NOT NULL THEN 1 END) AS matched_keys
+        |  FROM j)
+        |SELECT "check", CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'left_null_keys' AS "check", left_null_keys AS n FROM agg
+        |  UNION ALL SELECT 'right_null_keys', right_null_keys FROM agg
+        |  UNION ALL SELECT 'left_dup_keys', left_dup_keys FROM agg
+        |  UNION ALL SELECT 'right_dup_keys', right_dup_keys FROM agg
+        |  UNION ALL SELECT 'left_orphans', left_orphans FROM agg
+        |  UNION ALL SELECT 'right_orphans', right_orphans FROM agg
+        |  UNION ALL SELECT 'matched_keys', matched_keys FROM agg)
+        |ORDER BY "check"""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

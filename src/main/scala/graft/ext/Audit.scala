@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality audit — the pre-flight checks an ingest runs BEFORE a
+ * 100-TB corpus feeds the prep pipeline: a per-column statistical profile
+ * (null rates, cardinality, value range) and a key/referential-integrity
+ * audit between two tables. Both are plain aggregates with fixed, tiny
+ * output schemas, so they slot into the same oracle/bench harness as the
+ * analytics queries — an audit that is itself unverified is just more
+ * unverified data.
+ *
+ * Scale design: [[profile]] is ONE corpus scan folded into one global
+ * aggregate (map-side partial, 1-row result) — the per-column explosion
+ * happens AFTER aggregation on that single row, never on data rows.
+ * [[integrity]] reduces each side to its distinct-key counts first (the
+ * aggregates-before-join rule), so the join that reconciles the two sides
+ * carries |distinct keys| rows, not |rows|, and every check reads from
+ * that one reconciled frame.
+ */
+object Audit {
+
+  /**
+   * Per-column profile of `cols`: one output row per column —
+   * `(column, n_rows, n_nulls, n_distinct, min_s, max_s)` with min/max
+   * computed on the NATIVE type (numeric order, not string order) and
+   * cast to string only for the fixed output schema. NULL-only and empty
+   * inputs degrade to NULL min/max, zero counts.
+   *
+   * `exact = true` (the default) counts distincts exactly — the form the
+   * DuckDB oracle can replay; each exact distinct adds a plan-level
+   * Expand duplication of the scan's rows, so the cost is
+   * |cols| × one shuffle. At 100 TB set `exact = false`:
+   * `approx_count_distinct` (HLL++, the q09 sketch) folds ALL columns in
+   * the single partial aggregate — one scan, one 1-row reduce, no
+   * Expand — with ~2% cardinality error, which is what a profile needs
+   * (a null-rate regression or a cardinality collapse is visible at any
+   * sketch precision).
+   */
+  def profile(
+      df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val nd = if (exact) count_distinct(col(c))
+               else approx_count_distinct(col(c))
+      Seq(
+        count(lit(1)).as(s"_n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"_nn_$c"),
+        nd.as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // 1 aggregated row → |cols| rows: the explode touches metadata, not data
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"_n_$c").as("n_rows"),
+      col(s"_nn_$c").as("n_nulls"),
+      col(s"_nd_$c").as("n_distinct"),
+      col(s"_mn_$c").as("min_s"),
+      col(s"_mx_$c").as("max_s"))): _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+      .orderBy(col("column").asc_nulls_last)
+  }
+
+  /**
+   * Key/referential-integrity audit between `left` and `right`: a fixed
+   * `(check, n)` report —
+   *
+   *  - `left_null_keys` / `right_null_keys`: rows whose key is NULL
+   *    (never joinable, invisible to every downstream equi-join);
+   *  - `left_dup_keys` / `right_dup_keys`: distinct key VALUES appearing
+   *    more than once on that side (a "unique id" that isn't);
+   *  - `left_orphans` / `right_orphans`: distinct non-NULL keys on one
+   *    side with no match on the other (a doc without its embedding, an
+   *    embedding for a dropped doc);
+   *  - `matched_keys`: distinct keys present on both sides.
+   *
+   * Each side collapses to `(key, cnt)` in ONE scan — NULL keys ride
+   * along as that side's NULL group — before the reconciling full-outer
+   * join, so the join is distinct-key-sized; every check derives from
+   * that one frame in a single final aggregate. NULL-keyed groups never
+   * match in the join (SQL NULLs), surface as NULL-`k` rows, and are
+   * routed to the `*_null_keys` checks rather than polluting the orphan
+   * counts.
+   */
+  def integrity(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("lcnt"))
+    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("rcnt"))
+    val k = col("k").isNotNull
+    val report = l.join(r, Seq("k"), "full_outer").agg(
+      coalesce(sum(when(!k, col("lcnt"))), lit(0L)).as("left_null_keys"),
+      coalesce(sum(when(!k, col("rcnt"))), lit(0L)).as("right_null_keys"),
+      count(when(k && col("lcnt") > 1, lit(1))).as("left_dup_keys"),
+      count(when(k && col("rcnt") > 1, lit(1))).as("right_dup_keys"),
+      count(when(k && col("lcnt").isNotNull && col("rcnt").isNull, lit(1)))
+        .as("left_orphans"),
+      count(when(k && col("lcnt").isNull && col("rcnt").isNotNull, lit(1)))
+        .as("right_orphans"),
+      count(when(k && col("lcnt").isNotNull && col("rcnt").isNotNull, lit(1)))
+        .as("matched_keys"))
+    val checks = Seq("left_null_keys", "right_null_keys", "left_dup_keys",
+      "right_dup_keys", "left_orphans", "right_orphans", "matched_keys")
+    report.select(explode(array(checks.map(name =>
+        struct(lit(name).as("check"), col(name).cast("long").as("n"))): _*))
+        .as("c"))
+      .select("c.*")
+      .orderBy(col("check").asc_nulls_last)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+class AuditSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("profile: null counts, exact cardinality, native-type min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "b"), (10L, "a"), (10L, null), (null, "a")
+    ).toDF("id", "s")
+    val got = Audit.profile(df, Seq("id", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    // min/max on the NATIVE long: 9 < 10 — a string-ordered profile
+    // would report min "10", the classic silent-corruption bug
+    assert(got == Seq(
+      ("id", 4L, 1L, 2L, "9", "10"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile: NULL-only and empty inputs degrade to NULL range") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((null, 1L), (null, 2L))
+      .toDF("a", "b")
+    val row = Audit.profile(df, Seq("a")).collect()(0)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (2L, 2L, 0L))
+    assert(row.isNullAt(4) && row.isNullAt(5))
+    val empty = Audit.profile(df.filter(lit(false)), Seq("a")).collect()(0)
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(3)) == (0L, 0L, 0L))
+    intercept[IllegalArgumentException] { Audit.profile(df, Seq.empty) }
+  }
+
+  test("profile: approx mode folds all columns without Expand; exact pays it") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "s")
+    val exactPlan = Audit.profile(df, Seq("id", "s"), exact = true)
+      .queryExecution.executedPlan.toString
+    val approxPlan = Audit.profile(df, Seq("id", "s"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan)
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    // approx counts are exact at this cardinality (HLL++ tiny range)
+    val a = Audit.profile(df, Seq("id", "s"), exact = false).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(a == Map("id" -> 3L, "s" -> 2L))
+  }
+
+  test("integrity: dups, orphans, and NULL keys are each counted once, " +
+    "in the right bucket") {
+    val left = Seq[java.lang.Long](1L, 1L, 2L, 3L, null)
+      .toDF("lk")
+    val right = Seq[java.lang.Long](2L, 2L, 4L, null, null)
+      .toDF("rk")
+    val got = Audit.integrity(left, "lk", right, "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map(
+      "left_null_keys" -> 1L, "right_null_keys" -> 2L,
+      "left_dup_keys" -> 1L,  // key 1 appears twice
+      "right_dup_keys" -> 1L, // key 2 appears twice
+      "left_orphans" -> 2L,   // keys 1, 3 have no right match
+      "right_orphans" -> 1L,  // key 4 has no left match
+      "matched_keys" -> 1L))  // key 2
+  }
+
+  test("integrity: a clean 1:1 keyed pair reports all-zero defects") {
+    val a = Seq(1L, 2L, 3L).toDF("k1")
+    val b = Seq(3L, 1L, 2L).toDF("k2")
+    val got = Audit.integrity(a, "k1", b, "k2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.filterNot(_._1 == "matched_keys").values.forall(_ == 0L))
+    assert(got("matched_keys") == 3L)
+  }
+}
