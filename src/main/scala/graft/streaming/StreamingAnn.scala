@@ -59,7 +59,7 @@ object StreamingAnn {
     * batch is already committed — the at-least-once replay path. Empty
     * batches still commit their marker partition, so a replayed empty
     * delivery is also a no-op. */
-  private def commitBatch(
+  private[streaming] def commitBatch(
       spark: SparkSession, indexPath: String, batchId: Long,
       writeRows: String => Unit): Boolean = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,7 +73,7 @@ object StreamingAnn {
     true
   }
 
-  private def loadCommitted(
+  private[streaming] def loadCommitted(
       spark: SparkSession, indexPath: String,
       schema: StructType): DataFrame = {
     val root = new Path(indexPath)
