@@ -1281,7 +1281,20 @@ object SparkEntry {
     // collapsed to distinct-key counts BEFORE the reconciling join.
     "q97_audit_integrity" -> ((s, d) =>
       Audit.integrity(t(s, d, "documents"), "doc_id",
-        t(s, d, "embeddings"), "vec_id"))
+        t(s, d, "embeddings"), "vec_id")),
+
+    // X+ — per-source TOKEN budget (the other quota axis beside q40's
+    // doc-count cap): each source keeps its stable-hash-order prefix of
+    // docs while running tokens stay <= 2000 — what training actually
+    // spends. Under-budget sources pass through with no window; only
+    // over-budget sources pay the ordered prefix-sum.
+    "q98_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.perKeyTokenBudget(docs, "source", col("text"), "doc_id",
+          size(TextOps.tokens(col("text"))).cast("long"), budget = 2000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2543,6 +2556,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'right_orphans', right_orphans FROM agg
         |  UNION ALL SELECT 'matched_keys', matched_keys FROM agg)
         |ORDER BY "check"""".stripMargin,
+
+    // Inclusive running-sum boundary (cum <= 2000) over (md5(text),
+    // doc_id) order per source — the pass-through/window split is a plan
+    // optimization, invisible to results.
+    "q98_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                  x -> length(x) > 0)) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM toks)
+        |SELECT doc_id, source FROM c WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

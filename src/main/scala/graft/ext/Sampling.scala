@@ -32,19 +32,84 @@ object Sampling {
    * whose content hash sorts first (ties broken by `idCol`), with the rank
    * in column `rk` — "give me exactly k docs per language, reproducibly".
    *
-   * Scale note: the window shuffles by stratum, so parallelism equals the
-   * stratum count. Fine for strata-rich keys (domain, date); for a
-   * low-cardinality stratum over a huge corpus, pre-thin with
-   * [[hashSample]] (its keep-fraction only has to stay comfortably above
-   * k / stratum-size) so the window sees a candidate set, not the corpus.
+   * Scale note: with `buckets = 1` the window shuffles by stratum, so
+   * parallelism equals the stratum count — fine for strata-rich keys
+   * (domain, date). For a low-cardinality stratum over a huge corpus set
+   * `buckets > 1`: rows first rank within `(stratum, hash-bucket)` — so
+   * the big sort runs at `strata × buckets` parallelism and each task
+   * sees `|stratum| / buckets` rows — and only the per-bucket top-`k`
+   * survivors (≤ `buckets × k` rows per stratum, a bounded set) enter
+   * the per-stratum window that assigns the final rank. EXACTLY the
+   * single-window result: any row in a stratum's true top-k is
+   * necessarily in its own bucket's top-k (spec-asserted equality) — the
+   * exact-by-construction form of the "pre-thin with [[hashSample]]"
+   * advice this doc used to give, which only held probabilistically.
    */
   def stratifiedTake(
       df: DataFrame, stratumCol: String, key: Column, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, buckets: Int = 1): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val h = md5(key.cast("binary"))
+    val candidates =
+      if (buckets == 1) df
+      else {
+        // deterministic spread: bucket from the id hash, NOT the sort
+        // hash (bucketing by a prefix of the sort key would put a whole
+        // bucket's rows in one rank range, not thin each range)
+        val wLocal = Window
+          .partitionBy(col(stratumCol), pmod(hash(col(idCol)), lit(buckets)))
+          .orderBy(h.asc, col(idCol).asc)
+        df.withColumn("_brk", row_number().over(wLocal))
+          .filter(col("_brk") <= k).drop("_brk")
+      }
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(key.cast("binary")).asc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy(h.asc, col(idCol).asc)
+    candidates.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /**
+   * Per-stratum TOKEN budget — the other axis of corpus quota-ing:
+   * [[stratifiedTake]] caps documents, this caps what training actually
+   * spends — tokens (`weight`). Rows are taken in stable hash order
+   * (`md5(key)`, ties by `idCol`) while the stratum's RUNNING weight stays
+   * `<= budget`, so the kept set is a deterministic prefix of hash order:
+   * kept total ≤ budget always holds (a first document alone above
+   * budget means NO document fits — the stratum yields nothing, loudly
+   * visible in counts rather than silently over budget), and like
+   * [[mixtureSample]] the kept set only grows when the budget grows.
+   * NULL weights cost 0 (coalesced BEFORE the running sum — a leading
+   * NULL must not poison the prefix into NULL-never-≤-budget).
+   *
+   * Scale design: one aggregate finds each stratum's total; strata at or
+   * under budget PASS THROUGH on a broadcast semi-join — no window, no
+   * per-stratum sort, which at 100 TB is almost every stratum. Only
+   * over-budget strata (the few dominant sources — the rows the budget
+   * exists to cut) pay the ordered prefix-sum window, each as one sorted
+   * partition of exactly the rows being cut. NULL-stratum rows form
+   * their own budgeted group (the window's NULL partition), not a
+   * pass-through leak.
+   */
+  def perKeyTokenBudget(
+      df: DataFrame, stratumCol: String, key: Column, idCol: String,
+      weight: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w0 = coalesce(weight.cast("long"), lit(0L))
+    val totals = df.groupBy(col(stratumCol).as("_s"))
+      .agg(sum(w0).as("_tot"))
+      .filter(col("_s").isNotNull) // NULL stratum never pass-through-joins
+    val underBudget = broadcast(totals.filter(col("_tot") <= budget)
+      .select(col("_s")))
+    val passThrough = df.join(underBudget,
+      df(stratumCol) <=> underBudget("_s"), "left_semi")
+    val needCut = df.join(underBudget,
+      df(stratumCol) <=> underBudget("_s"), "left_anti")
+    val cum = sum(w0).over(Window.partitionBy(col(stratumCol))
+      .orderBy(md5(key.cast("binary")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    passThrough.unionByName(
+      needCut.withColumn("_cum", cum).filter(col("_cum") <= budget)
+        .drop("_cum"))
   }
 
   /**

@@ -37,6 +37,85 @@ class SamplingSpec extends GraftSpec {
     assert(taken.toSet == again.toSet)
   }
 
+  test("stratifiedTake: bucketed two-level rank == single-window rank, exactly") {
+    val real = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    def rows(buckets: Int) = Sampling
+      .stratifiedTake(real, "source", col("text"), "doc_id", 25, buckets)
+      .select($"source", $"doc_id", $"rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(8) == rows(1)) // incl. the rk values, not just membership
+  }
+
+  test("perKeyTokenBudget: hash-order prefix per stratum, inclusive boundary") {
+    // weights chosen so the hash order per stratum is observable: budget
+    // cuts mid-stratum, boundary row whose cum == budget is KEPT
+    val df = (1L to 20L)
+      .map(i => (i, s"tok doc $i", if (i <= 10) "big" else "small", 100L))
+      .toDF("doc_id", "text", "source", "w")
+    val kept = Sampling.perKeyTokenBudget(df, "source", col("text"),
+      "doc_id", col("w"), budget = 400L)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // both strata total 1000 > 400: each keeps exactly 4 rows (4×100=400,
+    // the inclusive boundary)
+    assert(bySrc == Map("big" -> 4L, "small" -> 4L))
+    // and the kept rows are the hash-order prefix — recompute naively
+    val naive = df.withColumn("_h", md5(col("text").cast("binary")))
+      .withColumn("_cum", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("_h").asc, col("doc_id").asc)
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("_cum") <= 400L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == naive)
+  }
+
+  test("perKeyTokenBudget: under-budget strata pass through whole; " +
+    "giant first doc yields nothing; NULL weight costs 0; NULL stratum is budgeted") {
+    // md5 order within each stratum is pinned by the fixed texts:
+    // giant: "g1" < "g2"; null stratum: "n2" < "n1"; nw: "z8" < "z7"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a1", "under", 50L),
+      org.apache.spark.sql.Row(2L, "a2", "under", 50L),   // total 100 <= 400
+      org.apache.spark.sql.Row(3L, "g1", "giant", 9999L), // sorts first, never fits
+      org.apache.spark.sql.Row(4L, "g2", "giant", 1L),    // behind g1: prefix 10000
+      org.apache.spark.sql.Row(5L, "n1", null, 300L),     // NULL stratum: 600 > 400
+      org.apache.spark.sql.Row(6L, "n2", null, 300L),     // "n2" sorts first → kept
+      org.apache.spark.sql.Row(7L, "z8", "nw", null),     // NULL w, sorts first
+      org.apache.spark.sql.Row(8L, "z7", "nw", 500L))     // pushes nw over budget
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val kept = Sampling.perKeyTokenBudget(df, "source", col("text"),
+      "doc_id", col("w"), budget = 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 2L)) == Set(1L, 2L)) // pass-through whole
+    // giant: first doc alone exceeds the budget — the stratum yields
+    // NOTHING (inclusive-boundary contract), loudly, not silently over
+    assert(kept.intersect(Set(3L, 4L)).isEmpty)
+    // NULL stratum is cut to its 400-budget prefix, not passed through
+    assert(kept.intersect(Set(5L, 6L)) == Set(6L))
+    // a LEADING NULL weight costs 0 and must not poison the running sum
+    // into NULL (dropped): doc 7 is kept, doc 8 (cum 500) is cut
+    assert(kept.contains(7L) && !kept.contains(8L))
+  }
+
+  test("perKeyTokenBudget: all-under-budget corpus is the identity") {
+    val df = (1L to 30L).map(i => (i, s"d$i", s"s${i % 5}", 10L))
+      .toDF("doc_id", "text", "source", "w")
+    val kept = Sampling.perKeyTokenBudget(df, "source", col("text"),
+      "doc_id", col("w"), budget = 1000L)
+    assert(kept.select("doc_id").as[Long].collect().toSet == (1L to 30L).toSet)
+  }
+
   test("hashSplit: total, disjoint, repartition-stable; duplicates never straddle") {
     val twin = docs.unionAll(docs) // every text twice
     val split = Sampling.hashSplit(twin, col("text"),
