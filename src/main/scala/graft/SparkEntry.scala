@@ -1294,7 +1294,24 @@ object SparkEntry {
           size(TextOps.tokens(col("text"))).cast("long"), budget = 2000L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // X2+ — adaptive token floor: drop docs under the corpus's own 25th-
+    // percentile token count — the data-driven form of the fixed
+    // "min N tokens" rule. Integer token counts make the interpolated
+    // percentile engine-exact (a quantile of derived doubles would not
+    // be).
+    "q99_adaptive_floor" -> ((s, d) =>
+      TextOps.adaptiveTokenFloor(t(s, d, "documents"), "doc_id", "text",
+          q = 0.25)
+        .orderBy(col("doc_id").asc_nulls_last)),
+
+    // A+ — hourly traffic anomaly z-scores over the event log: the
+    // "did something spike?" alerting check, z against the mean/stddev
+    // of all hourly buckets (time-dimension-sized stats, plan-time
+    // scalars — no cross join, no global window).
+    "q100_hourly_anomaly" -> ((s, d) =>
+      LogAnalytics.hourlyAnomaly(t(s, d, "events")))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2571,6 +2588,34 @@ object SparkEntry {
         |                          ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM toks)
         |SELECT doc_id, source FROM c WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont's linear interpolation over integer token counts is
+    // exact double arithmetic — bit-identical to Spark's percentile.
+    "q99_adaptive_floor" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |thr AS (SELECT quantile_cont(n_tokens, 0.25) AS t FROM toks)
+        |SELECT doc_id, n_tokens FROM toks
+        |WHERE n_tokens >= (SELECT t FROM thr) ORDER BY doc_id""".stripMargin,
+
+    // Mean is exact integer-derived; stddev accumulation order is
+    // engine-specific in the last ulp — round-6 armor (q30 pattern).
+    "q100_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |                  '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |         count(*) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |s AS (SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM h)
+        |SELECT bucket_start, n_events,
+        |       CASE WHEN (SELECT sd FROM s) IS NULL OR (SELECT sd FROM s) = 0
+        |            THEN NULL
+        |            ELSE round((n_events - (SELECT mu FROM s))
+        |                       / (SELECT sd FROM s), 6) END AS z
+        |FROM h ORDER BY bucket_start""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

@@ -212,4 +212,44 @@ object LogAnalytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("users"))
   }
+
+  /**
+   * Hourly traffic anomaly score: events bucketed per hour, each
+   * bucket's count z-scored against the mean/stddev of ALL hourly
+   * buckets — the "did something spike?" check a log pipeline runs
+   * before alerting (a DDoS hour, a dead-collector hour, a replayed
+   * batch all surface as |z| outliers). Returns `(bucket_start,
+   * n_events, z)` with z rounded to 6 dp (the engine's float-compare
+   * armor: mean is exact integer arithmetic, stddev's accumulation
+   * order is engine-specific in the last ulp).
+   *
+   * Shape: one event-log scan into the hourly aggregate; the hourly
+   * frame is TIME-dimension-sized (8,760 rows per year at any corpus
+   * size — metadata, not data), so its mean/stddev are two plan-time
+   * scalars (the bm25TopK corpus-stats class — a 1-row join would plan
+   * as a cross join, which this codebase bans) and z is a pure
+   * projection over the re-aggregated hourly frame. No global-partition
+   * window anywhere; the only data-sized shuffle is the per-hour
+   * partial-agg count. Degenerate inputs stay honest: fewer than 2
+   * buckets (or all buckets equal ⇒ stddev 0) yield NULL z, not a
+   * division blow-up.
+   */
+  def hourlyAnomaly(
+      df: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    def hourly = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val statsRow = hourly.agg(
+      avg(col("n_events")), stddev_samp(col("n_events"))).head()
+    val z =
+      if (statsRow.isNullAt(0) || statsRow.isNullAt(1)
+          || statsRow.getDouble(1) == 0.0) lit(null).cast("double")
+      else round((col("n_events") - lit(statsRow.getDouble(0)))
+        / lit(statsRow.getDouble(1)), 6)
+    hourly.select(
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("n_events"), z.as("z"))
+      .orderBy(col("bucket_start").asc_nulls_last)
+  }
 }

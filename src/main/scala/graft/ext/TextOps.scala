@@ -194,6 +194,38 @@ object TextOps {
             sum(col("_c") * log(col("_c"))) / sum(col("_c")),
           6).as("entropy"))
 
+  /**
+   * Adaptive token-length floor: keep documents whose token count is at
+   * or above the corpus's `q`-quantile — the data-driven form of the
+   * fixed "drop docs under N tokens" rule (Gopher-style pipelines tune N
+   * per corpus; the quantile IS that tuning, recomputed from the data it
+   * filters). Returns `(idCol, n_tokens)` survivors.
+   *
+   * The threshold is an EXACT interpolated percentile collected as a
+   * plan-time scalar (the bm25TopK corpus-stats class). Token counts are
+   * small integers, so the interpolation arithmetic is exact in a double
+   * and engine-independent — a DuckDB `quantile_cont` replays it
+   * bit-identically, which a quantile of arbitrary doubles would NOT
+   * (the reason this filters on token count, not on a derived score).
+   * At 100 TB exact percentile sorts each group in memory — swap
+   * `exact = false` for the GK-sketch `approx_percentile` (the q49
+   * machinery, bounded error, one pass) once the corpus outgrows the
+   * exact sort; the filter shape is unchanged.
+   */
+  def adaptiveTokenFloor(
+      docs: DataFrame, idCol: String, textCol: String, q: Double,
+      exact: Boolean = true): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    def withN = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val thrExpr =
+      if (exact) percentile(col("n_tokens"), lit(q))
+      else percentile_approx(col("n_tokens"), lit(q), lit(10000))
+    val statsRow = withN.agg(thrExpr.cast("double")).head()
+    if (statsRow.isNullAt(0)) return withN.filter(lit(false))
+    withN.filter(col("n_tokens") >= lit(statsRow.getDouble(0)))
+  }
+
   // ---- corpus-distinctive terms (TF-IDF-shaped data-mix report) ----
 
   /**

@@ -142,6 +142,34 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(got == Map("view" -> 2L, "click" -> 1L))
   }
 
+  test("hourlyAnomaly: z-scores against the hourly-bucket mean/stddev; " +
+    "degenerate inputs yield NULL z") {
+    // 3 buckets with counts 1, 1, 4: mu = 2, sd = sqrt(3)
+    val ev = Seq(
+      "2024-05-06 00:10:00",
+      "2024-05-06 01:20:00",
+      "2024-05-06 02:00:00", "2024-05-06 02:15:00",
+      "2024-05-06 02:30:00", "2024-05-06 02:45:00"
+    ).toDF("s").withColumn("ts", to_timestamp(col("s")))
+    val got = LogAnalytics.hourlyAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = math.sqrt(3.0)
+    assert(got == Seq(
+      ("2024-05-06 00:00:00", 1L, r6((1 - 2.0) / sd)),
+      ("2024-05-06 01:00:00", 1L, r6((1 - 2.0) / sd)),
+      ("2024-05-06 02:00:00", 4L, r6((4 - 2.0) / sd))))
+
+    // single bucket: stddev undefined -> NULL z, not a crash
+    val one = LogAnalytics.hourlyAnomaly(ev.limit(1)).collect()
+    assert(one.length == 1 && one(0).isNullAt(2))
+    // constant buckets: stddev 0 -> NULL z, not a division blow-up
+    val const = LogAnalytics.hourlyAnomaly(ev.filter(
+      col("s") < "2024-05-06 02:00:00")).collect()
+    assert(const.length == 2 && const.forall(_.isNullAt(2)))
+  }
+
   test("cohortRetention: offsets key off the first-event Monday week") {
     val events = Seq(
       // user 1: first event Tue Jan 2 (cohort = Mon Jan 1), active weeks 0 and 2

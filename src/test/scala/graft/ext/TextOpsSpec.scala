@@ -218,4 +218,26 @@ class TextOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(ent(6L) < ent(7L))  // entropy separates them
   }
+
+  test("adaptiveTokenFloor: interpolated quantile threshold, inclusive; " +
+    "empty input degrades") {
+    // token counts 1..8; p25 position = 7 * 0.25 = 1.75 between sorted
+    // values 2 and 3 -> threshold 2.75 -> docs with >= 3 tokens survive
+    val docs = (1L to 8L)
+      .map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextOps.adaptiveTokenFloor(docs, "doc_id", "text", q = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(kept == (3L to 8L).map(i => (i, i)))
+    assert(TextOps.adaptiveTokenFloor(
+      docs.filter(lit(false)), "doc_id", "text", q = 0.25).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextOps.adaptiveTokenFloor(docs, "doc_id", "text", q = 1.0)
+    }
+    // the approx path keeps the same shape (GK sketch is exact at n=8)
+    val approx = TextOps.adaptiveTokenFloor(docs, "doc_id", "text",
+      q = 0.25, exact = false)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(approx.subsetOf((1L to 8L).toSet) && approx.size >= 6)
+  }
 }
