@@ -2,20 +2,25 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Loader for the driver-generated parquet tables (TESTDATA.md).
  *
- * The testdata was written with nanosecond-precision timestamps
- * (parquet INT64 TIMESTAMP(NANOS)), which Spark's vectorized reader
- * rejects. We read them as nano longs (legacy conf) and convert to
- * TimestampType (micros) right at the scan, so every downstream operator
- * sees plain timestamps.
+ * The generator's timestamp encoding has varied across harness rounds —
+ * nanosecond INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+ * rejects; read as nano longs via the legacy conf and converted here)
+ * and microsecond TIMESTAMP with isAdjustedToUTC=false (which Spark
+ * infers as TIMESTAMP_NTZ). Both are naive UTC wall-clock values, and
+ * the DuckDB oracle reads them as naive timestamps, so we normalize
+ * every variant to plain TimestampType (session TZ is pinned to UTC,
+ * making the NTZ→TZ cast value-preserving) right at the scan — every
+ * downstream operator sees one timestamp type regardless of the
+ * generator's encoding.
  */
 object Tables {
 
-  /** Timestamp columns per table that arrive as TIMESTAMP(NANOS). */
+  /** Timestamp columns per table whose physical encoding varies. */
   private val tsCols: Map[String, Seq[String]] = Map(
     "events"   -> Seq("ts"),
     "orders"   -> Seq("o_orderdate"),
@@ -30,10 +35,16 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c) && d.schema(c).dataType == LongType)
-        // integer `div` (not `/`, which is double and loses nano precision)
-        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else d
+      if (!d.columns.contains(c)) d
+      else d.schema(c).dataType match {
+        case LongType =>
+          // integer `div` (not `/`, which is double and loses nano precision)
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType =>
+          // value-preserving under the UTC session zone pinned above
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 }
