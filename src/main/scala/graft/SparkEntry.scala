@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.LogAnalytics
+import graft.analytics.{LogAnalytics, TimeSeries}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
@@ -1311,7 +1311,16 @@ object SparkEntry {
     // of all hourly buckets (time-dimension-sized stats, plan-time
     // scalars — no cross join, no global window).
     "q100_hourly_anomaly" -> ((s, d) =>
-      LogAnalytics.hourlyAnomaly(t(s, d, "events")))
+      LogAnalytics.hourlyAnomaly(t(s, d, "events"))),
+
+    // A+ — fixed-interval LOCF resample: each user's irregular value
+    // series regularized onto a 6-hour grid, last observation carried
+    // forward across empty buckets (per-user grid, time-dimension-sized
+    // explode, user-keyed LOCF window — no global window).
+    "q101_resample_locf" -> ((s, d) =>
+      TimeSeries.resampleLocf(t(s, d, "events"), intervalSec = 21600L)
+        .orderBy(col("user_id").asc_nulls_last,
+          col("bucket_start").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2616,6 +2625,41 @@ object SparkEntry {
         |            ELSE round((n_events - (SELECT mu FROM s))
         |                       / (SELECT sd FROM s), 6) END AS z
         |FROM h ORDER BY bucket_start""".stripMargin,
+
+    // Bucket = floor(epoch/21600): DuckDB's fractional epoch can't push
+    // floor past Spark's truncated-long bucket (int s < multiple ⇒
+    // s+frac < multiple). Per-bucket "last" is the greatest (ts,
+    // event_id) row — row_number mirrors Spark's max_by(struct). LOCF
+    // via IGNORE NULLS window ≡ Spark's last(ignoreNulls); a NULL
+    // observed value is looked through identically on both sides.
+    "q101_resample_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+        |           AS b,
+        |         value, ts, event_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |lastv AS (
+        |  SELECT user_id, b, value AS v FROM (
+        |    SELECT user_id, b, value,
+        |           row_number() OVER (PARTITION BY user_id, b
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM obs) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |        FROM lastv GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b
+        |         FROM rng),
+        |f AS (SELECT g.user_id, g.b,
+        |             last_value(l.v IGNORE NULLS)
+        |               OVER (PARTITION BY g.user_id ORDER BY g.b
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW) AS value
+        |      FROM grid g LEFT JOIN lastv l USING (user_id, b))
+        |SELECT user_id,
+        |       strftime(make_timestamp(b * 21600 * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |       value
+        |FROM f ORDER BY user_id, bucket_start""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

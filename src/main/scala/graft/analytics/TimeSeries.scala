@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series regularization over the event log: fixed-interval
+ * resampling with last-observation-carried-forward (LOCF) gap fill —
+ * the step every metrics/feature pipeline runs before joining an
+ * irregular event stream against a fixed-cadence model input ("what
+ * was each user's latest value at every 6-hour tick?").
+ *
+ * Reference scope: the reference engine aggregates the raw log as-is
+ * (`sree-etl-tdk-glue-job.py:51-63`); resampling is part of the
+ * extension surface a training-data pipeline needs on top.
+ */
+object TimeSeries {
+
+  /**
+   * Resample each user's `(ts, value)` series onto a fixed
+   * `intervalSec` grid, carrying the last observed value forward
+   * across empty buckets. Each user's grid spans their OWN first to
+   * last observed bucket (no global range — a user active for one day
+   * contributes one day of rows). Within a bucket the deterministic
+   * "last" observation wins: the row with the greatest `(ts, idCol)` —
+   * the id tiebreak makes equal-timestamp batches reproducible. A NULL
+   * observed value is carried over like a gap (LOCF looks through it to
+   * the previous non-null), matching the "sensor sent garbage" reading.
+   *
+   * Returns `(userCol, bucket_start string, value)` — the bucket
+   * rendered as a UTC wall-clock string, the engine-portable output
+   * form (q100's precedent).
+   *
+   * Shape at scale: one shuffle keyed `(user, bucket)` for the
+   * per-bucket last-value aggregate, then user-keyed range agg + grid
+   * explode + LOCF window. The grid is `sequence(lo, hi)` per user —
+   * TIME-dimension-sized (span/interval rows per user, independent of
+   * event volume), so the explode is bounded metadata fan-out, never a
+   * data×data blow-up. The LOCF window partitions by user — state is
+   * one running value per user, no global-partition window anywhere.
+   */
+  def resampleLocf(
+      df: DataFrame,
+      intervalSec: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(intervalSec > 0, s"intervalSec must be positive, got $intervalSec")
+    val bucket: Column =
+      floor(col(tsCol).cast("long") / intervalSec).cast("long")
+    // deterministic per-bucket last: greatest (ts, id) observation
+    val lastPerBucket = df
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(userCol), bucket.as("_b"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("_v"))
+    val range = lastPerBucket.groupBy(col(userCol))
+      .agg(min(col("_b")).as("_lo"), max(col("_b")).as("_hi"))
+    val grid = range.select(
+      col(userCol), explode(sequence(col("_lo"), col("_hi"))).as("_b"))
+    grid.join(lastPerBucket, Seq(userCol, "_b"), "left")
+      .withColumn("_f", last(col("_v"), ignoreNulls = true)
+        .over(Window.partitionBy(col(userCol)).orderBy(col("_b"))))
+      .select(col(userCol),
+        date_format(timestamp_seconds(col("_b") * intervalSec),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("_f").as(valueCol))
+  }
+}

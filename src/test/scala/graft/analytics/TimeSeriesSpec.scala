@@ -1,0 +1,60 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends GraftSpec {
+  import spark.implicits._
+
+  // Interval 60s. User 1: observations in buckets 0, 0 (same bucket,
+  // later (ts,id) wins), 3 — buckets 1 and 2 are gaps. User 2: a single
+  // observation whose value is NULL, then a later real one — the NULL
+  // must NOT be overwritten by LOCF (nothing precedes it) and must be
+  // looked through by the bucket after it.
+  private lazy val events = Seq(
+    (1L, 1L, "2024-01-01 00:00:10", Some(10.0)),
+    (2L, 1L, "2024-01-01 00:00:50", Some(20.0)), // same bucket, later ts
+    (3L, 1L, "2024-01-01 00:03:30", Some(99.0)),
+    (4L, 2L, "2024-01-01 00:05:00", None),       // NULL observation
+    (5L, 2L, "2024-01-01 00:07:00", Some(7.0))
+  ).toDF("event_id", "user_id", "s", "value")
+    .withColumn("ts", to_timestamp(col("s"))).drop("s")
+
+  private lazy val out = TimeSeries
+    .resampleLocf(events, intervalSec = 60L)
+    .orderBy("user_id", "bucket_start")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+  test("grid spans each user's own observed range, gaps LOCF-filled") {
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq == Seq(
+      "2024-01-01 00:00:00", "2024-01-01 00:01:00",
+      "2024-01-01 00:02:00", "2024-01-01 00:03:00"))
+    // bucket 0: later (ts,id) observation wins; 1-2: carried forward
+    assert(u1.map(_._3).toSeq ==
+      Seq(Some(20.0), Some(20.0), Some(20.0), Some(99.0)))
+  }
+
+  test("a NULL observation stays NULL at its bucket and is looked through") {
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.map(_._3).toSeq == Seq(None, None, Some(7.0)))
+  }
+
+  test("equal-timestamp observations fall back to the id tiebreak") {
+    val tied = Seq(
+      (7L, 9L, "2024-01-01 00:00:30", 1.0),
+      (8L, 9L, "2024-01-01 00:00:30", 2.0) // same ts, higher id wins
+    ).toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = TimeSeries.resampleLocf(tied, 60L).collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 2.0)
+  }
+
+  test("rejects a non-positive interval") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleLocf(events, 0L)
+    }
+  }
+}
