@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, FuzzyJoin, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1320,7 +1320,16 @@ object SparkEntry {
     "q101_resample_locf" -> ((s, d) =>
       TimeSeries.resampleLocf(t(s, d, "events"), intervalSec = 21600L)
         .orderBy(col("user_id").asc_nulls_last,
-          col("bucket_start").asc_nulls_last))
+          col("bucket_start").asc_nulls_last)),
+
+    // X+ — character-level fuzzy matching: Levenshtein ≤ 10 over
+    // 64-char lowered heads, candidates from two-pass prefix blocking
+    // (never all-pairs) — the edit-distance member of the near-dup
+    // family next to MinHash (token-set) and SimHash (bit-sketch).
+    "q102_fuzzy_pairs" -> ((s, d) =>
+      FuzzyJoin.editDistancePairs(t(s, d, "documents"))
+        .orderBy(col("doc_id").asc_nulls_last,
+          col("dup_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2660,6 +2669,30 @@ object SparkEntry {
         |                '%Y-%m-%d %H:%M:%S') AS bucket_start,
         |       value
         |FROM f ORDER BY user_id, bucket_start""".stripMargin,
+
+    // Both engines lowercase + substring the same ASCII codepoints and
+    // implement unit-cost Levenshtein; UNION (not UNION ALL) mirrors
+    // Spark's .distinct() over doubly-blocked pairs. Pass 2's length
+    // guard keeps short heads out of the empty-suffix block on both
+    // sides.
+    "q102_fuzzy_pairs" ->
+      """WITH h AS (SELECT doc_id, lower(substr(text, 1, 64)) AS head
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT a.doc_id AS d1, c.doc_id AS d2, a.head AS ha, c.head AS hb
+        |  FROM h a JOIN h c
+        |    ON substr(a.head, 1, 16) = substr(c.head, 1, 16)
+        |   AND a.doc_id < c.doc_id
+        |  UNION
+        |  SELECT a.doc_id, c.doc_id, a.head, c.head
+        |  FROM h a JOIN h c
+        |    ON substr(a.head, 17, 16) = substr(c.head, 17, 16)
+        |   AND length(a.head) >= 32 AND length(c.head) >= 32
+        |   AND a.doc_id < c.doc_id)
+        |SELECT d1 AS doc_id, d2 AS dup_id,
+        |       CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+        |FROM b WHERE levenshtein(ha, hb) <= 10
+        |ORDER BY doc_id, dup_id""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second
