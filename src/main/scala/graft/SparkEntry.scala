@@ -1329,7 +1329,15 @@ object SparkEntry {
     "q102_fuzzy_pairs" -> ((s, d) =>
       FuzzyJoin.editDistancePairs(t(s, d, "documents"))
         .orderBy(col("doc_id").asc_nulls_last,
-          col("dup_id").asc_nulls_last))
+          col("dup_id").asc_nulls_last)),
+
+    // X+ — vocabulary construction: top-500 tokens by corpus frequency
+    // with stable dense ids (total (freq DESC, token) order — the
+    // reproducible token→id map of tokenizer/embedding-table builds).
+    // TakeOrdered bounds the sort to k; the id window runs over k rows.
+    "q103_vocab" -> ((s, d) =>
+      TextOps.buildVocab(t(s, d, "documents"), "text", k = 500)
+        .orderBy(col("id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2693,6 +2701,23 @@ object SparkEntry {
         |       CAST(levenshtein(ha, hb) AS BIGINT) AS dist
         |FROM b WHERE levenshtein(ha, hb) <= 10
         |ORDER BY doc_id, dup_id""".stripMargin,
+
+    // row_number over the full term frequency in (freq DESC, token)
+    // order equals Spark's row_number over the pre-limited top-k — the
+    // order is total (tokens unique after GROUP BY), so the first k
+    // ids coincide.
+    "q103_vocab" ->
+      """WITH tf AS (
+        |  SELECT t AS token, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |                  '\s+'), x -> length(x) > 0)) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT token,
+        |       CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |            AS BIGINT) AS id,
+        |       freq
+        |FROM tf ORDER BY id LIMIT 500""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

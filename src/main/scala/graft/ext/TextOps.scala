@@ -364,4 +364,38 @@ object TextOps {
       .filter(col("hamming") <= maxHamming) // prune BEFORE the dedup shuffle
       .distinct()
   }
+
+  /**
+   * Token vocabulary with stable dense ids: the top `k` tokens by
+   * corpus frequency (ties broken lexically), each assigned a 1-based
+   * id in that order — the id-assignment step of tokenizer / embedding-
+   * table construction ("vocab.json"), where training and inference
+   * must agree on the same token→id map and reruns must reproduce it
+   * bit-for-bit (hence the total (freq DESC, token ASC) order, no
+   * hash-map iteration order anywhere).
+   *
+   * Shape at scale: the term-frequency aggregate is the one data-sized
+   * shuffle (map-side partial counts); `orderBy.limit(k)` plans as
+   * TakeOrdered — per-partition top-k then a k-row driver merge, never
+   * a global sort of the term space. Id assignment is a row_number
+   * window over those k rows: single-partition by construction, but
+   * over VOCAB-sized metadata (k ≤ ~10⁵), not data — the same bounded
+   * contract as the IVF centroid frame.
+   */
+  def buildVocab(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      minFreq: Long = 1L): DataFrame = {
+    require(k > 0, s"vocab size k must be positive, got $k")
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    tf.orderBy(col("freq").desc, col("token").asc).limit(k)
+      .withColumn("id",
+        row_number().over(
+          Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .select(col("token"), col("id"), col("freq"))
+  }
 }

@@ -240,4 +240,25 @@ class TextOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(approx.subsetOf((1L to 8L).toSet) && approx.size >= 6)
   }
+
+  test("buildVocab: freq-desc ids with lexical tiebreak, k cap, minFreq") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d C c")  // lowercased: ties a=3/b=3 broken lexically
+    ).toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq(("a", 1L, 3L), ("b", 2L, 3L), ("c", 3L, 3L)))
+    // minFreq drops the singleton before ranking
+    val floored = TextOps.buildVocab(docs, "text", k = 10, minFreq = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(floored == Set("a", "b", "c"))
+    // rerun is bit-identical (total order, no hash-iteration anywhere)
+    val again = TextOps.buildVocab(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == vocab.toSeq)
+    intercept[IllegalArgumentException] {
+      TextOps.buildVocab(docs, "text", k = 0)
+    }
+  }
 }
