@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.{LogAnalytics, TimeSeries}
+import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, FuzzyJoin, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
@@ -1337,7 +1337,25 @@ object SparkEntry {
     // TakeOrdered bounds the sort to k; the id window runs over k rows.
     "q103_vocab" -> ((s, d) =>
       TextOps.buildVocab(t(s, d, "documents"), "text", k = 500)
-        .orderBy(col("id").asc_nulls_last))
+        .orderBy(col("id").asc_nulls_last)),
+
+    // A+ — incremental rollup maintenance (the materialized-view
+    // pattern): history rollup persisted to parquet (round-tripped, the
+    // q75/q77 standing-table mechanics), then merged with the new
+    // batch's partial — algebraic combine only touches rollup-sized
+    // rows, never rescans history. Oracle recomputes from ALL events:
+    // merged ≡ from-scratch is the maintained invariant.
+    "q104_rollup_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cutoff = "2024-01-21"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q104_${d.hashCode.toHexString}"
+      Rollup.dailyRollup(ev.filter(col("ts") < lit(cutoff)))
+        .write.mode("overwrite").parquet(tmp)
+      Rollup.merge(s.read.parquet(tmp),
+          Rollup.dailyRollup(ev.filter(col("ts") >= lit(cutoff))))
+        .orderBy(col("day").asc_nulls_last,
+          col("event_type").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2718,6 +2736,16 @@ object SparkEntry {
         |            AS BIGINT) AS id,
         |       freq
         |FROM tf ORDER BY id LIMIT 500""".stripMargin,
+
+    // The oracle recomputes from ALL events — the maintained invariant
+    // is merged(history rollup, batch partial) ≡ from-scratch. count is
+    // exact; min/max of doubles are order-free (no float-sum drift).
+    "q104_rollup_merge" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |       count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second
