@@ -315,6 +315,41 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q101: LOCF window partitions by user — no global-partition window") {
+    val p = plan("q101_resample_locf")
+    // a Window whose partition spec is empty prints "Window [..], [..]"
+    // with no PartitionBy keys and triggers the single-partition WARN;
+    // every window here must carry the user key
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\(\\s*_b".r.findFirstIn(p).isEmpty,
+      s"window lost its user partition key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q102: fuzzy matching joins on block keys — no cartesian even " +
+    "with broadcast off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q102_fuzzy_pairs")
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"fuzzy join degenerated to all-pairs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q103: vocab top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q103_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q104: rollup merge carries partial aggregation (map-side combine)") {
+    val p = plan("q104_rollup_merge")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"rollup aggregate lost its partial stage:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

@@ -460,4 +460,81 @@ class FuzzSpec extends GraftSpec {
       }
     }
   }
+
+  test("resampleLocf agrees with a driver-side carry-forward on random series") {
+    import graft.analytics.TimeSeries
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    // small user/time domains force same-bucket ties, gaps, NULL values
+    val gen: Gen[Seq[(Long, Long, Long, Option[Double])]] = for {
+      n <- Gen.chooseNum(1, 30)
+      mk = for {
+        id <- Gen.chooseNum(0L, 999L)
+        u <- Gen.chooseNum(0L, 3L)
+        s <- Gen.chooseNum(0L, 600L) // 10 one-minute buckets
+        v <- Gen.option(Gen.chooseNum(0, 99).map(_.toDouble))
+      } yield (id, u, s, v)
+      rows <- Gen.listOfN(n, mk)
+    } yield rows.distinctBy(_._1) // event ids unique, as in the real table
+
+    cases(gen, 12, seed = 0x10CFL).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val got = TimeSeries.resampleLocf(df, 60L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq.sorted
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (u, rs) =>
+        val byBucket = rs.groupBy(_._3 / 60).view.mapValues(
+          _.maxBy(r => (r._3, r._1))._4).toMap // last by (ts, id)
+        var carry: Option[Double] = None
+        (byBucket.keys.min to byBucket.keys.max).map { b =>
+          byBucket.get(b).flatten.foreach(v => carry = Some(v))
+          (u, fmt.format(java.time.Instant.ofEpochSecond(b * 60)), carry)
+        }
+      }.sorted
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("fuzzy pairs are exact-distance true pairs; same-prefix pairs are " +
+    "never missed (random edited clones)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(2, 10)
+      base <- Gen.listOfN(50, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+      texts <- Gen.listOfN(n, for {
+        edits <- Gen.chooseNum(0, 14)
+        positions <- Gen.listOfN(edits, Gen.chooseNum(0, 49))
+      } yield positions.foldLeft(base)((s, p) =>
+        s.updated(p, if (s(p) == 'a') 'z' else 'a')))
+    } yield texts
+
+    cases(gen, 10, seed = 0xF0CAL).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val heads = texts.map(_.toLowerCase.take(64))
+      val got = FuzzyJoin.editDistancePairs(docs, maxDist = 10)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // precision: every emitted pair is a true <=10 pair at the exact dist
+      got.foreach { case ((i, j), dist) =>
+        assert(lev(heads(i.toInt), heads(j.toInt)).toLong == dist
+          && dist <= 10L, s"pair ($i,$j) dist drifted")
+      }
+      // recall floor: an edit-free first block guarantees the pair is seen
+      for (i <- heads.indices; j <- heads.indices if i < j) {
+        val trueDist = lev(heads(i), heads(j))
+        if (trueDist <= 10 && heads(i).take(16) == heads(j).take(16))
+          assert(got.contains((i.toLong, j.toLong)),
+            s"same-prefix pair ($i,$j) at dist $trueDist missed")
+      }
+    }
+  }
 }
