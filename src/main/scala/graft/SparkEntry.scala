@@ -1355,7 +1355,20 @@ object SparkEntry {
           Rollup.dailyRollup(ev.filter(col("ts") >= lit(cutoff))))
         .orderBy(col("day").asc_nulls_last,
           col("event_type").asc_nulls_last)
-    })
+    }),
+
+    // A+ — first-order event-type transitions per user (the
+    // Markov-chain view behind funnel discovery): user-partitioned lag
+    // window, (ts, event_id) order, TYPE×TYPE-sized output.
+    "q105_transitions" -> ((s, d) =>
+      LogAnalytics.transitions(t(s, d, "events"))
+        .orderBy(col("src").asc_nulls_last, col("dst").asc_nulls_last)),
+
+    // A+/J — join-key skew profile: top-20 heaviest user_ids with row
+    // share — the pre-join diagnostic feeding the q51 salt decision.
+    "q106_skew_profile" -> ((s, d) =>
+      Audit.skewProfile(t(s, d, "events"), "user_id", k = 20)
+        .orderBy(col("rank").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2746,6 +2759,31 @@ object SparkEntry {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+
+    // lag over (ts, event_id) — a total order, so adjacency is
+    // engine-independent; first events drop out via the NULL src filter.
+    "q105_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS src
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT src, event_type AS dst, count(*) AS n
+        |FROM s WHERE src IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    // n/total is one IEEE double division of two exact ints — bit-equal
+    // both sides; ordering happens on the native key (NULLS FIRST
+    // pinned), the string cast is output-schema-only.
+    "q106_skew_profile" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT CAST(k AS VARCHAR) AS key, n,
+        |       round(n / (SELECT total FROM t), 6) AS share,
+        |       CAST(row_number() OVER (ORDER BY n DESC, k ASC NULLS FIRST)
+        |            AS BIGINT) AS rank
+        |FROM c ORDER BY rank LIMIT 20""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

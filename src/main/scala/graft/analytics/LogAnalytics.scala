@@ -234,6 +234,38 @@ object LogAnalytics {
    * buckets (or all buckets equal ⇒ stddev 0) yield NULL z, not a
    * division blow-up.
    */
+  /**
+   * First-order transition counts over each user's event sequence —
+   * the Markov-chain view of user journeys ("what follows a click?"),
+   * the aggregate behind funnel DISCOVERY the same way [[funnel]] is
+   * the check of an already-hypothesized path. Each user's events are
+   * ordered by `(ts, idCol)` (the id tiebreak keeps equal-timestamp
+   * batches deterministic); every adjacent pair contributes one
+   * `(src, dst)` count; a user's first event has no predecessor and
+   * contributes nothing.
+   *
+   * Shape: one user-partitioned lag window (per-user state only — no
+   * global window), then a count aggregate over the TYPE×TYPE-sized
+   * transition space (dimension-sized output regardless of corpus
+   * size). Both shuffles key on data-sized but well-spread keys (user,
+   * then transition pair).
+   */
+  def transitions(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_src", lag(col(typeCol), 1).over(w))
+      .filter(col("_src").isNotNull)
+      .groupBy(col("_src").as("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def hourlyAnomaly(
       df: DataFrame,
       tsCol: String = "ts"): DataFrame = {

@@ -111,4 +111,37 @@ object Audit {
       .select("c.*")
       .orderBy(col("check").asc_nulls_last)
   }
+
+  /**
+   * Join-key skew profile: the top-`k` heaviest values of `keyCol` with
+   * their share of all rows — the pre-join diagnostic that decides
+   * between a plain shuffle join, the salted join
+   * ([[graft.ext.SkewJoin]]), or an AQE skew split ("one user_id owns
+   * 40% of the table" is the number that decision needs). NULL is a
+   * first-class key here — a null-heavy join column is the most common
+   * skew pathology — ranked NULLS FIRST on the key tiebreak so both
+   * engines agree when it ties into the cutoff.
+   *
+   * Shape: per-key count (map-side partial), a 1-row total reduce read
+   * as a plan-time scalar (the q100 stats pattern — never a 1-row
+   * cross join), TakeOrdered for the top-k, and rank assignment over
+   * those k rows only. The key is cast to string in the OUTPUT schema
+   * only — ordering happens on the native type.
+   */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val counts = df.groupBy(col(keyCol).as("_key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val ord = Seq(col("n").desc, col("_key").asc_nulls_first)
+    counts.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+        .cast("long"))
+      .select(col("_key").cast("string").as("key"), col("n"),
+        round(col("n") / lit(total), 6).as("share"), col("rank"))
+  }
 }

@@ -187,4 +187,26 @@ class LogAnalyticsSpec extends GraftSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("transitions: adjacent pairs per user in (ts, id) order; first " +
+    "events and NULL users contribute nothing") {
+    def ev(id: Long, u: Option[Long], s: String, t: String) = (id, u, s, t)
+    val events = Seq(
+      ev(1L, Some(1L), "2024-01-01 10:00:00", "view"),
+      ev(2L, Some(1L), "2024-01-01 10:01:00", "click"),
+      ev(3L, Some(1L), "2024-01-01 10:02:00", "click"),
+      // same-ts tie: id order decides view(4) precedes click(5)
+      ev(4L, Some(2L), "2024-01-01 10:00:00", "view"),
+      ev(5L, Some(2L), "2024-01-01 10:00:00", "click"),
+      ev(6L, None,     "2024-01-01 10:00:00", "view")
+    ).map { case (id, u, s, t) => (id, u, s, t) }
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = LogAnalytics.transitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("view", "click", 2L),  // u1 view→click + u2 tie-ordered pair
+      ("click", "click", 1L)))
+  }
 }

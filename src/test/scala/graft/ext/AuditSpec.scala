@@ -71,4 +71,21 @@ class AuditSpec extends GraftSpec {
     assert(got.filterNot(_._1 == "matched_keys").values.forall(_ == 0L))
     assert(got("matched_keys") == 3L)
   }
+
+  test("skewProfile: heaviest keys first, exact shares, NULL ranked as a " +
+    "first-class key, k caps the output") {
+    val df = (Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(Option(8L)) ++
+      Seq.fill(3)(Option.empty[Long]))
+      .toDF("k")
+    val got = Audit.skewProfile(df, "k", k = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    // 12 rows total: key 7 owns 0.5; the 3-row tie between NULL and 8
+    // breaks NULLS FIRST
+    assert(got == Seq(
+      (Some("7"), 6L, 0.5, 1L),
+      (None, 3L, 0.25, 2L)))
+    assert(Audit.skewProfile(df, "k", k = 10).count() == 3L)
+    intercept[IllegalArgumentException] { Audit.skewProfile(df, "k", 0) }
+  }
 }
