@@ -350,6 +350,19 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q105: transition lag window is user-partitioned; output agg " +
+    "keeps map-side partials") {
+    val p = plan("q105_transitions")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q106: skew profile top-k plans as TakeOrdered over the key counts") {
+    val p = plan("q106_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
