@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, FuzzyJoin, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1368,7 +1368,24 @@ object SparkEntry {
     // share — the pre-join diagnostic feeding the q51 salt decision.
     "q106_skew_profile" -> ((s, d) =>
       Audit.skewProfile(t(s, d, "events"), "user_id", k = 20)
-        .orderBy(col("rank").asc_nulls_last))
+        .orderBy(col("rank").asc_nulls_last)),
+
+    // X+ — the encode half of the tokenizer pair: q103's vocab applied
+    // as a driver-literal map (vocab-sized metadata) → pure narrow
+    // projection, ids certified as md5 over the space-joined sequence.
+    "q107_encode_vocab" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.encodeWithVocab(docs, "doc_id", "text",
+          TextOps.buildVocab(docs, "text", k = 500))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X+/E — embedding-quality eval: leave-one-out 5-NN label vote over
+    // the labeled sample (exact cosine, rounded before ranking; vote
+    // ties to the smallest label). avg(correct) is the probe accuracy.
+    "q108_knn_classify" -> ((s, d) =>
+      Eval.knnClassify(t(s, d, "embeddings"), k = 5)
+        .orderBy(col("vec_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2784,6 +2801,75 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY n DESC, k ASC NULLS FIRST)
         |            AS BIGINT) AS rank
         |FROM c ORDER BY rank LIMIT 20""".stripMargin,
+
+    // The vocab CTE replays q103 (row_number over the full tf in the
+    // same total order ≡ the pre-limited top-k); generate_subscripts +
+    // unnest zip positionally (Postgres semantics), and the ordered
+    // string_agg rebuilds the exact space-joined id sequence Spark
+    // hashes. Empty-token docs drop out on both sides.
+    "q107_encode_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |             '\s+'), x -> length(x) > 0) AS tl
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT t AS token, count(*) AS freq FROM (
+        |    SELECT unnest(tl) AS t FROM toks) GROUP BY 1),
+        |vocab AS (
+        |  SELECT token,
+        |         row_number() OVER (ORDER BY freq DESC, token) AS id
+        |  FROM tf QUALIFY id <= 500),
+        |ex AS (
+        |  SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+        |         unnest(tl) AS tok
+        |  FROM toks WHERE len(tl) > 0),
+        |ids AS (
+        |  SELECT e.doc_id, e.pos, coalesce(v.id, 0) AS tid
+        |  FROM ex e LEFT JOIN vocab v ON e.tok = v.token)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos))
+        |         AS ids_md5
+        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact leave-one-out kNN: both engines fold the dot/norm in array
+    // order (bit-identical, the q19 contract) and round sims to 6 dp
+    // before ranking; vote ties break to the smallest label.
+    "q108_knn_classify" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, nn_label, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY votes DESC, nn_label) AS vr
+        |  FROM v)
+        |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
+        |       CAST(q_label = nn_label AS BIGINT) AS correct
+        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

@@ -398,4 +398,41 @@ object TextOps {
           Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
       .select(col("token"), col("id"), col("freq"))
   }
+
+  /**
+   * Apply a [[buildVocab]] vocabulary to documents — the encode step
+   * of the tokenizer pair: every token maps to its dense id,
+   * out-of-vocabulary tokens to 0 (the UNK convention, which is why
+   * [[buildVocab]] ids start at 1). Documents with no tokens are
+   * dropped (nothing to encode). Returns `(idCol, n_tokens, n_oov,
+   * ids_md5)` — the id sequence certified compactly as an md5 over the
+   * space-joined ids (the [[chunkTokens]] precedent: both engines hash
+   * identical UTF-8 bytes) instead of shipping id arrays through the
+   * dump.
+   *
+   * Shape at scale: the vocab reaches every executor as a DRIVER-
+   * LITERAL map (vocab-sized metadata, the IVF-centroid contract — k
+   * tokens, not corpus data), so encoding is a pure narrow projection:
+   * zero shuffle, zero joins, codegen'd `element_at` per token. The
+   * per-token join alternative would shuffle the exploded corpus by
+   * token — data-sized — to look up a metadata-sized table.
+   */
+  def encodeWithVocab(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val entries = vocab.select(col("token"), col("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(entries.nonEmpty, "empty vocabulary — build it first")
+    val vmap = typedLit(entries)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) > 0)
+      .withColumn("_ids", transform(col("_toks"),
+        t => coalesce(element_at(vmap, t), lit(0L))))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_ids"), i => i === 0L)).cast("long").as("n_oov"),
+        md5(concat_ws(" ", transform(col("_ids"), _.cast("string")))
+          .cast("binary")).as("ids_md5"))
+  }
 }

@@ -363,6 +363,20 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q107: vocab encode is a pure narrow projection — no joins, the " +
+    "only exchange is the output sort") {
+    val p = plan("q107_encode_vocab")
+    assert(!p.contains("Join"), s"driver-literal map must not plan a join:\n$p")
+    assert("Exchange ".r.findAllIn(p).size == 1, s"encode shuffled:\n$p")
+  }
+
+  test("q108: kNN eval broadcasts the query side; corpus never shuffles " +
+    "before the top-k window") {
+    val p = plan("q108_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

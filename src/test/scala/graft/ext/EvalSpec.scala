@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.GraftSpec
+
+class EvalSpec extends GraftSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + one vector planted INSIDE
+  // the wrong cluster — its neighbors all vote the other label
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.01f), 0),
+    (2L, Array(1.0f, 0.01f, 0.0f), 0),
+    (3L, Array(0.99f, 0.0f, 0.02f), 0),
+    (4L, Array(0.0f, 1.0f, 0.01f), 1),
+    (5L, Array(0.01f, 1.0f, 0.0f), 1),
+    (6L, Array(0.0f, 0.99f, 0.02f), 1),
+    (7L, Array(0.0f, 1.0f, 0.03f), 0) // mislabeled plant
+  ).toDF("vec_id", "embedding", "label")
+
+  test("clean cluster members classify correctly; the planted vector " +
+    "gets outvoted") {
+    val got = Eval.knnClassify(emb, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    (1L to 3L).foreach(i => assert(got(i) == ((0, 0, 1L)), s"vec $i"))
+    (4L to 6L).foreach(i => assert(got(i) == ((1, 1, 1L)), s"vec $i"))
+    assert(got(7L) == ((0, 1, 0L)), "plant must be outvoted by its cluster")
+  }
+
+  test("vote ties break to the smallest label") {
+    // k=2: each query sees one neighbor of each label → 1-1 tie → label 0
+    val tied = Seq(
+      (1L, Array(1.0f, 0.0f), 5),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.9f, -0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Eval.knnClassify(tied, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) == 0, "1-1 tie must resolve to the smallest label")
+  }
+
+  test("NULL labels and NULL vectors are excluded from both sides") {
+    val withNulls = emb.unionByName(Seq(
+      (8L, Array(1.0f, 0.0f, 0.0f), Option.empty[Int]),
+      (9L, null.asInstanceOf[Array[Float]], Option(0))
+    ).toDF("vec_id", "embedding", "label"))
+    val got = Eval.knnClassify(withNulls, k = 3)
+    assert(got.count() == 7L)
+    // and the labeled rows' votes are unchanged by the excluded rows
+    assert(got.filter($"vec_id" === 7L).head().getInt(2) == 1)
+  }
+
+  test("k must be positive") {
+    intercept[IllegalArgumentException] { Eval.knnClassify(emb, k = 0) }
+  }
+}

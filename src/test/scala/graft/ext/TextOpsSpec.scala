@@ -261,4 +261,28 @@ class TextOpsSpec extends GraftSpec {
       TextOps.buildVocab(docs, "text", k = 0)
     }
   }
+
+  test("encodeWithVocab: in-vocab ids, OOV→0, md5 over the id sequence, " +
+    "empty docs dropped") {
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(train, "text", k = 10) // a→1, b→2
+    val docs = Seq(
+      (10L, "a b zzz A"), // 4 tokens (lowered), zzz is OOV
+      (11L, "   ")        // tokenless — dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.encodeWithVocab(docs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.length == 1)
+    val (id, n, oov, h) = got(0)
+    assert(id == 10L && n == 4L && oov == 1L)
+    // the certified sequence is "1 2 0 1"
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("1 2 0 1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == expected)
+    intercept[IllegalArgumentException] {
+      TextOps.encodeWithVocab(docs, "doc_id", "text", vocab.limit(0))
+    }
+  }
 }
