@@ -1385,7 +1385,24 @@ object SparkEntry {
     // ties to the smallest label). avg(correct) is the probe accuracy.
     "q108_knn_classify" -> ((s, d) =>
       Eval.knnClassify(t(s, d, "embeddings"), k = 5)
-        .orderBy(col("vec_id").asc_nulls_last))
+        .orderBy(col("vec_id").asc_nulls_last)),
+
+    // X+ — incremental vocab maintenance: the persisted term-frequency
+    // table (round-tripped) merged with the new batch's partials, then
+    // ranked — history is never re-tokenized; shares q103's oracle
+    // because merged-tf ranking ≡ the from-scratch vocab.
+    "q109_vocab_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q109_${d.hashCode.toHexString}"
+      TextOps.termFrequencies(docs.filter(col("doc_id") < 250), "text")
+        .write.mode("overwrite").parquet(tmp)
+      TextOps.vocabFromTf(
+          TextOps.mergeTermFrequencies(s.read.parquet(tmp),
+            TextOps.termFrequencies(
+              docs.filter(col("doc_id") >= 250), "text")),
+          k = 500)
+        .orderBy(col("id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1462,6 +1479,22 @@ object SparkEntry {
       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |         AS rank
       |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Top-500 token vocabulary with dense ids — shared by q103 (direct
+    * build) and q109 (persisted-tf merge), which must produce the
+    * identical map. */
+  private val vocabOracleSql: String =
+    """WITH tf AS (
+      |  SELECT t AS token, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |                  '\s+'), x -> length(x) > 0)) AS t
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY 1)
+      |SELECT token,
+      |       CAST(row_number() OVER (ORDER BY freq DESC, token)
+      |            AS BIGINT) AS id,
+      |       freq
+      |FROM tf ORDER BY id LIMIT 500""".stripMargin
 
   private val bruteForceTopkSql: String =
     """WITH s AS (
@@ -2754,18 +2787,12 @@ object SparkEntry {
     // order equals Spark's row_number over the pre-limited top-k — the
     // order is total (tokens unique after GROUP BY), so the first k
     // ids coincide.
-    "q103_vocab" ->
-      """WITH tf AS (
-        |  SELECT t AS token, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text),
-        |                  '\s+'), x -> length(x) > 0)) AS t
-        |    FROM documents WHERE text IS NOT NULL)
-        |  GROUP BY 1)
-        |SELECT token,
-        |       CAST(row_number() OVER (ORDER BY freq DESC, token)
-        |            AS BIGINT) AS id,
-        |       freq
-        |FROM tf ORDER BY id LIMIT 500""".stripMargin,
+    "q103_vocab" -> vocabOracleSql,
+
+    // Shares q103's exact oracle: ranking the merged (history-tf ∪
+    // batch-tf) partials must equal the from-scratch vocab — term
+    // counts are additive, the q104 algebraic argument applied to text.
+    "q109_vocab_merge" -> vocabOracleSql,
 
     // The oracle recomputes from ALL events — the maintained invariant
     // is merged(history rollup, batch partial) ≡ from-scratch. count is

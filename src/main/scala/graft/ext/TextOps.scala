@@ -386,13 +386,33 @@ object TextOps {
       docs: DataFrame,
       textCol: String,
       k: Int,
-      minFreq: Long = 1L): DataFrame = {
-    require(k > 0, s"vocab size k must be positive, got $k")
-    val tf = docs.filter(col(textCol).isNotNull)
+      minFreq: Long = 1L): DataFrame =
+    vocabFromTf(termFrequencies(docs, textCol), k, minFreq)
+
+  /** The corpus-sized half of [[buildVocab]]: per-token counts
+    * `(token, freq)` — ADDITIVE, so a persisted tf table maintains by
+    * [[mergeTermFrequencies]] with each batch's partials instead of
+    * re-tokenizing history (the vocab's standing-index form; q104's
+    * algebraic-rollup argument applied to terms). */
+  def termFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
-    tf.orderBy(col("freq").desc, col("token").asc).limit(k)
+
+  /** Additive merge of term-frequency partials; `merge(a,b)` ≡
+    * [[termFrequencies]] over the concatenated corpora (spec-pinned),
+    * shuffling only tf-sized rows. */
+  def mergeTermFrequencies(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** The vocab-sized half of [[buildVocab]]: rank a tf frame into the
+    * dense-id map (top-`k` by (freq DESC, token), ids 1-based in that
+    * total order; TakeOrdered + a k-row id window). */
+  def vocabFromTf(tf: DataFrame, k: Int, minFreq: Long = 1L): DataFrame = {
+    require(k > 0, s"vocab size k must be positive, got $k")
+    tf.filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("token").asc).limit(k)
       .withColumn("id",
         row_number().over(
           Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))

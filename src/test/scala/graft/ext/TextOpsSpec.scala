@@ -285,4 +285,24 @@ class TextOpsSpec extends GraftSpec {
       TextOps.encodeWithVocab(docs, "doc_id", "text", vocab.limit(0))
     }
   }
+
+  test("mergeTermFrequencies(history, batch) ranks identically to the " +
+    "from-scratch vocab at any split") {
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "y z z q"), (3L, "x q q q w")
+    ).toDF("doc_id", "text")
+    def vocabOf(df: org.apache.spark.sql.DataFrame) =
+      TextOps.buildVocab(df, "text", k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = vocabOf(docs)
+    Seq(1L, 2L, 3L).foreach { cut =>
+      val merged = TextOps.vocabFromTf(
+        TextOps.mergeTermFrequencies(
+          TextOps.termFrequencies(docs.filter($"doc_id" < cut), "text"),
+          TextOps.termFrequencies(docs.filter($"doc_id" >= cut), "text")),
+        k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(merged == full, s"split at $cut drifted")
+    }
+  }
 }
