@@ -1402,7 +1402,16 @@ object SparkEntry {
               docs.filter(col("doc_id") >= 250), "text")),
           k = 500)
         .orderBy(col("id").asc_nulls_last)
-    })
+    }),
+
+    // A+/E — per-type value deciles (empirical-quantile calibration
+    // bins): ntile over the (value, id) total order inside each group,
+    // exact per-bucket bounds — GROUP×10-sized output.
+    "q110_value_deciles" -> ((s, d) =>
+      Audit.valueDeciles(t(s, d, "events"), "event_type", "value",
+          "event_id", bins = 10)
+        .orderBy(col("event_type").asc_nulls_last,
+          col("bin").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2793,6 +2802,21 @@ object SparkEntry {
     // batch-tf) partials must equal the from-scratch vocab — term
     // counts are additive, the q104 algebraic argument applied to text.
     "q109_vocab_merge" -> vocabOracleSql,
+
+    // ntile is pure rank arithmetic over the (value, event_id) total
+    // order — identical bucket boundaries in both engines; bounds are
+    // order-free min/max doubles.
+    "q110_value_deciles" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(ntile(10) OVER (PARTITION BY event_type
+        |                              ORDER BY value, event_id)
+        |              AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bin, count(*) AS n,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM b GROUP BY 1, 2
+        |ORDER BY event_type, bin""".stripMargin,
 
     // The oracle recomputes from ALL events — the maintained invariant
     // is merged(history rollup, batch partial) ≡ from-scratch. count is

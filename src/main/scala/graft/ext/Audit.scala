@@ -144,4 +144,35 @@ object Audit {
       .select(col("_key").cast("string").as("key"), col("n"),
         round(col("n") / lit(total), 6).as("share"), col("rank"))
   }
+
+  /**
+   * Equal-count value bins per group (`ntile`): each group's non-NULL
+   * values split into `bins` rank-contiguous buckets with per-bucket
+   * count and value bounds — the empirical-quantile profile behind
+   * score calibration ("is a quality score of 0.7 top-decile for src3
+   * or merely median?") and drift checks between corpus slices. Rows
+   * are ordered `(value, idCol)` inside each group — the id tiebreak
+   * makes duplicate values bin deterministically, so reruns and engines
+   * agree bucket-for-bucket, not just approximately.
+   *
+   * Shape: one per-group sort window (ntile is rank arithmetic, no
+   * value math), then a count/min/max aggregate over the
+   * GROUP×bins-sized output. NULL values carry no rank and are
+   * excluded; bounds are exact min/max (order-free doubles, no float
+   * sums anywhere).
+   */
+  def valueDeciles(
+      df: DataFrame, keyCol: String, valueCol: String, idCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+  }
 }

@@ -88,4 +88,25 @@ class AuditSpec extends GraftSpec {
     assert(Audit.skewProfile(df, "k", k = 10).count() == 3L)
     intercept[IllegalArgumentException] { Audit.skewProfile(df, "k", 0) }
   }
+
+  test("valueDeciles: ntile splits per group with the id tiebreak; NULL " +
+    "values carry no rank") {
+    // group A: 5 values into 2 bins → sizes 3+2, ordered by (value, id);
+    // the duplicate value 2.0 bins deterministically by id
+    val df = Seq(
+      (1L, "A", Some(1.0)), (2L, "A", Some(2.0)), (3L, "A", Some(2.0)),
+      (4L, "A", Some(3.0)), (5L, "A", Some(4.0)),
+      (6L, "B", Some(9.0)), (7L, "B", None)
+    ).toDF("event_id", "k", "v")
+    val got = Audit.valueDeciles(df, "k", "v", "event_id", bins = 2)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("A", 1L)) == ((3L, 1.0, 2.0))) // ids 1,2,3
+    assert(got(("A", 2L)) == ((2L, 3.0, 4.0))) // ids 4,5
+    assert(got(("B", 1L)) == ((1L, 9.0, 9.0)))
+    assert(!got.contains(("B", 2L)), "a 1-row group fills only bin 1")
+    intercept[IllegalArgumentException] {
+      Audit.valueDeciles(df, "k", "v", "event_id", 0)
+    }
+  }
 }
