@@ -1411,7 +1411,20 @@ object SparkEntry {
       Audit.valueDeciles(t(s, d, "events"), "event_type", "value",
           "event_id", bins = 10)
         .orderBy(col("event_type").asc_nulls_last,
-          col("bin").asc_nulls_last))
+          col("bin").asc_nulls_last)),
+
+    // X+ — the persisted-index form of q102 (the q75/q77 amortization
+    // for edit distance): block rows built once, parquet round-trip,
+    // probe through the shared matchBlocks core — shares q102's exact
+    // oracle because indexed ≡ self-contained by construction.
+    "q111_fuzzy_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q111_${d.hashCode.toHexString}"
+      FuzzyJoin.buildFuzzyIndex(docs).write.mode("overwrite").parquet(tmp)
+      FuzzyJoin.editDistancePairsIndexed(docs, s.read.parquet(tmp))
+        .orderBy(col("doc_id").asc_nulls_last,
+          col("dup_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -1488,6 +1501,28 @@ object SparkEntry {
       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |         AS rank
       |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Two-pass prefix-blocked Levenshtein pairs — shared by q102 (self-
+    * contained) and q111 (persisted block index), which must produce the
+    * identical pair set. */
+  private val fuzzyPairsOracleSql: String =
+    """WITH h AS (SELECT doc_id, lower(substr(text, 1, 64)) AS head
+      |           FROM documents WHERE text IS NOT NULL),
+      |b AS (
+      |  SELECT a.doc_id AS d1, c.doc_id AS d2, a.head AS ha, c.head AS hb
+      |  FROM h a JOIN h c
+      |    ON substr(a.head, 1, 16) = substr(c.head, 1, 16)
+      |   AND a.doc_id < c.doc_id
+      |  UNION
+      |  SELECT a.doc_id, c.doc_id, a.head, c.head
+      |  FROM h a JOIN h c
+      |    ON substr(a.head, 17, 16) = substr(c.head, 17, 16)
+      |   AND length(a.head) >= 32 AND length(c.head) >= 32
+      |   AND a.doc_id < c.doc_id)
+      |SELECT d1 AS doc_id, d2 AS dup_id,
+      |       CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+      |FROM b WHERE levenshtein(ha, hb) <= 10
+      |ORDER BY doc_id, dup_id""".stripMargin
 
   /** Top-500 token vocabulary with dense ids — shared by q103 (direct
     * build) and q109 (persisted-tf merge), which must produce the
@@ -2773,24 +2808,12 @@ object SparkEntry {
     // Spark's .distinct() over doubly-blocked pairs. Pass 2's length
     // guard keeps short heads out of the empty-suffix block on both
     // sides.
-    "q102_fuzzy_pairs" ->
-      """WITH h AS (SELECT doc_id, lower(substr(text, 1, 64)) AS head
-        |           FROM documents WHERE text IS NOT NULL),
-        |b AS (
-        |  SELECT a.doc_id AS d1, c.doc_id AS d2, a.head AS ha, c.head AS hb
-        |  FROM h a JOIN h c
-        |    ON substr(a.head, 1, 16) = substr(c.head, 1, 16)
-        |   AND a.doc_id < c.doc_id
-        |  UNION
-        |  SELECT a.doc_id, c.doc_id, a.head, c.head
-        |  FROM h a JOIN h c
-        |    ON substr(a.head, 17, 16) = substr(c.head, 17, 16)
-        |   AND length(a.head) >= 32 AND length(c.head) >= 32
-        |   AND a.doc_id < c.doc_id)
-        |SELECT d1 AS doc_id, d2 AS dup_id,
-        |       CAST(levenshtein(ha, hb) AS BIGINT) AS dist
-        |FROM b WHERE levenshtein(ha, hb) <= 10
-        |ORDER BY doc_id, dup_id""".stripMargin,
+    "q102_fuzzy_pairs" -> fuzzyPairsOracleSql,
+
+    // Shares q102's exact oracle: the indexed probe goes through the
+    // same matchBlocks core over the same block rows, so persisted ≡
+    // self-contained (the q75/q76/q77 pattern).
+    "q111_fuzzy_indexed" -> fuzzyPairsOracleSql,
 
     // row_number over the full term frequency in (freq DESC, token)
     // order equals Spark's row_number over the pre-limited top-k — the

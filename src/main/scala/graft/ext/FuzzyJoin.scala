@@ -45,30 +45,89 @@ object FuzzyJoin {
       textCol: String = "text",
       headLen: Int = 64,
       blockLen: Int = 16,
-      maxDist: Int = 10): DataFrame = {
+      maxDist: Int = 10): DataFrame =
+    matchBlocks(
+      blockRows(docs, idCol, textCol, headLen, blockLen),
+      blockRows(docs, idCol, textCol, headLen, blockLen),
+      idCol, maxDist)
+
+  /**
+   * One `(id, _blk, _head)` row per (pass, document): pass 1 keys on
+   * head chars `[1, blockLen]`, pass 2 on `[blockLen+1, 2·blockLen]`
+   * (length-guarded; the pass tag is folded into the key so the two
+   * block spaces never collide). This is THE block derivation — both
+   * the self-contained pairs and the indexed screen go through it, so
+   * they cannot drift — and its persisted form is [[buildFuzzyIndex]].
+   */
+  private[graft] def blockRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      headLen: Int, blockLen: Int): DataFrame = {
     require(headLen >= 2 * blockLen,
       s"headLen=$headLen must cover both $blockLen-char block regions")
     val heads = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         lower(substring(col(textCol), 1, headLen)).as("_head"))
-    def pass(blockKey: Column, guard: Column): DataFrame = {
-      val a = heads.filter(guard)
-        .select(col(idCol).as("_id_a"), col("_head").as("_ha"),
-          blockKey.as("_blk"))
-      val b = heads.filter(guard)
-        .select(col(idCol).as("_id_b"), col("_head").as("_hb"),
-          blockKey.as("_blk"))
-      a.join(b, Seq("_blk")).filter(col("_id_a") < col("_id_b"))
-        .select(col("_id_a"), col("_id_b"), col("_ha"), col("_hb"))
-    }
-    val cands = pass(substring(col("_head"), 1, blockLen), lit(true))
-      .unionByName(pass(
+    def pass(tag: String, blockKey: Column, guard: Column): DataFrame =
+      heads.filter(guard).select(col(idCol),
+        concat(lit(tag), blockKey).as("_blk"), col("_head"))
+    pass("1:", substring(col("_head"), 1, blockLen), lit(true))
+      .unionByName(pass("2:",
         substring(col("_head"), blockLen + 1, blockLen),
         length(col("_head")) >= 2 * blockLen))
+  }
+
+  /** The shared probe/score core: bucket equi-join two block-row
+    * frames, normalize each unordered pair to `(min id, max id)` (so
+    * the screen direction doesn't depend on which side holds the
+    * smaller id), dedup pairs blocked by both passes, then the exact
+    * Levenshtein filter. */
+  private def matchBlocks(
+      a: DataFrame, b: DataFrame, idCol: String, maxDist: Int): DataFrame =
+    a.select(col(idCol).as("_id_a"), col("_blk"), col("_head").as("_ha"))
+      .join(b.select(col(idCol).as("_id_b"), col("_blk"),
+        col("_head").as("_hb")), Seq("_blk"))
+      .filter(col("_id_a") =!= col("_id_b"))
+      .select(
+        least(col("_id_a"), col("_id_b")).as("_id_a"),
+        greatest(col("_id_a"), col("_id_b")).as("_id_b"),
+        when(col("_id_a") < col("_id_b"), col("_ha")).otherwise(col("_hb"))
+          .as("_ha"),
+        when(col("_id_a") < col("_id_b"), col("_hb")).otherwise(col("_ha"))
+          .as("_hb"))
       .distinct() // a pair blocked by both passes scores once
-    cands
       .withColumn("dist", levenshtein(col("_ha"), col("_hb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("_id_a").as(idCol), col("_id_b").as("dup_id"), col("dist"))
-  }
+
+  /**
+   * Persist the block rows as a standing fuzzy index — the q75/q77
+   * amortization applied to edit-distance matching: a daily batch
+   * screens against years of corpus without re-lowering or re-blocking
+   * a single historical head. `index ∪ buildFuzzyIndex(newBatch)` ≡ a
+   * from-scratch rebuild (block rows are per-doc-local projections —
+   * spec-pinned), so maintenance is parquet append.
+   */
+  def buildFuzzyIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      headLen: Int = 64,
+      blockLen: Int = 16): DataFrame =
+    blockRows(docs, idCol, textCol, headLen, blockLen)
+
+  /** [[editDistancePairs]] against a persisted [[buildFuzzyIndex]]:
+    * only the probe side derives blocks; with probe = the index's own
+    * documents this reproduces the self-contained pairs exactly (the
+    * shared-core guarantee). */
+  def editDistancePairsIndexed(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      headLen: Int = 64,
+      blockLen: Int = 16,
+      maxDist: Int = 10): DataFrame =
+    matchBlocks(
+      blockRows(docs, idCol, textCol, headLen, blockLen),
+      index, idCol, maxDist)
 }

@@ -45,6 +45,32 @@ class FuzzyJoinSpec extends GraftSpec {
     assert(out.count() == 0)
   }
 
+  test("indexed probe over the index's own docs ≡ self-contained pairs; " +
+    "index ∪ append ≡ rebuild") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val self = pairs(FuzzyJoin.editDistancePairs(d))
+    val full = FuzzyJoin.buildFuzzyIndex(d)
+    assert(pairs(FuzzyJoin.editDistancePairsIndexed(d, full)) == self)
+    // append law: block rows are per-doc-local, so a split build unions
+    // to the full index
+    val part1 = FuzzyJoin.buildFuzzyIndex(d.filter($"doc_id" < 250))
+    val part2 = FuzzyJoin.buildFuzzyIndex(d.filter($"doc_id" >= 250))
+    assert(pairs(FuzzyJoin.editDistancePairsIndexed(
+      d, part1.unionByName(part2))) == self)
+  }
+
+  test("the screen direction is id-order-independent: a LOW-id probe " +
+    "against a high-id index still pairs") {
+    val corpus = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    val probe = docs(1L -> "the quick brown fox jumps over the lazy dot")
+    val idx = FuzzyJoin.buildFuzzyIndex(corpus)
+    val out = FuzzyJoin.editDistancePairsIndexed(probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)))
+  }
+
   test("matches the declared query against sf0.001 brute force") {
     val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val got = FuzzyJoin.editDistancePairs(d)
