@@ -1424,7 +1424,26 @@ object SparkEntry {
       FuzzyJoin.editDistancePairsIndexed(docs, s.read.parquet(tmp))
         .orderBy(col("doc_id").asc_nulls_last,
           col("dup_id").asc_nulls_last)
-    })
+    }),
+
+    // A+/E — exact per-type value quantiles (type-7 interpolation, the
+    // convention both engines share), 6-dp armored — the exact
+    // companion of the q49 GK sketch at group-sized data.
+    "q112_group_quantiles" -> ((s, d) =>
+      Audit.groupQuantiles(t(s, d, "events"), "event_type", "value",
+          Seq(0.5, 0.9))
+        .orderBy(col("event_type").asc_nulls_last)),
+
+    // A+ — fixed-window debounce: per-(user, type) timelines quantized
+    // into 300 s windows anchored at the key's first event, first event
+    // per occupied window kept — closed-form (replay-idempotent), the
+    // retry-storm cleaner. Output projected to the stable id triple +
+    // rendered ts.
+    "q113_debounce" -> ((s, d) =>
+      LogAnalytics.debounce(t(s, d, "events"), withinSeconds = 300L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy(col("event_id").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2825,6 +2844,42 @@ object SparkEntry {
     // batch-tf) partials must equal the from-scratch vocab — term
     // counts are additive, the q104 algebraic argument applied to text.
     "q109_vocab_merge" -> vocabOracleSql,
+
+    // quantile_cont shares Spark percentile's type-7 convention; 6-dp
+    // rounding absorbs the engines' different association of the
+    // interpolation arithmetic.
+    "q112_group_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Window ids from floor-second epochs: Spark's cast-to-long
+    // truncation ≡ DuckDB's floor(epoch) for positive epochs; the
+    // first-event anchor is a running first_value over the same
+    // (ts, event_id) total order.
+    "q113_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(ts AS TIMESTAMP) AS tsu,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT *, first_value(es) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+        |  FROM e),
+        |k AS (
+        |  SELECT *, row_number() OVER (
+        |           PARTITION BY user_id, event_type,
+        |                        CAST(floor((es - fs) / 300) AS BIGINT)
+        |           ORDER BY tsu, event_id) AS rn
+        |  FROM g)
+        |SELECT event_id, user_id, event_type,
+        |       strftime(tsu, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM k WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // ntile is pure rank arithmetic over the (value, event_id) total
     // order — identical bucket boundaries in both engines; bounds are

@@ -214,6 +214,55 @@ object LogAnalytics {
   }
 
   /**
+   * Fixed-window debounce: within each (user, type) key, quantize the
+   * timeline into `withinSeconds` windows anchored at the key's FIRST
+   * event and keep only the first event of each occupied window — the
+   * double-click / retry-storm cleaner a log pipeline runs before
+   * counting ("one purchase, not three retries"). The fixed-window
+   * form (rather than "gap since the previous kept event") is what
+   * metric pipelines deploy because it is a CLOSED FORM: window
+   * membership never depends on which earlier events survived, so the
+   * result is one-pass computable, engine-portable, and idempotent —
+   * debouncing a debounced stream is a no-op, and a replayed slice
+   * lands in the same windows. A burst of any length collapses to at
+   * most one event per window span. Events order by `(ts, idCol)`
+   * (the id tiebreak keeps equal-timestamp retries deterministic);
+   * kept rows retain the original schema.
+   *
+   * Shape: two user+type-partitioned windows (the first-event anchor,
+   * then first-per-window selection) — per-key sorted-scan state only,
+   * no joins, no data-sized aggregation; the q34 sessionization cost
+   * class at 100 TB.
+   */
+  def debounce(
+      df: DataFrame,
+      withinSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(withinSeconds > 0,
+      s"withinSeconds must be positive, got $withinSeconds")
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val firstEpoch = first_value(col(tsCol).cast("long")).over(wRun)
+    val win = floor((col(tsCol).cast("long") - firstEpoch)
+      / withinSeconds).cast("long")
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_win", win)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol), col(typeCol), col("_win"))
+          .orderBy(col(tsCol).asc, col(idCol).asc)))
+      .filter(col("_rn") === 1)
+      .drop("_win", "_rn")
+  }
+
+  /**
    * Hourly traffic anomaly score: events bucketed per hour, each
    * bucket's count z-scored against the mean/stddev of ALL hourly
    * buckets — the "did something spike?" check a log pipeline runs

@@ -175,4 +175,27 @@ object Audit {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
   }
+
+  /**
+   * Exact per-group quantiles (type-7 / linear interpolation — the
+   * convention Spark's `percentile` and DuckDB's `quantile_cont`
+   * share): one `p<NN>` column per requested probability, rounded to
+   * 6 dp (the q89/q99 float armor — the two engines associate the
+   * interpolation arithmetic differently in the last ulp). The exact
+   * companion of the GK-sketch quantiles (q49): exact needs a per-group
+   * sort and is the right tool at group-sized data; the sketch is the
+   * 100 TB path.
+   */
+  def groupQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      s"probs must lie strictly in (0,1), got $probs")
+    val aggs = probs.map(p =>
+      round(expr(s"percentile(`$valueCol`, $p)"), 6)
+        .as(s"p${math.round(p * 100)}"))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

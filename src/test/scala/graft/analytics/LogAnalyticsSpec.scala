@@ -209,4 +209,32 @@ class LogAnalyticsSpec extends GraftSpec {
       ("view", "click", 2L),  // u1 view→click + u2 tie-ordered pair
       ("click", "click", 1L)))
   }
+
+  test("debounce: first event per occupied fixed window survives; " +
+    "idempotent; keys independent") {
+    def ev(id: Long, u: Long, s: String, t: String) = (id, u, s, t)
+    val events = Seq(
+      // u1/click: burst at 0s,10s,50s (one window) + 70s (next window)
+      ev(1L, 1L, "2024-01-01 00:00:00", "click"),
+      ev(2L, 1L, "2024-01-01 00:00:10", "click"),
+      ev(3L, 1L, "2024-01-01 00:00:50", "click"),
+      ev(4L, 1L, "2024-01-01 00:01:10", "click"),
+      // u1/view: its own anchor — not debounced against clicks
+      ev(5L, 1L, "2024-01-01 00:00:05", "view"),
+      // u2: a different user's window starts at their first event
+      ev(6L, 2L, "2024-01-01 00:00:30", "click")
+    ).map { case (id, u, s, t) => (id, u, s, t) }
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val kept = LogAnalytics.debounce(events, withinSeconds = 60L)
+    val ids = kept.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(ids == Set(1L, 4L, 5L, 6L))
+    // idempotent: debouncing the debounced stream changes nothing
+    val again = LogAnalytics.debounce(kept, withinSeconds = 60L)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(again == ids)
+    intercept[IllegalArgumentException] {
+      LogAnalytics.debounce(events, 0L)
+    }
+  }
 }

@@ -109,4 +109,20 @@ class AuditSpec extends GraftSpec {
       Audit.valueDeciles(df, "k", "v", "event_id", 0)
     }
   }
+
+  test("groupQuantiles: type-7 interpolation on a hand case; NULLs out; " +
+    "probs validated") {
+    val df = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
+      ("A", Some(4.0)), ("A", None), ("B", Some(10.0)))
+      .toDF("k", "v")
+    val got = Audit.groupQuantiles(df, "k", "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // A: sorted 1,2,3,4 → p50 at (4-1)*0.5=1.5 → 2.5; p90 at 2.7 → 3.7
+    assert(got("A") == ((2.5, 3.7)))
+    assert(got("B") == ((10.0, 10.0)))
+    intercept[IllegalArgumentException] {
+      Audit.groupQuantiles(df, "k", "v", Seq(1.0))
+    }
+  }
 }
