@@ -377,6 +377,15 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q113: debounce windows are key-partitioned — no global window, " +
+    "no join") {
+    val p = plan("q113_debounce")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("windowspecdefinition\\(\\s*cast".r.findFirstIn(p).isEmpty,
+      s"window lost its user/type partition keys:\n$p")
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
