@@ -1381,10 +1381,16 @@ object SparkEntry {
     }),
 
     // X+/E — embedding-quality eval: leave-one-out 5-NN label vote over
-    // the labeled sample (exact cosine, rounded before ranking; vote
-    // ties to the smallest label). avg(correct) is the probe accuracy.
+    // the labeled PROBE SAMPLE (exact cosine, rounded before ranking;
+    // vote ties to the smallest label). avg(correct) is the probe
+    // accuracy. Leave-one-out is quadratic by definition, so the
+    // declared query fixes the eval sample (vec_id < 1000 — the whole
+    // table at small SFs) rather than letting eval cost scale with the
+    // corpus; corpus-wide neighbor quality is the ANN-pluggable path
+    // (Eval doc).
     "q108_knn_classify" -> ((s, d) =>
-      Eval.knnClassify(t(s, d, "embeddings"), k = 5)
+      Eval.knnClassify(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5)
         .orderBy(col("vec_id").asc_nulls_last)),
 
     // X+ — incremental vocab maintenance: the persisted term-frequency
@@ -1443,7 +1449,22 @@ object SparkEntry {
       LogAnalytics.debounce(t(s, d, "events"), withinSeconds = 300L)
         .select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-        .orderBy(col("event_id").asc_nulls_last))
+        .orderBy(col("event_id").asc_nulls_last)),
+
+    // X+ — GROUP-aware split: q63's content-hash split keyed on the
+    // SOURCE instead of the document, so a source's docs land in one
+    // split together (the leakage rule: near-dups cluster within
+    // sources, so source-level assignment keeps them off the
+    // train/eval boundary). Zero new machinery — hashSplit is
+    // key-generic; the per-(split, source) counts make the no-straddle
+    // property visible row-by-row.
+    "q114_group_split" -> ((s, d) =>
+      Sampling.hashSplit(t(s, d, "documents"), col("source"),
+          Seq("train", "val", "test"), Seq("cc", "e6"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split").asc_nulls_last,
+          col("source").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2348,6 +2369,14 @@ object SparkEntry {
         |       lang, count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Same hex cut points against md5(source) — the group key.
+    "q114_group_split" ->
+      """SELECT CASE WHEN md5(source) < 'cc' THEN 'train'
+        |            WHEN md5(source) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       source, count(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Same salted-hash permutation, same head.
     "q64_corpus_shuffle" ->
       """WITH o AS (
@@ -2969,7 +2998,8 @@ object SparkEntry {
     "q108_knn_classify" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
         |s AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,
         |         c.vec_id AS nn_id, c.label AS nn_label,

@@ -244,4 +244,23 @@ class SamplingSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptNull == Set(901L))
   }
+
+  test("group-keyed hashSplit: no source straddles a split boundary") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val assigned = Sampling.hashSplit(docs, col("source"),
+      Seq("train", "val", "test"), Seq("cc", "e6"))
+    val perSource = assigned.groupBy("source")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L),
+      s"sources straddling splits: ${perSource.filter(_._2 != 1L).toSeq}")
+    // and the split is a pure function of the source value
+    val bySource = assigned.select("source", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val again = Sampling.hashSplit(docs.repartition(5), col("source"),
+      Seq("train", "val", "test"), Seq("cc", "e6"))
+      .select("source", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bySource == again)
+  }
 }
