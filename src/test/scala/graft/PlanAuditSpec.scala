@@ -386,6 +386,22 @@ class PlanAuditSpec extends GraftSpec {
       s"window lost its user/type partition keys:\n$p")
   }
 
+  test("q110/q112: distribution profiles keep partial aggregation and " +
+    "key-partitioned windows") {
+    val p10 = plan("q110_value_deciles")
+    assert(p10.contains("Window") && !p10.contains("Join"), p10)
+    val p12 = plan("q112_group_quantiles")
+    assert(p12.contains("partial_percentile") || p12.contains("Partial"), p12)
+    assert(!p12.contains("Window") && !p12.contains("Join"), p12)
+  }
+
+  test("q114: the group split is a narrow projection into the count agg — " +
+    "one data shuffle, no join") {
+    val p = plan("q114_group_split")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

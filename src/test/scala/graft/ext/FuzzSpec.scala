@@ -537,4 +537,81 @@ class FuzzSpec extends GraftSpec {
       }
     }
   }
+
+  test("debounce agrees with a driver-side window walk on random bursts") {
+    import graft.analytics.LogAnalytics
+    val gen: Gen[Seq[(Long, Long, String, Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      mk = for {
+        u <- Gen.chooseNum(0L, 2L)
+        t <- Gen.oneOf("a", "b")
+        s <- Gen.chooseNum(0L, 120L) // dense: same-second ties guaranteed
+      } yield (u, t, s)
+      rows <- Gen.listOfN(n, mk)
+    } yield rows.zipWithIndex.map { case ((u, t, s), i) => (i.toLong, u, t, s) }
+
+    cases(gen, 12, seed = 0xDEBL).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val got = LogAnalytics.debounce(df, withinSeconds = 30L)
+        .collect().map(_.getAs[Long]("event_id")).toSet
+      // reference: per (user, type) in (ts, id) order, window index from
+      // the key's first event; keep the first of each occupied window
+      val expected = rows.groupBy(r => (r._2, r._3)).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._4, r._1))
+        val first = sorted.head._4
+        sorted.groupBy(r => (r._4 - first) / 30L).values
+          .map(_.minBy(r => (r._4, r._1))._1)
+      }.toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("encodeWithVocab agrees with a driver-side encoder on random docs") {
+    val word = Gen.chooseNum(1, 4).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.chooseNum(0, 8).flatMap(w =>
+      Gen.listOfN(w, word).map(_.mkString(" ")))
+    val gen: Gen[(Seq[(Long, String)], Seq[(Long, String)])] = for {
+      nTrain <- Gen.chooseNum(1, 6)
+      nApply <- Gen.chooseNum(1, 6)
+      train <- Gen.listOfN(nTrain, doc)
+      app <- Gen.listOfN(nApply, doc)
+    } yield (train.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      app.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    cases(gen, 12, seed = 0xE2CL).foreach { case (train, app) =>
+      val trainDf = train.toDF("doc_id", "text")
+      val appDf = app.toDF("doc_id", "text")
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      // driver-side vocab: freq desc, token asc, ids from 1, top 5
+      val freq = train.flatMap(d => toks(d._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val vocabRef = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(5)
+        .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+      if (vocabRef.isEmpty) {
+        intercept[IllegalArgumentException] {
+          TextOps.encodeWithVocab(appDf, "doc_id", "text",
+            TextOps.buildVocab(trainDf, "text", k = 5))
+        }
+      } else {
+        val got = TextOps.encodeWithVocab(appDf, "doc_id", "text",
+            TextOps.buildVocab(trainDf, "text", k = 5))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        val expected = app.flatMap { case (id, text) =>
+          val ts = toks(text)
+          if (ts.isEmpty) None
+          else {
+            val ids = ts.map(t => vocabRef.getOrElse(t, 0L))
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(ids.mkString(" ").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Some(id -> ((ts.size.toLong, ids.count(_ == 0L).toLong, h)))
+          }
+        }.toMap
+        assert(got == expected, s"train=$train app=$app")
+      }
+    }
+  }
 }
