@@ -30,7 +30,7 @@ object ParseBench {
     // force evaluation of every parsed column (bare count() lets the
     // optimizer prune the projection away entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
         .agg(sum(pmod(col("h"), lit(1000000L)))).collect()(0).getLong(0)
     def time(n: String)(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -191,9 +191,9 @@ object Staging {
     val payload = df.columns.filterNot(keyCols.contains)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(
-        struct(payload.map(col): _*),
+        struct(payload.toIndexedSeq.map(col): _*),
         struct(orderCols.map(col): _*)).as("__latest"))
-      .select(df.columns.map { c =>
+      .select(df.columns.toIndexedSeq.map { c =>
         if (keyCols.contains(c)) col(c) else col(s"__latest.$c")
       }: _*)
   }
@@ -240,7 +240,7 @@ object Staging {
     if (touched.isEmpty) return
     val existing = spark.read.parquet(path)
       .filter(col(partitionCol).isin(touched: _*))
-      .select(updates.columns.map(col): _*) // align column order for union
+      .select(updates.columns.toIndexedSeq.map(col): _*) // align column order for union
     latestByKey(existing.unionAll(updates), keyCols, orderCols)
       .repartition(col(partitionCol))
       .write.mode("overwrite")
