@@ -1464,7 +1464,15 @@ object SparkEntry {
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("split").asc_nulls_last,
-          col("source").asc_nulls_last))
+          col("source").asc_nulls_last)),
+
+    // A+ — hourly event-type co-occurrence with lift (unordered
+    // counterpart of q105): bucket-level distinct cells, type²-bounded
+    // bucket self-join, exact-int lift division rounded 6 dp.
+    "q115_cooccurrence" -> ((s, d) =>
+      LogAnalytics.cooccurrence(t(s, d, "events"))
+        .orderBy(col("type_a").asc_nulls_last,
+          col("type_b").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2883,6 +2891,32 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Bucket counts are exact BIGINTs on both sides; lift is one IEEE
+    // division of exact ints (n_ab·N as BIGINT product), rounded 6 dp.
+    "q115_cooccurrence" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |              AS BIGINT) AS b,
+        |         event_type AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |nb AS (SELECT count(*) AS n FROM
+        |        (SELECT DISTINCT u, b FROM cells)),
+        |m AS (SELECT t, count(*) AS cnt FROM cells GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS type_a, c.t AS type_b, count(*) AS n_ab
+        |  FROM cells a JOIN cells c ON a.u = c.u AND a.b = c.b
+        |  WHERE a.t < c.t GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |       round(p.n_ab * (SELECT n FROM nb)
+        |             / (ma.cnt * mb.cnt), 6) AS lift
+        |FROM p
+        |JOIN m ma ON ma.t = p.type_a
+        |JOIN m mb ON mb.t = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // Window ids from floor-second epochs: Spark's cast-to-long
     // truncation ≡ DuckDB's floor(epoch) for positive epochs; the

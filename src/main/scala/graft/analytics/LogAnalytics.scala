@@ -214,6 +214,61 @@ object LogAnalytics {
   }
 
   /**
+   * Windowed co-occurrence with lift — the unordered counterpart of
+   * [[transitions]] (association mining over the event log): two event
+   * types co-occur when the same user produces both within the same
+   * time bucket, and lift compares the observed co-occurrence rate to
+   * what independence predicts (`lift > 1` = the pair attracts — the
+   * "users who view also purchase, same hour" signal). Counts are
+   * bucket-level distinct (a 100-click hour counts once), so a bursty
+   * key cannot inflate association.
+   *
+   * `lift = n_ab · N / (n_a · n_b)` over exact BIGINT bucket counts —
+   * one IEEE double division rounded to 6 dp, no float sums. Returns
+   * `(type_a, type_b, n_ab, lift)` with `type_a < type_b`.
+   *
+   * Shape at scale: the event stream collapses to distinct
+   * (user, bucket, type) rows FIRST (one data-sized shuffle), pairs
+   * come from a bucket-keyed self-join whose per-bucket fan-out is
+   * bounded by the TYPE-dimension squared (never event²), marginals
+   * are type-sized, and N is a 1-row scalar (the q100 pattern). The
+   * marginals join is a broadcast of a |types|-row frame.
+   */
+  def cooccurrence(
+      df: DataFrame,
+      bucketSeconds: Long = 3600L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val cells = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(typeCol).isNotNull)
+      .select(col(userCol).as("_u"),
+        floor(col(tsCol).cast("long") / bucketSeconds).cast("long")
+          .as("_b"),
+        col(typeCol).as("_t"))
+      .distinct()
+    val nBuckets = cells.select(col("_u"), col("_b")).distinct().count()
+    val marginals = cells.groupBy(col("_t")).agg(count(lit(1)).as("_m"))
+    val pairs = cells.select(col("_u"), col("_b"), col("_t").as("type_a"))
+      .join(cells.select(col("_u"), col("_b"), col("_t").as("type_b")),
+        Seq("_u", "_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("_t").as("type_a"),
+        col("_m").as("_ma"))), Seq("type_a"))
+      .join(broadcast(marginals.select(col("_t").as("type_b"),
+        col("_m").as("_mb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab") * lit(nBuckets)
+          / (col("_ma") * col("_mb")), 6).as("lift"))
+  }
+
+  /**
    * Fixed-window debounce: within each (user, type) key, quantize the
    * timeline into `withinSeconds` windows anchored at the key's FIRST
    * event and keep only the first event of each occupied window — the

@@ -237,4 +237,29 @@ class LogAnalyticsSpec extends GraftSpec {
       LogAnalytics.debounce(events, 0L)
     }
   }
+
+  test("cooccurrence: bucket-distinct counting, hand-checked lift, " +
+    "bursts count once") {
+    def ev(id: Long, u: Long, s: String, t: String) = (id, u, s, t)
+    val events = Seq(
+      // bucket (u1, h0): view + click — a CO-OCCURRING pair; the three
+      // extra clicks in the same hour must not inflate n_ab
+      ev(1L, 1L, "2024-01-01 00:05:00", "view"),
+      ev(2L, 1L, "2024-01-01 00:10:00", "click"),
+      ev(3L, 1L, "2024-01-01 00:11:00", "click"),
+      ev(4L, 1L, "2024-01-01 00:12:00", "click"),
+      // bucket (u1, h1): click alone
+      ev(5L, 1L, "2024-01-01 01:30:00", "click"),
+      // bucket (u2, h0): view alone
+      ev(6L, 2L, "2024-01-01 00:20:00", "view")
+    ).map { case (id, u, s, t) => (id, u, s, t) }
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = LogAnalytics.cooccurrence(events)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // N = 3 buckets; n_click = 2, n_view = 2, n_ab = 1
+    // lift = 1 * 3 / (2 * 2) = 0.75
+    assert(got == Map(("click", "view") -> ((1L, 0.75))))
+  }
 }
