@@ -1472,7 +1472,26 @@ object SparkEntry {
     "q115_cooccurrence" -> ((s, d) =>
       LogAnalytics.cooccurrence(t(s, d, "events"))
         .orderBy(col("type_a").asc_nulls_last,
-          col("type_b").asc_nulls_last))
+          col("type_b").asc_nulls_last)),
+
+    // X+/E — the eval family's contingency view: q108's classified
+    // sample folded to CLASS²-sized cells with within-label shares
+    // (diagonal = per-class recall).
+    "q116_confusion" -> ((s, d) =>
+      Eval.confusion(Eval.knnClassify(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5))
+        .orderBy(col("label").asc_nulls_last, col("pred").asc_nulls_last)),
+
+    // X+/E — exact Spearman between token and char counts over the
+    // document sample: integer rank arithmetic, one rounded division.
+    "q117_spearman" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Eval.spearman(
+        docs.filter(col("text").isNotNull).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nchr")),
+        "ntok", "nchr", "doc_id")
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3063,6 +3082,71 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // q108's classified sample folded to cells; share = one int/int
+    // IEEE division rounded 6 dp, within-label totals joined back.
+    "q116_confusion" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, nn_label, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY votes DESC, nn_label) AS vr
+        |  FROM v),
+        |cls AS (SELECT q_label AS label, nn_label AS pred
+        |        FROM p WHERE vr = 1),
+        |tot AS (SELECT label, count(*) AS rn FROM cls GROUP BY 1)
+        |SELECT c.label, c.pred, count(*) AS n,
+        |       round(count(*) / any_value(t.rn), 6) AS share
+        |FROM cls c JOIN tot t USING (label)
+        |GROUP BY c.label, c.pred
+        |ORDER BY label, pred""".stripMargin,
+
+    // Ranks are exact ints under the (value, doc_id) total order; Σd²
+    // is an exact BIGINT sum; the only float op is the final division.
+    "q117_spearman" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |              '\s+'), x -> length(x) > 0)) AS BIGINT) AS ntok,
+        |         CAST(length(text) AS BIGINT) AS nchr
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY ntok, doc_id)
+        |              AS BIGINT) AS ra,
+        |         CAST(row_number() OVER (ORDER BY nchr, doc_id)
+        |              AS BIGINT) AS rb
+        |  FROM v)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CASE WHEN count(*) < 2 THEN NULL
+        |            ELSE round(1.0 - 6.0 * sum((ra - rb) * (ra - rb))
+        |                       / (count(*) * (count(*) * count(*) - 1)), 6)
+        |       END AS rho
+        |FROM r""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

@@ -65,4 +65,59 @@ object Eval {
         col("nn_label").as("pred"),
         (col("q_label") === col("nn_label")).cast("long").as("correct"))
   }
+
+  /**
+   * Contingency matrix over a classified frame (the [[knnClassify]]
+   * output, or any (label, pred) pairing): cell counts plus the
+   * within-label share (per-class recall on the diagonal — "which
+   * classes does the space confuse?"). The share is one IEEE division
+   * of exact counts rounded to 6 dp; output is CLASS²-sized regardless
+   * of sample size.
+   */
+  def confusion(
+      classified: DataFrame,
+      labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val cells = classified.groupBy(col(labelCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
+    val totals = classified.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("_row_n"))
+    cells.join(broadcast(totals), Seq(labelCol))
+      .select(col(labelCol), col(predCol), col("n"),
+        round(col("n") / col("_row_n"), 6).as("share"))
+  }
+
+  /**
+   * Exact Spearman rank correlation between two columns — the
+   * monotone-association check an audit runs between metrics that
+   * should agree (token count vs char count, quality score vs LM
+   * score): `ρ = 1 − 6·Σd²/(n·(n²−1))` with ranks from `row_number`
+   * over the `(value, idCol)` total order (the id tiebreak in place of
+   * averaged tie-ranks — deterministic cross-engine, documented
+   * variant). Σd² is an exact BIGINT sum — the only float op is the
+   * final division, rounded 6 dp. Returns one row `(n, rho)`;
+   * `n < 2` yields NULL rho.
+   *
+   * EVAL-contract shape: ranking needs a global total order, so the
+   * two `row_number` windows are single-partition by nature — run this
+   * on a sample or dimension-sized frame (the q108 contract), not the
+   * raw corpus.
+   */
+  def spearman(
+      df: DataFrame, colA: String, colB: String, idCol: String): DataFrame = {
+    val ra = row_number().over(
+      Window.orderBy(col(colA).asc, col(idCol).asc)).cast("long")
+    val rb = row_number().over(
+      Window.orderBy(col(colB).asc, col(idCol).asc)).cast("long")
+    df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(idCol), ra.as("_ra"), rb.as("_rb"))
+      .select(col(idCol),
+        ((col("_ra") - col("_rb")) * (col("_ra") - col("_rb"))).as("_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("_d2")).as("_sd2"))
+      .select(col("n"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - lit(6.0) * col("_sd2")
+            / (col("n") * (col("n") * col("n") - lit(1L))), 6))
+          .as("rho"))
+  }
 }

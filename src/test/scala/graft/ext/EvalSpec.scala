@@ -53,4 +53,35 @@ class EvalSpec extends GraftSpec {
   test("k must be positive") {
     intercept[IllegalArgumentException] { Eval.knnClassify(emb, k = 0) }
   }
+
+  test("confusion: cells with within-label shares; the plant shows up " +
+    "off-diagonal") {
+    val got = Eval.confusion(Eval.knnClassify(emb, k = 3))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // label 0: 3 correct + the plant predicted 1 → shares 0.75 / 0.25
+    assert(got((0, 0)) == ((3L, 0.75)))
+    assert(got((0, 1)) == ((1L, 0.25)))
+    assert(got((1, 1)) == ((3L, 1.0)))
+    assert(!got.contains((1, 0)))
+  }
+
+  test("spearman: +1 on a monotone pair, -1 on a reversed pair, ties " +
+    "broken by id; n<2 yields NULL") {
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("id", "a", "b")
+    val mono = Eval.spearman(frame(Seq((1L, 1L, 10L), (2L, 2L, 20L),
+      (3L, 3L, 30L))), "a", "b", "id").head()
+    assert(mono.getLong(0) == 3L && mono.getDouble(1) == 1.0)
+    val rev = Eval.spearman(frame(Seq((1L, 1L, 30L), (2L, 2L, 20L),
+      (3L, 3L, 10L))), "a", "b", "id").head()
+    assert(rev.getDouble(1) == -1.0)
+    // all-tied values: both rank orders fall back to id → rho 1
+    val tied = Eval.spearman(frame(Seq((1L, 5L, 7L), (2L, 5L, 7L))),
+      "a", "b", "id").head()
+    assert(tied.getDouble(1) == 1.0)
+    val single = Eval.spearman(frame(Seq((1L, 1L, 1L))), "a", "b", "id")
+      .head()
+    assert(single.getLong(0) == 1L && single.isNullAt(1))
+  }
 }
