@@ -1491,7 +1491,18 @@ object SparkEntry {
           size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
           length(col("text")).cast("long").as("nchr")),
         "ntok", "nchr", "doc_id")
-    })
+    }),
+
+    // S+/X — export-integrity manifest: per-shard row counts + the
+    // order-defined chained checksum any engine can replay from the
+    // data alone (catches loss, duplication, cross-shard moves, and
+    // mutation); sort_array makes it partitioning-independent.
+    "q118_manifest" -> ((s, d) =>
+      graft.stage.Staging.exportManifest(
+          t(s, d, "documents").withColumn("shard",
+            pmod(col("doc_id"), lit(8L))),
+          "shard", "doc_id", col("text"))
+        .orderBy(col("shard").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3124,6 +3135,17 @@ object SparkEntry {
         |FROM cls c JOIN tot t USING (label)
         |GROUP BY c.label, c.pred
         |ORDER BY label, pred""".stripMargin,
+
+    // The chained checksum replays as an ordered string_agg of per-row
+    // md5 hex digests — both engines hash identical UTF-8 bytes in the
+    // same doc_id order.
+    "q118_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, md5(text) AS hh
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_rows,
+        |       md5(string_agg(hh, '' ORDER BY doc_id)) AS checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Ranks are exact ints under the (value, doc_id) total order; Σd²
     // is an exact BIGINT sum; the only float op is the final division.

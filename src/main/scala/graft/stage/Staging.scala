@@ -415,4 +415,35 @@ object Staging {
            |LOCATION '$loc'""".stripMargin)
       spark.sql(s"MSCK REPAIR TABLE $ident")
     }
+
+  /**
+   * Export manifest: per-shard row count and an ORDER-DEFINED content
+   * checksum — the receipt a dataset handoff ships with, so the
+   * receiving side can verify "every shard arrived complete and
+   * unmodified" without trusting file sizes. The checksum chains each
+   * row's content md5 in `(idCol)` order within the shard (md5 over the
+   * concatenated per-row hex digests), so it is replayable by ANY
+   * engine from the data alone — no Spark-specific hashing anywhere —
+   * and catches row loss, duplication, reordering into another shard,
+   * and content mutation alike.
+   *
+   * Shape: per-row hashing is a narrow projection; the per-shard fold
+   * sorts the collected `(id, hash)` structs post-shuffle
+   * (`sort_array`), so the checksum is independent of partitioning and
+   * task order. The collect is O(shard rows × 48 bytes) executor
+   * memory — size shards so their id+digest lists fit (10⁶ rows ≈
+   * 50 MB); at larger shard sizes, manifest sub-shards and fold the
+   * sub-checksums.
+   */
+  def exportManifest(
+      df: DataFrame, shardCol: String, idCol: String,
+      content: Column): DataFrame =
+    df.select(col(shardCol).as("shard"), col(idCol).as("_id"),
+        md5(content.cast("binary")).as("_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        md5(concat_ws("",
+          transform(sort_array(collect_list(struct(col("_id"), col("_h")))),
+            x => x.getField("_h")))
+          .cast("binary")).as("checksum"))
 }

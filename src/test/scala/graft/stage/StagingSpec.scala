@@ -325,4 +325,35 @@ class StagingSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
     }
   }
+
+  test("exportManifest: partitioning-independent checksums that catch " +
+    "loss, mutation, and cross-shard moves") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = (0L until 40L).map(i => (i, s"content of doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Staging.exportManifest(df, "shard", "doc_id", col("text"))
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val base = snap(docs)
+    assert(base.map(_._2).sum == 40L && base.size == 4)
+    // repartitioning must not move a single checksum bit
+    assert(snap(docs.repartition(7)) == base)
+    // dropping a row changes exactly that shard's count AND checksum
+    val dropped = snap(docs.filter(col("doc_id") =!= 8L))
+    assert(dropped.count(_._2 == 9L) == 1)
+    assert(base.zip(dropped).count { case (b, d) => b._3 != d._3 } == 1)
+    // mutating one row's content keeps counts but flips its checksum
+    val mutated = snap(docs.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 9L,
+        lit("tampered")).otherwise(col("text"))))
+    assert(mutated.map(_._2) == base.map(_._2))
+    assert(base.zip(mutated).count { case (b, m) => b._3 != m._3 } == 1)
+    // moving a row to another shard flips exactly two checksums
+    val moved = snap(docs.withColumn("shard",
+      org.apache.spark.sql.functions.when(col("doc_id") === 10L, lit(3L))
+        .otherwise(col("shard"))))
+    assert(base.zip(moved).count { case (b, m) => b._3 != m._3 } == 2)
+  }
 }
