@@ -1496,12 +1496,15 @@ object SparkEntry {
     // S+/X — export-integrity manifest: per-shard row counts + the
     // order-defined chained checksum any engine can replay from the
     // data alone (catches loss, duplication, cross-shard moves, and
-    // mutation); sort_array makes it partitioning-independent.
+    // mutation). Two-level definition: md5-chain per id-derived bucket
+    // (bounded collect), then chain bucket digests in bucket order —
+    // no aggregation buffer ever holds a whole shard. rowsPerBucket=16
+    // forces multi-bucket chains even at oracle scale.
     "q118_manifest" -> ((s, d) =>
       graft.stage.Staging.exportManifest(
           t(s, d, "documents").withColumn("shard",
             pmod(col("doc_id"), lit(8L))),
-          "shard", "doc_id", col("text"))
+          "shard", "doc_id", col("text"), rowsPerBucket = 16L)
         .orderBy(col("shard").asc_nulls_last))
   )
 
@@ -3136,16 +3139,24 @@ object SparkEntry {
         |GROUP BY c.label, c.pred
         |ORDER BY label, pred""".stripMargin,
 
-    // The chained checksum replays as an ordered string_agg of per-row
-    // md5 hex digests — both engines hash identical UTF-8 bytes in the
-    // same doc_id order.
+    // The two-level chained checksum replays as two ordered string_agg
+    // levels: per-row md5 hex digests chained in id order within each
+    // id-derived bucket (doc_id // 16 mirrors `_id div 16`), then
+    // bucket digests chained in bucket order — both engines hash
+    // identical UTF-8 bytes in the same total order. coalesce('-')
+    // mirrors the engine's NULL-content sentinel.
     "q118_manifest" ->
       """WITH h AS (
-        |  SELECT doc_id % 8 AS shard, doc_id, md5(text) AS hh
-        |  FROM documents)
-        |SELECT shard, count(*) AS n_rows,
-        |       md5(string_agg(hh, '' ORDER BY doc_id)) AS checksum
-        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+        |  SELECT doc_id % 8 AS shard, doc_id, doc_id // 16 AS bkt,
+        |         coalesce(md5(text), '-') AS hh
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, bkt, count(*) AS n,
+        |         md5(string_agg(hh, '' ORDER BY doc_id, hh)) AS bh
+        |  FROM h GROUP BY shard, bkt)
+        |SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       md5(string_agg(bh, '' ORDER BY bkt)) AS checksum
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Ranks are exact ints under the (value, doc_id) total order; Σd²
     // is an exact BIGINT sum; the only float op is the final division.

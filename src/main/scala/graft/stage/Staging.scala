@@ -420,30 +420,61 @@ object Staging {
    * Export manifest: per-shard row count and an ORDER-DEFINED content
    * checksum — the receipt a dataset handoff ships with, so the
    * receiving side can verify "every shard arrived complete and
-   * unmodified" without trusting file sizes. The checksum chains each
-   * row's content md5 in `(idCol)` order within the shard (md5 over the
-   * concatenated per-row hex digests), so it is replayable by ANY
-   * engine from the data alone — no Spark-specific hashing anywhere —
-   * and catches row loss, duplication, reordering into another shard,
-   * and content mutation alike.
+   * unmodified" without trusting file sizes. The checksum is replayable
+   * by ANY engine from the data alone — no Spark-specific hashing
+   * anywhere — and catches row loss, duplication, reordering into
+   * another shard, and content mutation alike.
    *
-   * Shape: per-row hashing is a narrow projection; the per-shard fold
-   * sorts the collected `(id, hash)` structs post-shuffle
-   * (`sort_array`), so the checksum is independent of partitioning and
-   * task order. The collect is O(shard rows × 48 bytes) executor
-   * memory — size shards so their id+digest lists fit (10⁶ rows ≈
-   * 50 MB); at larger shard sizes, manifest sub-shards and fold the
-   * sub-checksums.
+   * Definition (two-level, so no aggregation buffer ever holds a whole
+   * shard): rows bucket by `idCol div rowsPerBucket`; each bucket's
+   * digest is `md5(concat of per-row md5 hex digests in ascending id
+   * order)`; the shard checksum is `md5(concat of bucket digests in
+   * ascending bucket order)`. Any engine replays it as two ordered
+   * `string_agg` levels (see the q118 oracle). `rowsPerBucket` is part
+   * of the checksum definition — record it alongside the manifest.
+   *
+   * Shape at 100 TB: per-row hashing is a narrow projection; the only
+   * collected state is ONE bucket's `(id, digest)` structs (level 1,
+   * ≤ `rowsPerBucket` ids ≈ 3 MB at the default 65 536) or one shard's
+   * bucket digests (level 2, id-range/`rowsPerBucket` entries — a
+   * 10¹²-wide id space is ~15 M buckets ≈ 0.7 GB only if a single
+   * shard spans ALL of it; real shards cover their own id range). A
+   * 10⁸-row export shard that OOM'd the previous single-level fold is
+   * now ~1 500 bounded bucket folds plus a trivial digest chain.
+   *
+   * Preconditions, enforced or absorbed: a NULL id has no place in the
+   * chain order, so it raises at scan time rather than silently
+   * differing between engines' NULL orderings; a NULL content digest
+   * coalesces to the sentinel `"-"` in engine and oracle alike (an
+   * all-NULL bucket checksums to `md5("--…")`, not NULL). Duplicate
+   * ids are permitted — the manifest's job is to EXPOSE duplication —
+   * their relative order within the chain is (id, digest), total as
+   * long as duplicated ids differ in content or are true row copies.
+   * Ids must be integral (the bucket derivation is integer division,
+   * truncating toward zero in both engines).
    */
   def exportManifest(
       df: DataFrame, shardCol: String, idCol: String,
-      content: Column): DataFrame =
-    df.select(col(shardCol).as("shard"), col(idCol).as("_id"),
-        md5(content.cast("binary")).as("_h"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_rows"),
+      content: Column, rowsPerBucket: Long = 1L << 16): DataFrame = {
+    require(rowsPerBucket > 0, s"rowsPerBucket must be positive: $rowsPerBucket")
+    val guardedId = when(col(idCol).isNotNull, col(idCol)).otherwise(
+      raise_error(lit(s"exportManifest: NULL $idCol — manifest ids must be non-NULL")))
+    val buckets = df
+      .select(col(shardCol).as("shard"), guardedId.as("_id"),
+        coalesce(md5(content.cast("binary")), lit("-")).as("_h"))
+      .withColumn("_bkt", expr(s"_id div ${rowsPerBucket}L"))
+      .groupBy(col("shard"), col("_bkt"))
+      .agg(count(lit(1)).as("_n"),
         md5(concat_ws("",
           transform(sort_array(collect_list(struct(col("_id"), col("_h")))),
             x => x.getField("_h")))
+          .cast("binary")).as("_bh"))
+    buckets
+      .groupBy(col("shard"))
+      .agg(sum(col("_n")).as("n_rows"),
+        md5(concat_ws("",
+          transform(sort_array(collect_list(struct(col("_bkt"), col("_bh")))),
+            x => x.getField("_bh")))
           .cast("binary")).as("checksum"))
+  }
 }

@@ -356,4 +356,50 @@ class StagingSpec extends GraftSpec {
         .otherwise(col("shard"))))
     assert(base.zip(moved).count { case (b, m) => b._3 != m._3 } == 2)
   }
+
+  test("exportManifest: bucketed chaining keeps every detection property " +
+    "across bucket boundaries, and absorbs NULL content") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    // rowsPerBucket=8 over ids 0..39 → buckets 0..4 per shard: the chain
+    // actually chains (the single-bucket degenerate case is the test above)
+    val docs = (0L until 40L).map(i => (i, s"content of doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("shard", pmod(col("doc_id"), lit(2L)))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Staging.exportManifest(df, "shard", "doc_id", col("text"), rowsPerBucket = 8L)
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val base = snap(docs)
+    assert(base.map(_._2) == Seq(20L, 20L))
+    // partitioning-independent despite the two-level fold
+    assert(snap(docs.repartition(7)) == base)
+    // a narrower bucket width is a DIFFERENT checksum definition
+    val narrow = Staging.exportManifest(docs, "shard", "doc_id", col("text"),
+        rowsPerBucket = 4L).orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(narrow.map(_._2) == base.map(_._2) &&
+      narrow.map(_._3) != base.map(_._3))
+    // loss inside one bucket still surfaces at the shard checksum
+    val dropped = snap(docs.filter(col("doc_id") =!= 17L))
+    assert(base.zip(dropped).count { case (b, d) => b._3 != d._3 } == 1)
+    // duplicating a row keeps the other shard's checksum intact, flips its own
+    val dup = snap(docs.unionAll(docs.filter(col("doc_id") === 6L)))
+    assert(dup.map(_._2) == Seq(21L, 20L))
+    assert(base.zip(dup).count { case (b, m) => b._3 != m._3 } == 1)
+    // NULL content hashes to the sentinel, not a NULL checksum — even when
+    // EVERY row of a shard is NULL (the DuckDB-divergence edge from ADVICE)
+    val allNull = snap(docs.withColumn("text",
+      when(col("shard") === 0L, lit(null: String)).otherwise(col("text"))))
+    assert(allNull.forall(_._3 != null))
+    assert(base.zip(allNull).count { case (b, m) => b._3 != m._3 } == 1)
+    // NULL id has no defined chain position: it raises, never diverges
+    val ex = intercept[Exception] {
+      Staging.exportManifest(
+        docs.withColumn("doc_id",
+          when(col("doc_id") === 3L, lit(null: java.lang.Long))
+            .otherwise(col("doc_id"))),
+        "shard", "doc_id", col("text")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
