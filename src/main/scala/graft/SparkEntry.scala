@@ -1482,8 +1482,10 @@ object SparkEntry {
           t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5))
         .orderBy(col("label").asc_nulls_last, col("pred").asc_nulls_last)),
 
-    // X+/E — exact Spearman between token and char counts over the
-    // document sample: integer rank arithmetic, one rounded division.
+    // X+/E — exact tie-averaged Spearman between token and char counts
+    // over the document sample: integer metrics tie heavily, so the
+    // textbook fractional-rank form (exact doubled-rank arithmetic,
+    // floats only at the final sqrt/divide) is the default.
     "q117_spearman" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Eval.spearman(
@@ -3158,8 +3160,11 @@ object SparkEntry {
         |       md5(string_agg(bh, '' ORDER BY bkt)) AS checksum
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
-    // Ranks are exact ints under the (value, doc_id) total order; Σd²
-    // is an exact BIGINT sum; the only float op is the final division.
+    // Textbook tie-averaged Spearman: doubled average ranks (min+max of
+    // the row_numbers per tie group — always integers) keep every sum
+    // exact (HUGEINT here, decimal in Spark); Pearson is
+    // scale-invariant so the doubling cancels. The only float ops are
+    // the same two sqrts and one division in both engines.
     "q117_spearman" ->
       """WITH v AS (
         |  SELECT doc_id,
@@ -3168,18 +3173,32 @@ object SparkEntry {
         |         CAST(length(text) AS BIGINT) AS nchr
         |  FROM documents WHERE text IS NOT NULL),
         |r AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, ntok, nchr,
         |         CAST(row_number() OVER (ORDER BY ntok, doc_id)
-        |              AS BIGINT) AS ra,
+        |              AS BIGINT) AS rna,
         |         CAST(row_number() OVER (ORDER BY nchr, doc_id)
-        |              AS BIGINT) AS rb
-        |  FROM v)
-        |SELECT CAST(count(*) AS BIGINT) AS n,
-        |       CASE WHEN count(*) < 2 THEN NULL
-        |            ELSE round(1.0 - 6.0 * sum((ra - rb) * (ra - rb))
-        |                       / (count(*) * (count(*) * count(*) - 1)), 6)
+        |              AS BIGINT) AS rnb
+        |  FROM v),
+        |d AS (
+        |  SELECT CAST(min(rna) OVER (PARTITION BY ntok)
+        |            + max(rna) OVER (PARTITION BY ntok) AS HUGEINT) AS ra,
+        |         CAST(min(rnb) OVER (PARTITION BY nchr)
+        |            + max(rnb) OVER (PARTITION BY nchr) AS HUGEINT) AS rb
+        |  FROM r),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         sum(ra) AS sa, sum(rb) AS sb,
+        |         sum(ra*ra) AS saa, sum(rb*rb) AS sbb,
+        |         sum(ra*rb) AS sab
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n < 2 THEN NULL
+        |            ELSE round(CAST(n*sab - sa*sb AS DOUBLE)
+        |                 / nullif(sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |                        * sqrt(CAST(n*sbb - sb*sb AS DOUBLE)),
+        |                          0.0), 6)
         |       END AS rho
-        |FROM r""".stripMargin,
+        |FROM s""".stripMargin,
 
     // Micros-truncated timestamps (CAST AS TIMESTAMP — the q34/q71
     // precedent), strict > on the anchor, 1-day cap on floor-second

@@ -91,33 +91,85 @@ object Eval {
    * Exact Spearman rank correlation between two columns — the
    * monotone-association check an audit runs between metrics that
    * should agree (token count vs char count, quality score vs LM
-   * score): `ρ = 1 − 6·Σd²/(n·(n²−1))` with ranks from `row_number`
-   * over the `(value, idCol)` total order (the id tiebreak in place of
-   * averaged tie-ranks — deterministic cross-engine, documented
-   * variant). Σd² is an exact BIGINT sum — the only float op is the
-   * final division, rounded 6 dp. Returns one row `(n, rho)`;
-   * `n < 2` yields NULL rho.
+   * score). Returns one row `(n, rho)`; `n < 2` yields NULL rho.
+   *
+   * Default (`tieAverage = true`) is the TEXTBOOK form every stats
+   * package computes: fractional average ranks for ties, then the
+   * Pearson correlation of the two rank vectors (integer metrics like
+   * token counts tie heavily, where the simplified `1 − 6Σd²/…`
+   * formula diverges). Exactness trick: a tie group's average rank is
+   * `(min + max)/2` of its `row_number`s, so the DOUBLED rank
+   * `min + max` is always an integer — all sums (Σr, Σr², Σr·r') run
+   * in exact decimal arithmetic, Pearson is scale-invariant so the
+   * doubling cancels, and the only float ops are the final two sqrts
+   * and one division, rounded 6 dp. A zero-variance column (all values
+   * tied) has no defined rank correlation → NULL rho (the NaN of
+   * scipy/R, surfaced as SQL NULL).
+   *
+   * `tieAverage = false` keeps the prior deterministic variant: ranks
+   * from `row_number` over the `(value, idCol)` total order (id
+   * tiebreak in place of averaged tie-ranks) and the `1 − 6Σd²/…`
+   * simplification — useful when a downstream contract needs a total
+   * order even under ties, at the cost of diverging from textbook ρ
+   * on tied data.
    *
    * EVAL-contract shape: ranking needs a global total order, so the
-   * two `row_number` windows are single-partition by nature — run this
+   * `row_number` windows are single-partition by nature — run this
    * on a sample or dimension-sized frame (the q108 contract), not the
    * raw corpus.
    */
   def spearman(
-      df: DataFrame, colA: String, colB: String, idCol: String): DataFrame = {
-    val ra = row_number().over(
-      Window.orderBy(col(colA).asc, col(idCol).asc)).cast("long")
-    val rb = row_number().over(
-      Window.orderBy(col(colB).asc, col(idCol).asc)).cast("long")
-    df.filter(col(colA).isNotNull && col(colB).isNotNull)
-      .select(col(idCol), ra.as("_ra"), rb.as("_rb"))
-      .select(col(idCol),
-        ((col("_ra") - col("_rb")) * (col("_ra") - col("_rb"))).as("_d2"))
-      .agg(count(lit(1)).as("n"), sum(col("_d2")).as("_sd2"))
-      .select(col("n"),
-        when(col("n") < 2, lit(null).cast("double"))
-          .otherwise(round(lit(1.0) - lit(6.0) * col("_sd2")
-            / (col("n") * (col("n") * col("n") - lit(1L))), 6))
-          .as("rho"))
+      df: DataFrame, colA: String, colB: String, idCol: String,
+      tieAverage: Boolean = true): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+    if (tieAverage) {
+      val rna = row_number().over(
+        Window.orderBy(col(colA).asc, col(idCol).asc)).cast("long")
+      val rnb = row_number().over(
+        Window.orderBy(col(colB).asc, col(idCol).asc)).cast("long")
+      val wa = Window.partitionBy(col("_a"))
+      val wb = Window.partitionBy(col("_b"))
+      base
+        .select(col(colA).as("_a"), col(colB).as("_b"),
+          rna.as("_rna"), rnb.as("_rnb"))
+        .select(
+          (min(col("_rna")).over(wa) + max(col("_rna")).over(wa))
+            .cast("decimal(19,0)").as("_ra"),
+          (min(col("_rnb")).over(wb) + max(col("_rnb")).over(wb))
+            .cast("decimal(19,0)").as("_rb"))
+        .agg(
+          count(lit(1)).cast("decimal(19,0)").as("_n"),
+          sum(col("_ra")).as("_sa"), sum(col("_rb")).as("_sb"),
+          sum(col("_ra") * col("_ra")).as("_saa"),
+          sum(col("_rb") * col("_rb")).as("_sbb"),
+          sum(col("_ra") * col("_rb")).as("_sab"))
+        .select(col("_n").cast("long").as("n"),
+          when(col("_n") < 2, lit(null).cast("double"))
+            .otherwise(round(
+              (col("_n") * col("_sab") - col("_sa") * col("_sb"))
+                .cast("double") /
+                nullif(
+                  sqrt((col("_n") * col("_saa") - col("_sa") * col("_sa"))
+                    .cast("double")) *
+                  sqrt((col("_n") * col("_sbb") - col("_sb") * col("_sb"))
+                    .cast("double")),
+                  lit(0.0)), 6))
+            .as("rho"))
+    } else {
+      val ra = row_number().over(
+        Window.orderBy(col(colA).asc, col(idCol).asc)).cast("long")
+      val rb = row_number().over(
+        Window.orderBy(col(colB).asc, col(idCol).asc)).cast("long")
+      base
+        .select(col(idCol), ra.as("_ra"), rb.as("_rb"))
+        .select(col(idCol),
+          ((col("_ra") - col("_rb")) * (col("_ra") - col("_rb"))).as("_d2"))
+        .agg(count(lit(1)).as("n"), sum(col("_d2")).as("_sd2"))
+        .select(col("n"),
+          when(col("n") < 2, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) - lit(6.0) * col("_sd2")
+              / (col("n") * (col("n") * col("n") - lit(1L))), 6))
+            .as("rho"))
+    }
   }
 }

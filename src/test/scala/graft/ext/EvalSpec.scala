@@ -76,12 +76,30 @@ class EvalSpec extends GraftSpec {
     val rev = Eval.spearman(frame(Seq((1L, 1L, 30L), (2L, 2L, 20L),
       (3L, 3L, 10L))), "a", "b", "id").head()
     assert(rev.getDouble(1) == -1.0)
-    // all-tied values: both rank orders fall back to id → rho 1
-    val tied = Eval.spearman(frame(Seq((1L, 5L, 7L), (2L, 5L, 7L))),
-      "a", "b", "id").head()
-    assert(tied.getDouble(1) == 1.0)
+    // all-tied values: no rank variance → textbook rho undefined (NULL);
+    // the deterministic id-tiebreak variant ranks by id on both axes → 1
+    val allTied = frame(Seq((1L, 5L, 7L), (2L, 5L, 7L)))
+    assert(Eval.spearman(allTied, "a", "b", "id").head().isNullAt(1))
+    assert(Eval.spearman(allTied, "a", "b", "id", tieAverage = false)
+      .head().getDouble(1) == 1.0)
     val single = Eval.spearman(frame(Seq((1L, 1L, 1L))), "a", "b", "id")
       .head()
     assert(single.getLong(0) == 1L && single.isNullAt(1))
+  }
+
+  test("spearman: tie-heavy data matches the textbook fractional-rank rho") {
+    // a = [1,2,2,4,5], b = [2,1,3,4,4]
+    // avg ranks: ra = [1, 2.5, 2.5, 4, 5], rb = [2, 1, 3, 4.5, 4.5]
+    // Pearson(ra, rb) = 7.5 / 9.5 = 0.7894736... (scipy.stats.spearmanr
+    // gives the same) → 0.789474 at 6 dp. The id-tiebreak variant on the
+    // same data gives 1 - 6*2/120 = 0.9 — demonstrably NOT textbook rho.
+    val df = Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 2L, 3L),
+      (4L, 4L, 4L), (5L, 5L, 4L)).toDF("id", "a", "b")
+    val got = Eval.spearman(df, "a", "b", "id").head()
+    assert(got.getLong(0) == 5L && got.getDouble(1) == 0.789474,
+      s"rho = ${got.getDouble(1)}")
+    val fallback =
+      Eval.spearman(df, "a", "b", "id", tieAverage = false).head()
+    assert(fallback.getDouble(1) == 0.9)
   }
 }
