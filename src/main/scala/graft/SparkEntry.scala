@@ -57,7 +57,8 @@ object SparkEntry {
     queries("q02_requests_per_user")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -1508,6 +1509,26 @@ object SparkEntry {
             pmod(col("doc_id"), lit(8L))),
           "shard", "doc_id", col("text"), rowsPerBucket = 16L)
         .orderBy(col("shard").asc_nulls_last))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // X+/E — corpus-scale kNN eval: the q108 vote fed by an ANN
+    // neighbor frame (AnnIvf.knnJoin) instead of the all-pairs scan —
+    // the path that runs on the FULL corpus. Declared at full probe
+    // coverage (nprobe = centroid count → candidate set exhaustive, the
+    // q21 recall-1.0 precedent), so the oracle is the exact
+    // leave-one-out vote; partial-probe behavior is the neighbor
+    // frame's own (EvalSpec pins the equivalence law). Sample-capped by
+    // the eval contract (the q108 rule).
+    "q119_knn_classify_ann" -> ((s, d) => {
+      val labeled = t(s, d, "embeddings")
+        .filter(col("vec_id") < 1000 &&
+          col("embedding").isNotNull && col("label").isNotNull)
+      val centroids = AnnIvf.trainCentroids(labeled, k = 16, iters = 2)
+      Eval.knnClassifyAnn(
+          AnnIvf.knnJoin(labeled, centroids, kNeighbors = 5, nprobe = 16),
+          labeled, k = 5)
+        .orderBy(col("vec_id").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3159,6 +3180,45 @@ object SparkEntry {
         |SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows,
         |       md5(string_agg(bh, '' ORDER BY bkt)) AS checksum
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q108's vote fed through the ANN path at full probe coverage:
+    // nprobe = centroid count makes the IVF candidate set exhaustive,
+    // so the result IS the exact leave-one-out vote — ranked here on
+    // UNROUNDED sims (the raw array-order folds are bit-identical in
+    // both engines, the q19 contract; topKFromCells never rounds).
+    "q119_knn_classify_ann" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         list_aggregate(list_transform(
+        |             list_zip(q.embedding, c.embedding),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum')
+        |         / nullif(
+        |             sqrt(list_aggregate(list_transform(q.embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           * sqrt(list_aggregate(list_transform(c.embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |             0) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, nn_label, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY votes DESC, nn_label) AS vr
+        |  FROM v)
+        |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
+        |       CAST(q_label = nn_label AS BIGINT) AS correct
+        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
 
     // Textbook tie-averaged Spearman: doubled average ranks (min+max of
     // the row_numbers per tie group — always integers) keep every sum

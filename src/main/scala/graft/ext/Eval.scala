@@ -54,6 +54,18 @@ object Eval {
           / nullif(col("q_n") * col("nn_n"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(byRank))
       .filter(col("rank") <= k)
+    majorityVote(neighbors, idCol, labelCol)
+  }
+
+  /**
+   * The shared vote: collapse `(q_id, q_label, nn_label)` neighbor rows
+   * to one prediction per query — majority label, vote ties to the
+   * smallest label (deterministic, no hash-map order anywhere). One
+   * implementation under both [[knnClassify]] and [[knnClassifyAnn]],
+   * so the exact and ANN-fed paths can never drift.
+   */
+  private def majorityVote(
+      neighbors: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val byVotes = Window.partitionBy(col("q_id"))
       .orderBy(col("votes").desc, col("nn_label").asc)
     neighbors
@@ -64,6 +76,42 @@ object Eval {
       .select(col("q_id").as(idCol), col("q_label").as(labelCol),
         col("nn_label").as("pred"),
         (col("q_label") === col("nn_label")).cast("long").as("correct"))
+  }
+
+  /**
+   * Corpus-scale kNN label agreement: the [[knnClassify]] vote fed by a
+   * precomputed ANN neighbor frame (`(q_id, nn_id, sim, rank)` — the
+   * [[AnnIvf.knnJoin]] / [[AnnIvf.knnJoinIndexed]] shape, `excludeSelf`
+   * already applied) instead of the all-pairs scan. This is how the
+   * probe runs on the FULL corpus: candidate generation is the IVF cell
+   * equi-join (bounded per cell, never all-pairs), and the vote itself
+   * is two shuffled label joins plus the shared [[majorityVote]].
+   *
+   * `labels` maps `idCol → labelCol`; rows with NULL labels are
+   * dropped on BOTH sides (a labelless vector neither votes nor gets
+   * classified). For strict leave-one-out equivalence with
+   * [[knnClassify]], build the neighbor frame over the labeled subset
+   * only — an unlabeled neighbor inside the frame's top-k would
+   * otherwise consume a rank that [[knnClassify]] never ranked — and
+   * with `kNeighbors >= k` at full probe coverage (`nprobe >=` the
+   * centroid count); under partial probes the vote is approximate in
+   * exactly the way the neighbor frame is (EvalSpec pins the
+   * equivalence law).
+   */
+  def knnClassifyAnn(
+      neighbors: DataFrame, labels: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label",
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lab = labels.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol))
+    majorityVote(
+      neighbors.filter(col("rank") <= k)
+        .join(lab.select(col(idCol).as("nn_id"),
+          col(labelCol).as("nn_label")), "nn_id")
+        .join(lab.select(col(idCol).as("q_id"),
+          col(labelCol).as("q_label")), "q_id"),
+      idCol, labelCol)
   }
 
   /**

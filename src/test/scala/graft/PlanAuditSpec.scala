@@ -402,6 +402,24 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("q118: the manifest fold is two bounded aggregation levels — the " +
+    "bucket key reaches the physical plan") {
+    val p = plan("q118_manifest")
+    // level 1 groups on (shard, _bkt): a plan without the bucket key would
+    // mean the fold regressed to the single-level whole-shard collect
+    assert(p.contains("_bkt"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("CollectLimitExec"), p)
+  }
+
+  test("q119: the ANN-fed vote stays on the cell equi-join — never " +
+    "all-pairs") {
+    val p = plan("q119_knn_classify_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come from the bucketed cell join; the scoring side must
+    // keep the window partitioned by query id (no global window)
+    assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p).isDefined, p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

@@ -52,6 +52,49 @@ class EvalSpec extends GraftSpec {
 
   test("k must be positive") {
     intercept[IllegalArgumentException] { Eval.knnClassify(emb, k = 0) }
+    intercept[IllegalArgumentException] {
+      Eval.knnClassifyAnn(emb.limit(0), emb, k = 0)
+    }
+  }
+
+  test("knnClassifyAnn: the ANN-fed vote equals exact knnClassify under " +
+    "full probe coverage") {
+    // full coverage: nprobe = centroid count → the cell equi-join
+    // enumerates every labeled vector as a candidate, so the neighbor
+    // frame IS the exact top-k and the shared vote must reproduce
+    // knnClassify row for row — including the outvoted plant
+    val centroids = AnnIvf.trainCentroids(emb, k = 2, iters = 2)
+    val neighbors = AnnIvf.knnJoin(emb, centroids, kNeighbors = 3, nprobe = 2)
+    val ann = Eval.knnClassifyAnn(neighbors, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val exact = Eval.knnClassify(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(ann == exact, s"ann=$ann exact=$exact")
+
+    // the vote also composes with the PERSISTED neighbor path: an
+    // indexed knnJoin feeds the identical frame shape
+    val idx = AnnIvf.buildIvfIndex(emb, centroids)
+    val annIdx = Eval.knnClassifyAnn(
+        AnnIvf.knnJoinIndexed(idx, centroids, kNeighbors = 3, nprobe = 2),
+        emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(annIdx == exact)
+  }
+
+  test("knnClassifyAnn: labelless rows neither vote nor get classified") {
+    val withNulls = emb.unionByName(Seq(
+      (8L, Array(0.0f, 1.0f, 0.02f), Option.empty[Int])
+    ).toDF("vec_id", "embedding", "label"))
+    val centroids = AnnIvf.trainCentroids(emb, k = 2, iters = 2)
+    // neighbor frame over the LABELED subset (the documented leave-one-out
+    // contract); labels frame still carries the NULL row — it must drop
+    val neighbors = AnnIvf.knnJoin(emb, centroids, kNeighbors = 3, nprobe = 2)
+    val got = Eval.knnClassifyAnn(neighbors, withNulls, k = 3)
+    assert(got.count() == 7L)
+    assert(got.filter($"vec_id" === 7L).head().getInt(2) == 1)
   }
 
   test("confusion: cells with within-label shares; the plant shows up " +
