@@ -24,6 +24,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Scratch path for queries that persist an intermediate (staged
+    * layouts, round-tripped indexes): keyed by the data dir AND the JVM
+    * pid, so concurrent harness runs over the same dir never race on one
+    * parquet path, and a path can never serve STALE state across harness
+    * runs (the driver regenerates testdata between rounds; a dir-keyed
+    * path would survive it). Within one JVM the pid is constant, so the
+    * exists-check caching the staged queries rely on still holds. */
+  private def scratch(tag: String, d: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_p${pid}_${d.hashCode.toHexString}"
+  }
+
   // ---- deterministic CLF-line synthesis from `events` ----
   // `events` stands in for the cleansed log table (SURVEY.md §7.2); parse
   // queries synthesize a CLF line from its columns so DuckDB can recompute
@@ -104,7 +116,7 @@ object SparkEntry {
     // one partition directory (PartitionFilters in .explain), like the
     // reference's push_down_predicate day read.
     "q06_partition_pruned_scan" -> ((s, d) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q06_${d.hashCode.toHexString}"
+      val tmp = scratch("q06", d)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
         Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
       // the ingest-day literal (the reference computes "today" driver-side)
@@ -189,7 +201,7 @@ object SparkEntry {
     "q16_roundtrip_parquet" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it, so repeated bench /
       // correctness runs don't accumulate temp dirs (ADVICE r1)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q16_${d.hashCode.toHexString}"
+      val tmp = scratch("q16", d)
       Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
       Staging.readAll(s, tmp)
         .withColumn("date", col("date").cast("string"))
@@ -529,7 +541,7 @@ object SparkEntry {
     // 8 files (StagingSpec asserts the disjoint per-file key ranges).
     "q48_sorted_layout" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q48_${d.hashCode.toHexString}"
+      val tmp = scratch("q48", d)
       Staging.stageRangeSorted(t(s, d, "events"), tmp,
         numFiles = 8, Seq("user_id", "ts"))
       s.read.parquet(tmp)
@@ -743,7 +755,7 @@ object SparkEntry {
     // induced summation reorder.
     "q60_zorder_layout" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q60_${d.hashCode.toHexString}"
+      val tmp = scratch("q60", d)
       Staging.stageZOrdered(t(s, d, "lineitem"), tmp, numFiles = 16,
         "l_orderkey", "l_partkey")
       s.read.parquet(tmp)
@@ -830,7 +842,7 @@ object SparkEntry {
     // read exactly like the parquet staging DDL (S13).
     "q65_jsonl_roundtrip" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q65_${d.hashCode.toHexString}"
+      val tmp = scratch("q65", d)
       t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
         .coalesce(4)
         .write.mode("overwrite").json(tmp)
@@ -975,7 +987,7 @@ object SparkEntry {
     // keeps its explicit reject channel for the lenient path).
     "q74_csv_roundtrip" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q74_${d.hashCode.toHexString}"
+      val tmp = scratch("q74", d)
       t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
         .coalesce(4)
         .write.mode("overwrite")
@@ -1004,7 +1016,7 @@ object SparkEntry {
     "q75_indexed_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q75_${d.hashCode.toHexString}"
+      val tmp = scratch("q75", d)
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         .write.mode("overwrite").parquet(tmp)
       Dedup.dedupIncrementalIndexed(
@@ -1028,7 +1040,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q76_${d.hashCode.toHexString}"
+      val tmp = scratch("q76", d)
       AnnIvf.buildIvfIndex(emb, centroids).write.mode("overwrite").parquet(tmp)
       AnnIvf.annTopKIndexed(emb.filter(col("vec_id") < 8), s.read.parquet(tmp),
         centroids, kNeighbors = 5, nprobe = 10)
@@ -1045,7 +1057,7 @@ object SparkEntry {
     "q77_lsh_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q77_${d.hashCode.toHexString}"
+      val tmp = scratch("q77", d)
       AnnLsh.buildLshIndex(emb, dim = 64).write.mode("overwrite").parquet(tmp)
       AnnLsh.annTopKIndexed(emb.filter(col("vec_id") < 8),
         s.read.parquet(tmp), k = 5, dim = 64)
@@ -1234,7 +1246,7 @@ object SparkEntry {
     "q94_bm25_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q94_${d.hashCode.toHexString}"
+      val tmp = scratch("q94", d)
       TextSearch.buildLexicalIndex(docs, "doc_id", "text")
         .write.mode("overwrite").parquet(tmp)
       TextSearch.bm25TopKIndexed(s.read.parquet(tmp), "dup key window",
@@ -1251,7 +1263,7 @@ object SparkEntry {
     // multiline mode.
     "q95_jsonl_roundtrip" -> ((s, d) => {
       // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q95_${d.hashCode.toHexString}"
+      val tmp = scratch("q95", d)
       t(s, d, "documents").select(col("doc_id"),
           struct(col("lang"), col("source"), col("n_chars")).as("meta"),
           TextOps.tokens(col("text")).as("toks"))
@@ -1349,7 +1361,7 @@ object SparkEntry {
     "q104_rollup_merge" -> ((s, d) => {
       val ev = t(s, d, "events")
       val cutoff = "2024-01-21"
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q104_${d.hashCode.toHexString}"
+      val tmp = scratch("q104", d)
       Rollup.dailyRollup(ev.filter(col("ts") < lit(cutoff)))
         .write.mode("overwrite").parquet(tmp)
       Rollup.merge(s.read.parquet(tmp),
@@ -1400,7 +1412,7 @@ object SparkEntry {
     // because merged-tf ranking ≡ the from-scratch vocab.
     "q109_vocab_merge" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q109_${d.hashCode.toHexString}"
+      val tmp = scratch("q109", d)
       TextOps.termFrequencies(docs.filter(col("doc_id") < 250), "text")
         .write.mode("overwrite").parquet(tmp)
       TextOps.vocabFromTf(
@@ -1426,7 +1438,7 @@ object SparkEntry {
     // oracle because indexed ≡ self-contained by construction.
     "q111_fuzzy_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q111_${d.hashCode.toHexString}"
+      val tmp = scratch("q111", d)
       FuzzyJoin.buildFuzzyIndex(docs).write.mode("overwrite").parquet(tmp)
       FuzzyJoin.editDistancePairsIndexed(docs, s.read.parquet(tmp))
         .orderBy(col("doc_id").asc_nulls_last,

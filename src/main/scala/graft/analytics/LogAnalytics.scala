@@ -318,27 +318,6 @@ object LogAnalytics {
   }
 
   /**
-   * Hourly traffic anomaly score: events bucketed per hour, each
-   * bucket's count z-scored against the mean/stddev of ALL hourly
-   * buckets — the "did something spike?" check a log pipeline runs
-   * before alerting (a DDoS hour, a dead-collector hour, a replayed
-   * batch all surface as |z| outliers). Returns `(bucket_start,
-   * n_events, z)` with z rounded to 6 dp (the engine's float-compare
-   * armor: mean is exact integer arithmetic, stddev's accumulation
-   * order is engine-specific in the last ulp).
-   *
-   * Shape: one event-log scan into the hourly aggregate; the hourly
-   * frame is TIME-dimension-sized (8,760 rows per year at any corpus
-   * size — metadata, not data), so its mean/stddev are two plan-time
-   * scalars (the bm25TopK corpus-stats class — a 1-row join would plan
-   * as a cross join, which this codebase bans) and z is a pure
-   * projection over the re-aggregated hourly frame. No global-partition
-   * window anywhere; the only data-sized shuffle is the per-hour
-   * partial-agg count. Degenerate inputs stay honest: fewer than 2
-   * buckets (or all buckets equal ⇒ stddev 0) yield NULL z, not a
-   * division blow-up.
-   */
-  /**
    * First-order transition counts over each user's event sequence —
    * the Markov-chain view of user journeys ("what follows a click?"),
    * the aggregate behind funnel DISCOVERY the same way [[funnel]] is
@@ -370,6 +349,27 @@ object LogAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Hourly traffic anomaly score: events bucketed per hour, each
+   * bucket's count z-scored against the mean/stddev of ALL hourly
+   * buckets — the "did something spike?" check a log pipeline runs
+   * before alerting (a DDoS hour, a dead-collector hour, a replayed
+   * batch all surface as |z| outliers). Returns `(bucket_start,
+   * n_events, z)` with z rounded to 6 dp (the engine's float-compare
+   * armor: mean is exact integer arithmetic, stddev's accumulation
+   * order is engine-specific in the last ulp).
+   *
+   * Shape: one event-log scan into the hourly aggregate; the hourly
+   * frame is TIME-dimension-sized (8,760 rows per year at any corpus
+   * size — metadata, not data), so its mean/stddev are two plan-time
+   * scalars (the bm25TopK corpus-stats class — a 1-row join would plan
+   * as a cross join, which this codebase bans) and z is a pure
+   * projection over the re-aggregated hourly frame. No global-partition
+   * window anywhere; the only data-sized shuffle is the per-hour
+   * partial-agg count. Degenerate inputs stay honest: fewer than 2
+   * buckets (or all buckets equal ⇒ stddev 0) yield NULL z, not a
+   * division blow-up.
+   */
   def hourlyAnomaly(
       df: DataFrame,
       tsCol: String = "ts"): DataFrame = {

@@ -24,9 +24,13 @@ import graft.ext.FuzzyJoin
 object StreamingFuzzy {
 
   /** The [[graft.ext.FuzzyJoin.buildFuzzyIndex]] schema, for
-    * degrade-to-empty reads of a not-yet-started index. */
-  private def indexSchema(idCol: String) = StructType(Seq(
-    StructField(idCol, LongType),
+    * degrade-to-empty reads of a not-yet-started index. The id column's
+    * type follows the corpus (`buildFuzzyIndex` is id-type-generic), so
+    * the caller must say what it is — a wrong type here would make the
+    * empty-index frame disagree with committed batches and fail (or
+    * silently coerce) in `editDistancePairsIndexed`'s comparisons. */
+  private def indexSchema(idCol: String, idType: DataType) = StructType(Seq(
+    StructField(idCol, idType),
     StructField("_blk", StringType),
     StructField("_head", StringType)))
 
@@ -55,8 +59,10 @@ object StreamingFuzzy {
     * [[graft.ext.FuzzyJoin.buildFuzzyIndex]] shape — pass straight to
     * `editDistancePairsIndexed`. The `batch` partition column is commit
     * metadata, not index content, and is dropped; a path with no
-    * committed batch reads as an empty index. */
+    * committed batch reads as an empty index of the declared `idType`
+    * (which must match the corpus id — a string-keyed corpus passes
+    * `StringType` so the degrade-to-empty frame coerces nothing). */
   def loadIndex(spark: SparkSession, indexPath: String,
-      idCol: String = "doc_id"): DataFrame =
-    StreamingAnn.loadCommitted(spark, indexPath, indexSchema(idCol))
+      idCol: String = "doc_id", idType: DataType = LongType): DataFrame =
+    StreamingAnn.loadCommitted(spark, indexPath, indexSchema(idCol, idType))
 }

@@ -28,6 +28,14 @@ import graft.ext.Materialize
  * additive aggregates have and id-keyed stores don't. The swap write is
  * rollup-sized (time × type cells), amortizing exactly like the batch
  * [[graft.analytics.Rollup.merge]] path it reuses.
+ *
+ * The mark rides a DEDICATED marker row (all data columns NULL — a
+ * shape no real rollup cell can have, since `dailyRollup` cells always
+ * carry a count ≥ 1), not the data rows: a merge that produces zero
+ * cells (empty store + a batch of only NULL-ts events) still persists
+ * the mark, so a replay of that batch id stays a no-op even though the
+ * batch contributed nothing. Loaders filter the marker out by
+ * `n IS NOT NULL`.
  */
 object StreamingRollup {
 
@@ -66,10 +74,16 @@ object StreamingRollup {
       if (!hwm.isNullAt(0) && batchId <= hwm.getLong(0)) false
       else {
         val merged = Rollup.merge(
-            raw.drop("_bid"),
+            raw.filter(col("n").isNotNull).drop("_bid"),
             Rollup.dailyRollup(batch, tsCol, typeCol, valueCol), typeCol)
           .withColumn("_bid", lit(batchId))
-        StateSwap.advance(fs, statePath, merged)
+        // the out-of-band mark: one NULL-celled row carrying only _bid,
+        // so the high-water mark survives even a zero-cell merge
+        val marker = spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(null, null, null, null, null, batchId)),
+          storeSchema(typeCol))
+        StateSwap.advance(fs, statePath, merged.unionByName(marker))
         true
       }
     }
@@ -85,15 +99,17 @@ object StreamingRollup {
     }
 
   /** The committed rollup in [[graft.analytics.Rollup.dailyRollup]]'s
-    * shape (the `_bid` mark is commit metadata, not rollup content); an
-    * unstarted path reads as an empty rollup, not an inference error. */
+    * shape (the `_bid` mark and its NULL-celled marker row are commit
+    * metadata, not rollup content); an unstarted path reads as an empty
+    * rollup, not an inference error. */
   def loadRollup(spark: SparkSession, statePath: String,
       typeCol: String = "event_type"): DataFrame = {
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     StateSwap.recover(fs, statePath)
     if (fs.exists(new Path(statePath)))
-      spark.read.parquet(statePath).drop("_bid")
+      spark.read.parquet(statePath)
+        .filter(col("n").isNotNull).drop("_bid")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(storeSchema(typeCol).dropRight(1)))

@@ -49,4 +49,16 @@ class StreamingFuzzySpec extends GraftSpec {
     val probe = Seq((1L, "some probe text here")).toDF("doc_id", "text")
     assert(FuzzyJoin.editDistancePairsIndexed(probe, empty).count() == 0)
   }
+
+  test("a string-keyed corpus degrades to an empty index of the SAME id " +
+    "type — no silent Long coercion in the probe comparisons") {
+    import org.apache.spark.sql.types.StringType
+    val empty = StreamingFuzzy.loadIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_sfuzz_s")
+        .resolve("never").toString,
+      idType = StringType)
+    assert(empty.schema("doc_id").dataType == StringType)
+    val probe = Seq(("doc-a", "some probe text here")).toDF("doc_id", "text")
+    assert(FuzzyJoin.editDistancePairsIndexed(probe, empty).count() == 0)
+  }
 }

@@ -57,6 +57,27 @@ class StreamingRollupSpec extends GraftSpec {
     assert(after.map(_._3).sum == 31L)
   }
 
+  test("the high-water mark survives a zero-cell merge: a NULL-ts-only " +
+    "first batch still absorbs its replay") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sroll_nullts").resolve("store").toString
+    // NULL-ts events roll up to ZERO cells — before the marker row, the
+    // _bid mark had no row to ride and the batch id was forgotten
+    val nullTs = Seq((1L, "click", 5.0)).toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    assert(StreamingRollup.appendBatch(nullTs, statePath, batchId = 7L))
+    assert(StreamingRollup.loadRollup(spark, statePath).count() == 0L)
+    // the replay of batch 7 must be a no-op, and so must any id <= 7
+    assert(!StreamingRollup.appendBatch(
+      ev(Seq((1L, 0L, "click", 5.0))), statePath, batchId = 7L))
+    assert(StreamingRollup.loadRollup(spark, statePath).count() == 0L)
+    // a genuinely new id merges, and the marker row never leaks into data
+    assert(StreamingRollup.appendBatch(
+      ev(Seq((2L, 0L, "click", 3.0))), statePath, batchId = 8L))
+    val cells = snapshot(StreamingRollup.loadRollup(spark, statePath))
+    assert(cells.map(_._3).sum == 1L && cells.forall(_._2 != null))
+  }
+
   test("an unstarted state path reads as an empty rollup") {
     val empty = StreamingRollup.loadRollup(spark,
       java.nio.file.Files.createTempDirectory("graft_sroll_e")
