@@ -106,7 +106,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c            => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-dp timings: 0.1 ms resolution is below run-to-run noise, and the
+    // compact line keeps ALL per-query entries inside whatever stdout
+    // window the driver's round record captures (the r10 record's tail
+    // truncation lost q100+ — full-precision doubles doubled the line)
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // q37 telemetry: label-propagation rounds of the LAST components run
@@ -127,9 +133,13 @@ object Bench {
       spark.range(0, 1000, 1, cpus.toInt).groupBy(col("id") % 7).count().collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":$jobFloor}"""
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)}}"""
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val out = if (only.isEmpty) base else base + ".partial"
+    // total_sec and n_queries lead the line (head-truncation-proof), and
+    // the durable path tells a reader where the untruncated copy lives
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"durable":${jstr(out)},"queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
@@ -137,8 +147,6 @@ object Bench {
     // destination came from the env override — so a local iteration can
     // never masquerade as a full run's durable record. Best-effort by
     // design: a bad path must never turn a green run's exit code red.
-    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    val out = if (only.isEmpty) base else base + ".partial"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
