@@ -453,6 +453,90 @@ object Staging {
    * Ids must be integral (the bucket derivation is integer division,
    * truncating toward zero in both engines).
    */
+  /** [[exportManifest]] over a [[stage]]d layout: one manifest row per
+    * partition value. The frame is partition-dimension-sized (days of a
+    * date-partitioned table — metadata, not data), which is what lets
+    * the maintenance receipts below collect and compare it driver-side. */
+  def manifestOf(
+      spark: SparkSession, path: String, idCol: String, content: Column,
+      partitionCol: String = "date",
+      rowsPerBucket: Long = 1L << 16): DataFrame =
+    exportManifest(spark.read.parquet(path), partitionCol, idCol, content,
+      rowsPerBucket)
+      // partition inference may type the directory value (DateType for
+      // date=...); the receipt's shard key is its STRING form, so receipts
+      // compare stably across readers and engines
+      .withColumn("shard", col("shard").cast("string"))
+
+  private def collectManifest(m: DataFrame): Map[String, (Long, String)] =
+    m.collect().map(r => String.valueOf(r.get(0)) ->
+      ((r.getLong(1), r.getString(2)))).toMap
+
+  /** Fail-fast comparison core of the maintenance receipts. `touched`
+    * partitions are EXPECTED to change; any other drift (a lost row, a
+    * mutated value, a partition that appeared or vanished) throws with
+    * the offending partitions named. Package-visible for direct spec
+    * coverage of the failure paths. */
+  private[stage] def requireUnchanged(
+      before: Map[String, (Long, String)], after: Map[String, (Long, String)],
+      op: String, touched: Set[String] = Set.empty): Unit = {
+    val drifted = (before.keySet ++ after.keySet).filterNot(touched)
+      .filter(p => before.get(p) != after.get(p))
+    require(drifted.isEmpty,
+      s"$op receipt: partitions changed outside the declared write set: " +
+        drifted.toSeq.sorted.mkString(", "))
+  }
+
+  /**
+   * [[compact]] under a manifest receipt: the partition manifests are
+   * computed before and after the rewrite and must be IDENTICAL —
+   * compaction changes file layout, never rows, and this makes that
+   * claim checked instead of asserted. The engine's own integrity
+   * primitive composed with its own maintenance op: a receipt failure
+   * aborts loudly AFTER the swap (the `.bak` recovery story in
+   * [[compact]] still applies to a crash mid-swap; a receipt mismatch
+   * means a corrupted rewrite and names the partitions). Costs one
+   * extra full-content read per side — run it where a 100-TB handoff
+   * would anyway demand the proof, skip plain [[compact]] where not.
+   */
+  def compactWithReceipt(
+      spark: SparkSession, path: String, idCol: String, content: Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: String = "date"): Seq[CompactionStat] = {
+    val before = collectManifest(
+      manifestOf(spark, path, idCol, content, partitionCol))
+    val stats = compact(spark, path, targetFileBytes, partitionCol)
+    val after = collectManifest(
+      manifestOf(spark, path, idCol, content, partitionCol))
+    requireUnchanged(before, after, "compact")
+    stats
+  }
+
+  /**
+   * [[upsertPartitions]] under a manifest receipt: only the partitions
+   * present in `updates` may change — every other partition's row count
+   * and checksum must survive the merge bit-for-bit (the failure this
+   * catches is the dynamic-overwrite misconfiguration or path typo that
+   * silently clobbers a partition the write never declared). Returns
+   * the touched partitions' new manifest rows — the receipt a
+   * downstream consumer stores next to the delta.
+   */
+  def upsertPartitionsWithReceipt(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      idCol: String, content: Column,
+      partitionCol: String = "date"): DataFrame = {
+    val before = collectManifest(
+      manifestOf(spark, path, idCol, content, partitionCol))
+    upsertPartitions(spark, path, updates, keyCols, orderCols, partitionCol)
+    val manifestAfter = manifestOf(spark, path, idCol, content, partitionCol)
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    requireUnchanged(before, collectManifest(manifestAfter),
+      "upsertPartitions", touched)
+    manifestAfter.filter(col("shard").isin(touched.toSeq: _*))
+  }
+
   def exportManifest(
       df: DataFrame, shardCol: String, idCol: String,
       content: Column, rowsPerBucket: Long = 1L << 16): DataFrame = {

@@ -164,6 +164,62 @@ class StagingSpec extends GraftSpec {
     assert(Staging.compact(spark, tmp, targetFileBytes = 1L << 30).isEmpty)
   }
 
+  test("compactWithReceipt: the before/after manifests are byte-equal and " +
+    "the compaction still happens; a foreign change trips the receipt") {
+    val day1 = (1L to 600L).map(i => (i, s"p$i", "2024-01-01"))
+      .toDF("id", "payload", "date")
+    val day2 = (601L to 650L).map(i => (i, s"p$i", "2024-01-02"))
+      .toDF("id", "payload", "date")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cwr").toString
+    day1.repartition(12).write.mode("overwrite").partitionBy("date").parquet(tmp)
+    day2.coalesce(1).write.mode("append").partitionBy("date").parquet(tmp)
+
+    val manifestBefore = Staging.manifestOf(spark, tmp, "id", col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val stats = Staging.compactWithReceipt(spark, tmp, "id", col("payload"),
+      targetFileBytes = 1L << 30)
+    assert(stats.map(_.partition) == Seq("date=2024-01-01"))
+    // the receipt's own claim, re-checked from outside: not one checksum bit
+    // moved across the rewrite
+    val manifestAfter = Staging.manifestOf(spark, tmp, "id", col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(manifestAfter == manifestBefore)
+
+    // failure path, driven through the comparison core: a partition that
+    // changed outside the declared write set must be named
+    val before = Map("date=2024-01-01" -> ((2L, "aa")), "date=2024-01-02" -> ((2L, "bb")))
+    val lost = before.updated("date=2024-01-02", (1L, "cc"))
+    val e = intercept[IllegalArgumentException](
+      Staging.requireUnchanged(before, lost, "compact"))
+    assert(e.getMessage.contains("2024-01-02") && !e.getMessage.contains("2024-01-01"))
+    // ...unless it was declared touched
+    Staging.requireUnchanged(before, lost, "upsert", touched = Set("date=2024-01-02"))
+  }
+
+  test("upsertPartitionsWithReceipt: returns the touched partitions' new " +
+    "manifest rows; untouched partitions prove unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uwr").toString
+    val base = Seq(
+      (1L, 1L, "a0", "2024-01-01"), (2L, 1L, "b0", "2024-01-01"),
+      (3L, 1L, "c0", "2024-01-02"), (4L, 1L, "d0", "2024-01-02")
+    ).toDF("id", "ver", "payload", "date")
+    Staging.stage(base, tmp)
+    val day1Before = Staging.manifestOf(spark, tmp, "id", col("payload"))
+      .filter(col("shard") === "2024-01-01").collect()(0).getString(2)
+
+    val updates = Seq((3L, 2L, "c1", "2024-01-02"), (5L, 1L, "e0", "2024-01-02"))
+      .toDF("id", "ver", "payload", "date")
+    val receipt = Staging.upsertPartitionsWithReceipt(spark, tmp, updates,
+      Seq("id"), Seq("ver"), "id", col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the receipt covers exactly the touched partition, with merged counts
+    assert(receipt == Seq(("2024-01-02", 3L)))
+    // and the untouched day's checksum survived the merge bit-for-bit
+    val day1After = Staging.manifestOf(spark, tmp, "id", col("payload"))
+      .filter(col("shard") === "2024-01-01").collect()(0).getString(2)
+    assert(day1After == day1Before)
+  }
+
   test("latestByKey: equals the ranking-window twin; no window, no input sort") {
     val log = (1L to 5000L).map { i =>
       (i % 40, i, s"v$i", (i * 2654435761L) % 1000L) // key, version, payload, noise
