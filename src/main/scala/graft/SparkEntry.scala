@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Multimodal, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1540,6 +1540,74 @@ object SparkEntry {
           AnnIvf.knnJoin(labeled, centroids, kNeighbors = 5, nprobe = 16),
           labeled, k = 5)
         .orderBy(col("vec_id").asc_nulls_last)
+    }),
+
+    // X4 — REAL image decode end-to-end: per-doc PGM payloads are
+    // synthesized byte-for-byte from an integer formula (header + hex
+    // raster → unhex), parsed by the actual NetpbmDecoder
+    // (mapPartitions batch core), and the extracted moments must equal
+    // what the oracle computes from the FORMULA — an engine that never
+    // parses a byte checks the parser. Moments are exact ints; the one
+    // division happens here, identically in both engines.
+    "q120_image_decode" -> ((s, d) => {
+      val w = lit(4L) + pmod(col("doc_id"), lit(5L))
+      val h = lit(3L) + pmod(col("doc_id"), lit(3L))
+      val rasterHex = array_join(
+        transform(sequence(lit(0L), w * h - 1), i =>
+          lpad(hex(pmod(col("doc_id") * 31 + i * 7, lit(256))), 2, "0")), "")
+      val payload = concat(
+        concat(lit("P5\n"), w.cast("string"), lit(" "),
+          h.cast("string"), lit("\n255\n")).cast("binary"),
+        unhex(rasterHex))
+      val assets = t(s, d, "documents").select(col("doc_id"),
+        payload.as("payload"))
+      val dec = new NetpbmDecoder(channels = 1)
+      dec.decode(assets, "payload", "f")
+        .select(col("doc_id"),
+          element_at(col("f"), 1).cast("long").as("width"),
+          element_at(col("f"), 2).cast("long").as("height"),
+          round(element_at(col("f"), 3)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("mean_px"),
+          round(element_at(col("f"), 4)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("ms_px"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X4 — REAL audio decode end-to-end: per-doc RIFF/WAV PCM16
+    // payloads (full 44-byte header, little-endian fields, signed
+    // samples from an integer formula), parsed by the actual
+    // WavDecoder; RMS and duration derive from the decoder's exact
+    // moments and must match the oracle's formula recompute.
+    "q121_audio_decode" -> ((s, d) => {
+      def le16h(c: Column): Column = concat(
+        lpad(hex(pmod(c, lit(256L))), 2, "0"),
+        lpad(hex(pmod(shiftright(c, 8), lit(256L))), 2, "0"))
+      def le32h(c: Column): Column =
+        concat(le16h(pmod(c, lit(65536L))), le16h(shiftright(c, 16)))
+      val n = lit(16L) + pmod(col("doc_id"), lit(16L))
+      val samplesHex = array_join(
+        transform(sequence(lit(0L), n - 1), i =>
+          le16h(pmod(col("doc_id") * 13 + i * 257, lit(65536L)))), "")
+      // canonical PCM header: RIFF(36+2n) WAVE fmt(16) pcm mono 8000Hz
+      // 16000B/s block 2 bits 16, data(2n)
+      val headerHex = concat(
+        lit("52494646"), le32h(lit(36L) + n * 2), lit("57415645"),
+        lit("666d7420"), lit("10000000"), lit("0100"), lit("0100"),
+        lit("401f0000"), lit("803e0000"), lit("0200"), lit("1000"),
+        lit("64617461"), le32h(n * 2))
+      val assets = t(s, d, "documents").select(col("doc_id"),
+        unhex(concat(headerHex, samplesHex)).as("payload"))
+      new WavDecoder().decode(assets, "payload", "f")
+        .select(col("doc_id"),
+          element_at(col("f"), 1).cast("long").as("sample_rate"),
+          element_at(col("f"), 3).cast("long").as("n_samples"),
+          round(element_at(col("f"), 3) / element_at(col("f"), 1), 6)
+            .as("duration_sec"),
+          round(sqrt(element_at(col("f"), 5) / element_at(col("f"), 3)), 6)
+            .as("rms"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -3231,6 +3299,49 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // The image-decode oracle NEVER parses a byte: it recomputes the
+    // decoder's moments from the same integer pixel formula the query
+    // synthesized the raster from, so a parser bug (offset, sign,
+    // truncation) breaks the hash match. Exact int sums; one division.
+    "q120_image_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> (doc_id*31 + i*7) % 256), 'sum') AS s,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> ((doc_id*31 + i*7) % 256) * ((doc_id*31 + i*7) % 256)),
+        |           'sum') AS sq
+        |  FROM g)
+        |SELECT doc_id, w AS width, h AS height,
+        |       round(CAST(s AS DOUBLE) / (w*h), 6) AS mean_px,
+        |       round(CAST(sq AS DOUBLE) / (w*h), 6) AS ms_px
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same oracle principle for audio: signed-sample moments recomputed
+    // from the formula ((x % 65536) - 65536·[x%65536 >= 32768] is the
+    // int16 reinterpretation of the synthesized unsigned word).
+    "q121_audio_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id, 16 + doc_id % 16 AS n FROM documents),
+        |m AS (
+        |  SELECT doc_id, n,
+        |         list_aggregate(list_transform(range(0, n),
+        |           i -> CASE WHEN (doc_id*13 + i*257) % 65536 >= 32768
+        |                     THEN ((doc_id*13 + i*257) % 65536 - 65536)
+        |                          * ((doc_id*13 + i*257) % 65536 - 65536)
+        |                     ELSE ((doc_id*13 + i*257) % 65536)
+        |                          * ((doc_id*13 + i*257) % 65536) END),
+        |           'sum') AS sq
+        |  FROM g)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n AS n_samples,
+        |       round(CAST(n AS DOUBLE) / 8000, 6) AS duration_sec,
+        |       round(sqrt(CAST(sq AS DOUBLE) / n), 6) AS rms
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Textbook tie-averaged Spearman: doubled average ranks (min+max of
     // the row_numbers per tie group — always integers) keep every sum

@@ -1,0 +1,161 @@
+package graft.ext
+
+/**
+ * Pure-JVM media codecs for the formats whose byte layout is simple
+ * enough to parse without any external library — which makes the
+ * [[BinaryDecoder]] seam REAL for them instead of stubbed: Netpbm raw
+ * images (PGM `P5` grayscale, PPM `P6` RGB) and RIFF/WAV PCM16 audio.
+ * These are the interchange formats a media ingest normalizes INTO
+ * before heavier codecs run, so "decode + extract features at corpus
+ * scale" is exercised end-to-end with real parsing, real malformed-input
+ * handling, and oracle-checkable outputs.
+ *
+ * Every parser here is driver-free, allocation-light, and returns exact
+ * INTEGER moments (count / sum / sum-of-squares as doubles — exact below
+ * 2^53) rather than pre-divided means: the caller does the one float
+ * division, so a SQL oracle that recomputes the same moments from first
+ * principles matches bit-for-bit. Malformed input returns `None` — a
+ * corrupt asset must become a NULL feature row, never a task failure
+ * that kills a 100-TB decode pass.
+ *
+ * The reference has no media surface (a log ETL,
+ * `/root/reference/sree-etl-tdk-glue-job.py`); this extends SURVEY.md
+ * §2.11 X4 from seam to operator.
+ */
+object MediaCodec {
+
+  /** Parsed Netpbm raster moments: per-channel pixel sum and sum of
+    * squares (channels = 1 for P5, 3 for P6), all exact integers. */
+  final case class NetpbmStats(
+      width: Int, height: Int, channels: Int,
+      sums: Array[Long], sqSums: Array[Long])
+
+  /** WAV PCM16 moments: format fields plus exact sample moments across
+    * all channels. */
+  final case class WavStats(
+      sampleRate: Int, channels: Int, nSamples: Long,
+      sampleSum: Long, sampleSqSum: Long)
+
+  // ---- Netpbm (PGM P5 / PPM P6, raw variants, maxval <= 255) ----
+
+  /** Parse a raw PGM (`P5`) or PPM (`P6`) payload. Handles the full
+    * header grammar: `#` comments anywhere in the whitespace between
+    * tokens, any whitespace separators, exactly ONE whitespace byte
+    * after maxval before the raster. Returns None for: wrong magic,
+    * malformed/overflowing dimensions, maxval outside 1..255 (2-byte
+    * rasters are out of scope), or a truncated raster. Trailing bytes
+    * after the raster are tolerated (some writers pad). */
+  def parseNetpbm(bytes: Array[Byte]): Option[NetpbmStats] = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
+    val channels = bytes(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _   => return None
+    }
+    var pos = 2
+    // read the next decimal token, skipping whitespace and # comments
+    def nextInt(): Option[Int] = {
+      while (pos < bytes.length &&
+          (isSpace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') { // comment runs to end of line
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else pos += 1
+      }
+      var v = 0L
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); any = true; pos += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    val stats = for {
+      w <- nextInt(); if w > 0
+      h <- nextInt(); if h > 0
+      maxval <- nextInt(); if maxval >= 1 && maxval <= 255
+    } yield {
+      pos += 1 // exactly one whitespace byte separates maxval from raster
+      val n = w.toLong * h * channels
+      if (pos + n > bytes.length || n > Int.MaxValue) None
+      else {
+        val sums = new Array[Long](channels)
+        val sqSums = new Array[Long](channels)
+        var i = 0
+        while (i < n) {
+          val v = (bytes(pos + i) & 0xff).toLong
+          val c = i % channels
+          sums(c) += v
+          sqSums(c) += v * v
+          i += 1
+        }
+        Some(NetpbmStats(w, h, channels, sums, sqSums))
+      }
+    }
+    stats.flatten
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' ||
+      b == 0x0b
+
+  // ---- RIFF/WAV, PCM16 little-endian ----
+
+  /** Parse a RIFF/WAVE payload with a PCM (`audioFormat = 1`) 16-bit
+    * `fmt ` chunk. Walks the chunk list (chunks are word-aligned: odd
+    * sizes carry a pad byte), so writers that interleave `LIST`/`fact`
+    * chunks parse fine. Returns None for: missing RIFF/WAVE magic,
+    * no fmt/data chunk, non-PCM format, non-16-bit samples, zero
+    * channels/rate, or a data chunk that overruns the payload. */
+  def parseWav(bytes: Array[Byte]): Option[WavStats] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!hasTag(bytes, 0, "RIFF") || !hasTag(bytes, 8, "WAVE")) return None
+    var pos = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    var data: Option[(Int, Int)] = None // (offset, byteLen)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (hasTag(bytes, pos, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(bytes, pos + 8)
+        val channels = le16(bytes, pos + 10)
+        val rate = le32(bytes, pos + 12)
+        val bits = le16(bytes, pos + 22)
+        if (audioFormat != 1 || bits != 16 || channels <= 0 || rate <= 0)
+          return None
+        fmt = Some((channels, rate))
+      } else if (hasTag(bytes, pos, "data")) {
+        data = Some((pos + 8, size))
+      }
+      pos += 8 + size + (size & 1) // word alignment pad
+    }
+    for {
+      (channels, rate) <- fmt
+      (off, len) <- data
+    } yield {
+      val n = len / 2 // complete 16-bit samples only
+      var sum = 0L
+      var sq = 0L
+      var i = 0
+      while (i < n) {
+        val v = (le16(bytes, off + 2 * i).toShort).toLong
+        sum += v
+        sq += v * v
+        i += 1
+      }
+      WavStats(rate, channels, n.toLong, sum, sq)
+    }
+  }
+
+  private def hasTag(b: Array[Byte], pos: Int, tag: String): Boolean =
+    pos + 4 <= b.length &&
+      b(pos) == tag.charAt(0) && b(pos + 1) == tag.charAt(1) &&
+      b(pos + 2) == tag.charAt(2) && b(pos + 3) == tag.charAt(3)
+
+  private def le16(b: Array[Byte], pos: Int): Int =
+    (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], pos: Int): Int =
+    (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+      ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+}

@@ -1,32 +1,86 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /**
  * The decode seam of the multimodal surface: binary payload column in,
  * fixed-width feature column out. Everything upstream (content hashing,
  * dedup, partitioning) and downstream (ANN, centroids, similarity) of a
- * media pipeline composes against this trait, so swapping the honest test
- * stub for a production codec is ONE class — no call-site changes.
+ * media pipeline composes against this trait, so swapping one codec for
+ * another is ONE class — no call-site changes.
  *
- * Production implementation contract (not buildable in this environment —
- * no image/audio libraries): a `mapPartitions` batch decoder. Per
- * partition: group rows into fixed-size batches (bounding peak decoder
- * memory to batch_size × max_payload), hand the payload byte buffers to
- * the codec (JVM lib, or a native decoder via JNI/FFM — Arrow record
- * batches if the codec is out-of-process), emit one `Array[Double]` of
- * exactly [[dims]] features per row, never materialize a partition's
- * payloads at once. Per-row cost only, no shuffle — identical to the
- * stub's plan shape, which is what the specs pin.
+ * Implementations here span the honest range this environment allows:
+ * [[NetpbmDecoder]] and [[WavDecoder]] are REAL parsers (Netpbm and
+ * RIFF/PCM are hand-parseable — see [[MediaCodec]]) running the full
+ * production shape — `mapPartitions`, fixed-size row batches bounding
+ * peak decoder memory to batch_size × max_payload, malformed input
+ * degrading to NULL rather than task failure. A heavier codec (JPEG,
+ * FLAC — JVM lib or native via JNI/FFM, Arrow record batches if
+ * out-of-process) slots into the same [[Multimodal.decodeWith]] core by
+ * swapping the per-batch function. [[StubDecoder]] remains the
+ * plumbing-only test double.
  */
 trait BinaryDecoder {
   /** Fixed feature-vector width every decoded row must have. */
   def dims: Int
 
-  /** Append `outCol` (`array<double>`, length [[dims]]) decoded from the
-    * BinaryType column `payloadCol`. Must add no shuffle. */
+  /** Append `outCol` (`array<double>`, length [[dims]], NULL for
+    * undecodable payloads) decoded from the BinaryType column
+    * `payloadCol`. Must add no shuffle. */
   def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame
+}
+
+/**
+ * REAL image decoder for raw Netpbm payloads (PGM `P5` grayscale when
+ * `channels = 1`, PPM `P6` RGB when `channels = 3`): parses the header
+ * (comments, whitespace grammar) and raster bytes, and emits exact
+ * integer moments as features —
+ * `[width, height, sum(c0), sumsq(c0), ... per channel]` ([[dims]] =
+ * `2 + 2·channels`). Moments, not means: sums are exact (< 2^53), so
+ * the caller's single division is reproducible by any engine — the
+ * basis of the q120 oracle. A payload that fails to parse, or parses
+ * to the OTHER channel count, yields NULL (a P6 payload is not "a P5
+ * with different stats" — a mixed bucket should be split by
+ * [[Multimodal.contentHash]]-keyed routing, not silently averaged).
+ */
+final class NetpbmDecoder(channels: Int = 1, batchSize: Int = 64)
+    extends BinaryDecoder {
+  require(channels == 1 || channels == 3,
+    s"Netpbm raw rasters are 1 (P5) or 3 (P6) channels, got $channels")
+  val dims: Int = 2 + 2 * channels
+  def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val ch = channels // local copy: the task closure must not drag `this`
+    Multimodal.decodeWith(df, payloadCol, outCol, batchSize) { bytes =>
+      MediaCodec.parseNetpbm(bytes).filter(_.channels == ch).map { s =>
+        Array(s.width.toDouble, s.height.toDouble) ++
+          (0 until ch).flatMap(c =>
+            Seq(s.sums(c).toDouble, s.sqSums(c).toDouble))
+      }
+    }
+  }
+}
+
+/**
+ * REAL audio decoder for RIFF/WAV PCM16 payloads: walks the chunk list
+ * ([[MediaCodec.parseWav]]) and emits
+ * `[sampleRate, channels, nSamples, sampleSum, sampleSqSum]` — exact
+ * integer moments again, so duration (`nSamples / rate / channels`) and
+ * RMS (`sqrt(sqSum / nSamples)`) are single reproducible float ops at
+ * the call site (the q121 oracle). Non-PCM, non-16-bit, or truncated
+ * payloads yield NULL. Sum exactness holds to 2^53 ≈ 26 hours of
+ * full-scale 16-bit audio per asset; longer assets should be frame-
+ * sliced ([[Multimodal.frames]]) first.
+ */
+final class WavDecoder(batchSize: Int = 64) extends BinaryDecoder {
+  val dims: Int = 5
+  def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame =
+    Multimodal.decodeWith(df, payloadCol, outCol, batchSize) { bytes =>
+      MediaCodec.parseWav(bytes).map(s =>
+        Array(s.sampleRate.toDouble, s.channels.toDouble,
+          s.nSamples.toDouble, s.sampleSum.toDouble, s.sampleSqSum.toDouble))
+    }
 }
 
 /** The environment-honest [[BinaryDecoder]]: deterministic pseudo-features
@@ -46,17 +100,49 @@ final class StubDecoder(val dims: Int = 4) extends BinaryDecoder {
  * like any other column — the north-star multimodal surface
  * (SURVEY.md §2.11 X4).
  *
- * The actual codec step is STUBBED: this environment has no image/audio
- * libraries, so [[decodeStub]] produces deterministic pseudo-features with
- * the real contract (binary in → fixed-width double vector out). A real
- * deployment swaps the stub for a `mapPartitions` / Arrow-batch decoder
- * with the same signature; everything around it — content hashing, byte
- * accounting, frame slicing, schema — is real and tested.
+ * The codec step is REAL for the hand-parseable interchange formats —
+ * [[NetpbmDecoder]] (PGM/PPM images) and [[WavDecoder]] (PCM16 audio)
+ * run actual byte-level parsing through the production `mapPartitions`
+ * batch shape ([[decodeWith]]). Formats that need a heavyweight library
+ * (JPEG, FLAC, video) are not buildable in this environment; they slot
+ * into the same core with a different per-batch function, and
+ * [[decodeStub]] remains the plumbing-only stand-in for specs that only
+ * care about the seam.
  *
- * Scale: all operators here are per-row expressions (no shuffle); binary
- * payloads stay columnar in Parquet and are never collected.
+ * Scale: the metadata operators are per-row expressions (no shuffle);
+ * decode is a per-row mapPartitions pass (no shuffle, memory bounded by
+ * the batch size); binary payloads stay columnar in Parquet and are
+ * never collected.
  */
 object Multimodal {
+
+  /**
+   * The shared batch-decode core every [[BinaryDecoder]] rides: per
+   * partition, rows are pulled in fixed-size batches (the handoff point
+   * where an out-of-process codec would receive one Arrow record batch;
+   * peak working set = batchSize × max payload, never a whole
+   * partition), each payload is decoded to exactly the decoder's
+   * feature width, and failures become NULL feature rows — a corrupt
+   * asset must never kill a corpus-wide decode pass. Appends one
+   * `array<double>` column; every input column passes through
+   * unchanged. No shuffle: the plan gains only a narrow
+   * MapPartitions stage.
+   */
+  private[ext] def decodeWith(
+      df: DataFrame, payloadCol: String, outCol: String, batchSize: Int)(
+      f: Array[Byte] => Option[Array[Double]]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val schema = df.schema.add(outCol, ArrayType(DoubleType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val decoded = f(r.getAs[Array[Byte]](idx))
+          Row.fromSeq(r.toSeq :+ decoded.orNull)
+        }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Deterministic fake asset from a text column: the UTF-8 bytes as the
     * binary payload. Stands in for real media bytes in tests/harness. */

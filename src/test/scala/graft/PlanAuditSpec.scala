@@ -420,6 +420,18 @@ class PlanAuditSpec extends GraftSpec {
     assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q120/q121: decode is a narrow MapPartitions pass — no join, no " +
+    "pre-sort shuffle ahead of the codec") {
+    Seq("q120_image_decode", "q121_audio_decode").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("MapPartitions"), s"$k lost the batch-decode stage:\n$p")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), s"$k:\n$p")
+      // the only Exchange is the final presentation sort — the decode
+      // itself must not shuffle (one range partitioning, nothing else)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$k decode shuffled:\n$p")
+    }
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

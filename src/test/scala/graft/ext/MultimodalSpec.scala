@@ -48,4 +48,131 @@ class MultimodalSpec extends GraftSpec {
     assert(f1(0).toSeq == f1(1).toSeq) // same bytes → same features
     assert(f1(0).toSeq != f1(2).toSeq)
   }
+
+  // ---- real codecs ----
+
+  private def pgm(w: Int, h: Int, px: Seq[Int],
+      header: String = ""): Array[Byte] = {
+    val head = if (header.nonEmpty) header else s"P5\n$w $h\n255\n"
+    head.getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+  }
+
+  test("MediaCodec.parseNetpbm: golden P5, comments, P6 channels, " +
+    "malformed inputs") {
+    // 2x2 grayscale, pixels 10 20 30 40 → sum 100, sqsum 3000
+    val s = MediaCodec.parseNetpbm(pgm(2, 2, Seq(10, 20, 30, 40))).get
+    assert((s.width, s.height, s.channels) == ((2, 2, 1)))
+    assert(s.sums.toSeq == Seq(100L) && s.sqSums.toSeq == Seq(3000L))
+    // high-bit pixels stay unsigned: 255 → 255, not -1
+    val hb = MediaCodec.parseNetpbm(pgm(1, 1, Seq(255))).get
+    assert(hb.sums.toSeq == Seq(255L) && hb.sqSums.toSeq == Seq(65025L))
+    // header comments and exotic whitespace parse (the Netpbm grammar)
+    val commented = MediaCodec.parseNetpbm(pgm(2, 1, Seq(5, 7),
+      header = "P5 # written by graft\n# another\n 2\t1 \n255\n")).get
+    assert((commented.width, commented.height) == ((2, 1)))
+    assert(commented.sums.toSeq == Seq(12L))
+    // P6: interleaved RGB → per-channel moments
+    val rgb = MediaCodec.parseNetpbm(
+      ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](10, 20, 30, 1, 2, 3))).get
+    assert(rgb.channels == 3)
+    assert(rgb.sums.toSeq == Seq(11L, 22L, 33L))
+    // malformed: wrong magic, truncated raster, maxval > 255, zero dim
+    assert(MediaCodec.parseNetpbm("Q5\n1 1\n255\n".getBytes ++
+      Array[Byte](1)).isEmpty)
+    assert(MediaCodec.parseNetpbm(pgm(2, 2, Seq(10, 20, 30))).isEmpty)
+    assert(MediaCodec.parseNetpbm("P5\n1 1\n65535\n".getBytes ++
+      Array[Byte](1, 1)).isEmpty)
+    assert(MediaCodec.parseNetpbm("P5\n0 1\n255\n".getBytes).isEmpty)
+    assert(MediaCodec.parseNetpbm(null).isEmpty)
+    // trailing padding after the raster is tolerated
+    assert(MediaCodec.parseNetpbm(pgm(1, 1, Seq(9, 0, 0))).get
+      .sums.toSeq == Seq(9L))
+  }
+
+  private def wav(rate: Int, channels: Int, samples: Seq[Int],
+      extraChunk: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(64 + 2 * samples.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = t.foreach(c => bb.put(c.toByte))
+    val dataLen = 2 * samples.size
+    val junkLen = if (extraChunk) 3 else 0
+    val junkPad = junkLen & 1
+    tag("RIFF"); bb.putInt(4 + 24 + (8 + junkLen + junkPad) *
+      (if (extraChunk) 1 else 0) + 8 + dataLen)
+    tag("WAVE")
+    tag("fmt "); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16.toShort)
+    if (extraChunk) { tag("LIST"); bb.putInt(junkLen)
+      bb.put(Array[Byte](1, 2, 3, 0)) } // odd size + word-align pad
+    tag("data"); bb.putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("MediaCodec.parseWav: golden PCM16, chunk walking, malformed " +
+    "inputs") {
+    val s = MediaCodec.parseWav(wav(8000, 1, Seq(100, -200, 300))).get
+    assert((s.sampleRate, s.channels, s.nSamples) == ((8000, 1, 3L)))
+    assert(s.sampleSum == 200L && s.sampleSqSum == 140000L)
+    // an interleaved LIST chunk (odd size, word-aligned) is walked over
+    val walked = MediaCodec.parseWav(
+      wav(44100, 2, Seq(1, -1, 2, -2), extraChunk = true)).get
+    assert((walked.sampleRate, walked.channels) == ((44100, 2)))
+    assert(walked.nSamples == 4L && walked.sampleSum == 0L)
+    // full-scale negative stays signed: -32768
+    val fs = MediaCodec.parseWav(wav(8000, 1, Seq(-32768))).get
+    assert(fs.sampleSum == -32768L && fs.sampleSqSum == 1073741824L)
+    // malformed: bad magic, float format, 8-bit, overrunning data chunk
+    assert(MediaCodec.parseWav("RIFX????WAVE".getBytes).isEmpty)
+    val nonPcm = wav(8000, 1, Seq(1)); nonPcm(20) = 3 // IEEE float tag
+    assert(MediaCodec.parseWav(nonPcm).isEmpty)
+    val eightBit = wav(8000, 1, Seq(1)); eightBit(34) = 8
+    assert(MediaCodec.parseWav(eightBit).isEmpty)
+    val overrun = wav(8000, 1, Seq(1, 2)); overrun(44) = 99 // data size lies
+    assert(MediaCodec.parseWav(java.util.Arrays.copyOf(overrun, 40)).isEmpty)
+    assert(MediaCodec.parseWav(null).isEmpty)
+  }
+
+  test("NetpbmDecoder/WavDecoder: the real codecs ride the batch-decode " +
+    "core — features exact, corrupt rows NULL, no shuffle, batch " +
+    "boundaries invisible") {
+    val rows = Seq(
+      (1L, pgm(2, 2, Seq(10, 20, 30, 40))),
+      (2L, "not an image".getBytes),
+      (3L, pgm(1, 2, Seq(255, 1))),
+      (4L, pgm(3, 1, Seq(0, 0, 7))),
+      (5L, pgm(2, 1, Seq(8, 8)))
+    ).toDF("id", "payload")
+    // batchSize 2 with 5 rows: batch boundaries must not show in output
+    val dec = new NetpbmDecoder(channels = 1, batchSize = 2)
+    val out = dec.decode(rows, "payload", "f")
+    assert(out.columns.toSeq == Seq("id", "payload", "f"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = out.select($"id", $"f").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(1L).get == Seq(2.0, 2.0, 100.0, 3000.0))
+    assert(got(2L).isEmpty, "corrupt payload must be NULL, not a failure")
+    assert(got(3L).get == Seq(1.0, 2.0, 256.0, 65026.0))
+    assert(got(4L).get == Seq(3.0, 1.0, 7.0, 49.0))
+    assert(got(5L).get == Seq(2.0, 1.0, 16.0, 128.0))
+
+    // a P6 payload through a P5 decoder is NULL, not misread
+    val p6 = Seq((9L, ("P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)))).toDF("id", "payload")
+    assert(dec.decode(p6, "payload", "f").select($"f").head().isNullAt(0))
+
+    val wavs = Seq(
+      (1L, wav(8000, 1, Seq(100, -200, 300))),
+      (2L, Array[Byte](1, 2, 3))
+    ).toDF("id", "payload")
+    val wout = new WavDecoder(batchSize = 1).decode(wavs, "payload", "f")
+      .select($"id", $"f").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(wout(1L).get == Seq(8000.0, 1.0, 3.0, 200.0, 140000.0))
+    assert(wout(2L).isEmpty)
+  }
 }
