@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1608,6 +1608,24 @@ object SparkEntry {
           round(sqrt(element_at(col("f"), 5) / element_at(col("f"), 3)), 6)
             .as("rms"))
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X+/E — contrastive-pair mining: hard negatives (most-similar
+    // OTHER-label) and positives from the q119 ANN neighbor frame —
+    // the metric-learning data op downstream of the same frame the
+    // eval vote consumes. Full probe coverage + frame depth 20, so the
+    // oracle replays it exactly: rank all pairs, keep top-20, split by
+    // label agreement, re-rank per kind. Sample-capped (eval contract).
+    "q122_contrastive_pairs" -> ((s, d) => {
+      val labeled = t(s, d, "embeddings")
+        .filter(col("vec_id") < 1000 &&
+          col("embedding").isNotNull && col("label").isNotNull)
+      val centroids = AnnIvf.trainCentroids(labeled, k = 16, iters = 2)
+      Mining.contrastivePairs(
+          AnnIvf.knnJoin(labeled, centroids, kNeighbors = 20, nprobe = 16),
+          labeled, kPos = 2, kNeg = 3)
+        .orderBy(col("q_id").asc_nulls_last, col("kind").asc_nulls_last,
+          col("pair_rank").asc_nulls_last)
     })
   )
 
@@ -3299,6 +3317,49 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // q122 replays the mining pipeline exactly at full probe coverage:
+    // all-pairs rank on unrounded sims (the q119 convention), top-20
+    // frame, label split, dense per-kind re-rank.
+    "q122_contrastive_pairs" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         list_aggregate(list_transform(
+        |             list_zip(q.embedding, c.embedding),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum')
+        |         / nullif(
+        |             sqrt(list_aggregate(list_transform(q.embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           * sqrt(list_aggregate(list_transform(c.embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |             0) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |t AS (SELECT * FROM r WHERE rank <= 20),
+        |k AS (
+        |  SELECT q_id, nn_id,
+        |         CASE WHEN q_label = nn_label THEN 'pos' ELSE 'neg' END
+        |           AS kind, rank
+        |  FROM t),
+        |p AS (
+        |  SELECT q_id, nn_id, kind,
+        |         CAST(row_number() OVER (PARTITION BY q_id, kind
+        |                                 ORDER BY rank) AS BIGINT)
+        |           AS pair_rank
+        |  FROM k)
+        |SELECT q_id, nn_id, kind, pair_rank FROM p
+        |WHERE (kind = 'pos' AND pair_rank <= 2)
+        |   OR (kind = 'neg' AND pair_rank <= 3)
+        |ORDER BY q_id, kind, pair_rank""".stripMargin,
 
     // The image-decode oracle NEVER parses a byte: it recomputes the
     // decoder's moments from the same integer pixel formula the query

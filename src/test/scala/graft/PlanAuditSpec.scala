@@ -432,6 +432,13 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("q122: mining re-rank stays partitioned by (q_id, kind) — no " +
+    "global window, no cartesian") {
+    val p = plan("q122_contrastive_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p).isDefined, p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
