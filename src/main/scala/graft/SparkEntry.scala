@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -1626,6 +1626,23 @@ object SparkEntry {
           labeled, kPos = 2, kNeg = 3)
         .orderBy(col("q_id").asc_nulls_last, col("kind").asc_nulls_last,
           col("pair_rank").asc_nulls_last)
+    }),
+
+    // X2 — CCNet-style boilerplate removal: a synthetic per-source
+    // footer line (the nav-banner shape, appearing in every doc of its
+    // source ≥ minDocs) plus a rare under-threshold promo line are
+    // appended to each doc; the strip must cut exactly the footer and
+    // keep the promo — the threshold boundary, exercised from both
+    // sides in every group. Oracle replays the whole pipeline.
+    "q123_boilerplate" -> ((s, d) => {
+      val webby = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat_ws("\n", col("text"),
+            concat(lit("(c) footer of "), col("source")),
+            concat(lit("promo "),
+              pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
+      Boilerplate.stripBoilerplate(webby, minDocs = 5)
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -3317,6 +3334,42 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // q123's oracle replays the line pipeline: lockstep unnest of
+    // (position, line), trim-keyed per-source doc frequency, threshold
+    // cut, ordered string_agg rebuild. An all-cut doc rebuilds to ''
+    // via the left join + coalesce in BOTH engines.
+    "q123_boilerplate" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, source,
+        |         text || chr(10) || '(c) footer of ' || source
+        |              || chr(10) || 'promo ' ||
+        |              CAST(doc_id % 250 AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |l0 AS (
+        |  SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        |  FROM d0),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |         unnest(range(0, len(ls))) AS pos, unnest(ls) AS line
+        |  FROM l0),
+        |keyed AS (
+        |  SELECT doc_id, source, pos, line, trim(line) AS key FROM lines),
+        |boiler AS (
+        |  SELECT source, key FROM keyed WHERE length(key) > 0
+        |  GROUP BY source, key HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.line FROM keyed k
+        |  LEFT JOIN boiler b ON k.source = b.source AND k.key = b.key
+        |  WHERE b.key IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |         count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean, '') AS text_clean,
+        |       CAST(len(l.ls) - coalesce(r.nk, 0) AS BIGINT) AS n_cut
+        |FROM d0 d JOIN l0 l USING (doc_id) LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q122 replays the mining pipeline exactly at full probe coverage:
     // all-pairs rank on unrounded sims (the q119 convention), top-20

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Line-frequency boilerplate removal — the CCNet-style cleanup a web
+ * corpus runs before training: navigation menus, cookie banners, and
+ * footers repeat VERBATIM across a site's pages, so a line whose
+ * document frequency within its group (site/domain/source) reaches a
+ * threshold is template, not content, and is cut from every document
+ * (CCNet deduplicates paragraphs by hash across shards; Gopher/RefinedWeb
+ * apply the same rule at line level).
+ *
+ * Semantics (deterministic, engine-replayable — the q123 oracle): lines
+ * are `split(text, "\n")` with positions; a line's KEY is its trimmed
+ * form; empty keys are never boilerplate (blank separators are layout,
+ * not template); a key whose distinct-document count within its group is
+ * `>= minDocs` is cut wherever it appears; each document rebuilds from
+ * its surviving lines in original order. Returns one row per input
+ * document: `(idCol, text_clean, n_cut)` — a fully-template document
+ * comes back as the empty string, not a dropped row (the caller decides
+ * whether to discard it; losing the row would silently change corpus
+ * membership).
+ *
+ * Scale shape: the explode is narrow (each doc pays its own line count);
+ * the frequency pass is one hash aggregate on `(group, key)` with
+ * partial aggregation; the cut is a shuffled left-anti equi-join on the
+ * same key (boilerplate sets are corpus-derived — never assume they
+ * broadcast); the rebuild groups by document, and the per-group
+ * `collect_list` buffer is one document's own lines — bounded by the
+ * longest single document, the same bound the corpus already imposes on
+ * any whole-doc operator.
+ */
+object Boilerplate {
+
+  def stripBoilerplate(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source", minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would cut every non-blank line: $minDocs")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol).as("_grp"), col(textCol))
+    val lines = base
+      .select(col(idCol), col("_grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+    val boiler = lines.filter(length(col("_key")) > 0)
+      .groupBy(col("_grp"), col("_key"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_grp"), col("_key"))
+    val rebuilt = lines.join(boiler, Seq("_grp", "_key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")), "\n").as("_clean"),
+        count(lit(1)).as("_nkept"))
+    base
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_clean"), lit("")).as("text_clean"),
+        (size(split(col(textCol), "\n")) - coalesce(col("_nkept"), lit(0L)))
+          .cast("long").as("n_cut"))
+  }
+}

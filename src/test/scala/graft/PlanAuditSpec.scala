@@ -439,6 +439,14 @@ class PlanAuditSpec extends GraftSpec {
     assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q123: the boilerplate cut is an equi-anti-join with partial " +
+    "aggregation — no cartesian, no global window") {
+    val p = plan("q123_boilerplate")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
