@@ -1643,6 +1643,26 @@ object SparkEntry {
               pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
       Boilerplate.stripBoilerplate(webby, minDocs = 5)
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X2 — the persisted-index twin of q123: the line-frequency table is
+    // built once, round-tripped through parquet, and the batch cuts
+    // against the standing index (same cut core — can't drift; the
+    // threshold applies at strip time, so one index serves any
+    // minDocs). Shares q123's oracle because indexed ≡ self-contained.
+    "q124_boilerplate_indexed" -> ((s, d) => {
+      val webby = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat_ws("\n", col("text"),
+            concat(lit("(c) footer of "), col("source")),
+            concat(lit("promo "),
+              pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
+      val tmp = scratch("q124", d)
+      Boilerplate.buildBoilerplateIndex(webby)
+        .write.mode("overwrite").parquet(tmp)
+      Boilerplate.stripBoilerplateIndexed(webby, s.read.parquet(tmp),
+          minDocs = 5)
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 
@@ -1656,6 +1676,43 @@ object SparkEntry {
     * Dedup.shingles; benchmark = doc_id % 97 docs) — shared by q39 (the
     * broadcast-join path) and q50 (the Bloom-pruned path): both must
     * produce this identical exact result. */
+  /** Shared by q123 (self-contained) and q124 (persisted line-frequency
+    * index): the two strip paths share one cut core, so one SQL replay —
+    * lockstep unnest of (pos, line), trim-keyed per-source doc
+    * frequency, threshold cut, ordered string_agg rebuild — oracles
+    * both. */
+  private val boilerplateOracleSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source,
+      |         text || chr(10) || '(c) footer of ' || source
+      |              || chr(10) || 'promo ' ||
+      |              CAST(doc_id % 250 AS VARCHAR) AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |l0 AS (
+      |  SELECT doc_id, source, string_split(text, chr(10)) AS ls
+      |  FROM d0),
+      |lines AS (
+      |  SELECT doc_id, source,
+      |         unnest(range(0, len(ls))) AS pos, unnest(ls) AS line
+      |  FROM l0),
+      |keyed AS (
+      |  SELECT doc_id, source, pos, line, trim(line) AS key FROM lines),
+      |boiler AS (
+      |  SELECT source, key FROM keyed WHERE length(key) > 0
+      |  GROUP BY source, key HAVING count(DISTINCT doc_id) >= 5),
+      |kept AS (
+      |  SELECT k.doc_id, k.pos, k.line FROM keyed k
+      |  LEFT JOIN boiler b ON k.source = b.source AND k.key = b.key
+      |  WHERE b.key IS NULL),
+      |reb AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+      |         count(*) AS nk
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.clean, '') AS text_clean,
+      |       CAST(len(l.ls) - coalesce(r.nk, 0) AS BIGINT) AS n_cut
+      |FROM d0 d JOIN l0 l USING (doc_id) LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private val contaminationOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -3338,38 +3395,10 @@ object SparkEntry {
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold
     // cut, ordered string_agg rebuild. An all-cut doc rebuilds to ''
-    // via the left join + coalesce in BOTH engines.
-    "q123_boilerplate" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, source,
-        |         text || chr(10) || '(c) footer of ' || source
-        |              || chr(10) || 'promo ' ||
-        |              CAST(doc_id % 250 AS VARCHAR) AS text
-        |  FROM documents WHERE text IS NOT NULL),
-        |l0 AS (
-        |  SELECT doc_id, source, string_split(text, chr(10)) AS ls
-        |  FROM d0),
-        |lines AS (
-        |  SELECT doc_id, source,
-        |         unnest(range(0, len(ls))) AS pos, unnest(ls) AS line
-        |  FROM l0),
-        |keyed AS (
-        |  SELECT doc_id, source, pos, line, trim(line) AS key FROM lines),
-        |boiler AS (
-        |  SELECT source, key FROM keyed WHERE length(key) > 0
-        |  GROUP BY source, key HAVING count(DISTINCT doc_id) >= 5),
-        |kept AS (
-        |  SELECT k.doc_id, k.pos, k.line FROM keyed k
-        |  LEFT JOIN boiler b ON k.source = b.source AND k.key = b.key
-        |  WHERE b.key IS NULL),
-        |reb AS (
-        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
-        |         count(*) AS nk
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.clean, '') AS text_clean,
-        |       CAST(len(l.ls) - coalesce(r.nk, 0) AS BIGINT) AS n_cut
-        |FROM d0 d JOIN l0 l USING (doc_id) LEFT JOIN reb r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    // via the left join + coalesce in BOTH engines. q124 (indexed twin)
+    // shares it: indexed ≡ self-contained by the shared cut core.
+    "q123_boilerplate" -> boilerplateOracleSql,
+    "q124_boilerplate_indexed" -> boilerplateOracleSql,
 
     // q122 replays the mining pipeline exactly at full probe coverage:
     // all-pairs rank on unrounded sims (the q119 convention), top-20

@@ -34,22 +34,28 @@ import org.apache.spark.sql.functions._
  */
 object Boilerplate {
 
-  def stripBoilerplate(
-      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      groupCol: String = "source", minDocs: Long = 5L): DataFrame = {
-    require(minDocs >= 2, s"minDocs < 2 would cut every non-blank line: $minDocs")
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(groupCol).as("_grp"), col(textCol))
-    val lines = base
+  /** Positioned, trim-keyed line explode shared by every path. */
+  private def linesOf(base: DataFrame, idCol: String): DataFrame =
+    base
       .select(col(idCol), col("_grp"),
-        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+        posexplode(split(col("_text"), "\n")).as(Seq("_pos", "_line")))
       .withColumn("_key", trim(col("_line")))
-    val boiler = lines.filter(length(col("_key")) > 0)
-      .groupBy(col("_grp"), col("_key"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") >= minDocs)
-      .select(col("_grp"), col("_key"))
-    val rebuilt = lines.join(boiler, Seq("_grp", "_key"), "left_anti")
+
+  private def baseOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol).as("_grp"), col(textCol).as("_text"))
+
+  /** The shared cut-and-rebuild core: drop every line whose `(grp, key)`
+    * is in `boiler`, reassemble survivors in position order. ONE
+    * implementation under the self-contained and indexed paths, so the
+    * two can never drift. */
+  private def stripWith(
+      base: DataFrame, boiler: DataFrame, idCol: String): DataFrame = {
+    val rebuilt = linesOf(base, idCol)
+      .join(boiler.select(col("_grp"), col("_key")), Seq("_grp", "_key"),
+        "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -60,7 +66,63 @@ object Boilerplate {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_clean"), lit("")).as("text_clean"),
-        (size(split(col(textCol), "\n")) - coalesce(col("_nkept"), lit(0L)))
+        (size(split(col("_text"), "\n")) - coalesce(col("_nkept"), lit(0L)))
           .cast("long").as("n_cut"))
+  }
+
+  def stripBoilerplate(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source", minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would cut every non-blank line: $minDocs")
+    val base = baseOf(docs, idCol, textCol, groupCol)
+    val boiler = linesOf(base, idCol).filter(length(col("_key")) > 0)
+      .groupBy(col("_grp"), col("_key"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+    stripWith(base, boiler, idCol)
+  }
+
+  /**
+   * The PERSISTED form of the line-frequency table: one row per
+   * `(grp, key)` with its distinct-document count — derive once per
+   * corpus generation, persist as parquet, and cut any number of
+   * batches against it with [[stripBoilerplateIndexed]] (the standing-
+   * index symmetry every screen family here has: a daily cut should not
+   * re-explode the whole corpus's lines). Batches that are DOC-DISJOINT
+   * (the ingest contract — a document is counted where it first lands)
+   * merge additively via [[mergeBoilerplateIndexes]]; BoilerplateSpec
+   * pins the append law `index(a) ⊕ index(b) ≡ index(a ∪ b)`.
+   */
+  def buildBoilerplateIndex(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source"): DataFrame =
+    linesOf(baseOf(docs, idCol, textCol, groupCol), idCol)
+      .filter(length(col("_key")) > 0)
+      .select(col("_grp"), col("_key"), col(idCol))
+      .distinct()
+      .groupBy(col("_grp"), col("_key"))
+      .agg(count(lit(1)).as("_df"))
+
+  /** Additive merge of doc-disjoint batch indexes (unionAll + sum — a
+    * document appearing in BOTH inputs would double-count; dedup ids
+    * upstream if the feed can re-deliver). */
+  def mergeBoilerplateIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("_grp"), col("_key"))
+      .agg(sum(col("_df")).as("_df"))
+
+  /** [[stripBoilerplate]] against a precomputed
+    * [[buildBoilerplateIndex]] table: the batch pays only its own line
+    * explode; the corpus-wide frequency knowledge is a bare columnar
+    * scan + threshold filter. Same cut core as the self-contained path
+    * (can't drift). The threshold applies at CUT time, so one index
+    * serves any `minDocs`. */
+  def stripBoilerplateIndexed(
+      docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source", minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would cut every non-blank line: $minDocs")
+    stripWith(baseOf(docs, idCol, textCol, groupCol),
+      index.filter(col("_df") >= minDocs), idCol)
   }
 }
