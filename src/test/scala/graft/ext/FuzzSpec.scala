@@ -614,4 +614,93 @@ class FuzzSpec extends GraftSpec {
       }
     }
   }
+
+  test("parseNetpbm/parseWav invert serialization on random assets — " +
+    "moments equal the direct computation") {
+    // property: parse(serialize(asset)) recovers the asset's directly
+    // computed moments, for arbitrary dims, pixel values, comments, and
+    // sample values (including full-scale negatives)
+    val imgGen = for {
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 7)
+      rgb <- Gen.oneOf(false, true)
+      px <- Gen.listOfN(w * h * (if (rgb) 3 else 1), Gen.chooseNum(0, 255))
+      comment <- Gen.oneOf(true, false)
+    } yield (w, h, rgb, px, comment)
+    cases(imgGen, 20, seed = 0xA55E7L).foreach { case (w, h, rgb, px, cm) =>
+      val magic = if (rgb) "P6" else "P5"
+      val head = if (cm) s"$magic\n# fuzz\n$w $h\n255\n"
+        else s"$magic $w $h 255\n"
+      val bytes = head.getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+      val s = MediaCodec.parseNetpbm(bytes).get
+      val ch = if (rgb) 3 else 1
+      assert((s.width, s.height, s.channels) == ((w, h, ch)))
+      (0 until ch).foreach { c =>
+        val mine = px.zipWithIndex.filter(_._2 % ch == c).map(_._1.toLong)
+        assert(s.sums(c) == mine.sum, s"w=$w h=$h ch=$c")
+        assert(s.sqSums(c) == mine.map(v => v * v).sum)
+      }
+    }
+
+    val wavGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      chs <- Gen.chooseNum(1, 2)
+      n <- Gen.chooseNum(0, 40)
+      ss <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    } yield (rate, chs, ss)
+    cases(wavGen, 20, seed = 0xBEEFL).foreach { case (rate, chs, ss) =>
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * ss.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      "RIFF".foreach(c => bb.put(c.toByte)); bb.putInt(36 + 2 * ss.size)
+      "WAVEfmt ".foreach(c => bb.put(c.toByte)); bb.putInt(16)
+      bb.putShort(1); bb.putShort(chs.toShort)
+      bb.putInt(rate); bb.putInt(rate * chs * 2)
+      bb.putShort((chs * 2).toShort); bb.putShort(16)
+      "data".foreach(c => bb.put(c.toByte)); bb.putInt(2 * ss.size)
+      ss.foreach(v => bb.putShort(v.toShort))
+      val s = MediaCodec.parseWav(bb.array()).get
+      assert((s.sampleRate, s.channels, s.nSamples) ==
+        ((rate, chs, ss.size.toLong)))
+      assert(s.sampleSum == ss.map(_.toLong).sum)
+      assert(s.sampleSqSum == ss.map(v => v.toLong * v).sum)
+    }
+  }
+
+  test("stripBoilerplate agrees with a driver-side cut on random corpora") {
+    // docs are built from a tiny line alphabet so cross-doc repeats are
+    // common; group is doc_id % 2 mapped to a name
+    val lineGen = Gen.oneOf("nav bar", "footer (c)", "alpha", "beta",
+      "gamma", "  nav bar  ", "", " ")
+    val docGen = for {
+      n <- Gen.chooseNum(1, 6)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val corpusGen = for {
+      nd <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(nd, docGen)
+    } yield docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", t) }
+
+    cases(corpusGen, 12, seed = 0xB0117L).foreach { corpus =>
+      val minDocs = 2L
+      // driver-side reference: trim-keyed df per (group, key), cut, rebuild
+      val df = corpus
+        .flatMap { case (id, g, t) =>
+          t.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct
+            .map(k => (g, k, id)) }
+        .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).distinct.size)
+      val boiler = df.filter(_._2 >= minDocs).keys.toSet
+      val expected = corpus.map { case (id, g, t) =>
+        val kept = t.split("\n", -1).filter(l => {
+          val k = l.trim; k.isEmpty || !boiler((g, k)) })
+        (id, kept.mkString("\n"),
+          (t.split("\n", -1).length - kept.length).toLong)
+      }.toSet
+      val got = Boilerplate.stripBoilerplate(
+          corpus.toDF("doc_id", "source", "text"), minDocs = minDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
 }
