@@ -70,7 +70,15 @@ object DataPrep {
       // Evidence-free (<2-token) docs drop, the screen's conservative
       // contract. Not part of [[screen]]: that stage is promised
       // stateless/stream-safe, and this one joins.
-      lmFilter: Option[(LmScore.BigramLm, Double)] = None)
+      lmFilter: Option[(LmScore.BigramLm, Double)] = None,
+      // optional boilerplate strip ([[Boilerplate.stripBoilerplate]] —
+      // (groupCol, minDocs)): runs FIRST, before any scoring, because
+      // template lines are exactly the text every downstream stat must
+      // not see — a nav banner inflates token counts and repetition
+      // ratios, survives dedup (it IS duplicated), and wastes packed
+      // context. CCNet's ordering. Corpus-frequency-based (joins), so
+      // prepare-only, like the LM gate.
+      boilerplate: Option[(String, Long)] = None)
 
   /**
    * Stages 0+1 as a standalone screen: the optional PII scrub
@@ -107,11 +115,24 @@ object DataPrep {
       config: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
 
+    // -1.: optional boilerplate strip — BEFORE every stat (see the
+    // Config field doc); the strip's own output shape (id, text_clean)
+    // joins back so all passthrough columns (stratum, metadata) survive
+    val stripped = config.boilerplate match {
+      case Some((grpCol, minDocs)) =>
+        docs.join(
+            Boilerplate.stripBoilerplate(docs, idCol, textCol, grpCol, minDocs)
+              .select(col(idCol), col("text_clean")),
+            Seq(idCol))
+          .withColumn(textCol, col("text_clean")).drop("text_clean")
+      case None => docs
+    }
+
     // 0.+1.: the stream-safe screen (see [[screen]]), then the optional
     // reference-LM gate (1.5 — after the free filters, before anything
     // that could crown a survivor; see the Config field doc), cut before
     // the two-branch decontamination fan-out below
-    val preScreened = screen(docs, textCol, config)
+    val preScreened = screen(stripped, textCol, config)
     val lmScreened = config.lmFilter match {
       case Some((lm, maxNll)) =>
         LmScore.screen(preScreened, idCol, textCol, lm, maxNll)

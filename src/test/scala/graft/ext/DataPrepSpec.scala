@@ -131,6 +131,30 @@ class DataPrepSpec extends GraftSpec {
     assert(text.contains("<email>") && !text.contains("someone@example.com"))
   }
 
+  test("prepare: the boilerplate stage strips BEFORE every stat — a doc " +
+    "whose template padding would fail the repetition gate survives " +
+    "once stripped") {
+    // each doc: unique content line + the same 12-line nav block; with
+    // the template in place dupWordFrac ≈ 1 → the repetition gate would
+    // kill every doc. Stripped first, content is clean and passes.
+    val nav = (1 to 12).map(i => "nav menu item here").mkString("\n")
+    val docs = (1L to 6L)
+      .map(i => (i, s"${(1 to 9).map(j => s"w$i-$j").mkString(" ")}\n$nav", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val cfg = DataPrep.Config(maxDupWordFrac = 0.5, minQuality = 0.0,
+      contextLen = 100L, shards = 2,
+      boilerplate = Some(("lang", 4L)))
+    val out = DataPrep.prepare(docs, bench, config = cfg)
+    assert(out.count() == 6L, "stripped docs must pass the repetition gate")
+    // the packed text the corpus ships carries NO template line
+    assert(out.filter(col("text").contains("nav menu")).count() == 0L)
+    // and without the stage, the template rightly kills everything —
+    // proving the ordering is doing the work
+    assert(DataPrep.prepare(docs, bench,
+      config = cfg.copy(boilerplate = None)).count() == 0L)
+  }
+
   test("prepare: per-stratum quota bounds the output deterministically") {
     // per-doc texts share NO tokens (a common template would make them
     // genuine near-dups at trigram level and dedup would rightly collapse
