@@ -1663,7 +1663,16 @@ object SparkEntry {
       Boilerplate.stripBoilerplateIndexed(webby, s.read.parquet(tmp),
           minDocs = 5)
         .orderBy(col("doc_id").asc_nulls_last)
-    })
+    }),
+
+    // X+/E — the per-class eval summary: precision/recall/F1 from the
+    // q108 classified sample's exact counts (the report next to q116's
+    // confusion matrix). NULL axes distinguish "never predicted" /
+    // "never true" from honest zeros.
+    "q125_class_report" -> ((s, d) =>
+      Eval.classificationReport(Eval.knnClassify(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5))
+        .orderBy(col("class").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3391,6 +3400,60 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // The q108 vote replayed (rounded sims — the knnClassify path),
+    // then the report: per-class exact counts, IEEE divisions in the
+    // same fixed order as the engine (f1 from UNROUNDED p/r), NULL for
+    // the undefined axes, 0.0 for the honest zeros.
+    "q125_class_report" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, nn_label, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY votes DESC, nn_label) AS vr
+        |  FROM v),
+        |cls AS (SELECT q_label AS label, nn_label AS pred FROM p WHERE vr = 1),
+        |truth AS (SELECT label AS class, count(*) AS support FROM cls GROUP BY 1),
+        |predicted AS (SELECT pred AS class, count(*) AS pred_n FROM cls GROUP BY 1),
+        |diag AS (SELECT label AS class, count(*) AS dg
+        |         FROM cls WHERE label = pred GROUP BY 1),
+        |rep AS (
+        |  SELECT coalesce(t.class, pr.class) AS class,
+        |         CAST(coalesce(t.support, 0) AS BIGINT) AS support,
+        |         coalesce(d.dg, 0) / CAST(pr.pred_n AS DOUBLE) AS px,
+        |         coalesce(d.dg, 0) / CAST(t.support AS DOUBLE) AS rx
+        |  FROM truth t
+        |  FULL OUTER JOIN predicted pr ON t.class = pr.class
+        |  LEFT JOIN diag d ON coalesce(t.class, pr.class) = d.class)
+        |SELECT class, support,
+        |       round(px, 6) AS precision,
+        |       round(rx, 6) AS recall,
+        |       round(2 * px * rx / nullif(px + rx, 0), 6) AS f1
+        |FROM rep ORDER BY class""".stripMargin,
 
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold

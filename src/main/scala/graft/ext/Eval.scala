@@ -136,6 +136,46 @@ object Eval {
   }
 
   /**
+   * Per-class precision / recall / F1 over a classified frame (the
+   * [[knnClassify]] / [[knnClassifyAnn]] output, or any (label, pred)
+   * pairing) — the summary an eval report ships next to the
+   * [[confusion]] matrix. One row per label observed on EITHER axis:
+   * `support` (true count), `precision` (diag / predicted count, NULL
+   * when the label is never predicted), `recall` (diag / support, NULL
+   * when the label never truly occurs), `f1` (harmonic mean, NULL when
+   * either side is NULL or both are zero). All three are derived from
+   * exact integer counts with IEEE divisions in a fixed order, rounded
+   * 6 dp — cross-engine reproducible. Output is CLASS-sized.
+   */
+  def classificationReport(
+      classified: DataFrame,
+      labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val truth = classified.groupBy(col(labelCol).as("class"))
+      .agg(count(lit(1)).as("support"))
+    val predicted = classified.groupBy(col(predCol).as("class"))
+      .agg(count(lit(1)).as("_pred_n"))
+    val diag = classified.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("class"))
+      .agg(count(lit(1)).as("_diag"))
+    // a missing diagonal row means ZERO correct predictions, not unknown:
+    // coalesce so "predicted but always wrong" reads precision 0.0 and
+    // "occurs but never found" reads recall 0.0; the NULLs that remain
+    // are the genuinely undefined axes (never predicted / never true)
+    val d = coalesce(col("_diag"), lit(0L))
+    val p = d / col("_pred_n")
+    val r = d / col("support")
+    truth
+      .join(predicted, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        round(p, 6).as("precision"),
+        round(r, 6).as("recall"),
+        round(lit(2.0) * p * r / nullif(p + r, lit(0.0)), 6).as("f1"))
+  }
+
+  /**
    * Exact Spearman rank correlation between two columns — the
    * monotone-association check an audit runs between metrics that
    * should agree (token count vs char count, quality score vs LM

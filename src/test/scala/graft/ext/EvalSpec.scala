@@ -109,6 +109,30 @@ class EvalSpec extends GraftSpec {
     assert(!got.contains((1, 0)))
   }
 
+  test("classificationReport: per-class precision/recall/F1 from exact " +
+    "counts; zero-vs-undefined axes distinguished") {
+    // labels:  a a a b b c   preds: a a b b b a
+    // class a: support 3, predicted 3, diag 2 → p=2/3 r=2/3 f1=2/3
+    // class b: support 2, predicted 3, diag 2 → p=2/3 r=1   f1=0.8
+    // class c: support 1, predicted 0, diag 0 → p NULL, r 0, f1 NULL
+    val cls = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("label", "pred")
+    val got = Eval.classificationReport(cls)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(got("a") == ((3L, Some(0.666667), Some(0.666667), Some(0.666667))))
+    assert(got("b") == ((2L, Some(0.666667), Some(1.0), Some(0.8))))
+    assert(got("c") == ((1L, None, Some(0.0), None)))
+    // a prediction onto a label that never truly occurs: support 0,
+    // precision 0.0 (predicted, always wrong), recall NULL (undefined)
+    val phantom = Eval.classificationReport(
+        cls.unionByName(Seq(("a", "z")).toDF("label", "pred")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(phantom("z") == ((0L, Some(0.0), None)))
+  }
+
   test("spearman: +1 on a monotone pair, -1 on a reversed pair, ties " +
     "broken by id; n<2 yields NULL") {
     def frame(rows: Seq[(Long, Long, Long)]) =
