@@ -30,10 +30,30 @@ object SparkEntry {
     * parquet path, and a path can never serve STALE state across harness
     * runs (the driver regenerates testdata between rounds; a dir-keyed
     * path would survive it). Within one JVM the pid is constant, so the
-    * exists-check caching the staged queries rely on still holds. */
+    * exists-check caching the staged queries rely on still holds; across
+    * JVMs, every issued path is deleted by a shutdown hook — pid-keying
+    * must not turn repeated runs into unbounded /tmp growth (the
+    * accumulation ADVICE r1 fixed, re-fixed for the pid scheme). */
+  private val scratchIssued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchIssued.forEach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () } // best-effort: never block exit
+      }))
   private def scratch(tag: String, d: String): String = {
-    val pid = ProcessHandle.current().pid()
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_p${pid}_${d.hashCode.toHexString}"
+    scratchCleanupHook
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_p${ProcessHandle.current().pid()}_${d.hashCode.toHexString}"
+    scratchIssued.add(p)
+    p
   }
 
   // ---- deterministic CLF-line synthesis from `events` ----
@@ -199,8 +219,8 @@ object SparkEntry {
 
     // S7/P6/S5 — partitioned parquet stage → pruned re-read → per-day counts
     "q16_roundtrip_parquet" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it, so repeated bench /
-      // correctness runs don't accumulate temp dirs (ADVICE r1)
+      // per-JVM scratch path: reused within the run (overwrite-mode),
+      // deleted by the scratch shutdown hook on exit (ADVICE r1)
       val tmp = scratch("q16", d)
       Staging.stage(Staging.withDate(t(s, d, "events"), "ts"), tmp)
       Staging.readAll(s, tmp)
@@ -540,7 +560,7 @@ object SparkEntry {
     // re-read that parquet footer min/max skipping serves from ~1 of the
     // 8 files (StagingSpec asserts the disjoint per-file key ranges).
     "q48_sorted_layout" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q48", d)
       Staging.stageRangeSorted(t(s, d, "events"), tmp,
         numFiles = 8, Seq("user_id", "ts"))
@@ -754,7 +774,7 @@ object SparkEntry {
     // Aggregates are order-insensitive (count/max), immune to layout-
     // induced summation reorder.
     "q60_zorder_layout" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q60", d)
       Staging.stageZOrdered(t(s, d, "lineitem"), tmp, numFiles = 16,
         "l_orderkey", "l_partkey")
@@ -841,7 +861,7 @@ object SparkEntry {
     // sample) — at 100 TB the schema is a contract, so it's declared on
     // read exactly like the parquet staging DDL (S13).
     "q65_jsonl_roundtrip" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q65", d)
       t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
         .coalesce(4)
@@ -986,7 +1006,7 @@ object SparkEntry {
     // PERMISSIVE null-out is corruption, not tolerance (the CLF parser
     // keeps its explicit reject channel for the lenient path).
     "q74_csv_roundtrip" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q74", d)
       t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
         .coalesce(4)
@@ -1015,7 +1035,7 @@ object SparkEntry {
     // core as q62 → identical semantics, same oracle.
     "q75_indexed_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q75", d)
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         .write.mode("overwrite").parquet(tmp)
@@ -1039,7 +1059,7 @@ object SparkEntry {
     "q76_ivf_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q76", d)
       AnnIvf.buildIvfIndex(emb, centroids).write.mode("overwrite").parquet(tmp)
       AnnIvf.annTopKIndexed(emb.filter(col("vec_id") < 8), s.read.parquet(tmp),
@@ -1056,7 +1076,7 @@ object SparkEntry {
     // settings on the harness embeddings, candidates scored exactly).
     "q77_lsh_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q77", d)
       AnnLsh.buildLshIndex(emb, dim = 64).write.mode("overwrite").parquet(tmp)
       AnnLsh.annTopKIndexed(emb.filter(col("vec_id") < 8),
@@ -1245,7 +1265,7 @@ object SparkEntry {
     // output, same exact-BM25 oracle.
     "q94_bm25_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q94", d)
       TextSearch.buildLexicalIndex(docs, "doc_id", "text")
         .write.mode("overwrite").parquet(tmp)
@@ -1262,7 +1282,7 @@ object SparkEntry {
     // so a 100-TB dump parallelizes like text: one task per split, no
     // multiline mode.
     "q95_jsonl_roundtrip" -> ((s, d) => {
-      // fixed per-sf path: overwrite-mode reuses it (same rationale as q16)
+      // per-JVM scratch path: reused within the run, hook-cleaned (as q16)
       val tmp = scratch("q95", d)
       t(s, d, "documents").select(col("doc_id"),
           struct(col("lang"), col("source"), col("n_chars")).as("meta"),
@@ -1635,7 +1655,8 @@ object SparkEntry {
     // keep the promo — the threshold boundary, exercised from both
     // sides in every group. Oracle replays the whole pipeline.
     "q123_boilerplate" -> ((s, d) => {
-      val webby = t(s, d, "documents").filter(col("text").isNotNull)
+      val webby = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
         .select(col("doc_id"), col("source"),
           concat_ws("\n", col("text"),
             concat(lit("(c) footer of "), col("source")),
@@ -1651,7 +1672,8 @@ object SparkEntry {
     // threshold applies at strip time, so one index serves any
     // minDocs). Shares q123's oracle because indexed ≡ self-contained.
     "q124_boilerplate_indexed" -> ((s, d) => {
-      val webby = t(s, d, "documents").filter(col("text").isNotNull)
+      val webby = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
         .select(col("doc_id"), col("source"),
           concat_ws("\n", col("text"),
             concat(lit("(c) footer of "), col("source")),
@@ -1696,7 +1718,7 @@ object SparkEntry {
       |         text || chr(10) || '(c) footer of ' || source
       |              || chr(10) || 'promo ' ||
       |              CAST(doc_id % 250 AS VARCHAR) AS text
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
       |l0 AS (
       |  SELECT doc_id, source, string_split(text, chr(10)) AS ls
       |  FROM d0),

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
  * `>= minDocs` is cut wherever it appears; each document rebuilds from
  * its surviving lines in original order. Returns one row per input
  * document: `(idCol, text_clean, n_cut)` — a fully-template document
- * comes back as the empty string, not a dropped row (the caller decides
- * whether to discard it; losing the row would silently change corpus
- * membership).
+ * comes back as the empty string, not a dropped row, and a NULL-text
+ * document comes back with NULL `text_clean` and zero cuts, not a
+ * forged empty string (the caller decides what to discard; losing or
+ * inventing a row would silently change corpus membership).
  *
  * Scale shape: the explode is narrow (each doc pays its own line count);
  * the frequency pass is one hash aggregate on `(group, key)` with
@@ -44,8 +45,7 @@ object Boilerplate {
   private def baseOf(
       docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(groupCol).as("_grp"), col(textCol).as("_text"))
+    docs.select(col(idCol), col(groupCol).as("_grp"), col(textCol).as("_text"))
 
   /** The shared cut-and-rebuild core: drop every line whose `(grp, key)`
     * is in `boiler`, reassemble survivors in position order. ONE
@@ -65,8 +65,14 @@ object Boilerplate {
     base
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("_clean"), lit("")).as("text_clean"),
-        (size(split(col("_text"), "\n")) - coalesce(col("_nkept"), lit(0L)))
+        // NULL text stays NULL (it has no lines to cut — '' would forge
+        // an empty document out of an absent one); the '' case is
+        // reserved for documents whose every line was cut
+        when(col("_text").isNull, lit(null: String))
+          .otherwise(coalesce(col("_clean"), lit(""))).as("text_clean"),
+        when(col("_text").isNull, lit(0L))
+          .otherwise(size(split(col("_text"), "\n"))
+            - coalesce(col("_nkept"), lit(0L)))
           .cast("long").as("n_cut"))
   }
 

@@ -73,8 +73,13 @@ object MediaCodec {
       w <- nextInt(); if w > 0
       h <- nextInt(); if h > 0
       maxval <- nextInt(); if maxval >= 1 && maxval <= 255
+      // exactly one whitespace byte separates maxval from the raster —
+      // and it must BE whitespace: skipping an arbitrary byte here would
+      // shift the raster read one byte late and return wrong moments
+      // for a malformed header instead of None
+      if pos < bytes.length && isSpace(bytes(pos))
     } yield {
-      pos += 1 // exactly one whitespace byte separates maxval from raster
+      pos += 1
       val n = w.toLong * h * channels
       if (pos + n > bytes.length || n > Int.MaxValue) None
       else {

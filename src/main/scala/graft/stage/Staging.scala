@@ -2,7 +2,7 @@ package graft.stage
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /**
  * Partitioned columnar staging layer: Snappy Parquet partitioned by ingest
@@ -529,12 +529,23 @@ object Staging {
     val before = collectManifest(
       manifestOf(spark, path, idCol, content, partitionCol))
     upsertPartitions(spark, path, updates, keyCols, orderCols, partitionCol)
-    val manifestAfter = manifestOf(spark, path, idCol, content, partitionCol)
+    val after = collectManifest(
+      manifestOf(spark, path, idCol, content, partitionCol))
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
-    requireUnchanged(before, collectManifest(manifestAfter),
-      "upsertPartitions", touched)
-    manifestAfter.filter(col("shard").isin(touched.toSeq: _*))
+    requireUnchanged(before, after, "upsertPartitions", touched)
+    // return the rows the check VERIFIED — not a lazy plan over the
+    // path, which would re-hash the table a third time and could read
+    // state a later writer changed after this receipt was issued
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      after.view.filterKeys(touched).toSeq.sortBy(_._1)
+        .map { case (s, (n, c)) => org.apache.spark.sql.Row(s, n, c) }
+        .asJava,
+      StructType(Seq(
+        StructField("shard", StringType),
+        StructField("n_rows", LongType),
+        StructField("checksum", StringType))))
   }
 
   def exportManifest(

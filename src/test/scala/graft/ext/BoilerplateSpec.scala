@@ -49,6 +49,20 @@ class BoilerplateSpec extends GraftSpec {
     assert(got(5L)._1 == "page five\n  Home | About | Contact  ")
   }
 
+  test("a NULL-text document keeps its row: NULL text_clean, zero cuts — " +
+    "neither dropped nor forged into an empty string") {
+    val withNull = docs.unionByName(Seq(
+      (9L, "A", Option.empty[String])
+    ).toDF("doc_id", "source", "text"))
+    val got = Boilerplate.stripBoilerplate(withNull, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(got.size == 6)
+    assert(got(9L) == ((None, 0L)))
+    // and the NULL row neither votes in frequencies nor perturbs others
+    assert(got(2L) == ((Some("unique two"), 2L)))
+  }
+
   test("minDocs guard") {
     intercept[IllegalArgumentException] {
       Boilerplate.stripBoilerplate(docs, minDocs = 1)

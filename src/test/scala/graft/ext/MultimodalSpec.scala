@@ -88,6 +88,11 @@ class MultimodalSpec extends GraftSpec {
     // trailing padding after the raster is tolerated
     assert(MediaCodec.parseNetpbm(pgm(1, 1, Seq(9, 0, 0))).get
       .sums.toSeq == Seq(9L))
+    // a header whose maxval is NOT followed by whitespace must be None —
+    // skipping an arbitrary byte would shift the raster read one byte
+    // late and return wrong moments instead of failing (review finding)
+    assert(MediaCodec.parseNetpbm(
+      "P5\n1 1\n255".getBytes("US-ASCII") ++ Array[Byte](0x41, 0x42)).isEmpty)
   }
 
   private def wav(rate: Int, channels: Int, samples: Seq[Int],
