@@ -104,4 +104,35 @@ class StreamingPrepSpec extends GraftSpec {
     } finally q.stop()
     assert(emitted.toSet == Set(1L), s"got $emitted")
   }
+
+  test("the media decoders run inside the same foreachBatch: a streamed " +
+    "binary ingest decodes per micro-batch, corrupt payloads stay NULL") {
+    // the decode core is a stateless mapPartitions pass, so the decoder
+    // IS the streaming decoder — same instance, no twin to drift
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val dec = new graft.ext.NetpbmDecoder(channels = 1, batchSize = 2)
+    val out = scala.collection.mutable.Map[Long, Option[Seq[Double]]]()
+    val q = mem.toDF().toDF("doc_id", "payload")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        dec.decode(batch, "payload", "f")
+          .select(col("doc_id"), col("f")).collect()
+          .foreach(r => out(r.getLong(0)) = Option(r.getSeq[Double](1)))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20)),
+        (2L, "corrupt".getBytes("US-ASCII")))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out(1L).get == Seq(2.0, 1.0, 30.0, 500.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).get == Seq(1.0, 1.0, 7.0, 49.0))
+  }
 }
