@@ -1694,7 +1694,32 @@ object SparkEntry {
     "q125_class_report" -> ((s, d) =>
       Eval.classificationReport(Eval.knnClassify(
           t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5))
-        .orderBy(col("class").asc_nulls_last))
+        .orderBy(col("class").asc_nulls_last)),
+
+    // S+ — schema-evolution read: a table whose later batches grew a
+    // column (the 100-TB reality — schemas evolve, history is never
+    // rewritten) reads as ONE frame under mergeSchema, early rows
+    // NULL-filled in the grown column. Written as two generation
+    // directories, read from the root; per-generation aggregates prove
+    // the merge NULL-filled exactly the pre-evolution rows.
+    "q126_schema_merge" -> ((s, d) => {
+      val tmp = scratch("q126", d)
+      val ev = t(s, d, "events")
+      // generation 1: before the event_type column existed
+      ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      // generation 2: the evolved schema
+      ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("n_user"),
+          count(col("event_type")).as("n_type"))
+        .orderBy(col("gen").asc_nulls_last)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3422,6 +3447,19 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // The merged read NULL-fills the grown column for pre-evolution
+    // rows — the oracle recomputes both generations' aggregates from
+    // the source table (gen 1 never had event_type → 0 non-NULLs).
+    "q126_schema_merge" ->
+      """SELECT CAST(1 AS INTEGER) AS gen, count(*) AS n_rows,
+        |       count(user_id) AS n_user, CAST(0 AS BIGINT) AS n_type
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*), count(user_id),
+        |       count(event_type)
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY gen""".stripMargin,
 
     // The q108 vote replayed (rounded sims — the knnClassify path),
     // then the report: per-class exact counts, IEEE divisions in the

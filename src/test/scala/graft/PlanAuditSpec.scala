@@ -447,6 +447,13 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q126: the merged read keeps partial aggregation and prunes to " +
+    "the three needed columns plus the partition key") {
+    val p = plan("q126_schema_merge")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
