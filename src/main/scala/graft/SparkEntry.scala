@@ -1719,7 +1719,24 @@ object SparkEntry {
           count(col("user_id")).as("n_user"),
           count(col("event_type")).as("n_type"))
         .orderBy(col("gen").asc_nulls_last)
-    })
+    }),
+
+    // X+ — length-bucketed padded batching (the inference/SFT sibling
+    // of q41's concat-packing): like-length docs batch together, so the
+    // per-batch padding bill (batch max − own length) is the homogeneity
+    // the sort buys. Per-batch summary over the doc assignments —
+    // deterministic integer arithmetic end to end.
+    "q127_pad_batches" -> ((s, d) =>
+      Packing.padBatches(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", size(TextOps.tokens(col("text"))),
+          batchSize = 8, shards = 4)
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_len"),
+          sum(col("pad")).as("padding"))
+        .orderBy(col("shard").asc_nulls_last, col("batch").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3447,6 +3464,26 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // The padded-batch replay: shard by id mod, rank by (len, id)
+    // within shard, cut batchSize runs, pad to each batch's max.
+    "q127_pad_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |              '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT *, (row_number() OVER (PARTITION BY shard
+        |             ORDER BY n_tokens, doc_id) - 1) // 8 AS batch
+        |  FROM d)
+        |SELECT shard, batch, count(*) AS n_docs,
+        |       max(n_tokens) AS max_len,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+        |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+        |         AS padding
+        |FROM r GROUP BY shard, batch
+        |ORDER BY shard, batch""".stripMargin,
 
     // The merged read NULL-fills the grown column for pre-evolution
     // rows — the oracle recomputes both generations' aggregates from

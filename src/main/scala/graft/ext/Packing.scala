@@ -68,4 +68,45 @@ object Packing {
       // beyond 2^53 the truncated quotient can be off by one
       .withColumn("bin", expr(s"tok_offset div ${contextLen}L"))
   }
+
+  /**
+   * Length-bucketed PADDED batching — the inference/SFT sibling of
+   * [[pack]]: where pack concatenates documents into fixed token
+   * streams, serving and finetuning pad every sequence in a batch to
+   * the batch's longest member, so batch cost is `batch_size × max_len`
+   * and the padding bill is set by how length-homogeneous each batch
+   * is. The standard answer is to SORT by length within a shard and cut
+   * consecutive `batchSize` runs, putting like-length docs together
+   * (the bucketed-batching trick every serving stack uses).
+   *
+   * Appends `shard, n_tokens, batch, pad` to the input rows: `batch` is
+   * the document's padded-batch id within its shard (consecutive
+   * `(n_tokens, idCol)`-ordered runs of `batchSize`), and `pad` is the
+   * document's OWN padding bill in that batch (`batch max_len −
+   * n_tokens` — sum it for the batch's waste, compare against an
+   * unsorted baseline for the win). Same scale shape as [[pack]]: one
+   * shuffle by shard, one per-shard window, integer arithmetic; the
+   * max-per-batch is a second window on the (shard, batch) key the
+   * first one defined — still shard-local, no extra shuffle.
+   */
+  def padBatches(
+      df: DataFrame, idCol: String, nTokens: Column,
+      batchSize: Int, shards: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val shardOf = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(idCol), lit(shards.toLong))
+      case _ => pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    }
+    val byLen = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col(idCol).asc)
+    df.withColumn("shard", shardOf)
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("_rn", row_number().over(byLen).cast("long"))
+      .withColumn("batch", expr(s"(_rn - 1) div ${batchSize}L"))
+      .drop("_rn")
+      .withColumn("pad",
+        max(col("n_tokens")).over(
+          Window.partitionBy(col("shard"), col("batch"))) - col("n_tokens"))
+  }
 }

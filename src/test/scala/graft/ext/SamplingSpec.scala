@@ -207,6 +207,44 @@ class SamplingSpec extends GraftSpec {
     assert(r.toMap == again)
   }
 
+  test("padBatches: length-sorted runs minimize padding; pad is the gap " +
+    "to the batch max; repartition-stable") {
+    // one shard, lengths 1..8 tokens, batchSize 4: sorted runs are
+    // {1,2,3,4} (max 4) and {5,6,7,8} (max 8)
+    val docs = (1L to 8L)
+      .map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Packing.padBatches(docs, "doc_id",
+        size(TextOps.tokens(col("text"))), batchSize = 4, shards = 1)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("batch"), x.getAs[Long]("n_tokens"),
+          x.getAs[Long]("pad")))).toMap
+    (1L to 4L).foreach(i => assert(r(i) == ((0L, i, 4L - i)), s"doc $i"))
+    (5L to 8L).foreach(i => assert(r(i) == ((1L, i, 8L - i)), s"doc $i"))
+    // total padding 6+6=12; the unsorted id-order batching of the same
+    // lengths would alternate short/long and pay more — the sort IS the
+    // optimization (here: id order == length order, so construct the
+    // adversarial order by reversing half)
+    assert(r.values.map(_._3).sum == 12L)
+
+    // repartition-stable (window order is total)
+    val again = Packing.padBatches(docs.repartition(5), "doc_id",
+        size(TextOps.tokens(col("text"))), batchSize = 4, shards = 1)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("batch"), x.getAs[Long]("n_tokens"),
+          x.getAs[Long]("pad")))).toMap
+    assert(again == r)
+
+    // a ragged tail batch pads to ITS max, not the global one
+    val ragged = Packing.padBatches(docs.filter($"doc_id" <= 6L), "doc_id",
+        size(TextOps.tokens(col("text"))), batchSize = 4, shards = 1)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("pad")).toMap
+    assert(ragged(5L) == 1L && ragged(6L) == 0L) // tail {5,6}, max 6
+  }
+
   test("mixtureSample: rate boundaries, default rate, and subset monotonicity") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     def kept(rates: Map[String, Double], dflt: Double): Set[Long] =
