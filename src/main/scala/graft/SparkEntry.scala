@@ -56,6 +56,25 @@ object SparkEntry {
     p
   }
 
+  /** q123/q124's shared input: documents with a synthetic per-source
+    * footer (cut — df ≥ minDocs in every source) and an under-threshold
+    * promo line (kept) appended, mirroring the boilerplate oracle's
+    * preamble byte-for-byte. */
+  private def templatedDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", col("text"),
+          concat(lit("(c) footer of "), col("source")),
+          concat(lit("promo "),
+            pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
+
+  /** q119/q122's shared input: the labeled, embedded eval sample (the
+    * q108 vec_id cap — the eval contract's fixed-size sample). */
+  private def labeledSample(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") < 1000 &&
+      col("embedding").isNotNull && col("label").isNotNull)
+
   // ---- deterministic CLF-line synthesis from `events` ----
   // `events` stands in for the cleansed log table (SURVEY.md §7.2); parse
   // queries synthesize a CLF line from its columns so DuckDB can recompute
@@ -1552,9 +1571,7 @@ object SparkEntry {
     // frame's own (EvalSpec pins the equivalence law). Sample-capped by
     // the eval contract (the q108 rule).
     "q119_knn_classify_ann" -> ((s, d) => {
-      val labeled = t(s, d, "embeddings")
-        .filter(col("vec_id") < 1000 &&
-          col("embedding").isNotNull && col("label").isNotNull)
+      val labeled = labeledSample(s, d)
       val centroids = AnnIvf.trainCentroids(labeled, k = 16, iters = 2)
       Eval.knnClassifyAnn(
           AnnIvf.knnJoin(labeled, centroids, kNeighbors = 5, nprobe = 16),
@@ -1637,9 +1654,7 @@ object SparkEntry {
     // oracle replays it exactly: rank all pairs, keep top-20, split by
     // label agreement, re-rank per kind. Sample-capped (eval contract).
     "q122_contrastive_pairs" -> ((s, d) => {
-      val labeled = t(s, d, "embeddings")
-        .filter(col("vec_id") < 1000 &&
-          col("embedding").isNotNull && col("label").isNotNull)
+      val labeled = labeledSample(s, d)
       val centroids = AnnIvf.trainCentroids(labeled, k = 16, iters = 2)
       Mining.contrastivePairs(
           AnnIvf.knnJoin(labeled, centroids, kNeighbors = 20, nprobe = 16),
@@ -1654,17 +1669,9 @@ object SparkEntry {
     // appended to each doc; the strip must cut exactly the footer and
     // keep the promo — the threshold boundary, exercised from both
     // sides in every group. Oracle replays the whole pipeline.
-    "q123_boilerplate" -> ((s, d) => {
-      val webby = t(s, d, "documents")
-        .filter(col("text").isNotNull && col("source").isNotNull)
-        .select(col("doc_id"), col("source"),
-          concat_ws("\n", col("text"),
-            concat(lit("(c) footer of "), col("source")),
-            concat(lit("promo "),
-              pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
-      Boilerplate.stripBoilerplate(webby, minDocs = 5)
-        .orderBy(col("doc_id").asc_nulls_last)
-    }),
+    "q123_boilerplate" -> ((s, d) =>
+      Boilerplate.stripBoilerplate(templatedDocs(s, d), minDocs = 5)
+        .orderBy(col("doc_id").asc_nulls_last)),
 
     // X2 — the persisted-index twin of q123: the line-frequency table is
     // built once, round-tripped through parquet, and the batch cuts
@@ -1672,13 +1679,7 @@ object SparkEntry {
     // threshold applies at strip time, so one index serves any
     // minDocs). Shares q123's oracle because indexed ≡ self-contained.
     "q124_boilerplate_indexed" -> ((s, d) => {
-      val webby = t(s, d, "documents")
-        .filter(col("text").isNotNull && col("source").isNotNull)
-        .select(col("doc_id"), col("source"),
-          concat_ws("\n", col("text"),
-            concat(lit("(c) footer of "), col("source")),
-            concat(lit("promo "),
-              pmod(col("doc_id"), lit(250L)).cast("string"))).as("text"))
+      val webby = templatedDocs(s, d)
       val tmp = scratch("q124", d)
       Boilerplate.buildBoilerplateIndex(webby)
         .write.mode("overwrite").parquet(tmp)

@@ -109,13 +109,18 @@ object Boilerplate {
       .groupBy(col("_grp"), col("_key"))
       .agg(count(lit(1)).as("_df"))
 
+  /** The additive fold under [[mergeBoilerplateIndexes]] and the
+    * streaming loader's stripe merge — one definition of "sum the
+    * per-batch counts" so the two can't drift. */
+  private[graft] def foldIndexes(stripes: DataFrame): DataFrame =
+    stripes.groupBy(col("_grp"), col("_key"))
+      .agg(sum(col("_df")).as("_df"))
+
   /** Additive merge of doc-disjoint batch indexes (unionAll + sum — a
     * document appearing in BOTH inputs would double-count; dedup ids
     * upstream if the feed can re-deliver). */
   def mergeBoilerplateIndexes(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy(col("_grp"), col("_key"))
-      .agg(sum(col("_df")).as("_df"))
+    foldIndexes(a.unionByName(b))
 
   /** [[stripBoilerplate]] against a precomputed
     * [[buildBoilerplateIndex]] table: the batch pays only its own line

@@ -47,21 +47,23 @@ object Packing {
    * salt. Callers must make `order` total (tie-break on `idCol`) when
    * the order column can collide.
    */
+  /** Shard assignment shared by every batching shape: numeric ids shard
+    * by value (cheap, oracle-replayable); any other id type shards by
+    * hash — a blind pmod would CAST a string id to null (every row in
+    * one null shard = one serial window task) or throw under ANSI mode. */
+  private def shardOf(df: DataFrame, idCol: String, shards: Int): Column =
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(idCol), lit(shards.toLong))
+      case _ => pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    }
+
   def packOrdered(
       df: DataFrame, idCol: String, order: Column, nTokens: Column,
       contextLen: Long, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(order, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // numeric ids shard by value (cheap, oracle-replayable); any other id
-    // type shards by hash — a blind pmod would CAST a string id to null
-    // (every row in one null shard = one serial window task) or throw
-    // under ANSI mode
-    val shardOf = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
-        pmod(col(idCol), lit(shards.toLong))
-      case _ => pmod(xxhash64(col(idCol)), lit(shards.toLong))
-    }
-    df.withColumn("shard", shardOf)
+    df.withColumn("shard", shardOf(df, idCol, shards))
       .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integral division, NOT `/`: Divide casts longs through double, and
@@ -93,14 +95,9 @@ object Packing {
       df: DataFrame, idCol: String, nTokens: Column,
       batchSize: Int, shards: Int): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
-    val shardOf = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
-        pmod(col(idCol), lit(shards.toLong))
-      case _ => pmod(xxhash64(col(idCol)), lit(shards.toLong))
-    }
     val byLen = Window.partitionBy(col("shard"))
       .orderBy(col("n_tokens").asc, col(idCol).asc)
-    df.withColumn("shard", shardOf)
+    df.withColumn("shard", shardOf(df, idCol, shards))
       .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("_rn", row_number().over(byLen).cast("long"))
       .withColumn("batch", expr(s"(_rn - 1) div ${batchSize}L"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.types._
 
 import graft.ext.Boilerplate
@@ -68,7 +67,6 @@ object StreamingBoilerplate {
     * index (nothing is ever boilerplate), not an inference error. */
   def loadIndex(spark: SparkSession, indexPath: String,
       grpType: DataType = StringType): DataFrame =
-    StreamingAnn.loadCommitted(spark, indexPath, indexSchema(grpType))
-      .groupBy(col("_grp"), col("_key"))
-      .agg(sum(col("_df")).as("_df"))
+    Boilerplate.foldIndexes(
+      StreamingAnn.loadCommitted(spark, indexPath, indexSchema(grpType)))
 }
