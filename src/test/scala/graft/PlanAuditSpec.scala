@@ -454,6 +454,16 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q125/q127: the report joins are class-sized (no cartesian), the " +
+    "batching windows stay shard-partitioned") {
+    val p25 = plan("q125_class_report")
+    assert(!p25.contains("CartesianProduct"), p25)
+    val p27 = plan("q127_pad_batches")
+    assert(!p27.contains("Join") && !p27.contains("CartesianProduct"), p27)
+    assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p27).isDefined,
+      s"q127 window lost its shard partition key:\n$p27")
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's
