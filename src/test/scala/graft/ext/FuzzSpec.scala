@@ -666,6 +666,67 @@ class FuzzSpec extends GraftSpec {
     }
   }
 
+  test("padBatches agrees with a driver-side sort-and-cut on random " +
+    "length profiles") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      lens <- Gen.listOfN(n, Gen.chooseNum(1L, 30L))
+      bs <- Gen.chooseNum(1, 7)
+      shards <- Gen.chooseNum(1, 3)
+    } yield (lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }, bs, shards)
+    cases(gen, 12, seed = 0xBA7C4L).foreach { case (docs, bs, shards) =>
+      // reference: per shard (id mod), sort by (len, id), cut bs-runs,
+      // pad to each run's max
+      val expected = docs.groupBy(_._1 % shards).flatMap { case (sh, ds) =>
+        ds.sortBy(d => (d._2, d._1)).grouped(bs).zipWithIndex.flatMap {
+          case (run, b) =>
+            val mx = run.map(_._2).max
+            run.map { case (id, len) => id -> ((sh, b.toLong, mx - len)) }
+        }
+      }
+      val got = Packing.padBatches(
+          docs.toDF("doc_id", "n_tokens_in"),
+          "doc_id", org.apache.spark.sql.functions.col("n_tokens_in"),
+          batchSize = bs, shards = shards)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("batch"),
+            r.getAs[Long]("pad")))).toMap
+      assert(got == expected, s"docs=$docs bs=$bs shards=$shards")
+    }
+  }
+
+  test("classificationReport agrees with a driver-side reference on " +
+    "random confusion tables") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        l <- Gen.chooseNum(0, 4); p <- Gen.chooseNum(0, 5)
+      } yield (l, p)) // pred range wider: phantom classes occur
+    } yield rows
+    cases(gen, 12, seed = 0xC1A55L).foreach { rows =>
+      val support = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val predN = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val diag = rows.filter(r => r._1 == r._2)
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      def rnd(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = (support.keySet ++ predN.keySet).map { c =>
+        val d = diag.getOrElse(c, 0L).toDouble
+        val p = predN.get(c).map(d / _)
+        val r = support.get(c).map(d / _)
+        val f1 = for { pv <- p; rv <- r; s = pv + rv; if s != 0.0 }
+          yield rnd(2.0 * pv * rv / s)
+        (c, support.getOrElse(c, 0L), p.map(rnd), r.map(rnd), f1)
+      }
+      val got = Eval.classificationReport(rows.toDF("label", "pred"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
   test("stripBoilerplate agrees with a driver-side cut on random corpora") {
     // docs are built from a tiny line alphabet so cross-doc repeats are
     // common; group is doc_id % 2 mapped to a name
