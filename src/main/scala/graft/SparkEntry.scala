@@ -1722,6 +1722,31 @@ object SparkEntry {
         .orderBy(col("gen").asc_nulls_last)
     }),
 
+    // X2+/X3 — reciprocal-rank fusion: the OTHER standard hybrid
+    // combiner next to q91's dense rerank — BM25 top-20 and the exact
+    // dense top-20 (same query vector as q91) fused score-free by
+    // 1/(60+rank) sums. The dense list reuses the q19 convention
+    // (unrounded bit-identical folds, id tiebreak) so the oracle
+    // replays both rankers and the fusion arithmetic exactly.
+    "q128_rrf_fusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val dense = emb
+        .select(col("vec_id").as("doc_id"),
+          (Similarity.nativeDot(col("embedding"), typedLit(qv)) /
+            nullif(Similarity.norm(col("embedding")) * lit(qNorm),
+              lit(0.0))).as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sim").desc_nulls_last, col("doc_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+      val lexical = TextSearch.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", query = "dup key window", k = 20)
+      TextSearch.rrfFuse(lexical, dense, "doc_id", k = 10)
+    }),
+
     // X+ — length-bucketed padded batching (the inference/SFT sibling
     // of q41's concat-packing): like-length docs batch together, so the
     // per-batch padding bill (batch max − own length) is the homogeneity
@@ -3465,6 +3490,65 @@ object SparkEntry {
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    // Both rankers replayed (the q85 BM25 CTEs, the q19-convention
+    // dense rank), then the fusion: coalesced 1/(60+rank) terms summed
+    // lexical-then-dense (the engine's fixed order), rounded 6 dp
+    // before the fused ranking.
+    "q128_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM lens),
+        |post AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('dup', 'key', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM post GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term,
+        |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+        |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         idf.idf * tf.tf /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+        |           AS s
+        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
+        |lex AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (
+        |           ORDER BY round(sum(s), 6) DESC, doc_id) AS BIGINT) AS ra
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY ra LIMIT 20),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |dense AS (
+        |  SELECT vec_id AS doc_id,
+        |         CAST(row_number() OVER (ORDER BY
+        |           list_aggregate(list_transform(list_zip(embedding, (SELECT q FROM qv)),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform((SELECT q FROM qv),
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 0)
+        |           DESC NULLS LAST, vec_id) AS BIGINT) AS rb
+        |  FROM embeddings ORDER BY rb LIMIT 20),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+        |         round(coalesce(1.0 / (60 + l.ra), 0)
+        |             + coalesce(1.0 / (60 + de.rb), 0), 6) AS rrf_score
+        |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+        |SELECT doc_id, rrf_score,
+        |       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+        |            AS BIGINT) AS rank
+        |FROM fused ORDER BY rank LIMIT 10""".stripMargin,
 
     // The padded-batch replay: shard by id mod, rank by (len, id)
     // within shard, cut batchSize runs, pad to each batch's max.

@@ -267,4 +267,43 @@ object TextSearch {
       .filter(col("rank") <= k)
       .orderBy(col("rank").asc_nulls_last)
   }
+
+  /**
+   * Reciprocal-rank fusion — the OTHER standard hybrid combiner next to
+   * [[hybridTopK]]'s rerank: where rerank lets the dense score overrule
+   * the lexical one inside its candidate set, RRF treats both rankers as
+   * black boxes and sums `1/(rrfK + rank)` per list (Cormack et al.
+   * 2009, the TREC fusion baseline; `rrfK = 60` is the paper's
+   * constant). Score-scale-free, so it fuses rankers whose scores are
+   * incomparable (BM25 vs cosine) without calibration — a document
+   * missing from one list simply contributes nothing for it.
+   *
+   * Inputs are two ranked frames (`idCol, rank` — [[bm25TopK]],
+   * [[hybridTopK]], an ANN top-k with `nn_id` aliased, any ranker);
+   * output `(idCol, rrf_score, rank)`, fused rank by
+   * `(rrf_score desc, id)`. The fused score is two IEEE divisions
+   * summed in fixed list order then rounded 6 dp BEFORE ranking (the
+   * q89 rule) — cross-engine reproducible. Shape: one full-outer
+   * equi-join of two top-k-BOUNDED lists plus a ranking window over
+   * their union — retrieval-result-sized by construction, the same
+   * contract as [[hybridTopK]]'s candidate window.
+   */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, idCol: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    a.select(col(idCol), col("rank").as("_ra"))
+      .join(b.select(col(idCol), col("rank").as("_rb")),
+        Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("_ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("_rb")), lit(0.0)), 6))
+      .select(col(idCol), col("rrf_score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("rank").asc_nulls_last)
+  }
 }

@@ -157,4 +157,24 @@ class TextSearchSpec extends GraftSpec {
       assert(sel.group(1).toInt <= 3, s"opened ${sel.group(1)} buckets:\n$p")
     } finally spark.sql("DROP TABLE IF EXISTS graft_lex_post")
   }
+
+  test("rrfFuse: agreement wins, single-list docs score one term, ranks " +
+    "fuse by the 1/(K+r) sum") {
+    // list A ranks: 1→d1, 2→d2, 3→d3; list B: 1→d2, 2→d4
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = TextSearch.rrfFuse(a, b, "doc_id", k = 4, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // d2: 1/62 + 1/61 = 0.0325224... — both lists, wins
+    // d1: 1/61 = 0.016393; d4: 1/62 = 0.016129; d3: 1/63 = 0.015873
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L), got.mkString(","))
+    assert(got(0)._2 == 0.032522 && got(1)._2 == 0.016393)
+    assert(got(3) == ((3L, 0.015873, 4L)))
+    // k caps the fused list; score ties (same ranks both ways) break by id
+    val sym = TextSearch.rrfFuse(
+        Seq((7L, 1L)).toDF("doc_id", "rank"),
+        Seq((5L, 1L)).toDF("doc_id", "rank"), "doc_id", k = 1)
+      .collect()(0)
+    assert(sym.getLong(0) == 5L && sym.getLong(2) == 1L)
+  }
 }
