@@ -1762,7 +1762,126 @@ object SparkEntry {
           max(col("n_tokens")).as("max_len"),
           sum(col("n_tokens")).as("sum_len"),
           sum(col("pad")).as("padding"))
-        .orderBy(col("shard").asc_nulls_last, col("batch").asc_nulls_last))
+        .orderBy(col("shard").asc_nulls_last, col("batch").asc_nulls_last)),
+
+    // X+/E — Cohen's kappa over the q108 classified sample:
+    // chance-corrected agreement, the one-scalar summary next to q116's
+    // matrix and q125's per-class report. Exact integer/decimal
+    // arithmetic until three final divisions (κ cleared of both
+    // denominators: (N·diag − Σsup·prd)/(N² − Σsup·prd)).
+    "q129_cohens_kappa" -> ((s, d) =>
+      Eval.cohensKappa(Eval.knnClassify(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000), k = 5))),
+
+    // X+/E — exact tie-averaged ROC-AUC (Mann–Whitney U) of a raw
+    // embedding coordinate as a scorer of the label-0 class: the
+    // doubled-rank trick keeps every sum integer, one float division
+    // total. The score is a stored float (no arithmetic before
+    // ranking), so both engines rank identical values.
+    "q130_roc_auc" -> ((s, d) =>
+      Eval.rocAuc(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000)
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("score"),
+            (col("label") === 0).cast("int").as("is_pos")),
+        "score", "is_pos", "vec_id")),
+
+    // X+/E — reliability-diagram bins for an affine confidence
+    // ((emb[0]+1)/2 — pure halving, bit-identical cross-engine) against
+    // the label-0 class: per-bin mean confidence vs empirical positive
+    // rate, decimal conf sums so bin stats are order-independent.
+    "q131_calibration" -> ((s, d) =>
+      Eval.calibrationCurve(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000)
+            .select(
+              ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0)
+                .as("conf"),
+              (col("label") === 0).cast("int").as("is_pos")),
+          "conf", "is_pos", bins = 10)
+        .orderBy(col("bin").asc_nulls_last)),
+
+    // X+/E — expected calibration error over q131's bins, telescoped to
+    // exact decimals: ECE = Σ_b |Σconf_b − n_pos_b| / N (the shared-
+    // denominator identity), one float division at the end.
+    "q132_ece" -> ((s, d) =>
+      Eval.ece(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000)
+          .select(
+            ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0)
+              .as("conf"),
+            (col("label") === 0).cast("int").as("is_pos")),
+        "conf", "is_pos", bins = 10)),
+
+    // X+/E — NDCG@10 per query over the rounded-sim exact top-10 (the
+    // q108 neighbor convention) with label-match graded relevance: the
+    // ranking-quality eval for the retrieval family. Gain terms are
+    // 9-dp-rounded decimals (order-independent sums); IDCG re-ranks the
+    // SAME retrieved set, so NDCG isolates ORDER quality from recall.
+    "q133_ndcg" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val q = broadcast(base.filter(col("vec_id") < 100).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_n"),
+        col("label").as("q_label")))
+      val c = base.select(
+        col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        Similarity.norm(col("embedding")).as("nn_n"),
+        col("label").as("nn_label"))
+      val byRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("nn_id").asc)
+      val ranked = c.join(q).filter(col("nn_id") =!= col("q_id"))
+        .withColumn("sim", round(
+          Similarity.nativeDot(col("q_emb"), col("nn_emb"))
+            / nullif(col("q_n") * col("nn_n"), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(byRank).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"),
+          (col("q_label") === col("nn_label")).cast("double").as("rel"))
+      Eval.ndcgAtK(ranked, "q_id", "rank", "rel", k = 10)
+        .orderBy(col("q_id").asc_nulls_last)
+    }),
+
+    // X2+/A — token frequency-of-frequencies spectrum (Zipf/Heaps
+    // diagnostic): how many distinct terms occur exactly `freq` times.
+    // Two hash aggregations, output distinct-frequency-sized; the
+    // hapax share and power-law slope a corpus audit reads off it.
+    "q134_zipf" -> ((s, d) =>
+      TextOps.freqSpectrum(
+          TextOps.termFrequencies(t(s, d, "documents"), "text"))
+        .orderBy(col("freq").asc_nulls_last)),
+
+    // X+/E — exact Kendall τ-b between token and char counts on the
+    // q117 sample: pair concordance off one broadcast pair join, exact
+    // integer counts, two sqrts + one division at the end. The
+    // less-tie-distorted companion to Spearman on the same metrics.
+    "q135_kendall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Eval.kendallTau(
+        docs.filter(col("text").isNotNull && col("doc_id") < 1000)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+            length(col("text")).cast("long").as("nchr")),
+        "ntok", "nchr", "doc_id")
+    }),
+
+    // X2+ — PMI collocations: adjacent-bigram pointwise mutual
+    // information with a min-count cut (rare-pair PMI inflation is the
+    // classic artifact), top-50 by (PMI DESC, x, y). Probabilities
+    // divide BEFORE the ratio — integer cross-products overflow at
+    // corpus scale; this shape is IEEE-deterministic and never does.
+    "q136_pmi" -> ((s, d) =>
+      TextOps.pmiBigrams(t(s, d, "documents"), "text",
+        minCount = 5L, k = 50)),
+
+    // X2+/A — Heaps-law vocabulary growth at bucket granularity: new
+    // terms land in the bucket of their FIRST occurrence (min doc id),
+    // the cumulative window runs on the BUCKET-sized frame only — the
+    // per-doc cumsum would be the global-sort cliff this avoids.
+    "q137_vocab_growth" -> ((s, d) =>
+      TextOps.vocabGrowth(t(s, d, "documents"), "doc_id", "text",
+          bucketWidth = 100L)
+        .orderBy(col("bucket").asc_nulls_last))
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -3636,6 +3755,192 @@ object SparkEntry {
         |       round(rx, 6) AS recall,
         |       round(2 * px * rx / nullif(px + rx, 0), 6) AS f1
         |FROM rep ORDER BY class""".stripMargin,
+
+    // q129 extends the q116 classified-sample chain with the kappa
+    // algebra: κ's numerator and denominator cleared of both N
+    // divisions — (N·diag − Σ support·predicted)/(N² − Σ·) — so all
+    // three stats are exact-integer until their single final division.
+    "q129_cohens_kappa" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 1000),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, nn_label, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY votes DESC, nn_label) AS vr
+        |  FROM v),
+        |cls AS (SELECT q_label AS label, nn_label AS pred FROM p WHERE vr = 1),
+        |truth AS (SELECT label AS class, count(*) AS sup FROM cls GROUP BY 1),
+        |predicted AS (SELECT pred AS class, count(*) AS prd FROM cls GROUP BY 1),
+        |sj AS (
+        |  SELECT coalesce(sum(t.sup * pr.prd), 0) AS s
+        |  FROM truth t JOIN predicted pr ON t.class = pr.class),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |         coalesce(sum(CASE WHEN label = pred THEN 1 ELSE 0 END), 0)
+        |           AS diag
+        |  FROM cls)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       round(CAST(diag AS DOUBLE)
+        |             / nullif(CAST(n AS DOUBLE), 0), 6) AS po,
+        |       round(CAST(s AS DOUBLE)
+        |             / nullif(CAST(n * n AS DOUBLE), 0), 6) AS pe,
+        |       round(CAST(n * diag - s AS DOUBLE)
+        |             / nullif(CAST(n * n - s AS DOUBLE), 0), 6) AS kappa
+        |FROM tot, sj""".stripMargin,
+
+    // q130 replays the doubled-rank Mann–Whitney AUC: ranks over the
+    // (score, id) total order, tie groups averaged via min+max of the
+    // row_numbers (always integer when doubled), one float division.
+    "q130_roc_auc" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |rn AS (
+        |  SELECT pos, score,
+        |         row_number() OVER (ORDER BY score, vec_id) AS rn
+        |  FROM base),
+        |dr AS (
+        |  SELECT pos,
+        |         min(rn) OVER (PARTITION BY score)
+        |           + max(rn) OVER (PARTITION BY score) AS dr
+        |  FROM rn),
+        |agg AS (
+        |  SELECT coalesce(sum(pos), 0) AS p,
+        |         coalesce(sum(1 - pos), 0) AS m,
+        |         coalesce(sum(CASE WHEN pos = 1 THEN dr END), 0) AS srp
+        |  FROM dr)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+        |       round(CAST(srp - p * (p + 1) AS DOUBLE)
+        |             / nullif(CAST(2 * p * m AS DOUBLE), 0), 6) AS auc
+        |FROM agg""".stripMargin,
+
+    // q131/q132 share the binning chain: 6-dp-rounded DECIMAL confidence
+    // (bin edges exact cross-engine), clamped to [0,1], 1.0 folded into
+    // the top bin, decimal conf sums (order-independent).
+    "q131_calibration" ->
+      """WITH base AS (
+        |  SELECT CAST(least(greatest(round(
+        |             (CAST(embedding[1] AS DOUBLE) + 1) / 2, 6), 0), 1)
+        |           AS DECIMAL(10,6)) AS c,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |g AS (
+        |  SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS bin,
+        |         count(*) AS n, CAST(sum(c) AS DECIMAL(28,6)) AS sc,
+        |         sum(pos) AS np
+        |  FROM base GROUP BY 1)
+        |SELECT bin, n,
+        |       round(CAST(sc AS DOUBLE) / n, 6) AS mean_conf,
+        |       round(CAST(np AS DOUBLE) / n, 6) AS frac_pos
+        |FROM g ORDER BY bin""".stripMargin,
+
+    "q132_ece" ->
+      """WITH base AS (
+        |  SELECT CAST(least(greatest(round(
+        |             (CAST(embedding[1] AS DOUBLE) + 1) / 2, 6), 0), 1)
+        |           AS DECIMAL(10,6)) AS c,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |g AS (
+        |  SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS bin,
+        |         count(*) AS n, CAST(sum(c) AS DECIMAL(28,6)) AS sc,
+        |         sum(pos) AS np
+        |  FROM base GROUP BY 1)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |       round(CAST(sum(abs(sc - CAST(np AS DECIMAL(28,6)))) AS DOUBLE)
+        |             / nullif(CAST(sum(n) AS DOUBLE), 0), 6) AS ece
+        |FROM g""".stripMargin,
+
+    // q133 replays the rounded-sim top-10 (q108 convention), grades by
+    // label match, and sums 9-dp-rounded decimal gain terms — the
+    // ideal ranking re-orders the SAME retrieved set by (rel DESC,
+    // rank ASC), so both engines chain identical decimals.
+    "q133_ndcg" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |g AS (
+        |  SELECT q_id, rank,
+        |         CAST(q_label = nn_label AS DOUBLE) AS rel
+        |  FROM r WHERE rank <= 10),
+        |i AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY rel DESC, rank) AS irank
+        |  FROM g),
+        |t AS (
+        |  SELECT q_id,
+        |         sum(CASE WHEN rank <= 10 THEN
+        |             CAST(round((pow(2, rel) - 1) / log2(rank + 1), 9)
+        |                  AS DECIMAL(28,9)) END) AS dcg,
+        |         sum(CASE WHEN irank <= 10 THEN
+        |             CAST(round((pow(2, rel) - 1) / log2(irank + 1), 9)
+        |                  AS DECIMAL(28,9)) END) AS idcg
+        |  FROM i GROUP BY 1)
+        |SELECT q_id, round(CAST(dcg AS DOUBLE)
+        |                   / nullif(CAST(idcg AS DOUBLE), 0), 6) AS ndcg
+        |FROM t ORDER BY q_id""".stripMargin,
+
+    // q134 folds the q103 tf chain once more: distinct terms per exact
+    // occurrence count.
+    "q134_zipf" ->
+      """WITH tf AS (
+        |  SELECT t AS token, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |                  '\s+'), x -> length(x) > 0)) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT freq, count(*) AS n_terms
+        |FROM tf GROUP BY 1 ORDER BY freq""".stripMargin,
 
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold

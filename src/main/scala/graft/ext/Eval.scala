@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,236 @@ object Eval {
    * on a sample or dimension-sized frame (the q108 contract), not the
    * raw corpus.
    */
+  /**
+   * Cohen's kappa over a classified frame — chance-corrected agreement
+   * between the label and prediction axes, the companion scalar to
+   * [[confusion]]/[[classificationReport]] (κ = (p_o − p_e)/(1 − p_e)).
+   * Everything up to the final division is EXACT: p_o's numerator is the
+   * diagonal count, p_e's is Σ_c support_c·predicted_c, and the kappa
+   * ratio is algebraically cleared of both denominators —
+   * κ = (N·diag − S)/(N² − S) with S = Σ support·predicted — so the only
+   * float ops are the three final divisions, each rounded 6 dp.
+   * Returns one row `(n, po, pe, kappa)`; kappa is NULL when the
+   * expected agreement is 1 (a single class on both axes — κ undefined,
+   * the NaN of sklearn surfaced as SQL NULL) or when `n = 0`.
+   *
+   * Output is 1-row from CLASS-sized partials — scale-free.
+   */
+  def cohensKappa(
+      classified: DataFrame,
+      labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val truth = classified.groupBy(col(labelCol).as("class"))
+      .agg(count(lit(1)).cast(dec).as("_sup"))
+    val predicted = classified.groupBy(col(predCol).as("class"))
+      .agg(count(lit(1)).cast(dec).as("_prd"))
+    val s = truth.join(predicted, Seq("class"))
+      .agg(coalesce(sum(col("_sup") * col("_prd")), lit(0).cast(dec))
+        .as("_s"))
+      .withColumn("_j", lit(1))
+    val totals = classified.agg(
+      count(lit(1)).cast(dec).as("_n"),
+      coalesce(sum((col(labelCol) === col(predCol)).cast("long")), lit(0L))
+        .cast(dec).as("_diag"))
+      .withColumn("_j", lit(1))
+    totals.join(s, Seq("_j")) // 1×1 — two scalar frames, not a data join
+      .select(col("_n").cast("long").as("n"),
+        round(col("_diag").cast("double")
+          / nullif(col("_n").cast("double"), lit(0.0)), 6).as("po"),
+        round(col("_s").cast("double")
+          / nullif((col("_n") * col("_n")).cast("double"), lit(0.0)), 6)
+          .as("pe"),
+        round((col("_n") * col("_diag") - col("_s")).cast("double")
+          / nullif((col("_n") * col("_n") - col("_s")).cast("double"),
+            lit(0.0)), 6).as("kappa"))
+  }
+
+  /**
+   * Exact ROC-AUC of a score against a binary label via the
+   * Mann–Whitney U statistic with TEXTBOOK tie handling: tied scores get
+   * fractional average ranks, and AUC = (ΣR₊ − P(P+1)/2)/(P·N). The
+   * [[spearman]] doubled-rank trick keeps it exact — a tie group's
+   * average rank is (min+max)/2 of its `row_number`s, so the DOUBLED
+   * rank is an integer, all sums run in decimal, and
+   * AUC = (Σ2R₊ − P(P+1))/(2·P·N) needs exactly one float division,
+   * rounded 6 dp. Rows with a NULL score or label are dropped; any
+   * non-zero label is positive. Returns one row `(n_pos, n_neg, auc)`;
+   * AUC is NULL when either class is absent (undefined, sklearn's
+   * error surfaced as SQL NULL).
+   *
+   * EVAL-contract shape: global ranking ⇒ the `row_number` window is
+   * single-partition — run on a labeled sample, not the corpus.
+   */
+  def rocAuc(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rn = row_number().over(
+      Window.orderBy(col(scoreCol).asc, col(idCol).asc)).cast("long")
+    val wS = Window.partitionBy(col("_s"))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("_s"),
+        (col(labelCol) =!= 0).cast("long").as("_pos"), rn.as("_rn"))
+      .select(col("_pos"),
+        (min(col("_rn")).over(wS) + max(col("_rn")).over(wS))
+          .cast(dec).as("_dr"))
+      .agg(
+        coalesce(sum(col("_pos")), lit(0L)).cast(dec).as("_p"),
+        coalesce(sum(lit(1L) - col("_pos")), lit(0L)).cast(dec).as("_m"),
+        coalesce(sum(when(col("_pos") === 1, col("_dr"))), lit(0).cast(dec))
+          .as("_srp"))
+      .select(col("_p").cast("long").as("n_pos"),
+        col("_m").cast("long").as("n_neg"),
+        round((col("_srp") - col("_p") * (col("_p") + 1)).cast("double")
+          / nullif((lit(2).cast(dec) * col("_p") * col("_m")).cast("double"),
+            lit(0.0)), 6).as("auc"))
+  }
+
+  /** Shared binning core of [[calibrationCurve]] and [[ece]]: confidence
+    * rounded to 6 dp as decimal BEFORE binning (bin edges then agree
+    * across engines bit-for-bit), clamped to [0,1], bucketed into
+    * `bins` equal-width bins with 1.0 folded into the top bin. Per-bin
+    * decimal conf sums keep everything order-independent. */
+  private def binned(
+      df: DataFrame, confCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val c6 = least(greatest(round(col(confCol), 6), lit(0.0)), lit(1.0))
+      .cast("decimal(10,6)")
+    df.filter(col(confCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(c6 * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        c6.as("_c"), (col(labelCol) =!= 0).cast("long").as("_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_c")).cast("decimal(28,6)").as("_sc"),
+        sum(col("_pos")).as("_np"))
+  }
+
+  /**
+   * Reliability-diagram bins (sklearn's `calibration_curve`): equal-width
+   * confidence bins, one row `(bin, n, mean_conf, frac_pos)` per
+   * NON-EMPTY bin — does P(y=1 | conf ∈ bin) track the stated
+   * confidence? Confidences are rounded 6 dp and summed as decimals
+   * (order-independent, cross-engine exact); the two per-bin means are
+   * the only float divisions, rounded 6 dp. Output is BIN-sized.
+   */
+  def calibrationCurve(
+      df: DataFrame, confCol: String, labelCol: String,
+      bins: Int = 10): DataFrame =
+    binned(df, confCol, labelCol, bins)
+      .select(col("bin"), col("n"),
+        round(col("_sc").cast("double") / col("n"), 6).as("mean_conf"),
+        round(col("_np").cast("double") / col("n"), 6).as("frac_pos"))
+
+  /**
+   * Expected calibration error over the same equal-width bins:
+   * ECE = Σ_b (n_b/N)·|mean_conf_b − frac_pos_b|. Because both means in
+   * a bin share the denominator n_b, the weighted gap telescopes to
+   * EXACT decimal arithmetic — ECE = (Σ_b |Σconf_b − n_pos_b|)/N — so
+   * the whole statistic is one decimal sum and one final float
+   * division, rounded 6 dp. Returns one row `(n, ece)`; NULL when
+   * `n = 0`.
+   */
+  def ece(
+      df: DataFrame, confCol: String, labelCol: String,
+      bins: Int = 10): DataFrame =
+    binned(df, confCol, labelCol, bins)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(abs(col("_sc") - col("_np").cast("decimal(28,6)"))).as("_gap"))
+      .select(col("n"),
+        round(col("_gap").cast("double")
+          / nullif(col("n").cast("double"), lit(0.0)), 6).as("ece"))
+
+  /**
+   * Exact Kendall's τ-b between two columns — the pair-concordance
+   * companion to [[spearman]] (less tie-distorted, the form scipy's
+   * `kendalltau` computes). Over all unordered pairs i<j (by `idCol`):
+   * C = concordant, D = discordant, n1 = pairs tied in A, n2 = pairs
+   * tied in B, n0 = n(n−1)/2, and τ-b = (C − D)/√((n0−n1)(n0−n2)).
+   * Every count is an exact integer off one equi-free pair join; the
+   * only float ops are the two final sqrts and one division, rounded
+   * 6 dp. Returns one row `(n, concordant, discordant, tau)`; τ is
+   * NULL when either side is all-tied (zero variance — undefined, the
+   * NaN of scipy surfaced as SQL NULL) or `n < 2`.
+   *
+   * EVAL-contract shape: the pair join is O(n²) by definition of the
+   * statistic — run it on a labeled sample or dimension-sized frame
+   * (the q108 contract). The left side broadcasts; pairs are counted,
+   * never materialized wider than the running aggregation.
+   */
+  def kendallTau(
+      df: DataFrame, colA: String, colB: String, idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(idCol).as("_id"), col(colA).as("_a"), col(colB).as("_b"))
+    val pairs = broadcast(base.select(col("_id").as("_id1"),
+        col("_a").as("_a1"), col("_b").as("_b1")))
+      .join(base.select(col("_id").as("_id2"), col("_a").as("_a2"),
+        col("_b").as("_b2")), col("_id1") < col("_id2"))
+    val sa = signum(col("_a1").cast("double") - col("_a2").cast("double"))
+    val sb = signum(col("_b1").cast("double") - col("_b2").cast("double"))
+    val n = base.agg(count(lit(1)).cast(dec).as("_n"))
+      .withColumn("_j", lit(1))
+    pairs
+      .agg(
+        coalesce(sum((sa * sb > 0).cast("long")), lit(0L)).cast(dec)
+          .as("_c"),
+        coalesce(sum((sa * sb < 0).cast("long")), lit(0L)).cast(dec)
+          .as("_d"),
+        coalesce(sum((sa === 0).cast("long")), lit(0L)).cast(dec).as("_t1"),
+        coalesce(sum((sb === 0).cast("long")), lit(0L)).cast(dec).as("_t2"))
+      .withColumn("_j", lit(1))
+      .join(n, Seq("_j")) // 1×1 — scalar frames
+      .select(col("_n").cast("long").as("n"),
+        col("_c").cast("long").as("concordant"),
+        col("_d").cast("long").as("discordant"),
+        round((col("_c") - col("_d")).cast("double")
+          / nullif(
+            sqrt((col("_n") * (col("_n") - 1) / 2 - col("_t1"))
+              .cast("double")) *
+            sqrt((col("_n") * (col("_n") - 1) / 2 - col("_t2"))
+              .cast("double")),
+            lit(0.0)), 6).as("tau"))
+  }
+
+  /**
+   * NDCG@k per query over a ranked result frame (`(qCol, rankCol,
+   * relCol)` — the [[Similarity.bruteForceTopK]] / [[AnnIvf.knnJoin]]
+   * shape joined to graded relevance): DCG sums the standard
+   * exponential gain (2^rel − 1)/log₂(rank+1) over ranks ≤ k, the ideal
+   * ordering re-ranks the SAME retrieved set by (rel DESC, rank ASC),
+   * and NDCG = DCG/IDCG, NULL when the query retrieved nothing relevant
+   * (IDCG 0 — undefined, not 0: a no-relevant query says nothing about
+   * ranking quality). Each gain term is rounded to 9 dp and summed as a
+   * decimal, so the ≤k-term sums are order-independent and cross-engine
+   * exact; the final division is rounded 6 dp.
+   *
+   * Shape: both windows partition by query — fully parallel, no global
+   * sort; output is QUERY-sized.
+   */
+  def ndcgAtK(
+      ranked: DataFrame, qCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ideal = Window.partitionBy(col(qCol))
+      .orderBy(col(relCol).desc, col(rankCol).asc)
+    def term(rank: Column): Column =
+      round((pow(lit(2.0), col(relCol)) - 1.0)
+        / log2(rank.cast("double") + 1.0), 9).cast("decimal(28,9)")
+    ranked
+      .filter(col(relCol).isNotNull)
+      .withColumn("_irank", row_number().over(ideal).cast("long"))
+      .groupBy(col(qCol))
+      .agg(
+        sum(when(col(rankCol) <= k, term(col(rankCol)))).as("_dcg"),
+        sum(when(col("_irank") <= k, term(col("_irank")))).as("_idcg"))
+      .select(col(qCol),
+        round(col("_dcg").cast("double")
+          / nullif(col("_idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
+  }
+
   def spearman(
       df: DataFrame, colA: String, colB: String, idCol: String,
       tieAverage: Boolean = true): DataFrame = {

@@ -262,6 +262,102 @@ object TextOps {
         col("weight"), col("rank"))
   }
 
+  /**
+   * PMI collocations: adjacent-token bigrams scored by pointwise mutual
+   * information — PMI(x,y) = ln(P(x,y)/(P(x)·P(y))) with P(x,y) over the
+   * bigram total and P(x) over the unigram total (the standard corpus
+   * convention; Church & Hanks 1990). Bigrams below `minCount` are cut
+   * FIRST (rare pairs have unboundedly inflated PMI — the classic
+   * artifact), then the top `k` by (PMI DESC, x, y). All counts are
+   * exact; PMI is one ln of a ratio of exact integers, rounded 6 dp.
+   *
+   * Scale shape: one Generate per document (the bigram explode — narrow,
+   * no shuffle), two hash aggregations (bigram and unigram counts), two
+   * count-frame equi-joins (vocabulary-sized, AQE-broadcast), TakeOrdered
+   * top-k. Totals ride as 1-row frames joined on a literal key, not
+   * driver collects.
+   */
+  def pmiBigrams(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    // (t[i], t[i+1]) pairs via an index explode — one narrow Generate
+    val bi = toks
+      .select(explode(sequence(lit(1), size(col("_tk")) - 1)).as("_i"),
+        col("_tk"))
+      .select(element_at(col("_tk"), col("_i")).as("x"),
+        element_at(col("_tk"), col("_i") + 1).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val uni = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("_cnt"))
+    val totals = bi.agg(sum(col("n_xy")).as("_n2"))
+      .withColumn("_j", lit(1))
+    val uniTotal = uni.agg(sum(col("_cnt")).as("_n1")).withColumn("_j", lit(1))
+    bi.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("_cnt").as("_cx")), "x")
+      .join(uni.select(col("t").as("y"), col("_cnt").as("_cy")), "y")
+      .withColumn("_j", lit(1))
+      .join(totals, Seq("_j")).join(uniTotal, Seq("_j")) // 1-row totals
+      // probabilities first, then the ratio: integer cross-products
+      // overflow any fixed width at corpus scale (N1² alone passes 2⁶³
+      // near 10¹⁰ tokens), while this shape is IEEE-deterministic —
+      // identical exact-int→double conversions and operation order in
+      // both engines — and never overflows
+      .withColumn("pmi", round(log(
+        (col("n_xy").cast("double") / col("_n2").cast("double"))
+          / ((col("_cx").cast("double") / col("_n1").cast("double"))
+            * (col("_cy").cast("double") / col("_n1").cast("double")))), 6))
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
+      .limit(k)
+      .select(col("x"), col("y"), col("n_xy"), col("pmi"))
+  }
+
+  /**
+   * Heaps-law vocabulary growth curve at BUCKET granularity: documents
+   * are grouped into fixed-width id buckets (`idCol div bucketWidth`,
+   * the corpus's natural ingest order), a term is "new" in the bucket
+   * of its FIRST occurrence (`min(idCol)` over the corpus), and the
+   * running totals give the V(N) curve — cumulative vocabulary size
+   * against cumulative tokens seen. Sub-linear growth is the healthy
+   * power law; a kink toward linear means boilerplate or spam entered
+   * the stream (each doc minting "new" terms), the diagnostic a corpus
+   * audit reads next to [[freqSpectrum]].
+   *
+   * Scale shape: one explode + two hash aggregations (per-token min-id
+   * is a map-side-combinable min); the ONLY ordered window runs on the
+   * BUCKET-sized frame (corpus-length / bucketWidth rows — metadata, not
+   * data), which is what makes the curve safe where a per-doc cumsum
+   * would be a global-sort cliff. Returns one row per non-empty bucket:
+   * `(bucket, n_docs, n_tokens, new_terms, cum_tokens, vocab_size)`.
+   */
+  def vocabGrowth(
+      docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val base = docs.filter(col(textCol).isNotNull)
+    val perBucket = base
+      .select(expr(s"`$idCol` div ${bucketWidth}L").as("bucket"),
+        size(tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val newTerms = base
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(min(col("_id")).as("_first"))
+      .select(expr(s"_first div ${bucketWidth}L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("vocab_size", sum(col("new_terms")).over(cum))
+  }
+
   // ---- regex ("BPE-ish") tokenization ----
 
   /** Letter-runs, digit-runs, and single punctuation marks — the shape of a
@@ -398,6 +494,16 @@ object TextOps {
     docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  /** Frequency-of-frequencies spectrum of a [[termFrequencies]] frame —
+    * the Zipf/Heaps corpus diagnostic (`n_terms` distinct terms occur
+    * exactly `freq` times; the hapax count is the `freq = 1` row, and a
+    * log-log plot of the spectrum is the standard power-law check a
+    * corpus audit runs before/after dedup). One further hash
+    * aggregation over the tf frame — output is at most
+    * distinct-frequency-sized, far smaller than the vocabulary. */
+  def freqSpectrum(tf: DataFrame): DataFrame =
+    tf.groupBy(col("freq")).agg(count(lit(1)).as("n_terms"))
 
   /** Additive merge of term-frequency partials; `merge(a,b)` ≡
     * [[termFrequencies]] over the concatenated corpora (spec-pinned),

@@ -464,6 +464,32 @@ class PlanAuditSpec extends GraftSpec {
       s"q127 window lost its shard partition key:\n$p27")
   }
 
+  test("q129-q133: the eval scalars stay on class-sized joins and " +
+    "query-partitioned windows — no cartesian anywhere") {
+    // kappa: the sample vote (broadcast) + two CLASS-sized grouped frames
+    // joined on class + the 1×1 scalar join — nothing may plan cartesian
+    assert(!plan("q129_cohens_kappa").contains("CartesianProduct"))
+    // AUC's global rank window is the documented eval contract; the rest
+    // of the plan must stay join-free
+    val p30 = plan("q130_roc_auc")
+    assert(!p30.contains("Join") && !p30.contains("CartesianProduct"), p30)
+    // ndcg: both windows partition by q_id — no global (empty-key) window
+    val p33 = plan("q133_ndcg")
+    assert(!p33.contains("CartesianProduct"), p33)
+    assert(!"windowspecdefinition\\(\\s*cast".r.findFirstIn(p33).isDefined,
+      s"q133 window lost its q_id partition key:\n$p33")
+  }
+
+  test("q131/q132/q134: the binned and spectrum aggregations are pure " +
+    "two-level hash aggs — partial combine, no join, no window") {
+    Seq("q131_calibration", "q132_ece", "q134_zipf").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("Partial") || p.contains("partial_"), s"$k:\n$p")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct") &&
+        !p.contains("Window"), s"$k:\n$p")
+    }
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

@@ -169,4 +169,103 @@ class EvalSpec extends GraftSpec {
       Eval.spearman(df, "a", "b", "id", tieAverage = false).head()
     assert(fallback.getDouble(1) == 0.9)
   }
+
+  test("cohensKappa: hand-computed kappa on the report fixture; perfect " +
+    "agreement is 1; a single class on both axes is NULL") {
+    // labels a a a b b c, preds a a b b b a:
+    // n=6, diag=4 → po = 4/6; S = Σ sup·prd = 3·3 + 2·3 = 15 → pe = 15/36
+    // κ = (6·4 − 15)/(36 − 15) = 9/21 = 0.428571
+    val cls = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("label", "pred")
+    val got = Eval.cohensKappa(cls).head()
+    assert(got.getLong(0) == 6L && got.getDouble(1) == 0.666667 &&
+      got.getDouble(2) == 0.416667 && got.getDouble(3) == 0.428571,
+      s"got $got")
+    val perfect = Eval.cohensKappa(
+      Seq(("a", "a"), ("b", "b")).toDF("label", "pred")).head()
+    assert(perfect.getDouble(3) == 1.0)
+    // one class on both axes: pe = 1 → κ undefined → NULL
+    val degenerate = Eval.cohensKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("label", "pred")).head()
+    assert(degenerate.isNullAt(3))
+  }
+
+  test("rocAuc: perfect separation 1.0, reversed 0.0, tied scores " +
+    "average to 0.5, single-class is NULL") {
+    def frame(rows: Seq[(Long, Double, Int)]) =
+      rows.toDF("id", "score", "y")
+    def auc(rows: Seq[(Long, Double, Int)]): Option[Double] = {
+      val r = Eval.rocAuc(frame(rows), "score", "y", "id").head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0),
+      (4L, 0.1, 0))) == Some(1.0))
+    assert(auc(Seq((1L, 0.1, 1), (2L, 0.9, 0))) == Some(0.0))
+    // one positive and one negative share a score: both take average
+    // rank 1.5 → AUC 0.5 exactly (the doubled-rank path, no floats)
+    assert(auc(Seq((1L, 0.5, 1), (2L, 0.5, 0))) == Some(0.5))
+    // textbook tie case: pos [3, 1], neg [2, 1]: ranks 1.5 1.5 3 4 →
+    // ΣR₊ = 4 + 1.5 = 5.5 → AUC = (5.5 − 3)/4 = 0.625
+    assert(auc(Seq((1L, 3.0, 1), (2L, 1.0, 1), (3L, 2.0, 0),
+      (4L, 1.0, 0))) == Some(0.625))
+    assert(auc(Seq((1L, 0.5, 1), (2L, 0.6, 1))) == None)
+    // counts surface even when AUC is undefined
+    val r = Eval.rocAuc(frame(Seq((1L, 0.5, 1))), "score", "y", "id").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+  }
+
+  test("calibrationCurve/ece: bin stats from exact decimals; clamping " +
+    "and the 1.0-into-top-bin fold; the telescoped ECE identity") {
+    val df = Seq(
+      (0.05, 0), (0.05, 1), // bin 0: mean 0.05, frac_pos 0.5
+      (1.0, 1), (0.95, 1), // bin 9 (1.0 folds in): mean 0.975, frac 1.0
+      (-0.2, 0), (1.3, 1) // clamp to 0 → bin 0, and 1 → bin 9
+    ).toDF("conf", "y")
+    val curve = Eval.calibrationCurve(df, "conf", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(curve(0L) == ((3L, 0.033333, 0.333333)), s"bin0 ${curve(0L)}")
+    assert(curve(9L) == ((3L, 0.983333, 1.0)), s"bin9 ${curve(9L)}")
+    assert(curve.size == 2, "only non-empty bins appear")
+    // ECE = (|0.1 − 1| + |2.95 − 3|)/6 = 0.95/6 = 0.158333
+    val e = Eval.ece(df, "conf", "y", bins = 10).head()
+    assert(e.getLong(0) == 6L && e.getDouble(1) == 0.158333, s"ece $e")
+    // empty input: n = 0, ECE NULL
+    val empty = Eval.ece(df.limit(0), "conf", "y").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("ndcgAtK: matches a driver-side reference, the ideal ordering " +
+    "re-ranks the retrieved set, and no-relevant queries are NULL") {
+    // q1: rel by rank [0, 1, 1] — misordered, ndcg < 1
+    // q2: rel [1, 1, 0] — already ideal → exactly 1.0
+    // q3: rel [0, 0, 0] — IDCG 0 → NULL
+    val ranked = Seq(
+      (1L, 1L, 0.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+      (2L, 1L, 1.0), (2L, 2L, 1.0), (2L, 3L, 0.0),
+      (3L, 1L, 0.0), (3L, 2L, 0.0), (3L, 3L, 0.0)
+    ).toDF("q_id", "rank", "rel")
+    def term(rel: Double, rank: Long): BigDecimal =
+      BigDecimal((math.pow(2.0, rel) - 1.0) /
+          (math.log(rank + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val dcg1 = term(0.0, 1L) + term(1.0, 2L) + term(1.0, 3L)
+    val idcg1 = term(1.0, 1L) + term(1.0, 2L) + term(0.0, 3L)
+    val want1 = BigDecimal(dcg1.toDouble / idcg1.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Eval.ndcgAtK(ranked, "q_id", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == Some(want1), s"got ${got(1L)} want $want1")
+    assert(got(2L) == Some(1.0))
+    assert(got(3L) == None)
+    // k cuts BOTH sums: with k=2 the ideal keeps the two relevant docs
+    // but DCG only sees rank 2's → ndcg = (1/log2(3))/(1 + 1/log2(3))
+    val k2 = Eval.ndcgAtK(ranked.filter($"q_id" === 1L),
+      "q_id", "rank", "rel", k = 2).head()
+    val wantK2 = BigDecimal(term(1.0, 2L).toDouble /
+        (term(1.0, 1L) + term(1.0, 2L)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k2.getDouble(1) == wantK2)
+  }
 }

@@ -305,4 +305,16 @@ class TextOpsSpec extends GraftSpec {
       assert(merged == full, s"split at $cut drifted")
     }
   }
+
+  test("freqSpectrum: distinct terms per exact occurrence count, hapaxes " +
+    "in the freq=1 row") {
+    // tf over "x x y z | y z z q | x q q q w":
+    // x=3 y=2 z=3 q=4 w=1 → spectrum: 1→{w}, 2→{y}, 3→{x,z}, 4→{q}
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "y z z q"), (3L, "x q q q w")
+    ).toDF("doc_id", "text")
+    val got = TextOps.freqSpectrum(TextOps.termFrequencies(docs, "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }
