@@ -1872,7 +1872,8 @@ object SparkEntry {
     // corpus scale; this shape is IEEE-deterministic and never does.
     "q136_pmi" -> ((s, d) =>
       TextOps.pmiBigrams(t(s, d, "documents"), "text",
-        minCount = 5L, k = 50)),
+          minCount = 5L, k = 50)
+        .orderBy(col("pmi").desc, col("x").asc, col("y").asc)),
 
     // X2+/A — Heaps-law vocabulary growth at bucket granularity: new
     // terms land in the bucket of their FIRST occurrence (min doc id),
@@ -3941,6 +3942,97 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT freq, count(*) AS n_terms
         |FROM tf GROUP BY 1 ORDER BY freq""".stripMargin,
+
+    // q135 replays the pair-concordance counts off the i<j join; the
+    // τ-b denominator uses the exact integer n(n−1)/2 − ties.
+    "q135_kendall" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |              '\s+'), x -> length(x) > 0)) AS BIGINT) AS ntok,
+        |         CAST(length(text) AS BIGINT) AS nchr
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 1000),
+        |p AS (
+        |  SELECT sign(CAST(a.ntok AS DOUBLE) - CAST(b.ntok AS DOUBLE))
+        |           AS sa,
+        |         sign(CAST(a.nchr AS DOUBLE) - CAST(b.nchr AS DOUBLE))
+        |           AS sb
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id),
+        |agg AS (
+        |  SELECT coalesce(sum(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END), 0)
+        |           AS c,
+        |         coalesce(sum(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END), 0)
+        |           AS d,
+        |         coalesce(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END), 0) AS t1,
+        |         coalesce(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END), 0) AS t2
+        |  FROM p),
+        |nn AS (SELECT count(*) AS n FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant,
+        |       CAST(d AS BIGINT) AS discordant,
+        |       round(CAST(c - d AS DOUBLE)
+        |             / nullif(
+        |                 sqrt(CAST(n * (n - 1) / 2 - t1 AS DOUBLE))
+        |               * sqrt(CAST(n * (n - 1) / 2 - t2 AS DOUBLE)), 0), 6)
+        |         AS tau
+        |FROM nn, agg""".stripMargin,
+
+    // q136 replays bigram/unigram counting and the probability-ratio
+    // PMI in the identical IEEE operation order (divide before ratio —
+    // the overflow-free shape).
+    "q136_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (
+        |  SELECT tk[i] AS x, tk[i + 1] AS y
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT x, y, count(*) AS n_xy FROM bi GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT t, count(*) AS cnt
+        |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        |t2 AS (SELECT coalesce(sum(n_xy), 0) AS n2 FROM bc),
+        |t1 AS (SELECT coalesce(sum(cnt), 0) AS n1 FROM uc),
+        |sel AS (
+        |  SELECT b.x, b.y, b.n_xy,
+        |         round(ln((CAST(b.n_xy AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |               / ((CAST(cx.cnt AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |                * (CAST(cy.cnt AS DOUBLE) / CAST(n1 AS DOUBLE)))),
+        |           6) AS pmi
+        |  FROM bc b
+        |  JOIN uc cx ON b.x = cx.t
+        |  JOIN uc cy ON b.y = cy.t, t2, t1
+        |  WHERE b.n_xy >= 5)
+        |SELECT x, y, n_xy, pmi FROM sel
+        |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
+
+    // q137 replays first-occurrence bucketing; the cumulative windows
+    // order by the unique bucket key, so RANGE/ROWS framing agree.
+    "q137_vocab_growth" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |pb AS (
+        |  SELECT doc_id // 100 AS bucket, count(*) AS n_docs,
+        |         coalesce(sum(len(tk)), 0) AS n_tokens
+        |  FROM base GROUP BY 1),
+        |ft AS (
+        |  SELECT t, min(doc_id) AS first
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM base) GROUP BY 1),
+        |nt AS (
+        |  SELECT first // 100 AS bucket, count(*) AS new_terms
+        |  FROM ft GROUP BY 1)
+        |SELECT p.bucket, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+        |       CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+        |         AS cum_tokens,
+        |       CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY p.bucket)
+        |            AS BIGINT) AS vocab_size
+        |FROM pb p LEFT JOIN nt ON p.bucket = nt.bucket
+        |ORDER BY p.bucket""".stripMargin,
 
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold

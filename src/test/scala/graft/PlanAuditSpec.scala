@@ -490,6 +490,26 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("q135-q137: tau pairs stay broadcast, PMI's top-k is TakeOrdered " +
+    "over vocabulary-sized joins, the growth window is bucket-sized") {
+    // τ's i<j pair join broadcasts the sample side — BNLJ by the eval
+    // contract, never an unbroadcast CartesianProduct
+    val p35 = plan("q135_kendall")
+    assert(p35.contains("BroadcastNestedLoopJoin"), p35)
+    assert(!p35.contains("CartesianProduct"), p35)
+    // PMI: count-frame equi-joins + TakeOrdered — no cartesian, no window
+    val p36 = plan("q136_pmi")
+    assert(p36.contains("TakeOrdered"), p36)
+    assert(!p36.contains("CartesianProduct") && !p36.contains("Window"), p36)
+    // growth: the only window is the bucket-frame cumsum; aggregation
+    // below it keeps map-side partial combine
+    val p37 = plan("q137_vocab_growth")
+    assert(p37.contains("Partial") || p37.contains("partial_"), p37)
+    assert(!p37.contains("CartesianProduct") && !p37.contains("Join")
+      || p37.contains("SortMergeJoin") || p37.contains("BroadcastHashJoin"),
+      p37)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

@@ -268,4 +268,25 @@ class EvalSpec extends GraftSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(k2.getDouble(1) == wantK2)
   }
+
+  test("kendallTau: monotone +1, reversed -1, the textbook tau-b tie " +
+    "case, and all-tied NULL") {
+    def frame(rows: Seq[(Long, Long, Long)]) = rows.toDF("id", "a", "b")
+    def tau(rows: Seq[(Long, Long, Long)]) = {
+      val r = Eval.kendallTau(frame(rows), "a", "b", "id").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    assert(tau(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))) ==
+      ((3L, 3L, 0L, Some(1.0))))
+    assert(tau(Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L)))._4 ==
+      Some(-1.0))
+    // a = [1,2,2,3], b = [1,2,3,4]: pairs = 6, ties in a: (2,3) → t1=1
+    // C = 5, D = 0 → τ-b = 5/sqrt((6−1)·6) = 5/sqrt(30) = 0.912871
+    assert(tau(Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 2L, 3L),
+      (4L, 3L, 4L))) == ((4L, 5L, 0L, Some(0.912871))))
+    // one side all-tied: zero variance → undefined → NULL
+    assert(tau(Seq((1L, 5L, 1L), (2L, 5L, 2L)))._4 == None)
+    assert(tau(Seq((1L, 1L, 1L)))._4 == None)
+  }
 }

@@ -317,4 +317,41 @@ class TextOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("pmiBigrams: hand-counted probabilities, the min-count cut, and " +
+    "the (pmi, x, y) tie order") {
+    // docs "a b a b" | "a b c": bigrams (a,b)=3 (b,a)=1 (b,c)=1, N2=5;
+    // unigrams a=3 b=3 c=1, N1=7.
+    // pmi(a,b) = ln((3/5)/((3/7)(3/7))), pmi(b,c) = ln((1/5)/((3/7)(1/7)))
+    // — algebraically BOTH are ln(49/15): a genuine tie, broken by (x,y)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def pmiOf(nxy: Long, n2: Long, cx: Long, cy: Long, n1: Long): Double =
+      BigDecimal(math.log((nxy.toDouble / n2.toDouble) /
+          ((cx.toDouble / n1.toDouble) * (cy.toDouble / n1.toDouble))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cut = TextOps.pmiBigrams(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(cut.toSeq == Seq(("a", "b", 3L, pmiOf(3, 5, 3, 3, 7))),
+      s"got ${cut.toSeq}")
+    val top2 = TextOps.pmiBigrams(docs, "text", minCount = 1L, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top2 == Seq(("a", "b"), ("b", "c")), s"tie order broke: $top2")
+  }
+
+  test("vocabGrowth: new terms land in their first-occurrence bucket; " +
+    "cumulative tokens and vocabulary run over bucket order") {
+    val docs = Seq(
+      (0L, "x y"), (1L, "x z"), (2L, "y w"), (3L, ""), (5L, "v x")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs, "doc_id", "text", bucketWidth = 2L)
+      .orderBy($"bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4L, 3L, 4L, 3L), // docs 0,1: tokens x y x z → new x,y,z
+      (1L, 2L, 2L, 1L, 6L, 4L), // docs 2,3 (empty counts, mints nothing)
+      (2L, 1L, 2L, 1L, 8L, 5L)  // doc 5: v is new, x is not
+    ), s"got ${got.toSeq}")
+  }
 }
