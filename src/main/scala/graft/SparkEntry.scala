@@ -75,6 +75,31 @@ object SparkEntry {
     t(s, d, "embeddings").filter(col("vec_id") < 1000 &&
       col("embedding").isNotNull && col("label").isNotNull)
 
+  /** The q128/q140 hybrid-retrieval preamble: the fixed "dup key window"
+    * BM25 top-20 and the exact dense top-20 for the vec_id-0 query
+    * vector (the q19 convention — unrounded bit-identical folds, id
+    * tiebreak), both carrying a `rank` column. One implementation so
+    * fusion (q128) and ranking-agreement (q140) compare the SAME lists. */
+  private def hybridRankers(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val dense = emb
+      .select(col("vec_id").as("doc_id"),
+        (Similarity.nativeDot(col("embedding"), typedLit(qv)) /
+          nullif(Similarity.norm(col("embedding")) * lit(qNorm),
+            lit(0.0))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc_nulls_last, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= 20)
+    val lexical = TextSearch.bm25TopK(t(s, d, "documents"),
+      "doc_id", "text", query = "dup key window", k = 20)
+    (lexical, dense)
+  }
+
   // ---- deterministic CLF-line synthesis from `events` ----
   // `events` stands in for the cleansed log table (SURVEY.md §7.2); parse
   // queries synthesize a CLF line from its columns so DuckDB can recompute
@@ -1729,21 +1754,7 @@ object SparkEntry {
     // (unrounded bit-identical folds, id tiebreak) so the oracle
     // replays both rankers and the fusion arithmetic exactly.
     "q128_rrf_fusion" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding")).head().getSeq[Float](0)
-      val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      val dense = emb
-        .select(col("vec_id").as("doc_id"),
-          (Similarity.nativeDot(col("embedding"), typedLit(qv)) /
-            nullif(Similarity.norm(col("embedding")) * lit(qNorm),
-              lit(0.0))).as("sim"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("sim").desc_nulls_last, col("doc_id").asc))
-          .cast("long"))
-        .filter(col("rank") <= 20)
-      val lexical = TextSearch.bm25TopK(t(s, d, "documents"),
-        "doc_id", "text", query = "dup key window", k = 20)
+      val (lexical, dense) = hybridRankers(s, d)
       TextSearch.rrfFuse(lexical, dense, "doc_id", k = 10)
     }),
 
@@ -1882,7 +1893,40 @@ object SparkEntry {
     "q137_vocab_growth" -> ((s, d) =>
       TextOps.vocabGrowth(t(s, d, "documents"), "doc_id", "text",
           bucketWidth = 100L)
-        .orderBy(col("bucket").asc_nulls_last))
+        .orderBy(col("bucket").asc_nulls_last)),
+
+    // X+/E — precision-recall curve over the q130 scorer: one row per
+    // distinct score threshold (ties predict together), exact
+    // cumulative counts off a DISTINCT-SCORE-sized ordered window.
+    "q138_pr_curve" -> ((s, d) =>
+      Eval.prCurve(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000)
+            .select(element_at(col("embedding"), 1).cast("double")
+              .as("score"),
+              (col("label") === 0).cast("int").as("is_pos")),
+          "score", "is_pos")
+        .orderBy(col("threshold").desc)),
+
+    // X+/E — average precision (the sklearn step rule): per-threshold
+    // terms rounded to 9-dp decimals so the sum is order-independent;
+    // the final /P is the only other float op.
+    "q139_avg_precision" -> ((s, d) =>
+      Eval.averagePrecision(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000)
+          .select(element_at(col("embedding"), 1).cast("double")
+            .as("score"),
+            (col("label") === 0).cast("int").as("is_pos")),
+        "score", "is_pos")),
+
+    // X+/E — rank-biased overlap between q128's two rankers: the
+    // per-depth intersection telescoped per item onto precomputed
+    // tail-sum weights (one equi-join + one literal lookup — no
+    // per-depth scan), driver-literal 12-dp decimal weights shared
+    // with the oracle by construction.
+    "q140_rbo" -> ((s, d) => {
+      val (lexical, dense) = hybridRankers(s, d)
+      Eval.rbo(lexical, dense, "doc_id", p = 0.9, depth = 20)
+    })
   )
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
@@ -2034,6 +2078,72 @@ object SparkEntry {
       |            AS BIGINT) AS id,
       |       freq
       |FROM tf ORDER BY id LIMIT 500""".stripMargin
+
+  /** q140's oracle — generated so the 12-dp RBO tail-sum weights are the
+    * SAME literals the plan carries ([[graft.ext.Eval.rboWeights]]):
+    * cross-engine agreement on the weights is by construction. Replays
+    * q128's two rankers (the shared [[hybridRankers]] lists), joins on
+    * doc, and folds `list_extract(weights, max(ra, rb))` as exact
+    * decimals; the only float op is the final (1−p) scale. */
+  private val rboOracleSql: String = {
+    val p = 0.9
+    val weights = graft.ext.Eval.rboWeights(p, 20)
+      .map(_.toDouble).mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       x -> length(x) > 0) AS t
+       |  FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |          FROM lens),
+       |post AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(t) AS term FROM toks)
+       |  WHERE term IN ('dup', 'key', 'window')),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM post GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT term,
+       |         ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+       |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+       |  FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         idf.idf * tf.tf /
+       |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+       |           AS s
+       |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)),
+       |lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (
+       |           ORDER BY round(sum(s), 6) DESC, doc_id) AS BIGINT) AS ra
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY ra LIMIT 20),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |dense AS (
+       |  SELECT vec_id AS doc_id,
+       |         CAST(row_number() OVER (ORDER BY
+       |           list_aggregate(list_transform(list_zip(embedding, (SELECT q FROM qv)),
+       |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+       |           / nullif(
+       |               sqrt(list_aggregate(list_transform(embedding,
+       |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |             * sqrt(list_aggregate(list_transform((SELECT q FROM qv),
+       |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 0)
+       |           DESC NULLS LAST, vec_id) AS BIGINT) AS rb
+       |  FROM embeddings ORDER BY rb LIMIT 20),
+       |j AS (
+       |  SELECT CAST(list_extract($weights,
+       |           CAST(greatest(l.ra, de.rb) AS INTEGER))
+       |         AS DECIMAL(18,12)) AS wt
+       |  FROM lex l JOIN dense de ON l.doc_id = de.doc_id
+       |  WHERE greatest(l.ra, de.rb) <= 20)
+       |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       round(${1.0 - p} * CAST(coalesce(sum(wt), 0) AS DOUBLE), 6)
+       |         AS rbo
+       |FROM j""".stripMargin
+  }
 
   private val bruteForceTopkSql: String =
     """WITH s AS (
@@ -4033,6 +4143,64 @@ object SparkEntry {
         |            AS BIGINT) AS vocab_size
         |FROM pb p LEFT JOIN nt ON p.bucket = nt.bucket
         |ORDER BY p.bucket""".stripMargin,
+
+    // q138/q139 share the threshold chain: distinct scores, cumulative
+    // predicted/tp over descending threshold order (unique keys, so
+    // RANGE/ROWS framing agree).
+    "q138_pr_curve" ->
+      """WITH base AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |g AS (
+        |  SELECT score AS threshold, count(*) AS n, sum(pos) AS np
+        |  FROM base GROUP BY 1),
+        |c AS (
+        |  SELECT threshold,
+        |         sum(n) OVER (ORDER BY threshold DESC) AS predicted,
+        |         sum(np) OVER (ORDER BY threshold DESC) AS tp
+        |  FROM g),
+        |t AS (SELECT coalesce(max(tp), 0) AS pos FROM c)
+        |SELECT threshold, CAST(predicted AS BIGINT) AS predicted,
+        |       CAST(tp AS BIGINT) AS tp,
+        |       round(CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE), 6)
+        |         AS precision,
+        |       round(CAST(tp AS DOUBLE) / nullif(CAST(pos AS DOUBLE), 0), 6)
+        |         AS recall
+        |FROM c, t ORDER BY threshold DESC""".stripMargin,
+
+    "q139_avg_precision" ->
+      """WITH base AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |g AS (
+        |  SELECT score AS threshold, count(*) AS n, sum(pos) AS np
+        |  FROM base GROUP BY 1),
+        |c AS (
+        |  SELECT n, np,
+        |         sum(n) OVER (ORDER BY threshold DESC) AS predicted,
+        |         sum(np) OVER (ORDER BY threshold DESC) AS tp
+        |  FROM g),
+        |terms AS (
+        |  SELECT n, np,
+        |         CASE WHEN np > 0 THEN
+        |           CAST(round(CAST(np AS DOUBLE)
+        |                * (CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)),
+        |              9) AS DECIMAL(28,9))
+        |         ELSE CAST(0 AS DECIMAL(28,9)) END AS term
+        |  FROM c)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+        |       round(CAST(coalesce(sum(term), 0) AS DOUBLE)
+        |             / nullif(CAST(sum(np) AS DOUBLE), 0), 6) AS ap
+        |FROM terms""".stripMargin,
+
+    "q140_rbo" -> rboOracleSql,
 
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold

@@ -348,6 +348,130 @@ object Eval {
         round(col("_gap").cast("double")
           / nullif(col("n").cast("double"), lit(0.0)), 6).as("ece"))
 
+  /** Shared threshold chain of [[prCurve]] and [[averagePrecision]]:
+    * scores collapse to distinct-threshold groups (ties predict
+    * together — the sklearn convention), then two cumulative sums over
+    * descending threshold order give predicted-count and TP-count at
+    * each cut. The ordered window is THRESHOLD-sized (distinct scores),
+    * not row-sized. */
+  private def thresholds(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val desc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum((col(labelCol) =!= 0).cast("long")), lit(0L))
+          .as("_np"))
+      .withColumn("predicted", sum(col("_n")).over(desc))
+      .withColumn("tp", sum(col("_np")).over(desc))
+  }
+
+  /**
+   * Precision-recall curve at every distinct score threshold: predict
+   * positive where `score >= threshold`, one row per distinct score
+   * with exact `(predicted, tp)` counts and their two IEEE divisions,
+   * rounded 6 dp. Recall is NULL when no positives exist (undefined,
+   * not 0). Tied scores enter together — the highest-precision point a
+   * threshold can actually realize (the sklearn convention).
+   *
+   * EVAL-contract shape: output and the ordered window are
+   * DISTINCT-SCORE-sized — run on a labeled sample or a
+   * rounded/banded score.
+   */
+  def prCurve(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val p = thresholds(df, scoreCol, labelCol)
+      .withColumn("_j", lit(1))
+    val totals = p.groupBy(col("_j"))
+      .agg(max(col("tp")).as("_pos")) // the last cumsum = total positives
+    p.join(totals, Seq("_j"))
+      .select(col("threshold"), col("predicted"), col("tp"),
+        round(col("tp").cast("double") / col("predicted"), 6)
+          .as("precision"),
+        round(col("tp").cast("double")
+          / nullif(col("_pos").cast("double"), lit(0.0)), 6).as("recall"))
+  }
+
+  /**
+   * Average precision (the area under [[prCurve]] by the step rule
+   * sklearn uses): AP = Σ_t ΔR_t·P_t = (1/P)·Σ_t n_pos_t·(tp_t/k_t).
+   * Each threshold's term is rounded to 9 dp and summed as a decimal
+   * (order-independent); the only other float op is the final /P,
+   * rounded 6 dp. Returns one row `(n, n_pos, ap)`; AP is NULL when no
+   * positives exist.
+   */
+  def averagePrecision(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    thresholds(df, scoreCol, labelCol)
+      .select(col("_n"), col("_np"),
+        when(col("_np") > 0, round(
+          col("_np").cast("double")
+            * (col("tp").cast("double") / col("predicted").cast("double")),
+          9).cast("decimal(28,9)"))
+          .otherwise(lit(0).cast("decimal(28,9)")).as("_term"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n"),
+        coalesce(sum(col("_np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("_term")), lit(0).cast("decimal(38,9)"))
+          .as("_s"))
+      .select(col("n"), col("n_pos"),
+        round(col("_s").cast("double")
+          / nullif(col("n_pos").cast("double"), lit(0.0)), 6).as("ap"))
+
+  /** The [[rbo]] weight table: w(m) = Σ_{d=m..depth} p^{d−1}/d, rounded
+    * to 12 dp — an item overlapping from depth m up contributes w(m) to
+    * the UNSCALED sum, and RBO = (1−p)·Σ. Driver-computed literals (the
+    * same values ride in the plan and in any replaying oracle), so
+    * cross-engine agreement is by construction, not float luck. */
+  def rboWeights(p: Double, depth: Int): Seq[BigDecimal] = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    (1 to depth).map { m =>
+      (m to depth).foldLeft(BigDecimal(0)) { (acc, d) =>
+        acc + BigDecimal(math.pow(p, (d - 1).toDouble) / d)
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+      }.setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+  }
+
+  /**
+   * Rank-biased overlap (Webber et al. 2010) of two rankings at fixed
+   * depth: RBO_D = (1−p)·Σ_{d≤D} p^{d−1}·|A_d ∩ B_d|/d — how much two
+   * rankers agree, top-weighted by persistence `p` (p=0.9 ≈ the
+   * evaluator examines ~10 items). The per-depth intersection telescopes
+   * per ITEM: an item ranked (ra, rb) joins every prefix from depth
+   * max(ra,rb) on, so it contributes the precomputed [[rboWeights]]
+   * tail-sum w(max(ra,rb)) — ONE equi-join on the item id and one
+   * literal-array lookup replace the per-depth scan entirely. Weights
+   * are 12-dp decimals; the item sum is exact decimal; the only float
+   * op is the final (1−p) scale, rounded 6 dp. Returns one row
+   * `(n_overlap, rbo)` — `n_overlap` the items both rankers place in
+   * their top-D.
+   *
+   * Inputs are single-list frames `(idCol, rankCol)` (the
+   * [[TextSearch.bm25TopK]] / dense top-k shape); join per-query frames
+   * on (query, id) upstream if comparing per query.
+   */
+  def rbo(
+      a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rank", p: Double = 0.9,
+      depth: Int = 20): DataFrame = {
+    val w = rboWeights(p, depth)
+    val wArr = typedLit(w.map(_.toDouble))
+    a.select(col(idCol).as("_id"), col(rankCol).as("_ra"))
+      .join(b.select(col(idCol).as("_id"), col(rankCol).as("_rb")), "_id")
+      .filter(greatest(col("_ra"), col("_rb")) <= depth)
+      .select(element_at(wArr,
+          greatest(col("_ra"), col("_rb")).cast("int"))
+        // recover the exact 12-dp decimal from its double literal —
+        // the sum is then order-independent
+        .cast("decimal(18,12)").as("_w"))
+      .agg(count(lit(1)).as("n_overlap"),
+        coalesce(sum(col("_w")), lit(0).cast("decimal(28,12)")).as("_s"))
+      .select(col("n_overlap"),
+        round(lit(1.0 - p) * col("_s").cast("double"), 6).as("rbo"))
+  }
+
   /**
    * Exact Kendall's τ-b between two columns — the pair-concordance
    * companion to [[spearman]] (less tie-distorted, the form scipy's

@@ -510,6 +510,22 @@ class PlanAuditSpec extends GraftSpec {
       p37)
   }
 
+  test("q138-q140: threshold chains aggregate before their windows; " +
+    "RBO is one equi-join over two top-k lists") {
+    // pr-curve/AP: the ordered window sits ABOVE the distinct-score
+    // aggregation (threshold-sized), with partial combine underneath
+    Seq("q138_pr_curve", "q139_avg_precision").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("Partial") || p.contains("partial_"), s"$k:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+    }
+    // rbo: the doc-id join is an equi-join (hash/sort), never cartesian;
+    // both rankers keep their TakeOrdered top-k shape
+    val p40 = plan("q140_rbo")
+    assert(!p40.contains("CartesianProduct"), p40)
+    assert(p40.contains("TakeOrdered"), p40)
+  }
+
   test("no CollectLimit-to-driver in any declared aggregate query") {
     // collect()-shaped operators in a declared plan would mean driver-side
     // data movement; the only driver scalars allowed are in q06/q33's

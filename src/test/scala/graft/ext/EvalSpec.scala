@@ -289,4 +289,67 @@ class EvalSpec extends GraftSpec {
     assert(tau(Seq((1L, 5L, 1L), (2L, 5L, 2L)))._4 == None)
     assert(tau(Seq((1L, 1L, 1L)))._4 == None)
   }
+
+  test("prCurve: thresholds from distinct scores, ties predict " +
+    "together, exact cumulative counts") {
+    // scores desc: 0.9(+), 0.8(−), 0.5(+,+ tie), 0.1(−)
+    val df = Seq((0.9, 1), (0.8, 0), (0.5, 1), (0.5, 1), (0.1, 0))
+      .toDF("score", "y")
+    val got = Eval.prCurve(df, "score", "y")
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(0.9) == ((1L, 1L, 1.0, 0.333333)))
+    assert(got(0.8) == ((2L, 1L, 0.5, 0.333333)))
+    assert(got(0.5) == ((4L, 3L, 0.75, 1.0)), s"tie group: ${got(0.5)}")
+    assert(got(0.1) == ((5L, 3L, 0.6, 1.0)))
+    // no positives anywhere: recall is NULL, precision still defined
+    val none = Eval.prCurve(Seq((0.5, 0)).toDF("score", "y"), "score", "y")
+      .head()
+    assert(none.getDouble(3) == 0.0 && none.isNullAt(4))
+  }
+
+  test("averagePrecision: the sklearn step rule on a hand case; " +
+    "no-positive input is NULL") {
+    // same fixture: AP = Σ ΔR·P = (1/3)·1.0 + 0 + (2/3)·0.75 + 0
+    //             = 0.333333 + 0.5 = 0.833333
+    val df = Seq((0.9, 1), (0.8, 0), (0.5, 1), (0.5, 1), (0.1, 0))
+      .toDF("score", "y")
+    val got = Eval.averagePrecision(df, "score", "y").head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 3L, s"$got")
+    assert(got.getDouble(2) == 0.833333, s"ap = ${got.getDouble(2)}")
+    val none = Eval.averagePrecision(
+      Seq((0.5, 0)).toDF("score", "y"), "score", "y").head()
+    assert(none.getLong(1) == 0L && none.isNullAt(2))
+  }
+
+  test("rbo: identical lists score (1-p)*sum(weights), disjoint lists 0, " +
+    "and a swapped tail discounts by depth") {
+    def list(rows: (Long, Long)*) = rows.toSeq.toDF("doc_id", "rank")
+    val w = Eval.rboWeights(0.9, 20)
+    val a = list((10L, 1L), (11L, 2L), (12L, 3L))
+    // identical top-3: every item overlaps from its own depth →
+    // rbo = (1−p)·(w(1)+w(2)+w(3))
+    val same = Eval.rbo(a, a, "doc_id", depth = 20).head()
+    val wantSame = BigDecimal(0.09999999999999998 *
+        (w(0) + w(1) + w(2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getLong(0) == 3L && same.getDouble(1) == wantSame,
+      s"$same want $wantSame")
+    // disjoint lists: zero overlap, rbo 0
+    val disj = Eval.rbo(a, list((20L, 1L), (21L, 2L)), "doc_id").head()
+    assert(disj.getLong(0) == 0L && disj.getDouble(1) == 0.0)
+    // item ranked 1 in A but 3 in B joins prefixes only from depth 3
+    val swap = Eval.rbo(a, list((10L, 3L), (11L, 2L), (12L, 1L)),
+      "doc_id").head()
+    val wantSwap = BigDecimal(0.09999999999999998 *
+        (w(2) + w(1) + w(2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(swap.getDouble(1) == wantSwap && swap.getDouble(1) < wantSame)
+    // depth cuts: rank 3 beyond depth 2 drops
+    val cut = Eval.rbo(a, a, "doc_id", depth = 2).head()
+    assert(cut.getLong(0) == 2L)
+    intercept[IllegalArgumentException] { Eval.rboWeights(0.9, 0) }
+    intercept[IllegalArgumentException] { Eval.rboWeights(1.0, 5) }
+  }
 }
