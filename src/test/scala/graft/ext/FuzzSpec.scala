@@ -764,4 +764,94 @@ class FuzzSpec extends GraftSpec {
       assert(got == expected, s"corpus=$corpus")
     }
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // scores from a tiny grid so ties are the COMMON case, not the corner
+  private val scoredGen: Gen[Seq[(Long, Double, Int)]] = for {
+    n <- Gen.chooseNum(1, 50)
+    rows <- Gen.listOfN(n, for {
+      s <- Gen.chooseNum(0, 4)
+      y <- Gen.oneOf(0, 1)
+    } yield (s / 4.0, y))
+  } yield rows.zipWithIndex.map { case ((s, y), i) => (i.toLong, s, y) }
+
+  test("rocAuc agrees with the probabilistic pair definition on random " +
+    "tie-heavy scores") {
+    cases(scoredGen, 15, seed = 0xA0CL).foreach { rows =>
+      val pos = rows.filter(_._3 == 1).map(_._2)
+      val neg = rows.filter(_._3 == 0).map(_._2)
+      // AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻): numerator 2·wins + ties is the
+      // same exact integer as the engine's 2ΣR₊ − P(P+1)
+      val wins = (for (p <- pos; m <- neg) yield p > m).count(identity)
+      val ties = (for (p <- pos; m <- neg) yield p == m).count(identity)
+      val expected =
+        if (pos.isEmpty || neg.isEmpty) None
+        else Some(round6((2L * wins + ties).toDouble /
+          (2.0 * pos.size * neg.size)))
+      val r = Eval.rocAuc(rows.toDF("id", "score", "y"), "score", "y", "id")
+        .head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == expected &&
+        r.getLong(0) == pos.size.toLong && r.getLong(1) == neg.size.toLong,
+        s"rows=$rows got=$got want=$expected")
+    }
+  }
+
+  test("kendallTau agrees with the brute-force pair count on random " +
+    "tie-heavy columns") {
+    val colsGen: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 5L); b <- Gen.chooseNum(0L, 5L)
+      } yield (a, b))
+    } yield rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    cases(colsGen, 15, seed = 0x7A0L).foreach { rows =>
+      val pairs = for {
+        i <- rows.indices; j <- (i + 1) until rows.size
+      } yield (rows(i), rows(j))
+      val c = pairs.count { case (x, y) =>
+        (x._2 - y._2).sign * (x._3 - y._3).sign > 0 }
+      val d = pairs.count { case (x, y) =>
+        (x._2 - y._2).sign * (x._3 - y._3).sign < 0 }
+      val t1 = pairs.count { case (x, y) => x._2 == y._2 }
+      val t2 = pairs.count { case (x, y) => x._3 == y._3 }
+      val n0 = rows.size.toLong * (rows.size - 1) / 2
+      val denom = math.sqrt((n0 - t1).toDouble) * math.sqrt((n0 - t2).toDouble)
+      val expected =
+        if (denom == 0.0) None else Some(round6((c - d).toDouble / denom))
+      val r = Eval.kendallTau(rows.toDF("id", "a", "b"), "a", "b", "id")
+        .head()
+      val got = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(got == expected &&
+        r.getLong(1) == c.toLong && r.getLong(2) == d.toLong,
+        s"rows=$rows got=$got want=$expected")
+    }
+  }
+
+  test("averagePrecision agrees with a driver-side threshold walk on " +
+    "random tie-heavy scores") {
+    cases(scoredGen, 15, seed = 0xAFL).foreach { rows =>
+      val byScore = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+        .map { case (s, rs) => (s, rs.size.toLong,
+          rs.count(_._3 == 1).toLong) }
+      var (pred, tp) = (0L, 0L)
+      var sum = BigDecimal(0)
+      byScore.foreach { case (_, n, np) =>
+        pred += n; tp += np
+        if (np > 0) sum += BigDecimal(
+          np.toDouble * (tp.toDouble / pred.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val nPos = rows.count(_._3 == 1).toLong
+      val expected =
+        if (nPos == 0L) None else Some(round6(sum.toDouble / nPos.toDouble))
+      val r = Eval.averagePrecision(
+        rows.toDF("id", "score", "y"), "score", "y").head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == expected && r.getLong(0) == rows.size.toLong &&
+        r.getLong(1) == nPos, s"rows=$rows got=$got want=$expected")
+    }
+  }
 }
