@@ -1926,6 +1926,31 @@ object SparkEntry {
     "q140_rbo" -> ((s, d) => {
       val (lexical, dense) = hybridRankers(s, d)
       Eval.rbo(lexical, dense, "doc_id", p = 0.9, depth = 20)
+    }),
+
+    // X2+ — the growth curve's standing-state form (the q109/q111
+    // amortization applied to the Heaps diagnostic): per-bucket stats
+    // and the first-occurrence index built once over history, parquet
+    // round-tripped, min/sum-merged with the new batch's partials, then
+    // assembled through the shared curve core — history is never
+    // re-tokenized. Shares q137's oracle: the merges are associative,
+    // so merged ≡ from-scratch by construction.
+    "q141_growth_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = scratch("q141", d)
+      val hist = docs.filter(col("doc_id") < 250)
+      TextOps.docBucketStats(hist, "doc_id", "text", 100L)
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+      TextOps.firstOccurrences(hist, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/fo")
+      val batch = docs.filter(col("doc_id") >= 250)
+      TextOps.vocabGrowthFrom(
+          TextOps.mergeDocBucketStats(s.read.parquet(s"$tmp/stats"),
+            TextOps.docBucketStats(batch, "doc_id", "text", 100L)),
+          TextOps.mergeFirstOccurrences(s.read.parquet(s"$tmp/fo"),
+            TextOps.firstOccurrences(batch, "doc_id", "text")),
+          100L)
+        .orderBy(col("bucket").asc_nulls_last)
     })
   )
 
@@ -2078,6 +2103,36 @@ object SparkEntry {
       |            AS BIGINT) AS id,
       |       freq
       |FROM tf ORDER BY id LIMIT 500""".stripMargin
+
+  /** First-occurrence bucketing and the bucket-frame cumulative windows
+    * (unique bucket keys, so RANGE/ROWS framing agree) — shared by q137
+    * (self-contained) and q141 (persisted standing state merged with
+    * batch partials): min/sum merges are associative, so merged ≡
+    * from-scratch. */
+  private val vocabGrowthOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |pb AS (
+      |  SELECT doc_id // 100 AS bucket, count(*) AS n_docs,
+      |         coalesce(sum(len(tk)), 0) AS n_tokens
+      |  FROM base GROUP BY 1),
+      |ft AS (
+      |  SELECT t, min(doc_id) AS first
+      |  FROM (SELECT doc_id, unnest(tk) AS t FROM base) GROUP BY 1),
+      |nt AS (
+      |  SELECT first // 100 AS bucket, count(*) AS new_terms
+      |  FROM ft GROUP BY 1)
+      |SELECT p.bucket, CAST(p.n_docs AS BIGINT) AS n_docs,
+      |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+      |       CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+      |         AS cum_tokens,
+      |       CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY p.bucket)
+      |            AS BIGINT) AS vocab_size
+      |FROM pb p LEFT JOIN nt ON p.bucket = nt.bucket
+      |ORDER BY p.bucket""".stripMargin
 
   /** q140's oracle — generated so the 12-dp RBO tail-sum weights are the
     * SAME literals the plan carries ([[graft.ext.Eval.rboWeights]]):
@@ -4119,30 +4174,10 @@ object SparkEntry {
 
     // q137 replays first-occurrence bucketing; the cumulative windows
     // order by the unique bucket key, so RANGE/ROWS framing agree.
-    "q137_vocab_growth" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '\s+'), x -> length(x) > 0) AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |pb AS (
-        |  SELECT doc_id // 100 AS bucket, count(*) AS n_docs,
-        |         coalesce(sum(len(tk)), 0) AS n_tokens
-        |  FROM base GROUP BY 1),
-        |ft AS (
-        |  SELECT t, min(doc_id) AS first
-        |  FROM (SELECT doc_id, unnest(tk) AS t FROM base) GROUP BY 1),
-        |nt AS (
-        |  SELECT first // 100 AS bucket, count(*) AS new_terms
-        |  FROM ft GROUP BY 1)
-        |SELECT p.bucket, CAST(p.n_docs AS BIGINT) AS n_docs,
-        |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
-        |       CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
-        |         AS cum_tokens,
-        |       CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY p.bucket)
-        |            AS BIGINT) AS vocab_size
-        |FROM pb p LEFT JOIN nt ON p.bucket = nt.bucket
-        |ORDER BY p.bucket""".stripMargin,
+    // q141 (merged standing state) shares it: min/sum merges are
+    // associative, so merged ≡ from-scratch by construction.
+    "q137_vocab_growth" -> vocabGrowthOracleSql,
+    "q141_growth_merge" -> vocabGrowthOracleSql,
 
     // q138/q139 share the threshold chain: distinct scores, cumulative
     // predicted/tp over descending threshold order (unique keys, so

@@ -336,22 +336,60 @@ object TextOps {
    */
   def vocabGrowth(
       docs: DataFrame, idCol: String, textCol: String,
-      bucketWidth: Long = 1000L): DataFrame = {
+      bucketWidth: Long = 1000L): DataFrame =
+    vocabGrowthFrom(
+      docBucketStats(docs, idCol, textCol, bucketWidth),
+      firstOccurrences(docs, idCol, textCol), bucketWidth)
+
+  /** The additive half of the growth curve's standing state: per-bucket
+    * doc and token counts. `merge ≡ from-scratch` for doc-disjoint
+    * corpora (sums associate) — the [[termFrequencies]] law. */
+  def docBucketStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val base = docs.filter(col(textCol).isNotNull)
-    val perBucket = base
+    docs.filter(col(textCol).isNotNull)
       .select(expr(s"`$idCol` div ${bucketWidth}L").as("bucket"),
         size(tokens(col(textCol))).cast("long").as("_nt"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
-    val newTerms = base
-      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("t")).agg(min(col("_id")).as("_first"))
-      .select(expr(s"_first div ${bucketWidth}L").as("bucket"))
+  }
+
+  /** Additive merge of [[docBucketStats]] partials. */
+  def mergeDocBucketStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  /** The min-mergeable half: each term's FIRST document id — the
+    * standing index that makes the growth curve incrementally
+    * maintainable without re-tokenizing history (min associates, so
+    * `merge(fo(A), fo(B)) ≡ fo(A ∪ B)` for ANY split, even an id-
+    * interleaved one). Vocabulary-sized, the [[buildVocab]] scale class. */
+  def firstOccurrences(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(min(col("_id")).as("first_id"))
+
+  /** Min-merge of [[firstOccurrences]] partials. */
+  def mergeFirstOccurrences(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("token"))
+      .agg(min(col("first_id")).as("first_id"))
+
+  /** Assemble the curve from its two standing pieces — shared by the
+    * self-contained [[vocabGrowth]] and the merged/persisted path, so
+    * the incremental form can never drift from the from-scratch one. */
+  def vocabGrowthFrom(
+      stats: DataFrame, firstOcc: DataFrame,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val newTerms = firstOcc
+      .select(expr(s"first_id div ${bucketWidth}L").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(newTerms, Seq("bucket"), "left")
+    stats.join(newTerms, Seq("bucket"), "left")
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))

@@ -354,4 +354,28 @@ class TextOpsSpec extends GraftSpec {
       (2L, 1L, 2L, 1L, 8L, 5L)  // doc 5: v is new, x is not
     ), s"got ${got.toSeq}")
   }
+
+  test("vocabGrowth standing state merges to the from-scratch curve at " +
+    "ANY split — even id-interleaved (min/sum associativity)") {
+    val docs = Seq(
+      (0L, "x y"), (1L, "x z"), (2L, "y w"), (3L, "q"), (5L, "v x q")
+    ).toDF("doc_id", "text")
+    val full = TextOps.vocabGrowth(docs, "doc_id", "text", 2L)
+      .orderBy($"bucket").collect().map(_.toSeq).toSeq
+    // prefix split (the streaming/history shape) AND parity split (an
+    // interleave no prefix-based index would survive — min-merge does)
+    Seq($"doc_id" < 2L, $"doc_id" % 2 === 0).foreach { half =>
+      val (a, b) = (docs.filter(half), docs.filter(!half))
+      val merged = TextOps.vocabGrowthFrom(
+          TextOps.mergeDocBucketStats(
+            TextOps.docBucketStats(a, "doc_id", "text", 2L),
+            TextOps.docBucketStats(b, "doc_id", "text", 2L)),
+          TextOps.mergeFirstOccurrences(
+            TextOps.firstOccurrences(a, "doc_id", "text"),
+            TextOps.firstOccurrences(b, "doc_id", "text")),
+          2L)
+        .orderBy($"bucket").collect().map(_.toSeq).toSeq
+      assert(merged == full, s"split drifted: $merged vs $full")
+    }
+  }
 }
