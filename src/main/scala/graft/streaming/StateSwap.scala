@@ -35,9 +35,14 @@ private[streaming] object StateSwap {
 
   /** Replace the store at `statePath` with `rows`. Every input plan
     * feeding `rows` must already be lineage-cut, so the write never reads
-    * the directory being replaced. */
-  def advance(fs: FileSystem, statePath: String, rows: DataFrame): Unit = {
-    rows.write.mode("overwrite").parquet(tmpPath(statePath))
+    * the directory being replaced. `partitionCols` writes the new store
+    * Hive-partitioned (the [[StreamingGrowth.compactIndex]] `batch=`
+    * layout); the swap semantics are unchanged. */
+  def advance(fs: FileSystem, statePath: String, rows: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = rows.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmpPath(statePath))
     val tmp = new Path(tmpPath(statePath))
     fs.create(new Path(tmp, CommitMarker), true).close()
     val dest = new Path(statePath)
@@ -54,6 +59,31 @@ private[streaming] object StateSwap {
       throw new IllegalStateException(s"store swap: could not delete $dest")
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"store swap: could not rename $tmp to $dest")
+  }
+
+  /** [[recover]] for the hybrid append/swap lifecycle
+    * ([[StreamingGrowth]]: an append-only `batch=` root that is only
+    * OCCASIONALLY swap-compacted): a markerless root with no complete
+    * tmp is the ORDINARY append-managed state, not a torn swap —
+    * [[advance]] never touches the root before its tmp committed, so
+    * every markerless-root crash window either left the root untouched
+    * (tmp missing/torn → discard) or holds a complete tmp to promote.
+    * The strict [[recover]] would refuse exactly that valid state. */
+  def recoverHybrid(fs: FileSystem, statePath: String): Unit = {
+    val dest = new Path(statePath)
+    val tmp = new Path(tmpPath(statePath))
+    if (fs.exists(tmp)) {
+      if (complete(fs, tmp) && !(fs.exists(dest) && complete(fs, dest))) {
+        if (fs.exists(dest) && !fs.delete(dest, true))
+          throw new IllegalStateException(
+            s"swap recovery: could not delete torn $dest")
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(
+            s"swap recovery: could not promote $tmp")
+      } else if (!fs.delete(tmp, true))
+        throw new IllegalStateException(
+          s"swap recovery: could not discard $tmp")
+    }
   }
 
   /** Complete or discard a half-finished store swap, trusting only
