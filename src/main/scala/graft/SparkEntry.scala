@@ -1951,6 +1951,24 @@ object SparkEntry {
             TextOps.firstOccurrences(batch, "doc_id", "text")),
           100L)
         .orderBy(col("bucket").asc_nulls_last)
+    }),
+
+    // X+ — temperature-flattened mixture (α = 0.7, the multilingual
+    // convention): per-source rates from 6-dp decimal weights (exact,
+    // order-independent Z) feed the q88 content-hash sampler — the
+    // stratum counts are a metadata-sized collect (the q128 precedent).
+    // Per-source kept counts certify both the rate algebra and the
+    // hash-prefix filter.
+    "q142_temperature_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.mixtureSample(docs, "source", col("text"),
+          Sampling.temperatureRates(counts, alpha = 0.7, target = 250L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source").asc_nulls_last)
     })
   )
 
@@ -4236,6 +4254,34 @@ object SparkEntry {
         |FROM terms""".stripMargin,
 
     "q140_rbo" -> rboOracleSql,
+
+    // q142 replays the rate algebra (6-dp decimal weights → exact Z →
+    // one fixed-order double expression per rate) and the q88 keep
+    // rule, including the rate ≥ 1 keep-all guard (whose %08x hex
+    // literal would otherwise be 9 digits and compare wrong).
+    "q142_temperature_mix" ->
+      """WITH docs AS (
+        |  SELECT source, text FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(round(pow(CAST(n AS DOUBLE), 0.7), 6)
+        |             AS DECIMAL(28,6)) AS wi
+        |      FROM c WHERE n > 0),
+        |z AS (SELECT sum(wi) AS zsum FROM w),
+        |r AS (
+        |  SELECT source,
+        |         round(least(1.0,
+        |           250 * CAST(wi AS DOUBLE) / CAST(zsum AS DOUBLE)
+        |               / CAST(n AS DOUBLE)), 6) AS rate
+        |  FROM w, z),
+        |kept AS (
+        |  SELECT d.source FROM docs d JOIN r ON d.source = r.source
+        |  WHERE rate >= 1.0
+        |     OR (rate > 0 AND substring(md5(d.text), 1, 8)
+        |         < printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT))))
+        |SELECT source, count(*) AS n_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     // q123's oracle replays the line pipeline: lockstep unnest of
     // (position, line), trim-keyed per-source doc frequency, threshold

@@ -168,6 +168,39 @@ object Sampling {
     df.filter(cond)
   }
 
+  /**
+   * Temperature-flattened mixture rates (the XLM-R/mT5 multilingual
+   * convention): stratum i gets mixture share `c_i^α / Σ c_j^α`, so a
+   * `target`-row sample takes `rate_i = min(1, target·w_i/Z/c_i)` from
+   * each stratum — α = 1 reproduces the corpus proportions (every
+   * stratum the same rate), α → 0 flattens toward equal shares
+   * (up-sampling the tails is capped at rate 1 — this function never
+   * duplicates rows; pair with epoch builds for true up-sampling).
+   * Feeds [[mixtureSample]] directly.
+   *
+   * Determinism contract (the oracle-replay rule): the weights round to
+   * 6-dp DECIMALS before summing, so Z is exact and order-independent;
+   * each rate is then one double expression in a fixed operation order
+   * (`target·w/Z/c`, min, round 6). Driver-side on the stratum-count
+   * map — strata are metadata-sized by definition.
+   */
+  def temperatureRates(
+      counts: Map[String, Long], alpha: Double,
+      target: Long): Map[String, Double] = {
+    require(target > 0, s"target must be positive, got $target")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val w = counts.collect { case (k, c) if c > 0 =>
+      k -> BigDecimal(math.pow(c.toDouble, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val z = w.values.foldLeft(BigDecimal(0))(_ + _)
+    w.map { case (k, wi) =>
+      k -> BigDecimal(math.min(1.0,
+          target.toDouble * wi.toDouble / z.toDouble / counts(k).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   /** Deterministic shuffle key: the content hash of `salt` + `key`.
     * Sorting by it is a reproducible corpus-wide random permutation —
     * change the salt, get an independent epoch order. */

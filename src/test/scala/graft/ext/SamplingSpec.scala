@@ -301,4 +301,50 @@ class SamplingSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(bySource == again)
   }
+
+  test("temperatureRates: alpha=1 is the uniform corpus rate, lower " +
+    "alpha up-weights tails, rates cap at 1, empties drop") {
+    val counts = Map("big" -> 900L, "mid" -> 90L, "tiny" -> 10L,
+      "empty" -> 0L)
+    // α = 1: every stratum samples at exactly target/total — the
+    // proportional mixture is one shared rate
+    val prop = Sampling.temperatureRates(counts, alpha = 1.0, target = 100L)
+    assert(prop.keySet == Set("big", "mid", "tiny"))
+    assert(prop.values.toSet == Set(0.1), prop)
+    // α < 1 flattens: the tail's rate rises, the head's falls, and the
+    // up-sampling cap holds at 1.0
+    val flat = Sampling.temperatureRates(counts, alpha = 0.3, target = 500L)
+    assert(flat("tiny") == 1.0, flat) // capped — never duplicates
+    assert(flat("big") < 0.5 && flat("big") > 0.0, flat)
+    assert(flat("tiny") >= flat("mid") && flat("mid") >= flat("big"), flat)
+    // every rate lands in [0, 1] after 6-dp rounding
+    flat.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(counts, alpha = 0.0, target = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(counts, alpha = 0.7, target = 0L)
+    }
+  }
+
+  test("temperatureRates compose with mixtureSample: kept sets are the " +
+    "per-stratum hash prefixes at the computed rates") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i < 50) "big" else "small", s"doc text $i"))
+      .toDF("doc_id", "source", "text")
+    val counts = Map("big" -> 50L, "small" -> 10L)
+    val rates = Sampling.temperatureRates(counts, alpha = 0.5, target = 20L)
+    val kept = Sampling.mixtureSample(docs, "source", col("text"), rates)
+      .collect().map(_.getLong(0)).toSet
+    // reference: same hash-prefix rule per row
+    val expected = docs.select(col("doc_id"), col("source"),
+        substring(md5(col("text").cast("binary")), 1, 8).as("h"))
+      .collect().filter { r =>
+        val rate = rates(r.getString(1))
+        rate >= 1.0 ||
+          (rate > 0.0 && r.getString(2) <
+            f"${math.floor(rate * 4294967296.0).toLong}%08x")
+      }.map(_.getLong(0)).toSet
+    assert(kept == expected)
+  }
 }
