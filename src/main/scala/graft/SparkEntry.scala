@@ -75,6 +75,35 @@ object SparkEntry {
     t(s, d, "embeddings").filter(col("vec_id") < 1000 &&
       col("embedding").isNotNull && col("label").isNotNull)
 
+  /** The q133/q144 ranked-retrieval preamble: the labeled sample's exact
+    * top-10 per vec_id<100 query (rounded sims, the q108 convention),
+    * graded by label match — returns (base, ranked) so metric queries
+    * can also derive per-query relevant totals from the SAME base. */
+  private def labelMatchRanked(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    val q = broadcast(base.filter(col("vec_id") < 100).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      Similarity.norm(col("embedding")).as("q_n"),
+      col("label").as("q_label")))
+    val c = base.select(
+      col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      Similarity.norm(col("embedding")).as("nn_n"),
+      col("label").as("nn_label"))
+    val byRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    val ranked = c.join(q).filter(col("nn_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        Similarity.nativeDot(col("q_emb"), col("nn_emb"))
+          / nullif(col("q_n") * col("nn_n"), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"),
+        (col("q_label") === col("nn_label")).cast("double").as("rel"))
+    (base, ranked)
+  }
+
   /** The q128/q140 hybrid-retrieval preamble: the fixed "dup key window"
     * BM25 top-20 and the exact dense top-20 for the vec_id-0 query
     * vector (the q19 convention — unrounded bit-identical folds, id
@@ -1828,30 +1857,10 @@ object SparkEntry {
     // ranking-quality eval for the retrieval family. Gain terms are
     // 9-dp-rounded decimals (order-independent sums); IDCG re-ranks the
     // SAME retrieved set, so NDCG isolates ORDER quality from recall.
-    "q133_ndcg" -> ((s, d) => {
-      val base = t(s, d, "embeddings")
-        .filter(col("embedding").isNotNull && col("label").isNotNull)
-      val q = broadcast(base.filter(col("vec_id") < 100).select(
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Similarity.norm(col("embedding")).as("q_n"),
-        col("label").as("q_label")))
-      val c = base.select(
-        col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-        Similarity.norm(col("embedding")).as("nn_n"),
-        col("label").as("nn_label"))
-      val byRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("nn_id").asc)
-      val ranked = c.join(q).filter(col("nn_id") =!= col("q_id"))
-        .withColumn("sim", round(
-          Similarity.nativeDot(col("q_emb"), col("nn_emb"))
-            / nullif(col("q_n") * col("nn_n"), lit(0.0)), 6))
-        .withColumn("rank", row_number().over(byRank).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"),
-          (col("q_label") === col("nn_label")).cast("double").as("rel"))
-      Eval.ndcgAtK(ranked, "q_id", "rank", "rel", k = 10)
-        .orderBy(col("q_id").asc_nulls_last)
-    }),
+    "q133_ndcg" -> ((s, d) =>
+      Eval.ndcgAtK(labelMatchRanked(s, d)._2, "q_id", "rank", "rel",
+          k = 10)
+        .orderBy(col("q_id").asc_nulls_last)),
 
     // X2+/A — token frequency-of-frequencies spectrum (Zipf/Heaps
     // diagnostic): how many distinct terms occur exactly `freq` times.
@@ -1969,6 +1978,34 @@ object SparkEntry {
           Sampling.temperatureRates(counts, alpha = 0.7, target = 250L))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_last)
+    }),
+
+    // X+/E — Brier score on the q131 confidence contract: every squared
+    // term is an exact decimal (6-dp confidences), one float mean at the
+    // end. Next to q132's ECE it separates calibration from resolution.
+    "q143_brier" -> ((s, d) =>
+      Eval.brierScore(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000)
+          .select(
+            ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0)
+              .as("conf"),
+            (col("label") === 0).cast("int").as("is_pos")),
+        "conf", "is_pos")),
+
+    // X+/E — corpus retrieval metrics over the q133 frame: MRR (0 for
+    // no-relevant-retrieved queries), precision@10 over all queries,
+    // recall@10 against each query's TRUE relevant total (class count
+    // minus self — exact from the same base, no second scan). 9-dp
+    // decimal per-query terms keep the three means order-independent.
+    "q144_retrieval_metrics" -> ((s, d) => {
+      val (base, ranked) = labelMatchRanked(s, d)
+      val classCounts = base.groupBy(col("label"))
+        .agg(count(lit(1)).as("_cn"))
+      val totalRel = base.filter(col("vec_id") < 100)
+        .join(broadcast(classCounts), "label")
+        .select(col("vec_id").as("q_id"), (col("_cn") - 1L).as("n_rel"))
+      Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank", "rel",
+        k = 10)
     })
   )
 
@@ -4254,6 +4291,84 @@ object SparkEntry {
         |FROM terms""".stripMargin,
 
     "q140_rbo" -> rboOracleSql,
+
+    // q143: exact decimal squares of the 6-dp clamped confidence.
+    "q143_brier" ->
+      """WITH base AS (
+        |  SELECT CAST(least(greatest(round(
+        |             (CAST(embedding[1] AS DOUBLE) + 1) / 2, 6), 0), 1)
+        |           AS DECIMAL(10,6)) AS c,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |sq AS (SELECT (c - pos) * (c - pos) AS s FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(coalesce(sum(s), 0) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS brier
+        |FROM sq""".stripMargin,
+
+    // q144 extends the q133 chain: per-query hits/first-rank, relevant
+    // totals from the class counts (minus self), 9-dp decimal terms.
+    "q144_retrieval_metrics" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |               list_zip(q.embedding, c.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |               0), 6) AS sim
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, nn_id) AS rank
+        |  FROM s),
+        |g AS (
+        |  SELECT q_id, rank,
+        |         CAST(q_label = nn_label AS DOUBLE) AS rel
+        |  FROM r WHERE rank <= 10),
+        |f AS (
+        |  SELECT q_id,
+        |         coalesce(sum(CASE WHEN rel <> 0 THEN 1 ELSE 0 END), 0)
+        |           AS hits,
+        |         min(CASE WHEN rel <> 0 THEN rank END) AS first
+        |  FROM g GROUP BY 1),
+        |cc AS (SELECT label, count(*) AS cn FROM base GROUP BY 1),
+        |tr AS (
+        |  SELECT b.vec_id AS q_id, cc.cn - 1 AS n_rel
+        |  FROM base b JOIN cc ON b.label = cc.label
+        |  WHERE b.vec_id < 100),
+        |terms AS (
+        |  SELECT CASE WHEN f.first IS NOT NULL THEN
+        |           CAST(round(1.0 / f.first, 9) AS DECIMAL(28,9))
+        |         ELSE CAST(0 AS DECIMAL(28,9)) END AS rr,
+        |         CAST(round(CAST(coalesce(f.hits, 0) AS DOUBLE) / 10, 9)
+        |              AS DECIMAL(28,9)) AS p,
+        |         CASE WHEN tr.n_rel > 0 THEN
+        |           CAST(round(CAST(coalesce(f.hits, 0) AS DOUBLE)
+        |                / CAST(tr.n_rel AS DOUBLE), 9) AS DECIMAL(28,9))
+        |         END AS r
+        |  FROM tr LEFT JOIN f ON tr.q_id = f.q_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |       round(CAST(coalesce(sum(rr), 0) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS mrr,
+        |       round(CAST(coalesce(sum(p), 0) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS p_at_k,
+        |       round(CAST(coalesce(sum(r), 0) AS DOUBLE)
+        |             / nullif(CAST(count(CASE WHEN r IS NOT NULL THEN 1 END)
+        |                      AS DOUBLE), 0), 6) AS r_at_k
+        |FROM terms""".stripMargin,
 
     // q142 replays the rate algebra (6-dp decimal weights → exact Z →
     // one fixed-order double expression per rate) and the q88 keep

@@ -418,6 +418,84 @@ object Eval {
         round(col("_s").cast("double")
           / nullif(col("n_pos").cast("double"), lit(0.0)), 6).as("ap"))
 
+  /**
+   * Brier score — the squared-error companion to [[ece]] on the same
+   * confidence contract: mean((conf − y)²) over 6-dp decimal
+   * confidences (clamped to [0,1] like [[calibrationCurve]]), so every
+   * squared term is an EXACT decimal and the only float op is the final
+   * mean, rounded 6 dp. Returns one row `(n, brier)`; NULL when `n = 0`.
+   * Unlike ECE it needs no binning choice — the two together separate
+   * calibration error from resolution.
+   */
+  def brierScore(
+      df: DataFrame, confCol: String, labelCol: String): DataFrame = {
+    val c6 = least(greatest(round(col(confCol), 6), lit(0.0)), lit(1.0))
+      .cast("decimal(10,6)")
+    df.filter(col(confCol).isNotNull && col(labelCol).isNotNull)
+      .select((c6 - (col(labelCol) =!= 0).cast("int")).as("_d"))
+      .select((col("_d") * col("_d")).as("_sq"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("_sq")), lit(0).cast("decimal(38,12)")).as("_s"))
+      .select(col("n"),
+        round(col("_s").cast("double")
+          / nullif(col("n").cast("double"), lit(0.0)), 6).as("brier"))
+  }
+
+  /**
+   * Corpus-level retrieval metrics over a ranked result frame (the
+   * [[ndcgAtK]] input shape plus a per-query relevant-total frame):
+   * one row `(n_q, mrr, p_at_k, r_at_k)` —
+   * MRR averages 1/first-relevant-rank (0 for a query with nothing
+   * relevant retrieved — the standard convention), precision@k averages
+   * in-top-k relevant/k over ALL queries, recall@k averages
+   * in-top-k relevant/total-relevant over the queries where
+   * `totalRel.n_rel > 0` (the others have no defined recall). Per-query
+   * terms are exact rationals rounded to 9-dp decimals, so the three
+   * means are order-independent; the final divisions round 6 dp.
+   *
+   * `ranked` rows beyond rank `k` are ignored; queries present in
+   * `totalRel` but absent from `ranked` (retrieved nothing) still count
+   * — with zero relevant retrieved — which is what makes the metrics
+   * honest about recall failures, not just ranking quality.
+   */
+  def retrievalMetrics(
+      ranked: DataFrame, totalRel: DataFrame, qCol: String,
+      rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = "decimal(28,9)"
+    val perQ = ranked.filter(col(rankCol) <= k)
+      .groupBy(col(qCol))
+      .agg(
+        coalesce(sum((col(relCol) =!= 0).cast("long")), lit(0L))
+          .as("_hits"),
+        min(when(col(relCol) =!= 0, col(rankCol))).as("_first"))
+    totalRel
+      .join(perQ, Seq(qCol), "left")
+      .select(
+        coalesce(col("_hits"), lit(0L)).as("_hits"),
+        col("_first"), col("n_rel"))
+      .select(
+        when(col("_first").isNotNull,
+          round(lit(1.0) / col("_first").cast("double"), 9).cast(dec))
+          .otherwise(lit(0).cast(dec)).as("_rr"),
+        round(col("_hits").cast("double") / k, 9).cast(dec).as("_p"),
+        when(col("n_rel") > 0,
+          round(col("_hits").cast("double") / col("n_rel").cast("double"),
+            9).cast(dec)).as("_r"))
+      .agg(count(lit(1)).as("n_q"),
+        coalesce(sum(col("_rr")), lit(0).cast(dec)).as("_srr"),
+        coalesce(sum(col("_p")), lit(0).cast(dec)).as("_sp"),
+        coalesce(sum(col("_r")), lit(0).cast(dec)).as("_sr"),
+        coalesce(sum(col("_r").isNotNull.cast("long")), lit(0L)).as("_nr"))
+      .select(col("n_q"),
+        round(col("_srr").cast("double")
+          / nullif(col("n_q").cast("double"), lit(0.0)), 6).as("mrr"),
+        round(col("_sp").cast("double")
+          / nullif(col("n_q").cast("double"), lit(0.0)), 6).as("p_at_k"),
+        round(col("_sr").cast("double")
+          / nullif(col("_nr").cast("double"), lit(0.0)), 6).as("r_at_k"))
+  }
+
   /** The [[rbo]] weight table: w(m) = Σ_{d=m..depth} p^{d−1}/d, rounded
     * to 12 dp — an item overlapping from depth m up contributes w(m) to
     * the UNSCALED sum, and RBO = (1−p)·Σ. Driver-computed literals (the

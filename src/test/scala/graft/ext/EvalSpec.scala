@@ -352,4 +352,44 @@ class EvalSpec extends GraftSpec {
     intercept[IllegalArgumentException] { Eval.rboWeights(0.9, 0) }
     intercept[IllegalArgumentException] { Eval.rboWeights(1.0, 5) }
   }
+
+  test("brierScore: exact decimal squares, clamping, and the empty NULL") {
+    // (0.8−1)² + (0.2−0)² + (0.5−1)² = 0.04 + 0.04 + 0.25 = 0.33 → /3
+    val df = Seq((0.8, 1), (0.2, 0), (0.5, 1)).toDF("conf", "y")
+    val got = Eval.brierScore(df, "conf", "y").head()
+    assert(got.getLong(0) == 3L && got.getDouble(1) == 0.11, s"$got")
+    // clamped: conf 1.3 → 1.0 (perfect on a positive), −0.2 → 0.0
+    val clamped = Eval.brierScore(
+      Seq((1.3, 1), (-0.2, 0)).toDF("conf", "y"), "conf", "y").head()
+    assert(clamped.getDouble(1) == 0.0)
+    val empty = Eval.brierScore(df.limit(0), "conf", "y").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("retrievalMetrics: MRR/precision/recall conventions — zero for " +
+    "no-relevant, recall excluded when undefined, absent queries count") {
+    // q1: rel at ranks 2,3 of 3; 5 relevant exist → rr .5, p 2/3, r .4
+    // q2: nothing relevant in the list, 2 exist → all-zero contributions
+    // q3: retrieved NOTHING (absent from ranked) and 0 exist → recall
+    //     undefined (excluded), rr/p honest zeros
+    val ranked = Seq(
+      (1L, 1L, 0.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+      (2L, 1L, 0.0), (2L, 2L, 0.0)
+    ).toDF("q_id", "rank", "rel")
+    val totalRel = Seq((1L, 5L), (2L, 2L), (3L, 0L))
+      .toDF("q_id", "n_rel")
+    val got = Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank",
+      "rel", k = 3).head()
+    assert(got.getLong(0) == 3L, s"$got")
+    assert(got.getDouble(1) == 0.166667, s"mrr ${got.getDouble(1)}")
+    assert(got.getDouble(2) == 0.222222, s"p ${got.getDouble(2)}")
+    assert(got.getDouble(3) == 0.2, s"r ${got.getDouble(3)}")
+    // k cuts the list: at k=2, q1's hits drop to 1 (rank 3 ignored)
+    val k2 = Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank",
+      "rel", k = 2).head()
+    assert(k2.getDouble(1) == 0.166667 && k2.getDouble(3) == 0.1, s"$k2")
+    intercept[IllegalArgumentException] {
+      Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank", "rel", k = 0)
+    }
+  }
 }
