@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.{LogAnalytics, Rollup, TimeSeries}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, WavDecoder}
+import graft.analytics.{LogAnalytics, Robust, Rollup, TimeSeries, Trend}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -2006,8 +2006,105 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), (col("_cn") - 1L).as("n_rel"))
       Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank", "rel",
         k = 10)
-    })
+    }),
+
+    // X+/G — PageRank over the customer→supplier order graph (3 power
+    // iterations, d=0.85, dangling mass redistributed). Suppliers are all
+    // dangling (no out-edges) and customers have no in-edges, so both
+    // completion paths are exercised; DECIMAL(38,12) contribution sums +
+    // 9-dp per-iteration rounding make every iteration engine-portable.
+    "q145_pagerank" -> ((s, d) => {
+      val pr = GraphOps.pageRank(orderGraph(s, d), "src", "dst",
+        iters = 3, damping = 0.85)
+      pr.orderBy(col("r").desc, col("node").asc).limit(20)
+    }),
+
+    // X+/G — degree profile of the same graph (node-sized output).
+    "q146_degree_profile" -> ((s, d) =>
+      GraphOps.degreeProfile(orderGraph(s, d), "src", "dst")
+        .orderBy(col("node").asc)),
+
+    // X+/T — per-type OLS trend of event value on hours since 2024-01-01
+    // (fixed-literal recentring keeps the closed-form differences well
+    // inside the double mantissa; moments are exact decimal sums).
+    "q147_trend" -> ((s, d) =>
+      Trend.trend(
+        t(s, d, "events").filter(col("event_type").isNotNull),
+        "event_type",
+        x = floor((col("ts").cast("long") - lit(1704067200L)) / lit(3600.0))
+          .cast("double"),
+        y = col("value"))
+        .orderBy(col("event_type").asc)),
+
+    // X+/T — per-user lag-1 serial autocorrelation of event values (the
+    // series ordered by (ts, event_id); pairs with a NULL side drop).
+    "q148_autocorr" -> ((s, d) =>
+      Trend.autocorr(
+        t(s, d, "events").filter(col("user_id") < 40),
+        "user_id", "ts", "event_id", "value", lagN = 1)
+        .orderBy(col("user_id").asc)),
+
+    // X+/T — truncated-kernel EWMA (α=0.5, 4 taps) per user; the kernel
+    // weights ride as shared plan/oracle literals, the float fold is a
+    // fixed left-to-right chain in both engines.
+    "q149_ewma" -> ((s, d) =>
+      Trend.ewma(
+        t(s, d, "events").filter(col("user_id") < 30),
+        "user_id", "ts", "event_id", "value", alpha = 0.5, k = 4)
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+        .orderBy(col("user_id").asc, col("event_id").asc)),
+
+    // X+/R — winsorized mean per event type at rank-exact [p05, p95]
+    // bounds (actual data values — bit-exact across engines), clipped
+    // mean folded as exact decimals.
+    "q150_winsorized_mean" -> ((s, d) =>
+      Robust.winsorizedMean(
+        t(s, d, "events"), "event_type", "value", "event_id",
+        pLo = 0.05, pHi = 0.95)
+        .orderBy(col("event_type").asc)),
+
+    // X3+ — per-dimension z-scored embeddings: the stats pass is one hash
+    // aggregate (dimension-sized out, 9-dp), the apply side a zero-shuffle
+    // literal-stats transform; dumped per-element for vec_id < 8.
+    "q151_embed_zscore" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val z = VectorOps.standardize(s, emb, "embedding",
+        VectorOps.dimStats(emb, "embedding"))
+      z.filter(col("vec_id") < 8)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "z")))
+        .select(col("vec_id"), (col("_p") + 1).cast("int").as("dim"),
+          col("z"))
+        .orderBy(col("vec_id").asc, col("dim").asc)
+    }),
+
+    // X3+ — seeded ±1 random projection (JL sketch) of the 64-d
+    // embeddings to 8 dims; the sign matrix is derived driver-side from
+    // md5("rp:<salt>:<i>:<j>") so plan and oracle share it literally.
+    "q152_random_projection" -> ((s, d) =>
+      VectorOps.randomProject(
+        t(s, d, "embeddings").filter(col("vec_id") < 40),
+        "embedding", dIn = 64, kOut = 8, salt = "rp42")
+        .select(col("vec_id") +: (1 to 8).map(j => col(s"p$j")): _*)
+        .orderBy(col("vec_id").asc)),
+
+    // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
+    // per-doc total-order rank); df/N come from the FULL corpus, the
+    // doc_id bound only trims the dumped rows.
+    "q153_keywords" -> ((s, d) =>
+      TextSearch.tfidfKeywords(t(s, d, "documents"), "doc_id", "text",
+        kTop = 3)
+        .filter(col("doc_id") < 60)
+        .orderBy(col("doc_id").asc, col("rank").asc))
   )
+
+  /** q145/q146's shared edge list: customer→supplier through their own
+    * orders (suppliers offset by 1e6 into a disjoint node-id range). */
+  private def orderGraph(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
 
   /** Exact all-pairs cosine top-k for vec_id < 8 — dot and norm are
     * left-folds in array order in both engines → bit-identical doubles, so
@@ -4792,8 +4889,288 @@ object SparkEntry {
         |  LEFT JOIN c1 USING (w1))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(avg(nl), 6) AS nll
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q145: generated — replays GraphOps.pageRank's exact algebra
+    // (decimal contribution sums, dangling redistribution, 9-dp
+    // per-iteration rounding) as chained CTEs, one per iteration.
+    "q145_pagerank" -> pageRankOracleSql,
+
+    "q146_degree_profile" ->
+      s"""WITH $orderGraphSql,
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+         |      FROM edges GROUP BY src),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+         |      FROM edges GROUP BY dst)
+         |SELECT node, coalesce(o.out_deg, 0) AS out_deg,
+         |       coalesce(i.in_deg, 0) AS in_deg,
+         |       coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS degree
+         |FROM o FULL OUTER JOIN i USING (node)
+         |ORDER BY node""".stripMargin,
+
+    // q147: same recentred-x OLS closed form from the same five decimal
+    // moments; degenerate groups NULL out through the same nullif guard.
+    "q147_trend" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+        |                    / 3600.0) AS DOUBLE) AS x,
+        |         CAST(value AS DOUBLE) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT * FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+        |         sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+        |         sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+        |         sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syy,
+        |         sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy
+        |  FROM p GROUP BY event_type),
+        |k AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m),
+        |f AS (
+        |  SELECT event_type, n,
+        |         nd * sxyd - sxd * syd AS cov,
+        |         nd * sxxd - sxd * sxd AS varx,
+        |         nd * syyd - syd * syd AS vary,
+        |         nd, sxd, syd
+        |  FROM k)
+        |SELECT event_type, n,
+        |       round(cov / nullif(varx, CAST(0 AS DOUBLE)), 6) AS slope,
+        |       round((syd - cov / nullif(varx, CAST(0 AS DOUBLE)) * sxd)
+        |             / nd, 6) AS intercept,
+        |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
+        |         AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // q148: identical lag alignment (NULL values stay in the window
+    // order, pairs with a NULL side drop after) + the same decimal
+    // moment Pearson.
+    "q148_autocorr" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS y,
+        |         lag(CAST(value AS DOUBLE), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS x
+        |  FROM events
+        |  WHERE user_id < 40 AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT * FROM s WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+        |         sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+        |         sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+        |         sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syy,
+        |         sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy
+        |  FROM p GROUP BY user_id),
+        |k AS (
+        |  SELECT user_id, n_pairs, CAST(n_pairs AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m)
+        |SELECT user_id, n_pairs,
+        |       round((nd * sxyd - sxd * syd) /
+        |             nullif(sqrt((nd * sxxd - sxd * sxd) *
+        |                         (nd * syyd - syd * syd)),
+        |                    CAST(0 AS DOUBLE)), 6) AS r
+        |FROM k ORDER BY user_id""".stripMargin,
+
+    // q149: generated — the kernel weights are the SAME Double.toString
+    // literals the plan folds, the num/den chains the same fixed order.
+    "q149_ewma" -> ewmaOracleSql,
+
+    // q150: rank-exact bounds are actual data values (bit-exact across
+    // engines); only the clipped mean needs the decimal-sum armor.
+    "q150_winsorized_mean" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, v,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type ORDER BY v, event_id)
+        |           AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n
+        |  FROM base),
+        |bounds AS (
+        |  SELECT event_type, max(n) AS n,
+        |         max(CASE WHEN rn = greatest(CAST(ceil(
+        |               CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+        |               AS BIGINT), 1) THEN v END) AS lo,
+        |         max(CASE WHEN rn = greatest(CAST(ceil(
+        |               CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE))
+        |               AS BIGINT), 1) THEN v END) AS hi
+        |  FROM rk GROUP BY event_type),
+        |cl AS (
+        |  SELECT r.event_type, b.n, b.lo, b.hi,
+        |         least(greatest(r.v, b.lo), b.hi) AS c,
+        |         CASE WHEN r.v < b.lo THEN 1 ELSE 0 END AS blo,
+        |         CASE WHEN r.v > b.hi THEN 1 ELSE 0 END AS bhi
+        |  FROM rk r JOIN bounds b USING (event_type))
+        |SELECT event_type, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+        |       CAST(sum(blo) AS BIGINT) AS n_clipped_lo,
+        |       CAST(sum(bhi) AS BIGINT) AS n_clipped_hi,
+        |       round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12)))
+        |                  AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        |         AS winsorized_mean
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q151: the 9-dp dim stats recompute in-engine (the only float-sum
+    // step; 9-dp absorbs partial-aggregation order), apply is algebra.
+    "q151_embed_zscore" ->
+      """WITH el AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |st AS (
+        |  SELECT dim, round(avg(v), 9) AS m, round(stddev_pop(v), 9) AS sd
+        |  FROM el WHERE v IS NOT NULL GROUP BY dim)
+        |SELECT el.vec_id, el.dim,
+        |       round((el.v - st.m) / nullif(st.sd, CAST(0 AS DOUBLE)), 6)
+        |         AS z
+        |FROM el JOIN st USING (dim)
+        |WHERE el.vec_id < 8
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // q152: generated — the ±1 sign matrix is computed driver-side
+    // (md5 over plain strings) and embedded as identical list literals
+    // in plan and oracle; the dot fold is in-order in both engines
+    // (the q19 precedent).
+    "q152_random_projection" -> randomProjectionOracleSql,
+
+    "q153_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(CAST(tf.tf AS DOUBLE) *
+        |               (ln((CAST(nn.n AS DOUBLE) + 1.0) /
+        |                   (CAST(dfq.df AS DOUBLE) + 1.0)) + 1.0), 6)
+        |           AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        |rk AS (
+        |  SELECT doc_id, term, score,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY score DESC, term)
+        |           AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, score, rank FROM rk
+        |WHERE rank <= 3 AND doc_id < 60
+        |ORDER BY doc_id, rank""".stripMargin
   )
+
+  /** q145/q146's edge list in the oracle dialect (mirrors [[orderGraph]]
+    * + the NULL-endpoint filter GraphOps applies). */
+  private val orderGraphSql: String =
+    """edges AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      |         CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)""".stripMargin
+
+  /** q145's oracle — generated so damping-derived double literals are the
+    * SAME values the plan folds ((1−d) is NOT the double nearest 0.15 —
+    * printing the Scala-computed value round-trips it exactly), and so
+    * the per-iteration CTE chain replays [[graft.ext.GraphOps.pageRank]]
+    * term for term: decimal contribution sums, decimal dangling mass,
+    * uniform redistribution, round-9 ranks. */
+  private val pageRankOracleSql: String = {
+    val iters = 3
+    val damping = 0.85
+    val dS = s"CAST(${damping.toString} AS DOUBLE)"
+    val oneMinusD = (1.0 - damping).toString
+    val its = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |         sum(CAST(round(p.r / d.outdeg, 12) AS DECIMAL(38,12)))
+         |           AS c
+         |  FROM edges e JOIN $prev p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |dm$k AS (
+         |  SELECT coalesce(sum(CAST(round(p.r, 12) AS DECIMAL(38,12))),
+         |                  CAST(0 AS DECIMAL(38,12))) AS dm
+         |  FROM $prev p LEFT JOIN deg dg ON dg.src = p.node
+         |  WHERE dg.src IS NULL),
+         |it$k AS (
+         |  SELECT nd.node,
+         |         round(CAST($oneMinusD AS DOUBLE) / nn.n + $dS *
+         |           (coalesce(CAST(c.c AS DOUBLE), 0.0)
+         |            + CAST(dm.dm AS DOUBLE) / nn.n), 9) AS r
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN dm$k dm
+         |  LEFT JOIN c$k c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $orderGraphSql,
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |it0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS r
+       |        FROM nodes CROSS JOIN nn),
+       |$its
+       |SELECT node, r FROM it$iters
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** q149's oracle — generated from [[graft.analytics.Trend.ewmaWeights]]
+    * so the kernel literals and the left-to-right num/den fold order are
+    * shared with the plan digit for digit. */
+  private val ewmaOracleSql: String = {
+    val weights = graft.analytics.Trend.ewmaWeights(0.5, 4)
+    def tap(j: Int): String =
+      if (j == 0) "CAST(value AS DOUBLE)"
+      else s"lag(CAST(value AS DOUBLE), $j) OVER w"
+    val num = weights.zipWithIndex.map { case (wt, j) =>
+      s"coalesce(${tap(j)} * CAST(${wt.toString} AS DOUBLE), 0.0)"
+    }.mkString("\n        |          + ")
+    val den = weights.zipWithIndex.map { case (wt, j) =>
+      s"(CASE WHEN ${tap(j)} IS NOT NULL THEN CAST(${wt.toString} AS DOUBLE) ELSE 0.0 END)"
+    }.mkString("\n        |          + ")
+    s"""SELECT user_id, event_id, value,
+       |       round(($num)
+       |             / nullif(($den), CAST(0 AS DOUBLE)), 6) AS ewma
+       |FROM events
+       |WHERE user_id < 30 AND user_id IS NOT NULL AND ts IS NOT NULL
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** q152's oracle — generated from the SAME driver-side sign matrix
+    * ([[graft.ext.VectorOps.projectionSigns]]) the plan embeds; the
+    * per-vector dot is an in-order list fold in both engines. */
+  private val randomProjectionOracleSql: String = {
+    val dIn = 64
+    val signs = graft.ext.VectorOps.projectionSigns("rp42", dIn, 8)
+    val scale = math.sqrt(dIn.toDouble).toString
+    val cols = signs.zipWithIndex.map { case (s, j) =>
+      val arr = s.map(_.toString).mkString("[", ", ", "]")
+      s"""round(list_aggregate(list_transform(
+         |         list_zip(CASE WHEN len(embedding) = $dIn
+         |                       THEN embedding END, $arr),
+         |         x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+         |       / CAST($scale AS DOUBLE), 6) AS p${j + 1}""".stripMargin
+    }.mkString(",\n       ")
+    s"""SELECT vec_id,
+       $cols
+       |FROM embeddings WHERE vec_id < 40
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** q33/q76's shared partial oracle (see the q33 comment in [[oracleSql]]):
     * exact-cosine recompute of every returned sim + the 8×5-rank

@@ -1,0 +1,81 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Robust per-group statistics — winsorized means with rank-exact
+ * (percentile_disc-style) clip bounds. The outlier-tolerant reporting a
+ * pipeline runs over heavy-tailed telemetry (latencies, document
+ * lengths, per-user spend) where a plain mean is one hot row away from
+ * meaningless.
+ *
+ * Reference scope: the reference engine's per-user counts
+ * (`/root/reference/sree-etl-tdk-glue-job.py:54-60`) extended with
+ * distribution-aware aggregation.
+ *
+ * The clip bounds are ACTUAL data values picked by rank — the value at
+ * sorted position `max(ceil(p·n), 1)` — not interpolated quantiles:
+ * engines implement interpolation with different float formulas, but a
+ * rank-picked value is bit-exact everywhere, so the bounds (and
+ * everything derived from them) agree across engines by construction.
+ * Interpolated quantiles stay available through the engine's own
+ * `percentile`/GK-sketch surface (q49/q110's precedent).
+ */
+object Robust {
+
+  private val dec = DecimalType(38, 12)
+
+  /**
+   * Per-group winsorized mean at `[pLo, pHi]`: rows below the rank-exact
+   * lower bound clip up, above the upper bound clip down, then the mean
+   * folds exact DECIMAL(38,12) terms (order-independent over any
+   * partitioning; 6-dp output). NULL group/value rows drop; ranking ties
+   * break by `idCol`, which only affects WHICH equal value is picked —
+   * i.e. nothing.
+   *
+   * Shape at scale: one group-partitioned rank window + one hash
+   * aggregate for the bounds (group-sized output), then a group-keyed
+   * join back and the final aggregate — both shuffles key on the SAME
+   * group column, so AQE plans them into one co-partitioned exchange
+   * chain; no global window anywhere.
+   *
+   * Returns `(groupCol, n, lo, hi, n_clipped_lo, n_clipped_hi,
+   * winsorized_mean)`.
+   */
+  def winsorizedMean(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"),
+        row_number().over(w).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol)))
+          .as("_n"))
+    def pos(p: Double): Column =
+      greatest(ceil(lit(p) * col("_n").cast("double")).cast("long"), lit(1L))
+    val bounds = ranked.groupBy(groupCol).agg(
+      max(col("_n")).as("n"),
+      max(when(col("_rn") === pos(pLo), col("_v"))).as("lo"),
+      max(when(col("_rn") === pos(pHi), col("_v"))).as("hi"))
+    val clipped = ranked.select(col(groupCol), col("_v"))
+      .join(bounds, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("lo"), col("hi"),
+        least(greatest(col("_v"), col("lo")), col("hi")).as("_c"),
+        (col("_v") < col("lo")).cast("long").as("_blo"),
+        (col("_v") > col("hi")).cast("long").as("_bhi"))
+    clipped.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(col("_blo")).as("n_clipped_lo"),
+        sum(col("_bhi")).as("n_clipped_hi"),
+        round(sum(round(col("_c"), 12).cast(dec)).cast("double") /
+          max(col("n")).cast("double"), 6).as("winsorized_mean"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Per-group trend statistics over the event log — ordinary least
+ * squares, serial autocorrelation, and exponentially-weighted smoothing.
+ * The monitoring layer a pipeline runs over its own telemetry ("is this
+ * source's quality score drifting?", "is load autocorrelated hour to
+ * hour?") before acting on it.
+ *
+ * Reference scope: the reference engine reports static grouped counts
+ * (`/root/reference/sree-etl-tdk-glue-job.py:51-68`); the trend surface
+ * extends the same per-key aggregation to time-indexed statistics.
+ *
+ * Determinism contract (shared with [[graft.ext.Eval]] /
+ * [[graft.ext.GraphOps]]): cross-row sums fold exact DECIMAL(38,12)
+ * terms — each a `round(double, 12)` of IEEE ops — so every moment is
+ * order-independent over any partitioning, and the closed-form scalars
+ * derived from the moments are the same fixed sequence of double ops in
+ * both engines. Condition the regressor yourself (e.g. hours since a
+ * fixed epoch, not raw epoch seconds): the closed forms subtract
+ * same-magnitude products, and a well-centered x keeps the full double
+ * mantissa in the difference.
+ */
+object Trend {
+
+  private val dec = DecimalType(38, 12)
+
+  /** Exact, order-independent sum term: `round(v, 12)` as DECIMAL(38,12). */
+  private def term(v: Column): Column = round(v, 12).cast(dec)
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /**
+   * Per-group OLS of `y` on `x` from five decimal moment sums — one hash
+   * aggregate, group-sized output, no window and no second pass:
+   *
+   *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+   *   intercept = (Σy − slope·Σx) / n
+   *   r2 = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+   *
+   * Degenerate groups (constant x → zero denominator) yield NULL slope /
+   * intercept / r2 (`nullif` guard, identical in the oracle dialect).
+   * NULL x or y rows drop. Outputs round to 6 dp.
+   *
+   * Returns `(groupCol, n, slope, intercept, r2)`.
+   */
+  def trend(
+      df: DataFrame, groupCol: String,
+      x: Column, y: Column): DataFrame = {
+    val m = df
+      .select(col(groupCol), d(x).as("_x"), d(y).as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(term(col("_x"))).as("_sx"),
+        sum(term(col("_y"))).as("_sy"),
+        sum(term(col("_x") * col("_x"))).as("_sxx"),
+        sum(term(col("_y") * col("_y"))).as("_syy"),
+        sum(term(col("_x") * col("_y"))).as("_sxy"))
+    val nD = d(col("n"))
+    val sx = d(col("_sx")); val sy = d(col("_sy"))
+    val sxx = d(col("_sxx")); val syy = d(col("_syy"))
+    val sxy = d(col("_sxy"))
+    val cov = nD * sxy - sx * sy
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    val slope = cov / nullif(varx, lit(0.0))
+    m.select(col(groupCol), col("n"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nD, 6).as("intercept"),
+      round(cov * cov / nullif(varx * vary, lit(0.0)), 6).as("r2"))
+  }
+
+  /**
+   * Per-group serial autocorrelation at `lag`: Pearson r between the
+   * series and its `lag`-shifted self, the series ordered by
+   * `(orderCol, idCol)` (the id tiebreak makes equal-timestamp rows
+   * reproducible). Rows whose lagged partner falls before the series
+   * start — or whose own/partner value is NULL — drop; the correlation
+   * is over the surviving aligned pairs, from the same decimal moment
+   * algebra as [[trend]]. Groups with < 2 pairs or zero variance on
+   * either axis yield NULL r.
+   *
+   * One group-partitioned window (state: `lag` rows per group) + one
+   * hash aggregate — no global window, group-sized output.
+   *
+   * Returns `(groupCol, n_pairs, r)`.
+   */
+  def autocorr(
+      df: DataFrame, groupCol: String, orderCol: String, idCol: String,
+      valueCol: String, lagN: Int = 1): DataFrame = {
+    require(lagN >= 1, s"lagN must be >= 1, got $lagN")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol), col(idCol))
+    val pairs = df
+      .filter(col(groupCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol), d(col(valueCol)).as("_y"),
+        lag(d(col(valueCol)), lagN).over(w).as("_x"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val m = pairs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(term(col("_x"))).as("_sx"),
+      sum(term(col("_y"))).as("_sy"),
+      sum(term(col("_x") * col("_x"))).as("_sxx"),
+      sum(term(col("_y") * col("_y"))).as("_syy"),
+      sum(term(col("_x") * col("_y"))).as("_sxy"))
+    val nD = d(col("n_pairs"))
+    val sx = d(col("_sx")); val sy = d(col("_sy"))
+    val sxx = d(col("_sxx")); val syy = d(col("_syy"))
+    val sxy = d(col("_sxy"))
+    val r = (nD * sxy - sx * sy) /
+      nullif(sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), lit(0.0))
+    m.select(col(groupCol), col("n_pairs"), round(r, 6).as("r"))
+  }
+
+  /**
+   * Truncated-kernel exponentially-weighted moving average: per group,
+   * rows ordered by `(orderCol, idCol)`,
+   *
+   *   ewma_t = Σ_{j<k, v_{t−j} present} (1−α)^j·v_{t−j}
+   *          / Σ_{j<k, v_{t−j} present} (1−α)^j
+   *
+   * — the pandas `ewm(adjust=True)` weighting cut at `k` taps, so the
+   * window is bounded (a k-row frame per group, never unbounded
+   * recursive state) and the kernel weights are plan-time literals both
+   * engines share digit-for-digit. A NULL (or before-series) tap drops
+   * from numerator AND denominator — gaps look through, they don't decay
+   * toward zero. A row whose own window holds no present tap (all-NULL
+   * neighborhood) yields NULL.
+   *
+   * One group-partitioned window, k lag taps folded left-to-right in a
+   * fixed order (the oracle mirrors the same chain, so the float fold is
+   * the identical IEEE sequence). Output rounds to 6 dp.
+   *
+   * Returns the input keys + `(value, ewma)`.
+   */
+  def ewma(
+      df: DataFrame, groupCol: String, orderCol: String, idCol: String,
+      valueCol: String, alpha: Double = 0.5, k: Int = 4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol), col(idCol))
+    val weights = ewmaWeights(alpha, k)
+    val taps = (0 until k).map { j =>
+      val v = if (j == 0) d(col(valueCol))
+        else lag(d(col(valueCol)), j).over(w)
+      (v, weights(j))
+    }
+    val num = taps.map { case (v, wt) =>
+      coalesce(v * lit(wt), lit(0.0)) }.reduce(_ + _)
+    val den = taps.map { case (v, wt) =>
+      when(v.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    df.filter(col(groupCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol), col(orderCol), col(idCol),
+        col(valueCol),
+        round(num / nullif(den, lit(0.0)), 6).as("ewma"))
+  }
+
+  /** The `(1−α)^j` kernel, j < k — exposed so oracle SQL can embed the
+    * SAME double literals the plan folds (`Double.toString` round-trips). */
+  def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
+    (0 until k).map(j => math.pow(1.0 - alpha, j.toDouble))
+}

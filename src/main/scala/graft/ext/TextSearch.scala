@@ -306,4 +306,44 @@ object TextSearch {
       .filter(col("rank") <= k)
       .orderBy(col("rank").asc_nulls_last)
   }
+
+  /**
+   * Top-`kTop` TF-IDF keywords per document — the unsupervised
+   * "what is this document about" extractor (tag clouds, dedup
+   * explanations, topic drift monitoring). Smoothed-idf (sklearn's
+   * formula): `score = tf · (ln((N+1)/(df+1)) + 1)`, round-6 before
+   * ranking; per-document rank by `(score desc, term asc)` is total, so
+   * the cut is deterministic. N counts every row of `docs` (a NULL/empty
+   * text contributes no terms but is still corpus mass).
+   *
+   * Shape at scale: tokenize-explode → `(doc, term)` hash aggregate →
+   * term-keyed df aggregate (vocabulary-sized) joined back, corpus count
+   * rides as a broadcast 1-row frame, and the final window partitions by
+   * document (never global). The doc-term frame is the same
+   * postings shape [[buildLexicalIndex]] persists — at index scale,
+   * feed that table in here instead of re-tokenizing.
+   *
+   * Returns `(idCol, term, score, rank)`, rank ≤ `kTop`.
+   */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String,
+      kTop: Int): DataFrame = {
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((col("_n").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0)) + 1.0), 6))
+      .select(col(idCol), col("term"), col("score"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= kTop)
+  }
 }

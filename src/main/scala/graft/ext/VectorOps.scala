@@ -1,0 +1,121 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column preprocessing — the projections a vector corpus runs
+ * between "raw encoder output" and "index/training input": per-dimension
+ * standardization (whitening-lite; stops high-variance dimensions from
+ * dominating L2/cosine) and seeded random projection (Johnson–
+ * Lindenstrauss sign projection — the cheap dimensionality cut used for
+ * sketching, LSH seeding, and disk-light near-dup passes; Achlioptas
+ * 2003 shows ±1 entries preserve pairwise distances like Gaussians do).
+ *
+ * Reference scope: the reference engine has no vector surface
+ * (`/root/reference/sree-etl-tdk-glue-job.py` is flat log aggregation);
+ * this extends the X3 similarity family's input side the same way
+ * [[Quantize.quantizeInt8]] extends its storage side.
+ *
+ * Both operators are ZERO-SHUFFLE narrow projections at apply time:
+ * dimension statistics and projection signs are metadata-sized
+ * (dimension-count rows / literals), so at 100 TB the corpus is mapped
+ * in place — no joins, no aggregation over the data after the one
+ * stats pass (standardize) or none at all (project).
+ */
+object VectorOps {
+
+  /**
+   * Per-dimension mean / population-stddev of a vector column — one hash
+   * aggregate over the posexploded corpus, dimension-count rows out.
+   * `dim` is 1-based. Stats round to 9 dp (the cross-engine float-sum
+   * tolerance this repo's oracles standardize on).
+   */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .select((col("_p") + 1).cast("int").as("dim"),
+        col("_v").cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("dim")
+      .agg(round(avg(col("_v")), 9).as("mean"),
+        round(stddev_pop(col("_v")), 9).as("sd"))
+
+  /**
+   * Standardize every vector against precomputed [[dimStats]]: element i
+   * maps to `round((v_i − mean_i)/sd_i, 6)` (NULL where sd = 0 — a
+   * constant dimension carries no signal and a ±∞ z would poison
+   * downstream dot products). The stats frame is dimension-sized, so it
+   * collects to plan literals and the apply side is a single
+   * `transform` projection — zero shuffle, whole-stage-codegen'd, scan
+   * partitioning untouched. Vectors longer than the stats (dims the
+   * stats pass never saw) z-score to NULL elements.
+   *
+   * Returns the input with `vecCol` replaced by the z-scored array.
+   */
+  def standardize(
+      spark: SparkSession, df: DataFrame, vecCol: String,
+      stats: DataFrame): DataFrame = {
+    val rows = stats.select(col("dim"), col("mean"), col("sd"))
+      .orderBy("dim").collect() // dimension-count rows: metadata-sized
+    val d = rows.length
+    require(d > 0, "dimStats frame is empty")
+    require(rows.map(_.getInt(0)).toSeq == (1 to d),
+      "dimStats dims must be contiguous 1..d")
+    val means = array(rows.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val sds = array(rows.map(r =>
+      if (r.isNullAt(2)) lit(null).cast("double") else lit(r.getDouble(2))
+    ).toIndexedSeq: _*)
+    // try_element_at: a vector longer than the stats z-scores its excess
+    // elements to NULL instead of throwing under ANSI mode
+    df.withColumn(vecCol,
+      transform(col(vecCol), (v, i) =>
+        round((v.cast("double") - try_element_at(means, i + 1)) /
+          nullif(try_element_at(sds, i + 1), lit(0.0)), 6)))
+  }
+
+  /** Deterministic ±1 sign for (input dim i, output dim j) under `salt`:
+    * the first hex nibble of md5("rp:salt:i:j") — computed driver-side
+    * (plain MD5 over UTF-8, no engine involved), so the engine plan and
+    * any oracle share literal sign matrices by construction. */
+  def projectionSigns(salt: String, dIn: Int, kOut: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (1 to kOut).map { j =>
+      (1 to dIn).map { i =>
+        md.reset()
+        val h = md.digest(s"rp:$salt:$i:$j".getBytes(StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /**
+   * Seeded ±1 random projection of `vecCol` to `kOut` output columns
+   * `p1..pk`: `p_j = round(Σ_i v_i·sign(i,j) / √dIn, 6)` — the
+   * √dIn scale keeps expected norms comparable (JL convention). The sign
+   * matrix rides as `kOut` literal arrays ([[projectionSigns]]); each
+   * output is an in-order `aggregate` fold over one `zip_with`, so the
+   * whole operator is a narrow zero-shuffle projection whose float fold
+   * order is fixed (oracle-mirrorable). Vectors whose length ≠ `dIn`
+   * yield NULL projections (zip_with pads with NULL, the fold propagates
+   * it) rather than silently truncating.
+   */
+  def randomProject(
+      df: DataFrame, vecCol: String,
+      dIn: Int, kOut: Int, salt: String = "rp42"): DataFrame = {
+    require(dIn >= 1 && kOut >= 1, s"need dIn, kOut >= 1; got ($dIn, $kOut)")
+    val signs = projectionSigns(salt, dIn, kOut)
+    val scale = math.sqrt(dIn.toDouble)
+    val guarded = when(size(col(vecCol)) === dIn, col(vecCol))
+    signs.zipWithIndex.foldLeft(df) { case (acc, (s, j)) =>
+      val sLit = array(s.map(lit): _*)
+      val dotCol: Column = aggregate(
+        zip_with(guarded, sLit, (v, sg) => v.cast("double") * sg),
+        lit(0.0), (a, x) => a + x)
+      acc.withColumn(s"p${j + 1}", round(dotCol / lit(scale), 6))
+    }
+  }
+}

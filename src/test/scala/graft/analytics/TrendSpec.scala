@@ -1,0 +1,88 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions.col
+
+class TrendSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("trend: a perfect line recovers slope/intercept exactly, r2 = 1") {
+    val df = Seq.tabulate(10)(i => ("a", i.toDouble, 2.0 * i + 1.0))
+      .toDF("g", "x", "y")
+    val row = Trend.trend(df, "g", col("x"), col("y")).collect().head
+    assert(row.getLong(1) == 10L)
+    assert(row.getDouble(2) == 2.0, "slope")
+    assert(row.getDouble(3) == 1.0, "intercept")
+    assert(row.getDouble(4) == 1.0, "r2")
+  }
+
+  test("trend: constant x degenerates to NULL slope/intercept/r2; NULL " +
+    "x or y rows drop from the fit") {
+    val df = Seq(("c", Some(5.0), Some(1.0)), ("c", Some(5.0), Some(9.0)),
+      ("c", None, Some(4.0)), ("ok", Some(1.0), Some(1.0)),
+      ("ok", Some(2.0), None), ("ok", Some(3.0), Some(5.0)))
+      .toDF("g", "x", "y")
+    val rows = Trend.trend(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("c").getLong(1) == 2L) // the NULL-x row dropped
+    assert(rows("c").isNullAt(2) && rows("c").isNullAt(3) &&
+      rows("c").isNullAt(4))
+    assert(rows("ok").getLong(1) == 2L) // the NULL-y row dropped
+    assert(rows("ok").getDouble(2) == 2.0)
+  }
+
+  test("trend: decimal moments make the fit partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.tabulate(500)(i =>
+      ("g", i.toDouble, 0.3 * i + rnd.nextGaussian()))
+    val one = Trend.trend(data.toDF("g", "x", "y").repartition(1),
+      "g", col("x"), col("y")).collect().head
+    val many = Trend.trend(data.toDF("g", "x", "y").repartition(13),
+      "g", col("x"), col("y")).collect().head
+    assert(one == many)
+  }
+
+  test("autocorr: an alternating series is perfectly anti-correlated at " +
+    "lag 1; a constant series has no variance → NULL r") {
+    val df = (Seq.tabulate(10)(i =>
+        ("alt", i.toLong, i.toLong, if (i % 2 == 0) 1.0 else -1.0)) ++
+      Seq.tabulate(6)(i => ("const", i.toLong, i.toLong, 3.0)))
+      .toDF("g", "ts", "id", "value")
+    val rows = Trend.autocorr(df, "g", "ts", "id", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("alt").getLong(1) == 9L)
+    assert(rows("alt").getDouble(2) == -1.0)
+    assert(rows("const").getLong(1) == 5L)
+    assert(rows("const").isNullAt(2))
+  }
+
+  test("autocorr: NULL values stay in the window order but their pairs " +
+    "drop — both the row and its successor's pair") {
+    val df = Seq(("g", 1L, 1L, Some(1.0)), ("g", 2L, 2L, None),
+      ("g", 3L, 3L, Some(2.0)), ("g", 4L, 4L, Some(4.0)))
+      .toDF("g", "ts", "id", "value")
+    val row = Trend.autocorr(df, "g", "ts", "id", "value").collect().head
+    // pairs: (1,null)x (null,2)x (2,4)✓ → one pair; r NULL (zero variance
+    // on a single pair)
+    assert(row.getLong(1) == 1L)
+    assert(row.isNullAt(2))
+  }
+
+  test("ewma: hand-computed taps, gap look-through, all-NULL window") {
+    val df = Seq(("g", 1L, 1L, Some(1.0)), ("g", 2L, 2L, Some(3.0)),
+      ("g", 3L, 3L, None), ("g", 4L, 4L, Some(5.0)))
+      .toDF("g", "ts", "id", "value")
+    val e = Trend.ewma(df, "g", "ts", "id", "value", alpha = 0.5, k = 2)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(e(1L).contains(1.0)) // first row: itself only
+    assert(e(2L).contains(math.rint(((3.0 + 0.5 * 1.0) / 1.5) * 1e6) / 1e6))
+    assert(e(3L).contains(3.0)) // own value NULL, tap-1 = 3.0 carries
+    assert(e(4L).contains(5.0)) // tap-1 is the NULL row → drops, only self
+  }
+
+  test("ewmaWeights is the (1-α)^j kernel") {
+    assert(Trend.ewmaWeights(0.5, 4) == Seq(1.0, 0.5, 0.25, 0.125))
+    assert(Trend.ewmaWeights(0.25, 2) == Seq(1.0, 0.75))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.GraftSpec
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+class GraphOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 3,
+      damping: Double = 0.85, parts: Int = 1): Map[Long, Double] =
+    GraphOps.pageRank(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst",
+        iters, damping)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Driver-side reference with the engine's exact algebra: round-12
+    * decimal terms (Spark's toString-based double→decimal conversion),
+    * exact decimal sums, round-9 ranks. */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    def r9(x: Double): Double =
+      JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue
+    def dec12(x: Double): JBD = JBD.valueOf(
+        JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP).doubleValue)
+      .setScale(12, RoundingMode.HALF_UP)
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> r9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        dec12(r(u) / deg(u)) }.reduce(_.add(_))).toMap
+      val dm = nodes.filterNot(deg.contains).map(v => dec12(r(v)))
+        .foldLeft(JBD.ZERO.setScale(12))(_.add(_))
+      r = nodes.map { v =>
+        v -> r9((1.0 - damping) / n + damping *
+          (contrib.get(v).map(_.doubleValue).getOrElse(0.0) +
+            dm.doubleValue / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("ring graph: all ranks equal 1/n and the total mass stays 1") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(r.values.toSet.size == 1, s"ring ranks diverged: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(math.abs(r(1L) - 1.0 / 3) < 1e-6)
+  }
+
+  test("star graph: the pointed-at center outranks its leaves; dangling " +
+    "center mass redistributes so the total stays 1") {
+    val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 9L)))
+    assert(r(9L) > r(1L), s"center must outrank leaves: $r")
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("multi-edges collapse: duplicating an edge changes nothing") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    assert(ranks(base) == ranks(base ++ base))
+  }
+
+  test("matches the driver-side reference algebra exactly on seeded " +
+    "random graphs, at 1 and 7 partitions") {
+    val rnd = new scala.util.Random(1123)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = refRanks(edges, iters = 3, damping = 0.85)
+      assert(ranks(edges, parts = 1) == expect, s"trial $trial, 1 part")
+      assert(ranks(edges, parts = 7) == expect, s"trial $trial, 7 parts")
+    }
+  }
+
+  test("degreeProfile: distinct-edge degrees, zero-filled missing " +
+    "directions") {
+    val prof = GraphOps.degreeProfile(
+        Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(prof(1L) == ((2L, 0L, 2L))) // dup edge collapsed
+    assert(prof(2L) == ((1L, 1L, 2L)))
+    assert(prof(3L) == ((0L, 2L, 2L)))
+  }
+}

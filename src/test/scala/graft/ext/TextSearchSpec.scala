@@ -177,4 +177,28 @@ class TextSearchSpec extends GraftSpec {
       .collect()(0)
     assert(sym.getLong(0) == 5L && sym.getLong(2) == 1L)
   }
+
+  test("tfidfKeywords: corpus-wide terms score below distinctive ones, " +
+    "ties break by term, empty docs count in N but emit nothing") {
+    val docs = Seq(
+      (1L, "common rare1 rare1 common common"),
+      (2L, "common rare2"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextSearch.tfidfKeywords(docs, "doc_id", "text", kTop = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getString(1),
+        r.getDouble(2)))).toMap
+    // N=3 (the NULL-text doc counts); df(common)=2, df(rare*)=1
+    val idfCommon = math.log(4.0 / 3.0) + 1.0
+    val idfRare = math.log(4.0 / 2.0) + 1.0
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: tf(common)=3 → 3·idfCommon ≈ 3.863 beats tf(rare1)=2 → 3.386
+    assert(got((1L, 1L)) == (("common", r6(3 * idfCommon))))
+    assert(got((1L, 2L)) == (("rare1", r6(2 * idfRare))))
+    // doc 2: equal tf — rare2's higher idf wins rank 1
+    assert(got((2L, 1L))._1 == "rare2")
+    assert(got((2L, 2L))._1 == "common")
+    assert(!got.keySet.exists(_._1 == 3L), "empty doc emits no keywords")
+  }
 }

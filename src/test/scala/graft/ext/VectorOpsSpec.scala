@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.Row
+
+class VectorOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 10.0f, 7.0f)),
+    (2L, Array(3.0f, 10.0f, 9.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dimStats: per-dimension mean and population stddev, 1-based dims") {
+    val st = VectorOps.dimStats(vecs, "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(st(1) == ((2.0, 1.0)))
+    assert(st(2) == ((10.0, 0.0))) // constant dimension
+    assert(st(3) == ((8.0, 1.0)))
+  }
+
+  test("standardize: z-scores against collected stats; a constant " +
+    "dimension z-scores to NULL, excess dimensions to NULL") {
+    val st = VectorOps.dimStats(vecs, "embedding")
+    val withLong = vecs.union(
+      Seq((3L, Array(2.0f, 10.0f, 8.0f, 99.0f))).toDF("vec_id", "embedding"))
+    val z = VectorOps.standardize(spark, withLong, "embedding", st)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(z(1L) == Seq(-1.0, null, -1.0))
+    assert(z(2L) == Seq(1.0, null, 1.0))
+    assert(z(3L) == Seq(0.0, null, 0.0, null)) // 4th dim unseen by stats
+  }
+
+  test("projectionSigns: deterministic in the salt, ±1 entries, " +
+    "salt-sensitive") {
+    val a = VectorOps.projectionSigns("s1", 16, 4)
+    assert(a == VectorOps.projectionSigns("s1", 16, 4))
+    assert(a.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(a != VectorOps.projectionSigns("s2", 16, 4))
+    assert(a.size == 4 && a.forall(_.size == 16))
+  }
+
+  test("randomProject: each output is the signed sum over √d; a vector " +
+    "of the wrong length projects to NULL") {
+    val d = 4
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val signs = VectorOps.projectionSigns("t", d, 2)
+    val out = VectorOps.randomProject(df, "embedding", d, 2, "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    for (j <- 0 until 2) {
+      val expect = v.zip(signs(j)).map { case (x, s) => x * s }.sum /
+        math.sqrt(d.toDouble)
+      val got = out(1L).getDouble(2 + j)
+      assert(math.abs(got - expect) < 1e-6, s"p${j + 1}: $got vs $expect")
+    }
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3))
+  }
+
+  test("randomProject at 1 and 5 partitions agrees (zero-shuffle " +
+    "projection, but the fold order is per-row fixed)") {
+    val rnd = new scala.util.Random(9)
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    def run(parts: Int): Seq[Row] =
+      VectorOps.randomProject(df.repartition(parts), "embedding", 8, 3)
+        .orderBy("vec_id").collect().toSeq
+    assert(run(1) == run(5))
+  }
+}
