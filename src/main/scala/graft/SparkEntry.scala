@@ -2087,6 +2087,23 @@ object SparkEntry {
         .select(col("vec_id") +: (1 to 8).map(j => col(s"p$j")): _*)
         .orderBy(col("vec_id").asc)),
 
+    // X+/T — the trend standing-index law, declared: the same fit as
+    // q147 assembled from MERGED moment partials of an id-interleaved
+    // split — exact decimal sums make the merge lossless, so this shares
+    // q147's oracle verbatim (the q141 growth-merge precedent).
+    "q154_trend_merge" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type").isNotNull)
+      val x = floor((col("ts").cast("long") - lit(1704067200L)) /
+        lit(3600.0)).cast("double")
+      val a = Trend.momentPartials(
+        ev.filter(col("event_id") % 2 === 0), "event_type", x, col("value"))
+      val b = Trend.momentPartials(
+        ev.filter(col("event_id") % 2 =!= 0), "event_type", x, col("value"))
+      Trend.trendFromMoments(
+        Trend.mergeMoments(a.unionByName(b), "event_type"), "event_type")
+        .orderBy(col("event_type").asc)
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -4910,42 +4927,10 @@ object SparkEntry {
 
     // q147: same recentred-x OLS closed form from the same five decimal
     // moments; degenerate groups NULL out through the same nullif guard.
-    "q147_trend" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
-        |                    / 3600.0) AS DOUBLE) AS x,
-        |         CAST(value AS DOUBLE) AS y
-        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
-        |p AS (SELECT * FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
-        |m AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
-        |         sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
-        |         sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx,
-        |         sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syy,
-        |         sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy
-        |  FROM p GROUP BY event_type),
-        |k AS (
-        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
-        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
-        |         CAST(sxy AS DOUBLE) AS sxyd
-        |  FROM m),
-        |f AS (
-        |  SELECT event_type, n,
-        |         nd * sxyd - sxd * syd AS cov,
-        |         nd * sxxd - sxd * sxd AS varx,
-        |         nd * syyd - syd * syd AS vary,
-        |         nd, sxd, syd
-        |  FROM k)
-        |SELECT event_type, n,
-        |       round(cov / nullif(varx, CAST(0 AS DOUBLE)), 6) AS slope,
-        |       round((syd - cov / nullif(varx, CAST(0 AS DOUBLE)) * sxd)
-        |             / nd, 6) AS intercept,
-        |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
-        |         AS r2
-        |FROM f ORDER BY event_type""".stripMargin,
+    // q154 MUST reproduce it from merged split partials (exact decimal
+    // sums ⇒ lossless merge), so both keys share one oracle.
+    "q147_trend" -> trendOracleSql,
+    "q154_trend_merge" -> trendOracleSql,
 
     // q148: identical lag alignment (NULL values stay in the window
     // order, pairs with a NULL side drop after) + the same decimal
@@ -5072,6 +5057,45 @@ object SparkEntry {
         |WHERE rank <= 3 AND doc_id < 60
         |ORDER BY doc_id, rank""".stripMargin
   )
+
+
+  /** q147/q154's shared oracle (see the q147 comment in [[oracleSql]]). */
+  private val trendOracleSql: String =
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+        |                    / 3600.0) AS DOUBLE) AS x,
+        |         CAST(value AS DOUBLE) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT * FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+        |         sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+        |         sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+        |         sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syy,
+        |         sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy
+        |  FROM p GROUP BY event_type),
+        |k AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m),
+        |f AS (
+        |  SELECT event_type, n,
+        |         nd * sxyd - sxd * syd AS cov,
+        |         nd * sxxd - sxd * sxd AS varx,
+        |         nd * syyd - syd * syd AS vary,
+        |         nd, sxd, syd
+        |  FROM k)
+        |SELECT event_type, n,
+        |       round(cov / nullif(varx, CAST(0 AS DOUBLE)), 6) AS slope,
+        |       round((syd - cov / nullif(varx, CAST(0 AS DOUBLE)) * sxd)
+        |             / nd, 6) AS intercept,
+        |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
+        |         AS r2
+        |FROM f ORDER BY event_type""".stripMargin
 
   /** q145/q146's edge list in the oracle dialect (mirrors [[orderGraph]]
     * + the NULL-endpoint filter GraphOps applies). */

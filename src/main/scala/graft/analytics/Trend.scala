@@ -51,27 +51,54 @@ object Trend {
    */
   def trend(
       df: DataFrame, groupCol: String,
-      x: Column, y: Column): DataFrame = {
-    val m = df
-      .select(col(groupCol), d(x).as("_x"), d(y).as("_y"))
+      x: Column, y: Column): DataFrame =
+    trendFromMoments(momentPartials(df, groupCol, x, y), groupCol)
+
+  /**
+   * The five decimal moment sums + count per group — [[trend]]'s
+   * mergeable state. Partials are ASSOCIATIVE: the moments of a corpus
+   * equal the column-wise sums of any partition's partials
+   * ([[mergeMoments]]), exactly — the terms are decimals, so the fold
+   * order never matters. This is what makes the trend a standing index:
+   * a stream appends per-batch partials and folds at load
+   * ([[graft.streaming.StreamingTrend]]), batch re-fits never rescan
+   * history.
+   */
+  def momentPartials(
+      df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame =
+    df.select(col(groupCol), d(x).as("_x"), d(y).as("_y"))
       .filter(col("_x").isNotNull && col("_y").isNotNull)
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),
-        sum(term(col("_x"))).as("_sx"),
-        sum(term(col("_y"))).as("_sy"),
-        sum(term(col("_x") * col("_x"))).as("_sxx"),
-        sum(term(col("_y") * col("_y"))).as("_syy"),
-        sum(term(col("_x") * col("_y"))).as("_sxy"))
+        sum(term(col("_x"))).as("sx"),
+        sum(term(col("_y"))).as("sy"),
+        sum(term(col("_x") * col("_x"))).as("sxx"),
+        sum(term(col("_y") * col("_y"))).as("syy"),
+        sum(term(col("_x") * col("_y"))).as("sxy"))
+
+  /** Column-wise fold of moment partials (exact decimal sums — merging
+    * is associative and commutative, so any split of the corpus folds to
+    * the same state). */
+  def mergeMoments(partials: DataFrame, groupCol: String): DataFrame =
+    partials.groupBy(groupCol).agg(
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+      sum(col("sxy")).as("sxy"))
+
+  /** The OLS closed forms evaluated over a moments frame
+    * ([[momentPartials]] or a [[mergeMoments]] fold). */
+  def trendFromMoments(moments: DataFrame, groupCol: String): DataFrame = {
     val nD = d(col("n"))
-    val sx = d(col("_sx")); val sy = d(col("_sy"))
-    val sxx = d(col("_sxx")); val syy = d(col("_syy"))
-    val sxy = d(col("_sxy"))
+    val sx = d(col("sx")); val sy = d(col("sy"))
+    val sxx = d(col("sxx")); val syy = d(col("syy"))
+    val sxy = d(col("sxy"))
     val cov = nD * sxy - sx * sy
     val varx = nD * sxx - sx * sx
     val vary = nD * syy - sy * sy
     val slope = cov / nullif(varx, lit(0.0))
-    m.select(col(groupCol), col("n"),
+    moments.select(col(groupCol), col("n").cast("long").as("n"),
       round(slope, 6).as("slope"),
       round((sy - slope * sx) / nD, 6).as("intercept"),
       round(cov * cov / nullif(varx * vary, lit(0.0)), 6).as("r2"))

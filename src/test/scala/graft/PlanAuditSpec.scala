@@ -535,4 +535,57 @@ class PlanAuditSpec extends GraftSpec {
       assert(!plan(k).contains("CollectLimitExec"), s"$k collects to driver")
     }
   }
+
+  test("q145: every PageRank iteration is equi-joins + hash aggregates — " +
+    "no cartesian even with broadcast off (the 1-row dangling frame is " +
+    "the only nested-loop, and it is explicitly broadcast)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q145_pagerank")
+      assert(!p.contains("CartesianProduct"), s"pagerank went all-pairs:\n$p")
+      // the dangling-mass scalar rides a broadcast nested loop (1 row);
+      // every rank×edge join must stay hash/sort equi
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q151/q152: vector preprocessing applies as a narrow projection — " +
+    "zero exchanges before the output sort") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sfDir, "embeddings")
+    val std = graft.ext.VectorOps.standardize(spark, emb, "embedding",
+      graft.ext.VectorOps.dimStats(emb, "embedding"))
+    val pStd = std.queryExecution.executedPlan.toString
+    assert(!pStd.contains("Exchange"), s"standardize apply shuffles:\n$pStd")
+    val proj = graft.ext.VectorOps.randomProject(emb, "embedding", 64, 8)
+    val pProj = proj.queryExecution.executedPlan.toString
+    assert(!pProj.contains("Exchange"), s"randomProject shuffles:\n$pProj")
+    assert(!pProj.contains("Join"), pProj)
+  }
+
+  test("q150: both winsorize shuffles key on the group column — no " +
+    "global-partition window, no cartesian") {
+    val p = plan("q150_winsorized_mean")
+    assert("windowspecdefinition\\(\\s*specifiedwindowframe".r
+      .findFirstIn(p).isEmpty, s"window lost its group key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q153: the keyword rank window partitions by document; corpus " +
+    "count rides a broadcast 1-row frame") {
+    val p = plan("q153_keywords")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row N frame
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q147/q148: trend and autocorr are one hash aggregate per group " +
+    "(+ the window pass for autocorr) — no join anywhere") {
+    Seq("q147_trend", "q148_autocorr").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Join"), s"$k grew a join:\n$p")
+      assert(p.contains("HashAggregate"), s"$k:\n$p")
+    }
+  }
 }

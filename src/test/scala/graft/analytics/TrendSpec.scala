@@ -81,6 +81,29 @@ class TrendSpec extends GraftSpec {
     assert(e(4L).contains(5.0)) // tap-1 is the NULL row → drops, only self
   }
 
+  test("moment partials are associative: prefix AND interleaved splits " +
+    "merge to the identical fit (the standing-index law)") {
+    val rnd = new scala.util.Random(31)
+    val data = Seq.tabulate(400)(i =>
+      (s"g${i % 4}", i.toDouble, 0.7 * i + rnd.nextGaussian() * 5))
+    val df = data.toDF("g", "x", "y")
+    val whole = Trend.trend(df, "g", col("x"), col("y"))
+      .orderBy("g").collect().toSeq
+    def merged(splits: Seq[Seq[(String, Double, Double)]]) = {
+      val parts = splits.map(s =>
+        Trend.momentPartials(s.toDF("g", "x", "y"), "g",
+          col("x"), col("y")))
+      Trend.trendFromMoments(
+        Trend.mergeMoments(parts.reduce(_.unionByName(_)), "g"), "g")
+        .orderBy("g").collect().toSeq
+    }
+    assert(merged(data.grouped(100).toSeq) == whole, "prefix split")
+    assert(merged(Seq(
+      data.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
+      data.zipWithIndex.filter(_._2 % 2 == 1).map(_._1))) == whole,
+      "interleaved split")
+  }
+
   test("ewmaWeights is the (1-α)^j kernel") {
     assert(Trend.ewmaWeights(0.5, 4) == Seq(1.0, 0.5, 0.25, 0.125))
     assert(Trend.ewmaWeights(0.25, 2) == Seq(1.0, 0.75))
