@@ -2104,6 +2104,54 @@ object SparkEntry {
         .orderBy(col("event_type").asc)
     }),
 
+    // X+/G — per-node triangle counts of the supplier co-order graph
+    // (edges = supplier pairs sharing ≥ 6 orders — the support threshold
+    // every co-occurrence projection needs to keep the graph sparse; the
+    // oriented wedge join finds each triangle once).
+    "q155_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("src"),
+          col("b.l_suppkey").as("dst"))
+        .agg(count(lit(1)).as("_w"))
+        .filter(col("_w") >= 6)
+      GraphOps.triangleCounts(co, "src", "dst")
+        .orderBy(col("n_tri").desc, col("node").asc).limit(15)
+    }),
+
+    // X4+ — REAL image transform end-to-end: the q120 synthetic P5
+    // payloads resized 3×2 by the actual nearest-neighbor re-encoder,
+    // then re-DECODED by the production codec (transform → decode
+    // composition through the same batch cores). The oracle recomputes
+    // the exact output BYTES (md5) from the integer source-pixel map.
+    "q156_image_resize" -> ((s, d) => {
+      val w = lit(4L) + pmod(col("doc_id"), lit(5L))
+      val h = lit(3L) + pmod(col("doc_id"), lit(3L))
+      val rasterHex = array_join(
+        transform(sequence(lit(0L), w * h - 1), i =>
+          lpad(hex(pmod(col("doc_id") * 31 + i * 7, lit(256))), 2, "0")), "")
+      val payload = concat(
+        concat(lit("P5\n"), w.cast("string"), lit(" "),
+          h.cast("string"), lit("\n255\n")).cast("binary"),
+        unhex(rasterHex))
+      val assets = t(s, d, "documents").select(col("doc_id"),
+        payload.as("payload"))
+      val resized = Multimodal.resizeNetpbm(assets, "payload", "thumb",
+        outW = 3, outH = 2)
+      new NetpbmDecoder(channels = 1).decode(resized, "thumb", "f")
+        .select(col("doc_id"),
+          // md5 over the HEX rendering (not raw bytes): the oracle
+          // dialect's md5 is VARCHAR-only, and hex() is uppercase in both
+          md5(hex(col("thumb"))).as("checksum"),
+          element_at(col("f"), 1).cast("long").as("width"),
+          element_at(col("f"), 2).cast("long").as("height"),
+          round(element_at(col("f"), 3) / 6.0, 6).as("mean_px"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -4967,6 +5015,57 @@ object SparkEntry {
     // q149: generated — the kernel weights are the SAME Double.toString
     // literals the plan folds, the num/den chains the same fixed order.
     "q149_ewma" -> ewmaOracleSql,
+
+    // q156: the resized payload's exact bytes rebuilt from the integer
+    // nearest-neighbor source map — header re-encode + raster hex →
+    // blob md5; the mean re-derives from the same mapped pixel values.
+    "q156_image_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 6), i ->
+        |           (doc_id*31 +
+        |            (((i // 3) * h) // 2 * w + ((i % 3) * w) // 3) * 7)
+        |           % 256) AS vs
+        |  FROM g),
+        |b AS (
+        |  SELECT doc_id,
+        |         hex('P5' || chr(10) || '3 2' || chr(10) || '255'
+        |             || chr(10)) ||
+        |         list_aggregate(list_transform(vs,
+        |           v -> lpad(hex(v), 2, '0')), 'string_agg', '')
+        |           AS thumb_hex,
+        |         list_aggregate(vs, 'sum') AS s
+        |  FROM px)
+        |SELECT doc_id, md5(thumb_hex) AS checksum,
+        |       CAST(3 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |       round(CAST(s AS DOUBLE) / 6.0, 6) AS mean_px
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q155: same support-thresholded co-order edges, same oriented wedge
+    // join — integer-exact throughout.
+    "q155_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 6),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM co e1 JOIN co e2 ON e2.u = e1.v
+        |  JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node
+        |ORDER BY n_tri DESC, node LIMIT 15""".stripMargin,
 
     // q150: rank-exact bounds are actual data values (bit-exact across
     // engines); only the clipped mean needs the decimal-sum armor.

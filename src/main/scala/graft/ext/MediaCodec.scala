@@ -38,14 +38,20 @@ object MediaCodec {
 
   // ---- Netpbm (PGM P5 / PPM P6, raw variants, maxval <= 255) ----
 
-  /** Parse a raw PGM (`P5`) or PPM (`P6`) payload. Handles the full
-    * header grammar: `#` comments anywhere in the whitespace between
-    * tokens, any whitespace separators, exactly ONE whitespace byte
-    * after maxval before the raster. Returns None for: wrong magic,
-    * malformed/overflowing dimensions, maxval outside 1..255 (2-byte
-    * rasters are out of scope), or a truncated raster. Trailing bytes
-    * after the raster are tolerated (some writers pad). */
-  def parseNetpbm(bytes: Array[Byte]): Option[NetpbmStats] = {
+  /** Parsed Netpbm header: dimensions, maxval, and the byte offset of
+    * the first raster byte. The raster is GUARANTEED in-bounds
+    * (`rasterPos + w·h·channels <= payload length`). */
+  private[ext] final case class NetpbmHeader(
+      width: Int, height: Int, channels: Int, maxval: Int, rasterPos: Int)
+
+  /** The header grammar shared by [[parseNetpbm]] and
+    * [[resizeNetpbmNearest]]: `#` comments anywhere in inter-token
+    * whitespace, any whitespace separators, exactly ONE whitespace byte
+    * after maxval before the raster. None for wrong magic, malformed /
+    * overflowing dimensions, maxval outside 1..255, or a truncated
+    * raster. Trailing bytes after the raster are tolerated. */
+  private[ext] def parseNetpbmHeader(
+      bytes: Array[Byte]): Option[NetpbmHeader] = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
     val channels = bytes(1) match {
       case '5' => 1
@@ -69,7 +75,7 @@ object MediaCodec {
       }
       if (any) Some(v.toInt) else None
     }
-    val stats = for {
+    val hdr = for {
       w <- nextInt(); if w > 0
       h <- nextInt(); if h > 0
       maxval <- nextInt(); if maxval >= 1 && maxval <= 255
@@ -79,24 +85,72 @@ object MediaCodec {
       // for a malformed header instead of None
       if pos < bytes.length && isSpace(bytes(pos))
     } yield {
-      pos += 1
+      val rasterPos = pos + 1
       val n = w.toLong * h * channels
-      if (pos + n > bytes.length || n > Int.MaxValue) None
-      else {
-        val sums = new Array[Long](channels)
-        val sqSums = new Array[Long](channels)
-        var i = 0
-        while (i < n) {
-          val v = (bytes(pos + i) & 0xff).toLong
-          val c = i % channels
-          sums(c) += v
-          sqSums(c) += v * v
-          i += 1
-        }
-        Some(NetpbmStats(w, h, channels, sums, sqSums))
-      }
+      if (rasterPos + n > bytes.length || n > Int.MaxValue) None
+      else Some(NetpbmHeader(w, h, channels, maxval, rasterPos))
     }
-    stats.flatten
+    hdr.flatten
+  }
+
+  /** Parse a raw PGM (`P5`) or PPM (`P6`) payload to exact raster
+    * moments (see [[parseNetpbmHeader]] for the accepted grammar). */
+  def parseNetpbm(bytes: Array[Byte]): Option[NetpbmStats] =
+    parseNetpbmHeader(bytes).map { hd =>
+      val n = hd.width.toLong * hd.height * hd.channels
+      val sums = new Array[Long](hd.channels)
+      val sqSums = new Array[Long](hd.channels)
+      var i = 0
+      while (i < n) {
+        val v = (bytes(hd.rasterPos + i) & 0xff).toLong
+        val c = (i % hd.channels).toInt
+        sums(c) += v
+        sqSums(c) += v * v
+        i += 1
+      }
+      NetpbmStats(hd.width, hd.height, hd.channels, sums, sqSums)
+    }
+
+  /**
+   * Nearest-neighbor resize of a raw Netpbm payload, re-encoded in the
+   * SAME format (P5→P5, P6→P6, maxval preserved) with the canonical
+   * single-spaced header `P<n>\n<w> <h>\n<maxval>\n` — comments from the
+   * source header do NOT survive (the output is a fresh encode, not a
+   * patch). Source pixel for output `(x, y)` is
+   * `(⌊x·srcW/outW⌋, ⌊y·srcH/outH⌋)` — pure integer math, so any engine
+   * (or oracle) reproduces the exact output bytes. None for unparseable
+   * payloads or non-positive target dimensions.
+   */
+  def resizeNetpbmNearest(
+      bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    parseNetpbmHeader(bytes).flatMap { hd =>
+      val outN = outW.toLong * outH * hd.channels
+      if (outN > Int.MaxValue) return None
+      val magic = if (hd.channels == 1) "P5" else "P6"
+      val header = s"$magic\n$outW $outH\n${hd.maxval}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + outN.toInt)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      var o = header.length
+      while (y < outH) {
+        val sy = (y.toLong * hd.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * hd.width / outW).toInt
+          val src = hd.rasterPos +
+            (sy.toLong * hd.width + sx).toInt * hd.channels
+          var c = 0
+          while (c < hd.channels) {
+            out(o) = bytes(src + c); o += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
   }
 
   private def isSpace(b: Byte): Boolean =

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType}
 
 /**
  * The decode seam of the multimodal surface: binary payload column in,
@@ -143,6 +143,45 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  /**
+   * The payload→payload twin of [[decodeWith]] — the batch shape a real
+   * media TRANSFORM (resize, transcode, frame extraction, loudness
+   * normalization) rides: same bounded batching, same failure contract
+   * (unprocessable asset → NULL output payload, never a dead pass),
+   * same no-shuffle narrow plan. Appends one BinaryType column.
+   */
+  private[ext] def transformWith(
+      df: DataFrame, payloadCol: String, outCol: String, batchSize: Int)(
+      f: Array[Byte] => Option[Array[Byte]]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val schema = df.schema.add(outCol, BinaryType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val out = f(r.getAs[Array[Byte]](idx))
+          Row.fromSeq(r.toSeq :+ out.orNull)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /**
+   * REAL image resize over Netpbm payloads
+   * ([[MediaCodec.resizeNetpbmNearest]]): nearest-neighbor to
+   * `outW × outH`, re-encoded in the source format with maxval
+   * preserved — integer-exact pixel selection, so the output BYTES are
+   * engine-reproducible (q156 oracles the md5 of the resized payload).
+   * The thumbnail/normalize step of a multimodal training pipeline,
+   * composing with [[NetpbmDecoder]] downstream (resize → decode →
+   * features) through the same batch cores.
+   */
+  def resizeNetpbm(
+      df: DataFrame, payloadCol: String, outCol: String,
+      outW: Int, outH: Int, batchSize: Int = 64): DataFrame =
+    transformWith(df, payloadCol, outCol, batchSize)(
+      MediaCodec.resizeNetpbmNearest(_, outW, outH))
 
   /** Deterministic fake asset from a text column: the UTF-8 bytes as the
     * binary payload. Stands in for real media bytes in tests/harness. */

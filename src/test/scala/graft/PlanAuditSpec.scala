@@ -580,6 +580,19 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q155: the triangle enumeration is equi-joins only, even with " +
+    "broadcast off — wedge join on the middle node, closure on the " +
+    "outer pair") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q155_triangles")
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"triangle join went all-pairs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q147/q148: trend and autocorr are one hash aggregate per group " +
     "(+ the window pass for autocorr) — no join anywhere") {
     Seq("q147_trend", "q148_autocorr").foreach { k =>

@@ -75,6 +75,23 @@ class GraphOpsSpec extends GraftSpec {
     }
   }
 
+  test("triangleCounts: K4 has 4 triangles crediting every corner 3×; " +
+    "direction, multiplicity and self-loops never inflate the count") {
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    // reverse every edge, duplicate one, add a self-loop and a pendant
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 2L), (3L, 3L), (4L, 9L))
+    val got = GraphOps.triangleCounts(
+        noisy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // a triangle-free graph (star) returns an empty frame
+    assert(GraphOps.triangleCounts(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst"),
+      "src", "dst").count() == 0L)
+  }
+
   test("degreeProfile: distinct-edge degrees, zero-filled missing " +
     "directions") {
     val prof = GraphOps.degreeProfile(

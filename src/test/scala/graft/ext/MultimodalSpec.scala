@@ -180,4 +180,47 @@ class MultimodalSpec extends GraftSpec {
     assert(wout(1L).get == Seq(8000.0, 1.0, 3.0, 200.0, 140000.0))
     assert(wout(2L).isEmpty)
   }
+
+  test("resizeNetpbmNearest: hand-checked pixel map, canonical re-encode, " +
+    "comments dropped, P6 preserved, failures None") {
+    // 4×2 P5 with a header comment; pixels 0..7
+    val src = ("P5 #c\n4\n# mid\n2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(_.toByte))
+    val out = MediaCodec.resizeNetpbmNearest(src, 2, 2).get
+    // nearest map for 2×2 from 4×2: sx ∈ {0, 2}, sy ∈ {0, 1}
+    assert(new String(out.take(10), "US-ASCII") == "P5\n2 2\n255"
+      && out(10) == '\n'.toByte)
+    assert(out.drop(11).toSeq == Seq[Byte](0, 2, 4, 6))
+    // upscale replicates: 1×1 → 2×1 repeats the single pixel
+    val one = "P5\n1 1\n9\n".getBytes("US-ASCII") :+ 7.toByte
+    val up = MediaCodec.resizeNetpbmNearest(one, 2, 1).get
+    assert(new String(up.take(9), "US-ASCII") == "P5\n2 1\n9\n")
+    assert(up.drop(9).toSeq == Seq[Byte](7, 7)) // maxval preserved too
+    // P6 stays P6 with triplets moved together
+    val p6 = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val p6out = MediaCodec.resizeNetpbmNearest(p6, 1, 1).get
+    assert(new String(p6out.take(11), "US-ASCII") == "P6\n1 1\n255\n")
+    assert(p6out.drop(11).toSeq == Seq[Byte](1, 2, 3))
+    // truncated raster / bad target dims → None
+    assert(MediaCodec.resizeNetpbmNearest(src.dropRight(1), 2, 2).isEmpty)
+    assert(MediaCodec.resizeNetpbmNearest(src, 0, 2).isEmpty)
+  }
+
+  test("Multimodal.resizeNetpbm: the payload→payload batch core — " +
+    "resize → decode composes, corrupt assets become NULL thumbs") {
+    val good = ("P5\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(_.toByte))
+    val df = Seq((1L, good), (2L, Array[Byte](9, 9))).toDF("id", "payload")
+    val resized = Multimodal.resizeNetpbm(df, "payload", "thumb", 2, 2,
+      batchSize = 1)
+    val feats = new NetpbmDecoder(channels = 1)
+      .decode(resized, "thumb", "f")
+      .select($"id", $"thumb", $"f").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getAs[Array[Byte]](1)), Option(r.getSeq[Double](2)))))
+      .toMap
+    assert(feats(1L)._2.get == Seq(2.0, 2.0, 12.0, 56.0)) // 0+2+4+6, 4+16+36
+    assert(feats(2L)._1.isEmpty && feats(2L)._2.isEmpty)
+  }
 }
