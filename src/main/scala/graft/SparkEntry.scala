@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Robust, Rollup, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -2068,7 +2068,7 @@ object SparkEntry {
     // literal-stats transform; dumped per-element for vec_id < 8.
     "q151_embed_zscore" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val z = VectorOps.standardize(s, emb, "embedding",
+      val z = VectorOps.standardize(emb, "embedding",
         VectorOps.dimStats(emb, "embedding"))
       z.filter(col("vec_id") < 8)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "z")))
@@ -2109,15 +2109,8 @@ object SparkEntry {
     // every co-occurrence projection needs to keep the graph sparse; the
     // oriented wedge join finds each triangle once).
     "q155_triangles" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val co = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("src"),
-          col("b.l_suppkey").as("dst"))
-        .agg(count(lit(1)).as("_w"))
-        .filter(col("_w") >= 6)
+      val co = GraphOps.coOccurrence(
+        t(s, d, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 6L)
       GraphOps.triangleCounts(co, "src", "dst")
         .orderBy(col("n_tri").desc, col("node").asc).limit(15)
     }),
@@ -2150,6 +2143,33 @@ object SparkEntry {
           element_at(col("f"), 2).cast("long").as("height"),
           round(element_at(col("f"), 3) / 6.0, 6).as("mean_px"))
         .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X+/L — probabilistic record linkage (Fellegi–Sunter) between the
+    // customer file and a content-perturbed copy (name typo %9, segment
+    // swap %7, balance shift %5, even keys only): nation-blocked
+    // candidates, per-field log-likelihood weights as shared plan/oracle
+    // literals, best match per left record at threshold 4.
+    "q157_record_linkage" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_custkey").as("a_id"),
+        col("c_nationkey").as("a_nat"), col("c_name").as("a_name"),
+        col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"))
+      val b = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey").as("b_id"),
+          col("c_nationkey").as("b_nat"),
+          when(pmod(col("c_custkey"), lit(9)) === 0,
+            concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("b_name"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit("ZZZ"))
+            .otherwise(col("c_mktsegment")).as("b_seg"),
+          when(pmod(col("c_custkey"), lit(5)) === 0,
+            col("c_acctbal") + 0.5)
+            .otherwise(col("c_acctbal")).as("b_bal"))
+      val cands = a.join(b, col("a_nat") === col("b_nat"))
+      RecordLinkage.bestLinks(cands, "a_id", "b_id",
+        linkageFields, threshold = 4.0)
+        .orderBy(col("a_id").asc)
     }),
 
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
@@ -5044,6 +5064,10 @@ object SparkEntry {
         |       round(CAST(s AS DOUBLE) / 6.0, 6) AS mean_px
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // q157: generated — weights, NULL rule, fold order and the rank cut
+    // replay RecordLinkage.bestLinks (see linkageOracleSql).
+    "q157_record_linkage" -> linkageOracleSql,
+
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.
     "q155_triangles" ->
@@ -5195,6 +5219,56 @@ object SparkEntry {
         |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
         |         AS r2
         |FROM f ORDER BY event_type""".stripMargin
+
+  /** q157's compared fields: (agreement, m, u) in the fold order the
+    * score sums them — shared between the declared query and the oracle
+    * generator so the weights can't drift. */
+  private def linkageFields: Seq[(Column, Double, Double)] = Seq(
+    (lower(col("a_name")) === lower(col("b_name")), 0.95, 0.001),
+    (col("a_seg") === col("b_seg"), 0.9, 0.2),
+    (abs(col("a_bal") - col("b_bal")) < 0.005, 0.9, 0.01))
+
+  /** q157's oracle — generated so the Fellegi–Sunter weights are the
+    * SAME doubles the plan folds ([[graft.ext.RecordLinkage
+    * .agreementWeights]] printed via Double.toString), the CASE chain
+    * mirrors the NULL-agreement-is-0 rule, and the fold order matches
+    * [[linkageFields]]. */
+  private val linkageOracleSql: String = {
+    val specs = Seq(
+      ("lower(a_name) = lower(b_name)", 0.95, 0.001),
+      ("a_seg = b_seg", 0.9, 0.2),
+      ("abs(a_bal - b_bal) < CAST(0.005 AS DOUBLE)", 0.9, 0.01))
+    val terms = specs.map { case (pred, m, u) =>
+      val (wa, wd) = graft.ext.RecordLinkage.agreementWeights(m, u)
+      s"""(CASE WHEN ($pred) IS NULL THEN 0.0
+         |             WHEN $pred THEN CAST(${wa.toString} AS DOUBLE)
+         |             ELSE CAST(${wd.toString} AS DOUBLE) END)""".stripMargin
+    }.mkString("\n        |         + ")
+    s"""WITH a AS (
+       |  SELECT c_custkey AS a_id, c_nationkey AS a_nat, c_name AS a_name,
+       |         c_mktsegment AS a_seg, c_acctbal AS a_bal
+       |  FROM customer),
+       |b AS (
+       |  SELECT c_custkey AS b_id, c_nationkey AS b_nat,
+       |         CASE WHEN c_custkey % 9 = 0 THEN c_name || 'x'
+       |              ELSE c_name END AS b_name,
+       |         CASE WHEN c_custkey % 7 = 0 THEN 'ZZZ'
+       |              ELSE c_mktsegment END AS b_seg,
+       |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + CAST(0.5 AS DOUBLE)
+       |              ELSE c_acctbal END AS b_bal
+       |  FROM customer WHERE c_custkey % 2 = 0),
+       |sc AS (
+       |  SELECT a_id, b_id,
+       |         round($terms, 6) AS score
+       |  FROM a JOIN b ON a_nat = b_nat),
+       |rk AS (
+       |  SELECT a_id, b_id, score,
+       |         row_number() OVER (PARTITION BY a_id
+       |                            ORDER BY score DESC, b_id) AS rk
+       |  FROM sc WHERE score >= CAST(4.0 AS DOUBLE))
+       |SELECT a_id, b_id, score FROM rk WHERE rk = 1
+       |ORDER BY a_id""".stripMargin
+  }
 
   /** q145/q146's edge list in the oracle dialect (mirrors [[orderGraph]]
     * + the NULL-endpoint filter GraphOps applies). */

@@ -97,6 +97,38 @@ object GraphOps {
   }
 
   /**
+   * Co-occurrence projection of a bipartite `(group, item)` relation
+   * onto an item–item graph: an edge `(u < v)` for every item pair
+   * sharing ≥ `minSupport` groups. THE support threshold is what keeps
+   * the projection usable — an unthresholded projection of a hot group
+   * (an order with 100 suppliers, a page with 10⁴ co-visitors) is
+   * quadratic in the group size and yields a near-complete, meaningless
+   * graph. NULL rows drop; duplicate `(group, item)` rows collapse
+   * before pairing, so support counts GROUPS, not raw rows.
+   *
+   * Shape at scale: a distinct + one self-equi-join keyed on the group
+   * (cost Σ per-group-size², bounded by the cap the caller enforces
+   * upstream for degenerate hot groups) + a pair-keyed hash aggregate.
+   * Feeds [[triangleCounts]] / [[pageRank]] / [[degreeProfile]].
+   *
+   * Returns `(src, dst, support)`, `src < dst`.
+   */
+  def coOccurrence(
+      rel: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val r = rel
+      .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
+      .filter(col("_g").isNotNull && col("_i").isNotNull)
+      .distinct()
+    r.as("a").join(r.as("b"),
+        col("a._g") === col("b._g") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("src"), col("b._i").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /**
    * Per-node triangle counts of the UNDIRECTED simple graph induced by
    * `edges` (direction and multiplicity collapse; self-loops drop) — the
    * clustering signal community detection and spam/bot analysis start

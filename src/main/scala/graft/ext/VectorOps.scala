@@ -3,7 +3,7 @@ package graft.ext
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -57,8 +57,7 @@ object VectorOps {
    * Returns the input with `vecCol` replaced by the z-scored array.
    */
   def standardize(
-      spark: SparkSession, df: DataFrame, vecCol: String,
-      stats: DataFrame): DataFrame = {
+      df: DataFrame, vecCol: String, stats: DataFrame): DataFrame = {
     val rows = stats.select(col("dim"), col("mean"), col("sd"))
       .orderBy("dim").collect() // dimension-count rows: metadata-sized
     val d = rows.length

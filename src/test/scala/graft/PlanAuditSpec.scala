@@ -554,7 +554,7 @@ class PlanAuditSpec extends GraftSpec {
     "zero exchanges before the output sort") {
     import org.apache.spark.sql.functions.col
     val emb = Tables(spark, sfDir, "embeddings")
-    val std = graft.ext.VectorOps.standardize(spark, emb, "embedding",
+    val std = graft.ext.VectorOps.standardize(emb, "embedding",
       graft.ext.VectorOps.dimStats(emb, "embedding"))
     val pStd = std.queryExecution.executedPlan.toString
     assert(!pStd.contains("Exchange"), s"standardize apply shuffles:\n$pStd")

@@ -92,6 +92,18 @@ class GraphOpsSpec extends GraftSpec {
       "src", "dst").count() == 0L)
   }
 
+  test("coOccurrence: support counts distinct groups, threshold cuts, " +
+    "pairs oriented low→high") {
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 2L), // dup row collapses
+      (20L, 2L), (20L, 1L), (30L, 1L), (30L, 2L), (30L, 3L))
+      .toDF("g", "item")
+    val co = GraphOps.coOccurrence(rel, "g", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) shares groups 10, 20, 30; (1,3)/(2,3) share only group 30
+    assert(co == Map((1L, 2L) -> 3L), co)
+  }
+
   test("degreeProfile: distinct-edge degrees, zero-filled missing " +
     "directions") {
     val prof = GraphOps.degreeProfile(

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class RecordLinkageSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("agreementWeights: textbook log-likelihood ratios; inverted or " +
+    "degenerate m/u rejected") {
+    val (wa, wd) = RecordLinkage.agreementWeights(0.9, 0.1)
+    assert(math.abs(wa - math.log(9.0)) < 1e-12)
+    assert(math.abs(wd - math.log(0.1 / 0.9)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      RecordLinkage.agreementWeights(0.1, 0.9) } // inverted
+    intercept[IllegalArgumentException] {
+      RecordLinkage.agreementWeights(1.0, 0.5) } // m = 1 → wd undefined
+  }
+
+  test("score: agreement adds, disagreement subtracts, NULL agreement " +
+    "contributes zero; fold order is declaration order") {
+    val df = Seq(
+      (1L, Some(true), Some(true)),
+      (2L, Some(true), Some(false)),
+      (3L, Option.empty[Boolean], Some(true))
+    ).toDF("id", "f1", "f2")
+    val fields = Seq(
+      (col("f1"), 0.9, 0.1), // wa=ln9≈2.197, wd=ln(1/9)≈-2.197
+      (col("f2"), 0.8, 0.2)) // wa=ln4≈1.386, wd=ln(.2/.8)≈-1.386
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = df.select(col("id"),
+        RecordLinkage.score(fields).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == r6(math.log(9.0) + math.log(4.0)))
+    assert(got(2L) == r6(math.log(9.0) + math.log(0.2 / 0.8)))
+    assert(got(3L) == r6(0.0 + math.log(4.0)))
+  }
+
+  test("bestLinks: keeps each left record's single best candidate at or " +
+    "above threshold; score ties break to the smaller right id") {
+    val cands = Seq(
+      // a=1: two candidates, second agrees on both fields → wins
+      (1L, 10L, true, false), (1L, 11L, true, true),
+      // a=2: both candidates identical agreement → tie, smaller b wins
+      (2L, 21L, true, true), (2L, 20L, true, true),
+      // a=3: only sub-threshold candidates → absent from output
+      (3L, 30L, false, false)
+    ).toDF("a_id", "b_id", "f1", "f2")
+    val fields = Seq((col("f1"), 0.9, 0.1), (col("f2"), 0.8, 0.2))
+    val got = RecordLinkage.bestLinks(cands, "a_id", "b_id", fields,
+        threshold = 3.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 11L)
+    assert(got(2L)._1 == 20L)
+    assert(got(1L)._2 == got(2L)._2) // both full-agreement scores
+  }
+}

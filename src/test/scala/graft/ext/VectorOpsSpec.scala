@@ -25,7 +25,7 @@ class VectorOpsSpec extends GraftSpec {
     val st = VectorOps.dimStats(vecs, "embedding")
     val withLong = vecs.union(
       Seq((3L, Array(2.0f, 10.0f, 8.0f, 99.0f))).toDF("vec_id", "embedding"))
-    val z = VectorOps.standardize(spark, withLong, "embedding", st)
+    val z = VectorOps.standardize(withLong, "embedding", st)
       .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
     assert(z(1L) == Seq(-1.0, null, -1.0))
     assert(z(2L) == Seq(1.0, null, 1.0))
