@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Robust, Rollup, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -2172,6 +2172,38 @@ object SparkEntry {
         .orderBy(col("a_id").asc)
     }),
 
+    // X2+ — Jensen–Shannon divergence between the even- and odd-id
+    // document corpora: smoothed term distributions over the union
+    // vocabulary, decimal per-term contributions, one-row summary.
+    "q158_js_divergence" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CorpusCompare.jsDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
+
+    // X2+ — the 20 terms driving that divergence, with counts and the
+    // over-represented side (the actionable face of q158).
+    "q159_drift_terms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CorpusCompare.driftTerms(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), k = 20)
+    }),
+
+    // X+/E — label-noise triage over the q119 neighbor frame: probes
+    // whose neighborhood votes their own label below 0.4, with the
+    // strongest competing label attached (confident-learning heuristic;
+    // at 10 uniform classes 0.2 flags only zero-own-vote probes).
+    "q160_label_noise" -> ((s, d) => {
+      val labeled = labeledSample(s, d)
+      val centroids = AnnIvf.trainCentroids(labeled, k = 16, iters = 2)
+      Eval.labelNoise(
+          AnnIvf.knnJoin(labeled, centroids, kNeighbors = 5, nprobe = 16),
+          labeled, k = 5, flagBelow = 0.2)
+        .orderBy(col("vec_id").asc_nulls_last)
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -3980,28 +4012,7 @@ object SparkEntry {
     // UNROUNDED sims (the raw array-order folds are bit-identical in
     // both engines, the q19 contract; topKFromCells never rounds).
     "q119_knn_classify_ann" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
-        |    AND vec_id < 1000),
-        |s AS (
-        |  SELECT q.vec_id AS q_id, q.label AS q_label,
-        |         c.vec_id AS nn_id, c.label AS nn_label,
-        |         list_aggregate(list_transform(
-        |             list_zip(q.embedding, c.embedding),
-        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-        |           'sum')
-        |         / nullif(
-        |             sqrt(list_aggregate(list_transform(q.embedding,
-        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |           * sqrt(list_aggregate(list_transform(c.embedding,
-        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
-        |             0) AS sim
-        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |                               ORDER BY sim DESC, nn_id) AS rank
-        |  FROM s),
+      (knnNeighborCtesSql + """,
         |v AS (
         |  SELECT q_id, q_label, nn_label, count(*) AS votes
         |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
@@ -4011,7 +4022,35 @@ object SparkEntry {
         |  FROM v)
         |SELECT q_id AS vec_id, q_label AS label, nn_label AS pred,
         |       CAST(q_label = nn_label AS BIGINT) AS correct
-        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin),
+
+    // q160 extends the q119 chain: own-label vote share per probe, the
+    // strongest competing label, flag below the rounded 0.2 share.
+    "q160_label_noise" ->
+      (knnNeighborCtesSql + """,
+        |nn AS (SELECT q_id, q_label, nn_label FROM r WHERE rank <= 5),
+        |agg AS (
+        |  SELECT q_id, q_label, CAST(count(*) AS BIGINT) AS n_votes,
+        |         CAST(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS own_votes
+        |  FROM nn GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT q_id, nn_label, votes,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY votes DESC, nn_label) AS r
+        |  FROM (SELECT q_id, nn_label, CAST(count(*) AS BIGINT) AS votes
+        |        FROM nn WHERE nn_label <> q_label GROUP BY 1, 2))
+        |SELECT a.q_id AS vec_id, a.q_label AS label, a.n_votes,
+        |       a.own_votes,
+        |       round(CAST(a.own_votes AS DOUBLE)
+        |             / CAST(a.n_votes AS DOUBLE), 6) AS own_frac,
+        |       o.nn_label AS top_other,
+        |       coalesce(o.votes, 0) AS other_votes
+        |FROM agg a LEFT JOIN ov o ON o.q_id = a.q_id AND o.r = 1
+        |WHERE round(CAST(a.own_votes AS DOUBLE)
+        |            / CAST(a.n_votes AS DOUBLE), 6)
+        |      < CAST(0.2 AS DOUBLE)
+        |ORDER BY vec_id""".stripMargin),
 
     // Both rankers replayed (the q85 BM25 CTEs, the q19-convention
     // dense rank), then the fusion: coalesced 1/(60+rank) terms summed
@@ -5064,6 +5103,25 @@ object SparkEntry {
         |       round(CAST(s AS DOUBLE) / 6.0, 6) AS mean_px
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // q158/q159: one shared divergence CTE chain — exact counts over the
+    // union vocabulary, the same smoothing/mixture float sequence, 12-dp
+    // decimal per-term contributions.
+    "q158_js_divergence" ->
+      (divergenceCtesSql + """
+        |SELECT (SELECT v FROM tot) AS n_terms,
+        |       (SELECT np FROM tot) AS np, (SELECT nq FROM tot) AS nq,
+        |       round(CAST(sum(t_p) AS DOUBLE), 6) AS kl_pm,
+        |       round(CAST(sum(t_q) AS DOUBLE), 6) AS kl_qm,
+        |       round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
+        |             / 2.0, 6) AS js
+        |FROM h""".stripMargin),
+    "q159_drift_terms" ->
+      (divergenceCtesSql + """
+        |SELECT term, cp, cq,
+        |       round(CAST(t_p + t_q AS DOUBLE), 6) AS contribution,
+        |       CASE WHEN p > q THEN 'a' ELSE 'b' END AS direction
+        |FROM h ORDER BY contribution DESC, term LIMIT 20""".stripMargin),
+
     // q157: generated — weights, NULL rule, fold order and the rank cut
     // replay RecordLinkage.bestLinks (see linkageOracleSql).
     "q157_record_linkage" -> linkageOracleSql,
@@ -5219,6 +5277,72 @@ object SparkEntry {
         |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
         |         AS r2
         |FROM f ORDER BY event_type""".stripMargin
+
+  /** q119/q160's shared exact-kNN chain: the labeled ≤1000-id sample,
+    * all-pairs cosine (in-order list folds → bit-identical doubles),
+    * self-pairs excluded, total rank. */
+  private val knnNeighborCtesSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+      |    AND vec_id < 1000),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label,
+      |         c.vec_id AS nn_id, c.label AS nn_label,
+      |         list_aggregate(list_transform(
+      |             list_zip(q.embedding, c.embedding),
+      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+      |           'sum')
+      |         / nullif(
+      |             sqrt(list_aggregate(list_transform(q.embedding,
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |           * sqrt(list_aggregate(list_transform(c.embedding,
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+      |             0) AS sim
+      |  FROM base q JOIN base c ON q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY sim DESC, nn_id) AS rank
+      |  FROM s)""".stripMargin
+
+  /** q158/q159's shared CTE chain: tokenized counts per half-corpus,
+    * union-vocabulary outer join, add-0.5-smoothed probabilities and the
+    * mixture, 12-dp decimal KL(·‖M) terms — the exact float sequence
+    * [[graft.ext.CorpusCompare]] evaluates. */
+  private val divergenceCtesSql: String =
+    """WITH ta AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> length(x) > 0)) AS term
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS cp
+      |       FROM ta GROUP BY term),
+      |tb AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> length(x) > 0)) AS term
+      |  FROM documents WHERE doc_id % 2 <> 0),
+      |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cq
+      |       FROM tb GROUP BY term),
+      |j AS (SELECT term, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+      |      FROM ca FULL OUTER JOIN cb USING (term)),
+      |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+      |               CAST(sum(cq) AS BIGINT) AS nq,
+      |               CAST(count(*) AS BIGINT) AS v
+      |        FROM j),
+      |f AS (
+      |  SELECT term, cp, cq,
+      |         (CAST(cp AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |           / (CAST(np AS DOUBLE)
+      |              + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)) AS p,
+      |         (CAST(cq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |           / (CAST(nq AS DOUBLE)
+      |              + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)) AS q
+      |  FROM j CROSS JOIN tot),
+      |g AS (SELECT term, cp, cq, p, q, (p + q) / 2.0 AS m FROM f),
+      |h AS (
+      |  SELECT term, cp, cq, p, q,
+      |         CAST(round(p * ln(p / m), 12) AS DECIMAL(38,12)) AS t_p,
+      |         CAST(round(q * ln(q / m), 12) AS DECIMAL(38,12)) AS t_q
+      |  FROM g)""".stripMargin
 
   /** q157's compared fields: (agreement, m, u) in the fold order the
     * score sums them — shared between the declared query and the oracle

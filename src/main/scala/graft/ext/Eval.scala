@@ -115,6 +115,64 @@ object Eval {
   }
 
   /**
+   * Label-noise candidates by neighborhood disagreement (the
+   * confident-learning heuristic, Northcutt 2021-style): a labeled item
+   * whose in-frame neighbors vote its OWN label below `flagBelow` is
+   * flagged, with the strongest competing label attached — the triage
+   * list an annotation-quality pass starts from. Fed by the same
+   * neighbor frame as [[knnClassifyAnn]] (self-pairs excluded, ANN or
+   * exact), so at corpus scale candidates come from the bounded IVF
+   * cell join, never all-pairs.
+   *
+   * `own_frac` rounds to 6 dp BEFORE the threshold compare (the engine
+   * float rule), and the competing label breaks vote ties to the
+   * smallest label. An item whose neighbors ALL share its label has a
+   * NULL `top_other` (and can't be flagged). NULL-label rows drop on
+   * both sides.
+   *
+   * Returns the flagged rows only:
+   * `(idCol, labelCol, n_votes, own_votes, own_frac, top_other,
+   * other_votes)`.
+   */
+  def labelNoise(
+      neighbors: DataFrame, labels: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label",
+      k: Int = 5, flagBelow: Double = 0.4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(flagBelow > 0.0 && flagBelow <= 1.0,
+      s"flagBelow must be in (0, 1], got $flagBelow")
+    val lab = labels.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol))
+    val n = neighbors.filter(col("rank") <= k)
+      .join(lab.select(col(idCol).as("nn_id"),
+        col(labelCol).as("nn_label")), "nn_id")
+      .join(lab.select(col(idCol).as("q_id"),
+        col(labelCol).as("q_label")), "q_id")
+    val agg = n.groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum((col("nn_label") === col("q_label")).cast("long"))
+          .as("own_votes"))
+    val byVotes = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("nn_label").asc)
+    val others = n
+      .filter(col("nn_label") =!= col("q_label"))
+      .groupBy(col("q_id"), col("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_r", row_number().over(byVotes))
+      .filter(col("_r") === 1)
+      .select(col("q_id"), col("nn_label").as("top_other"),
+        col("votes").as("other_votes"))
+    agg.join(others, Seq("q_id"), "left")
+      .withColumn("own_frac", round(
+        col("own_votes").cast("double") / col("n_votes").cast("double"), 6))
+      .filter(col("own_frac") < flagBelow)
+      .select(col("q_id").as(idCol), col("q_label").as(labelCol),
+        col("n_votes"), col("own_votes"), col("own_frac"),
+        col("top_other"), coalesce(col("other_votes"), lit(0L))
+          .as("other_votes"))
+  }
+
+  /**
    * Contingency matrix over a classified frame (the [[knnClassify]]
    * output, or any (label, pred) pairing): cell counts plus the
    * within-label share (per-class recall on the diagonal — "which

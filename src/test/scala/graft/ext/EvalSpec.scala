@@ -97,6 +97,26 @@ class EvalSpec extends GraftSpec {
     assert(got.filter($"vec_id" === 7L).head().getInt(2) == 1)
   }
 
+  test("labelNoise: the planted vector is flagged with the cluster's " +
+    "label as its competitor; clean members are not flagged") {
+    val centroids = AnnIvf.trainCentroids(emb, k = 2, iters = 2)
+    val neighbors = AnnIvf.knnJoin(emb, centroids, kNeighbors = 3, nprobe = 2)
+    val got = Eval.labelNoise(neighbors, emb, k = 3, flagBelow = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5),
+          r.getLong(6)))).toMap
+    // only the plant: its 3 nearest are all label 1 → own_frac 0
+    assert(got.keySet == Set(7L), got)
+    assert(got(7L) == ((3L, 0L, 0.0, 1, 3L)))
+    // every clean member's top-3 is 2 cluster mates + one outsider
+    // (own_frac = 2/3): a 0.7 threshold flags them all — the rounded
+    // fraction, not the flag set, is what separates clean from planted
+    val loose = Eval.labelNoise(neighbors, emb, k = 3, flagBelow = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(loose(7L) == 0.0)
+    assert((1L to 6L).forall(i => loose(i) == 0.666667), loose)
+  }
+
   test("confusion: cells with within-label shares; the plant shows up " +
     "off-diagonal") {
     val got = Eval.confusion(Eval.knnClassify(emb, k = 3))
