@@ -2182,6 +2182,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
 
+    // X2+ — the divergence standing-state law, declared: q158's summary
+    // rebuilt with the P side's counts MERGED from a further split
+    // (exact integer count sums — lossless), via the same count-fed
+    // summary the streaming drift monitor reads. Shares q158's oracle.
+    "q161_drift_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      val mergedP = CorpusCompare.mergeCounts(
+        CorpusCompare.termCounts(even.filter(col("doc_id") % 4 === 0))
+          .unionByName(CorpusCompare.termCounts(
+            even.filter(col("doc_id") % 4 =!= 0))))
+      CorpusCompare.jsDivergenceFromCounts(
+        mergedP, CorpusCompare.termCounts(odd))
+    }),
+
     // X2+ — the 20 terms driving that divergence, with counts and the
     // over-represented side (the actionable face of q158).
     "q159_drift_terms" -> ((s, d) => {
@@ -5106,15 +5122,11 @@ object SparkEntry {
     // q158/q159: one shared divergence CTE chain — exact counts over the
     // union vocabulary, the same smoothing/mixture float sequence, 12-dp
     // decimal per-term contributions.
-    "q158_js_divergence" ->
-      (divergenceCtesSql + """
-        |SELECT (SELECT v FROM tot) AS n_terms,
-        |       (SELECT np FROM tot) AS np, (SELECT nq FROM tot) AS nq,
-        |       round(CAST(sum(t_p) AS DOUBLE), 6) AS kl_pm,
-        |       round(CAST(sum(t_q) AS DOUBLE), 6) AS kl_qm,
-        |       round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
-        |             / 2.0, 6) AS js
-        |FROM h""".stripMargin),
+    "q158_js_divergence" -> jsSummaryOracleSql,
+    // q161 MUST reproduce q158 from merged split count partials (exact
+    // integer sums ⇒ lossless merge — the q154 law for the divergence
+    // family), so both keys share one oracle.
+    "q161_drift_merge" -> jsSummaryOracleSql,
     "q159_drift_terms" ->
       (divergenceCtesSql + """
         |SELECT term, cp, cq,
@@ -5343,6 +5355,17 @@ object SparkEntry {
       |         CAST(round(p * ln(p / m), 12) AS DECIMAL(38,12)) AS t_p,
       |         CAST(round(q * ln(q / m), 12) AS DECIMAL(38,12)) AS t_q
       |  FROM g)""".stripMargin
+
+  /** q158/q161's shared summary oracle over [[divergenceCtesSql]]. */
+  private lazy val jsSummaryOracleSql: String =
+    divergenceCtesSql + """
+      |SELECT (SELECT v FROM tot) AS n_terms,
+      |       (SELECT np FROM tot) AS np, (SELECT nq FROM tot) AS nq,
+      |       round(CAST(sum(t_p) AS DOUBLE), 6) AS kl_pm,
+      |       round(CAST(sum(t_q) AS DOUBLE), 6) AS kl_qm,
+      |       round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
+      |             / 2.0, 6) AS js
+      |FROM h""".stripMargin
 
   /** q157's compared fields: (agreement, m, u) in the fold order the
     * score sums them — shared between the declared query and the oracle

