@@ -2150,26 +2150,21 @@ object SparkEntry {
     // swap %7, balance shift %5, even keys only): nation-blocked
     // candidates, per-field log-likelihood weights as shared plan/oracle
     // literals, best match per left record at threshold 4.
-    "q157_record_linkage" -> ((s, d) => {
-      val c = t(s, d, "customer")
-      val a = c.select(col("c_custkey").as("a_id"),
-        col("c_nationkey").as("a_nat"), col("c_name").as("a_name"),
-        col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"))
-      val b = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
-        .select(col("c_custkey").as("b_id"),
-          col("c_nationkey").as("b_nat"),
-          when(pmod(col("c_custkey"), lit(9)) === 0,
-            concat(col("c_name"), lit("x")))
-            .otherwise(col("c_name")).as("b_name"),
-          when(pmod(col("c_custkey"), lit(7)) === 0, lit("ZZZ"))
-            .otherwise(col("c_mktsegment")).as("b_seg"),
-          when(pmod(col("c_custkey"), lit(5)) === 0,
-            col("c_acctbal") + 0.5)
-            .otherwise(col("c_acctbal")).as("b_bal"))
-      val cands = a.join(b, col("a_nat") === col("b_nat"))
-      RecordLinkage.bestLinks(cands, "a_id", "b_id",
-        linkageFields, threshold = 4.0)
-        .orderBy(col("a_id").asc)
+    "q157_record_linkage" -> ((s, d) =>
+      customerLinks(s, d).orderBy(col("a_id").asc)),
+
+    // X/L+X1 — the links composed with transitive components: each
+    // entity cluster (an A-record star around its linked B-record,
+    // closed transitively by Dedup.components) summarized as a cluster
+    // size histogram — how much of the file collapses per entity.
+    "q162_entity_clusters" -> ((s, d) => {
+      val labels = Dedup.components(
+        customerLinks(s, d)
+          .select(col("a_id"), (col("b_id") + 1000000L).as("b_id")))
+      labels.groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size").asc)
     }),
 
     // X2+ — Jensen–Shannon divergence between the even- and odd-id
@@ -2219,6 +2214,32 @@ object SparkEntry {
           labeled, k = 5, flagBelow = 0.2)
         .orderBy(col("vec_id").asc_nulls_last)
     }),
+
+    // X+/W2 — last-touch attribution: each purchase credits its value to
+    // the user's most recent prior non-purchase event within 24 h (or
+    // "(none)"); per attributed type, conversion count + decimal value.
+    "q163_attribution" -> ((s, d) =>
+      LogAnalytics.lastTouchAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        "value", convType = "purchase", windowSec = 86400L)
+        .orderBy(col("attr_type").asc_nulls_last)),
+
+    // X+ — Efraimidis–Spitsas weighted sample without replacement: 40
+    // docs weighted by length, exponential keys from content-derived
+    // uniforms (salt "es42"), keys rounded 12-dp before ranking.
+    "q164_weighted_sample" -> ((s, d) =>
+      Sampling.weightedTake(
+        t(s, d, "documents"), col("n_chars"), "doc_id", k = 40)
+        .select(col("doc_id"), col("n_chars"), col("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)),
+
+    // X+/R — median/MAD modified-z outlier profile per event type
+    // (rank-exact median and MAD — actual data values; 0.6745·|dev| >
+    // 3.5·MAD is the Iglewicz–Hoaglin rule without a division).
+    "q165_mad_outliers" -> ((s, d) =>
+      Robust.madOutliers(
+        t(s, d, "events"), "event_type", "value", "event_id")
+        .orderBy(col("event_type").asc)),
 
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
@@ -5137,6 +5158,92 @@ object SparkEntry {
     // q157: generated — weights, NULL rule, fold order and the rank cut
     // replay RecordLinkage.bestLinks (see linkageOracleSql).
     "q157_record_linkage" -> linkageOracleSql,
+    // q162: the links form stars, so component sizes have a closed form
+    // (1 + B-record indegree) — no recursive SQL needed.
+    "q162_entity_clusters" -> entityClustersOracleSql,
+
+    // q163: same two IGNORE-NULLS last_value reads over the same ordered
+    // frame (both necessarily from the same prior row), same 24 h gate.
+    "q163_attribution" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN CAST(floor(epoch(ts)) AS BIGINT) END
+        |                    IGNORE NULLS) OVER w AS pts,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS) OVER w
+        |           AS pty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT CASE WHEN pts IS NOT NULL AND ep - pts <= 86400
+        |              THEN pty ELSE '(none)' END AS attr_type, value
+        |  FROM b WHERE event_type = 'purchase')
+        |SELECT attr_type, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 12)
+        |                          AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |         AS attributed_value
+        |FROM c GROUP BY attr_type ORDER BY attr_type""".stripMargin,
+
+    // q164: the same md5-derived uniform (12 hex nibbles / 16^12), the
+    // same u^(1/w) key rounded 12-dp before the rank.
+    "q164_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         round(pow(
+        |           CAST(('0x' || substr(md5('es42:' ||
+        |                CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+        |             / CAST(281474976710656 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 12)
+        |           AS es_key
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0)
+        |SELECT doc_id, n_chars, es_key FROM b
+        |ORDER BY es_key DESC, doc_id LIMIT 40""".stripMargin,
+
+    // q165: the same two rank-exact picks (median, then MAD over the
+    // absolute deviations) and the division-free flag rule.
+    "q165_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |         event_id AS id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r1 AS (
+        |  SELECT g, v,
+        |         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |              AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM base),
+        |med AS (
+        |  SELECT g, max(n) AS n,
+        |         max(CASE WHEN rn = greatest(CAST(ceil(
+        |               CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE))
+        |               AS BIGINT), 1) THEN v END) AS median
+        |  FROM r1 GROUP BY g),
+        |dev AS (
+        |  SELECT b.g, abs(b.v - m.median) AS v, b.id
+        |  FROM base b JOIN med m ON b.g = m.g),
+        |r2 AS (
+        |  SELECT g, v,
+        |         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |              AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT g,
+        |         max(CASE WHEN rn = greatest(CAST(ceil(
+        |               CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE))
+        |               AS BIGINT), 1) THEN v END) AS mad
+        |  FROM r2 GROUP BY g)
+        |SELECT b.g AS event_type, m.n, m.median, d.mad,
+        |       CAST(sum(CASE WHEN CAST(0.6745 AS DOUBLE)
+        |                          * abs(b.v - m.median)
+        |                          > CAST(3.5 AS DOUBLE) * d.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM base b JOIN med m ON b.g = m.g JOIN mad d ON b.g = d.g
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.
@@ -5367,6 +5474,28 @@ object SparkEntry {
       |             / 2.0, 6) AS js
       |FROM h""".stripMargin
 
+  /** q157/q162's shared link build: customers vs the content-perturbed
+    * even-key copy, nation-blocked, best match at threshold 4. */
+  private def customerLinks(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val a = c.select(col("c_custkey").as("a_id"),
+      col("c_nationkey").as("a_nat"), col("c_name").as("a_name"),
+      col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"))
+    val b = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("b_id"),
+        col("c_nationkey").as("b_nat"),
+        when(pmod(col("c_custkey"), lit(9)) === 0,
+          concat(col("c_name"), lit("x")))
+          .otherwise(col("c_name")).as("b_name"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit("ZZZ"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          col("c_acctbal") + 0.5)
+          .otherwise(col("c_acctbal")).as("b_bal"))
+    RecordLinkage.bestLinks(a.join(b, col("a_nat") === col("b_nat")),
+      "a_id", "b_id", linkageFields, threshold = 4.0)
+  }
+
   /** q157's compared fields: (agreement, m, u) in the fold order the
     * score sums them — shared between the declared query and the oracle
     * generator so the weights can't drift. */
@@ -5380,7 +5509,7 @@ object SparkEntry {
     * .agreementWeights]] printed via Double.toString), the CASE chain
     * mirrors the NULL-agreement-is-0 rule, and the fold order matches
     * [[linkageFields]]. */
-  private val linkageOracleSql: String = {
+  private val linkageCtesSql: String = {
     val specs = Seq(
       ("lower(a_name) = lower(b_name)", 0.95, 0.001),
       ("a_seg = b_seg", 0.9, 0.2),
@@ -5391,7 +5520,7 @@ object SparkEntry {
          |             WHEN $pred THEN CAST(${wa.toString} AS DOUBLE)
          |             ELSE CAST(${wd.toString} AS DOUBLE) END)""".stripMargin
     }.mkString("\n        |         + ")
-    s"""WITH a AS (
+    s"""a AS (
        |  SELECT c_custkey AS a_id, c_nationkey AS a_nat, c_name AS a_name,
        |         c_mktsegment AS a_seg, c_acctbal AS a_bal
        |  FROM customer),
@@ -5412,10 +5541,25 @@ object SparkEntry {
        |  SELECT a_id, b_id, score,
        |         row_number() OVER (PARTITION BY a_id
        |                            ORDER BY score DESC, b_id) AS rk
-       |  FROM sc WHERE score >= CAST(4.0 AS DOUBLE))
-       |SELECT a_id, b_id, score FROM rk WHERE rk = 1
-       |ORDER BY a_id""".stripMargin
+       |  FROM sc WHERE score >= CAST(4.0 AS DOUBLE))""".stripMargin
   }
+
+  private val linkageOracleSql: String =
+    "WITH " + linkageCtesSql + """
+      |SELECT a_id, b_id, score FROM rk WHERE rk = 1
+      |ORDER BY a_id""".stripMargin
+
+  /** q162's oracle: the q157 links form STARS (each A-record keeps one
+    * best B-record), so the transitive component sizes the engine
+    * computes via Dedup.components reduce to 1 + indegree(B) — an
+    * independent closed form the oracle can state without recursion. */
+  private val entityClustersOracleSql: String =
+    "WITH " + linkageCtesSql + """,
+      |links AS (SELECT a_id, b_id FROM rk WHERE rk = 1),
+      |stars AS (SELECT b_id, CAST(count(*) + 1 AS BIGINT) AS cluster_size
+      |          FROM links GROUP BY b_id)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM stars GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   /** q145/q146's edge list in the oracle dialect (mirrors [[orderGraph]]
     * + the NULL-endpoint filter GraphOps applies). */

@@ -388,4 +388,46 @@ object LogAnalytics {
         col("n_events"), z.as("z"))
       .orderBy(col("bucket_start").asc_nulls_last)
   }
+
+  /**
+   * Last-touch attribution: each conversion event (`typeCol ===
+   * convType`) credits its value to the user's most recent PRIOR
+   * non-conversion event within `windowSec`, or to `(none)` when no
+   * such event exists in the window — the simplest of the standard
+   * attribution models, per-model swap being a different window pick.
+   * Returns per attributed type: conversion count and total attributed
+   * value (exact decimal fold, 6-dp output).
+   *
+   * The prior event is read with TWO `last(..., ignoreNulls)` window
+   * expressions over the same `(ts, id)`-ordered frame (rows up to the
+   * previous row) — both necessarily read the SAME row (identical
+   * predicate), so the (ts, type) pair is consistent without a struct.
+   * One user-partitioned window + one hash aggregate; no self-join.
+   */
+  def lastTouchAttribution(
+      df: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ep = col(tsCol).cast("long")
+    val nonConv = col(typeCol) =!= convType
+    val base = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_pts", last(when(nonConv, ep), ignoreNulls = true).over(w))
+      .withColumn("_pty",
+        last(when(nonConv, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("attr_type",
+        when(col("_pts").isNotNull && ep - col("_pts") <= windowSec,
+          col("_pty")).otherwise(lit("(none)")))
+    base.groupBy(col("attr_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(round(col(valueCol).cast("double"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double"), 6).as("attributed_value"))
+  }
 }

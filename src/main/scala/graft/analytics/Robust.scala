@@ -78,4 +78,59 @@ object Robust {
         round(sum(round(col("_c"), 12).cast(dec)).cast("double") /
           max(col("n")).cast("double"), 6).as("winsorized_mean"))
   }
+
+  /** The rank-exact "value at sorted position ⌈p·n⌉" column used by both
+    * robust operators (percentile_disc semantics — an actual data value,
+    * bit-exact across engines). Expects `_v`, `_rn`, `_n` from a
+    * `(value, idCol)`-ordered rank window. */
+  private def rankPick(p: Double): Column =
+    max(when(col("_rn") ===
+      greatest(ceil(lit(p) * col("_n").cast("double")).cast("long"),
+        lit(1L)), col("_v")))
+
+  /**
+   * Robust per-group outlier profile via the median/MAD modified
+   * z-score (Iglewicz & Hoaglin 1993): a row is an outlier when
+   * `0.6745·|v − median| / MAD > cutoff` (cutoff 3.5 is the standard
+   * recommendation). Median and MAD are RANK-EXACT picks (the value at
+   * `⌈n/2⌉`), so both statistics are actual data values and the flag
+   * threshold `cutoff·MAD/0.6745` is one reproducible float expression.
+   * A zero-MAD group (> half the values identical) flags every value
+   * not equal to the median — the documented degenerate reading.
+   *
+   * Shape at scale: two group-partitioned rank windows (values, then
+   * absolute deviations) + group-keyed joins, all on the SAME group
+   * key — the [[winsorizedMean]] exchange-chain argument twice over.
+   *
+   * Returns `(groupCol, n, median, mad, n_outliers)`.
+   */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be positive, got $cutoff")
+    def ranked(in: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col("_v"), col("_id"))
+      in.select(col(groupCol), col("_v"), col("_id"),
+        row_number().over(w).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("_n"))
+    }
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"),
+        col(idCol).as("_id"))
+    val med = ranked(base).groupBy(groupCol)
+      .agg(max(col("_n")).as("n"), rankPick(0.5).as("median"))
+    val dev = base.join(med, Seq(groupCol))
+      .select(col(groupCol), abs(col("_v") - col("median")).as("_v"),
+        col("_id"))
+    val mad = ranked(dev).groupBy(groupCol)
+      .agg(rankPick(0.5).as("mad"))
+    base.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum((lit(0.6745) * abs(col("_v") - col("median")) >
+          lit(cutoff) * col("mad")).cast("long")).as("n_outliers"))
+  }
 }

@@ -201,6 +201,40 @@ object Sampling {
     }
   }
 
+  /**
+   * Deterministic weighted sample WITHOUT replacement — Efraimidis &
+   * Spitsas (2006) exponential-keys: each row gets `key = u^(1/w)` for
+   * a content-derived uniform `u` (so the "randomness" is a pure
+   * function of `salt` + id — reproducible across engines and reruns,
+   * the [[hashSample]] philosophy), and the sample is the top-`k` rows
+   * by key. P(row ∈ sample) is the textbook weighted-without-
+   * replacement probability; raising a row's weight (same salt) can
+   * only raise its key — monotone, spec-pinned.
+   *
+   * `u` is the first 12 md5 hex nibbles of `salt:id` scaled by 16⁻¹²
+   * (exact in a double); the key rounds to 12 dp BEFORE ranking so the
+   * one engine-sensitive op (`pow`) cannot reorder near-equal keys
+   * across engines, and ties break by `idCol`. Non-positive / NULL
+   * weights drop. Plans as one narrow projection + TakeOrdered — no
+   * shuffle, no global sort.
+   *
+   * Returns the input + `es_key`, the `k` winners.
+   */
+  def weightedTake(
+      df: DataFrame, weight: Column, idCol: String, k: Int,
+      salt: String = "es42"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 16^12
+    df.filter(weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("es_key",
+        round(pow(u, lit(1.0) / weight.cast("double")), 12))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic shuffle key: the content hash of `salt` + `key`.
     * Sorting by it is a reproducible corpus-wide random permutation —
     * change the salt, get an independent epoch order. */

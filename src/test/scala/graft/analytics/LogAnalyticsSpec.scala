@@ -262,4 +262,27 @@ class LogAnalyticsSpec extends GraftSpec {
     // lift = 1 * 3 / (2 * 2) = 0.75
     assert(got == Map(("click", "view") -> ((1L, 0.75))))
   }
+
+  test("lastTouchAttribution: credits the latest prior NON-conversion " +
+    "within the window; earlier conversions never absorb credit; no " +
+    "prior (or out-of-window) goes to (none)") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view", 0.0),
+      (1L, 50L, 2L, "purchase", 5.0),   // view@10 within 100 → view
+      (1L, 400L, 3L, "purchase", 7.0),  // view@10 gap 390 > 100 → none
+      (2L, 10L, 4L, "click", 0.0),
+      (2L, 20L, 5L, "purchase", 1.0),   // click
+      (2L, 30L, 6L, "purchase", 2.0),   // prior purchase skipped → click
+      (3L, 5L, 7L, "purchase", 9.0)     // no prior at all → none
+    ).toDF("user_id", "ep", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = LogAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "value", "purchase", windowSec = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "view" -> ((1L, 5.0)),
+      "click" -> ((2L, 3.0)),
+      "(none)" -> ((2L, 16.0))), got)
+  }
 }

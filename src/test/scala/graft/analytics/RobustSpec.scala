@@ -39,6 +39,28 @@ class RobustSpec extends GraftSpec {
     assert(r.getDouble(6) == 4.25)
   }
 
+  test("madOutliers: rank-exact median and MAD, the 3.5 modified-z rule, " +
+    "zero-MAD degenerate flags every non-median value") {
+    // group a: 1..9 plus a wild outlier — median of 10 values is the
+    // 5th (rank ceil(0.5*10)=5), deviations re-rank the same way
+    val rows = ((1 to 9).map(i => ("a", i.toDouble, i.toLong)) :+
+      (("a", 1000.0, 10L))) ++
+      Seq(("z", 5.0, 1L), ("z", 5.0, 2L), ("z", 5.0, 3L), ("z", 9.0, 4L))
+    val got = Robust.madOutliers(rows.toDF("g", "value", "id"),
+        "g", "value", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got("a")._1 == 10L)
+    assert(got("a")._2 == 5.0, "median is the rank-5 value")
+    // deviations from 5: 4,3,2,1,0,1,2,3,4,995 sorted → 5th is 2
+    assert(got("a")._3 == 2.0, "MAD is the rank-5 deviation")
+    // flags: 0.6745*|v-5| > 3.5*2 = 7 → |v-5| > 10.378 → only the 1000
+    assert(got("a")._4 == 1L)
+    // group z: median 5, MAD 0 → every non-median value flags
+    assert(got("z") == ((4L, 5.0, 0.0, 1L)))
+  }
+
   test("decimal fold: identical output at 1 and 11 partitions") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.tabulate(300)(i =>

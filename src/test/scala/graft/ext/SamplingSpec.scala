@@ -347,4 +347,29 @@ class SamplingSpec extends GraftSpec {
       }.map(_.getLong(0)).toSet
     assert(kept == expected)
   }
+
+  test("weightedTake: reproducible, weight-monotone, salt-sensitive; " +
+    "non-positive weights drop; plans as TakeOrdered") {
+    val df = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
+      .toDF("doc_id", "w")
+    def take(dfIn: org.apache.spark.sql.DataFrame, salt: String = "es42") =
+      Sampling.weightedTake(dfIn, col("w"), "doc_id", k = 20, salt)
+    val first = take(df).collect().map(_.getLong(0)).toSeq
+    assert(first == take(df.repartition(7)).collect()
+      .map(_.getLong(0)).toSeq, "partitioning-invariant")
+    assert(first != take(df, salt = "other").collect()
+      .map(_.getLong(0)).toSeq, "salt changes the draw")
+    // monotone: boosting an absent row's weight massively pulls it in
+    val out = first.toSet
+    val absent = (1L to 200L).find(!out.contains(_)).get
+    val boosted = df.withColumn("w",
+      when(col("doc_id") === absent, lit(1.0e6)).otherwise(col("w")))
+    assert(take(boosted).collect().map(_.getLong(0)).contains(absent))
+    // zero weights never sampled
+    val zeroed = df.withColumn("w",
+      when(col("doc_id") <= 100L, lit(0.0)).otherwise(col("w")))
+    assert(take(zeroed).collect().forall(_.getLong(0) > 100L))
+    val plan = take(df).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+  }
 }
