@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.{LogAnalytics, Robust, Rollup, TimeSeries, Trend}
+import graft.analytics.{LogAnalytics, Robust, Rollup, StatsTests, TimeSeries, Trend}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
@@ -2240,6 +2240,28 @@ object SparkEntry {
       Robust.madOutliers(
         t(s, d, "events"), "event_type", "value", "event_id")
         .orderBy(col("event_type").asc)),
+
+    // X+/S — Pearson χ² independence of event type vs day-of-week
+    // (arithmetic dow — no engine week-start convention): exact cell
+    // counts, margins re-aggregated from cells, decimal term fold.
+    "q166_chi2_independence" -> ((s, d) =>
+      StatsTests.chiSquared(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        col("event_type"),
+        pmod(floor(col("ts").cast("long") / lit(86400L)), lit(7L)))),
+
+    // X+/S — Benford leading-digit audit of event values: arithmetic
+    // digit extraction, expected shares as generated plan/oracle
+    // literals, per-digit χ² contributions.
+    "q167_benford" -> ((s, d) =>
+      StatsTests.benfordProfile(t(s, d, "events"), col("value"))),
+
+    // X+/W2 — exact trailing-7-day distinct actives per active day via
+    // contribution fan-out (dedup to user-days, explode each into the
+    // ≤7 window-ends it serves — one day-keyed shuffle, no self-join).
+    "q168_rolling_active" -> ((s, d) =>
+      TimeSeries.rollingDistinctUsers(
+        t(s, d, "events"), "user_id", "ts", windowDays = 7)),
 
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
@@ -5245,6 +5267,56 @@ object SparkEntry {
         |FROM base b JOIN med m ON b.g = m.g JOIN mad d ON b.g = d.g
         |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
 
+    // q166: same cells→margins→expected algebra, decimal term fold.
+    "q166_chi2_independence" ->
+      """WITH base AS (
+        |  SELECT event_type AS a,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS b
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |          FROM base GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+        |               CAST(count(DISTINCT b) AS BIGINT) AS n_cols
+        |        FROM cells),
+        |dense AS (
+        |  SELECT r.a, cl.b, r.rt, cl.ct, coalesce(c.o, 0) AS o
+        |  FROM rt r CROSS JOIN ct cl
+        |  LEFT JOIN cells c ON c.a = r.a AND c.b = cl.b),
+        |terms AS (
+        |  SELECT n, n_rows, n_cols,
+        |         CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |                    / e, 12) AS DECIMAL(38,12)) AS t
+        |  FROM (SELECT d.o,
+        |               CAST(d.rt AS DOUBLE) * CAST(d.ct AS DOUBLE)
+        |                 / CAST(tt.n AS DOUBLE) AS e,
+        |               tt.n, tt.n_rows, tt.n_cols
+        |        FROM dense d CROSS JOIN tot tt))
+        |SELECT n, n_rows, n_cols,
+        |       (n_rows - 1) * (n_cols - 1) AS dof,
+        |       round(CAST(sum(t) AS DOUBLE), 6) AS chi2
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // q167: generated — the Benford expectations are the SAME doubles
+    // the plan folds (see benfordOracleSql).
+    "q167_benford" -> benfordOracleSql,
+
+    // q168: same user-day dedup + window-end fan-out + active-day gate.
+    "q168_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |act AS (SELECT DISTINCT d AS e FROM pairs),
+        |fan AS (SELECT u, unnest(range(d, d + 7)) AS e FROM pairs),
+        |j AS (SELECT f.u, f.e FROM fan f JOIN act ON act.e = f.e)
+        |SELECT strftime(make_timestamp(e * 86400 * 1000000), '%Y-%m-%d')
+        |         AS day,
+        |       CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        |FROM j GROUP BY e ORDER BY day""".stripMargin,
+
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.
     "q155_triangles" ->
@@ -5473,6 +5545,32 @@ object SparkEntry {
       |       round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
       |             / 2.0, 6) AS js
       |FROM h""".stripMargin
+
+  /** q167's oracle — generated so the Benford expectations
+    * (`log10(1+1/d)`) are the SAME doubles the plan carries. */
+  private val benfordOracleSql: String = {
+    val exp = graft.analytics.StatsTests.benfordExpected
+    val caseExpr = (1 to 9).map(dd =>
+      s"WHEN digit = $dd THEN CAST(${exp(dd - 1).toString} AS DOUBLE)")
+      .mkString("CASE ", " ", " END")
+    s"""WITH b AS (
+       |  SELECT CAST(floor(v / pow(CAST(10.0 AS DOUBLE), floor(log10(v))))
+       |              AS INTEGER) AS digit
+       |  FROM (SELECT CAST(value AS DOUBLE) AS v FROM events)
+       |  WHERE v IS NOT NULL AND v > 0),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+       |      FROM b GROUP BY digit),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+       |e AS (SELECT digit, n_obs, n, $caseExpr AS pexp
+       |      FROM c CROSS JOIN t)
+       |SELECT digit, n_obs,
+       |       round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+       |       round(pexp, 6) AS p_benford,
+       |       round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - pexp)
+       |             * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - pexp)
+       |             * CAST(n AS DOUBLE) / pexp, 6) AS chi2_term
+       |FROM e ORDER BY digit""".stripMargin
+  }
 
   /** q157/q162's shared link build: customers vs the content-perturbed
     * even-key copy, nation-blocked, best match at threshold 4. */

@@ -1,0 +1,108 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Classical statistical screens over event data — the χ² independence
+ * test ("does the event mix change by day of week?") and a Benford
+ * leading-digit audit ("do these amounts look organically generated?").
+ * Both are data-quality instruments a pipeline runs before trusting a
+ * source: independence drift flags logging changes, Benford deviation
+ * flags synthetic/fabricated numeric columns (Nigrini's forensic
+ * standard).
+ *
+ * Reference scope: extends the reference's static grouped counting
+ * (`/root/reference/sree-etl-tdk-glue-job.py:51-68`) with the tests a
+ * reviewer would run on those counts.
+ *
+ * Determinism: all counts are exact longs; per-cell float terms round
+ * to 12 dp and fold as DECIMAL(38,12) (partitioning-invariant); the
+ * Benford expectations are plan-time literals generated driver-side
+ * (`log10(1 + 1/d)` printed via Double.toString) that an oracle embeds
+ * verbatim.
+ */
+object StatsTests {
+
+  private val dec = DecimalType(38, 12)
+
+  /**
+   * Pearson χ² test of independence between two categorical columns:
+   * one pass for the cell counts, row/column margins re-aggregated from
+   * the CELLS (R + C rows — never a second data scan), expected counts
+   * `e = rowTot·colTot/n` in doubles, statistic `Σ (o−e)²/e` as a
+   * decimal fold. NULL categories drop. Returns one row:
+   * `(n, n_rows, n_cols, dof, chi2)` — compare `chi2` against the
+   * caller's critical value (the p-value lookup is a client-side table;
+   * shipping an incomplete-gamma implementation here would add a
+   * float-precision surface with no query-side value).
+   */
+  def chiSquared(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("_a").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("_b").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("_a")).as("n_rows"),
+      countDistinct(col("_b")).as("n_cols"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    // densify: UNOBSERVED cells still carry (0−e)²/e — dropping them
+    // understates the statistic exactly when association is strongest.
+    // rowTot × colTot is category²-sized, never data-sized.
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        round((col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e, 12).cast(dec).as("_t"))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(round(sum(col("_t")).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2"))
+  }
+
+  /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
+    * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
+    * the plan folds. */
+  def benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /**
+   * Leading-digit profile of a positive numeric column against
+   * Benford's law: per digit, the observed count and share, the
+   * expected share (plan literal), and the digit's χ² contribution
+   * `(p_obs − p_exp)²·n/p_exp`. Digits derive arithmetically
+   * (`⌊v/10^⌊log10 v⌋⌋` — no engine-specific float formatting); NULL /
+   * non-positive values drop. 9-row output, 6-dp shares.
+   */
+  def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counts = df.filter(v.isNotNull && v > 0.0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("_n"))
+    val expected = benfordExpected
+    val pExp = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d - 1))).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_exp", pExp)
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("_n").cast("double"), 6)
+          .as("p_obs"),
+        round(col("p_exp"), 6).as("p_benford"),
+        round(
+          (col("n_obs").cast("double") / col("_n").cast("double") -
+            col("p_exp")) *
+          (col("n_obs").cast("double") / col("_n").cast("double") -
+            col("p_exp")) *
+          col("_n").cast("double") / col("p_exp"), 6).as("chi2_term"))
+      .orderBy(col("digit").asc)
+  }
+}

@@ -67,4 +67,46 @@ object TimeSeries {
           "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
         col("_f").as(valueCol))
   }
+
+  /**
+   * Exact rolling `windowDays`-day distinct actors: for each day with
+   * ANY activity, how many distinct users were active in the trailing
+   * window ending that day. Sliding distinct is not associative, so the
+   * scalable exact shape is CONTRIBUTION FAN-OUT: dedup to `(user,
+   * day)` pairs (one hash aggregate — the big shrink), explode each
+   * pair into the ≤ `windowDays` window-end days it serves, and count
+   * distinct users per end day — one shuffle keyed by day, fan-out
+   * bounded by the window length, never a self-join of the raw events.
+   * Days with no activity of their own don't report (no row, rather
+   * than a carried count — the grid-fill composition is [[resampleLocf]]
+   * if a caller wants it). At whole-corpus scale swap the exact distinct
+   * for the mergeable-HLL rollup (q69's family) — same fan-out, sketch
+   * union instead of exact count.
+   *
+   * Returns `(day string, n_active)` ordered by day.
+   */
+  def rollingDistinctUsers(
+      df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
+    val pairs = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .distinct()
+    val activeDays = pairs.select(col("_d")).distinct()
+      .withColumnRenamed("_d", "_end")
+    pairs
+      .select(col("_u"),
+        explode(sequence(col("_d"),
+          col("_d") + lit((windowDays - 1).toLong))).as("_end"))
+      .join(activeDays, Seq("_end")) // only days with their own activity
+      .groupBy(col("_end"))
+      .agg(countDistinct(col("_u")).as("n_active"))
+      .select(
+        date_format(timestamp_seconds(col("_end") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("n_active"))
+      .orderBy(col("day").asc_nulls_last)
+  }
 }

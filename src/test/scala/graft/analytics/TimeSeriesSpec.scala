@@ -57,4 +57,23 @@ class TimeSeriesSpec extends GraftSpec {
       TimeSeries.resampleLocf(events, 0L)
     }
   }
+
+  test("rollingDistinctUsers: trailing-window distincts on active days " +
+    "only; same-day repeats dedup; window length honored") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val ev = Seq(
+      (1L, 0L), (1L, 100L),      // u1 twice on day 0 → one pair
+      (2L, 86400L),              // u2 on day 1
+      (1L, 8L * 86400L)          // u1 again on day 8 (outside day 1+7)
+    ).toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = TimeSeries.rollingDistinctUsers(ev, "user_id", "ts",
+        windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "1970-01-01" -> 1L,   // day 0: u1
+      "1970-01-02" -> 2L,   // day 1: u1 (day 0) + u2
+      "1970-01-09" -> 1L),  // day 8: only u1's new pair (day 1 aged out)
+      got)
+  }
 }
