@@ -2263,6 +2263,28 @@ object SparkEntry {
       TimeSeries.rollingDistinctUsers(
         t(s, d, "events"), "user_id", "ts", windowDays = 7)),
 
+    // X2+ — LIX readability per document (language-neutral: words per
+    // sentence + % long words; floor-1 sentences), zero-shuffle.
+    "q169_readability" -> ((s, d) =>
+      TextOps.readability(t(s, d, "documents"), "text")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_long"), col("lix"))
+        .orderBy(col("doc_id").asc)),
+
+    // X/S+X2 — the q166 χ² composed on a new domain: corpus-half ×
+    // term homogeneity (are the two halves drawn from one vocabulary
+    // distribution?); densified cells are the point — a term absent
+    // from one half IS the evidence.
+    "q170_term_homogeneity" -> ((s, d) =>
+      StatsTests.chiSquared(
+        t(s, d, "documents")
+          .withColumn("_c", when(col("doc_id") % 2 === 0, lit("a"))
+            .otherwise(lit("b")))
+          .select(col("_c"),
+            explode(TextOps.tokens(col("text"))).as("term")),
+        col("_c"), col("term"))),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5268,36 +5290,25 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
 
     // q166: same cells→margins→expected algebra, decimal term fold.
-    "q166_chi2_independence" ->
+    "q166_chi2_independence" -> chi2OracleSql(
       """WITH base AS (
         |  SELECT event_type AS a,
         |         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS b
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
-        |          FROM base GROUP BY 1, 2),
-        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
-        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |               CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
-        |               CAST(count(DISTINCT b) AS BIGINT) AS n_cols
-        |        FROM cells),
-        |dense AS (
-        |  SELECT r.a, cl.b, r.rt, cl.ct, coalesce(c.o, 0) AS o
-        |  FROM rt r CROSS JOIN ct cl
-        |  LEFT JOIN cells c ON c.a = r.a AND c.b = cl.b),
-        |terms AS (
-        |  SELECT n, n_rows, n_cols,
-        |         CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
-        |                    / e, 12) AS DECIMAL(38,12)) AS t
-        |  FROM (SELECT d.o,
-        |               CAST(d.rt AS DOUBLE) * CAST(d.ct AS DOUBLE)
-        |                 / CAST(tt.n AS DOUBLE) AS e,
-        |               tt.n, tt.n_rows, tt.n_cols
-        |        FROM dense d CROSS JOIN tot tt))
-        |SELECT n, n_rows, n_cols,
-        |       (n_rows - 1) * (n_cols - 1) AS dof,
-        |       round(CAST(sum(t) AS DOUBLE), 6) AS chi2
-        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+        |          FROM base GROUP BY 1, 2)""".stripMargin),
+
+    // q170: the SAME test composed on a new domain — two half-corpora ×
+    // term counts (χ² homogeneity; densified cells matter exactly here,
+    // where a term absent from one corpus is the signal).
+    "q170_term_homogeneity" -> chi2OracleSql(
+      """WITH base AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS a,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> length(x) > 0)) AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |          FROM base GROUP BY 1, 2)""".stripMargin),
 
     // q167: generated — the Benford expectations are the SAME doubles
     // the plan folds (see benfordOracleSql).
@@ -5316,6 +5327,29 @@ object SparkEntry {
         |         AS day,
         |       CAST(count(DISTINCT u) AS BIGINT) AS n_active
         |FROM j GROUP BY e ORDER BY day""".stripMargin,
+
+    // q169: same token/sentence/longword definitions, same guarded lix.
+    "q169_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CASE WHEN text IS NOT NULL THEN
+        |           greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+        |                         AS BIGINT), 1) END AS n_sentences,
+        |         CAST(len(list_filter(toks, x -> length(x) > 6))
+        |              AS BIGINT) AS n_long
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_long,
+        |       round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |             + CAST(100.0 AS DOUBLE) * CAST(n_long AS DOUBLE)
+        |               / nullif(CAST(n_words AS DOUBLE),
+        |                        CAST(0 AS DOUBLE)), 6) AS lix
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.
@@ -5545,6 +5579,36 @@ object SparkEntry {
       |       round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
       |             / 2.0, 6) AS js
       |FROM h""".stripMargin
+
+  /** The χ² margins→densify→fold tail shared by q166/q170: parameterized
+    * only by the CTE chain that defines `cells (a, b, o)` — replays
+    * [[graft.analytics.StatsTests.chiSquared]] including the zero-cell
+    * densification. */
+  private def chi2OracleSql(cellsCtes: String): String =
+    cellsCtes + """,
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+      |               CAST(count(DISTINCT b) AS BIGINT) AS n_cols
+      |        FROM cells),
+      |dense AS (
+      |  SELECT r.a, cl.b, r.rt, cl.ct, coalesce(c.o, 0) AS o
+      |  FROM rt r CROSS JOIN ct cl
+      |  LEFT JOIN cells c ON c.a = r.a AND c.b = cl.b),
+      |terms AS (
+      |  SELECT n, n_rows, n_cols,
+      |         CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+      |                    / e, 12) AS DECIMAL(38,12)) AS t
+      |  FROM (SELECT d.o,
+      |               CAST(d.rt AS DOUBLE) * CAST(d.ct AS DOUBLE)
+      |                 / CAST(tt.n AS DOUBLE) AS e,
+      |               tt.n, tt.n_rows, tt.n_cols
+      |        FROM dense d CROSS JOIN tot tt))
+      |SELECT n, n_rows, n_cols,
+      |       (n_rows - 1) * (n_cols - 1) AS dof,
+      |       round(CAST(sum(t) AS DOUBLE), 6) AS chi2
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin
 
   /** q167's oracle — generated so the Benford expectations
     * (`log10(1+1/d)`) are the SAME doubles the plan carries. */

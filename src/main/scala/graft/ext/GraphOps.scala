@@ -74,34 +74,42 @@ object GraphOps {
     // and (1-d)/N terms; the oracle computes the same values in-engine —
     // identical IEEE ops on identical inputs)
     val n = nodes.count().toDouble
-    val dec = DecimalType(38, 12)
-    val zeroDec = lit(BigDecimal(0).bigDecimal).cast(dec)
-
     var ranks = nodes.withColumn("r", round(lit(1.0) / lit(n), 9))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"),
-          round(col("r") / col("outdeg"), 12).cast(dec).as("_t"))
-        .groupBy("node").agg(sum(col("_t")).as("_c"))
-      val dangling = ranks
-        .join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(round(col("r"), 12).cast(dec)), zeroDec).as("_dm"))
       // cut each iteration's ranks: the frame feeds BOTH the next
       // contribution join and the next dangling aggregate — uncut, the
       // rank lineage would recompute 2^iters times
-      ranks = Materialize.cut(nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          round(
-            (lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
-              (coalesce(col("_c").cast("double"), lit(0.0)) +
-                col("_dm").cast("double") / lit(n)),
-            9).as("r")))
+      ranks = Materialize.cut(pageRankStep(e, deg, nodes, ranks, n, damping))
     }
     ranks
+  }
+
+  /** One power iteration (uncut — [[pageRank]] materializes each round;
+    * package-visible so the plan audit can pin the round's join shape
+    * the way it pins the components round). */
+  private[graft] def pageRankStep(
+      e: DataFrame, deg: DataFrame, nodes: DataFrame, ranks: DataFrame,
+      n: Double, damping: Double): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val zeroDec = lit(BigDecimal(0).bigDecimal).cast(dec)
+    val contrib = e
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("node"),
+        round(col("r") / col("outdeg"), 12).cast(dec).as("_t"))
+      .groupBy("node").agg(sum(col("_t")).as("_c"))
+    val dangling = ranks
+      .join(deg, ranks("node") === deg("src"), "left_anti")
+      .agg(coalesce(sum(round(col("r"), 12).cast(dec)), zeroDec).as("_dm"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"),
+        round(
+          (lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
+            (coalesce(col("_c").cast("double"), lit(0.0)) +
+              col("_dm").cast("double") / lit(n)),
+          9).as("r"))
   }
 
   /**

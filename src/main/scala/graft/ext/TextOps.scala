@@ -599,4 +599,34 @@ object TextOps {
         md5(concat_ws(" ", transform(col("_ids"), _.cast("string")))
           .cast("binary")).as("ids_md5"))
   }
+
+  /**
+   * LIX readability (Björnsson 1968 — language-neutral, no syllable
+   * heuristics): `words/sentences + 100·longwords/words`, where a long
+   * word has > 6 characters and sentences count terminal punctuation
+   * (`.`/`!`/`?`, floor 1 so headline-style fragments read as one
+   * sentence). Word = whitespace token ([[tokens]] — punctuation stays
+   * attached; the SAME definition on both engine and oracle is the
+   * contract, not linguistic precision). Zero-word texts yield NULL.
+   * Conventional bands: < 40 easy, > 60 very hard — the quick prose-
+   * difficulty facet next to [[qualityScore]]'s spam facets.
+   *
+   * Returns `(n_words, n_sentences, n_long, lix)` columns appended via
+   * one narrow zero-shuffle projection.
+   */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = size(toks).cast("long")
+    val s = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]"), lit(0)))
+        .cast("long"), lit(1L))
+    val lw = size(filter(toks, t => length(t) > 6)).cast("long")
+    df.withColumn("n_words", w)
+      .withColumn("n_sentences", when(col(textCol).isNotNull, s))
+      .withColumn("n_long", lw)
+      .withColumn("lix", round(
+        col("n_words").cast("double") / col("n_sentences").cast("double") +
+          lit(100.0) * col("n_long").cast("double") /
+            nullif(col("n_words").cast("double"), lit(0.0)), 6))
+  }
 }

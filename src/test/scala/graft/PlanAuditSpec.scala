@@ -536,17 +536,33 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
-  test("q145: every PageRank iteration is equi-joins + hash aggregates — " +
-    "no cartesian even with broadcast off (the 1-row dangling frame is " +
+  test("q145: the PageRank round is equi-joins + hash aggregates — no " +
+    "cartesian even with broadcast off (the 1-row dangling frame is " +
     "the only nested-loop, and it is explicitly broadcast)") {
+    // the per-iteration frames are materialized (lineage cuts), so the
+    // declared query's final plan is a checkpoint scan — pin the ROUND
+    // itself, the q37 componentsStep precedent
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan("q145_pagerank")
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      val deg = e.groupBy("src")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("outdeg"))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val ranks = nodes.withColumn("r",
+        org.apache.spark.sql.functions.lit(1.0 / 3))
+      val p = graft.ext.GraphOps
+        .pageRankStep(e, deg, nodes, ranks, 3.0, 0.85)
+        .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"pagerank went all-pairs:\n$p")
-      // the dangling-mass scalar rides a broadcast nested loop (1 row);
-      // every rank×edge join must stay hash/sort equi
-      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("HashAggregate"), p)
+      // exactly one nested loop: the broadcast 1-row dangling scalar
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -600,5 +616,37 @@ class PlanAuditSpec extends GraftSpec {
       assert(!p.contains("Join"), s"$k grew a join:\n$p")
       assert(p.contains("HashAggregate"), s"$k:\n$p")
     }
+  }
+
+  test("q163/q164/q168: attribution windows stay user-keyed, the " +
+    "weighted sample is TakeOrdered, the rolling-active fan-out never " +
+    "self-joins the raw events") {
+    val p163 = plan("q163_attribution")
+    assert("windowspecdefinition\\(\\s*specifiedwindowframe".r
+      .findFirstIn(p163).isEmpty, s"attribution window lost its key:\n$p163")
+    assert(!p163.contains("CartesianProduct"), p163)
+    val p164 = plan("q164_weighted_sample")
+    assert(p164.contains("TakeOrdered"), p164)
+    assert(!p164.contains("Join"), p164)
+    val p168 = plan("q168_rolling_active")
+    assert(!p168.contains("CartesianProduct")
+      && !p168.contains("BroadcastNestedLoopJoin"),
+      s"rolling actives degenerated to all-pairs:\n$p168")
+    assert(p168.contains("Generate"), s"fan-out explode missing:\n$p168")
+  }
+
+  test("q166/q170: chi-squared densification is category-sized — the " +
+    "only nested-loop is the margins cross join (R×C), the 1-row " +
+    "totals broadcast; q169 readability is a pure narrow projection") {
+    Seq("q166_chi2_independence", "q170_term_homogeneity").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+      assert(p.contains("HashAggregate"), s"$k:\n$p")
+    }
+    val p169 = plan("q169_readability")
+    assert(!p169.contains("Exchange") ||
+      "Exchange ".r.findAllIn(p169).size == 1, // only the output sort
+      s"readability shuffled beyond the output sort:\n$p169")
+    assert(!p169.contains("Join"), p169)
   }
 }

@@ -378,4 +378,27 @@ class TextOpsSpec extends GraftSpec {
       assert(merged == full, s"split drifted: $merged vs $full")
     }
   }
+
+  test("readability: hand-computed LIX, floor-1 sentences, NULL and " +
+    "empty texts degrade to NULL lix") {
+    val docs = Seq(
+      // 8 words, 2 sentences, 2 long (>6 chars incl. punctuation)
+      (1L, "the reading carefully. measured text is quite plain?"),
+      (2L, "no terminal punctuation here"), // 4 words, floor-1 sentence
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "text")
+      .select("doc_id", "n_words", "n_sentences", "n_long", "lix")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L).getLong(1) == 8L && got(1L).getLong(2) == 2L)
+    assert(got(1L).getLong(3) == 3L, "reading + carefully. + measured")
+    assert(got(1L).getDouble(4) == r6(8.0 / 2.0 + 100.0 * 3.0 / 8.0))
+    assert(got(2L).getLong(2) == 1L, "sentence floor")
+    assert(got(2L).getLong(3) == 2L, "terminal + punctuation")
+    assert(got(2L).getDouble(4) == r6(4.0 + 100.0 * 2.0 / 4.0))
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4))
+    assert(got(4L).isNullAt(4))
+  }
 }
