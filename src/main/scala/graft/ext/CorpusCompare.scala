@@ -123,6 +123,46 @@ object CorpusCompare {
       countsB.withColumnRenamed("n", "cq"), alpha))
   }
 
+  /** Two-sample χ² homogeneity over precomputed count frames — the
+    * significance-scaled companion to [[jsDivergenceFromCounts]] (JS
+    * says HOW FAR, χ² says whether the gap outruns sampling noise at
+    * these corpus sizes). Densified by construction: the full-outer
+    * term join keeps zero cells, and the fold is
+    * [[graft.analytics.StatsTests.chiSquared]] over the long-format
+    * cells. Returns its `(n, n_rows, n_cols, dof, chi2)` row
+    * (n_rows = 2 sides, n_cols = union vocabulary). */
+  def chiSquaredFromCounts(
+      countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val cells = countsA
+      .select(lit("a").as("_side"), col("term"), col("n"))
+      .unionByName(countsB
+        .select(lit("b").as("_side"), col("term"), col("n")))
+      .filter(col("n") > 0)
+      // StatsTests.chiSquared counts raw ROWS; here the cells arrive
+      // pre-counted, so its margins→densify→fold algebra is replicated
+      // over the weighted cells (vocabulary-sized throughout)
+      .groupBy(col("_side"), col("term")).agg(sum(col("n")).as("o"))
+    val rowTot = cells.groupBy("_side").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("term").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("_side")).as("n_rows"),
+      countDistinct(col("term")).as("n_cols"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("_side", "term"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        round((col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e, 12).cast(dec).as("_t"))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(round(sum(col("_t")).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2"))
+  }
+
   /**
    * The `k` terms contributing most to the divergence, with their
    * per-corpus counts and signed drift direction (`p > q` ⇒ the term is

@@ -62,6 +62,15 @@ object StreamingDrift {
     CorpusCompare.jsDivergenceFromCounts(
       referenceCounts, loadCounts(spark, indexPath), alpha)
 
+  /** χ² homogeneity of the streamed corpus against the reference counts
+    * — [[driftAgainst]]'s significance-scaled companion (JS says how
+    * far, χ² whether the gap outruns sampling noise at these sizes). */
+  def driftChi2(
+      spark: SparkSession, indexPath: String,
+      referenceCounts: DataFrame): DataFrame =
+    CorpusCompare.chiSquaredFromCounts(
+      referenceCounts, loadCounts(spark, indexPath))
+
   /** Rewrite the accumulated per-batch partials as ONE folded partition
     * in `batch=<max committed id>` — marker preservation keeps the
     * replay skip alive across the rewrite ([[StreamingTrend

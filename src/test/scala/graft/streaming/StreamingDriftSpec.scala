@@ -57,6 +57,23 @@ class StreamingDriftSpec extends GraftSpec {
     assert(!StreamingDrift.appendBatch(odd.limit(5), path, 2L))
     assert(driftRow == expected)
 
+    // the χ² view reads the SAME folded counts and equals the batch
+    // homogeneity test over the same two corpora (q170's algebra)
+    val chi = StreamingDrift.driftChi2(spark, path, refCounts)
+      .collect().head
+    val batchChi = graft.analytics.StatsTests.chiSquared(
+        even.select($"doc_id", $"text")
+          .withColumn("_c", org.apache.spark.sql.functions.lit("a"))
+          .unionByName(odd.select($"doc_id", $"text")
+            .withColumn("_c", org.apache.spark.sql.functions.lit("b")))
+          .select($"_c", org.apache.spark.sql.functions.explode(
+            graft.ext.TextOps.tokens($"text")).as("term")),
+        $"_c", $"term")
+      .collect().head
+    assert(chi.getLong(0) == batchChi.getLong(0), "total tokens")
+    assert(chi.getLong(3) == batchChi.getLong(3), "dof")
+    assert(chi.getDouble(4) == batchChi.getDouble(4), "chi2")
+
     // a genuinely new batch moves the live side like a batch recount
     val extra = Seq((99999L, "zzz-drift zzz-drift zzz-drift"))
       .toDF("doc_id", "text")
