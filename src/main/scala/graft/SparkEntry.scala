@@ -2285,6 +2285,27 @@ object SparkEntry {
             explode(TextOps.tokens(col("text"))).as("term")),
         col("_c"), col("term"))),
 
+    // X3+/W2 — behavioral similarity via sparse cosine over the
+    // inverted (user × event-type count) features: pairs meet only
+    // through shared features, dots from exact counts, top-3 per user.
+    "q171_similar_users" -> ((s, d) => {
+      val feats = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      Similarity.sparseCosineTopK(feats, "user_id", "event_type", "c",
+          k = 3)
+        .filter(col("q_id") < 20)
+        .orderBy(col("q_id").asc, col("rank").asc)
+    }),
+
+    // X+ — association rules over user × event-type baskets
+    // (support/confidence/lift per ordered pair at joint support ≥ 5).
+    "q172_assoc_rules" -> ((s, d) =>
+      Mining.associationRules(
+        t(s, d, "events"), "user_id", "event_type", minSupport = 5L)
+        .orderBy(col("antecedent").asc, col("consequent").asc)),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5350,6 +5371,63 @@ object SparkEntry {
         |               / nullif(CAST(n_words AS DOUBLE),
         |                        CAST(0 AS DOUBLE)), 6) AS lix
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q171: same inverted-feature join, exact-count dots, both pair
+    // orientations unioned before the per-query rank.
+    "q171_similar_users" ->
+      """WITH f AS (
+        |  SELECT user_id AS id, event_type AS ft,
+        |         CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nr AS (SELECT id, sqrt(sum(v * v)) AS nn FROM f GROUP BY id),
+        |dt AS (
+        |  SELECT a.id AS ua, b.id AS ub, sum(a.v * b.v) AS d
+        |  FROM f a JOIN f b ON a.ft = b.ft AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT ua, ub,
+        |         round(d / nullif(na.nn * nb.nn, CAST(0 AS DOUBLE)), 6)
+        |           AS sim
+        |  FROM dt JOIN nr na ON na.id = dt.ua
+        |  JOIN nr nb ON nb.id = dt.ub),
+        |bo AS (SELECT ua AS q_id, ub AS nn_id, sim FROM s
+        |       UNION ALL SELECT ub, ua, sim FROM s),
+        |r AS (
+        |  SELECT q_id, nn_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY sim DESC, nn_id)
+        |              AS BIGINT) AS rank
+        |  FROM bo)
+        |SELECT q_id, nn_id, sim, rank FROM r
+        |WHERE rank <= 3 AND q_id < 20
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q172: same basket dedup, joint/margin counts, one-division ratios.
+    "q172_assoc_rules" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id AS b, event_type AS i
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM m GROUP BY i),
+        |tt AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM m),
+        |j AS (
+        |  SELECT a.i AS antecedent, c.i AS consequent,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM m a JOIN m c ON a.b = c.b AND a.i <> c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT j.antecedent, j.consequent, j.n_ab,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(tt.n AS DOUBLE), 6)
+        |         AS support,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(na.ni AS DOUBLE), 6)
+        |         AS confidence,
+        |       round(CAST(n_ab AS DOUBLE) * CAST(tt.n AS DOUBLE)
+        |             / (CAST(na.ni AS DOUBLE) * CAST(nb.ni AS DOUBLE)), 6)
+        |         AS lift
+        |FROM j JOIN itn na ON na.i = j.antecedent
+        |JOIN itn nb ON nb.i = j.consequent CROSS JOIN tt
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

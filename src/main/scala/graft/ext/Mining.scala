@@ -141,4 +141,56 @@ object Mining {
       }
       .toDF("q_id", "nn_id", "mmr_rank", "score")
   }
+
+  /**
+   * Association rules over `(basket, item)` memberships — Agrawal &
+   * Srikant's support/confidence/lift for every ORDERED item pair whose
+   * joint support clears `minSupport` baskets: the co-consumption
+   * signal behind "users who did A also did B" and source-mix analyses.
+   * Duplicate memberships collapse first (support counts BASKETS).
+   *
+   *   support(a→b)    = n_ab / n_baskets
+   *   confidence(a→b) = n_ab / n_a
+   *   lift(a→b)       = n_ab·n_baskets / (n_a·n_b)   (> 1 ⇒ positive
+   *                      association; symmetric, but confidence isn't)
+   *
+   * All three are single IEEE divisions of exact longs, 6-dp. Shape at
+   * scale: one dedup aggregate, a basket-keyed self-join bounded by
+   * per-basket item counts (the [[GraphOps.coOccurrence]] cost note
+   * applies — cap degenerate hot baskets upstream), item-keyed margin
+   * joins, and a broadcast 1-row basket total.
+   *
+   * Returns `(antecedent, consequent, n_ab, support, confidence,
+   * lift)`.
+   */
+  def associationRules(
+      memberships: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val m = memberships
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .filter(col("_b").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val itemN = m.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+    val total = m.agg(countDistinct(col("_b")).as("_n"))
+    val joint = m.as("a").join(m.as("b"),
+        col("a._b") === col("b._b") && col("a._i") =!= col("b._i"))
+      .groupBy(col("a._i").as("antecedent"), col("b._i").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    joint
+      .join(itemN.select(col("_i").as("antecedent"), col("_ni").as("_na")),
+        "antecedent")
+      .join(itemN.select(col("_i").as("consequent"), col("_ni").as("_nb")),
+        "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("_n").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("_na").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("_n").cast("double") /
+          (col("_na").cast("double") * col("_nb").cast("double")), 6)
+          .as("lift"))
+  }
 }

@@ -85,6 +85,58 @@ object Similarity {
    * Exact brute-force cosine top-k: every query vector against the whole
    * corpus. Queries are broadcast (small side); corpus partitions stream.
    */
+  /**
+   * Sparse cosine top-k over a long-format feature frame
+   * `(idCol, featCol, valCol)` — entity similarity when the vector
+   * space is a sparse vocabulary (users × event types, docs × terms,
+   * baskets × items) and densifying would be madness. The classic
+   * inverted-index shape: pairs meet ONLY through features they share
+   * (one equi-join keyed on the feature), dots are exact integer/long
+   * sums when the values are counts, and norms come from one per-entity
+   * aggregate. Pairs sharing no feature never materialize (their cosine
+   * is 0 — absent, not padded).
+   *
+   * Shape at scale: the feature-keyed self-join costs Σ per-feature
+   * count² — a HOT feature (a stop-word-like event every entity has) is
+   * the quadratic cliff; drop or downweight such features upstream
+   * (the df-cut every TF-IDF pipeline applies) or salt via [[SkewJoin]].
+   * Orientation `a < b` finds each pair once; `rank` is total
+   * (`sim desc, nn asc`). Returns `(q_id, nn_id, sim, rank)` with BOTH
+   * orientations of each surviving pair (so per-query top-k is
+   * complete), rank ≤ k.
+   */
+  def sparseCosineTopK(
+      features: DataFrame, idCol: String, featCol: String, valCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val f = features
+      .select(col(idCol).as("_id"), col(featCol).as("_f"),
+        col(valCol).cast("double").as("_v"))
+      .filter(col("_id").isNotNull && col("_f").isNotNull &&
+        col("_v").isNotNull && col("_v") =!= 0.0)
+    val norms = f.groupBy(col("_id"))
+      .agg(sqrt(sum(col("_v") * col("_v"))).as("_n"))
+    val dots = f.as("a")
+      .join(f.as("b"),
+        col("a._f") === col("b._f") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("_ua"), col("b._id").as("_ub"))
+      .agg(sum(col("a._v") * col("b._v")).as("_dot"))
+    val sims = dots
+      .join(norms.select(col("_id").as("_ua"), col("_n").as("_na")), "_ua")
+      .join(norms.select(col("_id").as("_ub"), col("_n").as("_nb")), "_ub")
+      .select(col("_ua"), col("_ub"),
+        round(col("_dot") / nullif(col("_na") * col("_nb"), lit(0.0)), 6)
+          .as("sim"))
+    val both = sims.select(col("_ua").as("q_id"), col("_ub").as("nn_id"),
+        col("sim"))
+      .unionByName(sims.select(col("_ub").as("q_id"),
+        col("_ua").as("nn_id"), col("sim")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    both.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

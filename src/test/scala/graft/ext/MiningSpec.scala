@@ -105,4 +105,25 @@ class MiningSpec extends GraftSpec {
       Mining.mmrDiversify(cands, lambda = 0.5, k = 0)
     }
   }
+
+  test("associationRules: textbook support/confidence/lift on a " +
+    "4-basket corpus; duplicates collapse; minSupport cuts") {
+    val m = Seq((1L, "A"), (1L, "B"), (1L, "B"), // dup membership
+      (2L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (4L, "C"))
+      .toDF("b", "i")
+    def rules(minSup: Long) =
+      Mining.associationRules(m, "b", "i", minSup)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    val all = rules(1L)
+    // n=4 baskets; n_A=3, n_B=3, n_C=1; AB together in 2, BC in 1
+    assert(all(("A", "B")) == ((2L, 0.5, 0.666667, 0.888889)))
+    assert(all(("B", "A"))._3 == 0.666667, "confidence is directional")
+    assert(all(("B", "C")) == ((1L, 0.25, 0.333333, 1.333333)))
+    assert(all(("C", "B")) == ((1L, 0.25, 1.0, 1.333333)))
+    assert(!all.contains(("A", "C")), "never co-basketed")
+    assert(rules(2L).keySet == Set(("A", "B"), ("B", "A")),
+      "minSupport cut")
+  }
 }

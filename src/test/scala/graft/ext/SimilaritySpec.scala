@@ -56,4 +56,25 @@ class SimilaritySpec extends GraftSpec {
       threshold = 0.0)
     assert(pairs.filter(col("a_id") === 99L || col("b_id") === 99L).count() == 0)
   }
+
+  test("sparseCosineTopK: parallel sparse vectors score 1, disjoint " +
+    "supports never pair, ties break by neighbor id, both orientations " +
+    "rank") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, "x", 1L), (1L, "y", 2L),
+      (2L, "x", 2L), (2L, "y", 4L), // parallel to user 1
+      (3L, "z", 5L),                // shares nothing
+      (4L, "x", 3L)
+    ).toDF("id", "ft", "v")
+    val got = Similarity.sparseCosineTopK(f, "id", "ft", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got((1L, 1L)) == ((2L, 1.0)), "parallel vectors")
+    assert(got((2L, 1L)) == ((1L, 1.0)))
+    assert(!got.keySet.exists(_._1 == 3L), "disjoint support: no pairs")
+    // u4 vs u1 and u2: 3/(√5·3) = 6/(√20·3) = .447214 — tie → smaller id
+    assert(got((4L, 1L)) == ((1L, 0.447214)))
+    assert(got((4L, 2L)) == ((2L, 0.447214)))
+  }
 }
