@@ -2306,6 +2306,41 @@ object SparkEntry {
         t(s, d, "events"), "user_id", "event_type", minSupport = 5L)
         .orderBy(col("antecedent").asc, col("consequent").asc)),
 
+    // X2+ — KWIC snippets for the q85 retrieval's top-10: the ±3-token
+    // window around each hit's first query-term occurrence.
+    "q173_snippets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hits = TextSearch.bm25TopK(docs, "doc_id", "text",
+          query = "dup key window", k = 10)
+        .select(col("doc_id"), col("rank"))
+      hits.join(
+          TextSearch.kwicSnippets(docs, "doc_id", "text",
+            query = "dup key window", context = 3),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("rank"), col("pos"), col("snippet"))
+        .orderBy(col("rank").asc)
+    }),
+
+    // X3+ — semantic drift between the embedding half-corpora: cosine
+    // and L2 between the per-dimension mean vectors (the embedding-
+    // space companion to q158's lexical JS).
+    "q174_centroid_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0), "embedding")
+    }),
+
+    // X+/S — total-variation distance between the view and purchase
+    // value distributions (width-5 bins over the union bin set).
+    "q175_tv_distance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StatsTests.tvDistance(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        col("value"), binWidth = 5.0)
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -2402,7 +2437,9 @@ object SparkEntry {
     * scan) and q94 (persisted inverted index): both probe paths fold
     * through TextSearch.rankCore, so they must produce this identical
     * exact result. */
-  private val bm25OracleSql: String =
+  /** The BM25 CTE chain up to the per-doc aggregate — shared by
+    * q85/q94's ranked tail and q173's snippet tail. */
+  private val bm25CtesSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |                       x -> length(x) > 0) AS t
@@ -2431,11 +2468,39 @@ object SparkEntry {
       |agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
       |         round(sum(s), 6) AS score
-      |  FROM scored GROUP BY doc_id)
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private val bm25OracleSql: String =
+    bm25CtesSql + """
       |SELECT doc_id, matched, score,
       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |         AS rank
       |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q173's oracle — the q85 ranking joined to the same first-hit KWIC
+    * window: min list_position across the query terms (0 = absent →
+    * nullif), ±3 tokens via the clamped slice. */
+  private val snippetsOracleSql: String =
+    bm25CtesSql + """,
+      |rk AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |              AS BIGINT) AS rank
+      |  FROM agg ORDER BY rank LIMIT 10),
+      |sn AS (
+      |  SELECT t.doc_id,
+      |         least(nullif(list_position(t.t, 'dup'), 0),
+      |               nullif(list_position(t.t, 'key'), 0),
+      |               nullif(list_position(t.t, 'window'), 0)) AS pos,
+      |         t.t
+      |  FROM toks t)
+      |SELECT r.doc_id, r.rank, CAST(sn.pos AS BIGINT) AS pos,
+      |       array_to_string(
+      |         array_slice(sn.t, greatest(sn.pos - 3, 1), sn.pos + 3),
+      |         ' ') AS snippet
+      |FROM rk r JOIN sn ON sn.doc_id = r.doc_id
+      |WHERE sn.pos IS NOT NULL
+      |ORDER BY r.rank""".stripMargin
 
   /** Two-pass prefix-blocked Levenshtein pairs — shared by q102 (self-
     * contained) and q111 (persisted block index), which must produce the
@@ -5428,6 +5493,66 @@ object SparkEntry {
         |FROM j JOIN itn na ON na.i = j.antecedent
         |JOIN itn nb ON nb.i = j.consequent CROSS JOIN tt
         |ORDER BY antecedent, consequent""".stripMargin,
+
+    // q173: the q85 chain's top-10 joined to the same first-hit window.
+    "q173_snippets" -> snippetsOracleSql,
+
+    // q174: the q151 stats chain per half, dim-joined, decimal sums.
+    "q174_centroid_drift" ->
+      """WITH ea AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+        |eb AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 <> 0),
+        |sa AS (SELECT dim, round(avg(v), 9) AS ma FROM ea
+        |       WHERE v IS NOT NULL GROUP BY dim),
+        |sb AS (SELECT dim, round(avg(v), 9) AS mb FROM eb
+        |       WHERE v IS NOT NULL GROUP BY dim),
+        |j AS (SELECT sa.dim, ma, mb FROM sa JOIN sb USING (dim)),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |         sum(CAST(round(ma * mb, 12) AS DECIMAL(38,12))) AS ab,
+        |         sum(CAST(round(ma * ma, 12) AS DECIMAL(38,12))) AS aa,
+        |         sum(CAST(round(mb * mb, 12) AS DECIMAL(38,12))) AS bb,
+        |         sum(CAST(round((ma - mb) * (ma - mb), 12)
+        |                  AS DECIMAL(38,12))) AS d2
+        |  FROM j)
+        |SELECT n_dims,
+        |       round(CAST(ab AS DOUBLE) /
+        |             nullif(sqrt(CAST(aa AS DOUBLE))
+        |                    * sqrt(CAST(bb AS DOUBLE)),
+        |                    CAST(0 AS DOUBLE)), 6) AS cosine,
+        |       round(sqrt(CAST(d2 AS DOUBLE)), 6) AS l2
+        |FROM m""".stripMargin,
+
+    // q175: same union-bin shares and decimal |p−q| fold.
+    "q175_tv_distance" ->
+      """WITH ba AS (
+        |  SELECT floor(CAST(value AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS bin,
+        |         CAST(count(*) AS BIGINT) AS ca
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT floor(CAST(value AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS bin,
+        |         CAST(count(*) AS BIGINT) AS cb
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ba FULL OUTER JOIN bb USING (bin)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb,
+        |               CAST(count(*) AS BIGINT) AS n_bins
+        |        FROM j)
+        |SELECT tot.n_bins, tot.na, tot.nb,
+        |       round(CAST(0.5 AS DOUBLE) *
+        |             CAST(sum(CAST(round(abs(
+        |               CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE)
+        |               - CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6) AS tv
+        |FROM j CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -66,6 +66,38 @@ object StatsTests {
         col("chi2"))
   }
 
+  /**
+   * Total-variation distance between two samples' binned value
+   * distributions: fixed-width bins (`⌊v/binWidth⌋`), per-sample shares
+   * from exact counts over the UNION bin set (an absent bin is share
+   * 0 — the full-outer join keeps it), `TV = ½·Σ|p−q|` with 12-dp
+   * decimal terms. The numeric-drift companion to the χ² tests: TV is
+   * a bounded [0,1] DISTANCE (how much probability mass moved), χ² a
+   * significance statistic. NULL values drop. Returns one row
+   * `(n_bins, na, nb, tv)`.
+   */
+  def tvDistance(
+      a: DataFrame, b: DataFrame, value: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0.0, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, out: String): DataFrame =
+      df.select(floor(value.cast("double") / lit(binWidth)).as("_bin"))
+        .filter(col("_bin").isNotNull)
+        .groupBy("_bin").agg(count(lit(1)).as(out))
+    val joined = bins(a, "ca").join(bins(b, "cb"), Seq("_bin"), "full_outer")
+      .select(col("_bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("n_bins"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("n_bins"), col("na"), col("nb"),
+        round(abs(col("ca").cast("double") / col("na").cast("double") -
+          col("cb").cast("double") / col("nb").cast("double")), 12)
+          .cast(dec).as("_t"))
+      .groupBy(col("n_bins"), col("na"), col("nb"))
+      .agg(round(lit(0.5) * sum(col("_t")).cast("double"), 6).as("tv"))
+  }
+
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
     * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
     * the plan folds. */

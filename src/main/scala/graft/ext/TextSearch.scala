@@ -308,6 +308,34 @@ object TextSearch {
   }
 
   /**
+   * KWIC (keyword-in-context) snippets: per document, the ±`context`
+   * token window around the FIRST occurrence of any query term — the
+   * "why did this match" string a retrieval result page shows next to
+   * each hit. First = the minimum `array_position` across the
+   * tokenized query terms (absent terms drop via the 0→NULL map;
+   * `least` ignores NULLs in both engines); documents matching no term
+   * emit nothing. The slice clamps at the document edges. Zero-shuffle
+   * narrow projection; compose downstream of [[bm25TopK]]'s rank cut.
+   *
+   * Returns `(idCol, pos, snippet)` for matching documents.
+   */
+  def kwicSnippets(
+      docs: DataFrame, idCol: String, textCol: String, query: String,
+      context: Int = 3): DataFrame = {
+    require(context >= 0, s"context must be non-negative, got $context")
+    val terms = queryTerms(query)
+    val toks = TextOps.tokens(col(textCol))
+    val pos = least(terms.map(t =>
+      nullif(array_position(toks, t), lit(0L))): _*)
+    val start = greatest(col("pos") - context, lit(1L)).cast("int")
+    docs.select(col(idCol), pos.as("pos"), toks.as("_t"))
+      .filter(col("pos").isNotNull)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("_t"), start,
+          (col("pos") + context - start + 1L).cast("int"))).as("snippet"))
+  }
+
+  /**
    * Top-`kTop` TF-IDF keywords per document — the unsupervised
    * "what is this document about" extractor (tag clouds, dedup
    * explanations, topic drift monitoring). Smoothed-idf (sklearn's

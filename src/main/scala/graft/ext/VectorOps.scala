@@ -76,6 +76,36 @@ object VectorOps {
           nullif(try_element_at(sds, i + 1), lit(0.0)), 6)))
   }
 
+  /**
+   * Embedding-space drift between two corpora: cosine and L2 distance
+   * between their per-dimension mean vectors ([[dimStats]] means, 9-dp)
+   * — the SEMANTIC companion to the lexical drift instruments
+   * ([[CorpusCompare]]): a vocabulary can look stable while the
+   * embedding centroid walks, and vice versa. Dimension-keyed join of
+   * two dimension-sized stats frames; every cross-dimension sum folds
+   * 12-dp decimal terms. Returns one row `(n_dims, cosine, l2)` —
+   * cosine NULL if either centroid is the zero vector.
+   */
+  def centroidDrift(
+      a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def term(c: Column): Column = round(c, 12).cast(dec)
+    val ma = dimStats(a, vecCol).select(col("dim"), col("mean").as("ma"))
+    val mb = dimStats(b, vecCol).select(col("dim"), col("mean").as("mb"))
+    ma.join(mb, Seq("dim"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(term(col("ma") * col("mb"))).as("_ab"),
+        sum(term(col("ma") * col("ma"))).as("_aa"),
+        sum(term(col("mb") * col("mb"))).as("_bb"),
+        sum(term((col("ma") - col("mb")) * (col("ma") - col("mb"))))
+          .as("_d2"))
+      .select(col("n_dims"),
+        round(col("_ab").cast("double") /
+          nullif(sqrt(col("_aa").cast("double")) *
+            sqrt(col("_bb").cast("double")), lit(0.0)), 6).as("cosine"),
+        round(sqrt(col("_d2").cast("double")), 6).as("l2"))
+  }
+
   /** Deterministic ±1 sign for (input dim i, output dim j) under `salt`:
     * the first hex nibble of md5("rp:salt:i:j") — computed driver-side
     * (plain MD5 over UTF-8, no engine involved), so the engine plan and

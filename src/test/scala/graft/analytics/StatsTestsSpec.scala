@@ -24,6 +24,21 @@ class StatsTestsSpec extends GraftSpec {
     assert(assoc.getDouble(4) == 20.0, "φ = 1 ⇒ χ² = n")
   }
 
+  test("tvDistance: 0 for identical samples, 1 for disjoint supports, " +
+    "hand-computed half-overlap; union bins carry absent-side zeros") {
+    def df(vs: Double*) = vs.toDF("v")
+    val a = df(1.0, 6.0) // width-5 bins 0 and 1, share .5/.5
+    assert(StatsTests.tvDistance(a, a, col("v"), 5.0)
+      .collect().head.getDouble(3) == 0.0)
+    val disjoint = StatsTests.tvDistance(a, df(11.0, 16.0), col("v"), 5.0)
+      .collect().head
+    assert(disjoint.getLong(0) == 4L && disjoint.getDouble(3) == 1.0)
+    // b all in bin 0 → TV = ½(|.5−1| + |.5−0|) = 0.5
+    val half = StatsTests.tvDistance(a, df(1.0, 2.0), col("v"), 5.0)
+      .collect().head
+    assert(half.getDouble(3) == 0.5)
+  }
+
   test("benfordProfile: arithmetic digit extraction across magnitudes; " +
     "expectations sum to 1; a perfectly Benford sample scores ~0") {
     val digits = StatsTests.benfordProfile(

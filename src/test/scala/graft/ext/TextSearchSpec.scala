@@ -178,6 +178,24 @@ class TextSearchSpec extends GraftSpec {
     assert(sym.getLong(0) == 5L && sym.getLong(2) == 1L)
   }
 
+  test("kwicSnippets: window around the FIRST hit of any term, clamped " +
+    "at document edges; no-match docs emit nothing") {
+    val docs = Seq(
+      (1L, "alpha beta key gamma delta epsilon zeta"),
+      (2L, "key starts here and more words follow"),
+      (3L, "window appears late in this longer document window"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = TextSearch.kwicSnippets(docs, "doc_id", "text",
+        query = "key window", context = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((3L, "alpha beta key gamma delta")))
+    assert(got(2L) == ((1L, "key starts here")), "left edge clamps")
+    assert(got(3L) == ((1L, "window appears late")),
+      "FIRST occurrence, not last")
+    assert(!got.contains(4L))
+  }
+
   test("tfidfKeywords: corpus-wide terms score below distinctive ones, " +
     "ties break by term, empty docs count in N but emit nothing") {
     val docs = Seq(

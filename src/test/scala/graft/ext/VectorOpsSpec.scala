@@ -59,6 +59,19 @@ class VectorOpsSpec extends GraftSpec {
     assert(out(2L).isNullAt(2) && out(2L).isNullAt(3))
   }
 
+  test("centroidDrift: identical corpora → cosine 1 / l2 0; orthogonal " +
+    "centroids → cosine 0 / l2 √2") {
+    val ax = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ay = Seq((3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val same = VectorOps.centroidDrift(ax, ax, "embedding").collect().head
+    assert(same.getLong(0) == 2L)
+    assert(same.getDouble(1) == 1.0 && same.getDouble(2) == 0.0)
+    val orth = VectorOps.centroidDrift(ax, ay, "embedding").collect().head
+    assert(orth.getDouble(1) == 0.0)
+    assert(orth.getDouble(2) == 1.414214)
+  }
+
   test("randomProject at 1 and 5 partitions agrees (zero-shuffle " +
     "projection, but the fold order is per-row fixed)") {
     val rnd = new scala.util.Random(9)
