@@ -2341,6 +2341,31 @@ object SparkEntry {
         col("value"), binWidth = 5.0)
     }),
 
+    // X+/S — pooled two-proportion z-test: user-parity cohorts, per-user
+    // conversion (any purchase), one IEEE chain over exact counts.
+    "q176_ab_test" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("conv"))
+      StatsTests.twoProportionZ(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        col("conv") === 1)
+    }),
+
+    // X+/S — tie-corrected Mann–Whitney U between view and purchase
+    // values (doubled-average combined ranks — integers until the final
+    // z; global-rank sample-size contract as q117).
+    "q177_mann_whitney" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StatsTests.mannWhitneyU(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        col("value"))
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5553,6 +5578,77 @@ object SparkEntry {
         |               - CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)), 12)
         |               AS DECIMAL(38,12))) AS DOUBLE), 6) AS tv
         |FROM j CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
+
+    // q176: same per-user conversion rollup, same pooled-variance chain.
+    "q176_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |              CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS s1
+        |       FROM u WHERE user_id % 2 = 0),
+        |cb AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |              CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS s2
+        |       FROM u WHERE user_id % 2 <> 0)
+        |SELECT n1, s1, n2, s2,
+        |       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+        |       round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+        |       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |             / nullif(sqrt(
+        |                 CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |                 * (1.0 - CAST(s1 + s2 AS DOUBLE)
+        |                          / CAST(n1 + n2 AS DOUBLE))
+        |                 * (1.0 / CAST(n1 AS DOUBLE)
+        |                    + 1.0 / CAST(n2 AS DOUBLE))),
+        |               CAST(0 AS DOUBLE)), 6) AS z
+        |FROM ca CROSS JOIN cb""".stripMargin,
+
+    // q177: same doubled-average combined ranks, same tie-corrected
+    // variance — integers until the final z.
+    "q177_mann_whitney" ->
+      """WITH t AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, 1 AS g FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(value AS DOUBLE), 2 FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |r AS (SELECT v, g, row_number() OVER (ORDER BY v) AS rn FROM t),
+        |r2 AS (
+        |  SELECT g,
+        |         min(rn) OVER (PARTITION BY v)
+        |           + max(rn) OVER (PARTITION BY v) AS r2,
+        |         count(*) OVER (PARTITION BY v) AS tt
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n2,
+        |         CAST(sum(CASE WHEN g = 1 THEN r2 ELSE 0 END) AS BIGINT)
+        |           AS r1d,
+        |         CAST(sum(tt * tt - 1) AS BIGINT) AS tie
+        |  FROM r2)
+        |SELECT n1, n2,
+        |       round(CAST(r1d AS DOUBLE) / 2.0
+        |             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+        |               / 2.0, 6) AS u1,
+        |       round((CAST(r1d AS DOUBLE) / 2.0
+        |              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+        |                / 2.0
+        |              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |             / nullif(sqrt(
+        |                 CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |                    - CAST(tie AS DOUBLE)
+        |                      / (CAST(n1 + n2 AS DOUBLE)
+        |                         * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+        |               CAST(0 AS DOUBLE)), 6) AS z
+        |FROM m""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -98,6 +98,85 @@ object StatsTests {
       .agg(round(lit(0.5) * sum(col("_t")).cast("double"), 6).as("tv"))
   }
 
+  /**
+   * Two-proportion z-test (pooled): one row per cohort frame (a trial
+   * per row, `success` boolean; NULL success drops),
+   *
+   *   z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),  p̂ pooled
+   *
+   * — the A/B-test arithmetic over exact counts, one IEEE chain, 6-dp.
+   * Degenerate pools (p̂ ∈ {0,1} → zero variance) yield NULL z.
+   * Returns `(n1, s1, n2, s2, p1, p2, z)`.
+   */
+  def twoProportionZ(
+      a: DataFrame, b: DataFrame, success: Column): DataFrame = {
+    def counts(df: DataFrame, n: String, s: String): DataFrame =
+      df.filter(success.isNotNull)
+        .agg(count(lit(1)).as(n),
+          sum(success.cast("long")).as(s))
+    val p1 = col("s1").cast("double") / col("n1").cast("double")
+    val p2 = col("s2").cast("double") / col("n2").cast("double")
+    val pp = (col("s1") + col("s2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    counts(a, "n1", "s1").crossJoin(counts(b, "n2", "s2"))
+      .select(col("n1"), col("s1"), col("n2"), col("s2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round((p1 - p2) /
+          nullif(sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double"))), lit(0.0)), 6)
+          .as("z"))
+  }
+
+  /**
+   * Mann–Whitney U with tie-corrected normal approximation: sample A
+   * vs sample B on a numeric column. Ranks are tie-averaged over the
+   * COMBINED sample via the doubled-rank trick (min+max of the
+   * row_numbers per tied value — always integers, the q117 Spearman
+   * precedent, so no float enters until the final z):
+   *
+   *   U₁ = R₁ − n₁(n₁+1)/2
+   *   z  = (U₁ − n₁n₂/2) / √(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+   *
+   * NULL values drop. All-tied samples (zero variance) yield NULL z.
+   * SCALE CONTRACT: the combined rank is a global window (rank tests
+   * rank the whole sample by definition) — sample-sized inputs only,
+   * the q117 contract; at corpus scale pre-aggregate or sample.
+   * Returns `(n1, n2, u1, z)`.
+   */
+  def mannWhitneyU(
+      a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    val tagged = a.select(value.cast("double").as("_v"), lit(1).as("_g"))
+      .unionByName(b.select(value.cast("double").as("_v"),
+        lit(2).as("_g")))
+      .filter(col("_v").isNotNull)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_v"))
+    val ranked = tagged
+      .withColumn("_rn", row_number().over(wAll).cast("long"))
+      .withColumn("_r2", min(col("_rn")).over(byVal) +
+        max(col("_rn")).over(byVal))
+      .withColumn("_t", count(lit(1)).over(byVal))
+    val m = ranked.agg(
+      sum(when(col("_g") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(col("_g") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+      sum(when(col("_g") === 1, col("_r2")).otherwise(lit(0L)))
+        .as("_r1d"),
+      // Σ(t³−t): each of the t rows of a tie group carries (t²−1)
+      sum(col("_t") * col("_t") - 1L).as("_tie"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = (col("n1") + col("n2")).cast("double")
+    val u1 = col("_r1d").cast("double") / 2.0 -
+      n1 * (n1 + lit(1.0)) / 2.0
+    val varU = n1 * n2 / 12.0 *
+      ((nn + 1.0) - col("_tie").cast("double") / (nn * (nn - 1.0)))
+    m.select(col("n1"), col("n2"),
+      round(u1, 6).as("u1"),
+      round((u1 - n1 * n2 / 2.0) / nullif(sqrt(varU), lit(0.0)), 6)
+        .as("z"))
+  }
+
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
     * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
     * the plan folds. */

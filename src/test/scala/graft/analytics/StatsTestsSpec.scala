@@ -39,6 +39,50 @@ class StatsTestsSpec extends GraftSpec {
     assert(half.getDouble(3) == 0.5)
   }
 
+  test("twoProportionZ: equal rates score 0; hand-computed textbook " +
+    "case; degenerate pools yield NULL z") {
+    def cohort(n: Int, s: Int) =
+      (Seq.fill(s)(true) ++ Seq.fill(n - s)(false)).toDF("ok")
+    val eq = StatsTests.twoProportionZ(cohort(40, 10), cohort(80, 20),
+      col("ok")).collect().head
+    assert(eq.getDouble(4) == 0.25 && eq.getDouble(5) == 0.25)
+    assert(eq.getDouble(6) == 0.0)
+    // 30/100 vs 20/100: pool .25, se = √(.25·.75·(1/50)) = .0612372
+    val diff = StatsTests.twoProportionZ(cohort(100, 30), cohort(100, 20),
+      col("ok")).collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(diff.getDouble(6) ==
+      r6(0.1 / math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))))
+    val degen = StatsTests.twoProportionZ(cohort(5, 0), cohort(5, 0),
+      col("ok")).collect().head
+    assert(degen.isNullAt(6), "zero pooled variance")
+  }
+
+  test("mannWhitneyU: clean separation hits the U extremes; ties get " +
+    "average ranks and the corrected variance; all-tied → NULL z") {
+    def df(vs: Double*) = vs.toDF("v")
+    // A = {1,2,3} all below B = {4,5,6}: R1 = 6, U1 = 0, z < 0
+    val sep = StatsTests.mannWhitneyU(df(1, 2, 3), df(4, 5, 6),
+      col("v")).collect().head
+    assert(sep.getLong(0) == 3L && sep.getLong(1) == 3L)
+    assert(sep.getDouble(2) == 0.0)
+    // no ties: z = (0 − 4.5)/√(9/12·7) = −1.9640
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sep.getDouble(3) == r6(-4.5 / math.sqrt(9.0 / 12 * 7)))
+    // interleaved with a cross-sample tie at 2: A={1,2}, B={2,3}
+    // ranks: 1→1, the two 2s → 2.5 each, 3→4; R1 = 3.5, U1 = 0.5
+    val tie = StatsTests.mannWhitneyU(df(1, 2), df(2, 3),
+      col("v")).collect().head
+    assert(tie.getDouble(2) == 0.5)
+    // tie term: one pair → Σ(t³−t) = 6; var = 4/12·((5) − 6/12) = 1.5
+    assert(tie.getDouble(3) == r6((0.5 - 2.0) / math.sqrt(1.5)))
+    val allTied = StatsTests.mannWhitneyU(df(7, 7), df(7, 7),
+      col("v")).collect().head
+    assert(allTied.isNullAt(3), "zero variance under total ties")
+  }
+
   test("benfordProfile: arithmetic digit extraction across magnitudes; " +
     "expectations sum to 1; a perfectly Benford sample scores ~0") {
     val digits = StatsTests.benfordProfile(
