@@ -635,6 +635,21 @@ class PlanAuditSpec extends GraftSpec {
     assert(p168.contains("Generate"), s"fan-out explode missing:\n$p168")
   }
 
+  test("q171/q172: the inverted-feature and basket self-joins stay " +
+    "equi-keyed — no cartesian even with broadcast off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q171_similar_users", "q172_assoc_rules").foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct"),
+          s"$k degenerated to all-pairs:\n$p")
+        assert(p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"), s"$k:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q166/q170: chi-squared densification is category-sized — the " +
     "only nested-loop is the margins cross join (R×C), the 1-row " +
     "totals broadcast; q169 readability is a pure narrow projection") {
