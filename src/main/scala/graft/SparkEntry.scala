@@ -2366,6 +2366,22 @@ object SparkEntry {
         col("value"))
     }),
 
+    // X+/S — two-sample Kolmogorov–Smirnov D between view and purchase
+    // values: CDF gaps at the combined distinct values, exact fractions.
+    "q178_ks_test" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StatsTests.ksTest(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        col("value"))
+    }),
+
+    // X+/S — corpus concentration by source: HHI, Gini over the
+    // ascending size ranking, and the top source's share — exact
+    // integers until the final divisions.
+    "q179_concentration" -> ((s, d) =>
+      StatsTests.concentration(t(s, d, "documents"), col("source"))),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5649,6 +5665,59 @@ object SparkEntry {
         |                         * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
         |               CAST(0 AS DOUBLE)), 6) AS z
         |FROM m""".stripMargin,
+
+    // q178: same union-value CDF gaps (explicit ROWS frame both sides).
+    "q178_ks_test" ->
+      """WITH ca AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS ca
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cb
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (v)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+        |               CAST(sum(cb) AS BIGINT) AS n2
+        |        FROM j),
+        |cum AS (
+        |  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS c1,
+        |         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS c2
+        |  FROM j)
+        |SELECT tot.n1, tot.n2,
+        |       round(max(abs(CAST(c1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+        |                     - CAST(c2 AS DOUBLE)
+        |                       / CAST(tot.n2 AS DOUBLE))), 6) AS d
+        |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    // q179: same ascending-rank Gini, decimal HHI terms, max share.
+    "q179_concentration" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |               CAST(count(*) AS BIGINT) AS n_groups
+        |        FROM c),
+        |r AS (SELECT g, c,
+        |             CAST(row_number() OVER (ORDER BY c, g) AS BIGINT)
+        |               AS i
+        |      FROM c)
+        |SELECT tot.n_groups, tot.n_rows,
+        |       round(CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / CAST(tot.n_rows AS DOUBLE))
+        |           * (CAST(c AS DOUBLE) / CAST(tot.n_rows AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE), 6) AS hhi,
+        |       round(2.0 * CAST(sum(i * c) AS DOUBLE)
+        |             / (CAST(tot.n_groups AS DOUBLE)
+        |                * CAST(tot.n_rows AS DOUBLE))
+        |             - (CAST(tot.n_groups AS DOUBLE) + 1.0)
+        |               / CAST(tot.n_groups AS DOUBLE), 6) AS gini,
+        |       round(CAST(max(c) AS DOUBLE)
+        |             / CAST(tot.n_rows AS DOUBLE), 6) AS top_share
+        |FROM r CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -177,11 +177,85 @@ object StatsTests {
         .as("z"))
   }
 
+  /**
+   * Two-sample Kolmogorov–Smirnov D: the maximum gap between the two
+   * empirical CDFs, evaluated at the combined DISTINCT values (where
+   * every extremum lives):
+   *
+   *   D = max_v |F₁(v) − F₂(v)|,  F from exact cumulative counts
+   *
+   * NULL values drop. Same global-order sample-size contract as
+   * [[mannWhitneyU]] (a CDF is a global cumulative by definition);
+   * the cumulative window runs over the DISTINCT-value frame, so cost
+   * is value-cardinality, not row count. Returns `(n1, n2, d)` — D is
+   * a single max of exact-fraction gaps, 6-dp.
+   */
+  def ksTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(value.cast("double").as("_v"))
+        .filter(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as(out))
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = j.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+    j.withColumn("_c1", sum(col("ca")).over(wCum))
+      .withColumn("_c2", sum(col("cb")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("_c1").cast("double") / col("n1").cast("double") -
+          col("_c2").cast("double") / col("n2").cast("double")).as("_g"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(round(max(col("_g")), 6).as("d"))
+  }
+
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
     * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
     * the plan folds. */
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /**
+   * Concentration profile of a categorical share distribution (how
+   * dominated is the corpus by its biggest sources?): Herfindahl–
+   * Hirschman index `Σ shareᵢ²`, Gini coefficient over the ascending
+   * group-size ranking
+   *
+   *   G = 2·Σ i·cᵢ / (g·Σc) − (g+1)/g   (cᵢ ascending, i = 1..g)
+   *
+   * and the largest single share. Everything is exact integers (counts,
+   * the rank-weighted sum) until the final divisions; HHI folds 12-dp
+   * decimal share-square terms. The rank window runs over GROUPS
+   * (category-sized, ties broken by group value). NULL groups drop.
+   * Returns one row `(n_groups, n_rows, hhi, gini, top_share)`.
+   */
+  def concentration(df: DataFrame, groupCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("_g")).filter(col("_g").isNotNull)
+      .groupBy("_g").agg(count(lit(1)).as("c"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").asc, col("_g").asc)
+    val tot = counts.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_groups"))
+    val g = col("n_groups").cast("double")
+    val n = col("n_rows").cast("double")
+    counts
+      .withColumn("_i", row_number().over(wAsc).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_groups"), col("n_rows"),
+        (col("_i") * col("c")).as("_ic"),
+        round(
+          (col("c").cast("double") / n) * (col("c").cast("double") / n),
+          12).cast(dec).as("_sq"),
+        col("c"))
+      .groupBy(col("n_groups"), col("n_rows"))
+      .agg(round(sum(col("_sq")).cast("double"), 6).as("hhi"),
+        round(lit(2.0) * sum(col("_ic")).cast("double") / (g * n) -
+          (g + lit(1.0)) / g, 6).as("gini"),
+        round(max(col("c")).cast("double") / n, 6).as("top_share"))
+  }
 
   /**
    * Leading-digit profile of a positive numeric column against

@@ -83,6 +83,39 @@ class StatsTestsSpec extends GraftSpec {
     assert(allTied.isNullAt(3), "zero variance under total ties")
   }
 
+  test("ksTest: identical samples → D 0; disjoint supports → D 1; " +
+    "hand-computed interleaved case") {
+    def df(vs: Double*) = vs.toDF("v")
+    val same = StatsTests.ksTest(df(1, 2, 3), df(1, 2, 3), col("v"))
+      .collect().head
+    assert(same.getLong(0) == 3L && same.getDouble(2) == 0.0)
+    assert(StatsTests.ksTest(df(1, 2), df(5, 6), col("v"))
+      .collect().head.getDouble(2) == 1.0)
+    // A={1,3}, B={2,4}: CDF gaps at 1,2,3,4 → .5, 0, .5, 0 → D=.5
+    assert(StatsTests.ksTest(df(1, 3), df(2, 4), col("v"))
+      .collect().head.getDouble(2) == 0.5)
+  }
+
+  test("concentration: uniform shares hit the HHI floor and Gini 0; a " +
+    "monopoly drives all three metrics to their ceilings") {
+    def df(groups: (String, Int)*) =
+      groups.flatMap { case (gname, k) => Seq.fill(k)(gname) }.toDF("g")
+    val uniform = StatsTests.concentration(
+      df("a" -> 5, "b" -> 5, "c" -> 5, "d" -> 5), col("g"))
+      .collect().head
+    assert(uniform.getLong(0) == 4L && uniform.getLong(1) == 20L)
+    assert(uniform.getDouble(2) == 0.25, "HHI floor = 1/g")
+    assert(uniform.getDouble(3) == 0.0, "equal shares → Gini 0")
+    assert(uniform.getDouble(4) == 0.25)
+    val monopoly = StatsTests.concentration(
+      df("big" -> 97, "x" -> 1, "y" -> 1, "z" -> 1), col("g"))
+      .collect().head
+    assert(monopoly.getDouble(2) > 0.9 && monopoly.getDouble(4) == 0.97)
+    // exact Gini: sorted c = (1,1,1,97); Σ i·c = 1+2+3+388 = 394
+    // G = 2·394/(4·100) − 5/4 = 0.72
+    assert(monopoly.getDouble(3) == 0.72)
+  }
+
   test("benfordProfile: arithmetic digit extraction across magnitudes; " +
     "expectations sum to 1; a perfectly Benford sample scores ~0") {
     val digits = StatsTests.benfordProfile(
