@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.{LogAnalytics, Robust, Rollup, StatsTests, TimeSeries, Trend}
+import graft.analytics.{LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
@@ -2381,6 +2381,14 @@ object SparkEntry {
     // integers until the final divisions.
     "q179_concentration" -> ((s, d) =>
       StatsTests.concentration(t(s, d, "documents"), col("source"))),
+
+    // X+/S — Kaplan–Meier churn curve over user lifetimes: integer-hour
+    // spans (the corpus's churn dynamics live at hour scale), 12-hour
+    // churn horizon, product-limit fold as 12-dp decimal ln terms
+    // (lifetime-space windows — never data-sized).
+    "q180_kaplan_meier" -> ((s, d) =>
+      Survival.kaplanMeier(t(s, d, "events"),
+        bucketSeconds = 3600L, horizonBuckets = 12)),
 
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
@@ -5718,6 +5726,47 @@ object SparkEntry {
         |       round(CAST(max(c) AS DOUBLE)
         |             / CAST(tot.n_rows AS DOUBLE), 6) AS top_share
         |FROM r CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    // q180: same integer-hour spans (truncating epoch div), same 12-dp
+    // decimal ln fold, same positional zero flag for an emptied risk set.
+    "q180_kaplan_meier" ->
+      """WITH dy AS (
+        |  SELECT user_id AS u,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |           // 3600 AS hr
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sp AS (SELECT u, min(hr) AS f, max(hr) AS l FROM dy GROUP BY u),
+        |fl AS (
+        |  SELECT l - f AS t_life,
+        |         CASE WHEN l <= (SELECT max(l) FROM sp) - 12
+        |              THEN 1 ELSE 0 END AS ch
+        |  FROM sp),
+        |pd AS (SELECT t_life, CAST(count(*) AS BIGINT) AS ends,
+        |              CAST(sum(ch) AS BIGINT) AS n_churn
+        |       FROM fl GROUP BY 1),
+        |rk AS (
+        |  SELECT t_life, ends, n_churn,
+        |         CAST(sum(ends) OVER (ORDER BY t_life ROWS BETWEEN
+        |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |           AS n_risk
+        |  FROM pd),
+        |tm AS (
+        |  SELECT t_life, ends, n_churn, n_risk,
+        |         CASE WHEN n_churn < n_risk THEN
+        |           CAST(round(ln(CAST(n_risk - n_churn AS DOUBLE)
+        |                         / CAST(n_risk AS DOUBLE)), 12)
+        |                AS DECIMAL(38,12))
+        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS term,
+        |         max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY t_life ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS dead
+        |  FROM rk)
+        |SELECT t_life, n_risk, n_churn, ends - n_churn AS n_censored,
+        |       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+        |            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t_life
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |                   ROW) AS DOUBLE)), 6) END AS survival
+        |FROM tm WHERE n_churn > 0 ORDER BY t_life""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -1,0 +1,74 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class SurvivalSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Two events per user pin (first_day, last_day) exactly. */
+  private def events(spans: (Long, Long, Long)*) =
+    spans.flatMap { case (u, f, l) => Seq((u, f * 86400L), (u, l * 86400L)) }
+      .toDF("user_id", "ep")
+      .select(col("user_id"), col("ep").cast("timestamp").as("ts"))
+
+  test("textbook curve: churn steps multiply, censoring leaves the risk " +
+    "set silently, an emptied risk set pins survival to exactly 0") {
+    // A dur 1 (churn), B dur 2 (churn), C dur 2 ending at the global max
+    // day (censored under horizon 7), D dur 3 (churn).
+    val km = Survival.kaplanMeier(
+      events((1L, 0L, 1L), (2L, 0L, 2L), (3L, 98L, 100L), (4L, 0L, 3L)),
+      horizonBuckets = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(km.toSeq == Seq(
+      (1L, 4L, 1L, 0L, 0.75), // 4 at risk, 1 churn -> 3/4
+      (2L, 3L, 1L, 1L, 0.5), // 3 at risk, 1 churn, 1 censored -> x 2/3
+      (3L, 1L, 1L, 0L, 0.0))) // last at-risk user churns -> exactly 0
+  }
+
+  test("horizon 0 marks every user churned; censored-only lifetimes " +
+    "emit no step rows") {
+    val all = Survival.kaplanMeier(
+      events((1L, 0L, 1L), (2L, 0L, 2L)), horizonBuckets = 0)
+      .collect()
+    assert(all.map(_.getLong(2)).sum == 2L, "everyone churns at horizon 0")
+    // horizon larger than the whole span: nobody observably churns
+    assert(Survival.kaplanMeier(
+      events((1L, 0L, 1L), (2L, 0L, 2L)), horizonBuckets = 10)
+      .count() == 0L)
+  }
+
+  test("NULL users and NULL timestamps drop; duplicate same-day events " +
+    "collapse into the span") {
+    val df = events((1L, 0L, 5L), (2L, 0L, 5L))
+      .unionByName(Seq((Option.empty[Long], Option(0L)),
+        (Option(9L), Option.empty[Long]))
+        .toDF("user_id", "ep")
+        .select(col("user_id"), col("ep").cast("timestamp").as("ts")))
+      .unionByName(events((1L, 3L, 3L))) // extra mid-span day for u1
+    val km = Survival.kaplanMeier(df, horizonBuckets = 0).collect()
+    assert(km.length == 1 && km.head.getLong(0) == 5L &&
+      km.head.getLong(1) == 2L && km.head.getLong(2) == 2L)
+  }
+
+  test("hour-bucket lifetimes rescale the same spans") {
+    // same span in hours: u1 lives 48 h, churned under a 24 h horizon
+    // against u2's later last event (u2 censored, 24 h lifetime)
+    val km = Survival.kaplanMeier(
+      events((1L, 0L, 2L), (2L, 4L, 5L)),
+      bucketSeconds = 3600L, horizonBuckets = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(km.toSeq == Seq((48L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("horizonBuckets and bucketSeconds are validated") {
+    intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(events((1L, 0L, 1L)), horizonBuckets = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(events((1L, 0L, 1L)), bucketSeconds = 0L)
+    }
+  }
+}
