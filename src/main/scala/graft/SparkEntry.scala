@@ -2390,6 +2390,25 @@ object SparkEntry {
       Survival.kaplanMeier(t(s, d, "events"),
         bucketSeconds = 3600L, horizonBuckets = 12)),
 
+    // X2+/§2.9 — Unicode NFC pre-hash normalization via the codegen'd
+    // graft_normalize expression: decomposed accents (e + U+0301) are
+    // injected deterministically, then the per-lang report counts docs
+    // and characters the normalizer composed. Zero-shuffle projection
+    // into a lang-sized aggregate.
+    "q181_nfc_normalize" -> ((s, d) => {
+      val acc = regexp_replace(col("text"), "e", "e\u0301")
+      t(s, d, "documents")
+        .select(col("lang"), acc.as("_a"))
+        .select(col("lang"), col("_a"), Scrub.normalize(col("_a")).as("_c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_c") =!= col("_a"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((length(col("_a")) - length(col("_c"))).cast("long"))
+            .as("chars_composed"))
+        .orderBy(col("lang").asc)
+    }),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5767,6 +5786,20 @@ object SparkEntry {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
         |                   ROW) AS DOUBLE)), 6) END AS survival
         |FROM tm WHERE n_churn > 0 ORDER BY t_life""".stripMargin,
+
+    // q181: DuckDB's own nfc_normalize against the same injected
+    // decomposed accents (replace() is all-occurrence, matching Spark's
+    // global regexp_replace of the literal char).
+    "q181_nfc_normalize" ->
+      """WITH acc AS (
+        |  SELECT lang, replace(text, 'e', 'e\u0301') AS a FROM documents),
+        |n AS (SELECT lang, a, nfc_normalize(a) AS c FROM acc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN c <> a THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changed,
+        |       CAST(sum(length(a) - length(c)) AS BIGINT)
+        |         AS chars_composed
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -42,4 +42,17 @@ object Scrub {
   def maskEmails(text: Column, replacement: String = "<email>"): Column =
     regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", replacement)
+
+  /**
+   * Unicode-normalize text (NFC by default; NFD/NFKC/NFKD accepted) —
+   * the canonical pre-hash pass: composed and decomposed accents are
+   * identical text but different bytes, so every content-hash operator
+   * (dedup, MinHash, SimHash, fingerprints) must see normalized input.
+   * A codegen'd native expression
+   * ([[graft.functions.UnicodeNormalize]]) with allocation-free ASCII
+   * and already-normalized fast paths — a zero-shuffle projection that
+   * fuses into the surrounding scan.
+   */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize", text, lit(form))
 }

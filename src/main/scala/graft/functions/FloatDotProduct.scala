@@ -137,6 +137,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getCanonicalName,
+        "graft_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => UnicodeNormalize(c, "NFC")
+        case Seq(c, f) if f.foldable && f.dataType == StringType =>
+          UnicodeNormalize(c, String.valueOf(f.eval()))
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "graft_normalize requires a literal string form as argument 2")
+        case _ => throw new IllegalArgumentException(
+          s"graft_normalize requires 1 or 2 arguments, got ${children.size}")
+      }))
     // Spark's Bloom sketch pair (the machinery behind runtime row-level
     // filtering) lives in the INTERNAL function registry, not the
     // resolvable one — expose both sides for the Bloom-pruned
