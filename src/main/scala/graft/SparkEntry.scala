@@ -2409,6 +2409,38 @@ object SparkEntry {
         .orderBy(col("lang").asc)
     }),
 
+    // X3+ — one-row embedding-corpus health report: zero-norm census,
+    // norm mean/std, and the Ethayarajh anisotropy (squared norm of the
+    // mean unit vector). Per-row folds are in-order HOFs (zero shuffle);
+    // corpus stats fold 9/12-dp decimal terms.
+    "q182_embedding_health" -> ((s, d) =>
+      VectorOps.embeddingHealth(t(s, d, "embeddings"))),
+
+    // X2+ — tokenizer fertility by language: tokens/doc, chars/token,
+    // bytes/token from exact long totals (UTF-8 bytes vs codepoints —
+    // the multilingual cost asymmetry a tokenizer budget must price).
+    "q183_token_fertility" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("_tk"),
+          length(col("text")).cast("long").as("_ch"),
+          octet_length(col("text")).cast("long").as("_by"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_tk")).as("tokens"),
+          sum(col("_ch")).as("chars"),
+          sum(col("_by")).as("bytes"),
+          round(sum(col("_tk")).cast("double") / count(lit(1)), 6)
+            .as("tokens_per_doc"),
+          when(sum(col("_tk")) > 0,
+            round(sum(col("_ch")).cast("double") / sum(col("_tk")), 6))
+            .as("chars_per_token"),
+          when(sum(col("_tk")) > 0,
+            round(sum(col("_by")).cast("double") / sum(col("_tk")), 6))
+            .as("bytes_per_token"))
+        .orderBy(col("lang").asc)),
+
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
     // doc_id bound only trims the dumped rows.
@@ -5800,6 +5832,70 @@ object SparkEntry {
         |       CAST(sum(length(a) - length(c)) AS BIGINT)
         |         AS chars_composed
         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q182: same in-list-order norm folds (list_aggregate — the q19
+    // bit-parity precedent), same 9/12-dp decimal corpus folds.
+    "q182_embedding_health" ->
+      """WITH e AS (
+        |  SELECT embedding AS v,
+        |         sqrt(list_aggregate(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vec,
+        |         CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_zero,
+        |         sum(CAST(round(nrm, 9) AS DECIMAL(38,12))) AS s1,
+        |         sum(CAST(round(nrm * nrm, 9) AS DECIMAL(38,12))) AS s2
+        |  FROM e),
+        |u AS (
+        |  SELECT CAST(generate_subscripts(v, 1) AS INTEGER) AS dim,
+        |         CAST(unnest(v) AS DOUBLE) / nrm AS ux
+        |  FROM e WHERE nrm > 0),
+        |md AS (
+        |  SELECT dim,
+        |         sum(CAST(round(ux, 12) AS DECIMAL(38,12))) AS su,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY dim),
+        |an AS (
+        |  SELECT sum(CAST(round((CAST(su AS DOUBLE) / c)
+        |             * (CAST(su AS DOUBLE) / c), 12)
+        |           AS DECIMAL(38,12))) AS a
+        |  FROM md)
+        |SELECT st.n_vec, st.n_zero,
+        |       round(CAST(st.s1 AS DOUBLE) / st.n_vec, 6) AS mean_norm,
+        |       round(sqrt(greatest(
+        |           CAST(st.s2 AS DOUBLE) / st.n_vec
+        |           - (CAST(st.s1 AS DOUBLE) / st.n_vec)
+        |             * (CAST(st.s1 AS DOUBLE) / st.n_vec),
+        |           CAST(0 AS DOUBLE))), 6) AS std_norm,
+        |       round(CAST(an.a AS DOUBLE), 6) AS anisotropy
+        |FROM st CROSS JOIN an""".stripMargin,
+
+    // q183: same whitespace tokens (q41 precedent), length = codepoints,
+    // strlen = UTF-8 bytes; ratios guarded by the same CASE.
+    "q183_token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> length(x) > 0)) AS BIGINT) AS tk,
+        |         CAST(length(text) AS BIGINT) AS ch,
+        |         CAST(strlen(text) AS BIGINT) AS byt
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tk) AS BIGINT) AS tokens,
+        |       CAST(sum(ch) AS BIGINT) AS chars,
+        |       CAST(sum(byt) AS BIGINT) AS bytes,
+        |       round(CAST(sum(tk) AS DOUBLE) / count(*), 6)
+        |         AS tokens_per_doc,
+        |       CASE WHEN sum(tk) > 0 THEN
+        |         round(CAST(sum(ch) AS DOUBLE) / sum(tk), 6) END
+        |         AS chars_per_token,
+        |       CASE WHEN sum(tk) > 0 THEN
+        |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
+        |         AS bytes_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

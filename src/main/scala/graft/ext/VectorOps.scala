@@ -106,6 +106,56 @@ object VectorOps {
         round(sqrt(col("_d2").cast("double")), 6).as("l2"))
   }
 
+  /**
+   * One-row corpus health report for an embedding column — the checks a
+   * pipeline runs before trusting an encoder's output enough to build
+   * indexes or train on it: `n_vec` (non-NULL vectors), `n_zero`
+   * (zero-norm vectors — cosine-undefined, they poison ANN recall),
+   * `mean_norm`/`std_norm` (a drifting or bimodal norm distribution
+   * flags encoder version mixes), and `anisotropy` — the squared norm
+   * of the mean UNIT vector, the Ethayarajh (2019) cone-collapse
+   * diagnostic: 0 for a perfectly spread corpus, →1 when all vectors
+   * point one way (and cosine similarity stops discriminating).
+   *
+   * Shape: per-vector norms are in-order array folds (zero shuffle,
+   * matching [[Similarity.dot]]'s fold order, so an oracle's
+   * `list_aggregate` reproduces them bit-for-bit); the corpus stats fold
+   * 9-dp-rounded decimal terms (order-invariant); the unit-coordinate
+   * means run one posexplode into a dimension-keyed hash aggregate
+   * (map-side partials; dimension-sized output). Everything after the
+   * two aggregates is one-row arithmetic.
+   */
+  def embeddingHealth(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val norm2 = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val withNorm = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("_v"), sqrt(norm2).as("_n"))
+    val stats = withNorm.agg(
+      count(lit(1)).as("n_vec"),
+      sum(when(col("_n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(round(col("_n"), 9).cast(dec)).as("_s1"),
+      sum(round(col("_n") * col("_n"), 9).cast(dec)).as("_s2"))
+    val unitMeans = withNorm.filter(col("_n") > 0)
+      .select(col("_n"), posexplode(col("_v")).as(Seq("_p", "_x")))
+      .groupBy("_p")
+      .agg(sum(round(col("_x").cast("double") / col("_n"), 12).cast(dec))
+        .as("_su"), count(lit(1)).as("_c"))
+    val anis = unitMeans
+      .select(round((col("_su").cast("double") / col("_c")) *
+        (col("_su").cast("double") / col("_c")), 12).cast(dec).as("_m2"))
+      .agg(sum(col("_m2")).as("_a"))
+    val mean = col("_s1").cast("double") / col("n_vec")
+    stats.crossJoin(broadcast(anis))
+      .select(col("n_vec"), col("n_zero"),
+        round(mean, 6).as("mean_norm"),
+        round(sqrt(greatest(
+          col("_s2").cast("double") / col("n_vec") - mean * mean,
+          lit(0.0))), 6).as("std_norm"),
+        round(col("_a").cast("double"), 6).as("anisotropy"))
+  }
+
   /** Deterministic ±1 sign for (input dim i, output dim j) under `salt`:
     * the first hex nibble of md5("rp:salt:i:j") — computed driver-side
     * (plain MD5 over UTF-8, no engine involved), so the engine plan and

@@ -72,6 +72,34 @@ class VectorOpsSpec extends GraftSpec {
     assert(orth.getDouble(2) == 1.414214)
   }
 
+  test("embeddingHealth: hand-computed norms, zero-vector census, and " +
+    "anisotropy 1.0 for a perfectly collapsed (one-direction) corpus") {
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))), // norm 5, unit (.6, .8)
+      (2L, Some(Seq(6.0f, 8.0f))), // norm 10, same direction
+      (3L, Some(Seq(0.0f, 0.0f))), // zero-norm: counted, excluded from units
+      (4L, None) // NULL vector: excluded entirely
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.embeddingHealth(df).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 5.0, "mean norm (5+10+0)/3")
+    assert(r.getDouble(3) == 4.082483, "sqrt(125/3 - 25)")
+    assert(r.getDouble(4) == 1.0, "collapsed corpus => anisotropy 1")
+  }
+
+  test("embeddingHealth anisotropy is 0 for a perfectly spread corpus " +
+    "and partitioning-invariant") {
+    val spread = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = VectorOps.embeddingHealth(spread.repartition(1)).collect().head
+    val r7 = VectorOps.embeddingHealth(spread.repartition(7)).collect().head
+    assert(r1 == r7, "decimal folds make the report partitioning-invariant")
+    assert(r1.getDouble(4) == 0.0)
+    assert(r1.getDouble(2) == 1.0 && r1.getDouble(3) == 0.0)
+  }
+
   test("randomProject at 1 and 5 partitions agrees (zero-shuffle " +
     "projection, but the fold order is per-row fixed)") {
     val rnd = new scala.util.Random(9)
