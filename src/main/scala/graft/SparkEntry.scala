@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -2440,6 +2440,27 @@ object SparkEntry {
             round(sum(col("_by")).cast("double") / sum(col("_tk")), 6))
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
+
+    // X3+ — linear probe of embedding quality, part 1: closed-form
+    // ridge weights (one corpus pass builds the dim²-sized normal
+    // equations as 12-dp decimal folds; the solve is driver-side). The
+    // partial oracle certifies OPTIMALITY: it rebuilds (XᵀX + λI, Xᵀy)
+    // in DuckDB and checks the dumped weights satisfy them.
+    "q184_linear_probe" -> ((s, d) =>
+      Probe.ridgeWeights(s, t(s, d, "embeddings"), "embedding",
+        when(col("label") === 0, 1.0)
+          .when(col("label").isNotNull, 0.0),
+        dim = 64, lambda = 1e-3)),
+
+    // X3+ — linear probe, part 2: the fit-quality report (n, mse, r2,
+    // accuracy@0.5) for the same one-vs-rest target. The oracle
+    // recomputes every metric in DuckDB from q184's dumped weights —
+    // everything downstream of the solve is independently replayed.
+    "q185_probe_report" -> ((s, d) =>
+      Probe.report(t(s, d, "embeddings"), "embedding",
+        when(col("label") === 0, 1.0)
+          .when(col("label").isNotNull, 0.0),
+        dim = 64, lambda = 1e-3)),
 
     // X2+ — top-3 smoothed-TF-IDF keywords per document (score cut by a
     // per-doc total-order rank); df/N come from the FULL corpus, the
@@ -5896,6 +5917,107 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // PARTIAL oracle (optimality certificate, q44 style): the SOLVE is
+    // not SQL-expressible, but its result is checkable — rebuild the
+    // ridge normal equations (same augmented vector, same 12-dp decimal
+    // term folds, same feature-only λ diagonal) and require the dumped
+    // weights to satisfy A·w = b within the 9-dp weight-rounding bound
+    // (tolerance scales with each equation's |A| row mass). Any wrong
+    // weight vector misses by orders of magnitude. Echo the dump if
+    // optimal, else a sentinel that can never hash-match.
+    "q184_linear_probe" ->
+      """WITH wdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q184_linear_probe/*.parquet')),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |am AS (
+        |  SELECT a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < 64
+        |                THEN 0.001 ELSE 0 END AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  GROUP BY 1, 2),
+        |aw AS (
+        |  SELECT am.i, sum(am.s * w.w) AS aw, sum(abs(am.s)) AS rs
+        |  FROM am JOIN wdump w ON w.idx = am.j GROUP BY am.i),
+        |bv AS (
+        |  SELECT i, CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el GROUP BY 1),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 65
+        |      AND (SELECT count(DISTINCT idx) FROM wdump
+        |           WHERE idx BETWEEN 0 AND 64) = 65
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b) <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv USING (i)),
+        |      FALSE) AS ok)
+        |SELECT idx, w FROM wdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY idx""".stripMargin,
+
+    // PARTIAL oracle (derived recomputation): everything downstream of
+    // the solve — predictions (in-list-order fold against q184's dumped
+    // weights, the q19 bit-parity precedent), SSE/SST decimal folds,
+    // accuracy@0.5 — is replayed independently and must hash-match the
+    // engine's report exactly.
+    "q185_probe_report" ->
+      """WITH wv AS (
+        |  SELECT list(w ORDER BY idx) AS wl
+        |  FROM read_parquet('__OUT__/q184_linear_probe/*.parquet')),
+        |e AS (
+        |  SELECT list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |p AS (
+        |  SELECT y,
+        |         list_aggregate(list_transform(
+        |           list_zip(v, (SELECT wl FROM wv)),
+        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum') AS pr
+        |  FROM e),
+        |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy FROM p)
+        |SELECT t1.n,
+        |       round(CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |             AS DECIMAL(38,12))) AS DOUBLE) / t1.n, 6) AS mse,
+        |       CASE WHEN CAST(sum(CAST(round(
+        |                (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) > 0 THEN
+        |         round(1.0
+        |           - CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(round(
+        |                 (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |       END AS r2,
+        |       round(CAST(sum(CASE WHEN (pr >= 0.5) = (y = 1.0)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / t1.n, 6) AS accuracy
+        |FROM p CROSS JOIN t1 GROUP BY t1.n, t1.sy""".stripMargin,
 
     // q155: same support-thresholded co-order edges, same oriented wedge
     // join — integer-exact throughout.

@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class ProbeSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random features (no RNG state, reproducible). */
+  private def synth(n: Int, dim: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { r =>
+      (r.toLong, (0 until dim).map { c =>
+        (math.sin(r * 12.9898 + c * 78.233) * 43758.5453 % 1.0).toFloat
+      })
+    }
+
+  /**
+   * Independent reference: same 12-dp decimal term rounding, but plain
+   * Scala loops and an UNPIVOTED Gauss–Jordan solve — a genuinely
+   * different elimination path than the engine's partial-pivot solver.
+   */
+  private def referenceFit(
+      rows: Seq[(Seq[Float], Double)], dim: Int,
+      lambda: Double): Array[Double] = {
+    val d1 = dim + 1
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val a = Array.fill(d1, d1)(BigDecimal(0))
+    val b = Array.fill(d1)(BigDecimal(0))
+    rows.foreach { case (v, y) =>
+      val x = v.map(_.toDouble) :+ 1.0
+      for (i <- 0 until d1; j <- 0 until d1)
+        a(i)(j) += r12(x(i) * x(j))
+      for (i <- 0 until d1) b(i) += r12(x(i) * y)
+    }
+    val m = Array.tabulate(d1, d1)((i, j) =>
+      a(i)(j).toDouble + (if (i == j && i < dim) lambda else 0.0))
+    val rhs = b.map(_.toDouble)
+    for (p <- 0 until d1) {
+      val f = m(p)(p)
+      for (c <- 0 until d1) m(p)(c) /= f
+      rhs(p) /= f
+      for (r <- 0 until d1 if r != p) {
+        val g = m(r)(p)
+        if (g != 0.0) {
+          for (c <- 0 until d1) m(r)(c) -= g * m(p)(c)
+          rhs(r) -= g * rhs(p)
+        }
+      }
+    }
+    rhs.map(w =>
+      BigDecimal(w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("noiseless linear target is recovered exactly (lambda 0)") {
+    val df = synth(40, 2).map { case (id, v) =>
+      (id, v, 2.0 * v(0) - 3.0 * v(1) + 1.0)
+    }.toDF("vec_id", "embedding", "y")
+    val w = Probe.fitRidge(df, "embedding", col("y"), dim = 2, lambda = 0.0)
+    assert(math.abs(w(0) - 2.0) < 1e-6 && math.abs(w(1) + 3.0) < 1e-6 &&
+      math.abs(w(2) - 1.0) < 1e-6, w.toSeq.toString)
+  }
+
+  test("fit is partitioning-invariant (decimal folds) and matches the " +
+    "independent Gauss-Jordan reference") {
+    val data = synth(200, 5)
+    val rows = data.map { case (_, v) =>
+      (v, v.map(_.toDouble).sum * 0.5 + 0.25)
+    }
+    val df = data.zip(rows).map { case ((id, v), (_, y)) => (id, v, y) }
+      .toDF("vec_id", "embedding", "y")
+    val w1 = Probe.fitRidge(df.repartition(1), "embedding", col("y"), 5)
+    val w7 = Probe.fitRidge(df.repartition(7), "embedding", col("y"), 5)
+    assert(w1.toSeq == w7.toSeq, "exact partitioning invariance")
+    val ref = referenceFit(rows, 5, 1e-3)
+    val maxDiff = w1.zip(ref).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxDiff < 1e-6, s"engine ${w1.toSeq} vs reference ${ref.toSeq}")
+  }
+
+  test("ridge shrinks feature weights; NULL/wrong-dim rows drop; " +
+    "empty input is rejected") {
+    val base = synth(60, 3).map { case (id, v) =>
+      (id, Some(v), Some(v(0) * 4.0 - v(2) + 0.5))
+    }
+    val dirty = base ++ Seq(
+      (900L, Option.empty[Seq[Float]], Some(1.0)),
+      (901L, Some(Seq(1.0f)), Some(1.0)), // wrong dim
+      (902L, Some(Seq(0.1f, 0.2f, 0.3f)), Option.empty[Double]))
+    val df = dirty.toDF("vec_id", "embedding", "y")
+    val w0 = Probe.fitRidge(df, "embedding", col("y"), 3, lambda = 0.0)
+    val wBig = Probe.fitRidge(df, "embedding", col("y"), 3, lambda = 50.0)
+    def featNorm(w: Array[Double]) = math.sqrt(w.init.map(x => x * x).sum)
+    assert(featNorm(wBig) < featNorm(w0), "lambda shrinks the features")
+    val clean = base.toDF("vec_id", "embedding", "y")
+    assert(Probe.fitRidge(clean, "embedding", col("y"), 3, 0.0).toSeq ==
+      w0.toSeq, "dirty rows were invisible to the fit")
+    intercept[IllegalArgumentException] {
+      Probe.fitRidge(df.filter(col("vec_id") < 0), "embedding", col("y"), 3)
+    }
+  }
+
+  test("report: perfect linear fit scores r2 = 1, mse 0; constant " +
+    "target yields NULL r2; binary accuracy thresholds at 0.5") {
+    val df = synth(50, 2).map { case (id, v) =>
+      (id, v, 2.0 * v(0) - 3.0 * v(1) + 1.0)
+    }.toDF("vec_id", "embedding", "y")
+    val r = Probe.report(df, "embedding", col("y"), 2, lambda = 0.0)
+      .collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
+    val const = synth(50, 2).map { case (id, v) => (id, v, 1.0) }
+      .toDF("vec_id", "embedding", "y")
+    assert(Probe.report(const, "embedding", col("y"), 2)
+      .collect().head.isNullAt(2), "SST 0 => r2 NULL")
+    // separable binary target: accuracy 1.0
+    val bin = synth(50, 2).map { case (id, v) =>
+      (id, v, if (v(0) > 0) 1.0 else 0.0)
+    }.toDF("vec_id", "embedding", "y")
+    val acc = Probe.report(bin, "embedding", col("y"), 2, lambda = 0.0)
+      .collect().head.getDouble(3)
+    assert(acc > 0.8, s"linearly separable target should probe well: $acc")
+  }
+
+  test("score is the in-order augmented dot against literal weights") {
+    val w = Array(0.5, -1.0, 2.0)
+    val got = Seq((1L, Seq(4.0f, 3.0f))).toDF("id", "v")
+      .select(Probe.score(col("v"), w)).collect().head.getDouble(0)
+    assert(got == 4.0 * 0.5 - 3.0 + 2.0)
+  }
+}
