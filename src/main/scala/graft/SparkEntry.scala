@@ -2441,6 +2441,22 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X+/S/§2.10 — the KM curve's merge law as a query: spans built on
+    // the event-id-parity halves fold by per-user min/max into EXACTLY
+    // the whole-corpus spans (the oracle computes the whole-corpus curve
+    // directly — equality is the law). Same algebra StreamingSurvival
+    // rides; horizon 24 h to keep the result distinct from q180.
+    "q186_survival_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Survival.kaplanMeierFromSpans(
+        Survival.mergeSpans(
+          Survival.userSpans(ev.filter(col("event_id") % 2 === 0),
+            bucketSeconds = 3600L),
+          Survival.userSpans(ev.filter(col("event_id") % 2 =!= 0),
+            bucketSeconds = 3600L)),
+        horizonBuckets = 24)
+    }),
+
     // X3+ — linear probe of embedding quality, part 1: closed-form
     // ridge weights (one corpus pass builds the dim²-sized normal
     // equations as 12-dp decimal folds; the solve is driver-side). The
@@ -5917,6 +5933,48 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q186: the merge law means the halved-and-merged engine path must
+    // equal the whole-corpus curve — so the oracle IS q180's shape at
+    // horizon 24, computed directly.
+    "q186_survival_merge" ->
+      """WITH dy AS (
+        |  SELECT user_id AS u,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |           // 3600 AS hr
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sp AS (SELECT u, min(hr) AS f, max(hr) AS l FROM dy GROUP BY u),
+        |fl AS (
+        |  SELECT l - f AS t_life,
+        |         CASE WHEN l <= (SELECT max(l) FROM sp) - 24
+        |              THEN 1 ELSE 0 END AS ch
+        |  FROM sp),
+        |pd AS (SELECT t_life, CAST(count(*) AS BIGINT) AS ends,
+        |              CAST(sum(ch) AS BIGINT) AS n_churn
+        |       FROM fl GROUP BY 1),
+        |rk AS (
+        |  SELECT t_life, ends, n_churn,
+        |         CAST(sum(ends) OVER (ORDER BY t_life ROWS BETWEEN
+        |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |           AS n_risk
+        |  FROM pd),
+        |tm AS (
+        |  SELECT t_life, ends, n_churn, n_risk,
+        |         CASE WHEN n_churn < n_risk THEN
+        |           CAST(round(ln(CAST(n_risk - n_churn AS DOUBLE)
+        |                         / CAST(n_risk AS DOUBLE)), 12)
+        |                AS DECIMAL(38,12))
+        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS term,
+        |         max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY t_life ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS dead
+        |  FROM rk)
+        |SELECT t_life, n_risk, n_churn, ends - n_churn AS n_censored,
+        |       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+        |            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t_life
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |                   ROW) AS DOUBLE)), 6) END AS survival
+        |FROM tm WHERE n_churn > 0 ORDER BY t_life""".stripMargin,
 
     // PARTIAL oracle (optimality certificate, q44 style): the SOLVE is
     // not SQL-expressible, but its result is checkable — rebuild the

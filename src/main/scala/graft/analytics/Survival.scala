@@ -59,21 +59,57 @@ object Survival {
       userCol: String = "user_id",
       tsCol: String = "ts",
       bucketSeconds: Long = 86400L,
-      horizonBuckets: Int = 7): DataFrame = {
-    require(horizonBuckets >= 0,
-      s"horizonBuckets must be >= 0, got $horizonBuckets")
+      horizonBuckets: Int = 7): DataFrame =
+    kaplanMeierFromSpans(
+      userSpans(events, userCol, tsCol, bucketSeconds), horizonBuckets)
+
+  /**
+   * Per-user activity spans in integer bucket epochs —
+   * `(user, first_b, last_b)`, the MERGEABLE sufficient statistic
+   * behind [[kaplanMeier]] (the [[graft.ext.TextOps.docBucketStats]] /
+   * [[Trend]] merge-law pattern): the curve needs nothing about a user
+   * beyond their first and last active bucket, and those fold by
+   * min/max. One data-sized shuffle on the well-spread user key.
+   */
+  def userSpans(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      bucketSeconds: Long = 86400L): DataFrame = {
     require(bucketSeconds > 0,
       s"bucketSeconds must be > 0, got $bucketSeconds")
-    val spans = events
+    events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("_u"),
-        expr(s"unix_timestamp($tsCol) div ${bucketSeconds}L").as("_day"))
-      .groupBy("_u")
-      .agg(min(col("_day")).as("_first"), max(col("_day")).as("_last"))
-    val horizonEnd = spans.agg(max(col("_last")).as("_maxd"))
+      .select(col(userCol).as("user"),
+        expr(s"unix_timestamp($tsCol) div ${bucketSeconds}L").as("_b"))
+      .groupBy("user")
+      .agg(min(col("_b")).as("first_b"), max(col("_b")).as("last_b"))
+  }
+
+  /**
+   * Exact merge law: the spans of `A ∪ B` are the per-user
+   * `(min first_b, max last_b)` of the two span frames. Associative,
+   * commutative, and IDEMPOTENT — re-merging rows already in the store
+   * changes nothing (min/max absorb), so unlike additive aggregates
+   * ([[Rollup.merge]]'s replay mark) streaming maintenance of spans
+   * needs no batch-id high-water mark to be at-least-once safe.
+   */
+  def mergeSpans(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("user")
+      .agg(min(col("first_b")).as("first_b"),
+        max(col("last_b")).as("last_b"))
+
+  /** The product-limit curve from a precomputed [[userSpans]] frame —
+    * the lifetime-space tail of [[kaplanMeier]]. */
+  def kaplanMeierFromSpans(
+      spans: DataFrame, horizonBuckets: Int): DataFrame = {
+    require(horizonBuckets >= 0,
+      s"horizonBuckets must be >= 0, got $horizonBuckets")
+    val horizonEnd = spans.agg(max(col("last_b")).as("_maxd"))
     val perLife = spans.crossJoin(broadcast(horizonEnd))
-      .select((col("_last") - col("_first")).as("t_life"),
-        when(col("_last") <= col("_maxd") - lit(horizonBuckets.toLong), 1L)
+      .select((col("last_b") - col("first_b")).as("t_life"),
+        when(col("last_b") <= col("_maxd") - lit(horizonBuckets.toLong), 1L)
           .otherwise(0L).as("_ch"))
       .groupBy("t_life")
       .agg(count(lit(1)).as("_ends"), sum(col("_ch")).as("n_churn"))

@@ -63,6 +63,30 @@ class SurvivalSpec extends GraftSpec {
     assert(km.toSeq == Seq((48L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("span merge law: spans(A union B) = mergeSpans(spans(A), spans(B)); " +
+    "the merge is idempotent (replay-absorbing)") {
+    val a = events((1L, 0L, 3L), (2L, 5L, 9L))
+    val b = events((1L, 2L, 7L), (3L, 4L, 4L))
+    val whole = Survival.userSpans(a.unionByName(b))
+      .orderBy("user").collect().toSeq
+    val merged = Survival.mergeSpans(
+      Survival.userSpans(a), Survival.userSpans(b))
+      .orderBy("user").collect().toSeq
+    assert(whole == merged)
+    val again = Survival.mergeSpans(
+      Survival.mergeSpans(Survival.userSpans(a), Survival.userSpans(b)),
+      Survival.userSpans(b)) // replay b: min/max absorb
+      .orderBy("user").collect().toSeq
+    assert(again == merged, "idempotent under re-merge")
+    // and the curve from merged spans equals the whole-corpus curve
+    assert(
+      Survival.kaplanMeierFromSpans(
+        Survival.mergeSpans(Survival.userSpans(a), Survival.userSpans(b)),
+        horizonBuckets = 2).collect().toSeq ==
+        Survival.kaplanMeier(a.unionByName(b), horizonBuckets = 2)
+          .collect().toSeq)
+  }
+
   test("horizonBuckets and bucketSeconds are validated") {
     intercept[IllegalArgumentException] {
       Survival.kaplanMeier(events((1L, 0L, 1L)), horizonBuckets = -1)
