@@ -2441,6 +2441,16 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X3+ — hard-negative mining for contrastive training: per anchor,
+    // the top-3 most-similar DIFFERENT-label vectors. Exact form under
+    // the q108 broadcast-probe contract (vec_id < 200 bounds the eval
+    // sample); the corpus-scale path is hardNegativesAnn over an IVF
+    // neighbor frame (EvalSpec pins the shared-core equivalence law).
+    "q187_hard_negatives" -> ((s, d) =>
+      Eval.hardNegatives(
+        t(s, d, "embeddings").filter(col("vec_id") < 200), k = 3)
+        .orderBy(col("q_id").asc, col("rank").asc)),
+
     // X+/S/§2.10 — the KM curve's merge law as a query: spans built on
     // the event-id-parity halves fold by per-user min/max into EXACTLY
     // the whole-corpus spans (the oracle computes the whole-corpus curve
@@ -5933,6 +5943,39 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q187: same brute-force cosine (in-list-order folds), same 6-dp
+    // rounding BEFORE the rank, same nn_id tie-break — restricted to
+    // cross-label pairs.
+    "q187_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id < 200),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS nn_id, c.label AS nn_label,
+        |         round(
+        |           list_aggregate(list_transform(
+        |             list_zip(q.embedding, c.embedding),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             'sum')
+        |           / nullif(
+        |               sqrt(list_aggregate(list_transform(q.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |                 'sum'))
+        |             * sqrt(list_aggregate(list_transform(c.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |                 'sum')), CAST(0 AS DOUBLE)), 6) AS sim
+        |  FROM base q JOIN base c
+        |    ON c.vec_id <> q.vec_id AND c.label <> q.label),
+        |r AS (
+        |  SELECT q_id, q_label, nn_id, nn_label, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC NULLS LAST, nn_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT q_id, q_label, nn_id, nn_label, sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // q186: the merge law means the halved-and-merged engine path must
     // equal the whole-corpus curve — so the oracle IS q180's shape at

@@ -115,6 +115,80 @@ object Eval {
   }
 
   /**
+   * Hard-negative mining for contrastive training: per anchor, the
+   * top-`k` most-similar vectors with a DIFFERENT label — the pairs
+   * that carry the training signal (an easy negative teaches nothing;
+   * a near-duplicate with a different label is exactly the decision
+   * boundary). Returns `(q_id, q_label, nn_id, nn_label, sim, rank)`;
+   * sims round to 6 dp before ranking (the [[knnClassify]] float rule),
+   * ranks tie-break by neighbor id.
+   *
+   * This exact form carries the same broadcast-probe eval contract as
+   * [[knnClassify]] (anchor side sample-sized); at corpus scale feed an
+   * ANN neighbor frame to [[hardNegativesAnn]] instead — candidate
+   * generation stays the bounded IVF cell join, never all-pairs. Build
+   * that frame with `kNeighbors` comfortably above `k`: cross-label
+   * filtering consumes same-label candidates, so a frame of exactly
+   * `k` neighbors yields fewer than `k` hard negatives near cluster
+   * cores (the recall/`kNeighbors` trade the EvalSpec law pins).
+   */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val q = broadcast(base.select(
+      col(idCol).as("q_id"), col(vecCol).as("q_emb"),
+      Similarity.norm(col(vecCol)).as("q_n"), col(labelCol).as("q_label")))
+    val c = base.select(
+      col(idCol).as("nn_id"), col(vecCol).as("nn_emb"),
+      Similarity.norm(col(vecCol)).as("nn_n"), col(labelCol).as("nn_label"))
+    rankCrossLabel(
+      c.join(q)
+        .filter(col("nn_id") =!= col("q_id"))
+        .withColumn("sim", round(
+          Similarity.nativeDot(col("q_emb"), col("nn_emb"))
+            / nullif(col("q_n") * col("nn_n"), lit(0.0)), 6)), k)
+  }
+
+  /** Corpus-scale [[hardNegatives]]: the same cross-label re-rank fed by
+    * a precomputed ANN neighbor frame (`(q_id, nn_id, sim, rank)`, the
+    * [[AnnIvf.knnJoin]] shape) joined against `labels` on both sides —
+    * one shared ranking core, so the exact and ANN-fed paths can never
+    * drift. */
+  def hardNegativesAnn(
+      neighbors: DataFrame, labels: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label",
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lab = labels.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol))
+    rankCrossLabel(
+      neighbors
+        .join(lab.select(col(idCol).as("nn_id"),
+          col(labelCol).as("nn_label")), "nn_id")
+        .join(lab.select(col(idCol).as("q_id"),
+          col(labelCol).as("q_label")), "q_id")
+        .drop("rank"), k)
+  }
+
+  /** Shared hard-negative core: keep cross-label pairs, re-rank by
+    * `(sim desc, nn_id)` per anchor, cut at `k`. */
+  private def rankCrossLabel(pairs: DataFrame, k: Int): DataFrame = {
+    val byRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    pairs
+      .filter(col("q_label") =!= col("nn_label"))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("nn_id"), col("nn_label"),
+        col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * Label-noise candidates by neighborhood disagreement (the
    * confident-learning heuristic, Northcutt 2021-style): a labeled item
    * whose in-frame neighbors vote its OWN label below `flagBelow` is

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.GraftSpec
+import org.apache.spark.sql.functions.{lit, nullif, round}
 
 class EvalSpec extends GraftSpec {
   import spark.implicits._
@@ -384,6 +385,41 @@ class EvalSpec extends GraftSpec {
     assert(clamped.getDouble(1) == 0.0)
     val empty = Eval.brierScore(df.limit(0), "conf", "y").head()
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("hardNegatives: the nearest CROSS-label vector ranks first, " +
+    "same-label near-duplicates are invisible, and the ANN-fed variant " +
+    "equals the exact form when fed the exact pair frame") {
+    // anchor 1 (label 0): vector 3 is nearly parallel but label 0 (no
+    // signal — skipped); vector 2 (label 1) is the true hard negative;
+    // vector 4 (label 1) is orthogonal — an easy negative, rank 2.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.96f, 0.28f), 1),
+      (3L, Seq(0.99f, 0.141f), 0),
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val hn = Eval.hardNegatives(df, k = 2)
+      .filter($"q_id" === 1L).orderBy("rank").collect()
+    assert(hn.map(_.getLong(2)).toSeq == Seq(2L, 4L), hn.mkString(";"))
+    assert(hn.head.getDouble(4) == 0.96 && hn.head.getInt(3) == 1)
+    // equivalence law: feed the exact all-pairs frame into the ANN face
+    val pairs = df.select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      .crossJoin(df.select($"vec_id".as("nn_id"), $"embedding".as("ne")))
+      .filter($"q_id" =!= $"nn_id")
+      .select($"q_id", $"nn_id", round(
+        Similarity.nativeDot($"qe", $"ne") /
+          nullif(Similarity.norm($"qe") * Similarity.norm($"ne"),
+            lit(0.0)), 6).as("sim"), lit(1L).as("rank"))
+    val viaAnn = Eval.hardNegativesAnn(pairs,
+      df.select($"vec_id", $"label"), k = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    val exact = Eval.hardNegatives(df, k = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaAnn == exact, "one ranking core, two candidate feeds")
+    intercept[IllegalArgumentException] {
+      Eval.hardNegatives(df, k = 0)
+    }
   }
 
   test("retrievalMetrics: MRR/precision/recall conventions — zero for " +
