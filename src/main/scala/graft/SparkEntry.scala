@@ -2441,6 +2441,28 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X+/S — multiplicity-controlled source screening: group-vs-rest
+    // Welch z on document lengths for EVERY source at once (exact
+    // decimal moments, complement by subtraction), A&S-polynomial
+    // p-values from the rounded z, Benjamini–Hochberg step-up at 5%
+    // FDR. Windows run over the test frame — source-count-sized.
+    "q189_source_screen" -> ((s, d) =>
+      StatsTests.bhSignificance(
+        StatsTests.groupWelchZ(t(s, d, "documents"),
+          col("source"), col("n_chars"))
+          .withColumn("p", StatsTests.normalTwoSidedP(col("z"))),
+        "p", "g", alpha = 0.05)
+        .orderBy(col("rank").asc)),
+
+    // X+/S — exact mid-rank quantile normalization of event values as a
+    // two-level cumulative (bucket offsets + within-bucket windows —
+    // data-sized single partitions nowhere); the oracle is the
+    // equivalent ONE-window form.
+    "q188_quantile_normalize" -> ((s, d) =>
+      Robust.quantileNormalize(t(s, d, "events"), col("value"),
+        bucketWidth = 10.0)
+        .orderBy(col("value").asc)),
+
     // X3+ — hard-negative mining for contrastive training: per anchor,
     // the top-3 most-similar DIFFERENT-label vectors. Exact form under
     // the q108 broadcast-probe contract (vec_id < 200 bounds the eval
@@ -5943,6 +5965,77 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q189: same decimal moments and complement subtraction, same fixed
+    // Horner polynomial (literals embedded verbatim), same step-up —
+    // DOUBLE-cast alpha so the threshold arithmetic matches Spark's.
+    "q189_source_screen" ->
+      """WITH cells AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(CAST(n_chars AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS s1,
+        |         sum(CAST(round(CAST(n_chars AS DOUBLE)
+        |           * CAST(n_chars AS DOUBLE), 9) AS DECIMAL(38,12))) AS s2
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1,
+        |               sum(s2) AS ts2 FROM cells),
+        |zt AS (
+        |  SELECT g, n, round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+        |         CASE WHEN n >= 2 AND tn - n >= 2 THEN
+        |           round((CAST(s1 AS DOUBLE) / n
+        |                  - CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+        |             / nullif(sqrt(
+        |                 (CAST(s2 AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |                 / (n - 1) / n
+        |               + (CAST(ts2 - s2 AS DOUBLE)
+        |                  - CAST(ts1 - s1 AS DOUBLE)
+        |                    * CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+        |                 / (tn - n - 1) / (tn - n)),
+        |               CAST(0 AS DOUBLE)), 6)
+        |         END AS z
+        |  FROM cells CROSS JOIN tot),
+        |pt AS (
+        |  SELECT g, n, mean, z,
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |                 + 1.421413741) * t + -0.284496736) * t
+        |                 + 0.254829592) * t
+        |               * exp(-(x * x)), 6) AS p
+        |  FROM (SELECT g, n, mean, z,
+        |               abs(z) * 0.7071067811865476 AS x,
+        |               1.0 / (1.0 + 0.3275911
+        |                 * (abs(z) * 0.7071067811865476)) AS t
+        |        FROM zt)),
+        |rk AS (
+        |  SELECT g, n, mean, z, p,
+        |         CAST(row_number() OVER (ORDER BY p, g) AS BIGINT)
+        |           AS rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt WHERE p IS NOT NULL),
+        |ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE) * rank / m
+        |                       THEN rank END) AS cut FROM rk)
+        |SELECT g, n, mean, z, p, rank,
+        |       coalesce(rank <= ct.cut, FALSE) AS significant
+        |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin,
+
+    // q188: the single-window form the two-level engine path must equal
+    // by construction (same mid-rank rational, same one double divide).
+    "q188_quantile_normalize" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS value,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |r AS (
+        |  SELECT value, c,
+        |         CAST(coalesce(sum(c) OVER (ORDER BY value ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cb
+        |  FROM c)
+        |SELECT value, c,
+        |       round((cb + CAST(c AS DOUBLE) / 2) / t.n, 6) AS q
+        |FROM r CROSS JOIN t ORDER BY value""".stripMargin,
 
     // q187: same brute-force cosine (in-list-order folds), same 6-dp
     // rounding BEFORE the rank, same nn_id tie-break — restricted to

@@ -83,6 +83,60 @@ object Robust {
     * robust operators (percentile_disc semantics — an actual data value,
     * bit-exact across engines). Expects `_v`, `_rn`, `_n` from a
     * `(value, idCol)`-ordered rank window. */
+  /**
+   * Exact mid-rank quantile normalization of a numeric column — map
+   * every value to its empirical quantile `(C + c/2) / n` (C = rows
+   * strictly below, c = the value's tie count), the rank transform that
+   * makes heterogeneous quality scores mixable ("top 10% by THIS
+   * scorer" means the same thing for every scorer). Returns the
+   * value→quantile MAPPING `(value, c, q)` — value-cardinality-sized;
+   * join it back on `valueCol` to tag rows (kept separate so callers
+   * normalizing several frames against one reference distribution pay
+   * the mapping once).
+   *
+   * Scale shape — the reason this isn't one global window: a continuous
+   * score column has data-sized value cardinality, so a single
+   * `ORDER BY value` cumulative window would funnel the corpus through
+   * one partition. Instead the cumulative count runs TWO-LEVEL (the
+   * [[graft.ext.Sampling.stratifiedTake]] bucket trick, exact by
+   * construction): per-value counts shuffle on the well-spread value
+   * key; coarse `bucketWidth` range buckets get cumulative OFFSETS
+   * through a bucket-count-sized window (bounded, q179 contract); and
+   * within-bucket cumulatives run partitioned BY bucket at full
+   * parallelism. `C = bucket offset + within-bucket cumulative` —
+   * identical to the one-window form (spec-pinned), data-sized nowhere.
+   *
+   * Quantiles are exact rationals until one double division (round 6);
+   * NULL values drop (no rank position).
+   */
+  def quantileNormalize(
+      df: DataFrame, valueCol: Column,
+      bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val counts = df.select(valueCol.cast("double").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("c"))
+      .withColumn("_bkt", floor(col("value") / lit(bucketWidth)))
+    val bucketW = Window.orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy("_bkt")
+      .agg(sum(col("c")).as("_bc"))
+      .withColumn("_off",
+        coalesce(sum(col("_bc")).over(bucketW), lit(0L)))
+      .drop("_bc")
+    val inBucket = Window.partitionBy(col("_bkt"))
+      .orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = counts.agg(sum(col("c")).as("_n"))
+    counts
+      .withColumn("_cum", coalesce(sum(col("c")).over(inBucket), lit(0L)))
+      .join(broadcast(offsets), "_bkt")
+      .crossJoin(broadcast(total))
+      .select(col("value"), col("c"),
+        round((col("_off") + col("_cum") + col("c").cast("double") / 2)
+          / col("_n"), 6).as("q"))
+  }
+
   private def rankPick(p: Double): Column =
     max(when(col("_rn") ===
       greatest(ceil(lit(p) * col("_n").cast("double")).cast("long"),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -232,6 +233,98 @@ object StatsTests {
    * (category-sized, ties broken by group value). NULL groups drop.
    * Returns one row `(n_groups, n_rows, hhi, gini, top_share)`.
    */
+  /**
+   * Group-vs-rest Welch z for every group at once — the screening form
+   * of the two-sample location test ("which sources' documents are
+   * unusually long/short?"): one pass builds per-group exact moments
+   * (n, Σv, Σv² as 9-dp decimal folds), the complement's moments are
+   * exact decimal SUBTRACTIONS from the re-aggregated totals (the
+   * [[chiSquared]] cells-not-rescans rule), and
+   * `z = (mean_g − mean_rest)/√(s²_g/n_g + s²_rest/n_rest)` with
+   * sample variances. `z` is NULL when either side has < 2 rows or the
+   * pooled spread is 0; it rounds to 6 dp (the engine float rule —
+   * downstream p-values are computed FROM the rounded z, so the whole
+   * chain replays cross-engine). Returns `(g, n, mean, z)`,
+   * group-count-sized.
+   */
+  def groupWelchZ(
+      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("g"), valueCol.cast("double").as("_v"))
+      .filter(col("g").isNotNull && col("_v").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v"), 9).cast(dec)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(dec)).as("_s2"))
+    val tot = cells.agg(sum(col("n")).as("_tn"),
+      sum(col("_s1")).as("_ts1"), sum(col("_s2")).as("_ts2"))
+    def mean(s1: Column, n: Column) = s1.cast("double") / n
+    def sVar(s1: Column, s2: Column, n: Column) =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) /
+        (n - lit(1L))
+    val nR = col("_tn") - col("n")
+    val s1R = (col("_ts1") - col("_s1")).cast(dec)
+    val s2R = (col("_ts2") - col("_s2")).cast(dec)
+    cells.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"),
+        round(mean(col("_s1"), col("n")), 6).as("mean"),
+        when(col("n") >= 2 && nR >= 2,
+          round((mean(col("_s1"), col("n")) - mean(s1R, nR)) /
+            nullif(sqrt(
+              sVar(col("_s1"), col("_s2"), col("n")) / col("n") +
+                sVar(s1R, s2R, nR) / nR), lit(0.0)), 6))
+          .as("z"))
+  }
+
+  /**
+   * Two-sided normal p-value from a (6-dp-rounded) z — the
+   * Abramowitz–Stegun 7.1.26 erf polynomial (|ε| < 1.5·10⁻⁷),
+   * evaluated in a FIXED Horner order so an oracle embedding the same
+   * literals reproduces it: `p = P(t)·exp(−x²)`, `x = |z|/√2`,
+   * `t = 1/(1 + 0.3275911x)`. Rounds to 6 dp (absorbing the one
+   * last-ulp `exp` divergence allowed between engines). A closed-form
+   * approximation is deliberate: an exact incomplete-gamma would add an
+   * iterative float surface with no screening value at 6 dp.
+   */
+  def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) * lit(0.7071067811865476)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val horner =
+      ((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+        lit(1.421413741)) * t + lit(-0.284496736)) * t +
+        lit(0.254829592)) * t
+    round(horner * exp(-(x * x)), 6)
+  }
+
+  /**
+   * Benjamini–Hochberg step-up at level `alpha` over a frame of tests:
+   * rank p ascending (ties by `idCol`), find the LARGEST rank k with
+   * `p_k ≤ α·k/m`, and flag every rank ≤ k significant — the standard
+   * FDR control for "I just ran one test per source/shard/slice, which
+   * rejections survive multiplicity?". NULL p rows are untestable and
+   * drop; windows run over the TEST frame (group-count-sized by
+   * construction — never data rows). Adds `(rank, significant)`.
+   */
+  def bhSignificance(
+      tests: DataFrame, pCol: String, idCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val byP = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(idCol).asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("_cut", max(when(
+        col(pCol) <= lit(alpha) * col("rank") / col("_m"), col("rank")))
+        .over(all))
+      .withColumn("significant",
+        coalesce(col("rank") <= col("_cut"), lit(false)))
+      .drop("_m", "_cut")
+  }
+
   def concentration(df: DataFrame, groupCol: Column): DataFrame = {
     val counts = df.select(groupCol.as("_g")).filter(col("_g").isNotNull)
       .groupBy("_g").agg(count(lit(1)).as("c"))

@@ -68,4 +68,25 @@ class RobustSpec extends GraftSpec {
     assert(stats(rows, parts = 1).view.mapValues(_.toString).toMap ==
       stats(rows, parts = 11).view.mapValues(_.toString).toMap)
   }
+
+  test("quantileNormalize: mid-rank ties by hand; NULLs drop; the " +
+    "two-level cumulative is bucket-width-invariant (exact law)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(1.0), Some(1.0), Some(2.0), Some(5.0), None)
+      .toDF("v")
+    val got = Robust.quantileNormalize(df, col("v"))
+      .orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1.0, 2L, 0.25), (2.0, 1L, 0.625),
+      (5.0, 1L, 0.875)))
+    // bucketing is an implementation detail: any width, same mapping
+    val rnd = new scala.util.Random(7)
+    val big = Seq.fill(500)(rnd.nextGaussian() * 50).toDF("v")
+    def runW(w: Double) = Robust.quantileNormalize(big, col("v"), w)
+      .orderBy("value").collect().toSeq
+    assert(runW(0.25) == runW(1000.0))
+    intercept[IllegalArgumentException] {
+      Robust.quantileNormalize(df, col("v"), bucketWidth = 0.0)
+    }
+  }
 }

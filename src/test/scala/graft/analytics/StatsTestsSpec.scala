@@ -39,6 +39,61 @@ class StatsTestsSpec extends GraftSpec {
     assert(half.getDouble(3) == 0.5)
   }
 
+  test("groupWelchZ: hand-computed two-group case; sub-2-row sides and " +
+    "zero spread yield NULL z") {
+    val df = (Seq(0.0, 2.0).map(("a", _)) ++ Seq(1.0, 3.0).map(("b", _)))
+      .toDF("g", "v")
+    val got = StatsTests.groupWelchZ(df, col("g"), col("v"))
+      .orderBy("g").collect()
+    // a: mean 1, s2 2; rest: mean 2, s2 2; se = sqrt(2/2 + 2/2)
+    assert(got(0).getDouble(2) == 1.0)
+    assert(got(0).getDouble(3) == -0.707107, got(0).toString)
+    assert(got(1).getDouble(3) == 0.707107)
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(StatsTests.groupWelchZ(tiny, col("g"), col("v"))
+      .filter(col("g") === "a").collect().head.isNullAt(3),
+      "1-row group is untestable")
+    val flat = (Seq.fill(4)(("a", 5.0)) ++ Seq.fill(4)(("b", 5.0)))
+      .toDF("g", "v")
+    assert(StatsTests.groupWelchZ(flat, col("g"), col("v"))
+      .collect().forall(_.isNullAt(3)), "zero spread => NULL, not ±Inf")
+  }
+
+  test("normalTwoSidedP: 1 at z=0, ~0.05 at 1.96, monotone decreasing") {
+    val ps = Seq(0.0, 1.0, 1.96, 3.0).toDF("z")
+      .select(StatsTests.normalTwoSidedP(col("z")).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(ps.head == 1.0)
+    assert(math.abs(ps(2) - 0.05) < 1e-4, s"p(1.96) = ${ps(2)}")
+    assert(ps == ps.sorted.reverse, "monotone in |z|")
+  }
+
+  test("bhSignificance: textbook step-up (the non-contiguous rejection " +
+    "property), all-null drops, alpha validated") {
+    // thresholds at alpha .05, m 4: .0125 .025 .0375 .05 — rank 3's
+    // p=.04 fails ITS threshold but rank 2 passes, so cut = 2
+    val tests = Seq(("s1", 0.01), ("s2", 0.02), ("s3", 0.04), ("s4", 0.2))
+      .toDF("id", "p")
+    val got = StatsTests.bhSignificance(tests, "p", "id")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("s1", 1L, true), ("s2", 2L, true),
+      ("s3", 3L, false), ("s4", 4L, false)))
+    // step-up can rescue an individually-failing rank below the cut:
+    // p = .01 .04 .045, m 3: thresholds .0166 .0333 .05 — rank 3 passes
+    // so ALL THREE reject even though rank 2 fails its own threshold
+    val rescue = Seq(("a", 0.01), ("b", 0.04), ("c", 0.045)).toDF("id", "p")
+    assert(StatsTests.bhSignificance(rescue, "p", "id")
+      .collect().forall(_.getBoolean(3)))
+    val none = Seq(("a", 0.9), ("b", Double.NaN)).toDF("id", "p")
+      .select(col("id"), when(col("p") < 1.0, col("p")).as("p"))
+    assert(StatsTests.bhSignificance(none, "p", "id")
+      .collect().map(_.getBoolean(3)).toSeq == Seq(false))
+    intercept[IllegalArgumentException] {
+      StatsTests.bhSignificance(tests, "p", "id", alpha = 1.0)
+    }
+  }
+
   test("twoProportionZ: equal rates score 0; hand-computed textbook " +
     "case; degenerate pools yield NULL z") {
     def cohort(n: Int, s: Int) =
