@@ -2441,6 +2441,31 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X1+ — leakage-safe train/test split: split on the DEDUP CLUSTER's
+    // hash (Dedup.clusterLabels — exact copies inherit their text
+    // group's rep, near-dups their component), so contaminated pairs
+    // can never straddle the boundary; the naive row-keyed split's
+    // leak count is reported alongside as the counterfactual.
+    "q190_cluster_split" -> ((s, d) => {
+      val labeled = Dedup.clusterLabels(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
+      val sp = Sampling.hashSplit(
+        Sampling.hashSplit(labeled, col("cluster").cast("string"),
+          Seq("train", "test"), Seq("c0")),
+        col("doc_id").cast("string"),
+        Seq("train", "test"), Seq("c0"), "naive_split")
+      sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(broadcast(
+          Sampling.splitLeakage(sp, col("cluster"), col("split"))
+            .select(col("leaky_groups").as("leaky_clusters"))))
+        .crossJoin(broadcast(
+          Sampling.splitLeakage(sp, col("cluster"), col("naive_split"))
+            .select(col("leaky_groups").as("naive_leaky_clusters"))))
+        .orderBy(col("split").asc)
+    }),
+
     // X+/S — multiplicity-controlled source screening: group-vs-rest
     // Welch z on document lengths for EVERY source at once (exact
     // decimal moments, complement by subtraction), A&S-polynomial
@@ -5965,6 +5990,59 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q190: the q37 recursive-reach component labels (min reachable doc
+    // id — identical to the engine's ghash-rep + min-label composition),
+    // the same md5-hex split cuts, and both leak audits.
+    "q190_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> length(x) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |           AS s
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS doc_id, min(dst) AS cluster
+        |        FROM reach GROUP BY src),
+        |sp AS (
+        |  SELECT doc_id, cluster,
+        |         CASE WHEN md5(CAST(cluster AS VARCHAR)) < 'c0'
+        |              THEN 'train' ELSE 'test' END AS split,
+        |         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0'
+        |              THEN 'train' ELSE 'test' END AS naive_split
+        |  FROM rep),
+        |leak AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS leaky FROM (
+        |    SELECT cluster FROM sp GROUP BY cluster
+        |    HAVING count(DISTINCT split) > 1)),
+        |nleak AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS naive_leaky FROM (
+        |    SELECT cluster FROM sp GROUP BY cluster
+        |    HAVING count(DISTINCT naive_split) > 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |       leak.leaky AS leaky_clusters,
+        |       nleak.naive_leaky AS naive_leaky_clusters
+        |FROM sp CROSS JOIN leak CROSS JOIN nleak
+        |GROUP BY 1, 4, 5 ORDER BY split""".stripMargin,
 
     // q189: same decimal moments and complement subtraction, same fixed
     // Horner polynomial (literals embedded verbatim), same step-up —

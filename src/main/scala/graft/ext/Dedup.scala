@@ -402,6 +402,43 @@ object Dedup {
   }
 
   /**
+   * Cluster label for EVERY row — the labels-for-all face of
+   * [[dedupTransitive]] (which returns survivors only): each row maps
+   * to its transitive near-dup component's minimum id. Byte-identical
+   * copies first inherit their text group's representative (the same
+   * ghash collapse [[nearDuplicatePairs]] dedups through, so an exact
+   * duplicate NEVER gets its own cluster), then representatives inherit
+   * their component label; rows outside every pair are singletons
+   * labeled by their own id (NULL-text rows included — an unhashable
+   * row clusters with nothing).
+   *
+   * This is the key the leakage-safe operations hang off: split or
+   * quota by `cluster` instead of the row and near-duplicates can never
+   * straddle a train/test boundary. Returns `(idCol, cluster)`.
+   *
+   * Scale: the pair pipeline and label propagation are
+   * [[dedupTransitive]]'s (banded LSH candidates, never all-pairs); the
+   * extra cost is one ghash aggregate + two well-spread equi-joins.
+   */
+  def clusterLabels(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2, maxIters: Int = 50): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, n, bands, rowsPerBand)
+    val labels = components(pairs, maxIters)
+    val ghashRep = df
+      .select(md5(col(textCol).cast("binary")).as("_gh"), col(idCol))
+      .filter(col("_gh").isNotNull)
+      .groupBy("_gh").agg(min(col(idCol)).as("_rep0"))
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("_gh"))
+      .join(ghashRep, Seq("_gh"), "left")
+      .join(labels.select(col("id").as("_rep0"), col("component")),
+        Seq("_rep0"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col("_rep0"), col(idCol)).as("cluster"))
+  }
+
+  /**
    * INCREMENTAL dedup: keep exactly the `batch` rows whose text is NEW
    * relative to `corpus` — no byte-identical copy already accepted
    * (content-hash anti-join) and no verified near-duplicate at

@@ -123,6 +123,24 @@ object Sampling {
    * set when the corpus is rebuilt. The same-hash-same-split property
    * also means exact duplicates can never straddle the boundary.
    */
+  /**
+   * Split-leakage audit: how many `groupCol` groups landed rows in MORE
+   * than one split. Zero by construction for any split keyed on the
+   * group itself (dedup cluster, user, source — see
+   * [[graft.ext.Dedup.clusterLabels]]); positive for a row-keyed split,
+   * where it QUANTIFIES train/test contamination. One row
+   * `(n_groups, leaky_groups)`; one group-keyed aggregate, then a
+   * group-count-sized fold.
+   */
+  def splitLeakage(
+      df: DataFrame, groupCol: Column, splitCol: Column): DataFrame =
+    df.select(groupCol.as("_g"), splitCol.as("_s"))
+      .filter(col("_g").isNotNull)
+      .groupBy("_g")
+      .agg(countDistinct(col("_s")).as("_k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_k") > 1, 1L).otherwise(0L)).as("leaky_groups"))
+
   def hashSplit(
       df: DataFrame, key: Column, labels: Seq[String], cutsHex: Seq[String],
       splitCol: String = "split"): DataFrame = {

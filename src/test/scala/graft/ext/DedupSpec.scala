@@ -117,6 +117,25 @@ class DedupSpec extends GraftSpec {
     assert(cc.sameElements(Array(1L, 4L))) // one survivor per component
   }
 
+  test("clusterLabels: every row gets its component's min id — exact " +
+    "copies inherit the text group's rep, chains collapse, singletons " +
+    "and NULL-text rows label themselves") {
+    val w = (1 to 24).map(i => f"w$i%02d")
+    val docs = Seq(
+      (1L, Some(w.slice(0, 20).mkString(" "))), // chain end
+      (2L, Some(w.slice(4, 24).mkString(" "))), // chain far end
+      (3L, Some(w.slice(2, 22).mkString(" "))), // chain middle
+      (4L, Some("entirely unrelated text about broadcast joins here")),
+      (5L, Some(w.slice(0, 20).mkString(" "))), // byte-identical to 1
+      (6L, Option.empty[String]) // unhashable
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusterLabels(docs, "doc_id", "text", threshold = 0.7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 1L), (6L, 6L)), got.toString)
+  }
+
   test("dedupIncremental: exact copies and near-dups of the corpus drop; fresh and short docs survive") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog near the river"),

@@ -372,4 +372,23 @@ class SamplingSpec extends GraftSpec {
     val plan = take(df).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"), plan)
   }
+
+  test("splitLeakage: group-keyed splits audit to zero, row-keyed splits " +
+    "count straddling groups; NULL groups drop") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some(1L), "train"), (Some(1L), "train"), // intact cluster
+      (Some(2L), "train"), (Some(2L), "test"), // leaky cluster
+      (Some(3L), "test"), (None, "train")
+    ).toDF("cluster", "split")
+    val audit = Sampling.splitLeakage(df, col("cluster"), col("split"))
+      .collect().head
+    assert(audit.getLong(0) == 3L && audit.getLong(1) == 1L)
+    // a split KEYED on the group can never leak
+    val keyed = Sampling.hashSplit(
+      Seq(1L, 1L, 2L, 2L, 3L).toDF("cluster"),
+      col("cluster").cast("string"), Seq("a", "b"), Seq("80"))
+    assert(Sampling.splitLeakage(keyed, col("cluster"), col("split"))
+      .collect().head.getLong(1) == 0L)
+  }
 }
