@@ -2441,6 +2441,14 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X2+ — token-coverage curve of the top-100 vocabulary (what does
+    // each vocab size buy?): TakeOrdered candidate cut, bounded-frame
+    // rank/cumulative windows, exact long counts until the final share.
+    "q191_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(
+        TextOps.termFrequencies(t(s, d, "documents"), "text"), topK = 100)
+        .orderBy(col("rank").asc)),
+
     // X1+ — leakage-safe train/test split: split on the DEDUP CLUSTER's
     // hash (Dedup.clusterLabels — exact copies inherit their text
     // group's rep, near-dups their component), so contaminated pairs
@@ -5990,6 +5998,28 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q191: same tokens, same (freq desc, token) order, same exact
+    // cumulative counts — the full-window form of the TakeOrdered cut.
+    "q191_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT t AS token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |                  '\s+'), x -> length(x) > 0)) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM tf),
+        |r AS (
+        |  SELECT token, freq,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |           AS BIGINT) AS rank,
+        |         CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM tf)
+        |SELECT rank, token, freq,
+        |       round(CAST(cum AS DOUBLE) / tot.n, 6) AS cum_share
+        |FROM r CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // q190: the q37 recursive-reach component labels (min reachable doc
     // id — identical to the engine's ghash-rep + min-label composition),

@@ -533,6 +533,37 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
 
+  /**
+   * Token-coverage curve of the top-`topK` vocabulary — "how much of the
+   * corpus does a K-term vocab cover?", the curve a tokenizer-size
+   * decision reads (the q103 [[vocabFromTf]] build picks K; this shows
+   * what each K buys). Returns `(rank, token, freq, cum_share)` for
+   * ranks 1..topK, `cum_share` = cumulative frequency / total tokens
+   * rounded 6.
+   *
+   * Scale shape: the candidate cut is an `ORDER BY freq DESC LIMIT K` —
+   * Spark plans TakeOrdered (per-partition top-K, driver merge of K
+   * rows), NEVER a data-sized sort or single-partition window; the rank
+   * and cumulative windows then run over the K-row frame (bounded by
+   * the caller's constant — the q179 contract). The total is one
+   * separate aggregate of the full tf frame.
+   */
+  def vocabCoverage(tf: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val cum = byFreq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val total = tf.agg(sum(col("freq")).as("_n"))
+    tf.orderBy(col("freq").desc, col("token").asc).limit(topK)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("_cum", sum(col("freq")).over(cum))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("_cum").cast("double") / col("_n"), 6).as("cum_share"))
+  }
+
   /** Frequency-of-frequencies spectrum of a [[termFrequencies]] frame —
     * the Zipf/Heaps corpus diagnostic (`n_terms` distinct terms occur
     * exactly `freq` times; the hapax count is the `freq = 1` row, and a

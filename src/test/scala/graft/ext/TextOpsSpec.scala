@@ -401,4 +401,23 @@ class TextOpsSpec extends GraftSpec {
     assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4))
     assert(got(4L).isNullAt(4))
   }
+  test("vocabCoverage: hand-ranked curve with tie-break, TakeOrdered " +
+    "candidate cut in the plan, topK validated") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val tf = TextOps.termFrequencies(docs, "text")
+    val got = TextOps.vocabCoverage(tf, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // freqs: a=3, b=3, c=1, d=1 -> (a before b by term), total 8
+    assert(got == Seq((1L, "a", 3L, 0.375), (2L, "b", 3L, 0.75),
+      (3L, "c", 1L, 0.875)))
+    val plan = TextOps.vocabCoverage(tf, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+    intercept[IllegalArgumentException] {
+      TextOps.vocabCoverage(tf, 0)
+    }
+  }
 }
