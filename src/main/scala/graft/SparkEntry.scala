@@ -2441,6 +2441,25 @@ object SparkEntry {
             .as("bytes_per_token"))
         .orderBy(col("lang").asc)),
 
+    // X2+/§2.9 — DEFLATE compression-ratio quality signal per language
+    // (native graft_deflate_len — the long-range redundancy screen):
+    // avg folds 9-dp decimal terms; min/max are exact 6-dp ratios. The
+    // partial oracle checks every recomputable property (doc universe,
+    // ratio bounds from per-lang byte floors, min<=avg<=max).
+    "q192_compression_signal" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull && octet_length(col("text")) > 0)
+        .select(col("lang"),
+          TextOps.compressionRatio(col("text")).as("_r"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("_r"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double") / count(lit(1)), 6).as("avg_ratio"),
+          min(col("_r")).as("min_ratio"),
+          max(col("_r")).as("max_ratio"))
+        .orderBy(col("lang").asc)),
+
     // X2+ — token-coverage curve of the top-100 vocabulary (what does
     // each vocab size buy?): TakeOrdered candidate cut, bounded-frame
     // rank/cumulative windows, exact long counts until the final share.
@@ -5998,6 +6017,41 @@ object SparkEntry {
         |         round(CAST(sum(byt) AS DOUBLE) / sum(tk), 6) END
         |         AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // PARTIAL oracle (property check, q44 style): no SQL engine exposes
+    // a DEFLATE scalar, so the oracle verifies everything recomputable —
+    // the per-lang doc universe matches, every ratio respects the
+    // zlib worst-case bound (≤ 1 + 16/min-byte-length, from the actual
+    // per-lang byte floor), ratios are positive, and min ≤ avg ≤ max.
+    // The expression itself is spec-pinned against a direct Deflater
+    // call. Echo the dump if sound, else a sentinel.
+    "q192_compression_signal" ->
+      """WITH r AS (
+        |  SELECT lang, n_docs, avg_ratio, min_ratio, max_ratio
+        |  FROM read_parquet('__OUT__/q192_compression_signal/*.parquet')),
+        |d AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(min(strlen(text)) AS BIGINT) AS ml
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND strlen(text) > 0 GROUP BY lang),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM r) = (SELECT count(*) FROM d)
+        |      AND NOT EXISTS (SELECT 1 FROM r JOIN d USING (lang)
+        |                      WHERE r.n_docs <> d.n)
+        |      AND NOT EXISTS (SELECT 1 FROM r JOIN d USING (lang)
+        |                      WHERE NOT (r.min_ratio > 0
+        |                        AND r.min_ratio <= r.avg_ratio
+        |                        AND r.avg_ratio <= r.max_ratio
+        |                        AND r.max_ratio <= 1.0 + 16.0 / d.ml)),
+        |      FALSE) AS ok)
+        |SELECT lang, n_docs, avg_ratio, min_ratio, max_ratio FROM r
+        |WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT 'SENTINEL', CAST(-1 AS BIGINT), CAST(0 AS DOUBLE),
+        |       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY lang""".stripMargin,
 
     // q191: same tokens, same (freq desc, token) order, same exact
     // cumulative counts — the full-window form of the TakeOrdered cut.

@@ -534,6 +534,20 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
 
   /**
+   * DEFLATE compression ratio of the text's UTF-8 bytes — compressed
+   * size / raw size at the given zlib level, the cheap long-range
+   * redundancy signal ([[graft.functions.DeflateLength]]): boilerplate
+   * and generated spam land far below organic prose, so quality passes
+   * threshold on it next to [[qualityScore]]'s local ratios. Rounds to
+   * 6 dp; NULL for NULL or empty text (no bytes, no ratio). Zero
+   * shuffle — fuses into the surrounding scan.
+   */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    round(
+      call_function("graft_deflate_len", text, lit(level)).cast("double") /
+        nullif(octet_length(text).cast("double"), lit(0.0)), 6)
+
+  /**
    * Token-coverage curve of the top-`topK` vocabulary — "how much of the
    * corpus does a K-term vocab cover?", the curve a tokenizer-size
    * decision reads (the q103 [[vocabFromTf]] build picks K; this shows

@@ -138,6 +138,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getCanonicalName,
+        "graft_deflate_len"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => DeflateLength(c, 6)
+        case Seq(c, l) if l.foldable && l.dataType == IntegerType =>
+          DeflateLength(c, l.eval().asInstanceOf[Int])
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "graft_deflate_len requires a literal integer level as argument 2")
+        case _ => throw new IllegalArgumentException(
+          s"graft_deflate_len requires 1 or 2 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getCanonicalName,
         "graft_normalize"),
