@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
-import graft.analytics.{LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
+import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
@@ -164,6 +164,46 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+
+    // X+/S — CUSUM change-point localization over the daily event-count
+    // series: exact decimal cumulatives, one double chain per row for
+    // the standardized excursion, argmax flag with first-day tiebreak.
+    // Windows run over DAYS (30 rows at any SF) — the aggregate-first
+    // series contract.
+    "q193_cusum" -> ((s, d) =>
+      Changepoint.cusum(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+        .orderBy(col("day").asc)),
+
+    // X+/S — effect size of purchase-vs-click values: Cohen's d on the
+    // pooled SD + Hedges' g, exact 9-dp decimal moments per side (one
+    // aggregate each), closed forms in one IEEE chain.
+    "q194_effect_size" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StatsTests.effectSize(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        col("value"))
+    }),
+
+    // X2+ — distinct-2 diversity per language: the generation-eval
+    // uniqueness metric as a corpus facet (template-heavy slices score
+    // low). One explode + two hash aggregates, lang-sized output.
+    "q195_distinct_ngrams" -> ((s, d) =>
+      TextOps.ngramDiversity(t(s, d, "documents"), "lang", "text", n = 2)
+        .orderBy(col("lang").asc)),
+
+    // X+/S — per-user burstiness over the hourly grid: Fano factor and
+    // Goh–Barabási B from exact bucket moments (zero-hours enter by
+    // arithmetic, never materialized). Two hash aggregates, user-sized.
+    "q196_burstiness" -> ((s, d) =>
+      StatsTests.burstiness(t(s, d, "events").filter(col("ts").isNotNull),
+        col("user_id"), date_trunc("hour", col("ts")))
+        .withColumnRenamed("entity", "user_id")
+        .orderBy(col("user_id").asc)),
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -2881,6 +2921,129 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q193: same exact day-count series, same double chain from integer
+    // cumulatives (the engine's decimal cumulative of integral counts
+    // casts to the identical double), same first-day argmax tiebreak.
+    "q193_cusum" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT day, n_events,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |         sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cum,
+        |         CAST(count(*) OVER () AS BIGINT) AS n,
+        |         sum(n_events) OVER () AS s1,
+        |         sum(n_events * n_events) OVER () AS s2
+        |  FROM s),
+        |x AS (
+        |  SELECT day, n_events, i, n,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           AS sigma,
+        |         CAST(n AS DOUBLE) * CAST(cum AS DOUBLE)
+        |           - CAST(i AS DOUBLE) * CAST(s1 AS DOUBLE) AS d
+        |  FROM c),
+        |y AS (SELECT *, max(abs(d)) OVER () AS dmax FROM x),
+        |z AS (SELECT *, min(CASE WHEN abs(d) = dmax THEN i END) OVER ()
+        |        AS imin FROM y)
+        |SELECT day, n_events,
+        |       round(d / nullif(CAST(n AS DOUBLE) * sigma,
+        |         CAST(0 AS DOUBLE)), 6) AS cusum,
+        |       (abs(d) = dmax AND sigma > 0 AND i = imin)
+        |         AS is_changepoint
+        |FROM z ORDER BY day""".stripMargin,
+
+    // q194: same 9-dp decimal moments per side, same closed forms.
+    "q194_effect_size" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |         sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS s11,
+        |         sum(CAST(round(CAST(value AS DOUBLE)
+        |           * CAST(value AS DOUBLE), 9) AS DECIMAL(38,12))) AS s21
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |         sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS s12,
+        |         sum(CAST(round(CAST(value AS DOUBLE)
+        |           * CAST(value AS DOUBLE), 9) AS DECIMAL(38,12))) AS s22
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |x AS (
+        |  SELECT n1, n2,
+        |         CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |         CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |         CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE)
+        |           * CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ss1,
+        |         CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)
+        |           * CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE) AS ss2
+        |  FROM a CROSS JOIN b),
+        |y AS (SELECT *, sqrt((ss1 + ss2)
+        |        / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp FROM x)
+        |SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2
+        |            THEN round(sp, 6) END AS pooled_sd,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2
+        |            THEN round((m1 - m2) / nullif(sp, CAST(0 AS DOUBLE)),
+        |              6) END AS cohens_d,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2
+        |            THEN round((m1 - m2) / nullif(sp, CAST(0 AS DOUBLE))
+        |              * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE)
+        |                - 9.0)), 6) END AS hedges_g
+        |FROM y""".stripMargin,
+
+    // q195: same tokenization as q191 (lower + \s+ split + nonempty),
+    // bigrams as space-joined 2-slices over 0-based offsets.
+    "q195_distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> length(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT lang, unnest(list_transform(range(0, len(l) - 1),
+        |           i -> array_to_string(l[i+1:i+2], ' '))) AS g
+        |  FROM toks WHERE len(l) >= 2),
+        |cells AS (SELECT lang, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(CAST(count(*) AS DOUBLE)
+        |         / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio
+        |FROM cells GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q196: same hourly cells, same observed-grid H, same zero-clamped
+    // population variance arithmetic.
+    "q196_burstiness" ->
+      """WITH cells AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS b,
+        |         count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS h
+        |         FROM cells),
+        |per AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_active,
+        |         sum(c * c) AS q
+        |  FROM cells GROUP BY 1),
+        |x AS (
+        |  SELECT user_id, n_events, n_active,
+        |         CAST(n_events AS DOUBLE) / CAST(h AS DOUBLE) AS mu,
+        |         greatest(CAST(q AS DOUBLE) / CAST(h AS DOUBLE)
+        |           - (CAST(n_events AS DOUBLE) / CAST(h AS DOUBLE))
+        |             * (CAST(n_events AS DOUBLE) / CAST(h AS DOUBLE)),
+        |           CAST(0 AS DOUBLE)) AS v
+        |  FROM per CROSS JOIN grid)
+        |SELECT user_id, n_events, n_active,
+        |       round(v / mu, 6) AS fano,
+        |       round((sqrt(v) - mu) / (sqrt(v) + mu), 6) AS burstiness
+        |FROM x ORDER BY user_id""".stripMargin,
+
     "q01_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS distinct_users FROM events",
 

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * CUSUM change-point screening over a bucketed series — "did the level
+ * of this telemetry shift somewhere in the window, and when?". The
+ * pipeline monitor a source owner runs when a drift screen
+ * ([[graft.ext.CorpusCompare]]) says SOMETHING moved and the next
+ * question is WHERE in time.
+ *
+ * Reference scope: the reference engine's static grouped counts
+ * (`/root/reference/sree-etl-tdk-glue-job.py:51-68`) summarize a whole
+ * window; the CUSUM curve localizes a level shift inside it.
+ *
+ * Determinism contract (the [[Trend]] rule): the series values fold as
+ * 9-dp DECIMAL terms, the cumulative sum runs over the EXACT decimals
+ * (so the curve is integer-exact for count series, and
+ * partitioning-invariant always), and floats enter only in the final
+ * per-row scalar `D_i / (n·σ)` — one IEEE chain both engines replay.
+ */
+object Changepoint {
+
+  private val dec = DecimalType(38, 12)
+
+  private def term(v: Column): Column = round(v, 9).cast(dec)
+
+  /**
+   * Standardized CUSUM curve of a series frame (one row per bucket,
+   * e.g. a day's event count): with mean μ and population σ over the
+   * n buckets,
+   *
+   *   S_i = Σ_{j≤i} (v_j − μ) / σ  =  D_i / (n·σ),
+   *   D_i = n·Σ_{j≤i} v_j − i·Σv   (exact decimal arithmetic)
+   *
+   * — the running excursion from the window mean; a level shift bends
+   * the curve and the |S| extremum marks the most likely change point
+   * (argmax of |D_i| — one double product chain from exact decimal
+   * cumulatives, bit-identical in both engines; first-bucket
+   * tiebreak). A constant series (σ = 0) yields NULL cusum and no
+   * flag.
+   *
+   * SCALE CONTRACT: the ordered windows run over the SERIES — bucket
+   * cardinality (days/hours), never data rows; aggregate first. NULL
+   * order or value rows drop.
+   *
+   * Returns the series + `(cusum, is_changepoint)`, cusum 6-dp.
+   */
+  def cusum(series: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val wCum = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol), col(valueCol), term(col(valueCol)).as("_v"))
+    val nD = col("_n").cast("double")
+    // population σ from exact decimal moments; D_i = n·cum_i − i·Σv is
+    // computed in doubles FROM the exact decimal cumulatives — one IEEE
+    // product chain per row, identical in both engines (decimal×long
+    // multiply rules differ cross-engine; double multiply does not)
+    val sigma = sqrt(
+      (col("_s2").cast("double") -
+        col("_s1").cast("double") * col("_s1").cast("double") / nD) / nD)
+    val di = nD * col("_c").cast("double") -
+      col("_i").cast("double") * col("_s1").cast("double")
+    base
+      .withColumn("_i", row_number().over(
+        Window.orderBy(col(orderCol))).cast("long"))
+      .withColumn("_c", sum(col("_v")).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s1", sum(col("_v")).over(wAll))
+      .withColumn("_s2", sum(term(col(valueCol) * col(valueCol)))
+        .over(wAll))
+      .withColumn("_d", di)
+      .withColumn("_dmax", max(abs(col("_d"))).over(wAll))
+      .select(col(orderCol), col(valueCol),
+        round(col("_d").cast("double") /
+          nullif(nD * sigma, lit(0.0)), 6).as("cusum"),
+        (abs(col("_d")) === col("_dmax") && sigma > 0.0 &&
+          col("_i") === min(when(abs(col("_d")) === col("_dmax"),
+            col("_i"))).over(wAll))
+          .as("is_changepoint"))
+  }
+
+  /**
+   * Day-of-week seasonal profile of a daily count series: per weekday,
+   * the mean daily value and its ratio to the overall daily mean (the
+   * multiplicative seasonal index a forecaster divides out before
+   * trend-fitting). Exact decimal sums; the two means divide as one
+   * double op each. Returns `(dow, n_days, mean_value, seasonal_index)`
+   * — 7 rows, 6-dp.
+   */
+  def seasonalIndex(series: DataFrame, dateCol: String, valueCol: String)
+      : DataFrame = {
+    val cells = series
+      .filter(col(dateCol).isNotNull && col(valueCol).isNotNull)
+      .select(dayofweek(col(dateCol)).cast("int").as("dow"),
+        term(col(valueCol)).as("_v"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("_v")).as("_s"))
+    val tot = cells.agg(sum(col("n_days")).as("_tn"),
+      sum(col("_s")).as("_ts"))
+    val mg = col("_ts").cast("double") / col("_tn").cast("double")
+    val md = col("_s").cast("double") / col("n_days").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        round(md, 6).as("mean_value"),
+        round(md / nullif(mg, lit(0.0)), 6).as("seasonal_index"))
+  }
+}

@@ -351,6 +351,86 @@ object StatsTests {
   }
 
   /**
+   * Standardized effect size between two samples — the magnitude
+   * companion to [[twoProportionZ]]/[[mannWhitneyU]] significance ("the
+   * difference is real; is it LARGE?"): Cohen's d on the pooled sample
+   * SD and the small-sample Hedges' g correction,
+   *
+   *   d = (m₁ − m₂) / s_p,   s_p² = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2)
+   *   g = d · (1 − 3/(4(n₁+n₂) − 9))
+   *
+   * from exact 9-dp decimal moments per side (one aggregate each, the
+   * [[groupWelchZ]] rule); the closed forms are one double chain.
+   * Degenerate inputs (either side < 2 rows, or zero pooled spread)
+   * yield NULL d and g. NULL values drop. Returns one row
+   * `(n1, n2, mean1, mean2, pooled_sd, cohens_d, hedges_g)`, 6-dp.
+   */
+  def effectSize(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def moments(df: DataFrame, sfx: String): DataFrame =
+      df.select(value.cast("double").as("_v"))
+        .filter(col("_v").isNotNull)
+        .agg(count(lit(1)).as(s"n$sfx"),
+          sum(round(col("_v"), 9).cast(dec)).as(s"_s1$sfx"),
+          sum(round(col("_v") * col("_v"), 9).cast(dec)).as(s"_s2$sfx"))
+    def m(i: Int) = col(s"_s1$i").cast("double") / col(s"n$i").cast("double")
+    def ss(i: Int) = col(s"_s2$i").cast("double") -
+      col(s"_s1$i").cast("double") * col(s"_s1$i").cast("double") /
+        col(s"n$i").cast("double")
+    val df2 = (col("n1") + col("n2") - 2L).cast("double")
+    val sp = sqrt((ss(1) + ss(2)) / df2)
+    val dEff = (m(1) - m(2)) / nullif(sp, lit(0.0))
+    val j = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (col("n1") + col("n2")).cast("double") - lit(9.0))
+    moments(a, "1").crossJoin(moments(b, "2"))
+      .select(col("n1"), col("n2"),
+        round(m(1), 6).as("mean1"), round(m(2), 6).as("mean2"),
+        when(col("n1") >= 2 && col("n2") >= 2, round(sp, 6))
+          .as("pooled_sd"),
+        when(col("n1") >= 2 && col("n2") >= 2, round(dEff, 6))
+          .as("cohens_d"),
+        when(col("n1") >= 2 && col("n2") >= 2, round(dEff * j, 6))
+          .as("hedges_g"))
+  }
+
+  /**
+   * Per-entity burstiness over a fixed bucket grid — "does this user /
+   * source emit steadily or in bursts?": with the grid size H = the
+   * number of DISTINCT buckets observed in the whole frame (zero
+   * buckets count — an entity active in one hour of a 720-hour log is
+   * bursty, not steady), per entity the bucket-count series has exact
+   * moments (c = Σ events, q = Σ per-bucket count²), so
+   *
+   *   μ = c/H,  σ² = q/H − μ²  (population, zeros included — no
+   *                             per-zero-row work, pure arithmetic)
+   *   fano = σ²/μ          (1 ≈ Poisson, >1 overdispersed)
+   *   burstiness = (σ−μ)/(σ+μ)   (Goh–Barabási, [−1, 1])
+   *
+   * One hash aggregate to bucket, one to entity — entity-sized output,
+   * no window, no grid materialization. NULL entity/bucket rows drop.
+   * Returns `(entity, n_events, n_active, fano, burstiness)`, 6-dp.
+   */
+  def burstiness(
+      df: DataFrame, entityCol: Column, bucketCol: Column): DataFrame = {
+    val cells = df.select(entityCol.as("_e"), bucketCol.as("_b"))
+      .filter(col("_e").isNotNull && col("_b").isNotNull)
+      .groupBy("_e", "_b").agg(count(lit(1)).as("c"))
+    val grid = cells.agg(countDistinct(col("_b")).as("_h"))
+    val per = cells.groupBy("_e")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_active"),
+        sum(col("c") * col("c")).as("_q"))
+    val h = col("_h").cast("double")
+    val mu = col("n_events").cast("double") / h
+    // clamp at 0: a zero-variance series can land at −1 ulp in float
+    val v = greatest(col("_q").cast("double") / h - mu * mu, lit(0.0))
+    val sd = sqrt(v)
+    per.crossJoin(broadcast(grid))
+      .select(col("_e").as("entity"), col("n_events"), col("n_active"),
+        round(v / mu, 6).as("fano"),
+        round((sd - mu) / (sd + mu), 6).as("burstiness"))
+  }
+
+  /**
    * Leading-digit profile of a positive numeric column against
    * Benford's law: per digit, the observed count and share, the
    * expected share (plan literal), and the digit's χ² contribution

@@ -674,4 +674,40 @@ object TextOps {
           lit(100.0) * col("n_long").cast("double") /
             nullif(col("n_words").cast("double"), lit(0.0)), 6))
   }
+
+  /**
+   * Distinct-n diversity per group — the text-generation-eval metric
+   * ("what share of this slice's word n-grams are unique?") applied as
+   * a corpus facet: a low distinct-2 flags template/boilerplate-heavy
+   * or mode-collapsed sources the way [[repetitionScore]] flags single
+   * documents. N-grams are [[tokens]]-space joined windows
+   * (`array_join(slice(toks, i+1, n), " ")` over `i < len−n+1`);
+   * documents shorter than `n` tokens contribute nothing.
+   *
+   * Shape at scale: one explode + two hash aggregates (group×n-gram,
+   * then group) — the [[termFrequencies]] shuffle shape, data-sized
+   * once, group-sized after. Returns
+   * `(groupCol, n_ngrams, n_distinct, distinct_ratio)`, ratio 6-dp.
+   */
+  def ngramDiversity(
+      docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    val toks = tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(col("_toks")) - n),
+      i => array_join(slice(col("_toks"), i + lit(1), lit(n)), " "))
+    val cells = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(groupCol), explode(grams).as("_g"))
+      .groupBy(col(groupCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    cells.groupBy(groupCol)
+      .agg(sum(col("_c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio", round(
+        col("n_distinct").cast("double") /
+          col("n_ngrams").cast("double"), 6))
+  }
 }

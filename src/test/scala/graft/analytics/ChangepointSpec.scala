@@ -1,0 +1,61 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class ChangepointSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("cusum: a clean level shift bends the curve to its extremum at " +
+    "the last pre-shift bucket; hand-computed standardization") {
+    // 10,10,10,20,20,20: μ=15, population σ=5 → S = -1,-2,-3,-2,-1,0
+    val series = Seq((1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20))
+      .toDF("day", "n")
+    val got = Changepoint.cusum(series, "day", "n").orderBy("day").collect()
+    assert(got.map(_.getDouble(2)).toSeq ==
+      Seq(-1.0, -2.0, -3.0, -2.0, -1.0, 0.0))
+    assert(got.map(_.getBoolean(3)).toSeq ==
+      Seq(false, false, true, false, false, false),
+      "the |S| extremum (day 3, the last pre-shift bucket) is the flag")
+  }
+
+  test("cusum: constant series yields NULL cusum and no flag; extremum " +
+    "ties flag the FIRST bucket only") {
+    val flat = Seq((1, 7), (2, 7), (3, 7)).toDF("day", "n")
+    val gotFlat = Changepoint.cusum(flat, "day", "n").collect()
+    assert(gotFlat.forall(_.isNullAt(2)), "σ=0 ⇒ NULL, not ±Inf")
+    assert(gotFlat.forall(!_.getBoolean(3)))
+    // 10,20,10,20: S = -1,0,-1,0 — |S| ties at days 1 and 3; flag day 1
+    val tied = Seq((1, 10), (2, 20), (3, 10), (4, 20)).toDF("day", "n")
+    val flags = Changepoint.cusum(tied, "day", "n").orderBy("day")
+      .collect().map(_.getBoolean(3)).toSeq
+    assert(flags == Seq(true, false, false, false))
+  }
+
+  test("cusum: NULL order/value rows drop before the curve is built") {
+    val series = Seq[(Integer, Integer)]((1, 10), (null, 99), (2, null),
+      (3, 20)).toDF("day", "n")
+    val got = Changepoint.cusum(series, "day", "n").collect()
+    assert(got.length == 2)
+  }
+
+  test("seasonalIndex: a flat series indexes 1.0 everywhere; doubling " +
+    "one weekday moves only that index") {
+    val days = (0 until 14).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), 10))
+    val flat = Changepoint.seasonalIndex(days.toDF("day", "n"), "day", "n")
+    assert(flat.collect().forall(_.getDouble(3) == 1.0))
+    val boosted = days.map { case (d, v) =>
+      // 2024-01-01 is a Monday (dayofweek = 2 in Spark's Sunday=1 base)
+      (d, if (d.toLocalDate.getDayOfWeek.getValue == 1) 2 * v else v) }
+    val got = Changepoint.seasonalIndex(
+      boosted.toDF("day", "n"), "day", "n")
+      .orderBy("dow").collect()
+    val monday = got.find(_.getInt(0) == 2).get
+    assert(monday.getDouble(2) == 20.0)
+    // overall mean = (2·20 + 12·10)/14 = 80/7; index = 20/(80/7) = 1.75
+    assert(monday.getDouble(3) == 1.75)
+    assert(got.filter(_.getInt(0) != 2).forall(_.getDouble(3) == 0.875))
+  }
+}

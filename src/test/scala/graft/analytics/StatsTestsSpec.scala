@@ -24,6 +24,44 @@ class StatsTestsSpec extends GraftSpec {
     assert(assoc.getDouble(4) == 20.0, "φ = 1 ⇒ χ² = n")
   }
 
+  test("effectSize: hand-computed d and Hedges' g; degenerate sides " +
+    "yield NULL magnitudes but real means") {
+    def df(vs: Double*) = vs.toDF("v")
+    val got = StatsTests.effectSize(df(0.0, 2.0), df(1.0, 3.0), col("v"))
+      .collect().head
+    // m1=1, m2=2, ss=2 each, sp=√((2+2)/2)=√2, d=-1/√2, J=1-3/7=4/7
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 1.0 && got.getDouble(3) == 2.0)
+    assert(got.getDouble(4) == 1.414214)
+    assert(got.getDouble(5) == -0.707107)
+    assert(got.getDouble(6) == -0.404061)
+    val tiny = StatsTests.effectSize(df(1.0), df(2.0, 3.0), col("v"))
+      .collect().head
+    assert(tiny.isNullAt(4) && tiny.isNullAt(5) && tiny.isNullAt(6),
+      "1-row side has no pooled spread")
+    assert(tiny.getDouble(2) == 1.0)
+    val flat = StatsTests.effectSize(
+      df(5.0, 5.0), df(5.0, 5.0), col("v")).collect().head
+    assert(flat.isNullAt(5), "zero pooled spread ⇒ NULL, not ±Inf")
+  }
+
+  test("burstiness: one-bucket concentration vs uniform spread over " +
+    "the observed grid; hand-computed Fano and Goh–Barabási B") {
+    // grid H = 4 distinct buckets; A fires 4× in one, B 1× in each
+    val df = (Seq.fill(4)(("A", 1)) ++ (1 to 4).map(("B", _)))
+      .toDF("e", "b")
+    val got = StatsTests.burstiness(df, col("e"), col("b"))
+      .orderBy("entity").collect()
+    val a = got(0)
+    // A: μ=1, var=16/4−1=3 → fano 3, B=(√3−1)/(√3+1)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L)
+    assert(a.getDouble(3) == 3.0)
+    assert(a.getDouble(4) == 0.267949)
+    val b = got(1)
+    // B: perfectly even on the grid → var 0, fano 0, B = −1
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == -1.0)
+  }
+
   test("tvDistance: 0 for identical samples, 1 for disjoint supports, " +
     "hand-computed half-overlap; union bins carry absent-side zeros") {
     def df(vs: Double*) = vs.toDF("v")

@@ -420,4 +420,24 @@ class TextOpsSpec extends GraftSpec {
       TextOps.vocabCoverage(tf, 0)
     }
   }
+
+  test("ngramDiversity: hand-counted bigram ratio; short docs drop; " +
+    "n=1 degenerates to the token type/token ratio") {
+    val docs = Seq(("en", "a b a b"), ("en", "x"), ("fr", "c c c"))
+      .toDF("lang", "text")
+    val got = TextOps.ngramDiversity(docs, "lang", "text", n = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // en: "a b","b a","a b" → 3 grams, 2 distinct; the 1-token doc drops
+    // fr: "c c","c c" → 2 grams, 1 distinct
+    assert(got == Seq(("en", 3L, 2L, 0.666667), ("fr", 2L, 1L, 0.5)))
+    val uni = TextOps.ngramDiversity(docs, "lang", "text", n = 1)
+      .orderBy("lang").collect()
+    assert(uni.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((5L, 3L), (3L, 1L)), "distinct-1 = type/token counts")
+    intercept[IllegalArgumentException] {
+      TextOps.ngramDiversity(docs, "lang", "text", n = 0)
+    }
+  }
 }
