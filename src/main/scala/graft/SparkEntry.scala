@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -204,6 +204,29 @@ object SparkEntry {
         col("user_id"), date_trunc("hour", col("ts")))
         .withColumnRenamed("entity", "user_id")
         .orderBy(col("user_id").asc)),
+
+    // X+/S — split conformal prediction bands per event type: the
+    // group-mean predictor from the md5-hash calibration half, the
+    // rank-exact Vovk quantile of its residuals, and the test-half
+    // empirical coverage self-audit. Group-partitioned windows only.
+    "q197_conformal" -> ((s, d) => {
+      val ev = Sampling.hashSplit(
+        t(s, d, "events").filter(col("value").isNotNull),
+        col("event_id").cast("string"), Seq("cal", "test"), Seq("8"))
+      Conformal.splitConformal(
+        ev.filter(col("split") === "cal"),
+        ev.filter(col("split") === "test"),
+        "event_type", "value", "event_id", alpha = 0.1)
+        .orderBy(col("event_type").asc)
+    }),
+
+    // X+/J — phonetic (Soundex) block census over part names: the
+    // blocking-quality audit before record linkage. Pure builtin
+    // string-op projection (translate + regexp collapse) + one hash
+    // aggregate; code-space-sized output.
+    "q198_phonetic_blocks" -> ((s, d) =>
+      RecordLinkage.phoneticBlocks(t(s, d, "part"), col("p_name"))
+        .orderBy(col("block").asc)),
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -2921,6 +2944,83 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q197: same md5 split, same decimal-moment mean, same Vovk rank
+    // pick (residual-then-id tiebreak), same unrounded-q̂ coverage test.
+    "q197_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
+        |         CASE WHEN md5(CAST(event_id AS VARCHAR)) < '8'
+        |              THEN 'cal' ELSE 'test' END AS split
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |fit AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+        |         sum(CAST(round(v, 9) AS DECIMAL(38,12))) AS s1
+        |  FROM ev WHERE split = 'cal' GROUP BY 1),
+        |fm AS (SELECT event_type, n_cal,
+        |         CAST(s1 AS DOUBLE) / CAST(n_cal AS DOUBLE) AS mean
+        |       FROM fit),
+        |resid AS (
+        |  SELECT e.event_type, fm.n_cal, fm.mean,
+        |         abs(e.v - fm.mean) AS r,
+        |         CAST(row_number() OVER (PARTITION BY e.event_type
+        |           ORDER BY abs(e.v - fm.mean), e.event_id) AS BIGINT)
+        |           AS rn
+        |  FROM ev e JOIN fm USING (event_type) WHERE e.split = 'cal'),
+        |bands AS (
+        |  SELECT event_type, max(n_cal) AS n_cal, max(mean) AS mean,
+        |         max(CASE WHEN rn = least(n_cal,
+        |               CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+        |                 AS BIGINT)) THEN r END) AS qhat
+        |  FROM resid GROUP BY 1)
+        |SELECT e.event_type, b.n_cal AS n_cal,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       round(max(b.mean), 6) AS prediction,
+        |       round(max(b.qhat), 6) AS qhat,
+        |       round(CAST(sum(CASE WHEN abs(e.v - b.mean) <= b.qhat
+        |           THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM ev e JOIN bands b USING (event_type)
+        |WHERE e.split = 'test'
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    // q198: the same six Soundex steps; the run collapse chains 7
+    // per-digit replaces because RE2 (DuckDB's regex engine) has no
+    // backreferences — the engine chains the SAME 7 replaces.
+    "q198_phonetic_blocks" ->
+      """WITH u AS (
+        |  SELECT p_name,
+        |         upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g'))
+        |           AS u
+        |  FROM part WHERE p_name IS NOT NULL),
+        |m AS (
+        |  SELECT p_name, u,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(
+        |           translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |             '01230127022455012623017202'),
+        |           '7', '', 'g'),
+        |           '00+', '0', 'g'), '11+', '1', 'g'),
+        |           '22+', '2', 'g'), '33+', '3', 'g'),
+        |           '44+', '4', 'g'), '55+', '5', 'g'),
+        |           '66+', '6', 'g') AS collapsed,
+        |         translate(substr(u, 1, 1),
+        |           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |           '01230127022455012623017202') AS fc
+        |  FROM u WHERE length(u) > 0),
+        |sx AS (
+        |  SELECT p_name,
+        |         substr(u, 1, 1) || rpad(substr(regexp_replace(
+        |           CASE WHEN fc = '7' THEN collapsed
+        |                ELSE substr(collapsed, 2) END,
+        |           '0', '', 'g'), 1, 3), 3, '0') AS block
+        |  FROM m)
+        |SELECT block, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT p_name) AS BIGINT)
+        |         AS n_distinct_names
+        |FROM sx GROUP BY 1 ORDER BY block""".stripMargin,
+
     // q193: same exact day-count series, same double chain from integer
     // cumulatives (the engine's decimal cumulative of integral counts
     // casts to the identical double), same first-day argmax tiebreak.

@@ -57,4 +57,35 @@ class RecordLinkageSpec extends GraftSpec {
     assert(got(2L)._1 == 20L)
     assert(got(1L)._2 == got(2L)._2) // both full-agreement scores
   }
+
+  test("soundex: the NARA reference vectors, including the H/W " +
+    "transparency and first-letter-collapse edges") {
+    import spark.implicits._
+    val vectors = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // H-transparent merge
+      "Tymczak" -> "T522",                        // vowel separates
+      "Pfister" -> "P236",                        // P,F collapse
+      "Honeyman" -> "H555",                       // H/W first letter
+      "Wu" -> "W000", "a" -> "A000",
+      "o'Brien-123" -> "O165")                    // non-letters strip
+    val got = vectors.map(_._1).toDF("name")
+      .select(col("name"), RecordLinkage.soundex(col("name")).as("sx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { case (n, want) =>
+      assert(got(n) == want, s"soundex($n) = ${got(n)}, want $want") }
+    val empty = Seq("123", "").toDF("name")
+      .select(RecordLinkage.soundex(col("name"))).collect()
+    assert(empty.forall(_.isNullAt(0)), "letterless names → NULL")
+  }
+
+  test("phoneticBlocks: like-sounding names share a block; counts and " +
+    "distinct forms are per block") {
+    import spark.implicits._
+    val df = Seq("Robert", "Rupert", "Robert", "Tymczak").toDF("n")
+    val got = RecordLinkage.phoneticBlocks(df, col("n"))
+      .orderBy("block").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("R163", 3L, 2L), ("T522", 1L, 1L)))
+  }
 }
