@@ -228,6 +228,20 @@ object SparkEntry {
       RecordLinkage.phoneticBlocks(t(s, d, "part"), col("p_name"))
         .orderBy(col("block").asc)),
 
+    // X1+/§2.9 — Jaro–Winkler similarity pairs over the q102 prefix
+    // blocks, scored by the native codegen'd graft_jaro_winkler: the
+    // linkage-literature scorer next to the Levenshtein screen. Heads
+    // are filtered to printable ASCII so the byte-wise oracle engine
+    // compares the identical sequences; the keep-filter runs on the
+    // 6-dp ROUNDED similarity on both sides.
+    "q199_jw_pairs" -> ((s, d) =>
+      FuzzyJoin.jaroWinklerPairs(
+        t(s, d, "documents").filter(
+          substring(col("text"), 1, 64)
+            .rlike("^[\\t\\n\\r\\x20-\\x7e]*$")),
+        minSim = 0.85)
+        .orderBy(col("doc_id").asc, col("dup_id").asc)),
+
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
       LogAnalytics.distinctUsers(t(s, d, "events"))),
@@ -2944,6 +2958,35 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q199: q102's two-pass blocking with DuckDB's native
+    // jaro_winkler_similarity (same classic definition as
+    // graft_jaro_winkler — spec-pinned vectors); ASCII-head filter
+    // makes byte-wise and char-wise comparison identical, and both
+    // engines threshold the ROUNDED similarity.
+    "q199_jw_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, lower(substr(text, 1, 64)) AS head
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND regexp_full_match(substr(text, 1, 64), '[\t\n\r -~]*')),
+        |b AS (
+        |  SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |         a.head AS ha, c.head AS hb
+        |  FROM h a JOIN h c
+        |    ON substr(a.head, 1, 16) = substr(c.head, 1, 16)
+        |   AND a.doc_id < c.doc_id
+        |  UNION
+        |  SELECT a.doc_id, c.doc_id, a.head, c.head
+        |  FROM h a JOIN h c
+        |    ON substr(a.head, 17, 16) = substr(c.head, 17, 16)
+        |   AND length(a.head) >= 32 AND length(c.head) >= 32
+        |   AND a.doc_id < c.doc_id)
+        |SELECT d1 AS doc_id, d2 AS dup_id,
+        |       round(jaro_winkler_similarity(ha, hb), 6) AS jw
+        |FROM b
+        |WHERE round(jaro_winkler_similarity(ha, hb), 6) >= 0.85
+        |ORDER BY doc_id, dup_id""".stripMargin,
+
     // q197: same md5 split, same decimal-moment mean, same Vovk rank
     // pick (residual-then-id tiebreak), same unrounded-q̂ coverage test.
     "q197_conformal" ->

@@ -130,4 +130,37 @@ object FuzzyJoin {
     matchBlocks(
       blockRows(docs, idCol, textCol, headLen, blockLen),
       index, idCol, maxDist)
+
+  /**
+   * [[editDistancePairs]]'s similarity twin: the SAME two-pass prefix
+   * blocks, scored with the native `graft_jaro_winkler` expression
+   * instead of Levenshtein — the linkage-literature scorer for short
+   * heads, where a transposed word costs far less than its edit
+   * distance. Pairs keep when the 6-dp-ROUNDED similarity reaches
+   * `minSim` (the filter runs on the rounded value so a last-ulp float
+   * divergence between engines can't flip a boundary pair). Returns
+   * `(idCol, dup_id, jw)` with `idCol < dup_id`, one row per unordered
+   * pair. Same never-all-pairs scale shape as the edit-distance form.
+   */
+  def jaroWinklerPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      headLen: Int = 64,
+      blockLen: Int = 16,
+      minSim: Double = 0.85): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0,1], got $minSim")
+    val rows = blockRows(docs, idCol, textCol, headLen, blockLen)
+    rows.select(col(idCol).as("_id_a"), col("_blk"), col("_head").as("_ha"))
+      .join(rows.select(col(idCol).as("_id_b"), col("_blk"),
+        col("_head").as("_hb")), Seq("_blk"))
+      .filter(col("_id_a") < col("_id_b"))
+      .select(col("_id_a"), col("_id_b"), col("_ha"), col("_hb"))
+      .distinct() // a pair blocked by both passes scores once
+      .withColumn("jw", round(call_function("graft_jaro_winkler",
+        col("_ha"), col("_hb")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("_id_a").as(idCol), col("_id_b").as("dup_id"), col("jw"))
+  }
 }

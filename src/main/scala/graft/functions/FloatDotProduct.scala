@@ -163,6 +163,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"graft_normalize requires 1 or 2 arguments, got ${children.size}")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getCanonicalName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_jaro_winkler requires exactly 2 arguments, got ${children.size}")
+      }))
     // Spark's Bloom sketch pair (the machinery behind runtime row-level
     // filtering) lives in the INTERNAL function registry, not the
     // resolvable one — expose both sides for the Bloom-pruned

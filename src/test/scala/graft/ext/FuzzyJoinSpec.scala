@@ -90,4 +90,22 @@ class FuzzyJoinSpec extends GraftSpec {
     // on the harness fixtures the two-pass blocks achieve full recall
     assert(got == all, s"missed ${all.diff(got).size} of ${all.size}")
   }
+
+  test("jaroWinklerPairs: transposed-word pair scores above the " +
+    "threshold once, ordered a<b; unrelated same-block pair drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dgo tonight"),
+      (3L, "the quick brown cat zzz yyy xxx www vvv uuu ttt sss"))
+      .toDF("doc_id", "text")
+    val got = FuzzyJoin.jaroWinklerPairs(docs, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1, got.mkString(","))
+    assert(got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 > 0.9 && got.head._3 < 1.0)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.jaroWinklerPairs(docs, minSim = 0.0)
+    }
+  }
 }
