@@ -133,7 +133,14 @@ object Bench {
       spark.range(0, 1000, 1, cpus.toInt).groupBy(col("id") % 7).count().collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)}}"""
+    // Cross-round variance adjudications (the r11 verdict's ask): sweep
+    // entries that read >1.5x vs their prior steady state on UNTOUCHED
+    // code, re-measured standalone the following round. A note here means
+    // "mid-sweep GC/cache interference, not a plan regression" — remove
+    // an entry when its code actually changes.
+    val varianceNotes =
+      """{"q89_lm_classify":"r11 sweep 2.70s vs r10 1.20s, untouched code; r12 re-measure 0.95s","q83_span_removal":"r11 4.41s vs r10 2.50s, untouched; r12 2.48s","q51_salted_join":"r11 0.51s vs r10 0.33s, untouched; r12 0.34s"}"""
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)},"variance_adjudications_r12":$varianceNotes}"""
     val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val out = if (only.isEmpty) base else base + ".partial"
     // total_sec and n_queries lead the line (head-truncation-proof), and

@@ -115,15 +115,18 @@ object SparkEntry {
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0)
     val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    // limit-FIRST so the top-20 plans as TakeOrderedAndProject (per-
+    // partition top-k + driver merge); the ranking window then runs over
+    // a 20-row frame, never the full corpus (the q64 shape).
     val dense = emb
       .select(col("vec_id").as("doc_id"),
         (Similarity.nativeDot(col("embedding"), typedLit(qv)) /
           nullif(Similarity.norm(col("embedding")) * lit(qNorm),
             lit(0.0))).as("sim"))
+      .orderBy(col("sim").desc_nulls_last, col("doc_id").asc).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc_nulls_last, col("doc_id").asc))
         .cast("long"))
-      .filter(col("rank") <= 20)
     val lexical = TextSearch.bm25TopK(t(s, d, "documents"),
       "doc_id", "text", query = "dup key window", k = 20)
     (lexical, dense)
@@ -241,6 +244,28 @@ object SparkEntry {
             .rlike("^[\\t\\n\\r\\x20-\\x7e]*$")),
         minSim = 0.85)
         .orderBy(col("doc_id").asc, col("dup_id").asc)),
+
+    // X+/S — MERGE LAW for the Welch screen family (the q154/q161
+    // standing-state pattern): the corpus split into doc_id-parity
+    // halves, per-half moment partials (n, Σv, Σv² decimal folds)
+    // merged losslessly, then the SAME closed-form tail + BH step-up
+    // as q189 — shares q189's oracle verbatim, so the law is
+    // hash-certified, and StreamingWelch's per-batch appends are this
+    // exact fold.
+    "q200_welch_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = StatsTests.welchPartials(
+        docs.filter(col("doc_id") % 2 === 0), col("source"), col("n_chars"))
+      val b = StatsTests.welchPartials(
+        docs.filter(col("doc_id") % 2 =!= 0), col("source"), col("n_chars"))
+      StatsTests.bhSignificance(
+        StatsTests.welchFromMoments(
+          StatsTests.mergeWelchMoments(a.unionByName(b)))
+          .withColumn("p", StatsTests.normalTwoSidedP(
+            col("z"))),
+        "p", "g", alpha = 0.05)
+        .orderBy(col("rank").asc)
+    }),
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -6437,55 +6462,13 @@ object SparkEntry {
     // q189: same decimal moments and complement subtraction, same fixed
     // Horner polynomial (literals embedded verbatim), same step-up —
     // DOUBLE-cast alpha so the threshold arithmetic matches Spark's.
-    "q189_source_screen" ->
-      """WITH cells AS (
-        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
-        |         sum(CAST(round(CAST(n_chars AS DOUBLE), 9)
-        |           AS DECIMAL(38,12))) AS s1,
-        |         sum(CAST(round(CAST(n_chars AS DOUBLE)
-        |           * CAST(n_chars AS DOUBLE), 9) AS DECIMAL(38,12))) AS s2
-        |  FROM documents
-        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1,
-        |               sum(s2) AS ts2 FROM cells),
-        |zt AS (
-        |  SELECT g, n, round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
-        |         CASE WHEN n >= 2 AND tn - n >= 2 THEN
-        |           round((CAST(s1 AS DOUBLE) / n
-        |                  - CAST(ts1 - s1 AS DOUBLE) / (tn - n))
-        |             / nullif(sqrt(
-        |                 (CAST(s2 AS DOUBLE)
-        |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-        |                 / (n - 1) / n
-        |               + (CAST(ts2 - s2 AS DOUBLE)
-        |                  - CAST(ts1 - s1 AS DOUBLE)
-        |                    * CAST(ts1 - s1 AS DOUBLE) / (tn - n))
-        |                 / (tn - n - 1) / (tn - n)),
-        |               CAST(0 AS DOUBLE)), 6)
-        |         END AS z
-        |  FROM cells CROSS JOIN tot),
-        |pt AS (
-        |  SELECT g, n, mean, z,
-        |         round(((((1.061405429 * t + -1.453152027) * t
-        |                 + 1.421413741) * t + -0.284496736) * t
-        |                 + 0.254829592) * t
-        |               * exp(-(x * x)), 6) AS p
-        |  FROM (SELECT g, n, mean, z,
-        |               abs(z) * 0.7071067811865476 AS x,
-        |               1.0 / (1.0 + 0.3275911
-        |                 * (abs(z) * 0.7071067811865476)) AS t
-        |        FROM zt)),
-        |rk AS (
-        |  SELECT g, n, mean, z, p,
-        |         CAST(row_number() OVER (ORDER BY p, g) AS BIGINT)
-        |           AS rank,
-        |         CAST(count(*) OVER () AS BIGINT) AS m
-        |  FROM pt WHERE p IS NOT NULL),
-        |ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE) * rank / m
-        |                       THEN rank END) AS cut FROM rk)
-        |SELECT g, n, mean, z, p, rank,
-        |       coalesce(rank <= ct.cut, FALSE) AS significant
-        |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin,
+    "q189_source_screen" -> sourceScreenOracleSql,
+
+    // q200 MUST reproduce q189 from merged split moment partials (exact
+    // decimal/long sums => lossless merge — the q154 law for the Welch
+    // screen family), so it shares q189's oracle verbatim.
+    "q200_welch_merge" -> sourceScreenOracleSql,
+
 
     // q188: the single-window form the two-level engine path must equal
     // by construction (same mid-rank rational, same one double divide).
@@ -6796,6 +6779,57 @@ object SparkEntry {
 
 
   /** q147/q154's shared oracle (see the q147 comment in [[oracleSql]]). */
+  /** q189's full screen chain — shared verbatim by q200 (merge law). */
+  private val sourceScreenOracleSql: String =
+    """WITH cells AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(CAST(n_chars AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS s1,
+        |         sum(CAST(round(CAST(n_chars AS DOUBLE)
+        |           * CAST(n_chars AS DOUBLE), 9) AS DECIMAL(38,12))) AS s2
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1,
+        |               sum(s2) AS ts2 FROM cells),
+        |zt AS (
+        |  SELECT g, n, round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+        |         CASE WHEN n >= 2 AND tn - n >= 2 THEN
+        |           round((CAST(s1 AS DOUBLE) / n
+        |                  - CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+        |             / nullif(sqrt(
+        |                 (CAST(s2 AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |                 / (n - 1) / n
+        |               + (CAST(ts2 - s2 AS DOUBLE)
+        |                  - CAST(ts1 - s1 AS DOUBLE)
+        |                    * CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+        |                 / (tn - n - 1) / (tn - n)),
+        |               CAST(0 AS DOUBLE)), 6)
+        |         END AS z
+        |  FROM cells CROSS JOIN tot),
+        |pt AS (
+        |  SELECT g, n, mean, z,
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |                 + 1.421413741) * t + -0.284496736) * t
+        |                 + 0.254829592) * t
+        |               * exp(-(x * x)), 6) AS p
+        |  FROM (SELECT g, n, mean, z,
+        |               abs(z) * 0.7071067811865476 AS x,
+        |               1.0 / (1.0 + 0.3275911
+        |                 * (abs(z) * 0.7071067811865476)) AS t
+        |        FROM zt)),
+        |rk AS (
+        |  SELECT g, n, mean, z, p,
+        |         CAST(row_number() OVER (ORDER BY p, g) AS BIGINT)
+        |           AS rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt WHERE p IS NOT NULL),
+        |ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE) * rank / m
+        |                       THEN rank END) AS cut FROM rk)
+        |SELECT g, n, mean, z, p, rank,
+        |       coalesce(rank <= ct.cut, FALSE) AS significant
+        |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin
+
   private val trendOracleSql: String =
       """WITH b AS (
         |  SELECT event_type,
@@ -6912,7 +6946,7 @@ object SparkEntry {
 
   /** The χ² margins→densify→fold tail shared by q166/q170: parameterized
     * only by the CTE chain that defines `cells (a, b, o)` — replays
-    * [[graft.analytics.StatsTests.chiSquared]] including the zero-cell
+    * [[StatsTests.chiSquared]] including the zero-cell
     * densification. */
   private def chi2OracleSql(cellsCtes: String): String =
     cellsCtes + """,
@@ -6943,7 +6977,7 @@ object SparkEntry {
   /** q167's oracle — generated so the Benford expectations
     * (`log10(1+1/d)`) are the SAME doubles the plan carries. */
   private val benfordOracleSql: String = {
-    val exp = graft.analytics.StatsTests.benfordExpected
+    val exp = StatsTests.benfordExpected
     val caseExpr = (1 to 9).map(dd =>
       s"WHEN digit = $dd THEN CAST(${exp(dd - 1).toString} AS DOUBLE)")
       .mkString("CASE ", " ", " END")

@@ -43,21 +43,27 @@ object Changepoint {
    * tiebreak). A constant series (σ = 0) yields NULL cusum and no
    * flag.
    *
-   * SCALE CONTRACT: the ordered windows run over the SERIES — bucket
-   * cardinality (days/hours), never data rows; aggregate first. NULL
-   * order or value rows drop.
+   * SCALE CONTRACT: the one ordered window (the cumulative) runs over
+   * the SERIES — bucket cardinality (days/hours), never data rows;
+   * aggregate first. The whole-series moments (n, Σv, Σv²) and the
+   * |D| argmax are 1-row aggregates broadcast-cross-joined back (the
+   * [[seasonalIndex]] shape), so a caller passing an over-sized frame
+   * serializes only the cumulative, not five windows. NULL order or
+   * value rows drop.
    *
    * Returns the series + `(cusum, is_changepoint)`, cusum 6-dp.
    */
   def cusum(series: DataFrame, orderCol: String, valueCol: String)
       : DataFrame = {
-    val wCum = Window.orderBy(col(orderCol))
+    val wOrd = Window.orderBy(col(orderCol))
+    val wCum = wOrd
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = series
       .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(orderCol), col(valueCol), term(col(valueCol)).as("_v"))
+      .select(col(orderCol), col(valueCol), term(col(valueCol)).as("_v"),
+        term(col(valueCol) * col(valueCol)).as("_v2"))
+    val tot = base.agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s1"),
+      sum(col("_v2")).as("_s2"))
     val nD = col("_n").cast("double")
     // population σ from exact decimal moments; D_i = n·cum_i − i·Σv is
     // computed in doubles FROM the exact decimal cumulatives — one IEEE
@@ -68,22 +74,23 @@ object Changepoint {
         col("_s1").cast("double") * col("_s1").cast("double") / nD) / nD)
     val di = nD * col("_c").cast("double") -
       col("_i").cast("double") * col("_s1").cast("double")
-    base
-      .withColumn("_i", row_number().over(
-        Window.orderBy(col(orderCol))).cast("long"))
+    val curve = base
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
       .withColumn("_c", sum(col("_v")).over(wCum))
-      .withColumn("_n", count(lit(1)).over(wAll))
-      .withColumn("_s1", sum(col("_v")).over(wAll))
-      .withColumn("_s2", sum(term(col(valueCol) * col(valueCol)))
-        .over(wAll))
+      .crossJoin(broadcast(tot))
       .withColumn("_d", di)
-      .withColumn("_dmax", max(abs(col("_d"))).over(wAll))
+    // argmax of |D| with first-bucket tiebreak, as ONE 1-row aggregate:
+    // lexicographic max of (|D|, −i) picks the largest excursion and,
+    // within ties, the smallest index
+    val pick = curve.agg(
+      max(struct(abs(col("_d")).as("_ad"), (-col("_i")).as("_ni")))
+        .as("_m"))
+      .select((-col("_m._ni")).as("_imax"))
+    curve.crossJoin(broadcast(pick))
       .select(col(orderCol), col(valueCol),
         round(col("_d").cast("double") /
           nullif(nD * sigma, lit(0.0)), 6).as("cusum"),
-        (abs(col("_d")) === col("_dmax") && sigma > 0.0 &&
-          col("_i") === min(when(abs(col("_d")) === col("_dmax"),
-            col("_i"))).over(wAll))
+        (sigma > 0.0 && col("_i") === col("_imax"))
           .as("is_changepoint"))
   }
 

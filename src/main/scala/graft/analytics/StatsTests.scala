@@ -132,40 +132,44 @@ object StatsTests {
   /**
    * Mann–Whitney U with tie-corrected normal approximation: sample A
    * vs sample B on a numeric column. Ranks are tie-averaged over the
-   * COMBINED sample via the doubled-rank trick (min+max of the
-   * row_numbers per tied value — always integers, the q117 Spearman
-   * precedent, so no float enters until the final z):
+   * COMBINED sample via the doubled-rank identity on GROUPED counts
+   * (the [[ksTest]] lift): per distinct value v with c₁+c₂ = t rows
+   * and B rows strictly below it, the doubled tie-averaged rank is
+   *   r₂(v) = 2B + t + 1   (always an integer — no float until z)
+   * so R₁·2 = Σ_v c₁(v)·r₂(v) and Σ(t³−t) = Σ_v t(t²−1) come straight
+   * from the value-frequency frame:
    *
    *   U₁ = R₁ − n₁(n₁+1)/2
    *   z  = (U₁ − n₁n₂/2) / √(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
    *
    * NULL values drop. All-tied samples (zero variance) yield NULL z.
-   * SCALE CONTRACT: the combined rank is a global window (rank tests
-   * rank the whole sample by definition) — sample-sized inputs only,
-   * the q117 contract; at corpus scale pre-aggregate or sample.
-   * Returns `(n1, n2, u1, z)`.
+   * SCALE CONTRACT: the rows aggregate map-side into per-value counts
+   * first; the single ordered cumulative window runs over the DISTINCT-
+   * value frame, so cost is value-cardinality, not row count (the same
+   * contract as [[ksTest]]). Returns `(n1, n2, u1, z)`.
    */
   def mannWhitneyU(
       a: DataFrame, b: DataFrame, value: Column): DataFrame = {
-    val tagged = a.select(value.cast("double").as("_v"), lit(1).as("_g"))
-      .unionByName(b.select(value.cast("double").as("_v"),
-        lit(2).as("_g")))
-      .filter(col("_v").isNotNull)
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-    val byVal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_v"))
-    val ranked = tagged
-      .withColumn("_rn", row_number().over(wAll).cast("long"))
-      .withColumn("_r2", min(col("_rn")).over(byVal) +
-        max(col("_rn")).over(byVal))
-      .withColumn("_t", count(lit(1)).over(byVal))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(value.cast("double").as("_v"))
+        .filter(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as(out))
+    val j = counts(a, "_c1").join(counts(b, "_c2"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+      .withColumn("_t", col("_c1") + col("_c2"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = j
+      .withColumn("_r2", lit(2L) *
+        coalesce(sum(col("_t")).over(wB), lit(0L)) + col("_t") + 1L)
     val m = ranked.agg(
-      sum(when(col("_g") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
-      sum(when(col("_g") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
-      sum(when(col("_g") === 1, col("_r2")).otherwise(lit(0L)))
-        .as("_r1d"),
-      // Σ(t³−t): each of the t rows of a tie group carries (t²−1)
-      sum(col("_t") * col("_t") - 1L).as("_tie"))
+      sum(col("_c1")).as("n1"),
+      sum(col("_c2")).as("n2"),
+      sum(col("_c1") * col("_r2")).as("_r1d"),
+      // Σ(t³−t) over tie groups, directly from the value frame
+      sum(col("_t") * (col("_t") * col("_t") - 1L)).as("_tie"))
     val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
     val nn = (col("n1") + col("n2")).cast("double")
     val u1 = col("_r1d").cast("double") / 2.0 -
@@ -248,14 +252,41 @@ object StatsTests {
    * group-count-sized.
    */
   def groupWelchZ(
-      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
-    val cells = df
-      .select(groupCol.as("g"), valueCol.cast("double").as("_v"))
+      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    welchFromMoments(welchPartials(df, groupCol, valueCol))
+
+  /**
+   * The per-group exact Welch moments `(g, n, _s1, _s2)` — counts and
+   * 9-dp decimal Σv/Σv² folds, [[groupWelchZ]]'s one corpus pass.
+   * ADDITIVE standing state (the [[Trend.momentPartials]] law): moments
+   * of a corpus split into any partition of slices equal
+   * [[mergeWelchMoments]] of the slices' partials, exactly — decimal
+   * sums are associative and commutative, so the merge is lossless and
+   * a standing screen never re-scans history (q200 proves the law
+   * against q189's oracle; [[graft.streaming.StreamingWelch]] is the
+   * streamed face).
+   */
+  def welchPartials(
+      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), valueCol.cast("double").as("_v"))
       .filter(col("g").isNotNull && col("_v").isNotNull)
       .groupBy("g")
       .agg(count(lit(1)).as("n"),
         sum(round(col("_v"), 9).cast(dec)).as("_s1"),
         sum(round(col("_v") * col("_v"), 9).cast(dec)).as("_s2"))
+
+  /** Fold any union of [[welchPartials]] frames back to one moment row
+    * per group — exact decimal/long sums, so merge ∘ split ≡ one pass. */
+  def mergeWelchMoments(partials: DataFrame): DataFrame =
+    partials.groupBy("g")
+      .agg(sum(col("n")).as("n"),
+        sum(col("_s1")).cast(dec).as("_s1"),
+        sum(col("_s2")).cast(dec).as("_s2"))
+
+  /** [[groupWelchZ]]'s closed-form tail over a `(g, n, _s1, _s2)`
+    * moment frame (one row per group — [[welchPartials]] output or a
+    * [[mergeWelchMoments]] fold). */
+  def welchFromMoments(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum(col("n")).as("_tn"),
       sum(col("_s1")).as("_ts1"), sum(col("_s2")).as("_ts2"))
     def mean(s1: Column, n: Column) = s1.cast("double") / n

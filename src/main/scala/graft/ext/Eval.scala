@@ -333,10 +333,16 @@ object Eval {
    * order even under ties, at the cost of diverging from textbook ρ
    * on tied data.
    *
-   * EVAL-contract shape: ranking needs a global total order, so the
-   * `row_number` windows are single-partition by nature — run this
-   * on a sample or dimension-sized frame (the q108 contract), not the
-   * raw corpus.
+   * SCALE shape (tieAverage = true): doubled tie-averaged ranks come
+   * from the GROUPED value frames — per distinct value v with t rows
+   * and B rows strictly below, `2B + t + 1` — so the only ordered
+   * windows run over the two DISTINCT-value frames (value-cardinality
+   * cost, the ksTest lift) and ranks reach rows through two equi-joins
+   * on the value, fully shuffle-parallel. The `tieAverage = false`
+   * variant genuinely needs a row-level global total order (its id
+   * tiebreak is per-row), so ITS `row_number` windows stay
+   * single-partition — that variant keeps the labeled-sample contract
+   * (the q108 contract), not the raw corpus.
    */
   /**
    * Cohen's kappa over a classified frame — chance-corrected agreement
@@ -388,7 +394,7 @@ object Eval {
    * Mann–Whitney U statistic with TEXTBOOK tie handling: tied scores get
    * fractional average ranks, and AUC = (ΣR₊ − P(P+1)/2)/(P·N). The
    * [[spearman]] doubled-rank trick keeps it exact — a tie group's
-   * average rank is (min+max)/2 of its `row_number`s, so the DOUBLED
+   * average rank is (min+max)/2 of its positions, so the DOUBLED
    * rank is an integer, all sums run in decimal, and
    * AUC = (Σ2R₊ − P(P+1))/(2·P·N) needs exactly one float division,
    * rounded 6 dp. Rows with a NULL score or label are dropped; any
@@ -396,26 +402,33 @@ object Eval {
    * AUC is NULL when either class is absent (undefined, sklearn's
    * error surfaced as SQL NULL).
    *
-   * EVAL-contract shape: global ranking ⇒ the `row_number` window is
-   * single-partition — run on a labeled sample, not the corpus.
+   * SCALE shape: ranks come from the GROUPED score frame (per distinct
+   * score s with t rows and B rows strictly below, the doubled
+   * tie-averaged rank is 2B + t + 1 — an integer), so the rows
+   * aggregate map-side into per-score (t, pos) counts first and the one
+   * ordered cumulative window runs over the DISTINCT-score frame:
+   * cost is score-cardinality, not row count (the ksTest lift).
+   * `idCol` is kept for API stability; tie-averaged ranks never depend
+   * on the id tiebreak.
    */
   def rocAuc(
       df: DataFrame, scoreCol: String, labelCol: String,
       idCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val rn = row_number().over(
-      Window.orderBy(col(scoreCol).asc, col(idCol).asc)).cast("long")
-    val wS = Window.partitionBy(col("_s"))
+    val wB = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).as("_s"),
-        (col(labelCol) =!= 0).cast("long").as("_pos"), rn.as("_rn"))
-      .select(col("_pos"),
-        (min(col("_rn")).over(wS) + max(col("_rn")).over(wS))
-          .cast(dec).as("_dr"))
+        (col(labelCol) =!= 0).cast("long").as("_pos"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_t"), sum(col("_pos")).as("_gp"))
+      .select(col("_t"), col("_gp"),
+        (lit(2L) * coalesce(sum(col("_t")).over(wB), lit(0L)) +
+          col("_t") + 1L).cast(dec).as("_dr"))
       .agg(
-        coalesce(sum(col("_pos")), lit(0L)).cast(dec).as("_p"),
-        coalesce(sum(lit(1L) - col("_pos")), lit(0L)).cast(dec).as("_m"),
-        coalesce(sum(when(col("_pos") === 1, col("_dr"))), lit(0).cast(dec))
+        coalesce(sum(col("_gp")), lit(0L)).cast(dec).as("_p"),
+        coalesce(sum(col("_t") - col("_gp")), lit(0L)).cast(dec).as("_m"),
+        coalesce(sum(col("_gp").cast(dec) * col("_dr")), lit(0).cast(dec))
           .as("_srp"))
       .select(col("_p").cast("long").as("n_pos"),
         col("_m").cast("long").as("n_neg"),
@@ -775,20 +788,21 @@ object Eval {
       tieAverage: Boolean = true): DataFrame = {
     val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
     if (tieAverage) {
-      val rna = row_number().over(
-        Window.orderBy(col(colA).asc, col(idCol).asc)).cast("long")
-      val rnb = row_number().over(
-        Window.orderBy(col(colB).asc, col(idCol).asc)).cast("long")
-      val wa = Window.partitionBy(col("_a"))
-      val wb = Window.partitionBy(col("_b"))
+      // doubled tie-averaged rank per DISTINCT value: 2B + t + 1 with B
+      // the count strictly below — the ordered window runs over the
+      // value-cardinality frame, then joins back to rows on the value
+      def doubledRanks(c: String, vOut: String, rOut: String): DataFrame = {
+        val wB = Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_t"))
+          .select(col("_v").as(vOut),
+            (lit(2L) * coalesce(sum(col("_t")).over(wB), lit(0L)) +
+              col("_t") + 1L).cast("decimal(19,0)").as(rOut))
+      }
       base
-        .select(col(colA).as("_a"), col(colB).as("_b"),
-          rna.as("_rna"), rnb.as("_rnb"))
-        .select(
-          (min(col("_rna")).over(wa) + max(col("_rna")).over(wa))
-            .cast("decimal(19,0)").as("_ra"),
-          (min(col("_rnb")).over(wb) + max(col("_rnb")).over(wb))
-            .cast("decimal(19,0)").as("_rb"))
+        .select(col(colA).as("_a"), col(colB).as("_b"))
+        .join(doubledRanks(colA, "_va", "_ra"), col("_a") === col("_va"))
+        .join(doubledRanks(colB, "_vb", "_rb"), col("_b") === col("_vb"))
         .agg(
           count(lit(1)).cast("decimal(19,0)").as("_n"),
           sum(col("_ra")).as("_sa"), sum(col("_rb")).as("_sb"),

@@ -151,7 +151,15 @@ object FuzzyJoin {
       minSim: Double = 0.85): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
       s"minSim must be in (0,1], got $minSim")
+    // drop empty heads BEFORE the self-join: they all share the '1:'
+    // block (quadratic fan-out) yet can only pair with each other, and
+    // jw('','') = 0 < minSim discards every such pair anyway — so this
+    // filter is result-preserving and removes the one hot-block
+    // pathology the prefix scheme admits ([[editDistancePairs]] keeps
+    // them: empty-empty has edit distance 0 and IS a legitimate match
+    // there)
     val rows = blockRows(docs, idCol, textCol, headLen, blockLen)
+      .filter(length(col("_head")) > 0)
     rows.select(col(idCol).as("_id_a"), col("_blk"), col("_head").as("_ha"))
       .join(rows.select(col(idCol).as("_id_b"), col("_blk"),
         col("_head").as("_hb")), Seq("_blk"))

@@ -1,6 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -19,15 +21,20 @@ import org.apache.spark.sql.types.DecimalType
  * through NEIGHBORHOODS, this probes them through a linear map — the
  * two standard complementary views).
  *
- * Scale shape: the corpus pass explodes each row into
- * `(d+1)(d+2)/2 + (d+1)` upper-triangle/moment terms that collapse in a
- * map-side-partial hash aggregate keyed on `(i, j)` — the shuffle is
- * dimension²-sized regardless of corpus size, and the explode
- * amplification is the price of exact DECIMAL(38,12) folds
- * (order-invariant, oracle-replayable). d = 64 ⇒ ~2 200 terms/row; for
- * d ≳ 512 the same equations should be built with a float `Aggregator`
- * (one buffer per task, no explode) at the cost of last-ulp
- * nondeterminism — this module deliberately ships the exact form.
+ * Scale shape: the corpus pass is a typed `Aggregator` carrying ONE
+ * flat buffer per task — the upper triangle `(d+1)(d+2)/2` plus the
+ * `(d+1)` moment vector as 12-dp scaled longs — merged associatively;
+ * the shuffle moves one buffer per partition (dimension²-sized,
+ * independent of corpus size) and no per-term rows ever materialize.
+ * The sums stay EXACT decimal: each term rounds to 12 dp
+ * (`BigDecimal.valueOf`, HALF_UP — the same value the previous
+ * explode+DECIMAL(38,12) hash aggregate folded) and accumulates as an
+ * integer, so the result is order-invariant and partitioning-invariant,
+ * not last-ulp float. `Math.addExact` guards the scaled-long range
+ * (per-cell |Σ terms| < 9.2·10⁶ — comfortable for unit-scale
+ * embeddings; overflow fails loudly rather than wrapping). The
+ * explode+hash-aggregate formulation is retained as
+ * [[momentSumsExploded]] purely as a spec cross-check.
  * Scoring is a zero-shuffle in-order fold against plan-literal weights
  * (the [[Similarity.dot]] fold-order contract an oracle's
  * `list_aggregate` reproduces bit-for-bit).
@@ -47,13 +54,90 @@ object Probe {
     concat(transform(vecCol, _.cast("double")), array(lit(1.0)))
 
   /**
-   * One-pass normal-equation sums: upper-triangle `Σ x_i·x_j`
-   * (j = i..d over the augmented vector) plus the moment vector
-   * `Σ x_i·y` (tagged j = −1). Rows with a NULL vector, NULL target, or
-   * wrong dimension drop — the fit's row universe, which [[report]]
-   * shares.
+   * One-pass normal-equation sums as a typed [[Aggregator]]: the flat
+   * buffer packs the upper triangle `Σ x_i·x_j` (row-major, j = i..d
+   * over the augmented vector) followed by the moment vector `Σ x_i·y`,
+   * every term pre-rounded to 12-dp decimal and accumulated as a scaled
+   * long — exact, associative, commutative, so the global aggregate is
+   * order- and partitioning-invariant with one buffer per task and no
+   * exploded term rows.
    */
-  private def momentSums(
+  private final class MomentAgg(d1: Int)
+      extends Aggregator[(Array[Double], Double), Array[Long], Array[Long]] {
+    private val tri = d1 * (d1 + 1) / 2
+    private def term12(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .movePointRight(12).longValueExact()
+    override def zero: Array[Long] = new Array[Long](tri + d1)
+    override def reduce(
+        buf: Array[Long], r: (Array[Double], Double)): Array[Long] = {
+      val v = r._1; val y = r._2
+      var k = 0; var i = 0
+      while (i < d1) {
+        val xi = v(i)
+        var j = i
+        while (j < d1) {
+          buf(k) = Math.addExact(buf(k), term12(xi * v(j)))
+          j += 1; k += 1
+        }
+        buf(tri + i) = Math.addExact(buf(tri + i), term12(xi * y))
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Moment sums via [[MomentAgg]], unpacked to `(a, b)` doubles plus
+    * the matched-row count (read off `Σ 1·1` at the intercept-intercept
+    * cell). */
+  private def momentSumsAgg(
+      df: DataFrame, vecCol: String, y: Column,
+      dim: Int): (Array[Array[Double]], Array[Double], Long) = {
+    val d1 = dim + 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(aug(col(vecCol)).as("_1"), y.cast("double").as("_2"))
+      .as[(Array[Double], Double)]
+      .select(new MomentAgg(d1).toColumn)
+      .head()
+    val tri = d1 * (d1 + 1) / 2
+    val a = Array.ofDim[Double](d1, d1)
+    val b = new Array[Double](d1)
+    var k = 0; var i = 0
+    while (i < d1) {
+      var j = i
+      while (j < d1) {
+        val s = flat(k) / 1e12
+        a(i)(j) = s; a(j)(i) = s
+        j += 1; k += 1
+      }
+      b(i) = flat(tri + i) / 1e12
+      i += 1
+    }
+    (a, b, flat(tri - 1) / 1000000000000L) // Σ 1·1 scaled
+  }
+
+  /**
+   * The previous explode+hash-aggregate formulation of the moment sums
+   * (upper-triangle terms keyed `(i, j)`, moment vector tagged j = −1,
+   * DECIMAL(38,12) folds) — retained ONLY as the independent spec
+   * cross-check for [[MomentAgg]]; the fit itself never calls it.
+   */
+  private[ext] def momentSumsExploded(
       df: DataFrame, vecCol: String, y: Column, dim: Int): DataFrame = {
     val d1 = dim + 1
     val rows = df
@@ -84,17 +168,34 @@ object Probe {
       lambda: Double = 1e-3): Array[Double] = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val (a, b, n) = momentSumsAgg(df, vecCol, y, dim)
+    require(n > 0, "no rows matched (empty input or wrong dim)")
+    finishFit(a, b, dim, lambda)
+  }
+
+  /** Explode-path twin of [[fitRidge]] — spec cross-check only. */
+  private[ext] def fitRidgeExploded(
+      df: DataFrame, vecCol: String, y: Column, dim: Int,
+      lambda: Double = 1e-3): Array[Double] = {
     val d1 = dim + 1
     val a = Array.ofDim[Double](d1, d1)
     val b = new Array[Double](d1)
     var seen = 0L
-    momentSums(df, vecCol, y, dim).collect().foreach { r =>
+    momentSumsExploded(df, vecCol, y, dim).collect().foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
       val s = r.getDecimal(2).doubleValue()
       if (j < 0) b(i) = s
       else { a(i)(j) = s; a(j)(i) = s; seen += 1 }
     }
     require(seen > 0, "no rows matched (empty input or wrong dim)")
+    finishFit(a, b, dim, lambda)
+  }
+
+  /** Shared tail of both fit paths: feature-diagonal ridge, pivoted
+    * solve, 9-dp weight rounding. */
+  private def finishFit(
+      a: Array[Array[Double]], b: Array[Double], dim: Int,
+      lambda: Double): Array[Double] = {
     var i = 0
     while (i < dim) { a(i)(i) += lambda; i += 1 } // not the intercept
     solve(a, b).map(w =>

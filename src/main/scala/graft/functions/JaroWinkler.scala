@@ -34,10 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *   - either side empty → 0.0 (the DuckDB convention, including
  *     empty-empty); equal strings → 1.0
  *
- * Comparison is per UTF-16 code unit — identical to byte-wise engines
- * on ASCII (callers feeding non-ASCII should normalize first; the
- * declared query filters to printable-ASCII heads for exactly this
- * cross-engine reason).
+ * Comparison is per UTF-8 BYTE, straight off the `UTF8String` buffers
+ * (no String materialization on the hot path) — identical to code-unit
+ * comparison on ASCII and the same convention byte-wise engines
+ * (DuckDB) use everywhere; callers feeding non-ASCII should normalize
+ * first (the declared query filters to printable-ASCII heads for
+ * exactly this cross-engine reason).
  */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -74,12 +76,10 @@ object JaroWinkler {
     * prefix scan — O(|a|·window) worst case, allocation limited to the
     * two match-flag arrays. */
   def compute(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
-    val la = s.length
-    val lb = t.length
+    val la = a.numBytes
+    val lb = b.numBytes
     if (la == 0 || lb == 0) return 0.0
-    if (s == t) return 1.0
+    if (a.equals(b)) return 1.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val sMatch = new Array[Boolean](la)
     val tMatch = new Array[Boolean](lb)
@@ -90,7 +90,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && a.getByte(i) == b.getByte(j)) {
           sMatch(i) = true; tMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -104,7 +104,7 @@ object JaroWinkler {
     while (i < la) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) mismatched += 1
+        if (a.getByte(i) != b.getByte(k)) mismatched += 1
         k += 1
       }
       i += 1
@@ -116,7 +116,7 @@ object JaroWinkler {
     else {
       val maxL = math.min(4, math.min(la, lb))
       var l = 0
-      while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+      while (l < maxL && a.getByte(l) == b.getByte(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }

@@ -664,4 +664,31 @@ class PlanAuditSpec extends GraftSpec {
       s"readability shuffled beyond the output sort:\n$p169")
     assert(!p169.contains("Join"), p169)
   }
+
+  test("q128/q140: the dense ranker's top-20 is TakeOrdered and every " +
+    "unpartitioned window rides a bounded (TakeOrdered) input — no " +
+    "corpus-wide single-partition ranking sort") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def exec(key: String): SparkPlan =
+      SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    Seq("q128_rrf_fusion", "q140_rbo").foreach { k =>
+      val p = exec(k)
+      assert(p.collectFirst {
+        case t: TakeOrderedAndProjectExec => t }.isDefined, s"$k:\n$p")
+      // every row_number window with an empty PARTITION BY must sit over
+      // a TakeOrdered (k-row) subtree, never the raw corpus scan
+      p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(w.collectFirst {
+            case t: TakeOrderedAndProjectExec => t }.isDefined,
+            s"$k has a data-sized unpartitioned window:\n$w")
+        }
+    }
+  }
 }

@@ -97,6 +97,27 @@ class StatsTestsSpec extends GraftSpec {
       .collect().forall(_.isNullAt(3)), "zero spread => NULL, not ±Inf")
   }
 
+  test("welch merge law: partials of arbitrary slices fold to the " +
+    "one-pass screen exactly (the q200 contract)") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      (i, s"g${i % 5}", rng.nextInt(1000) / 7.0)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val onePass = StatsTests.groupWelchZ(df, col("g"), col("v"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    // three uneven slices, including one that misses some groups
+    val partials = Seq(
+      df.filter(col("id") < 40), df.filter(col("id") >= 40 &&
+        col("id") < 240), df.filter(col("id") >= 240))
+      .map(StatsTests.welchPartials(_, col("g"), col("v")))
+      .reduce(_ unionByName _)
+    val merged = StatsTests.welchFromMoments(
+        StatsTests.mergeWelchMoments(partials))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(merged == onePass, "lossless decimal merge")
+  }
+
   test("normalTwoSidedP: 1 at z=0, ~0.05 at 1.96, monotone decreasing") {
     val ps = Seq(0.0, 1.0, 1.96, 3.0).toDF("z")
       .select(StatsTests.normalTwoSidedP(col("z")).as("p"))

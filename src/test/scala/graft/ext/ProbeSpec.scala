@@ -121,6 +121,19 @@ class ProbeSpec extends GraftSpec {
     assert(acc > 0.8, s"linearly separable target should probe well: $acc")
   }
 
+  test("Aggregator moment path equals the explode+decimal path at " +
+    "d = 64 on the real embeddings table (<= 1e-9 per weight)") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val y = when(col("label") === 0, 1.0)
+      .when(col("label").isNotNull, 0.0)
+    val agg = Probe.fitRidge(df, "embedding", y, dim = 64)
+    val exp = Probe.fitRidgeExploded(df, "embedding", y, dim = 64)
+    val maxDiff = agg.zip(exp).map { case (a, b) => math.abs(a - b) }.max
+    assert(agg.length == 65 && maxDiff <= 1e-9,
+      s"paths diverge: maxDiff=$maxDiff")
+  }
+
   test("score is the in-order augmented dot against literal weights") {
     val w = Array(0.5, -1.0, 2.0)
     val got = Seq((1L, Seq(4.0f, 3.0f))).toDF("id", "v")
