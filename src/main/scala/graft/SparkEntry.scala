@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -266,6 +266,80 @@ object SparkEntry {
         "p", "g", alpha = 0.05)
         .orderBy(col("rank").asc)
     }),
+
+    // X4 — REAL BMP decode end-to-end, the third hand-parseable codec
+    // through the q120/q121 batch core: per-doc uncompressed 24-bit
+    // BMPs with little-endian headers and VARYING row padding (w = 3,
+    // 4, 5 ⇒ pads 3, 0, 1 — the layout feature Netpbm lacks), pixels
+    // from an integer formula in storage (B,G,R) order. The oracle
+    // recomputes the per-channel moments from the same formula without
+    // parsing a byte, so a header/stride/pad bug breaks the hash.
+    "q201_bmp_decode" -> ((s, d) => {
+      def le16h(c: Column): Column = concat(
+        lpad(hex(pmod(c, lit(256L))), 2, "0"),
+        lpad(hex(pmod(shiftright(c, 8), lit(256L))), 2, "0"))
+      def le32h(c: Column): Column =
+        concat(le16h(pmod(c, lit(65536L))), le16h(shiftright(c, 16)))
+      val w = lit(3L) + pmod(col("doc_id"), lit(3L))
+      val h = lit(2L) + pmod(col("doc_id"), lit(2L))
+      val pad = pmod(lit(4L) - pmod(w * 3, lit(4L)), lit(4L))
+      val stride = w * 3 + pad
+      val headerHex = concat(
+        lit("424D"), le32h(lit(54L) + stride * h), // bfSize
+        lit("00000000"), le32h(lit(54L)),          // reserved, bfOffBits
+        le32h(lit(40L)), le32h(w), le32h(h),       // biSize, w, h (bottom-up)
+        lit("0100"), lit("1800"),                  // planes 1, 24-bit
+        lit("00000000"), le32h(stride * h),        // BI_RGB, biSizeImage
+        lit("00000000"), lit("00000000"),          // ppm x/y
+        lit("00000000"), lit("00000000"))          // colors used/important
+      val rasterHex = array_join(
+        transform(sequence(lit(0L), h - 1), y => concat(
+          array_join(transform(sequence(lit(0L), w * 3 - 1), j =>
+            lpad(hex(pmod(col("doc_id") * 37 + (y * w * 3 + j) * 11,
+              lit(256L))), 2, "0")), ""),
+          lit("000000").substr(lit(1), (pad * 2).cast("int")))), "")
+      val assets = t(s, d, "documents").select(col("doc_id"),
+        unhex(concat(headerHex, rasterHex)).as("payload"))
+      new BmpDecoder().decode(assets, "payload", "f")
+        .select(col("doc_id"),
+          element_at(col("f"), 1).cast("long").as("width"),
+          element_at(col("f"), 2).cast("long").as("height"),
+          round(element_at(col("f"), 3)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("mean_b"),
+          round(element_at(col("f"), 5)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("mean_g"),
+          round(element_at(col("f"), 7)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("mean_r"),
+          round(element_at(col("f"), 4)
+            / (element_at(col("f"), 1) * element_at(col("f"), 2)), 6)
+            .as("ms_b"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // X+/E — Fleiss' kappa across three REAL keep/drop quality screens
+    // (char floor, token floor, mean-token-length cap as an integer
+    // inequality — no division): the multi-rater curation audit "do my
+    // filters agree beyond what their base rates force?". Integer-exact
+    // until three final divisions.
+    "q202_fleiss_kappa" -> ((s, d) => {
+      val ntok = size(TextOps.tokens(col("text")))
+      Eval.fleissKappaBinary(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        Seq(length(col("text")) >= 200,
+          ntok >= 40,
+          length(col("text")) <= ntok * 8))
+    }),
+
+    // X+/S — deterministic Poisson-bootstrap CI for mean document
+    // length: error bars for a corpus metric from 200 md5-seeded
+    // resamples (per-row factorizing weights — the scale-out
+    // bootstrap), decimal replicate folds, rank-exact percentile picks.
+    "q203_bootstrap_ci" -> ((s, d) =>
+      StatsTests.bootstrapMeanCI(
+        t(s, d, "documents"), col("n_chars"), "doc_id", b = 200)),
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -6468,6 +6542,104 @@ object SparkEntry {
     // decimal/long sums => lossless merge — the q154 law for the Welch
     // screen family), so it shares q189's oracle verbatim.
     "q200_welch_merge" -> sourceScreenOracleSql,
+
+    // q202: same three screen predicates (token count via the q18
+    // regexp split), same cleared-denominator kappa arithmetic.
+    "q202_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT CAST(length(text) >= 200 AS BIGINT)
+        |       + CAST(len(list_filter(string_split_regex(lower(text),
+        |           '\s+'), t -> length(t) > 0)) >= 40 AS BIGINT)
+        |       + CAST(length(text) <= 8 * len(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           t -> length(t) > 0)) AS BIGINT) AS n1
+        |  FROM documents WHERE text IS NOT NULL),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n1) AS HUGEINT) AS s1,
+        |         CAST(sum(n1*n1 + (3-n1)*(3-n1)) AS HUGEINT) AS a
+        |  FROM r),
+        |x AS (SELECT n, s1, a, CAST(3*n AS HUGEINT) AS m,
+        |             s1*s1 + (3*n - s1)*(3*n - s1) AS q FROM agg)
+        |SELECT n AS n_items,
+        |       round(CAST(a - m AS DOUBLE)
+        |             / nullif(CAST(m*2 AS DOUBLE), 0), 6) AS p_bar,
+        |       round(CAST(q AS DOUBLE)
+        |             / nullif(CAST(m*m AS DOUBLE), 0), 6) AS p_e,
+        |       round(CAST(m*(a - m) - 2*q AS DOUBLE)
+        |             / nullif(CAST(2*(m*m - q) AS DOUBLE), 0), 6) AS kappa
+        |FROM x""".stripMargin,
+
+    // q203: same md5 uniforms, same Poisson(1) CDF literals, same
+    // decimal replicate folds and 6-dp-then-rank percentile picks
+    // (ranks 5 and 195 of 200, b as tiebreak).
+    "q203_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |         CAST(round(CAST(n_chars AS DOUBLE), 9)
+        |           AS DECIMAL(38,12)) AS x
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |reps AS (
+        |  SELECT t.b, base.id, base.x,
+        |         CAST(('0x' || substr(md5('bs42:' || CAST(t.b AS VARCHAR)
+        |             || ':' || base.id), 1, 12)) AS UBIGINT)
+        |           / CAST(281474976710656 AS DOUBLE) AS u
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 200)) AS b) t),
+        |wts AS (
+        |  SELECT b,
+        |         CAST(u >= 0.36787944117144233 AS BIGINT)
+        |       + CAST(u >= 0.7357588823428847 AS BIGINT)
+        |       + CAST(u >= 0.9196986029286058 AS BIGINT)
+        |       + CAST(u >= 0.9810118431238463 AS BIGINT)
+        |       + CAST(u >= 0.9963401531726563 AS BIGINT)
+        |       + CAST(u >= 0.9994058151824183 AS BIGINT) AS w, x
+        |  FROM reps),
+        |means AS (
+        |  SELECT b, round(CAST(sum(w * x) AS DOUBLE)
+        |           / CAST(sum(w) AS DOUBLE), 6) AS m
+        |  FROM wts GROUP BY b HAVING sum(w) > 0),
+        |ranked AS (
+        |  SELECT m, b, CAST(row_number() OVER (ORDER BY m, b) AS BIGINT)
+        |           AS rn
+        |  FROM means),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |               CAST(sum(x) AS DOUBLE) AS s FROM base)
+        |SELECT n_rows,
+        |       round(s / nullif(CAST(n_rows AS DOUBLE), 0), 6) AS mean,
+        |       (SELECT max(CASE WHEN rn = 5 THEN m END) FROM ranked)
+        |         AS ci_lo,
+        |       (SELECT max(CASE WHEN rn = 195 THEN m END) FROM ranked)
+        |         AS ci_hi
+        |FROM tot""".stripMargin,
+
+    // q201: per-channel BMP moments recomputed from the synthesis
+    // formula (pixel i of channel c is (doc_id*37 + (i*3+c)*11) % 256
+    // in storage B,G,R order) — no byte is parsed, so header layout,
+    // stride, and pad handling in the engine's parser are all under
+    // test.
+    "q201_bmp_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id, 3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> (doc_id*37 + (i*3+0)*11) % 256), 'sum') AS sb,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> ((doc_id*37 + (i*3+0)*11) % 256)
+        |                * ((doc_id*37 + (i*3+0)*11) % 256)), 'sum') AS qb,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> (doc_id*37 + (i*3+1)*11) % 256), 'sum') AS sg,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           i -> (doc_id*37 + (i*3+2)*11) % 256), 'sum') AS sr
+        |  FROM g)
+        |SELECT doc_id, w AS width, h AS height,
+        |       round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b,
+        |       round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
+        |       round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
+        |       round(CAST(qb AS DOUBLE) / (w*h), 6) AS ms_b
+        |FROM m ORDER BY doc_id""".stripMargin,
 
 
     // q188: the single-window form the two-level engine path must equal

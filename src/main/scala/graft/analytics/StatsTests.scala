@@ -28,6 +28,15 @@ object StatsTests {
 
   private val dec = DecimalType(38, 12)
 
+  /** Poisson(1) CDF at 0..5, printed via Double.toString so an oracle
+    * embeds the SAME literals the plan folds (the [[benfordExpected]]
+    * convention). A bootstrap weight is the count of thresholds at or
+    * below the row's uniform — support truncated at 6
+    * (P(X > 5) ≈ 5.9·10⁻⁴; the tail mass lands on w = 6). */
+  val poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183)
+
   /**
    * Pearson χ² test of independence between two categorical columns:
    * one pass for the cell counts, row/column margins re-aggregated from
@@ -215,6 +224,71 @@ object StatsTests {
           col("_c2").cast("double") / col("n2").cast("double")).as("_g"))
       .groupBy(col("n1"), col("n2"))
       .agg(round(max(col("_g")), 6).as("d"))
+  }
+
+  /**
+   * Deterministic Poisson-bootstrap confidence interval for the mean of
+   * a column — error bars for a corpus metric, reproducible across
+   * engines and reruns: replicate b reweights row id by a Poisson(1)
+   * draw w = |{c ∈ [[poisson1Cdf]] : u ≥ c}| where u is the first 12
+   * md5 hex nibbles of `salt:b:id` scaled by 16⁻¹² (the
+   * [[graft.ext.Sampling.weightedTake]] uniform — a pure function of
+   * salt + id, no RNG state). Poisson rather than multinomial because
+   * the weights factorize PER ROW — no cross-row coordination, so the
+   * pass is one narrow projection + a B-group aggregate (the standard
+   * scale-out bootstrap). Replicate means fold as exact decimal
+   * (9-dp-rounded terms × integer weights), round to 6 dp BEFORE
+   * ranking (so engines rank identical values, b as tiebreak), and the
+   * CI is the rank-exact percentile pick at ⌈α/2·B⌉ / ⌈(1−α/2)·B⌉ —
+   * no interpolation, every pick is a value that actually occurred.
+   *
+   * SCALE CONTRACT: the pass fans each row out B-fold (the price of B
+   * resamples — partials collapse map-side, the shuffle carries
+   * tasks×B rows), and the ranking window runs over the B-row
+   * replicate frame, never data rows. Returns one row
+   * `(n_rows, mean, ci_lo, ci_hi)`; degenerate replicates (all
+   * weights 0 — vanishing probability beyond toy inputs) drop before
+   * the rank.
+   */
+  def bootstrapMeanCI(
+      df: DataFrame, value: Column, idCol: String, b: Int = 200,
+      alpha: Double = 0.05, salt: String = "bs42"): DataFrame = {
+    require(b >= 2, s"need >= 2 replicates, got $b")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = df.filter(value.isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        round(value.cast("double"), 9).cast(dec).as("_x"))
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col("_b").cast("string"), lit(":"),
+          col("_id")).cast("binary")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12
+    val w = poisson1Cdf.map(c => (col("_u") >= c).cast("long"))
+      .reduce(_ + _)
+    val reps = base
+      .select(col("_id"), col("_x"),
+        explode(sequence(lit(0), lit(b - 1))).as("_b"))
+      .withColumn("_u", u)
+      .select(col("_b"), col("_x"), w.as("_w"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_w")).as("_wn"), sum(col("_w") * col("_x")).as("_ws"))
+      .filter(col("_wn") > 0L)
+      .select(col("_b"),
+        round(col("_ws").cast("double") / col("_wn").cast("double"), 6)
+          .as("_mean"))
+    val rn = row_number().over(
+      Window.orderBy(col("_mean").asc, col("_b").asc)).cast("long")
+    val loRank = math.ceil(alpha / 2.0 * b).toLong.max(1L)
+    val hiRank = math.ceil((1.0 - alpha / 2.0) * b).toLong.min(b.toLong)
+    val tot = base.agg(count(lit(1)).as("n_rows"), sum(col("_x")).as("_s"))
+    reps.withColumn("_rn", rn)
+      .agg(
+        max(when(col("_rn") === loRank, col("_mean"))).as("ci_lo"),
+        max(when(col("_rn") === hiRank, col("_mean"))).as("ci_hi"))
+      .crossJoin(broadcast(tot)) // 1×1 scalar frames
+      .select(col("n_rows"),
+        round(col("_s").cast("double") /
+          nullif(col("n_rows").cast("double"), lit(0.0)), 6).as("mean"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`

@@ -390,6 +390,54 @@ object Eval {
   }
 
   /**
+   * Fleiss' kappa over k ≥ 2 BINARY raters — chance-corrected
+   * multi-rater agreement, the curation audit "do my independent
+   * keep/drop quality screens agree beyond chance, or only as often as
+   * their base rates force?" ([[cohensKappa]] compares exactly two
+   * axes; Fleiss generalizes to a fixed rater panel). Items with any
+   * NULL rating drop (Fleiss requires a complete rating matrix).
+   *
+   * Exact arithmetic (the [[cohensKappa]] rule): with M = N·k,
+   * A = Σᵢ(n₁ᵢ² + n₀ᵢ²) and Q = S₁² + (M − S₁)² (all integer
+   * aggregates; n₁ᵢ = positive votes on item i, S₁ = Σn₁ᵢ),
+   * P̄ = (A − M)/(M(k−1)), P̄ₑ = Q/M², and the kappa ratio clears every
+   * denominator — κ = (M(A−M) − (k−1)Q)/((k−1)(M² − Q)) — so the only
+   * float ops are the three final divisions, each rounded 6 dp. κ is
+   * NULL when P̄ₑ = 1 (one unanimous category everywhere — undefined).
+   * Returns one row `(n_items, p_bar, p_e, kappa)`.
+   *
+   * 1-row output from a narrow projection + one aggregate — scale-free.
+   */
+  def fleissKappaBinary(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val k = raters.size
+    val dec = "decimal(38,0)"
+    val n1 = raters.map(_.cast("boolean").cast("long")).reduce(_ + _)
+    val anyNull = raters.map(_.isNull).reduce(_ || _)
+    df.filter(!anyNull)
+      .select(n1.as("_n1"))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        coalesce(sum(col("_n1")), lit(0L)).cast(dec).as("_s1"),
+        coalesce(sum(col("_n1") * col("_n1") +
+          (lit(k.toLong) - col("_n1")) * (lit(k.toLong) - col("_n1"))),
+          lit(0L)).cast(dec).as("_a"))
+      .withColumn("_m", col("_n") * k)
+      .withColumn("_q", col("_s1") * col("_s1") +
+        (col("_m") - col("_s1")) * (col("_m") - col("_s1")))
+      .select(col("_n").cast("long").as("n_items"),
+        round((col("_a") - col("_m")).cast("double")
+          / nullif((col("_m") * (k - 1)).cast("double"), lit(0.0)), 6)
+          .as("p_bar"),
+        round(col("_q").cast("double")
+          / nullif((col("_m") * col("_m")).cast("double"), lit(0.0)), 6)
+          .as("p_e"),
+        round((col("_m") * (col("_a") - col("_m")) - lit(k - 1) * col("_q"))
+          .cast("double")
+          / nullif((lit(k - 1) * (col("_m") * col("_m") - col("_q")))
+            .cast("double"), lit(0.0)), 6).as("kappa"))
+  }
+
+  /**
    * Exact ROC-AUC of a score against a binary label via the
    * Mann–Whitney U statistic with TEXTBOOK tie handling: tied scores get
    * fractional average ranks, and AUC = (ΣR₊ − P(P+1)/2)/(P·N). The

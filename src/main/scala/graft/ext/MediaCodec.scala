@@ -157,6 +157,67 @@ object MediaCodec {
     b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' ||
       b == 0x0b
 
+  // ---- BMP (BITMAPINFOHEADER, uncompressed 24-bit BI_RGB) ----
+
+  /** Parsed BMP raster moments: per-STORAGE-channel pixel sum and sum
+    * of squares in the file's B, G, R order (index 0 = blue), all
+    * exact integers. `topDown` records a negative biHeight (row order
+    * never affects moments, but callers echoing metadata need it). */
+  final case class BmpStats(
+      width: Int, height: Int, topDown: Boolean,
+      sums: Array[Long], sqSums: Array[Long])
+
+  /**
+   * Parse an uncompressed 24-bit BMP payload (`BM` magic,
+   * BITMAPINFOHEADER-or-larger DIB header, `biCompression = 0`,
+   * `biBitCount = 24`, `biPlanes = 1`) to exact raster moments. Rows
+   * are 4-byte aligned — the per-row pad bytes are skipped, never
+   * summed — and a negative `biHeight` (top-down row order) is
+   * accepted since moments are row-order-invariant. None for: wrong
+   * magic, short/odd headers, other bit depths or compressions,
+   * non-positive width, zero height, a pixel-array offset inside the
+   * headers, or a raster that overruns the payload. Trailing bytes
+   * after the raster are tolerated (writers append color profiles).
+   */
+  def parseBmp(bytes: Array[Byte]): Option[BmpStats] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = le32(bytes, 10)
+    val hdrSize = le32(bytes, 14)
+    if (hdrSize < 40) return None // BITMAPINFOHEADER or an extension
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val planes = le16(bytes, 26)
+    val bits = le16(bytes, 28)
+    val comp = le32(bytes, 30)
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      planes != 1 || bits != 24 || comp != 0) return None
+    val h = math.abs(hRaw)
+    val stride = (w.toLong * 3 + 3) / 4 * 4
+    if (stride * h > Int.MaxValue) return None
+    if (dataOff.toLong < 14L + hdrSize.toLong ||
+      dataOff.toLong + stride * h > bytes.length) return None
+    val sums = new Array[Long](3)
+    val sqSums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      var p = dataOff + (y * stride).toInt
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val v = (bytes(p) & 0xff).toLong
+          sums(c) += v
+          sqSums(c) += v * v
+          p += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpStats(w, h, hRaw < 0, sums, sqSums))
+  }
+
   // ---- RIFF/WAV, PCM16 little-endian ----
 
   /** Parse a RIFF/WAVE payload with a PCM (`audioFormat = 1`) 16-bit

@@ -83,6 +83,31 @@ final class WavDecoder(batchSize: Int = 64) extends BinaryDecoder {
     }
 }
 
+/**
+ * REAL image decoder for uncompressed 24-bit BMP payloads
+ * ([[MediaCodec.parseBmp]]): the third hand-parseable interchange
+ * format through the same batch core, and the one that exercises
+ * byte-layout features Netpbm lacks — little-endian headers, 4-byte
+ * row padding (pad bytes never reach the moments), and bottom-up vs
+ * top-down row order (moment-invariant, so both parse). Emits
+ * `[width, height, sum(B), sumsq(B), sum(G), sumsq(G), sum(R),
+ * sumsq(R)]` — exact integer moments in the file's B,G,R storage
+ * order, divisions stay at the call site (the q201 oracle recomputes
+ * the same sums from the synthesis formula without parsing). Other
+ * depths/compressions yield NULL.
+ */
+final class BmpDecoder(batchSize: Int = 64) extends BinaryDecoder {
+  val dims: Int = 8
+  def decode(df: DataFrame, payloadCol: String, outCol: String): DataFrame =
+    Multimodal.decodeWith(df, payloadCol, outCol, batchSize) { bytes =>
+      MediaCodec.parseBmp(bytes).map { s =>
+        Array(s.width.toDouble, s.height.toDouble) ++
+          (0 until 3).flatMap(c =>
+            Seq(s.sums(c).toDouble, s.sqSums(c).toDouble))
+      }
+    }
+}
+
 /** The environment-honest [[BinaryDecoder]]: deterministic pseudo-features
   * from the payload hash ([[Multimodal.decodeStub]]) — a pure codegen'd
   * expression, so the plumbing a real codec would ride (schema, per-row

@@ -118,6 +118,35 @@ class StatsTestsSpec extends GraftSpec {
     assert(merged == onePass, "lossless decimal merge")
   }
 
+  test("bootstrapMeanCI: deterministic, CI straddles the point mean, " +
+    "NULLs drop, salt moves the draws, bad args rejected") {
+    val df = (0 until 300).map(i => (i.toLong, (i % 97).toDouble))
+      .toDF("id", "v")
+    def run(salt: String) = StatsTests
+      .bootstrapMeanCI(df, col("v"), "id", b = 200, salt = salt)
+      .collect().head
+    val r1 = run("bs42"); val r2 = run("bs42")
+    assert(r1.toSeq == r2.toSeq, "pure function of salt + ids")
+    assert(r1.getLong(0) == 300L)
+    val (mean, lo, hi) =
+      (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] vs mean $mean")
+    assert(hi > lo, "nonzero-width interval on dispersed data")
+    assert(run("other").toSeq != r1.toSeq, "salt changes the resamples")
+    // NULL values are invisible
+    val withNulls = df.unionByName(
+      Seq((900L, Option.empty[Double]), (901L, Option.empty[Double]))
+        .toDF("id", "v"))
+    assert(StatsTests.bootstrapMeanCI(withNulls, col("v"), "id", b = 200)
+      .collect().head.toSeq == r1.toSeq)
+    intercept[IllegalArgumentException] {
+      StatsTests.bootstrapMeanCI(df, col("v"), "id", b = 1)
+    }
+    intercept[IllegalArgumentException] {
+      StatsTests.bootstrapMeanCI(df, col("v"), "id", alpha = 0.0)
+    }
+  }
+
   test("normalTwoSidedP: 1 at z=0, ~0.05 at 1.96, monotone decreasing") {
     val ps = Seq(0.0, 1.0, 1.96, 3.0).toDF("z")
       .select(StatsTests.normalTwoSidedP(col("z")).as("p"))

@@ -211,6 +211,40 @@ class EvalSpec extends GraftSpec {
     assert(degenerate.isNullAt(3))
   }
 
+  test("fleissKappaBinary: hand-computed panel; perfect agreement is 1; " +
+    "unanimous single category is NULL; NULL-rated items drop") {
+    // items (1,1,1),(1,1,0),(0,0,0),(1,0,0): A = 9+5+9+5 = 28, S1 = 6,
+    // M = 12, Q = 72 → P̄ = 16/24 = 2/3, P̄e = 1/2,
+    // κ = (12·16 − 2·72)/(2·(144 − 72)) = 48/144 = 1/3
+    val df = Seq((1, 1, 1), (1, 1, 0), (0, 0, 0), (1, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Eval.fleissKappaBinary(df,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).head()
+    assert(got.getLong(0) == 4L && got.getDouble(1) == 0.666667 &&
+      got.getDouble(2) == 0.5 && got.getDouble(3) == 0.333333, s"$got")
+    // all raters always agree, both categories present: κ = 1
+    val perfect = Eval.fleissKappaBinary(
+      Seq((1, 1), (0, 0)).toDF("a", "b"),
+      Seq($"a" === 1, $"b" === 1)).head()
+    assert(perfect.getDouble(3) == 1.0)
+    // one unanimous category everywhere: P̄e = 1 → NULL
+    val degenerate = Eval.fleissKappaBinary(
+      Seq((1, 1), (1, 1)).toDF("a", "b"),
+      Seq($"a" === 1, $"b" === 1)).head()
+    assert(degenerate.isNullAt(3))
+    // an item with any NULL rating is invisible
+    val withNull = Seq((Some(1), Some(1), Some(1)), (Some(1), Some(1),
+      Some(0)), (Some(0), Some(0), Some(0)), (Some(1), Some(0), Some(0)),
+      (Some(1), Option.empty[Int], Some(1)))
+      .toDF("a", "b", "c")
+    val dropped = Eval.fleissKappaBinary(withNull,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).head()
+    assert(dropped.toSeq == got.toSeq)
+    intercept[IllegalArgumentException] {
+      Eval.fleissKappaBinary(df, Seq($"a" === 1))
+    }
+  }
+
   test("rocAuc: perfect separation 1.0, reversed 0.0, tied scores " +
     "average to 0.5, single-class is NULL") {
     def frame(rows: Seq[(Long, Double, Int)]) =

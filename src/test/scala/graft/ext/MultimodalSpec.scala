@@ -181,6 +181,80 @@ class MultimodalSpec extends GraftSpec {
     assert(wout(2L).isEmpty)
   }
 
+  /** Well-formed 24-bit BMP builder; pad bytes are POISONED (0xEE) so a
+    * parser that sums them fails the golden moments. */
+  private def bmp(w: Int, h: Int, pxBGR: Seq[Int], topDown: Boolean = false,
+      bits: Int = 24, comp: Int = 0, dataOff: Int = 54): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(dataOff + stride * h)
+    buf.putInt(0).putInt(dataOff)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+    buf.putShort(1).putShort(bits.toShort)
+    buf.putInt(comp).putInt(stride * h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    while (buf.position() < dataOff) buf.put(0.toByte)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var b = 0
+      while (b < w * 3) { buf.put(pxBGR(i).toByte); i += 1; b += 1 }
+      while (b < stride) { buf.put(0xEE.toByte); b += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  test("MediaCodec.parseBmp: golden moments exclude row padding; " +
+    "top-down and offset gaps parse; malformed inputs are None") {
+    // 2×2, stride 8 → 2 poisoned pad bytes per row
+    val px = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val s = MediaCodec.parseBmp(bmp(2, 2, px)).get
+    assert((s.width, s.height, s.topDown) == ((2, 2, false)))
+    assert(s.sums.toSeq == Seq(10L + 40 + 70 + 100, 20L + 50 + 80 + 110,
+      30L + 60 + 90 + 120))
+    assert(s.sqSums.toSeq == Seq(
+      100L + 1600 + 4900 + 10000, 400L + 2500 + 6400 + 12100,
+      900L + 3600 + 8100 + 14400))
+    // w = 4: stride 12, zero padding — exact fit
+    val fit = MediaCodec.parseBmp(bmp(4, 1, Seq.fill(12)(255))).get
+    assert(fit.sums.toSeq == Seq(1020L, 1020L, 1020L))
+    // top-down (negative height): same moments, flag set
+    val td = MediaCodec.parseBmp(bmp(2, 2, px, topDown = true)).get
+    assert(td.topDown && td.sums.toSeq == s.sums.toSeq)
+    // a gap between headers and raster (dataOff > 54) is honored
+    val gap = MediaCodec.parseBmp(bmp(1, 1, Seq(1, 2, 3), dataOff = 70)).get
+    assert(gap.sums.toSeq == Seq(1L, 2L, 3L))
+    // malformed: magic, depth, compression, truncation, null
+    val bad = bmp(1, 1, Seq(1, 2, 3)); bad(0) = 'X'.toByte
+    assert(MediaCodec.parseBmp(bad).isEmpty)
+    assert(MediaCodec.parseBmp(bmp(1, 1, Seq(1, 2, 3), bits = 8)).isEmpty)
+    assert(MediaCodec.parseBmp(bmp(1, 1, Seq(1, 2, 3), comp = 1)).isEmpty)
+    val whole = bmp(2, 2, px)
+    assert(MediaCodec.parseBmp(
+      java.util.Arrays.copyOf(whole, whole.length - 1)).isEmpty)
+    assert(MediaCodec.parseBmp(null).isEmpty)
+  }
+
+  test("BmpDecoder rides the batch-decode core: exact features, corrupt " +
+    "rows NULL, no shuffle") {
+    val rows = Seq(
+      (1L, bmp(2, 1, Seq(10, 20, 30, 40, 50, 60))),
+      (2L, "not a bitmap".getBytes),
+      (3L, bmp(1, 2, Seq(0, 0, 7, 8, 0, 0), topDown = true))
+    ).toDF("id", "payload")
+    val out = new BmpDecoder(batchSize = 2).decode(rows, "payload", "f")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = out.select($"id", $"f").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(1L).get == Seq(2.0, 1.0, 50.0, 1700.0, 70.0, 2900.0,
+      90.0, 4500.0))
+    assert(got(2L).isEmpty, "corrupt payload must be NULL, not a failure")
+    assert(got(3L).get == Seq(1.0, 2.0, 8.0, 64.0, 0.0, 0.0, 7.0, 49.0))
+  }
+
   test("resizeNetpbmNearest: hand-checked pixel map, canonical re-encode, " +
     "comments dropped, P6 preserved, failures None") {
     // 4×2 P5 with a header comment; pixels 0..7
