@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -340,6 +340,40 @@ object SparkEntry {
     "q203_bootstrap_ci" -> ((s, d) =>
       StatsTests.bootstrapMeanCI(
         t(s, d, "documents"), col("n_chars"), "doc_id", b = 200)),
+
+    // X+ — q142's temperature rates as a pure frame computation (zero
+    // driver collect — the shape that survives domain-cardinality
+    // strata): same α = 0.7 / target 250 chain as q142's Map form, so
+    // the two faces are law-bound (SamplingSpec pins frame == Map).
+    "q204_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureRatesFrame(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "source", alpha = 0.7, target = 250L)
+        .orderBy(col("g").asc_nulls_last)),
+
+    // X3+ — top principal component of the embedding corpus: ONE
+    // distributed pass (the q184 scaled-long moment Aggregator, reused)
+    // then driver-side power iteration on the d×d covariance — the
+    // anisotropy/health probe of the representation. The oracle
+    // recomputes the covariance from the same 12-dp decimal folds and
+    // certifies the dump IS a unit eigenpair with the claimed λ and
+    // trace (λ ≥ max diagonal — the q184 residual-check pattern).
+    "q206_pca_top" -> ((s, d) =>
+      Pca.topComponentFrame(s, t(s, d, "embeddings"), "embedding",
+          dim = 64)
+        .orderBy(col("idx").asc)),
+
+    // X1+/X+ — n-gram novelty of a held-out tenth against the rest:
+    // the substring-granular memorization/contamination screen (q79's
+    // window census machinery, anti-membership instead of multiplicity).
+    "q205_span_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      SpanDedup.spanNovelty(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        "doc_id", "text", spanLen = 8)
+        .orderBy(col("doc_id").asc)
+    }),
 
     // A1/P5 — exact distinct count
     "q01_distinct_users" -> ((s, d) =>
@@ -6612,6 +6646,112 @@ object SparkEntry {
         |       (SELECT max(CASE WHEN rn = 195 THEN m END) FROM ranked)
         |         AS ci_hi
         |FROM tot""".stripMargin,
+
+    // q204: same 6-dp decimal weights (exact Z), same fixed-order
+    // min(1, target·w/Z/c) double chain as the q142 Map form.
+    "q204_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY 1),
+        |w AS (SELECT g, n_rows,
+        |             CAST(round(pow(CAST(n_rows AS DOUBLE), 0.7), 6)
+        |               AS DECIMAL(38,6)) AS w
+        |      FROM c),
+        |z AS (SELECT sum(w) AS z FROM w)
+        |SELECT g, n_rows,
+        |       round(least(CAST(1.0 AS DOUBLE),
+        |         250.0 * CAST(w AS DOUBLE) / CAST(z AS DOUBLE)
+        |           / CAST(n_rows AS DOUBLE)), 6) AS rate
+        |FROM w CROSS JOIN z ORDER BY g""".stripMargin,
+
+    // q206 PARTIAL oracle (the q184 residual pattern): recompute the
+    // centered covariance from the SAME 12-dp decimal folds, then
+    // certify the dumped frame is a unit eigenpair — A·v = λ·v within
+    // the 9-dp rounding bound, |v| = 1, trace matches, and λ clears the
+    // max diagonal (a necessary top-eigenvalue condition). Echo the
+    // dump if every check holds, else a sentinel that cannot match.
+    "q206_pca_top" ->
+      """WITH vdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, v
+        |  FROM read_parquet('__OUT__/q206_pca_top/*.parquet')),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(emb, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(emb) AS DOUBLE) AS x
+        |  FROM e),
+        |nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |sm AS (
+        |  SELECT a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT i, CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS s
+        |  FROM el GROUP BY 1),
+        |cm AS (
+        |  SELECT sm.i, sm.j,
+        |         (sm.s - sa.s * sb.s / nrow.n) / nrow.n AS c
+        |  FROM sm JOIN sv sa ON sa.i = sm.i
+        |  JOIN sv sb ON sb.i = sm.j CROSS JOIN nrow),
+        |comp AS (SELECT idx, v FROM vdump WHERE idx >= 0),
+        |lam AS (SELECT v AS l FROM vdump WHERE idx = -1),
+        |trc AS (SELECT v AS t FROM vdump WHERE idx = -2),
+        |av AS (
+        |  SELECT cm.i, sum(cm.c * w.v) AS av, sum(abs(cm.c)) AS rs
+        |  FROM cm JOIN comp w ON w.idx = cm.j GROUP BY cm.i),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM vdump) = 66
+        |      AND (SELECT count(DISTINCT idx) FROM vdump
+        |           WHERE idx BETWEEN -2 AND 63) = 66
+        |      AND (SELECT bool_and(v = round(v, 9)) FROM vdump)
+        |      AND (SELECT abs(sum(v*v) - 1.0) <= 1e-6 FROM comp)
+        |      AND (SELECT bool_and(abs(av.av - (SELECT l FROM lam) * w.v)
+        |               <= 1e-6 * av.rs + 1e-7)
+        |           FROM av JOIN comp w ON w.idx = av.i)
+        |      AND (SELECT abs((SELECT t FROM trc) - sum(c)) <= 1e-6
+        |           FROM cm WHERE i = j)
+        |      AND (SELECT (SELECT l FROM lam) >= max(c) - 1e-6
+        |           FROM cm WHERE i = j),
+        |      FALSE) AS ok)
+        |SELECT idx, v FROM vdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-9 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY idx""".stripMargin,
+
+    // q205: q79's window grammar at spanLen 8 (md5 of the
+    // space-rejoined slice), split by doc_id % 10, DISTINCT train
+    // membership via left join.
+    "q205_span_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |                   '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |wins AS (
+        |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS wkey
+        |  FROM (SELECT doc_id, t, n,
+        |               unnest(range(1, greatest(n - 6, 1))) AS i
+        |        FROM sized WHERE n >= 8)),
+        |cand AS (SELECT doc_id, wkey FROM wins WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT wkey FROM wins WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN tr.wkey IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS seen_windows,
+        |       round(1.0 - CAST(sum(CASE WHEN tr.wkey IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM cand c LEFT JOIN train tr USING (wkey)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // q201: per-channel BMP moments recomputed from the synthesis
     // formula (pixel i of channel c is (doc_id*37 + (i*3+c)*11) % 256

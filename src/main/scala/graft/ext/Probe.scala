@@ -62,7 +62,7 @@ object Probe {
    * order- and partitioning-invariant with one buffer per task and no
    * exploded term rows.
    */
-  private final class MomentAgg(d1: Int)
+  private[ext] final class MomentAgg(d1: Int)
       extends Aggregator[(Array[Double], Double), Array[Long], Array[Long]] {
     private val tri = d1 * (d1 + 1) / 2
     private def term12(x: Double): Long =
@@ -100,8 +100,10 @@ object Probe {
 
   /** Moment sums via [[MomentAgg]], unpacked to `(a, b)` doubles plus
     * the matched-row count (read off `Σ 1·1` at the intercept-intercept
-    * cell). */
-  private def momentSumsAgg(
+    * cell). With the intercept slot, `a` also carries Σxᵢ (row/col
+    * `dim`) — everything a centered second-moment consumer ([[Pca]])
+    * needs from the same single pass. */
+  private[ext] def momentSumsAgg(
       df: DataFrame, vecCol: String, y: Column,
       dim: Int): (Array[Array[Double]], Array[Double], Long) = {
     val d1 = dim + 1

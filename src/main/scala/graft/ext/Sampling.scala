@@ -253,6 +253,38 @@ object Sampling {
       .limit(k)
   }
 
+  /**
+   * [[temperatureRates]] as a pure FRAME computation — byte-identical
+   * rates (spec-pinned law) with zero driver collect: the Map form is
+   * right when strata are metadata-sized (languages, sources); this
+   * form is the scale path when the stratum key has DOMAIN cardinality
+   * (millions of registrable domains — a Map would BE a driver-sized
+   * collect), keeping rates as a frame to equi-join onto the corpus.
+   * Same arithmetic chain in the same order: per-group weight
+   * `round(c^α, 6)` folded as decimal (exact, order-independent Z),
+   * then the one double expression `min(1, target·w/Z/c)`, 6-dp.
+   * NULL groups drop. Returns group-sized `(g, n_rows, rate)`.
+   */
+  def temperatureRatesFrame(
+      df: DataFrame, groupCol: String, alpha: Double,
+      target: Long): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("_w",
+        round(pow(col("n_rows").cast("double"), alpha), 6).cast(dec6))
+    val z = counts.agg(sum(col("_w")).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("g"), col("n_rows"),
+        round(least(lit(1.0),
+          lit(target.toDouble) * col("_w").cast("double")
+            / col("_z").cast("double") / col("n_rows").cast("double")),
+          6).as("rate"))
+  }
+
   /** Deterministic shuffle key: the content hash of `salt` + `key`.
     * Sorting by it is a reproducible corpus-wide random permutation —
     * change the salt, get an independent epoch order. */

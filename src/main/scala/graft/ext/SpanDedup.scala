@@ -163,4 +163,37 @@ object SpanDedup {
       .withColumn("dup_frac",
         round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
   }
+
+  /**
+   * n-gram novelty of a candidate slice against a training corpus — the
+   * memorization/contamination screen at SUBSTRING granularity (the
+   * doc-level cousin is [[Contamination]]): per candidate document, the
+   * fraction of its `spanLen`-token windows that appear NOWHERE in the
+   * training side. An eval set whose novelty collapses is leaking
+   * training text; a generation sample whose novelty collapses is
+   * memorizing. Candidates shorter than `spanLen` tokens emit no row
+   * (no windows ⇒ novelty undefined, not 1.0).
+   *
+   * Scale shape: train windows collapse to a DISTINCT-key census
+   * (hash shuffle on the fixed-width `wkey`), the candidate side joins
+   * on that key — both linear in corpus tokens, never all-pairs; the
+   * train census can be persisted and appended exactly like the q79
+   * span census. Returns `(idCol, n_windows, seen_windows, novelty)`,
+   * novelty 6-dp.
+   */
+  def spanNovelty(
+      candidates: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, spanLen: Int): DataFrame = {
+    val candW = tokenWindows(candidates, idCol, textCol, spanLen)
+    val trainW = tokenWindows(train, idCol, textCol, spanLen)
+      .select(col("wkey")).distinct()
+      .withColumn("_hit", lit(1L))
+    candW.join(trainW, Seq("wkey"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(col("_hit")), lit(0L)).as("seen_windows"))
+      .select(col(idCol), col("n_windows"), col("seen_windows"),
+        round(lit(1.0) - col("seen_windows").cast("double")
+          / col("n_windows").cast("double"), 6).as("novelty"))
+  }
 }

@@ -348,6 +348,28 @@ class SamplingSpec extends GraftSpec {
     assert(kept == expected)
   }
 
+  test("temperatureRatesFrame law: the collect-free frame form equals " +
+    "the Map form rate-for-rate on the same counts") {
+    val rows = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 990).map(i => (i.toLong, "mid")) ++
+      (990 until 1000).map(i => (i.toLong, "tiny")) ++
+      Seq((1000L, null.asInstanceOf[String])) // NULL group drops
+    val df = rows.toDF("id", "g")
+    Seq((1.0, 100L), (0.3, 500L), (0.7, 250L)).foreach { case (a, tgt) =>
+      val frame = Sampling.temperatureRatesFrame(df, "g", a, tgt)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val map = Sampling.temperatureRates(
+        Map("big" -> 900L, "mid" -> 90L, "tiny" -> 10L), a, tgt)
+      assert(frame == map, s"alpha=$a target=$tgt: $frame vs $map")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRatesFrame(df, "g", 0.0, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRatesFrame(df, "g", 0.5, 0L)
+    }
+  }
+
   test("weightedTake: reproducible, weight-monotone, salt-sensitive; " +
     "non-positive weights drop; plans as TakeOrdered") {
     val df = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))

@@ -102,4 +102,32 @@ class SpanDedupSpec extends GraftSpec {
     // the fixture actually exercises the operator: some doc has a dup span
     assert(got.values.exists(_._1 > 0L))
   }
+
+  test("spanNovelty: seen windows come from anywhere in train; short " +
+    "candidates emit no row; identical doc scores zero novelty") {
+    val train = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s")
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b c x y"),   // windows abc(seen) bcx cxy -> novelty 2/3
+      (11L, "z z z"),       // window zzz -> novelty 1
+      (12L, "a b"),         // < spanLen tokens -> no row
+      (13L, "a b c d e")    // identical to train doc 1 -> novelty 0
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.spanNovelty(cand, train, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 13L), got)
+    assert(got(10L) == ((3L, 1L, 0.666667)), got(10L).toString)
+    assert(got(11L) == ((1L, 0L, 1.0)))
+    assert(got(13L) == ((3L, 3L, 0.0)))
+    // candidate windows never "see" OTHER CANDIDATES' text, only train
+    val isolated = SpanDedup.spanNovelty(
+      Seq((20L, "z z z z"), (21L, "z z z z")).toDF("doc_id", "text"),
+      train, "doc_id", "text", 3)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(isolated == Seq(1.0, 1.0))
+  }
 }
