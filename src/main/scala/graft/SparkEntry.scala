@@ -363,6 +363,25 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X3+/S — MERGE LAW for the normal-equation moment family: the
+    // corpus split into vec_id-parity halves, per-half additive moment
+    // partials (the q184 Aggregator buffer as an (i, j, s) frame)
+    // folded losslessly, then the SAME driver solve — certified by
+    // q184's A·w = b residual oracle run against THIS dump.
+    // StreamingMoments' per-batch appends are this exact fold.
+    "q207_probe_merge" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val y = when(col("label") === 0, 1.0)
+        .when(col("label").isNotNull, 0.0)
+      val a = Probe.momentPartials(
+        emb.filter(col("vec_id") % 2 === 0), "embedding", y, dim = 64)
+      val b = Probe.momentPartials(
+        emb.filter(col("vec_id") % 2 =!= 0), "embedding", y, dim = 64)
+      Probe.ridgeWeightsFromMoments(s,
+        Probe.mergeMoments(a.unionByName(b)), dim = 64, lambda = 1e-3)
+        .orderBy(col("idx").asc)
+    }),
+
     // X1+/X+ — n-gram novelty of a held-out tenth against the rest:
     // the substring-granular memorization/contamination screen (q79's
     // window census machinery, anti-membership instead of multiplicity).
@@ -6883,54 +6902,14 @@ object SparkEntry {
     // (tolerance scales with each equation's |A| row mass). Any wrong
     // weight vector misses by orders of magnitude. Echo the dump if
     // optimal, else a sentinel that can never hash-match.
-    "q184_linear_probe" ->
-      """WITH wdump AS (
-        |  SELECT CAST(idx AS BIGINT) AS idx, w
-        |  FROM read_parquet('__OUT__/q184_linear_probe/*.parquet')),
-        |e AS (
-        |  SELECT vec_id,
-        |         list_append(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
-        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
-        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
-        |         END AS y
-        |  FROM embeddings
-        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
-        |    AND len(embedding) = 64),
-        |el AS (
-        |  SELECT vec_id, y,
-        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
-        |         CAST(unnest(v) AS DOUBLE) AS x
-        |  FROM e),
-        |am AS (
-        |  SELECT a.i AS i, b2.i AS j,
-        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE)
-        |         + CASE WHEN a.i = b2.i AND a.i < 64
-        |                THEN 0.001 ELSE 0 END AS s
-        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
-        |  GROUP BY 1, 2),
-        |aw AS (
-        |  SELECT am.i, sum(am.s * w.w) AS aw, sum(abs(am.s)) AS rs
-        |  FROM am JOIN wdump w ON w.idx = am.j GROUP BY am.i),
-        |bv AS (
-        |  SELECT i, CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS b
-        |  FROM el GROUP BY 1),
-        |chk AS (
-        |  SELECT coalesce(
-        |      (SELECT count(*) FROM wdump) = 65
-        |      AND (SELECT count(DISTINCT idx) FROM wdump
-        |           WHERE idx BETWEEN 0 AND 64) = 65
-        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
-        |      AND (SELECT bool_and(abs(aw.aw - bv.b) <= 1e-8 * aw.rs + 1e-6)
-        |           FROM aw JOIN bv USING (i)),
-        |      FALSE) AS ok)
-        |SELECT idx, w FROM wdump WHERE (SELECT ok FROM chk)
-        |UNION ALL
-        |SELECT CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
-        |WHERE NOT (SELECT ok FROM chk)
-        |ORDER BY idx""".stripMargin,
+    "q184_linear_probe" -> probeResidualOracle("q184_linear_probe"),
+
+    // q207 MUST reproduce q184's weights from merged split moment
+    // partials (exact scaled-decimal sums => lossless merge — the q154
+    // law for the normal-equation family), so it gets the SAME
+    // residual certification against its own dump.
+    "q207_probe_merge" -> probeResidualOracle("q207_probe_merge"),
+
 
     // PARTIAL oracle (derived recomputation): everything downstream of
     // the solve — predictions (in-list-order fold against q184's dumped
@@ -7091,6 +7070,57 @@ object SparkEntry {
 
 
   /** q147/q154's shared oracle (see the q147 comment in [[oracleSql]]). */
+  /** The q184 residual certification, parameterized on the dump key so
+    * the merge-law twin (q207) shares it verbatim. */
+  private def probeResidualOracle(dumpKey: String): String =
+    s"""WITH wdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/$dumpKey/*.parquet')),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |am AS (
+        |  SELECT a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < 64
+        |                THEN 0.001 ELSE 0 END AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  GROUP BY 1, 2),
+        |aw AS (
+        |  SELECT am.i, sum(am.s * w.w) AS aw, sum(abs(am.s)) AS rs
+        |  FROM am JOIN wdump w ON w.idx = am.j GROUP BY am.i),
+        |bv AS (
+        |  SELECT i, CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el GROUP BY 1),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 65
+        |      AND (SELECT count(DISTINCT idx) FROM wdump
+        |           WHERE idx BETWEEN 0 AND 64) = 65
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b) <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv USING (i)),
+        |      FALSE) AS ok)
+        |SELECT idx, w FROM wdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY idx""".stripMargin
+
   /** q189's full screen chain — shared verbatim by q200 (merge law). */
   private val sourceScreenOracleSql: String =
     """WITH cells AS (

@@ -134,6 +134,79 @@ object Probe {
   }
 
   /**
+   * The one-pass moment sums as an ADDITIVE partial frame
+   * `(i, j, s)` — the [[MomentAgg]] buffer exploded into its
+   * upper-triangle cells (j = −1 tags the Σxᵢ·y moment vector), with
+   * `s` the 12-dp scaled sum carried as DECIMAL(38,0) so ANY union of
+   * partials folds exactly ([[mergeMoments]] — integer sums are
+   * associative and commutative, the q154/q200 standing-state law;
+   * [[graft.streaming.StreamingMoments]] is the streamed face). An
+   * empty slice contributes an all-zero partial — merge-neutral by
+   * construction.
+   */
+  def momentPartials(
+      df: DataFrame, vecCol: String, y: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val d1 = dim + 1
+    val tri = d1 * (d1 + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(aug(col(vecCol)).as("_1"), y.cast("double").as("_2"))
+      .as[(Array[Double], Double)]
+      .select(new MomentAgg(d1).toColumn)
+      .toDF("_flat")
+    val cells =
+      (for { i <- 0 until d1; j <- i until d1 } yield (i, j))
+        .zipWithIndex.map { case ((i, j), p) => (p, i, j) } ++
+        (0 until d1).map(i => (tri + i, i, -1))
+    val mapping = cells.toDF("_pos", "i", "j")
+    flat.select(posexplode(col("_flat")).as(Seq("_pos", "_s")))
+      .join(broadcast(mapping), Seq("_pos"))
+      .select(col("i"), col("j"), col("_s").cast("decimal(38,0)").as("s"))
+  }
+
+  /** Fold any union of [[momentPartials]] frames back to one row per
+    * cell — exact integer sums, so merge ∘ split ≡ one pass. */
+  def mergeMoments(partials: DataFrame): DataFrame =
+    partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast("decimal(38,0)").as("s"))
+
+  /** [[fitRidge]] from a (possibly merged) [[momentPartials]] frame —
+    * identical weights by the merge law; the collect is the
+    * (d+1)²-cell frame, metadata-sized. */
+  def fitRidgeFromMoments(
+      moments: DataFrame, dim: Int, lambda: Double = 1e-3): Array[Double] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val d1 = dim + 1
+    val a = Array.ofDim[Double](d1, d1)
+    val b = new Array[Double](d1)
+    moments.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getDecimal(2).doubleValue() / 1e12
+      if (j < 0) b(i) = s
+      else { a(i)(j) = s; a(j)(i) = s }
+    }
+    require(a(dim)(dim) > 0, "no rows matched (empty moments)")
+    finishFit(a, b, dim, lambda)
+  }
+
+  /** The declared-query face of [[fitRidgeFromMoments]] — the
+    * [[ridgeWeights]] frame shape, so a merge-law query can share the
+    * from-scratch fit's oracle. */
+  def ridgeWeightsFromMoments(
+      spark: SparkSession, moments: DataFrame, dim: Int,
+      lambda: Double = 1e-3): DataFrame = {
+    import spark.implicits._
+    fitRidgeFromMoments(moments, dim, lambda).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toSeq
+      .toDF("idx", "w")
+  }
+
+  /**
    * The previous explode+hash-aggregate formulation of the moment sums
    * (upper-triangle terms keyed `(i, j)`, moment vector tagged j = −1,
    * DECIMAL(38,12) folds) — retained ONLY as the independent spec

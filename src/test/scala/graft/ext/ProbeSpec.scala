@@ -134,6 +134,30 @@ class ProbeSpec extends GraftSpec {
       s"paths diverge: maxDiff=$maxDiff")
   }
 
+  test("moment merge law: partials of arbitrary slices fold to the " +
+    "one-pass fit exactly, empty slices are merge-neutral (q207)") {
+    val data = synth(150, 4)
+    val rows = data.map { case (id, v) =>
+      (id, v, v.map(_.toDouble).sum * 0.5 + 0.25)
+    }
+    val df = rows.toDF("vec_id", "embedding", "y")
+    val onePass = Probe.fitRidge(df, "embedding", col("y"), 4)
+    val partials = Seq(
+      df.filter(col("vec_id") < 30),
+      df.filter(col("vec_id") >= 30 && col("vec_id") < 110),
+      df.filter(col("vec_id") >= 110),
+      df.filter(col("vec_id") < 0)) // empty slice: all-zero partial
+      .map(Probe.momentPartials(_, "embedding", col("y"), 4))
+      .reduce(_ unionByName _)
+    val merged = Probe.fitRidgeFromMoments(Probe.mergeMoments(partials), 4)
+    assert(merged.toSeq == onePass.toSeq, "lossless integer merge")
+    intercept[IllegalArgumentException] {
+      Probe.fitRidgeFromMoments(
+        Probe.momentPartials(df.filter(col("vec_id") < 0),
+          "embedding", col("y"), 4), 4)
+    }
+  }
+
   test("score is the in-order augmented dot against literal weights") {
     val w = Array(0.5, -1.0, 2.0)
     val got = Seq((1L, Seq(4.0f, 3.0f))).toDF("id", "v")
