@@ -363,6 +363,42 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X+/S — lead–lag cross-correlation between the daily view and
+    // purchase series: which stream moves first? Bucket-key equi-joins
+    // only (the lag fan-out is a 7-row broadcast) — nothing
+    // single-partition.
+    "q209_cross_corr" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      def daily(et: String) = ev.filter(col("event_type") === et)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      Trend.crossCorr(daily("view"), daily("purchase"),
+          "day_idx", "cnt", maxLag = 3)
+        .orderBy(col("lag").asc)
+    }),
+
+    // X+/S — periodogram power of the daily event series at candidate
+    // periods (weekly? biweekly?): mean-centered cycle projections with
+    // mod-reduced trig arguments, decimal term folds.
+    "q210_periodogram" -> ((s, d) =>
+      Trend.periodogram(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .as("day_idx"))
+          .agg(count(lit(1)).as("cnt")),
+        "day_idx", "cnt", periods = Seq(3, 5, 7, 14))
+        .orderBy(col("period").asc)),
+
+    // X1+ — asymmetric containment pairs over a df-capped shingle
+    // posting-list join: the quote/subset detector Jaccard-LSH can't
+    // see (tiny union, one-sided overlap). Exact full-set verify on
+    // candidates only; 6-dp rounding before the threshold.
+    "q208_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, n = 3, maxDf = 64)
+        .orderBy(col("a_id").asc, col("b_id").asc)),
+
     // X3+/S — MERGE LAW for the normal-equation moment family: the
     // corpus split into vec_id-parity halves, per-half additive moment
     // partials (the q184 Aggregator buffer as an (i, j, s) frame)
@@ -6683,6 +6719,119 @@ object SparkEntry {
         |         250.0 * CAST(w AS DOUBLE) / CAST(z AS DOUBLE)
         |           / CAST(n_rows AS DOUBLE)), 6) AS rate
         |FROM w CROSS JOIN z ORDER BY g""".stripMargin,
+
+    // q209: same day bucketing, same lag-shifted equi-join, same
+    // decimal moments and closed-form Pearson chain.
+    "q209_cross_corr" ->
+      """WITH ev AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS t,
+        |         event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |xa AS (SELECT t, CAST(count(*) AS DOUBLE) AS x FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |yb AS (SELECT t, CAST(count(*) AS DOUBLE) AS y FROM ev
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |lg AS (SELECT unnest(range(-3, 4)) AS lag),
+        |p AS (SELECT lg.lag, a.x, b.y
+        |      FROM xa a CROSS JOIN lg JOIN yb b ON b.t = a.t + lg.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |       CASE WHEN n_pairs >= 2 THEN
+        |         round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |           / nullif(sqrt(
+        |               (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |               * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)),
+        |             CAST(0 AS DOUBLE)), 6)
+        |       END AS r
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // q210: same mean-centering, same mod-reduced trig arguments and
+    // 12-dp decimal term folds, same 2/n normalization.
+    "q210_periodogram" ->
+      """WITH s AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS t,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
+        |                 AS DOUBLE) AS sv
+        |        FROM s),
+        |per AS (SELECT CAST(unnest([3, 5, 7, 14]) AS BIGINT) AS period),
+        |terms AS (
+        |  SELECT per.period, tot.n,
+        |         CAST(round((s.v - sv / CAST(n AS DOUBLE))
+        |             * cos(((2 * pi()) * CAST(t % period AS DOUBLE))
+        |                   / CAST(period AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12)) AS tc,
+        |         CAST(round((s.v - sv / CAST(n AS DOUBLE))
+        |             * sin(((2 * pi()) * CAST(t % period AS DOUBLE))
+        |                   / CAST(period AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12)) AS ts
+        |  FROM s CROSS JOIN tot CROSS JOIN per)
+        |SELECT period, max(n) AS n,
+        |       round((CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+        |             + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
+        |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
+        |FROM terms GROUP BY period ORDER BY period""".stripMargin,
+
+    // q208: same shingle grammar as q20, same df-capped candidate rule
+    // (pairs sharing a shingle with document frequency <= 64), same
+    // exact full-set intersect and 6-dp-then-threshold rule.
+    "q208_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |                       '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |           AS s
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
+        |  GROUP BY doc_id),
+        |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |rare AS (SELECT sg FROM posts GROUP BY sg
+        |         HAVING count(*) <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM posts a
+        |  JOIN rare r ON r.sg = a.sg
+        |  JOIN posts b ON b.sg = a.sg AND a.doc_id < b.doc_id),
+        |px AS (
+        |  SELECT c.a_id, c.b_id,
+        |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+        |           AS n_common,
+        |         CAST(len(sa.s) AS BIGINT) AS n_a,
+        |         CAST(len(sb.s) AS BIGINT) AS n_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, n_common, n_a, n_b,
+        |       round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |         AS c_a_in_b,
+        |       round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |         AS c_b_in_a
+        |FROM px
+        |WHERE greatest(
+        |    round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6),
+        |    round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6))
+        |  >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q206 PARTIAL oracle (the q184 residual pattern): recompute the
     // centered covariance from the SAME 12-dp decimal folds, then

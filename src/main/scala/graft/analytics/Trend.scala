@@ -147,6 +147,101 @@ object Trend {
   }
 
   /**
+   * Lead–lag cross-correlation profile between two bucketed series —
+   * "does series A move BEFORE series B?" (views leading purchases,
+   * ingest leading errors): for every lag ℓ in [−maxLag, maxLag],
+   * Pearson r between x_t and y_{t+ℓ} over the buckets where both
+   * exist; the argmax-|r| lag is the lead estimate. [[autocorr]]'s
+   * arithmetic (12-dp decimal moment folds, one closed-form double
+   * chain) applied to a bucket-key equi-join instead of a window, so
+   * NOTHING here is single-partition: the lag fan-out is the
+   * (2·maxLag+1)-row broadcast, pairs join on the bucket key.
+   *
+   * SCALE CONTRACT: inputs are SERIES frames (one row per bucket —
+   * aggregate first, the [[graft.analytics.Changepoint.cusum]] rule).
+   * `orderCol` must cast to long (bucket index). Lags with < 2
+   * overlapping buckets or zero variance on either side yield NULL r.
+   * Returns `(lag, n_pairs, r)`, r 6-dp.
+   */
+  def crossCorr(
+      a: DataFrame, b: DataFrame, orderCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def series(df: DataFrame, out: String): DataFrame = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).cast("long").as("_t"),
+        d(col(valueCol)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val pairs = series(a, "_x").crossJoin(broadcast(lags))
+      .select(col("lag"), (col("_t") + col("lag")).as("_tb"), col("_x"))
+      .join(series(b, "_y").withColumnRenamed("_t", "_tb"), Seq("_tb"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(term(col("_x"))).as("_sx"),
+      sum(term(col("_y"))).as("_sy"),
+      sum(term(col("_x") * col("_x"))).as("_sxx"),
+      sum(term(col("_y") * col("_y"))).as("_syy"),
+      sum(term(col("_x") * col("_y"))).as("_sxy"))
+    val nD = d(col("n_pairs"))
+    val r = (nD * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))) /
+      nullif(sqrt(
+        (nD * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))) *
+          (nD * d(col("_syy")) - d(col("_sy")) * d(col("_sy")))),
+        lit(0.0))
+    m.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2, round(r, 6)).as("r"))
+  }
+
+  /**
+   * Periodogram power at CANDIDATE periods — "is this series weekly?":
+   * for each period p, the squared projection of the mean-centered
+   * series onto the p-cycle,
+   *
+   *   P(p) = ((Σ c_t·cos(2π·(t mod p)/p))² + (Σ c_t·sin(…))²) · 2/n
+   *
+   * with c_t = v_t − mean. The trig argument reduces through
+   * `t mod p` BEFORE cos/sin so both engines evaluate small
+   * well-conditioned angles (libm argument-reduction differences on
+   * large angles are the one cross-engine trig hazard); each product
+   * term then rounds to 12 dp and folds as decimal (the [[trend]]
+   * rule). Same series-frame scale contract as [[crossCorr]].
+   * Returns `(period, n, power)`, power 6-dp.
+   */
+  def periodogram(
+      series: DataFrame, orderCol: String, valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must all be >= 2, got $periods")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).cast("long").as("_t"),
+        d(col(valueCol)).as("_v"))
+    val tot = base.agg(count(lit(1)).as("_n"), sum(term(col("_v"))).as("_s"))
+    val ps = periods.map(_.toLong).toDF("period")
+    val ang = lit(2.0 * math.Pi) *
+      pmod(col("_t"), col("period")).cast("double") /
+      col("period").cast("double")
+    base.crossJoin(broadcast(tot))
+      .select(col("_t"), col("_n"),
+        (col("_v") - d(col("_s")) / d(col("_n"))).as("_c"))
+      .crossJoin(broadcast(ps))
+      .select(col("period"), col("_n"),
+        term(col("_c") * cos(ang)).as("_tc"),
+        term(col("_c") * sin(ang)).as("_ts"))
+      .groupBy(col("period"))
+      .agg(max(col("_n")).as("n"),
+        sum(col("_tc")).as("_cs"), sum(col("_ts")).as("_ss"))
+      .select(col("period"), col("n"),
+        round((d(col("_cs")) * d(col("_cs")) +
+          d(col("_ss")) * d(col("_ss"))) * 2.0 / d(col("n")), 6)
+          .as("power"))
+  }
+
+  /**
    * Truncated-kernel exponentially-weighted moving average: per group,
    * rows ordered by `(orderCol, idCol)`,
    *

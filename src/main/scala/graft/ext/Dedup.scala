@@ -272,6 +272,61 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT pairs (Broder's containment,
+   * C(A→B) = |A∩B|/|A|) — the quote/subset detector Jaccard-thresholded
+   * near-dup misses by construction: a paragraph quoted inside a long
+   * document has tiny Jaccard (union is the long doc) but containment
+   * ≈ 1 on the paragraph side, so MinHash-LSH candidates (recall tuned
+   * to JACCARD) cannot find it. Candidates here come from a shingle
+   * inverted index restricted to DISCRIMINATIVE shingles (document
+   * frequency ≤ `maxDf` — the hot-shingle guard every posting-list
+   * self-join needs at scale; the documented recall trade is that a
+   * pair sharing ONLY ubiquitous shingles is invisible, which at
+   * sensible thresholds is not a quote). Verification is EXACT: full
+   * shingle-set intersection on the candidate pairs only.
+   *
+   * Scale shape: posting lists shuffle on the fixed-width shingle key;
+   * the df cap bounds every posting list's fan-out at maxDf², and the
+   * verify join touches candidates only — never all-pairs.
+   *
+   * Returns `(a_id, b_id, n_common, n_a, n_b, c_a_in_b, c_b_in_a)`
+   * with `a_id < b_id`, containments rounded 6-dp BEFORE the threshold
+   * (boundary pairs can't flip on a last-ulp divergence), kept when
+   * the larger direction reaches `threshold`.
+   */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDf: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sh = Materialize.cut(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val posts = sh.select(col("id"), explode(col("sh")).as("_s"))
+    val rare = posts.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_s"))
+    val rp = posts.join(rare, Seq("_s"))
+    val cand = rp.select(col("_s"), col("id").as("a_id"))
+      .join(rp.select(col("_s"), col("id").as("b_id")), Seq("_s"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long")
+          .as("n_common"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .withColumn("c_a_in_b",
+        round(col("n_common").cast("double") / col("n_a"), 6))
+      .withColumn("c_b_in_a",
+        round(col("n_common").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+  }
+
+  /**
    * Near-dup dedup: drop every doc that has a verified near-duplicate with
    * a smaller id (canonical survivor = least id of each duplicate group).
    * One-hop semantics, not transitive closure — a chain A~B~C with A≁C

@@ -108,4 +108,46 @@ class TrendSpec extends GraftSpec {
     assert(Trend.ewmaWeights(0.5, 4) == Seq(1.0, 0.5, 0.25, 0.125))
     assert(Trend.ewmaWeights(0.25, 2) == Seq(1.0, 0.75))
   }
+
+  test("crossCorr: a shifted copy peaks at exactly its lag; r at the " +
+    "peak is 1; degenerate overlaps are NULL") {
+    // y_t = x_{t-2}: corr(x_t, y_{t+l}) peaks at l = +2
+    val x = (0L until 30L).map(t => (t, math.sin(t * 0.7) * 10 + t % 5))
+    val y = x.map { case (t, v) => (t + 2, v) }
+    val a = x.toDF("t", "v")
+    val b = y.toDF("t", "v")
+    val got = Trend.crossCorr(a, b, "t", "v", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == (-3L to 3L).toSet)
+    assert(got(2L).contains(1.0), got.toString)
+    assert((-3L to 3L).filter(_ != 2L).forall(l =>
+      got(l).forall(_ < 1.0)), got.toString)
+    // constant series: zero variance -> NULL r everywhere
+    val const = (0L until 10L).map(t => (t, 1.0)).toDF("t", "v")
+    assert(Trend.crossCorr(const, const, "t", "v", 1)
+      .collect().forall(_.isNullAt(2)))
+    intercept[IllegalArgumentException] {
+      Trend.crossCorr(a, b, "t", "v", -1)
+    }
+  }
+
+  test("periodogram: a pure p-cycle concentrates power at p; constant " +
+    "series has ~zero power everywhere") {
+    val wave = (0L until 84L).map(t =>
+      (t, 100.0 + 40.0 * math.cos(2 * math.Pi * (t % 7) / 7.0)))
+      .toDF("t", "v")
+    val got = Trend.periodogram(wave, "t", "v", Seq(3, 5, 7, 14))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(7L) > 100 * got(3L) && got(7L) > 100 * got(5L), got)
+    // the 14-bucket projection also sees the 7-cycle? No: 84 = 6 full
+    // 14-cycles and cos(2pi t/7) is orthogonal to the 14-fundamental
+    assert(got(7L) > 100 * got(14L), got)
+    val flat = (0L until 28L).map(t => (t, 3.0)).toDF("t", "v")
+    assert(Trend.periodogram(flat, "t", "v", Seq(7))
+      .collect().head.getDouble(2) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Trend.periodogram(wave, "t", "v", Seq(1))
+    }
+  }
 }

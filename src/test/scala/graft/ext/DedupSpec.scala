@@ -441,4 +441,33 @@ class DedupSpec extends GraftSpec {
     assert(rows(Dedup.repairPreFixShingles(oldIdx)) ==
       rows(Dedup.buildDedupIndex(padded.select("doc_id", "text"), "doc_id", "text")))
   }
+
+  test("containmentPairs: a quoted paragraph scores ~1 on its side with " +
+    "tiny jaccard; hot shingles alone never form a candidate; verify " +
+    "is exact on full sets") {
+    val quote = "alpha beta gamma delta epsilon zeta"      // 4 shingles
+    val long = ("intro words here now " + quote +
+      " trailing tail of much longer body text continues onward " +
+      "with many extra unique tokens appended further still")
+    // docs 3/4 share ONLY a ubiquitous shingle ("the same thing" in
+    // every filler doc below) that exceeds maxDf=2 -> no candidate
+    val filler = (10L until 16L).map(i =>
+      (i, s"the same thing unique$i word$i"))
+    val docs = (Seq((1L, quote), (2L, long)) ++ filler)
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.5, n = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set((1L, 2L)), got)
+    val (nc, na, nb, cab, cba) = got((1L, 2L))
+    assert(na == 4L && nc == 4L && cab == 1.0,
+      "every quote shingle appears in the long doc")
+    assert(nb > 4L && cba < 0.5, "the long doc is NOT contained")
+    // jaccard would have missed this pair at any threshold >= 0.5
+    assert(nc.toDouble / (na + nb - nc) < 0.5)
+    // orientation: a_id < b_id always
+    assert(got.keySet.forall { case (a, b) => a < b })
+  }
 }
