@@ -363,6 +363,14 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X3+ — all-but-the-top removal report: project every centered
+    // embedding onto q206's component (plan-literal mean + component
+    // from the SAME moment pass) and report the anisotropy share that
+    // removal deletes. Everything downstream of the decomposition is
+    // replayed by the oracle from q206's dump (the q184→q185 pattern).
+    "q211_abtt_report" -> ((s, d) =>
+      Pca.removalReport(t(s, d, "embeddings"), "embedding", dim = 64)),
+
     // X+/S — lead–lag cross-correlation between the daily view and
     // purchase series: which stream moves first? Bucket-key equi-joins
     // only (the lag fan-out is a 7-row broadcast) — nothing
@@ -6719,6 +6727,57 @@ object SparkEntry {
         |         250.0 * CAST(w AS DOUBLE) / CAST(z AS DOUBLE)
         |           / CAST(n_rows AS DOUBLE)), 6) AS rate
         |FROM w CROSS JOIN z ORDER BY g""".stripMargin,
+
+    // q211 PARTIAL oracle (derived recomputation, the q185 pattern):
+    // component and trace come from q206's certified dump; the mean,
+    // in-order projection folds, and decimal moments are replayed
+    // from scratch — everything downstream of the decomposition is
+    // independently recomputed and must hash-match.
+    "q211_abtt_report" ->
+      """WITH vdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, v
+        |  FROM read_parquet('__OUT__/q206_pca_top/*.parquet')),
+        |vl AS (SELECT list(v ORDER BY idx) AS vl FROM vdump
+        |       WHERE idx >= 0),
+        |trc AS (SELECT v AS t FROM vdump WHERE idx = -2),
+        |e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |mu AS (
+        |  SELECT i,
+        |         round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |             AS DOUBLE) / (SELECT n FROM nr), 9) AS m
+        |  FROM (SELECT CAST(generate_subscripts(emb, 1) AS INTEGER) - 1
+        |               AS i,
+        |               CAST(unnest(emb) AS DOUBLE) AS x FROM e)
+        |  GROUP BY i),
+        |ml AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+        |mv AS (
+        |  SELECT list_aggregate(list_transform(
+        |      list_zip(ml, vl),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |    'sum') AS mv
+        |  FROM ml CROSS JOIN vl),
+        |p AS (
+        |  SELECT list_aggregate(list_transform(
+        |      list_zip(emb, (SELECT vl FROM vl)),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |    'sum') - (SELECT mv FROM mv) AS pr
+        |  FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       -- + 0.0 normalizes IEEE negative zero (Spark's
+        |       -- BigDecimal-backed round never emits -0.0)
+        |       round(CAST(sum(CAST(round(pr, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+        |         AS mean_proj,
+        |       round(CAST(sum(CAST(round(pr * pr, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ms_proj,
+        |       round(CAST(sum(CAST(round(pr * pr, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         / (SELECT t FROM trc), 6) AS removed_share
+        |FROM p""".stripMargin,
 
     // q209: same day bucketing, same lag-shifted equi-join, same
     // decimal moments and closed-form Pearson chain.

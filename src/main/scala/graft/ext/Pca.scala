@@ -49,6 +49,20 @@ object Pca {
    */
   def topComponent(
       df: DataFrame, vecCol: String, dim: Int): (Array[Double], Double, Double) = {
+    val (_, v, lambda, trace) = decomposition(df, vecCol, dim)
+    (v, lambda, trace)
+  }
+
+  /**
+   * [[topComponent]] plus the 9-dp per-dimension mean vector — all four
+   * read off the SAME single moment pass (the augmented matrix's Σxᵢ
+   * row is the mean numerator). The mean is what a centering transform
+   * ([[removalReport]]) subtracts; exposing it here keeps "center" and
+   * "component" consistent by construction.
+   */
+  def decomposition(
+      df: DataFrame, vecCol: String,
+      dim: Int): (Array[Double], Array[Double], Double, Double) = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     // y = 0: only the moment matrix side of the shared aggregator is used
     val (a, _, n) = Probe.momentSumsAgg(df, vecCol, lit(0.0), dim)
@@ -110,12 +124,47 @@ object Pca {
       i += 1
     }
     if (v(am) < 0.0) { i = 0; while (i < dim) { v(i) = -v(i); i += 1 } }
-    (v.map(x =>
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble),
-      BigDecimal(lambda).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble,
-      BigDecimal(trace).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = Array.tabulate(dim)(j => r9(a(j)(dim) / nd))
+    (mean, v.map(r9), r9(lambda), r9(trace))
+  }
+
+  /**
+   * All-but-the-top removal report (Mu & Viswanath 2018): project every
+   * centered vector onto the top component and report what removing
+   * that direction would change — `(n_rows, mean_proj, ms_proj,
+   * removed_share)` with ms_proj the mean squared projection (≈ λ when
+   * the component converged — the spec-pinned internal consistency)
+   * and removed_share = ms_proj/trace, the anisotropy fraction a
+   * downstream whitening step deletes. The projection is a per-row
+   * in-order fold against PLAN-LITERAL mean/component (the q19/q185
+   * bit-parity convention — an oracle's `list_aggregate` replays it
+   * exactly); squared terms round 12-dp and fold as decimal. One
+   * narrow corpus pass after the [[decomposition]] pass — no shuffle
+   * beyond the final 1-row aggregate.
+   */
+  def removalReport(
+      df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val (mu, v, _, trace) = decomposition(df, vecCol, dim)
+    val mv = mu.zip(v).map { case (m, c) => m * c }.sum // in-order fold
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val proj = aggregate(
+      zip_with(transform(col(vecCol), _.cast("double")),
+        lit(v), (x, w) => x * w),
+      lit(0.0), (acc, t) => acc + t) - lit(mv)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(proj.as("_p"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("_p"), 12).cast(dec)).as("_sp"),
+        sum(round(col("_p") * col("_p"), 12).cast(dec)).as("_sp2"))
+      .select(col("n_rows"),
+        round(col("_sp").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean_proj"),
+        round(col("_sp2").cast("double") / col("n_rows").cast("double"), 6)
+          .as("ms_proj"),
+        round(col("_sp2").cast("double") / col("n_rows").cast("double")
+          / lit(trace), 6).as("removed_share"))
   }
 
   /** The declared-query face of [[topComponent]]: one row per

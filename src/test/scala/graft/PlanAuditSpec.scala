@@ -665,6 +665,41 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p169.contains("Join"), p169)
   }
 
+  test("q205/q208/q209: the new join families stay equi-keyed — no " +
+    "cartesian even with broadcast off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q205_span_novelty", "q208_containment",
+        "q209_cross_corr").foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct"),
+          s"$k degenerated to all-pairs:\n$p")
+        assert(p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"), s"$k:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q203: the bootstrap's only unpartitioned window rides the B-row " +
+    "replicate aggregate, never data rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec: SparkPlan = SparkEntry.queries("q203_bootstrap_ci")(
+      spark, sfDir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ws = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(ws.nonEmpty, "expected the replicate-ranking window")
+    ws.foreach { w =>
+      assert(w.collectFirst { case agg: BaseAggregateExec => agg }.isDefined,
+        s"window input is not the replicate aggregate:\n$w")
+    }
+  }
+
   test("q128/q140: the dense ranker's top-20 is TakeOrdered and every " +
     "unpartitioned window rides a bounded (TakeOrdered) input — no " +
     "corpus-wide single-partition ranking sort") {

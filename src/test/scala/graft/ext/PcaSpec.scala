@@ -41,6 +41,20 @@ class PcaSpec extends GraftSpec {
     assert(c._1.toSeq == a._1.toSeq && c._2 == a._2)
   }
 
+  test("removalReport: mean projection ~0 (centered), ms_proj ~ lambda " +
+    "(internal consistency), removed_share dominant on planted data") {
+    val df = planted(400, 6, axis = 2).toDF("id", "v")
+    val (_, lambda, trace) = Pca.topComponent(df, "v", dim = 6)
+    val r = Pca.removalReport(df, "v", dim = 6).collect().head
+    assert(r.getLong(0) == 400L)
+    assert(math.abs(r.getDouble(1)) < 1e-4, s"mean_proj ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - lambda) < 1e-3 * lambda,
+      s"ms_proj ${r.getDouble(2)} vs lambda $lambda")
+    assert(math.abs(r.getDouble(3) - lambda / trace) < 1e-3,
+      "share consistent with the spectrum")
+    assert(r.getDouble(3) > 0.9, "planted direction dominates")
+  }
+
   test("frame face carries the component plus tagged lambda/trace rows; " +
     "degenerate inputs are rejected") {
     val df = planted(50, 3, axis = 0).toDF("id", "v")
