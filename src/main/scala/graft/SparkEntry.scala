@@ -363,6 +363,32 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X3+/S — PCA over MERGED moment partials (the q207 law applied to
+    // the spectrum face): parity halves' (i, j, s) frames fold, the
+    // driver tail decomposes the fold — certified by q206's eigenpair
+    // residual oracle against THIS dump. A standing StreamingMoments
+    // index yields the corpus component with zero corpus re-scan.
+    "q212_pca_merge" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = Probe.momentPartials(
+        emb.filter(col("vec_id") % 2 === 0), "embedding", lit(0.0), 64)
+      val b = Probe.momentPartials(
+        emb.filter(col("vec_id") % 2 =!= 0), "embedding", lit(0.0), 64)
+      Pca.topComponentFrameFromMoments(s,
+        Probe.mergeMoments(a.unionByName(b)), dim = 64)
+        .orderBy(col("idx").asc)
+    }),
+
+    // X2+ — Good–Turing frequency-of-frequencies profile: the unseen-
+    // probability mass (singleton share) and smoothed counts
+    // r* = (r+1)·N_{r+1}/N_r for the low frequencies — the coverage
+    // companion to the q191 vocab audit (how much corpus probability
+    // lives in words we have NOT seen yet?). Integer counts, three
+    // final divisions.
+    "q213_good_turing" -> ((s, d) =>
+      TextOps.goodTuring(t(s, d, "documents"), "text", rMax = 5,
+        gramN = 3)),
+
     // X3+ — all-but-the-top removal report: project every centered
     // embedding onto q206's component (plan-literal mean + component
     // from the SAME moment pass) and report the anisotropy share that
@@ -6847,48 +6873,40 @@ object SparkEntry {
         |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
         |FROM terms GROUP BY period ORDER BY period""".stripMargin,
 
-    // q208: same shingle grammar as q20, same df-capped candidate rule
-    // (pairs sharing a shingle with document frequency <= 64), same
-    // exact full-set intersect and 6-dp-then-threshold rule.
+    // q208: same shingle grammar as q20, same df-capped universe, same
+    // posting co-occurrence counts and 6-dp-then-threshold rule.
     "q208_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
         |                       '\s+'), x -> length(x) > 0) AS t
         |  FROM documents WHERE text IS NOT NULL),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |           AS s
+        |posts AS (
+        |  SELECT DISTINCT doc_id, (t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           AS sg
         |  FROM (SELECT doc_id, t,
         |               unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |        FROM toks)),
         |rare AS (SELECT sg FROM posts GROUP BY sg
         |         HAVING count(*) <= 64),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM posts a
-        |  JOIN rare r ON r.sg = a.sg
-        |  JOIN posts b ON b.sg = a.sg AND a.doc_id < b.doc_id),
-        |px AS (
-        |  SELECT c.a_id, c.b_id,
-        |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
-        |           AS n_common,
-        |         CAST(len(sa.s) AS BIGINT) AS n_a,
-        |         CAST(len(sb.s) AS BIGINT) AS n_b
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.a_id
-        |  JOIN sh sb ON sb.doc_id = c.b_id)
-        |SELECT a_id, b_id, n_common, n_a, n_b,
-        |       round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |rp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM rp GROUP BY 1),
+        |pc AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM rp a JOIN rp b ON b.sg = a.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pc.a_id, pc.b_id, pc.n_common,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
         |         AS c_a_in_b,
-        |       round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |       round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
         |         AS c_b_in_a
-        |FROM px
+        |FROM pc JOIN sz sa ON sa.doc_id = pc.a_id
+        |JOIN sz sb ON sb.doc_id = pc.b_id
         |WHERE greatest(
-        |    round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6),
-        |    round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6))
+        |    round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6),
+        |    round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6))
         |  >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
@@ -6898,62 +6916,39 @@ object SparkEntry {
     // the 9-dp rounding bound, |v| = 1, trace matches, and λ clears the
     // max diagonal (a necessary top-eigenvalue condition). Echo the
     // dump if every check holds, else a sentinel that cannot match.
-    "q206_pca_top" ->
-      """WITH vdump AS (
-        |  SELECT CAST(idx AS BIGINT) AS idx, v
-        |  FROM read_parquet('__OUT__/q206_pca_top/*.parquet')),
-        |e AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
-        |el AS (
-        |  SELECT vec_id,
-        |         CAST(generate_subscripts(emb, 1) AS INTEGER) - 1 AS i,
-        |         CAST(unnest(emb) AS DOUBLE) AS x
-        |  FROM e),
-        |nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
-        |sm AS (
-        |  SELECT a.i AS i, b2.i AS j,
-        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS s
-        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
-        |  GROUP BY 1, 2),
-        |sv AS (
-        |  SELECT i, CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS s
-        |  FROM el GROUP BY 1),
-        |cm AS (
-        |  SELECT sm.i, sm.j,
-        |         (sm.s - sa.s * sb.s / nrow.n) / nrow.n AS c
-        |  FROM sm JOIN sv sa ON sa.i = sm.i
-        |  JOIN sv sb ON sb.i = sm.j CROSS JOIN nrow),
-        |comp AS (SELECT idx, v FROM vdump WHERE idx >= 0),
-        |lam AS (SELECT v AS l FROM vdump WHERE idx = -1),
-        |trc AS (SELECT v AS t FROM vdump WHERE idx = -2),
-        |av AS (
-        |  SELECT cm.i, sum(cm.c * w.v) AS av, sum(abs(cm.c)) AS rs
-        |  FROM cm JOIN comp w ON w.idx = cm.j GROUP BY cm.i),
-        |chk AS (
-        |  SELECT coalesce(
-        |      (SELECT count(*) FROM vdump) = 66
-        |      AND (SELECT count(DISTINCT idx) FROM vdump
-        |           WHERE idx BETWEEN -2 AND 63) = 66
-        |      AND (SELECT bool_and(v = round(v, 9)) FROM vdump)
-        |      AND (SELECT abs(sum(v*v) - 1.0) <= 1e-6 FROM comp)
-        |      AND (SELECT bool_and(abs(av.av - (SELECT l FROM lam) * w.v)
-        |               <= 1e-6 * av.rs + 1e-7)
-        |           FROM av JOIN comp w ON w.idx = av.i)
-        |      AND (SELECT abs((SELECT t FROM trc) - sum(c)) <= 1e-6
-        |           FROM cm WHERE i = j)
-        |      AND (SELECT (SELECT l FROM lam) >= max(c) - 1e-6
-        |           FROM cm WHERE i = j),
-        |      FALSE) AS ok)
-        |SELECT idx, v FROM vdump WHERE (SELECT ok FROM chk)
-        |UNION ALL
-        |SELECT CAST(-9 AS BIGINT), CAST(0 AS DOUBLE)
-        |WHERE NOT (SELECT ok FROM chk)
-        |ORDER BY idx""".stripMargin,
+    "q206_pca_top" -> pcaResidualOracle("q206_pca_top"),
+
+    // q212 MUST reproduce q206's component from merged split moment
+    // partials (the q207 law on the spectrum face) — same eigenpair
+    // residual certification against its own dump.
+    "q212_pca_merge" -> pcaResidualOracle("q212_pca_merge"),
+
+    // q213: same token grammar (q18), same frequency-of-frequency
+    // grouping, shifted self-join, and three final divisions.
+    "q213_good_turing" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (
+        |  SELECT g AS term, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(list_transform(range(0, len(l) - 2),
+        |             i -> array_to_string(l[i+1:i+3], ' '))) AS g
+        |    FROM toks WHERE len(l) >= 3) u
+        |  GROUP BY g),
+        |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |        FROM tc GROUP BY r),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS nt FROM tc)
+        |SELECT f.r, f.n_r,
+        |       round(CAST(f.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+        |             / CAST(f.n_r AS DOUBLE), 6) AS r_star,
+        |       round(CAST(f.r AS DOUBLE) * CAST(f.n_r AS DOUBLE)
+        |             / CAST(nt AS DOUBLE), 6) AS mass_share
+        |FROM fof f
+        |LEFT JOIN fof nx ON nx.r = f.r + 1
+        |CROSS JOIN tot
+        |WHERE f.r <= 5 ORDER BY f.r""".stripMargin,
+
 
     // q205: q79's window grammar at spanLen 8 (md5 of the
     // space-rejoined slice), split by doc_id % 10, DISTINCT train
@@ -7278,6 +7273,65 @@ object SparkEntry {
 
 
   /** q147/q154's shared oracle (see the q147 comment in [[oracleSql]]). */
+  /** The q206 eigenpair-residual certification, parameterized on the
+    * dump key so the moment-merge twin (q212) shares it verbatim. */
+  private def pcaResidualOracle(dumpKey: String): String =
+    s"""WITH vdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, v
+        |  FROM read_parquet('__OUT__/$dumpKey/*.parquet')),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(emb, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(emb) AS DOUBLE) AS x
+        |  FROM e),
+        |nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |sm AS (
+        |  SELECT a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT i, CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS s
+        |  FROM el GROUP BY 1),
+        |cm AS (
+        |  SELECT sm.i, sm.j,
+        |         (sm.s - sa.s * sb.s / nrow.n) / nrow.n AS c
+        |  FROM sm JOIN sv sa ON sa.i = sm.i
+        |  JOIN sv sb ON sb.i = sm.j CROSS JOIN nrow),
+        |comp AS (SELECT idx, v FROM vdump WHERE idx >= 0),
+        |lam AS (SELECT v AS l FROM vdump WHERE idx = -1),
+        |trc AS (SELECT v AS t FROM vdump WHERE idx = -2),
+        |av AS (
+        |  SELECT cm.i, sum(cm.c * w.v) AS av, sum(abs(cm.c)) AS rs
+        |  FROM cm JOIN comp w ON w.idx = cm.j GROUP BY cm.i),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM vdump) = 66
+        |      AND (SELECT count(DISTINCT idx) FROM vdump
+        |           WHERE idx BETWEEN -2 AND 63) = 66
+        |      AND (SELECT bool_and(v = round(v, 9)) FROM vdump)
+        |      AND (SELECT abs(sum(v*v) - 1.0) <= 1e-6 FROM comp)
+        |      AND (SELECT bool_and(abs(av.av - (SELECT l FROM lam) * w.v)
+        |               <= 1e-6 * av.rs + 1e-7)
+        |           FROM av JOIN comp w ON w.idx = av.i)
+        |      AND (SELECT abs((SELECT t FROM trc) - sum(c)) <= 1e-6
+        |           FROM cm WHERE i = j)
+        |      AND (SELECT (SELECT l FROM lam) >= max(c) - 1e-6
+        |           FROM cm WHERE i = j),
+        |      FALSE) AS ok)
+        |SELECT idx, v FROM vdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-9 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY idx""".stripMargin
+
   /** The q184 residual certification, parameterized on the dump key so
     * the merge-law twin (q207) shares it verbatim. */
   private def probeResidualOracle(dumpKey: String): String =

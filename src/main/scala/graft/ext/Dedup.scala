@@ -277,17 +277,20 @@ object Dedup {
    * near-dup misses by construction: a paragraph quoted inside a long
    * document has tiny Jaccard (union is the long doc) but containment
    * ≈ 1 on the paragraph side, so MinHash-LSH candidates (recall tuned
-   * to JACCARD) cannot find it. Candidates here come from a shingle
-   * inverted index restricted to DISCRIMINATIVE shingles (document
-   * frequency ≤ `maxDf` — the hot-shingle guard every posting-list
-   * self-join needs at scale; the documented recall trade is that a
-   * pair sharing ONLY ubiquitous shingles is invisible, which at
-   * sensible thresholds is not a quote). Verification is EXACT: full
-   * shingle-set intersection on the candidate pairs only.
+   * to JACCARD) cannot find it. The shingle UNIVERSE is restricted to
+   * DISCRIMINATIVE shingles (document frequency ≤ `maxDf`) for both
+   * the overlap count AND the set sizes — the hot-shingle guard every
+   * posting-list self-join needs at scale, applied consistently, so a
+   * boilerplate shingle shared by thousands of docs neither fans out
+   * the join nor dilutes the score (quote detection over distinctive
+   * content is exactly what the measure is for). Within that universe
+   * the result is EXACT: |A∩B| is the pair's posting co-occurrence
+   * count, never an estimate.
    *
-   * Scale shape: posting lists shuffle on the fixed-width shingle key;
-   * the df cap bounds every posting list's fan-out at maxDf², and the
-   * verify join touches candidates only — never all-pairs.
+   * Scale shape: ONE posting self-join on the fixed-width shingle key
+   * with per-shingle fan-out ≤ maxDf², collapsed by a pair-keyed count
+   * — no candidate materialization, no set-array shuffle, never
+   * all-pairs.
    *
    * Returns `(a_id, b_id, n_common, n_a, n_b, c_a_in_b, c_b_in_a)`
    * with `a_id < b_id`, containments rounded 6-dp BEFORE the threshold
@@ -300,30 +303,27 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val sh = Materialize.cut(df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val posts = sh.select(col("id"), explode(col("sh")).as("_s"))
+    val posts = Materialize.cut(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("_s")))
     val rare = posts.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_s"))
-    val rp = posts.join(rare, Seq("_s"))
-    val cand = rp.select(col("_s"), col("id").as("a_id"))
+    val rp = Materialize.cut(posts.join(rare, Seq("_s")))
+    val sizes = rp.groupBy(col("id")).agg(count(lit(1)).as("_n"))
+    rp.select(col("_s"), col("id").as("a_id"))
       .join(rp.select(col("_s"), col("id").as("b_id")), Seq("_s"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long")
-          .as("n_common"),
-        size(col("a_sh")).cast("long").as("n_a"),
-        size(col("b_sh")).cast("long").as("n_b"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("a_id"), col("_n").as("n_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("_n").as("n_b")), "b_id")
       .withColumn("c_a_in_b",
         round(col("n_common").cast("double") / col("n_a"), 6))
       .withColumn("c_b_in_a",
         round(col("n_common").cast("double") / col("n_b"), 6))
       .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("n_a"), col("n_b"), col("c_a_in_b"), col("c_b_in_a"))
   }
 
   /**

@@ -67,8 +67,37 @@ object Pca {
     // y = 0: only the moment matrix side of the shared aggregator is used
     val (a, _, n) = Probe.momentSumsAgg(df, vecCol, lit(0.0), dim)
     require(n > 0, "no rows matched (empty input or wrong dim)")
-    // centered covariance from the augmented moments: a(i)(dim) = Σxᵢ,
-    // a(dim)(dim) = n
+    decomposeMoments(a, n, dim)
+  }
+
+  /**
+   * [[decomposition]] from a (possibly merged) [[Probe.momentPartials]]
+   * frame — identical output by the q207 merge law, so a standing
+   * moment index ([[graft.streaming.StreamingMoments]]) yields the
+   * corpus component without re-touching a single vector.
+   */
+  def decompositionFromMoments(
+      moments: DataFrame,
+      dim: Int): (Array[Double], Array[Double], Double, Double) = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val d1 = dim + 1
+    val a = Array.ofDim[Double](d1, d1)
+    moments.filter(col("j") >= 0).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getDecimal(2).doubleValue() / 1e12
+      a(i)(j) = s; a(j)(i) = s
+    }
+    val n = math.round(a(dim)(dim))
+    require(n > 0, "no rows matched (empty moments)")
+    decomposeMoments(a, n, dim)
+  }
+
+  /** The shared driver tail: centered covariance from the augmented
+    * moment matrix, fixed-start power iteration, orientation, 9-dp
+    * rounding. `a(i)(dim)` = Σxᵢ, `a(dim)(dim)` = n. */
+  private def decomposeMoments(
+      a: Array[Array[Double]], n: Long,
+      dim: Int): (Array[Double], Array[Double], Double, Double) = {
     val nd = n.toDouble
     val c = Array.ofDim[Double](dim, dim)
     var i = 0
@@ -176,6 +205,17 @@ object Pca {
       dim: Int): DataFrame = {
     import spark.implicits._
     val (v, lambda, trace) = topComponent(df, vecCol, dim)
+    (v.zipWithIndex.map { case (x, i) => (i.toLong, x) } ++
+      Seq((-1L, lambda), (-2L, trace)))
+      .toSeq.toDF("idx", "v")
+  }
+
+  /** [[topComponentFrame]] from a merged moment frame — the q212 face;
+    * shares q206's eigenpair-residual oracle shape. */
+  def topComponentFrameFromMoments(
+      spark: SparkSession, moments: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    val (_, v, lambda, trace) = decompositionFromMoments(moments, dim)
     (v.zipWithIndex.map { case (x, i) => (i.toLong, x) } ++
       Seq((-1L, lambda), (-2L, trace)))
       .toSeq.toDF("idx", "v")

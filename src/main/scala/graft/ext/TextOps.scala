@@ -710,4 +710,53 @@ object TextOps {
         col("n_distinct").cast("double") /
           col("n_ngrams").cast("double"), 6))
   }
+
+  /**
+   * Good–Turing frequency-of-frequencies profile of the corpus
+   * vocabulary (or its `gramN`-gram occurrences — the tail the
+   * estimator needs may only exist at n-gram granularity on a small
+   * token vocabulary): for each low count r ≤ rMax, the number of terms seen
+   * exactly r times (N_r), the Good–Turing smoothed count
+   * r* = (r+1)·N_{r+1}/N_r (NULL when N_{r+1} = 0 — the estimator is
+   * undefined there, not zero), and r·N_r/N — the share of corpus
+   * probability mass held at that count. Row r = 1's mass share IS the
+   * Good–Turing estimate of the UNSEEN mass (how much probability the
+   * next token has of being a word this corpus never saw) — the
+   * coverage-planning scalar next to the Heaps/Zipf fits and the vocab
+   * OOV audit. All counts exact longs; three final divisions, 6-dp.
+   *
+   * Scale shape: one token explode into a term-keyed hash aggregate
+   * (map-side partial), then everything is frequency-of-frequency
+   * sized (≤ corpus-distinct terms, grouped again to ≤ max count rows).
+   */
+  def goodTuring(
+      docs: DataFrame, textCol: String, rMax: Int = 5,
+      gramN: Int = 1): DataFrame = {
+    require(rMax >= 1, s"rMax must be >= 1, got $rMax")
+    require(gramN >= 1, s"gramN must be >= 1, got $gramN")
+    val toks = tokens(col(textCol))
+    // unit = token (gramN 1) or space-joined n-gram occurrence — the
+    // tail only exists at n-gram granularity on small vocabularies
+    val units =
+      if (gramN == 1) toks
+      else transform(sequence(lit(0), size(toks) - gramN),
+        i => array_join(slice(toks, i + lit(1), lit(gramN)), " "))
+    val counts = docs.filter(col(textCol).isNotNull)
+      .filter(size(toks) >= gramN)
+      .select(explode(units).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_r"))
+    val fof = counts.groupBy(col("_r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum(col("_r")).as("_nt"))
+    fof.filter(col("r") <= rMax)
+      .join(fof.select((col("r") - 1).as("r"), col("n_r").as("_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("_next").cast("double")
+          / col("n_r").cast("double"), 6).as("r_star"),
+        round(col("r").cast("double") * col("n_r").cast("double")
+          / col("_nt").cast("double"), 6).as("mass_share"))
+      .orderBy(col("r").asc)
+  }
 }

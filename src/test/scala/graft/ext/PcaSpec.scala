@@ -74,4 +74,19 @@ class PcaSpec extends GraftSpec {
         "v", 2)
     }
   }
+
+  test("moment merge law on the spectrum face: split partials fold to " +
+    "the one-pass decomposition exactly (q212)") {
+    val df = planted(300, 5, axis = 1).toDF("id", "v")
+    val one = Pca.decomposition(df, "v", 5)
+    val partials = Seq(df.filter(col("id") < 100),
+      df.filter(col("id") >= 100))
+      .map(Probe.momentPartials(_, "v", lit(0.0), 5))
+      .reduce(_ unionByName _)
+    val merged = Pca.decompositionFromMoments(
+      Probe.mergeMoments(partials), 5)
+    assert(merged._1.toSeq == one._1.toSeq &&
+      merged._2.toSeq == one._2.toSeq &&
+      merged._3 == one._3 && merged._4 == one._4)
+  }
 }

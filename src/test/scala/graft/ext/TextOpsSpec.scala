@@ -440,4 +440,29 @@ class TextOpsSpec extends GraftSpec {
       TextOps.ngramDiversity(docs, "lang", "text", n = 0)
     }
   }
+
+  test("goodTuring: hand-computed frequency-of-frequencies, NULL r* at " +
+    "a missing next count, n-gram units, bad args rejected") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.goodTuring(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, Some(2.0), 0.166667)))   // r* = 2·N2/N1
+    assert(got(2L) == ((1L, Some(3.0), 0.333333)))
+    assert(got(3L) == ((1L, None, 0.5)), "N4 = 0 => r* undefined")
+    // trigram units: "x y z w" has trigrams "x y z" and "y z w"
+    val tri = TextOps.goodTuring(
+      Seq((1L, "x y z w"), (2L, "x y z")).toDF("doc_id", "text"),
+      "text", gramN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L),
+      s"one trigram seen twice, one once: $tri") // x y z: 2, y z w: 1
+    intercept[IllegalArgumentException] {
+      TextOps.goodTuring(df, "text", rMax = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.goodTuring(df, "text", gramN = 0)
+    }
+  }
 }
