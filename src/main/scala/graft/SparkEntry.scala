@@ -363,6 +363,34 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X1+/S — the containment screen against a PERSISTED posting index
+    // (the q75/q111 amortization): a held-out seventh screens against
+    // the other six-sevenths' postings; document frequencies stay
+    // corpus-wide, historical pairs never recompute. The oracle is
+    // q208's computation restricted to pairs involving the batch.
+    "q214_containment_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = Dedup.buildContainmentIndex(
+        docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L),
+        "doc_id", "text")
+      Dedup.containmentScreenIndexed(
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 0L), idx,
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    }),
+
+    // X+ — per-group weighted sample: the q164 exponential keys ranked
+    // inside group-partitioned windows — every source's 3 best-keyed
+    // docs, fully shuffle-parallel on the group key.
+    "q215_weighted_group_take" -> ((s, d) =>
+      Sampling.weightedTakePerGroup(
+          t(s, d, "documents").filter(col("source").isNotNull),
+          "source", col("n_chars"), "doc_id", k = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("es_key"))
+        .orderBy(col("source").asc, col("es_key").desc,
+          col("doc_id").asc)),
+
     // X3+/S — PCA over MERGED moment partials (the q207 law applied to
     // the spectrum face): parity halves' (i, j, s) frames fold, the
     // driver tail decomposes the fold — certified by q206's eigenpair
@@ -6872,6 +6900,65 @@ object SparkEntry {
         |             + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
         |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
         |FROM terms GROUP BY period ORDER BY period""".stripMargin,
+
+    // q214: q208's exact computation restricted to pairs that involve
+    // the screened seventh (a_id or b_id ≡ 0 mod 7) — corpus-wide df,
+    // so indexed-screen scores equal the full run's.
+    "q214_containment_screen" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |                       '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |posts AS (
+        |  SELECT DISTINCT doc_id, (t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           AS sg
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)),
+        |rare AS (SELECT sg FROM posts GROUP BY sg
+        |         HAVING count(*) <= 64),
+        |rp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM rp GROUP BY 1),
+        |pc AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM rp a JOIN rp b ON b.sg = a.sg AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0
+        |  GROUP BY 1, 2)
+        |SELECT pc.a_id, pc.b_id, pc.n_common,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+        |         AS c_a_in_b,
+        |       round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+        |         AS c_b_in_a
+        |FROM pc JOIN sz sa ON sa.doc_id = pc.a_id
+        |JOIN sz sb ON sb.doc_id = pc.b_id
+        |WHERE greatest(
+        |    round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6),
+        |    round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6))
+        |  >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q215: q164's key derivation ranked per source partition.
+    "q215_weighted_group_take" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(pow(
+        |           CAST(('0x' || substr(md5('es42:' ||
+        |                CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+        |             / CAST(281474976710656 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 12)
+        |           AS es_key
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) > 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |           ORDER BY es_key DESC, doc_id) AS rk
+        |  FROM b)
+        |SELECT doc_id, source, n_chars, es_key FROM r WHERE rk <= 3
+        |ORDER BY source, es_key DESC, doc_id""".stripMargin,
 
     // q208: same shingle grammar as q20, same df-capped universe, same
     // posting co-occurrence counts and 6-dp-then-threshold rule.

@@ -326,6 +326,66 @@ object Dedup {
         col("n_a"), col("n_b"), col("c_a_in_b"), col("c_b_in_a"))
   }
 
+  /** The `(id, _s)` posting rows [[containmentPairs]] joins on — one row
+    * per (document, distinct shingle). Per-doc-local, so
+    * `index ∪ buildContainmentIndex(newBatch)` ≡ a from-scratch rebuild
+    * (spec-pinned) and maintenance is parquet append: the q75/q111
+    * amortization applied to the containment screen. */
+  def buildContainmentIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("_s"))
+
+  /**
+   * [[containmentPairs]] as an incremental SCREEN: pairs involving at
+   * least one `batch` document against `index ∪ batch` — historical
+   * pairs are never recomputed, yet document frequencies (the capped
+   * universe) are corpus-wide, so with `batch` = the index's own
+   * documents this reproduces the self-contained pairs exactly (the
+   * q111 shared-core guarantee, spec-pinned). Same output shape and
+   * 6-dp-then-threshold rule as [[containmentPairs]].
+   */
+  def containmentScreenIndexed(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDf: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val bp = buildContainmentIndex(batch, idCol, textCol, n)
+    // distinct union: re-screening docs already in the index must not
+    // double their postings (df would inflate and scores would drop)
+    val all = Materialize.cut(
+      index.select(col("id"), col("_s")).unionByName(bp).distinct())
+    val rare = all.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_s"))
+    val ra = Materialize.cut(all.join(rare, Seq("_s")))
+    val rb = bp.distinct().join(rare, Seq("_s"))
+    val sizes = ra.groupBy(col("id")).agg(count(lit(1)).as("_n"))
+    // batch-side postings × corpus postings; normalize the unordered
+    // pair THEN dedup per shingle — a batch-batch pair appears from
+    // both directions and must count each shared shingle once
+    rb.select(col("_s"), col("id").as("_pid"))
+      .join(ra.select(col("_s"), col("id").as("_cid")), Seq("_s"))
+      .filter(col("_pid") =!= col("_cid"))
+      .select(col("_s"),
+        least(col("_pid"), col("_cid")).as("a_id"),
+        greatest(col("_pid"), col("_cid")).as("b_id"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("a_id"), col("_n").as("n_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("_n").as("n_b")), "b_id")
+      .withColumn("c_a_in_b",
+        round(col("n_common").cast("double") / col("n_a"), 6))
+      .withColumn("c_b_in_a",
+        round(col("n_common").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("n_a"), col("n_b"), col("c_a_in_b"), col("c_b_in_a"))
+  }
+
   /**
    * Near-dup dedup: drop every doc that has a verified near-duplicate with
    * a smaller id (canonical survivor = least id of each duplicate group).

@@ -285,6 +285,35 @@ object Sampling {
           6).as("rate"))
   }
 
+  /**
+   * [[weightedTake]] PER GROUP — the k best-keyed rows of every stratum
+   * under the same Efraimidis–Spitsas exponential keys (per-source
+   * exemplar picks, per-language weighted quotas): identical `es_key`
+   * derivation and tie rule, ranked inside a GROUP-PARTITIONED window
+   * instead of a global TakeOrdered, so the plan is fully
+   * shuffle-parallel on the group key — no stratum ever sees another's
+   * rows. Non-positive / NULL weights and NULL groups drop. Returns
+   * the input + `es_key` (the winners of every group).
+   */
+  def weightedTakePerGroup(
+      df: DataFrame, groupCol: String, weight: Column, idCol: String,
+      k: Int, salt: String = "es42"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 16^12
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    df.filter(col(groupCol).isNotNull &&
+        weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("es_key",
+        round(pow(u, lit(1.0) / weight.cast("double")), 12))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Deterministic shuffle key: the content hash of `salt` + `key`.
     * Sorting by it is a reproducible corpus-wide random permutation —
     * change the salt, get an independent epoch order. */

@@ -470,4 +470,44 @@ class DedupSpec extends GraftSpec {
     // orientation: a_id < b_id always
     assert(got.keySet.forall { case (a, b) => a < b })
   }
+
+  test("containment screen laws: probe==index reproduces self-contained " +
+    "pairs; index append == rebuild; batch screen never recomputes " +
+    "historical pairs") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = ("intro words here now " + quote +
+      " trailing tail of much longer body text continues onward")
+    val older = Seq((1L, quote), (2L, long),
+      (3L, "other unrelated stuff entirely here today"))
+    val fresh = Seq((10L, "alpha beta gamma delta epsilon zeta pad pad"))
+    val all = (older ++ fresh).toDF("doc_id", "text")
+    val olderDf = older.toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // law 1: probe == index docs => self-contained pairs, exactly
+    val idx = Dedup.buildContainmentIndex(all, "doc_id", "text")
+    assert(rows(Dedup.containmentScreenIndexed(all, idx,
+        "doc_id", "text", 0.5, maxDf = 2)) ==
+      rows(Dedup.containmentPairs(all, "doc_id", "text", 0.5, maxDf = 2)))
+
+    // law 2: per-doc-local postings => append == rebuild
+    assert(rows(Dedup.buildContainmentIndex(olderDf, "doc_id", "text")
+        .unionByName(Dedup.buildContainmentIndex(freshDf,
+          "doc_id", "text"))) ==
+      rows(idx))
+
+    // law 3: screening only the fresh batch returns exactly the full
+    // run's pairs that involve a fresh doc — no historical (1,2) pair
+    val oldIdx = Dedup.buildContainmentIndex(olderDf, "doc_id", "text")
+    // maxDf = 3: the quote shingles sit in docs 1, 2 AND 10 (df = 3)
+    val screened = rows(Dedup.containmentScreenIndexed(freshDf, oldIdx,
+      "doc_id", "text", 0.5, maxDf = 3))
+    val full = Dedup.containmentPairs(all, "doc_id", "text", 0.5,
+      maxDf = 3)
+    assert(screened == rows(full.filter(
+      col("a_id") === 10L || col("b_id") === 10L)))
+    assert(screened.nonEmpty, "fixture must exercise the screen")
+  }
 }

@@ -413,4 +413,30 @@ class SamplingSpec extends GraftSpec {
     assert(Sampling.splitLeakage(keyed, col("cluster"), col("split"))
       .collect().head.getLong(1) == 0L)
   }
+
+  test("weightedTakePerGroup: each stratum's winners equal the global " +
+    "take restricted to that stratum; NULL groups drop") {
+    val df = (0 until 120).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        (i % 17 + 1).toDouble))
+      .toDF("doc_id", "g", "w")
+      .unionByName(Seq((900L, null.asInstanceOf[String], 5.0))
+        .toDF("doc_id", "g", "w"))
+    val got = Sampling.weightedTakePerGroup(df, "g", col("w"),
+      "doc_id", k = 4)
+    assert(got.groupBy("g").count().collect()
+      .forall(_.getLong(1) == 4L), "exactly k per group")
+    Seq("a", "b", "c").foreach { g =>
+      val perGroup = Sampling.weightedTake(
+        df.filter(col("g") === g), col("w"), "doc_id", k = 4)
+        .collect().map(_.getLong(0)).toSet
+      val mine = got.filter(col("g") === g)
+        .collect().map(_.getLong(0)).toSet
+      assert(mine == perGroup, s"stratum $g")
+    }
+    assert(got.filter(col("g").isNull).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedTakePerGroup(df, "g", col("w"), "doc_id", 0)
+    }
+  }
 }
