@@ -363,6 +363,37 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X+/S — per-source KS screen: which sources' document-length
+    // DISTRIBUTIONS deviate from the rest of the corpus (the
+    // nonparametric companion to q189's Welch location screen)?
+    // Category×value-cardinality grid, group-partitioned cumulatives.
+    "q217_group_ks" -> ((s, d) =>
+      StatsTests.groupKsD(t(s, d, "documents"),
+          col("source"), col("n_chars"))
+        .orderBy(col("d").desc_nulls_last, col("g").asc)),
+
+    // X1+ — provenance overlap matrix: which SOURCES copy from each
+    // other? q20's verified near-dup pairs joined to the source dim on
+    // both sides, normalized to unordered source pairs — the curation
+    // view that turns pair-level dedup output into a per-source
+    // contract (diagonal = within-source duplication).
+    "q216_source_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"))
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.6)
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("_sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("_sb")), "b_id")
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_a").asc,
+          col("source_b").asc)
+    }),
+
     // X1+/S — the containment screen against a PERSISTED posting index
     // (the q75/q111 amortization): a held-out seventh screens against
     // the other six-sevenths' postings; document frequencies stay
@@ -6900,6 +6931,74 @@ object SparkEntry {
         |             + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
         |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
         |FROM terms GROUP BY period ORDER BY period""".stripMargin,
+
+    // q217: same per-(group, value) counts, same dense grid and exact
+    // cumulative CDF subtraction, same 6-dp max gap.
+    "q217_group_ks" ->
+      """WITH cells AS (
+        |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM cells),
+        |grps AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g
+        |         FROM cells GROUP BY 1),
+        |tots AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct
+        |         FROM cells GROUP BY 1),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS tn FROM cells),
+        |grid AS (
+        |  SELECT gr.g, gr.n_g, va.v,
+        |         coalesce(ce.c, 0) AS c, tt.ct
+        |  FROM grps gr CROSS JOIN vals va
+        |  LEFT JOIN cells ce ON ce.g = gr.g AND ce.v = va.v
+        |  JOIN tots tt ON tt.v = va.v),
+        |cum AS (
+        |  SELECT g, n_g, v,
+        |         sum(c)  OVER (PARTITION BY g ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cg,
+        |         sum(ct) OVER (PARTITION BY g ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS call
+        |  FROM grid)
+        |SELECT g, n_g, tn - n_g AS n_rest,
+        |       round(max(abs(
+        |         CAST(cg AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |         - CAST(call - cg AS DOUBLE)
+        |           / nullif(CAST(tn - n_g AS DOUBLE),
+        |               CAST(0 AS DOUBLE)))), 6) AS d
+        |FROM cum CROSS JOIN tn
+        |GROUP BY g, n_g, tn
+        |ORDER BY d DESC NULLS LAST, g""".stripMargin,
+
+    // q216: q20's exact all-pairs verification at the same threshold,
+    // joined to sources and normalized to unordered source pairs.
+    "q216_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.a_id
+        |  JOIN documents db ON db.doc_id = p.b_id
+        |  WHERE da.source IS NOT NULL AND db.source IS NOT NULL)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
 
     // q214: q208's exact computation restricted to pairs that involve
     // the screened seventh (a_id or b_id ≡ 0 mod 7) — corpus-wide df,

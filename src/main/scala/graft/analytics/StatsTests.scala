@@ -291,6 +291,56 @@ object StatsTests {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /**
+   * Group-vs-rest two-sample KS D for every group at once — the
+   * NONPARAMETRIC companion to [[groupWelchZ]] ("which sources'
+   * documents are DISTRIBUTED differently?", not just located
+   * differently): for each group g, D_g = max_v |F_g(v) − F_rest(v)|
+   * over the combined distinct values, with both CDFs from exact
+   * cumulative counts (the [[ksTest]] arithmetic, densified per group
+   * — the chiSquared cells rule: the grid is groups × distinct values,
+   * so cost is CATEGORY×VALUE-cardinality, never row count; the
+   * cumulative windows partition by group). The rest side is exact
+   * subtraction from the global counts — one corpus pass total.
+   * Groups with an empty complement yield NULL d. NULL group/value
+   * rows drop. Returns `(g, n_g, n_rest, d)`, D 6-dp.
+   */
+  def groupKsD(
+      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("g"), valueCol.cast("double").as("_v"))
+      .filter(col("g").isNotNull && col("_v").isNotNull)
+      .groupBy(col("g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val values = cells.select(col("_v")).distinct()
+    val groups = cells.groupBy(col("g")).agg(sum(col("_c")).as("n_g"))
+    val totals = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val tot = cells.agg(sum(col("_c")).as("_tn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // dense grid: every group evaluated at every combined distinct
+    // value (a gap extremum can sit where only the OTHER side jumps) —
+    // the deliberate category×value-cardinality cross
+    groups.crossJoin(values)
+      .join(cells, Seq("g", "_v"), "left")
+      .join(totals, Seq("_v"))
+      .select(col("g"), col("n_g"), col("_v"),
+        coalesce(col("_c"), lit(0L)).as("_c"), col("_ct"))
+      .withColumn("_cg", sum(col("_c")).over(wCum))
+      .withColumn("_call", sum(col("_ct")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("g"), col("n_g"),
+        (col("_tn") - col("n_g")).as("n_rest"),
+        abs(col("_cg").cast("double") / col("n_g").cast("double") -
+          (col("_call") - col("_cg")).cast("double") /
+            nullif((col("_tn") - col("n_g")).cast("double"), lit(0.0)))
+          .as("_gap"))
+      .groupBy(col("g"), col("n_g"), col("n_rest"))
+      .agg(round(max(col("_gap")), 6).as("d"))
+  }
+
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
     * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
     * the plan folds. */

@@ -280,4 +280,29 @@ class StatsTestsSpec extends GraftSpec {
       Seq(Some(-5.0), Some(0.0), Option.empty[Double]).toDF("v"),
       col("v")).count() == 0L)
   }
+
+  test("groupKsD law: every group's D equals the pairwise ksTest of " +
+    "group vs rest; an empty complement is NULL") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 240).map { i =>
+      val g = Seq("a", "b", "c")(i % 3)
+      // group c drawn shifted so at least one D is visibly nonzero
+      val v = (if (g == "c") 50 else 0) + rng.nextInt(40)
+      (i.toLong, g, v.toDouble)
+    }.toDF("id", "g", "v")
+    val got = StatsTests.groupKsD(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val pairwise = StatsTests.ksTest(
+        df.filter(col("g") === g), df.filter(col("g") =!= g), col("v"))
+        .collect().head.getDouble(2)
+      assert(got(g) == pairwise, s"group $g: ${got(g)} vs $pairwise")
+    }
+    assert(got("c") > 0.5, "planted shift must be visible")
+    // a lone group has no complement: NULL D
+    val lone = StatsTests.groupKsD(
+      df.filter(col("g") === "a"), col("g"), col("v"))
+      .collect().head
+    assert(lone.isNullAt(3))
+  }
 }
