@@ -363,6 +363,15 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // A+/S — stationary distribution of the user-journey Markov chain
+    // (the long-run view of q105's one-step transitions): dangling
+    // states get the uniform PageRank fix, the iteration is
+    // driver-side on the event-type² matrix, and the oracle certifies
+    // the dump IS stationary (π·P = π — the q206 residual pattern).
+    "q218_stationary_dist" -> ((s, d) =>
+      LogAnalytics.stationaryDistribution(t(s, d, "events"))
+        .orderBy(col("state").asc)),
+
     // X+/S — per-source KS screen: which sources' document-length
     // DISTRIBUTIONS deviate from the rest of the corpus (the
     // nonparametric companion to q189's Welch location screen)?
@@ -6931,6 +6940,55 @@ object SparkEntry {
         |             + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
         |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
         |FROM terms GROUP BY period ORDER BY period""".stripMargin,
+
+    // q218 PARTIAL oracle (the q206 residual pattern): replay the
+    // transition counts, then certify the dump is a probability vector
+    // stationary under P with the dangling-uniform rule — any
+    // non-stationary vector misses the balance equations by orders of
+    // magnitude more than the 9-dp rounding bound.
+    "q218_stationary_dist" ->
+      """WITH pdump AS (
+        |  SELECT state, pi
+        |  FROM read_parquet('__OUT__/q218_stationary_dist/*.parquet')),
+        |tr AS (
+        |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT user_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS src
+        |        FROM events
+        |        WHERE user_id IS NOT NULL AND ts IS NOT NULL) s
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT src, CAST(sum(n) AS DOUBLE) AS tot
+        |       FROM tr GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM pdump),
+        |flow AS (
+        |  SELECT tr.dst AS state, sum(p.pi * tr.n / rs.tot) AS fin
+        |  FROM tr JOIN pdump p ON p.state = tr.src
+        |  JOIN rs ON rs.src = tr.src
+        |  GROUP BY 1),
+        |dang AS (
+        |  SELECT coalesce(sum(pi), 0) AS dmass FROM pdump
+        |  WHERE state NOT IN (SELECT src FROM tr)),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM pdump) =
+        |        (SELECT count(DISTINCT x) FROM (
+        |           SELECT src AS x FROM tr
+        |           UNION SELECT dst FROM tr) u)
+        |      AND (SELECT abs(sum(pi) - 1.0) <= 1e-6 FROM pdump)
+        |      AND (SELECT bool_and(pi >= 0) FROM pdump)
+        |      AND (SELECT bool_and(pi = round(pi, 9)) FROM pdump)
+        |      AND (SELECT bool_and(abs(
+        |               coalesce(f.fin, 0)
+        |               + (SELECT dmass FROM dang) / (SELECT k FROM kk)
+        |               - p.pi) <= 1e-6)
+        |           FROM pdump p LEFT JOIN flow f ON f.state = p.state),
+        |      FALSE) AS ok)
+        |SELECT state, pi FROM pdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT 'SENTINEL-NOT-STATIONARY', CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY state""".stripMargin,
 
     // q217: same per-(group, value) counts, same dense grid and exact
     // cumulative CDF subtraction, same 6-dp max gap.

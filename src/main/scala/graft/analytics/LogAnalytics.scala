@@ -430,4 +430,73 @@ object LogAnalytics {
           .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
           .cast("double"), 6).as("attributed_value"))
   }
+
+  /**
+   * Stationary distribution of the user-journey Markov chain — where
+   * does a long random session SPEND its time? The long-run view of
+   * [[transitions]]' one-step counts (and the event-type cousin of
+   * [[graft.ext.GraphOps]]' PageRank): row-normalize the transition
+   * counts into P, give DANGLING states (seen only as destinations —
+   * e.g. the corpus's final events) a uniform outgoing row (the
+   * PageRank dangling fix, so mass is conserved), and run a fixed
+   * number of renormalized power steps from the uniform start.
+   *
+   * Scale shape (the q184/q206 split): the ONLY distributed work is
+   * the transitions aggregate — the collect is event-type²-sized
+   * (metadata by construction), and the iteration is driver-side on a
+   * k×k matrix. Deterministic: fixed start, fixed iteration count,
+   * fixed state order (sorted), 9-dp rounding on output. The oracle
+   * certifies the dump IS stationary (π·P = π within the rounding
+   * bound, Σπ = 1, π ≥ 0, states = src ∪ dst) — the q206 residual
+   * pattern. Returns `(state, pi)`, one row per state.
+   */
+  def stationaryDistribution(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      iters: Int = 200): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tc = transitions(df, userCol, tsCol, typeCol, idCol).collect()
+    require(tc.nonEmpty, "no transitions (need >= 2 events for a user)")
+    val states = (tc.map(_.getString(0)) ++ tc.map(_.getString(1)))
+      .distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val cnt = Array.ofDim[Double](k, k)
+    tc.foreach { r =>
+      cnt(idx(r.getString(0)))(idx(r.getString(1))) += r.getLong(2).toDouble
+    }
+    val rowSum = cnt.map(_.sum)
+    var pi = Array.fill(k)(1.0 / k)
+    var it = 0
+    while (it < iters) {
+      val nxt = new Array[Double](k)
+      var si = 0
+      while (si < k) {
+        if (rowSum(si) == 0.0) {
+          var t = 0
+          while (t < k) { nxt(t) += pi(si) / k; t += 1 }
+        } else {
+          var t = 0
+          while (t < k) {
+            nxt(t) += pi(si) * cnt(si)(t) / rowSum(si); t += 1
+          }
+        }
+        si += 1
+      }
+      val z = nxt.sum
+      var t = 0
+      while (t < k) { nxt(t) /= z; t += 1 }
+      pi = nxt
+      it += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    states.zip(pi.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).toSeq
+      .toDF("state", "pi")
+  }
 }

@@ -285,4 +285,33 @@ class LogAnalyticsSpec extends GraftSpec {
       "click" -> ((2L, 3.0)),
       "(none)" -> ((2L, 16.0))), got)
   }
+
+  test("stationaryDistribution: textbook 2-state chain lands on " +
+    "(1/3, 2/3); dangling states conserve mass; no-transition input " +
+    "rejected") {
+    import java.sql.Timestamp
+    def ev(u: Long, seq: String*) = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong + u * 100, Timestamp.valueOf(s"2024-01-01 00:0$i:00"),
+        u, t, 1.0)
+    }
+    // a->b, b->a, a->b, b->b: P(a,·) = (0,1), P(b,·) = (.5,.5)
+    val chain = ev(1L, "a", "b", "a", "b", "b")
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pi = LogAnalytics.stationaryDistribution(chain)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi("a") == 0.333333333 && pi("b") == 0.666666667, pi)
+    // a terminal-only state is dangling: uniform out-row, mass conserved
+    val dang = (ev(1L, "a", "b", "a", "b", "b") ++ ev(2L, "a", "c"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pd = LogAnalytics.stationaryDistribution(dang)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pd.keySet == Set("a", "b", "c"))
+    assert(math.abs(pd.values.sum - 1.0) < 1e-8)
+    assert(pd.values.forall(_ > 0.0), "irreducible with the uniform fix")
+    intercept[IllegalArgumentException] {
+      LogAnalytics.stationaryDistribution(
+        ev(1L, "a").toDF("event_id", "ts", "user_id", "event_type",
+          "value"))
+    }
+  }
 }
