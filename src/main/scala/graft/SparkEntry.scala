@@ -363,6 +363,16 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("idx").asc)),
 
+    // X+/S — Hill tail-index of per-user activity: how heavy is the
+    // user-volume tail (the skew q106 profiles, as one calibrated
+    // scalar)? Top-(k+1) order statistics via TakeOrdered, decimal
+    // log-ratio folds. k = 10 fits every SF (>= 15 users at sf0.001).
+    "q219_hill_tail" -> ((s, d) =>
+      StatsTests.hillTailIndex(
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+        col("n_events"), "user_id", k = 10)),
+
     // A+/S — stationary distribution of the user-journey Markov chain
     // (the long-run view of q105's one-step transitions): dangling
     // states get the uniform PageRank fix, the iteration is
@@ -6940,6 +6950,31 @@ object SparkEntry {
         |             + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
         |           * 2.0 / CAST(max(n) AS DOUBLE), 6) AS power
         |FROM terms GROUP BY period ORDER BY period""".stripMargin,
+
+    // q219: same top-(k+1) rank-exact picks (value desc, id tiebreak),
+    // same 12-dp decimal log-ratio folds, same closed form.
+    "q219_hill_tail" ->
+      """WITH uc AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |top AS (
+        |  SELECT v, user_id,
+        |         row_number() OVER (ORDER BY v DESC, user_id) AS rn
+        |  FROM uc),
+        |xk1 AS (SELECT v AS x FROM top WHERE rn = 11),
+        |sm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(ln(v / (SELECT x FROM xk1)), 12)
+        |           AS DECIMAL(38,12))) AS s
+        |  FROM top WHERE rn <= 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |       round((SELECT x FROM xk1), 6) AS x_k1,
+        |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |         AS inv_alpha,
+        |       CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+        |         round(CAST(n AS DOUBLE) / CAST(s AS DOUBLE), 6)
+        |       END AS alpha
+        |FROM sm""".stripMargin,
 
     // q218 PARTIAL oracle (the q206 residual pattern): replay the
     // transition counts, then certify the dump is a probability vector

@@ -341,6 +341,48 @@ object StatsTests {
       .agg(round(max(col("_gap")), 6).as("d"))
   }
 
+  /**
+   * Hill estimator of the right-tail index — "how heavy is this
+   * distribution's tail?" (α ≈ 1–2 ⇒ power-law-heavy: a few giant
+   * documents/users dominate any sample; α large ⇒ light tail). Over
+   * the top k+1 positive values X₍₁₎ ≥ … ≥ X₍ₖ₊₁₎ (value desc, id
+   * tiebreak),
+   *
+   *   1/α̂ = (1/k)·Σᵢ₌₁..ₖ ln(X₍ᵢ₎ / X₍ₖ₊₁₎)
+   *
+   * — the standard POT tail-index MLE. Each log-ratio term rounds to
+   * 12 dp and folds as decimal (the engine float rule), the picks are
+   * rank-exact. The top-(k+1) plans as TakeOrdered (per-partition
+   * top-k + driver merge — no global sort; the one scale-shaped way to
+   * touch order statistics). All-tied tails (Σ = 0) yield NULL alpha.
+   * Returns one row `(k, x_k1, inv_alpha, alpha)`, 6-dp.
+   */
+  def hillTailIndex(
+      df: DataFrame, value: Column, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = df
+      .select(value.cast("double").as("_v"), col(idCol).as("_id"))
+      .filter(col("_v").isNotNull && col("_v") > 0.0)
+      .orderBy(col("_v").desc, col("_id").asc)
+      .limit(k + 1)
+    val w = Window.orderBy(col("_v").desc, col("_id").asc)
+    val ranked = top.withColumn("_rn", row_number().over(w).cast("long"))
+    val xk1 = ranked.filter(col("_rn") === (k + 1).toLong)
+      .select(col("_v").as("_xk1"))
+    val s = ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(xk1))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(log(col("_v") / col("_xk1")), 12).cast(dec)).as("_s"),
+        max(col("_xk1")).as("x_k1"))
+    s.select(lit(k.toLong).as("k"),
+        round(col("x_k1"), 6).as("x_k1"),
+        round(col("_s").cast("double") / col("_n").cast("double"), 6)
+          .as("inv_alpha"),
+        when(col("_s").cast("double") > 0.0,
+          round(col("_n").cast("double") / col("_s").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** Benford's expected leading-digit probabilities, `log10(1 + 1/d)`
     * for d = 1..9 — exposed so oracle SQL can embed the SAME literals
     * the plan folds. */

@@ -305,4 +305,35 @@ class StatsTestsSpec extends GraftSpec {
       .collect().head
     assert(lone.isNullAt(3))
   }
+
+  test("hillTailIndex: recovers a planted Pareto alpha, all-tied tail " +
+    "is NULL, non-positive values drop, plans as TakeOrdered") {
+    // exact Pareto(alpha=2) quantiles: v = (i/n)^(-1/2)
+    val n = 2000
+    val pareto = (1 to n).map(i =>
+      (i.toLong, math.pow(i.toDouble / n, -0.5)))
+      .toDF("id", "v")
+    val got = StatsTests.hillTailIndex(pareto, col("v"), "id", k = 200)
+      .collect().head
+    assert(got.getLong(0) == 200L)
+    assert(math.abs(got.getDouble(3) - 2.0) < 0.15,
+      s"alpha ${got.getDouble(3)} should sit near the planted 2.0")
+    // all-tied top: sum of log-ratios is 0 -> NULL alpha, 0 inv_alpha
+    val flat = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val tied = StatsTests.hillTailIndex(flat, col("v"), "id", k = 10)
+      .collect().head
+    assert(tied.getDouble(2) == 0.0 && tied.isNullAt(3))
+    // zero/negative values are outside the tail domain
+    val mixed = pareto.unionByName(
+      Seq((9001L, 0.0), (9002L, -5.0)).toDF("id", "v"))
+    assert(StatsTests.hillTailIndex(mixed, col("v"), "id", 200)
+      .collect().head.toSeq ==
+      got.toSeq)
+    val plan = StatsTests.hillTailIndex(pareto, col("v"), "id", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException] {
+      StatsTests.hillTailIndex(pareto, col("v"), "id", 0)
+    }
+  }
 }
