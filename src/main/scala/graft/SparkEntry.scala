@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -167,6 +167,63 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+
+    // X+/E — isotonic (PAV) calibration over q131's reliability bins:
+    // the monotone recalibrator q132's ECE diagnoses the need for,
+    // via the minimax identity (max-min over block averages) instead
+    // of the serial pooling loop — three bounded relational steps on
+    // the BIN-sized frame, one corpus pass.
+    "q220_isotonic" -> ((s, d) =>
+      Eval.isotonicCalibration(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000)
+            .select(
+              ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0)
+                .as("conf"),
+              (col("label") === 0).cast("int").as("is_pos")),
+          "conf", "is_pos", bins = 10)
+        .orderBy(col("bin").asc_nulls_last)),
+
+    // A5+/S — count-min sketch point estimates vs exact truth for the
+    // top-10 users: the REPLAYABLE mergeable frequency summary (q58's
+    // opaque-sketch counterpart) — Carter-Wegman bucket arithmetic the
+    // oracle reproduces cell-for-cell, never-undercount visible in the
+    // `over` column (1500 keys into 64 buckets collide by design).
+    "q221_cms_estimate" -> ((s, d) => {
+      val keys = t(s, d, "events").filter(col("user_id").isNotNull)
+      val sketch = Sketches.cmsBuild(keys, col("user_id"))
+      val top = keys.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id").asc)
+        .limit(10)
+      top.join(
+          Sketches.cmsEstimate(sketch, top.select("user_id"), "user_id"),
+          Seq("user_id"))
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("over"))
+        .orderBy(col("user_id").asc)
+    }),
+
+    // A5+/S — q221 through the MERGE law: per-event-type sub-sketches
+    // folded element-wise (CMS linearity — the persist-per-partition
+    // workflow), then the identical readout. SHARES q221's oracle
+    // verbatim: the fold loses nothing by construction.
+    "q222_cms_merge" -> ((s, d) => {
+      val keys = t(s, d, "events").filter(col("user_id").isNotNull)
+      val sketch = Sketches.cmsMerge(
+        Sketches.cmsBuildPartitioned(keys, col("event_type"),
+            col("user_id"))
+          .drop("part"))
+      val top = keys.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id").asc)
+        .limit(10)
+      top.join(
+          Sketches.cmsEstimate(sketch, top.select("user_id"), "user_id"),
+          Seq("user_id"))
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("over"))
+        .orderBy(col("user_id").asc)
+    }),
 
     // X+/S — CUSUM change-point localization over the daily event-count
     // series: exact decimal cumulatives, one double chain per row for
@@ -3258,6 +3315,55 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q220: q131's binning replayed verbatim, then PAV via the same
+    // minimax identity — prefix sums over the bin order, all (i, j)
+    // block averages, min over j ≥ k then max over i ≤ k. Block
+    // averages are one double division of exact longs; min/max only
+    // select among identical doubles, so parity is bit-exact.
+    "q220_isotonic" ->
+      """WITH base AS (
+        |  SELECT CAST(least(greatest(round(
+        |             (CAST(embedding[1] AS DOUBLE) + 1) / 2, 6), 0), 1)
+        |           AS DECIMAL(10,6)) AS c,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND vec_id < 1000),
+        |g AS (
+        |  SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS bin,
+        |         count(*) AS n, CAST(sum(c) AS DECIMAL(28,6)) AS sc,
+        |         sum(pos) AS np
+        |  FROM base GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, sc, np,
+        |         row_number() OVER (ORDER BY bin) AS k,
+        |         sum(n)  OVER (ORDER BY bin) AS cn,
+        |         sum(np) OVER (ORDER BY bin) AS cp
+        |  FROM g),
+        |blocks AS (
+        |  SELECT lo.k AS i, hi.k AS j,
+        |         CAST(hi.cp - (lo.cp - lo.np) AS DOUBLE)
+        |           / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg
+        |  FROM pre lo JOIN pre hi ON lo.k <= hi.k),
+        |fit AS (
+        |  SELECT k, max(m) AS iso FROM (
+        |    SELECT ks.k, b.i, min(b.avg) AS m
+        |    FROM blocks b JOIN pre ks ON b.i <= ks.k AND b.j >= ks.k
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT p.bin, p.n,
+        |       round(CAST(p.sc AS DOUBLE) / p.n, 6) AS mean_conf,
+        |       round(CAST(p.np AS DOUBLE) / p.n, 6) AS frac_pos,
+        |       round(f.iso, 6) AS iso_rate
+        |FROM pre p JOIN fit f USING (k) ORDER BY bin""".stripMargin,
+
+    // q221/q222: full cell-for-cell replay of the Carter-Wegman
+    // arithmetic — same pinned (a, b) rows, p = 2^31-1, width 64 —
+    // then the same min-over-rows readout for the exact top-10 keys.
+    // q222 shares this verbatim: merging per-type sub-sketches is
+    // element-wise addition, which loses nothing.
+    "q221_cms_estimate" -> cmsOracleSql,
+    "q222_cms_merge" -> cmsOracleSql,
+
     // q199: q102's two-pass blocking with DuckDB's native
     // jaro_winkler_similarity (same classic definition as
     // graft_jaro_winkler — spec-pinned vectors); ASCII-head filter
@@ -8135,4 +8241,38 @@ object SparkEntry {
     """SELECT user_id, count(*) AS cnt FROM events
       |WHERE user_id IS NOT NULL GROUP BY 1
       |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
+  /** Shared by q221/q222 (merging sub-sketches is element-wise
+    * addition — lossless, so both readouts are identical): replays
+    * [[graft.ext.Sketches]]' pinned Carter-Wegman rows cell-for-cell.
+    * All operands are non-negative, so DuckDB's sign-of-dividend `%`
+    * equals Spark's `pmod` here. */
+  private val cmsOracleSql: String =
+    """WITH h(r, a, b) AS (VALUES
+      |    (0, 1103515245, 12345),
+      |    (1, 1664525, 1013904223),
+      |    (2, 22695477, 1),
+      |    (3, 1588635695, 1203)),
+      |e AS (
+      |  SELECT CAST(user_id AS BIGINT) AS k FROM events
+      |  WHERE user_id IS NOT NULL),
+      |sk AS (
+      |  SELECT h.r,
+      |         ((h.a * (e.k % 2147483647) + h.b) % 2147483647) % 64
+      |           AS bucket,
+      |         count(*) AS cnt
+      |  FROM e CROSS JOIN h GROUP BY 1, 2),
+      |top AS (
+      |  SELECT k, count(*) AS exact_n FROM e GROUP BY 1
+      |  ORDER BY exact_n DESC, k LIMIT 10),
+      |est AS (
+      |  SELECT t.k, min(coalesce(s.cnt, 0)) AS est_n
+      |  FROM top t CROSS JOIN h
+      |  LEFT JOIN sk s ON s.r = h.r
+      |    AND s.bucket =
+      |      ((h.a * (t.k % 2147483647) + h.b) % 2147483647) % 64
+      |  GROUP BY 1)
+      |SELECT t.k AS user_id, t.exact_n, est.est_n,
+      |       est.est_n - t.exact_n AS over
+      |FROM top t JOIN est USING (k) ORDER BY user_id""".stripMargin
 }

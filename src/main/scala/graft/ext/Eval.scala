@@ -541,6 +541,60 @@ object Eval {
         round(col("_gap").cast("double")
           / nullif(col("n").cast("double"), lit(0.0)), 6).as("ece"))
 
+  /**
+   * Isotonic calibration over [[calibrationCurve]]'s equal-width bins:
+   * the pool-adjacent-violators fit that [[ece]] diagnoses the need
+   * for. PAV's closed form is the minimax identity
+   * `iso(k) = max_{i≤k} min_{j≥k} rate(i..j)` over weighted block
+   * averages, so instead of the sequential pooling loop (inherently
+   * serial) the fit is three BOUNDED relational steps on the bin
+   * frame: prefix sums over the bin order, all `(i, j)` block averages
+   * from prefix differences (bins² rows), and a bins³-row grid reduced
+   * by min-then-max. Every block average is ONE double division of
+   * exact long counts and min/max only SELECT among those doubles
+   * (no float accumulation) — bit-identical cross-engine, rounded 6 dp
+   * at the very end.
+   *
+   * Output: one row `(bin, n, mean_conf, frac_pos, iso_rate)` per
+   * non-empty bin; `iso_rate` is non-decreasing in `bin` (the PAV
+   * guarantee) and pools exactly the adjacent bins whose raw
+   * `frac_pos` inverts. Empty bins carry zero weight, so running PAV
+   * on the non-empty subsequence is the exact fit.
+   *
+   * Shape at scale: one hash aggregate to BIN-sized, then windows and
+   * joins over frames of at most `bins` rows (broadcast
+   * nested-loop by construction) — the corpus is touched once.
+   */
+  def isotonicCalibration(
+      df: DataFrame, confCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val wOrd = Window.orderBy(col("bin").asc)
+    val wPre = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = binned(df, confCol, labelCol, bins)
+      .select(col("bin"), col("n"), col("_sc"), col("_np"),
+        row_number().over(wOrd).cast("long").as("_k"),
+        sum(col("n")).over(wPre).as("_cn"),
+        sum(col("_np")).over(wPre).as("_cp"))
+    val lo = pre.select(col("_k").as("_i"),
+      (col("_cn") - col("n")).as("_n0"), (col("_cp") - col("_np")).as("_p0"))
+    val hi = pre.select(col("_k").as("_j"),
+      col("_cn").as("_n1"), col("_cp").as("_p1"))
+    val blocks = broadcast(lo).join(hi, col("_i") <= col("_j"))
+      .select(col("_i"), col("_j"),
+        ((col("_p1") - col("_p0")).cast("double")
+          / (col("_n1") - col("_n0")).cast("double")).as("_avg"))
+    val fit = blocks
+      .join(broadcast(pre.select(col("_k"))),
+        col("_i") <= col("_k") && col("_j") >= col("_k"))
+      .groupBy(col("_k"), col("_i")).agg(min(col("_avg")).as("_m"))
+      .groupBy(col("_k")).agg(max(col("_m")).as("_iso"))
+    pre.join(fit, Seq("_k"))
+      .select(col("bin"), col("n"),
+        round(col("_sc").cast("double") / col("n"), 6).as("mean_conf"),
+        round(col("_np").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("_iso"), 6).as("iso_rate"))
+  }
+
   /** Shared threshold chain of [[prCurve]] and [[averagePrecision]]:
     * scores collapse to distinct-threshold groups (ties predict
     * together — the sklearn convention), then two cumulative sums over

@@ -482,4 +482,48 @@ class EvalSpec extends GraftSpec {
       Eval.retrievalMetrics(ranked, totalRel, "q_id", "rank", "rel", k = 0)
     }
   }
+
+  // (conf, n, n_pos) → n rows in conf's bin, n_pos of them positive
+  private def confRows(spec: (Double, Int, Int)*) =
+    spec.flatMap { case (c, n, np) =>
+      (0 until n).map(i => (c, if (i < np) 1 else 0))
+    }.toDF("conf", "is_pos")
+
+  test("isotonicCalibration: a single inversion pools exactly its two " +
+    "bins; already-monotone bins pass through untouched") {
+    // bin rates .2 / .6 / .4 / .8 — the middle pair inverts
+    val got = Eval.isotonicCalibration(
+        confRows((0.05, 10, 2), (0.35, 10, 6), (0.45, 10, 4),
+          (0.75, 10, 8)),
+        "conf", "is_pos", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got == Map(0L -> 0.2, 3L -> 0.5, 4L -> 0.5, 7L -> 0.8), s"$got")
+
+    val mono = Eval.isotonicCalibration(
+        confRows((0.05, 10, 1), (0.35, 10, 5), (0.75, 10, 9)),
+        "conf", "is_pos", bins = 10)
+      .orderBy("bin").collect()
+    mono.foreach(r =>
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"monotone input must be a fixed point: $r"))
+  }
+
+  test("isotonicCalibration: pooling is WEIGHTED — a 1-row outlier " +
+    "barely moves the merged rate; fit is non-decreasing") {
+    // rates 1.0 (n=1) then .1 (n=10): pooled (1 + 1)/11 = 0.181818…
+    val got = Eval.isotonicCalibration(
+        confRows((0.15, 1, 1), (0.85, 10, 1)),
+        "conf", "is_pos", bins = 10)
+      .orderBy("bin").collect()
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.181818, 0.181818),
+      s"${got.toSeq}")
+    // a longer mixed fixture: only assert the PAV guarantee
+    val fit = Eval.isotonicCalibration(
+        confRows((0.05, 3, 2), (0.15, 5, 1), (0.25, 4, 3), (0.35, 2, 0),
+          (0.55, 6, 4), (0.65, 3, 1), (0.95, 4, 4)),
+        "conf", "is_pos", bins = 10)
+      .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+    assert(fit == fit.sorted, s"iso_rate must be non-decreasing: $fit")
+  }
 }
