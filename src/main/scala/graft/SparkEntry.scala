@@ -168,6 +168,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/E — Krippendorff's alpha over the q202 quality-screen panel
+    // with a genuinely ABSTAINING rater (the token screen passes on
+    // sub-100-char docs): the agreement coefficient for incomplete
+    // rating matrices Fleiss can't score — lcm-scaled integer
+    // aggregates, three output divisions total.
+    "q223_krippendorff" -> ((s, d) => {
+      val ntok = size(TextOps.tokens(col("text")))
+      Eval.krippendorffAlphaBinary(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        Seq(length(col("text")) >= 200,
+          when(col("n_chars") >= 100, ntok >= 40),
+          length(col("text")) <= ntok * 8))
+    }),
+
     // X+/E — isotonic (PAV) calibration over q131's reliability bins:
     // the monotone recalibrator q132's ECE diagnoses the need for,
     // via the minimax identity (max-min over block averages) instead
@@ -3315,6 +3329,51 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q223: same rating panel (q202's token definition), same lcm-
+    // scaled integer chain (L = 2 for k = 3; DuckDB `//` is the exact
+    // integer division the (m-1) | L property needs), same three
+    // final divisions.
+    "q223_krippendorff" ->
+      """WITH t AS (
+        |  SELECT length(text) AS lc, n_chars,
+        |         len(list_filter(string_split_regex(lower(text),
+        |           '\s+'), t -> length(t) > 0)) AS ntok
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT CAST(lc >= 200 AS BIGINT) AS r0,
+        |         CASE WHEN n_chars >= 100
+        |              THEN CAST(ntok >= 40 AS BIGINT) END AS r1,
+        |         CAST(lc <= 8 * ntok AS BIGINT) AS r2
+        |  FROM t),
+        |i AS (
+        |  SELECT (CASE WHEN r0 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN r1 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN r2 IS NULL THEN 0 ELSE 1 END) AS m,
+        |         coalesce(r0, 0) + coalesce(r1, 0) + coalesce(r2, 0)
+        |           AS n1
+        |  FROM r),
+        |g AS (
+        |  SELECT m, count(*) AS items, sum(n1) AS s1,
+        |         sum(n1 * (m - n1)) AS tt
+        |  FROM i WHERE m >= 2 GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(coalesce(sum(items), 0) AS HUGEINT) AS ni,
+        |         CAST(coalesce(sum(items * m), 0) AS HUGEINT) AS n,
+        |         CAST(coalesce(sum(s1), 0) AS HUGEINT) AS p,
+        |         CAST(coalesce(sum(2 * tt * (2 // (m - 1))), 0)
+        |           AS HUGEINT) AS dos
+        |  FROM g)
+        |SELECT CAST(ni AS BIGINT) AS n_items,
+        |       CAST(n AS BIGINT) AS n_ratings,
+        |       round(CAST(dos AS DOUBLE)
+        |             / nullif(CAST(2 * n AS DOUBLE), 0), 6) AS d_o,
+        |       round(CAST(2 * p * (n - p) AS DOUBLE)
+        |             / nullif(CAST(n * (n - 1) AS DOUBLE), 0), 6) AS d_e,
+        |       round(CAST(4 * p * (n - p) - (n - 1) * dos AS DOUBLE)
+        |             / nullif(CAST(4 * p * (n - p) AS DOUBLE), 0), 6)
+        |         AS alpha
+        |FROM f""".stripMargin,
+
     // q220: q131's binning replayed verbatim, then PAV via the same
     // minimax identity — prefix sums over the bin order, all (i, j)
     // block averages, min over j ≥ k then max over i ≤ k. Block

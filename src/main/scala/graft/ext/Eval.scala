@@ -438,6 +438,74 @@ object Eval {
   }
 
   /**
+   * Krippendorff's alpha over k ≥ 2 BINARY raters with MISSING ratings
+   * allowed — the agreement coefficient for the realistic panel where
+   * screens ABSTAIN ([[fleissKappaBinary]] requires a complete rating
+   * matrix and drops any item with a NULL; alpha keeps the item and
+   * weights it by its pairable ratings). Items with fewer than 2
+   * non-NULL ratings carry no pairable information and drop (the
+   * textbook rule).
+   *
+   * Coincidence-matrix closed form for the binary nominal case:
+   * with per-item positive votes n₁ᵢ of mᵢ ratings,
+   * `D_o·n = Σᵢ 2·n₁ᵢ·(mᵢ−n₁ᵢ)/(mᵢ−1)` and
+   * `D_e·n = 2·n₁·n₀/(n−1)` over the marginals, so
+   * `α = 1 − (n−1)·Σᵢ[...] / (2·n₁·n₀)`. EXACT arithmetic: items
+   * group by mᵢ (≤ k−1 groups), the per-group pair sums are integers,
+   * and scaling by `L = lcm(1..k−1)` clears the `mᵢ−1` denominators —
+   * every aggregate is integer/decimal, the only float ops are the
+   * three output divisions, rounded 6 dp. Returns one row
+   * `(n_items, n_ratings, d_o, d_e, alpha)`; alpha is NULL when a
+   * single category owns every rating (D_e = 0 — undefined).
+   *
+   * 1-row output from one narrow projection, a ≤(k−1)-row group frame,
+   * and one fold — scale-free.
+   */
+  def krippendorffAlphaBinary(
+      df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val k = raters.size
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1 until k).foldLeft(1L)((acc, m) => acc / gcd(acc, m) * m)
+    val dec = "decimal(38,0)"
+    val ratings = raters.map(_.cast("boolean").cast("long"))
+    val m = ratings.map(r => when(r.isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val n1 = ratings.map(r => coalesce(r, lit(0L))).reduce(_ + _)
+    // L/(m-1) is exact by construction ((m-1) | L for m ≤ k), so the
+    // double round-trip is a safe integer carrier for these tiny values
+    val lOverM1 = (lit(L.toDouble) / (col("_m") - 1).cast("double"))
+      .cast("long")
+    df.select(m.as("_m"), n1.as("_n1"))
+      .filter(col("_m") >= 2)
+      .groupBy(col("_m"))
+      .agg(count(lit(1)).as("_items"),
+        coalesce(sum(col("_n1")), lit(0L)).as("_s1"),
+        coalesce(sum(col("_n1") * (col("_m") - col("_n1"))), lit(0L))
+          .as("_t"))
+      .agg(
+        coalesce(sum(col("_items")), lit(0L)).cast(dec).as("_ni"),
+        coalesce(sum(col("_items") * col("_m")), lit(0L)).cast(dec)
+          .as("_n"),
+        coalesce(sum(col("_s1")), lit(0L)).cast(dec).as("_p"),
+        coalesce(sum(lit(2L) * col("_t") * lOverM1), lit(0L)).cast(dec)
+          .as("_do_scaled"))
+      .withColumn("_q", col("_n") - col("_p")) // negative-vote marginal
+      .select(col("_ni").cast("long").as("n_items"),
+        col("_n").cast("long").as("n_ratings"),
+        round(col("_do_scaled").cast("double")
+          / nullif((lit(L) * col("_n")).cast("double"), lit(0.0)), 6)
+          .as("d_o"),
+        round((lit(2L) * col("_p") * col("_q")).cast("double")
+          / nullif((col("_n") * (col("_n") - 1)).cast("double"),
+            lit(0.0)), 6).as("d_e"),
+        round((lit(2L) * lit(L) * col("_p") * col("_q")
+            - (col("_n") - 1) * col("_do_scaled")).cast("double")
+          / nullif((lit(2L) * lit(L) * col("_p") * col("_q"))
+            .cast("double"), lit(0.0)), 6).as("alpha"))
+  }
+
+  /**
    * Exact ROC-AUC of a score against a binary label via the
    * Mann–Whitney U statistic with TEXTBOOK tie handling: tied scores get
    * fractional average ranks, and AUC = (ΣR₊ − P(P+1)/2)/(P·N). The

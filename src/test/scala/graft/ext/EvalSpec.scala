@@ -526,4 +526,43 @@ class EvalSpec extends GraftSpec {
       .orderBy("bin").collect().map(_.getDouble(4)).toSeq
     assert(fit == fit.sorted, s"iso_rate must be non-decreasing: $fit")
   }
+
+  test("krippendorffAlphaBinary: hand-computed incomplete panel; " +
+    "items with <2 ratings drop; perfect agreement is 1; a unanimous " +
+    "single category is NULL") {
+    // (r0, r1, r2), None = missing; coincidence-matrix hand result:
+    // n=10, n1=5, Do=0.4, De=5/9, alpha=0.28 — i5 (one rating) drops
+    val panel = Seq(
+      (Some(true), Some(true), None),
+      (Some(true), Some(false), Some(true)),
+      (Some(false), Some(false), Some(false)),
+      (Some(true), None, Some(false)),
+      (None, None, Some(true))
+    ).toDF("r0", "r1", "r2")
+    val raters = Seq($"r0", $"r1", $"r2")
+    val got = Eval.krippendorffAlphaBinary(panel, raters).head()
+    assert(got.getLong(0) == 4L, s"n_items $got")
+    assert(got.getLong(1) == 10L, s"n_ratings $got")
+    assert(got.getDouble(2) == 0.4, s"d_o $got")
+    assert(got.getDouble(3) == 0.555556, s"d_e $got")
+    assert(got.getDouble(4) == 0.28, s"alpha $got")
+
+    val perfect = Seq(
+      (Some(true), Some(true), Some(true)),
+      (Some(false), Some(false), None)
+    ).toDF("r0", "r1", "r2")
+    assert(Eval.krippendorffAlphaBinary(perfect, raters)
+      .head().getDouble(4) == 1.0)
+
+    val unanimous = Seq(
+      (Some(true), Some(true), Some(true)),
+      (Some(true), Some(true), None)
+    ).toDF("r0", "r1", "r2")
+    assert(Eval.krippendorffAlphaBinary(unanimous, raters)
+      .head().isNullAt(4), "single-category panel must be NULL")
+
+    intercept[IllegalArgumentException] {
+      Eval.krippendorffAlphaBinary(panel, Seq($"r0"))
+    }
+  }
 }
