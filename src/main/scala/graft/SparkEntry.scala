@@ -168,6 +168,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // A+/S — HITS top authorities over the customer→part purchase
+    // graph (which parts do the heaviest buyers concentrate on?): two
+    // unnormalized mutual-reinforcement rounds — exact integer scores,
+    // rank-invariant to the skipped normalization — each half-round
+    // one edge join + hash agg (the pageRank step shape), TakeOrdered
+    // top-10.
+    "q224_hits" -> ((s, d) =>
+      GraphOps.hits(
+        t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")),
+        "o_custkey", "l_partkey", iters = 2, topK = 10)),
+
+    // X+/S — power analysis for the q176 A/B design: the minimum
+    // detectable absolute lift at the observed arm sizes and the
+    // required per-arm n for a 10% relative lift (α=.05 two-sided,
+    // power .8, constants pinned). Two 1-row aggregates — scale-free.
+    "q225_ab_power" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("conv"))
+      StatsTests.abPower(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        col("conv") === 1)
+    }),
+
     // X+/E — Krippendorff's alpha over the q202 quality-screen panel
     // with a genuinely ABSTAINING rater (the token screen passes on
     // sub-100-char docs): the agreement coefficient for incomplete
@@ -3329,6 +3357,54 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q224: the same two unnormalized rounds as exact integer CTEs —
+    // h1 = out-degree, a1 = E'h1, h2 = E a1, a2 = E'h2 — HUGEINT sums,
+    // one share division at the end.
+    "q224_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |                  CAST(l_partkey AS BIGINT) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |h1 AS (SELECT src, CAST(count(*) AS HUGEINT) AS h
+        |       FROM e GROUP BY 1),
+        |a1 AS (SELECT dst, sum(h) AS a FROM e JOIN h1 USING (src)
+        |       GROUP BY 1),
+        |h2 AS (SELECT src, sum(a) AS h FROM e JOIN a1 USING (dst)
+        |       GROUP BY 1),
+        |a2 AS (SELECT dst, sum(h) AS a FROM e JOIN h2 USING (src)
+        |       GROUP BY 1),
+        |tot AS (SELECT sum(a) AS s FROM a2)
+        |SELECT dst AS node, CAST(a AS BIGINT) AS score,
+        |       round(CAST(a AS DOUBLE) / CAST(s AS DOUBLE), 6) AS share
+        |FROM a2, tot
+        |ORDER BY score DESC, node LIMIT 10""".stripMargin,
+
+    // q225: q176's exact per-user conversion arms, the same pinned
+    // 2.801585 constant, the same one-√ chains.
+    "q225_ab_power" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |             END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ca AS (SELECT count(*) AS n1, sum(conv) AS s1 FROM u
+        |       WHERE user_id % 2 = 0),
+        |cb AS (SELECT count(*) AS n2, sum(conv) AS s2 FROM u
+        |       WHERE user_id % 2 <> 0),
+        |x AS (SELECT n1, n2,
+        |             CAST(s1 + s2 AS DOUBLE)
+        |               / CAST(n1 + n2 AS DOUBLE) AS pp
+        |      FROM ca, cb)
+        |SELECT n1, n2, round(pp, 6) AS p_pool,
+        |       round(2.801585 * sqrt(pp * (1 - pp)
+        |             * (1.0 / n1 + 1.0 / n2)), 6) AS mde_abs,
+        |       CASE WHEN pp > 0 THEN
+        |         CAST(ceil(2.801585 * 2.801585 * 2.0 * pp * (1 - pp)
+        |              / (0.1 * pp * 0.1 * pp)) AS BIGINT)
+        |       END AS n_per_arm
+        |FROM x""".stripMargin,
+
     // q223: same rating panel (q202's token definition), same lcm-
     // scaled integer chain (L = 2 for k = 3; DuckDB `//` is the exact
     // integer division the (m-1) | L property needs), same three

@@ -139,6 +139,48 @@ object StatsTests {
   }
 
   /**
+   * Power analysis for the [[twoProportionZ]] A/B design: given the
+   * two arms as OBSERVED (their sizes and the pooled baseline rate),
+   * what absolute lift could this experiment actually detect, and how
+   * big would each arm need to be to detect a 10% relative lift? The
+   * planning companion every "the z was insignificant" reading needs —
+   * an insignificant z from an underpowered design says nothing.
+   *
+   * Closed forms at the conventional α = 0.05 two-sided / power = 0.8
+   * (z_{α/2} + z_{power} pinned as the single literal 2.801585, so the
+   * whole chain is engine-replayable):
+   *
+   *   mde_abs   = 2.801585 · √(p̄(1−p̄)·(1/n₁ + 1/n₂))
+   *   n_per_arm = ⌈2.801585² · 2·p̄(1−p̄) / (0.1·p̄)²⌉
+   *
+   * Counts are exact integers; p̄ and the two outputs are the only
+   * float ops (one √ chain each), rounded 6 dp; n_per_arm is NULL when
+   * p̄ = 0 (no baseline conversions — nothing to lift). Returns one row
+   * `(n1, n2, p_pool, mde_abs, n_per_arm)`.
+   *
+   * Two 1-row aggregates and a broadcast cross — scale-free.
+   */
+  def abPower(a: DataFrame, b: DataFrame, success: Column): DataFrame = {
+    def counts(df: DataFrame, n: String, s: String): DataFrame =
+      df.filter(success.isNotNull)
+        .agg(count(lit(1)).as(n),
+          sum(success.cast("long")).as(s))
+    val z = lit(2.801585)
+    val pp = (col("s1") + col("s2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    counts(a, "n1", "s1").crossJoin(broadcast(counts(b, "n2", "s2")))
+      .select(col("n1"), col("n2"),
+        round(pp, 6).as("p_pool"),
+        round(z * sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double"))), 6).as("mde_abs"),
+        when(pp > 0.0,
+          ceil(z * z * lit(2.0) * pp * (lit(1.0) - pp)
+            / (lit(0.1) * pp * lit(0.1) * pp)).cast("long"))
+          .as("n_per_arm"))
+  }
+
+  /**
    * Mann–Whitney U with tie-corrected normal approximation: sample A
    * vs sample B on a numeric column. Ranks are tie-averaged over the
    * COMBINED sample via the doubled-rank identity on GROUPED counts

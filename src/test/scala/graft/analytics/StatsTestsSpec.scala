@@ -202,6 +202,29 @@ class StatsTestsSpec extends GraftSpec {
     assert(degen.isNullAt(6), "zero pooled variance")
   }
 
+  test("abPower: hand-computed MDE and required n; zero-conversion " +
+    "baseline yields NULL n_per_arm") {
+    def cohort(n: Int, s: Int) =
+      (Seq.fill(s)(true) ++ Seq.fill(n - s)(false)).toDF("ok")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pool p̄ = 50/200 = .25
+    val got = StatsTests.abPower(cohort(100, 30), cohort(100, 20),
+      col("ok")).collect().head
+    assert(got.getLong(0) == 100L && got.getLong(1) == 100L)
+    assert(got.getDouble(2) == 0.25)
+    val z = 2.801585
+    assert(got.getDouble(3) ==
+      r6(z * math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))))
+    // n = ⌈z²·2·.25·.75/(.025)²⌉ = ⌈4708.3…⌉ = 4709
+    assert(got.getLong(4) ==
+      math.ceil(z * z * 2.0 * 0.25 * 0.75 / (0.025 * 0.025)).toLong)
+    val dead = StatsTests.abPower(cohort(5, 0), cohort(5, 0),
+      col("ok")).collect().head
+    assert(dead.isNullAt(4), "no baseline conversions — nothing to lift")
+    assert(dead.getDouble(3) == 0.0, "MDE collapses to 0 at p̄ = 0")
+  }
+
   test("mannWhitneyU: clean separation hits the U extremes; ties get " +
     "average ranks and the corrected variance; all-tied → NULL z") {
     def df(vs: Double*) = vs.toDF("v")

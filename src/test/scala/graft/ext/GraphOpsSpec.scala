@@ -115,4 +115,29 @@ class GraphOpsSpec extends GraftSpec {
     assert(prof(2L) == ((1L, 1L, 2L)))
     assert(prof(3L) == ((0L, 2L, 2L)))
   }
+
+  test("hits: hand-computed two-round authority scores; multi-edges " +
+    "collapse; topK and iters validated") {
+    // c1→{p1,p2}, c2→{p2}, c3→{p2,p3}:
+    // h1 = (2,1,2); a1 = (p1:2, p2:5, p3:2); h2 = (7,5,7);
+    // a2 = (p1:7, p2:19, p3:7) — total 33
+    val edges = Seq((1L, 11L), (1L, 12L), (1L, 12L), (2L, 12L),
+      (3L, 12L), (3L, 13L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", iters = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (12L, 19L, 0.575758),
+      (11L, 7L, 0.212121),
+      (13L, 7L, 0.212121)), s"${got.toSeq}")
+    // one round stops at a1; topK cuts with the id tiebreak
+    val one = GraphOps.hits(edges, "src", "dst", iters = 1, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((12L, 5L), (11L, 2L)), s"${one.toSeq}")
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, "src", "dst", iters = 5)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, "src", "dst", topK = 0)
+    }
+  }
 }
