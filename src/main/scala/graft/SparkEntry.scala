@@ -168,6 +168,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — log-rank (Mantel–Cox) churn test between the q176 user
+    // arms: do even- and odd-id users leave on the same hazard? The
+    // significance gate for q180's KM curves — hypergeometric
+    // variance terms folded as 12-dp decimals, lifetime-space windows
+    // only (the kaplanMeier bounded contract).
+    "q226_log_rank" -> ((s, d) => {
+      val spans = Survival.userSpans(t(s, d, "events"),
+        bucketSeconds = 3600L)
+      Survival.logRank(
+        spans.filter(col("user") % 2 === 0),
+        spans.filter(col("user") % 2 =!= 0),
+        horizonBuckets = 12)
+    }),
+
     // A+/S — HITS top authorities over the customer→part purchase
     // graph (which parts do the heaviest buyers concentrate on?): two
     // unnormalized mutual-reinforcement rounds — exact integer scores,
@@ -3357,6 +3371,84 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q226: same span/horizon replay as q180, same 12-dp decimal term
+    // folds, same Abramowitz–Stegun p chain as q189 — the z feeding p
+    // is the UNROUNDED (o1−e1)/√v, both engines casting the identical
+    // decimal sums to double.
+    "q226_log_rank" ->
+      """WITH sp AS (
+        |  SELECT user_id AS u,
+        |         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |           AS BIGINT)) AS fb,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |           AS BIGINT)) AS lb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM sp),
+        |pl AS (
+        |  SELECT CASE WHEN u % 2 = 0 THEN 1 ELSE 2 END AS g,
+        |         lb - fb AS t,
+        |         CASE WHEN lb <= maxd - 12 THEN 1 ELSE 0 END AS ch
+        |  FROM sp, mx),
+        |gl AS (
+        |  SELECT t,
+        |         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS e1s,
+        |         sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS e2s,
+        |         sum(CASE WHEN g = 1 THEN ch ELSE 0 END) AS d1,
+        |         sum(CASE WHEN g = 2 THEN ch ELSE 0 END) AS d2
+        |  FROM pl GROUP BY 1),
+        |w AS (
+        |  SELECT d1, d1 + d2 AS d,
+        |         sum(e1s) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |           AND UNBOUNDED FOLLOWING) AS n1,
+        |         sum(e2s) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |           AND UNBOUNDED FOLLOWING) AS n2
+        |  FROM gl),
+        |tm AS (
+        |  SELECT d1,
+        |         CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |           / CAST(n1 + n2 AS DOUBLE), 12) AS DECIMAL(38,12))
+        |           AS e1,
+        |         CAST(CASE WHEN n1 + n2 > 1 THEN
+        |             round(CAST(d AS DOUBLE)
+        |               * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |               * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |               * CAST(n1 + n2 - d AS DOUBLE)
+        |               / CAST(n1 + n2 - 1 AS DOUBLE), 12)
+        |           ELSE 0 END AS DECIMAL(38,12)) AS v
+        |  FROM w WHERE d > 0),
+        |ag AS (
+        |  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |         coalesce(sum(e1), 0) AS e1s,
+        |         coalesce(sum(v), 0) AS vs
+        |  FROM tm),
+        |nn AS (
+        |  SELECT CAST(sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN u % 2 <> 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_b
+        |  FROM sp),
+        |zz AS (
+        |  SELECT n_a, n_b, o1,
+        |         CAST(e1s AS DOUBLE) AS e1d, CAST(vs AS DOUBLE) AS vd
+        |  FROM ag, nn),
+        |px AS (
+        |  SELECT n_a, n_b, o1, e1d, vd,
+        |         abs((o1 - e1d) / sqrt(vd)) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs((o1 - e1d) / sqrt(vd))
+        |              * 0.7071067811865476)) AS t
+        |  FROM zz)
+        |SELECT n_a, n_b, o1, round(e1d, 6) AS e1,
+        |       CASE WHEN vd > 0 THEN
+        |         round((o1 - e1d) * (o1 - e1d) / vd, 6) END AS chi2,
+        |       CASE WHEN vd > 0 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
     // q224: the same two unnormalized rounds as exact integer CTEs —
     // h1 = out-degree, a1 = E'h1, h2 = E a1, a2 = E'h2 — HUGEINT sums,
     // one share division at the end.

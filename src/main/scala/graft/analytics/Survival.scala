@@ -135,4 +135,94 @@ object Survival {
         (col("_ends") - col("n_churn")).as("n_censored"), col("survival"))
       .orderBy(col("t_life").asc)
   }
+
+  /**
+   * Log-rank (Mantel–Cox) test between two span cohorts: do groups A
+   * and B churn on the SAME hazard, or does one systematically outlive
+   * the other? The significance companion to [[kaplanMeier]] — two KM
+   * curves that LOOK different need this test before the difference is
+   * believed, exactly as [[StatsTests.twoProportionZ]] guards a rate
+   * gap. Censoring (the shared `horizonBuckets` rule) is handled the
+   * KM way: censored users leave the risk set without contributing an
+   * event.
+   *
+   * At each lifetime `t` with combined churns `d_t` of `n_t` at risk
+   * (`n1_t` in A): `E1 += d_t·n1_t/n_t`,
+   * `V += d_t·(n1_t/n_t)·(n2_t/n_t)·(n_t−d_t)/(n_t−1)` (the
+   * hypergeometric variance, tie-exact), and the statistic is
+   * `χ² = (O1−E1)²/V` with the signed `z = (O1−E1)/√V` p-valued via
+   * [[StatsTests.normalTwoSidedP]]. Per-time terms are one double
+   * chain over exact longs, rounded 12 dp and folded as
+   * DECIMAL(38,12) (order-independent — the [[kaplanMeierFromSpans]]
+   * ln-term rule); O1 stays integer. χ²/p are NULL when V = 0 (no
+   * comparable events — e.g. a degenerate risk set).
+   *
+   * Shape: the span frames are already user-aggregated; everything
+   * here runs in LIFETIME space under the [[kaplanMeierFromSpans]]
+   * bounded-window contract. Returns one row
+   * `(n_a, n_b, o1, e1, chi2, p)`.
+   */
+  def logRank(
+      spansA: DataFrame, spansB: DataFrame,
+      horizonBuckets: Int): DataFrame = {
+    require(horizonBuckets >= 0,
+      s"horizonBuckets must be >= 0, got $horizonBuckets")
+    val all = spansA.withColumn("_g", lit(1))
+      .unionByName(spansB.withColumn("_g", lit(2)))
+    val horizonEnd = all.agg(max(col("last_b")).as("_maxd"))
+    val perLife = all.crossJoin(broadcast(horizonEnd))
+      .select(col("_g"),
+        (col("last_b") - col("first_b")).as("t"),
+        when(col("last_b") <= col("_maxd") - lit(horizonBuckets.toLong),
+          1L).otherwise(0L).as("_ch"))
+      .groupBy(col("t"))
+      .agg(
+        coalesce(sum(when(col("_g") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("_ends1"),
+        coalesce(sum(when(col("_g") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("_ends2"),
+        coalesce(sum(when(col("_g") === 1, col("_ch")).otherwise(0L)),
+          lit(0L)).as("_d1"),
+        coalesce(sum(when(col("_g") === 2, col("_ch")).otherwise(0L)),
+          lit(0L)).as("_d2"))
+    val riskW = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val n1 = sum(col("_ends1")).over(riskW)
+    val n2 = sum(col("_ends2")).over(riskW)
+    val terms = perLife
+      .select(col("_d1"), (col("_d1") + col("_d2")).as("_d"),
+        n1.as("_n1"), n2.as("_n2"))
+      .filter(col("_d") > 0)
+      .select(col("_d1"),
+        round(col("_d").cast("double") * col("_n1").cast("double")
+          / (col("_n1") + col("_n2")).cast("double"), 12).cast(dec)
+          .as("_e1"),
+        when(col("_n1") + col("_n2") > 1,
+          round(col("_d").cast("double")
+            * (col("_n1").cast("double")
+              / (col("_n1") + col("_n2")).cast("double"))
+            * (col("_n2").cast("double")
+              / (col("_n1") + col("_n2")).cast("double"))
+            * (col("_n1") + col("_n2") - col("_d")).cast("double")
+            / (col("_n1") + col("_n2") - 1).cast("double"), 12))
+          .otherwise(lit(0.0)).cast(dec).as("_v"))
+    val na = spansA.agg(count(lit(1)).as("n_a"))
+    val nb = spansB.agg(count(lit(1)).as("n_b"))
+    val gap = col("_o1").cast("double") - col("_e1").cast("double")
+    terms
+      .agg(coalesce(sum(col("_d1")), lit(0L)).as("_o1"),
+        coalesce(sum(col("_e1")), lit(0).cast(dec)).as("_e1"),
+        coalesce(sum(col("_v")), lit(0).cast(dec)).as("_v"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"),
+        col("_o1").as("o1"),
+        round(col("_e1").cast("double"), 6).as("e1"),
+        when(col("_v") > 0,
+          round(gap * gap / col("_v").cast("double"), 6))
+          .as("chi2"),
+        when(col("_v") > 0,
+          StatsTests.normalTwoSidedP(
+            gap / sqrt(col("_v").cast("double"))))
+          .as("p"))
+  }
 }

@@ -95,4 +95,42 @@ class SurvivalSpec extends GraftSpec {
       Survival.kaplanMeier(events((1L, 0L, 1L)), bucketSeconds = 0L)
     }
   }
+
+  test("logRank: hand-computed hypergeometric terms; identical cohorts " +
+    "score chi2 = 0 / p = 1; an all-censored pair is NULL") {
+    import spark.implicits._
+    def spans(lives: Long*) = lives.zipWithIndex
+      .map { case (t, i) => (i.toLong, 0L, t) }
+      .toDF("user", "first_b", "last_b")
+    // A lifetimes (1,1,3), B (2,3), horizon 0 (everyone churns):
+    // t=1: d=2 of n=5 (n1=3) → e1=1.2, v=.36
+    // t=2: d=1 of n=3 (n1=1) → e1=1/3, v=2/9
+    // t=3: d=2 of n=2 (n1=1) → e1=1,   v=0
+    val got = Survival.logRank(spans(1L, 1L, 3L), spans(2L, 3L),
+      horizonBuckets = 0).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 2L)
+    assert(got.getLong(2) == 3L, s"o1 $got")
+    val e1 = 1.2 + 0.333333333333 + 1.0
+    val v = 0.36 + 0.222222222222
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(3) == r6(e1), s"e1 $got")
+    assert(got.getDouble(4) == r6((3.0 - e1) * (3.0 - e1) / v),
+      s"chi2 $got")
+
+    val same = Survival.logRank(spans(1L, 2L, 4L), spans(1L, 2L, 4L),
+      horizonBuckets = 0).head()
+    assert(same.getDouble(4) == 0.0 && same.getDouble(5) == 1.0,
+      s"identical cohorts: $same")
+
+    // horizon beyond every lifetime: nobody observably churns
+    val cens = Survival.logRank(spans(1L, 2L), spans(2L, 3L),
+      horizonBuckets = 100).head()
+    assert(cens.getLong(2) == 0L && cens.isNullAt(4) && cens.isNullAt(5),
+      s"all-censored: $cens")
+
+    intercept[IllegalArgumentException] {
+      Survival.logRank(spans(1L), spans(1L), horizonBuckets = -1)
+    }
+  }
 }
