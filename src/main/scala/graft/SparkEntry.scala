@@ -168,6 +168,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/E — McNemar's paired test on two q202 screens: the length
+    // screen vs the repetition screen disagree on some docs — is the
+    // disagreement one-sided (one screen strictly laxer)? Discordant
+    // cells only, one aggregate, scale-free.
+    "q227_mcnemar" -> ((s, d) => {
+      val ntok = size(TextOps.tokens(col("text")))
+      StatsTests.mcnemar(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        length(col("text")) >= 200,
+        length(col("text")) <= ntok * 8)
+    }),
+
+    // X+/S — Lorenz curve of corpus volume over sources: the
+    // point-by-point view behind q179's Gini scalar ("the bottom k
+    // sources hold x% of the docs"), ascending-rank cumulative shares
+    // over the group-cardinality frame.
+    "q228_lorenz" -> ((s, d) =>
+      StatsTests.lorenzCurve(t(s, d, "documents"), col("source"))),
+
     // X+/S — log-rank (Mantel–Cox) churn test between the q176 user
     // arms: do even- and odd-id users leave on the same hazard? The
     // significance gate for q180's KM curves — hypergeometric
@@ -3371,6 +3390,64 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q227: same q202 token definition, exact discordant counts, the
+    // q189 Abramowitz-Stegun p chain on the unrounded z.
+    "q227_mcnemar" ->
+      """WITH r AS (
+        |  SELECT length(text) >= 200 AS a,
+        |         length(text) <= 8 * len(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           t -> length(t) > 0)) AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |         CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1
+        |           ELSE 0 END), 0) AS BIGINT) AS b,
+        |         CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1
+        |           ELSE 0 END), 0) AS BIGINT) AS c
+        |  FROM r),
+        |px AS (
+        |  SELECT n_items, b, c,
+        |         CAST(b - c AS DOUBLE) AS gap,
+        |         abs(CAST(b - c AS DOUBLE) / sqrt(CAST(b + c AS DOUBLE)))
+        |           * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(CAST(b - c AS DOUBLE)
+        |                / sqrt(CAST(b + c AS DOUBLE)))
+        |              * 0.7071067811865476)) AS t
+        |  FROM ag)
+        |SELECT n_items, b, c,
+        |       CASE WHEN b + c > 0 THEN
+        |         round(gap * gap / CAST(b + c AS DOUBLE), 6) END AS chi2,
+        |       CASE WHEN b + c > 0 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
+    // q228: same ascending (count, group) rank as q179, exact
+    // cumulative longs, two share divisions.
+    "q228_lorenz" ->
+      """WITH counts AS (
+        |  SELECT source AS grp, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(*) AS g FROM counts),
+        |rk AS (
+        |  SELECT grp, c,
+        |         CAST(row_number() OVER (ORDER BY c, grp) AS BIGINT)
+        |           AS rank,
+        |         sum(c) OVER (ORDER BY c, grp
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum
+        |  FROM counts)
+        |SELECT rank, grp, c,
+        |       round(CAST(rank AS DOUBLE) / CAST(g AS DOUBLE), 6)
+        |         AS cum_group_share,
+        |       round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |         AS cum_row_share
+        |FROM rk, tot ORDER BY rank""".stripMargin,
+
     // q226: same span/horizon replay as q180, same 12-dp decimal term
     // folds, same Abramowitz–Stegun p chain as q189 — the z feeding p
     // is the UNROUNDED (o1−e1)/√v, both engines casting the identical

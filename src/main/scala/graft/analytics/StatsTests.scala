@@ -590,6 +590,76 @@ object StatsTests {
   }
 
   /**
+   * Lorenz curve of volume concentration over a categorical key — the
+   * point-by-point picture behind [[concentration]]'s Gini scalar
+   * ("the bottom 60% of sources hold 11% of the corpus"): groups rank
+   * ascending by count (id tiebreak — the [[concentration]] order) and
+   * each row reports the cumulative share of groups and of rows at
+   * that rank. Diagonal = perfect equality; the Gini is twice the area
+   * between. All counts exact longs; the two shares are the only float
+   * divisions, rounded 6 dp.
+   *
+   * Same scale contract as [[concentration]]: the ordered window runs
+   * over the GROUP frame (group-cardinality, never data rows); the
+   * totals are a broadcast 1-row fan-in. Returns one row per group
+   * `(rank, grp, c, cum_group_share, cum_row_share)` ordered by rank.
+   */
+  def lorenzCurve(df: DataFrame, groupCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("grp")).filter(col("grp").isNotNull)
+      .groupBy("grp").agg(count(lit(1)).as("c"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").asc, col("grp").asc)
+    val cumW = wAsc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.agg(sum(col("c")).as("_n"), count(lit(1)).as("_g"))
+    counts
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
+      .withColumn("_cum", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("grp"), col("c"),
+        round(col("rank").cast("double") / col("_g").cast("double"), 6)
+          .as("cum_group_share"),
+        round(col("_cum").cast("double") / col("_n").cast("double"), 6)
+          .as("cum_row_share"))
+      .orderBy(col("rank").asc)
+  }
+
+  /**
+   * McNemar's test over two PAIRED binary screens — "screen A and
+   * screen B disagree; does one systematically pass what the other
+   * fails?" ([[graft.ext.Eval.cohensKappa]] measures how OFTEN they
+   * agree; McNemar tests whether the disagreements are one-sided).
+   * Only the discordant cells matter: with `b` = A-only passes and
+   * `c` = B-only passes, `χ² = (b−c)²/(b+c)` (1 df, no continuity
+   * correction — documented choice) and the signed
+   * `z = (b−c)/√(b+c)` p-values via [[normalTwoSidedP]]. Items where
+   * either screen is NULL drop (a screen that abstains is
+   * [[graft.ext.Eval.krippendorffAlphaBinary]]'s regime, not a pair).
+   * χ²/p are NULL when `b + c = 0` (no disagreements — nothing to
+   * test). All counts exact; two float ops. Returns one row
+   * `(n_items, b, c, chi2, p)` from a single aggregate — scale-free.
+   */
+  def mcnemar(df: DataFrame, screenA: Column, screenB: Column)
+      : DataFrame = {
+    val a = screenA.cast("boolean")
+    val b = screenB.cast("boolean")
+    val gap = (col("b") - col("c")).cast("double")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum((a && !b).cast("long")), lit(0L)).as("b"),
+        coalesce(sum((!a && b).cast("long")), lit(0L)).as("c"))
+      .select(col("n_items"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          round(gap * gap / (col("b") + col("c")).cast("double"), 6))
+          .as("chi2"),
+        when(col("b") + col("c") > 0,
+          normalTwoSidedP(gap
+            / sqrt((col("b") + col("c")).cast("double"))))
+          .as("p"))
+  }
+
+  /**
    * Standardized effect size between two samples — the magnitude
    * companion to [[twoProportionZ]]/[[mannWhitneyU]] significance ("the
    * difference is real; is it LARGE?"): Cohen's d on the pooled sample

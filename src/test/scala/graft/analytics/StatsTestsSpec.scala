@@ -225,6 +225,47 @@ class StatsTestsSpec extends GraftSpec {
     assert(dead.getDouble(3) == 0.0, "MDE collapses to 0 at p̄ = 0")
   }
 
+  test("mcnemar: discordant cells only; hand chi2; full agreement is " +
+    "NULL; NULL-screen items drop") {
+    // 10 both-pass, 6 A-only, 2 B-only, 3 both-fail, 1 with NULL B
+    val items =
+      (Seq.fill(10)((Some(true), Some(true))) ++
+        Seq.fill(6)((Some(true), Some(false))) ++
+        Seq.fill(2)((Some(false), Some(true))) ++
+        Seq.fill(3)((Some(false), Some(false))) ++
+        Seq((Some(true), Option.empty[Boolean])))
+        .toDF("a", "b")
+    val got = StatsTests.mcnemar(items, col("a"), col("b")).head()
+    assert(got.getLong(0) == 21L && got.getLong(1) == 6L &&
+      got.getLong(2) == 2L, s"$got")
+    assert(got.getDouble(3) == 2.0, s"chi2 $got") // (6-2)²/8
+    // p replays the Abramowitz-Stegun chain at z = 4/√8
+    val x = math.abs(4.0 / math.sqrt(8.0)) * 0.7071067811865476
+    val tt = 1.0 / (1.0 + 0.3275911 * x)
+    val want = BigDecimal(((((1.061405429 * tt - 1.453152027) * tt
+      + 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt *
+      math.exp(-x * x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.getDouble(4) == want, s"p $got")
+
+    val agree = StatsTests.mcnemar(
+      Seq((true, true), (false, false)).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(agree.isNullAt(3) && agree.isNullAt(4), "no disagreements")
+  }
+
+  test("lorenzCurve: ascending-rank cumulative shares on a hand case") {
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
+      .toDF("g")
+    val got = StatsTests.lorenzCurve(rows, col("g")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1L, 0.333333, 0.1),
+      (2L, "b", 3L, 0.666667, 0.4),
+      (3L, "c", 6L, 1.0, 1.0)), s"${got.toSeq}")
+  }
+
   test("mannWhitneyU: clean separation hits the U extremes; ties get " +
     "average ranks and the corrected variance; all-tied → NULL z") {
     def df(vs: Double*) = vs.toDF("v")
