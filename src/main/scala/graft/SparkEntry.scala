@@ -168,6 +168,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // A5+/S — q168's rolling 7-day actives through MERGEABLE HLL
+    // sketches: each day reduces to ONE sketch before the window
+    // fan-out, so the shuffle is day-sized (not user-day-sized) — the
+    // whole-corpus swap q168's scaladoc promises, SHARING its exact
+    // oracle (lgK 14 stays in exact mode at harness cardinality).
+    "q229_rolling_hll" -> ((s, d) =>
+      TimeSeries.rollingDistinctUsersHll(
+        t(s, d, "events"), "user_id", "ts", windowDays = 7)),
+
     // X+/E — McNemar's paired test on two q202 screens: the length
     // screen vs the repetition screen disagree on some docs — is the
     // disagreement one-sided (one screen strictly laxer)? Discordant
@@ -6638,18 +6647,13 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
-    "q168_rolling_active" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT user_id AS u,
-        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |act AS (SELECT DISTINCT d AS e FROM pairs),
-        |fan AS (SELECT u, unnest(range(d, d + 7)) AS e FROM pairs),
-        |j AS (SELECT f.u, f.e FROM fan f JOIN act ON act.e = f.e)
-        |SELECT strftime(make_timestamp(e * 86400 * 1000000), '%Y-%m-%d')
-        |         AS day,
-        |       CAST(count(DISTINCT u) AS BIGINT) AS n_active
-        |FROM j GROUP BY e ORDER BY day""".stripMargin,
+    "q168_rolling_active" -> rollingActiveOracleSql,
+
+    // q229 SHARES q168's exact oracle: the per-day HLL sketches never
+    // leave DataSketches' exact list/set mode at harness cardinality
+    // (lgK 14 promotes at ~12k items), so union+estimate reproduces
+    // count(DISTINCT) exactly.
+    "q229_rolling_hll" -> rollingActiveOracleSql,
 
     // q169: same token/sentence/longword definitions, same guarded lix.
     "q169_readability" ->
@@ -8545,6 +8549,21 @@ object SparkEntry {
     """SELECT user_id, count(*) AS cnt FROM events
       |WHERE user_id IS NOT NULL GROUP BY 1
       |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
+  /** Shared by q168 (exact contribution fan-out) and q229 (HLL sketch
+    * fan-out) — both must reproduce the exact rolling distinct. */
+  private val rollingActiveOracleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |act AS (SELECT DISTINCT d AS e FROM pairs),
+      |fan AS (SELECT u, unnest(range(d, d + 7)) AS e FROM pairs),
+      |j AS (SELECT f.u, f.e FROM fan f JOIN act ON act.e = f.e)
+      |SELECT strftime(make_timestamp(e * 86400 * 1000000), '%Y-%m-%d')
+      |         AS day,
+      |       CAST(count(DISTINCT u) AS BIGINT) AS n_active
+      |FROM j GROUP BY e ORDER BY day""".stripMargin
 
   /** Shared by q221/q222 (merging sub-sketches is element-wise
     * addition — lossless, so both readouts are identical): replays

@@ -109,4 +109,47 @@ object TimeSeries {
         col("n_active"))
       .orderBy(col("day").asc_nulls_last)
   }
+
+  /**
+   * [[rollingDistinctUsers]] through MERGEABLE HLL sketches — the
+   * whole-corpus-scale swap that method's scaladoc promises: the exact
+   * form fans out USER-DAY pairs (each contributing to ≤ `windowDays`
+   * window ends — row volume `windowDays`·|user-days|), this form
+   * reduces each day to ONE sketch first and fans out the DAY-sized
+   * sketch frame instead, so the shuffle carries
+   * `windowDays`·|days| sketch rows regardless of user cardinality.
+   * Same output contract `(day, n_active)`, window ends restricted to
+   * days with their own activity.
+   *
+   * Estimates: DataSketches HLL stays in EXACT mode well past any
+   * harness cardinality at `lgK` 14 (list/set promotion happens at
+   * ~¾·2^lgK items), so the q168 exact oracle is shared verbatim; at
+   * true corpus scale the estimate takes the standard ~1.6%/√2^lgK
+   * relative error — the documented trade for a user-cardinality-free
+   * shuffle.
+   */
+  def rollingDistinctUsersHll(
+      df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7, lgK: Int = 14): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
+    val daySk = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .groupBy(col("_d"))
+      .agg(hll_sketch_agg(col("_u"), lit(lgK)).as("_sk"))
+    val activeDays = daySk.select(col("_d").as("_end"))
+    daySk
+      .select(col("_sk"),
+        explode(sequence(col("_d"),
+          col("_d") + lit((windowDays - 1).toLong))).as("_end"))
+      .join(activeDays, Seq("_end")) // only days with their own activity
+      .groupBy(col("_end"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("n_active"))
+      .select(
+        date_format(timestamp_seconds(col("_end") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("n_active"))
+      .orderBy(col("day").asc_nulls_last)
+  }
 }

@@ -76,4 +76,27 @@ class TimeSeriesSpec extends GraftSpec {
       "1970-01-09" -> 1L),  // day 8: only u1's new pair (day 1 aged out)
       got)
   }
+
+  test("rollingDistinctUsersHll: the sketch form equals the exact form " +
+    "on the fixture AND on real events (exact mode at this " +
+    "cardinality)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val ev = Seq(
+      (1L, 0L), (1L, 100L), (2L, 86400L), (1L, 8L * 86400L)
+    ).toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(
+      rows(TimeSeries.rollingDistinctUsersHll(ev, "user_id", "ts", 7)) ==
+        rows(TimeSeries.rollingDistinctUsers(ev, "user_id", "ts", 7)))
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    assert(
+      rows(TimeSeries.rollingDistinctUsersHll(real, "user_id", "ts", 7)) ==
+        rows(TimeSeries.rollingDistinctUsers(real, "user_id", "ts", 7)),
+      "HLL and exact rolling actives must agree on the real corpus")
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingDistinctUsersHll(ev, "user_id", "ts", 0)
+    }
+  }
 }
