@@ -168,6 +168,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — day-of-week seasonal index of the daily event-count
+    // series (the multiplicative profile a forecaster divides out
+    // before q147's trend fit; the spec-only operator promoted to the
+    // oracle contract): 7-row output, exact decimal sums, two
+    // divisions per row.
+    "q230_seasonal_index" -> ((s, d) =>
+      Changepoint.seasonalIndex(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+        .orderBy(col("dow").asc)),
+
     // A5+/S — q168's rolling 7-day actives through MERGEABLE HLL
     // sketches: each day reduces to ONE sketch before the window
     // fan-out, so the shuffle is day-sized (not user-day-sized) — the
@@ -6647,6 +6660,27 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q230: same daily counts as q193, DuckDB's Sunday-0 dayofweek
+    // shifted to Spark's Sunday-1, same two divisions (counts are
+    // integers, so the 9-dp decimal terms are the counts themselves).
+    "q230_seasonal_index" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |cells AS (
+        |  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(n_events) AS HUGEINT) AS sv
+        |  FROM s GROUP BY 1),
+        |tot AS (SELECT sum(n_days) AS tn, sum(sv) AS ts FROM cells)
+        |SELECT dow, n_days,
+        |       round(CAST(sv AS DOUBLE) / n_days, 6) AS mean_value,
+        |       round((CAST(sv AS DOUBLE) / n_days)
+        |             / nullif(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE),
+        |                      0), 6) AS seasonal_index
+        |FROM cells, tot ORDER BY dow""".stripMargin,
+
     "q168_rolling_active" -> rollingActiveOracleSql,
 
     // q229 SHARES q168's exact oracle: the per-day HLL sketches never
