@@ -168,6 +168,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — one-way ANOVA F across sources on document length: the
+    // omnibus gate before q189's per-source screens (k tests without
+    // an omnibus invite multiplicity fishing). Exact decimal moments,
+    // 12-dp between-term folds, one double chain.
+    "q231_anova" -> ((s, d) =>
+      StatsTests.anovaF(t(s, d, "documents"),
+        col("source"), col("n_chars"))),
+
+    // X+/S — Kruskal–Wallis H across sources on document length: the
+    // rank omnibus for skewed metrics (the q177 doubled-rank lift at
+    // k groups; the cumulative window runs over distinct VALUES).
+    "q232_kruskal_wallis" -> ((s, d) =>
+      StatsTests.kruskalWallis(t(s, d, "documents"),
+        col("source"), col("n_chars"))),
+
     // X+/S — day-of-week seasonal index of the daily event-count
     // series (the multiplicative profile a forecaster divides out
     // before q147's trend fit; the spec-only operator promoted to the
@@ -6660,6 +6675,87 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q231: same 9-dp decimal moments (n_chars is integer — exact),
+    // same 12-dp between-term folds, same guarded F chain.
+    "q231_anova" ->
+      """WITH cells AS (
+        |  SELECT source,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(n_chars AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(CAST(n_chars AS DOUBLE)
+        |                  * CAST(n_chars AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s2
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |         sum(s1) AS ts1, sum(s2) AS ts2,
+        |         CAST(sum(CAST(round(CAST(s1 AS DOUBLE)
+        |             * CAST(s1 AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS bsum
+        |  FROM cells),
+        |x AS (
+        |  SELECT k, nn,
+        |         CAST(bsum AS DOUBLE)
+        |           - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+        |             / CAST(nn AS DOUBLE) AS ssb,
+        |         CAST(ts2 AS DOUBLE) - CAST(bsum AS DOUBLE) AS ssw
+        |  FROM f)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |       round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |       CASE WHEN k >= 2 AND nn > k THEN
+        |         round((ssb / (k - 1))
+        |               / nullif(ssw / (nn - k), 0), 6) END AS f
+        |FROM x""".stripMargin,
+
+    // q232: same (group, value) count frame, same 2B+t+1 doubled
+    // ranks over the distinct-value order, same 12-dp term folds and
+    // tie correction.
+    "q232_kruskal_wallis" ->
+      """WITH gv AS (
+        |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |vt AS (SELECT v, sum(c) AS t FROM gv GROUP BY 1),
+        |rk AS (
+        |  SELECT v, t,
+        |         2 * coalesce(sum(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) + t + 1 AS r2
+        |  FROM vt),
+        |pg AS (
+        |  SELECT gv.g, sum(gv.c) AS ng,
+        |         CAST(sum(gv.c * rk.r2) AS HUGEINT) AS rg2
+        |  FROM gv JOIN rk USING (v) GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * (t * t - 1)), 0) AS HUGEINT)
+        |    AS tie FROM rk),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(coalesce(sum(ng), 0) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(round(CAST(rg2 AS DOUBLE)
+        |             * CAST(rg2 AS DOUBLE)
+        |             / CAST(4 * ng AS DOUBLE), 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS rsum
+        |  FROM pg),
+        |x AS (
+        |  SELECT k, nn, tie,
+        |         12.0 * CAST(rsum AS DOUBLE)
+        |           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+        |           - 3.0 * (CAST(nn AS DOUBLE) + 1) AS h,
+        |         1.0 - CAST(tie AS DOUBLE)
+        |           / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |              * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) AS corr
+        |  FROM f, ties)
+        |SELECT k AS n_groups, nn AS n, round(h, 6) AS h,
+        |       round(h / nullif(corr, 0), 6) AS h_corrected
+        |FROM x""".stripMargin,
+
     // q230: same daily counts as q193, DuckDB's Sunday-0 dayofweek
     // shifted to Spark's Sunday-1, same two divisions (counts are
     // integers, so the 9-dp decimal terms are the counts themselves).

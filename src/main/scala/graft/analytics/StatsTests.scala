@@ -590,6 +590,122 @@ object StatsTests {
   }
 
   /**
+   * One-way ANOVA F across k groups — the omnibus "do ANY of these
+   * slices differ in mean?" that precedes [[groupWelchZ]]'s per-group
+   * screens (k per-group tests without an omnibus gate invite
+   * multiplicity fishing; [[bhSignificance]] is the other guard).
+   *
+   * Sum-of-squares identities from exact per-group moments
+   * (n_g, Σx, Σx²):
+   *
+   *   SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N ,  SSW = Σx² − Σ_g (Σx_g)²/n_g
+   *   F   = (SSB/(k−1)) / (SSW/(N−k))
+   *
+   * Values fold as 9-dp decimals (the [[groupWelchZ]] rule); each
+   * (Σx_g)²/n_g term is ONE double division rounded 12 dp and summed
+   * as DECIMAL(38,12) (order-independent over the group frame). F is
+   * NULL when k < 2, N ≤ k, or SSW = 0 (no within-group spread —
+   * undefined). Returns one row
+   * `(n_groups, n_rows, ss_between, ss_within, f)`, 6-dp.
+   *
+   * Shape: one hash aggregate to the GROUP frame, one fold — the
+   * corpus is touched once.
+   */
+  def anovaF(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val d9 = DecimalType(38, 9)
+    val cells = df
+      .select(groupCol.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"))
+    val folded = cells.agg(
+      count(lit(1)).as("_k"),
+      coalesce(sum(col("_n")), lit(0L)).as("_nn"),
+      sum(col("_s1")).as("_ts1"),
+      sum(col("_s2")).as("_ts2"),
+      sum(round(col("_s1").cast("double") * col("_s1").cast("double")
+        / col("_n").cast("double"), 12).cast(d12)).as("_bsum"))
+    val ssb = col("_bsum").cast("double") -
+      col("_ts1").cast("double") * col("_ts1").cast("double") /
+        col("_nn").cast("double")
+    val ssw = col("_ts2").cast("double") - col("_bsum").cast("double")
+    folded.select(
+      col("_k").as("n_groups"), col("_nn").as("n_rows"),
+      round(ssb, 6).as("ss_between"),
+      round(ssw, 6).as("ss_within"),
+      when(col("_k") >= 2 && col("_nn") > col("_k"),
+        round((ssb / (col("_k") - 1).cast("double"))
+          / nullif(ssw / (col("_nn") - col("_k")).cast("double"),
+            lit(0.0)), 6))
+        .as("f"))
+  }
+
+  /**
+   * Kruskal–Wallis H across k groups — the rank-based omnibus
+   * companion to [[anovaF]] for skewed metrics (document lengths,
+   * latencies) where the F-test's normality lean is wrong. Built on
+   * the [[mannWhitneyU]] doubled-rank lift, generalized to k groups:
+   * per distinct value v with t(v) total rows and B(v) strictly below,
+   * the doubled tie-averaged rank is `r₂(v) = 2B + t + 1` (always an
+   * integer), per-group doubled rank sums R₂_g come from the grouped
+   * count frame, and
+   *
+   *   H = 12/(N(N+1)) · Σ_g R₂_g²/(4·n_g) − 3(N+1)
+   *   H_c = H / (1 − Σ(t³−t)/(N³−N))      (tie correction)
+   *
+   * Each R₂_g²/(4n_g) term is one double division rounded 12 dp,
+   * folded as DECIMAL(38,12). H_c is NULL when every value ties (the
+   * correction denominator hits 0). Returns one row
+   * `(n_groups, n, h, h_corrected)`, 6-dp.
+   *
+   * Same scale contract as [[mannWhitneyU]]: rows aggregate map-side
+   * into per-(group, value) counts; the one ordered cumulative window
+   * runs over the DISTINCT-VALUE frame (value cardinality, not rows).
+   */
+  def kruskalWallis(
+      df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val gv = df.filter(groupCol.isNotNull)
+      .select(groupCol.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vt = gv.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = vt.withColumn("_r2",
+      lit(2L) * coalesce(sum(col("_t")).over(wB), lit(0L))
+        + col("_t") + 1L)
+    val perGroup = gv.join(ranked.select(col("_v"), col("_r2")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c") * col("_r2")).cast("decimal(38,0)").as("_rg2"))
+    val ties = ranked.agg(
+      coalesce(sum(col("_t") * (col("_t") * col("_t") - 1L)), lit(0L))
+        .as("_tie"))
+    val folded = perGroup.agg(
+      count(lit(1)).as("_k"),
+      coalesce(sum(col("_ng")), lit(0L)).as("_nn"),
+      sum(round(col("_rg2").cast("double") * col("_rg2").cast("double")
+        / (lit(4L) * col("_ng")).cast("double"), 12).cast(d12))
+        .as("_rsum"))
+      .crossJoin(broadcast(ties))
+    val nD = col("_nn").cast("double")
+    val h = lit(12.0) * col("_rsum").cast("double") / (nD * (nD + 1.0)) -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) -
+      col("_tie").cast("double") / (nD * nD * nD - nD)
+    folded.select(
+      col("_k").as("n_groups"), col("_nn").as("n"),
+      round(h, 6).as("h"),
+      round(h / nullif(corr, lit(0.0)), 6).as("h_corrected"))
+  }
+
+  /**
    * Lorenz curve of volume concentration over a categorical key — the
    * point-by-point picture behind [[concentration]]'s Gini scalar
    * ("the bottom 60% of sources hold 11% of the corpus"): groups rank

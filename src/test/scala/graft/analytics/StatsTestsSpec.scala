@@ -254,6 +254,49 @@ class StatsTestsSpec extends GraftSpec {
     assert(agree.isNullAt(3) && agree.isNullAt(4), "no disagreements")
   }
 
+  test("anovaF: hand-computed sums of squares; one group and " +
+    "zero-spread inputs yield NULL F") {
+    // g1: 1,2,3 (Σ=6, Σ²=14); g2: 4,5,6 (Σ=15, Σ²=77)
+    // N=6, S1=21, bsum = 36/3 + 225/3 = 87
+    // SSB = 87 − 441/6 = 13.5 ; SSW = 91 − 87 = 4
+    // F = (13.5/1)/(4/4) = 13.5
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val got = StatsTests.anovaF(rows, col("g"), col("v")).head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 6L)
+    assert(got.getDouble(2) == 13.5 && got.getDouble(3) == 4.0, s"$got")
+    assert(got.getDouble(4) == 13.5, s"$got")
+
+    val one = StatsTests.anovaF(rows.filter(col("g") === "a"),
+      col("g"), col("v")).head()
+    assert(one.isNullAt(4), "k < 2 must be NULL")
+    val flat = StatsTests.anovaF(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v"),
+      col("g"), col("v")).head()
+    assert(flat.isNullAt(4), "zero within-spread must be NULL")
+  }
+
+  test("kruskalWallis: textbook no-tie case matches the closed form; " +
+    "all-tied values yield NULL corrected H") {
+    // g1: 1,2; g2: 3,4; g3: 5,6 — no ties
+    // ranks: g1 {1,2}→R=3, g2 {3,4}→R=7, g3 {5,6}→R=11
+    // H = 12/(6·7)·(9/2+49/2+121/2) − 3·7 = 12/42·89.5 − 21
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val got = StatsTests.kruskalWallis(rows, col("g"), col("v")).head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 3L && got.getLong(1) == 6L)
+    assert(got.getDouble(2) == r6(12.0 / 42.0 * 89.5 - 21.0), s"$got")
+    assert(got.getDouble(3) == got.getDouble(2),
+      "no ties → correction is identity")
+
+    val tied = StatsTests.kruskalWallis(
+      Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v"),
+      col("g"), col("v")).head()
+    assert(tied.isNullAt(3), "all-tied correction denominator is 0")
+  }
+
   test("lorenzCurve: ascending-rank cumulative shares on a hand case") {
     val rows = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
       .toDF("g")
