@@ -168,6 +168,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — Theil–Sen robust slope of the daily event-count series:
+    // the outlier-proof companion to q147's OLS trend (lower-median of
+    // pairwise slopes — one hot day cannot drag it). Day²-sized pairs
+    // under the aggregate-first series contract.
+    "q233_theil_sen" -> ((s, d) =>
+      Robust.theilSen(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(floor(col("ts").cast("long") / lit(86400L))
+            .cast("long").as("day_no"))
+          .agg(count(lit(1)).as("n_events")),
+        col("day_no"), col("n_events"))),
+
     // X+/S — one-way ANOVA F across sources on document length: the
     // omnibus gate before q189's per-source screens (k tests without
     // an omnibus invite multiplicity fishing). Exact decimal moments,
@@ -6675,6 +6687,39 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q233: same day buckets, same strict x< pairs, same lower-median
+    // rank picks ((n+1)//2 over the slope order, then over the
+    // intercept order at the chosen slope) — every pick an ACTUAL
+    // computed double, zero interpolation.
+    "q233_theil_sen" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT (b.v - a.v) / (CAST(b.x AS DOUBLE)
+        |           - CAST(a.x AS DOUBLE)) AS sl
+        |  FROM s a JOIN s b ON a.x < b.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |slp AS (
+        |  SELECT n_pairs, sl AS slope
+        |  FROM (SELECT sl, row_number() OVER (ORDER BY sl) AS r FROM p),
+        |       np
+        |  WHERE r = (n_pairs + 1) // 2),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM s),
+        |ic AS (
+        |  SELECT n_points, n_pairs, slope, i
+        |  FROM (SELECT s.v - slp.slope * CAST(s.x AS DOUBLE) AS i,
+        |               row_number() OVER (ORDER BY
+        |                 s.v - slp.slope * CAST(s.x AS DOUBLE)) AS r,
+        |               slp.n_pairs, slp.slope
+        |        FROM s, slp),
+        |       nb
+        |  WHERE r = (n_points + 1) // 2)
+        |SELECT n_points, n_pairs, round(slope, 6) AS slope,
+        |       round(i, 6) AS intercept
+        |FROM ic""".stripMargin,
+
     // q231: same 9-dp decimal moments (n_chars is integer — exact),
     // same 12-dp between-term folds, same guarded F chain.
     "q231_anova" ->

@@ -187,4 +187,58 @@ object Robust {
         sum((lit(0.6745) * abs(col("_v") - col("median")) >
           lit(cutoff) * col("mad")).cast("long")).as("n_outliers"))
   }
+
+  /**
+   * Theil–Sen slope over an aggregated series — the robust companion
+   * to [[Trend.trend]]'s OLS line: the LOWER MEDIAN of all pairwise
+   * slopes `(v_j − v_i)/(x_j − x_i)` (up to 29% contaminated points
+   * leave it standing, where one hot day drags OLS arbitrarily far),
+   * plus the matching intercept as the lower median of
+   * `v_i − slope·x_i`. Lower median = the rank-exact value at sorted
+   * position `⌈n/2⌉` ([[winsorizedMean]]'s percentile_disc rule: an
+   * ACTUAL computed slope, never an interpolation, so engines agree
+   * bit-for-bit). Each slope is ONE double division of exact inputs.
+   *
+   * SERIES CONTRACT (the [[Changepoint.cusum]] rule): the input is an
+   * already-aggregated series — days, hours, buckets — so the pairs
+   * frame is series²-sized and its one ranking window is bounded by
+   * construction; a caller passing raw events pays quadratic rows.
+   *
+   * Returns one row `(n_points, n_pairs, slope, intercept)`, 6-dp —
+   * EMPTY when fewer than 2 distinct x positions exist (no pair, no
+   * median to pick). Equal-x pairs are excluded (vertical slopes), the
+   * standard Theil–Sen treatment.
+   */
+  def theilSen(
+      series: DataFrame, xCol: Column, valueCol: Column): DataFrame = {
+    val base = series
+      .select(xCol.cast("double").as("_x"),
+        valueCol.cast("double").as("_v"))
+      .filter(col("_x").isNotNull && col("_v").isNotNull)
+    val lo = base.select(col("_x").as("_xi"), col("_v").as("_vi"))
+    val hi = base.select(col("_x").as("_xj"), col("_v").as("_vj"))
+    val slopes = lo.join(hi, col("_xi") < col("_xj"))
+      .select(((col("_vj") - col("_vi")) / (col("_xj") - col("_xi")))
+        .as("_s"))
+    val nP = slopes.agg(count(lit(1)).as("n_pairs"))
+    val wS = Window.orderBy(col("_s").asc)
+    val slope = slopes
+      .withColumn("_r", row_number().over(wS).cast("long"))
+      .crossJoin(broadcast(nP))
+      .filter(col("_r") ===
+        ceil(col("n_pairs").cast("double") / 2.0).cast("long"))
+      .select(col("n_pairs"), col("_s").as("_slope"))
+    val nB = base.agg(count(lit(1)).as("n_points"))
+    val wI = Window.orderBy(col("_i").asc)
+    base.crossJoin(broadcast(slope))
+      .select(col("n_pairs"), col("_slope"),
+        (col("_v") - col("_slope") * col("_x")).as("_i"))
+      .withColumn("_r", row_number().over(wI).cast("long"))
+      .crossJoin(broadcast(nB))
+      .filter(col("_r") ===
+        ceil(col("n_points").cast("double") / 2.0).cast("long"))
+      .select(col("n_points"), col("n_pairs"),
+        round(col("_slope"), 6).as("slope"),
+        round(col("_i"), 6).as("intercept"))
+  }
 }

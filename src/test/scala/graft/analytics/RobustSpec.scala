@@ -89,4 +89,27 @@ class RobustSpec extends GraftSpec {
       Robust.quantileNormalize(df, col("v"), bucketWidth = 0.0)
     }
   }
+
+  test("theilSen: one wild outlier cannot move the median slope; a " +
+    "single point yields an empty frame") {
+    import org.apache.spark.sql.functions.col
+    // v = 2x on 0..3, plus (4, 100): 6 of 10 pairwise slopes are 2,
+    // so the lower median (rank 5) is exactly 2; intercepts v−2x are
+    // [0,0,0,0,92] → lower median 0
+    val pts = Seq((0L, 0.0), (1L, 2.0), (2L, 4.0), (3L, 6.0),
+      (4L, 100.0)).toDF("x", "v")
+    val got = Robust.theilSen(pts, col("x"), col("v")).head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 10L, s"$got")
+    assert(got.getDouble(2) == 2.0, s"slope $got")
+    assert(got.getDouble(3) == 0.0, s"intercept $got")
+
+    // equal-x pairs are excluded, remaining pairs still rank
+    val dup = Seq((0L, 0.0), (0L, 10.0), (1L, 2.0)).toDF("x", "v")
+    val d = Robust.theilSen(dup, col("x"), col("v")).head()
+    // slopes: (2−0)/1 = 2, (2−10)/1 = −8 → lower median (rank 1) = −8
+    assert(d.getLong(1) == 2L && d.getDouble(2) == -8.0, s"$d")
+
+    assert(Robust.theilSen(Seq((1L, 1.0)).toDF("x", "v"),
+      col("x"), col("v")).isEmpty, "one point has no pair")
+  }
 }
