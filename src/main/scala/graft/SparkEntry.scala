@@ -168,6 +168,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — segmented trend at q193's CUSUM change point: localize,
+    // then QUANTIFY — per-side OLS over the row-index clock, the
+    // q147 moment algebra grouped by segment. Series-sized frames.
+    "q234_segmented_trend" -> ((s, d) =>
+      Changepoint.segmentedTrend(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
     // X+/S — Theil–Sen robust slope of the daily event-count series:
     // the outlier-proof companion to q147's OLS trend (lower-median of
     // pairwise slopes — one hot day cannot drag it). Day²-sized pairs
@@ -6687,6 +6697,72 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q234: q193's argmax replay picks the breakpoint day, then the
+    // q147 decimal-moment OLS per side over the row-index clock.
+    "q234_segmented_trend" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT day, n_events,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |         sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cum,
+        |         CAST(count(*) OVER () AS BIGINT) AS n,
+        |         sum(n_events) OVER () AS s1,
+        |         sum(n_events * n_events) OVER () AS s2
+        |  FROM s),
+        |x AS (
+        |  SELECT day, n_events, i,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           AS sigma,
+        |         CAST(n AS DOUBLE) * CAST(cum AS DOUBLE)
+        |           - CAST(i AS DOUBLE) * CAST(s1 AS DOUBLE) AS d
+        |  FROM c),
+        |y AS (SELECT *, max(abs(d)) OVER () AS dmax FROM x),
+        |z AS (SELECT *, min(CASE WHEN abs(d) = dmax THEN i END) OVER ()
+        |        AS imin FROM y),
+        |bp AS (
+        |  SELECT day AS bd FROM z
+        |  WHERE abs(d) = dmax AND sigma > 0 AND i = imin),
+        |lab AS (
+        |  SELECT CASE WHEN z.day <= bp.bd THEN 'pre' ELSE 'post' END
+        |           AS segment,
+        |         CAST(z.i AS DOUBLE) AS xx,
+        |         CAST(z.n_events AS DOUBLE) AS yy
+        |  FROM z, bp),
+        |m AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(xx, 12) AS DECIMAL(38,12))) AS sx,
+        |         sum(CAST(round(yy, 12) AS DECIMAL(38,12))) AS sy,
+        |         sum(CAST(round(xx * xx, 12) AS DECIMAL(38,12))) AS sxx,
+        |         sum(CAST(round(yy * yy, 12) AS DECIMAL(38,12))) AS syy,
+        |         sum(CAST(round(xx * yy, 12) AS DECIMAL(38,12))) AS sxy
+        |  FROM lab GROUP BY 1),
+        |k AS (
+        |  SELECT segment, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m),
+        |f AS (
+        |  SELECT segment, n,
+        |         nd * sxyd - sxd * syd AS cov,
+        |         nd * sxxd - sxd * sxd AS varx,
+        |         nd * syyd - syd * syd AS vary,
+        |         nd, sxd, syd
+        |  FROM k)
+        |SELECT segment, n,
+        |       round(cov / nullif(varx, CAST(0 AS DOUBLE)), 6) AS slope,
+        |       round((syd - cov / nullif(varx, CAST(0 AS DOUBLE)) * sxd)
+        |             / nd, 6) AS intercept,
+        |       round(cov * cov / nullif(varx * vary, CAST(0 AS DOUBLE)), 6)
+        |         AS r2
+        |FROM f ORDER BY segment DESC""".stripMargin,
+
     // q233: same day buckets, same strict x< pairs, same lower-median
     // rank picks ((n+1)//2 over the slope order, then over the
     // intercept order at the chosen slope) — every pick an ACTUAL

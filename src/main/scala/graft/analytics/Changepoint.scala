@@ -95,6 +95,39 @@ object Changepoint {
   }
 
   /**
+   * Segmented (two-piece) trend at the [[cusum]] change point — the
+   * quantify step after the localize step: once the |CUSUM| extremum
+   * marks the most likely shift, fit [[Trend]]'s OLS line to each side
+   * and report both, so "something changed around the 12th" becomes
+   * "the slope went from +0.8/day to −2.1/day". The x axis is the
+   * series ROW INDEX (1-based over `orderCol` — uniform spacing, the
+   * CUSUM view's own clock); moments fold as [[Trend.momentPartials]]
+   * 12-dp decimals.
+   *
+   * Same series contract as [[cusum]] (aggregate first; windows are
+   * series-sized). Returns the [[Trend.trendFromMoments]] columns with
+   * `segment` ∈ {pre, post} (pre includes the flagged bucket), ordered
+   * pre-then-post — EMPTY for a constant series (σ = 0 flags nothing,
+   * so there is no breakpoint to segment at).
+   */
+  def segmentedTrend(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val bp = cusum(series, orderCol, valueCol)
+      .filter(col("is_changepoint"))
+      .select(col(orderCol).as("_bp"))
+    val wOrd = Window.orderBy(col(orderCol))
+    val indexed = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .crossJoin(broadcast(bp))
+      .withColumn("segment",
+        when(col(orderCol) <= col("_bp"), "pre").otherwise("post"))
+    Trend.trend(indexed, "segment",
+        col("_i").cast("double"), col(valueCol).cast("double"))
+      .orderBy(col("segment").desc)
+  }
+
+  /**
    * Day-of-week seasonal profile of a daily count series: per weekday,
    * the mean daily value and its ratio to the overall daily mean (the
    * multiplicative seasonal index a forecaster divides out before

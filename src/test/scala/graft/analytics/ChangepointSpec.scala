@@ -58,4 +58,25 @@ class ChangepointSpec extends GraftSpec {
     assert(monday.getDouble(3) == 1.75)
     assert(got.filter(_.getInt(0) != 2).forall(_.getDouble(3) == 0.875))
   }
+
+  test("segmentedTrend: a planted level shift recovers the two flat " +
+    "slopes; a constant series yields an empty frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 at days 1-5, 30 at days 6-10: CUSUM flags day 5; both sides
+    // are flat lines (slope 0, intercept = the level, r2 NULL since
+    // vary = 0)
+    val series = ((1 to 5).map(d => (d.toLong, 10L)) ++
+      (6 to 10).map(d => (d.toLong, 30L))).toDF("day", "n")
+    val got = Changepoint.segmentedTrend(series, "day", "n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("pre", "post"), s"$got")
+    assert(got("pre") == ((5L, 0.0, 10.0)), s"pre $got")
+    assert(got("post") == ((5L, 0.0, 30.0)), s"post $got")
+
+    val flat = Changepoint.segmentedTrend(
+      (1 to 6).map(d => (d.toLong, 7L)).toDF("day", "n"), "day", "n")
+    assert(flat.isEmpty, "sigma = 0 flags nothing to segment at")
+  }
 }
