@@ -168,6 +168,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — Wald–Wolfowitz runs test of the daily event-count series
+    // around its rank-exact median: is there ANY structure (drift =
+    // too few runs, oscillation = too many) before q147/q234 ask what
+    // the structure is? Series-sized windows only.
+    "q235_runs_test" -> ((s, d) =>
+      StatsTests.runsTest(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
     // X+/S — segmented trend at q193's CUSUM change point: localize,
     // then QUANTIFY — per-side OLS over the row-index clock, the
     // q147 moment algebra grouped by segment. Series-sized frames.
@@ -6697,6 +6708,60 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q235: same lower-median rank pick ((value, day) order), same
+    // equal-to-median drop, same lag-based run count and closed-form
+    // z; p on the unrounded z (the q226 chain).
+    "q235_runs_test" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |md AS (
+        |  SELECT v AS med
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v, day) AS r
+        |        FROM s), nt
+        |  WHERE r = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+        |sg AS (
+        |  SELECT day, CASE WHEN v > med THEN 1 ELSE 0 END AS sgn
+        |  FROM s, md WHERE v <> med),
+        |lg AS (
+        |  SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM sg),
+        |ag AS (
+        |  SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS n1,
+        |         CAST(coalesce(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0
+        |           END), 0) AS BIGINT) AS n2,
+        |         CAST(coalesce(sum(CASE WHEN prev IS NULL
+        |           OR prev <> sgn THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |           AS runs
+        |  FROM lg),
+        |x AS (
+        |  SELECT n1, n2, runs,
+        |         CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2
+        |  FROM ag),
+        |zz AS (
+        |  SELECT n1, n2, runs,
+        |         2.0 * d1 * d2 * (2.0 * d1 * d2 - (d1 + d2))
+        |           / ((d1 + d2) * (d1 + d2) * (d1 + d2 - 1.0)) AS vv,
+        |         (CAST(runs AS DOUBLE)
+        |           - (2.0 * d1 * d2 / (d1 + d2) + 1.0)) AS gap
+        |  FROM x),
+        |px AS (
+        |  SELECT n1, n2, runs, vv, gap,
+        |         abs(gap / sqrt(vv)) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(gap / sqrt(vv)) * 0.7071067811865476)) AS t
+        |  FROM zz)
+        |SELECT n1 AS n_above, n2 AS n_below, runs,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND vv > 0 THEN
+        |         round(gap / sqrt(vv), 6) END AS z,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND vv > 0 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
     // q234: q193's argmax replay picks the breakpoint day, then the
     // q147 decimal-moment OLS per side over the row-index clock.
     "q234_segmented_trend" ->

@@ -590,6 +590,67 @@ object StatsTests {
   }
 
   /**
+   * Wald–Wolfowitz runs test of a series around its median — "is this
+   * sequence RANDOM, or does it drift/oscillate?" The trend family
+   * ([[graft.analytics.Trend]], [[Changepoint]]) asks what the
+   * structure is; this asks whether there is structure at all: too few
+   * runs of same-side values = drift, too many = oscillation.
+   *
+   * The reference level is the LOWER MEDIAN picked by rank over
+   * `(value, order)` ([[Robust]]'s percentile_disc rule — an actual
+   * value, engine-exact); values EQUAL to it drop (the standard
+   * two-category reduction). With n₁ above / n₂ below and R observed
+   * runs (1 + sign changes along the order):
+   *
+   *   μ = 2n₁n₂/n + 1 ,  σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) ,
+   *   z = (R − μ)/σ     (p via [[normalTwoSidedP]])
+   *
+   * All counts exact; z is one double chain. z/p are NULL when either
+   * side is empty or n < 2 (no variance). Returns one row
+   * `(n_above, n_below, runs, z, p)`.
+   *
+   * Same series contract as [[Changepoint.cusum]]: aggregate first;
+   * the two ordered windows (median rank, lag) are series-sized.
+   */
+  def runsTest(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("_o"), col(valueCol).cast("double").as("_v"))
+    val wMed = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_v").asc, col("_o").asc)
+    val nTot = base.agg(count(lit(1)).as("_n"))
+    val med = base
+      .withColumn("_r", row_number().over(wMed).cast("long"))
+      .crossJoin(broadcast(nTot))
+      .filter(col("_r") === ceil(col("_n").cast("double") / 2.0)
+        .cast("long"))
+      .select(col("_v").as("_med"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("_o"))
+    val signed = base.crossJoin(broadcast(med))
+      .filter(col("_v") =!= col("_med"))
+      .select(col("_o"), (col("_v") > col("_med")).cast("int").as("_s"))
+      .withColumn("_prev", lag(col("_s"), 1).over(wOrd))
+    val agg = signed.agg(
+      coalesce(sum(col("_s").cast("long")), lit(0L)).as("_n1"),
+      coalesce(sum((col("_s") === 0).cast("long")), lit(0L)).as("_n2"),
+      coalesce(sum(when(col("_prev").isNull || col("_prev") =!= col("_s"),
+        1L).otherwise(0L)), lit(0L)).as("runs"))
+    val n1 = col("_n1").cast("double"); val n2 = col("_n2").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - lit(1.0)))
+    val z = (col("runs").cast("double") - mu) / sqrt(v)
+    agg.select(col("_n1").as("n_above"), col("_n2").as("n_below"),
+      col("runs"),
+      when(col("_n1") > 0 && col("_n2") > 0 && v > 0.0, round(z, 6))
+        .as("z"),
+      when(col("_n1") > 0 && col("_n2") > 0 && v > 0.0,
+        normalTwoSidedP(z)).as("p"))
+  }
+
+  /**
    * One-way ANOVA F across k groups — the omnibus "do ANY of these
    * slices differ in mean?" that precedes [[groupWelchZ]]'s per-group
    * screens (k per-group tests without an omnibus gate invite

@@ -297,6 +297,34 @@ class StatsTestsSpec extends GraftSpec {
     assert(tied.isNullAt(3), "all-tied correction denominator is 0")
   }
 
+  test("runsTest: hand-counted runs on an alternating and a blocked " +
+    "series; median-equal values drop; one-sided input is NULL") {
+    def series(vals: Double*) = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("o", "v")
+    // 1,9,1,9,1,9 — lower median 1 drops the three 1s... pick: n=6,
+    // rank ceil(3)=3 over (v,o): values sorted 1,1,1,9,9,9 → med=1;
+    // equal-to-median drops the 1s → one side only → NULL z
+    val alt = StatsTests.runsTest(series(1, 9, 1, 9, 1, 9), "o", "v")
+      .head()
+    assert(alt.getLong(0) == 3L && alt.getLong(1) == 0L, s"$alt")
+    assert(alt.isNullAt(3) && alt.isNullAt(4), "one-sided → NULL")
+    // 1,2,9,8,1,3,9,7: med = lower median of sorted(1,1,2,3,7,8,9,9)
+    // at rank 4 = 3; drops the 3 → signs 0,0,1,1,0,1,1 → runs 4,
+    // n1=4, n2=3
+    val mix = StatsTests.runsTest(series(1, 2, 9, 8, 1, 3, 9, 7),
+      "o", "v").head()
+    assert(mix.getLong(0) == 4L && mix.getLong(1) == 3L &&
+      mix.getLong(2) == 4L, s"$mix")
+    // z replays the closed form: mu = 2·4·3/7+1, v per formula
+    val (d1, d2) = (4.0, 3.0)
+    val mu = 2 * d1 * d2 / (d1 + d2) + 1
+    val vv = 2 * d1 * d2 * (2 * d1 * d2 - (d1 + d2)) /
+      ((d1 + d2) * (d1 + d2) * (d1 + d2 - 1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mix.getDouble(3) == r6((4.0 - mu) / math.sqrt(vv)), s"$mix")
+  }
+
   test("lorenzCurve: ascending-rank cumulative shares on a hand case") {
     val rows = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
       .toDF("g")
