@@ -168,6 +168,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // A+/S — entropy rate of the user-journey Markov chain: how
+    // predictable is the next action, as one scalar (perplexity = the
+    // effective branching factor) — q105's matrix and q218's π folded
+    // into ln-parity decimal terms over the TYPE²-sized frame.
+    "q238_entropy_rate" -> ((s, d) =>
+      LogAnalytics.entropyRate(t(s, d, "events"))),
+
+    // X+/E — Cochran's Q over the full q202 screen panel: the
+    // k-screen omnibus of q227's pairwise McNemar (gate first, then
+    // pairwise). Exact integer aggregates, one division.
+    "q236_cochran_q" -> ((s, d) => {
+      val ntok = size(TextOps.tokens(col("text")))
+      StatsTests.cochranQ(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        Seq(length(col("text")) >= 200,
+          ntok >= 40,
+          length(col("text")) <= ntok * 8))
+    }),
+
+    // X+/S — Cramér's V on q166's event-type × weekday contingency:
+    // the bounded [0,1] effect size for the χ² the test reports —
+    // "significant, but is it LARGE?". Category²-bounded.
+    "q237_cramers_v" -> ((s, d) =>
+      StatsTests.cramersV(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        col("event_type"),
+        pmod(floor(col("ts").cast("long") / lit(86400L)), lit(7L)))),
+
     // X+/S — Wald–Wolfowitz runs test of the daily event-count series
     // around its rank-exact median: is there ANY structure (drift =
     // too few runs, oscillation = too many) before q147/q234 ask what
@@ -6708,6 +6736,87 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q238 CHAINED oracle (the q211 precedent): π comes from q218's
+    // own dump (the certified stationary vector), the transition
+    // ratios replay exactly, and every ln term is 12-dp rounded (the
+    // q219 ln-parity rule) before the decimal fold.
+    "q238_entropy_rate" ->
+      """WITH p AS (
+        |  SELECT state, pi
+        |  FROM read_parquet('__OUT__/q218_stationary_dist/*.parquet')),
+        |tr AS (
+        |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT user_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS src
+        |        FROM events
+        |        WHERE user_id IS NOT NULL AND ts IS NOT NULL) s
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+        |       FROM tr GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p),
+        |cell AS (
+        |  SELECT CAST(round(p.pi
+        |           * (CAST(tr.n AS DOUBLE) / CAST(rs.tot AS DOUBLE))
+        |           * ln(CAST(tr.n AS DOUBLE) / CAST(rs.tot AS DOUBLE)),
+        |           12) AS DECIMAL(38,12)) AS t
+        |  FROM tr JOIN rs USING (src) JOIN p ON p.state = tr.src),
+        |dang AS (
+        |  SELECT CAST(round(p.pi * -ln(CAST(kk.k AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12)) AS t
+        |  FROM p, kk WHERE p.state NOT IN (SELECT src FROM rs)),
+        |u AS (SELECT t FROM cell UNION ALL SELECT t FROM dang),
+        |h AS (SELECT coalesce(sum(t), 0) AS hh FROM u)
+        |SELECT kk.k AS n_states,
+        |       round(-CAST(hh AS DOUBLE), 6) AS entropy_nats,
+        |       round(exp(-CAST(hh AS DOUBLE)), 6) AS perplexity
+        |FROM h, kk""".stripMargin,
+
+    // q236: q202's complete-panel ratings, exact integer Q chain.
+    "q236_cochran_q" ->
+      """WITH r AS (
+        |  SELECT CAST(length(text) >= 200 AS BIGINT) AS c0,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |           '\s+'), t -> length(t) > 0)) >= 40 AS BIGINT) AS c1,
+        |         CAST(length(text) <= 8 * len(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           t -> length(t) > 0)) AS BIGINT) AS c2
+        |  FROM documents WHERE text IS NOT NULL),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |         CAST(sum(c0 + c1 + c2) AS HUGEINT) AS s,
+        |         CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2)) AS HUGEINT)
+        |           AS r2,
+        |         CAST(sum(c0) AS HUGEINT) AS t0,
+        |         CAST(sum(c1) AS HUGEINT) AS t1,
+        |         CAST(sum(c2) AS HUGEINT) AS t2
+        |  FROM r)
+        |SELECT n_items, CAST(2 AS INTEGER) AS dof,
+        |       CASE WHEN 3 * s - r2 > 0 THEN
+        |         round(CAST(2 * (3 * (t0*t0 + t1*t1 + t2*t2) - s*s)
+        |                 AS DOUBLE)
+        |               / CAST(3 * s - r2 AS DOUBLE), 6)
+        |       END AS q_stat
+        |FROM ag""".stripMargin,
+
+    // q237: q166's densified χ² chained into the V closed form — V is
+    // computed from the same 6-dp χ² the test reports.
+    "q237_cramers_v" -> (
+      "WITH chi AS (\n" + chi2OracleSql(
+        """WITH base AS (
+          |  SELECT event_type AS a,
+          |         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS b
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+          |          FROM base GROUP BY 1, 2)""".stripMargin) + "\n)\n" +
+      """SELECT n, dof, chi2,
+        |       CASE WHEN n_rows > 1 AND n_cols > 1 THEN
+        |         round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |               * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))),
+        |           6)
+        |       END AS v
+        |FROM chi""".stripMargin),
+
     // q235: same lower-median rank pick ((value, day) order), same
     // equal-to-median drop, same lag-based run count and closed-form
     // z; p on the unrounded z (the q226 chain).

@@ -499,4 +499,56 @@ object LogAnalytics {
           .toDouble)).toSeq
       .toDF("state", "pi")
   }
+
+  /**
+   * Entropy rate of the user-journey Markov chain — "how PREDICTABLE
+   * is the next action?", the single-scalar information view of
+   * [[transitions]] (the matrix) and [[stationaryDistribution]] (the
+   * long-run weights): `H = −Σ_s π_s Σ_t p_st·ln(p_st)` in nats, with
+   * `perplexity = e^H` the effective branching factor (1 = fully
+   * scripted journeys, k = uniform chaos). Dangling states follow the
+   * [[stationaryDistribution]] uniform rule and contribute
+   * `π_s · ln(k)`. Unobserved transitions contribute 0 (the
+   * `0·ln 0 = 0` convention — only observed cells enter).
+   *
+   * Determinism: π is the 9-dp [[stationaryDistribution]] vector; each
+   * cell term is one `ln` chain over exact count ratios, rounded 12 dp
+   * and folded as DECIMAL(38,12) (the q219 ln-parity rule). Returns
+   * one row `(n_states, entropy_nats, perplexity)`, 6-dp.
+   *
+   * Shape: everything after the [[transitions]] aggregate is
+   * TYPE²-sized (the q218 contract).
+   */
+  def entropyRate(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      iters: Int = 200): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val pi = stationaryDistribution(df, userCol, tsCol, typeCol, idCol,
+      iters)
+    val tr = transitions(df, userCol, tsCol, typeCol, idCol)
+      .withColumnRenamed("src", "state")
+    val rs = tr.groupBy(col("state")).agg(sum(col("n")).as("_tot"))
+    val kTot = pi.agg(count(lit(1)).as("_k"))
+    val cellTerms = tr.join(broadcast(rs), Seq("state"))
+      .join(broadcast(pi), Seq("state"))
+      .select(round(col("pi")
+        * (col("n").cast("double") / col("_tot").cast("double"))
+        * log(col("n").cast("double") / col("_tot").cast("double")), 12)
+        .cast(dec12).as("_t"))
+    val danglingTerms = pi
+      .join(broadcast(rs), Seq("state"), "left_anti")
+      .crossJoin(broadcast(kTot))
+      .select(round(col("pi") * -log(col("_k").cast("double")), 12)
+        .cast(dec12).as("_t"))
+    cellTerms.unionByName(danglingTerms)
+      .agg(coalesce(sum(col("_t")), lit(0).cast(dec12)).as("_h"))
+      .crossJoin(broadcast(kTot))
+      .select(col("_k").as("n_states"),
+        round(-col("_h").cast("double"), 6).as("entropy_nats"),
+        round(exp(-col("_h").cast("double")), 6).as("perplexity"))
+  }
 }

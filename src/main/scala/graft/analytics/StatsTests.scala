@@ -77,6 +77,69 @@ object StatsTests {
   }
 
   /**
+   * Cramér's V on the [[chiSquared]] contingency — the EFFECT-SIZE
+   * companion ("how strong is the association?") to that test's
+   * significance, bounded [0, 1] and comparable across table sizes:
+   *
+   *   V = √( χ² / (n · min(r−1, c−1)) )
+   *
+   * Computed from the 6-dp χ² the test itself reports (one √ chain);
+   * NULL when either axis is single-category (no association to
+   * size). Same category²-bounded shape as [[chiSquared]]. Returns
+   * one row `(n, dof, chi2, v)`.
+   */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    chiSquared(df, aCol, bCol)
+      .select(col("n"), col("dof"), col("chi2"),
+        when(col("n_rows") > 1 && col("n_cols") > 1,
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+              least(col("n_rows") - 1, col("n_cols") - 1)
+                .cast("double"))), 6))
+          .as("v"))
+
+  /**
+   * Cochran's Q over k ≥ 2 PAIRED binary screens — the k-screen
+   * omnibus of [[mcnemar]] ("do ANY of these screens differ in pass
+   * rate on the same items?"), the gate before running pairwise
+   * McNemars. Complete panels only (any-NULL items drop — the
+   * [[graft.ext.Eval.fleissKappaBinary]] rule; an abstaining screen
+   * is [[graft.ext.Eval.krippendorffAlphaBinary]]'s regime). With
+   * per-screen pass totals C_j, per-item pass counts R_i, S = ΣR_i:
+   *
+   *   Q = (k−1)·(k·ΣC_j² − S²) / (k·S − ΣR_i²)   (χ², k−1 df)
+   *
+   * Every aggregate is an exact integer; Q is the single float
+   * division, rounded 6 dp — NULL when the denominator is 0 (every
+   * item unanimous: no within-item variation to test). Returns one
+   * row `(n_items, dof, q_stat)` from one aggregate — scale-free.
+   */
+  def cochranQ(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val k = raters.size
+    val r = raters.map(_.cast("boolean").cast("long"))
+    val anyNull = raters.map(_.isNull).reduce(_ || _)
+    val ri = r.reduce(_ + _)
+    val cSq = (0 until k)
+      .map(i => col(s"_c$i") * col(s"_c$i")).reduce(_ + _)
+    df.filter(!anyNull)
+      .select((ri.as("_ri") +: r.zipWithIndex.map { case (c, i) =>
+        c.as(s"_c$i")
+      }): _*)
+      .agg(count(lit(1)).as("n_items"),
+        (coalesce(sum(col("_ri")), lit(0L)).as("_s") +:
+          coalesce(sum(col("_ri") * col("_ri")), lit(0L)).as("_r2") +:
+          (0 until k).map(i =>
+            coalesce(sum(col(s"_c$i")), lit(0L)).as(s"_c$i"))): _*)
+      .select(col("n_items"), lit(k - 1).as("dof"),
+        when(lit(k.toLong) * col("_s") - col("_r2") > 0,
+          round((lit((k - 1).toLong) *
+            (lit(k.toLong) * cSq - col("_s") * col("_s"))).cast("double")
+            / (lit(k.toLong) * col("_s") - col("_r2")).cast("double"), 6))
+          .as("q_stat"))
+  }
+
+  /**
    * Total-variation distance between two samples' binned value
    * distributions: fixed-width bins (`⌊v/binWidth⌋`), per-sample shares
    * from exact counts over the UNION bin set (an absent bin is share

@@ -314,4 +314,30 @@ class LogAnalyticsSpec extends GraftSpec {
           "value"))
     }
   }
+
+  test("entropyRate: a deterministic cycle has zero entropy and " +
+    "perplexity 1; a dangling state contributes its uniform ln k") {
+    import java.sql.Timestamp
+    def ev(u: Long, seq: String*) = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong + u * 100, Timestamp.valueOf(s"2024-01-01 00:0$i:00"),
+        u, t, 1.0)
+    }
+    val cycle = ev(1L, "a", "b", "a", "b", "a")
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val det = LogAnalytics.entropyRate(cycle).head()
+    assert(det.getLong(0) == 2L, s"$det")
+    assert(det.getDouble(1) == 0.0 && det.getDouble(2) == 1.0, s"$det")
+
+    // x→y once, y dangling: π = (1/3, 2/3) at 9 dp; the only entropy
+    // is the dangling uniform row — H = π_y·ln 2
+    val dang = ev(1L, "x", "y")
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogAnalytics.entropyRate(dang).head()
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h = -r(0.666666667 * -math.log(2.0), 12)
+    assert(got.getLong(0) == 2L, s"$got")
+    assert(got.getDouble(1) == r(h, 6), s"$got")
+    assert(got.getDouble(2) == r(math.exp(h), 6), s"$got")
+  }
 }

@@ -297,6 +297,48 @@ class StatsTestsSpec extends GraftSpec {
     assert(tied.isNullAt(3), "all-tied correction denominator is 0")
   }
 
+  test("cochranQ: hand-computed panel; unanimous items only is NULL; " +
+    "NULL-rated items drop; needs >= 2 raters") {
+    // R = (3,1,2,0,2), C = (4,3,1): Q = 2(3·26 − 64)/(24 − 18) = 14/3
+    val panel = Seq(
+      (Some(true), Some(true), Some(true)),
+      (Some(true), Some(false), Some(false)),
+      (Some(true), Some(true), Some(false)),
+      (Some(false), Some(false), Some(false)),
+      (Some(true), Some(true), Some(false)),
+      (Some(true), Option.empty[Boolean], Some(true)) // drops
+    ).toDF("r0", "r1", "r2")
+    val raters = Seq($"r0", $"r1", $"r2")
+    val got = StatsTests.cochranQ(panel, raters).head()
+    assert(got.getLong(0) == 5L && got.getInt(1) == 2, s"$got")
+    assert(got.getDouble(2) == 4.666667, s"$got")
+
+    val unanimous = Seq((true, true, true), (false, false, false))
+      .toDF("r0", "r1", "r2")
+    assert(StatsTests.cochranQ(unanimous, raters).head().isNullAt(2),
+      "no within-item variation")
+    intercept[IllegalArgumentException] {
+      StatsTests.cochranQ(panel, Seq($"r0"))
+    }
+  }
+
+  test("cramersV: perfect association is 1, independence is 0, " +
+    "single-category axis is NULL") {
+    val perfect = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("p", "q")
+    val gotP = StatsTests.cramersV(perfect, col("p"), col("q")).head()
+    assert(gotP.getDouble(2) == 20.0 && gotP.getDouble(3) == 1.0, s"$gotP")
+
+    val indep = (for { a <- Seq("a", "b"); b <- Seq("x", "y") }
+      yield Seq.fill(5)((a, b))).flatten.toDF("p", "q")
+    val gotI = StatsTests.cramersV(indep, col("p"), col("q")).head()
+    assert(gotI.getDouble(3) == 0.0, s"$gotI")
+
+    val single = Seq(("a", "x"), ("a", "y")).toDF("p", "q")
+    assert(StatsTests.cramersV(single, col("p"), col("q")).head()
+      .isNullAt(3), "min(r-1, c-1) = 0 is undefined")
+  }
+
   test("runsTest: hand-counted runs on an alternating and a blocked " +
     "series; median-equal values drop; one-sided input is NULL") {
     def series(vals: Double*) = vals.zipWithIndex
