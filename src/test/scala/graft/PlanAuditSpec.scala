@@ -726,4 +726,66 @@ class PlanAuditSpec extends GraftSpec {
         }
     }
   }
+
+  test("q224 HITS: top-k is TakeOrdered, rounds are equi-joins with no " +
+    "cartesian, even with broadcast disabled") {
+    // at 100 TB neither the edge list nor the score frames broadcast;
+    // each half-round must stay a shuffled equi-join + hash aggregate
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q224_hits")
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested-loop is the 1-row total fan-in
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnl <= 1, s"unexpected nested loops ($bnl):\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("q221/q222 CMS: the sketch side broadcasts into the estimate " +
+    "join; the top-10 pick is TakeOrdered") {
+    Seq("q221_cms_estimate", "q222_cms_merge").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("TakeOrderedAndProject"), s"$k:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$k:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+    }
+  }
+
+  test("q229 rolling HLL: the shuffle carries day-sized sketches — no " +
+    "user-day fan-out, no global window") {
+    val p = plan("q229_rolling_hll")
+    assert(p.contains("hll_sketch_agg"), p)
+    // the fan-out explode must sit ABOVE the per-day sketch aggregate
+    // (day-sized input), which the plan shows as generate-over-agg
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q231/q232 omnibus tests: one data shuffle into a group/value " +
+    "frame, no data-sized unpartitioned window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def exec(key: String) =
+      SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    // q231 has no window at all; q232's one unpartitioned window must
+    // read from an aggregated (distinct-value) subtree, i.e. there is
+    // an Exchange between it and any scan
+    assert(exec("q231_anova").collect {
+      case w: WindowExec => w }.isEmpty, "ANOVA must be window-free")
+    exec("q232_kruskal_wallis").collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.collectFirst { case s: ShuffleExchangeExec => s }.isDefined,
+        s"the KW window must sit over the aggregated value frame:\n$w")
+    }
+  }
 }
