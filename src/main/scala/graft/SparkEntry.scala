@@ -168,6 +168,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // A+/S — q87's retention matrix through the MERGE law: the
+    // parity halves' distinct user-week frames fold by idempotent
+    // union (the q186 span pattern — no replay mark needed), then the
+    // identical matrix derivation. SHARES q87's oracle verbatim.
+    "q239_retention_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      LogAnalytics.cohortRetentionFromWeeks(
+          LogAnalytics.mergeWeeks(
+            LogAnalytics.userWeeks(ev.filter(col("event_id") % 2 === 0)),
+            LogAnalytics.userWeeks(ev.filter(col("event_id") % 2 =!= 0))))
+        .orderBy(col("cohort_week").asc_nulls_last,
+          col("week_offset").asc_nulls_last)
+    }),
+
     // A+/S — entropy rate of the user-journey Markov chain: how
     // predictable is the next action, as one scalar (perplexity = the
     // effective branching factor) — q105's matrix and q218's π folded
@@ -6288,22 +6302,12 @@ object SparkEntry {
 
     // Monday-truncated weeks in both engines; offsets are exact
     // multiples of 7 days, so the integer week division is lossless.
-    "q87_cohort_retention" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
-        |first AS (
-        |  SELECT user_id,
-        |         CAST(date_trunc('week', min(tsu)) AS DATE) AS cohort_week
-        |  FROM ev GROUP BY 1),
-        |active AS (
-        |  SELECT DISTINCT user_id,
-        |         CAST(date_trunc('week', tsu) AS DATE) AS w
-        |  FROM ev)
-        |SELECT f.cohort_week,
-        |       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
-        |         AS week_offset,
-        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
-        |FROM active a JOIN first f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q87_cohort_retention" -> retentionOracleSql,
+
+    // q239 SHARES q87's oracle verbatim: merging the parity halves'
+    // distinct user-week frames is a distinct union — idempotent and
+    // lossless, so the folded matrix IS the one-pass matrix.
+    "q239_retention_merge" -> retentionOracleSql,
 
     // Same md5-prefix thresholds (8 hex digits = the 1/2^32 rate
     // quantization): src0 keeps every hashable (non-NULL) row, src1
@@ -8974,6 +8978,28 @@ object SparkEntry {
     """SELECT user_id, count(*) AS cnt FROM events
       |WHERE user_id IS NOT NULL GROUP BY 1
       |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
+  /** Shared by q87 (one-pass) and q239 (parity-half merge law) — the
+    * distinct user-week state folds losslessly, so both reproduce the
+    * same matrix. */
+  private val retentionOracleSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+      |            FROM events
+      |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |first AS (
+      |  SELECT user_id,
+      |         CAST(date_trunc('week', min(tsu)) AS DATE) AS cohort_week
+      |  FROM ev GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', tsu) AS DATE) AS w
+      |  FROM ev)
+      |SELECT f.cohort_week,
+      |       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+      |         AS week_offset,
+      |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+      |FROM active a JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared by q168 (exact contribution fan-out) and q229 (HLL sketch
     * fan-out) — both must reproduce the exact rolling distinct. */

@@ -200,13 +200,40 @@ object LogAnalytics {
   def cohortRetention(
       df: DataFrame,
       userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
-    val first = df.groupBy(col(userCol))
-      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
-    val active = df
-      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("w"))
+      tsCol: String = "ts"): DataFrame =
+    cohortRetentionFromWeeks(userWeeks(df, userCol, tsCol), userCol)
+
+  /**
+   * Distinct (user, active-week) pairs — [[cohortRetention]]'s
+   * MERGEABLE sufficient statistic (the [[graft.analytics.Survival
+   * .userSpans]] pattern): the matrix needs nothing about a user
+   * beyond WHICH weeks they were active, the cohort week derives as
+   * `min(w)` (week truncation is monotone, so `trunc(min ts) =
+   * min(trunc ts)` exactly), and the state folds by
+   * [[mergeWeeks]] — distinct union, idempotent, so streaming
+   * maintenance needs no replay mark. One data-sized shuffle on the
+   * well-spread user key.
+   */
+  def userWeeks(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("w"))
       .distinct()
-    active.join(first, Seq(userCol))
+
+  /** Exact merge law: the user-weeks of `A ∪ B` are the distinct union
+    * of the two frames — associative, commutative, IDEMPOTENT. */
+  def mergeWeeks(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** The retention matrix from a precomputed [[userWeeks]] frame. */
+  def cohortRetentionFromWeeks(
+      weeks: DataFrame, userCol: String = "user_id"): DataFrame = {
+    val first = weeks.groupBy(col(userCol))
+      .agg(min(col("w")).as("cohort_week"))
+    weeks.join(first, Seq(userCol))
       .withColumn("week_offset",
         (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
       .groupBy(col("cohort_week"), col("week_offset"))
