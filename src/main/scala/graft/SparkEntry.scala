@@ -168,6 +168,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // A5+/J — CMS inner-product join-size estimate: how many
+    // (view, purchase) same-user pairs WOULD a join produce, answered
+    // from two depth×width sketches instead of key-domain frequency
+    // tables — the cardinality-planning primitive, never-undercount
+    // visible against the exact size.
+    "q240_cms_join_size" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+      val est = Sketches.cmsJoinSize(
+        Sketches.cmsBuild(side("view"), col("user_id")),
+        Sketches.cmsBuild(side("purchase"), col("user_id")))
+      val exact = side("view").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_cv"))
+        .join(side("purchase").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("_cp")), Seq("user_id"))
+        .agg(coalesce(sum(col("_cv") * col("_cp")), lit(0L))
+          .as("true_join_size"))
+      exact.crossJoin(broadcast(est))
+        .select(col("true_join_size"), col("est_join_size"),
+          (col("est_join_size") - col("true_join_size")).as("over"))
+    }),
+
     // A+/S — q87's retention matrix through the MERGE law: the
     // parity halves' distinct user-week frames fold by idempotent
     // union (the q186 span pattern — no replay mark needed), then the
@@ -6740,6 +6762,49 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q240: the same pinned Carter-Wegman cells per side, the same
+    // min-of-row inner products, the exact Σ c_v(k)·c_p(k) truth.
+    "q240_cms_join_size" ->
+      """WITH h(r, a, b) AS (VALUES
+        |    (0, 1103515245, 12345),
+        |    (1, 1664525, 1013904223),
+        |    (2, 22695477, 1),
+        |    (3, 1588635695, 1203)),
+        |ev AS (SELECT CAST(user_id AS BIGINT) AS k, event_type
+        |       FROM events WHERE user_id IS NOT NULL),
+        |skv AS (
+        |  SELECT h.r,
+        |         ((h.a * (k % 2147483647) + h.b) % 2147483647) % 64
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM ev CROSS JOIN h WHERE event_type = 'view'
+        |  GROUP BY 1, 2),
+        |skp AS (
+        |  SELECT h.r,
+        |         ((h.a * (k % 2147483647) + h.b) % 2147483647) % 64
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM ev CROSS JOIN h WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT v.r, sum(v.cnt * p.cnt) AS ipr
+        |  FROM skv v JOIN skp p ON v.r = p.r AND v.bucket = p.bucket
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT CASE WHEN count(*) >= 4 THEN min(ipr) ELSE 0 END
+        |    AS est_join_size FROM ip),
+        |ex AS (
+        |  SELECT CAST(coalesce(sum(cv * cp), 0) AS BIGINT)
+        |    AS true_join_size
+        |  FROM (SELECT k, count(*) AS cv FROM ev
+        |        WHERE event_type = 'view' GROUP BY 1) v
+        |  JOIN (SELECT k, count(*) AS cp FROM ev
+        |        WHERE event_type = 'purchase' GROUP BY 1) p USING (k))
+        |SELECT true_join_size, CAST(est_join_size AS BIGINT)
+        |         AS est_join_size,
+        |       CAST(est_join_size AS BIGINT) - true_join_size AS over
+        |FROM ex, est""".stripMargin,
+
     // q238 CHAINED oracle (the q211 precedent): π comes from q218's
     // own dump (the certified stationary vector), the transition
     // ratios replay exactly, and every ln term is 12-dp rounded (the

@@ -122,4 +122,31 @@ object Sketches {
   def cmsMerge(sketches: DataFrame): DataFrame =
     sketches.groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Equi-join SIZE estimate from two sketches over the same key
+   * domain: `est = min_r Σ_b a[r][b]·b[r][b]` — the count-min inner
+   * product (Cormode & Muthukrishnan 2005). Each row's inner product
+   * equals the true join size `Σ_k c_A(k)·c_B(k)` plus non-negative
+   * collision cross-terms, so the estimate NEVER undercounts — the
+   * cardinality-planning primitive a 100-TB optimizer consults before
+   * committing to a join order, at `depth·width` cells per relation
+   * instead of a key-domain-sized frequency table.
+   *
+   * Both sketches must share `depth`/`width`/the pinned hash rows
+   * (they do by construction here). A hash row with NO co-occupied
+   * buckets has inner product 0 — it vanishes from the sparse join,
+   * so the fold treats fewer-than-`depth` surviving rows as estimate
+   * 0 (the sparse-cell ≡ 0 reading). Dimension-sized equi-join + one
+   * `depth`-row fold. Returns one row `(est_join_size)`.
+   */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int = 4): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("_ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("_cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("_ca") * col("_cb")).as("_ip"))
+      .agg(min(col("_ip")).as("_m"), count(lit(1)).as("_nr"))
+      .select(when(col("_nr") >= depth, col("_m")).otherwise(lit(0L))
+        .as("est_join_size"))
 }

@@ -58,6 +58,24 @@ class SketchesSpec extends GraftSpec {
     assert(m == f, s"merged != full:\n$m\n$f")
   }
 
+  test("cmsJoinSize never undercounts the true join size; disjoint " +
+    "key sets with no collisions estimate 0") {
+    val a = (1L to 20L).flatMap(k => Seq.fill(2)(k)).toDF("k")
+    val b = (11L to 30L).toDF("k")
+    // true join size: keys 11..20 with c_a=2, c_b=1 → 20
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, col("k"), depth = 4, width = 16),
+      Sketches.cmsBuild(b, col("k"), depth = 4, width = 16))
+      .head().getLong(0)
+    assert(est >= 20L, s"inner product must cover the true size: $est")
+    // a join against an empty side is exactly 0
+    val zero = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, col("k")),
+      Sketches.cmsBuild(a.limit(0), col("k")))
+      .head().getLong(0)
+    assert(zero == 0L, "empty side has no co-occupied cells")
+  }
+
   test("a never-inserted key reads only collision mass (possibly 0); " +
     "depth/width are validated") {
     val sk = Sketches.cmsBuild(skewed, col("k"), depth = 4, width = 8)
