@@ -168,6 +168,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — exponentially-decayed event counts (half-life 7 days):
+    // the trending detector a plain count can't express — per-event
+    // exp terms fold as a PLAIN mergeable sum (unlike ewma's
+    // recursion), type-sized output.
+    "q241_decayed_counts" -> ((s, d) =>
+      Trend.decayedCounts(t(s, d, "events"),
+        col("event_type"), col("ts"), halflifeSeconds = 604800L)),
+
+    // X+/S — Wilson lower bound per source on the length screen: rank
+    // sources by reliability-adjusted quality (a 2-of-2 source must
+    // not outrank a 90-of-100 one). Group-sized, one aggregate.
+    "q242_wilson_bound" -> ((s, d) =>
+      StatsTests.wilsonLowerBound(t(s, d, "documents"),
+        col("source"), col("n_chars") >= 200)),
+
+    // X+/S — empirical-Bayes shrinkage of the same per-source rates:
+    // the method-of-moments beta prior pulls small sources toward the
+    // corpus rate (the point-estimate companion to q242's bound).
+    "q243_eb_shrink" -> ((s, d) =>
+      StatsTests.ebShrunkRates(t(s, d, "documents"),
+        col("source"), col("n_chars") >= 200)),
+
     // A5+/J — CMS inner-product join-size estimate: how many
     // (view, purchase) same-user pairs WOULD a join produce, answered
     // from two depth×width sketches instead of key-domain frequency
@@ -6762,6 +6784,80 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q241: generated so the decay constant is the SAME double the
+    // plan folds (the ewmaWeights precedent); per-event exp terms
+    // 12-dp rounded before the decimal fold.
+    "q241_decayed_counts" -> {
+      val lam = math.log(2.0) / 604800L
+      s"""WITH e AS (
+         |  SELECT event_type AS key,
+         |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+         |           AS t
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |mx AS (SELECT max(t) AS tmax FROM e),
+         |w AS (
+         |  SELECT key,
+         |         CAST(round(exp(CAST(t - tmax AS DOUBLE) * $lam), 12)
+         |           AS DECIMAL(38,12)) AS w
+         |  FROM e, mx)
+         |SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |       round(CAST(sum(w) AS DOUBLE), 6) AS decayed
+         |FROM w GROUP BY key ORDER BY decayed DESC, key""".stripMargin
+    },
+
+    // q242: same exact pass counts, same pinned z = 1.959964 chain.
+    "q242_wilson_bound" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN n_chars >= 200 THEN 1
+        |           ELSE 0 END), 0) AS BIGINT) AS n_pass
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |x AS (
+        |  SELECT g, n, n_pass,
+        |         CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM c)
+        |SELECT g, n, n_pass, round(p, 6) AS rate,
+        |       round((p + (1.959964 * 1.959964) / (2.0 * nd)
+        |              - 1.959964 * sqrt(p * (1.0 - p) / nd
+        |                  + (1.959964 * 1.959964) / (4.0 * nd * nd)))
+        |             / (1.0 + (1.959964 * 1.959964) / nd), 6)
+        |         AS wilson_lb
+        |FROM x ORDER BY wilson_lb DESC, g""".stripMargin,
+
+    // q243: same group rates, same 12-dp decimal MoM prior, same
+    // degenerate-prior NULL guard.
+    "q243_eb_shrink" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN n_chars >= 200 THEN 1
+        |           ELSE 0 END), 0) AS BIGINT) AS n_pass
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |r AS (SELECT g, n, n_pass,
+        |             CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+        |      FROM c),
+        |pr AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k,
+        |         CAST(sum(CAST(round(rate, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sr,
+        |         CAST(sum(CAST(round(rate * rate, 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS sr2
+        |  FROM r),
+        |p2 AS (
+        |  SELECT sr / k AS m, sr2 / k - (sr / k) * (sr / k) AS v
+        |  FROM pr)
+        |SELECT g, n, n_pass, round(rate, 6) AS rate,
+        |       CASE WHEN v > 0 AND v < m * (1.0 - m) THEN
+        |         round((CAST(n_pass AS DOUBLE)
+        |                + m * (m * (1.0 - m) / v - 1.0))
+        |               / (CAST(n AS DOUBLE)
+        |                  + (m * (1.0 - m) / v - 1.0)), 6)
+        |       END AS shrunk
+        |FROM r, p2 ORDER BY g""".stripMargin,
+
     // q240: the same pinned Carter-Wegman cells per side, the same
     // min-of-row inner products, the exact Σ c_v(k)·c_p(k) truth.
     "q240_cms_join_size" ->

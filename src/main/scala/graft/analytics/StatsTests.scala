@@ -77,6 +77,85 @@ object StatsTests {
   }
 
   /**
+   * Wilson score lower bound per group — "rank slices by
+   * reliability-adjusted rate": a 2-of-2 slice must NOT outrank a
+   * 90-of-100 slice, and the Wilson interval's lower bound is the
+   * standard correction (the sort key behind every "sort by rating"
+   * system that works). At z = 1.959964 (95%, pinned):
+   *
+   *   lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+   *
+   * Counts are exact; the bound is one double chain per GROUP row,
+   * rounded 6 dp. Returns `(groupCol, n, n_pass, rate, wilson_lb)`
+   * ordered by the bound descending (group tiebreak) — group-sized
+   * output from one hash aggregate.
+   */
+  def wilsonLowerBound(
+      df: DataFrame, groupCol: Column, pass: Column): DataFrame = {
+    val z = 1.959964
+    val n = col("n").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val lb = (p + lit(z * z) / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        lit(z * z) / (lit(4.0) * n * n))) /
+      (lit(1.0) + lit(z * z) / n)
+    df.filter(groupCol.isNotNull && pass.isNotNull)
+      .groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(pass.cast("boolean").cast("long")), lit(0L))
+          .as("n_pass"))
+      .select(col("g"), col("n"), col("n_pass"),
+        round(p, 6).as("rate"),
+        round(lb, 6).as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("g").asc)
+  }
+
+  /**
+   * Empirical-Bayes (beta-binomial) shrinkage of per-group rates — the
+   * POINT-ESTIMATE companion to [[wilsonLowerBound]]'s ranking bound:
+   * small groups borrow strength from the corpus-wide rate
+   * distribution instead of reporting noise. Method-of-moments prior
+   * from the UNWEIGHTED group rates (mean m, variance v across the
+   * group frame, 12-dp decimal folds):
+   *
+   *   α+β = m(1−m)/v − 1 ,  α = m·(α+β) ,
+   *   shrunk_g = (x_g + α) / (n_g + α + β)
+   *
+   * When v = 0 or v ≥ m(1−m) the prior is degenerate (no
+   * between-group structure to borrow) and `shrunk` is NULL — the
+   * honest "don't shrink" answer. Returns
+   * `(groupCol, n, n_pass, rate, shrunk)` ordered by group;
+   * group-sized output, the prior a 1-row broadcast.
+   */
+  def ebShrunkRates(
+      df: DataFrame, groupCol: Column, pass: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = df.filter(groupCol.isNotNull && pass.isNotNull)
+      .groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(pass.cast("boolean").cast("long")), lit(0L))
+          .as("n_pass"))
+      .withColumn("rate",
+        col("n_pass").cast("double") / col("n").cast("double"))
+    val prior = cells.agg(
+      count(lit(1)).as("_k"),
+      sum(round(col("rate"), 12).cast(d12)).as("_sr"),
+      sum(round(col("rate") * col("rate"), 12).cast(d12)).as("_sr2"))
+    val kD = col("_k").cast("double")
+    val m = col("_sr").cast("double") / kD
+    val v = col("_sr2").cast("double") / kD - m * m
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    cells.crossJoin(broadcast(prior))
+      .select(col("g"), col("n"), col("n_pass"),
+        round(col("rate"), 6).as("rate"),
+        when(v > 0.0 && v < m * (lit(1.0) - m),
+          round((col("n_pass").cast("double") + m * ab) /
+            (col("n").cast("double") + ab), 6))
+          .as("shrunk"))
+      .orderBy(col("g").asc)
+  }
+
+  /**
    * Cramér's V on the [[chiSquared]] contingency — the EFFECT-SIZE
    * companion ("how strong is the association?") to that test's
    * significance, bounded [0, 1] and comparable across table sizes:

@@ -289,4 +289,39 @@ object Trend {
     * SAME double literals the plan folds (`Double.toString` round-trips). */
   def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
     (0 until k).map(j => math.pow(1.0 - alpha, j.toDouble))
+
+  /**
+   * Exponentially-decayed event counts per key — the TRENDING detector
+   * ("what is hot NOW?") that a plain count can't express: each event
+   * contributes `e^(−ln2·(T−t)/halflife)` where `T` is the corpus's
+   * latest timestamp (1-row broadcast), so an event one half-life old
+   * counts half. Unlike [[ewma]]'s row-recursive smoothing this is a
+   * PLAIN SUM over per-event terms — associative and mergeable as long
+   * as partials share `T` — so it folds map-side like any aggregate.
+   *
+   * Each term is one exp chain rounded 12 dp and folded as
+   * DECIMAL(38,12) (the q219 ln-parity rule, applied to exp). Returns
+   * `(keyCol, n, decayed)` per key, decayed 6-dp, ordered by
+   * `decayed` descending (key tiebreak).
+   */
+  def decayedCounts(
+      df: DataFrame, keyCol: Column, tsCol: Column,
+      halflifeSeconds: Long): DataFrame = {
+    require(halflifeSeconds > 0,
+      s"halflifeSeconds must be positive, got $halflifeSeconds")
+    val dec12 = DecimalType(38, 12)
+    val base = df
+      .select(keyCol.as("key"), tsCol.cast("long").as("_t"))
+      .filter(col("key").isNotNull && col("_t").isNotNull)
+    val tMax = base.agg(max(col("_t")).as("_tmax"))
+    base.crossJoin(broadcast(tMax))
+      .select(col("key"),
+        round(exp((col("_t") - col("_tmax")).cast("double")
+          * lit(math.log(2.0) / halflifeSeconds)), 12).cast(dec12)
+          .as("_w"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_w")).cast("double"), 6).as("decayed"))
+      .orderBy(col("decayed").desc, col("key").asc)
+  }
 }

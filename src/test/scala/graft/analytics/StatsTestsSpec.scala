@@ -297,6 +297,51 @@ class StatsTestsSpec extends GraftSpec {
     assert(tied.isNullAt(3), "all-tied correction denominator is 0")
   }
 
+  test("wilsonLowerBound: a tiny perfect slice ranks BELOW a large " +
+    "near-perfect one; bound is below the rate and within [0,1]") {
+    val rows = (Seq.fill(2)(("tiny", true)) ++
+      Seq.fill(90)(("big", true)) ++ Seq.fill(10)(("big", false)))
+      .toDF("g", "ok")
+    val got = StatsTests.wilsonLowerBound(rows, col("g"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4))))
+    assert(got.head._1 == "big",
+      s"90/100 must outrank 2/2 on the bound: ${got.toSeq}")
+    got.foreach { case (g, (rate, lb)) =>
+      assert(lb <= rate && lb >= 0.0 && lb <= 1.0, s"$g: $rate, $lb")
+    }
+    // hand value: p=1, n=2 → lb = (1 + z²/4 − z·√(z²/16)) / (1 + z²/2)
+    val z = 1.959964
+    val lbTiny = (1.0 + z * z / 4.0 - z * math.sqrt(z * z / 16.0)) /
+      (1.0 + z * z / 2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toMap.apply("tiny")._2 == r6(lbTiny), s"${got.toSeq}")
+  }
+
+  test("ebShrunkRates: small groups shrink toward the prior mean more " +
+    "than large ones; a flat rate profile declines to shrink") {
+    // rates .9 (n=10), .1 (n=10), .5 (n=1000): m/v from the 3 rates
+    val rows = (Seq.fill(9)(("a", true)) ++ Seq(("a", false)) ++
+      Seq(("b", true)) ++ Seq.fill(9)(("b", false)) ++
+      Seq.fill(500)(("c", true)) ++ Seq.fill(500)(("c", false)))
+      .toDF("g", "ok")
+    val got = StatsTests.ebShrunkRates(rows, col("g"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    val (mA, mC) = (got("a"), got("c"))
+    assert(math.abs(mA._2 - mA._1) > math.abs(mC._2 - mC._1),
+      s"the n=10 group must move more than the n=1000 one: $got")
+    assert(mA._2 < mA._1 && got("b")._2 > got("b")._1,
+      s"both extremes shrink toward the middle: $got")
+
+    val flat = (Seq.fill(5)(("a", true)) ++ Seq.fill(5)(("a", false)) ++
+      Seq.fill(50)(("b", true)) ++ Seq.fill(50)(("b", false)))
+      .toDF("g", "ok")
+    StatsTests.ebShrunkRates(flat, col("g"), col("ok")).collect()
+      .foreach(r => assert(r.isNullAt(4), s"zero variance: $r"))
+  }
+
   test("cochranQ: hand-computed panel; unanimous items only is NULL; " +
     "NULL-rated items drop; needs >= 2 raters") {
     // R = (3,1,2,0,2), C = (4,3,1): Q = 2(3·26 − 64)/(24 − 18) = 14/3

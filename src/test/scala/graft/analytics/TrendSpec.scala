@@ -150,4 +150,30 @@ class TrendSpec extends GraftSpec {
       Trend.periodogram(wave, "t", "v", Seq(1))
     }
   }
+
+  test("decayedCounts: an event one half-life old counts half; a hot " +
+    "key outranks a bigger stale one; halflife validated") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def ev(rows: (String, Long)*) = rows.toDF("k", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    // key a: 1 event at T; key b: 3 events one half-life before T
+    // decayed(a) = 1, decayed(b) = 3·0.5 = 1.5 → b first, but a beats
+    // a SINGLE stale event trivially
+    val got = Trend.decayedCounts(
+        ev(("a", 1000L), ("b", 400L), ("b", 400L), ("b", 400L)),
+        col("k"), col("ts"), halflifeSeconds = 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("b", 3L, 1.5), ("a", 1L, 1.0)),
+      s"${got.toSeq}")
+    // 4 stale events (2 half-lives) lose to 3 fresh ones
+    val hot = Trend.decayedCounts(
+        ev(Seq.fill(3)(("fresh", 2000L)) ++
+          Seq.fill(4)(("stale", 800L)): _*),
+        col("k"), col("ts"), halflifeSeconds = 600L)
+      .collect().map(_.getString(0))
+    assert(hot.head == "fresh", s"${hot.toSeq}")
+    intercept[IllegalArgumentException] {
+      Trend.decayedCounts(ev(("a", 1L)), col("k"), col("ts"), 0L)
+    }
+  }
 }
