@@ -168,6 +168,30 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X3+/S — k-fold probe cross-validation, weights face: three
+    // leave-one-fold-out ridge fits from ONE corpus pass — fold f's
+    // training moments are (total − fold f) by exact cell subtraction
+    // of the q207 scaled-decimal partials, never a re-scan. The
+    // oracle residual-certifies each fold's weights against its own
+    // replayed train normal equations (the q184 pattern × k).
+    "q244_probe_cv" -> ((s, d) =>
+      Probe.crossValWeights(s, t(s, d, "embeddings"), "embedding",
+          when(col("label") === 0, 1.0)
+            .when(col("label").isNotNull, 0.0),
+          fold = pmod(col("vec_id"), lit(3)), dim = 64, lambda = 1e-3)
+        .orderBy(col("fold").asc, col("idx").asc)),
+
+    // X3+/S — k-fold probe CV, metrics face: every row scored by the
+    // fit that never saw its fold (literal-weight folds dispatched by
+    // a fold-keyed when-chain, zero shuffle), per-fold held-out
+    // mse/r2/accuracy. The oracle replays everything downstream of
+    // the solves from q244's dump (the q185 pattern).
+    "q245_probe_cv_report" -> ((s, d) =>
+      Probe.crossValReport(t(s, d, "embeddings"), "embedding",
+        when(col("label") === 0, 1.0)
+          .when(col("label").isNotNull, 0.0),
+        fold = pmod(col("vec_id"), lit(3)), dim = 64, lambda = 1e-3)),
+
     // X+/S — exponentially-decayed event counts (half-life 7 days):
     // the trending detector a plain count can't express — per-event
     // exp terms fold as a PLAIN mergeable sum (unlike ewma's
@@ -6784,6 +6808,114 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q244: the q184 residual certification PER FOLD — each fold's
+    // train moments (rows with fold <> f) replay from scratch, and
+    // the dumped weights must satisfy that fold's normal equations.
+    "q244_probe_cv" ->
+      """WITH wdump AS (
+        |  SELECT CAST(fold AS BIGINT) AS f, CAST(idx AS BIGINT) AS idx,
+        |         w
+        |  FROM read_parquet('__OUT__/q244_probe_cv/*.parquet')),
+        |e AS (
+        |  SELECT vec_id, vec_id % 3 AS fold,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id, fold, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |fl AS (SELECT DISTINCT f FROM wdump),
+        |am AS (
+        |  SELECT fl.f, a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < 64
+        |                THEN 0.001 ELSE 0 END AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  CROSS JOIN fl WHERE a.fold <> fl.f
+        |  GROUP BY 1, 2, 3),
+        |aw AS (
+        |  SELECT am.f, am.i, sum(am.s * w.w) AS aw,
+        |         sum(abs(am.s)) AS rs
+        |  FROM am JOIN wdump w ON w.f = am.f AND w.idx = am.j
+        |  GROUP BY 1, 2),
+        |bv AS (
+        |  SELECT fl.f, el.i,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el CROSS JOIN fl WHERE el.fold <> fl.f
+        |  GROUP BY 1, 2),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 3 * 65
+        |      AND (SELECT count(DISTINCT f) FROM wdump) = 3
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b)
+        |                           <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv ON aw.f = bv.f AND aw.i = bv.i),
+        |      FALSE) AS ok)
+        |SELECT f AS fold, idx, w FROM wdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY fold, idx""".stripMargin,
+
+    // q245 PARTIAL oracle: per-fold held-out predictions from q244's
+    // dumped weights (in-list-order folds), the q185 decimal
+    // SSE/SST/accuracy chains grouped by fold.
+    "q245_probe_cv_report" ->
+      """WITH wv AS (
+        |  SELECT CAST(fold AS BIGINT) AS f, list(w ORDER BY idx) AS wl
+        |  FROM read_parquet('__OUT__/q244_probe_cv/*.parquet')
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT vec_id % 3 AS f,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |p AS (
+        |  SELECT e.f, e.y,
+        |         list_aggregate(list_transform(
+        |           list_zip(e.v, wv.wl),
+        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum') AS pr
+        |  FROM e JOIN wv ON wv.f = e.f),
+        |t1 AS (SELECT f, CAST(count(*) AS BIGINT) AS n_test,
+        |              sum(y) AS sy
+        |       FROM p GROUP BY 1)
+        |SELECT p.f AS fold, t1.n_test,
+        |       round(CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |             AS DECIMAL(38,12))) AS DOUBLE) / t1.n_test, 6)
+        |         AS mse,
+        |       CASE WHEN CAST(sum(CAST(round(
+        |                (y - t1.sy / t1.n_test) * (y - t1.sy / t1.n_test),
+        |                12) AS DECIMAL(38,12))) AS DOUBLE) > 0 THEN
+        |         round(1.0
+        |           - CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(round(
+        |                 (y - t1.sy / t1.n_test)
+        |                 * (y - t1.sy / t1.n_test), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |       END AS r2,
+        |       round(CAST(sum(CASE WHEN (pr >= 0.5) = (y = 1.0)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / t1.n_test, 6) AS accuracy
+        |FROM p JOIN t1 ON t1.f = p.f
+        |GROUP BY p.f, t1.n_test, t1.sy ORDER BY fold""".stripMargin,
+
     // q241: generated so the decay constant is the SAME double the
     // plan folds (the ewmaWeights precedent); per-event exp terms
     // 12-dp rounded before the decimal fold.

@@ -168,6 +168,133 @@ object Probe {
       .select(col("i"), col("j"), col("_s").cast("decimal(38,0)").as("s"))
   }
 
+  /**
+   * Per-fold moment partials in ONE corpus pass — the grouped face of
+   * [[momentPartials]] behind k-fold probe cross-validation:
+   * `(fold, i, j, s)`, one [[MomentAgg]] buffer per fold key. Rows
+   * with a NULL fold drop.
+   */
+  def foldMomentPartials(
+      df: DataFrame, vecCol: String, y: Column, fold: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val d1 = dim + 1
+    val tri = d1 * (d1 + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim && fold.isNotNull)
+      .select(fold.cast("long").as("_f"), aug(col(vecCol)).as("_v"),
+        y.cast("double").as("_y"))
+      .as[(Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new MomentAgg(d1).toColumn)
+      .toDF("fold", "_flat")
+    val cells =
+      (for { i <- 0 until d1; j <- i until d1 } yield (i, j))
+        .zipWithIndex.map { case ((i, j), p) => (p, i, j) } ++
+        (0 until d1).map(i => (tri + i, i, -1))
+    val mapping = cells.toDF("_pos", "i", "j")
+    flat.select(col("fold"), posexplode(col("_flat")).as(Seq("_pos", "_s")))
+      .join(broadcast(mapping), Seq("_pos"))
+      .select(col("fold"), col("i"), col("j"),
+        col("_s").cast("decimal(38,0)").as("s"))
+  }
+
+  /** The k leave-one-fold-out ridge fits by CELL SUBTRACTION: fold f's
+    * training moments are (Σ all folds − fold f) — exact integer
+    * subtraction of the scaled-decimal cells, so k fits cost ONE
+    * corpus pass total (never k re-scans). Driver state is k·cells —
+    * metadata-sized. */
+  private def cvFits(
+      df: DataFrame, vecCol: String, y: Column, fold: Column,
+      dim: Int, lambda: Double): Seq[(Long, Array[Double])] = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val d1 = dim + 1
+    val parts = foldMomentPartials(df, vecCol, y, fold, dim).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDecimal(3).toBigInteger))
+    val folds = parts.map(_._1).distinct.sorted
+    require(folds.length >= 2, s"need >= 2 folds, got ${folds.length}")
+    val total = parts.groupBy(p => (p._2, p._3))
+      .map { case (c, ps) => c -> ps.map(_._4).reduce(_ add _) }
+    folds.toSeq.map { f =>
+      val own = parts.filter(_._1 == f)
+        .map(p => (p._2, p._3) -> p._4).toMap
+      val a = Array.ofDim[Double](d1, d1)
+      val b = new Array[Double](d1)
+      total.foreach { case ((i, j), s) =>
+        val train = s.subtract(
+          own.getOrElse((i, j), java.math.BigInteger.ZERO))
+        val v = new java.math.BigDecimal(train).doubleValue() / 1e12
+        if (j < 0) b(i) = v
+        else { a(i)(j) = v; a(j)(i) = v }
+      }
+      require(a(dim)(dim) > 0, s"fold $f leaves an empty training set")
+      f -> finishFit(a, b, dim, lambda)
+    }
+  }
+
+  /** k-fold CV weights as a frame `(fold, idx, w)` — fold f's row
+    * holds the ridge fit on everything EXCEPT fold f (the held-out
+    * evaluation pairs with [[crossValReport]]). */
+  def crossValWeights(
+      spark: SparkSession, df: DataFrame, vecCol: String, y: Column,
+      fold: Column, dim: Int, lambda: Double = 1e-3): DataFrame = {
+    import spark.implicits._
+    cvFits(df, vecCol, y, fold, dim, lambda)
+      .flatMap { case (f, w) =>
+        w.zipWithIndex.map { case (wv, i) => (f, i.toLong, wv) }
+      }.toDF("fold", "idx", "w")
+  }
+
+  /**
+   * Held-out metrics per fold: every row is scored by the fit that
+   * NEVER saw its fold (a zero-shuffle literal-weights fold per row —
+   * the [[score]] contract, dispatched by a fold-keyed when-chain),
+   * then `(fold, n_test, mse, r2, accuracy)` from the [[report]]
+   * decimal folds; r2 centers on the TEST fold's own mean (NULL when
+   * the fold's target is constant).
+   */
+  def crossValReport(
+      df: DataFrame, vecCol: String, y: Column, fold: Column,
+      dim: Int, lambda: Double = 1e-3): DataFrame = {
+    val fits = cvFits(df, vecCol, y, fold, dim, lambda)
+    val base = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim && fold.isNotNull)
+      .select(fold.cast("long").as("_f"), y.cast("double").as("_y"),
+        col(vecCol).as("_v"))
+    val pred = fits.foldLeft(lit(null).cast("double")) {
+      case (acc, (f, w)) => when(col("_f") === f, score(col("_v"), w))
+        .otherwise(acc)
+    }
+    val rows = base.select(col("_f"), col("_y"), pred.as("_p"))
+    val tot = rows.groupBy(col("_f"))
+      .agg(count(lit(1)).as("n_test"), sum(col("_y")).as("_sy"))
+    rows.join(broadcast(tot), Seq("_f"))
+      .select(col("_f"), col("n_test"), col("_y"), col("_p"),
+        (col("_sy") / col("n_test")).as("_my"))
+      .groupBy(col("_f"), col("n_test"))
+      .agg(
+        sum(round((col("_y") - col("_p")) * (col("_y") - col("_p")), 12)
+          .cast(dec)).as("_sse"),
+        sum(round((col("_y") - col("_my")) * (col("_y") - col("_my")), 12)
+          .cast(dec)).as("_sst"),
+        sum(when((col("_p") >= 0.5) === (col("_y") === 1.0), 1L)
+          .otherwise(0L)).as("_hit"))
+      .select(col("_f").as("fold"), col("n_test"),
+        round(col("_sse").cast("double") / col("n_test"), 6).as("mse"),
+        when(col("_sst").cast("double") > 0.0,
+          round(lit(1.0) - col("_sse").cast("double") /
+            col("_sst").cast("double"), 6)).as("r2"),
+        round(col("_hit").cast("double") / col("n_test"), 6)
+          .as("accuracy"))
+      .orderBy(col("fold").asc)
+  }
+
   /** Fold any union of [[momentPartials]] frames back to one row per
     * cell — exact integer sums, so merge ∘ split ≡ one pass. */
   def mergeMoments(partials: DataFrame): DataFrame =

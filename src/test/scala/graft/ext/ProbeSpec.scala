@@ -164,4 +164,39 @@ class ProbeSpec extends GraftSpec {
       .select(Probe.score(col("v"), w)).collect().head.getDouble(0)
     assert(got == 4.0 * 0.5 - 3.0 + 2.0)
   }
+
+  test("crossValWeights: each fold's subtraction fit equals the direct " +
+    "fit on the filtered training set; the report scores held-out " +
+    "rows only") {
+    val dim = 4
+    val rows = synth(90, dim)
+    val df = rows.toDF("vec_id", "embedding")
+    val y = element_at(col("embedding"), 1).cast("double")
+    val fold = pmod(col("vec_id"), lit(3))
+    val cv = Probe.crossValWeights(spark, df, "embedding", y, fold,
+        dim, lambda = 1e-3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (f, rs) =>
+        f -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(cv.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { f =>
+      val direct = Probe.fitRidge(
+        df.filter(pmod(col("vec_id"), lit(3)) =!= f),
+        "embedding", y, dim, lambda = 1e-3).toSeq
+      assert(cv(f) == direct,
+        s"fold $f: subtraction fit must equal the direct train fit")
+    }
+    // the target IS a feature, so every held-out fold fits ~perfectly
+    val rep = Probe.crossValReport(df, "embedding", y, fold, dim,
+      lambda = 1e-3).collect()
+    assert(rep.length == 3 && rep.map(_.getLong(1)).sum == 90L)
+    rep.foreach(r =>
+      assert(r.getDouble(2) < 1e-4, s"held-out mse must be tiny: $r"))
+
+    intercept[IllegalArgumentException] {
+      Probe.crossValWeights(spark, df, "embedding", y, lit(0), dim)
+    }
+  }
 }
