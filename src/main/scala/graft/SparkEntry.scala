@@ -168,6 +168,30 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X3+/S — learning-curve weights: one ridge fit per stratum
+    // PREFIX (strata 0, 0-1, 0-2 of vec_id%4; stratum 3 held out) —
+    // prefix moments are cumulative sums of the per-stratum cells,
+    // one corpus pass for all fits. Residual-certified per prefix.
+    "q246_learning_weights" -> ((s, d) =>
+      Probe.learningCurveWeights(s, t(s, d, "embeddings"), "embedding",
+          when(col("label") === 0, 1.0)
+            .when(col("label").isNotNull, 0.0),
+          stratum = pmod(col("vec_id"), lit(4)), dim = 64,
+          lambda = 1e-3)
+        .orderBy(col("train_upto").asc, col("idx").asc)),
+
+    // X3+/S — the learning curve itself: each prefix fit evaluated on
+    // the FIXED held-out stratum — is the probe still improving with
+    // data, or has the linear signal saturated? (the scaling-law
+    // instrument, measured not extrapolated). Oracle replays from
+    // q246's dump.
+    "q247_learning_curve" -> ((s, d) =>
+      Probe.learningCurve(t(s, d, "embeddings"), "embedding",
+        when(col("label") === 0, 1.0)
+          .when(col("label").isNotNull, 0.0),
+        stratum = pmod(col("vec_id"), lit(4)), dim = 64,
+        lambda = 1e-3)),
+
     // X3+/S — k-fold probe cross-validation, weights face: three
     // leave-one-fold-out ridge fits from ONE corpus pass — fold f's
     // training moments are (total − fold f) by exact cell subtraction
@@ -6808,6 +6832,116 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q246: the q244 residual certification with PREFIX train sets
+    // (fold <= s instead of fold <> f).
+    "q246_learning_weights" ->
+      """WITH wdump AS (
+        |  SELECT CAST(train_upto AS BIGINT) AS s,
+        |         CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q246_learning_weights/*.parquet')),
+        |e AS (
+        |  SELECT vec_id, vec_id % 4 AS fold,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id, fold, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |fl AS (SELECT DISTINCT s FROM wdump),
+        |am AS (
+        |  SELECT fl.s, a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < 64
+        |                THEN 0.001 ELSE 0 END AS sm
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  CROSS JOIN fl WHERE a.fold <= fl.s
+        |  GROUP BY 1, 2, 3),
+        |aw AS (
+        |  SELECT am.s, am.i, sum(am.sm * w.w) AS aw,
+        |         sum(abs(am.sm)) AS rs
+        |  FROM am JOIN wdump w ON w.s = am.s AND w.idx = am.j
+        |  GROUP BY 1, 2),
+        |bv AS (
+        |  SELECT fl.s, el.i,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el CROSS JOIN fl WHERE el.fold <= fl.s
+        |  GROUP BY 1, 2),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 3 * 65
+        |      AND (SELECT list_sort(list(DISTINCT s)) FROM wdump)
+        |            = [0, 1, 2]
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b)
+        |                           <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv ON aw.s = bv.s AND aw.i = bv.i),
+        |      FALSE) AS ok)
+        |SELECT s AS train_upto, idx, w FROM wdump
+        |WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY train_upto, idx""".stripMargin,
+
+    // q247 PARTIAL oracle: predictions on the held-out stratum from
+    // q246's dumped weights, n_train replayed as the exact prefix
+    // count, the q185 decimal metric chains per prefix.
+    "q247_learning_curve" ->
+      """WITH wv AS (
+        |  SELECT CAST(train_upto AS BIGINT) AS s, list(w ORDER BY idx)
+        |           AS wl
+        |  FROM read_parquet('__OUT__/q246_learning_weights/*.parquet')
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT vec_id % 4 AS fold,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |nt AS (
+        |  SELECT wv.s, CAST(count(*) AS BIGINT) AS n_train
+        |  FROM e CROSS JOIN wv WHERE e.fold <= wv.s GROUP BY 1),
+        |p AS (
+        |  SELECT wv.s, e.y,
+        |         list_aggregate(list_transform(
+        |           list_zip(e.v, wv.wl),
+        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum') AS pr
+        |  FROM e CROSS JOIN wv WHERE e.fold = 3),
+        |t1 AS (SELECT s, CAST(count(*) AS BIGINT) AS n_test, sum(y) AS sy
+        |       FROM p GROUP BY 1)
+        |SELECT p.s AS train_upto, nt.n_train, t1.n_test,
+        |       round(CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |             AS DECIMAL(38,12))) AS DOUBLE) / t1.n_test, 6)
+        |         AS mse,
+        |       CASE WHEN CAST(sum(CAST(round(
+        |                (y - t1.sy / t1.n_test) * (y - t1.sy / t1.n_test),
+        |                12) AS DECIMAL(38,12))) AS DOUBLE) > 0 THEN
+        |         round(1.0
+        |           - CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(round(
+        |                 (y - t1.sy / t1.n_test)
+        |                 * (y - t1.sy / t1.n_test), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |       END AS r2
+        |FROM p JOIN t1 ON t1.s = p.s JOIN nt ON nt.s = p.s
+        |GROUP BY p.s, nt.n_train, t1.n_test, t1.sy
+        |ORDER BY train_upto""".stripMargin,
+
     // q244: the q184 residual certification PER FOLD — each fold's
     // train moments (rows with fold <> f) replay from scratch, and
     // the dumped weights must satisfy that fold's normal equations.

@@ -237,6 +237,102 @@ object Probe {
     }
   }
 
+  /** Fits on STRATUM PREFIXES — the learning-curve fits: with strata
+    * s₀ < s₁ < … < s_{k−1}, fit on {≤ s₀}, {≤ s₁}, …, {≤ s_{k−2}}
+    * (the LAST stratum is always held out for evaluation). Prefix
+    * moments are cumulative sums of the per-stratum cells — exact
+    * integer addition, one corpus pass for all fits. Returns
+    * `(sMax, n_train, weights)` per prefix. */
+  private def prefixFits(
+      df: DataFrame, vecCol: String, y: Column, stratum: Column,
+      dim: Int, lambda: Double): Seq[(Long, Long, Array[Double])] = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val d1 = dim + 1
+    val parts = foldMomentPartials(df, vecCol, y, stratum, dim).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDecimal(3).toBigInteger))
+    val strata = parts.map(_._1).distinct.sorted
+    require(strata.length >= 2,
+      s"need >= 2 strata (last is held out), got ${strata.length}")
+    val acc = scala.collection.mutable.Map
+      .empty[(Int, Int), java.math.BigInteger]
+    strata.toSeq.init.map { s =>
+      parts.filter(_._1 == s).foreach { p =>
+        val k = (p._2, p._3)
+        acc(k) = acc.getOrElse(k, java.math.BigInteger.ZERO).add(p._4)
+      }
+      val a = Array.ofDim[Double](d1, d1)
+      val b = new Array[Double](d1)
+      var nTrain = 0L
+      acc.foreach { case ((i, j), v) =>
+        val dv = new java.math.BigDecimal(v).doubleValue() / 1e12
+        if (j < 0) b(i) = dv
+        else {
+          a(i)(j) = dv; a(j)(i) = dv
+          if (i == dim && j == dim)
+            nTrain = v.divide(java.math.BigInteger.valueOf(1000000000000L))
+              .longValueExact()
+        }
+      }
+      require(a(dim)(dim) > 0, s"empty training prefix at stratum $s")
+      (s, nTrain, finishFit(a, b, dim, lambda))
+    }
+  }
+
+  /** Learning-curve weights as a frame `(train_upto, idx, w)` — one
+    * ridge fit per stratum prefix ([[prefixFits]]); pairs with
+    * [[learningCurve]] the way q184 pairs with q185. */
+  def learningCurveWeights(
+      spark: SparkSession, df: DataFrame, vecCol: String, y: Column,
+      stratum: Column, dim: Int, lambda: Double = 1e-3): DataFrame = {
+    import spark.implicits._
+    prefixFits(df, vecCol, y, stratum, dim, lambda)
+      .flatMap { case (s, _, w) =>
+        w.zipWithIndex.map { case (wv, i) => (s, i.toLong, wv) }
+      }.toDF("train_upto", "idx", "w")
+  }
+
+  /**
+   * The learning curve: held-out metrics of each stratum-prefix fit
+   * against the FIXED last stratum — "does the probe keep improving
+   * with more data, or has the representation's linear signal
+   * saturated?" (the scaling-law instrument, measured instead of
+   * extrapolated). Returns
+   * `(train_upto, n_train, n_test, mse, r2)` per prefix, ordered.
+   */
+  def learningCurve(
+      df: DataFrame, vecCol: String, y: Column, stratum: Column,
+      dim: Int, lambda: Double = 1e-3): DataFrame = {
+    val fits = prefixFits(df, vecCol, y, stratum, dim, lambda)
+    val last = fits.map(_._1).max
+    val test = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim && stratum.isNotNull &&
+        stratum.cast("long") > last)
+      .select(y.cast("double").as("_y"), col(vecCol).as("_v"))
+    val scored = fits.map { case (s, nTrain, w) =>
+      test.select(lit(s).as("train_upto"), lit(nTrain).as("n_train"),
+        col("_y"), score(col("_v"), w).as("_p"))
+    }.reduce(_ unionByName _)
+    val tot = scored.groupBy(col("train_upto"))
+      .agg(count(lit(1)).as("n_test"), sum(col("_y")).as("_sy"))
+    scored.join(broadcast(tot), Seq("train_upto"))
+      .select(col("train_upto"), col("n_train"), col("n_test"),
+        col("_y"), col("_p"), (col("_sy") / col("n_test")).as("_my"))
+      .groupBy(col("train_upto"), col("n_train"), col("n_test"))
+      .agg(
+        sum(round((col("_y") - col("_p")) * (col("_y") - col("_p")), 12)
+          .cast(dec)).as("_sse"),
+        sum(round((col("_y") - col("_my")) * (col("_y") - col("_my")), 12)
+          .cast(dec)).as("_sst"))
+      .select(col("train_upto"), col("n_train"), col("n_test"),
+        round(col("_sse").cast("double") / col("n_test"), 6).as("mse"),
+        when(col("_sst").cast("double") > 0.0,
+          round(lit(1.0) - col("_sse").cast("double") /
+            col("_sst").cast("double"), 6)).as("r2"))
+      .orderBy(col("train_upto").asc)
+  }
+
   /** k-fold CV weights as a frame `(fold, idx, w)` — fold f's row
     * holds the ridge fit on everything EXCEPT fold f (the held-out
     * evaluation pairs with [[crossValReport]]). */

@@ -199,4 +199,35 @@ class ProbeSpec extends GraftSpec {
       Probe.crossValWeights(spark, df, "embedding", y, lit(0), dim)
     }
   }
+
+  test("learningCurve: each prefix fit equals the direct fit on the " +
+    "prefix; the self-feature target saturates immediately") {
+    val dim = 4
+    val df = synth(80, dim).toDF("vec_id", "embedding")
+    val y = element_at(col("embedding"), 2).cast("double")
+    val stratum = pmod(col("vec_id"), lit(4))
+    val w = Probe.learningCurveWeights(spark, df, "embedding", y,
+        stratum, dim, lambda = 1e-3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(w.keySet == Set(0L, 1L, 2L), s"${w.keySet}")
+    (0L to 2L).foreach { s =>
+      val direct = Probe.fitRidge(
+        df.filter(pmod(col("vec_id"), lit(4)) <= s),
+        "embedding", y, dim, lambda = 1e-3).toSeq
+      assert(w(s) == direct,
+        s"prefix $s: cumulative fit must equal the direct prefix fit")
+    }
+    val curve = Probe.learningCurve(df, "embedding", y, stratum, dim,
+      lambda = 1e-3).collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(curve.map(_.getLong(1)).toSeq == curve.map(_.getLong(1))
+      .toSeq.sorted, "n_train must grow with the prefix")
+    assert(curve.forall(_.getLong(2) == 20L), "fixed held-out stratum")
+    curve.foreach(r =>
+      assert(r.getDouble(3) < 1e-4, s"self-feature mse must be tiny: $r"))
+  }
 }
