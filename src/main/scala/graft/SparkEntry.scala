@@ -168,6 +168,23 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — temporal split with a 2-day embargo (the purged
+    // time-series split): per-split audit rows make the no-overlap
+    // property visible — train's max day, the excluded gap, test's
+    // min day. Rank-exact day cutoff, per-row assignment.
+    "q248_temporal_split" -> ((s, d) =>
+      Sampling.temporalSplit(t(s, d, "events"), col("ts"),
+          testFraction = 0.2, embargoDays = 2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(floor(col("ts").cast("long") / lit(86400L)))
+            .as("n_days"),
+          min(floor(col("ts").cast("long") / lit(86400L)).cast("long"))
+            .as("min_day"),
+          max(floor(col("ts").cast("long") / lit(86400L)).cast("long"))
+            .as("max_day"))
+        .orderBy(col("min_day").asc)),
+
     // X3+/S — learning-curve weights: one ridge fit per stratum
     // PREFIX (strata 0, 0-1, 0-2 of vec_id%4; stratum 3 held out) —
     // prefix moments are cumulative sums of the per-stratum cells,
@@ -6832,6 +6849,34 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q248: same rank-exact cutoff day (ceil(0.8·n_days) over the
+    // distinct-day order), same integer day buckets, same three-way
+    // assignment.
+    "q248_temporal_split" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |    AS BIGINT) // 86400 AS dd
+        |  FROM events WHERE ts IS NOT NULL),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |cut AS (
+        |  SELECT dd AS c
+        |  FROM (SELECT dd, row_number() OVER (ORDER BY dd) AS r FROM d),
+        |       nd
+        |  WHERE r = CAST(ceil(CAST(n AS DOUBLE) * 0.8) AS BIGINT)),
+        |a AS (
+        |  SELECT CASE
+        |           WHEN dd <= c THEN 'train'
+        |           WHEN dd <= c + 2 THEN 'embargo'
+        |           ELSE 'test' END AS split,
+        |         dd
+        |  FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |          AS BIGINT) // 86400 AS dd
+        |        FROM events WHERE ts IS NOT NULL) e, cut)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT dd) AS BIGINT) AS n_days,
+        |       min(dd) AS min_day, max(dd) AS max_day
+        |FROM a GROUP BY 1 ORDER BY min_day""".stripMargin,
+
     // q246: the q244 residual certification with PREFIX train sets
     // (fold <= s instead of fold <> f).
     "q246_learning_weights" ->

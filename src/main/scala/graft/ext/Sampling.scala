@@ -334,4 +334,54 @@ object Sampling {
     graft.stage.Staging.stageRangeSorted(
       df.withColumn("shuffle_key", shuffleKey(key, salt)),
       path, numFiles, Seq("shuffle_key"))
+
+  /**
+   * Temporal train/test split with an EMBARGO gap — the
+   * leakage-prevention rule for time-ordered data that [[hashSplit]]'s
+   * content hashing cannot express: a model trained through day d and
+   * tested from day d+1 still leaks through short-range
+   * autocorrelation (sessions straddling midnight, lagged features),
+   * so the days immediately after the cutoff are EXCLUDED from both
+   * sides (de Prado's purged split, the time-series CV hygiene rule).
+   *
+   * The cutoff is the rank-exact day at sorted position
+   * `⌈(1−testFraction)·n_days⌉` over the DISTINCT day frame (an
+   * actual observed day — the [[graft.analytics.Robust]]
+   * percentile_disc rule, engine-exact), train = day ≤ cutoff,
+   * embargo = the next `embargoDays` days, test = the rest. Adds
+   * `split` ∈ {train, embargo, test}; day arithmetic is integer epoch
+   * division.
+   *
+   * Shape: the day frame is bounded (aggregate-first — its one rank
+   * window is day-cardinality); the assignment is a per-row
+   * projection against the broadcast 1-row cutoff.
+   */
+  def temporalSplit(
+      df: DataFrame, tsCol: Column,
+      testFraction: Double = 0.2, embargoDays: Int = 2,
+      splitCol: String = "split"): DataFrame = {
+    require(testFraction > 0.0 && testFraction < 1.0,
+      s"testFraction must be in (0,1), got $testFraction")
+    require(embargoDays >= 0,
+      s"embargoDays must be >= 0, got $embargoDays")
+    val day = floor(tsCol.cast("long") / lit(86400L)).cast("long")
+    val days = df.filter(tsCol.isNotNull)
+      .select(day.as("_d")).distinct()
+    val nD = days.agg(count(lit(1)).as("_n"))
+    val wD = org.apache.spark.sql.expressions.Window.orderBy(col("_d"))
+    val cutoff = days
+      .withColumn("_r", row_number().over(wD).cast("long"))
+      .crossJoin(broadcast(nD))
+      .filter(col("_r") ===
+        ceil(col("_n").cast("double") * lit(1.0 - testFraction))
+          .cast("long"))
+      .select(col("_d").as("_cut"))
+    df.filter(tsCol.isNotNull)
+      .crossJoin(broadcast(cutoff))
+      .withColumn(splitCol,
+        when(day <= col("_cut"), "train")
+          .when(day <= col("_cut") + embargoDays, "embargo")
+          .otherwise("test"))
+      .drop("_cut")
+  }
 }

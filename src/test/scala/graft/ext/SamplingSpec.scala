@@ -439,4 +439,38 @@ class SamplingSpec extends GraftSpec {
       Sampling.weightedTakePerGroup(df, "g", col("w"), "doc_id", 0)
     }
   }
+
+  test("temporalSplit: the embargo gap separates train's last day " +
+    "from test's first; cutoff is the rank-exact day; params " +
+    "validated") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // 10 days, one row per day: cutoff = day at rank ceil(8) = day 7
+    // (0-indexed), embargo days 8-9... with embargoDays=2: train 0-7,
+    // embargo 8-9, test empty → use 12 days so test is non-empty
+    val ev = (0 until 12).map(d => d.toLong * 86400L + 10L)
+      .toDF("ep").withColumn("ts", timestamp_seconds(col("ep")))
+    val got = Sampling.temporalSplit(ev, col("ts"),
+        testFraction = 0.25, embargoDays = 2)
+      .groupBy("split")
+      .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.floor(
+            col("ts").cast("long") / 86400L)).as("lo"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.floor(
+            col("ts").cast("long") / 86400L)).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // cutoff = rank ceil(.75·12) = 9 → day 8 (0-indexed rank 9)
+    assert(got("train") == ((0L, 8L)), s"$got")
+    assert(got("embargo") == ((9L, 10L)), s"$got")
+    assert(got("test") == ((11L, 11L)), s"$got")
+    assert(got("test")._1 - got("train")._2 > 2,
+      "the embargo must separate the sides")
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(ev, col("ts"), testFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(ev, col("ts"), embargoDays = -1)
+    }
+  }
 }
