@@ -168,6 +168,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X1+/S — duplicate-cluster size histogram: the shape of the
+    // corpus's redundancy (how much mass sits in big near-dup
+    // families vs singletons — the dedup-ratio forecast) from q190's
+    // labels-for-all clustering; two bounded aggregates past the
+    // banded-LSH pair generation.
+    "q249_cluster_histogram" -> ((s, d) =>
+      Dedup.clusterLabels(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size").asc)),
+
     // X+/S — temporal split with a 2-day embargo (the purged
     // time-series split): per-split audit rows make the no-overlap
     // property visible — train's max day, the excluded gap, test's
@@ -6849,6 +6862,40 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q249: q37's exact-Jaccard + recursive-reach replay, with the
+    // label/size/histogram tail instead of the survivor filter.
+    "q249_cluster_histogram" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.s || b.s)) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster
+        |  FROM reach GROUP BY 1),
+        |sizes AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM labels GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
     // q248: same rank-exact cutoff day (ceil(0.8·n_days) over the
     // distinct-day order), same integer day buckets, same three-way
     // assignment.
