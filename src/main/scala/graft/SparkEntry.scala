@@ -168,6 +168,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // X+/S — Ljung–Box whiteness test through lag 7 on the daily
+    // series: any autocorrelation left for a forecaster, pooled into
+    // one cumulative statistic per lag (the per-lag companion q148
+    // reads one lag of). Series-sized windows; the single aggregate
+    // row fans into the lag frame by explode — never per-lag rescans.
+    "q250_ljung_box" -> ((s, d) =>
+      StatsTests.ljungBox(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events", maxLag = 7)),
+
+    // X+/S — turning-points randomness test on the same series: the
+    // oscillation lens next to q235's runs test (strict 3-point
+    // extrema, ties are not turns). Closed-form moments, one z.
+    "q251_turning_points" -> ((s, d) =>
+      StatsTests.turningPoints(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
     // X1+/S — duplicate-cluster size histogram: the shape of the
     // corpus's redundancy (how much mass sits in big near-dup
     // families vs singletons — the dedup-ratio forecast) from q190's
@@ -6862,6 +6884,115 @@ object SparkEntry {
     "q167_benford" -> benfordOracleSql,
 
     // q168: same user-day dedup + window-end fan-out + active-day gate.
+    // q250: same exact-decimal mean, same 12-dp cross-product folds
+    // per lag, same cumulative Q chain over the 7-row lag frame.
+    "q250_ljung_box" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1
+        |  FROM s),
+        |lg AS (
+        |  SELECT v,
+        |         lag(v, 1) OVER (ORDER BY day) AS l1,
+        |         lag(v, 2) OVER (ORDER BY day) AS l2,
+        |         lag(v, 3) OVER (ORDER BY day) AS l3,
+        |         lag(v, 4) OVER (ORDER BY day) AS l4,
+        |         lag(v, 5) OVER (ORDER BY day) AS l5,
+        |         lag(v, 6) OVER (ORDER BY day) AS l6,
+        |         lag(v, 7) OVER (ORDER BY day) AS l7
+        |  FROM s),
+        |x AS (SELECT lg.*, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |             n
+        |      FROM lg, tot),
+        |tm AS (
+        |  SELECT max(n) AS n,
+        |    CAST(sum(CAST(round((v-m)*(v-m), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS den,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l1-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n1,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l2-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n2,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l3-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n3,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l4-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n4,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l5-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n5,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l6-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n6,
+        |    CAST(coalesce(sum(CAST(round((v-m)*(l7-m), 12)
+        |      AS DECIMAL(38,12))), 0) AS DOUBLE) AS n7
+        |  FROM x),
+        |ll AS (
+        |  SELECT CAST(1 AS BIGINT) AS lag, n, den, n1 AS num FROM tm
+        |  UNION ALL SELECT 2, n, den, n2 FROM tm
+        |  UNION ALL SELECT 3, n, den, n3 FROM tm
+        |  UNION ALL SELECT 4, n, den, n4 FROM tm
+        |  UNION ALL SELECT 5, n, den, n5 FROM tm
+        |  UNION ALL SELECT 6, n, den, n6 FROM tm
+        |  UNION ALL SELECT 7, n, den, n7 FROM tm),
+        |rr AS (
+        |  SELECT lag, n,
+        |         CASE WHEN den > 0 THEN num / den END AS r
+        |  FROM ll),
+        |cc AS (
+        |  SELECT lag, r, n,
+        |         sum(CAST(round(r * r / (CAST(n AS DOUBLE)
+        |               - CAST(lag AS DOUBLE)), 12) AS DECIMAL(38,12)))
+        |           OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS csum
+        |  FROM rr)
+        |SELECT lag, round(r, 6) AS r,
+        |       CASE WHEN r IS NOT NULL THEN
+        |         round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |               * CAST(csum AS DOUBLE), 6) END AS q_lb
+        |FROM cc ORDER BY lag""".stripMargin,
+
+    // q251: same strict 3-point extrema, same closed-form moments,
+    // same p chain on the unrounded z.
+    "q251_turning_points" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+        |              AND ((v > prev AND v > nxt)
+        |                   OR (v < prev AND v < nxt))
+        |         THEN 1 ELSE 0 END AS turn
+        |  FROM (SELECT v, lag(v) OVER (ORDER BY day) AS prev,
+        |               lead(v) OVER (ORDER BY day) AS nxt
+        |        FROM s)),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(turn), 0) AS BIGINT) AS n_turning
+        |  FROM t),
+        |zz AS (
+        |  SELECT n, n_turning,
+        |         (CAST(n_turning AS DOUBLE)
+        |           - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        |         / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) AS z
+        |  FROM ag),
+        |px AS (
+        |  SELECT n, n_turning, z,
+        |         abs(z) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(z) * 0.7071067811865476)) AS t
+        |  FROM zz)
+        |SELECT n, n_turning,
+        |       CASE WHEN n >= 4 THEN round(z, 6) END AS z,
+        |       CASE WHEN n >= 4 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
     // q249: q37's exact-Jaccard + recursive-reach replay, with the
     // label/size/histogram tail instead of the survivor filter.
     "q249_cluster_histogram" ->

@@ -732,6 +732,111 @@ object StatsTests {
   }
 
   /**
+   * Ljung–Box portmanteau test over a series — "is there ANY
+   * autocorrelation left through lag h?", the residual-whiteness
+   * check run after a trend/seasonal fit ([[graft.analytics.Trend
+   * .autocorr]] reads one lag; this pools the first h):
+   *
+   *   r_k = Σᵢ (vᵢ−m)(vᵢ₋ₖ−m) / Σᵢ (vᵢ−m)²
+   *   Q_h = n(n+2) Σ_{k≤h} r_k²/(n−k)     (χ², h df under whiteness)
+   *
+   * The mean comes from exact decimal sums; every cross-product term
+   * is one double chain rounded 12 dp and folded as DECIMAL(38,12).
+   * Returns one row per lag `(lag, r, q_lb)` with `q_lb` the
+   * cumulative statistic through that lag (NULL when the series
+   * variance is 0). Same series contract as [[Changepoint.cusum]]:
+   * the lag window and the h-row cumulative run over the SERIES.
+   */
+  def ljungBox(
+      series: DataFrame, orderCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val d12 = DecimalType(38, 12)
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("_o"),
+        col(valueCol).cast("double").as("_v"))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      sum(round(col("_v"), 9).cast(DecimalType(38, 9))).as("_s1"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("_o"))
+    val m = col("_s1").cast("double") / col("_n").cast("double")
+    val lagged = base
+      .select((col("_v") +: (1 to maxLag).map(k =>
+        lag(col("_v"), k).over(wOrd).as(s"_l$k"))): _*)
+      .crossJoin(broadcast(tot))
+    val terms = lagged.agg(
+      sum(round((col("_v") - m) * (col("_v") - m), 12).cast(d12))
+        .as("_den"),
+      (1 to maxLag).map(k =>
+        coalesce(sum(round((col("_v") - m) * (col(s"_l$k") - m), 12)
+          .cast(d12)), lit(0).cast(d12)).as(s"_num$k")): _*)
+      .crossJoin(broadcast(tot))
+    // fan the single aggregate row into the lag frame via explode —
+    // one pass, never per-lag recomputation of the upstream series
+    val perLag = terms
+      .select(col("_n"), col("_den"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k.toLong).as("lag"),
+            col(s"_num$k").as("_num"))): _*)).as("_x"))
+      .select(col("_x.lag").as("lag"), col("_n"),
+        when(col("_den").cast("double") > 0.0,
+          col("_x._num").cast("double") / col("_den").cast("double"))
+          .as("_r"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lag").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perLag
+      .withColumn("_term",
+        round(col("_r") * col("_r") /
+          (col("_n").cast("double") - col("lag").cast("double")), 12)
+          .cast(d12))
+      .withColumn("q_lb",
+        when(col("_r").isNotNull,
+          round(col("_n").cast("double") *
+            (col("_n").cast("double") + 2.0) *
+            sum(col("_term")).over(cumW).cast("double"), 6)))
+      .select(col("lag"), round(col("_r"), 6).as("r"), col("q_lb"))
+      .orderBy(col("lag").asc)
+  }
+
+  /**
+   * Turning-points test over a series — the second randomness lens
+   * next to [[runsTest]] (runs catch level drift; turning points
+   * catch over/under-smoothing): a point is a turning point when it
+   * is a STRICT local extremum of its 3-point neighborhood (any tie
+   * is not a turn — documented). Under randomness
+   * `E = 2(n−2)/3`, `Var = (16n−29)/90`, `z = (T−E)/√Var`
+   * (p via [[normalTwoSidedP]]). Counts exact; z one double chain;
+   * NULL z when n < 4 (no variance). Series-sized lag/lead window.
+   * Returns one row `(n, n_turning, z, p)`.
+   */
+  def turningPoints(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("_o"))
+    val prev = lag(col("_v"), 1).over(wOrd)
+    val next = lead(col("_v"), 1).over(wOrd)
+    val turn = when(prev.isNotNull && next.isNotNull &&
+      ((col("_v") > prev && col("_v") > next) ||
+        (col("_v") < prev && col("_v") < next)), 1L).otherwise(0L)
+    val agg = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("_o"),
+        col(valueCol).cast("double").as("_v"))
+      .select(turn.as("_t"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_turning"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    val z = (col("n_turning").cast("double") - e) / sqrt(v)
+    agg.select(col("n"), col("n_turning"),
+      when(col("n") >= 4, round(z, 6)).as("z"),
+      when(col("n") >= 4, normalTwoSidedP(z)).as("p"))
+  }
+
+  /**
    * Wald–Wolfowitz runs test of a series around its median — "is this
    * sequence RANDOM, or does it drift/oscillate?" The trend family
    * ([[graft.analytics.Trend]], [[Changepoint]]) asks what the

@@ -384,6 +384,47 @@ class StatsTestsSpec extends GraftSpec {
       .isNullAt(3), "min(r-1, c-1) = 0 is undefined")
   }
 
+  test("ljungBox: hand-computed r and cumulative Q on an alternating " +
+    "series; a constant series yields NULLs; maxLag validated") {
+    def series(vals: Double*) = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("o", "v")
+    // (1,2)×4: m=1.5, den=2; r1 = −1.75/2, r2 = 1.5/2
+    val got = StatsTests.ljungBox(
+        series(1, 2, 1, 2, 1, 2, 1, 2), "o", "v", maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == -0.875 && got(2L)._1 == 0.75, s"$got")
+    // q1 = 8·10·(0.875²/7) = 8.75; q2 = 80·(0.109375 + 0.75²/6)
+    assert(got(1L)._2 == 8.75, s"$got")
+    assert(got(2L)._2 == 16.25, s"$got")
+
+    val flat = StatsTests.ljungBox(series(5, 5, 5, 5, 5), "o", "v",
+      maxLag = 2).collect()
+    flat.foreach(r => assert(r.isNullAt(1) && r.isNullAt(2),
+      s"zero variance: $r"))
+    intercept[IllegalArgumentException] {
+      StatsTests.ljungBox(series(1, 2), "o", "v", maxLag = 0)
+    }
+  }
+
+  test("turningPoints: strict extrema counted, ties are not turns, " +
+    "closed-form z replays") {
+    def series(vals: Double*) = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("o", "v")
+    val got = StatsTests.turningPoints(series(1, 3, 2, 4, 3), "o", "v")
+      .head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 3L, s"$got")
+    val e = 2.0 * 3.0 / 3.0
+    val v = (16.0 * 5.0 - 29.0) / 90.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == r6((3.0 - e) / math.sqrt(v)), s"$got")
+
+    val tied = StatsTests.turningPoints(series(1, 2, 2, 1), "o", "v")
+      .head()
+    assert(tied.getLong(1) == 0L, s"a plateau is not a turn: $tied")
+  }
+
   test("runsTest: hand-counted runs on an alternating and a blocked " +
     "series; median-equal values drop; one-sided input is NULL") {
     def series(vals: Double*) = vals.zipWithIndex
