@@ -220,6 +220,27 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // X3+/S — dimension-ablation weights: ridge fits on the leading
+    // 16/32/64 dims from ONE moment pass (a moment matrix's principal
+    // submatrix IS the subset's moment matrix). Residual-certified
+    // per budget over the subsystem equations.
+    "q252_ablation_weights" -> ((s, d) =>
+      Probe.ablationWeights(s, t(s, d, "embeddings"), "embedding",
+          when(col("label") === 0, 1.0)
+            .when(col("label").isNotNull, 0.0),
+          dims = Seq(16, 32, 64), dim = 64, lambda = 1e-3)
+        .orderBy(col("dims_used").asc, col("idx").asc)),
+
+    // X3+/S — the ablation curve: in-sample fit quality per leading-
+    // dimension budget — how many dimensions carry the linearly
+    // accessible signal? (the compression axis next to q247's data
+    // axis). Oracle replays from q252's dump.
+    "q253_ablation_curve" -> ((s, d) =>
+      Probe.ablationCurve(t(s, d, "embeddings"), "embedding",
+        when(col("label") === 0, 1.0)
+          .when(col("label").isNotNull, 0.0),
+        dims = Seq(16, 32, 64), dim = 64, lambda = 1e-3)),
+
     // X3+/S — learning-curve weights: one ridge fit per stratum
     // PREFIX (strata 0, 0-1, 0-2 of vec_id%4; stratum 3 held out) —
     // prefix moments are cumulative sums of the per-stratum cells,
@@ -7054,6 +7075,125 @@ object SparkEntry {
         |       CAST(count(DISTINCT dd) AS BIGINT) AS n_days,
         |       min(dd) AS min_day, max(dd) AS max_day
         |FROM a GROUP BY 1 ORDER BY min_day""".stripMargin,
+
+    // q252: the q244 residual certification per DIMENSION BUDGET —
+    // the subsystem equations use only indices < du plus the
+    // intercept (65), ridge on the non-intercept sub-diagonal.
+    "q252_ablation_weights" ->
+      """WITH wdump AS (
+        |  SELECT CAST(dims_used AS BIGINT) AS du,
+        |         CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q252_ablation_weights/*.parquet')),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |el AS (
+        |  SELECT vec_id, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |fl AS (SELECT DISTINCT du FROM wdump),
+        |am AS (
+        |  SELECT fl.du, a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < fl.du
+        |                THEN 0.001 ELSE 0 END AS s
+        |  FROM el a JOIN el b2 ON a.vec_id = b2.vec_id
+        |  CROSS JOIN fl
+        |  WHERE (a.i < fl.du OR a.i = 64)
+        |    AND (b2.i < fl.du OR b2.i = 64)
+        |  GROUP BY 1, 2, 3),
+        |aw AS (
+        |  SELECT am.du, am.i, sum(am.s * w.w) AS aw,
+        |         sum(abs(am.s)) AS rs
+        |  FROM am JOIN wdump w ON w.du = am.du AND w.idx = am.j
+        |  GROUP BY 1, 2),
+        |bv AS (
+        |  SELECT fl.du, el.i,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el CROSS JOIN fl
+        |  WHERE el.i < fl.du OR el.i = 64
+        |  GROUP BY 1, 2),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 17 + 33 + 65
+        |      AND (SELECT list_sort(list(DISTINCT du)) FROM wdump)
+        |            = [16, 32, 64]
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(idx < du OR idx = 64) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b)
+        |                           <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv ON aw.du = bv.du AND aw.i = bv.i),
+        |      FALSE) AS ok)
+        |SELECT du AS dims_used, idx, w FROM wdump
+        |WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY dims_used, idx""".stripMargin,
+
+    // q253 PARTIAL oracle: per-budget predictions via the q185
+    // IN-ORDER list fold against q252's weights zero-extended to the
+    // full width (the exact Spark score() arithmetic — a join-order
+    // sum would break the fold-order contract), the q185 metric
+    // chains per budget.
+    "q253_ablation_curve" ->
+      """WITH wdump AS (
+        |  SELECT CAST(dims_used AS BIGINT) AS du,
+        |         CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q252_ablation_weights/*.parquet')),
+        |fl AS (SELECT DISTINCT du FROM wdump),
+        |idxs AS (
+        |  SELECT fl.du, r.i
+        |  FROM fl CROSS JOIN (SELECT unnest(range(0, 65)) AS i) r),
+        |wfull AS (
+        |  SELECT i2.du, list(coalesce(w.w, 0.0) ORDER BY i2.i) AS wl
+        |  FROM idxs i2 LEFT JOIN wdump w
+        |    ON w.du = i2.du AND w.idx = i2.i
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_append(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE)), CAST(1 AS DOUBLE)) AS v,
+        |         CASE WHEN label = 0 THEN CAST(1 AS DOUBLE)
+        |              WHEN label IS NOT NULL THEN CAST(0 AS DOUBLE)
+        |         END AS y
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) = 64),
+        |p AS (
+        |  SELECT wf.du, e.y,
+        |         list_aggregate(list_transform(
+        |           list_zip(e.v, wf.wl),
+        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum') AS pr
+        |  FROM e CROSS JOIN wfull wf),
+        |t1 AS (SELECT du, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+        |       FROM p GROUP BY 1)
+        |SELECT p.du AS dims_used, t1.n,
+        |       round(CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |             AS DECIMAL(38,12))) AS DOUBLE) / t1.n, 6) AS mse,
+        |       CASE WHEN CAST(sum(CAST(round(
+        |                (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) > 0 THEN
+        |         round(1.0
+        |           - CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(round(
+        |                 (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |       END AS r2
+        |FROM p JOIN t1 ON t1.du = p.du
+        |GROUP BY p.du, t1.n, t1.sy ORDER BY dims_used""".stripMargin,
 
     // q246: the q244 residual certification with PREFIX train sets
     // (fold <= s instead of fold <> f).

@@ -333,6 +333,95 @@ object Probe {
       .orderBy(col("train_upto").asc)
   }
 
+  /** Ridge fits on LEADING-DIMENSION SUBSETS from one moment frame —
+    * the ablation fits: for each d' in `dims`, solve the
+    * (d'+1)×(d'+1) principal subsystem over features 0..d'−1 plus the
+    * intercept (moment cells are shared — the submatrix of a moment
+    * matrix IS the subset's moment matrix, so every ablation step
+    * reuses the single corpus pass). Returns
+    * `(dimsUsed, weights-with-original-indices)` per step. */
+  private def ablationFits(
+      df: DataFrame, vecCol: String, y: Column, dims: Seq[Int],
+      dim: Int, lambda: Double): Seq[(Int, Seq[(Int, Double)])] = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= dim),
+      s"dims must be non-empty within [1, $dim], got $dims")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val cells = momentPartials(df, vecCol, y, dim).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        new java.math.BigDecimal(r.getDecimal(2).toBigInteger)
+          .doubleValue() / 1e12).toMap
+    dims.sorted.map { du =>
+      val sel = (0 until du) :+ dim // original indices of the subsystem
+      val d1 = du + 1
+      val a = Array.ofDim[Double](d1, d1)
+      val b = new Array[Double](d1)
+      for (pi <- 0 until d1; pj <- pi until d1) {
+        val (oi, oj) = (sel(pi), sel(pj))
+        val v = cells.getOrElse((oi, oj), cells.getOrElse((oj, oi), 0.0))
+        a(pi)(pj) = v; a(pj)(pi) = v
+      }
+      (0 until d1).foreach(pi => b(pi) = cells.getOrElse((sel(pi), -1), 0.0))
+      require(a(du)(du) > 0, "no rows matched (empty moments)")
+      du -> finishFit(a, b, du, lambda).toSeq.zip(sel)
+        .map { case (w, oi) => (oi, w) }
+    }
+  }
+
+  /** Ablation weights as a frame `(dims_used, idx, w)` — idx keeps the
+    * ORIGINAL feature index (intercept = `dim`), so the oracle can
+    * certify each step's subsystem equations directly. */
+  def ablationWeights(
+      spark: SparkSession, df: DataFrame, vecCol: String, y: Column,
+      dims: Seq[Int], dim: Int, lambda: Double = 1e-3): DataFrame = {
+    import spark.implicits._
+    ablationFits(df, vecCol, y, dims, dim, lambda)
+      .flatMap { case (du, ws) =>
+        ws.map { case (oi, w) => (du.toLong, oi.toLong, w) }
+      }.toDF("dims_used", "idx", "w")
+  }
+
+  /**
+   * The dimension-ablation curve: in-sample fit quality per leading-
+   * dimension budget — "how many dimensions carry the linearly
+   * accessible signal?" (the representation-compression instrument
+   * next to the [[learningCurve]]'s data axis). Each step scores with
+   * its subsystem weights zero-extended to the full width (identical
+   * arithmetic, one [[score]] fold per step). Returns
+   * `(dims_used, n, mse, r2)` ordered by the budget.
+   */
+  def ablationCurve(
+      df: DataFrame, vecCol: String, y: Column, dims: Seq[Int],
+      dim: Int, lambda: Double = 1e-3): DataFrame = {
+    val fits = ablationFits(df, vecCol, y, dims, dim, lambda)
+    val base = df
+      .filter(col(vecCol).isNotNull && y.isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(y.cast("double").as("_y"), col(vecCol).as("_v"))
+    val scored = fits.map { case (du, ws) =>
+      val full = Array.fill(dim + 1)(0.0)
+      ws.foreach { case (oi, w) => full(oi) = w }
+      base.select(lit(du.toLong).as("dims_used"), col("_y"),
+        score(col("_v"), full).as("_p"))
+    }.reduce(_ unionByName _)
+    val tot = scored.groupBy(col("dims_used"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("_sy"))
+    scored.join(broadcast(tot), Seq("dims_used"))
+      .select(col("dims_used"), col("n"), col("_y"), col("_p"),
+        (col("_sy") / col("n")).as("_my"))
+      .groupBy(col("dims_used"), col("n"))
+      .agg(
+        sum(round((col("_y") - col("_p")) * (col("_y") - col("_p")), 12)
+          .cast(dec)).as("_sse"),
+        sum(round((col("_y") - col("_my")) * (col("_y") - col("_my")), 12)
+          .cast(dec)).as("_sst"))
+      .select(col("dims_used"), col("n"),
+        round(col("_sse").cast("double") / col("n"), 6).as("mse"),
+        when(col("_sst").cast("double") > 0.0,
+          round(lit(1.0) - col("_sse").cast("double") /
+            col("_sst").cast("double"), 6)).as("r2"))
+      .orderBy(col("dims_used").asc)
+  }
+
   /** k-fold CV weights as a frame `(fold, idx, w)` — fold f's row
     * holds the ridge fit on everything EXCEPT fold f (the held-out
     * evaluation pairs with [[crossValReport]]). */

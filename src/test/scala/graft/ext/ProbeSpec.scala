@@ -230,4 +230,35 @@ class ProbeSpec extends GraftSpec {
     curve.foreach(r =>
       assert(r.getDouble(3) < 1e-4, s"self-feature mse must be tiny: $r"))
   }
+
+  test("ablationWeights: the full-width step equals fitRidge; a " +
+    "budget containing the signal dimension fits it; dims validated") {
+    val dim = 6
+    val df = synth(60, dim).toDF("vec_id", "embedding")
+    val y = element_at(col("embedding"), 2).cast("double") // feature 1
+    val steps = Probe.ablationWeights(spark, df, "embedding", y,
+        dims = Seq(2, dim), dim = dim, lambda = 1e-3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (du, rs) =>
+        du -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      }
+    assert(steps.keySet == Set(2L, dim.toLong))
+    // full budget = plain fitRidge on original indices
+    val direct = Probe.fitRidge(df, "embedding", y, dim, lambda = 1e-3)
+    direct.zipWithIndex.foreach { case (w, i) =>
+      assert(steps(dim.toLong)(i.toLong) == w, s"full-width idx $i")
+    }
+    // the 2-dim budget includes feature 1 → near-perfect sub-fit
+    val curve = Probe.ablationCurve(df, "embedding", y,
+        dims = Seq(2, dim), dim = dim, lambda = 1e-3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(curve(2L) < 1e-4 && curve(dim.toLong) < 1e-4, s"$curve")
+    intercept[IllegalArgumentException] {
+      Probe.ablationWeights(spark, df, "embedding", y, Seq(0), dim)
+    }
+    intercept[IllegalArgumentException] {
+      Probe.ablationWeights(spark, df, "embedding", y, Seq(dim + 1), dim)
+    }
+  }
 }
