@@ -220,6 +220,18 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // X+/S — q189's source screen under Benjamini–Yekutieli: the
+    // dependence-robust FDR cut for per-source tests that share one
+    // corpus baseline (every BY rejection is a BH rejection — the
+    // conservative direction is visible against q189).
+    "q254_by_screen" -> ((s, d) =>
+      StatsTests.bySignificance(
+        StatsTests.groupWelchZ(t(s, d, "documents"),
+          col("source"), col("n_chars"))
+          .withColumn("p", StatsTests.normalTwoSidedP(col("z"))),
+        "p", "g", alpha = 0.05)
+        .orderBy(col("rank").asc)),
+
     // X3+/S — dimension-ablation weights: ridge fits on the leading
     // 16/32/64 dims from ONE moment pass (a moment matrix's principal
     // submatrix IS the subset's moment matrix). Residual-certified
@@ -7076,6 +7088,9 @@ object SparkEntry {
         |       min(dd) AS min_day, max(dd) AS max_day
         |FROM a GROUP BY 1 ORDER BY min_day""".stripMargin,
 
+    // q254: q189's chain with the BY harmonic cut.
+    "q254_by_screen" -> byScreenOracleSql,
+
     // q252: the q244 residual certification per DIMENSION BUDGET —
     // the subsystem equations use only indices < du plus the
     // intercept (65), ridge on the non-intercept sub-diagonal.
@@ -9345,6 +9360,20 @@ object SparkEntry {
         |SELECT g, n, mean, z, p, rank,
         |       coalesce(rank <= ct.cut, FALSE) AS significant
         |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin
+
+  /** q254: q189's Welch/p/rank chain verbatim, with the BY harmonic
+    * cut (12-dp decimal 1/i folds) instead of the BH linear cut. */
+  private val byScreenOracleSql: String =
+    sourceScreenOracleSql.replace(
+      """ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE) * rank / m
+        |                       THEN rank END) AS cut FROM rk)""".stripMargin,
+      """cm AS (SELECT CAST(sum(CAST(round(1.0 / rank, 12)
+        |         AS DECIMAL(38,12))) AS DOUBLE) AS c FROM rk),
+        |ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE)
+        |                    * CAST(rank AS DOUBLE)
+        |                    / (CAST(m AS DOUBLE) * cm.c)
+        |                       THEN rank END) AS cut
+        |       FROM rk CROSS JOIN cm)""".stripMargin)
 
   private val trendOracleSql: String =
       """WITH b AS (

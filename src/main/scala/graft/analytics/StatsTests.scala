@@ -706,6 +706,42 @@ object StatsTests {
       .drop("_m", "_cut")
   }
 
+  /**
+   * Benjamini–Yekutieli step-up — [[bhSignificance]] under ARBITRARY
+   * dependence between the tests: BH's FDR guarantee assumes
+   * independence/PRDS, and per-source screens over a SHARED corpus
+   * baseline are exactly the correlated case, so the dependence-robust
+   * variant divides the level by the harmonic number
+   * `c(m) = Σ_{i≤m} 1/i` (each 1/i term rounds 12 dp into a decimal
+   * fold over the test frame — order-independent). Strictly more
+   * conservative than BH: every BY rejection is a BH rejection.
+   * Same test-frame-sized windows; adds `(rank, significant)`.
+   */
+  def bySignificance(
+      tests: DataFrame, pCol: String, idCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val d12 = DecimalType(38, 12)
+    val byP = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(idCol).asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("_cm",
+        sum(round(lit(1.0) / col("rank").cast("double"), 12).cast(d12))
+          .over(all))
+      .withColumn("_cut", max(when(
+        col(pCol) <= lit(alpha) * col("rank").cast("double")
+          / (col("_m").cast("double") * col("_cm").cast("double")),
+        col("rank"))).over(all))
+      .withColumn("significant",
+        coalesce(col("rank") <= col("_cut"), lit(false)))
+      .drop("_m", "_cm", "_cut")
+  }
+
   def concentration(df: DataFrame, groupCol: Column): DataFrame = {
     val counts = df.select(groupCol.as("_g")).filter(col("_g").isNotNull)
       .groupBy("_g").agg(count(lit(1)).as("c"))

@@ -384,6 +384,27 @@ class StatsTestsSpec extends GraftSpec {
       .isNullAt(3), "min(r-1, c-1) = 0 is undefined")
   }
 
+  test("bySignificance: strictly more conservative than BH — the " +
+    "harmonic factor shrinks the cut; hand case flips a borderline " +
+    "rejection") {
+    // m=4, c(4) = 1+1/2+1/3+1/4 = 25/12: BH cut at rank 2 needs
+    // p <= .025; BY needs p <= .025·12/25 = .012
+    val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.2), ("d", 0.9))
+      .toDF("id", "p")
+    val bh = StatsTests.bhSignificance(tests, "p", "id")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val by = StatsTests.bySignificance(tests, "p", "id")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(bh("a") && bh("b"), s"BH keeps both small p: $bh")
+    assert(by("a") && !by("b"),
+      s"BY's harmonic factor must drop the borderline b: $by")
+    assert(by.forall { case (k, s) => !s || bh(k) },
+      "every BY rejection is a BH rejection")
+    intercept[IllegalArgumentException] {
+      StatsTests.bySignificance(tests, "p", "id", alpha = 0.0)
+    }
+  }
+
   test("ljungBox: hand-computed r and cumulative Q on an alternating " +
     "series; a constant series yields NULLs; maxLag validated") {
     def series(vals: Double*) = vals.zipWithIndex
