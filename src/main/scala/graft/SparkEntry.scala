@@ -220,6 +220,15 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // A+/S — whole-log session profile: bounce rate (one event and
+    // gone), mean session depth, longest session — the engagement
+    // dashboard row over q34's exact gap rule. User-partitioned
+    // window, 1-row output.
+    "q255_session_profile" -> ((s, d) =>
+      LogAnalytics.sessionProfile(t(s, d, "events"),
+        userCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        gapSeconds = 1800L)),
+
     // X+/S — q189's source screen under Benjamini–Yekutieli: the
     // dependence-robust FDR cut for per-source tests that share one
     // corpus baseline (every BY rejection is a BH rejection — the
@@ -7090,6 +7099,43 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q255: q34's gap replay, session sizes, one global fold.
+    "q255_session_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, tsu, event_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(tsu) OVER w)) AS BIGINT)
+        |                > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY tsu, event_id)),
+        |idx AS (
+        |  SELECT user_id,
+        |         sum(ns) OVER (PARTITION BY user_id
+        |           ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |  FROM g),
+        |sz AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+        |  FROM idx GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) AS n_bounce,
+        |       round(CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0
+        |             END), 0) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0), 6)
+        |         AS bounce_rate,
+        |       round(CAST(sum(n) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0), 6)
+        |         AS avg_session_events,
+        |       max(n) AS max_session_events
+        |FROM sz""".stripMargin,
 
     // q252: the q244 residual certification per DIMENSION BUDGET —
     // the subsystem equations use only indices < du plus the

@@ -69,6 +69,41 @@ object LogAnalytics {
       .groupBy(col(userCol))
       .agg(max(col("session_idx")).as("n_sessions"))
 
+  /**
+   * Whole-log session profile — the engagement dashboard row the
+   * per-user [[sessionCounts]] rolls up into: total sessions, BOUNCE
+   * sessions (one event and gone — the canonical web-analytics
+   * quality signal), bounce rate, mean session depth, and the longest
+   * session. Same gap rule as [[sessionCounts]] (the private indexer
+   * is shared, so the rule exists exactly once); counts are exact
+   * longs, the two rates are the only float divisions, 6-dp.
+   *
+   * Shape: the user-partitioned session window, a (user, session)
+   * aggregate, then one global fold — 1-row output.
+   */
+  def sessionProfile(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame =
+    sessionIndexed(df, userCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum((col("_n") === 1L).cast("long")), lit(0L))
+          .as("n_bounce"),
+        coalesce(sum(col("_n")), lit(0L)).as("n_events"),
+        max(col("_n")).as("max_session_events"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") /
+          nullif(col("n_sessions").cast("double"), lit(0.0)), 6)
+          .as("bounce_rate"),
+        round(col("n_events").cast("double") /
+          nullif(col("n_sessions").cast("double"), lit(0.0)), 6)
+          .as("avg_session_events"),
+        col("max_session_events"))
+
   /** The shared session-index pass behind [[sessionCounts]] and
     * [[sessionIntervals]]: each surviving row tagged with its 1-based
     * session index (running sum of gap-break markers) — one window, one

@@ -61,6 +61,28 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("sessionProfile: bounce = one-event session; depth and max " +
+    "from the same gap rule") {
+    import spark.implicits._
+    // u1: session (/a,/b) then bounce (/c); u2: bounce (/a)
+    val events = Seq(
+      (Some(1L), "2024-05-06 10:00:00", "/a"),
+      (Some(1L), "2024-05-06 10:10:00", "/b"),
+      (Some(1L), "2024-05-06 12:00:00", "/c"),
+      (Some(2L), "2024-05-06 09:00:00", "/a"),
+      (None,     "2024-05-06 09:00:00", "/x")
+    ).toDF("user_id", "t", "request_resource")
+      .withColumn("time", to_timestamp(col("t"))).drop("t")
+    val got = LogAnalytics.sessionProfile(events,
+      tsCol = "time", tieCol = "request_resource",
+      gapSeconds = 1800L).head()
+    assert(got.getLong(0) == 3L, s"$got")      // 3 sessions
+    assert(got.getLong(1) == 2L, s"$got")      // 2 bounces
+    assert(got.getDouble(2) == 0.666667, s"$got")
+    assert(got.getDouble(3) == 1.333333, s"$got") // 4 events / 3
+    assert(got.getLong(4) == 2L, s"$got")
+  }
+
   test("sessionIntervals: bounds per session, disjoint, counts agree") {
     import spark.implicits._
     val events = Seq(
