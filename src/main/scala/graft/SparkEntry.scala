@@ -220,6 +220,19 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // X+/E — q117's Spearman with Fisher-z error bars: the interval a
+    // point correlation needs before anyone acts on it. CHAINED
+    // oracle (the q238 pattern): the interval replays from q117's own
+    // dumped (n, rho).
+    "q256_spearman_ci" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Eval.spearmanCI(
+        docs.filter(col("text").isNotNull).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nchr")),
+        "ntok", "nchr", "doc_id")
+    }),
+
     // A+/S — whole-log session profile: bounce rate (one event and
     // gone), mean session depth, longest session — the engagement
     // dashboard row over q34's exact gap rule. User-partitioned
@@ -7099,6 +7112,29 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q256 CHAINED oracle: the Fisher interval from q117's dumped
+    // (n, rho) — 12-dp ln/exp rounds (the q219 parity rule), one
+    // final 6-dp round per bound.
+    "q256_spearman_ci" ->
+      """WITH s AS (
+        |  SELECT n, rho
+        |  FROM read_parquet('__OUT__/q117_spearman/*.parquet')),
+        |f AS (
+        |  SELECT n, rho,
+        |         round(0.5 * ln((1.0 + rho) / (1.0 - rho)), 12) AS fz,
+        |         1.959964 / sqrt(CAST(n AS DOUBLE) - 3.0) AS hw
+        |  FROM s)
+        |SELECT n, rho,
+        |       CASE WHEN n > 3 AND abs(rho) < 1 AND rho IS NOT NULL THEN
+        |         round((round(exp(2.0 * (fz - hw)), 12) - 1.0)
+        |               / (round(exp(2.0 * (fz - hw)), 12) + 1.0), 6)
+        |       END AS ci_lo,
+        |       CASE WHEN n > 3 AND abs(rho) < 1 AND rho IS NOT NULL THEN
+        |         round((round(exp(2.0 * (fz + hw)), 12) - 1.0)
+        |               / (round(exp(2.0 * (fz + hw)), 12) + 1.0), 6)
+        |       END AS ci_hi
+        |FROM f""".stripMargin,
 
     // q255: q34's gap replay, session sizes, one global fold.
     "q255_session_profile" ->

@@ -953,6 +953,34 @@ object Eval {
           / nullif(col("_idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
   }
 
+  /**
+   * [[spearman]] with its Fisher-z confidence interval — the error
+   * bars a point correlation needs before anyone acts on it:
+   * `z = atanh(ρ) ± 1.959964/√(n−3)`, mapped back through tanh
+   * (ρ is the 6-dp value the test itself reports, so the interval is
+   * replayable from the dump). The ln and exp steps round 12 dp (the
+   * q219 libm-parity rule); the interval is NULL when n ≤ 3 or
+   * |ρ| = 1 (degenerate transform). Returns one row
+   * `(n, rho, ci_lo, ci_hi)` — same shape/cost as [[spearman]].
+   */
+  def spearmanCI(
+      df: DataFrame, colA: String, colB: String, idCol: String,
+      tieAverage: Boolean = true): DataFrame = {
+    val r = col("rho")
+    val nD = col("n").cast("double")
+    val f = round(lit(0.5) * log((lit(1.0) + r) / (lit(1.0) - r)), 12)
+    val half = lit(1.959964) / sqrt(nD - lit(3.0))
+    def bound(x: Column): Column = {
+      val t = round(exp(lit(2.0) * x), 12)
+      round((t - lit(1.0)) / (t + lit(1.0)), 6)
+    }
+    val ok = col("n") > 3 && abs(r) < 1.0 && r.isNotNull
+    spearman(df, colA, colB, idCol, tieAverage)
+      .select(col("n"), col("rho"),
+        when(ok, bound(f - half)).as("ci_lo"),
+        when(ok, bound(f + half)).as("ci_hi"))
+  }
+
   def spearman(
       df: DataFrame, colA: String, colB: String, idCol: String,
       tieAverage: Boolean = true): DataFrame = {

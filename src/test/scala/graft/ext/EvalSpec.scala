@@ -527,6 +527,31 @@ class EvalSpec extends GraftSpec {
     assert(fit == fit.sorted, s"iso_rate must be non-decreasing: $fit")
   }
 
+  test("spearmanCI: the interval brackets rho and tightens with n; " +
+    "perfect correlation and tiny n are NULL") {
+    // mostly-increasing with a genuine scrambled component (ρ < 1)
+    def mono(n: Int) = (1 to n).map(i =>
+      (i.toLong, i.toLong * 2, (i % 7).toLong * 100 + i))
+      .toDF("id", "a", "b")
+    val small = Eval.spearmanCI(mono(8), "a", "b", "id").head()
+    val big = Eval.spearmanCI(mono(80), "a", "b", "id").head()
+    Seq(small, big).foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(1) &&
+        r.getDouble(1) < r.getDouble(3), s"bracket: $r")
+    }
+    assert(big.getDouble(3) - big.getDouble(2) <
+      small.getDouble(3) - small.getDouble(2),
+      "more data must tighten the interval")
+
+    val perfect = (1 to 10).map(i => (i.toLong, i.toLong, i.toLong))
+      .toDF("id", "a", "b")
+    val p = Eval.spearmanCI(perfect, "a", "b", "id").head()
+    assert(p.getDouble(1) == 1.0 && p.isNullAt(2) && p.isNullAt(3),
+      s"degenerate transform: $p")
+    val tiny = Eval.spearmanCI(mono(3), "a", "b", "id").head()
+    assert(tiny.isNullAt(2) && tiny.isNullAt(3), s"n <= 3: $tiny")
+  }
+
   test("krippendorffAlphaBinary: hand-computed incomplete panel; " +
     "items with <2 ratings drop; perfect agreement is 1; a unanimous " +
     "single category is NULL") {
