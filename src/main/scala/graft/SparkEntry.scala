@@ -220,6 +220,12 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // A+/S — top-10 three-step journeys: the order-3 sequence-mining
+    // view above q105's pairs. Double-lag user window, TYPE³-bounded
+    // aggregate, TakeOrdered.
+    "q257_journey_trigrams" -> ((s, d) =>
+      LogAnalytics.topJourneyTrigrams(t(s, d, "events"), k = 10)),
+
     // X+/E — q117's Spearman with Fisher-z error bars: the interval a
     // point correlation needs before anyone acts on it. CHAINED
     // oracle (the q238 pattern): the interval replays from q117's own
@@ -7112,6 +7118,23 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q257: same (ts, event_id) total order per user, same double
+    // lag, same (n desc, path) tiebreak.
+    "q257_journey_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 2) OVER w AS step1,
+        |         lag(event_type, 1) OVER w AS step2
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, event_type AS step3,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE step1 IS NOT NULL AND step2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
 
     // q256 CHAINED oracle: the Fisher interval from q117's dumped
     // (n, rho) — 12-dp ln/exp rounds (the q219 parity rule), one

@@ -563,6 +563,41 @@ object LogAnalytics {
   }
 
   /**
+   * Top-k frequent 3-step journeys — the order-3 sequence-mining view
+   * above [[transitions]]' order-1 pairs ("what three actions chain
+   * most often?"): each user's `(ts, idCol)`-ordered event sequence
+   * contributes every consecutive triple, counted across users; a
+   * user's first two events open no triple. Ties break by the path
+   * string — deterministic. One user-partitioned double-lag window,
+   * one hash aggregate over the ≤ TYPE³ path space, TakeOrdered
+   * top-k. Returns `(step1, step2, step3, n)`.
+   */
+  def topJourneyTrigrams(
+      df: DataFrame,
+      k: Int = 10,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol),
+        lag(col(typeCol), 2).over(w).as("step1"),
+        lag(col(typeCol), 1).over(w).as("step2"),
+        col(typeCol).as("step3"))
+      .filter(col("step1").isNotNull && col("step2").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(k)
+  }
+
+  /**
    * Entropy rate of the user-journey Markov chain — "how PREDICTABLE
    * is the next action?", the single-scalar information view of
    * [[transitions]] (the matrix) and [[stationaryDistribution]] (the

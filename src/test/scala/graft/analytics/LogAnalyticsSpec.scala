@@ -337,6 +337,30 @@ class LogAnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("topJourneyTrigrams: triples per user in order, first two " +
+    "events open none, ties break by path") {
+    import java.sql.Timestamp
+    def ev(u: Long, seq: String*) = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong + u * 100, Timestamp.valueOf(s"2024-01-01 00:0$i:00"),
+        u, t, 1.0)
+    }
+    // u1: a,b,c,b,c → (a,b,c), (b,c,b), (c,b,c); u2: a,b,c → (a,b,c)
+    val events = (ev(1L, "a", "b", "c", "b", "c") ++ ev(2L, "a", "b", "c"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogAnalytics.topJourneyTrigrams(events, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", "c", 2L),
+      ("b", "c", "b", 1L),
+      ("c", "b", "c", 1L)), s"${got.toSeq}")
+    val top1 = LogAnalytics.topJourneyTrigrams(events, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getLong(3) == 2L)
+    intercept[IllegalArgumentException] {
+      LogAnalytics.topJourneyTrigrams(events, k = 0)
+    }
+  }
+
   test("entropyRate: a deterministic cycle has zero entropy and " +
     "perplexity 1; a dangling state contributes its uniform ln k") {
     import java.sql.Timestamp
