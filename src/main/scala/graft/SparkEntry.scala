@@ -220,6 +220,24 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // A+/X3+ — churn-probe weights: the classic churn baseline as a
+    // ridge fit over ENGINEERED behavior features (per-type counts,
+    // lifespan, volume — all relational aggregates) against the q180
+    // horizon label. The oracle replays the feature engineering AND
+    // residual-certifies the fit (the q184 pattern at dim 7).
+    "q258_churn_probe" -> ((s, d) =>
+      Probe.ridgeWeights(s,
+        LogAnalytics.churnFeatures(t(s, d, "events")),
+        "features", col("churned"), dim = 7, lambda = 1e-3)),
+
+    // A+/X3+ — churn-probe report: n/mse/r2/accuracy@0.5 of the same
+    // fit ("is churn linearly predictable from behavior, and how
+    // well?"). Oracle replays from q258's dump (the q185 pattern).
+    "q259_churn_report" -> ((s, d) =>
+      Probe.report(
+        LogAnalytics.churnFeatures(t(s, d, "events")),
+        "features", col("churned"), dim = 7, lambda = 1e-3)),
+
     // A+/S — top-10 three-step journeys: the order-3 sequence-mining
     // view above q105's pairs. Double-lag user window, TYPE³-bounded
     // aggregate, TakeOrdered.
@@ -7118,6 +7136,144 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q258: the q184 residual certification over REPLAYED engineered
+    // features — per-user aggregates, pinned scale literals, q180
+    // horizon label — at dim 7 (8 weights, λ on the 7 feature axes).
+    "q258_churn_probe" ->
+      """WITH wdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q258_churn_probe/*.parquet')),
+        |fe AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_view,
+        |         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS fb,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS lb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM fe),
+        |e AS (
+        |  SELECT user_id,
+        |         [CAST(c_click AS DOUBLE) / 100.0,
+        |          CAST(c_error AS DOUBLE) / 100.0,
+        |          CAST(c_purchase AS DOUBLE) / 100.0,
+        |          CAST(c_signup AS DOUBLE) / 100.0,
+        |          CAST(c_view AS DOUBLE) / 100.0,
+        |          CAST(lb - fb AS DOUBLE) / 1000.0,
+        |          CAST(tot AS DOUBLE) / 100.0,
+        |          CAST(1 AS DOUBLE)] AS v,
+        |         CASE WHEN lb <= maxd - 12 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM fe, mx),
+        |el AS (
+        |  SELECT user_id, y,
+        |         CAST(generate_subscripts(v, 1) AS INTEGER) - 1 AS i,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |am AS (
+        |  SELECT a.i AS i, b2.i AS j,
+        |         CAST(sum(CAST(round(a.x * b2.x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)
+        |         + CASE WHEN a.i = b2.i AND a.i < 7
+        |                THEN 0.001 ELSE 0 END AS s
+        |  FROM el a JOIN el b2 ON a.user_id = b2.user_id
+        |  GROUP BY 1, 2),
+        |aw AS (
+        |  SELECT am.i, sum(am.s * w.w) AS aw, sum(abs(am.s)) AS rs
+        |  FROM am JOIN wdump w ON w.idx = am.j GROUP BY am.i),
+        |bv AS (
+        |  SELECT i, CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS b
+        |  FROM el GROUP BY 1),
+        |chk AS (
+        |  SELECT coalesce(
+        |      (SELECT count(*) FROM wdump) = 8
+        |      AND (SELECT count(DISTINCT idx) FROM wdump
+        |           WHERE idx BETWEEN 0 AND 7) = 8
+        |      AND (SELECT bool_and(w = round(w, 9)) FROM wdump)
+        |      AND (SELECT bool_and(abs(aw.aw - bv.b)
+        |                           <= 1e-8 * aw.rs + 1e-6)
+        |           FROM aw JOIN bv USING (i)),
+        |      FALSE) AS ok)
+        |SELECT idx, w FROM wdump WHERE (SELECT ok FROM chk)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(0 AS DOUBLE)
+        |WHERE NOT (SELECT ok FROM chk)
+        |ORDER BY idx""".stripMargin,
+
+    // q259 PARTIAL oracle: the q185 metric replay over the same
+    // replayed features against q258's dumped weights.
+    "q259_churn_report" ->
+      """WITH wv AS (
+        |  SELECT list(w ORDER BY idx) AS wl
+        |  FROM read_parquet('__OUT__/q258_churn_probe/*.parquet')),
+        |fe AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_view,
+        |         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS fb,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS lb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM fe),
+        |e AS (
+        |  SELECT [CAST(c_click AS DOUBLE) / 100.0,
+        |          CAST(c_error AS DOUBLE) / 100.0,
+        |          CAST(c_purchase AS DOUBLE) / 100.0,
+        |          CAST(c_signup AS DOUBLE) / 100.0,
+        |          CAST(c_view AS DOUBLE) / 100.0,
+        |          CAST(lb - fb AS DOUBLE) / 1000.0,
+        |          CAST(tot AS DOUBLE) / 100.0,
+        |          CAST(1 AS DOUBLE)] AS v,
+        |         CASE WHEN lb <= maxd - 12 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM fe, mx),
+        |p AS (
+        |  SELECT y,
+        |         list_aggregate(list_transform(
+        |           list_zip(v, (SELECT wl FROM wv)),
+        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum') AS pr
+        |  FROM e),
+        |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy FROM p)
+        |SELECT t1.n,
+        |       round(CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |             AS DECIMAL(38,12))) AS DOUBLE) / t1.n, 6) AS mse,
+        |       CASE WHEN CAST(sum(CAST(round(
+        |                (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) > 0 THEN
+        |         round(1.0
+        |           - CAST(sum(CAST(round((y - pr) * (y - pr), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(round(
+        |                 (y - t1.sy / t1.n) * (y - t1.sy / t1.n), 12)
+        |               AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |       END AS r2,
+        |       round(CAST(sum(CASE WHEN (pr >= 0.5) = (y = 1.0)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / t1.n, 6) AS accuracy
+        |FROM p CROSS JOIN t1 GROUP BY t1.n, t1.sy""".stripMargin,
 
     // q257: same (ts, event_id) total order per user, same double
     // lag, same (n desc, path) tiebreak.

@@ -563,6 +563,52 @@ object LogAnalytics {
   }
 
   /**
+   * Engineered per-user churn features + label — the feature face of
+   * the [[graft.ext.Probe]] showcase: a linear model over BEHAVIOR
+   * (per-type counts, lifespan, volume) predicting the
+   * [[graft.analytics.Survival]] churn label, i.e. the classic churn
+   * baseline built entirely from relational aggregates. Features are
+   * a FIXED-ORDER 7-vector — alphabetical type counts (click, error,
+   * purchase, signup, view) scaled by 1/100, lifespan in hour buckets
+   * scaled by 1/1000, total events scaled by 1/100 (pinned literals:
+   * the scaled-long moment buffer needs roughly unit-scale inputs) —
+   * and the label is the q180 horizon rule (last activity ≥
+   * `horizonBuckets` before the corpus edge ⇒ churned 1.0).
+   *
+   * One data-sized shuffle on the user key; the corpus-edge max is a
+   * 1-row broadcast. Returns `(user_id, features, churned)`.
+   */
+  def churnFeatures(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      bucketSeconds: Long = 3600L,
+      horizonBuckets: Int = 12): DataFrame = {
+    require(bucketSeconds > 0 && horizonBuckets >= 0,
+      s"bad bucketSeconds=$bucketSeconds / horizonBuckets=$horizonBuckets")
+    val b = floor(col(tsCol).cast("long") / bucketSeconds).cast("long")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("_tot"),
+        (types.map(t =>
+          coalesce(sum((col(typeCol) === t).cast("long")), lit(0L))
+            .as(s"_c_$t")) ++
+          Seq(min(b).as("_fb"), max(b).as("_lb"))): _*)
+    val maxd = cells.agg(max(col("_lb")).as("_maxd"))
+    cells.crossJoin(broadcast(maxd))
+      .select(col(userCol),
+        array((types.map(t =>
+          col(s"_c_$t").cast("double") / lit(100.0)) ++ Seq(
+          (col("_lb") - col("_fb")).cast("double") / lit(1000.0),
+          col("_tot").cast("double") / lit(100.0))): _*).as("features"),
+        when(col("_lb") <= col("_maxd") - lit(horizonBuckets.toLong),
+          1.0).otherwise(0.0).as("churned"))
+  }
+
+  /**
    * Top-k frequent 3-step journeys — the order-3 sequence-mining view
    * above [[transitions]]' order-1 pairs ("what three actions chain
    * most often?"): each user's `(ts, idCol)`-ordered event sequence

@@ -337,6 +337,42 @@ class LogAnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("churnFeatures: fixed-order scaled features, horizon label, " +
+    "and a probe fit that separates a planted churn signal") {
+    import java.sql.Timestamp
+    // u1 active at the corpus edge (retained), u2 stopped long ago
+    // (churned); u2 has many errors — the planted separating feature
+    val rows =
+      Seq((1L, "view", 0L), (2L, "view", 1000L),
+        (3L, "click", 500L * 3600L), (4L, "view", 500L * 3600L + 10L)
+      ).map { case (id, t, ep) =>
+        (id, Timestamp.from(java.time.Instant.ofEpochSecond(ep)), 1L, t,
+          1.0)
+      } ++ Seq(
+        (11L, "error", 0L), (12L, "error", 3600L), (13L, "error", 7200L)
+      ).map { case (id, t, ep) =>
+        (id, Timestamp.from(java.time.Instant.ofEpochSecond(ep)), 2L, t,
+          1.0)
+      }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogAnalytics.churnFeatures(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    // u1: 1 click + 3 views over 500h; u2: 3 errors over 2h, churned
+    assert(got(1L)._1 == Seq(0.01, 0.0, 0.0, 0.0, 0.03, 0.5, 0.04),
+      s"${got(1L)}")
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 1.0, s"$got")
+    assert(got(2L)._1 == Seq(0.0, 0.03, 0.0, 0.0, 0.0, 0.002, 0.03),
+      s"${got(2L)}")
+    // the probe on these features reproduces both labels exactly at
+    // tiny lambda (2 points, separable)
+    val rep = graft.ext.Probe.report(
+      LogAnalytics.churnFeatures(ev), "features", col("churned"),
+      dim = 7, lambda = 1e-6).head()
+    assert(rep.getLong(0) == 2L && rep.getDouble(3) == 1.0,
+      s"accuracy: $rep")
+  }
+
   test("topJourneyTrigrams: triples per user in order, first two " +
     "events open none, ties break by path") {
     import java.sql.Timestamp
