@@ -220,6 +220,27 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // A+/S — RFM segmentation: the recency/frequency/monetary user
+    // grid (555 = champions), quintiles over deterministic total
+    // orders, segment-sized output (q110's rank-arithmetic contract
+    // at extreme user counts).
+    "q260_rfm" -> ((s, d) =>
+      LogAnalytics.rfmSegments(t(s, d, "events"))),
+
+    // A+/S — cohort LTV curve: cumulative value per cohort user by
+    // week offset — the VALUE companion to q87's headcount matrix.
+    // Weekly cells aggregate first; the cumulative runs per cohort
+    // over the offset frame.
+    "q261_cohort_ltv" -> ((s, d) =>
+      LogAnalytics.cohortLtv(t(s, d, "events"))),
+
+    // A+/S — DAU/MAU stickiness: daily actives over trailing-30-day
+    // actives — the habit-vs-occasional engagement ratio, composed
+    // from q168's exact rolling machinery.
+    "q262_stickiness" -> ((s, d) =>
+      TimeSeries.stickiness(t(s, d, "events"), "user_id", "ts",
+        windowDays = 30)),
+
     // A+/X3+ — churn-probe weights: the classic churn baseline as a
     // ridge fit over ENGINEERED behavior features (per-type counts,
     // lifespan, volume — all relational aggregates) against the q180
@@ -7136,6 +7157,93 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q260: same per-user aggregates, same (metric, user) ntile
+    // orders (DuckDB's ntile cuts the same ceil-first boundaries),
+    // same decimal value sums.
+    "q260_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 86400) AS last_d,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(coalesce(sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))), 0) AS DECIMAL(38,9)) AS mon
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS maxd FROM u),
+        |q AS (
+        |  SELECT user_id, mon,
+        |         CAST(ntile(5) OVER (ORDER BY maxd - last_d DESC,
+        |           user_id) AS BIGINT) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY freq, user_id)
+        |           AS BIGINT) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY mon, user_id)
+        |           AS BIGINT) AS m
+        |  FROM u, mx)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+        |         || CAST(m AS VARCHAR) AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       round(CAST(sum(mon) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_monetary
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // q261: q87's week conventions, 9-dp decimal value cells, the
+    // per-cohort cumulative over the offset frame.
+    "q261_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS w,
+        |         CAST(round(CAST(value AS DOUBLE), 9) AS DECIMAL(38,9))
+        |           AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |first AS (
+        |  SELECT user_id, min(w) AS cohort_week FROM c GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM first GROUP BY 1),
+        |weekly AS (
+        |  SELECT f.cohort_week,
+        |         CAST(date_diff('day', f.cohort_week, c.w) // 7
+        |           AS BIGINT) AS week_offset,
+        |         CAST(coalesce(sum(c.v), 0) AS DECIMAL(38,9)) AS wv
+        |  FROM c JOIN first f USING (user_id) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, week_offset,
+        |         sum(wv) OVER (PARTITION BY cohort_week
+        |           ORDER BY week_offset
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cv
+        |  FROM weekly)
+        |SELECT cum.cohort_week, cum.week_offset, s.n_users,
+        |       round(CAST(cv AS DOUBLE) / CAST(s.n_users AS DOUBLE), 6)
+        |         AS cum_value_per_user
+        |FROM cum JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q262: daily distinct actives joined to the q168 trailing-30
+    // replay, one division.
+    "q262_stickiness" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |act AS (SELECT DISTINCT d AS e FROM pairs),
+        |fan AS (SELECT u, unnest(range(d, d + 30)) AS e FROM pairs),
+        |j AS (SELECT f.u, f.e FROM fan f JOIN act ON act.e = f.e),
+        |mau AS (
+        |  SELECT e, CAST(count(DISTINCT u) AS BIGINT) AS mau
+        |  FROM j GROUP BY 1),
+        |dau AS (
+        |  SELECT d AS e, CAST(count(*) AS BIGINT) AS dau
+        |  FROM pairs GROUP BY 1)
+        |SELECT strftime(make_timestamp(dau.e * 86400 * 1000000),
+        |         '%Y-%m-%d') AS day,
+        |       dau.dau, mau.mau,
+        |       round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
+        |         6) AS stickiness
+        |FROM dau JOIN mau ON mau.e = dau.e ORDER BY day""".stripMargin,
 
     // q258: the q184 residual certification over REPLAYED engineered
     // features — per-user aggregates, pinned scale literals, q180

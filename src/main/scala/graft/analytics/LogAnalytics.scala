@@ -1,7 +1,8 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * The reference's aggregate job re-expressed as one declarative pass
@@ -560,6 +561,98 @@ object LogAnalytics {
         BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
           .toDouble)).toSeq
       .toDF("state", "pi")
+  }
+
+  /**
+   * RFM segmentation — the classic recency/frequency/monetary user
+   * grid: each user scores 1-5 on how RECENTLY they acted (5 = most
+   * recent), how OFTEN, and how much VALUE they produced, and the
+   * concatenated code is the segment ("555" = champions, "111" =
+   * lost). Quintiles are `ntile(5)` over deterministic total orders
+   * (metric, then user id — the q110 rank-arithmetic convention, so
+   * both engines cut identical boundaries); recency orders DESCENDING
+   * by days-since-last so the freshest users land in tile 5.
+   *
+   * Per-segment output `(segment, n_users, avg_monetary)`, decimal
+   * value sums, 6-dp average. SCALE CONTRACT (the q110/q112 eval
+   * shape): the three ntile windows run over the USER frame — one
+   * data shuffle to per-user rows first, then user-cardinality
+   * windows; at extreme user counts swap ntile for the rank-arithmetic
+   * bucketing of q110.
+   */
+  def rfmSegments(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
+    val users = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(day).as("_last"), count(lit(1)).as("_freq"),
+        coalesce(sum(round(col(valueCol).cast("double"), 9)
+          .cast(DecimalType(38, 9))), lit(0).cast(DecimalType(38, 9)))
+          .as("_mon"))
+    val maxd = users.agg(max(col("_last")).as("_maxd"))
+    def tile(order: Column*): Column =
+      ntile(5).over(org.apache.spark.sql.expressions.Window
+        .orderBy(order: _*)).cast("long")
+    users.crossJoin(broadcast(maxd))
+      .withColumn("_rec", col("_maxd") - col("_last"))
+      .select(col(userCol), col("_mon"),
+        tile(col("_rec").desc, col(userCol).asc).as("_r"),
+        tile(col("_freq").asc, col(userCol).asc).as("_f"),
+        tile(col("_mon").asc, col(userCol).asc).as("_m"))
+      .groupBy(concat(col("_r").cast("string"), col("_f").cast("string"),
+        col("_m").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("_mon")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_monetary"))
+      .orderBy(col("segment").asc)
+  }
+
+  /**
+   * Cohort LTV curve — the VALUE companion to [[cohortRetention]]'s
+   * headcount matrix: for each signup cohort, the cumulative value
+   * per cohort user through each week offset ("how much is a week-0
+   * user worth by week 3?"). Weekly value cells aggregate first; the
+   * cumulative runs over the OFFSET frame per cohort (bounded by the
+   * corpus's week span); cohort size is the week-0 denominator.
+   * Value sums fold as 9-dp decimals. Returns
+   * `(cohort_week, week_offset, n_users, cum_value_per_user)`.
+   */
+  def cohortLtv(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val cells = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("w"),
+        round(col(valueCol).cast("double"), 9).cast(d9).as("_v"))
+    val first = cells.groupBy(col(userCol))
+      .agg(min(col("w")).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val weekly = cells.join(first, Seq(userCol))
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(coalesce(sum(col("_v")), lit(0).cast(d9)).as("_wv"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("week_offset").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    weekly
+      .withColumn("_cum", sum(col("_wv")).over(cumW))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("_cum").cast("double") /
+          col("n_users").cast("double"), 6).as("cum_value_per_user"))
+      .orderBy(col("cohort_week").asc, col("week_offset").asc)
   }
 
   /**

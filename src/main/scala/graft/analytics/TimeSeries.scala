@@ -128,6 +128,38 @@ object TimeSeries {
    * relative error — the documented trade for a user-cardinality-free
    * shuffle.
    */
+  /**
+   * DAU/MAU stickiness — "of the users active in the trailing month,
+   * what share came back TODAY?", the engagement ratio that separates
+   * habit products from occasional ones. Pure composition: daily
+   * distinct actives joined to [[rollingDistinctUsers]]' trailing
+   * 30-day distinct on the shared active-day universe, one division.
+   * Returns `(day, dau, mau, stickiness)` — dau/mau exact longs,
+   * the ratio 6-dp.
+   */
+  def stickiness(
+      df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 30): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
+    val dau = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .distinct()
+      .groupBy(col("_d"))
+      .agg(count(lit(1)).as("dau"))
+      .select(
+        date_format(timestamp_seconds(col("_d") * 86400L), "yyyy-MM-dd")
+          .as("day"), col("dau"))
+    dau.join(
+        rollingDistinctUsers(df, userCol, tsCol, windowDays)
+          .withColumnRenamed("n_active", "mau"),
+        Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day").asc)
+  }
+
   def rollingDistinctUsersHll(
       df: DataFrame, userCol: String, tsCol: String,
       windowDays: Int = 7, lgK: Int = 14): DataFrame = {

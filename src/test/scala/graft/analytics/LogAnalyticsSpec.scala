@@ -337,6 +337,62 @@ class LogAnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("rfmSegments: champions vs lost on a hand cohort; quintile " +
+    "boundaries deterministic") {
+    import java.sql.Timestamp
+    // 5 users, clean orderings on all three axes: user i has i events
+    // of value i on day i (recency: later day = fresher)
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map { e =>
+        (u.toLong * 100 + e, Timestamp.from(
+          java.time.Instant.ofEpochSecond(u.toLong * 86400L)),
+          u.toLong, "view", u.toDouble)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogAnalytics.rfmSegments(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // user 5 is freshest, most frequent, highest value → 555;
+    // user 1 the opposite → 111; every user its own segment
+    assert(got.keySet == Set("111", "222", "333", "444", "555"), s"$got")
+    assert(got("555") == ((1L, 25.0)), s"$got") // 5 events × value 5
+    assert(got("111") == ((1L, 1.0)), s"$got")
+  }
+
+  test("cohortLtv: cumulative per-user value by offset on a hand " +
+    "cohort") {
+    import java.sql.Timestamp
+    // two users in one cohort week (epoch week 0), one returns next
+    // week: week0 value 10+20, week1 value 6 → per-user 15, then 18
+    def at(day: Int) = Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400L + 3600L))
+    val ev = Seq(
+      (1L, at(0), 1L, "purchase", 10.0),
+      (2L, at(1), 2L, "purchase", 20.0),
+      (3L, at(8), 1L, "purchase", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogAnalytics.cohortLtv(ev)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3))))
+    assert(got.toSeq == Seq(0L -> ((2L, 15.0)), 1L -> ((2L, 18.0))),
+      s"${got.toSeq}")
+  }
+
+  test("stickiness: dau/mau ratio on a two-day fixture") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // day0: u1,u2; day1: u1 → day0 mau {u1,u2}, day1 mau {u1,u2}
+    val ev = Seq((1L, 0L), (2L, 10L), (1L, 86400L))
+      .toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = graft.analytics.TimeSeries
+      .stickiness(ev, "user_id", "ts", windowDays = 30)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("1970-01-01") == ((2L, 2L, 1.0)), s"$got")
+    assert(got("1970-01-02") == ((1L, 2L, 0.5)), s"$got")
+  }
+
   test("churnFeatures: fixed-order scaled features, horizon label, " +
     "and a probe fit that separates a planted churn signal") {
     import java.sql.Timestamp
