@@ -220,6 +220,21 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // A+/S — q168's rolling actives through the MERGE law: parity
+    // halves' distinct user-day frames fold by idempotent union (the
+    // q239 pattern one bucket finer), then the identical derivation.
+    // SHARES q168's oracle verbatim.
+    "q263_actives_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      TimeSeries.rollingFromUserDays(
+        TimeSeries.mergeUserDays(
+          TimeSeries.userDays(ev.filter(col("event_id") % 2 === 0),
+            "user_id", "ts"),
+          TimeSeries.userDays(ev.filter(col("event_id") % 2 =!= 0),
+            "user_id", "ts")),
+        windowDays = 7)
+    }),
+
     // A+/S — RFM segmentation: the recency/frequency/monetary user
     // grid (555 = champions), quintiles over deterministic total
     // orders, segment-sized output (q110's rank-arithmetic contract
@@ -8251,6 +8266,10 @@ object SparkEntry {
         |FROM cells, tot ORDER BY dow""".stripMargin,
 
     "q168_rolling_active" -> rollingActiveOracleSql,
+
+    // q263 SHARES q168's oracle: the user-day distinct-union fold is
+    // idempotent and lossless.
+    "q263_actives_merge" -> rollingActiveOracleSql,
 
     // q229 SHARES q168's exact oracle: the per-day HLL sketches never
     // leave DataSketches' exact list/set mode at harness cardinality

@@ -87,13 +87,35 @@ object TimeSeries {
    */
   def rollingDistinctUsers(
       df: DataFrame, userCol: String, tsCol: String,
-      windowDays: Int = 7): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+      windowDays: Int = 7): DataFrame =
+    rollingFromUserDays(userDays(df, userCol, tsCol), windowDays)
+
+  /**
+   * Distinct (user, active-day) pairs — the MERGEABLE sufficient
+   * statistic behind [[rollingDistinctUsers]] and [[stickiness]] (the
+   * [[graft.analytics.LogAnalytics.userWeeks]] pattern one bucket
+   * finer): the state folds by [[mergeUserDays]] — distinct union,
+   * idempotent, replay-mark-free — and every active-user view derives
+   * from it without rescanning events. One data-sized shuffle on the
+   * well-spread user key.
+   */
+  def userDays(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
-    val pairs = df
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"), day.as("_d"))
       .distinct()
+  }
+
+  /** Exact merge law: distinct union — associative, commutative,
+    * IDEMPOTENT (the [[LogAnalytics.mergeWeeks]] argument). */
+  def mergeUserDays(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** [[rollingDistinctUsers]] from a precomputed [[userDays]] frame. */
+  def rollingFromUserDays(
+      pairs: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val activeDays = pairs.select(col("_d")).distinct()
       .withColumnRenamed("_d", "_end")
     pairs
