@@ -220,6 +220,22 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // X+/S — Grubbs max-outlier day: is the single worst day a
+    // statistical outlier, and WHICH day (argmax via one lexicographic
+    // 1-row aggregate, no sort). Series-sized.
+    "q264_grubbs" -> ((s, d) =>
+      StatsTests.grubbs(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
+    // A+/S — day-over-day active-set Jaccard: audience turnover (the
+    // population dial behind q262's stickiness ratio). User-keyed
+    // adjacent-day self-join over the distinct user-day store.
+    "q265_audience_overlap" -> ((s, d) =>
+      TimeSeries.activeSetOverlap(t(s, d, "events"), "user_id", "ts")),
+
     // A+/S — q168's rolling actives through the MERGE law: parity
     // halves' distinct user-day frames fold by idempotent union (the
     // q239 pattern one bucket finer), then the identical derivation.
@@ -7172,6 +7188,62 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q264: same 9-dp decimal moments, sample (n−1) sd, the same
+    // lexicographic (dev, key) argmax.
+    "q264_grubbs" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS o,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM s),
+        |x AS (
+        |  SELECT s.o, s.v, tot.n,
+        |         abs(s.v - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |           AS dev,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |           AS sd
+        |  FROM s, tot),
+        |mx AS (
+        |  SELECT n, max(struct_pack(d := dev, at := o, val := v,
+        |           sd2 := sd)) AS m
+        |  FROM x GROUP BY n)
+        |SELECT n, m.at AS at, m.val AS value,
+        |       CASE WHEN n >= 3 AND m.sd2 > 0 THEN
+        |         round(m.d / m.sd2, 6) END AS g_stat
+        |FROM mx""".stripMargin,
+
+    // q265: same distinct user-day pairs, same adjacent-day self-join
+    // and union arithmetic.
+    "q265_audience_overlap" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS n
+        |          FROM pairs GROUP BY 1),
+        |bo AS (
+        |  SELECT a.d, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM pairs a JOIN pairs b ON a.u = b.u AND b.d = a.d - 1
+        |  GROUP BY 1)
+        |SELECT strftime(make_timestamp(c.d * 86400 * 1000000),
+        |         '%Y-%m-%d') AS day,
+        |       p.n AS n_prev, c.n AS n_cur,
+        |       coalesce(bo.n_both, 0) AS n_both,
+        |       round(CAST(coalesce(bo.n_both, 0) AS DOUBLE)
+        |             / CAST(p.n + c.n - coalesce(bo.n_both, 0)
+        |                 AS DOUBLE), 6) AS jaccard
+        |FROM sizes c JOIN sizes p ON p.d = c.d - 1
+        |LEFT JOIN bo ON bo.d = c.d
+        |ORDER BY day""".stripMargin,
 
     // q260: same per-user aggregates, same (metric, user) ntile
     // orders (DuckDB's ntile cuts the same ceil-first boundaries),

@@ -768,6 +768,47 @@ object StatsTests {
   }
 
   /**
+   * Grubbs statistic over a series — "is the single worst bucket an
+   * OUTLIER, and which one is it?": `G = max|vᵢ−m|/s` with the sample
+   * (n−1) standard deviation, plus the arg-max bucket (latest-bucket
+   * tiebreak via the [[Changepoint.cusum]] lexicographic-max trick —
+   * one 1-row aggregate, no sort). The single-point complement to
+   * [[Robust.madOutliers]]' per-group censuses: Grubbs asks about THE
+   * extreme, MAD about the population. Moments fold as 9-dp decimals;
+   * G is one double chain, NULL when n < 3 or s = 0. Returns one row
+   * `(n, at, value, g_stat)` — `at` is the flagged bucket's order key
+   * rendered as a string (date-safe).
+   *
+   * Same series contract as [[Changepoint.cusum]].
+   */
+  def grubbs(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).cast("string").as("_o"),
+        col(valueCol).cast("double").as("_v"))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+      sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"))
+    val nD = col("_n").cast("double")
+    val m = col("_s1").cast("double") / nD
+    val sd = sqrt((col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / nD) /
+      (nD - 1.0))
+    base.crossJoin(broadcast(tot))
+      .select(col("_n"), col("_o"), col("_v"), m.as("_m"), sd.as("_sd"),
+        abs(col("_v") - m).as("_dev"))
+      .agg(max(col("_n")).as("n"),
+        max(struct(col("_dev").as("_d"), col("_o").as("_at"),
+          col("_v").as("_val"), col("_sd").as("_s"))).as("_mx"))
+      .select(col("n"),
+        col("_mx._at").as("at"), col("_mx._val").as("value"),
+        when(col("n") >= 3 && col("_mx._s") > 0.0,
+          round(col("_mx._d") / col("_mx._s"), 6)).as("g_stat"))
+  }
+
+  /**
    * Ljung–Box portmanteau test over a series — "is there ANY
    * autocorrelation left through lag h?", the residual-whiteness
    * check run after a trend/seasonal fit ([[graft.analytics.Trend

@@ -112,6 +112,42 @@ object TimeSeries {
   def mergeUserDays(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).distinct()
 
+  /**
+   * Day-over-day active-set Jaccard — how much does TODAY's audience
+   * overlap yesterday's? (1 = the same people every day, → 0 = a
+   * fully rotating crowd — the population-turnover dial behind the
+   * [[stickiness]] ratio). From the [[userDays]] store: a user-keyed
+   * self-join on adjacent days gives the intersections, day sizes the
+   * unions; only days whose PREVIOUS day was active emit a row.
+   * Exact longs, one division, 6-dp. Returns
+   * `(day, n_prev, n_cur, n_both, jaccard)`.
+   *
+   * Shape: the self-join keys on the well-spread user; everything
+   * after is day-frame-sized.
+   */
+  def activeSetOverlap(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val pairs = userDays(df, userCol, tsCol)
+    val sizes = pairs.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
+    val both = pairs
+      .join(pairs.select(col("_u"), (col("_d") + 1L).as("_d")),
+        Seq("_u", "_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("n_both"))
+    sizes.select(col("_d"), col("_n").as("n_cur"))
+      .join(sizes.select((col("_d") + 1L).as("_d"),
+        col("_n").as("n_prev")), Seq("_d"))
+      .join(both, Seq("_d"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .select(
+        date_format(timestamp_seconds(col("_d") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("n_prev"), col("n_cur"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_prev") + col("n_cur") - col("n_both")).cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("day").asc)
+  }
+
   /** [[rollingDistinctUsers]] from a precomputed [[userDays]] frame. */
   def rollingFromUserDays(
       pairs: DataFrame, windowDays: Int): DataFrame = {

@@ -393,6 +393,25 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(got("1970-01-02") == ((1L, 2L, 0.5)), s"$got")
   }
 
+  test("activeSetOverlap: identical audiences score 1, disjoint 0; " +
+    "days without an active previous day emit nothing") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // day0 {1,2}; day1 {1,2} → J=1; day2 {3} → J=0; day4 {1} (gap —
+    // day3 inactive, so day4 emits nothing)
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 86400L), (2L, 86400L),
+      (3L, 2L * 86400L), (1L, 4L * 86400L))
+      .toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = graft.analytics.TimeSeries
+      .activeSetOverlap(ev, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set("1970-01-02", "1970-01-03"), s"$got")
+    assert(got("1970-01-02") == ((2L, 2L, 2L, 1.0)), s"$got")
+    assert(got("1970-01-03") == ((2L, 1L, 0L, 0.0)), s"$got")
+  }
+
   test("churnFeatures: fixed-order scaled features, horizon label, " +
     "and a probe fit that separates a planted churn signal") {
     import java.sql.Timestamp

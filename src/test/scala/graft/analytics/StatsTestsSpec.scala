@@ -384,6 +384,24 @@ class StatsTestsSpec extends GraftSpec {
       .isNullAt(3), "min(r-1, c-1) = 0 is undefined")
   }
 
+  test("grubbs: the planted spike is flagged with the hand-computed " +
+    "G; constant series and tiny n are NULL") {
+    def series(vals: Double*) = vals.zipWithIndex
+      .map { case (v, i) => (f"k$i%02d", v) }.toDF("o", "v")
+    // 5,5,5,5,25: m=9, sample var = (4·16+256)/4 = 80, s=√80
+    val got = StatsTests.grubbs(series(5, 5, 5, 5, 25), "o", "v").head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 5L && got.getString(1) == "k04", s"$got")
+    assert(got.getDouble(2) == 25.0, s"$got")
+    assert(got.getDouble(3) == r6(16.0 / math.sqrt(80.0)), s"$got")
+
+    assert(StatsTests.grubbs(series(7, 7, 7), "o", "v").head()
+      .isNullAt(3), "zero spread")
+    assert(StatsTests.grubbs(series(1, 2), "o", "v").head()
+      .isNullAt(3), "n < 3")
+  }
+
   test("bySignificance: strictly more conservative than BH — the " +
     "harmonic factor shrinks the cut; hand case flips a borderline " +
     "rejection") {
