@@ -220,6 +220,23 @@ object SparkEntry {
             .as("max_day"))
         .orderBy(col("min_day").asc)),
 
+    // X+/S — Kendall's W across three source-quality judges (mean
+    // length, volume, max length): do independent metrics agree on
+    // the source ranking before any single ordering is trusted?
+    // Integer-exact 4S identity, subject-frame windows.
+    "q266_kendall_w" -> ((s, d) =>
+      StatsTests.kendallW(
+        t(s, d, "documents")
+          .filter(col("source").isNotNull && col("n_chars").isNotNull)
+          .groupBy(col("source"))
+          .agg(
+            (sum(col("n_chars")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_chars"),
+            count(lit(1)).cast("long").as("n_docs"),
+            max(col("n_chars")).as("max_chars")),
+        "source",
+        Seq(col("mean_chars"), col("n_docs"), col("max_chars")))),
+
     // X+/S — Grubbs max-outlier day: is the single worst day a
     // statistical outlier, and WHICH day (argmax via one lexicographic
     // 1-row aggregate, no sort). Series-sized.
@@ -7188,6 +7205,41 @@ object SparkEntry {
 
     // q254: q189's chain with the BY harmonic cut.
     "q254_by_screen" -> byScreenOracleSql,
+
+    // q266: same (metric, source) rank orders, same integer 4S
+    // identity, one division.
+    "q266_kendall_w" ->
+      """WITH m AS (
+        |  SELECT source,
+        |         CAST(sum(n_chars) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mean_chars,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         max(n_chars) AS max_chars
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT source,
+        |         CAST(row_number() OVER (ORDER BY mean_chars, source)
+        |           AS BIGINT)
+        |       + CAST(row_number() OVER (ORDER BY n_docs, source)
+        |           AS BIGINT)
+        |       + CAST(row_number() OVER (ORDER BY max_chars, source)
+        |           AS BIGINT) AS rs
+        |  FROM m),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |s4 AS (
+        |  SELECT CAST(coalesce(sum((2 * rs - 3 * (n + 1))
+        |           * (2 * rs - 3 * (n + 1))), 0) AS BIGINT) AS s4,
+        |         max(n) AS n
+        |  FROM r, nn)
+        |SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k_judges,
+        |       CASE WHEN n >= 2 THEN
+        |         round(3.0 * CAST(s4 AS DOUBLE)
+        |               / (CAST(9 AS DOUBLE)
+        |                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+        |           6) END AS w
+        |FROM s4""".stripMargin,
 
     // q264: same 9-dp decimal moments, sample (n−1) sd, the same
     // lexicographic (dev, key) argmax.

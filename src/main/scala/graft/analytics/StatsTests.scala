@@ -768,6 +768,52 @@ object StatsTests {
   }
 
   /**
+   * Kendall's W (coefficient of concordance) across k rankings of the
+   * same subjects — "do my independent quality metrics AGREE on how
+   * the sources rank?" (0 = no agreement, 1 = identical orders; the
+   * k-judge generalization of rank correlation, the gate before
+   * trusting any single metric's ordering). Each metric ranks by
+   * `(metric, id)` row_number (the q110 total-order convention — an
+   * id tiebreak, so W is exact rather than tie-averaged; run on
+   * aggregate metrics where real ties are measure-zero).
+   *
+   * Integer-exact: with rank sums R_i, `4S = Σ(2R_i − k(n+1))²` stays
+   * integer and `W = 3·(4S)/(k²·(n³−n))` needs one division, 6-dp.
+   * NULL when n < 2. The k rank windows run over the SUBJECT frame
+   * (group-cardinality — aggregate first). Returns one row
+   * `(n_subjects, k_judges, w)`.
+   */
+  def kendallW(
+      df: DataFrame, idCol: String, metrics: Seq[Column]): DataFrame = {
+    require(metrics.size >= 2, s"need >= 2 judges, got ${metrics.size}")
+    val k = metrics.size
+    val base = df.filter(col(idCol).isNotNull &&
+      metrics.map(_.isNotNull).reduce(_ && _))
+    val ranked = metrics.zipWithIndex.foldLeft(base) {
+      case (acc, (m, i)) =>
+        acc.withColumn(s"_r$i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(m.asc, col(idCol).asc)).cast("long"))
+    }
+    val rs = (0 until k).map(i => col(s"_r$i")).reduce(_ + _)
+    val withN = ranked.select(rs.as("_rs"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_n"))))
+    val dev = lit(2L) * col("_rs") - lit(k.toLong) * (col("_n") + 1L)
+    withN
+      .agg(max(col("_n")).as("n_subjects"),
+        coalesce(sum(dev * dev), lit(0L)).as("_s4"))
+      .select(col("n_subjects"), lit(k.toLong).as("k_judges"),
+        when(col("n_subjects") >= 2,
+          round(lit(3.0) * col("_s4").cast("double") /
+            (lit((k * k).toLong).cast("double") *
+              (col("n_subjects").cast("double") *
+                col("n_subjects").cast("double") *
+                col("n_subjects").cast("double") -
+                col("n_subjects").cast("double"))), 6))
+          .as("w"))
+  }
+
+  /**
    * Grubbs statistic over a series — "is the single worst bucket an
    * OUTLIER, and which one is it?": `G = max|vᵢ−m|/s` with the sample
    * (n−1) standard deviation, plus the arg-max bucket (latest-bucket

@@ -384,6 +384,25 @@ class StatsTestsSpec extends GraftSpec {
       .isNullAt(3), "min(r-1, c-1) = 0 is undefined")
   }
 
+  test("kendallW: identical rankings score 1, two opposed judges " +
+    "score 0; needs >= 2 judges") {
+    // metrics all increasing with id → perfect concordance
+    val agree = (1 to 6).map(i => (i.toLong, i.toDouble, i * 10L))
+      .toDF("id", "a", "b")
+    val w1 = StatsTests.kendallW(agree, "id", Seq(col("a"), col("b")))
+      .head()
+    assert(w1.getLong(0) == 6L && w1.getLong(1) == 2L)
+    assert(w1.getDouble(2) == 1.0, s"$w1")
+    // b reversed → every rank sum is n+1 → S = 0 → W = 0
+    val oppose = (1 to 6).map(i => (i.toLong, i.toDouble, -i * 10L))
+      .toDF("id", "a", "b")
+    assert(StatsTests.kendallW(oppose, "id", Seq(col("a"), col("b")))
+      .head().getDouble(2) == 0.0)
+    intercept[IllegalArgumentException] {
+      StatsTests.kendallW(agree, "id", Seq(col("a")))
+    }
+  }
+
   test("grubbs: the planted spike is flagged with the hand-computed " +
     "G; constant series and tiny n are NULL") {
     def series(vals: Double*) = vals.zipWithIndex
