@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -167,6 +167,112 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+
+    // X+/S — k-anonymity release audit over the customer dimension's
+    // quasi-identifiers (nation × market segment): the re-identification
+    // gate a published per-user table must pass. One hash agg to the
+    // class frame; threshold fan-out explodes classes, never rows.
+    "q267_k_anonymity" -> ((s, d) =>
+      Privacy.kAnonymityProfile(t(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        ks = Seq(2, 5, 10, 25))),
+
+    // X+/S — l-diversity histogram on the same classes with the
+    // account-balance band as the sensitive attribute: the homogeneity
+    // leak k-anonymity misses (diversity-1 classes disclose the band
+    // by membership alone). Class-frame aggregates, bounded output.
+    "q268_l_diversity" -> ((s, d) =>
+      Privacy.diversityHistogram(t(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal").cast("double") / lit(1000.0))
+          .cast("long"))),
+
+    // X+/S — Jarque–Bera normality screen on the daily series: the
+    // gaussian-assumption audit behind every upstream z-test, with the
+    // closed-form χ²(2) p. One 4-moment decimal aggregate, no windows.
+    "q269_jarque_bera" -> ((s, d) =>
+      StatsTests.jarqueBera(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        col("n_events"))),
+
+    // X+/S — Friedman rank test over q266's three source-quality
+    // judges: the significance face of the same integer 4S (do the
+    // sources GENUINELY differ, or is every ranking noise?).
+    // Subject-frame windows, one division.
+    "q270_friedman" -> ((s, d) =>
+      StatsTests.friedman(
+        t(s, d, "documents")
+          .filter(col("source").isNotNull && col("n_chars").isNotNull)
+          .groupBy(col("source"))
+          .agg(
+            (sum(col("n_chars")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_chars"),
+            count(lit(1)).cast("long").as("n_docs"),
+            max(col("n_chars")).as("max_chars")),
+        "source",
+        Seq(col("mean_chars"), col("n_docs"), col("max_chars")))),
+
+    // X2+/X1 — ROUGE-2 over within-source adjacent doc pairs: the
+    // multiset-clipped overlap grade (set-based containment q208
+    // under-reads repeated phrases), the near-dup-pair auditor's
+    // numeric face. Pair-keyed explode+join, linear in grams,
+    // never all-pairs.
+    "q274_rouge" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          lead(col("doc_id"), 1).over(w).as("_bid"),
+          lead(col("text"), 1).over(w).as("_btext"))
+        .filter(col("_bid").isNotNull)
+      TextOps.rougeN(pairs, col("doc_id"), col("_bid"),
+        col("text"), col("_btext"), n = 2)
+    }),
+
+    // X+/G — modularity of the nation partition over the
+    // customer–supplier trade graph (disjoint node ids by parity): does
+    // nationality explain who trades with whom, scored by Newman's Q —
+    // the audit for any clustering the dedup/linkage families emit.
+    // Integer-exact to two divisions; per-community state, 1-row out.
+    "q273_modularity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+      val labels = t(s, d, "customer")
+        .select((col("c_custkey") * 2L).as("node"),
+          col("c_nationkey").as("nat"))
+        .union(t(s, d, "supplier")
+          .select((col("s_suppkey") * 2L + 1L).as("node"),
+            col("s_nationkey").as("nat")))
+      GraphOps.modularity(edges, "src", "dst", labels, "node", "nat")
+    }),
+
+    // X+/S — OLS influence diagnostics on the daily series: which
+    // days STEER the fitted trend (leverage + Cook's D from the same
+    // six moment sums as q147's fit — one 1-row aggregate fanned back,
+    // the audit before the slope is believed; q233 is the robust
+    // second opinion).
+    "q272_influence" -> ((s, d) =>
+      Trend.influence(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day",
+        x = floor(col("day").cast("timestamp").cast("long") /
+          lit(86400.0)).cast("double"),
+        y = col("n_events"))),
+
+    // X+/S — Brown–Forsythe variance homogeneity across event types:
+    // do the slices differ in SPREAD (the precondition pooled-variance
+    // tests assume away)? Median-centered Levene z over the rank-exact
+    // group median, then q231's F arithmetic on the z-frame.
+    "q271_brown_forsythe" -> ((s, d) =>
+      StatsTests.brownForsythe(t(s, d, "events"),
+        col("event_type"), col("value"), col("event_id"))),
 
     // X+/S — Ljung–Box whiteness test through lag 7 on the daily
     // series: any autocorrelation left for a forecaster, pooled into
@@ -3794,6 +3900,341 @@ object SparkEntry {
     * the dump directory, and the SQL reads the Spark result back to check a
     * recomputable property of it (documented per query). */
   def oracleSql: Map[String, String] = Map(
+    // q267: same class-size frame (GROUP BY keeps null QI values as a
+    // class in both engines), same exact long counts, one rounded ratio.
+    "q267_k_anonymity" ->
+      """WITH sz AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS sz
+        |  FROM customer GROUP BY 1, 2),
+        |f AS (SELECT sz.sz, CAST(k.k AS BIGINT) AS k
+        |      FROM sz, (SELECT unnest([2, 5, 10, 25]) AS k) k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |       min(sz) AS min_class_size,
+        |       CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0)
+        |         AS BIGINT) AS n_classes_below,
+        |       CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+        |         AS BIGINT) AS n_rows_at_risk,
+        |       CAST(sum(sz) AS BIGINT) AS n_rows,
+        |       round(CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+        |               AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+        |         AS pct_rows_at_risk
+        |FROM f GROUP BY k ORDER BY k""".stripMargin,
+
+    // q269: same exact decimal power sums, same central-moment double
+    // chain (stepwise CTEs mirror the multiplication order), same
+    // closed-form p.
+    "q269_jarque_bera" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY CAST(ts AS DATE)),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2,
+        |         CAST(sum(CAST(round(v * v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s3,
+        |         CAST(sum(CAST(round(v * v * v * v, 9)
+        |           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s4
+        |  FROM s),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+        |  FROM t),
+        |c AS (
+        |  SELECT n, p2 - mu * mu AS m2,
+        |         p3 - 3.0 * mu * p2 + 2.0 * mu * mu * mu AS m3,
+        |         p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |g AS (
+        |  SELECT n, m2, m3 / sqrt(m2 * m2 * m2) AS g1,
+        |         m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM c),
+        |j AS (
+        |  SELECT n, m2, g1, g2,
+        |         CAST(n AS DOUBLE) / 6.0
+        |           * (g1 * g1 + g2 * g2 / 4.0) AS jb
+        |  FROM g)
+        |SELECT n,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(g1, 6) END
+        |         AS skewness,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(g2, 6) END
+        |         AS ex_kurtosis,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(jb, 6) END AS jb,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(exp(-jb / 2.0), 6)
+        |         END AS p
+        |FROM j""".stripMargin,
+
+    // q270: q266's rank frame and integer 4S, Friedman's division.
+    "q270_friedman" ->
+      """WITH m AS (
+        |  SELECT source,
+        |         CAST(sum(n_chars) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mean_chars,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         max(n_chars) AS max_chars
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT source,
+        |         CAST(row_number() OVER (ORDER BY mean_chars, source)
+        |           AS BIGINT)
+        |       + CAST(row_number() OVER (ORDER BY n_docs, source)
+        |           AS BIGINT)
+        |       + CAST(row_number() OVER (ORDER BY max_chars, source)
+        |           AS BIGINT) AS rs
+        |  FROM m),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |s4 AS (
+        |  SELECT CAST(coalesce(sum((2 * rs - 3 * (n + 1))
+        |           * (2 * rs - 3 * (n + 1))), 0) AS BIGINT) AS s4,
+        |         max(n) AS n
+        |  FROM r, nn)
+        |SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k_judges,
+        |       CASE WHEN n >= 2 THEN n - 1 END AS dof,
+        |       CASE WHEN n >= 2 THEN
+        |         round(3.0 * CAST(s4 AS DOUBLE)
+        |               / (3.0 * CAST(n AS DOUBLE)
+        |                  * (CAST(n AS DOUBLE) + 1.0)), 6) END AS chi2_f
+        |FROM s4""".stripMargin,
+
+    // q274: same adjacent-pair window, same whitespace bigrams with
+    // repeats, same clipped-count join and ratio chains.
+    "q274_rouge" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         lead(doc_id, 1) OVER
+        |           (PARTITION BY source ORDER BY doc_id) AS b_id,
+        |         lead(text, 1) OVER
+        |           (PARTITION BY source ORDER BY doc_id) AS b_text
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |p AS (SELECT doc_id AS a_id, b_id, text AS ta, b_text AS tb
+        |      FROM d WHERE b_id IS NOT NULL),
+        |wa AS (SELECT a_id, b_id,
+        |              list_filter(string_split_regex(lower(ta), '\s+'),
+        |                x -> length(x) > 0) AS t FROM p),
+        |wb AS (SELECT a_id, b_id,
+        |              list_filter(string_split_regex(lower(tb), '\s+'),
+        |                x -> length(x) > 0) AS t FROM p),
+        |ga AS (
+        |  SELECT a_id, b_id, t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS ca
+        |  FROM (SELECT a_id, b_id, t,
+        |          unnest(range(1, greatest(len(t), 1))) AS i FROM wa) x
+        |  GROUP BY 1, 2, 3),
+        |gb AS (
+        |  SELECT a_id, b_id, t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT a_id, b_id, t,
+        |          unnest(range(1, greatest(len(t), 1))) AS i FROM wb) x
+        |  GROUP BY 1, 2, 3),
+        |cl AS (
+        |  SELECT a_id, b_id, CAST(sum(least(ca, cb)) AS BIGINT) AS clip
+        |  FROM ga JOIN gb USING (a_id, b_id, g) GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT wa.a_id, wa.b_id,
+        |         CAST(greatest(len(wa.t) - 1, 0) AS BIGINT) AS n_a,
+        |         CAST(greatest(len(wb.t) - 1, 0) AS BIGINT) AS n_b
+        |  FROM wa JOIN wb USING (a_id, b_id)),
+        |f AS (
+        |  SELECT sz.a_id, sz.b_id, sz.n_a, sz.n_b,
+        |         coalesce(cl.clip, 0) AS clip
+        |  FROM sz LEFT JOIN cl USING (a_id, b_id)),
+        |r AS (
+        |  SELECT a_id, b_id, n_a, n_b, clip,
+        |         CAST(clip AS DOUBLE) / CAST(n_a AS DOUBLE) AS rr,
+        |         CAST(clip AS DOUBLE) / CAST(n_b AS DOUBLE) AS pp
+        |  FROM f)
+        |SELECT a_id, b_id, n_a, n_b, clip,
+        |       CASE WHEN n_a > 0 AND n_b > 0 THEN round(rr, 6) END
+        |         AS recall,
+        |       CASE WHEN n_a > 0 AND n_b > 0 THEN round(pp, 6) END
+        |         AS precision,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
+        |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
+        |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q273: same canonicalized labeled edges, same integer degree
+    // sums, Newman's Q in the same two divisions.
+    "q273_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |         least(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS u,
+        |         greatest(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+        |lab AS (
+        |  SELECT node, min(nat) AS c FROM (
+        |    SELECT c_custkey * 2 AS node, c_nationkey AS nat
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey * 2 + 1, s_nationkey FROM supplier) b
+        |  WHERE node IS NOT NULL AND nat IS NOT NULL GROUP BY 1),
+        |el AS (
+        |  SELECT e0.u, e0.v, lu.c AS cu, lv.c AS cv
+        |  FROM e0 JOIN lab lu ON lu.node = e0.u
+        |          JOIN lab lv ON lv.node = e0.v),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(coalesce(sum(CASE WHEN cu = cv THEN 1 END), 0)
+        |           AS BIGINT) AS intra
+        |  FROM el),
+        |deg AS (
+        |  SELECT node, c, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS node, cu AS c FROM el
+        |    UNION ALL SELECT v, cv FROM el) x
+        |  GROUP BY 1, 2),
+        |comm AS (
+        |  SELECT c, CAST(sum(dg) AS BIGINT) AS dc,
+        |         CAST(count(*) AS BIGINT) AS nodes
+        |  FROM deg GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(nodes), 0) AS BIGINT) AS n_nodes,
+        |         CAST(count(*) AS BIGINT) AS n_communities,
+        |         CAST(coalesce(sum(dc * dc), 0) AS BIGINT) AS s
+        |  FROM comm)
+        |SELECT n_nodes, m AS n_edges, n_communities,
+        |       intra AS intra_edges,
+        |       CASE WHEN m > 0 THEN
+        |         round(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+        |               - CAST(s AS DOUBLE)
+        |                 / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)),
+        |           6) END AS q
+        |FROM agg, tot""".stripMargin,
+
+    // q272: same six decimal moment sums, same closed-form slope/SSE,
+    // same per-point leverage/Cook chains in declared double order.
+    "q272_influence" ->
+      """WITH dd AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(day AS VARCHAR) AS o,
+        |         CAST(floor(epoch(CAST(day AS TIMESTAMP)) / 86400.0)
+        |           AS DOUBLE) AS x, y
+        |  FROM dd),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS sy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS syy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS sxy
+        |  FROM s),
+        |k AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd,
+        |         CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM t),
+        |c AS (
+        |  SELECT n, nd, sxd, syd,
+        |         (nd * sxyd - sxd * syd)
+        |           / nullif(nd * sxxd - sxd * sxd, 0) AS slope,
+        |         sxd / nd AS xbar,
+        |         sxxd - sxd * sxd / nd AS sxxc,
+        |         syyd - syd * syd / nd AS syyc,
+        |         sxyd - sxd * syd / nd AS sxyc
+        |  FROM k),
+        |g AS (
+        |  SELECT n, nd, xbar, sxxc, slope,
+        |         (syd - slope * sxd) / nd AS icept,
+        |         (syyc - slope * sxyc) / (nd - 2.0) AS s2
+        |  FROM c),
+        |pp AS (
+        |  SELECT s.o, s.y, g.n, g.s2,
+        |         g.icept + g.slope * s.x AS fitted,
+        |         s.y - (g.icept + g.slope * s.x) AS resid,
+        |         1.0 / g.nd + (s.x - g.xbar) * (s.x - g.xbar)
+        |           / nullif(g.sxxc, 0) AS h
+        |  FROM s, g)
+        |SELECT o AS at, y, round(fitted, 6) AS fitted,
+        |       round(resid, 6) AS residual,
+        |       round(h, 6) AS leverage,
+        |       CASE WHEN n >= 3 AND s2 > 0 AND h < 1 THEN
+        |         round(resid * resid * h
+        |               / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+        |       END AS cooks_d
+        |FROM pp ORDER BY at""".stripMargin,
+
+    // q271: same rank-exact group medians over (value, id), same z
+    // transform, then verbatim the q231 sum-of-squares chain.
+    "q271_brown_forsythe" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |         event_id AS id
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT g, v,
+        |         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |           AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b),
+        |med AS (
+        |  SELECT g, max(CASE WHEN rn = greatest(
+        |           CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT), 1)
+        |         THEN v END) AS med
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT b.g, abs(b.v - med.med) AS v
+        |      FROM b JOIN med USING (g)),
+        |cells AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM z GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |         sum(s1) AS ts1, sum(s2) AS ts2,
+        |         CAST(sum(CAST(round(CAST(s1 AS DOUBLE)
+        |             * CAST(s1 AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS bsum
+        |  FROM cells),
+        |x AS (
+        |  SELECT k, nn,
+        |         CAST(bsum AS DOUBLE)
+        |           - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+        |             / CAST(nn AS DOUBLE) AS ssb,
+        |         CAST(ts2 AS DOUBLE) - CAST(bsum AS DOUBLE) AS ssw
+        |  FROM f)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |       round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |       CASE WHEN k >= 2 AND nn > k THEN
+        |         round((ssb / (k - 1))
+        |               / nullif(ssw / (nn - k), 0), 6) END AS f
+        |FROM x""".stripMargin,
+
+    // q268: same per-class distinct-sensitive counts (count DISTINCT
+    // drops nulls in both engines), same bounded histogram.
+    "q268_l_diversity" ->
+      """WITH d AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(DISTINCT CAST(floor(
+        |           CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT))
+        |           AS BIGINT) AS diversity,
+        |         CAST(count(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT diversity, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(class_size) AS BIGINT) AS n_rows
+        |FROM d GROUP BY 1 ORDER BY diversity""".stripMargin,
+
     // q227: same q202 token definition, exact discordant counts, the
     // q189 Abramowitz-Stegun p chain on the unrounded z.
     "q227_mcnemar" ->

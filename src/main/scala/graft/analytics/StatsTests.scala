@@ -785,6 +785,27 @@ object StatsTests {
    */
   def kendallW(
       df: DataFrame, idCol: String, metrics: Seq[Column]): DataFrame = {
+    val k = metrics.size
+    rankDeviationS4(df, idCol, metrics)
+      .select(col("n_subjects"), lit(k.toLong).as("k_judges"),
+        when(col("n_subjects") >= 2,
+          round(lit(3.0) * col("_s4").cast("double") /
+            (lit((k * k).toLong).cast("double") *
+              (col("n_subjects").cast("double") *
+                col("n_subjects").cast("double") *
+                col("n_subjects").cast("double") -
+                col("n_subjects").cast("double"))), 6))
+          .as("w"))
+  }
+
+  /** Shared rank-deviation aggregate behind [[kendallW]] and
+    * [[friedman]]: each metric ranks the subjects by `(metric, id)`
+    * row_number, and with rank sums R_i the integer
+    * `4S = Σ(2R_i − k(n+1))²` folds in one pass. Returns one row
+    * `(n_subjects, _s4)`; the k rank windows run over the SUBJECT
+    * frame (group-cardinality — aggregate first). */
+  private def rankDeviationS4(
+      df: DataFrame, idCol: String, metrics: Seq[Column]): DataFrame = {
     require(metrics.size >= 2, s"need >= 2 judges, got ${metrics.size}")
     val k = metrics.size
     val base = df.filter(col(idCol).isNotNull &&
@@ -799,18 +820,86 @@ object StatsTests {
     val withN = ranked.select(rs.as("_rs"))
       .crossJoin(broadcast(base.agg(count(lit(1)).as("_n"))))
     val dev = lit(2L) * col("_rs") - lit(k.toLong) * (col("_n") + 1L)
-    withN
-      .agg(max(col("_n")).as("n_subjects"),
-        coalesce(sum(dev * dev), lit(0L)).as("_s4"))
+    withN.agg(max(col("_n")).as("n_subjects"),
+      coalesce(sum(dev * dev), lit(0L)).as("_s4"))
+  }
+
+  /**
+   * Friedman rank test over the same k-judges-rank-n-subjects frame as
+   * [[kendallW]] — the SIGNIFICANCE face of the same arithmetic: W
+   * asks "how much do the judges agree?", Friedman asks "do the
+   * subjects genuinely differ, or is every ranking noise?". With the
+   * shared integer `4S`:
+   *
+   *   χ²_F = k(n−1)·W = 3·(4S) / (k·n·(n+1))     (χ², n−1 df)
+   *
+   * — integer-exact until the single division (6-dp). NULL when
+   * n < 2. Returns one row `(n_subjects, k_judges, dof, chi2_f)`; the
+   * p-value lookup is client-side, the [[chiSquared]] convention.
+   * Same subject-frame window contract as [[kendallW]].
+   */
+  def friedman(
+      df: DataFrame, idCol: String, metrics: Seq[Column]): DataFrame = {
+    val k = metrics.size
+    rankDeviationS4(df, idCol, metrics)
       .select(col("n_subjects"), lit(k.toLong).as("k_judges"),
+        when(col("n_subjects") >= 2, col("n_subjects") - 1L).as("dof"),
         when(col("n_subjects") >= 2,
           round(lit(3.0) * col("_s4").cast("double") /
-            (lit((k * k).toLong).cast("double") *
-              (col("n_subjects").cast("double") *
-                col("n_subjects").cast("double") *
-                col("n_subjects").cast("double") -
-                col("n_subjects").cast("double"))), 6))
-          .as("w"))
+            (lit(k.toLong).cast("double") *
+              col("n_subjects").cast("double") *
+              (col("n_subjects").cast("double") + 1.0)), 6))
+          .as("chi2_f"))
+  }
+
+  /**
+   * Jarque–Bera normality test — "are these values plausibly normal,
+   * or should every z-score screen upstream be distrusted?": the
+   * moment-based check behind the gaussian assumptions the z-tests
+   * ([[groupWelchZ]], [[grubbs]], [[twoProportionZ]]) lean on. From
+   * exact power sums S₁..S₄ the central moments m₂..m₄ derive in one
+   * double chain, then
+   *
+   *   g₁ = m₃/m₂^1.5 ,  g₂ = m₄/m₂² − 3 ,
+   *   JB = n/6 · (g₁² + g₂²/4) ,  p = e^(−JB/2)
+   *
+   * — the χ²(2) survival function is closed-form, so this test ships
+   * its OWN exact p (unlike the table-lookup χ² family). Power sums
+   * fold as 9-dp decimals (partitioning-invariant); skew/kurtosis/JB/p
+   * round to 6 dp; NULL when n < 3 or m₂ ≤ 0. Returns one row
+   * `(n, skewness, ex_kurtosis, jb, p)`. One hash aggregate, no
+   * windows — any cardinality.
+   */
+  def jarqueBera(df: DataFrame, valueCol: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val agg = df.select(valueCol.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"),
+        sum(round(col("_v") * col("_v") * col("_v"), 9).cast(d9))
+          .as("_s3"),
+        sum(round(col("_v") * col("_v") * col("_v") * col("_v"), 9)
+          .cast(d9)).as("_s4"))
+    val nD = col("n").cast("double")
+    val mu = col("_s1").cast("double") / nD
+    val m2 = col("_s2").cast("double") / nD - mu * mu
+    val m3 = col("_s3").cast("double") / nD -
+      lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4").cast("double") / nD -
+      lit(4.0) * mu * (col("_s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("_s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - 3.0
+    val jb = nD / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    val ok = col("n") >= 3 && m2 > 0.0
+    agg.select(col("n"),
+      when(ok, round(g1, 6)).as("skewness"),
+      when(ok, round(g2, 6)).as("ex_kurtosis"),
+      when(ok, round(jb, 6)).as("jb"),
+      when(ok, round(exp(-jb / 2.0), 6)).as("p"))
   }
 
   /**
@@ -1072,6 +1161,46 @@ object StatsTests {
           / nullif(ssw / (col("_nn") - col("_k")).cast("double"),
             lit(0.0)), 6))
         .as("f"))
+  }
+
+  /**
+   * Brown–Forsythe test of variance homogeneity across k groups —
+   * "do these slices differ in SPREAD?", the third omnibus lens next
+   * to [[anovaF]] (means) and [[kruskalWallis]] (ranks), and the
+   * precondition check for pooled-variance tests: each value maps to
+   * its absolute deviation from the GROUP's lower median
+   * (`z = |v − med_g|`, the median-centered Levene variant — robust
+   * to the skew that breaks mean-centered Levene), then the one-way F
+   * on the z-frame is exactly [[anovaF]]'s arithmetic. The median is
+   * the rank-exact pick at `⌈n/2⌉` over `(value, id)`
+   * ([[Robust.madOutliers]]'s percentile_disc rule — an actual value,
+   * engine-exact), so z is one IEEE subtraction per row.
+   *
+   * Returns [[anovaF]]'s row: `(n_groups, n_rows, ss_between,
+   * ss_within, f)`. Shape: one group-partitioned rank window over the
+   * data (the [[Robust.winsorizedMean]] contract), one group-keyed
+   * join back, then the group-frame fold.
+   */
+  def brownForsythe(
+      df: DataFrame, groupCol: Column, value: Column,
+      idCol: Column): DataFrame = {
+    val base = df
+      .select(groupCol.as("_g"), value.cast("double").as("_v"),
+        idCol.as("_id"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_v").asc, col("_id").asc)
+    val med = base
+      .select(col("_g"), col("_v"),
+        row_number().over(w).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("_g"))).as("_n"))
+      .groupBy(col("_g"))
+      .agg(max(when(col("_rn") ===
+        greatest(ceil(lit(0.5) * col("_n").cast("double")).cast("long"),
+          lit(1L)), col("_v"))).as("_med"))
+    val z = base.join(med, Seq("_g"))
+      .select(col("_g"), abs(col("_v") - col("_med")).as("_z"))
+    anovaF(z, col("_g"), col("_z"))
   }
 
   /**

@@ -105,6 +105,73 @@ object Trend {
   }
 
   /**
+   * OLS influence diagnostics over a series — WHICH points steer
+   * [[trend]]'s fitted line: per point the leverage
+   * `h = 1/n + (x−x̄)²/Σ(x−x̄)²` (how unusual its x-position is) and
+   * Cook's distance `D = e²·h / (p·s²·(1−h)²)` with p = 2 and
+   * `s² = SSE/(n−2)` (how much the whole fit moves if the point
+   * drops). The audit run AFTER a trend is fit and BEFORE it is
+   * believed: a hot day with D ≫ 4/n is dragging the slope, and
+   * [[Robust.theilSen]] is the second opinion.
+   *
+   * Everything derives from the SAME six decimal moment sums as
+   * [[trend]] (one 1-row aggregate, cross-joined back — the
+   * [[momentPartials]] fold, so a [[mergeMoments]] standing state
+   * serves too); per-point fitted/residual/leverage/D are one IEEE
+   * chain each, 6-dp. Leverage is NULL when x has no spread; D is
+   * additionally NULL when n < 3, s² = 0, or h = 1 (a point that IS
+   * the fit). Returns `(at, y, fitted, residual, leverage, cooks_d)`
+   * ordered by the series key rendered as a string (date-safe).
+   *
+   * Same series contract as [[Changepoint.cusum]]: aggregate first;
+   * output is series-sized and the only sort is the final
+   * presentation ORDER BY.
+   */
+  def influence(
+      series: DataFrame, orderCol: String,
+      x: Column, y: Column): DataFrame = {
+    val base = series
+      .select(col(orderCol).cast("string").as("_o"),
+        d(x).as("_x"), d(y).as("_y"))
+      .filter(col("_o").isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+    val tot = base.agg(
+      count(lit(1)).as("_n"),
+      sum(term(col("_x"))).as("_sx"),
+      sum(term(col("_y"))).as("_sy"),
+      sum(term(col("_x") * col("_x"))).as("_sxx"),
+      sum(term(col("_y") * col("_y"))).as("_syy"),
+      sum(term(col("_x") * col("_y"))).as("_sxy"))
+    val nD = d(col("_n"))
+    val sx = d(col("_sx")); val sy = d(col("_sy"))
+    val sxx = d(col("_sxx")); val syy = d(col("_syy"))
+    val sxy = d(col("_sxy"))
+    val varx = nD * sxx - sx * sx
+    val slope = (nD * sxy - sx * sy) / nullif(varx, lit(0.0))
+    val intercept = (sy - slope * sx) / nD
+    val xbar = sx / nD
+    val sxxc = sxx - sx * sx / nD
+    val syyc = syy - sy * sy / nD
+    val sxyc = sxy - sx * sy / nD
+    val sse = syyc - slope * sxyc
+    val s2 = sse / (nD - 2.0)
+    val fitted = intercept + slope * col("_x")
+    val resid = col("_y") - fitted
+    val h = lit(1.0) / nD + (col("_x") - xbar) * (col("_x") - xbar) /
+      nullif(sxxc, lit(0.0))
+    val cook = resid * resid * h /
+      (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    base.crossJoin(broadcast(tot))
+      .select(col("_o").as("at"), col("_y").as("y"),
+        round(fitted, 6).as("fitted"),
+        round(resid, 6).as("residual"),
+        round(h, 6).as("leverage"),
+        when(col("_n") >= 3 && s2 > 0.0 && h < 1.0, round(cook, 6))
+          .as("cooks_d"))
+      .orderBy(col("at").asc)
+  }
+
+  /**
    * Per-group serial autocorrelation at `lag`: Pearson r between the
    * series and its `lag`-shifted self, the series ordered by
    * `(orderCol, idCol)` (the id tiebreak makes equal-timestamp rows

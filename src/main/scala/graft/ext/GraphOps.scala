@@ -185,6 +185,75 @@ object GraphOps {
   }
 
   /**
+   * Newman modularity of a labeled node partition over an undirected
+   * simple graph — "does this grouping actually explain the link
+   * structure?" (Newman & Girvan 2004): with m labeled edges, E_in
+   * intra-community edges and community degree sums d_c,
+   *
+   *   Q = E_in/m − Σ_c d_c² / (4m²)
+   *
+   * Q ≈ 0 means the partition is no better than chance; Q ≳ 0.3 is the
+   * conventional "real community structure" bar. The audit that scores
+   * a clustering SOMEONE ELSE produced — [[Dedup.components]] entity
+   * clusters, a nation partition, a topic assignment — against the
+   * graph it claims to summarize.
+   *
+   * Semantics: edges canonicalize to `(min, max)` and dedupe;
+   * self-loops drop; only edges with BOTH endpoints labeled count, and
+   * degrees come from that labeled subgraph (the partition is scored
+   * on the graph it covers). A node with conflicting labels takes the
+   * MIN label (deterministic; supply unique labels for the intended
+   * reading). E_in, m and every d_c are exact longs — Q is integer
+   * arithmetic until two final divisions (6-dp). The d_c² sum rides a
+   * long: valid while every community degree sum stays < 3·10⁹ —
+   * beyond that, shard the label space or lift the fold to decimal.
+   *
+   * Shape at scale: one distinct + two node-keyed label joins + hash
+   * aggregates; per-community state, 1-row output, no windows.
+   * Returns `(n_nodes, n_edges, n_communities, intra_edges, q)`.
+   */
+  def modularity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .select(least(col("_s"), col("_d")).as("u"),
+        greatest(col("_s"), col("_d")).as("v"))
+      .distinct()
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).as("_c"))
+      .filter(col("node").isNotNull && col("_c").isNotNull)
+      .groupBy("node").agg(min(col("_c")).as("_c"))
+    val el = und
+      .join(lab.select(col("node").as("u"), col("_c").as("_cu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("_c").as("_cv")), Seq("v"))
+    val tot = el.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum((col("_cu") === col("_cv")).cast("long")), lit(0L))
+        .as("intra_edges"))
+    val deg = el.select(col("u").as("node"), col("_cu").as("_c"))
+      .union(el.select(col("v").as("node"), col("_cv").as("_c")))
+      .groupBy(col("node"), col("_c")).agg(count(lit(1)).as("_deg"))
+    val comm = deg
+      .groupBy(col("_c")).agg(sum(col("_deg")).as("_dc"),
+        count(lit(1)).as("_nodes"))
+      .agg(coalesce(sum(col("_nodes")), lit(0L)).as("n_nodes"),
+        count(lit(1)).as("n_communities"),
+        coalesce(sum(col("_dc") * col("_dc")), lit(0L)).as("_s"))
+    val mD = col("n_edges").cast("double")
+    comm.crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        col("intra_edges"),
+        when(col("n_edges") > 0,
+          round(col("intra_edges").cast("double") / mD -
+            col("_s").cast("double") / (lit(4.0) * mD * mD), 6))
+          .as("q"))
+  }
+
+  /**
    * Degree profile of a directed simple graph: per node, its out-degree,
    * in-degree and total degree (NULL endpoints drop, multi-edges
    * collapse). One distinct + two hash aggregates + a node-keyed outer

@@ -759,4 +759,71 @@ object TextOps {
           / col("_nt").cast("double"), 6).as("mass_share"))
       .orderBy(col("r").asc)
   }
+
+  /** All order-`n` token windows joined by single spaces, repeats kept
+    * — [[bigramsAll]] generalized (n = 1 is the token list itself). */
+  private[ext] def ngramsAll(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    // guard BEFORE sequence: sequence(0, -1) descends, it is not empty
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  /**
+   * ROUGE-N between text pairs (Lin 2004) — the MULTISET overlap
+   * grade for a candidate/reference pair, where [[graft.ext.SpanDedup
+   * .containment]]'s set semantics under-read repeated phrases: with
+   * clipped counts `clip = Σ_g min(cnt_ref(g), cnt_cand(g))` over
+   * order-`n` grams,
+   *
+   *   recall = clip/|grams_ref| , precision = clip/|grams_cand| ,
+   *   f1 = 2PR/(P+R)
+   *
+   * — the standard summarization/duplication grade, here the
+   * near-dup-pair auditor: a pair the LSH family flags should score
+   * high; a flagged pair scoring low is a false positive worth eyes.
+   *
+   * Counts are exact longs; the three ratios are one double chain
+   * each, 6-dp. A side with no grams yields NULL ratios (its text is
+   * shorter than n tokens); f1 is additionally NULL when P + R = 0.
+   *
+   * Shape at scale: each side explodes to (pair, gram) counts and the
+   * clip is one equi-join on `(pair, gram)` + a pair-keyed fold — all
+   * shuffles on the pair key family, linear in total gram count,
+   * never all-pairs (the CALLER chooses the pairs). Output pair-sized.
+   * Returns `(a_id, b_id, n_a, n_b, clip, recall, precision, f1)`
+   * with `a` the reference side.
+   */
+  def rougeN(
+      pairs: DataFrame, aId: Column, bId: Column,
+      aText: Column, bText: Column, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 5, s"gram order must be in [1, 5], got $n")
+    val base = pairs.select(aId.as("a_id"), bId.as("b_id"),
+      ngramsAll(tokens(aText), n).as("_ga"),
+      ngramsAll(tokens(bText), n).as("_gb"))
+    def side(g: String, out: String): DataFrame = base
+      .select(col("a_id"), col("b_id"), explode(col(g)).as("_g"))
+      .groupBy(col("a_id"), col("b_id"), col("_g"))
+      .agg(count(lit(1)).as(out))
+    val clip = side("_ga", "_ca")
+      .join(side("_gb", "_cb"), Seq("a_id", "b_id", "_g"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("_ca"), col("_cb"))).as("_clip"))
+    val sizes = base.select(col("a_id"), col("b_id"),
+      size(col("_ga")).cast("long").as("n_a"),
+      size(col("_gb")).cast("long").as("n_b"))
+    val r = col("clip").cast("double") / col("n_a").cast("double")
+    val p = col("clip").cast("double") / col("n_b").cast("double")
+    sizes.join(clip, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        coalesce(col("_clip"), lit(0L)).as("clip"))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("clip"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(r, 6)).as("recall"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(p, 6))
+          .as("precision"),
+        when(col("n_a") > 0 && col("n_b") > 0 && r + p > 0.0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
 }

@@ -403,6 +403,71 @@ class StatsTestsSpec extends GraftSpec {
     }
   }
 
+  test("friedman: perfect concordance gives chi2 = k(n-1); opposed " +
+    "judges give 0; dof = n-1") {
+    val agree = (1 to 6).map(i => (i.toLong, i.toDouble, i * 10L))
+      .toDF("id", "a", "b")
+    val got = StatsTests.friedman(agree, "id", Seq(col("a"), col("b")))
+      .head()
+    // W = 1 → chi2_F = k(n−1) = 2·5 = 10
+    assert(got.getLong(0) == 6L && got.getLong(1) == 2L)
+    assert(got.getLong(2) == 5L && got.getDouble(3) == 10.0, s"$got")
+    val oppose = (1 to 6).map(i => (i.toLong, i.toDouble, -i * 10L))
+      .toDF("id", "a", "b")
+    assert(StatsTests.friedman(oppose, "id", Seq(col("a"), col("b")))
+      .head().getDouble(3) == 0.0)
+  }
+
+  test("jarqueBera: hand-computed moments on 1..5 (symmetric, " +
+    "platykurtic); constant and tiny series are NULL") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = StatsTests.jarqueBera(
+      (1 to 5).map(_.toDouble).toDF("v"), col("v")).head()
+    // replicate the double chain: µ=3, m2=2, m3=0, m4=6.8
+    val (mu, p2, p3, p4) = (15.0 / 5.0, 55.0 / 5.0, 225.0 / 5.0,
+      979.0 / 5.0)
+    val m2 = p2 - mu * mu
+    val m4 = p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2 -
+      3.0 * mu * mu * mu * mu
+    val g2 = m4 / (m2 * m2) - 3.0
+    val jb = 5.0 / 6.0 * (0.0 + g2 * g2 / 4.0)
+    assert(got.getLong(0) == 5L)
+    assert(got.getDouble(1) == 0.0, "symmetric → zero skew")
+    assert(got.getDouble(2) == r6(g2), s"$got")
+    assert(got.getDouble(3) == r6(jb), s"$got")
+    assert(got.getDouble(4) == r6(math.exp(-jb / 2.0)), s"$got")
+    assert(StatsTests.jarqueBera(Seq(4.0, 4.0, 4.0).toDF("v"), col("v"))
+      .head().isNullAt(3), "zero variance")
+    assert(StatsTests.jarqueBera(Seq(1.0, 2.0).toDF("v"), col("v"))
+      .head().isNullAt(3), "n < 3")
+  }
+
+  test("brownForsythe: hand-computed F on two groups — medians 2 and " +
+    "5, z-frames {1,0,1,8} and {0,0,0,0}") {
+    val df = (Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (10.0, 4L))
+      .map { case (v, i) => ("g1", v, i) } ++
+      Seq(5.0, 5.0, 5.0, 5.0).zipWithIndex
+        .map { case (v, i) => ("g2", v, i + 10L) })
+      .toDF("g", "v", "id")
+    val got = StatsTests.brownForsythe(df, col("g"), col("v"), col("id"))
+      .head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // SSB = 25 − 100/8 = 12.5 ; SSW = 66 − 25 = 41 ; F = 12.5/(41/6)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 8L)
+    assert(got.getDouble(2) == 12.5 && got.getDouble(3) == 41.0, s"$got")
+    assert(got.getDouble(4) == r6((12.5 / 1.0) / (41.0 / 6.0)), s"$got")
+    // equal spreads → z-frames identical → SSB = 0 → F = 0
+    val same = (Seq(1.0, 2.0, 3.0).zipWithIndex.map {
+      case (v, i) => ("a", v, i.toLong) } ++
+      Seq(11.0, 12.0, 13.0).zipWithIndex.map {
+        case (v, i) => ("b", v, i + 10L) }).toDF("g", "v", "id")
+    assert(StatsTests.brownForsythe(same, col("g"), col("v"), col("id"))
+      .head().getDouble(4) == 0.0)
+  }
+
   test("grubbs: the planted spike is flagged with the hand-computed " +
     "G; constant series and tiny n are NULL") {
     def series(vals: Double*) = vals.zipWithIndex

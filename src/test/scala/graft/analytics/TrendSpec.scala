@@ -16,6 +16,46 @@ class TrendSpec extends GraftSpec {
     assert(row.getDouble(4) == 1.0, "r2")
   }
 
+  test("influence: a perfect line has zero residuals and NULL Cook " +
+    "(s2 = 0); leverage matches the closed form") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(("a", 0.0, 1.0), ("b", 1.0, 2.0), ("c", 2.0, 3.0))
+      .toDF("o", "x", "y")
+    val got = Trend.influence(df, "o", col("x"), col("y")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(got.forall(_.getDouble(3) == 0.0), "zero residuals")
+    assert(got.forall(_.isNullAt(5)), "s2 = 0 -> Cook undefined")
+    // h = 1/3 + (x-1)^2/2
+    assert(got(0).getDouble(4) == r6(1.0 / 3.0 + 1.0 / 2.0))
+    assert(got(1).getDouble(4) == r6(1.0 / 3.0))
+  }
+
+  test("influence: the planted outlier carries the dominant Cook's D " +
+    "(hand-computed moments)") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(("d1", 0.0, 0.0), ("d2", 1.0, 1.0), ("d3", 2.0, 2.0),
+      ("d4", 3.0, 9.0)).toDF("o", "x", "y")
+    val got = Trend.influence(df, "o", col("x"), col("y")).collect()
+    // n=4 sx=6 sy=12 sxx=14 syy=86 sxy=32 → slope=2.8, icept=-1.2,
+    // sxxc=5, s2=(50-2.8*14)/2
+    val slope = (4.0 * 32.0 - 6.0 * 12.0) / (4.0 * 14.0 - 6.0 * 6.0)
+    val icept = (12.0 - slope * 6.0) / 4.0
+    val s2 = ((86.0 - 12.0 * 12.0 / 4.0) -
+      slope * (32.0 - 6.0 * 12.0 / 4.0)) / 2.0
+    val x4 = 3.0
+    val fit4 = icept + slope * x4
+    val res4 = 9.0 - fit4
+    val h4 = 1.0 / 4.0 + (x4 - 1.5) * (x4 - 1.5) / 5.0
+    val cook4 = res4 * res4 * h4 / (2.0 * s2 * (1.0 - h4) * (1.0 - h4))
+    val d4 = got.find(_.getString(0) == "d4").get
+    assert(d4.getDouble(2) == r6(fit4) && d4.getDouble(3) == r6(res4))
+    assert(d4.getDouble(4) == r6(h4) && d4.getDouble(5) == r6(cook4))
+    assert(got.filter(!_.isNullAt(5)).map(_.getDouble(5)).max ==
+      d4.getDouble(5), "the outlier dominates")
+  }
+
   test("trend: constant x degenerates to NULL slope/intercept/r2; NULL " +
     "x or y rows drop from the fit") {
     val df = Seq(("c", Some(5.0), Some(1.0)), ("c", Some(5.0), Some(9.0)),

@@ -140,4 +140,40 @@ class GraphOpsSpec extends GraftSpec {
       GraphOps.hits(edges, "src", "dst", topK = 0)
     }
   }
+
+  test("modularity: two triangles + bridge under the triangle " +
+    "partition — hand-computed Q = 6/7 − 98/196") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("node", "c")
+    val got = GraphOps.modularity(edges, "src", "dst",
+      labels, "node", "c").head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 6L && got.getLong(1) == 7L)
+    assert(got.getLong(2) == 2L && got.getLong(3) == 6L)
+    assert(got.getDouble(4) ==
+      r6(6.0 / 7.0 - 98.0 / (4.0 * 7.0 * 7.0)), s"$got")
+  }
+
+  test("modularity: reversed duplicates and self-loops collapse; an " +
+    "unlabeled endpoint drops its edge from the scored subgraph") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 9L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("node", "c")
+    val got = GraphOps.modularity(edges, "src", "dst",
+      labels, "node", "c").head()
+    // surviving labeled edges: 1-2 (intra a), 2-3 (cross) — m=2,
+    // intra=1, d: 1→1, 2→2, 3→1 → d_a=3, d_b=1, S=10
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 3L && got.getLong(1) == 2L)
+    assert(got.getLong(3) == 1L)
+    assert(got.getDouble(4) == r6(1.0 / 2.0 - 10.0 / (4.0 * 2.0 * 2.0)))
+    // a perfectly mixed partition scores <= 0
+    val mixed = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("node", "c")
+    assert(GraphOps.modularity(edges, "src", "dst", mixed, "node", "c")
+      .head().getDouble(4) <= 0.0)
+  }
 }

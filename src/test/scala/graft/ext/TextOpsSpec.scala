@@ -465,4 +465,48 @@ class TextOpsSpec extends GraftSpec {
       TextOps.goodTuring(df, "text", gramN = 0)
     }
   }
+
+  test("rougeN: hand-computed clipped bigram overlap — repeats clip " +
+    "at the reference count") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (1L, 2L, "the cat sat on the mat", "the cat sat on the cat"),
+      (3L, 4L, "a b a b", "a b a b a b"))
+      .toDF("aid", "bid", "ta", "tb")
+    val got = TextOps.rougeN(pairs, col("aid"), col("bid"),
+      col("ta"), col("tb"), n = 2).collect()
+    val p1 = got.find(_.getLong(0) == 1L).get
+    // clip = 4 of 5/5 grams → R = P = F = 0.8
+    assert(p1.getLong(2) == 5L && p1.getLong(3) == 5L &&
+      p1.getLong(4) == 4L)
+    assert(p1.getDouble(5) == 0.8 && p1.getDouble(6) == 0.8 &&
+      p1.getDouble(7) == 0.8, s"$p1")
+    val p2 = got.find(_.getLong(0) == 3L).get
+    // a: {ab:2, ba:1}; b: {ab:3, ba:2} → clip 3; R=1, P=0.6, F=0.75
+    assert(p2.getLong(4) == 3L)
+    assert(p2.getDouble(5) == 1.0 && p2.getDouble(6) == 0.6 &&
+      p2.getDouble(7) == 0.75, s"$p2")
+  }
+
+  test("rougeN: a side shorter than n grams yields NULL ratios and " +
+    "zero clip; disjoint texts score zero with NULL f1") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (1L, 2L, "only", "the cat sat"),
+      (3L, 4L, "a b c", "x y z"))
+      .toDF("aid", "bid", "ta", "tb")
+    val got = TextOps.rougeN(pairs, col("aid"), col("bid"),
+      col("ta"), col("tb"), n = 2).collect()
+    val short = got.find(_.getLong(0) == 1L).get
+    assert(short.getLong(2) == 0L && short.getLong(4) == 0L)
+    assert(short.isNullAt(5) && short.isNullAt(6) && short.isNullAt(7))
+    val disj = got.find(_.getLong(0) == 3L).get
+    assert(disj.getLong(4) == 0L)
+    assert(disj.getDouble(5) == 0.0 && disj.getDouble(6) == 0.0)
+    assert(disj.isNullAt(7), "P + R = 0 leaves f1 undefined")
+    intercept[IllegalArgumentException] {
+      TextOps.rougeN(pairs, col("aid"), col("bid"), col("ta"),
+        col("tb"), n = 0)
+    }
+  }
 }
