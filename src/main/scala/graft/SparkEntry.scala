@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FeatureScreen, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -213,6 +213,33 @@ object SparkEntry {
             max(col("n_chars")).as("max_chars")),
         "source",
         Seq(col("mean_chars"), col("n_docs"), col("max_chars")))),
+
+    // X+/S — q267's k-anonymity audit through the MERGE law: parity
+    // halves' class-size partials fold by additive union (sizes sum
+    // under disjoint batches), then the identical threshold profile.
+    // SHARES q267's oracle verbatim.
+    "q276_privacy_merge" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val quasi = Seq(col("c_nationkey"), col("c_mktsegment"))
+      Privacy.kAnonymityFromClasses(
+        Privacy.mergeClasses(
+          Privacy.equivalenceClasses(
+            cust.filter(col("c_custkey") % 2 === 0), quasi)
+            .union(Privacy.equivalenceClasses(
+              cust.filter(col("c_custkey") % 2 =!= 0), quasi)),
+          quasi),
+        ks = Seq(2, 5, 10, 25))
+    }),
+
+    // X+/A — information-gain screen over the q258 churn features:
+    // which engineered behavior signals carry label signal AT ALL
+    // (median-split mutual information, the univariate gate before the
+    // ridge probe spends a fit). Dim-sized cell frame, no global
+    // windows.
+    "q275_info_gain" -> ((s, d) =>
+      FeatureScreen.infoGain(
+        LogAnalytics.churnFeatures(t(s, d, "events")),
+        col("features"), col("churned"), col("user_id"))),
 
     // X2+/X1 — ROUGE-2 over within-source adjacent doc pairs: the
     // multiset-clipped overlap grade (set-based containment q208
@@ -3902,24 +3929,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q267: same class-size frame (GROUP BY keeps null QI values as a
     // class in both engines), same exact long counts, one rounded ratio.
-    "q267_k_anonymity" ->
-      """WITH sz AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |         CAST(count(*) AS BIGINT) AS sz
-        |  FROM customer GROUP BY 1, 2),
-        |f AS (SELECT sz.sz, CAST(k.k AS BIGINT) AS k
-        |      FROM sz, (SELECT unnest([2, 5, 10, 25]) AS k) k)
-        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
-        |       min(sz) AS min_class_size,
-        |       CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0)
-        |         AS BIGINT) AS n_classes_below,
-        |       CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
-        |         AS BIGINT) AS n_rows_at_risk,
-        |       CAST(sum(sz) AS BIGINT) AS n_rows,
-        |       round(CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
-        |               AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
-        |         AS pct_rows_at_risk
-        |FROM f GROUP BY k ORDER BY k""".stripMargin,
+    "q267_k_anonymity" -> kAnonymityOracleSql,
+
+    // q276: the merge law folds to the identical class frame — the
+    // batch oracle verbatim.
+    "q276_privacy_merge" -> kAnonymityOracleSql,
 
     // q269: same exact decimal power sums, same central-moment double
     // chain (stepwise CTEs mirror the multiplication order), same
@@ -4003,6 +4017,82 @@ object SparkEntry {
         |               / (3.0 * CAST(n AS DOUBLE)
         |                  * (CAST(n AS DOUBLE) + 1.0)), 6) END AS chi2_f
         |FROM s4""".stripMargin,
+
+    // q275: q258's feature replay (no bias column), same rank-exact
+    // per-feature medians, same MI cell terms in nats folded 12-dp,
+    // one ln2 division.
+    "q275_info_gain" ->
+      """WITH fe AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_view,
+        |         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS fb,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS lb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM fe),
+        |e AS (
+        |  SELECT user_id,
+        |         [CAST(c_click AS DOUBLE) / 100.0,
+        |          CAST(c_error AS DOUBLE) / 100.0,
+        |          CAST(c_purchase AS DOUBLE) / 100.0,
+        |          CAST(c_signup AS DOUBLE) / 100.0,
+        |          CAST(c_view AS DOUBLE) / 100.0,
+        |          CAST(lb - fb AS DOUBLE) / 1000.0,
+        |          CAST(tot AS DOUBLE) / 100.0] AS v,
+        |         CASE WHEN lb <= maxd - 12 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM fe, mx),
+        |el AS (
+        |  SELECT user_id, y,
+        |         CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS f,
+        |         CAST(unnest(v) AS DOUBLE) AS x
+        |  FROM e),
+        |r AS (
+        |  SELECT f, x, user_id,
+        |         CAST(row_number() OVER (PARTITION BY f
+        |           ORDER BY x, user_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM el),
+        |med AS (
+        |  SELECT f, max(CASE WHEN rn = greatest(
+        |           CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT), 1)
+        |         THEN x END) AS sv
+        |  FROM r GROUP BY 1),
+        |bj AS (
+        |  SELECT el.f, med.sv,
+        |         CASE WHEN el.x > med.sv THEN 1 ELSE 0 END AS b, el.y,
+        |         CAST(count(*) AS BIGINT) AS nby
+        |  FROM el JOIN med ON med.f = el.f GROUP BY 1, 2, 3, 4),
+        |mb AS (SELECT f, b, CAST(sum(nby) AS BIGINT) AS nb
+        |       FROM bj GROUP BY 1, 2),
+        |my AS (SELECT f, y, CAST(sum(nby) AS BIGINT) AS ny
+        |       FROM bj GROUP BY 1, 2),
+        |tt AS (SELECT f, CAST(sum(nby) AS BIGINT) AS nn
+        |       FROM bj GROUP BY 1),
+        |tm AS (
+        |  SELECT bj.f, bj.sv,
+        |         CAST(round((CAST(nby AS DOUBLE) / CAST(nn AS DOUBLE))
+        |             * ln((CAST(nby AS DOUBLE) * CAST(nn AS DOUBLE))
+        |                  / (CAST(nb AS DOUBLE) * CAST(ny AS DOUBLE))),
+        |           12) AS DECIMAL(38,12)) AS t
+        |  FROM bj JOIN mb ON mb.f = bj.f AND mb.b = bj.b
+        |          JOIN my ON my.f = bj.f AND my.y = bj.y
+        |          JOIN tt ON tt.f = bj.f)
+        |SELECT f AS feature, sv AS split_value,
+        |       round(CAST(sum(t) AS DOUBLE) / 0.6931471805599453, 6)
+        |         AS ig
+        |FROM tm GROUP BY 1, 2 ORDER BY feature""".stripMargin,
 
     // q274: same adjacent-pair window, same whitespace bigrams with
     // repeats, same clipped-count join and ratio chains.
@@ -10327,6 +10417,28 @@ object SparkEntry {
         |                    / (CAST(m AS DOUBLE) * cm.c)
         |                       THEN rank END) AS cut
         |       FROM rk CROSS JOIN cm)""".stripMargin)
+
+  /** q267/q276 shared oracle: the class-size frame over the customer
+    * quasi-identifiers and the threshold profile (the merge law folds
+    * to the identical frame, so one SQL serves both). */
+  private val kAnonymityOracleSql: String =
+    """WITH sz AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(count(*) AS BIGINT) AS sz
+      |  FROM customer GROUP BY 1, 2),
+      |f AS (SELECT sz.sz, CAST(k.k AS BIGINT) AS k
+      |      FROM sz, (SELECT unnest([2, 5, 10, 25]) AS k) k)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+      |       min(sz) AS min_class_size,
+      |       CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0)
+      |         AS BIGINT) AS n_classes_below,
+      |       CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+      |         AS BIGINT) AS n_rows_at_risk,
+      |       CAST(sum(sz) AS BIGINT) AS n_rows,
+      |       round(CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+      |               AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+      |         AS pct_rows_at_risk
+      |FROM f GROUP BY k ORDER BY k""".stripMargin
 
   private val trendOracleSql: String =
       """WITH b AS (

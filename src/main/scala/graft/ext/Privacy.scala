@@ -52,9 +52,25 @@ object Privacy {
    * cost is `|classes| × |ks|` rows into one bounded aggregate.
    */
   def kAnonymityProfile(
-      df: DataFrame, quasi: Seq[Column], ks: Seq[Int]): DataFrame = {
+      df: DataFrame, quasi: Seq[Column], ks: Seq[Int]): DataFrame =
+    kAnonymityFromClasses(equivalenceClasses(df, quasi), ks)
+
+  /** Column-wise fold of class-size partials from DISJOINT batches:
+    * sizes are additive under union, so the audit is a standing state
+    * — per-batch [[equivalenceClasses]] partials append and fold at
+    * read, full-data re-audits never rescan history (the
+    * [[graft.analytics.Trend.mergeMoments]] merge-law shape). */
+  def mergeClasses(partials: DataFrame, quasi: Seq[Column]): DataFrame =
+    partials.groupBy(quasi: _*)
+      .agg(sum(col("class_size")).as("class_size"))
+
+  /** [[kAnonymityProfile]]'s threshold profile evaluated over an
+    * already-built class frame ([[equivalenceClasses]] directly or a
+    * [[mergeClasses]] fold). */
+  def kAnonymityFromClasses(
+      classes: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 2), "thresholds must be >= 2")
-    equivalenceClasses(df, quasi)
+    classes
       .select(col("class_size"),
         explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
       .groupBy(col("k"))

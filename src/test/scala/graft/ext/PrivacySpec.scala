@@ -47,6 +47,21 @@ class PrivacySpec extends GraftSpec {
     }
   }
 
+  test("mergeClasses: disjoint-batch partials fold to the whole-data " +
+    "class frame — the merged profile equals the batch profile") {
+    val quasi = Seq(col("nat"), col("seg"))
+    val whole = Privacy.kAnonymityProfile(df, quasi, ks = Seq(2, 5))
+      .collect().toSeq
+    val halves = Privacy.equivalenceClasses(
+      df.filter(col("sens") === "x"), quasi)
+      .union(Privacy.equivalenceClasses(
+        df.filter(col("sens") =!= "x"), quasi))
+    val merged = Privacy.kAnonymityFromClasses(
+      Privacy.mergeClasses(halves, quasi), ks = Seq(2, 5))
+      .collect().toSeq
+    assert(merged == whole)
+  }
+
   test("diversityHistogram: per-class distinct sensitive values — " +
     "{(n1,A)→2, (n1,B)→1, (n2,A)→1} summarizes to the histogram") {
     val got = Privacy.diversityHistogram(df,
