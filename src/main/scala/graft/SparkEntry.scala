@@ -214,6 +214,14 @@ object SparkEntry {
         "source",
         Seq(col("mean_chars"), col("n_docs"), col("max_chars")))),
 
+    // X+/S — exponential goodness of fit over per-user inter-event
+    // gaps: are arrivals memoryless, or is sessionization modeling
+    // real structure? MLE λ then one-sample KS at both sides of every
+    // CDF step; cumulative over gap-value cardinality only.
+    "q278_exp_gap_fit" -> ((s, d) =>
+      StatsTests.expGapFit(t(s, d, "events"),
+        "user_id", "ts", "event_id")),
+
     // X+/S — q267's k-anonymity audit through the MERGE law: parity
     // halves' class-size partials fold by additive union (sizes sum
     // under disjoint batches), then the identical threshold profile.
@@ -385,6 +393,14 @@ object SparkEntry {
     // adjacent-day self-join over the distinct user-day store.
     "q265_audience_overlap" -> ((s, d) =>
       TimeSeries.activeSetOverlap(t(s, d, "events"), "user_id", "ts")),
+
+    // A+/S — q265 through HLL sketches (the q229 whole-corpus swap):
+    // one sketch per day, overlap by inclusion–exclusion — state is
+    // days × 2^lgK and the user-keyed shuffle disappears. Exact below
+    // the sketch promotion threshold; SHARES q265's oracle verbatim.
+    "q277_hll_overlap" -> ((s, d) =>
+      TimeSeries.activeSetOverlapHll(t(s, d, "events"),
+        "user_id", "ts")),
 
     // A+/S — q168's rolling actives through the MERGE law: parity
     // halves' distinct user-day frames fold by idempotent union (the
@@ -3934,6 +3950,44 @@ object SparkEntry {
     // q276: the merge law folds to the identical class frame — the
     // batch oracle verbatim.
     "q276_privacy_merge" -> kAnonymityOracleSql,
+
+    // q278: same per-user lag gaps, same decimal gap sum and MLE λ,
+    // same two-sided CDF-step comparison.
+    "q278_exp_gap_fit" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |gp AS (
+        |  SELECT t - lag(t, 1) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id) AS gap
+        |  FROM g),
+        |c AS (SELECT gap, CAST(count(*) AS BIGINT) AS c FROM gp
+        |      WHERE gap IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(gap AS DOUBLE)
+        |             * CAST(c AS DOUBLE), 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1
+        |  FROM c),
+        |x AS (
+        |  SELECT c.gap, c.c, tot.n,
+        |         sum(c.c) OVER (ORDER BY c.gap
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         CAST(tot.n AS DOUBLE) / CAST(tot.s1 AS DOUBLE) AS l
+        |  FROM c, tot),
+        |y AS (
+        |  SELECT n, l, greatest(
+        |           abs(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+        |               - (1.0 - exp(-(l * CAST(gap AS DOUBLE))))),
+        |           abs(CAST(cum - c AS DOUBLE) / CAST(n AS DOUBLE)
+        |               - (1.0 - exp(-(l * CAST(gap AS DOUBLE))))))
+        |           AS gg
+        |  FROM x)
+        |SELECT n AS n_gaps, round(max(l), 6) AS lambda,
+        |       round(max(gg), 6) AS d_stat
+        |FROM y GROUP BY n""".stripMargin,
 
     // q269: same exact decimal power sums, same central-moment double
     // chain (stepwise CTEs mirror the multiplication order), same
@@ -7806,27 +7860,12 @@ object SparkEntry {
 
     // q265: same distinct user-day pairs, same adjacent-day self-join
     // and union arithmetic.
-    "q265_audience_overlap" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT user_id AS u,
-        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS n
-        |          FROM pairs GROUP BY 1),
-        |bo AS (
-        |  SELECT a.d, CAST(count(*) AS BIGINT) AS n_both
-        |  FROM pairs a JOIN pairs b ON a.u = b.u AND b.d = a.d - 1
-        |  GROUP BY 1)
-        |SELECT strftime(make_timestamp(c.d * 86400 * 1000000),
-        |         '%Y-%m-%d') AS day,
-        |       p.n AS n_prev, c.n AS n_cur,
-        |       coalesce(bo.n_both, 0) AS n_both,
-        |       round(CAST(coalesce(bo.n_both, 0) AS DOUBLE)
-        |             / CAST(p.n + c.n - coalesce(bo.n_both, 0)
-        |                 AS DOUBLE), 6) AS jaccard
-        |FROM sizes c JOIN sizes p ON p.d = c.d - 1
-        |LEFT JOIN bo ON bo.d = c.d
-        |ORDER BY day""".stripMargin,
+    "q265_audience_overlap" -> audienceOverlapOracleSql,
+
+    // q277: HLL sketches are exact below the promotion threshold, so
+    // inclusion–exclusion reproduces the exact counts — the q265
+    // oracle verbatim (the q229 sketch-swap contract).
+    "q277_hll_overlap" -> audienceOverlapOracleSql,
 
     // q260: same per-user aggregates, same (metric, user) ntile
     // orders (DuckDB's ntile cuts the same ceil-first boundaries),
@@ -10417,6 +10456,31 @@ object SparkEntry {
         |                    / (CAST(m AS DOUBLE) * cm.c)
         |                       THEN rank END) AS cut
         |       FROM rk CROSS JOIN cm)""".stripMargin)
+
+  /** q265/q277 shared oracle: the distinct user-day store, the
+    * adjacent-day overlap and the union arithmetic (the sketch variant
+    * reproduces the exact counts below the HLL promotion threshold). */
+  private val audienceOverlapOracleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS n
+      |          FROM pairs GROUP BY 1),
+      |bo AS (
+      |  SELECT a.d, CAST(count(*) AS BIGINT) AS n_both
+      |  FROM pairs a JOIN pairs b ON a.u = b.u AND b.d = a.d - 1
+      |  GROUP BY 1)
+      |SELECT strftime(make_timestamp(c.d * 86400 * 1000000),
+      |         '%Y-%m-%d') AS day,
+      |       p.n AS n_prev, c.n AS n_cur,
+      |       coalesce(bo.n_both, 0) AS n_both,
+      |       round(CAST(coalesce(bo.n_both, 0) AS DOUBLE)
+      |             / CAST(p.n + c.n - coalesce(bo.n_both, 0)
+      |                 AS DOUBLE), 6) AS jaccard
+      |FROM sizes c JOIN sizes p ON p.d = c.d - 1
+      |LEFT JOIN bo ON bo.d = c.d
+      |ORDER BY day""".stripMargin
 
   /** q267/q276 shared oracle: the class-size frame over the customer
     * quasi-identifiers and the threshold profile (the merge law folds

@@ -411,6 +411,63 @@ object StatsTests {
   }
 
   /**
+   * Exponential-arrival goodness of fit over per-user inter-event
+   * gaps — "do events arrive memorylessly, or do users batch/session?"
+   * The distributional sibling of [[graft.ext.TextOps]]' Fano
+   * burstiness screen: fit `λ = 1/mean(gap)` by maximum likelihood
+   * over the pooled per-user gaps, then the ONE-SAMPLE
+   * Kolmogorov–Smirnov D against `F(v) = 1 − e^{−λv}`, evaluated at
+   * both sides of every empirical CDF step (the step-function supremum
+   * needs the pre-jump side too — a mid-step excursion hides from the
+   * post-jump comparison alone). A large D says arrivals are NOT
+   * exponential — sessionization (gap cutoffs, [[graft.analytics
+   * .LogAnalytics]]' session family) is modeling structure, not noise.
+   *
+   * Gap seconds are exact longs (same-second repeats allowed, gap 0);
+   * the gap sum folds as 9-dp decimal; λ and every CDF comparison are
+   * one double chain. Returns one row `(n_gaps, lambda, d_stat)`,
+   * 6-dp; EMPTY when no user has two events.
+   *
+   * Shape at scale: one user-partitioned lag window (the
+   * [[graft.analytics.Trend.autocorr]] contract) + a hash aggregate
+   * to the DISTINCT-GAP frame; the one ordered cumulative runs over
+   * gap-value cardinality, never rows (the [[ksTest]] rule).
+   */
+  def expGapFit(
+      df: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_t").asc, col("_id").asc)
+    val gaps = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("long").as("_t"),
+        col(idCol).as("_id"))
+      .withColumn("_gap", col("_t") - lag(col("_t"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+    val cells = gaps.groupBy(col("_gap")).agg(count(lit(1)).as("_c"))
+    val tot = cells.agg(sum(col("_c")).as("n_gaps"),
+      sum(round(col("_gap").cast("double") * col("_c").cast("double"), 9)
+        .cast(d9)).as("_s1"))
+    val nD = col("n_gaps").cast("double")
+    val lambda = nD / col("_s1").cast("double")
+    val wCum = Window.orderBy(col("_gap").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fExp = lit(1.0) - exp(-(lambda * col("_gap").cast("double")))
+    cells
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("n_gaps"), lambda.as("_l"),
+        greatest(
+          abs(col("_cum").cast("double") / nD - fExp),
+          abs((col("_cum") - col("_c")).cast("double") / nD - fExp))
+          .as("_g"))
+      .groupBy(col("n_gaps"))
+      .agg(round(max(col("_l")), 6).as("lambda"),
+        round(max(col("_g")), 6).as("d_stat"))
+  }
+
+  /**
    * Deterministic Poisson-bootstrap confidence interval for the mean of
    * a column — error bars for a corpus metric, reproducible across
    * engines and reruns: replicate b reweights row id by a Poisson(1)

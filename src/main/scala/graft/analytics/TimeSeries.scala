@@ -242,4 +242,52 @@ object TimeSeries {
         col("n_active"))
       .orderBy(col("day").asc_nulls_last)
   }
+
+  /**
+   * [[activeSetOverlap]] through HLL sketches — the whole-corpus-scale
+   * swap for the adjacent-day audience Jaccard: the exact variant
+   * self-joins the distinct user-day store on the user key (state =
+   * distinct user-days); this keeps ONE sketch per day and reads the
+   * overlap by inclusion–exclusion,
+   *
+   *   n_both = est(A) + est(B) − est(A ∪ B)
+   *
+   * so state is days × 2^lgK regardless of audience size and the
+   * user-keyed shuffle disappears (day-keyed only). DataSketches HLL
+   * is EXACT below its promotion threshold (~¾·2^lgK distincts per
+   * union), so the q265 exact oracle is shared verbatim at harness
+   * scale; past the threshold the estimate degrades gracefully to the
+   * documented ~1.6%/√2^lgK HLL error band while the exact variant's
+   * join cost keeps growing with the audience. Same output shape as
+   * [[activeSetOverlap]]: `(day, n_prev, n_cur, n_both, jaccard)`.
+   */
+  def activeSetOverlapHll(
+      df: DataFrame, userCol: String, tsCol: String,
+      lgK: Int = 14): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400L)).cast("long")
+    val daySk = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .groupBy(col("_d"))
+      .agg(hll_sketch_agg(col("_u"), lit(lgK)).as("_sk"))
+    val joined = daySk.select(col("_d"), col("_sk").as("_cur"))
+      .join(daySk.select((col("_d") + 1L).as("_d"),
+        col("_sk").as("_prev")), Seq("_d"))
+      .select(col("_d"),
+        hll_sketch_estimate(col("_prev")).as("n_prev"),
+        hll_sketch_estimate(col("_cur")).as("n_cur"),
+        hll_sketch_estimate(hll_union(col("_prev"), col("_cur")))
+          .as("_union"))
+    joined
+      .select(
+        date_format(timestamp_seconds(col("_d") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("n_prev"), col("n_cur"),
+        (col("n_prev") + col("n_cur") - col("_union")).as("n_both"))
+      .select(col("day"), col("n_prev"), col("n_cur"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_prev") + col("n_cur") - col("n_both")).cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("day").asc)
+  }
 }

@@ -468,6 +468,33 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("expGapFit: hand-computed MLE lambda and two-sided KS D over " +
+    "gaps {1,2,2}; single-event users contribute nothing") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Seq((1L, 0L, 10L), (1L, 1L, 11L), (1L, 3L, 12L),
+      (2L, 0L, 20L), (2L, 2L, 21L), (3L, 50L, 30L))
+      .toDF("user_id", "ep", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = StatsTests.expGapFit(ev, "user_id", "ts", "event_id")
+      .head()
+    val l = 3.0 / 5.0
+    val f1 = 1.0 - math.exp(-(l * 1.0))
+    val f2 = 1.0 - math.exp(-(l * 2.0))
+    val d = Seq(
+      math.max(math.abs(1.0 / 3.0 - f1), math.abs(0.0 / 3.0 - f1)),
+      math.max(math.abs(3.0 / 3.0 - f2), math.abs(1.0 / 3.0 - f2))).max
+    assert(got.getLong(0) == 3L, "three gaps pooled across users")
+    assert(got.getDouble(1) == r6(l) && got.getDouble(2) == r6(d),
+      s"$got")
+    val singles = Seq((1L, 0L, 1L), (2L, 5L, 2L))
+      .toDF("user_id", "ep", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    assert(StatsTests.expGapFit(singles, "user_id", "ts", "event_id")
+      .count() == 0L, "no second event, no gap, no fit")
+  }
+
   test("grubbs: the planted spike is flagged with the hand-computed " +
     "G; constant series and tiny n are NULL") {
     def series(vals: Double*) = vals.zipWithIndex

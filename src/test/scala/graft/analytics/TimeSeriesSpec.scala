@@ -99,4 +99,27 @@ class TimeSeriesSpec extends GraftSpec {
       TimeSeries.rollingDistinctUsersHll(ev, "user_id", "ts", 0)
     }
   }
+
+  test("activeSetOverlapHll: inclusion–exclusion over day sketches " +
+    "equals the exact adjacent-day Jaccard on the fixture AND on " +
+    "real events (exact mode at this cardinality)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // day0 {1,2,3}, day1 {2,3,4} → both 2, union 4, j = 0.5
+    val ev = Seq((1L, 0L), (2L, 10L), (3L, 20L),
+      (2L, 86400L), (3L, 86410L), (4L, 86420L))
+      .toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val hll = rows(TimeSeries.activeSetOverlapHll(ev, "user_id", "ts"))
+    assert(hll == Seq(("1970-01-02", 3L, 3L, 2L, 0.5)), s"$hll")
+    assert(hll ==
+      rows(TimeSeries.activeSetOverlap(ev, "user_id", "ts")))
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    assert(
+      rows(TimeSeries.activeSetOverlapHll(real, "user_id", "ts")) ==
+        rows(TimeSeries.activeSetOverlap(real, "user_id", "ts")),
+      "sketch and exact audience overlap must agree on the real corpus")
+  }
 }
