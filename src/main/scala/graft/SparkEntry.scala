@@ -214,6 +214,28 @@ object SparkEntry {
         "source",
         Seq(col("mean_chars"), col("n_docs"), col("max_chars")))),
 
+    // X+/S — Poisson overdispersion of the daily series: is traffic
+    // clumped beyond independent arrivals (variance/mean, χ² form)?
+    // The moment-level lens next to q278's distributional KS. One
+    // aggregate, any cardinality.
+    "q279_dispersion" -> ((s, d) =>
+      StatsTests.dispersionTest(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        col("n_events"))),
+
+    // X+/S — Mann–Kendall monotone-trend significance on the daily
+    // series: the significance face of q233's Theil–Sen slope
+    // (tie-corrected variance, continuity-corrected z). Series²
+    // pairs frame per the Theil–Sen contract.
+    "q280_mann_kendall" -> ((s, d) =>
+      StatsTests.mannKendall(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
     // X+/S — exponential goodness of fit over per-user inter-event
     // gaps: are arrivals memoryless, or is sessionization modeling
     // real structure? MLE λ then one-sample KS at both sides of every
@@ -3950,6 +3972,83 @@ object SparkEntry {
     // q276: the merge law folds to the identical class frame — the
     // batch oracle verbatim.
     "q276_privacy_merge" -> kAnonymityOracleSql,
+
+    // q279: same decimal moments, sample (n−1) variance, same ratio
+    // chains.
+    "q279_dispersion" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY CAST(ts AS DATE)),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM s),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         (CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |           AS vv
+        |  FROM t)
+        |SELECT n,
+        |       CASE WHEN n >= 1 THEN round(mu, 6) END AS mean,
+        |       CASE WHEN n >= 2 THEN round(vv, 6) END AS variance,
+        |       CASE WHEN n >= 2 AND mu > 0 THEN round(vv / mu, 6) END
+        |         AS dispersion,
+        |       CASE WHEN n >= 2 AND mu > 0 THEN
+        |         round((CAST(n AS DOUBLE) - 1.0) * vv / mu, 6) END
+        |         AS chi2
+        |FROM m""".stripMargin,
+
+    // q280: same sign-pair sum, same integer tie correction, the
+    // continuity-corrected z and the q235 Abramowitz-Stegun p chain.
+    "q280_mann_kendall" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS o, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |sp AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1
+        |           WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT)
+        |           AS s
+        |  FROM s a JOIN s b ON a.o < b.o),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |           AS BIGINT) AS tiesum,
+        |         CAST(coalesce(sum(t), 0) AS BIGINT) AS n
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM s GROUP BY v) x),
+        |xx AS (
+        |  SELECT n, sp.s,
+        |         CAST(n * (n - 1) * (2 * n + 5) - tiesum AS DOUBLE)
+        |           / 18.0 AS vv
+        |  FROM tie, sp),
+        |zz AS (
+        |  SELECT n, s, vv,
+        |         CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |                / sqrt(vv)
+        |              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |                / sqrt(vv)
+        |              ELSE 0.0 END AS z
+        |  FROM xx),
+        |px AS (
+        |  SELECT n, s, vv, z,
+        |         abs(z) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(z) * 0.7071067811865476)) AS t
+        |  FROM zz)
+        |SELECT n AS n_points, s,
+        |       CASE WHEN n >= 2 THEN round(vv, 6) END AS var_s,
+        |       CASE WHEN n >= 2 AND vv > 0 THEN round(z, 6) END AS z,
+        |       CASE WHEN n >= 2 AND vv > 0 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
 
     // q278: same per-user lag gaps, same decimal gap sum and MLE λ,
     // same two-sided CDF-step comparison.

@@ -411,6 +411,87 @@ object StatsTests {
   }
 
   /**
+   * Poisson overdispersion screen over a bucketed count series — "is
+   * the variance consistent with independent arrivals, or is the
+   * traffic clumped?": the index of dispersion `s²/x̄` (1 under
+   * Poisson) and the χ² form `(n−1)·s²/x̄` (χ², n−1 df under the
+   * null). The moment-level companion to [[expGapFit]]'s
+   * distributional KS and the per-group Fano screens: overdispersion
+   * here says the DAILY totals clump, before any per-user analysis.
+   * Exact 9-dp decimal moments, sample (n−1) variance, one double
+   * chain; NULL statistics when n < 2 or x̄ = 0. Returns one row
+   * `(n, mean, variance, dispersion, chi2)`, 6-dp. One hash
+   * aggregate — any cardinality.
+   */
+  def dispersionTest(df: DataFrame, valueCol: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val agg = df.select(valueCol.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"))
+    val nD = col("n").cast("double")
+    val m = col("_s1").cast("double") / nD
+    val v = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / nD) /
+      (nD - 1.0)
+    val ok = col("n") >= 2 && m > 0.0
+    agg.select(col("n"),
+      when(col("n") >= 1, round(m, 6)).as("mean"),
+      when(col("n") >= 2, round(v, 6)).as("variance"),
+      when(ok, round(v / m, 6)).as("dispersion"),
+      when(ok, round((nD - 1.0) * v / m, 6)).as("chi2"))
+  }
+
+  /**
+   * Mann–Kendall trend test over a series — the SIGNIFICANCE face of
+   * [[graft.analytics.Robust.theilSen]]'s robust slope (Theil–Sen says
+   * how steep; Mann–Kendall says whether the monotone trend is real):
+   * `S = Σ_{i<j} sign(v_j − v_i)` over all ordered pairs, the
+   * tie-corrected variance
+   *
+   *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+   *
+   * (t = tied-value group sizes), and the continuity-corrected
+   * `z = (S ∓ 1)/√Var` with p via [[normalTwoSidedP]]. S and both
+   * variance terms are exact longs — floats enter only at z.
+   *
+   * SERIES CONTRACT (the [[Robust.theilSen]] rule): the pairs frame is
+   * series²-sized — aggregate to buckets first. z/p are NULL when
+   * n < 2 or Var ≤ 0 (all values tied). Returns one row
+   * `(n_points, s, var_s, z, p)`.
+   */
+  def mannKendall(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("_o"), col(valueCol).cast("double").as("_v"))
+    val s = base.as("a").join(base.as("b"), col("a._o") < col("b._o"))
+      .agg(coalesce(sum(
+        when(col("b._v") > col("a._v"), 1L)
+          .when(col("b._v") < col("a._v"), -1L).otherwise(0L)),
+        lit(0L)).as("s"))
+    val ties = base.groupBy(col("_v")).agg(count(lit(1)).as("_t"))
+      .agg(count(lit(1)).as("_nvals"),
+        coalesce(sum(col("_t") * (col("_t") - 1L) *
+          (lit(2L) * col("_t") + 5L)), lit(0L)).as("_tie"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_points"))
+    val n = col("n_points")
+    val varS = (n * (n - 1L) * (lit(2L) * n + 5L) - col("_tie"))
+      .cast("double") / 18.0
+    val z = when(col("s") > 0,
+        (col("s").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s") < 0, (col("s").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    val ok = n >= 2 && varS > 0.0
+    ties.crossJoin(broadcast(s))
+      .select(col("n_points"), col("s"),
+        when(n >= 2, round(varS, 6)).as("var_s"),
+        when(ok, round(z, 6)).as("z"),
+        when(ok, normalTwoSidedP(z)).as("p"))
+  }
+
+  /**
    * Exponential-arrival goodness of fit over per-user inter-event
    * gaps — "do events arrive memorylessly, or do users batch/session?"
    * The distributional sibling of [[graft.ext.TextOps]]' Fano

@@ -468,6 +468,43 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("dispersionTest: hand-computed index of dispersion on {2,4,6}; " +
+    "constant series scores 0; n=1 is NULL") {
+    import org.apache.spark.sql.functions.col
+    val got = StatsTests.dispersionTest(
+      Seq(2.0, 4.0, 6.0).toDF("v"), col("v")).head()
+    // mean 4, sample var 4 → dispersion 1, chi2 = 2
+    assert(got.getLong(0) == 3L && got.getDouble(1) == 4.0)
+    assert(got.getDouble(2) == 4.0 && got.getDouble(3) == 1.0)
+    assert(got.getDouble(4) == 2.0, s"$got")
+    val const = StatsTests.dispersionTest(
+      Seq(5.0, 5.0).toDF("v"), col("v")).head()
+    assert(const.getDouble(3) == 0.0, "no spread, no dispersion")
+    assert(StatsTests.dispersionTest(Seq(3.0).toDF("v"), col("v"))
+      .head().isNullAt(2), "variance undefined at n=1")
+  }
+
+  test("mannKendall: a strictly monotone series scores S = ±C(n,2) " +
+    "with the continuity-corrected z; all-tied is NULL") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def series(vals: Double*) = vals.zipWithIndex
+      .map { case (v, i) => (f"k$i%02d", v) }.toDF("o", "v")
+    val up = StatsTests.mannKendall(series(1, 2, 3, 4), "o", "v").head()
+    val vv = (4.0 * 3.0 * 13.0 - 0.0) / 18.0
+    assert(up.getLong(0) == 4L && up.getLong(1) == 6L)
+    assert(up.getDouble(2) == r6(vv))
+    assert(up.getDouble(3) == r6((6.0 - 1.0) / math.sqrt(vv)), s"$up")
+    val down = StatsTests.mannKendall(series(4, 3, 2, 1), "o", "v")
+      .head()
+    assert(down.getLong(1) == -6L)
+    assert(down.getDouble(3) == r6((-6.0 + 1.0) / math.sqrt(vv)))
+    val tied = StatsTests.mannKendall(series(7, 7, 7), "o", "v").head()
+    assert(tied.getLong(1) == 0L && tied.getDouble(2) == 0.0)
+    assert(tied.isNullAt(3) && tied.isNullAt(4), "no variance, no test")
+  }
+
   test("expGapFit: hand-computed MLE lambda and two-sided KS D over " +
     "gaps {1,2,2}; single-event users contribute nothing") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
