@@ -788,4 +788,48 @@ class PlanAuditSpec extends GraftSpec {
         s"the KW window must sit over the aggregated value frame:\n$w")
     }
   }
+
+  test("q267/q269/q279: the audit/moment aggregates are window-free " +
+    "and never cartesian") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q267_k_anonymity", "q269_jarque_bera", "q279_dispersion")
+      .foreach { k =>
+        val e = SparkEntry.queries(k)(spark, sfDir)
+          .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        assert(e.collect { case w: WindowExec => w }.isEmpty,
+          s"$k must be window-free")
+        assert(!e.toString.contains("CartesianProduct"), k)
+      }
+  }
+
+  test("q273 modularity / q274 rouge: equi-joins only, no cartesian, " +
+    "even with broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the 1-row totals fan-in (crossJoin of broadcast aggregates) is
+    // the documented exception — data-sized joins must stay equi
+    try Seq("q273_modularity", "q274_rouge").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        k)
+      assert(!p.contains("CartesianProduct"), k)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q277: HLL overlap joins day sketches on the day key — no " +
+    "user-keyed shuffle, no data-sized window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val e = SparkEntry.queries("q277_hll_overlap")(spark, sfDir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(e.collect { case w: WindowExec => w }.isEmpty)
+    assert(!e.toString.contains("CartesianProduct"))
+  }
 }
