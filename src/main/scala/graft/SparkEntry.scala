@@ -288,6 +288,15 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X3+/X+ — Davies–Bouldin cluster quality of the label partition
+    // in embedding space (per-label worst compactness-vs-separation
+    // ratio): do the labels actually carve the space? The
+    // embedding-space sibling of q273's graph modularity. Label-keyed
+    // aggregates; the pair frame is k²-sized.
+    "q281_davies_bouldin" -> ((s, d) =>
+      VectorOps.daviesBouldin(t(s, d, "embeddings"),
+        "embedding", "label", "vec_id")),
+
     // X+/G — modularity of the nation partition over the
     // customer–supplier trade graph (disjoint node ids by parity): does
     // nationality explain who trades with whom, scored by Newman's Q —
@@ -4303,6 +4312,50 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q281: same decimal centroid sums, same 12-dp squared-difference
+    // folds, same sqrt/ratio chains (subscript base differs but is
+    // engine-internal join plumbing only).
+    "q281_davies_bouldin" ->
+      """WITH lng AS (
+        |  SELECT label AS l, vec_id AS id,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER)
+        |           AS p,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |cent AS (
+        |  SELECT l, p,
+        |         CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+        |  FROM lng GROUP BY 1, 2),
+        |rd AS (
+        |  SELECT lng.l, lng.id,
+        |         sqrt(CAST(sum(CAST(round((lng.x - cent.c)
+        |             * (lng.x - cent.c), 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE)) AS d
+        |  FROM lng JOIN cent ON cent.l = lng.l AND cent.p = lng.p
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT l, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(CAST(round(d, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS scv
+        |  FROM rd GROUP BY 1),
+        |sep AS (
+        |  SELECT a.l AS l, b.l AS l2,
+        |         sqrt(CAST(sum(CAST(round((a.c - b.c) * (a.c - b.c),
+        |             12) AS DECIMAL(38,12))) AS DOUBLE)) AS m
+        |  FROM cent a JOIN cent b ON a.p = b.p AND a.l <> b.l
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT sep.l, max((s1.scv + s2.scv) / nullif(sep.m, 0)) AS r
+        |  FROM sep JOIN sc s1 ON s1.l = sep.l
+        |           JOIN sc s2 ON s2.l = sep.l2
+        |  GROUP BY 1)
+        |SELECT sc.l AS label, sc.n_vecs, round(sc.scv, 6) AS scatter,
+        |       round(r.r, 6) AS r_max
+        |FROM sc LEFT JOIN r ON r.l = sc.l
+        |ORDER BY label""".stripMargin,
 
     // q273: same canonicalized labeled edges, same integer degree
     // sums, Newman's Q in the same two divisions.

@@ -107,6 +107,78 @@ object VectorOps {
   }
 
   /**
+   * Davies–Bouldin cluster-quality profile of a labeled embedding
+   * corpus — the embedding-space sibling of [[GraphOps.modularity]]'s
+   * graph-side audit: with per-label centroids c_i, per-label scatter
+   * `S_i = mean‖v − c_i‖` and centroid separations `M_ij = ‖c_i − c_j‖`,
+   * each label reports `R_i = max_{j≠i} (S_i + S_j)/M_ij` — the worst
+   * compactness-vs-separation ratio (Davies & Bouldin 1979; lower is
+   * better, the classical DB index is the mean of these). The
+   * question it answers: do the LABELS actually carve the embedding
+   * space, or would a dedup/mixture decision keyed on them be noise?
+   *
+   * Determinism: centroids are exact 9-dp decimal sums over one
+   * posexplode (never float `avg`); every squared-difference term
+   * rounds 12-dp and folds as DECIMAL(38,12); the two sqrt chains and
+   * the final ratio are fixed double ops, 6-dp out. Singleton labels
+   * have scatter 0; coincident centroids yield NULL R (nullif — no
+   * separation to score against).
+   *
+   * Shape at scale: one Generate (dim-× explode) feeding (label, dim)
+   * and (label, id) hash aggregates — all shuffles on the label key
+   * family; the centroid pair frame is k²-sized (labels are
+   * enumerable by contract). Returns `(label, n_vecs, scatter,
+   * r_max)` ordered by label.
+   */
+  def daviesBouldin(
+      df: DataFrame, vecCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val long = df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("_l"), col(idCol).as("_id"),
+        posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .select(col("_l"), col("_id"), col("_p").cast("int").as("_p"),
+        col("_x").cast("double").as("_x"))
+    val cent = long.groupBy(col("_l"), col("_p"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_x"), 9).cast(d9)).as("_s"))
+      .select(col("_l"), col("_p"), col("_n"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("_c"))
+    val rowDist = long
+      .join(cent.select(col("_l"), col("_p"), col("_c")), Seq("_l", "_p"))
+      .groupBy(col("_l"), col("_id"))
+      .agg(sum(round((col("_x") - col("_c")) * (col("_x") - col("_c")),
+        12).cast(dec12)).as("_d2"))
+      .select(col("_l"), sqrt(col("_d2").cast("double")).as("_d"))
+    val scatter = rowDist.groupBy(col("_l"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(round(col("_d"), 12).cast(dec12)).cast("double") /
+          count(lit(1)).cast("double")).as("_sc"))
+    val sep = cent.as("a")
+      .join(cent.as("b"),
+        col("a._p") === col("b._p") && col("a._l") =!= col("b._l"))
+      .groupBy(col("a._l").as("_l"), col("b._l").as("_l2"))
+      .agg(sum(round((col("a._c") - col("b._c")) *
+        (col("a._c") - col("b._c")), 12).cast(dec12)).as("_m2"))
+      .select(col("_l"), col("_l2"), sqrt(col("_m2").cast("double"))
+        .as("_m"))
+    val r = sep
+      .join(scatter.select(col("_l"), col("_sc")), Seq("_l"))
+      .join(scatter.select(col("_l").as("_l2"), col("_sc").as("_sc2")),
+        Seq("_l2"))
+      .groupBy(col("_l"))
+      .agg(max((col("_sc") + col("_sc2")) / nullif(col("_m"), lit(0.0)))
+        .as("_r"))
+    scatter.join(r, Seq("_l"), "left")
+      .select(col("_l").as("label"), col("n_vecs"),
+        round(col("_sc"), 6).as("scatter"),
+        round(col("_r"), 6).as("r_max"))
+      .orderBy(col("label").asc)
+  }
+
+  /**
    * One-row corpus health report for an embedding column — the checks a
    * pipeline runs before trusting an encoder's output enough to build
    * indexes or train on it: `n_vec` (non-NULL vectors), `n_zero`

@@ -111,4 +111,43 @@ class VectorOpsSpec extends GraftSpec {
         .orderBy("vec_id").collect().toSeq
     assert(run(1) == run(5))
   }
+
+  test("daviesBouldin: hand-computed scatter and worst ratio on two " +
+    "planted clusters; a singleton label has zero scatter") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq(0f, 0f), "a"), (2L, Seq(2f, 0f), "a"),
+      (3L, Seq(10f, 0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.daviesBouldin(df, "embedding", "label", "vec_id")
+      .collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = got.find(_.getString(0) == "a").get
+    val b = got.find(_.getString(0) == "b").get
+    // centroid a = (1,0): scatter = mean(1,1) = 1; M(a,b) = 9
+    assert(a.getLong(1) == 2L && a.getDouble(2) == 1.0)
+    assert(a.getDouble(3) == r6((1.0 + 0.0) / 9.0), s"$a")
+    assert(b.getLong(1) == 1L && b.getDouble(2) == 0.0,
+      "singleton scatter is zero")
+    assert(b.getDouble(3) == a.getDouble(3), "symmetric pair ratio")
+  }
+
+  test("daviesBouldin: coincident centroids leave r_max NULL; tighter " +
+    "clusters score lower (better) ratios") {
+    import org.apache.spark.sql.functions.col
+    val same = Seq((1L, Seq(1f, 1f), "a"), (2L, Seq(1f, 1f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.daviesBouldin(same, "embedding", "label", "vec_id")
+      .collect().forall(_.isNullAt(3)), "no separation to score")
+    def rmax(spread: Float): Double = {
+      val df = Seq(
+        (1L, Seq(-spread, 0f), "a"), (2L, Seq(spread, 0f), "a"),
+        (3L, Seq(10f - spread, 0f), "b"), (4L, Seq(10f + spread, 0f), "b"))
+        .toDF("vec_id", "embedding", "label")
+      VectorOps.daviesBouldin(df, "embedding", "label", "vec_id")
+        .collect().head.getDouble(3)
+    }
+    assert(rmax(0.5f) < rmax(2.0f), "compactness improves the index")
+  }
 }
