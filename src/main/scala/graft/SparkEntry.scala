@@ -288,6 +288,14 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/S — Dunning LLR collocations: the sparse-robust companion to
+    // q136's PMI (a pair must be surprising AND well-attested to
+    // rank). Self-consistent bigram-position marginals, TakeOrdered
+    // top-k.
+    "q282_llr_bigrams" -> ((s, d) =>
+      TextOps.llrBigrams(t(s, d, "documents"), "text",
+        minCount = 5L, k = 50)),
+
     // X3+/X+ — Davies–Bouldin cluster quality of the label partition
     // in embedding space (per-label worst compactness-vs-separation
     // ratio): do the labels actually carve the space? The
@@ -4312,6 +4320,57 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q282: same bigram universe and marginals, same probabilities-
+    // first cell chains, zero-observation cells contribute 0.
+    "q282_llr_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (
+        |  SELECT tk[i] AS x, tk[i + 1] AS y
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM bi GROUP BY 1, 2),
+        |rx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS rx
+        |       FROM bc GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS cy
+        |       FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(n_xy), 0) AS BIGINT) AS n
+        |       FROM bc),
+        |sel AS (
+        |  SELECT b.x, b.y, b.n_xy, rx.rx, cy.cy, tt.n,
+        |         CAST(tt.n AS DOUBLE) AS nd
+        |  FROM bc b JOIN rx ON rx.x = b.x JOIN cy ON cy.y = b.y, tt
+        |  WHERE b.n_xy >= 5),
+        |g AS (
+        |  SELECT x, y, n_xy,
+        |         round(2.0 * (
+        |           (CASE WHEN n_xy > 0 THEN CAST(n_xy AS DOUBLE)
+        |              * ln((CAST(n_xy AS DOUBLE) / nd)
+        |                / ((CAST(rx AS DOUBLE) / nd)
+        |                 * (CAST(cy AS DOUBLE) / nd))) ELSE 0.0 END)
+        |         + (CASE WHEN rx - n_xy > 0 THEN
+        |              CAST(rx - n_xy AS DOUBLE)
+        |              * ln((CAST(rx - n_xy AS DOUBLE) / nd)
+        |                / ((CAST(rx AS DOUBLE) / nd)
+        |                 * (CAST(n - cy AS DOUBLE) / nd))) ELSE 0.0 END)
+        |         + (CASE WHEN cy - n_xy > 0 THEN
+        |              CAST(cy - n_xy AS DOUBLE)
+        |              * ln((CAST(cy - n_xy AS DOUBLE) / nd)
+        |                / ((CAST(n - rx AS DOUBLE) / nd)
+        |                 * (CAST(cy AS DOUBLE) / nd))) ELSE 0.0 END)
+        |         + (CASE WHEN n - rx - cy + n_xy > 0 THEN
+        |              CAST(n - rx - cy + n_xy AS DOUBLE)
+        |              * ln((CAST(n - rx - cy + n_xy AS DOUBLE) / nd)
+        |                / ((CAST(n - rx AS DOUBLE) / nd)
+        |                 * (CAST(n - cy AS DOUBLE) / nd))) ELSE 0.0 END)
+        |         ), 6) AS llr
+        |  FROM sel)
+        |SELECT x, y, n_xy, llr FROM g
+        |ORDER BY llr DESC, x, y LIMIT 50""".stripMargin,
 
     // q281: same decimal centroid sums, same 12-dp squared-difference
     // folds, same sqrt/ratio chains (subscript base differs but is

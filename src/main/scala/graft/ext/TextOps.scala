@@ -317,6 +317,68 @@ object TextOps {
   }
 
   /**
+   * Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+   * sparse-count-robust companion to [[pmiBigrams]]: PMI inflates
+   * rare pairs (two hapaxes that co-occur once score maximal PMI);
+   * G² weighs the evidence, so a pair must be BOTH surprising and
+   * well-attested to rank. Over the adjacent-bigram universe with
+   * self-consistent marginals (row = first-position count, col =
+   * second-position count, N = total bigram positions), each pair's
+   * 2×2 table scores
+   *
+   *   G² = 2 Σ_cells O·ln(O/E) ,  E = rowTot·colTot/N
+   *
+   * (O = 0 cells contribute 0). Cell terms follow [[pmiBigrams]]'
+   * probabilities-first double shape — integer cross-products would
+   * overflow at corpus scale; this chain is IEEE-deterministic and
+   * never does. Returns the top-k by `(llr desc, x, y)`:
+   * `(x, y, n_xy, llr)`, 6-dp.
+   *
+   * Shape at scale: one narrow Generate for pairs, token-keyed hash
+   * aggregates for marginals, two token-keyed joins + the 1-row total
+   * fan-in, TakeOrdered top-k — no data-sized window.
+   */
+  def llrBigrams(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val bi = toks
+      .select(explode(sequence(lit(1), size(col("_tk")) - 1)).as("_i"),
+        col("_tk"))
+      .select(element_at(col("_tk"), col("_i")).as("x"),
+        element_at(col("_tk"), col("_i") + 1).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val rx = bi.groupBy(col("x")).agg(sum(col("n_xy")).as("_rx"))
+    val cy = bi.groupBy(col("y")).agg(sum(col("n_xy")).as("_cy"))
+    val tot = bi.agg(sum(col("n_xy")).as("_n"))
+    val nD = col("_n").cast("double")
+    def cell(o: Column, row: Column, colm: Column): Column =
+      when(o > 0,
+        o.cast("double") * log((o.cast("double") / nD) /
+          ((row.cast("double") / nD) * (colm.cast("double") / nD))))
+        .otherwise(lit(0.0))
+    val o11 = col("n_xy")
+    val o12 = col("_rx") - col("n_xy")
+    val o21 = col("_cy") - col("n_xy")
+    val o22 = col("_n") - col("_rx") - col("_cy") + col("n_xy")
+    val llr = round(lit(2.0) * (
+      cell(o11, col("_rx"), col("_cy")) +
+      cell(o12, col("_rx"), col("_n") - col("_cy")) +
+      cell(o21, col("_n") - col("_rx"), col("_cy")) +
+      cell(o22, col("_n") - col("_rx"), col("_n") - col("_cy"))), 6)
+    bi.filter(col("n_xy") >= minCount)
+      .join(rx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("llr", llr)
+      .orderBy(col("llr").desc, col("x").asc, col("y").asc)
+      .limit(k)
+      .select(col("x"), col("y"), col("n_xy"), col("llr"))
+  }
+
+  /**
    * Heaps-law vocabulary growth curve at BUCKET granularity: documents
    * are grouped into fixed-width id buckets (`idCol div bucketWidth`,
    * the corpus's natural ingest order), a term is "new" in the bucket

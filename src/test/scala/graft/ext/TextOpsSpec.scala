@@ -466,6 +466,31 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("llrBigrams: hand-computed G² on a planted collocation; " +
+    "minCount gates attestation; k bounds the output") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq("a b", "c d", "a b", "c e").toDF("text")
+    val got = TextOps.llrBigrams(docs, "text", minCount = 2L, k = 10)
+      .collect()
+    assert(got.length == 1, "only (a,b) is attested twice")
+    val ab = got.head
+    // 2x2: O = [[2,0],[0,2]], N=4 → G² = 2·(2ln2 + 2ln2) = 8 ln 2
+    val t = 2.0 * math.log((2.0 / 4.0) / ((2.0 / 4.0) * (2.0 / 4.0)))
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b" &&
+      ab.getLong(2) == 2L)
+    assert(ab.getDouble(3) == r6(2.0 * (t + 0.0 + 0.0 + t)), s"$ab")
+    // at minCount 1 the hapax pairs appear but rank BELOW the
+    // attested collocation — the anti-PMI property
+    val all = TextOps.llrBigrams(docs, "text", minCount = 1L, k = 10)
+      .collect()
+    assert(all.head.getString(0) == "a" && all.length == 3)
+    assert(all.tail.forall(_.getDouble(3) < all.head.getDouble(3)))
+    intercept[IllegalArgumentException] {
+      TextOps.llrBigrams(docs, "text", k = 0)
+    }
+  }
+
   test("rougeN: hand-computed clipped bigram overlap — repeats clip " +
     "at the reference count") {
     import org.apache.spark.sql.functions.col
