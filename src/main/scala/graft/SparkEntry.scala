@@ -288,6 +288,34 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — seasonal strength as forecast skill on the daily series:
+    // does last week beat yesterday as a predictor (MASE ratio)?
+    // The gate before q230's weekday profile is trusted.
+    "q283_seasonal_strength" -> ((s, d) =>
+      TimeSeries.seasonalStrength(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events", seasonLag = 7)),
+
+    // X+/S — Gumbel fit of monthly peak days (method of moments):
+    // the once-a-year peak capacity planning should expect — the
+    // tail-risk complement to q264's Grubbs and q219's Hill index.
+    "q284_gumbel_maxima" -> ((s, d) =>
+      StatsTests.gumbelFit(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+          .agg(max(col("n_events")).as("max_daily")),
+        col("max_daily"), returnPeriod = 12)),
+
+    // A+/S — weekly event-mix entropy: is the SHAPE of activity
+    // concentrating or diversifying week to week (the within-stream
+    // drift monitor next to the two-corpus divergences)?
+    "q285_mix_entropy" -> ((s, d) =>
+      TimeSeries.mixEntropy(t(s, d, "events"), "ts", "event_type")),
+
     // X2+/S — Dunning LLR collocations: the sparse-robust companion to
     // q136's PMI (a pair must be surprising AND well-attested to
     // rank). Self-consistent bigram-position marginals, TakeOrdered
@@ -4320,6 +4348,109 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q283: same row-order lag errors, same decimal MAE folds, one
+    // ratio.
+    "q283_seasonal_strength" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS o, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |e AS (
+        |  SELECT abs(v - lag(v, 1) OVER (ORDER BY o)) AS e1,
+        |         abs(v - lag(v, 7) OVER (ORDER BY o)) AS e7
+        |  FROM s),
+        |a AS (
+        |  SELECT CAST(count(e1) AS BIGINT) AS n1,
+        |         CAST(sum(CAST(round(e1, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(count(e7) AS BIGINT) AS n7,
+        |         CAST(sum(CAST(round(e7, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s7,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM e),
+        |m AS (
+        |  SELECT n_days, n1, n7,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |         CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS m7
+        |  FROM a)
+        |SELECT n_days,
+        |       CASE WHEN n1 > 0 THEN round(m1, 6) END AS mae_1,
+        |       CASE WHEN n7 > 0 THEN round(m7, 6) END AS mae_7,
+        |       CASE WHEN n1 > 0 AND n7 > 0 AND m1 > 0 THEN
+        |         round(m7 / m1, 6) END AS ratio
+        |FROM m""".stripMargin,
+
+    // q284: same monthly block maxima, same decimal moments, the
+    // same √6/π and γ literals, the same return-level chain.
+    "q284_gumbel_maxima" ->
+      """WITH dd AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |bm AS (
+        |  SELECT strftime(day, '%Y-%m') AS month,
+        |         CAST(max(n_events) AS DOUBLE) AS v
+        |  FROM dd GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM bm),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu0,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                 / CAST(n AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM a),
+        |g AS (
+        |  SELECT n, mu0, sd, sd * 0.7796968012336761 AS beta
+        |  FROM m),
+        |h AS (
+        |  SELECT n, mu0, sd, beta,
+        |         mu0 - 0.5772156649015329 * beta AS mu
+        |  FROM g)
+        |SELECT n AS n_blocks,
+        |       CASE WHEN n >= 1 THEN round(mu0, 6) END AS mean_max,
+        |       CASE WHEN n >= 2 THEN round(sd, 6) END AS sd_max,
+        |       CASE WHEN n >= 2 AND sd > 0 THEN round(beta, 6) END
+        |         AS beta,
+        |       CASE WHEN n >= 2 AND sd > 0 THEN round(mu, 6) END AS mu,
+        |       CASE WHEN n >= 2 AND sd > 0 THEN
+        |         round(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 6) END
+        |         AS level
+        |FROM h""".stripMargin,
+
+    // q285: same epoch-week buckets, same p·ln p 12-dp folds, one
+    // ln2 division per week.
+    "q285_mix_entropy" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+        |         event_type AS t, CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1),
+        |tm AS (
+        |  SELECT c.w, tot.n_events, tot.n_types,
+        |         CAST(round((CAST(c.c AS DOUBLE)
+        |             / CAST(tot.n_events AS DOUBLE))
+        |           * ln(CAST(c.c AS DOUBLE)
+        |             / CAST(tot.n_events AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12)) AS t
+        |  FROM c JOIN tot ON tot.w = c.w)
+        |SELECT strftime(make_timestamp(w * 604800 * 1000000),
+        |         '%Y-%m-%d') AS week_start,
+        |       n_events, n_types,
+        |       round(-CAST(sum(t) AS DOUBLE) / 0.6931471805599453, 6)
+        |         AS entropy
+        |FROM tm GROUP BY w, n_events, n_types
+        |ORDER BY week_start""".stripMargin,
 
     // q282: same bigram universe and marginals, same probabilities-
     // first cell chains, zero-observation cells contribute 0.

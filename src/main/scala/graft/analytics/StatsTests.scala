@@ -411,6 +411,59 @@ object StatsTests {
   }
 
   /**
+   * Gumbel block-maxima fit by the method of moments — capacity
+   * planning's extreme-value question: "what peak should we expect
+   * once every T blocks?". Block maxima of an i.i.d.-ish series
+   * converge to a Gumbel (EVT type I); with block-max mean m and
+   * sample sd s,
+   *
+   *   β = s·√6/π ,  μ = m − γ·β ,
+   *   level(T) = μ − β·ln(−ln(1 − 1/T))
+   *
+   * (γ the Euler–Mascheroni constant; both constants are the
+   * Double.toString literals below, so an oracle replays them
+   * verbatim). The tail-risk complement to [[grubbs]]' single-outlier
+   * test and [[hillTailIndex]]'s power-law exponent: Grubbs asks "was
+   * that one real?", this asks "how bad does NORMAL get?". Moments
+   * fold as 9-dp decimals over the BLOCK frame; everything after is
+   * one double chain, 6-dp. NULL fit when fewer than 2 blocks or zero
+   * spread. Returns one row
+   * `(n_blocks, mean_max, sd_max, beta, mu, level)`.
+   *
+   * Shape: the caller aggregates to blocks (a group-by max — any
+   * cardinality); this folds the block frame in one pass.
+   */
+  def gumbelFit(
+      blockMaxima: DataFrame, valueCol: Column,
+      returnPeriod: Int = 12): DataFrame = {
+    require(returnPeriod >= 2,
+      s"returnPeriod must be >= 2, got $returnPeriod")
+    val d9 = DecimalType(38, 9)
+    val agg = blockMaxima.select(valueCol.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"))
+    val nD = col("n_blocks").cast("double")
+    val m = col("_s1").cast("double") / nD
+    val sd = sqrt((col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / nD) /
+      (nD - 1.0))
+    // √6/π and γ as fixed literals (engine-replayable)
+    val beta = sd * lit(0.7796968012336761)
+    val mu = m - lit(0.5772156649015329) * beta
+    val level = mu - beta *
+      log(-log(lit(1.0) - lit(1.0) / lit(returnPeriod.toDouble)))
+    val ok = col("n_blocks") >= 2 && sd > 0.0
+    agg.select(col("n_blocks"),
+      when(col("n_blocks") >= 1, round(m, 6)).as("mean_max"),
+      when(col("n_blocks") >= 2, round(sd, 6)).as("sd_max"),
+      when(ok, round(beta, 6)).as("beta"),
+      when(ok, round(mu, 6)).as("mu"),
+      when(ok, round(level, 6)).as("level"))
+  }
+
+  /**
    * Poisson overdispersion screen over a bucketed count series — "is
    * the variance consistent with independent arrivals, or is the
    * traffic clumped?": the index of dispersion `s²/x̄` (1 under

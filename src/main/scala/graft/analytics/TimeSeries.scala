@@ -244,6 +244,90 @@ object TimeSeries {
   }
 
   /**
+   * Weekly event-mix entropy series — "is the SHAPE of activity
+   * changing week to week?", the within-stream drift monitor next to
+   * the two-corpus divergences ([[graft.ext.CorpusCompare]]): per
+   * epoch-week, the Shannon entropy (bits) of the event-type
+   * distribution. A falling series says behavior is concentrating
+   * into fewer actions; a jump marks a mix shift worth a χ²
+   * follow-up. Counts exact; each `p·ln p` term is one double chain
+   * rounded 12-dp and folded DECIMAL(38,12); the nats→bits division
+   * by the ln 2 literal happens once per week. Returns
+   * `(week_start, n_events, n_types, entropy)` ordered by week —
+   * week-frame-sized, aggregates only, no windows.
+   */
+  def mixEntropy(
+      df: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val wk = floor(col(tsCol).cast("long") / lit(604800L)).cast("long")
+    val cells = df
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(wk.as("_w"), col(typeCol).as("_t"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = cells.groupBy(col("_w"))
+      .agg(sum(col("_c")).as("n_events"),
+        count(lit(1)).as("n_types"))
+    val p = col("_c").cast("double") / col("n_events").cast("double")
+    cells.join(tot, Seq("_w"))
+      .select(col("_w"), col("n_events"), col("n_types"),
+        round(p * log(p), 12).cast(dec12).as("_term"))
+      .groupBy(col("_w"), col("n_events"), col("n_types"))
+      .agg(round(-(sum(col("_term")).cast("double")) /
+        lit(0.6931471805599453), 6).as("entropy"))
+      .select(
+        date_format(timestamp_seconds(col("_w") * 604800L), "yyyy-MM-dd")
+          .as("week_start"),
+        col("n_events"), col("n_types"), col("entropy"))
+      .orderBy(col("week_start").asc)
+  }
+
+  /**
+   * Seasonal-strength score via forecast skill — "does a weekly
+   * pattern actually help predict this series?", answered the way a
+   * forecaster would: compare the mean absolute error of the
+   * lag-7 seasonal-naive forecast against the lag-1 naive over the
+   * same series (the MASE construction, Hyndman & Koehler 2006).
+   * `ratio < 1` means last week beats yesterday — real weekly
+   * seasonality worth modeling ([[graft.analytics.Changepoint
+   * .seasonalIndex]] then says WHICH weekdays); `ratio ≈ 1` says the
+   * q230 profile would be noise. The series clock is ROW ORDER over
+   * the bucket key (calendar gaps collapse — the CUSUM-family
+   * convention). Errors fold as 9-dp decimals; the two MAEs and the
+   * ratio are one double chain, 6-dp. Returns one row
+   * `(n_days, mae_1, mae_7, ratio)` — NULL ratio when either error
+   * frame is empty or MAE₁ = 0.
+   *
+   * Same series contract as [[graft.analytics.Changepoint.cusum]]:
+   * the two lag windows run over the bucket frame.
+   */
+  def seasonalStrength(
+      series: DataFrame, orderCol: String, valueCol: String,
+      seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2, s"seasonLag must be >= 2, got $seasonLag")
+    val d9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_o"))
+    val errs = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("_o"), col(valueCol).cast("double").as("_v"))
+      .select(
+        abs(col("_v") - lag(col("_v"), 1).over(w)).as("_e1"),
+        abs(col("_v") - lag(col("_v"), seasonLag).over(w)).as("_e7"))
+    val agg = errs.agg(
+      count(col("_e1")).as("_n1"),
+      sum(round(col("_e1"), 9).cast(d9)).as("_s1"),
+      count(col("_e7")).as("_n7"),
+      sum(round(col("_e7"), 9).cast(d9)).as("_s7"),
+      count(lit(1)).as("n_days"))
+    val mae1 = col("_s1").cast("double") / col("_n1").cast("double")
+    val mae7 = col("_s7").cast("double") / col("_n7").cast("double")
+    agg.select(col("n_days"),
+      when(col("_n1") > 0, round(mae1, 6)).as("mae_1"),
+      when(col("_n7") > 0, round(mae7, 6)).as("mae_7"),
+      when(col("_n1") > 0 && col("_n7") > 0 && mae1 > 0.0,
+        round(mae7 / mae1, 6)).as("ratio"))
+  }
+
+  /**
    * [[activeSetOverlap]] through HLL sketches — the whole-corpus-scale
    * swap for the adjacent-day audience Jaccard: the exact variant
    * self-joins the distinct user-day store on the user key (state =

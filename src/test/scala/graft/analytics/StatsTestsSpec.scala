@@ -468,6 +468,29 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("gumbelFit: hand-computed moment fit on two block maxima; " +
+    "degenerate inputs are NULL") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = StatsTests.gumbelFit(
+      Seq(10.0, 14.0).toDF("v"), col("v"), returnPeriod = 12).head()
+    val sd = math.sqrt((296.0 - 24.0 * 24.0 / 2.0) / 1.0)
+    val beta = sd * 0.7796968012336761
+    val mu = 12.0 - 0.5772156649015329 * beta
+    val level = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
+    assert(got.getLong(0) == 2L && got.getDouble(1) == 12.0)
+    assert(got.getDouble(2) == r6(sd) && got.getDouble(3) == r6(beta))
+    assert(got.getDouble(4) == r6(mu) && got.getDouble(5) == r6(level),
+      s"$got")
+    assert(level > 14.0, "the 12-block return level sits above both maxima")
+    assert(StatsTests.gumbelFit(Seq(9.0, 9.0).toDF("v"), col("v"))
+      .head().isNullAt(3), "zero spread fits nothing")
+    intercept[IllegalArgumentException] {
+      StatsTests.gumbelFit(Seq(1.0).toDF("v"), col("v"), returnPeriod = 1)
+    }
+  }
+
   test("dispersionTest: hand-computed index of dispersion on {2,4,6}; " +
     "constant series scores 0; n=1 is NULL") {
     import org.apache.spark.sql.functions.col

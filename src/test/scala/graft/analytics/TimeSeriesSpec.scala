@@ -100,6 +100,42 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("seasonalStrength: a perfect weekly cycle gives zero seasonal " +
+    "MAE and ratio 0; too-short series leaves mae_7 NULL") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = (1 to 7) ++ (1 to 7)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (f"d$i%02d", v.toDouble) }.toDF("o", "v")
+    val got = TimeSeries.seasonalStrength(df, "o", "v", seasonLag = 7)
+      .head()
+    // e1: twelve 1-steps and one |1-7| wrap = 18/13; e7: all zero
+    assert(got.getLong(0) == 14L)
+    assert(got.getDouble(1) == r6(18.0 / 13.0), s"$got")
+    assert(got.getDouble(2) == 0.0 && got.getDouble(3) == 0.0)
+    val short = Seq(("a", 1.0), ("b", 3.0)).toDF("o", "v")
+    val s = TimeSeries.seasonalStrength(short, "o", "v").head()
+    assert(s.getDouble(1) == 2.0 && s.isNullAt(2) && s.isNullAt(3))
+  }
+
+  test("mixEntropy: a uniform two-type week scores 1 bit, a " +
+    "single-type week scores 0") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val wk = 604800L
+    val ev = Seq(
+      (0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"),       // week 0
+      (wk + 1L, "a"), (wk + 2L, "a"))                   // week 1
+      .toDF("ep", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = TimeSeries.mixEntropy(ev, "ts", "event_type").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "1970-01-01")
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(3) == 1.0, "uniform 2-type mix = 1 bit")
+    assert(got(1).getLong(2) == 1L && got(1).getDouble(3) == 0.0)
+  }
+
   test("activeSetOverlapHll: inclusion–exclusion over day sketches " +
     "equals the exact adjacent-day Jaccard on the fixture AND on " +
     "real events (exact mode at this cardinality)") {
