@@ -288,6 +288,63 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — odds ratio with a 95% Wald interval between the parity
+    // cohorts' conversion: the effect-size face of q176's z-test,
+    // Haldane-corrected so every cell stays finite.
+    "q289_odds_ratio" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("conv"))
+      StatsTests.oddsRatio(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        col("conv") === 1)
+    }),
+
+    // X+/S — median survival off q180's KM curve: the one number the
+    // stakeholder asks of the whole curve (NULL = most of the
+    // population outlives the window — itself the finding).
+    "q290_km_median" -> ((s, d) =>
+      Survival.kmMedian(
+        Survival.kaplanMeier(t(s, d, "events"),
+          bucketSeconds = 3600L, horizonBuckets = 12))),
+
+    // X+/S — Shewhart c-chart over daily counts: 3σ Poisson control
+    // limits and special-cause flags — the monitoring gate BEFORE
+    // q193's change-point modeling. One 1-row aggregate fanned back.
+    "q291_c_chart" -> ((s, d) =>
+      Changepoint.cChart(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
+    // X+/S — Chapman capture–recapture over the event-id parity
+    // samples: how many users exist that NEITHER sample saw — the
+    // population estimator for overlapping crawls/windows.
+    "q286_capture_recapture" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StatsTests.captureRecapture(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0),
+        col("user_id"))
+    }),
+
+    // X2+/S — Chao1 unseen-vocabulary estimate from hapax/doubleton
+    // counts: does the crawl frontier still hold vocabulary, or has
+    // the corpus saturated its domain? One fold over the count frame.
+    "q287_chao1" -> ((s, d) =>
+      TextOps.chao1(t(s, d, "documents"), "text")),
+
+    // X+/S — delete-a-group jackknife SE for the mean event value:
+    // k fold means by SUBTRACTION from one pass of decimal sums (the
+    // probe-CV economics at the scalar level), portable md5 folds.
+    "q288_jackknife" -> ((s, d) =>
+      StatsTests.jackknifeMeanSE(t(s, d, "events"),
+        col("value"), "event_id", k = 10)),
+
     // X+/S — seasonal strength as forecast skill on the daily series:
     // does last week beat yesterday as a predictor (MASE ratio)?
     // The gate before q230's weekday profile is trusted.
@@ -4348,6 +4405,171 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q289: same per-user conversion cells, same Haldane trigger, the
+    // ln-OR and Wald chains with the z literal verbatim.
+    "q289_odds_ratio" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_a
+        |  FROM u WHERE user_id % 2 = 0),
+        |cb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_b
+        |  FROM u WHERE user_id % 2 <> 0),
+        |x AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         (conv_a = 0 OR conv_a = n_a OR conv_b = 0
+        |          OR conv_b = n_b) AS z
+        |  FROM ca, cb),
+        |c AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         CASE WHEN z THEN CAST(conv_a AS DOUBLE) + 0.5
+        |              ELSE CAST(conv_a AS DOUBLE) END AS aa,
+        |         CASE WHEN z THEN CAST(n_a - conv_a AS DOUBLE) + 0.5
+        |              ELSE CAST(n_a - conv_a AS DOUBLE) END AS bb,
+        |         CASE WHEN z THEN CAST(conv_b AS DOUBLE) + 0.5
+        |              ELSE CAST(conv_b AS DOUBLE) END AS cc,
+        |         CASE WHEN z THEN CAST(n_b - conv_b AS DOUBLE) + 0.5
+        |              ELSE CAST(n_b - conv_b AS DOUBLE) END AS dd
+        |  FROM x),
+        |g AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         ln(aa * dd / (bb * cc)) AS lor,
+        |         sqrt(1.0 / aa + 1.0 / bb + 1.0 / cc + 1.0 / dd) AS se
+        |  FROM c)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       round(exp(lor), 6) AS odds_ratio,
+        |       round(exp(lor - 1.959963984540054 * se), 6) AS ci_lo,
+        |       round(exp(lor + 1.959963984540054 * se), 6) AS ci_hi
+        |FROM g""".stripMargin,
+
+    // q291: same decimal mean, same 3σ limit chains, exact flags.
+    "q291_c_chart" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(n_events AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s1
+        |  FROM s),
+        |m AS (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS cbar
+        |      FROM t),
+        |g AS (
+        |  SELECT cbar, cbar + 3.0 * sqrt(cbar) AS ucl,
+        |         greatest(cbar - 3.0 * sqrt(cbar), 0.0) AS lcl
+        |  FROM m)
+        |SELECT s.day, s.n_events, round(g.cbar, 6) AS center,
+        |       round(g.ucl, 6) AS ucl, round(g.lcl, 6) AS lcl,
+        |       (CAST(s.n_events AS DOUBLE) > g.ucl
+        |        OR CAST(s.n_events AS DOUBLE) < g.lcl)
+        |         AS out_of_control
+        |FROM s, g ORDER BY day""".stripMargin,
+
+    // q286: same parity samples, same distinct/overlap counts, the
+    // Chapman chains verbatim.
+    "q286_capture_recapture" ->
+      """WITH sa AS (
+        |  SELECT DISTINCT user_id AS k FROM events
+        |  WHERE event_id % 2 = 0 AND user_id IS NOT NULL),
+        |sb AS (
+        |  SELECT DISTINCT user_id AS k FROM events
+        |  WHERE event_id % 2 <> 0 AND user_id IS NOT NULL),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sa),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sb),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+        |      FROM sa JOIN sb USING (k)),
+        |x AS (
+        |  SELECT n_a, n_b, n_both,
+        |         CAST(n_a AS DOUBLE) AS da, CAST(n_b AS DOUBLE) AS db,
+        |         CAST(n_both AS DOUBLE) AS dm
+        |  FROM na, nb, m)
+        |SELECT n_a, n_b, n_both,
+        |       round((da + 1.0) * (db + 1.0) / (dm + 1.0) - 1.0, 6)
+        |         AS n_est,
+        |       round(sqrt((da + 1.0) * (db + 1.0) * (da - dm)
+        |               * (db - dm)
+        |               / ((dm + 1.0) * (dm + 1.0) * (dm + 2.0))), 6)
+        |         AS se
+        |FROM x""".stripMargin,
+
+    // q287: same token counts, same f1/f2 census, the corrected
+    // Chao1 chain.
+    "q287_chao1" ->
+      """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS f1,
+        |         CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0)
+        |           AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT vocab, f1, f2,
+        |       round(CAST(vocab AS DOUBLE)
+        |             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+        |               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
+        |         AS chao1
+        |FROM a""".stripMargin,
+
+    // q288: same md5 folds (no-separator salt prefix, 4 hex chars
+    // mod k), same decimal fold sums, leave-one-out by subtraction.
+    "q288_jackknife" ->
+      """WITH f AS (
+        |  SELECT CAST(('0x' || substr(md5('jk42'
+        |             || CAST(event_id AS VARCHAR)), 1, 4)) AS UBIGINT)
+        |           % 10 AS fo,
+        |         CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |folds AS (
+        |  SELECT fo, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s
+        |  FROM f GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(sum(s) AS DECIMAL(38,9)) AS st,
+        |         CAST(count(*) AS BIGINT) AS kf
+        |  FROM folds),
+        |th AS (
+        |  SELECT tot.n_rows, tot.st, tot.kf,
+        |         CAST(round((CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+        |             / CAST(n_rows - n AS DOUBLE), 12)
+        |           AS DECIMAL(38,12)) AS th
+        |  FROM folds, tot WHERE n > 0 AND n < n_rows),
+        |tb AS (
+        |  SELECT n_rows, st, kf, CAST(count(*) AS BIGINT) AS kused,
+        |         CAST(sum(th) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS tbar
+        |  FROM th GROUP BY 1, 2, 3),
+        |dev AS (
+        |  SELECT th.n_rows, th.st, th.kf, tb.kused,
+        |         CAST(sum(CAST(round((CAST(th.th AS DOUBLE) - tb.tbar)
+        |             * (CAST(th.th AS DOUBLE) - tb.tbar), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS ss
+        |  FROM th JOIN tb ON tb.n_rows = th.n_rows
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT n_rows, kf AS k_folds,
+        |       round(CAST(st AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |         AS mean,
+        |       CASE WHEN kused = kf AND kf = 10 THEN
+        |         round(sqrt((CAST(kused AS DOUBLE) - 1.0)
+        |               / CAST(kused AS DOUBLE) * ss), 6) END
+        |         AS se_jack
+        |FROM dev""".stripMargin,
 
     // q283: same row-order lag errors, same decimal MAE folds, one
     // ratio.
@@ -9579,44 +9801,19 @@ object SparkEntry {
 
     // q180: same integer-hour spans (truncating epoch div), same 12-dp
     // decimal ln fold, same positional zero flag for an emptied risk set.
-    "q180_kaplan_meier" ->
-      """WITH dy AS (
-        |  SELECT user_id AS u,
-        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-        |           // 3600 AS hr
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |sp AS (SELECT u, min(hr) AS f, max(hr) AS l FROM dy GROUP BY u),
-        |fl AS (
-        |  SELECT l - f AS t_life,
-        |         CASE WHEN l <= (SELECT max(l) FROM sp) - 12
-        |              THEN 1 ELSE 0 END AS ch
-        |  FROM sp),
-        |pd AS (SELECT t_life, CAST(count(*) AS BIGINT) AS ends,
-        |              CAST(sum(ch) AS BIGINT) AS n_churn
-        |       FROM fl GROUP BY 1),
-        |rk AS (
-        |  SELECT t_life, ends, n_churn,
-        |         CAST(sum(ends) OVER (ORDER BY t_life ROWS BETWEEN
-        |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-        |           AS n_risk
-        |  FROM pd),
-        |tm AS (
-        |  SELECT t_life, ends, n_churn, n_risk,
-        |         CASE WHEN n_churn < n_risk THEN
-        |           CAST(round(ln(CAST(n_risk - n_churn AS DOUBLE)
-        |                         / CAST(n_risk AS DOUBLE)), 12)
-        |                AS DECIMAL(38,12))
-        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS term,
-        |         max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
-        |           OVER (ORDER BY t_life ROWS BETWEEN UNBOUNDED PRECEDING
-        |                 AND CURRENT ROW) AS dead
-        |  FROM rk)
-        |SELECT t_life, n_risk, n_churn, ends - n_churn AS n_censored,
-        |       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
-        |            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t_life
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-        |                   ROW) AS DOUBLE)), 6) END AS survival
-        |FROM tm WHERE n_churn > 0 ORDER BY t_life""".stripMargin,
+    "q180_kaplan_meier" -> kaplanMeierOracleSql,
+
+    // q290: the q180 curve verbatim, then the first t at or below
+    // 50% survival (t is unique per curve row, so ORDER-LIMIT equals
+    // the struct-min pick).
+    "q290_km_median" ->
+      s"""WITH km AS (SELECT * FROM ($kaplanMeierOracleSql) x),
+        |tot AS (SELECT CAST(max(n_risk) AS BIGINT) AS n_users FROM km),
+        |hit AS (SELECT t_life, survival FROM km
+        |        WHERE survival <= 0.5 ORDER BY t_life LIMIT 1)
+        |SELECT tot.n_users, hit.t_life AS median_lifetime,
+        |       hit.survival AS survival_at_median
+        |FROM tot LEFT JOIN hit ON TRUE""".stripMargin,
 
     // q181: DuckDB's own nfc_normalize against the same injected
     // decomposed accents (replace() is all-occurrence, matching Spark's
@@ -10798,6 +10995,47 @@ object SparkEntry {
         |                    / (CAST(m AS DOUBLE) * cm.c)
         |                       THEN rank END) AS cut
         |       FROM rk CROSS JOIN cm)""".stripMargin)
+
+  /** q180/q290 shared oracle: the user-span KM curve under the
+    * horizon censoring rule (q290 wraps it to pick the median). */
+  private val kaplanMeierOracleSql: String =
+    """WITH dy AS (
+      |  SELECT user_id AS u,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           // 3600 AS hr
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |sp AS (SELECT u, min(hr) AS f, max(hr) AS l FROM dy GROUP BY u),
+      |fl AS (
+      |  SELECT l - f AS t_life,
+      |         CASE WHEN l <= (SELECT max(l) FROM sp) - 12
+      |              THEN 1 ELSE 0 END AS ch
+      |  FROM sp),
+      |pd AS (SELECT t_life, CAST(count(*) AS BIGINT) AS ends,
+      |              CAST(sum(ch) AS BIGINT) AS n_churn
+      |       FROM fl GROUP BY 1),
+      |rk AS (
+      |  SELECT t_life, ends, n_churn,
+      |         CAST(sum(ends) OVER (ORDER BY t_life ROWS BETWEEN
+      |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |           AS n_risk
+      |  FROM pd),
+      |tm AS (
+      |  SELECT t_life, ends, n_churn, n_risk,
+      |         CASE WHEN n_churn < n_risk THEN
+      |           CAST(round(ln(CAST(n_risk - n_churn AS DOUBLE)
+      |                         / CAST(n_risk AS DOUBLE)), 12)
+      |                AS DECIMAL(38,12))
+      |         ELSE CAST(0 AS DECIMAL(38,12)) END AS term,
+      |         max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
+      |           OVER (ORDER BY t_life ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND CURRENT ROW) AS dead
+      |  FROM rk)
+      |SELECT t_life, n_risk, n_churn, ends - n_churn AS n_censored,
+      |       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+      |            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t_life
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |                   ROW) AS DOUBLE)), 6) END AS survival
+      |FROM tm WHERE n_churn > 0 ORDER BY t_life""".stripMargin
 
   /** q265/q277 shared oracle: the distinct user-day store, the
     * adjacent-day overlap and the union arithmetic (the sketch variant

@@ -128,6 +128,40 @@ object Changepoint {
   }
 
   /**
+   * Shewhart c-chart over a bucketed count series — the CONTROL-limit
+   * monitor next to [[cusum]]'s change-point localizer: under a
+   * stable Poisson process the count chart has center c̄ and 3σ limits
+   * `c̄ ± 3√c̄` (σ = √mean for counts); a bucket outside them is a
+   * special-cause signal worth an incident, BEFORE any trend or
+   * change-point modeling. The floor clamps at 0 (counts cannot go
+   * negative). Mean from exact decimal sums; limits are one double
+   * chain shared by every row; flags exact. Returns the series +
+   * `(center, ucl, lcl, out_of_control)` ordered by bucket, 6-dp.
+   *
+   * Same series contract as [[cusum]]; this one needs no window at
+   * all — one 1-row aggregate fanned back.
+   */
+  def cChart(series: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol), col(valueCol),
+        col(valueCol).cast("double").as("_v"))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      sum(term(col("_v"))).as("_s1"))
+    val cbar = col("_s1").cast("double") / col("_n").cast("double")
+    val ucl = cbar + lit(3.0) * sqrt(cbar)
+    val lcl = greatest(cbar - lit(3.0) * sqrt(cbar), lit(0.0))
+    base.crossJoin(broadcast(tot))
+      .select(col(orderCol), col(valueCol),
+        round(cbar, 6).as("center"),
+        round(ucl, 6).as("ucl"),
+        round(lcl, 6).as("lcl"),
+        (col("_v") > ucl || col("_v") < lcl).as("out_of_control"))
+      .orderBy(col(orderCol).asc)
+  }
+
+  /**
    * Day-of-week seasonal profile of a daily count series: per weekday,
    * the mean daily value and its ratio to the overall daily mean (the
    * multiplicative seasonal index a forecaster divides out before

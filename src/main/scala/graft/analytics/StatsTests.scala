@@ -411,6 +411,145 @@ object StatsTests {
   }
 
   /**
+   * Odds ratio with a 95% Wald interval between two cohorts'
+   * conversion — the EFFECT-SIZE face of [[twoProportionZ]] (the z
+   * says whether the gap is real; the OR says how big it is in the
+   * form downstream models and meta-analyses consume). With the 2×2
+   * cells (conv/non-conv per cohort),
+   *
+   *   OR = (a·d)/(b·c) ,  SE(ln OR) = √(1/a + 1/b + 1/c + 1/d) ,
+   *   CI = exp(ln OR ∓ z₀.₉₇₅·SE)
+   *
+   * under the Haldane–Anscombe +0.5 correction applied to ALL cells
+   * when ANY cell is zero (keeps every quantity finite,
+   * deterministically). Counts exact; the chains are fixed double
+   * ops with the z literal below, 6-dp. Returns one row
+   * `(n_a, conv_a, n_b, conv_b, odds_ratio, ci_lo, ci_hi)`.
+   */
+  def oddsRatio(
+      a: DataFrame, b: DataFrame, success: Column): DataFrame = {
+    def counts(df: DataFrame, n: String, s: String): DataFrame =
+      df.agg(count(lit(1)).as(n),
+        coalesce(sum(success.cast("long")), lit(0L)).as(s))
+    val j = counts(a, "n_a", "conv_a")
+      .crossJoin(broadcast(counts(b, "n_b", "conv_b")))
+    val zero = col("conv_a") === 0 || col("conv_a") === col("n_a") ||
+      col("conv_b") === 0 || col("conv_b") === col("n_b")
+    def cell(c: Column): Column =
+      when(zero, c.cast("double") + 0.5).otherwise(c.cast("double"))
+    val aa = cell(col("conv_a"))
+    val bb = cell(col("n_a") - col("conv_a"))
+    val cc = cell(col("conv_b"))
+    val dd = cell(col("n_b") - col("conv_b"))
+    val lor = log(aa * dd / (bb * cc))
+    val se = sqrt(lit(1.0) / aa + lit(1.0) / bb + lit(1.0) / cc +
+      lit(1.0) / dd)
+    val z = lit(1.959963984540054)
+    j.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(exp(lor), 6).as("odds_ratio"),
+      round(exp(lor - z * se), 6).as("ci_lo"),
+      round(exp(lor + z * se), 6).as("ci_hi"))
+  }
+
+  /**
+   * Chapman capture–recapture estimate of the total population behind
+   * two overlapping samples — "how many users/documents EXIST that
+   * neither sample saw?": with n₁, n₂ distinct keys per sample and m
+   * in both,
+   *
+   *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1 ,
+   *   SE = √[ (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2)) ]
+   *
+   * (Chapman 1951 — the bias-corrected Lincoln–Petersen, defined even
+   * at m = 0). The corpus-size estimator for overlapping crawls or
+   * split observation windows: a N̂ far above n₁+n₂−m says the
+   * samples barely scratched the population. Counts exact; the two
+   * chains are fixed double ops, 6-dp. Validity rests on
+   * independent-ish samples — document the sampling frame. Returns
+   * one row `(n_a, n_b, n_both, n_est, se)`.
+   *
+   * Shape: two distincts + one key-keyed join — all shuffles on the
+   * key, 1-row output.
+   */
+  def captureRecapture(
+      a: DataFrame, b: DataFrame, key: Column): DataFrame = {
+    def ids(df: DataFrame) =
+      df.select(key.as("_k")).filter(col("_k").isNotNull).distinct()
+    val sa = ids(a); val sb = ids(b)
+    val na = sa.agg(count(lit(1)).as("n_a"))
+    val nb = sb.agg(count(lit(1)).as("n_b"))
+    val m = sa.join(sb, Seq("_k")).agg(count(lit(1)).as("n_both"))
+    val d = (c: String) => col(c).cast("double")
+    val est = (d("n_a") + 1.0) * (d("n_b") + 1.0) /
+      (d("n_both") + 1.0) - 1.0
+    val se = sqrt((d("n_a") + 1.0) * (d("n_b") + 1.0) *
+      (d("n_a") - d("n_both")) * (d("n_b") - d("n_both")) /
+      ((d("n_both") + 1.0) * (d("n_both") + 1.0) *
+        (d("n_both") + 2.0)))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        round(est, 6).as("n_est"), round(se, 6).as("se"))
+  }
+
+  /**
+   * Delete-a-group jackknife for the mean of a column — the variance
+   * companion to [[bootstrapMeanCI]] with k corpus passes' worth of
+   * arithmetic from ONE pass: rows hash into k deterministic folds
+   * ([[graft.ext.Sampling.shuffleKey]]'s md5 — engine-portable, no
+   * RNG state), per-fold decimal sums fold once, and each leave-one-
+   * fold-out mean θ_i = (S−s_i)/(N−n_i) comes by SUBTRACTION (the
+   * probe-CV moment-subtraction economics at the scalar level). Then
+   *
+   *   SE² = (k−1)/k · Σ_i (θ_i − θ̄)²
+   *
+   * (θ̄ the mean of the k θ_i). Returns one row
+   * `(n_rows, k_folds, mean, se_jack)`, 6-dp — NULL SE when any fold
+   * is empty or holds everything (k must actually partition the
+   * data). Fold sums are 9-dp decimals; θ terms fold 12-dp over the
+   * k-row frame.
+   */
+  def jackknifeMeanSE(
+      df: DataFrame, value: Column, idCol: String, k: Int = 10,
+      salt: String = "jk42"): DataFrame = {
+    require(k >= 2, s"need >= 2 folds, got $k")
+    val d9 = DecimalType(38, 9)
+    val d12 = DecimalType(38, 12)
+    val fold = conv(substring(
+      graft.ext.Sampling.shuffleKey(col(idCol), salt), 1, 4), 16, 10)
+      .cast("long") % k
+    val folds = df.select(value.cast("double").as("_v"), col(idCol))
+      .filter(col("_v").isNotNull)
+      .groupBy(fold.as("_f"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s"))
+    val tot = folds.agg(sum(col("_n")).as("n_rows"),
+      sum(col("_s")).as("_st"), count(lit(1)).as("_kf"))
+    val theta = (col("_st").cast("double") - col("_s").cast("double")) /
+      (col("n_rows") - col("_n")).cast("double")
+    val withTheta = folds.crossJoin(broadcast(tot))
+      .filter(col("_n") > 0 && col("_n") < col("n_rows"))
+      .select(col("n_rows"), col("_st"), col("_kf"),
+        round(theta, 12).cast(d12).as("_th"))
+    val tbar = withTheta.groupBy(col("n_rows"), col("_st"), col("_kf"))
+      .agg(count(lit(1)).as("_kused"),
+        (sum(col("_th")).cast("double") / count(lit(1)).cast("double"))
+          .as("_tbar"))
+    val dev = withTheta
+      .join(tbar, Seq("n_rows", "_st", "_kf"))
+      .groupBy(col("n_rows"), col("_st"), col("_kf"), col("_kused"))
+      .agg(sum(round((col("_th").cast("double") - col("_tbar")) *
+        (col("_th").cast("double") - col("_tbar")), 12).cast(d12))
+        .as("_ss"))
+    val kD = col("_kused").cast("double")
+    val ok = col("_kused") === col("_kf") && col("_kf") === k
+    dev.select(col("n_rows"), col("_kf").as("k_folds"),
+      round(col("_st").cast("double") / col("n_rows").cast("double"), 6)
+        .as("mean"),
+      when(ok, round(sqrt((kD - 1.0) / kD *
+        col("_ss").cast("double")), 6)).as("se_jack"))
+  }
+
+  /**
    * Gumbel block-maxima fit by the method of moments — capacity
    * planning's extreme-value question: "what peak should we expect
    * once every T blocks?". Block maxima of an i.i.d.-ish series

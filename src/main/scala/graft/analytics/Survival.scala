@@ -137,6 +137,26 @@ object Survival {
   }
 
   /**
+   * Median survival from a [[kaplanMeier]] curve — the one number a
+   * stakeholder asks of the whole curve: the smallest lifetime at
+   * which estimated survival drops to 50% or below (the standard KM
+   * median convention). NULL when the curve never reaches 0.5 — more
+   * than half the population outlives the observation window, itself
+   * a finding. One filter + two 1-row aggregates over the
+   * already-bounded curve frame. Returns one row
+   * `(n_users, median_lifetime, survival_at_median)`.
+   */
+  def kmMedian(curve: DataFrame): DataFrame = {
+    val tot = curve.agg(max(col("n_risk")).as("n_users"))
+    val hit = curve.filter(col("survival") <= 0.5)
+      .agg(min(struct(col("t_life"), col("survival"))).as("_m"))
+    tot.crossJoin(broadcast(hit))
+      .select(col("n_users"),
+        col("_m.t_life").as("median_lifetime"),
+        col("_m.survival").as("survival_at_median"))
+  }
+
+  /**
    * Log-rank (Mantel–Cox) test between two span cohorts: do groups A
    * and B churn on the SAME hazard, or does one systematically outlive
    * the other? The significance companion to [[kaplanMeier]] — two KM

@@ -822,6 +822,38 @@ object TextOps {
       .orderBy(col("r").asc)
   }
 
+  /**
+   * Chao1 vocabulary-richness estimate — "how many word types exist
+   * that this corpus has NOT yet seen?": from the observed vocabulary
+   * V and the hapax/doubleton counts f₁/f₂,
+   *
+   *   V̂ = V + f₁(f₁−1) / (2(f₂+1))
+   *
+   * (the bias-corrected Chao1, defined even at f₂ = 0). The
+   * closed-form summary sitting above [[goodTuring]]'s per-rank
+   * discounts and beside [[vocabGrowth]]'s Heaps curve: a V̂ far
+   * above V says the crawl frontier still holds vocabulary — more
+   * data genuinely diversifies; V̂ ≈ V says the corpus has saturated
+   * its domain. Counts exact longs; the correction is one double
+   * chain, 6-dp. Returns one row `(vocab, f1, f2, chao1)`.
+   *
+   * Shape: one token explode → token-keyed hash aggregate → one fold
+   * of the count frame. Any cardinality, no windows.
+   */
+  def chao1(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val agg = counts.agg(count(lit(1)).as("vocab"),
+      coalesce(sum(when(col("_c") === 1, 1L)), lit(0L)).as("f1"),
+      coalesce(sum(when(col("_c") === 2, 1L)), lit(0L)).as("f2"))
+    val f1D = col("f1").cast("double")
+    agg.select(col("vocab"), col("f1"), col("f2"),
+      round(col("vocab").cast("double") +
+        f1D * (f1D - 1.0) /
+          (lit(2.0) * (col("f2").cast("double") + 1.0)), 6).as("chao1"))
+  }
+
   /** All order-`n` token windows joined by single spaces, repeats kept
     * — [[bigramsAll]] generalized (n = 1 is the token list itself). */
   private[ext] def ngramsAll(toks: Column, n: Int): Column =

@@ -79,4 +79,26 @@ class ChangepointSpec extends GraftSpec {
       (1 to 6).map(d => (d.toLong, 7L)).toDF("day", "n"), "day", "n")
     assert(flat.isEmpty, "sigma = 0 flags nothing to segment at")
   }
+
+  test("cChart: hand-computed Poisson limits flag the spike and only " +
+    "the spike; the lower limit clamps at zero") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = Seq(("d1", 1L), ("d2", 1L), ("d3", 1L), ("d4", 25L))
+      .toDF("day", "n")
+    val got = Changepoint.cChart(s, "day", "n").collect()
+    val cbar = 28.0 / 4.0
+    assert(got.forall(_.getDouble(2) == r6(cbar)))
+    assert(got.forall(_.getDouble(3) == r6(cbar + 3.0 * math.sqrt(cbar))))
+    assert(got.forall(_.getDouble(4) ==
+      r6(math.max(cbar - 3.0 * math.sqrt(cbar), 0.0))))
+    assert(got.map(r => r.getString(0) -> r.getBoolean(5)).toMap ==
+      Map("d1" -> false, "d2" -> false, "d3" -> false, "d4" -> true))
+    // small mean → the lower limit floor engages
+    val tiny = Changepoint.cChart(
+      Seq(("a", 1L), ("b", 2L)).toDF("day", "n"), "day", "n")
+      .collect()
+    assert(tiny.forall(_.getDouble(4) == 0.0), "LCL clamps at zero")
+  }
 }

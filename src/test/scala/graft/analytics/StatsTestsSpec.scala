@@ -468,6 +468,69 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("oddsRatio: hand-computed OR and Wald interval; a zero cell " +
+    "triggers the Haldane correction on every cell") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = ((1 to 4).map(_ => 1) ++ (1 to 6).map(_ => 0)).toDF("conv")
+    val b = ((1 to 2).map(_ => 1) ++ (1 to 8).map(_ => 0)).toDF("conv")
+    val got = StatsTests.oddsRatio(a, b, col("conv") === 1).head()
+    val lor = math.log(4.0 * 8.0 / (6.0 * 2.0))
+    val se = math.sqrt(1.0 / 4.0 + 1.0 / 6.0 + 1.0 / 2.0 + 1.0 / 8.0)
+    assert(got.getLong(0) == 10L && got.getLong(1) == 4L &&
+      got.getLong(3) == 2L)
+    assert(got.getDouble(4) == r6(math.exp(lor)), s"$got")
+    assert(got.getDouble(5) ==
+      r6(math.exp(lor - 1.959963984540054 * se)))
+    assert(got.getDouble(6) ==
+      r6(math.exp(lor + 1.959963984540054 * se)))
+    // zero conversions in b → +0.5 everywhere, still finite
+    val none = (1 to 10).map(_ => 0).toDF("conv")
+    val h = StatsTests.oddsRatio(a, none, col("conv") === 1).head()
+    val lorH = math.log(4.5 * 10.5 / (6.5 * 0.5))
+    assert(h.getDouble(4) == r6(math.exp(lorH)), s"$h")
+  }
+
+  test("captureRecapture: hand-computed Chapman estimate and SE on " +
+    "overlapping samples") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Seq(1L, 2L, 3L, 2L).toDF("k") // distinct {1,2,3}
+    val b = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val got = StatsTests.captureRecapture(a, b, col("k")).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 4L &&
+      got.getLong(2) == 2L)
+    assert(got.getDouble(3) == r6(4.0 * 5.0 / 3.0 - 1.0), s"$got")
+    assert(got.getDouble(4) ==
+      r6(math.sqrt(4.0 * 5.0 * 1.0 * 2.0 / (3.0 * 3.0 * 4.0))), s"$got")
+    // identical samples estimate exactly the observed population
+    val same = StatsTests.captureRecapture(a, a, col("k")).head()
+    assert(same.getDouble(3) == 3.0 && same.getDouble(4) == 0.0)
+  }
+
+  test("jackknifeMeanSE: constant values give zero SE; sparse data " +
+    "that cannot fill k folds leaves SE NULL; mean is exact") {
+    import org.apache.spark.sql.functions.col
+    val const = (1L to 200L).map(i => (i, 5.0)).toDF("id", "v")
+    val got = StatsTests.jackknifeMeanSE(const, col("v"), "id", k = 10)
+      .head()
+    assert(got.getLong(0) == 200L && got.getDouble(2) == 5.0)
+    assert(got.getLong(1) == 10L, "200 hashed rows fill all 10 folds")
+    assert(got.getDouble(3) == 0.0, "no spread, no variance")
+    val tiny = Seq((1L, 1.0), (2L, 9.0)).toDF("id", "v")
+    assert(StatsTests.jackknifeMeanSE(tiny, col("v"), "id", k = 10)
+      .head().isNullAt(3), "2 rows cannot occupy 10 folds")
+    val varied = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val v = StatsTests.jackknifeMeanSE(varied, col("v"), "id", k = 10)
+      .head()
+    assert(v.getDouble(3) > 0.0, "real spread yields a positive SE")
+    intercept[IllegalArgumentException] {
+      StatsTests.jackknifeMeanSE(const, col("v"), "id", k = 1)
+    }
+  }
+
   test("gumbelFit: hand-computed moment fit on two block maxima; " +
     "degenerate inputs are NULL") {
     import org.apache.spark.sql.functions.col

@@ -133,4 +133,21 @@ class SurvivalSpec extends GraftSpec {
       Survival.logRank(spans(1L), spans(1L), horizonBuckets = -1)
     }
   }
+
+  test("kmMedian: picks the first lifetime at or below 50% survival; " +
+    "a curve that never reaches it reports NULL") {
+    import spark.implicits._
+    val curve = Seq(
+      (1L, 10L, 2L, 0L, 0.8), (3L, 8L, 4L, 0L, 0.4),
+      (5L, 4L, 1L, 0L, 0.3))
+      .toDF("t_life", "n_risk", "n_churn", "n_censored", "survival")
+    val got = Survival.kmMedian(curve).head()
+    assert(got.getLong(0) == 10L && got.getLong(1) == 3L)
+    assert(got.getDouble(2) == 0.4, s"$got")
+    val shallow = Seq((1L, 10L, 2L, 0L, 0.8), (3L, 8L, 1L, 0L, 0.7))
+      .toDF("t_life", "n_risk", "n_churn", "n_censored", "survival")
+    val s = Survival.kmMedian(shallow).head()
+    assert(s.getLong(0) == 10L && s.isNullAt(1) && s.isNullAt(2),
+      "most of the population outlives the window")
+  }
 }

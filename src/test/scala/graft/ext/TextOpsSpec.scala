@@ -466,6 +466,20 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("chao1: hand-computed richness estimate — hapaxes project " +
+    "unseen vocabulary, a saturated corpus stays at V") {
+    val docs = Seq("a a b c").toDF("text")
+    val got = TextOps.chao1(docs, "text").head()
+    // V=3, f1=2 (b,c), f2=1 (a) → 3 + 2·1/(2·2) = 3.5
+    assert(got.getLong(0) == 3L && got.getLong(1) == 2L &&
+      got.getLong(2) == 1L)
+    assert(got.getDouble(3) == 3.5, s"$got")
+    // every type seen twice → no projected unseen mass
+    val sat = Seq("x y x y").toDF("text")
+    val s = TextOps.chao1(sat, "text").head()
+    assert(s.getLong(1) == 0L && s.getDouble(3) == 2.0)
+  }
+
   test("llrBigrams: hand-computed G² on a planted collocation; " +
     "minCount gates attestation; k bounds the output") {
     def r6(x: Double) =
