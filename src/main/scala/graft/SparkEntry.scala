@@ -288,6 +288,39 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/S — Zipf-exponent fit over the top-1000 rank–frequency
+    // head: the corpus-level naturalness screen (healthy text sits
+    // near slope −1; flat = synthetic, steep = boilerplate).
+    // Vocabulary-frame window, then a 1000-row OLS.
+    "q292_zipf_slope" -> ((s, d) =>
+      TextOps.zipfSlope(t(s, d, "documents"), "text", topN = 1000)),
+
+    // X+/S — Goh–Barabási burstiness histogram over per-user gaps:
+    // WHO clumps (bots vs humans), where q278 asks whether the pool
+    // does. User-keyed lag + two hash aggregates, ≤ 21 rows out.
+    "q293_burstiness_param" -> ((s, d) =>
+      TimeSeries.burstinessHistogram(t(s, d, "events"),
+        "user_id", "ts", "event_id", minGaps = 5)),
+
+    // X+/S — Wilcoxon signed-rank over per-user paired means (parity
+    // halves): the PAIRED complement to q177's Mann–Whitney, doubled
+    // ranks over the distinct-|d| frame, integer-exact to z.
+    "q294_wilcoxon" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+      def half(even: Boolean) = ev
+        .filter(if (even) col("event_id") % 2 === 0
+          else col("event_id") % 2 =!= 0)
+        .groupBy(col("user_id"))
+        .agg((sum(round(col("value"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as(if (even) "_ma" else "_mb"))
+      StatsTests.wilcoxonSignedRank(
+        half(even = true).join(half(even = false), Seq("user_id")),
+        col("_ma") - col("_mb"))
+    }),
+
     // X+/S — odds ratio with a 95% Wald interval between the parity
     // cohorts' conversion: the effect-size face of q176's z-test,
     // Haldane-corrected so every cell stays finite.
@@ -4405,6 +4438,151 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q292: same (count desc, term) ranks, same ln/ln 12-dp moments,
+    // the q147 closed-form chains.
+    "q292_zipf_slope" ->
+      """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t)
+        |           AS BIGINT) AS r, c
+        |  FROM c),
+        |xy AS (
+        |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |  FROM r WHERE r <= 1000),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM xy),
+        |k AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy,
+        |         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+        |         CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS vary
+        |  FROM m)
+        |SELECT n AS n_terms,
+        |       round(cov / nullif(varx, 0), 6) AS slope,
+        |       round((sy - cov / nullif(varx, 0) * sx) / nd, 6)
+        |         AS intercept,
+        |       round(cov * cov / nullif(varx * vary, 0), 6) AS r2
+        |FROM k""".stripMargin,
+
+    // q293: same per-user gap moments (population σ), same B chain
+    // and floor buckets.
+    "q293_burstiness_param" ->
+      """WITH g AS (
+        |  SELECT user_id AS u,
+        |         CAST(CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+        |               PARTITION BY user_id
+        |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+        |                        event_id) AS DOUBLE) AS gp
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(gp, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(gp * gp, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |bb AS (
+        |  SELECT u, n,
+        |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |           AS sig
+        |  FROM pu),
+        |sel AS (
+        |  SELECT (sig - mu) / (sig + mu) AS b
+        |  FROM bb WHERE n >= 5 AND sig + mu > 0)
+        |SELECT CAST(floor(b * 10.0) AS BIGINT) AS bucket,
+        |       CAST(CAST(floor(b * 10.0) AS BIGINT) AS DOUBLE) / 10.0
+        |         AS bucket_lo,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM sel GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    // q294: same per-user parity means (decimal sums), same doubled
+    // tie-averaged |d| ranks, same integer moments to one z.
+    "q294_wilcoxon" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |ma AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        |mb AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM ev WHERE event_id % 2 <> 0 GROUP BY 1),
+        |dd AS (
+        |  SELECT ma.m - mb.m AS d
+        |  FROM ma JOIN mb USING (user_id)
+        |  WHERE ma.m - mb.m <> 0),
+        |cells AS (
+        |  SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(coalesce(sum(CASE WHEN d > 0 THEN 1 END), 0)
+        |           AS BIGINT) AS tp
+        |  FROM dd GROUP BY 1),
+        |rk AS (
+        |  SELECT v, t, tp,
+        |         2 * coalesce(sum(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) + t + 1 AS r2
+        |  FROM cells),
+        |m AS (
+        |  SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(tp * r2), 0) AS BIGINT) AS w2,
+        |         CAST(coalesce(sum(t * (t * t - 1)), 0) AS BIGINT)
+        |           AS tie
+        |  FROM rk),
+        |k AS (
+        |  SELECT n, w2,
+        |         CAST(n AS DOUBLE) AS nd, CAST(w2 AS DOUBLE) AS w2d,
+        |         CAST(tie AS DOUBLE) AS tied
+        |  FROM m),
+        |zz AS (
+        |  SELECT n, w2, w2d,
+        |         nd * (nd + 1.0) / 2.0 AS e2,
+        |         (2.0 * nd * (nd + 1.0) * (2.0 * nd + 1.0) - tied)
+        |           / 48.0 AS vr
+        |  FROM k),
+        |px AS (
+        |  SELECT n, w2d, e2, vr,
+        |         (w2d - e2) / (2.0 * sqrt(vr)) AS z
+        |  FROM zz),
+        |py AS (
+        |  SELECT n, w2d, vr, z,
+        |         abs(z) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(z) * 0.7071067811865476)) AS t
+        |  FROM px)
+        |SELECT n AS n_pairs, round(w2d / 2.0, 6) AS w_plus,
+        |       CASE WHEN n >= 2 AND vr > 0 THEN round(z, 6) END AS z,
+        |       CASE WHEN n >= 2 AND vr > 0 THEN
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |               + 1.421413741) * t + -0.284496736) * t
+        |               + 0.254829592) * t * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM py""".stripMargin,
 
     // q289: same per-user conversion cells, same Haldane trigger, the
     // ln-OR and Wald chains with the z literal verbatim.

@@ -376,6 +376,54 @@ object StatsTests {
   }
 
   /**
+   * Wilcoxon signed-rank test over PAIRED differences — the paired
+   * complement to [[mannWhitneyU]] (unpaired) the way a
+   * before/after per-user comparison demands: zero differences drop
+   * (the standard reduction), |d| ranks tie-average over the
+   * DISTINCT-|d| frame via the same doubled-rank lift (`r₂ = 2B+t+1`,
+   * always integer), and with n nonzero pairs and doubled positive-
+   * rank sum W₂ = 2·W⁺:
+   *
+   *   E₂ = n(n+1)/2 ,
+   *   Var(W⁺) = [2n(n+1)(2n+1) − Σ(t³−t)] / 48 ,
+   *   z = (W₂ − E₂) / (2·√Var)      (p via [[normalTwoSidedP]])
+   *
+   * — integer-exact to the final chain. Returns one row
+   * `(n_pairs, w_plus, z, p)`; z/p NULL when n < 2 or Var ≤ 0 (all
+   * |d| tied). Same value-cardinality window contract as
+   * [[mannWhitneyU]].
+   */
+  def wilcoxonSignedRank(
+      pairs: DataFrame, diff: Column): DataFrame = {
+    val base = pairs.select(diff.cast("double").as("_d"))
+      .filter(col("_d").isNotNull && col("_d") =!= 0.0)
+    val cells = base.groupBy(abs(col("_d")).as("_v"))
+      .agg(count(lit(1)).as("_t"),
+        coalesce(sum(when(col("_d") > 0, 1L)), lit(0L)).as("_tp"))
+    val wB = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("_r2",
+      lit(2L) * coalesce(sum(col("_t")).over(wB), lit(0L)) +
+        col("_t") + 1L)
+    val m = ranked.agg(
+      coalesce(sum(col("_t")), lit(0L)).as("n_pairs"),
+      coalesce(sum(col("_tp") * col("_r2")), lit(0L)).as("_w2"),
+      coalesce(sum(col("_t") * (col("_t") * col("_t") - 1L)), lit(0L))
+        .as("_tie"))
+    val nD = col("n_pairs").cast("double")
+    val e2 = nD * (nD + 1.0) / 2.0
+    val varW = (lit(2.0) * nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) -
+      col("_tie").cast("double")) / 48.0
+    val z = (col("_w2").cast("double") - e2) /
+      (lit(2.0) * sqrt(varW))
+    val ok = col("n_pairs") >= 2 && varW > 0.0
+    m.select(col("n_pairs"),
+      round(col("_w2").cast("double") / 2.0, 6).as("w_plus"),
+      when(ok, round(z, 6)).as("z"),
+      when(ok, normalTwoSidedP(z)).as("p"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov D: the maximum gap between the two
    * empirical CDFs, evaluated at the combined DISTINCT values (where
    * every extremum lives):

@@ -244,6 +244,58 @@ object TimeSeries {
   }
 
   /**
+   * Goh–Barabási burstiness histogram over per-user inter-event gaps
+   * — WHO clumps, where [[graft.analytics.StatsTests.expGapFit]] asks
+   * whether the POOL does: per user with ≥ `minGaps` gaps, the
+   * burstiness parameter `B = (σ−μ)/(σ+μ)` (−1 = metronome, 0 =
+   * Poisson, →1 = extreme bursts; Goh & Barabási 2008), summarized
+   * as a 0.1-wide histogram over the user population. The behavioral
+   * fingerprint that separates bots (B near −1 or clustered) from
+   * humans (B ≈ 0.2–0.6 typically). Per-user moments fold as 9-dp
+   * decimals (population σ); B is one double chain; the bucket is
+   * `floor(10·B)`. Returns `(bucket, bucket_lo, n_users)` ordered by
+   * bucket — at most 21 rows.
+   *
+   * Shape: one user-partitioned lag window (the [[graft.analytics
+   * .Trend.autocorr]] contract) + user-keyed then bucket-keyed hash
+   * aggregates. No global windows.
+   */
+  def burstinessHistogram(
+      df: DataFrame, userCol: String, tsCol: String, idCol: String,
+      minGaps: Int = 5): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
+    val d9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u")).orderBy(col("_t").asc, col("_id").asc)
+    val gaps = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("long").as("_t"),
+        col(idCol).as("_id"))
+      .withColumn("_g",
+        (col("_t") - lag(col("_t"), 1).over(w)).cast("double"))
+      .filter(col("_g").isNotNull)
+    val perUser = gaps.groupBy(col("_u"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_g"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_g") * col("_g"), 9).cast(d9)).as("_s2"))
+    val nD = col("_n").cast("double")
+    val mu = col("_s1").cast("double") / nD
+    val sigma = sqrt(col("_s2").cast("double") / nD - mu * mu)
+    val b = (sigma - mu) / (sigma + mu)
+    perUser
+      // σ+μ = 0 (all gaps zero) has no defined burstiness — drop, the
+      // division would produce NaN, not NULL
+      .filter(col("_n") >= minGaps && sigma + mu > 0.0)
+      .select(b.as("_b"))
+      .groupBy(floor(col("_b") * 10.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / 10.0).as("bucket_lo"),
+        col("n_users"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /**
    * Weekly event-mix entropy series — "is the SHAPE of activity
    * changing week to week?", the within-stream drift monitor next to
    * the two-corpus divergences ([[graft.ext.CorpusCompare]]): per

@@ -823,6 +823,58 @@ object TextOps {
   }
 
   /**
+   * Zipf-exponent fit over the rank–frequency head — the NUMBER the
+   * q-rank/frequency table gestures at: OLS of ln(freq) on ln(rank)
+   * over the top-`topN` terms (the power-law region; the tail bends
+   * away and would bias the exponent). A healthy natural-language
+   * corpus sits near slope −1; a much flatter slope flags synthetic
+   * or template-heavy text, much steeper flags boilerplate
+   * domination — a corpus-level quality screen next to the per-doc
+   * Gopher rules. Rank is the deterministic `(count desc, term)`
+   * row_number; moments fold as 12-dp decimals (the
+   * [[graft.analytics.Trend]] rule); closed forms are one double
+   * chain each, 6-dp. Returns one row
+   * `(n_terms, slope, intercept, r2)`.
+   *
+   * The one global window runs over the VOCABULARY frame (the
+   * rank–frequency family's documented contract), and only the
+   * top-`topN` rows proceed to the fit.
+   */
+  def zipfSlope(
+      docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 3, s"need >= 3 ranks to fit, got $topN")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_c").desc, col("_t").asc)
+    val xy = counts
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .filter(col("_r") <= topN)
+      .select(log(col("_r").cast("double")).as("_x"),
+        log(col("_c").cast("double")).as("_y"))
+    val m = xy.agg(count(lit(1)).as("n_terms"),
+      sum(round(col("_x"), 12).cast(d12)).as("_sx"),
+      sum(round(col("_y"), 12).cast(d12)).as("_sy"),
+      sum(round(col("_x") * col("_x"), 12).cast(d12)).as("_sxx"),
+      sum(round(col("_y") * col("_y"), 12).cast(d12)).as("_syy"),
+      sum(round(col("_x") * col("_y"), 12).cast(d12)).as("_sxy"))
+    val nD = col("n_terms").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double")
+    val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val cov = nD * sxy - sx * sy
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    val slope = cov / nullif(varx, lit(0.0))
+    m.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nD, 6).as("intercept"),
+      round(cov * cov / nullif(varx * vary, lit(0.0)), 6).as("r2"))
+  }
+
+  /**
    * Chao1 vocabulary-richness estimate — "how many word types exist
    * that this corpus has NOT yet seen?": from the observed vocabulary
    * V and the hapax/doubleton counts f₁/f₂,
@@ -892,15 +944,26 @@ object TextOps {
       pairs: DataFrame, aId: Column, bId: Column,
       aText: Column, bText: Column, n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"gram order must be in [1, 5], got $n")
-    val base = pairs.select(aId.as("a_id"), bId.as("b_id"),
-      ngramsAll(tokens(aText), n).as("_ga"),
-      ngramsAll(tokens(bText), n).as("_gb"))
-    def side(g: String, out: String): DataFrame = base
-      .select(col("a_id"), col("b_id"), explode(col(g)).as("_g"))
-      .groupBy(col("a_id"), col("b_id"), col("_g"))
-      .agg(count(lit(1)).as(out))
-    val clip = side("_ga", "_ca")
-      .join(side("_gb", "_cb"), Seq("a_id", "b_id", "_g"))
+    // lineage cut: the gram frame feeds THREE consumers (two explode
+    // sides + the size projection); uncut, Catalyst re-runs the
+    // caller's pair window and both tokenizations once per consumer
+    // (bench-measured 28 s → the one-pass cost at sf0.1)
+    val base = Materialize.cut(
+      pairs.select(aId.as("a_id"), bId.as("b_id"),
+        ngramsAll(tokens(aText), n).as("_ga"),
+        ngramsAll(tokens(bText), n).as("_gb")))
+    // one tagged explode + one (pair, gram) aggregate — the
+    // two-groupBy-plus-join formulation shuffles the gram multiset
+    // twice and joins it back; this shuffles it once
+    val tagged = base.select(col("a_id"), col("b_id"),
+      explode(concat(
+        transform(col("_ga"), g => struct(g.as("g"), lit(1).as("s"))),
+        transform(col("_gb"), g => struct(g.as("g"), lit(2).as("s")))))
+        .as("_x"))
+    val clip = tagged
+      .groupBy(col("a_id"), col("b_id"), col("_x.g").as("_g"))
+      .agg(sum(when(col("_x.s") === 1, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_x.s") === 2, 1L).otherwise(0L)).as("_cb"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(sum(least(col("_ca"), col("_cb"))).as("_clip"))
     val sizes = base.select(col("a_id"), col("b_id"),

@@ -468,6 +468,23 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("wilcoxonSignedRank: hand-computed doubled ranks — balanced " +
+    "signs give z = 0; ties tie-average; zero diffs drop") {
+    import org.apache.spark.sql.functions.col
+    val d1 = Seq(1.0, 2.0, -3.0, 0.0).toDF("d")
+    val got = StatsTests.wilcoxonSignedRank(d1, col("d")).head()
+    // |d| ranks 1,2,3 → W+ = 1+2 = 3; E(W+) = 3 → z = 0
+    assert(got.getLong(0) == 3L, "the zero diff dropped")
+    assert(got.getDouble(1) == 3.0 && got.getDouble(2) == 0.0, s"$got")
+    val tied = Seq(1.0, -1.0).toDF("d")
+    val t = StatsTests.wilcoxonSignedRank(tied, col("d")).head()
+    // one tie group t=2 → r2 = 3 → W+ = 1.5 (tie-averaged), z = 0
+    assert(t.getDouble(1) == 1.5 && t.getDouble(2) == 0.0, s"$t")
+    val onesided = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).toDF("d")
+    val o = StatsTests.wilcoxonSignedRank(onesided, col("d")).head()
+    assert(o.getDouble(2) > 2.0, "all-positive diffs push z far up")
+  }
+
   test("oddsRatio: hand-computed OR and Wald interval; a zero cell " +
     "triggers the Haldane correction on every cell") {
     import org.apache.spark.sql.functions.col

@@ -100,6 +100,25 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("burstinessHistogram: a metronome lands at B = -1, a bursty " +
+    "user above 0; short and degenerate users drop") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val metro = (0 to 5).map(i => (1L, i * 10L, i.toLong))
+    val bursty = Seq(0L, 0L, 0L, 0L, 0L, 100L).scanLeft(0L)(_ + _).tail
+      .zipWithIndex.map { case (t, i) => (2L, t, 100L + i) }
+    val short = Seq((3L, 0L, 200L), (3L, 5L, 201L))
+    val zeros = (0 to 5).map(i => (4L, 0L, 300L + i))
+    val ev = (metro ++ bursty ++ short ++ zeros)
+      .toDF("user_id", "ep", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = TimeSeries.burstinessHistogram(ev, "user_id", "ts",
+      "event_id", minGaps = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // metro: sigma 0, mu 10 → B = -1 → bucket -10
+    // bursty gaps {0,0,0,0,100}: mu 20, sigma 40 → B = 1/3 → bucket 3
+    assert(got == Map(-10L -> 1L, 3L -> 1L), s"$got")
+  }
+
   test("seasonalStrength: a perfect weekly cycle gives zero seasonal " +
     "MAE and ratio 0; too-short series leaves mae_7 NULL") {
     import org.apache.spark.sql.functions.col

@@ -466,6 +466,31 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("zipfSlope: a frequency-decaying vocabulary fits a negative " +
+    "slope with the replicated moment chain") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts: a→8, b→4, c→2 → ranks 1,2,3
+    val docs = Seq(("a " * 8) + ("b " * 4) + ("c " * 2)).toDF("text")
+    val got = TextOps.zipfSlope(docs, "text", topN = 1000).head()
+    val pts = Seq((1.0, 8.0), (2.0, 4.0), (3.0, 2.0))
+      .map { case (r, c) => (math.log(r), math.log(c)) }
+    val n = 3.0
+    val sx = pts.map(p => r12(p._1)).sum
+    val sy = pts.map(p => r12(p._2)).sum
+    val sxx = pts.map(p => r12(p._1 * p._1)).sum
+    val sxy = pts.map(p => r12(p._1 * p._2)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == r6(slope) && slope < 0.0, s"$got")
+    assert(got.getDouble(3) > 0.9, "near-power-law head fits tightly")
+    intercept[IllegalArgumentException] {
+      TextOps.zipfSlope(docs, "text", topN = 2)
+    }
+  }
+
   test("chao1: hand-computed richness estimate — hapaxes project " +
     "unseen vocabulary, a saturated corpus stays at V") {
     val docs = Seq("a a b c").toDF("text")
