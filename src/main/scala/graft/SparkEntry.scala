@@ -288,6 +288,60 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X3+/S — bimodality coefficient of the per-vector norm
+    // distribution: is ONE encoder behind this embedding column, or
+    // a mixture of two (q182's norm-drift comment made testable)?
+    // Same 4-moment fold as q269.
+    "q295_norm_bimodality" -> ((s, d) =>
+      StatsTests.bimodality(
+        t(s, d, "embeddings").filter(col("embedding").isNotNull)
+          .select(sqrt(aggregate(
+            transform(col("embedding"),
+              x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)).as("nrm")),
+        col("nrm"))),
+
+    // X+/S — Cochran–Mantel–Haenszel A/B stratified by signup week:
+    // the confounding-aware conversion test (q176 pools and can be
+    // Simpson-reversed by cohort mix; CMH compares within cohorts).
+    // χ²(1) p is the closed-form normal tail.
+    "q296_cmh" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(floor(col("ts").cast("long") / lit(604800L))
+          .cast("long")).as("_wk"),
+          max((col("event_type") === "purchase").cast("int")).as("_cv"))
+      StatsTests.cmhTest(users, col("_wk"),
+        col("user_id") % 2 === 0, col("_cv") === 1)
+    }),
+
+    // X2+/X1 — self-similarity diversity audit: mean pairwise ROUGE-2
+    // F1 over a 50-doc hash sample (SF-independent TakeOrdered pick) —
+    // the synthetic-data mode-collapse screen: a high mean says the
+    // corpus repeats itself. Sample-sized pair frame (1225 pairs).
+    "q297_self_similarity" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          Sampling.shuffleKey(col("doc_id"), "selfsim").as("_h"))
+        .orderBy(col("_h").asc, col("doc_id").asc).limit(50)
+        .select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("_ai"),
+          col("text").as("_at"))
+        .join(docs.select(col("doc_id").as("_bi"),
+          col("text").as("_bt")), col("_ai") < col("_bi"))
+      TextOps.rougeN(pairs, col("_ai"), col("_bi"),
+          col("_at"), col("_bt"), n = 2)
+        .agg(countDistinct(col("a_id")).as("_na"),
+          count(lit(1)).as("n_pairs"),
+          count(col("f1")).as("n_scored"),
+          round(sum(round(col("f1"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+            .cast("double") /
+            count(col("f1")).cast("double"), 6).as("mean_f1"))
+        .select(col("n_pairs"), col("n_scored"), col("mean_f1"))
+    }),
+
     // X2+/S — Zipf-exponent fit over the top-1000 rank–frequency
     // head: the corpus-level naturalness screen (healthy text sits
     // near slope −1; flat = synthetic, steep = boilerplate).
@@ -4438,6 +4492,160 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q295: same in-list-order norm folds (the q182 parity), same
+    // 4-moment chain, the (g1²+1)/(g2+3) coefficient.
+    "q295_norm_bimodality" ->
+      """WITH e AS (
+        |  SELECT sqrt(list_aggregate(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2,
+        |         CAST(sum(CAST(round(v * v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s3,
+        |         CAST(sum(CAST(round(v * v * v * v, 9)
+        |           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s4
+        |  FROM e),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+        |  FROM t),
+        |c AS (
+        |  SELECT n, p2 - mu * mu AS m2,
+        |         p3 - 3.0 * mu * p2 + 2.0 * mu * mu * mu AS m3,
+        |         p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |g AS (
+        |  SELECT n, m2, m3 / sqrt(m2 * m2 * m2) AS g1,
+        |         m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM c)
+        |SELECT n,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(g1, 6) END
+        |         AS skewness,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN round(g2, 6) END
+        |         AS ex_kurtosis,
+        |       CASE WHEN n >= 3 AND m2 > 0 THEN
+        |         round((g1 * g1 + 1.0) / (g2 + 3.0), 6) END
+        |         AS bimodality
+        |FROM g""".stripMargin,
+
+    // q296: same per-user signup-week/conversion frame, same stratum
+    // cells and 12-dp gap/variance folds, the closed-form χ²(1) p.
+    "q296_cmh" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS wk,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) AS cv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1
+        |           END), 0) AS BIGINT) AS n1,
+        |         CAST(coalesce(sum(CASE WHEN cv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS m1,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0
+        |           AND cv = 1 THEN 1 END), 0) AS BIGINT) AS aa
+        |  FROM u GROUP BY 1 HAVING count(*) >= 2),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(coalesce(sum(CAST(round(CAST(aa AS DOUBLE)
+        |             - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+        |               / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))),
+        |           0) AS DOUBLE) AS gap,
+        |         CAST(coalesce(sum(CAST(round(CAST(n1 AS DOUBLE)
+        |             * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+        |             * CAST(m1 AS DOUBLE)
+        |             * (CAST(n AS DOUBLE) - CAST(m1 AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * (CAST(n AS DOUBLE) - 1.0)), 12)
+        |           AS DECIMAL(38,12))), 0) AS DOUBLE) AS vr
+        |  FROM cells),
+        |z AS (SELECT n_strata, gap, vr, gap * gap / vr AS chi2 FROM t),
+        |px AS (
+        |  SELECT n_strata, gap, vr, chi2,
+        |         abs(sqrt(chi2)) * 0.7071067811865476 AS x,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(sqrt(chi2)) * 0.7071067811865476)) AS tt
+        |  FROM z)
+        |SELECT n_strata, round(gap, 6) AS o_minus_e,
+        |       round(vr, 6) AS var_sum,
+        |       CASE WHEN vr > 0 THEN round(chi2, 6) END AS chi2,
+        |       CASE WHEN vr > 0 THEN
+        |         round(((((1.061405429 * tt + -1.453152027) * tt
+        |               + 1.421413741) * tt + -0.284496736) * tt
+        |               + 0.254829592) * tt * exp(-(x * x)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
+    // q297: same md5-ordered 50-doc sample, the q274 ROUGE chain over
+    // the sample's pairs, one decimal mean of the scored F1s.
+    "q297_self_similarity" ->
+      """WITH smp AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           md5('selfsim' || CAST(doc_id AS VARCHAR)) AS h
+        |    FROM documents WHERE text IS NOT NULL) x
+        |  ORDER BY h, doc_id LIMIT 50),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.text AS ta, b.text AS tb
+        |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id),
+        |wa AS (SELECT a_id, b_id,
+        |              list_filter(string_split_regex(lower(ta), '\s+'),
+        |                x -> length(x) > 0) AS t FROM p),
+        |wb AS (SELECT a_id, b_id,
+        |              list_filter(string_split_regex(lower(tb), '\s+'),
+        |                x -> length(x) > 0) AS t FROM p),
+        |ga AS (
+        |  SELECT a_id, b_id, t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS ca
+        |  FROM (SELECT a_id, b_id, t,
+        |          unnest(range(1, greatest(len(t), 1))) AS i FROM wa) x
+        |  GROUP BY 1, 2, 3),
+        |gb AS (
+        |  SELECT a_id, b_id, t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT a_id, b_id, t,
+        |          unnest(range(1, greatest(len(t), 1))) AS i FROM wb) x
+        |  GROUP BY 1, 2, 3),
+        |cl AS (
+        |  SELECT a_id, b_id, CAST(sum(least(ca, cb)) AS BIGINT) AS clip
+        |  FROM ga JOIN gb USING (a_id, b_id, g) GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT wa.a_id, wa.b_id,
+        |         CAST(greatest(len(wa.t) - 1, 0) AS BIGINT) AS n_a,
+        |         CAST(greatest(len(wb.t) - 1, 0) AS BIGINT) AS n_b
+        |  FROM wa JOIN wb USING (a_id, b_id)),
+        |f AS (
+        |  SELECT sz.a_id, sz.b_id, sz.n_a, sz.n_b,
+        |         coalesce(cl.clip, 0) AS clip
+        |  FROM sz LEFT JOIN cl USING (a_id, b_id)),
+        |r AS (
+        |  SELECT a_id, b_id, n_a, n_b, clip,
+        |         CAST(clip AS DOUBLE) / CAST(n_a AS DOUBLE) AS rr,
+        |         CAST(clip AS DOUBLE) / CAST(n_b AS DOUBLE) AS pp
+        |  FROM f),
+        |sc AS (
+        |  SELECT CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
+        |           round(2.0 * pp * rr / (pp + rr), 6) END AS f1
+        |  FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(f1) AS BIGINT) AS n_scored,
+        |       round(CAST(sum(CAST(round(f1, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(f1) AS DOUBLE), 6)
+        |         AS mean_f1
+        |FROM sc""".stripMargin,
 
     // q292: same (count desc, term) ranks, same ln/ln 12-dp moments,
     // the q147 closed-form chains.

@@ -376,6 +376,60 @@ object StatsTests {
   }
 
   /**
+   * Cochran–Mantel–Haenszel test of a binary arm→outcome association
+   * ACROSS strata — the confounding-aware A/B: [[twoProportionZ]]
+   * pools everything and can be Simpson-reversed by a stratum mix
+   * (older cohorts convert less AND skew into one arm); CMH compares
+   * within each stratum and pools the evidence. Per stratum with n
+   * rows, n₁ in the arm, m₁ successes and a arm-successes:
+   *
+   *   χ² = (Σ_s (a − n₁m₁/n))² / Σ_s n₁n₂m₁m₀/(n²(n−1))   (1 df)
+   *
+   * with `p = normalTwoSidedP(√χ²)` (the χ²(1) survival function IS
+   * the two-sided normal tail — closed form, no table). Strata with
+   * n < 2 carry no variance and drop. Counts exact; per-stratum
+   * gap/variance terms are one double chain rounded 12-dp and folded
+   * DECIMAL(38,12). Returns one row
+   * `(n_strata, o_minus_e, var_sum, chi2, p)`, 6-dp — NULL when the
+   * pooled variance is 0.
+   *
+   * Shape: one hash aggregate to the stratum frame, one fold.
+   */
+  def cmhTest(
+      df: DataFrame, stratum: Column, arm: Column,
+      success: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = df.select(stratum.as("_s"),
+        arm.cast("boolean").as("_a"), success.cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_a").isNotNull &&
+        col("_y").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_a").cast("long")), lit(0L)).as("_n1"),
+        coalesce(sum(col("_y").cast("long")), lit(0L)).as("_m1"),
+        coalesce(sum((col("_a") && col("_y")).cast("long")), lit(0L))
+          .as("_aa"))
+      .filter(col("_n") >= 2)
+    val nD = col("_n").cast("double")
+    val n1 = col("_n1").cast("double"); val m1 = col("_m1").cast("double")
+    val e = n1 * m1 / nD
+    val v = n1 * (nD - n1) * m1 * (nD - m1) /
+      (nD * nD * (nD - 1.0))
+    val folded = cells.agg(count(lit(1)).as("n_strata"),
+      coalesce(sum(round(col("_aa").cast("double") - e, 12).cast(d12)),
+        lit(0).cast(d12)).as("_gap"),
+      coalesce(sum(round(v, 12).cast(d12)), lit(0).cast(d12)).as("_var"))
+    val gapD = col("_gap").cast("double")
+    val varD = col("_var").cast("double")
+    val chi2 = gapD * gapD / varD
+    folded.select(col("n_strata"),
+      round(gapD, 6).as("o_minus_e"),
+      round(varD, 6).as("var_sum"),
+      when(varD > 0.0, round(chi2, 6)).as("chi2"),
+      when(varD > 0.0, normalTwoSidedP(sqrt(chi2))).as("p"))
+  }
+
+  /**
    * Wilcoxon signed-rank test over PAIRED differences — the paired
    * complement to [[mannWhitneyU]] (unpaired) the way a
    * before/after per-user comparison demands: zero differences drop
@@ -1249,16 +1303,7 @@ object StatsTests {
    * windows — any cardinality.
    */
   def jarqueBera(df: DataFrame, valueCol: Column): DataFrame = {
-    val d9 = DecimalType(38, 9)
-    val agg = df.select(valueCol.cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
-        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"),
-        sum(round(col("_v") * col("_v") * col("_v"), 9).cast(d9))
-          .as("_s3"),
-        sum(round(col("_v") * col("_v") * col("_v") * col("_v"), 9)
-          .cast(d9)).as("_s4"))
+    val agg = powerSums4(df, valueCol)
     val nD = col("n").cast("double")
     val mu = col("_s1").cast("double") / nD
     val m2 = col("_s2").cast("double") / nD - mu * mu
@@ -1278,6 +1323,57 @@ object StatsTests {
       when(ok, round(g2, 6)).as("ex_kurtosis"),
       when(ok, round(jb, 6)).as("jb"),
       when(ok, round(exp(-jb / 2.0), 6)).as("p"))
+  }
+
+  /** The exact 9-dp decimal power sums S₁..S₄ + count behind
+    * [[jarqueBera]] and [[bimodality]] — one hash aggregate. */
+  private def powerSums4(df: DataFrame, valueCol: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    df.select(valueCol.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"),
+        sum(round(col("_v") * col("_v") * col("_v"), 9).cast(d9))
+          .as("_s3"),
+        sum(round(col("_v") * col("_v") * col("_v") * col("_v"), 9)
+          .cast(d9)).as("_s4"))
+  }
+
+  /**
+   * Bimodality coefficient from the same four power sums as
+   * [[jarqueBera]]: `b = (g₁² + 1)/(g₂ + 3)` with population skewness
+   * g₁ and excess kurtosis g₂ — b exceeds 5/9 (the uniform's value)
+   * when the distribution looks like a MIXTURE of two modes rather
+   * than one population. The screen behind "are these two encoder
+   * versions mixed in one embedding column?" ([[graft.ext.VectorOps
+   * .embeddingHealth]] flags the drifting norm; this flags the
+   * two-norm-population shape) or "two traffic regimes in one
+   * metric?". Pearson's inequality makes the denominator ≥ g₁²+1 > 0,
+   * so b is always defined when the variance is. Same chains as
+   * [[jarqueBera]], 6-dp; NULL when n < 3 or zero variance. Returns
+   * one row `(n, skewness, ex_kurtosis, bimodality)`.
+   */
+  def bimodality(df: DataFrame, valueCol: Column): DataFrame = {
+    val agg = powerSums4(df, valueCol)
+    val nD = col("n").cast("double")
+    val mu = col("_s1").cast("double") / nD
+    val m2 = col("_s2").cast("double") / nD - mu * mu
+    val m3 = col("_s3").cast("double") / nD -
+      lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4").cast("double") / nD -
+      lit(4.0) * mu * (col("_s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("_s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - 3.0
+    val b = (g1 * g1 + 1.0) / (g2 + 3.0)
+    val ok = col("n") >= 3 && m2 > 0.0
+    agg.select(col("n"),
+      when(ok, round(g1, 6)).as("skewness"),
+      when(ok, round(g2, 6)).as("ex_kurtosis"),
+      when(ok, round(b, 6)).as("bimodality"))
   }
 
   /**

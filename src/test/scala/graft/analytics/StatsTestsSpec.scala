@@ -468,6 +468,54 @@ class StatsTestsSpec extends GraftSpec {
       .head().getDouble(4) == 0.0)
   }
 
+  test("bimodality: a two-point mass scores b = 1; hand-computed " +
+    "coefficient on 1..5; degenerate inputs NULL") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bi = StatsTests.bimodality(
+      Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0).toDF("v"), col("v")).head()
+    // g1 = 0, kurtosis 1 → g2 = -2 → b = 1/(−2+3) = 1
+    assert(bi.getDouble(1) == 0.0 && bi.getDouble(2) == -2.0)
+    assert(bi.getDouble(3) == 1.0, s"$bi")
+    val uni = StatsTests.bimodality(
+      (1 to 5).map(_.toDouble).toDF("v"), col("v")).head()
+    assert(uni.getDouble(3) == r6(1.0 / (-1.3 + 3.0)), s"$uni")
+    assert(StatsTests.bimodality(Seq(7.0, 7.0, 7.0).toDF("v"), col("v"))
+      .head().isNullAt(3), "zero variance")
+  }
+
+  test("cmhTest: balanced strata score 0; a consistent within-stratum " +
+    "effect pools to the hand-computed chi2") {
+    import org.apache.spark.sql.functions.col
+    // (stratum, arm, conv): two balanced strata → gap 0
+    def stratum(s: String, convByArm: Boolean) =
+      if (convByArm)
+        Seq((s, true, true), (s, true, true), (s, false, false),
+          (s, false, false))
+      else
+        Seq((s, true, true), (s, true, false), (s, false, true),
+          (s, false, false))
+    val balanced = (stratum("a", false) ++ stratum("b", false))
+      .toDF("s", "arm", "y")
+    val b = StatsTests.cmhTest(balanced, col("s"), col("arm"), col("y"))
+      .head()
+    assert(b.getLong(0) == 2L && b.getDouble(1) == 0.0 &&
+      b.getDouble(3) == 0.0, s"$b")
+    // both strata: a=2, e=1, var=1/3 → chi2 = (2)²/(2/3) = 6
+    val effect = (stratum("a", true) ++ stratum("b", true))
+      .toDF("s", "arm", "y")
+    val e = StatsTests.cmhTest(effect, col("s"), col("arm"), col("y"))
+      .head()
+    assert(e.getDouble(1) == 2.0, s"$e")
+    assert(e.getDouble(3) == 6.0 && e.getDouble(4) < 0.05, s"$e")
+    // a single-row stratum carries no variance and drops
+    val tiny = (stratum("a", true) ++ Seq(("z", true, true)))
+      .toDF("s", "arm", "y")
+    assert(StatsTests.cmhTest(tiny, col("s"), col("arm"), col("y"))
+      .head().getLong(0) == 1L)
+  }
+
   test("wilcoxonSignedRank: hand-computed doubled ranks — balanced " +
     "signs give z = 0; ties tie-average; zero diffs drop") {
     import org.apache.spark.sql.functions.col
