@@ -288,6 +288,32 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/S — q287/q292 read from the STANDING lexical index instead
+    // of re-tokenizing: the postings stripe's sum(tf) rollup IS the
+    // term-count frame (same tokenizer by library contract), so the
+    // corpus pays one tokenization for retrieval AND the estimators.
+    // SHARES q287's oracle verbatim.
+    "q298_chao1_indexed" -> ((s, d) =>
+      TextOps.chao1FromCounts(
+        TextSearch.buildLexicalIndex(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", "text")
+          .filter(col("term").isNotNull)
+          .groupBy(col("term").as("_t"))
+          .agg(sum(col("tf")).as("_c")))),
+
+    // X2+/S — the Zipf fit off the same index rollup. SHARES q292's
+    // oracle verbatim.
+    "q299_zipf_indexed" -> ((s, d) =>
+      TextOps.zipfSlopeFromCounts(
+        TextSearch.buildLexicalIndex(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", "text")
+          .filter(col("term").isNotNull)
+          .groupBy(col("term").as("_t"))
+          .agg(sum(col("tf")).as("_c")),
+        topN = 1000)),
+
     // X3+/S — bimodality coefficient of the per-vector norm
     // distribution: is ONE encoder behind this embedding column, or
     // a mixture of two (q182's norm-drift comment made testable)?
@@ -4649,46 +4675,12 @@ object SparkEntry {
 
     // q292: same (count desc, term) ranks, same ln/ln 12-dp moments,
     // the q147 closed-form chains.
-    "q292_zipf_slope" ->
-      """WITH c AS (
-        |  SELECT t, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(list_filter(
-        |          string_split_regex(lower(text), '\s+'),
-        |          x -> length(x) > 0)) AS t
-        |        FROM documents WHERE text IS NOT NULL) x
-        |  GROUP BY 1),
-        |r AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t)
-        |           AS BIGINT) AS r, c
-        |  FROM c),
-        |xy AS (
-        |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
-        |  FROM r WHERE r <= 1000),
-        |m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS syy,
-        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sxy
-        |  FROM xy),
-        |k AS (
-        |  SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy,
-        |         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
-        |         CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
-        |         CAST(n AS DOUBLE) * syy - sy * sy AS vary
-        |  FROM m)
-        |SELECT n AS n_terms,
-        |       round(cov / nullif(varx, 0), 6) AS slope,
-        |       round((sy - cov / nullif(varx, 0) * sx) / nd, 6)
-        |         AS intercept,
-        |       round(cov * cov / nullif(varx * vary, 0), 6) AS r2
-        |FROM k""".stripMargin,
+    "q292_zipf_slope" -> zipfSlopeOracleSql,
+
+    // q299: the index rollup folds to the identical term-count frame
+    // — the direct-tokenization oracle verbatim.
+    "q299_zipf_indexed" -> zipfSlopeOracleSql,
+
 
     // q293: same per-user gap moments (population σ), same B chain
     // and floor buckets.
@@ -4889,27 +4881,11 @@ object SparkEntry {
 
     // q287: same token counts, same f1/f2 census, the corrected
     // Chao1 chain.
-    "q287_chao1" ->
-      """WITH c AS (
-        |  SELECT t, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(list_filter(
-        |          string_split_regex(lower(text), '\s+'),
-        |          x -> length(x) > 0)) AS t
-        |        FROM documents WHERE text IS NOT NULL) x
-        |  GROUP BY 1),
-        |a AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS vocab,
-        |         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
-        |           AS BIGINT) AS f1,
-        |         CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0)
-        |           AS BIGINT) AS f2
-        |  FROM c)
-        |SELECT vocab, f1, f2,
-        |       round(CAST(vocab AS DOUBLE)
-        |             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
-        |               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
-        |         AS chao1
-        |FROM a""".stripMargin,
+    "q287_chao1" -> chao1OracleSql,
+
+    // q298: same frame through the postings rollup.
+    "q298_chao1_indexed" -> chao1OracleSql,
+
 
     // q288: same md5 folds (no-separator salt prefix, 4 hex chars
     // mod k), same decimal fold sums, leave-one-out by subtraction.
@@ -11381,6 +11357,74 @@ object SparkEntry {
         |                    / (CAST(m AS DOUBLE) * cm.c)
         |                       THEN rank END) AS cut
         |       FROM rk CROSS JOIN cm)""".stripMargin)
+
+  /** q292/q299 shared oracle: the term-count frame (direct
+    * tokenization ≡ the postings-stripe sum(tf) rollup), ranked and
+    * fit. */
+  private val zipfSlopeOracleSql: String =
+    """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t)
+        |           AS BIGINT) AS r, c
+        |  FROM c),
+        |xy AS (
+        |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |  FROM r WHERE r <= 1000),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM xy),
+        |k AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy,
+        |         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+        |         CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS vary
+        |  FROM m)
+        |SELECT n AS n_terms,
+        |       round(cov / nullif(varx, 0), 6) AS slope,
+        |       round((sy - cov / nullif(varx, 0) * sx) / nd, 6)
+        |         AS intercept,
+        |       round(cov * cov / nullif(varx * vary, 0), 6) AS r2
+        |FROM k""".stripMargin
+
+  /** q287/q298 shared oracle: the same term-count frame, the Chao1
+    * census. */
+  private val chao1OracleSql: String =
+    """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS f1,
+        |         CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0)
+        |           AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT vocab, f1, f2,
+        |       round(CAST(vocab AS DOUBLE)
+        |             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+        |               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
+        |         AS chao1
+        |FROM a""".stripMargin
 
   /** q180/q290 shared oracle: the user-span KM curve under the
     * horizon censoring rule (q290 wraps it to pick the median). */

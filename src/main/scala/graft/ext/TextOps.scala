@@ -841,12 +841,24 @@ object TextOps {
    * top-`topN` rows proceed to the fit.
    */
   def zipfSlope(
-      docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
-    require(topN >= 3, s"need >= 3 ranks to fit, got $topN")
-    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val counts = docs.filter(col(textCol).isNotNull)
+      docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame =
+    zipfSlopeFromCounts(termCounts(docs, textCol), topN)
+
+  /** Corpus term totals `(_t, _c)` — the shared first stage of the
+    * vocabulary estimators, and exactly the `sum(tf)` rollup of a
+    * [[TextSearch.buildLexicalIndex]] postings stripe (same tokenizer
+    * by library contract), so a standing retrieval index serves the
+    * estimators without re-tokenizing history. */
+  private[ext] def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("_t"))
       .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+
+  /** [[zipfSlope]] evaluated over an already-built term-count frame
+    * (`(_t, _c)` — [[termCounts]] or an index rollup). */
+  def zipfSlopeFromCounts(counts: DataFrame, topN: Int = 1000): DataFrame = {
+    require(topN >= 3, s"need >= 3 ranks to fit, got $topN")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val w = Window.orderBy(col("_c").desc, col("_t").asc)
     val xy = counts
       .withColumn("_r", row_number().over(w).cast("long"))
@@ -892,10 +904,12 @@ object TextOps {
    * Shape: one token explode → token-keyed hash aggregate → one fold
    * of the count frame. Any cardinality, no windows.
    */
-  def chao1(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = docs.filter(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("_t"))
-      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+  def chao1(docs: DataFrame, textCol: String): DataFrame =
+    chao1FromCounts(termCounts(docs, textCol))
+
+  /** [[chao1]] evaluated over an already-built term-count frame
+    * (`(_t, _c)` — [[termCounts]] or an index rollup). */
+  def chao1FromCounts(counts: DataFrame): DataFrame = {
     val agg = counts.agg(count(lit(1)).as("vocab"),
       coalesce(sum(when(col("_c") === 1, 1L)), lit(0L)).as("f1"),
       coalesce(sum(when(col("_c") === 2, 1L)), lit(0L)).as("f2"))
