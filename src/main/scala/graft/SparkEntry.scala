@@ -288,6 +288,20 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — Mantel–Haenszel pooled odds ratio over the q296 strata:
+    // the effect size behind the CMH significance (stable where
+    // sparse per-stratum ORs blow up).
+    "q300_mh_odds" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(floor(col("ts").cast("long") / lit(604800L))
+          .cast("long")).as("_wk"),
+          max((col("event_type") === "purchase").cast("int")).as("_cv"))
+      StatsTests.mhOddsRatio(users, col("_wk"),
+        col("user_id") % 2 === 0, col("_cv") === 1)
+    }),
+
     // X2+/S — q287/q292 read from the STANDING lexical index instead
     // of re-tokenizing: the postings stripe's sum(tf) rollup IS the
     // term-count frame (same tokenizer by library contract), so the
@@ -4518,6 +4532,39 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q300: same q296 user/stratum frame and cells, the MH r/s folds.
+    "q300_mh_odds" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS wk,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) AS cv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1
+        |           END), 0) AS BIGINT) AS n1,
+        |         CAST(coalesce(sum(CASE WHEN cv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS m1,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0
+        |           AND cv = 1 THEN 1 END), 0) AS BIGINT) AS aa
+        |  FROM u GROUP BY 1 HAVING count(*) >= 2),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(coalesce(sum(CAST(round(CAST(aa AS DOUBLE)
+        |             * CAST(n - n1 - m1 + aa AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))), 0)
+        |           AS DOUBLE) AS r,
+        |         CAST(coalesce(sum(CAST(round(CAST(n1 - aa AS DOUBLE)
+        |             * CAST(m1 - aa AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))), 0)
+        |           AS DOUBLE) AS s
+        |  FROM cells)
+        |SELECT n_strata, round(r, 6) AS r_sum, round(s, 6) AS s_sum,
+        |       CASE WHEN s > 0 THEN round(r / s, 6) END AS or_mh
+        |FROM t""".stripMargin,
 
     // q295: same in-list-order norm folds (the q182 parity), same
     // 4-moment chain, the (g1²+1)/(g2+3) coefficient.

@@ -395,11 +395,13 @@ object StatsTests {
    *
    * Shape: one hash aggregate to the stratum frame, one fold.
    */
-  def cmhTest(
+  /** Per-stratum 2×2 margins `(_s, _n, _n1, _m1, _aa)` behind
+    * [[cmhTest]] and [[mhOddsRatio]] — one hash aggregate; strata with
+    * n < 2 carry no variance and drop. */
+  private def stratumCells(
       df: DataFrame, stratum: Column, arm: Column,
-      success: Column): DataFrame = {
-    val d12 = DecimalType(38, 12)
-    val cells = df.select(stratum.as("_s"),
+      success: Column): DataFrame =
+    df.select(stratum.as("_s"),
         arm.cast("boolean").as("_a"), success.cast("boolean").as("_y"))
       .filter(col("_s").isNotNull && col("_a").isNotNull &&
         col("_y").isNotNull)
@@ -410,6 +412,12 @@ object StatsTests {
         coalesce(sum((col("_a") && col("_y")).cast("long")), lit(0L))
           .as("_aa"))
       .filter(col("_n") >= 2)
+
+  def cmhTest(
+      df: DataFrame, stratum: Column, arm: Column,
+      success: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = stratumCells(df, stratum, arm, success)
     val nD = col("_n").cast("double")
     val n1 = col("_n1").cast("double"); val m1 = col("_m1").cast("double")
     val e = n1 * m1 / nD
@@ -427,6 +435,45 @@ object StatsTests {
       round(varD, 6).as("var_sum"),
       when(varD > 0.0, round(chi2, 6)).as("chi2"),
       when(varD > 0.0, normalTwoSidedP(sqrt(chi2))).as("p"))
+  }
+
+  /**
+   * Mantel–Haenszel pooled odds ratio across strata — the EFFECT SIZE
+   * behind [[cmhTest]]'s significance (the pair answers "is there a
+   * within-stratum effect, and how big?"): with per-stratum 2×2 cells
+   * `a, b = n₁−a, c = m₁−a, d = n−n₁−m₁+a`,
+   *
+   *   OR_MH = Σ_s (a·d/n) / Σ_s (b·c/n)
+   *
+   * — the precision-weighted pooling that stays stable when sparse
+   * strata would make per-stratum ORs blow up. Per-stratum terms are
+   * one double chain rounded 12-dp and folded DECIMAL(38,12). NULL
+   * when the denominator sum is 0 (no discordant evidence). Returns
+   * one row `(n_strata, r_sum, s_sum, or_mh)`, 6-dp. Same
+   * stratum-frame shape as [[cmhTest]].
+   */
+  def mhOddsRatio(
+      df: DataFrame, stratum: Column, arm: Column,
+      success: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = stratumCells(df, stratum, arm, success)
+    val nD = col("_n").cast("double")
+    val a = col("_aa").cast("double")
+    val b = (col("_n1") - col("_aa")).cast("double")
+    val c = (col("_m1") - col("_aa")).cast("double")
+    val d = (col("_n") - col("_n1") - col("_m1") + col("_aa"))
+      .cast("double")
+    val folded = cells.agg(count(lit(1)).as("n_strata"),
+      coalesce(sum(round(a * d / nD, 12).cast(d12)), lit(0).cast(d12))
+        .as("_r"),
+      coalesce(sum(round(b * c / nD, 12).cast(d12)), lit(0).cast(d12))
+        .as("_ss"))
+    folded.select(col("n_strata"),
+      round(col("_r").cast("double"), 6).as("r_sum"),
+      round(col("_ss").cast("double"), 6).as("s_sum"),
+      when(col("_ss").cast("double") > 0.0,
+        round(col("_r").cast("double") / col("_ss").cast("double"), 6))
+        .as("or_mh"))
   }
 
   /**

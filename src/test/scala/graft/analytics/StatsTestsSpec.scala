@@ -516,6 +516,30 @@ class StatsTestsSpec extends GraftSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("mhOddsRatio: balanced strata pool to OR 1; adding a pure " +
+    "within-stratum effect lifts it; no discordance leaves it NULL") {
+    import org.apache.spark.sql.functions.col
+    def stratum(s: String, convByArm: Boolean) =
+      if (convByArm)
+        Seq((s, true, true), (s, true, true), (s, false, false),
+          (s, false, false))
+      else
+        Seq((s, true, true), (s, true, false), (s, false, true),
+          (s, false, false))
+    val balanced = (stratum("a", false) ++ stratum("b", false))
+      .toDF("s", "arm", "y")
+    assert(StatsTests.mhOddsRatio(balanced, col("s"), col("arm"),
+      col("y")).head().getDouble(3) == 1.0)
+    // balanced (r=s=0.25) + pure effect (r=1, s=0) → OR = 1.25/0.25
+    val mixed = (stratum("a", false) ++ stratum("b", true))
+      .toDF("s", "arm", "y")
+    assert(StatsTests.mhOddsRatio(mixed, col("s"), col("arm"),
+      col("y")).head().getDouble(3) == 5.0)
+    val pure = stratum("a", true).toDF("s", "arm", "y")
+    assert(StatsTests.mhOddsRatio(pure, col("s"), col("arm"), col("y"))
+      .head().isNullAt(3), "zero discordant mass is undefined")
+  }
+
   test("wilcoxonSignedRank: hand-computed doubled ranks — balanced " +
     "signs give z = 0; ties tie-average; zero diffs drop") {
     import org.apache.spark.sql.functions.col
