@@ -288,6 +288,42 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/E — decile lift table for the churn probe's scores: the
+    // business face of the threshold metrics ("the top decile holds
+    // N× its share of churners"), deterministic ntile over the scored
+    // user frame. CHAINED oracle: scores replay from q258's dumped
+    // weights.
+    "q301_lift_curve" -> ((s, d) => {
+      val feats = LogAnalytics.churnFeatures(t(s, d, "events"))
+      val wts = Probe.fitRidge(feats, "features", col("churned"),
+        dim = 7, lambda = 1e-3)
+      Eval.liftTable(
+        feats.withColumn("_score", Probe.score(col("features"), wts)),
+        col("_score"), col("churned") === 1.0, col("user_id"),
+        buckets = 10)
+    }),
+
+    // X+/E — population stability index of the event-value
+    // distribution, first half of the time range vs second: the
+    // model-monitoring drift number (PSI > 0.25 = act), reference-
+    // decile bins via rank-exact picks.
+    "q302_psi" -> ((s, d) => {
+      val dd = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(floor(col("ts").cast("long") / lit(86400L))
+          .cast("long").as("_day"), col("value"))
+      val bounds = dd.agg(min(col("_day")).as("_lo"),
+        max(col("_day")).as("_hi"))
+      // double midpoint: long / on Spark longs is already a double
+      // divide — make that explicit so the oracle mirrors it exactly
+      val mid = (col("_lo") + col("_hi")).cast("double") / lit(2.0)
+      val withMid = dd.crossJoin(broadcast(bounds))
+      Eval.psi(
+        withMid.filter(col("_day").cast("double") <= mid),
+        withMid.filter(col("_day").cast("double") > mid),
+        col("value"), buckets = 10)
+    }),
+
     // X+/S — Mantel–Haenszel pooled odds ratio over the q296 strata:
     // the effect size behind the CMH significance (stable where
     // sparse per-stratum ORs blow up).
@@ -4532,6 +4568,139 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q301: CHAINED — the q258 feature replay scored with q258's own
+    // dumped weights (in-list-order fold, the q19 parity), then the
+    // same deterministic ntile and ratio chains.
+    "q301_lift_curve" ->
+      """WITH wdump AS (
+        |  SELECT CAST(idx AS BIGINT) AS idx, w
+        |  FROM read_parquet('__OUT__/q258_churn_probe/*.parquet')),
+        |wl AS (SELECT list(w ORDER BY idx) AS wl FROM wdump),
+        |fe AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c_view,
+        |         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS fb,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS lb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM fe),
+        |e AS (
+        |  SELECT user_id,
+        |         [CAST(c_click AS DOUBLE) / 100.0,
+        |          CAST(c_error AS DOUBLE) / 100.0,
+        |          CAST(c_purchase AS DOUBLE) / 100.0,
+        |          CAST(c_signup AS DOUBLE) / 100.0,
+        |          CAST(c_view AS DOUBLE) / 100.0,
+        |          CAST(lb - fb AS DOUBLE) / 1000.0,
+        |          CAST(tot AS DOUBLE) / 100.0,
+        |          CAST(1 AS DOUBLE)] AS v,
+        |         CASE WHEN lb <= maxd - 12 THEN 1 ELSE 0 END AS y
+        |  FROM fe, mx),
+        |sc AS (
+        |  SELECT user_id, y,
+        |         list_aggregate(list_transform(list_zip(v, wl.wl),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |           'sum') AS s
+        |  FROM e, wl),
+        |bk AS (
+        |  SELECT y, CAST(ntile(10) OVER (ORDER BY s DESC, user_id)
+        |           AS BIGINT) AS bucket
+        |  FROM sc),
+        |cells AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos
+        |  FROM bk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               CAST(sum(n_pos) AS BIGINT) AS pp
+        |        FROM cells),
+        |cum AS (
+        |  SELECT bucket, n, n_pos,
+        |         CAST(sum(n_pos) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cp
+        |  FROM cells)
+        |SELECT c.bucket, c.n, c.n_pos,
+        |       round(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+        |         AS rate,
+        |       round((CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |             / nullif(CAST(t.pp AS DOUBLE)
+        |                      / CAST(t.nn AS DOUBLE), 0), 6) AS lift,
+        |       round(CAST(c.cp AS DOUBLE)
+        |             / nullif(CAST(t.pp AS DOUBLE), 0), 6)
+        |         AS cum_capture
+        |FROM cum c, tot t ORDER BY bucket""".stripMargin,
+
+    // q302: same double midpoint split, same rank-exact reference
+    // edges, same multiplicity-weighted bins and 12-dp PSI folds.
+    "q302_psi" ->
+      """WITH dd AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |         CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |bo AS (SELECT (CAST(min(d) AS DOUBLE) + CAST(max(d) AS DOUBLE))
+        |         / 2.0 AS mid FROM dd),
+        |r AS (SELECT v FROM dd, bo WHERE CAST(d AS DOUBLE) <= mid),
+        |c AS (SELECT v FROM dd, bo WHERE CAST(d AS DOUBLE) > mid),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |ed AS (
+        |  SELECT DISTINCT v AS edge FROM (
+        |    SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |             AS rn, nr.n
+        |    FROM r, nr) x
+        |  WHERE rn IN (
+        |    SELECT greatest(CAST(ceil(i / 10.0 * (SELECT CAST(n AS
+        |      DOUBLE) FROM nr)) AS BIGINT), 1)
+        |    FROM (SELECT unnest(range(1, 10)) AS i) ii)),
+        |br AS (
+        |  SELECT bin, CAST(sum(m) AS BIGINT) AS cr FROM (
+        |    SELECT x.v, x.m, CAST(count(ed.edge) AS BIGINT) AS bin
+        |    FROM (SELECT v, CAST(count(*) AS BIGINT) AS m FROM r
+        |          GROUP BY 1) x
+        |    LEFT JOIN ed ON x.v > ed.edge
+        |    GROUP BY x.v, x.m) y GROUP BY 1),
+        |bc AS (
+        |  SELECT bin, CAST(sum(m) AS BIGINT) AS cc FROM (
+        |    SELECT x.v, x.m, CAST(count(ed.edge) AS BIGINT) AS bin
+        |    FROM (SELECT v, CAST(count(*) AS BIGINT) AS m FROM c
+        |          GROUP BY 1) x
+        |    LEFT JOIN ed ON x.v > ed.edge
+        |    GROUP BY x.v, x.m) y GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(br.cr, 0) AS cr, coalesce(bc.cc, 0) AS cc
+        |  FROM br FULL OUTER JOIN bc USING (bin)),
+        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref,
+        |             CAST(sum(cc) AS BIGINT) AS n_cur
+        |      FROM j),
+        |tm AS (
+        |  SELECT t.n_ref, t.n_cur,
+        |         CASE WHEN cr > 0 AND cc > 0 THEN 1 ELSE 0 END AS u,
+        |         CASE WHEN cr > 0 AND cc > 0 THEN
+        |           CAST(round((CAST(cc AS DOUBLE)
+        |               / CAST(t.n_cur AS DOUBLE)
+        |               - CAST(cr AS DOUBLE) / CAST(t.n_ref AS DOUBLE))
+        |             * ln((CAST(cc AS DOUBLE) / CAST(t.n_cur AS DOUBLE))
+        |               / (CAST(cr AS DOUBLE)
+        |                  / CAST(t.n_ref AS DOUBLE))), 12)
+        |             AS DECIMAL(38,12))
+        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS tm
+        |  FROM j, t)
+        |SELECT n_ref, n_cur,
+        |       CAST(sum(u) AS BIGINT) AS n_bins_used,
+        |       CAST(count(*) - sum(u) AS BIGINT) AS n_bins_dropped,
+        |       round(CAST(sum(tm) AS DOUBLE), 6) AS psi
+        |FROM tm GROUP BY n_ref, n_cur""".stripMargin,
 
     // q300: same q296 user/stratum frame and cells, the MH r/s folds.
     "q300_mh_odds" ->

@@ -1036,4 +1036,115 @@ object Eval {
             .as("rho"))
     }
   }
+
+  /**
+   * Decile lift table for a scored binary outcome — the business face
+   * of the threshold metrics ([[prCurve]]/[[rocAuc]] speak in rates;
+   * this speaks in "the top decile holds 3.2× its share of
+   * churners"): rows ntile into `buckets` by `(score desc, id)` (the
+   * deterministic total order DuckDB's ntile cuts identically — the
+   * q260 RFM precedent), and each bucket reports its positive rate,
+   * lift over the base rate, and the cumulative capture of all
+   * positives down to it. Counts exact; the ratios are one double
+   * chain each, 6-dp.
+   *
+   * Same global-rank EVAL-SAMPLE contract as [[rocAuc]]: the ntile
+   * runs over the scored frame — run on the eval sample, not the raw
+   * corpus. Returns `(bucket, n, n_pos, rate, lift, cum_capture)`
+   * ordered by bucket (1 = highest scores).
+   */
+  def liftTable(
+      df: DataFrame, score: Column, label: Column, id: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val base = df.select(score.cast("double").as("_s"),
+        label.cast("boolean").cast("long").as("_y"), id.as("_id"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+    val w = Window.orderBy(col("_s").desc, col("_id").asc)
+    val cells = base
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("_y")), lit(0L))
+        .as("n_pos"))
+    val tot = cells.agg(sum(col("n")).as("_nn"),
+      sum(col("n_pos")).as("_pp"))
+    val wCum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val baseRate = col("_pp").cast("double") / col("_nn").cast("double")
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_cp", sum(col("n_pos")).over(wCum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(rate, 6).as("rate"),
+        round(rate / nullif(baseRate, lit(0.0)), 6).as("lift"),
+        round(col("_cp").cast("double") /
+          nullif(col("_pp").cast("double"), lit(0.0)), 6)
+          .as("cum_capture"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /**
+   * Population stability index between a reference and a current
+   * sample of one numeric column — the model-monitoring drift number
+   * ("has the scored population shifted since the reference
+   * window?"), with the conventional reading PSI < 0.1 stable,
+   * 0.1–0.25 watch, > 0.25 act. Bin edges are the REFERENCE sample's
+   * rank-exact decile picks (actual values — the [[graft.analytics
+   * .Robust]] percentile_disc rule), applied to both sides:
+   * `bin(v) = Σ_edges (v > edge)`. Bins where either side is empty
+   * drop from the sum (no epsilon smoothing — the count is reported
+   * instead, deterministic). Per-bin terms
+   * `(p_cur − p_ref)·ln(p_cur/p_ref)` are one double chain rounded
+   * 12-dp and folded DECIMAL(38,12). Returns one row
+   * `(n_ref, n_cur, n_bins_used, n_bins_dropped, psi)`, 6-dp.
+   *
+   * Shape: one reference-frame rank window (eval-sample contract) to
+   * pick ≤ `buckets`−1 edges (a broadcast-sized frame), then per-row
+   * bin assignment via the edge join and two bin-frame folds.
+   */
+  def psi(
+      ref: DataFrame, cur: DataFrame, value: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    def clean(df: DataFrame) = df.select(value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val r = clean(ref); val c = clean(cur)
+    val wOrd = Window.orderBy(col("_v").asc)
+    val nRef = r.agg(count(lit(1)).as("_n"))
+    val edges = r
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .crossJoin(broadcast(nRef))
+      .filter((1 to (buckets - 1)).map(i =>
+        col("_rn") === greatest(ceil(lit(i.toDouble / buckets) *
+          col("_n").cast("double")).cast("long"), lit(1L)))
+        .reduce(_ || _))
+      .select(col("_v").as("_edge")).distinct()
+    // bin DISTINCT values carrying their multiplicity — binning raw
+    // rows and grouping by value would collapse duplicates, and the
+    // edge join stays value-cardinality-sized this way
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+      .join(broadcast(edges), col("_v") > col("_edge"), "left")
+      .groupBy(col("_v"), col("_m")).agg(count(col("_edge")).as("_bin"))
+      .groupBy(col("_bin")).agg(sum(col("_m")).as(out))
+    val j = binned(r, "_cr").join(binned(c, "_cc"), Seq("_bin"),
+      "full_outer")
+      .select(coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val tot = j.agg(sum(col("_cr")).as("n_ref"),
+      sum(col("_cc")).as("n_cur"))
+    val pR = col("_cr").cast("double") / col("n_ref").cast("double")
+    val pC = col("_cc").cast("double") / col("n_cur").cast("double")
+    val usable = col("_cr") > 0 && col("_cc") > 0
+    j.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"),
+        usable.cast("long").as("_u"),
+        when(usable, round((pC - pR) * log(pC / pR), 12).cast(d12))
+          .otherwise(lit(0).cast(d12)).as("_t"))
+      .groupBy(col("n_ref"), col("n_cur"))
+      .agg(sum(col("_u")).as("n_bins_used"),
+        (count(lit(1)) - sum(col("_u"))).as("n_bins_dropped"),
+        round(sum(col("_t")).cast("double"), 6).as("psi"))
+  }
 }

@@ -590,4 +590,47 @@ class EvalSpec extends GraftSpec {
       Eval.krippendorffAlphaBinary(panel, Seq($"r0"))
     }
   }
+
+  test("liftTable: hand-computed decile lift over a ranked score " +
+    "frame; cumulative capture reaches 1") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scores 10..1; positives at scores {10, 9, 1} -> base rate 0.3
+    val df = (1 to 10).map { i =>
+      val score = i.toDouble
+      (11L - i, score, score >= 9.0 || score == 1.0)
+    }.toDF("id", "s", "y")
+    val got = Eval.liftTable(df, col("s"), col("y"), col("id"),
+      buckets = 5).collect()
+    assert(got.length == 5)
+    val b1 = got.head
+    assert(b1.getLong(0) == 1L && b1.getLong(1) == 2L &&
+      b1.getLong(2) == 2L)
+    assert(b1.getDouble(3) == 1.0 && b1.getDouble(4) == r6(1.0 / 0.3))
+    assert(b1.getDouble(5) == r6(2.0 / 3.0), s"$b1")
+    val b5 = got.last
+    assert(b5.getDouble(3) == 0.5 && b5.getDouble(5) == 1.0, s"$b5")
+    intercept[IllegalArgumentException] {
+      Eval.liftTable(df, col("s"), col("y"), col("id"), buckets = 1)
+    }
+  }
+
+  test("psi: identical populations score 0 over full bins; a shifted " +
+    "population scores positive drift; duplicates weigh correctly") {
+    import org.apache.spark.sql.functions.col
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Eval.psi(ref, ref, col("v"), buckets = 10).head()
+    assert(same.getLong(0) == 100L && same.getLong(1) == 100L)
+    assert(same.getLong(2) == 10L && same.getLong(3) == 0L)
+    assert(same.getDouble(4) == 0.0, s"$same")
+    val shifted = (51 to 150).map(_.toDouble).toDF("v")
+    val drift = Eval.psi(ref, shifted, col("v"), buckets = 10).head()
+    assert(drift.getDouble(4) > 0.25, s"top-half shift must alarm: $drift")
+    // duplicate rows carry multiplicity: doubling every current row
+    // leaves the proportions (and PSI) unchanged
+    val doubled = Eval.psi(ref, ref.union(ref), col("v"), buckets = 10)
+      .head()
+    assert(doubled.getLong(1) == 200L && doubled.getDouble(4) == 0.0)
+  }
 }
