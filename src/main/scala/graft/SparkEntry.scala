@@ -536,6 +536,20 @@ object SparkEntry {
     "q285_mix_entropy" -> ((s, d) =>
       TimeSeries.mixEntropy(t(s, d, "events"), "ts", "event_type")),
 
+    // A+/S — q285 through the MERGE law: parity halves' (week, type)
+    // cell partials fold additively, then the identical entropy
+    // derivation. SHARES q285's oracle verbatim.
+    "q303_mix_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      TimeSeries.mixEntropyFromCells(
+        TimeSeries.mergeMixCells(
+          TimeSeries.mixCells(ev.filter(col("event_id") % 2 === 0),
+            "ts", "event_type")
+            .union(TimeSeries.mixCells(
+              ev.filter(col("event_id") % 2 =!= 0),
+              "ts", "event_type"))))
+    }),
+
     // X2+/S — Dunning LLR collocations: the sparse-robust companion to
     // q136's PMI (a pair must be surprising AND well-attested to
     // rank). Self-consistent bigram-position marginals, TakeOrdered
@@ -5225,32 +5239,12 @@ object SparkEntry {
 
     // q285: same epoch-week buckets, same p·ln p 12-dp folds, one
     // ln2 division per week.
-    "q285_mix_entropy" ->
-      """WITH c AS (
-        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
-        |         event_type AS t, CAST(count(*) AS BIGINT) AS c
-        |  FROM events
-        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT w, CAST(sum(c) AS BIGINT) AS n_events,
-        |         CAST(count(*) AS BIGINT) AS n_types
-        |  FROM c GROUP BY 1),
-        |tm AS (
-        |  SELECT c.w, tot.n_events, tot.n_types,
-        |         CAST(round((CAST(c.c AS DOUBLE)
-        |             / CAST(tot.n_events AS DOUBLE))
-        |           * ln(CAST(c.c AS DOUBLE)
-        |             / CAST(tot.n_events AS DOUBLE)), 12)
-        |           AS DECIMAL(38,12)) AS t
-        |  FROM c JOIN tot ON tot.w = c.w)
-        |SELECT strftime(make_timestamp(w * 604800 * 1000000),
-        |         '%Y-%m-%d') AS week_start,
-        |       n_events, n_types,
-        |       round(-CAST(sum(t) AS DOUBLE) / 0.6931471805599453, 6)
-        |         AS entropy
-        |FROM tm GROUP BY w, n_events, n_types
-        |ORDER BY week_start""".stripMargin,
+    "q285_mix_entropy" -> mixEntropyOracleSql,
+
+    // q303: the cell merge folds to the identical frame — the batch
+    // oracle verbatim.
+    "q303_mix_merge" -> mixEntropyOracleSql,
+
 
     // q282: same bigram universe and marginals, same probabilities-
     // first cell chains, zero-observation cells contribute 0.
@@ -11641,6 +11635,36 @@ object SparkEntry {
         |               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
         |         AS chao1
         |FROM a""".stripMargin
+
+  /** q285/q303 shared oracle: the (week, type) cell frame and the
+    * entropy derivation (the merge law folds to the identical
+    * frame). */
+  private val mixEntropyOracleSql: String =
+    """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+        |         event_type AS t, CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1),
+        |tm AS (
+        |  SELECT c.w, tot.n_events, tot.n_types,
+        |         CAST(round((CAST(c.c AS DOUBLE)
+        |             / CAST(tot.n_events AS DOUBLE))
+        |           * ln(CAST(c.c AS DOUBLE)
+        |             / CAST(tot.n_events AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12)) AS t
+        |  FROM c JOIN tot ON tot.w = c.w)
+        |SELECT strftime(make_timestamp(w * 604800 * 1000000),
+        |         '%Y-%m-%d') AS week_start,
+        |       n_events, n_types,
+        |       round(-CAST(sum(t) AS DOUBLE) / 0.6931471805599453, 6)
+        |         AS entropy
+        |FROM tm GROUP BY w, n_events, n_types
+        |ORDER BY week_start""".stripMargin
 
   /** q180/q290 shared oracle: the user-span KM curve under the
     * horizon censoring rule (q290 wraps it to pick the median). */

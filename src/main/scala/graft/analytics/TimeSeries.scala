@@ -309,13 +309,29 @@ object TimeSeries {
    * week-frame-sized, aggregates only, no windows.
    */
   def mixEntropy(
+      df: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    mixEntropyFromCells(mixCells(df, tsCol, typeCol))
+
+  /** The (week, type, count) cell partials behind [[mixEntropy]] —
+    * ADDITIVE under disjoint batches ([[mergeMixCells]]), so the drift
+    * series is a standing state: per-batch cells append and fold at
+    * read, full-history re-reads never rescan events. */
+  def mixCells(
       df: DataFrame, tsCol: String, typeCol: String): DataFrame = {
-    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val wk = floor(col(tsCol).cast("long") / lit(604800L)).cast("long")
-    val cells = df
-      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+    df.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .groupBy(wk.as("_w"), col(typeCol).as("_t"))
       .agg(count(lit(1)).as("_c"))
+  }
+
+  /** Column-wise fold of [[mixCells]] partials from disjoint batches
+    * (counts sum — the [[graft.ext.Privacy.mergeClasses]] shape). */
+  def mergeMixCells(partials: DataFrame): DataFrame =
+    partials.groupBy(col("_w"), col("_t")).agg(sum(col("_c")).as("_c"))
+
+  /** [[mixEntropy]] evaluated over an already-built cell frame. */
+  def mixEntropyFromCells(cells: DataFrame): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val tot = cells.groupBy(col("_w"))
       .agg(sum(col("_c")).as("n_events"),
         count(lit(1)).as("n_types"))

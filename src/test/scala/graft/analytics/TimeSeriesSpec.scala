@@ -100,6 +100,25 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("mixCells merge law: disjoint-batch partials fold to the " +
+    "whole-data entropy series") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val ev = Seq((0L, "a", 1L), (1L, "a", 2L), (2L, "b", 3L),
+      (604801L, "b", 4L), (604802L, "c", 5L))
+      .toDF("ep", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val whole = TimeSeries.mixEntropy(ev, "ts", "event_type")
+      .collect().toSeq
+    val merged = TimeSeries.mixEntropyFromCells(
+      TimeSeries.mergeMixCells(
+        TimeSeries.mixCells(ev.filter(col("event_id") % 2 === 0),
+          "ts", "event_type")
+          .union(TimeSeries.mixCells(
+            ev.filter(col("event_id") % 2 =!= 0), "ts", "event_type"))))
+      .collect().toSeq
+    assert(merged == whole)
+  }
+
   test("burstinessHistogram: a metronome lands at B = -1, a bursty " +
     "user above 0; short and degenerate users drop") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
