@@ -288,6 +288,54 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/E — langid confusion matrix against the labeled lang
+    // column: the EVAL face of q23's heuristic (which languages does
+    // the n-gram detector confuse, and how often?). Cell-frame
+    // output, aggregates only.
+    "q304_langid_eval" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc, col("lang_pred").asc)),
+
+    // A+/S — weekly top-10 source leaderboard turnover: week-over-week
+    // Jaccard of the top set (is the head of the corpus stable, or
+    // churning?). Week-partitioned rank windows, set-sized join.
+    "q305_topk_turnover" -> ((s, d) => {
+      val wk = floor(col("ts").cast("long") / lit(604800L)).cast("long")
+      val weekly = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(wk.as("_w"), col("user_id").as("_src"))
+        .agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(col("_w"))
+        .orderBy(col("_n").desc, col("_src").asc)
+      val top = weekly
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 10)
+        .select(col("_w"), col("_src"))
+      val sizes = top.groupBy(col("_w")).agg(count(lit(1)).as("_k"))
+      val both = top
+        .join(top.select(col("_src"), (col("_w") + 1L).as("_w")),
+          Seq("_src", "_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("n_both"))
+      sizes.select(col("_w"), col("_k").as("k_cur"))
+        .join(sizes.select((col("_w") + 1L).as("_w"),
+          col("_k").as("k_prev")), Seq("_w"))
+        .join(both, Seq("_w"), "left")
+        .select(
+          date_format(timestamp_seconds(col("_w") * 604800L),
+            "yyyy-MM-dd").as("week_start"),
+          col("k_prev"), col("k_cur"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          round(coalesce(col("n_both"), lit(0L)).cast("double") /
+            (col("k_prev") + col("k_cur") -
+              coalesce(col("n_both"), lit(0L))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("week_start").asc)
+    }),
+
     // X+/E — decile lift table for the churn probe's scores: the
     // business face of the threshold metrics ("the top decile holds
     // N× its share of churners"), deterministic ntile over the scored
@@ -4582,6 +4630,69 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q304: q23's detector chain with the label kept — the same
+    // stopword lists and greatest-tiebreak order.
+    "q304_langid_eval" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     t -> length(t) > 0) AS tk
+        |  FROM documents WHERE lang IS NOT NULL),
+        |sc AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['the','and','of','to','in'], t))) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['el','los','las','una','y'], t))) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['le','la','et','les','des'], t))) AS s_fr
+        |  FROM toks),
+        |lp AS (
+        |  SELECT lang, CASE
+        |    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM sc)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |FROM lp GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    // q305: same weekly (week, user) counts, same (count desc, user)
+    // top-10 ranks, the q265 adjacent-set union arithmetic.
+    "q305_topk_turnover" ->
+      """WITH wk AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+        |         user_id AS src, CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tp AS (
+        |  SELECT w, src FROM (
+        |    SELECT w, src,
+        |           row_number() OVER (PARTITION BY w
+        |             ORDER BY n DESC, src) AS r
+        |    FROM wk) x
+        |  WHERE r <= 10),
+        |sz AS (SELECT w, CAST(count(*) AS BIGINT) AS k
+        |       FROM tp GROUP BY 1),
+        |bo AS (
+        |  SELECT a.w, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tp a JOIN tp b ON a.src = b.src AND b.w = a.w - 1
+        |  GROUP BY 1)
+        |SELECT strftime(make_timestamp(c.w * 604800 * 1000000),
+        |         '%Y-%m-%d') AS week_start,
+        |       p.k AS k_prev, c.k AS k_cur,
+        |       coalesce(bo.n_both, 0) AS n_both,
+        |       round(CAST(coalesce(bo.n_both, 0) AS DOUBLE)
+        |             / CAST(p.k + c.k - coalesce(bo.n_both, 0)
+        |                 AS DOUBLE), 6) AS jaccard
+        |FROM sz c JOIN sz p ON p.w = c.w - 1
+        |LEFT JOIN bo ON bo.w = c.w
+        |ORDER BY week_start""".stripMargin,
 
     // q301: CHAINED — the q258 feature replay scored with q258's own
     // dumped weights (in-list-order fold, the q19 parity), then the
