@@ -288,6 +288,26 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/G — degree assortativity of the supplier co-occurrence
+    // graph: do hub suppliers co-appear with hubs (social fabric) or
+    // fan to leaves (star fabric)? Endpoint-degree Pearson over both
+    // orientations, decimal moments.
+    "q306_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(
+        GraphOps.coOccurrence(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey", minSupport = 6L),
+        "src", "dst")),
+
+    // X+/G — global clustering coefficient of the same graph: how
+    // often do shared neighbors close into triangles (3Δ/W)? The
+    // closure fingerprint next to q306's mixing and q155's per-node
+    // counts. Integer-exact to one division.
+    "q307_clustering_coef" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(
+        GraphOps.coOccurrence(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey", minSupport = 6L),
+        "src", "dst")),
+
     // X2+/E — langid confusion matrix against the labeled lang
     // column: the EVAL face of q23's heuristic (which languages does
     // the n-gram detector confuse, and how often?). Cell-frame
@@ -4630,6 +4650,82 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q306: same co-occurrence edges and degrees, both orientations,
+    // the q148 decimal-moment Pearson.
+    "q306_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 6),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS node FROM co UNION ALL SELECT v FROM co) x
+        |  GROUP BY 1),
+        |dir AS (
+        |  SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        |xy AS (
+        |  SELECT CAST(du.dg AS DOUBLE) AS x, CAST(dv.dg AS DOUBLE) AS y
+        |  FROM dir JOIN deg du ON du.node = dir.u
+        |           JOIN deg dv ON dv.node = dir.v),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM xy),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, m.n2 // 2 AS n_edges,
+        |       CASE WHEN m.n2 >= 4 THEN
+        |         round((CAST(m.n2 AS DOUBLE) * sxy - sx * sy)
+        |               / nullif(sqrt((CAST(m.n2 AS DOUBLE) * sxx
+        |                              - sx * sx)
+        |                           * (CAST(m.n2 AS DOUBLE) * syy
+        |                              - sy * sy)), 0), 6) END AS r
+        |FROM m, nn""".stripMargin,
+
+    // q307: same edges/degrees, the q155 oriented-wedge triangle join,
+    // 3Δ/W in one division.
+    "q307_clustering_coef" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 6),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS node FROM co UNION ALL SELECT v FROM co) x
+        |  GROUP BY 1),
+        |ds AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(coalesce(sum(dg), 0) AS BIGINT) // 2 AS n_edges,
+        |         CAST(coalesce(sum(dg * (dg - 1)), 0) AS BIGINT) AS w2
+        |  FROM deg),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM co e1 JOIN co e2 ON e2.u = e1.v
+        |  JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |t3 AS (SELECT CAST(3 * count(*) AS BIGINT) AS t3 FROM tri)
+        |SELECT n_nodes, n_edges, t3 // 3 AS n_triangles,
+        |       w2 // 2 AS n_wedges,
+        |       CASE WHEN w2 > 0 THEN
+        |         round(CAST(t3 AS DOUBLE)
+        |               / (CAST(w2 AS DOUBLE) / 2.0), 6) END AS c
+        |FROM ds, t3""".stripMargin,
 
     // q304: q23's detector chain with the label kept — the same
     // stopword lists and greatest-tiebreak order.

@@ -254,6 +254,108 @@ object GraphOps {
   }
 
   /**
+   * Degree assortativity of an undirected simple graph — "do heavy
+   * nodes link to heavy nodes?" (Newman 2002): the Pearson
+   * correlation of endpoint degrees over every DIRECTED realization
+   * of each edge (both orientations — the standard symmetrization).
+   * Positive = hubs cluster (social shape), negative = hubs fan out
+   * to leaves (infrastructure/star shape) — the one-number structure
+   * fingerprint next to [[modularity]]'s partition score. Degrees
+   * are exact longs; the five moment sums fold as 12-dp decimals
+   * (the [[graft.analytics.Trend]] rule) and r is one double chain,
+   * 6-dp. NULL when fewer than 2 edges or zero degree variance
+   * (regular graph — assortativity undefined). Returns one row
+   * `(n_nodes, n_edges, r)`.
+   *
+   * Shape: distinct + two node-keyed degree joins + one fold — all
+   * shuffles on node keys, 1-row output.
+   */
+  def assortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .select(least(col("_s"), col("_d")).as("u"),
+        greatest(col("_s"), col("_d")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val dir = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("node").as("u"), col("_deg").as("_x")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("_deg").as("_y")),
+        Seq("v"))
+    val dec = DecimalType(38, 12)
+    val x = col("_x").cast("double"); val y = col("_y").cast("double")
+    val m = dir.agg(count(lit(1)).as("_n2"),
+      sum(round(x, 12).cast(dec)).as("_sx"),
+      sum(round(y, 12).cast(dec)).as("_sy"),
+      sum(round(x * x, 12).cast(dec)).as("_sxx"),
+      sum(round(y * y, 12).cast(dec)).as("_syy"),
+      sum(round(x * y, 12).cast(dec)).as("_sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nD = col("_n2").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double")
+    val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val r = (nD * sxy - sx * sy) /
+      nullif(sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)),
+        lit(0.0))
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"),
+        (col("_n2") / 2L).cast("long").as("n_edges"),
+        when(col("_n2") >= 4, round(r, 6)).as("r"))
+  }
+
+  /**
+   * Global clustering coefficient (transitivity) of an undirected
+   * simple graph — "when two nodes share a neighbor, how often are
+   * they themselves linked?": `C = 3Δ/W` with Δ the triangle count
+   * and `W = Σ_node deg(deg−1)/2` the wedge count. The density-of-
+   * closure fingerprint next to [[assortativity]]'s degree mixing —
+   * high C + positive assortativity reads "community fabric", low C
+   * reads "bipartite/star fabric" (a pure bipartite graph scores
+   * exactly 0). Composes [[triangleCounts]] (per-node counts sum to
+   * 3Δ) with the degree frame; all counts exact longs, one division,
+   * 6-dp. Returns one row
+   * `(n_nodes, n_edges, n_triangles, n_wedges, c)` — NULL C when no
+   * wedges exist.
+   */
+  def clusteringCoefficient(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .select(least(col("_s"), col("_d")).as("u"),
+        greatest(col("_s"), col("_d")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      (coalesce(sum(col("_deg")), lit(0L)) / 2L).cast("long")
+        .as("n_edges"),
+      coalesce(sum(col("_deg") * (col("_deg") - 1L)), lit(0L))
+        .as("_w2"))
+    val tri = triangleCounts(und, "u", "v")
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("_t3"))
+    degStats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        (col("_t3") / 3L).cast("long").as("n_triangles"),
+        (col("_w2") / 2L).cast("long").as("n_wedges"),
+        when(col("_w2") > 0,
+          round(col("_t3").cast("double") /
+            (col("_w2").cast("double") / 2.0), 6)).as("c"))
+  }
+
+  /**
    * Degree profile of a directed simple graph: per node, its out-degree,
    * in-degree and total degree (NULL endpoints drop, multi-edges
    * collapse). One distinct + two hash aggregates + a node-keyed outer

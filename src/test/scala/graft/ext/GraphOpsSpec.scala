@@ -141,6 +141,46 @@ class GraphOpsSpec extends GraftSpec {
     }
   }
 
+  test("clusteringCoefficient: a triangle closes fully (C = 1), a " +
+    "star never closes (C = 0); counts match by hand") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(tri, "src", "dst").head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L)
+    assert(got.getLong(2) == 1L && got.getLong(3) == 3L)
+    assert(got.getDouble(4) == 1.0, s"$got")
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = GraphOps.clusteringCoefficient(star, "src", "dst").head()
+    assert(s.getLong(2) == 0L && s.getLong(3) == 3L &&
+      s.getDouble(4) == 0.0, s"$s")
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1); " +
+    "a triangle with a tail matches the replicated moment chain") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(GraphOps.assortativity(star, "src", "dst").head()
+      .getDouble(2) == -1.0)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.assortativity(g, "src", "dst").head()
+    // degrees 1→2, 2→2, 3→3, 4→1; both orientations of each edge
+    val pts = Seq((2.0, 2.0), (2.0, 2.0), (2.0, 3.0), (3.0, 2.0),
+      (2.0, 3.0), (3.0, 2.0), (3.0, 1.0), (1.0, 3.0))
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got.getLong(0) == 4L && got.getLong(1) == 4L)
+    assert(got.getDouble(2) == r6(r), s"$got")
+    // a regular graph has no degree variance to correlate
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(GraphOps.assortativity(ring, "src", "dst").head().isNullAt(2))
+  }
+
   test("modularity: two triangles + bridge under the triangle " +
     "partition — hand-computed Q = 6/7 − 98/196") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
