@@ -288,6 +288,13 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // A+/S — weekly growth accounting: the canonical new / retained /
+    // resurrected / churned decomposition (active = new + retained +
+    // resurrected, exactly). User-keyed distinct + shift join,
+    // week-frame output.
+    "q308_growth_accounting" -> ((s, d) =>
+      TimeSeries.growthAccounting(t(s, d, "events"), "user_id", "ts")),
+
     // X+/G — degree assortativity of the supplier co-occurrence
     // graph: do hub suppliers co-appear with hubs (social fabric) or
     // fan to leaves (star fabric)? Endpoint-degree Pearson over both
@@ -4650,6 +4657,37 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q308: same distinct user-weeks, same first-week and shift
+    // joins, same status census.
+    "q308_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fw AS (SELECT u, min(w) AS fw FROM uw GROUP BY 1),
+        |cur AS (SELECT u, w, 1 AS c FROM uw),
+        |prv AS (SELECT u, w + 1 AS w, 1 AS p FROM uw),
+        |j AS (
+        |  SELECT coalesce(cur.u, prv.u) AS u,
+        |         coalesce(cur.w, prv.w) AS w, cur.c, prv.p
+        |  FROM cur FULL OUTER JOIN prv
+        |    ON cur.u = prv.u AND cur.w = prv.w),
+        |jf AS (SELECT j.*, fw.fw FROM j JOIN fw ON fw.u = j.u)
+        |SELECT strftime(make_timestamp(w * 604800 * 1000000),
+        |         '%Y-%m-%d') AS week_start,
+        |       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_active,
+        |       CAST(coalesce(sum(CASE WHEN c IS NOT NULL AND w = fw
+        |         THEN 1 END), 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(sum(CASE WHEN c IS NOT NULL
+        |         AND p IS NOT NULL THEN 1 END), 0) AS BIGINT)
+        |         AS n_retained,
+        |       CAST(coalesce(sum(CASE WHEN c IS NOT NULL AND p IS NULL
+        |         AND w > fw THEN 1 END), 0) AS BIGINT)
+        |         AS n_resurrected,
+        |       CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND c IS NULL
+        |         THEN 1 END), 0) AS BIGINT) AS n_churned
+        |FROM jf GROUP BY w ORDER BY week_start""".stripMargin,
 
     // q306: same co-occurrence edges and degrees, both orientations,
     // the q148 decimal-moment Pearson.

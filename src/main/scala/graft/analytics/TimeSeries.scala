@@ -244,6 +244,52 @@ object TimeSeries {
   }
 
   /**
+   * Weekly growth accounting — the canonical user-base decomposition
+   * (new / retained / resurrected / churned) behind every "are we
+   * growing or churning?" review: per epoch-week, actives split into
+   * first-ever-seen (new), active-last-week (retained) and
+   * returning-after-a-gap (resurrected); churned counts last week's
+   * actives who did not return — so the trailing week after the last
+   * activity gets its churn row. The identity
+   * `active = new + retained + resurrected` holds exactly
+   * (spec-pinned). Distinct user-weeks fold once; the first-week frame
+   * and the one-week self-shift join all key on the user — one
+   * exchange family. Week-frame output:
+   * `(week_start, n_active, n_new, n_retained, n_resurrected,
+   * n_churned)`.
+   */
+  def growthAccounting(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = floor(col(tsCol).cast("long") / lit(604800L)).cast("long")
+    val uw = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), wk.as("_w"))
+      .distinct()
+    val first = uw.groupBy(col("_u")).agg(min(col("_w")).as("_fw"))
+    val j = uw.select(col("_u"), col("_w"), lit(1L).as("_c"))
+      .join(uw.select(col("_u"), (col("_w") + 1L).as("_w"),
+        lit(1L).as("_p")), Seq("_u", "_w"), "full_outer")
+      .join(first, Seq("_u"))
+    j.groupBy(col("_w"))
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_active"),
+        coalesce(sum(when(col("_c").isNotNull &&
+          col("_w") === col("_fw"), 1L)), lit(0L)).as("n_new"),
+        coalesce(sum(when(col("_c").isNotNull && col("_p").isNotNull,
+          1L)), lit(0L)).as("n_retained"),
+        coalesce(sum(when(col("_c").isNotNull && col("_p").isNull &&
+          col("_w") > col("_fw"), 1L)), lit(0L)).as("n_resurrected"),
+        coalesce(sum(when(col("_p").isNotNull && col("_c").isNull,
+          1L)), lit(0L)).as("n_churned"))
+      .select(
+        date_format(timestamp_seconds(col("_w") * 604800L), "yyyy-MM-dd")
+          .as("week_start"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("week_start").asc)
+  }
+
+  /**
    * Goh–Barabási burstiness histogram over per-user inter-event gaps
    * — WHO clumps, where [[graft.analytics.StatsTests.expGapFit]] asks
    * whether the POOL does: per user with ≥ `minGaps` gaps, the

@@ -100,6 +100,30 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("growthAccounting: hand-built lifecycle — new, retained, " +
+    "resurrected, churned; the identity holds every week") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val wk = 604800L
+    // u1: weeks 0,1 (retained); u2: week 0 only (churns at 1);
+    // u3: weeks 0,2 (resurrects at 2)
+    val ev = Seq((1L, 0L), (1L, wk), (2L, 10L), (3L, 20L),
+      (3L, 2L * wk))
+      .toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = TimeSeries.growthAccounting(ev, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("1970-01-01") == ((3L, 3L, 0L, 0L, 0L)), s"$got")
+    assert(got("1970-01-08") == ((1L, 0L, 1L, 0L, 2L)), s"$got")
+    assert(got("1970-01-15") == ((1L, 0L, 0L, 1L, 1L)), s"$got")
+    assert(got("1970-01-22") == ((0L, 0L, 0L, 0L, 1L)),
+      "the trailing week carries the final churn")
+    got.values.foreach { case (a, n, r, s, _) =>
+      assert(a == n + r + s, "active = new + retained + resurrected")
+    }
+  }
+
   test("mixCells merge law: disjoint-batch partials fold to the " +
     "whole-data entropy series") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
