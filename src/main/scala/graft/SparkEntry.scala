@@ -288,6 +288,34 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — negative-binomial fit of per-user event counts: the
+    // generative model q279's overdispersion points at (the summary a
+    // load simulator or synthetic-data generator consumes).
+    "q309_negbin_fit" -> ((s, d) =>
+      StatsTests.negBinomialFit(
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        col("n_events"))),
+
+    // X1+/S — dedup threshold sweep: duplicate-pair counts at every
+    // cut from ONE LSH+verify pass at the 0.6 banding floor — the
+    // tuning view before q37/q190 commit to a threshold (counts below
+    // the banding floor would be recall-incomplete; the sweep stays
+    // at or above it by construction).
+    "q310_dedup_sweep" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicatePairs(t(s, d, "documents"),
+        "doc_id", "text", threshold = 0.6)
+      pairs
+        .select(col("jaccard"),
+          explode(array(Seq(0.6, 0.7, 0.8, 0.9).map(lit): _*))
+            .as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(coalesce(sum((col("jaccard") >= col("threshold"))
+          .cast("long")), lit(0L)).as("n_pairs"))
+        .orderBy(col("threshold").asc)
+    }),
+
     // A+/S — weekly growth accounting: the canonical new / retained /
     // resurrected / churned decomposition (active = new + retained +
     // resurrected, exactly). User-keyed distinct + shift join,
@@ -4657,6 +4685,69 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q309: same per-user counts and decimal moments, sample (n−1)
+    // variance, the moment-fit chains.
+    "q309_negbin_fit" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s1,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS s2
+        |  FROM s),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         (CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |           AS vv
+        |  FROM t)
+        |SELECT n,
+        |       CASE WHEN n >= 1 THEN round(mu, 6) END AS mean,
+        |       CASE WHEN n >= 2 THEN round(vv, 6) END AS variance,
+        |       CASE WHEN n >= 2 AND mu > 0 AND vv > mu THEN
+        |         round(mu * mu / (vv - mu), 6) END AS r,
+        |       CASE WHEN n >= 2 AND mu > 0 AND vv > mu THEN
+        |         round(mu / vv, 6) END AS p
+        |FROM m""".stripMargin,
+
+    // q310: the q20 exact pair set (complete at and above the 0.6
+    // banding floor), censused at each cut.
+    "q310_dedup_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' '
+        |           || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks) x
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+        |           AS n_common,
+        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT)
+        |           AS n_union
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |jc AS (
+        |  SELECT CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |           AS j
+        |  FROM pairs WHERE n_union > 0
+        |    AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |        >= 0.6),
+        |th AS (SELECT CAST(unnest([0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |         AS threshold)
+        |SELECT th.threshold,
+        |       CAST(coalesce(sum(CASE WHEN jc.j >= th.threshold THEN 1
+        |         END), 0) AS BIGINT) AS n_pairs
+        |FROM jc, th GROUP BY 1 ORDER BY threshold""".stripMargin,
 
     // q308: same distinct user-weeks, same first-week and shift
     // joins, same status census.

@@ -601,6 +601,41 @@ object StatsTests {
   }
 
   /**
+   * Negative-binomial fit of a count column by the method of moments
+   * — the MODEL the [[dispersionTest]] overdispersion points at: when
+   * variance exceeds the mean, counts are NB(r, p) with
+   *
+   *   r = m² / (v − m) ,  p = m / v
+   *
+   * (v the sample variance; Poisson is the v → m limit). The
+   * generative summary a load-simulator or synthetic-data generator
+   * consumes — "per-user event counts are NB(0.8, 0.05)", heavier-
+   * tailed than any Poisson. Moments fold as 9-dp decimals; r/p are
+   * one double chain, 6-dp; NULL when n < 2, m ≤ 0 or v ≤ m (no
+   * overdispersion — NB degenerates, use Poisson). Returns one row
+   * `(n, mean, variance, r, p)`. One hash aggregate.
+   */
+  def negBinomialFit(df: DataFrame, valueCol: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val agg = df.select(valueCol.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v"), 9).cast(d9)).as("_s1"),
+        sum(round(col("_v") * col("_v"), 9).cast(d9)).as("_s2"))
+    val nD = col("n").cast("double")
+    val m = col("_s1").cast("double") / nD
+    val v = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / nD) /
+      (nD - 1.0)
+    val ok = col("n") >= 2 && m > 0.0 && v > m
+    agg.select(col("n"),
+      when(col("n") >= 1, round(m, 6)).as("mean"),
+      when(col("n") >= 2, round(v, 6)).as("variance"),
+      when(ok, round(m * m / (v - m), 6)).as("r"),
+      when(ok, round(m / v, 6)).as("p"))
+  }
+
+  /**
    * Chapman capture–recapture estimate of the total population behind
    * two overlapping samples — "how many users/documents EXIST that
    * neither sample saw?": with n₁, n₂ distinct keys per sample and m

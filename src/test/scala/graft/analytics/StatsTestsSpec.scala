@@ -581,6 +581,23 @@ class StatsTestsSpec extends GraftSpec {
     assert(h.getDouble(4) == r6(math.exp(lorH)), s"$h")
   }
 
+  test("negBinomialFit: hand-computed moment fit on an overdispersed " +
+    "sample; Poisson-or-under leaves r/p NULL") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // {1,2,9}: m=4, v=((1-4)²+(2-4)²+(9-4)²)/2 = 19 → r=16/15, p=4/19
+    val got = StatsTests.negBinomialFit(
+      Seq(1.0, 2.0, 9.0).toDF("v"), col("v")).head()
+    assert(got.getLong(0) == 3L && got.getDouble(1) == 4.0)
+    assert(got.getDouble(2) == 19.0)
+    assert(got.getDouble(3) == r6(16.0 / 15.0), s"$got")
+    assert(got.getDouble(4) == r6(4.0 / 19.0), s"$got")
+    // equidispersed {3,3,3}: v = 0 <= m → no NB
+    assert(StatsTests.negBinomialFit(Seq(3.0, 3.0, 3.0).toDF("v"),
+      col("v")).head().isNullAt(3))
+  }
+
   test("captureRecapture: hand-computed Chapman estimate and SE on " +
     "overlapping samples") {
     import org.apache.spark.sql.functions.col
