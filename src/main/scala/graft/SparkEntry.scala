@@ -288,6 +288,27 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — Simpson's-paradox detector: do the pooled arm effect and
+    // the within-stratum evidence even agree in sign? The one-row
+    // audit that decides whether q176 or q296 is the number to act on.
+    "q311_simpson_check" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(floor(col("ts").cast("long") / lit(604800L))
+          .cast("long")).as("_wk"),
+          max((col("event_type") === "purchase").cast("int")).as("_cv"))
+      StatsTests.simpsonCheck(users, col("_wk"),
+        col("user_id") % 2 === 0, col("_cv") === 1)
+    }),
+
+    // A+/S — week-over-week mix-shift decomposition of the mean event
+    // value: did types get better, or did traffic move between types?
+    // Exact rate/mix split (Δmean = rate + mix term-by-term).
+    "q312_mix_shift" -> ((s, d) =>
+      TimeSeries.mixShiftDecomposition(t(s, d, "events"),
+        "ts", "event_type", "value")),
+
     // X+/S — negative-binomial fit of per-user event counts: the
     // generative model q279's overdispersion points at (the summary a
     // load simulator or synthetic-data generator consumes).
@@ -4685,6 +4706,106 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q311: q296's stratum cells folded to pooled rates AND the CMH
+    // gap; the sign comparison.
+    "q311_simpson_check" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS wk,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) AS cv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1
+        |           END), 0) AS BIGINT) AS n1,
+        |         CAST(coalesce(sum(CASE WHEN cv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS m1,
+        |         CAST(coalesce(sum(CASE WHEN user_id % 2 = 0
+        |           AND cv = 1 THEN 1 END), 0) AS BIGINT) AS aa
+        |  FROM u GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT CAST(coalesce(sum(n1), 0) AS BIGINT) AS na,
+        |         CAST(coalesce(sum(aa), 0) AS BIGINT) AS ca,
+        |         CAST(coalesce(sum(n - n1), 0) AS BIGINT) AS nb,
+        |         CAST(coalesce(sum(m1 - aa), 0) AS BIGINT) AS cb,
+        |         CAST(coalesce(sum(CAST(round(CAST(aa AS DOUBLE)
+        |             - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+        |               / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))),
+        |           0) AS DOUBLE) AS gap
+        |  FROM cells),
+        |g AS (
+        |  SELECT CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |         CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb, gap
+        |  FROM f)
+        |SELECT round(pa, 6) AS p_arm, round(pb, 6) AS p_ctrl,
+        |       round(pa - pb, 6) AS diff_pooled,
+        |       round(gap, 6) AS o_minus_e,
+        |       CASE WHEN pa - pb <> 0 AND gap <> 0 THEN
+        |         (pa - pb > 0) <> (gap > 0) END AS simpson_flag
+        |FROM g""".stripMargin,
+
+    // q312: same weekly type cells, same share/mean chains with the
+    // absent-side zero convention, same 12-dp component folds.
+    "q312_mix_shift" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+        |         event_type AS t, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT w, CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(s) AS DECIMAL(38,9)) AS ss
+        |  FROM cells GROUP BY 1),
+        |pr AS (
+        |  SELECT coalesce(c1.w, c0.w) AS w, coalesce(c1.t, c0.t) AS t,
+        |         c1.n AS n1, c1.s AS s1, c0.n AS n0, c0.s AS s0
+        |  FROM cells c1
+        |  FULL OUTER JOIN (SELECT w + 1 AS w, t, n, s FROM cells) c0
+        |    ON c1.w = c0.w AND c1.t = c0.t),
+        |pj AS (
+        |  SELECT pr.*, t1.nn AS nn1, t1.ss AS ss1,
+        |         t0.nn AS nn0, t0.ss AS ss0
+        |  FROM pr
+        |  JOIN tots t1 ON t1.w = pr.w
+        |  JOIN (SELECT w + 1 AS w, nn, ss FROM tots) t0
+        |    ON t0.w = pr.w),
+        |tm AS (
+        |  SELECT w, nn0, ss0, nn1, ss1,
+        |         coalesce(CAST(n0 AS DOUBLE), 0.0)
+        |           / CAST(nn0 AS DOUBLE) AS sh0,
+        |         coalesce(CAST(n1 AS DOUBLE), 0.0)
+        |           / CAST(nn1 AS DOUBLE) AS sh1,
+        |         CASE WHEN n0 IS NOT NULL THEN CAST(s0 AS DOUBLE)
+        |           / CAST(n0 AS DOUBLE) ELSE 0.0 END AS m0,
+        |         CASE WHEN n1 IS NOT NULL THEN CAST(s1 AS DOUBLE)
+        |           / CAST(n1 AS DOUBLE) ELSE 0.0 END AS m1
+        |  FROM pj),
+        |ag AS (
+        |  SELECT w, nn0, ss0, nn1, ss1,
+        |         CAST(sum(CAST(round(sh0 * (m1 - m0), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS rate,
+        |         CAST(sum(CAST(round((sh1 - sh0) * m1, 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS mix
+        |  FROM tm GROUP BY 1, 2, 3, 4, 5)
+        |SELECT strftime(make_timestamp(w * 604800 * 1000000),
+        |         '%Y-%m-%d') AS week_start,
+        |       round(CAST(ss0 AS DOUBLE) / CAST(nn0 AS DOUBLE), 6)
+        |         AS mean_prev,
+        |       round(CAST(ss1 AS DOUBLE) / CAST(nn1 AS DOUBLE), 6)
+        |         AS mean_cur,
+        |       round(CAST(ss1 AS DOUBLE) / CAST(nn1 AS DOUBLE)
+        |             - CAST(ss0 AS DOUBLE) / CAST(nn0 AS DOUBLE), 6)
+        |         AS delta,
+        |       round(rate, 6) AS rate_component,
+        |       round(mix, 6) AS mix_component
+        |FROM ag ORDER BY week_start""".stripMargin,
 
     // q309: same per-user counts and decimal moments, sample (n−1)
     // variance, the moment-fit chains.

@@ -477,6 +477,45 @@ object StatsTests {
   }
 
   /**
+   * Simpson's-paradox detector — the one-row audit that says whether
+   * the POOLED arm effect and the WITHIN-STRATUM evidence even agree
+   * in sign: pooled conversion rates per arm next to [[cmhTest]]'s
+   * Σ(a − E) (positive = the arm over-converts within strata). When
+   * the two signs disagree the pooled read is confounded by the
+   * stratum mix — act on the stratified one. `simpson_flag` is NULL
+   * when either side is exactly 0 (no direction to compare). Counts
+   * exact; two rate divisions; the gap is [[cmhTest]]'s 12-dp fold.
+   * Returns one row
+   * `(p_arm, p_ctrl, diff_pooled, o_minus_e, simpson_flag)`.
+   */
+  def simpsonCheck(
+      df: DataFrame, stratum: Column, arm: Column,
+      success: Column): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = stratumCells(df, stratum, arm, success)
+    val nD = col("_n").cast("double")
+    val n1 = col("_n1").cast("double"); val m1 = col("_m1").cast("double")
+    val e = n1 * m1 / nD
+    val folded = cells.agg(
+      coalesce(sum(col("_n1")), lit(0L)).as("_na"),
+      coalesce(sum(col("_aa")), lit(0L)).as("_ca"),
+      coalesce(sum(col("_n") - col("_n1")), lit(0L)).as("_nb"),
+      coalesce(sum(col("_m1") - col("_aa")), lit(0L)).as("_cb"),
+      coalesce(sum(round(col("_aa").cast("double") - e, 12).cast(d12)),
+        lit(0).cast(d12)).as("_gap"))
+    val pA = col("_ca").cast("double") / col("_na").cast("double")
+    val pB = col("_cb").cast("double") / col("_nb").cast("double")
+    val diff = pA - pB
+    val gapD = col("_gap").cast("double")
+    folded.select(
+      round(pA, 6).as("p_arm"), round(pB, 6).as("p_ctrl"),
+      round(diff, 6).as("diff_pooled"),
+      round(gapD, 6).as("o_minus_e"),
+      when(diff =!= 0.0 && gapD =!= 0.0, (diff > 0.0) =!= (gapD > 0.0))
+        .as("simpson_flag"))
+  }
+
+  /**
    * Wilcoxon signed-rank test over PAIRED differences — the paired
    * complement to [[mannWhitneyU]] (unpaired) the way a
    * before/after per-user comparison demands: zero differences drop

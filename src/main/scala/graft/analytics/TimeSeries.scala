@@ -244,6 +244,81 @@ object TimeSeries {
   }
 
   /**
+   * Week-over-week mix-shift decomposition of the mean event value —
+   * the "WHY did the metric move" operator: with per-type shares sₜ
+   * and per-type means mₜ, the weekly mean is Σₜ sₜ·mₜ, and its change
+   * splits exactly into
+   *
+   *   rate component  Σₜ s₀·(m₁ − m₀)   (types got better/worse)
+   *   mix  component  Σₜ (s₁ − s₀)·m₁   (traffic moved between types)
+   *
+   * (types absent on one side enter with share 0/mean 0 — the
+   * identity `Δmean = rate + mix` still holds term-by-term). The
+   * decomposition that separates "purchases got bigger" from "more
+   * purchases in the mix" before anyone celebrates the wrong thing.
+   * Cell sums fold as 9-dp decimals; per-type components are one
+   * double chain rounded 12-dp and folded DECIMAL(38,12); only weeks
+   * with BOTH sides present report. Returns
+   * `(week_start, mean_prev, mean_cur, delta, rate_component,
+   * mix_component)` ordered by week — type-frame joins keyed on
+   * (week, type), week-frame output.
+   */
+  def mixShiftDecomposition(
+      df: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val wk = floor(col(tsCol).cast("long") / lit(604800L)).cast("long")
+    val cells = df
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(wk.as("_w"), col(typeCol).as("_t"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col(valueCol).cast("double"), 9).cast(d9)).as("_s"))
+    val tots = cells.groupBy(col("_w"))
+      .agg(sum(col("_n")).as("_nn"), sum(col("_s")).as("_ss"))
+    val pair = cells
+      .select(col("_w"), col("_t"), col("_n").as("_n1"),
+        col("_s").as("_s1"))
+      .join(cells.select((col("_w") + 1L).as("_w"), col("_t"),
+        col("_n").as("_n0"), col("_s").as("_s0")),
+        Seq("_w", "_t"), "full_outer")
+      .join(tots.select(col("_w"), col("_nn").as("_nn1"),
+        col("_ss").as("_ss1")), Seq("_w"))
+      .join(tots.select((col("_w") + 1L).as("_w"),
+        col("_nn").as("_nn0"), col("_ss").as("_ss0")), Seq("_w"))
+    val sh0 = coalesce(col("_n0").cast("double"), lit(0.0)) /
+      col("_nn0").cast("double")
+    val sh1 = coalesce(col("_n1").cast("double"), lit(0.0)) /
+      col("_nn1").cast("double")
+    val m0 = when(col("_n0").isNotNull,
+      col("_s0").cast("double") / col("_n0").cast("double"))
+      .otherwise(lit(0.0))
+    val m1 = when(col("_n1").isNotNull,
+      col("_s1").cast("double") / col("_n1").cast("double"))
+      .otherwise(lit(0.0))
+    pair
+      .groupBy(col("_w"), col("_nn0"), col("_ss0"), col("_nn1"),
+        col("_ss1"))
+      .agg(
+        sum(round(sh0 * (m1 - m0), 12).cast(d12)).as("_rate"),
+        sum(round((sh1 - sh0) * m1, 12).cast(d12)).as("_mix"))
+      .select(
+        date_format(timestamp_seconds(col("_w") * 604800L), "yyyy-MM-dd")
+          .as("week_start"),
+        round(col("_ss0").cast("double") / col("_nn0").cast("double"),
+          6).as("mean_prev"),
+        round(col("_ss1").cast("double") / col("_nn1").cast("double"),
+          6).as("mean_cur"),
+        round(col("_ss1").cast("double") / col("_nn1").cast("double") -
+          col("_ss0").cast("double") / col("_nn0").cast("double"), 6)
+          .as("delta"),
+        round(col("_rate").cast("double"), 6).as("rate_component"),
+        round(col("_mix").cast("double"), 6).as("mix_component"))
+      .orderBy(col("week_start").asc)
+  }
+
+  /**
    * Weekly growth accounting — the canonical user-base decomposition
    * (new / retained / resurrected / churned) behind every "are we
    * growing or churning?" review: per epoch-week, actives split into

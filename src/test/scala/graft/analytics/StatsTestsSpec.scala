@@ -516,6 +516,29 @@ class StatsTestsSpec extends GraftSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("simpsonCheck: a constructed paradox flags the sign reversal " +
+    "between pooled and stratified reads") {
+    import org.apache.spark.sql.functions.col
+    // within each stratum the arm over-converts; pooled it appears
+    // WORSE because the arm skews into the low-converting stratum
+    val rows =
+      Seq.fill(2)(("A", true, true)) ++ Seq.fill(5)(("A", false, true)) ++
+      Seq.fill(1)(("A", false, false)) ++
+      Seq.fill(1)(("B", true, true)) ++ Seq.fill(5)(("B", true, false)) ++
+      Seq.fill(2)(("B", false, false))
+    val got = StatsTests.simpsonCheck(rows.toDF("s", "arm", "y"),
+      col("s"), col("arm"), col("y")).head()
+    assert(got.getDouble(0) == 0.375 && got.getDouble(1) == 0.625)
+    assert(got.getDouble(2) == -0.25, "pooled reads arm-worse")
+    assert(got.getDouble(3) == 0.5, "strata read arm-better")
+    assert(got.getBoolean(4), "the paradox flags")
+    // aligned signs do not flag
+    val aligned = (Seq.fill(3)(("A", true, true)) ++
+      Seq.fill(3)(("A", false, false))).toDF("s", "arm", "y")
+    assert(!StatsTests.simpsonCheck(aligned, col("s"), col("arm"),
+      col("y")).head().getBoolean(4))
+  }
+
   test("mhOddsRatio: balanced strata pool to OR 1; adding a pure " +
     "within-stratum effect lifts it; no discordance leaves it NULL") {
     import org.apache.spark.sql.functions.col

@@ -100,6 +100,30 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("mixShiftDecomposition: hand-computed rate/mix split — the " +
+    "identity delta = rate + mix holds exactly") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val wk = 604800L
+    // week0: a = {1,1}, b = {3,3} (mean 2); week1: a = {2}, b = {3,3,3}
+    val ev = Seq(
+      (0L, "a", 1.0), (1L, "a", 1.0), (2L, "b", 3.0), (3L, "b", 3.0),
+      (wk, "a", 2.0), (wk + 1, "b", 3.0), (wk + 2, "b", 3.0),
+      (wk + 3, "b", 3.0))
+      .toDF("ep", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val got = TimeSeries.mixShiftDecomposition(ev, "ts", "event_type",
+      "value").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "1970-01-08")
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 2.75)
+    assert(r.getDouble(3) == 0.75, s"$r")
+    // rate: a .5·(2−1) = .5, b .5·0 = 0; mix: a −.25·2, b .25·3
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.25, s"$r")
+    assert(r.getDouble(3) == r.getDouble(4) + r.getDouble(5),
+      "delta = rate + mix")
+  }
+
   test("growthAccounting: hand-built lifecycle — new, retained, " +
     "resurrected, churned; the identity holds every week") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
