@@ -288,6 +288,34 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/X1 — template census over docs with an injected receipt
+    // template (the q181 deterministic-injection pattern): how much
+    // mass is the SAME page with numbers swapped — caught at the
+    // skeleton level before LSH spends shingles on it.
+    "q313_template_census" -> ((s, d) =>
+      TextOps.templateCensus(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(when(col("doc_id") % 5 === 0,
+            concat(lit("Order "), col("doc_id"),
+              lit(" shipped to client "), col("doc_id") * 7L,
+              lit(" total 42 units")))
+            .otherwise(col("text")).as("text")),
+        "text")),
+
+    // X2+/X+ — PII census per source with injected email-shaped
+    // strings (deterministic, the q181 pattern): what WOULD Scrub
+    // rewrite — the release-review number before deciding to mask.
+    "q314_pii_census" -> ((s, d) =>
+      TextOps.piiCensus(
+        t(s, d, "documents")
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@example.com now")))
+              .otherwise(col("text")).as("text")),
+        "source", "text")),
+
     // X+/S — Simpson's-paradox detector: do the pooled arm effect and
     // the within-stratum evidence even agree in sign? The one-row
     // audit that decides whether q176 or q296 is the number to act on.
@@ -4706,6 +4734,60 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q313: same injected template, same digit-mask skeleton and md5
+    // (identical UTF-8 bytes hash identically), same census.
+    "q313_template_census" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN
+        |           'Order ' || CAST(doc_id AS VARCHAR)
+        |           || ' shipped to client '
+        |           || CAST(doc_id * 7 AS VARCHAR) || ' total 42 units'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |sk AS (
+        |  SELECT md5(regexp_replace(lower(text), '[0-9]+', '#', 'g'))
+        |           AS sk
+        |  FROM t),
+        |g AS (SELECT sk, CAST(count(*) AS BIGINT) AS c
+        |      FROM sk GROUP BY 1)
+        |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_skeletons,
+        |       CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)
+        |         AS BIGINT) AS n_templates,
+        |       CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)
+        |         AS BIGINT) AS n_templated_docs,
+        |       CAST(coalesce(max(CASE WHEN c >= 2 THEN c END), 0)
+        |         AS BIGINT) AS top_template_size
+        |FROM g""".stripMargin,
+
+    // q314: same injected emails, same two character-class patterns
+    // (Java and RE2 read them identically), same census.
+    "q314_pii_census" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 7 = 0 THEN
+        |           text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com now'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |m AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |           AS BIGINT) AS ne,
+        |         CAST(len(regexp_extract_all(text, '[0-9]{7,}'))
+        |           AS BIGINT) AS nd
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(sum(CASE WHEN ne > 0 THEN 1 END), 0)
+        |         AS BIGINT) AS n_with_email,
+        |       CAST(coalesce(sum(ne), 0) AS BIGINT) AS n_email_matches,
+        |       CAST(coalesce(sum(CASE WHEN nd > 0 THEN 1 END), 0)
+        |         AS BIGINT) AS n_with_digit_run,
+        |       CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_digit_matches
+        |FROM m GROUP BY 1 ORDER BY source""".stripMargin,
 
     // q311: q296's stratum cells folded to pooled rates AND the CMH
     // gap; the sign comparison.

@@ -887,6 +887,66 @@ object TextOps {
   }
 
   /**
+   * Template census — how much of the corpus is the SAME document
+   * with the numbers swapped? Each text reduces to its skeleton
+   * (lowercased, every digit run masked to `#`), skeletons hash, and
+   * hashes held by ≥ 2 docs are templates — the generated-page /
+   * receipt / log-line mass a C4-style cleanup removes BEFORE
+   * near-dup LSH spends shingles on it (templated docs are exact
+   * duplicates at the skeleton level, far cheaper to catch here).
+   * Counts exact. Returns one row `(n_docs, n_skeletons,
+   * n_templates, n_templated_docs, top_template_size)`.
+   *
+   * Shape: one narrow projection (mask + md5) → skeleton-keyed hash
+   * aggregate → one bounded fold. No windows, no joins.
+   */
+  def templateCensus(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(md5(regexp_replace(lower(col(textCol)), "[0-9]+", "#"))
+        .as("_sk"))
+      .groupBy(col("_sk")).agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_docs"),
+        count(lit(1)).as("n_skeletons"),
+        coalesce(sum(when(col("_c") >= 2, 1L)), lit(0L))
+          .as("n_templates"),
+        coalesce(sum(when(col("_c") >= 2, col("_c"))), lit(0L))
+          .as("n_templated_docs"),
+        coalesce(max(when(col("_c") >= 2, col("_c"))), lit(0L))
+          .as("top_template_size"))
+
+  /**
+   * PII census per source — the AUDIT face of [[Scrub]]'s masking
+   * (scrub rewrites; this reports what WOULD be rewritten, the number
+   * a release review wants BEFORE deciding to scrub): per source, the
+   * docs containing email-shaped strings and long digit runs
+   * (phone/account-number shaped), and the total match counts. The
+   * patterns are [[Scrub.maskEmails]]' email shape and `[0-9]{7,}` —
+   * both plain character-class regexes that Java and RE2 engines
+   * read identically. Counts exact; source-frame output, one narrow
+   * projection + one hash aggregate.
+   */
+  def piiCensus(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{7,}"
+    docs.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        size(regexp_extract_all(col(textCol), lit(email), lit(0)))
+          .cast("long").as("_ne"),
+        size(regexp_extract_all(col(textCol), lit(digits), lit(0)))
+          .cast("long").as("_nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum((col("_ne") > 0).cast("long")), lit(0L))
+          .as("n_with_email"),
+        coalesce(sum(col("_ne")), lit(0L)).as("n_email_matches"),
+        coalesce(sum((col("_nd") > 0).cast("long")), lit(0L))
+          .as("n_with_digit_run"),
+        coalesce(sum(col("_nd")), lit(0L)).as("n_digit_matches"))
+      .orderBy(col("source").asc)
+  }
+
+  /**
    * Chao1 vocabulary-richness estimate — "how many word types exist
    * that this corpus has NOT yet seen?": from the observed vocabulary
    * V and the hapax/doubleton counts f₁/f₂,

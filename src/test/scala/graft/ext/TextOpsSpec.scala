@@ -491,6 +491,35 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("templateCensus: digit-masked skeletons group templated docs; " +
+    "unique docs stay singletons") {
+    val docs = Seq(
+      "Order 1 shipped to client 7", "Order 2 shipped to client 14",
+      "Order 99 shipped to client 693", "a unique document",
+      "another unique one").toDF("text")
+    val got = TextOps.templateCensus(docs, "text").head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 3L)
+    assert(got.getLong(2) == 1L, "one template family")
+    assert(got.getLong(3) == 3L && got.getLong(4) == 3L, s"$got")
+    val none = TextOps.templateCensus(
+      Seq("x", "y").toDF("text"), "text").head()
+    assert(none.getLong(2) == 0L && none.getLong(4) == 0L)
+  }
+
+  test("piiCensus: injected emails and digit runs are counted per " +
+    "source; clean text reports zero") {
+    val docs = Seq(
+      ("s1", "reach me at a.b@example.com or c@d.org thanks"),
+      ("s1", "clean text without identifiers"),
+      ("s2", "card 12345678 and phone 5551234567 here"))
+      .toDF("source", "text")
+    val got = TextOps.piiCensus(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("s1") == ((2L, 1L, 2L, 0L, 0L)), s"$got")
+    assert(got("s2") == ((1L, 0L, 0L, 1L, 2L)), s"$got")
+  }
+
   test("chao1: hand-computed richness estimate — hapaxes project " +
     "unseen vocabulary, a saturated corpus stays at V") {
     val docs = Seq("a a b c").toDF("text")
