@@ -288,6 +288,23 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/S — coverage targets: the vocabulary size needed to cover
+    // 50/90/99% of token mass — the number a BPE budget negotiation
+    // starts from (the inverse of q191's fixed-top-K share).
+    "q315_coverage_targets" -> ((s, d) =>
+      TextOps.coverageTargets(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(explode(TextOps.tokens(col("text"))).as("_t"))
+          .groupBy(col("_t")).agg(count(lit(1)).as("_c")),
+        targets = Seq(0.5, 0.9, 0.99))),
+
+    // A+/S — journey memory gain: does the SECOND step of history
+    // make the next action more predictable (H(c|b) − H(c|a,b) in
+    // bits)? Near zero = the q218/q238 order-1 chain captures
+    // everything. TYPE²/TYPE³-sized after one double-lag window.
+    "q316_journey_memory" -> ((s, d) =>
+      LogAnalytics.journeyMemory(t(s, d, "events"))),
+
     // X2+/X1 — template census over docs with an injected receipt
     // template (the q181 deterministic-injection pattern): how much
     // mass is the SAME page with numbers swapped — caught at the
@@ -4734,6 +4751,82 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q315: same term ranks and cumulative shares, per-target
+    // min-rank pick (share is rank-determined, so min-by-rank equals
+    // the struct-min).
+    "q315_coverage_targets" ->
+      """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t)
+        |           AS BIGINT) AS r,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE) / CAST(tt.nn AS DOUBLE) AS share
+        |  FROM c, tt),
+        |th AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)
+        |         AS target),
+        |hits AS (
+        |  SELECT th.target, r.r, r.share
+        |  FROM r, th WHERE r.share >= th.target),
+        |k AS (SELECT target, min(r) AS k_terms FROM hits GROUP BY 1)
+        |SELECT k.target AS target, k.k_terms,
+        |       round(h.share, 6) AS share_at_k
+        |FROM k JOIN hits h ON h.target = k.target AND h.r = k.k_terms
+        |ORDER BY k.target""".stripMargin,
+
+    // q316: same double-lag steps, same context joins, same 12-dp
+    // p·ln p(·|ctx) folds and the ln2 division.
+    "q316_journey_memory" ->
+      """WITH st AS (
+        |  SELECT lag(event_type, 2) OVER w AS a,
+        |         lag(event_type, 1) OVER w AS b,
+        |         event_type AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p2 AS (SELECT b, c, CAST(count(*) AS BIGINT) AS n
+        |       FROM st WHERE b IS NOT NULL GROUP BY 1, 2),
+        |p3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+        |       FROM st WHERE a IS NOT NULL AND b IS NOT NULL
+        |       GROUP BY 1, 2, 3),
+        |c2 AS (SELECT b, CAST(sum(n) AS BIGINT) AS ctx
+        |       FROM p2 GROUP BY 1),
+        |c3 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS ctx
+        |       FROM p3 GROUP BY 1, 2),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM p2),
+        |t3 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM p3),
+        |h1 AS (
+        |  SELECT t2.tot AS n_pairs,
+        |         -CAST(sum(CAST(round((CAST(p2.n AS DOUBLE)
+        |               / CAST(t2.tot AS DOUBLE))
+        |             * ln(CAST(p2.n AS DOUBLE)
+        |               / CAST(c2.ctx AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE)
+        |           / 0.6931471805599453 AS h
+        |  FROM p2 JOIN c2 ON c2.b = p2.b, t2 GROUP BY 1),
+        |h2 AS (
+        |  SELECT t3.tot AS n_triples,
+        |         -CAST(sum(CAST(round((CAST(p3.n AS DOUBLE)
+        |               / CAST(t3.tot AS DOUBLE))
+        |             * ln(CAST(p3.n AS DOUBLE)
+        |               / CAST(c3.ctx AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE)
+        |           / 0.6931471805599453 AS h
+        |  FROM p3 JOIN c3 ON c3.a = p3.a AND c3.b = p3.b, t3
+        |  GROUP BY 1)
+        |SELECT h1.n_pairs, h2.n_triples,
+        |       round(h1.h, 6) AS h1_bits, round(h2.h, 6) AS h2_bits,
+        |       round(h1.h - h2.h, 6) AS memory_gain_bits
+        |FROM h1, h2""".stripMargin,
 
     // q313: same injected template, same digit-mask skeleton and md5
     // (identical UTF-8 bytes hash identically), same census.

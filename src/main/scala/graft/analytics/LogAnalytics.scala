@@ -737,6 +737,68 @@ object LogAnalytics {
   }
 
   /**
+   * Journey memory gain — "does the SECOND step of history make the
+   * next action more predictable?": the empirical conditional
+   * entropies H(next|prev) and H(next|prev₂,prev₁) over the pair and
+   * triple frames ([[transitions]]' and [[topJourneyTrigrams]]'
+   * universes), in bits, plus their difference. A near-zero gain says
+   * journeys are order-1 Markov and the q218/q238 chain analyses
+   * capture everything; a large gain says sequence models need the
+   * longer context. Each `p·ln p(·|ctx)` term is one double chain
+   * rounded 12-dp and folded DECIMAL(38,12); the nats→bits division
+   * by ln 2 happens once per entropy. Returns one row
+   * `(n_pairs, n_triples, h1_bits, h2_bits, memory_gain_bits)`.
+   *
+   * Shape: one user-partitioned double-lag window, then everything is
+   * TYPE²/TYPE³-sized.
+   */
+  def journeyMemory(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val ln2 = 0.6931471805599453
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = df.filter(col(userCol).isNotNull &&
+        col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(lag(col(typeCol), 2).over(w).as("_a"),
+        lag(col(typeCol), 1).over(w).as("_b"),
+        col(typeCol).as("_c"))
+    def condEntropy(cells: DataFrame, ctx: Seq[String])
+        : (DataFrame, String) = {
+      val n = "n_" + ctx.map(_.stripPrefix("_")).mkString("")
+      val withCtx = cells.join(
+        cells.groupBy(ctx.map(col): _*).agg(sum(col("_n")).as("_ctx")),
+        ctx)
+      val tot = cells.agg(sum(col("_n")).as("_tot"))
+      (withCtx.crossJoin(broadcast(tot))
+        .select(round(
+          (col("_n").cast("double") / col("_tot").cast("double")) *
+            log(col("_n").cast("double") / col("_ctx").cast("double")),
+          12).cast(dec12).as("_t"), col("_tot"))
+        .groupBy(col("_tot").as(n))
+        .agg((-(sum(col("_t")).cast("double")) / lit(ln2)).as(n + "_h")),
+        n)
+    }
+    val pairs = steps.filter(col("_b").isNotNull)
+      .groupBy(col("_b"), col("_c")).agg(count(lit(1)).as("_n"))
+    val triples = steps.filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b"), col("_c"))
+      .agg(count(lit(1)).as("_n"))
+    val (h1, _) = condEntropy(pairs, Seq("_b"))
+    val (h2, _) = condEntropy(triples, Seq("_a", "_b"))
+    h1.crossJoin(broadcast(h2))
+      .select(col("n_b").as("n_pairs"), col("n_ab").as("n_triples"),
+        round(col("n_b_h"), 6).as("h1_bits"),
+        round(col("n_ab_h"), 6).as("h2_bits"),
+        round(col("n_b_h") - col("n_ab_h"), 6).as("memory_gain_bits"))
+  }
+
+  /**
    * Entropy rate of the user-journey Markov chain — "how PREDICTABLE
    * is the next action?", the single-scalar information view of
    * [[transitions]] (the matrix) and [[stationaryDistribution]] (the

@@ -887,6 +887,46 @@ object TextOps {
   }
 
   /**
+   * Coverage targets — "how big must a vocabulary be to cover X% of
+   * the token mass?", the tokenizer-sizing inverse of
+   * [[vocabCoverage]] (which reports the share a FIXED top-K holds):
+   * terms rank by `(count desc, term)` and each target reports the
+   * smallest rank whose cumulative share reaches it, plus the actual
+   * share there. The number a BPE budget negotiation starts from.
+   * Counts exact; shares are one division per rank; the pick is a
+   * min-struct over the qualifying frame. Returns
+   * `(target, k_terms, share_at_k)` ordered by target.
+   *
+   * The one global window runs over the VOCABULARY frame (the
+   * rank–frequency family's contract).
+   */
+  def coverageTargets(
+      counts: DataFrame, targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t > 0.0 && t <= 1.0),
+      s"targets must be in (0, 1]: $targets")
+    val w = Window.orderBy(col("_c").desc, col("_t").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum(col("_c")).as("_nn"))
+    val ranked = counts
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("_r"),
+        (col("_cum").cast("double") / col("_nn").cast("double"))
+          .as("_share"))
+    ranked
+      .select(col("_r"), col("_share"),
+        explode(array(targets.map(lit): _*)).as("target"))
+      .filter(col("_share") >= col("target"))
+      .groupBy(col("target"))
+      .agg(min(struct(col("_r").as("k"), col("_share").as("s")))
+        .as("_m"))
+      .select(col("target"), col("_m.k").as("k_terms"),
+        round(col("_m.s"), 6).as("share_at_k"))
+      .orderBy(col("target").asc)
+  }
+
+  /**
    * Template census — how much of the corpus is the SAME document
    * with the numbers swapped? Each text reduces to its skeleton
    * (lowercased, every digit run masked to `#`), skeletons hash, and

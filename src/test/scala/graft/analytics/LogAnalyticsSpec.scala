@@ -497,4 +497,27 @@ class LogAnalyticsSpec extends GraftSpec {
     assert(got.getDouble(1) == r(h, 6), s"$got")
     assert(got.getDouble(2) == r(math.exp(h), 6), s"$got")
   }
+
+  test("journeyMemory: a deterministic alternation has zero " +
+    "conditional entropy at both orders; memory never hurts") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def ev(rows: Seq[(Long, Long, String)]) = rows.zipWithIndex
+      .map { case ((u, t, ty), i) => (u, t, ty, i.toLong) }
+      .toDF("user_id", "ep", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val alt = ev((0 to 5).map(i =>
+      (1L, i.toLong, if (i % 2 == 0) "a" else "b")))
+    val d = LogAnalytics.journeyMemory(alt).head()
+    assert(d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
+    assert(d.getDouble(4) == 0.0, s"$d")
+    // second-order structure: c follows ab but x follows bb —
+    // order 1 can't see it, order 2 can
+    val seq2 = ev(Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"),
+      (2L, 0L, "b"), (2L, 1L, "b"), (2L, 2L, "x"),
+      (3L, 0L, "a"), (3L, 1L, "b"), (3L, 2L, "c"),
+      (4L, 0L, "b"), (4L, 1L, "b"), (4L, 2L, "x")))
+    val m = LogAnalytics.journeyMemory(seq2).head()
+    assert(m.getDouble(3) == 0.0, "order 2 resolves the branch")
+    assert(m.getDouble(2) > 0.0 && m.getDouble(4) > 0.0, s"$m")
+  }
 }

@@ -491,6 +491,21 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("coverageTargets: hand-computed mass curve — each target picks " +
+    "the smallest qualifying rank") {
+    import org.apache.spark.sql.functions.col
+    val counts = Seq(("a", 6L), ("b", 3L), ("c", 1L)).toDF("_t", "_c")
+    val got = TextOps.coverageTargets(counts, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0.5) == ((1L, 0.6)), s"$got")
+    assert(got(0.9) == ((2L, 0.9)), s"$got")
+    assert(got(0.99) == ((3L, 1.0)), s"$got")
+    intercept[IllegalArgumentException] {
+      TextOps.coverageTargets(counts, Seq(1.5))
+    }
+  }
+
   test("templateCensus: digit-masked skeletons group templated docs; " +
     "unique docs stay singletons") {
     val docs = Seq(
