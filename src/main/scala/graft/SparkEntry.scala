@@ -288,6 +288,36 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — sample-ratio-mismatch gate on the parity "assignment":
+    // the A/B check that runs BEFORE any effect test — a broken
+    // randomizer poisons every downstream number.
+    "q317_srm_check" -> ((s, d) => {
+      val users = t(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+      StatsTests.srmCheck(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        ratioA = 0.5)
+    }),
+
+    // X1+/X+ — cross-source duplication matrix: q20's exact near-dup
+    // pairs joined back to their sources — WHO copies from WHOM, the
+    // provenance view a licensing/contamination review needs.
+    "q318_cross_source_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.6)
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("source_a")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("source_b")), Seq("b_id"))
+        .groupBy(
+          least(col("source_a"), col("source_b")).as("source_lo"),
+          greatest(col("source_a"), col("source_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_lo").asc, col("source_hi").asc)
+    }),
+
     // X2+/S — coverage targets: the vocabulary size needed to cover
     // 50/90/99% of token mass — the number a BPE budget negotiation
     // starts from (the inverse of q191's fixed-top-K share).
@@ -4751,6 +4781,79 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q317: same distinct-user arms, the 1-df χ² against the intended
+    // split and the closed-form p.
+    "q317_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM u
+        |       WHERE user_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM u
+        |       WHERE user_id % 2 <> 0),
+        |x AS (
+        |  SELECT n_a, n_b,
+        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+        |  FROM na, nb),
+        |z AS (
+        |  SELECT n_a, n_b, ea,
+        |         (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+        |           / ea
+        |         + (CAST(n_b AS DOUBLE) - eb)
+        |           * (CAST(n_b AS DOUBLE) - eb) / eb AS chi2
+        |  FROM x),
+        |px AS (
+        |  SELECT n_a, n_b, ea, chi2,
+        |         abs(sqrt(chi2)) * 0.7071067811865476 AS xx,
+        |         1.0 / (1.0 + 0.3275911
+        |           * (abs(sqrt(chi2)) * 0.7071067811865476)) AS tt
+        |  FROM z)
+        |SELECT n_a, n_b, round(ea, 6) AS expected_a,
+        |       CASE WHEN ea > 0 THEN round(chi2, 6) END AS chi2,
+        |       CASE WHEN ea > 0 THEN
+        |         round(((((1.061405429 * tt + -1.453152027) * tt
+        |               + 1.421413741) * tt + -0.284496736) * tt
+        |               + 0.254829592) * tt * exp(-(xx * xx)), 6)
+        |       END AS p
+        |FROM px""".stripMargin,
+
+    // q318: the q20 exact pair set joined to sources, canonicalized
+    // source pairs.
+    "q318_cross_source_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' '
+        |           || t[i+2])) AS s
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks) x
+        |  GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+        |           AS n_common,
+        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT)
+        |           AS n_union
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |keep AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  WHERE n_union > 0
+        |    AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |        >= 0.6),
+        |lab AS (
+        |  SELECT keep.a_id, keep.b_id, da.source AS sa, db.source AS sb
+        |  FROM keep
+        |  JOIN documents da ON da.doc_id = keep.a_id
+        |  JOIN documents db ON db.doc_id = keep.b_id)
+        |SELECT least(sa, sb) AS source_lo,
+        |       greatest(sa, sb) AS source_hi,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
 
     // q315: same term ranks and cumulative shares, per-target
     // min-rank pick (share is rank-determined, so min-by-rank equals

@@ -477,6 +477,42 @@ object StatsTests {
   }
 
   /**
+   * Sample-ratio-mismatch check — the A/B gate that runs BEFORE any
+   * effect test: with an intended allocation `ratioA` and observed
+   * arm sizes n_a/n_b, the 1-df χ²
+   *
+   *   χ² = (n_a − E_a)²/E_a + (n_b − E_b)²/E_b
+   *
+   * (E from the intended split) with the closed-form
+   * `p = normalTwoSidedP(√χ²)`. A significant SRM means the
+   * randomizer, logging, or bot filtering is broken — every
+   * downstream conversion number ([[twoProportionZ]], [[cmhTest]]) is
+   * suspect until it passes. Counts exact; one double chain, 6-dp;
+   * NULL when either expectation is 0. Returns one row
+   * `(n_a, n_b, expected_a, chi2, p)`.
+   */
+  def srmCheck(
+      a: DataFrame, b: DataFrame, ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0.0 && ratioA < 1.0,
+      s"ratioA must be in (0,1), got $ratioA")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val j = na.crossJoin(broadcast(nb))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val ea = nD * lit(ratioA)
+    val eb = nD * lit(1.0 - ratioA)
+    val chi2 = (col("n_a").cast("double") - ea) *
+      (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) *
+        (col("n_b").cast("double") - eb) / eb
+    val ok = ea > 0.0 && eb > 0.0
+    j.select(col("n_a"), col("n_b"),
+      round(ea, 6).as("expected_a"),
+      when(ok, round(chi2, 6)).as("chi2"),
+      when(ok, normalTwoSidedP(sqrt(chi2))).as("p"))
+  }
+
+  /**
    * Simpson's-paradox detector — the one-row audit that says whether
    * the POOLED arm effect and the WITHIN-STRATUM evidence even agree
    * in sign: pooled conversion rates per arm next to [[cmhTest]]'s

@@ -516,6 +516,26 @@ class StatsTestsSpec extends GraftSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("srmCheck: a balanced split scores chi2 = 0; a skewed split " +
+    "matches the hand chi2 and alarms") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = (1 to 50).toDF("id"); val b = (1 to 50).toDF("id")
+    val bal = StatsTests.srmCheck(a, b).head()
+    assert(bal.getLong(0) == 50L && bal.getDouble(3) == 0.0)
+    // 70/30 on an intended 50/50: chi2 = 2·20²/50 = 16
+    val skew = StatsTests.srmCheck((1 to 70).toDF("id"),
+      (1 to 30).toDF("id")).head()
+    assert(skew.getDouble(2) == 50.0)
+    assert(skew.getDouble(3) ==
+      r6(20.0 * 20.0 / 50.0 + 20.0 * 20.0 / 50.0), s"$skew")
+    assert(skew.getDouble(4) < 0.001, "a 70/30 split must alarm")
+    intercept[IllegalArgumentException] {
+      StatsTests.srmCheck(a, b, ratioA = 1.0)
+    }
+  }
+
   test("simpsonCheck: a constructed paradox flags the sign reversal " +
     "between pooled and stratified reads") {
     import org.apache.spark.sql.functions.col
