@@ -288,6 +288,29 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — CUPED-adjusted A/B: the pre-period activity covariate
+    // soaks up user-level variance (ρ² is the power you get back);
+    // adjusted diff from arm-level moments only, no second pass.
+    "q319_cuped" -> ((s, d) => {
+      val dd = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          floor(col("ts").cast("long") / lit(86400L)).cast("long")
+            .as("_day"))
+      val bounds = dd.agg(min(col("_day")).as("_lo"),
+        max(col("_day")).as("_hi"))
+      val mid = (col("_lo") + col("_hi")).cast("double") / lit(2.0)
+      val users = dd.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("_day").cast("double") <= mid, 1L)),
+            lit(0L)).as("_x"),
+          coalesce(sum(when(col("_day").cast("double") > mid, 1L)),
+            lit(0L)).as("_y"))
+      StatsTests.cuped(users, col("user_id") % 2 === 0,
+        col("_x"), col("_y"))
+    }),
+
     // X+/S — sample-ratio-mismatch gate on the parity "assignment":
     // the A/B check that runs BEFORE any effect test — a broken
     // randomizer poisons every downstream number.
@@ -4781,6 +4804,69 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q319: same per-user pre/post counts (double midpoint split),
+    // same arm/pooled moment folds, the θ/ρ² chains.
+    "q319_cuped" ->
+      """WITH dd AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |bo AS (SELECT (CAST(min(d) AS DOUBLE) + CAST(max(d) AS DOUBLE))
+        |         / 2.0 AS mid FROM dd),
+        |u AS (
+        |  SELECT user_id,
+        |         CAST(coalesce(sum(CASE WHEN CAST(d AS DOUBLE) <= mid
+        |           THEN 1 END), 0) AS DOUBLE) AS x,
+        |         CAST(coalesce(sum(CASE WHEN CAST(d AS DOUBLE) > mid
+        |           THEN 1 END), 0) AS DOUBLE) AS y
+        |  FROM dd, bo GROUP BY 1),
+        |arms AS (
+        |  SELECT user_id % 2 = 0 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS sx,
+        |         CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS sy
+        |  FROM u GROUP BY 1),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS px,
+        |         CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS py,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS pxx,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS pxy,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS pyy
+        |  FROM u),
+        |j AS (
+        |  SELECT a.n AS n_a, a.sx AS sxa, a.sy AS sya,
+        |         b.n AS n_b, b.sx AS sxb, b.sy AS syb,
+        |         p.nn, p.px, p.py, p.pxx, p.pxy, p.pyy
+        |  FROM (SELECT * FROM arms WHERE arm) a,
+        |       (SELECT * FROM arms WHERE NOT arm) b, pooled p),
+        |k AS (
+        |  SELECT n_a, n_b,
+        |         CAST(nn AS DOUBLE) * CAST(pxy AS DOUBLE)
+        |           - CAST(px AS DOUBLE) * CAST(py AS DOUBLE) AS cov,
+        |         CAST(nn AS DOUBLE) * CAST(pxx AS DOUBLE)
+        |           - CAST(px AS DOUBLE) * CAST(px AS DOUBLE) AS varx,
+        |         CAST(nn AS DOUBLE) * CAST(pyy AS DOUBLE)
+        |           - CAST(py AS DOUBLE) * CAST(py AS DOUBLE) AS vary,
+        |         CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mxa,
+        |         CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS mya,
+        |         CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mxb,
+        |         CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS myb
+        |  FROM j)
+        |SELECT n_a, n_b,
+        |       round(cov / nullif(varx, 0), 6) AS theta,
+        |       round(cov * cov / nullif(varx * vary, 0), 6) AS rho2,
+        |       round(mya - myb, 6) AS diff_raw,
+        |       round(mya - myb - cov / nullif(varx, 0) * (mxa - mxb), 6)
+        |         AS diff_cuped
+        |FROM k""".stripMargin,
 
     // q317: same distinct-user arms, the 1-df χ² against the intended
     // split and the closed-form p.

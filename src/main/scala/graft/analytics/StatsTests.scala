@@ -477,6 +477,71 @@ object StatsTests {
   }
 
   /**
+   * CUPED adjustment for an A/B metric (Deng et al. 2013) — the
+   * industry-standard variance reduction: with a pre-period covariate
+   * x and the experiment metric y,
+   *
+   *   θ = cov(x, y)/var(x) ,   y′ = y − θ·(x − x̄)
+   *
+   * and the adjusted arm difference collapses to arm-level moments:
+   * `diff′ = (ȳ_A − ȳ_B) − θ·(x̄_A − x̄_B)` — no per-row second pass.
+   * The achievable variance reduction is ρ²(x, y); at ρ² = 0.5 an
+   * experiment needs HALF the users for the same power. θ/ρ² pool
+   * both arms (the standard, null-robust choice). Moments fold as
+   * 9-dp decimals (pairwise products 12-dp); everything after is one
+   * double chain, 6-dp. NULL adjusted outputs when var(x) = 0 (no
+   * covariate signal). Returns one row
+   * `(n_a, n_b, theta, rho2, diff_raw, diff_cuped)`.
+   *
+   * Shape: one hash aggregate per arm + one pooled fold — the user
+   * frame is touched once per moment set, no windows.
+   */
+  def cuped(
+      users: DataFrame, arm: Column, x: Column, y: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val d12 = DecimalType(38, 12)
+    val base = users.select(arm.cast("boolean").as("_arm"),
+        x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .filter(col("_arm").isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+    val arms = base.groupBy(col("_arm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_x"), 9).cast(d9)).as("_sx"),
+        sum(round(col("_y"), 9).cast(d9)).as("_sy"))
+    val pooled = base.agg(count(lit(1)).as("_nn"),
+      sum(round(col("_x"), 9).cast(d9)).as("_px"),
+      sum(round(col("_y"), 9).cast(d9)).as("_py"),
+      sum(round(col("_x") * col("_x"), 12).cast(d12)).as("_pxx"),
+      sum(round(col("_x") * col("_y"), 12).cast(d12)).as("_pxy"),
+      sum(round(col("_y") * col("_y"), 12).cast(d12)).as("_pyy"))
+    val a = arms.filter(col("_arm"))
+      .select(col("_n").as("n_a"), col("_sx").as("_sxa"),
+        col("_sy").as("_sya"))
+    val b = arms.filter(!col("_arm"))
+      .select(col("_n").as("n_b"), col("_sx").as("_sxb"),
+        col("_sy").as("_syb"))
+    val j = a.crossJoin(broadcast(b)).crossJoin(broadcast(pooled))
+    val nD = col("_nn").cast("double")
+    val cov = nD * col("_pxy").cast("double") -
+      col("_px").cast("double") * col("_py").cast("double")
+    val varx = nD * col("_pxx").cast("double") -
+      col("_px").cast("double") * col("_px").cast("double")
+    val vary = nD * col("_pyy").cast("double") -
+      col("_py").cast("double") * col("_py").cast("double")
+    val theta = cov / nullif(varx, lit(0.0))
+    val mxa = col("_sxa").cast("double") / col("n_a").cast("double")
+    val mya = col("_sya").cast("double") / col("n_a").cast("double")
+    val mxb = col("_sxb").cast("double") / col("n_b").cast("double")
+    val myb = col("_syb").cast("double") / col("n_b").cast("double")
+    val diffRaw = mya - myb
+    j.select(col("n_a"), col("n_b"),
+      round(theta, 6).as("theta"),
+      round(cov * cov / nullif(varx * vary, lit(0.0)), 6).as("rho2"),
+      round(diffRaw, 6).as("diff_raw"),
+      round(diffRaw - theta * (mxa - mxb), 6).as("diff_cuped"))
+  }
+
+  /**
    * Sample-ratio-mismatch check — the A/B gate that runs BEFORE any
    * effect test: with an intended allocation `ratioA` and observed
    * arm sizes n_a/n_b, the 1-df χ²

@@ -516,6 +516,25 @@ class StatsTestsSpec extends GraftSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("cuped: a perfectly predictive covariate (y = x + 1) gives " +
+    "theta = 1, rho2 = 1, and fully absorbs the raw arm gap") {
+    import org.apache.spark.sql.functions.col
+    val users = Seq((true, 1.0, 2.0), (true, 3.0, 4.0),
+      (false, 2.0, 3.0), (false, 4.0, 5.0)).toDF("arm", "x", "y")
+    val got = StatsTests.cuped(users, col("arm"), col("x"), col("y"))
+      .head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 1.0 && got.getDouble(3) == 1.0)
+    assert(got.getDouble(4) == -1.0, "raw gap is the covariate gap")
+    assert(got.getDouble(5) == 0.0, "CUPED removes it entirely")
+    // constant covariate: no signal, adjusted outputs NULL
+    val flat = Seq((true, 5.0, 1.0), (false, 5.0, 2.0))
+      .toDF("arm", "x", "y")
+    val f = StatsTests.cuped(flat, col("arm"), col("x"), col("y"))
+      .head()
+    assert(f.isNullAt(2) && f.isNullAt(5))
+  }
+
   test("srmCheck: a balanced split scores chi2 = 0; a skewed split " +
     "matches the hand chi2 and alarms") {
     import org.apache.spark.sql.functions.col
