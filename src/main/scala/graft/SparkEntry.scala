@@ -288,6 +288,21 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — delta-method CI for the value-per-event ratio between
+    // the parity arms: the correct variance for a ratio of sums
+    // (per-user exposure imbalance breaks the naive t-test).
+    "q320_ratio_metric" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+          .cast("double").as("_y"),
+          count(lit(1)).cast("double").as("_n"))
+      StatsTests.ratioMetricDelta(users, col("user_id") % 2 === 0,
+        col("_y"), col("_n"))
+    }),
+
     // X+/S — CUPED-adjusted A/B: the pre-period activity covariate
     // soaks up user-level variance (ρ² is the power you get back);
     // adjusted diff from arm-level moments only, no second pass.
@@ -4804,6 +4819,61 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q320: same per-user (value sum, count) frame, same arm moment
+    // folds, the delta-method chains with the z literal.
+    "q320_ratio_metric" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DOUBLE) AS y,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |arms AS (
+        |  SELECT user_id % 2 = 0 AS arm, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS sy,
+        |         CAST(sum(CAST(round(n, 9) AS DECIMAL(38,9)))
+        |           AS DECIMAL(38,9)) AS sn,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS syy,
+        |         CAST(sum(CAST(round(n * n, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS snn,
+        |         CAST(sum(CAST(round(y * n, 12) AS DECIMAL(38,12)))
+        |           AS DECIMAL(38,12)) AS syn
+        |  FROM u GROUP BY 1),
+        |s AS (
+        |  SELECT arm, c, CAST(c AS DOUBLE) AS cd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sn AS DOUBLE) AS snd,
+        |         CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(snn AS DOUBLE) AS snnd,
+        |         CAST(syn AS DOUBLE) AS synd
+        |  FROM arms),
+        |k AS (
+        |  SELECT arm, c, syd / snd AS r,
+        |         CASE WHEN c >= 2 AND snd / cd <> 0 THEN
+        |           ((syyd - syd * syd / cd) / (cd - 1.0)
+        |            - 2.0 * (syd / snd)
+        |              * ((synd - syd * snd / cd) / (cd - 1.0))
+        |            + (syd / snd) * (syd / snd)
+        |              * ((snnd - snd * snd / cd) / (cd - 1.0)))
+        |           / (cd * (snd / cd) * (snd / cd)) END AS v
+        |  FROM s),
+        |j AS (
+        |  SELECT a.c AS n_a, a.r AS ra, a.v AS va,
+        |         b.c AS n_b, b.r AS rb, b.v AS vb
+        |  FROM (SELECT * FROM k WHERE arm) a,
+        |       (SELECT * FROM k WHERE NOT arm) b)
+        |SELECT n_a, n_b, round(ra, 6) AS ratio_a,
+        |       round(rb, 6) AS ratio_b,
+        |       round(ra - rb, 6) AS diff,
+        |       round(sqrt(va + vb), 6) AS se,
+        |       round(ra - rb - 1.959963984540054 * sqrt(va + vb), 6)
+        |         AS ci_lo,
+        |       round(ra - rb + 1.959963984540054 * sqrt(va + vb), 6)
+        |         AS ci_hi
+        |FROM j""".stripMargin,
 
     // q319: same per-user pre/post counts (double midpoint split),
     // same arm/pooled moment folds, the θ/ρ² chains.

@@ -477,6 +477,66 @@ object StatsTests {
   }
 
   /**
+   * Delta-method confidence interval for a RATIO metric between two
+   * arms — value-per-event, revenue-per-session: the ratio of sums
+   * `R = Σy/Σn` is NOT a mean of per-user ratios, so the naive t-test
+   * is wrong; the delta method gives the correct first-order variance
+   *
+   *   var(R) ≈ (var_y − 2R·cov(y,n) + R²·var_n) / (N·n̄²)
+   *
+   * per arm (sample moments), then `diff ± z₀.₉₇₅·√(var_A + var_B)`.
+   * The standard experimentation answer to per-user exposure
+   * imbalance. Sums fold as 9-dp decimals (pairwise products 12-dp);
+   * the chains are fixed double ops with the z literal, 6-dp. NULL
+   * interval when either arm has N < 2 or a zero denominator mean.
+   * Returns one row
+   * `(n_a, n_b, ratio_a, ratio_b, diff, se, ci_lo, ci_hi)`.
+   */
+  def ratioMetricDelta(
+      users: DataFrame, arm: Column, num: Column,
+      den: Column): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val d12 = DecimalType(38, 12)
+    val base = users.select(arm.cast("boolean").as("_arm"),
+        num.cast("double").as("_y"), den.cast("double").as("_n"))
+      .filter(col("_arm").isNotNull && col("_y").isNotNull &&
+        col("_n").isNotNull)
+    val arms = base.groupBy(col("_arm"))
+      .agg(count(lit(1)).as("_c"),
+        sum(round(col("_y"), 9).cast(d9)).as("_sy"),
+        sum(round(col("_n"), 9).cast(d9)).as("_sn"),
+        sum(round(col("_y") * col("_y"), 12).cast(d12)).as("_syy"),
+        sum(round(col("_n") * col("_n"), 12).cast(d12)).as("_snn"),
+        sum(round(col("_y") * col("_n"), 12).cast(d12)).as("_syn"))
+    def side(flag: Boolean, sfx: String): DataFrame = {
+      val f = arms.filter(if (flag) col("_arm") else !col("_arm"))
+      val cD = col("_c").cast("double")
+      val sy = col("_sy").cast("double"); val sn = col("_sn").cast("double")
+      val r = sy / sn
+      val varY = (col("_syy").cast("double") - sy * sy / cD) / (cD - 1.0)
+      val varN = (col("_snn").cast("double") - sn * sn / cD) / (cD - 1.0)
+      val covYN = (col("_syn").cast("double") - sy * sn / cD) / (cD - 1.0)
+      val nbar = sn / cD
+      val varR = (varY - lit(2.0) * r * covYN + r * r * varN) /
+        (cD * nbar * nbar)
+      f.select(col("_c").as("n" + sfx), r.as("r" + sfx),
+        when(col("_c") >= 2 && nbar =!= 0.0, varR).as("v" + sfx))
+    }
+    val z = lit(1.959963984540054)
+    val j = side(flag = true, "_a").crossJoin(broadcast(
+      side(flag = false, "_b")))
+    val diff = col("r_a") - col("r_b")
+    val se = sqrt(col("v_a") + col("v_b"))
+    j.select(col("n_a"), col("n_b"),
+      round(col("r_a"), 6).as("ratio_a"),
+      round(col("r_b"), 6).as("ratio_b"),
+      round(diff, 6).as("diff"),
+      round(se, 6).as("se"),
+      round(diff - z * se, 6).as("ci_lo"),
+      round(diff + z * se, 6).as("ci_hi"))
+  }
+
+  /**
    * CUPED adjustment for an A/B metric (Deng et al. 2013) — the
    * industry-standard variance reduction: with a pre-period covariate
    * x and the experiment metric y,

@@ -516,6 +516,27 @@ class StatsTestsSpec extends GraftSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("ratioMetricDelta: y strictly proportional to n has zero " +
+    "ratio variance — the CI collapses onto the exact diff") {
+    import org.apache.spark.sql.functions.col
+    val users = Seq((true, 10.0, 2.0), (true, 20.0, 4.0),
+      (false, 9.0, 3.0), (false, 9.0, 3.0)).toDF("arm", "y", "n")
+    val got = StatsTests.ratioMetricDelta(users, col("arm"),
+      col("y"), col("n")).head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 5.0 && got.getDouble(3) == 3.0)
+    assert(got.getDouble(4) == 2.0 && got.getDouble(5) == 0.0, s"$got")
+    assert(got.getDouble(6) == 2.0 && got.getDouble(7) == 2.0)
+    // real spread widens the interval around the diff
+    val noisy = Seq((true, 10.0, 2.0), (true, 30.0, 4.0),
+      (false, 6.0, 3.0), (false, 15.0, 3.0)).toDF("arm", "y", "n")
+    val n2 = StatsTests.ratioMetricDelta(noisy, col("arm"),
+      col("y"), col("n")).head()
+    assert(n2.getDouble(5) > 0.0)
+    assert(n2.getDouble(6) < n2.getDouble(4) &&
+      n2.getDouble(4) < n2.getDouble(7))
+  }
+
   test("cuped: a perfectly predictive covariate (y = x + 1) gives " +
     "theta = 1, rho2 = 1, and fully absorbs the raw arm gap") {
     import org.apache.spark.sql.functions.col
