@@ -288,6 +288,42 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/E — best-F1 operating point off the q138 PR frame: the
+    // threshold the curve actually recommends (unrounded argmax,
+    // higher threshold breaks exact ties).
+    "q321_best_threshold" -> ((s, d) =>
+      Eval.bestF1Threshold(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000)
+          .select(element_at(col("embedding"), 1).cast("double")
+            .as("score"),
+            (col("label") === 0).cast("int").as("is_pos")),
+        "score", "is_pos")),
+
+    // X+/S — Borda source scorecard: the executive face of q266's
+    // judge frame — per-metric DESC ranks summed into one league
+    // table (rank 1 = best). Subject-frame windows only.
+    "q322_source_scorecard" -> ((s, d) => {
+      val m = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .groupBy(col("source"))
+        .agg(
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          count(lit(1)).cast("long").as("n_docs"),
+          max(col("n_chars")).as("max_chars"))
+      def rk(c: Column, name: String): Column =
+        row_number().over(Window.orderBy(c.desc, col("source").asc))
+          .cast("long").as(name)
+      m.select(col("source"), col("mean_chars"), col("n_docs"),
+          col("max_chars"),
+          rk(col("mean_chars"), "rank_mean"),
+          rk(col("n_docs"), "rank_docs"),
+          rk(col("max_chars"), "rank_max"))
+        .withColumn("rank_sum",
+          col("rank_mean") + col("rank_docs") + col("rank_max"))
+        .orderBy(col("rank_sum").asc, col("source").asc)
+    }),
+
     // X+/S — delta-method CI for the value-per-event ratio between
     // the parity arms: the correct variance for a ratio of sums
     // (per-user exposure imbalance breaks the naive t-test).
@@ -4819,6 +4855,69 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q321: the q138 threshold chain with the unrounded F1 argmax
+    // (threshold DESC breaks exact ties — the struct-max order).
+    "q321_best_threshold" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+        |         CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings WHERE vec_id < 1000
+        |    AND embedding IS NOT NULL AND label IS NOT NULL),
+        |th AS (
+        |  SELECT score AS threshold, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN y <> 0 THEN 1 END), 0)
+        |           AS BIGINT) AS np
+        |  FROM s GROUP BY 1),
+        |cum AS (
+        |  SELECT threshold,
+        |         CAST(sum(n) OVER (ORDER BY threshold DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS predicted,
+        |         CAST(sum(np) OVER (ORDER BY threshold DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS tp
+        |  FROM th),
+        |tt AS (SELECT CAST(max(tp) AS BIGINT) AS pos FROM cum),
+        |f AS (
+        |  SELECT threshold, predicted, tp,
+        |         CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) AS p,
+        |         CAST(tp AS DOUBLE) / nullif(CAST(pos AS DOUBLE), 0)
+        |           AS r
+        |  FROM cum, tt),
+        |g AS (
+        |  SELECT threshold, predicted, tp, p, r,
+        |         CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END
+        |           AS f1
+        |  FROM f WHERE p + r > 0)
+        |SELECT threshold, predicted, tp, round(p, 6) AS precision,
+        |       round(r, 6) AS recall, round(f1, 6) AS f1
+        |FROM g ORDER BY f1 DESC, threshold DESC LIMIT 1""".stripMargin,
+
+    // q322: q266's metric frame with DESC ranks summed — the Borda
+    // order.
+    "q322_source_scorecard" ->
+      """WITH m AS (
+        |  SELECT source,
+        |         CAST(sum(n_chars) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mean_chars,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         max(n_chars) AS max_chars
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT source, mean_chars, n_docs, max_chars,
+        |         CAST(row_number() OVER (ORDER BY mean_chars DESC,
+        |           source) AS BIGINT) AS rank_mean,
+        |         CAST(row_number() OVER (ORDER BY n_docs DESC, source)
+        |           AS BIGINT) AS rank_docs,
+        |         CAST(row_number() OVER (ORDER BY max_chars DESC,
+        |           source) AS BIGINT) AS rank_max
+        |  FROM m)
+        |SELECT source, mean_chars, n_docs, max_chars,
+        |       rank_mean, rank_docs, rank_max,
+        |       rank_mean + rank_docs + rank_max AS rank_sum
+        |FROM r ORDER BY rank_sum, source""".stripMargin,
 
     // q320: same per-user (value sum, count) frame, same arm moment
     // folds, the delta-method chains with the z literal.

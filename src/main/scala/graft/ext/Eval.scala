@@ -1038,6 +1038,40 @@ object Eval {
   }
 
   /**
+   * Best-F1 operating point — the DECISION the [[prCurve]] hands the
+   * operator: the threshold maximizing F1 over every realizable cut
+   * (unrounded precision/recall inside the argmax — rounding first
+   * could flip near-ties), with the higher threshold breaking exact
+   * F1 ties (the conservative pick: same F1, fewer positives
+   * flagged). Returns one row
+   * `(threshold, predicted, tp, precision, recall, f1)`, 6-dp —
+   * EMPTY when no cut yields a defined F1 (no positives). Same
+   * threshold-frame window contract as [[prCurve]].
+   */
+  def bestF1Threshold(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val p = thresholds(df, scoreCol, labelCol).withColumn("_j", lit(1))
+    val totals = p.groupBy(col("_j")).agg(max(col("tp")).as("_pos"))
+    val prec = col("tp").cast("double") / col("predicted").cast("double")
+    val rec = col("tp").cast("double") /
+      nullif(col("_pos").cast("double"), lit(0.0))
+    val f1 = lit(2.0) * prec * rec / (prec + rec)
+    p.join(totals, Seq("_j"))
+      .select(col("threshold"), col("predicted"), col("tp"),
+        prec.as("_p"), rec.as("_r"),
+        when(prec + rec > 0.0, f1).as("_f1"))
+      .filter(col("_f1").isNotNull)
+      .agg(max(struct(col("_f1"), col("threshold"), col("predicted"),
+        col("tp"), col("_p"), col("_r"))).as("_m"))
+      .select(col("_m.threshold").as("threshold"),
+        col("_m.predicted").as("predicted"), col("_m.tp").as("tp"),
+        round(col("_m._p"), 6).as("precision"),
+        round(col("_m._r"), 6).as("recall"),
+        round(col("_m._f1"), 6).as("f1"))
+      .filter(col("threshold").isNotNull)
+  }
+
+  /**
    * Decile lift table for a scored binary outcome — the business face
    * of the threshold metrics ([[prCurve]]/[[rocAuc]] speak in rates;
    * this speaks in "the top decile holds 3.2× its share of

@@ -616,6 +616,21 @@ class EvalSpec extends GraftSpec {
     }
   }
 
+  test("bestF1Threshold: picks the hand-computed argmax cut; exact " +
+    "ties resolve to the higher threshold") {
+    import org.apache.spark.sql.functions.col
+    // scores 4,3,2,1; positives at {4,3} → cut at 3: P=1, R=1, F1=1
+    val df = Seq((4.0, 1), (3.0, 1), (2.0, 0), (1.0, 0))
+      .toDF("score", "y")
+    val got = Eval.bestF1Threshold(df, "score", "y").head()
+    assert(got.getDouble(0) == 3.0 && got.getLong(1) == 2L &&
+      got.getLong(2) == 2L)
+    assert(got.getDouble(5) == 1.0, s"$got")
+    // no positives → no defined F1 anywhere → empty
+    val none = Seq((1.0, 0), (2.0, 0)).toDF("score", "y")
+    assert(Eval.bestF1Threshold(none, "score", "y").count() == 0L)
+  }
+
   test("psi: identical populations score 0 over full bins; a shifted " +
     "population scores positive drift; duplicates weigh correctly") {
     import org.apache.spark.sql.functions.col
