@@ -288,6 +288,20 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X2+/S — lexical diversity per source: Guiraud's RTTR (the
+    // size-robust type–token ratio) — low-RTTR sources are template
+    // mass the mixture should down-weight.
+    "q323_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(t(s, d, "documents"), "source", "text")),
+
+    // X2+/S — pairwise source JS matrix over the top-200 global
+    // terms: the distribution-level redundancy map next to q318's
+    // exact duplicates — near-zero JS sources buy the same data
+    // twice. Pair × head support is k²·topN-bounded.
+    "q324_source_js_matrix" -> ((s, d) =>
+      TextOps.sourceJsMatrix(t(s, d, "documents"), "source", "text",
+        topN = 200)),
+
     // X+/E — best-F1 operating point off the q138 PR frame: the
     // threshold the curve actually recommends (unrounded argmax,
     // higher threshold breaks exact ties).
@@ -4855,6 +4869,71 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q323: same per-source token/type counts, same RTTR chain.
+    "q323_lexical_diversity" ->
+      """WITH c AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents
+        |        WHERE source IS NOT NULL AND text IS NOT NULL) x
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       round(CAST(count(*) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |       round(CAST(count(*) AS DOUBLE)
+        |             / sqrt(CAST(sum(c) AS DOUBLE)), 6) AS rttr
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // q324: same global top-200 head (count desc, term tiebreak),
+    // same renormalized per-source probs, same pair × head support
+    // and 12-dp JS folds.
+    "q324_source_js_matrix" ->
+      """WITH cells AS (
+        |  SELECT source AS s, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS t
+        |        FROM documents
+        |        WHERE source IS NOT NULL AND text IS NOT NULL) x
+        |  GROUP BY 1, 2),
+        |head AS (
+        |  SELECT t FROM (
+        |    SELECT t, sum(c) AS g FROM cells GROUP BY 1
+        |    ORDER BY g DESC, t LIMIT 200) x),
+        |kept AS (SELECT cells.* FROM cells JOIN head USING (t)),
+        |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n
+        |        FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT kept.t, kept.s,
+        |         CAST(kept.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p
+        |  FROM kept JOIN tot ON tot.s = kept.s),
+        |sp AS (
+        |  SELECT x.s AS sa, y.s AS sb
+        |  FROM tot x JOIN tot y ON x.s < y.s),
+        |sup AS (SELECT sp.sa, sp.sb, head.t FROM sp, head),
+        |j AS (
+        |  SELECT sup.sa, sup.sb,
+        |         coalesce(a.p, 0.0) AS qa, coalesce(b.p, 0.0) AS qb
+        |  FROM sup
+        |  LEFT JOIN p a ON a.s = sup.sa AND a.t = sup.t
+        |  LEFT JOIN p b ON b.s = sup.sb AND b.t = sup.t),
+        |tm AS (
+        |  SELECT sa, sb,
+        |         CAST(round(
+        |           (CASE WHEN qa > 0 THEN qa * ln(qa / ((qa + qb)
+        |              / 2.0)) ELSE 0.0 END)
+        |           + (CASE WHEN qb > 0 THEN qb * ln(qb / ((qa + qb)
+        |              / 2.0)) ELSE 0.0 END), 12) AS DECIMAL(38,12))
+        |           AS t
+        |  FROM j)
+        |SELECT sa AS source_lo, sb AS source_hi,
+        |       round(CAST(sum(t) AS DOUBLE) / 2.0
+        |             / 0.6931471805599453, 6) AS js
+        |FROM tm GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
 
     // q321: the q138 threshold chain with the unrounded F1 argmax
     // (threshold DESC breaks exact ties — the struct-max order).

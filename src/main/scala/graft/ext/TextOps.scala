@@ -887,6 +887,93 @@ object TextOps {
   }
 
   /**
+   * Lexical diversity per source — "is this source saying NEW things,
+   * or the same things many times?": tokens, distinct types, and the
+   * root type–token ratio `RTTR = V/√N` (Guiraud's index — raw V/N
+   * shrinks mechanically with corpus size, RTTR is the standard
+   * size-robust correction). A low-RTTR source is template/boilerplate
+   * mass the quality family should down-weight before mixing. Counts
+   * exact; RTTR is one chain, 6-dp. Returns
+   * `(source, n_tokens, vocab, ttr, rttr)` ordered by source —
+   * source-keyed hash aggregates, no windows.
+   */
+  def lexicalDiversity(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    docs.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("source"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("vocab").cast("double") /
+          sqrt(col("n_tokens").cast("double")), 6).as("rttr"))
+      .orderBy(col("source").asc)
+
+  /**
+   * Pairwise Jensen–Shannon divergence matrix between sources over
+   * the top-`topN` GLOBAL terms — the distribution-level redundancy
+   * map next to the exact cross-source duplicate matrix: two sources
+   * with near-zero JS say the same things even when no document is
+   * copied (a mixture weighting both is buying the same data twice).
+   * Restricting to the shared global head keeps the pair join
+   * `topN × k²`-bounded and makes every source comparable on the same
+   * support; per-source probabilities renormalize over that head.
+   * Each JS term is one double chain rounded 12-dp and folded
+   * DECIMAL(38,12) (the corpus-divergence convention); absent terms
+   * carry p = 0 and contribute only through the other side (the
+   * 0·ln 0 = 0 convention). Returns `(source_lo, source_hi, js)`
+   * ordered lexicographically, k²/2 rows.
+   */
+  def sourceJsMatrix(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = docs
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("_s"),
+        explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("_s"), col("_t")).agg(count(lit(1)).as("_c"))
+    val head = cells.groupBy(col("_t"))
+      .agg(sum(col("_c")).as("_g"))
+      .orderBy(col("_g").desc, col("_t").asc)
+      .limit(topN)
+      .select(col("_t"))
+    val kept = cells.join(broadcast(head), Seq("_t"))
+    val tot = kept.groupBy(col("_s")).agg(sum(col("_c")).as("_n"))
+    val p = kept.join(tot, Seq("_s"))
+      .select(col("_t"), col("_s"),
+        (col("_c").cast("double") / col("_n").cast("double")).as("_p"))
+    val srcs = tot.select(col("_s"))
+    val srcPairs = srcs.as("x").join(srcs.as("y"),
+      col("x._s") < col("y._s"))
+      .select(col("x._s").as("_sa"), col("y._s").as("_sb"))
+    val pa = p.select(col("_t"), col("_s").as("_sa"), col("_p").as("_pa"))
+    val pb = p.select(col("_t"), col("_s").as("_sb"), col("_p").as("_pb"))
+    // explicit bounded support: every pair × every head term, absent
+    // sides left-joined to p = 0 (k²/2 × topN rows by construction)
+    val joined = srcPairs.crossJoin(broadcast(head))
+      .join(pa, Seq("_sa", "_t"), "left")
+      .join(pb, Seq("_sb", "_t"), "left")
+    val qa = coalesce(col("_pa"), lit(0.0))
+    val qb = coalesce(col("_pb"), lit(0.0))
+    val mm = (qa + qb) / 2.0
+    val term =
+      when(qa > 0.0, qa * log(qa / mm)).otherwise(lit(0.0)) +
+        when(qb > 0.0, qb * log(qb / mm)).otherwise(lit(0.0))
+    joined
+      .groupBy(col("_sa").as("source_lo"), col("_sb").as("source_hi"))
+      .agg(round(sum(round(term, 12).cast(d12)).cast("double") / 2.0 /
+        lit(0.6931471805599453), 6).as("js"))
+      .orderBy(col("source_lo").asc, col("source_hi").asc)
+  }
+
+  /**
    * Coverage targets — "how big must a vocabulary be to cover X% of
    * the token mass?", the tokenizer-sizing inverse of
    * [[vocabCoverage]] (which reports the share a FIXED top-K holds):

@@ -491,6 +491,33 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("lexicalDiversity: hand-computed TTR and Guiraud RTTR per " +
+    "source") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(("s1", "a b a"), ("s2", "x y z w"))
+      .toDF("source", "text")
+    val got = TextOps.lexicalDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("s1") == ((3L, 2L, r6(2.0 / 3.0),
+      r6(2.0 / math.sqrt(3.0)))), s"$got")
+    assert(got("s2") == ((4L, 4L, 1.0, 2.0)), s"$got")
+  }
+
+  test("sourceJsMatrix: identical distributions score 0 bits, " +
+    "disjoint vocabularies score 1 bit") {
+    val docs = Seq(("s1", "a a b"), ("s2", "a a b"), ("s3", "c c d"))
+      .toDF("source", "text")
+    val got = TextOps.sourceJsMatrix(docs, "source", "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(got(("s1", "s2")) == 0.0, s"$got")
+    assert(got(("s1", "s3")) == 1.0 && got(("s2", "s3")) == 1.0,
+      "disjoint supports are maximally divergent")
+  }
+
   test("coverageTargets: hand-computed mass curve — each target picks " +
     "the smallest qualifying rank") {
     import org.apache.spark.sql.functions.col
