@@ -288,6 +288,33 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — Holm step-down screen over the q189 per-source Welch
+    // tests: the FWER member of the multiplicity family (BH/BY bound
+    // discoveries; Holm bounds ANY false rejection — the gate when
+    // each rejection triggers an expensive action).
+    "q325_holm_screen" -> ((s, d) =>
+      StatsTests.holmSignificance(
+        StatsTests.groupWelchZ(t(s, d, "documents"),
+          col("source"), col("n_chars"))
+          .withColumn("p", StatsTests.normalTwoSidedP(col("z"))),
+        "p", "g", alpha = 0.05)
+        .orderBy(col("rank").asc)),
+
+    // X+/S — Cohen's h between the parity cohorts' conversion: the
+    // base-rate-free effect size (at web scale everything is
+    // significant; h says whether it matters).
+    "q326_cohens_h" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("conv"))
+      StatsTests.cohensH(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        col("conv") === 1)
+    }),
+
     // X2+/S — lexical diversity per source: Guiraud's RTTR (the
     // size-robust type–token ratio) — low-RTTR sources are template
     // mass the mixture should down-weight.
@@ -4869,6 +4896,36 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q325: the q189 chain with the Holm step-down cut.
+    "q325_holm_screen" -> holmScreenOracleSql,
+
+    // q326: same per-user conversion cells, the arcsine chain.
+    "q326_cohens_h" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_a
+        |  FROM u WHERE user_id % 2 = 0),
+        |cb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_b
+        |  FROM u WHERE user_id % 2 <> 0),
+        |g AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+        |  FROM ca, cb)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |       round(2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)), 6)
+        |         AS h
+        |FROM g""".stripMargin,
 
     // q323: same per-source token/type counts, same RTTR chain.
     "q323_lexical_diversity" ->
@@ -12636,6 +12693,23 @@ object SparkEntry {
         |                    / (CAST(m AS DOUBLE) * cm.c)
         |                       THEN rank END) AS cut
         |       FROM rk CROSS JOIN cm)""".stripMargin)
+
+  /** q325: q189's Welch/p/rank chain verbatim, with the Holm
+    * step-down cut (first failing rank stops everything after it)
+    * instead of the BH step-up. */
+  private val holmScreenOracleSql: String =
+    sourceScreenOracleSql.replace(
+      """ct AS (SELECT max(CASE WHEN p <= CAST(0.05 AS DOUBLE) * rank / m
+        |                       THEN rank END) AS cut FROM rk)
+        |SELECT g, n, mean, z, p, rank,
+        |       coalesce(rank <= ct.cut, FALSE) AS significant
+        |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin,
+      """ct AS (SELECT min(CASE WHEN p > CAST(0.05 AS DOUBLE)
+        |                    / CAST(m - rank + 1 AS DOUBLE)
+        |                       THEN rank END) AS cut FROM rk)
+        |SELECT g, n, mean, z, p, rank,
+        |       coalesce(rank < ct.cut, TRUE) AS significant
+        |FROM rk CROSS JOIN ct ORDER BY rank""".stripMargin)
 
   /** q292/q299 shared oracle: the term-count frame (direct
     * tokenization ≡ the postings-stripe sum(tf) rollup), ranked and

@@ -1421,6 +1421,66 @@ object StatsTests {
   }
 
   /**
+   * Holm–Bonferroni step-down at level `alpha` — the FWER member of
+   * the multiplicity family ([[bhSignificance]]/[[bySignificance]]
+   * control the false-DISCOVERY rate; Holm controls the probability
+   * of ANY false rejection, the standard when each rejection triggers
+   * an expensive action): rank p ascending, reject while
+   * `p_k ≤ α/(m−k+1)`, and STOP at the first failure — ranks past it
+   * stay unrejected even if their own inequality holds (the
+   * step-down, implemented as the min failing rank over the test
+   * frame). Uniformly more powerful than plain Bonferroni, no
+   * dependence assumptions at all. Windows run over the TEST frame
+   * (the [[bhSignificance]] contract). Adds `(rank, significant)`.
+   */
+  def holmSignificance(
+      tests: DataFrame, pCol: String, idCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val byP = Window.orderBy(col(pCol).asc, col(idCol).asc)
+    val all = Window.orderBy(col(pCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("_firstFail", min(when(
+        col(pCol) > lit(alpha) /
+          (col("_m") - col("rank") + 1L).cast("double"),
+        col("rank"))).over(all))
+      .withColumn("significant",
+        coalesce(col("rank") < col("_firstFail"), lit(true)))
+      .drop("_m", "_firstFail")
+  }
+
+  /**
+   * Cohen's h effect size for two proportions — the magnitude the
+   * [[twoProportionZ]] significance cannot convey (at web scale
+   * everything is significant; h says whether it MATTERS):
+   *
+   *   h = 2·arcsin√p₁ − 2·arcsin√p₂
+   *
+   * (the variance-stabilizing transform, so |h| thresholds 0.2/0.5/
+   * 0.8 read small/medium/large at ANY base rate — unlike a raw
+   * difference, which means different things at p = 0.5 and
+   * p = 0.01). Counts exact; one double chain, 6-dp. Returns one row
+   * `(n_a, conv_a, n_b, conv_b, p_a, p_b, h)`.
+   */
+  def cohensH(
+      a: DataFrame, b: DataFrame, success: Column): DataFrame = {
+    def counts(df: DataFrame, n: String, s: String): DataFrame =
+      df.agg(count(lit(1)).as(n),
+        coalesce(sum(success.cast("long")), lit(0L)).as(s))
+    val j = counts(a, "n_a", "conv_a")
+      .crossJoin(broadcast(counts(b, "n_b", "conv_b")))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val h = lit(2.0) * asin(sqrt(pA)) - lit(2.0) * asin(sqrt(pB))
+    j.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      round(h, 6).as("h"))
+  }
+
+  /**
    * Benjamini–Yekutieli step-up — [[bhSignificance]] under ARBITRARY
    * dependence between the tests: BH's FDR guarantee assumes
    * independence/PRDS, and per-source screens over a SHARED corpus

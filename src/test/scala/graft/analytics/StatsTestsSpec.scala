@@ -537,6 +537,40 @@ class StatsTestsSpec extends GraftSpec {
       n2.getDouble(4) < n2.getDouble(7))
   }
 
+  test("holmSignificance: the step-down STOPS at the first failure " +
+    "even when a later p would pass its own bar") {
+    import org.apache.spark.sql.functions.col
+    // m=4, bars: .0125, .0167, .025, .05
+    // p = .01 (pass), .02 (fail) → stop; .024 passes ITS bar but stays
+    // unrejected (the step-down), .9 unrejected
+    val tests = Seq(("a", 0.01), ("b", 0.02), ("c", 0.024), ("d", 0.9))
+      .toDF("id", "p")
+    val got = StatsTests.holmSignificance(tests, "p", "id")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got == Map("a" -> true, "b" -> false, "c" -> false,
+      "d" -> false), s"$got")
+    // every bar passed → everything rejected (coalesce-TRUE branch)
+    val all = Seq(("a", 0.001), ("b", 0.002)).toDF("id", "p")
+    assert(StatsTests.holmSignificance(all, "p", "id")
+      .collect().forall(_.getBoolean(3)))
+  }
+
+  test("cohensH: hand-computed arcsine effect size; equal rates " +
+    "score 0") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = ((1 to 5).map(_ => 1) ++ (1 to 5).map(_ => 0)).toDF("conv")
+    val b = ((1 to 1).map(_ => 1) ++ (1 to 9).map(_ => 0)).toDF("conv")
+    val got = StatsTests.cohensH(a, b, col("conv") === 1).head()
+    val h = 2.0 * math.asin(math.sqrt(0.5)) -
+      2.0 * math.asin(math.sqrt(0.1))
+    assert(got.getDouble(4) == 0.5 && got.getDouble(5) == 0.1)
+    assert(got.getDouble(6) == r6(h), s"$got")
+    assert(StatsTests.cohensH(a, a, col("conv") === 1).head()
+      .getDouble(6) == 0.0)
+  }
+
   test("cuped: a perfectly predictive covariate (y = x + 1) gives " +
     "theta = 1, rho2 = 1, and fully absorbs the raw arm gap") {
     import org.apache.spark.sql.functions.col
