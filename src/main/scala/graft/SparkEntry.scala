@@ -288,6 +288,36 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — TOST equivalence between the parity cohorts at a 2%
+    // margin: the question a failed rejection should trigger — can we
+    // positively conclude "the same"? (absence of significance is not
+    // evidence of absence).
+    "q327_tost_equivalence" -> ((s, d) => {
+      // the q180 retention label (interior rate at every SF — the
+      // universal-purchase metric would degenerate SE to 0)
+      val sp = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(floor(col("ts").cast("long") / lit(3600L))
+          .cast("long")).as("_lb"))
+      val mx = sp.agg(max(col("_lb")).as("_maxd"))
+      val users = sp.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          (col("_lb") > col("_maxd") - lit(12L)).cast("int").as("conv"))
+      StatsTests.tostEquivalence(
+        users.filter(col("user_id") % 2 === 0),
+        users.filter(col("user_id") % 2 =!= 0),
+        col("conv") === 1, margin = 0.02)
+    }),
+
+    // X+/S — Nelson–Aalen cumulative hazard off the q180 spans: churn
+    // PRESSURE accumulated by lifetime (the hazard-space reading of
+    // the same censored data). Lifetime-frame cumulative only.
+    "q328_nelson_aalen" -> ((s, d) =>
+      Survival.nelsonAalen(
+        Survival.kaplanMeier(t(s, d, "events"),
+          bucketSeconds = 3600L, horizonBuckets = 12))),
+
     // X+/S — Holm step-down screen over the q189 per-source Welch
     // tests: the FWER member of the multiplicity family (BH/BY bound
     // discoveries; Holm bounds ANY false rejection — the gate when
@@ -4896,6 +4926,69 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q327: same conversion cells, the two one-sided Wald chains with
+    // the z literal.
+    "q327_tost_equivalence" ->
+      """WITH sp AS (
+        |  SELECT user_id,
+        |         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           AS BIGINT) // 3600) AS lb
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(lb) AS maxd FROM sp),
+        |u AS (
+        |  SELECT user_id,
+        |         CASE WHEN lb > maxd - 12 THEN 1 ELSE 0 END AS conv
+        |  FROM sp, mx),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_a
+        |  FROM u WHERE user_id % 2 = 0),
+        |cb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(coalesce(sum(CASE WHEN conv = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS conv_b
+        |  FROM u WHERE user_id % 2 <> 0),
+        |g AS (
+        |  SELECT n_a, n_b,
+        |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+        |  FROM ca, cb),
+        |k AS (
+        |  SELECT n_a, n_b, pa, pb, pa - pb AS diff,
+        |         sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+        |              + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)) AS se
+        |  FROM g),
+        |z AS (
+        |  SELECT n_a, n_b, pa, pb, diff, se,
+        |         (diff + 0.02) / nullif(se, 0) AS zlo,
+        |         (0.02 - diff) / nullif(se, 0) AS zhi
+        |  FROM k)
+        |SELECT n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |       round(diff, 6) AS diff, round(se, 6) AS se,
+        |       CASE WHEN se > 0 THEN round(zlo, 6) END AS z_lower,
+        |       CASE WHEN se > 0 THEN round(zhi, 6) END AS z_upper,
+        |       coalesce(zlo > 1.6448536269514722
+        |                AND zhi > 1.6448536269514722, FALSE)
+        |         AS equivalent
+        |FROM z""".stripMargin,
+
+    // q328: the q180 curve verbatim, hazard terms folded 12-dp over
+    // the ordered lifetime frame.
+    "q328_nelson_aalen" ->
+      s"""WITH km AS (SELECT * FROM ($kaplanMeierOracleSql) x),
+        |h AS (
+        |  SELECT t_life, n_risk, n_churn,
+        |         CAST(n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hz
+        |  FROM km)
+        |SELECT t_life, n_risk, n_churn, round(hz, 6) AS hazard,
+        |       round(CAST(sum(CAST(round(hz, 12) AS DECIMAL(38,12)))
+        |           OVER (ORDER BY t_life ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |         AS cum_hazard
+        |FROM h ORDER BY t_life""".stripMargin,
 
     // q325: the q189 chain with the Holm step-down cut.
     "q325_holm_screen" -> holmScreenOracleSql,

@@ -1453,6 +1453,51 @@ object StatsTests {
   }
 
   /**
+   * TOST equivalence test for two proportions — the question a
+   * FAILED rejection should trigger: "can we positively conclude the
+   * arms are the SAME within margin δ?" (absence of significance is
+   * not evidence of absence; TOST is). Two one-sided z-tests against
+   * ±δ on the pooled-free Wald SE:
+   *
+   *   z_lo = (diff + δ)/SE ,  z_hi = (δ − diff)/SE ,
+   *   equivalent ⇔ min(z_lo, z_hi) > z₀.₉₅
+   *
+   * (z₀.₉₅ = 1.6448536269514722, the literal below — both one-sided
+   * tests at 5%). Counts exact; chains fixed double ops, 6-dp;
+   * NULL/false verdict when SE = 0 degenerately. Returns one row
+   * `(n_a, n_b, p_a, p_b, diff, se, z_lower, z_upper, equivalent)`.
+   */
+  def tostEquivalence(
+      a: DataFrame, b: DataFrame, success: Column,
+      margin: Double): DataFrame = {
+    require(margin > 0.0 && margin < 1.0,
+      s"margin must be in (0,1), got $margin")
+    def counts(df: DataFrame, n: String, s: String): DataFrame =
+      df.agg(count(lit(1)).as(n),
+        coalesce(sum(success.cast("long")), lit(0L)).as(s))
+    val j = counts(a, "n_a", "conv_a")
+      .crossJoin(broadcast(counts(b, "n_b", "conv_b")))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val se = sqrt(pA * (lit(1.0) - pA) / col("n_a").cast("double") +
+      pB * (lit(1.0) - pB) / col("n_b").cast("double"))
+    val diff = pA - pB
+    // nullif guard: boundary rates (everyone or no one converts in
+    // both arms) make SE exactly 0 — the verdict is then "cannot
+    // conclude", never a division error or a spurious ∞ pass
+    val zLo = (diff + lit(margin)) / nullif(se, lit(0.0))
+    val zHi = (lit(margin) - diff) / nullif(se, lit(0.0))
+    val zCrit = lit(1.6448536269514722)
+    j.select(col("n_a"), col("n_b"),
+      round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      round(diff, 6).as("diff"), round(se, 6).as("se"),
+      when(se > 0.0, round(zLo, 6)).as("z_lower"),
+      when(se > 0.0, round(zHi, 6)).as("z_upper"),
+      coalesce(zLo > zCrit && zHi > zCrit, lit(false))
+        .as("equivalent"))
+  }
+
+  /**
    * Cohen's h effect size for two proportions — the magnitude the
    * [[twoProportionZ]] significance cannot convey (at web scale
    * everything is significant; h says whether it MATTERS):

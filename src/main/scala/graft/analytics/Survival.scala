@@ -137,6 +137,33 @@ object Survival {
   }
 
   /**
+   * Nelson–Aalen cumulative hazard from a [[kaplanMeier]] curve — the
+   * hazard-space reading of the same censored data: the per-lifetime
+   * hazard `h(t) = d_t/n_t` and its running sum `H(t) = Σ_{s≤t} d/n`
+   * (the canonical cumulative-hazard estimator; where the KM curve
+   * says "how many survive", H(t) says "how much churn PRESSURE has
+   * accumulated", and a straightening/steepening H is the standard
+   * aging diagnostic). Each hazard term is one division rounded
+   * 12-dp and folded DECIMAL(38,12) over the ordered lifetime frame
+   * (bounded by construction — the [[kaplanMeierFromSpans]] window
+   * contract). Returns the curve's
+   * `(t_life, n_risk, n_churn, hazard, cum_hazard)`, 6-dp.
+   */
+  def nelsonAalen(curve: DataFrame): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val h = col("n_churn").cast("double") / col("n_risk").cast("double")
+    val wCum = Window.orderBy(col("t_life").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve
+      .withColumn("_h", round(h, 12).cast(d12))
+      .select(col("t_life"), col("n_risk"), col("n_churn"),
+        round(h, 6).as("hazard"),
+        round(sum(col("_h")).over(wCum).cast("double"), 6)
+          .as("cum_hazard"))
+      .orderBy(col("t_life").asc)
+  }
+
+  /**
    * Median survival from a [[kaplanMeier]] curve — the one number a
    * stakeholder asks of the whole curve: the smallest lifetime at
    * which estimated survival drops to 50% or below (the standard KM

@@ -555,6 +555,29 @@ class StatsTestsSpec extends GraftSpec {
       .collect().forall(_.getBoolean(3)))
   }
 
+  test("tostEquivalence: identical large arms prove equivalence; the " +
+    "same rates underpowered do NOT; a real gap never does") {
+    import org.apache.spark.sql.functions.col
+    def arm(n: Int, conv: Int) =
+      ((1 to conv).map(_ => 1) ++ (1 to (n - conv)).map(_ => 0))
+        .toDF("conv")
+    val big = StatsTests.tostEquivalence(arm(10000, 5000),
+      arm(10000, 5000), col("conv") === 1, margin = 0.02).head()
+    assert(big.getBoolean(8), s"$big")
+    assert(big.getDouble(4) == 0.0)
+    val small = StatsTests.tostEquivalence(arm(100, 50), arm(100, 50),
+      col("conv") === 1, margin = 0.02).head()
+    assert(!small.getBoolean(8),
+      "underpowered data cannot prove equivalence")
+    val gap = StatsTests.tostEquivalence(arm(10000, 6000),
+      arm(10000, 5000), col("conv") === 1, margin = 0.02).head()
+    assert(!gap.getBoolean(8), "a 10-point gap is not equivalent")
+    intercept[IllegalArgumentException] {
+      StatsTests.tostEquivalence(arm(10, 5), arm(10, 5),
+        col("conv") === 1, margin = 0.0)
+    }
+  }
+
   test("cohensH: hand-computed arcsine effect size; equal rates " +
     "score 0") {
     import org.apache.spark.sql.functions.col

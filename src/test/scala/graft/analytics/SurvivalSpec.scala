@@ -134,6 +134,18 @@ class SurvivalSpec extends GraftSpec {
     }
   }
 
+  test("nelsonAalen: hand-computed hazards accumulate in lifetime " +
+    "order") {
+    import spark.implicits._
+    val curve = Seq((1L, 10L, 2L, 0L, 0.8), (3L, 8L, 4L, 0L, 0.4))
+      .toDF("t_life", "n_risk", "n_churn", "n_censored", "survival")
+    val got = Survival.nelsonAalen(curve).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(got(0).getDouble(3) == 0.2 && got(0).getDouble(4) == 0.2)
+    assert(got(1).getDouble(3) == 0.5 && got(1).getDouble(4) == 0.7,
+      s"${got.toSeq}")
+  }
+
   test("kmMedian: picks the first lifetime at or below 50% survival; " +
     "a curve that never reaches it reports NULL") {
     import spark.implicits._
