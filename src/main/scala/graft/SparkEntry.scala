@@ -288,6 +288,30 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — structural variance decomposition of the daily series:
+    // how much is trend, how much weekly rhythm, how much noise (the
+    // SS ledger a forecaster reads before modeling anything).
+    "q329_variance_decomp" -> ((s, d) =>
+      Changepoint.varianceDecomposition(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+
+    // X+/S — individuals/moving-range chart over the daily MEAN
+    // value: q291's continuous sibling (spread from the moving range,
+    // the 2.66·MR̄ limits — robust to slow drift).
+    "q330_imr_chart" -> ((s, d) =>
+      Changepoint.imrChart(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg((sum(round(col("value"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("mean_value")),
+        "day", "mean_value")),
+
     // X+/S — TOST equivalence between the parity cohorts at a 2%
     // margin: the question a failed rejection should trigger — can we
     // positively conclude "the same"? (absence of significance is not
@@ -4926,6 +4950,119 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q329: same day-index OLS (12-dp moments), same weekday means of
+    // the detrended residual, same stage-centered SS folds.
+    "q329_variance_decomp" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |b AS (
+        |  SELECT d, v,
+        |         CAST(CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |           AS DOUBLE) AS i
+        |  FROM s),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(i * i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(i * v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM b),
+        |k AS (
+        |  SELECT n,
+        |         (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |           / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
+        |           AS slope, sx, sy
+        |  FROM fit),
+        |k2 AS (SELECT n, slope,
+        |              (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+        |       FROM k),
+        |r AS (SELECT b.d, b.v,
+        |             b.v - (k2.icept + k2.slope * b.i) AS r
+        |      FROM b, k2),
+        |dw AS (
+        |  SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+        |         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sdow
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT r.v, r.r, r.r - dw.sdow AS e
+        |  FROM r JOIN dw
+        |    ON CAST(dayofweek(r.d) + 1 AS INTEGER) = dw.dow),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) AS mv,
+        |         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) AS mr,
+        |         CAST(sum(CAST(round(e, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) AS me
+        |  FROM e),
+        |led AS (
+        |  SELECT m.n_days,
+        |         CAST(sum(CAST(round((v - mv / CAST(n_days AS DOUBLE))
+        |             * (v - mv / CAST(n_days AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS sstot,
+        |         CAST(sum(CAST(round((r - mr / CAST(n_days AS DOUBLE))
+        |             * (r - mr / CAST(n_days AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS ssr,
+        |         CAST(sum(CAST(round((e - me / CAST(n_days AS DOUBLE))
+        |             * (e - me / CAST(n_days AS DOUBLE)), 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS sse
+        |  FROM e, m GROUP BY 1)
+        |SELECT n_days, round(sstot, 6) AS ss_total,
+        |       round(sstot - ssr, 6) AS ss_trend,
+        |       round(ssr - sse, 6) AS ss_seasonal,
+        |       round(sse, 6) AS ss_residual,
+        |       CASE WHEN sstot > 0 THEN round(1.0 - sse / sstot, 6)
+        |         END AS structure_r2
+        |FROM led""".stripMargin,
+
+    // q330: same decimal-mean daily series, same lag moving ranges,
+    // the 2.66·MR̄ limit chains.
+    "q330_imr_chart" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mean_value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT day, mean_value,
+        |         abs(mean_value - lag(mean_value, 1)
+        |           OVER (ORDER BY day)) AS mr
+        |  FROM s),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(mean_value, 9)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+        |         CAST(count(mr) AS BIGINT) AS nmr,
+        |         CAST(sum(CAST(round(mr, 9) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS smr
+        |  FROM b),
+        |g AS (
+        |  SELECT n, nmr, s1 / CAST(n AS DOUBLE) AS xbar,
+        |         smr / CAST(nmr AS DOUBLE) AS mrbar
+        |  FROM t),
+        |h AS (
+        |  SELECT nmr, xbar, mrbar,
+        |         xbar + 2.66 * mrbar AS ucl,
+        |         xbar - 2.66 * mrbar AS lcl
+        |  FROM g)
+        |SELECT b.day, b.mean_value, round(h.xbar, 6) AS center,
+        |       CASE WHEN nmr > 0 THEN round(h.ucl, 6) END AS ucl,
+        |       CASE WHEN nmr > 0 THEN round(h.lcl, 6) END AS lcl,
+        |       round(b.mr, 6) AS moving_range,
+        |       coalesce(nmr > 0 AND (b.mean_value > h.ucl
+        |                OR b.mean_value < h.lcl), FALSE)
+        |         AS out_of_control
+        |FROM b, h ORDER BY day""".stripMargin,
 
     // q327: same conversion cells, the two one-sided Wald chains with
     // the z literal.

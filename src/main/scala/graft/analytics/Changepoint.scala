@@ -162,6 +162,130 @@ object Changepoint {
   }
 
   /**
+   * Structural variance decomposition of a daily series — "how much
+   * of this telemetry is TREND, how much WEEKLY RHYTHM, how much
+   * noise?": fit [[graft.analytics.Trend]]'s OLS line on the day
+   * index, remove it, remove the weekday means of the detrended
+   * residual ([[seasonalIndex]]'s additive cousin), and report the
+   * sum-of-squares ledger
+   *
+   *   SS_total = SS_trend + SS_seasonal + SS_residual   (by stages)
+   *
+   * with `structure_r2 = 1 − SS_residual/SS_total` — the one number
+   * that says whether a forecaster has anything to model. Each stage
+   * centers on its OWN exact decimal mean; squared terms round 12-dp
+   * and fold DECIMAL(38,12). Stage subtraction can make a share
+   * slightly negative when a component is pure noise — that IS the
+   * reading (the stage fit cost more than it explained). Returns one
+   * row `(n_days, ss_total, ss_trend, ss_seasonal, ss_residual,
+   * structure_r2)`, 6-dp.
+   *
+   * Same series contract as [[cusum]]: one row_number window over the
+   * day frame, all moments as 1-row/7-row aggregates fanned back.
+   */
+  def varianceDecomposition(
+      series: DataFrame, dateCol: String, valueCol: String): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val base = series
+      .filter(col(dateCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(dateCol).as("_d"), col(valueCol).cast("double").as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_d")))
+        .cast("long").cast("double"))
+    val fit = base.agg(count(lit(1)).as("_n"),
+      sum(term(col("_i"))).as("_sx"),
+      sum(term(col("_v"))).as("_sy"),
+      sum(term(col("_i") * col("_i"))).as("_sxx"),
+      sum(term(col("_i") * col("_v"))).as("_sxy"))
+    val nD = col("_n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val slope = (nD * col("_sxy").cast("double") - sx * sy) /
+      nullif(nD * col("_sxx").cast("double") - sx * sx, lit(0.0))
+    val icept = (sy - slope * sx) / nD
+    val withR = base.crossJoin(broadcast(fit))
+      .select(col("_d"), col("_v"), col("_n"),
+        (col("_v") - (icept + slope * col("_i"))).as("_r"))
+    val dow = withR
+      .groupBy(dayofweek(col("_d")).cast("int").as("_dow"))
+      .agg(count(lit(1)).as("_nd"),
+        sum(round(col("_r"), 9).cast(d9)).as("_sr"))
+      .select(col("_dow"),
+        (col("_sr").cast("double") / col("_nd").cast("double"))
+          .as("_sdow"))
+    val withE = withR
+      .join(broadcast(dow), dayofweek(col("_d")).cast("int") === col("_dow"))
+      .select(col("_v"), col("_r"), (col("_r") - col("_sdow")).as("_e"))
+    def ss(c: Column, mean: Column): Column =
+      sum(round((c - mean) * (c - mean), 12).cast(dec))
+    val means = withE.agg(count(lit(1)).as("n_days"),
+      sum(round(col("_v"), 9).cast(d9)).as("_mv"),
+      sum(round(col("_r"), 9).cast(d9)).as("_mr"),
+      sum(round(col("_e"), 9).cast(d9)).as("_me"))
+    val ledger = withE.crossJoin(broadcast(means))
+      .groupBy(col("n_days"))
+      .agg(
+        ss(col("_v"), col("_mv").cast("double") /
+          col("n_days").cast("double")).as("_sstot"),
+        ss(col("_r"), col("_mr").cast("double") /
+          col("n_days").cast("double")).as("_ssr"),
+        ss(col("_e"), col("_me").cast("double") /
+          col("n_days").cast("double")).as("_sse"))
+    val tot = col("_sstot").cast("double")
+    val ssr = col("_ssr").cast("double")
+    val sse = col("_sse").cast("double")
+    ledger.select(col("n_days"),
+      round(tot, 6).as("ss_total"),
+      round(tot - ssr, 6).as("ss_trend"),
+      round(ssr - sse, 6).as("ss_seasonal"),
+      round(sse, 6).as("ss_residual"),
+      when(tot > 0.0, round(lit(1.0) - sse / tot, 6))
+        .as("structure_r2"))
+  }
+
+  /**
+   * Individuals/moving-range control chart over a continuous series —
+   * [[cChart]]'s sibling for metrics that are NOT Poisson counts
+   * (daily mean value, latency): the process spread is estimated from
+   * the mean moving range `MR̄ = mean|vₜ − vₜ₋₁|` (robust to slow
+   * drift, unlike a global σ), and the individuals limits are
+   * `x̄ ± 2.66·MR̄` (the standard d₂-derived constant for n = 2
+   * subgroups — the literal below). Flags mark special-cause points.
+   * Means from exact decimal sums; limits are one shared double
+   * chain; first point has no MR. Returns the series +
+   * `(center, ucl, lcl, moving_range, out_of_control)` ordered by
+   * bucket, 6-dp.
+   *
+   * Same series contract as [[cusum]]: one ordered lag window over
+   * the bucket frame, moments as 1-row aggregates fanned back.
+   */
+  def imrChart(series: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val wOrd = Window.orderBy(col(orderCol))
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol), col(valueCol),
+        col(valueCol).cast("double").as("_v"))
+      .withColumn("_mr", abs(col("_v") - lag(col("_v"), 1).over(wOrd)))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      sum(term(col("_v"))).as("_s1"),
+      count(col("_mr")).as("_nmr"),
+      sum(term(col("_mr"))).as("_smr"))
+    val xbar = col("_s1").cast("double") / col("_n").cast("double")
+    val mrbar = col("_smr").cast("double") / col("_nmr").cast("double")
+    val ucl = xbar + lit(2.66) * mrbar
+    val lcl = xbar - lit(2.66) * mrbar
+    base.crossJoin(broadcast(tot))
+      .select(col(orderCol), col(valueCol),
+        round(xbar, 6).as("center"),
+        when(col("_nmr") > 0, round(ucl, 6)).as("ucl"),
+        when(col("_nmr") > 0, round(lcl, 6)).as("lcl"),
+        round(col("_mr"), 6).as("moving_range"),
+        coalesce(col("_nmr") > 0 &&
+          (col("_v") > ucl || col("_v") < lcl), lit(false))
+          .as("out_of_control"))
+      .orderBy(col(orderCol).asc)
+  }
+
+  /**
    * Day-of-week seasonal profile of a daily count series: per weekday,
    * the mean daily value and its ratio to the overall daily mean (the
    * multiplicative seasonal index a forecaster divides out before

@@ -80,6 +80,48 @@ class ChangepointSpec extends GraftSpec {
     assert(flat.isEmpty, "sigma = 0 flags nothing to segment at")
   }
 
+  test("imrChart: hand-computed moving-range limits flag the shifted " +
+    "point; the first point has no MR") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a sustained baseline is needed: a lone step inflates MR-bar
+    // itself (9 flat points, then the shift)
+    val s = ((1 to 9).map(i => (f"d$i%02d", 10.0)) :+ ("d10", 50.0))
+      .toDF("day", "v")
+    val got = Changepoint.imrChart(s, "day", "v").collect()
+    val xbar = 140.0 / 10.0
+    val mrbar = 40.0 / 9.0
+    assert(got.forall(_.getDouble(2) == r6(xbar)))
+    assert(got.forall(_.getDouble(3) == r6(xbar + 2.66 * mrbar)))
+    assert(got.head.isNullAt(5), "first point has no moving range")
+    val flags = got.map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(flags("d10") && flags.count(_._2) == 1,
+      s"only the shifted point flags: $flags")
+  }
+
+  test("varianceDecomposition: a pure trend puts all structure in the " +
+    "trend bucket; pure noise leaves structure_r2 near 0") {
+    import spark.implicits._
+    import java.sql.Date
+    def days(vals: Double*) = vals.zipWithIndex.map { case (v, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+    }.toDF("day", "v")
+    val trend = Changepoint.varianceDecomposition(
+      days((1 to 14).map(_.toDouble): _*), "day", "v").head()
+    assert(trend.getLong(0) == 14L)
+    assert(trend.getDouble(4) == 0.0, "a perfect line leaves no residual")
+    assert(trend.getDouble(5) == 1.0, s"$trend")
+    assert(trend.getDouble(2) > trend.getDouble(3),
+      "trend dominates seasonality on a line")
+    // the ledger sums: total = trend + seasonal + residual
+    assert(r(trend.getDouble(2) + trend.getDouble(3) +
+      trend.getDouble(4)) == r(trend.getDouble(1)))
+  }
+
+  private def r(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("cChart: hand-computed Poisson limits flag the spike and only " +
     "the spike; the lower limit clamps at zero") {
     import spark.implicits._
