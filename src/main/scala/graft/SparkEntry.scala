@@ -288,6 +288,45 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — the seasonally-adjusted daily series: the published face
+    // of q329's decomposition (weekly rhythm out, trend in) — what
+    // the monitors should watch when rhythm would drown real shifts.
+    "q331_seasonal_adjust" -> ((s, d) =>
+      Changepoint.seasonallyAdjusted(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n_events")),
+        "day", "n_events")),
+
+    // X+/S — ensemble anomaly report: the q291 Poisson chart and the
+    // q330 moving-range chart joined per day — a day BOTH flag is an
+    // incident, one flag is a look.
+    "q332_anomaly_ensemble" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val counts = Changepoint.cChart(
+        ev.groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+        .select(col("day"), col("n_events"),
+          col("out_of_control").as("count_flag"))
+      val values = Changepoint.imrChart(
+        ev.filter(col("value").isNotNull)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg((sum(round(col("value"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("mean_value")),
+        "day", "mean_value")
+        .select(col("day"), col("out_of_control").as("value_flag"))
+      counts.join(values, Seq("day"), "left")
+        .select(col("day"), col("n_events"), col("count_flag"),
+          coalesce(col("value_flag"), lit(false)).as("value_flag"),
+          (col("count_flag").cast("int") +
+            coalesce(col("value_flag"), lit(false)).cast("int"))
+            .cast("long").as("n_flags"))
+        .orderBy(col("day").asc)
+    }),
+
     // X+/S — structural variance decomposition of the daily series:
     // how much is trend, how much weekly rhythm, how much noise (the
     // SS ledger a forecaster reads before modeling anything).
@@ -4950,6 +4989,114 @@ object SparkEntry {
         |       CASE WHEN n_a > 0 AND n_b > 0 AND rr + pp > 0 THEN
         |         round(2.0 * pp * rr / (pp + rr), 6) END AS f1
         |FROM r ORDER BY a_id, b_id""".stripMargin,
+
+    // q331: the q329 fit and weekday means, one subtraction per day.
+    "q331_seasonal_adjust" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |b AS (
+        |  SELECT d, v,
+        |         CAST(CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |           AS DOUBLE) AS i
+        |  FROM s),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(i * i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(i * v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM b),
+        |k AS (
+        |  SELECT n,
+        |         (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |           / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
+        |           AS slope, sx, sy
+        |  FROM fit),
+        |k2 AS (SELECT n, slope,
+        |              (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+        |       FROM k),
+        |r AS (SELECT b.d, b.v,
+        |             b.v - (k2.icept + k2.slope * b.i) AS r
+        |      FROM b, k2),
+        |dw AS (
+        |  SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+        |         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sdow
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(r.d AS VARCHAR) AS day, r.v AS value,
+        |       round(dw.sdow, 6) AS seasonal,
+        |       round(r.v - dw.sdow, 6) AS adjusted
+        |FROM r JOIN dw
+        |  ON CAST(dayofweek(r.d) + 1 AS INTEGER) = dw.dow
+        |ORDER BY day""".stripMargin,
+
+    // q332: the q291 and q330 chart chains joined per day; flag
+    // arithmetic verbatim.
+    "q332_anomaly_ensemble" ->
+      """WITH sc AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(n_events AS DOUBLE), 9)
+        |           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s1
+        |  FROM sc),
+        |gc AS (
+        |  SELECT cbar, cbar + 3.0 * sqrt(cbar) AS ucl,
+        |         greatest(cbar - 3.0 * sqrt(cbar), 0.0) AS lcl
+        |  FROM (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS cbar
+        |        FROM tc) x),
+        |cf AS (
+        |  SELECT sc.day, sc.n_events,
+        |         (CAST(sc.n_events AS DOUBLE) > gc.ucl
+        |          OR CAST(sc.n_events AS DOUBLE) < gc.lcl)
+        |           AS count_flag
+        |  FROM sc, gc),
+        |sv AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(sum(CAST(round(CAST(value AS DOUBLE), 9)
+        |           AS DECIMAL(38,9))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mean_value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |bv AS (
+        |  SELECT day, mean_value,
+        |         abs(mean_value - lag(mean_value, 1)
+        |           OVER (ORDER BY day)) AS mr
+        |  FROM sv),
+        |tv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(mean_value, 9)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+        |         CAST(count(mr) AS BIGINT) AS nmr,
+        |         CAST(sum(CAST(round(mr, 9) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS smr
+        |  FROM bv),
+        |hv AS (
+        |  SELECT nmr, xbar + 2.66 * mrbar AS ucl,
+        |         xbar - 2.66 * mrbar AS lcl
+        |  FROM (SELECT nmr, s1 / CAST(n AS DOUBLE) AS xbar,
+        |               smr / CAST(nmr AS DOUBLE) AS mrbar
+        |        FROM tv) x),
+        |vf AS (
+        |  SELECT bv.day,
+        |         coalesce(hv.nmr > 0 AND (bv.mean_value > hv.ucl
+        |                  OR bv.mean_value < hv.lcl), FALSE)
+        |           AS value_flag
+        |  FROM bv, hv)
+        |SELECT cf.day, cf.n_events, cf.count_flag,
+        |       coalesce(vf.value_flag, FALSE) AS value_flag,
+        |       CAST(CAST(cf.count_flag AS INTEGER)
+        |            + CAST(coalesce(vf.value_flag, FALSE) AS INTEGER)
+        |         AS BIGINT) AS n_flags
+        |FROM cf LEFT JOIN vf ON vf.day = cf.day
+        |ORDER BY cf.day""".stripMargin,
 
     // q329: same day-index OLS (12-dp moments), same weekday means of
     // the detrended residual, same stage-centered SS folds.

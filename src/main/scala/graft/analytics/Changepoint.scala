@@ -162,6 +162,54 @@ object Changepoint {
   }
 
   /**
+   * Seasonally-adjusted daily series — the PUBLISHED face of the
+   * decomposition: each day's value minus its weekday's mean
+   * detrended residual (the additive adjustment; trend stays in, the
+   * weekly rhythm comes out), which is what a reviewer should eyeball
+   * and what [[cusum]]/[[cChart]] should monitor when weekly rhythm
+   * would otherwise drown real shifts. Same OLS-then-weekday-means
+   * machinery as [[varianceDecomposition]] (decimal moments, exact
+   * weekday means); the adjustment is one subtraction per day, 6-dp.
+   * Returns `(day, value, seasonal, adjusted)` ordered by day — the
+   * day key rendered as a string (date-safe).
+   *
+   * Same series contract as [[cusum]].
+   */
+  def seasonallyAdjusted(
+      series: DataFrame, dateCol: String, valueCol: String): DataFrame = {
+    val d9 = DecimalType(38, 9)
+    val base = series
+      .filter(col(dateCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(dateCol).as("_d"), col(valueCol).cast("double").as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_d")))
+        .cast("long").cast("double"))
+    val fit = base.agg(count(lit(1)).as("_n"),
+      sum(term(col("_i"))).as("_sx"),
+      sum(term(col("_v"))).as("_sy"),
+      sum(term(col("_i") * col("_i"))).as("_sxx"),
+      sum(term(col("_i") * col("_v"))).as("_sxy"))
+    val nD = col("_n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val slope = (nD * col("_sxy").cast("double") - sx * sy) /
+      nullif(nD * col("_sxx").cast("double") - sx * sx, lit(0.0))
+    val icept = (sy - slope * sx) / nD
+    val withR = base.crossJoin(broadcast(fit))
+      .select(col("_d"), col("_v"),
+        (col("_v") - (icept + slope * col("_i"))).as("_r"))
+    val dow = withR
+      .groupBy(dayofweek(col("_d")).cast("int").as("_dow"))
+      .agg((sum(round(col("_r"), 9).cast(d9)).cast("double") /
+        count(lit(1)).cast("double")).as("_sdow"))
+    withR
+      .join(broadcast(dow),
+        dayofweek(col("_d")).cast("int") === col("_dow"))
+      .select(col("_d").cast("string").as("day"), col("_v").as("value"),
+        round(col("_sdow"), 6).as("seasonal"),
+        round(col("_v") - col("_sdow"), 6).as("adjusted"))
+      .orderBy(col("day").asc)
+  }
+
+  /**
    * Structural variance decomposition of a daily series — "how much
    * of this telemetry is TREND, how much WEEKLY RHYTHM, how much
    * noise?": fit [[graft.analytics.Trend]]'s OLS line on the day
