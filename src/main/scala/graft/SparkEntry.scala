@@ -288,6 +288,36 @@ object SparkEntry {
         col("text"), col("_btext"), n = 2)
     }),
 
+    // X+/S — CUSUM over the ADJUSTED series: change-point detection
+    // with the weekly rhythm removed — a real level shift stands out
+    // where q193 on the raw series would chase weekday texture.
+    "q333_adjusted_cusum" -> ((s, d) =>
+      Changepoint.cusum(
+        Changepoint.seasonallyAdjusted(
+          t(s, d, "events").filter(col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("double").as("n_events")),
+          "day", "n_events")
+          .select(col("day"), col("adjusted")),
+        "day", "adjusted")),
+
+    // A+/S — hour-of-day × day-of-week load heatmap: the operational
+    // fingerprint (when does this system actually work?) as exact
+    // cell shares. ≤ 168 rows.
+    "q334_load_heatmap" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val cells = ev.groupBy(
+        dayofweek(to_date(col("ts"))).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = cells.agg(sum(col("n_events")).as("_tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour_of_day"), col("n_events"),
+          round(col("n_events").cast("double") /
+            col("_tot").cast("double"), 6).as("share"))
+        .orderBy(col("dow").asc, col("hour_of_day").asc)
+    }),
+
     // X+/S — the seasonally-adjusted daily series: the published face
     // of q329's decomposition (weekly rhythm out, trend in) — what
     // the monitors should watch when rhythm would drown real shifts.
@@ -4991,49 +5021,57 @@ object SparkEntry {
         |FROM r ORDER BY a_id, b_id""".stripMargin,
 
     // q331: the q329 fit and weekday means, one subtraction per day.
-    "q331_seasonal_adjust" ->
-      """WITH s AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |b AS (
-        |  SELECT d, v,
-        |         CAST(CAST(row_number() OVER (ORDER BY d) AS BIGINT)
-        |           AS DOUBLE) AS i
-        |  FROM s),
-        |fit AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(round(i, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(round(i * i, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(round(i * v, 12) AS DECIMAL(38,12)))
-        |           AS DOUBLE) AS sxy
-        |  FROM b),
-        |k AS (
-        |  SELECT n,
-        |         (CAST(n AS DOUBLE) * sxy - sx * sy)
-        |           / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
-        |           AS slope, sx, sy
-        |  FROM fit),
-        |k2 AS (SELECT n, slope,
-        |              (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
-        |       FROM k),
-        |r AS (SELECT b.d, b.v,
-        |             b.v - (k2.icept + k2.slope * b.i) AS r
-        |      FROM b, k2),
-        |dw AS (
-        |  SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
-        |         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,9)))
-        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sdow
-        |  FROM r GROUP BY 1)
-        |SELECT CAST(r.d AS VARCHAR) AS day, r.v AS value,
-        |       round(dw.sdow, 6) AS seasonal,
-        |       round(r.v - dw.sdow, 6) AS adjusted
-        |FROM r JOIN dw
-        |  ON CAST(dayofweek(r.d) + 1 AS INTEGER) = dw.dow
-        |ORDER BY day""".stripMargin,
+    "q331_seasonal_adjust" -> seasonalAdjustOracleSql,
+
+    // q334: same (dow, hour) cells (the q230 dow convention), one
+    // share division.
+    "q334_load_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER)
+        |           AS dow,
+        |         CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM c)
+        |SELECT dow, hour_of_day, n_events,
+        |       round(CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |         AS share
+        |FROM c, t ORDER BY dow, hour_of_day""".stripMargin,
+
+    // q333: the q331 adjusted series through the q193 cusum chain
+    // (decimal cumulative, |D| argmax with the min-i tiebreak).
+    "q333_adjusted_cusum" ->
+      s"""WITH adj AS (SELECT * FROM ($seasonalAdjustOracleSql) q),
+        |c AS (
+        |  SELECT day, adjusted,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |         CAST(sum(CAST(round(adjusted, 9) AS DECIMAL(38,12)))
+        |           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW) AS DECIMAL(38,12)) AS cum,
+        |         CAST(count(*) OVER () AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(adjusted, 9) AS DECIMAL(38,12)))
+        |           OVER () AS DECIMAL(38,12)) AS s1,
+        |         CAST(sum(CAST(round(adjusted * adjusted, 9)
+        |           AS DECIMAL(38,12))) OVER () AS DECIMAL(38,12)) AS s2
+        |  FROM adj),
+        |x AS (
+        |  SELECT day, adjusted, i, n,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           AS sigma,
+        |         CAST(n AS DOUBLE) * CAST(cum AS DOUBLE)
+        |           - CAST(i AS DOUBLE) * CAST(s1 AS DOUBLE) AS d
+        |  FROM c),
+        |y AS (SELECT *, max(abs(d)) OVER () AS dmax FROM x),
+        |z AS (SELECT *, min(CASE WHEN abs(d) = dmax THEN i END)
+        |        OVER () AS imin FROM y)
+        |SELECT day, adjusted,
+        |       round(d / nullif(CAST(n AS DOUBLE) * sigma,
+        |         CAST(0 AS DOUBLE)), 6) AS cusum,
+        |       (abs(d) = dmax AND sigma > 0 AND i = imin)
+        |         AS is_changepoint
+        |FROM z ORDER BY day""".stripMargin,
 
     // q332: the q291 and q330 chart chains joined per day; flag
     // arithmetic verbatim.
@@ -13185,6 +13223,52 @@ object SparkEntry {
         |         AS entropy
         |FROM tm GROUP BY w, n_events, n_types
         |ORDER BY week_start""".stripMargin
+
+  /** q331/q333 shared oracle: the OLS-detrended weekday adjustment
+    * (q333 runs the cusum chain over its output). */
+  private val seasonalAdjustOracleSql: String =
+    """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |b AS (
+        |  SELECT d, v,
+        |         CAST(CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |           AS DOUBLE) AS i
+        |  FROM s),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(i * i, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(i * v, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS sxy
+        |  FROM b),
+        |k AS (
+        |  SELECT n,
+        |         (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |           / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
+        |           AS slope, sx, sy
+        |  FROM fit),
+        |k2 AS (SELECT n, slope,
+        |              (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+        |       FROM k),
+        |r AS (SELECT b.d, b.v,
+        |             b.v - (k2.icept + k2.slope * b.i) AS r
+        |      FROM b, k2),
+        |dw AS (
+        |  SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+        |         CAST(sum(CAST(round(r, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sdow
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(r.d AS VARCHAR) AS day, r.v AS value,
+        |       round(dw.sdow, 6) AS seasonal,
+        |       round(r.v - dw.sdow, 6) AS adjusted
+        |FROM r JOIN dw
+        |  ON CAST(dayofweek(r.d) + 1 AS INTEGER) = dw.dow
+        |ORDER BY day""".stripMargin
 
   /** q180/q290 shared oracle: the user-span KM curve under the
     * horizon censoring rule (q290 wraps it to pick the median). */
