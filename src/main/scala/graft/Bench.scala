@@ -14,7 +14,7 @@ import graft.ext.Materialize
  * let Catalyst prune the very compute some queries exist to measure (see
  * the consume scaladoc; round-3 finding).
  *
- * Steady-state measurement, two mechanisms:
+ * Steady-state measurement, three mechanisms:
  *
  *  - JIT/codegen warm-up: each query first runs once on the tiny sf0.001
  *    tables (untimed) so Janino codegen + C2 JIT of its operator pipeline
@@ -30,6 +30,17 @@ import graft.ext.Materialize
  *    cleanup cost lands here, not in a later query's timed region) keeps
  *    the block population flat; the min of two runs reports the repeatable
  *    number.
+ *  - FRESH-SESSION re-run guard (the r12 finding): min-of-N within ONE
+ *    accumulated session cannot catch a session-state pathology — r12
+ *    recorded 21.95 s for a query whose steady state is ~2 s because
+ *    every run in the sweep shared the polluted session. Any entry
+ *    reading > 3x its prior round's durable record (and > 1 s absolute,
+ *    so scheduling jitter on sub-second queries never triggers it) is
+ *    re-measured in a brand-new SparkSession before recording; the min
+ *    of sweep and fresh wins, and both numbers land in the meta so a
+ *    cross-round reader sees the adjudication. The prior record is read
+ *    from the durable path BEFORE this run overwrites it (override:
+ *    SPARK_GRAFT_BENCH_BASELINE).
  *
  * A query that throws in ANY timed run is recorded under "errors" ONLY —
  * it is omitted from "queries" (a partial timing would read as a fast
@@ -40,15 +51,39 @@ object Bench {
     val sfDir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Harness.quietRddWarnings()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      Harness.quietRddWarnings()
+      s
+    }
+    var spark = newSession()
+
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Prior round's per-query steady state, read BEFORE this run
+    // overwrites the durable record — the reference the fresh-session
+    // guard compares against. Missing/corrupt file = no guard (first
+    // run on a machine has nothing to compare to).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", base)
+    val baseline: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v))    => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
 
     // Optional comma-separated query-name filter (substring match) for
     // local iteration — e.g. SPARK_GRAFT_ONLY=q18,q37. Unset OR set-but-
@@ -60,11 +95,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // name -> (sweep seconds, fresh-session seconds): every guard firing
+    // is recorded, so the round record explains itself
+    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var rerunBudget = 8 // restarts are ~5 s each; a sweep-wide pathology
+                        // should surface as a few entries, not consume the run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .flatMap { case (name, fn) =>
-      try { Harness.consume(fn(spark, warmDir)); Materialize.release(spark) }
-      catch { case _: Throwable => () } // warm-up failure surfaces in the timed run
+      def warmUp(): Unit =
+        try { Harness.consume(fn(spark, warmDir)); Materialize.release(spark) }
+        catch { case _: Throwable => () } // warm-up failure surfaces in the timed run
       def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
@@ -77,16 +118,33 @@ object Bench {
         Materialize.release(spark) // outside the timed region: session hygiene, not query cost
         if (ok) Some(dt) else None
       }
+      warmUp()
       // min of 2 runs; when the two disagree badly the machine was loaded
       // during one of them (the round-6 harness bench read 84 s on code
       // that steady-states at 35 s), so spend ONE extra run for a stable
       // minimum rather than report a co-tenancy artifact
-      val secs = timedRun().map { a =>
+      val sweepSecs = timedRun().map { a =>
         val b = timedRun().getOrElse(a)
         val m = math.min(a, b)
         if (math.max(a, b) > 1.5 * m)
           math.min(m, timedRun().getOrElse(m))
         else m
+      }
+      // fresh-session guard: >3x the prior round's durable number AND >1s
+      // absolute — a session-state pathology, not run-to-run jitter. The
+      // accumulated session is torn down, the query re-warmed and re-timed
+      // in a clean one (codegen/JIT stay warm: same JVM), and the min wins.
+      val secs = sweepSecs match {
+        case Some(s) if !errors.contains(name) && rerunBudget > 0 &&
+            baseline.get(name).exists(b => s > 3.0 * b && s > 1.0) =>
+          rerunBudget -= 1
+          spark.stop()
+          spark = newSession()
+          warmUp()
+          val fresh = timedRun()
+          fresh.foreach(f => reruns(name) = (s, f))
+          fresh.map(math.min(s, _)).orElse(sweepSecs)
+        case other => other
       }
       if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
         val sc = spark.sparkContext
@@ -133,15 +191,27 @@ object Bench {
       spark.range(0, 1000, 1, cpus.toInt).groupBy(col("id") % 7).count().collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    // Cross-round variance adjudications (the r11 verdict's ask): sweep
-    // entries that read >1.5x vs their prior steady state on UNTOUCHED
-    // code, re-measured standalone the following round. A note here means
-    // "mid-sweep GC/cache interference, not a plan regression" — remove
-    // an entry when its code actually changes.
-    val varianceNotes =
-      """{"q89_lm_classify":"r11 sweep 2.70s vs r10 1.20s, untouched code; r12 re-measure 0.95s","q83_span_removal":"r11 4.41s vs r10 2.50s, untouched; r12 2.48s","q51_salted_join":"r11 0.51s vs r10 0.33s, untouched; r12 0.34s"}"""
-    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)},"variance_adjudications_r12":$varianceNotes}"""
-    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Cross-round variance adjudications live in a checked-in artifact
+    // (BENCH_NOTES.json — measurement prose stays out of the engine
+    // binary; the r12 advice). Must be a single JSON object; anything
+    // unreadable/unparseable degrades to {} rather than corrupting the
+    // record line.
+    val notesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", "BENCH_NOTES.json")
+    val notes = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(notesPath)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      org.json4s.jackson.JsonMethods.parse(txt) match {
+        case o: org.json4s.JObject =>
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(o))
+        case _ => "{}"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "{}" }
+    val rerunsJson = reruns.map { case (k, (s, f)) =>
+      s"${jstr(k)}:{" + s""""sweep_sec":${sec(s)},"fresh_sec":${sec(f)}}"""
+    }.mkString("{", ",", "}")
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)},"fresh_session_reruns":$rerunsJson,"notes":$notes}"""
     val out = if (only.isEmpty) base else base + ".partial"
     // total_sec and n_queries lead the line (head-truncation-proof), and
     // the durable path tells a reader where the untruncated copy lives

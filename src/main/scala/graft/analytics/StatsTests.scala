@@ -1033,15 +1033,22 @@ object StatsTests {
    * variance terms are exact longs — floats enter only at z.
    *
    * SERIES CONTRACT (the [[Robust.theilSen]] rule): the pairs frame is
-   * series²-sized — aggregate to buckets first. z/p are NULL when
+   * series²-sized — aggregate to buckets first. The contract is
+   * ENFORCED: a [[graft.Guards.requireRowsAtMost]] probe fails fast
+   * when the series exceeds `maxPoints` (default 100k — far above any
+   * bucketed series, fatal for a raw event frame whose self-join would
+   * be 10¹⁰+ pairs). `maxPoints = 0` opts out. z/p are NULL when
    * n < 2 or Var ≤ 0 (all values tied). Returns one row
    * `(n_points, s, var_s, z, p)`.
    */
   def mannKendall(
-      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+      series: DataFrame, orderCol: String, valueCol: String,
+      maxPoints: Long = 100000L): DataFrame = {
     val base = series
       .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
       .select(col(orderCol).as("_o"), col(valueCol).cast("double").as("_v"))
+    graft.Guards.requireRowsAtMost(base, maxPoints,
+      "StatsTests.mannKendall series contract (all-pairs self-join is series²)")
     val s = base.as("a").join(base.as("b"), col("a._o") < col("b._o"))
       .agg(coalesce(sum(
         when(col("b._v") > col("a._v"), 1L)

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
  */
 object Contamination {
 
+  /** Unique suffix for the Bloom scalar-subquery carrier views —
+    * sequential callers never collide, and a still-lazy frame from an
+    * earlier call keeps resolving its own (already-analyzed) view. */
+  private val carrierSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /**
    * Per-document overlap with `bench`: `(idCol, n_shingles, n_contaminated,
    * contamination)` where `contamination = n_contaminated / n_shingles`
@@ -118,13 +123,24 @@ object Contamination {
       .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
       .distinct())
 
-    // build: one pass over the benchmark shingles → a single binary value
-    val bloomBytes = benchShingles
+    // build: one pass over the benchmark shingles → a single binary value,
+    // carried into the probe as an UNCORRELATED SCALAR SUBQUERY (the
+    // exact carrier Spark's own runtime row-level filtering uses for
+    // BloomFilterMightContain) rather than a collected `lit(bytes)`: a
+    // ~1 MB literal embedded in the plan bloats every plan copy,
+    // canonicalization, and codegen reference the session accumulates
+    // (the r12 bench recorded a 12x session artifact on exactly this
+    // query), and the head() forced a driver round-trip at plan-build
+    // time. The subquery executes once per run, executor-side.
+    val session = corpus.sparkSession
+    val carrier = "graft_bloom_carrier_" +
+      Contamination.carrierSeq.incrementAndGet()
+    benchShingles
       .select(call_function("graft_bloom_agg", xxhash64(col("s")),
         lit(expectedItems), lit(fpBits)).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain =
-      call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("s")))
+      .createOrReplaceTempView(carrier)
+    val mightContain = call_function("graft_might_contain",
+      expr(s"(select bf from $carrier)"), xxhash64(col("s")))
 
     // materialized: the totals aggregate and the pruned verify branch both
     // read it — uncut, each branch is a full redundant corpus text scan,

@@ -1051,7 +1051,16 @@ object Eval {
   def bestF1Threshold(
       df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val p = thresholds(df, scoreCol, labelCol).withColumn("_j", lit(1))
-    val totals = p.groupBy(col("_j")).agg(max(col("tp")).as("_pos"))
+    // total positives straight from the scored frame — NOT max(tp) over
+    // the thresholds frame, which was only correct because thresholds()
+    // happens to emit the minimum score as a cut capturing every row
+    // (an implicit coupling that would silently under-count recall if
+    // thresholds() ever pruned the lowest cut)
+    val totals = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(coalesce(sum((col(labelCol) =!= 0).cast("long")), lit(0L))
+        .as("_pos"))
+      .withColumn("_j", lit(1))
     val prec = col("tp").cast("double") / col("predicted").cast("double")
     val rec = col("tp").cast("double") /
       nullif(col("_pos").cast("double"), lit(0.0))
@@ -1082,18 +1091,25 @@ object Eval {
    * positives down to it. Counts exact; the ratios are one double
    * chain each, 6-dp.
    *
-   * Same global-rank EVAL-SAMPLE contract as [[rocAuc]]: the ntile
-   * runs over the scored frame — run on the eval sample, not the raw
-   * corpus. Returns `(bucket, n, n_pos, rate, lift, cum_capture)`
+   * Same global-rank EVAL-SAMPLE contract as [[rocAuc]] — but unlike
+   * rocAuc (which got a value-grouped formulation), ntile NEEDS exact
+   * row positions (a score group straddling a bucket boundary splits
+   * by id), so the contract is ENFORCED instead: a
+   * [[graft.Guards.requireRowsAtMost]] probe fails fast when the
+   * scored frame exceeds `maxRows` (default 5M — generous for any
+   * eval sample, fatal for a raw corpus). `maxRows = 0` opts out.
+   * Returns `(bucket, n, n_pos, rate, lift, cum_capture)`
    * ordered by bucket (1 = highest scores).
    */
   def liftTable(
       df: DataFrame, score: Column, label: Column, id: Column,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10, maxRows: Long = 5000000L): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val base = df.select(score.cast("double").as("_s"),
         label.cast("boolean").cast("long").as("_y"), id.as("_id"))
       .filter(col("_s").isNotNull && col("_y").isNotNull)
+    graft.Guards.requireRowsAtMost(base, maxRows,
+      "Eval.liftTable eval-sample contract (global ntile over the scored frame)")
     val w = Window.orderBy(col("_s").desc, col("_id").asc)
     val cells = base
       .withColumn("bucket", ntile(buckets).over(w).cast("long"))

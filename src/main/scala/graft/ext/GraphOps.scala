@@ -123,20 +123,43 @@ object GraphOps {
    * before pairing, so support counts GROUPS, not raw rows.
    *
    * Shape at scale: a distinct + one self-equi-join keyed on the group
-   * (cost Σ per-group-size², bounded by the cap the caller enforces
-   * upstream for degenerate hot groups) + a pair-keyed hash aggregate.
-   * Feeds [[triangleCounts]] / [[pageRank]] / [[degreeProfile]].
+   * (cost Σ per-group-size²) + a pair-keyed hash aggregate. The
+   * quadratic term is REAL, so the cap is too: `maxGroupSize > 0`
+   * keeps only the `maxGroupSize` smallest item ids per group (a
+   * deterministic truncation through a GROUP-KEYED window — no global
+   * sort) before pairing, logs how many groups were truncated, and
+   * bounds the join at Σ min(size, cap)². Default 0 = uncapped, for
+   * callers whose relation is already support-bounded. Feeds
+   * [[triangleCounts]] / [[pageRank]] / [[degreeProfile]].
+   *
+   * NOTE under a cap: pairs dropped from truncated groups lose that
+   * group's support contribution — the cap trades exact support in
+   * degenerate hot groups (whose projection is near-complete and
+   * meaningless anyway) for a bounded plan.
    *
    * Returns `(src, dst, support)`, `src < dst`.
    */
   def coOccurrence(
       rel: DataFrame, groupCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long, maxGroupSize: Int = 0): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val r = rel
+    val r0 = rel
       .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
       .filter(col("_g").isNotNull && col("_i").isNotNull)
       .distinct()
+    val r = if (maxGroupSize <= 0) r0 else {
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_i").asc)
+      val ranked = r0.withColumn("_gr", row_number().over(wg))
+      val nTruncated = ranked.filter(col("_gr") > maxGroupSize)
+        .select(col("_g")).distinct().count()
+      if (nTruncated > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"coOccurrence: $nTruncated group(s) exceeded maxGroupSize=" +
+            s"$maxGroupSize and were truncated to their $maxGroupSize " +
+            "smallest item ids before pairing")
+      ranked.filter(col("_gr") <= maxGroupSize).drop("_gr")
+    }
     r.as("a").join(r.as("b"),
         col("a._g") === col("b._g") && col("a._i") < col("b._i"))
       .groupBy(col("a._i").as("src"), col("b._i").as("dst"))

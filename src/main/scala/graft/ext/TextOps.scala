@@ -855,14 +855,24 @@ object TextOps {
       .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
 
   /** [[zipfSlope]] evaluated over an already-built term-count frame
-    * (`(_t, _c)` — [[termCounts]] or an index rollup). */
+    * (`(_t, _c)` — [[termCounts]] or an index rollup).
+    *
+    * SCALE SHAPE: limit-FIRST — `.orderBy(count desc, term).limit(topN)`
+    * compiles to TakeOrderedAndProject (per-partition top-N heaps, one
+    * tiny merge), and the rank window then runs over the topN-row frame
+    * only. The previous rank-then-filter shape moved the FULL vocabulary
+    * (billions of distinct tokens at 100 TB) through one unpartitioned
+    * WindowExec partition; this is the [[StatsTests.hillTailIndex]]
+    * shape instead. */
   def zipfSlopeFromCounts(counts: DataFrame, topN: Int = 1000): DataFrame = {
     require(topN >= 3, s"need >= 3 ranks to fit, got $topN")
     val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val top = counts
+      .orderBy(col("_c").desc, col("_t").asc)
+      .limit(topN)
     val w = Window.orderBy(col("_c").desc, col("_t").asc)
-    val xy = counts
+    val xy = top
       .withColumn("_r", row_number().over(w).cast("long"))
-      .filter(col("_r") <= topN)
       .select(log(col("_r").cast("double")).as("_x"),
         log(col("_c").cast("double")).as("_y"))
     val m = xy.agg(count(lit(1)).as("n_terms"),
@@ -984,30 +994,64 @@ object TextOps {
    * min-struct over the qualifying frame. Returns
    * `(target, k_terms, share_at_k)` ordered by target.
    *
-   * The one global window runs over the VOCABULARY frame (the
-   * rank–frequency family's contract).
+   * SCALE SHAPE: the needed cumulative is a function of the COUNT
+   * VALUE alone — every term holding the same count contributes the
+   * same mass, so the vocabulary first collapses to its
+   * count-of-counts frame `(count value c, t_c terms)` by hash
+   * aggregate, and the one ordered window runs over that
+   * value-cardinality frame (heavy-tailed corpora: ~√N distinct
+   * counts for N tokens, vs billions of distinct terms at 100 TB).
+   * The in-group offset j for a target is then located
+   * arithmetically: ranks `rankBefore+1 … rankBefore+t_c` carry
+   * cumulative mass `cumBefore + j·c`, so the smallest qualifying
+   * rank is `ceil`-computed and ±1-corrected against the EXACT
+   * long-arithmetic share (bit-identical to the per-rank division
+   * the ranked formulation used). Same contract lift as
+   * [[StatsTests.mannWhitneyU]]'s tie-rank form.
    */
   def coverageTargets(
       counts: DataFrame, targets: Seq[Double]): DataFrame = {
     require(targets.nonEmpty && targets.forall(t => t > 0.0 && t <= 1.0),
       s"targets must be in (0, 1]: $targets")
-    val w = Window.orderBy(col("_c").desc, col("_t").asc)
-    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
     val tot = counts.agg(sum(col("_c")).as("_nn"))
-    val ranked = counts
-      .withColumn("_r", row_number().over(w).cast("long"))
-      .withColumn("_cum", sum(col("_c")).over(wCum))
+    // count-of-counts: one row per distinct count value
+    val byValue = counts.groupBy(col("_c"))
+      .agg(count(lit(1)).as("_t_c"))
+    val wB = Window.orderBy(col("_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = byValue
+      .withColumn("_rank_before",
+        coalesce(sum(col("_t_c")).over(wB), lit(0L)))
+      .withColumn("_cum_before",
+        coalesce(sum(col("_c") * col("_t_c")).over(wB), lit(0L)))
       .crossJoin(broadcast(tot))
-      .select(col("_r"),
-        (col("_cum").cast("double") / col("_nn").cast("double"))
-          .as("_share"))
-    ranked
-      .select(col("_r"), col("_share"),
+    val nnD = col("_nn").cast("double")
+    // exact share at in-group offset j (long arithmetic, then one cast:
+    // bit-identical to the per-rank cum/total the ranked form computed)
+    def shareAt(j: Column): Column =
+      (col("_cum_before") + j * col("_c")).cast("double") / nnD
+    val j0 = greatest(
+      ceil((col("target") * nnD - col("_cum_before").cast("double")) /
+        col("_c").cast("double")).cast("long"),
+      lit(1L))
+    val jFinal = when(
+        j0 - 1L >= 1L && shareAt(j0 - 1L) >= col("target"), j0 - 1L)
+      .when(shareAt(j0) >= col("target"), j0)
+      .otherwise(j0 + 1L)
+    grouped
+      .select(col("_c"), col("_t_c"), col("_rank_before"),
+        col("_cum_before"), col("_nn"),
         explode(array(targets.map(lit): _*)).as("target"))
-      .filter(col("_share") >= col("target"))
+      .withColumn("_j", jFinal)
+      // target reached inside this group (exact-share re-check guards
+      // the ceil locator's ±1 window)
+      .filter(col("_j") <= col("_t_c") &&
+        shareAt(col("_j")) >= col("target"))
+      .select(col("target"),
+        (col("_rank_before") + col("_j")).as("_k"),
+        shareAt(col("_j")).as("_s"))
       .groupBy(col("target"))
-      .agg(min(struct(col("_r").as("k"), col("_share").as("s")))
-        .as("_m"))
+      .agg(min(struct(col("_k").as("k"), col("_s").as("s"))).as("_m"))
       .select(col("target"), col("_m.k").as("k_terms"),
         round(col("_m.s"), 6).as("share_at_k"))
       .orderBy(col("target").asc)

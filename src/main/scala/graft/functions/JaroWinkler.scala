@@ -37,9 +37,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * Comparison is per UTF-8 BYTE, straight off the `UTF8String` buffers
  * (no String materialization on the hot path) — identical to code-unit
  * comparison on ASCII and the same convention byte-wise engines
- * (DuckDB) use everywhere; callers feeding non-ASCII should normalize
- * first (the declared query filters to printable-ASCII heads for
- * exactly this cross-engine reason).
+ * (DuckDB) use everywhere. The expression GUARDS its own convention:
+ * when either operand contains a byte ≥ 0x80 it falls back to
+ * CODE-POINT comparison (same algorithm over decoded code points), so
+ * non-ASCII input gets principled character semantics instead of
+ * silent partial byte-matches inside multi-byte sequences — callers
+ * need not rely on the documented ASCII pre-filter for correctness
+ * (the declared query still filters to printable-ASCII heads so its
+ * oracle's byte-wise engine agrees).
  */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -80,6 +85,11 @@ object JaroWinkler {
     val lb = b.numBytes
     if (la == 0 || lb == 0) return 0.0
     if (a.equals(b)) return 1.0
+    // non-ASCII guard: any byte >= 0x80 (negative as signed) means a
+    // multi-byte UTF-8 sequence — byte-wise matching could pair
+    // FRAGMENTS of different characters; decode and compare code points
+    if (hasNonAscii(a) || hasNonAscii(b))
+      return computeCodePoints(a.toString, b.toString)
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val sMatch = new Array[Boolean](la)
     val tMatch = new Array[Boolean](lb)
@@ -117,6 +127,67 @@ object JaroWinkler {
       val maxL = math.min(4, math.min(la, lb))
       var l = 0
       while (l < maxL && a.getByte(l) == b.getByte(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  private def hasNonAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Code-point fallback for non-ASCII operands: the SAME algorithm
+    * (window, floored transpositions, prefix boost) over decoded code
+    * points — character semantics where byte semantics would match
+    * fragments of multi-byte sequences. Cold path by construction (the
+    * ASCII hot loop above never reaches here). */
+  private def computeCodePoints(sa: String, sb: String): Double = {
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val sMatch = new Array[Boolean](la)
+    val tMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && a(i) == b(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var mismatched = 0
+    i = 0
+    while (i < la) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (a(i) != b(k)) mismatched += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - mismatched / 2) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && a(l) == b(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }

@@ -343,6 +343,32 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q292: zipf fit is limit-FIRST — the rank window sits above a " +
+    "TakeOrdered of the vocabulary, never over the full term frame") {
+    val p = plan("q292_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"zipf lost its per-partition top-N heads:\n$p")
+    // tree print = parent first: the (topN-row) Window must be ABOVE
+    // the TakeOrdered, i.e. the rank-then-filter shape is gone
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window is not running over the TakeOrdered frame:\n$p")
+  }
+
+  test("q315: coverage window runs over the count-of-counts frame — " +
+    "no window is ever ordered by term") {
+    val p = plan("q315_coverage_targets")
+    // the value-grouped shape orders its cumulative windows by the
+    // count value _c alone; the old vocab-frame shape ordered by
+    // (_c, _t) — a term-keyed sort of the whole vocabulary
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no window found:\n$p")
+    specs.foreach(s =>
+      assert(!s.contains("_t#"),
+        s"a window is ordered by the term column (vocab-sized sort): $s"))
+  }
+
   test("q104: rollup merge carries partial aggregation (map-side combine)") {
     val p = plan("q104_rollup_merge")
     assert(p.contains("partial_count") || p.contains("Partial"),

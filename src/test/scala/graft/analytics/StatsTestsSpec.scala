@@ -1008,6 +1008,37 @@ class StatsTestsSpec extends GraftSpec {
     assert(allTied.isNullAt(3), "zero variance under total ties")
   }
 
+  test("golden vectors from tools/golden_stats.py — an INDEPENDENT " +
+    "sort-based textbook implementation (catches a formula error " +
+    "mirrored into both the Spark algebra and the oracle SQL)") {
+    def df(vs: Double*) = vs.toDF("v")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mannWhitneyU(A=[1,2,2,3,5], B=[2,3,3,4]) → U1 = 7.0, z = -0.760639
+    val mw = StatsTests.mannWhitneyU(
+      df(1, 2, 2, 3, 5), df(2, 3, 3, 4), col("v")).head()
+    assert(mw.getDouble(2) == 7.0 && mw.getDouble(3) == -0.760639,
+      s"$mw")
+    // wilcoxon(d=[1.5,-2,3,4,-1.5,2,5,-2]) → n=8, W+=26.5, z=1.197599
+    val wx = StatsTests.wilcoxonSignedRank(
+      df(1.5, -2, 3, 4, -1.5, 2, 5, -2).withColumnRenamed("v", "d"),
+      col("d")).head()
+    assert(wx.getLong(0) == 8L && wx.getDouble(1) == 26.5 &&
+      wx.getDouble(2) == 1.197599, s"$wx")
+    // ks(A=[1,2,2,3,5], B=[2,3,3,4]) → D = 0.35
+    assert(StatsTests.ksTest(df(1, 2, 2, 3, 5), df(2, 3, 3, 4),
+      col("v")).head().getDouble(2) == 0.35)
+    // mannKendall([3,1,4,1,5,9,2,6]) → S=11, Var=64.333333, z=1.246757
+    val mk = StatsTests.mannKendall(
+      Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0).zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("o", "v"),
+      "o", "v").head()
+    assert(mk.getLong(1) == 11L && mk.getDouble(2) == r6(193.0 / 3.0))
+    assert(mk.getDouble(3) == 1.246757, s"$mk")
+    // p via the A&S 7.1.26 polynomial (±1.5e-7): golden erfc = 0.212486
+    assert(math.abs(mk.getDouble(4) - 0.212486) <= 2e-6, s"$mk")
+  }
+
   test("ksTest: identical samples → D 0; disjoint supports → D 1; " +
     "hand-computed interleaved case") {
     def df(vs: Double*) = vs.toDF("v")

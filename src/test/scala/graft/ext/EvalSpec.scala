@@ -175,6 +175,26 @@ class EvalSpec extends GraftSpec {
     assert(single.getLong(0) == 1L && single.isNullAt(1))
   }
 
+  test("golden vectors from tools/golden_stats.py — independent " +
+    "brute-force pair-count AUC and sort-based rho (a third " +
+    "implementation against the Spark/oracle formula pair)") {
+    // 9 scored rows with a cross-class tie at 0.8 and a same-sign tie
+    // at 0.5 → brute-force P(s+ > s-) + 0.5 P(=) = 0.55
+    val scored = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.6, 1),
+        (0.5, 0), (0.5, 1), (0.4, 0), (0.3, 1))
+      .zipWithIndex.map { case ((s, y), i) => (i.toLong, s, y) }
+      .toDF("id", "score", "y")
+    val auc = Eval.rocAuc(scored, "score", "y", "id").head()
+    assert(auc.getLong(0) == 5L && auc.getLong(1) == 4L &&
+      auc.getDouble(2) == 0.55, s"$auc")
+    // spearman(a=[1,2,2,4,5], b=[2,1,3,3,5]) → rho = 0.763158
+    val sp = Eval.spearman(
+      Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 2L, 3L), (4L, 4L, 3L),
+        (5L, 5L, 5L)).toDF("id", "a", "b"),
+      "a", "b", "id").head()
+    assert(sp.getDouble(1) == 0.763158, s"$sp")
+  }
+
   test("spearman: tie-heavy data matches the textbook fractional-rank rho") {
     // a = [1,2,2,4,5], b = [2,1,3,4,4]
     // avg ranks: ra = [1, 2.5, 2.5, 4, 5], rb = [2, 1, 3, 4.5, 4.5]

@@ -104,6 +104,24 @@ class GraphOpsSpec extends GraftSpec {
     assert(co == Map((1L, 2L) -> 3L), co)
   }
 
+  test("coOccurrence: maxGroupSize truncates a degenerate hot group to " +
+    "its smallest item ids before pairing; default-off is unchanged") {
+    // group 10 is hot (items 1..5 → 10 pairs uncapped); group 20 is
+    // small and must be untouched by the cap
+    val rel = ((1L to 5L).map(i => (10L, i)) ++ Seq((20L, 1L), (20L, 2L)))
+      .toDF("g", "item")
+    val uncapped = GraphOps.coOccurrence(rel, "g", "item", minSupport = 1L)
+    assert(uncapped.count() == 10L) // C(5,2) ∪ {(1,2)} — (1,2) merges
+    val capped = GraphOps.coOccurrence(rel, "g", "item",
+        minSupport = 1L, maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // hot group keeps items {1,2,3} → pairs (1,2)(1,3)(2,3); group 20
+    // still contributes its (1,2), so support(1,2) = 2
+    assert(capped ==
+      Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), capped)
+  }
+
   test("degreeProfile: distinct-edge degrees, zero-filled missing " +
     "directions") {
     val prof = GraphOps.degreeProfile(

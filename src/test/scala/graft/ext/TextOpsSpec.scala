@@ -533,6 +533,47 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("coverageTargets: value-grouped arithmetic agrees with the " +
+    "brute-force ranked reference on tie-heavy and random vocabularies") {
+    import org.apache.spark.sql.functions.col
+    // brute force: the ORIGINAL ranked semantics — sort (count desc,
+    // term asc), per-rank share = cum/total (double), smallest rank
+    // whose share >= target
+    def reference(counts: Seq[(String, Long)], targets: Seq[Double])
+        : Map[Double, (Long, Double)] = {
+      val ranked = counts.sortBy { case (t, c) => (-c, t) }
+      val total = counts.map(_._2).sum.toDouble
+      var cum = 0L
+      val shares = ranked.zipWithIndex.map { case ((_, c), i) =>
+        cum += c
+        (i + 1L, cum.toDouble / total)
+      }
+      targets.map { tg =>
+        val (k, s) = shares.find(_._2 >= tg).get
+        tg -> ((k, BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+    }
+    def run(counts: Seq[(String, Long)], targets: Seq[Double])
+        : Map[Double, (Long, Double)] =
+      TextOps.coverageTargets(counts.toDF("_t", "_c"), targets)
+        .collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    // tie-heavy: 5 terms at count 4, 10 terms at count 1 — targets land
+    // inside tie groups, exactly on group boundaries, and at 1.0
+    val tieHeavy = ('a' to 'e').map(c => c.toString -> 4L) ++
+      (1 to 10).map(i => f"t$i%02d" -> 1L)
+    val targets1 = Seq(4.0 / 30.0, 0.5, 0.7, 1.0)
+    assert(run(tieHeavy, targets1) == reference(tieHeavy, targets1))
+    // randomized heavy-tailed vocabulary
+    val rng = new scala.util.Random(7)
+    val rand = (1 to 60).map(i =>
+      f"w$i%03d" -> (1L + rng.nextInt(1 + rng.nextInt(30))))
+    val targets2 = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    assert(run(rand, targets2) == reference(rand, targets2))
+  }
+
   test("templateCensus: digit-masked skeletons group templated docs; " +
     "unique docs stay singletons") {
     val docs = Seq(

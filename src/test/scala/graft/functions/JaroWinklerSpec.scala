@@ -66,4 +66,20 @@ class JaroWinklerSpec extends GraftSpec {
       spark.sql("SELECT graft_jaro_winkler('a')").collect()
     }
   }
+
+  test("non-ASCII operands fall back to CODE-POINT comparison — no " +
+    "partial matches of multi-byte fragments") {
+    // é (C3 A9) vs è (C3 A8): byte-wise the shared C3 lead byte would
+    // score 2/3 — code-point-wise they are single distinct characters
+    assert(jw("é", "è") == 0.0)
+    assert(jw("é", "é") == 1.0) // equality short-circuit still holds
+    // 3 code points, 2 matching, no transpositions, no common prefix
+    val jaro3of2 = (2.0 / 3 + 2.0 / 3 + 2.0 / 2.0) / 3.0
+    assert(jw("ébc", "èbc") == jaro3of2)
+    // mixed ASCII/non-ASCII operand pair also routes to code points,
+    // and the prefix boost runs on code points (l = 2 here)
+    assert(jw("abc", "abç") == jaro3of2 + 2 * 0.1 * (1.0 - jaro3of2))
+    // symmetric on the fallback path too
+    assert(jw("èbc", "ébc") == jw("ébc", "èbc"))
+  }
 }
