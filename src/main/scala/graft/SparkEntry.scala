@@ -2362,10 +2362,15 @@ object SparkEntry {
 
     // X3+ — corpus-wide kNN self-join via IVF cells (semantic-dedup
     // primitive): within-cell equi-join, never all-pairs; partial oracle
-    // recomputes every returned sim exactly and checks rank structure
+    // recomputes every returned sim exactly and checks rank structure.
+    // Cells scale √n with the corpus (suggestedCells): a fixed k made
+    // the self-join quadratic — the r13 sf1 scale run measured 10× rows
+    // → 103× wall at k=16; √n caps candidates at the IVF-canonical
+    // nprobe·n^1.5.
     "q44_knn_join" -> ((s, d) => {
       val corpus = t(s, d, "embeddings")
-      val centroids = AnnIvf.trainCentroids(corpus, k = 16)
+      val centroids = AnnIvf.trainCentroids(corpus,
+        k = AnnIvf.suggestedCells(corpus.count()))
       AnnIvf.knnJoin(corpus, centroids, kNeighbors = 3)
         .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
     }),

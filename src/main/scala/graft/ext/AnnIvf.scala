@@ -154,6 +154,19 @@ object AnnIvf {
    * (narrow) → posexplode → per-(cell, dim) mean — the partial aggregate
    * reduces each partition to ≤ k·dim rows before the tiny shuffle.
    */
+  /**
+   * Corpus-size-aware IVF cell count: `max(16, ⌈√n⌉)` — the standard
+   * inverted-file sizing rule (the FAISS guideline is 4√n–16√n cells;
+   * √n is its conservative floor). WHY this matters for the SELF-join
+   * ([[knnJoin]]): candidate pairs are `n · nprobe · n/k`, so a FIXED
+   * k makes the self-join quadratic in the corpus (measured: 10× rows
+   * → 103× wall at k=16), while k = √n caps it at the IVF-canonical
+   * `nprobe · n^1.5`. Query-set probes (`|Q| ≪ n`) stay linear in n
+   * either way. Callers with a tuned cell budget pass their own k.
+   */
+  def suggestedCells(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
   def trainCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession

@@ -1178,47 +1178,45 @@ object TextOps {
    * each, 6-dp. A side with no grams yields NULL ratios (its text is
    * shorter than n tokens); f1 is additionally NULL when P + R = 0.
    *
-   * Shape at scale: each side explodes to (pair, gram) counts and the
-   * clip is one equi-join on `(pair, gram)` + a pair-keyed fold — all
-   * shuffles on the pair key family, linear in total gram count,
-   * never all-pairs (the CALLER chooses the pairs). Output pair-sized.
-   * Returns `(a_id, b_id, n_a, n_b, clip, recall, precision, f1)`
-   * with `a` the reference side.
+   * Shape at scale: both token lists sit in the SAME row of the pair
+   * frame, so the clip is computed per-row by the native codegen'd
+   * [[graft.functions.ClippedOverlap]] expression straight off the
+   * token arrays — a two-hash-pass O(n·(|a|+|b|)) scan that never
+   * materializes a gram array. NO gram HOF chain, NO explode, NO
+   * shuffle, NO join: the only non-narrow steps are the caller's own
+   * pair construction and the output sort. (The previous exploded
+   * formulation built both gram arrays through interpreted
+   * `transform`+`slice`+`array_join` chains, shuffled the whole gram
+   * multiset on the pair key and joined it back — ~9 s at sf0.1 on
+   * the q274 audit, the sweep's slowest entry, dominated by the HOF
+   * chains.) The tokenized pair frame is lineage-cut: its token
+   * arrays feed the two size projections and the clip — without the
+   * cut, each use would re-run the caller's pair window and the
+   * tokenizer (HOFs are CodegenFallback: evaluated once per USE,
+   * invisible to codegen subexpression elimination). Output
+   * pair-sized. Returns
+   * `(a_id, b_id, n_a, n_b, clip, recall, precision, f1)` with `a`
+   * the reference side.
    */
   def rougeN(
       pairs: DataFrame, aId: Column, bId: Column,
       aText: Column, bText: Column, n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"gram order must be in [1, 5], got $n")
-    // lineage cut: the gram frame feeds THREE consumers (two explode
-    // sides + the size projection); uncut, Catalyst re-runs the
-    // caller's pair window and both tokenizations once per consumer
-    // (bench-measured 28 s → the one-pass cost at sf0.1)
     val base = Materialize.cut(
       pairs.select(aId.as("a_id"), bId.as("b_id"),
-        ngramsAll(tokens(aText), n).as("_ga"),
-        ngramsAll(tokens(bText), n).as("_gb")))
-    // one tagged explode + one (pair, gram) aggregate — the
-    // two-groupBy-plus-join formulation shuffles the gram multiset
-    // twice and joins it back; this shuffles it once
-    val tagged = base.select(col("a_id"), col("b_id"),
-      explode(concat(
-        transform(col("_ga"), g => struct(g.as("g"), lit(1).as("s"))),
-        transform(col("_gb"), g => struct(g.as("g"), lit(2).as("s")))))
-        .as("_x"))
-    val clip = tagged
-      .groupBy(col("a_id"), col("b_id"), col("_x.g").as("_g"))
-      .agg(sum(when(col("_x.s") === 1, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_x.s") === 2, 1L).otherwise(0L)).as("_cb"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(least(col("_ca"), col("_cb"))).as("_clip"))
-    val sizes = base.select(col("a_id"), col("b_id"),
-      size(col("_ga")).cast("long").as("n_a"),
-      size(col("_gb")).cast("long").as("n_b"))
+        tokens(aText).as("_ta"), tokens(bText).as("_tb")))
+    def grams(toks: Column): Column = // null tokens (null text) → null count
+      when(toks.isNotNull,
+        greatest(size(toks).cast("long") - (n - 1), lit(0L)))
+    val scored = base
+      .select(col("a_id"), col("b_id"),
+        grams(col("_ta")).as("n_a"),
+        grams(col("_tb")).as("n_b"),
+        call_function("graft_clipped_overlap",
+          col("_ta"), col("_tb"), lit(n)).as("clip"))
     val r = col("clip").cast("double") / col("n_a").cast("double")
     val p = col("clip").cast("double") / col("n_b").cast("double")
-    sizes.join(clip, Seq("a_id", "b_id"), "left")
-      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
-        coalesce(col("_clip"), lit(0L)).as("clip"))
+    scored
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
         col("clip"),
         when(col("n_a") > 0 && col("n_b") > 0, round(r, 6)).as("recall"),

@@ -172,6 +172,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"graft_jaro_winkler requires exactly 2 arguments, got ${children.size}")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_clipped_overlap"),
+      new ExpressionInfo(
+        classOf[ClippedOverlap].getCanonicalName, "graft_clipped_overlap"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => ClippedOverlap(a, b, 1)
+        case Seq(a, b, n) if n.foldable && n.dataType == IntegerType =>
+          ClippedOverlap(a, b, n.eval().asInstanceOf[Int])
+        case Seq(_, _, _) => throw new IllegalArgumentException(
+          "graft_clipped_overlap requires a literal integer gram order as argument 3")
+        case _ => throw new IllegalArgumentException(
+          s"graft_clipped_overlap requires 2 or 3 arguments, got ${children.size}")
+      }))
     // Spark's Bloom sketch pair (the machinery behind runtime row-level
     // filtering) lives in the INTERNAL function registry, not the
     // resolvable one — expose both sides for the Bloom-pruned

@@ -59,11 +59,13 @@ def main(out: str) -> None:
                  b.source, b.n_chars, r.k
           FROM base b CROSS JOIN reps r)
         SELECT doc_id,
-          CASE WHEN k = 0 OR text IS NULL THEN text ELSE (
-            SELECT string_agg(u.w, ' '
-                     ORDER BY hash(u.w || '|' || u.i || '|' || doc_id))
-            FROM unnest(string_split(text, ' ')) WITH ORDINALITY AS u(w, i)
-          ) END AS text,
+          CASE WHEN k = 0 OR text IS NULL THEN text ELSE
+            array_to_string(list_transform(list_sort(list_transform(
+              string_split(text, ' '),
+              (w, i) -> struct_pack(
+                h := hash(w || '|' || i::VARCHAR || '|' || doc_id::VARCHAR),
+                w := w))), s -> s.w), ' ')
+          END AS text,
           lang, source, n_chars
         FROM rep_docs
         ORDER BY doc_id
@@ -79,12 +81,11 @@ def main(out: str) -> None:
                  b.label, r.k
           FROM base b CROSS JOIN reps r)
         SELECT vec_id,
-          CASE WHEN k = 0 OR embedding IS NULL THEN embedding ELSE (
-            SELECT list(CAST(u.x + 0.015 * k *
-                             sin(vec_id * 0.7 + u.i * 1.3) AS FLOAT)
-                        ORDER BY u.i)
-            FROM unnest(embedding) WITH ORDINALITY AS u(x, i)
-          ) END AS embedding,
+          CASE WHEN k = 0 OR embedding IS NULL THEN embedding ELSE
+            list_transform(embedding,
+              (x, i) -> CAST(x + 0.015 * k *
+                             sin(vec_id * 0.7 + i * 1.3) AS FLOAT))
+          END AS embedding,
           label
         FROM rep_vecs
         ORDER BY vec_id
