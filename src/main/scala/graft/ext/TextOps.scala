@@ -1152,7 +1152,13 @@ object TextOps {
   }
 
   /** All order-`n` token windows joined by single spaces, repeats kept
-    * — [[bigramsAll]] generalized (n = 1 is the token list itself). */
+    * — [[bigramsAll]] generalized (n = 1 is the token list itself).
+    * DEV-ONLY semantics reference since r13: the production clip path
+    * is the native [[graft.functions.ClippedOverlap]] (these HOF
+    * chains are CodegenFallback — re-evaluated per USE and invisible
+    * to codegen subexpression elimination; the q274 find). Kept, like
+    * [[AnnIvf.nearestCellsUnrolled]], as the built-ins-only twin the
+    * native expression's spec documents its key convention against. */
   private[ext] def ngramsAll(toks: Column, n: Int): Column =
     if (n == 1) toks
     // guard BEFORE sequence: sequence(0, -1) descends, it is not empty

@@ -832,18 +832,28 @@ class PlanAuditSpec extends GraftSpec {
       }
   }
 
-  test("q273 modularity / q274 rouge: equi-joins only, no cartesian, " +
-    "even with broadcast disabled") {
+  test("q273 modularity: equi-joins only, no cartesian, even with " +
+    "broadcast disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // the 1-row totals fan-in (crossJoin of broadcast aggregates) is
     // the documented exception — data-sized joins must stay equi
-    try Seq("q273_modularity", "q274_rouge").foreach { k =>
-      val p = plan(k)
+    try {
+      val p = plan("q273_modularity")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        k)
-      assert(!p.contains("CartesianProduct"), k)
+        p)
+      assert(!p.contains("CartesianProduct"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q274 rouge: JOIN-FREE since the native clip — per-row " +
+    "graft_clipped_overlap off the cut token frame, no explode, no " +
+    "gram shuffle (r13; the exploded formulation was the sweep's " +
+    "slowest entry)") {
+    val p = plan("q274_rouge")
+    assert(p.contains("graft_clipped_overlap"), p)
+    assert(!p.contains("Join"), s"rouge regained a join:\n$p")
+    assert(!p.contains("Generate"), s"rouge regained an explode:\n$p")
   }
 
   test("q277: HLL overlap joins day sketches on the day key — no " +

@@ -20,6 +20,10 @@ embeddings, which are regenerated at 10x rows:
     replicates 10x with offset order keys: 10x groups of the same
     composition, so the quadratic pairing stage — that family's
     documented cost driver — sees a true 10x input.
+  - events (the sessionization/time-series family's stream) replicates
+    10x with offset event ids and UNCHANGED users/timestamps: 10x
+    event density per user-hour, so user-keyed windows see 10x-deep
+    partitions and day/hour aggregates see 10x rows per bucket.
 
 Deterministic (hash/sin of ids), stdlib + duckdb only; driver-side dev
 tool, never an engine dependency. Usage:
@@ -38,7 +42,7 @@ REPS = 10
 def main(out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "events"):
+              "orders"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
@@ -105,7 +109,20 @@ def main(out: str) -> None:
       ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
     """)
 
-    for t in ("documents", "embeddings", "lineitem"):
+    ekey_span = con.sql(
+        f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(f"""
+      COPY (
+        WITH base AS (SELECT * FROM '{SRC}/events.parquet'),
+        reps AS (SELECT unnest(range({REPS})) AS k)
+        SELECT b.* REPLACE (b.event_id + r.k * {ekey_span} AS event_id)
+        FROM base b CROSS JOIN reps r
+        ORDER BY event_id
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+
+    for t in ("documents", "embeddings", "lineitem", "events"):
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
