@@ -1039,6 +1039,88 @@ class StatsTestsSpec extends GraftSpec {
     assert(math.abs(mk.getDouble(4) - 0.212486) <= 2e-6, s"$mk")
   }
 
+  test("golden vectors from tools/golden_stats.py, batch 2 (r13) — the " +
+    "omnibus/agreement/moment/experimentation families against the " +
+    "independent textbook implementations") {
+    def near(got: Double, want: Double, tag: String): Unit =
+      assert(math.abs(got - want) <= 2e-6, s"$tag: $got vs $want")
+    val g1 = Seq(1.0, 2.0, 2.0, 5.0)
+    val g2 = Seq(3.0, 4.0, 4.0)
+    val g3 = Seq(2.0, 6.0, 7.0, 8.0)
+    val grouped = (g1.map("a" -> _) ++ g2.map("b" -> _) ++
+      g3.map("c" -> _)).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    // kruskal(G1,G2,G3) → H = 3.681818, H_c = 3.767442
+    val kw = StatsTests.kruskalWallis(grouped, col("g"), col("v")).head()
+    assert(kw.getLong(0) == 3L && kw.getLong(1) == 11L, s"$kw")
+    near(kw.getDouble(2), 3.681818, "H")
+    near(kw.getDouble(3), 3.767442, "H_c")
+    // anovaF → ssb = 21.583333, ssw = 30.416667, f = 2.838356
+    val af = StatsTests.anovaF(grouped, col("g"), col("v")).head()
+    near(af.getDouble(2), 21.583333, "ssb")
+    near(af.getDouble(3), 30.416667, "ssw")
+    near(af.getDouble(4), 2.838356, "f")
+    // brownForsythe (lower-median-centered |z|) → f = 0.906143
+    val bf = StatsTests.brownForsythe(
+      grouped, col("g"), col("v"), col("id")).head()
+    near(bf.getDouble(2), 3.492424, "bf ssb")
+    near(bf.getDouble(3), 15.416667, "bf ssw")
+    near(bf.getDouble(4), 0.906143, "bf f")
+    // 3 judges rank 4 subjects → W = 0.644444, χ²_F = 5.8, dof 3
+    val judged = Seq(
+      (1L, 0.9, 0.8, 0.3), (2L, 0.4, 0.5, 0.9),
+      (3L, 0.7, 0.6, 0.8), (4L, 0.1, 0.2, 0.1))
+      .toDF("id", "m1", "m2", "m3")
+    val ms = Seq(col("m1"), col("m2"), col("m3"))
+    val w = StatsTests.kendallW(judged, "id", ms).head()
+    assert(w.getLong(0) == 4L && w.getLong(1) == 3L)
+    near(w.getDouble(2), 0.644444, "W")
+    val fr = StatsTests.friedman(judged, "id", ms).head()
+    assert(fr.getLong(2) == 3L, "dof")
+    near(fr.getDouble(3), 5.8, "chi2_f")
+    // jarqueBera([1,2,2.5,3,10,2.2,1.8,2.9]) → g1 = 2.034084,
+    // g2 = 2.590028, JB = 7.752743, p = 0.020726
+    val jb = StatsTests.jarqueBera(
+      Seq(1.0, 2.0, 2.5, 3.0, 10.0, 2.2, 1.8, 2.9).toDF("v"),
+      col("v")).head()
+    near(jb.getDouble(1), 2.034084, "skew")
+    near(jb.getDouble(2), 2.590028, "kurt")
+    near(jb.getDouble(3), 7.752743, "jb")
+    near(jb.getDouble(4), 0.020726, "p")
+    // ljungBox([1,3,2,5,4,6,5,8], 3) → r = (0.244718, 0.411972,
+    // -0.181338), Q = (0.684423, 2.947367, 3.473503)
+    val lb = StatsTests.ljungBox(
+      Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("o", "v"),
+      "o", "v", maxLag = 3).collect()
+    assert(lb.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    Seq(0.244718, 0.411972, -0.181338).zip(lb).foreach {
+      case (want, r) => near(r.getDouble(1), want, "lb r") }
+    Seq(0.684423, 2.947367, 3.473503).zip(lb).foreach {
+      case (want, r) => near(r.getDouble(2), want, "lb q") }
+    // cuped → θ = 0.942857, ρ² = 0.924187, raw diff = 1.666667,
+    // adjusted diff = 0.723810
+    val cu = StatsTests.cuped(
+      Seq((true, 10.0, 12.0), (true, 8.0, 9.5), (true, 12.0, 13.0),
+        (false, 9.0, 10.0), (false, 11.0, 11.5), (false, 7.0, 8.0))
+        .toDF("arm", "x", "y"),
+      col("arm"), col("x"), col("y")).head()
+    near(cu.getDouble(2), 0.942857, "theta")
+    near(cu.getDouble(3), 0.924187, "rho2")
+    near(cu.getDouble(4), 1.666667, "diff_raw")
+    near(cu.getDouble(5), 0.72381, "diff_cuped")
+    // tost(400/120 vs 500/145, margin .05) → se = 0.030607,
+    // z_lower = 1.960324, z_upper = 1.306883, NOT equivalent
+    val to = StatsTests.tostEquivalence(
+      (1 to 400).map(i => i <= 120).toDF("s"),
+      (1 to 500).map(i => i <= 145).toDF("s"),
+      col("s"), margin = 0.05).head()
+    near(to.getDouble(5), 0.030607, "se")
+    near(to.getDouble(6), 1.960324, "z_lower")
+    near(to.getDouble(7), 1.306883, "z_upper")
+    assert(!to.getBoolean(8), "1.306883 < 1.644854 → not equivalent")
+  }
+
   test("ksTest: identical samples → D 0; disjoint supports → D 1; " +
     "hand-computed interleaved case") {
     def df(vs: Double*) = vs.toDF("v")

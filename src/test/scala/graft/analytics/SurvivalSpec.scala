@@ -162,4 +162,44 @@ class SurvivalSpec extends GraftSpec {
     assert(s.getLong(0) == 10L && s.isNullAt(1) && s.isNullAt(2),
       "most of the population outlives the window")
   }
+
+  test("golden vectors from tools/golden_stats.py (r13) — KM curve, " +
+    "Nelson–Aalen and log-rank against the independent textbook " +
+    "implementation") {
+    import spark.implicits._
+    def near(got: Double, want: Double, tag: String): Unit =
+      assert(math.abs(got - want) <= 2e-6, s"$tag: $got vs $want")
+    // spans (first,last) in buckets; horizon 2 over global max 10 →
+    // censored iff last > 8
+    val sp = Seq((0L, 10L), (0L, 6L), (1L, 9L), (2L, 6L), (0L, 3L),
+      (3L, 6L), (2L, 10L), (1L, 4L), (0L, 2L), (5L, 6L))
+      .zipWithIndex
+      .map { case ((f, l), i) => (i.toLong, f, l) }
+      .toDF("user", "first_b", "last_b")
+    val km = Survival.kaplanMeierFromSpans(sp, horizonBuckets = 2)
+    val rows = km.collect()
+    // golden: (t, n_risk, d, censored, surv): (1,10,1,0,.9)
+    // (2,9,1,0,.8) (3,8,3,0,.5) (4,5,1,0,.4) (6,4,1,0,.3)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 1L, 0L), (2L, 9L, 1L, 0L), (3L, 8L, 3L, 0L),
+        (4L, 5L, 1L, 0L), (6L, 4L, 1L, 0L)), rows.mkString(","))
+    Seq(0.9, 0.8, 0.5, 0.4, 0.3).zip(rows).foreach {
+      case (want, r) => near(r.getDouble(4), want, "surv") }
+    // Nelson–Aalen H(t) = Σ d/n: .1, .211111, .586111, .786111, 1.036111
+    val na = Survival.nelsonAalen(km).collect()
+    Seq(0.1, 0.211111, 0.586111, 0.786111, 1.036111).zip(na).foreach {
+      case (want, r) => near(r.getDouble(4), want, "cum_hazard") }
+    // log-rank vs a second cohort: O1 = 7, E1 = 6.121889,
+    // V = 2.418219, χ² = 0.318862
+    val spB = Seq((0L, 9L), (1L, 5L), (0L, 10L), (2L, 4L), (1L, 3L),
+      (0L, 7L), (4L, 10L)).zipWithIndex
+      .map { case ((f, l), i) => (100L + i, f, l) }
+      .toDF("user", "first_b", "last_b")
+    val lr = Survival.logRank(sp, spB, horizonBuckets = 2).head()
+    assert(lr.getLong(0) == 10L && lr.getLong(1) == 7L)
+    assert(lr.getLong(2) == 7L, s"O1: $lr")
+    near(lr.getDouble(3), 6.121889, "E1")
+    near(lr.getDouble(4), 0.318862, "chi2")
+  }
 }
