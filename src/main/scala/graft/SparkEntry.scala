@@ -2176,7 +2176,10 @@ object SparkEntry {
         .orderBy(col("doc_id").asc_nulls_last)),
 
     // X1+ — SimHash near-dup pairs via pigeonhole chunk bucketing (recall
-    // is exactly 1 for hamming ≤ 6 by construction → oracle-able all-pairs)
+    // is exactly 1 for hamming ≤ 3 by construction → oracle-able all-pairs;
+    // the Manku WWW'07 operating point — 4 chunks × 12 bits, collision
+    // floor n²/1024 vs n²/8 at the looser hamming-6/6-bit-chunk point the
+    // r13 10x scale run measured quadratic)
     "q27_simhash_neardup" -> ((s, d) =>
       TextOps.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)),
@@ -7817,7 +7820,7 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // All-pairs recompute of the 48-bit SimHash: the pigeonhole bucketing
-    // on the Spark side has recall exactly 1 for hamming ≤ 6, so the
+    // on the Spark side has recall exactly 1 for hamming ≤ 3, so the
     // bucketed result equals this exhaustive one.
     "q27_simhash_neardup" ->
       """WITH tok AS (
@@ -7838,7 +7841,7 @@ object SparkEntry {
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6
+        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
         |ORDER BY a_id, b_id""".stripMargin,
 
     // md5 over a VARCHAR hashes its UTF-8 bytes — identical to Spark's md5
@@ -13551,8 +13554,40 @@ object SparkEntry {
         when(pmod(col("c_custkey"), lit(5)) === 0,
           col("c_acctbal") + 0.5)
           .otherwise(col("c_acctbal")).as("b_bal"))
-    RecordLinkage.bestLinks(a.join(b, col("a_nat") === col("b_nat")),
-      "a_id", "b_id", linkageFields, threshold = 4.0)
+    // Blocking: UNION of two high-cardinality keys instead of the
+    // nation-only block this engine shipped first (25 nations → a
+    // quadratic n²/25 candidate floor, the q27/q44 scale-law class).
+    // With these weights a pair reaching threshold 4 must agree on
+    // name, or — when name is unobservable — on balance (see the
+    // blockingCovers proof below: max score without either is
+    // seg+bal-NULL ≈ 1.5), so (nation, name) ∪ (nation, ε-banded
+    // balance) generates every above-threshold pair. Balance agreement
+    // is |Δ| < 0.005, i.e. band width 1/200: band(a) ∈ band(b) ± 1 by
+    // the standard ε-join banding, hence the 3-band explode on A.
+    // Block cardinality now scales with the file (names ~unique,
+    // ~2×10⁶ balance bands), so candidates stay linear-ish in n.
+    // The all-candidate DuckDB oracle is UNCHANGED — coverage is the
+    // equivalence proof, and blockingCovers re-checks it at plan
+    // build so a future weight/threshold tweak that breaks coverage
+    // fails fast instead of silently dropping links.
+    require(RecordLinkage.blockingCovers(linkageFields, threshold = 4.0,
+      keys = Seq(Set(0), Set(2))),
+      "q157 blocking keys no longer cover the threshold-passing states")
+    val byName = a.join(b,
+      col("a_nat") === col("b_nat") &&
+        lower(col("a_name")) === lower(col("b_name")))
+    val byBal = a
+      .withColumn("_ab", floor(col("a_bal") * 200))
+      .withColumn("_band", explode(array(col("_ab") - 1, col("_ab"),
+        col("_ab") + 1)))
+      .join(b.withColumn("_band", floor(col("b_bal") * 200)),
+        Seq("_band"))
+      .filter(col("a_nat") === col("b_nat"))
+      .drop("_ab", "_band")
+    val cands = byName.unionByName(byBal)
+      .dropDuplicates("a_id", "b_id")
+    RecordLinkage.bestLinks(cands, "a_id", "b_id", linkageFields,
+      threshold = 4.0)
   }
 
   /** q157's compared fields: (agreement, m, u) in the fold order the

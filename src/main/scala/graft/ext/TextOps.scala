@@ -525,6 +525,18 @@ object TextOps {
    * < `chunks` shares at least one identical chunk, so recall is EXACTLY 1
    * (pigeonhole, not probabilistic) while the join stays linear per bucket.
    *
+   * SCALE LAW — the parameters set a quadratic collision floor. Random
+   * (non-dup) pairs collide on a chunk at rate chunks / 2^(48/chunks), so
+   * the join evaluates ~n² · chunks / 2^(48/chunks) candidate pairs on top
+   * of the true near-dups. The defaults are the Manku/Jain/Sarma web-dedup
+   * operating point (WWW'07): hamming ≤ 3 with 4 chunks of 12 bits —
+   * collision floor n²/1024. The loose point this engine shipped first
+   * (hamming ≤ 6, which pigeonhole forces into 8 chunks of 6 bits = only
+   * 64 bucket values) has floor n²/8 and measured 100× superlinear on the
+   * 10× scale run (r13); it also marks ~1% of ALL pairs "near-dup" at
+   * sf0.1 — too loose to mean anything. Callers needing a wider radius
+   * must accept the floor knowingly or pre-block on another key.
+   *
    * (Chunk-PAIR keys — C(chunks,2) combos, which square the bucket count
    * the quadratic within-bucket term divides by — were measured SLOWER
    * here: on a near-dup-heavy corpus every true pair is re-found under
@@ -534,7 +546,7 @@ object TextOps {
    */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
     val bitsPerChunk = simhashBits / chunks
     // materialized once — the self-join below reads it from both sides,

@@ -88,4 +88,55 @@ class RecordLinkageSpec extends GraftSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("R163", 3L, 2L), ("T522", 1L, 1L)))
   }
+
+  test("blockingCovers: the q157 key pair covers every threshold-4 " +
+    "state, incl. the NULL-name branch; weaker schemes are rejected") {
+    val fields = Seq(
+      (col("n"), 0.95, 0.001), // name:    wa≈6.856, wd≈-2.995
+      (col("s"), 0.9, 0.2),    // segment: wa≈1.504, wd≈-2.079
+      (col("b"), 0.9, 0.01))   // balance: wa≈4.500, wd≈-2.293
+    // the shipped scheme: (name) ∪ (balance)
+    assert(RecordLinkage.blockingCovers(fields, 4.0, Seq(Set(0), Set(2))))
+    // name alone misses the NULL-name + balance-agree state (score 4.5)
+    assert(!RecordLinkage.blockingCovers(fields, 4.0, Seq(Set(0))))
+    // balance alone misses name+seg agree with balance DISAGREE (6.067)
+    assert(!RecordLinkage.blockingCovers(fields, 4.0, Seq(Set(2))))
+    // a key on every field only covers all-agree — rejected too
+    assert(!RecordLinkage.blockingCovers(fields, 4.0, Seq(Set(0, 1, 2))))
+    // raising the threshold above any reachable score → vacuously true
+    assert(RecordLinkage.blockingCovers(fields, 20.0, Seq(Set(1))))
+  }
+
+  test("q157 union blocking is output-identical to the unblocked " +
+    "nation join (coverage proof, checked end-to-end)") {
+    val sfDir = "/root/testdata/sf0.01"
+    val blocked = graft.SparkEntry.queries("q157_record_linkage")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    // reference: same fields/threshold over ALL nation-blocked pairs
+    val c = graft.Tables(spark, sfDir, "customer")
+    val a = c.select(col("c_custkey").as("a_id"),
+      col("c_nationkey").as("a_nat"), col("c_name").as("a_name"),
+      col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"))
+    val b = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("b_id"),
+        col("c_nationkey").as("b_nat"),
+        when(pmod(col("c_custkey"), lit(9)) === 0,
+          concat(col("c_name"), lit("x")))
+          .otherwise(col("c_name")).as("b_name"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit("ZZZ"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          col("c_acctbal") + 0.5)
+          .otherwise(col("c_acctbal")).as("b_bal"))
+    val fields = Seq(
+      (lower(col("a_name")) === lower(col("b_name")), 0.95, 0.001),
+      (col("a_seg") === col("b_seg"), 0.9, 0.2),
+      (abs(col("a_bal") - col("b_bal")) < 0.005, 0.9, 0.01))
+    val reference = RecordLinkage.bestLinks(
+        a.join(b, col("a_nat") === col("b_nat")),
+        "a_id", "b_id", fields, threshold = 4.0)
+      .orderBy(col("a_id").asc).collect().map(_.toSeq).toSeq
+    assert(reference.nonEmpty)
+    assert(blocked == reference)
+  }
 }

@@ -146,6 +146,38 @@ class TextOpsSpec extends GraftSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhashNearDupPairs: recall exactly 1 vs brute-force all-pairs " +
+    "at the default (hamming ≤ 3, 4 chunks) operating point") {
+    // Long base docs plus 1-3-word-swapped variants: a single swapped
+    // token moves each of the 48 sign sums by ±2, so variants of a
+    // 60-token doc land at SMALL nonzero hamming (some ≤ 3, some above)
+    // while unrelated docs sit far away; brute-force is ground truth.
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("data", "spark", "scale", "join", "hash", "text",
+      "near", "dup", "band", "chunk", "corpus", "token", "plan", "agg",
+      "sort", "scan", "read", "write", "map", "key")
+    val docs = (0 until 10).flatMap { g =>
+      val base = Vector.fill(60)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 4).map { v =>
+        val d = (1 to v).foldLeft(base)((acc, _) =>
+          acc.updated(rnd.nextInt(acc.size), vocab(rnd.nextInt(vocab.size))))
+        (g * 4L + v + 1L, d.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sh = TextOps.simhash(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sorted
+    val got = TextOps.simhashNearDupPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(expected.nonEmpty, "fixture must exercise the threshold")
+    assert(got == expected)
+  }
+
   test("chunkTokens: overlap, tail chunk, short docs, empty docs") {
     // 10 tokens, size 4, stride 3 ⇒ chunks [0,4) [3,7) [6,10): the last
     // stride lands exactly on the tail, overlap is size - stride = 1

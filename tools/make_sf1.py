@@ -41,13 +41,39 @@ REPS = 10
 
 def main(out: str) -> None:
     os.makedirs(out, exist_ok=True)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders"):
+    for t in ("region", "nation", "supplier", "part", "orders"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
+    # customer (the record-linkage family's file) replicates 10x with
+    # offset keys, names regenerated from the new key (keeps the file's
+    # name<->key bijection — name blocks stay discriminative), and a
+    # per-replica 2-decimal balance shift (real files don't carry 10
+    # systematically identical balances; keeps the eps-band blocks from
+    # an artificial 10x hot-band). nation/segment stay: the q157
+    # perturbation mix just lands on different key residues per replica.
+    cust = f"{out}/customer.parquet"
+    if os.path.islink(cust):
+        os.unlink(cust)
 
     con = duckdb.connect()
+    ckey_span = con.sql(
+        f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'"
+    ).fetchone()[0]
+    con.sql(f"""
+      COPY (
+        WITH base AS (SELECT * FROM '{SRC}/customer.parquet'),
+        reps AS (SELECT unnest(range({REPS})) AS k)
+        SELECT b.* REPLACE (
+          b.c_custkey + r.k * {ckey_span} AS c_custkey,
+          'Customer#' || lpad((b.c_custkey + r.k * {ckey_span})::VARCHAR,
+                              9, '0') AS c_name,
+          round(b.c_acctbal + r.k * 17.77, 2) AS c_acctbal)
+        FROM base b CROSS JOIN reps r
+        ORDER BY c_custkey
+      ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+    """)
+
     n_docs = con.sql(
         f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
     n_vecs = con.sql(
@@ -122,7 +148,7 @@ def main(out: str) -> None:
       ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
 
-    for t in ("documents", "embeddings", "lineitem", "events"):
+    for t in ("customer", "documents", "embeddings", "lineitem", "events"):
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
