@@ -868,4 +868,29 @@ class PlanAuditSpec extends GraftSpec {
     assert(e.collect { case w: WindowExec => w }.isEmpty)
     assert(!e.toString.contains("CartesianProduct"))
   }
+
+  test("q27: simhash bucketing stays at the 12-bit-chunk operating " +
+    "point (4 chunks; no 6-bit chunking sneaking back)") {
+    val p = plan("q27_simhash_neardup")
+    // 4 chunks of 12 bits → shifts 0/12/24/36; the quadratic 8×6-bit
+    // point the 10x run DNF'd on had shifts up to 42
+    assert(p.contains("36)"), "expected the 4th 12-bit chunk shift")
+    assert(!p.contains("42)"), "6-bit chunking (shift 42) must not return")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q157: linkage candidates come from the UNION of the name and " +
+    "balance-band blocks — never a nation-only join") {
+    val p = plan("q157_record_linkage")
+    assert(p.contains("Union"))
+    assert(p.toLowerCase.contains("a_name"), "name-block join missing")
+    assert(p.contains("_band"), "balance-band block join missing")
+    assert(!p.contains("CartesianProduct"))
+    // the old quadratic shape: a join whose ONLY key was the nation —
+    // every remaining nation reference must ride one of the two blocks
+    val nationOnlyJoin =
+      "BroadcastHashJoin \\[a_nat[^,\\]]*\\], \\[b_nat[^,\\]]*\\]".r
+    assert(nationOnlyJoin.findFirstIn(p).isEmpty,
+      "nation-only equi-join must not return")
+  }
 }
