@@ -173,23 +173,36 @@ object GraphOps {
    * clustering signal community detection and spam/bot analysis start
    * from.
    *
-   * Algebra: orient every edge low→high, then a triangle `a<b<c` is
-   * exactly one row of `(a,b)⋈(b,c)⋈(a,c)` — the standard oriented
-   * wedge join, each triangle found ONCE, never 6×. Each found triangle
-   * credits all three corners.
+   * Algebra: orient every edge from its (degree, id)-lexically SMALLER
+   * endpoint — the Chiba–Nishizeki / Schank–Wagner orientation — then a
+   * triangle `v1≺v2≺v3` is exactly one row of `(v1,v2)⋈(v1,v3)⋈(v2,v3)`:
+   * the wedge at its lowest-order corner plus the closure edge, each
+   * triangle found ONCE, never 6×. Each found triangle credits all
+   * three corners.
    *
-   * Shape at scale: two shuffled equi-joins over the oriented edge list
-   * (wedges keyed on the middle node, closure keyed on the outer pair) +
-   * one hash aggregate — no cartesian anywhere, plan-asserted. Cost is
-   * wedge-count-bound (Σ deg²): on skewed degree distributions orient by
-   * DEGREE (low-degree endpoint first) or salt the hot middle nodes —
-   * the engine's [[SkewJoin]] salting composes here unchanged.
+   * Shape at scale: two node-keyed degree-attach joins, one wedge join
+   * keyed on the center, one closure equi-join on the outer pair, one
+   * hash aggregate — no cartesian anywhere, plan-asserted. Degree
+   * ordering is what makes this survive SKEWED graphs: a hub's edges
+   * all point INTO it, so it centers no wedges, and the wedge count is
+   * O(m^1.5) on any degree distribution (vs Σ deg² for id-ordering,
+   * quadratic at a hot node). r13 measured the id-ordered form 28× on
+   * a 10×-densified co-occurrence graph before this lift; the output
+   * (and the all-SQL oracle) is identical by construction.
    *
    * Returns `(node, n_tri)` for nodes in ≥ 1 triangle.
    */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    val und = simpleUndirected(edges, srcCol, dstCol)
+    triangleCountsSimple(und, undirectedDegrees(und))
+  }
+
+  /** Canonical simple undirected edge list: NULLs and self-loops drop,
+    * direction and multiplicity collapse to one `(u < v)` row. */
+  private[ext] def simpleUndirected(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("long").as("_s"),
         col(dstCol).cast("long").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull &&
@@ -197,12 +210,39 @@ object GraphOps {
       .select(least(col("_s"), col("_d")).as("u"),
         greatest(col("_s"), col("_d")).as("v"))
       .distinct()
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.v") === col("e2.u"))
-      .join(und.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"),
-        col("e2.v").as("c"))
+
+  /** `(node _n, degree _dg)` of a [[simpleUndirected]] edge list. */
+  private[ext] def undirectedDegrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("_n"))
+      .unionAll(und.select(col("v").as("_n")))
+      .groupBy("_n").agg(count(lit(1)).as("_dg"))
+
+  /** [[triangleCounts]] over an ALREADY-canonical edge list with its
+    * degree frame — the shared core, so [[clusteringCoefficient]] does
+    * not pay a second distinct + degree aggregation. */
+  private[ext] def triangleCountsSimple(
+      und: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = und
+      .join(deg.select(col("_n").as("u"), col("_dg").as("_du")), Seq("u"))
+      .join(deg.select(col("_n").as("v"), col("_dg").as("_dv")), Seq("v"))
+    val uFirst = col("_du") < col("_dv") ||
+      (col("_du") === col("_dv") && col("u") < col("v"))
+    // (x ≺ y) in the total (degree, id) order; _dy rides along so the
+    // wedge join can order the two heads without a third degree join
+    val o = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("x"),
+      when(uFirst, col("v")).otherwise(col("u")).as("y"),
+      when(uFirst, col("_dv")).otherwise(col("_du")).as("_dy"))
+    val headLess = col("e1._dy") < col("e2._dy") ||
+      (col("e1._dy") === col("e2._dy") && col("e1.y") < col("e2.y"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.x") === col("e2.x") && headLess)
+      // the closure edge (y1, y2), if present, is oriented y1→y2
+      // because y1 ≺ y2 — one equi-join probes it
+      .join(o.as("e3"),
+        col("e3.x") === col("e1.y") && col("e3.y") === col("e2.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"),
+        col("e2.y").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
@@ -351,23 +391,14 @@ object GraphOps {
    */
   def clusteringCoefficient(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
-      .select(col(srcCol).cast("long").as("_s"),
-        col(dstCol).cast("long").as("_d"))
-      .filter(col("_s").isNotNull && col("_d").isNotNull &&
-        col("_s") =!= col("_d"))
-      .select(least(col("_s"), col("_d")).as("u"),
-        greatest(col("_s"), col("_d")).as("v"))
-      .distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val und = simpleUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(und)
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
-      (coalesce(sum(col("_deg")), lit(0L)) / 2L).cast("long")
+      (coalesce(sum(col("_dg")), lit(0L)) / 2L).cast("long")
         .as("n_edges"),
-      coalesce(sum(col("_deg") * (col("_deg") - 1L)), lit(0L))
+      coalesce(sum(col("_dg") * (col("_dg") - 1L)), lit(0L))
         .as("_w2"))
-    val tri = triangleCounts(und, "u", "v")
+    val tri = triangleCountsSimple(und, deg)
       .agg(coalesce(sum(col("n_tri")), lit(0L)).as("_t3"))
     degStats.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"),

@@ -234,4 +234,30 @@ class GraphOpsSpec extends GraftSpec {
     assert(GraphOps.modularity(edges, "src", "dst", mixed, "node", "c")
       .head().getDouble(4) <= 0.0)
   }
+
+  test("triangleCounts: degree-ordered orientation matches brute force " +
+    "on a random hub-skewed graph") {
+    // planted hub (node 0 linked to everyone) + random edges: the shape
+    // the (degree, id) orientation exists for — the hub centers no
+    // wedges. Brute force over the collected simple graph is truth.
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = ((1 until n).map(i => (0L, i.toLong)) ++
+      Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)))
+    val simple = edges.collect {
+      case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+    }.distinct
+    val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = (for {
+      (a, b) <- simple
+      c <- (adj(a) & adj(b)).toSeq if c > b // toSeq: a Set generator would dedupe the yields
+      node <- Seq(a, b, c)
+    } yield node).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = GraphOps.triangleCounts(edges.toDF("src", "dst"),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
