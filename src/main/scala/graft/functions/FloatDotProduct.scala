@@ -173,6 +173,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_jaro_winkler requires exactly 2 arguments, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangId].getCanonicalName, "graft_langid"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => LangId(t)
+        case _ => throw new IllegalArgumentException(
+          s"graft_langid requires exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_clipped_overlap"),
       new ExpressionInfo(
         classOf[ClippedOverlap].getCanonicalName, "graft_clipped_overlap"),

@@ -17,6 +17,27 @@ class TextOpsSpec extends GraftSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und", "de"))
   }
 
+  test("langId: native expression equals the relational twin on hand " +
+    "edges and on real documents") {
+    val edges = Seq(
+      Some("the cat and the dog"), Some("der hund und die katze ist"),
+      Some("THE AND OF TO IN"),          // uppercase → lowered
+      Some("the der"),                   // tie → alphabetical
+      Some("  \t le\nla \r et  "),       // \s+ variety + padding
+      Some(""), Some("   "), None,       // empty / blank / null → und
+      Some("naïve café der die"),        // non-ASCII bytes in non-markers
+      Some("them theories ofx")          // substrings must NOT count
+    ).toDF("text")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select($"text")
+    for (df <- Seq(edges, docs)) {
+      val both = df.select(TextOps.langId($"text").as("native"),
+        TextOps.langIdRelational($"text").as("twin"))
+      assert(both.filter($"native" =!= $"twin").count() == 0)
+      assert(both.filter($"native".isNull || $"twin".isNull).count() == 0)
+    }
+  }
+
   test("qualityScore: bounded in [0,1], longer well-formed text scores higher") {
     val df = Seq(
       ("good", ("the quick brown fox and the lazy dog walk to town in rain " * 5)),
