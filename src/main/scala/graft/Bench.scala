@@ -7,7 +7,10 @@ import graft.ext.Materialize
 
 /**
  * Benchmark main: times every declared query on `SPARK_GRAFT_SF_DIR`
- * (default sf0.1) and prints ONE JSON line for the driver.
+ * (default sf0.1) and prints the full JSON record line for the driver,
+ * bracketed by a short summary line on each side (any capture window that
+ * truncates the ~15 KB full line still parses a complete summary carrying
+ * the totals and the durable record path).
  *
  * What a timed run executes: [[Harness.consume]] — a noop-sink write that
  * produces every output column and honors the final sort. `count()` would
@@ -130,13 +133,17 @@ object Bench {
           math.min(m, timedRun().getOrElse(m))
         else m
       }
-      // fresh-session guard: >3x the prior round's durable number AND >1s
+      // fresh-session guard: >2x the prior round's durable number AND >1s
       // absolute — a session-state pathology, not run-to-run jitter. The
       // accumulated session is torn down, the query re-warmed and re-timed
       // in a clean one (codegen/JIT stay warm: same JVM), and the min wins.
+      // Threshold history: 3x through r13 let a real 2.14x q75 drift ship
+      // unadjudicated (r13 verdict item 1 — standalone re-measure showed
+      // the steady state unchanged); 2x catches that class while the 1 s
+      // absolute floor still keeps sub-second scheduling jitter out.
       val secs = sweepSecs match {
         case Some(s) if !errors.contains(name) && rerunBudget > 0 &&
-            baseline.get(name).exists(b => s > 3.0 * b && s > 1.0) =>
+            baseline.get(name).exists(b => s > 2.0 * b && s > 1.0) =>
           rerunBudget -= 1
           spark.stop()
           spark = newSession()
@@ -217,7 +224,18 @@ object Bench {
     // the durable path tells a reader where the untruncated copy lives
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"durable":${jstr(out)},"queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
+    // Short summary line printed BOTH before and after the full record:
+    // the full line is ~15 KB at 334 queries and the driver's BENCH_r13
+    // capture window truncated it mid-line ("parsed": null, the data only
+    // in the durable file). A window that clips either end of the full
+    // line still contains one COMPLETE summary — totals, error count, and
+    // the durable path where the untruncated per-query record lives —
+    // whichever end of stdout the capture keeps.
+    val summary =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"n_errors":${errors.size},"durable":${jstr(out)},"record":"summary","sf":"$sfDir"}"""
+    println(summary)
     println(line)
+    println(summary)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
     // A query-filtered run writes to a .partial path — also when the

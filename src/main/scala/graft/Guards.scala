@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /**
  * Fail-fast contract guards for operators whose cost is super-linear in
@@ -32,5 +33,40 @@ object Guards {
         s"$contract: input exceeds the $maxRows-row cap (found > $maxRows). " +
           "This operator is super-linear in its input — aggregate/sample " +
           "first, or raise the cap explicitly if the scale is intended.")
+    }
+
+  /**
+   * Require the within-block pair count `Σ c·(c−1)/2` over `blockCol`'s
+   * group sizes to be at most `maxPairs`, else throw naming the violated
+   * contract — the exact number of pairs a blocked self-join on
+   * `blockCol` will emit, so this is the Σ|block|² scale law probed
+   * directly rather than proxied by row count (a 10-value block column
+   * over 10⁹ rows passes any row cap and still melts the join).
+   * `maxPairs <= 0` disables the check (explicit caller opt-out).
+   *
+   * Probe cost: one hash aggregation over the block column only — linear
+   * in the input with a columnar scan of a single column, which is the
+   * right price for refusing a quadratic job (the guarded join itself
+   * scans every column of the same input). Computed in doubles: a guard
+   * compares magnitudes, and c·(c−1)/2 overflows Long near c ≈ 4.3e9.
+   */
+  def requireBlockPairsAtMost(df: DataFrame, blockCol: String,
+      maxPairs: Long, contract: String): Unit =
+    if (maxPairs > 0) {
+      val pairs = df.groupBy(col(blockCol))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).as("p"))
+        .head().getAs[Any]("p") match {
+          case null      => 0.0
+          case d: Double => d
+        }
+      require(pairs <= maxPairs.toDouble,
+        f"$contract: the blocked self-join would emit ~$pairs%.3g " +
+          s"within-block pairs, over the $maxPairs-pair cap. Σ|block|² is " +
+          "the scale law of exact blocked similarity — use a finer block " +
+          "key (LSH buckets: AnnLsh.annTopK / lshBuckets, the q21 path; " +
+          "or ANN-edge dedup: SemDedup.semDedup with AnnIvf cells, the " +
+          "q84 path), or raise/disable the cap explicitly if this scale " +
+          "is intended.")
     }
 }

@@ -5635,39 +5635,16 @@ object SparkEntry {
     // q318: the q20 exact pair set joined to sources, canonicalized
     // source pairs.
     "q318_cross_source_dups" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(text), '\s+'),
-        |                     x -> length(x) > 0) AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' '
-        |           || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t,
-        |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks) x
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
-        |           AS n_common,
-        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT)
-        |           AS n_union
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |keep AS (
-        |  SELECT a_id, b_id FROM pairs
-        |  WHERE n_union > 0
-        |    AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
-        |        >= 0.6),
+      ("WITH " + dedupPairsCte + """,
         |lab AS (
-        |  SELECT keep.a_id, keep.b_id, da.source AS sa, db.source AS sb
-        |  FROM keep
-        |  JOIN documents da ON da.doc_id = keep.a_id
-        |  JOIN documents db ON db.doc_id = keep.b_id)
+        |  SELECT p.a_id, p.b_id, da.source AS sa, db.source AS sb
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.a_id
+        |  JOIN documents db ON db.doc_id = p.b_id)
         |SELECT least(sa, sb) AS source_lo,
         |       greatest(sa, sb) AS source_hi,
         |       CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
+        |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin),
 
     // q315: same term ranks and cumulative shares, per-target
     // min-rank pick (share is rank-determined, so min-by-rank equals
@@ -5931,36 +5908,17 @@ object SparkEntry {
     // q310: the q20 exact pair set (complete at and above the 0.6
     // banding floor), censused at each cut.
     "q310_dedup_sweep" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(text), '\s+'),
-        |                     x -> length(x) > 0) AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' '
-        |           || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t,
-        |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks) x
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
-        |           AS n_common,
-        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT)
-        |           AS n_union
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      ("WITH " + dedupPairsCte + """,
         |jc AS (
         |  SELECT CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
         |           AS j
-        |  FROM pairs WHERE n_union > 0
-        |    AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
-        |        >= 0.6),
+        |  FROM pairs),
         |th AS (SELECT CAST(unnest([0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
         |         AS threshold)
         |SELECT th.threshold,
         |       CAST(coalesce(sum(CASE WHEN jc.j >= th.threshold THEN 1
         |         END), 0) AS BIGINT) AS n_pairs
-        |FROM jc, th GROUP BY 1 ORDER BY threshold""".stripMargin,
+        |FROM jc, th GROUP BY 1 ORDER BY threshold""".stripMargin),
 
     // q308: same distinct user-weeks, same first-week and shift
     // joins, same status census.
@@ -7674,28 +7632,16 @@ object SparkEntry {
         |WHERE length(term) > 0
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
-    // Exact all-pairs Jaccard ≥ 0.6 over the same word-trigram shingles the
-    // Spark side builds; LSH on the Spark side is recall machinery only.
+    // Exact Jaccard ≥ 0.6 over the same word-trigram shingles the Spark
+    // side builds; LSH on the Spark side is recall machinery only.
+    // Candidate generation via the inverted-index co-count (exactness
+    // argument at dedupPairsCte) so the oracle scales past sf0.1.
     "q20_near_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                       x -> length(x) > 0) AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
-        |         CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      ("WITH " + dedupPairsCte + """
         |SELECT a_id, b_id, n_common, n_union,
         |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
         |FROM pairs
-        |WHERE n_union > 0
-        |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     "q19_cosine_topk" -> bruteForceTopkSql,
 
@@ -7910,35 +7856,14 @@ object SparkEntry {
         |       CAST(sum(greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1)) AS BIGINT) AS n_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // Same pair graph as q20 (exact all-pairs Jaccard ≥ 0.6 over word
-    // trigrams), then the transitive closure via a recursive CTE: a doc
-    // survives iff it is the minimum of its connected component (docs in
-    // no pair are their own singleton component).
+    // Same pair graph as q20 (exact Jaccard ≥ 0.6 over word trigrams,
+    // inverted-index candidates), then the transitive closure via a
+    // recursive CTE: a doc survives iff it is the minimum of its connected
+    // component (docs in no pair are their own singleton component).
     "q37_dedup_survivors" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                       x -> length(x) > 0) AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      ("WITH RECURSIVE " + dedupPairsCte + ",\n" + dedupCcCte + """
         |SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) = src
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     // Integer-derived doubles with a single division → bit-exact both sides.
     "q38_repetition" ->
@@ -8507,7 +8432,7 @@ object SparkEntry {
         |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) AS sumlen,
         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words
         |  FROM toks),
-        |screened AS (
+        |screened AS MATERIALIZED (
         |  SELECT toks.doc_id, toks.lang, toks.t, toks.mtext
         |  FROM toks JOIN qual ON toks.doc_id = qual.doc_id
         |  LEFT JOIN top ON toks.doc_id = top.doc_id
@@ -8540,22 +8465,29 @@ object SparkEntry {
         |    FROM sh5 LEFT JOIN benchsh ON sh5.s = benchsh.s
         |    GROUP BY sh5.doc_id)
         |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) > 0.5),
-        |clean AS (
+        |clean AS MATERIALIZED (
         |  SELECT s.* FROM screened s
         |  LEFT JOIN contaminated c ON s.doc_id = c.doc_id
         |  WHERE c.doc_id IS NULL),
-        |sh3 AS (
+        |sh3 AS MATERIALIZED (
         |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
         |        FROM clean)
         |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
-        |edges AS (
+        |ex3 AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh3),
+        |co AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ex3 a JOIN ex3 b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |   AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM co
+        |  WHERE CAST(n_common AS DOUBLE)
+        |        / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.6),
+        |edges AS MATERIALIZED (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL
         |  SELECT b_id, a_id FROM pairs),
@@ -8660,28 +8592,72 @@ object SparkEntry {
     // q37's recursive-closure pattern over q22's bit-identical cosine:
     // within-label pairs ≥ 0.40 → transitive closure → least-id
     // survivors (NULL sims from zero norms fail the >= and never edge).
+    // Scale-capable form (the all-pairs interpreted-lambda cosine blew the
+    // sf1 oracle budget; the engine had already completed): a vectorized
+    // FLOAT[64] cosine prescreen keeps pairs ≥ 0.399, only the narrow
+    // [0.399, 0.401) band is re-verified with the original exact double
+    // formula — float32 accumulation over 64 dims is within ~4e-6 of the
+    // double value, so verdicts outside the band are provably identical.
+    // Before the recursive closure, one hooking step (every node → min of
+    // itself and its neighbors) contracts the dense ≥0.40 components to a
+    // handful of supernodes: the component minimum hooks to itself (all
+    // its neighbors are larger), so component minima — the survivor ids —
+    // are preserved exactly, while `reach` shrinks from Σ|component|² rows
+    // to the contracted closure. Validated identical to the all-pairs
+    // form at sf1 (11 s vs >240 s).
     "q84_semantic_dedup" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM embeddings a JOIN embeddings b
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(embedding AS FLOAT[64]) AS emb64
+        |  FROM embeddings),
+        |cand AS MATERIALIZED (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         array_cosine_similarity(a.emb64, b.emb64) AS fsim
+        |  FROM e a JOIN e b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |  WHERE array_cosine_similarity(a.emb64, b.emb64) >= 0.399),
+        |p AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM cand WHERE fsim >= 0.401
+        |  UNION ALL
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.a_id
+        |  JOIN embeddings b ON b.vec_id = c.b_id
+        |  WHERE c.fsim < 0.401
+        |    AND list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
         |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |    / (sqrt(list_aggregate(list_transform(a.embedding,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
         |     * sqrt(list_aggregate(list_transform(b.embedding,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.40),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM p
+        |hook AS MATERIALIZED (
+        |  SELECT v, least(v, min(nbr)) AS hv FROM (
+        |    SELECT a_id AS v, b_id AS nbr FROM p
+        |    UNION ALL SELECT b_id, a_id FROM p)
+        |  GROUP BY v),
+        |edges AS MATERIALIZED (
+        |  SELECT hv_a AS src, hv_b AS dst FROM (
+        |    SELECT DISTINCT ha.hv AS hv_a, hb.hv AS hv_b
+        |    FROM p JOIN hook ha ON p.a_id = ha.v JOIN hook hb ON p.b_id = hb.v
+        |    WHERE ha.hv <> hb.hv)
         |  UNION ALL
-        |  SELECT b_id, a_id FROM p),
+        |  SELECT hv_b, hv_a FROM (
+        |    SELECT DISTINCT ha.hv AS hv_a, hb.hv AS hv_b
+        |    FROM p JOIN hook ha ON p.a_id = ha.v JOIN hook hb ON p.b_id = hb.v
+        |    WHERE ha.hv <> hb.hv)),
         |reach(src, dst) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
+        |  SELECT DISTINCT hv, hv FROM hook
         |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT s.src AS vec_id, emb.label
-        |FROM (SELECT src FROM reach GROUP BY src HAVING min(dst) = src) s
-        |JOIN embeddings emb ON emb.vec_id = s.src
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |cmin AS (SELECT src AS hv, min(dst) AS comp_min FROM reach GROUP BY src),
+        |lbl AS (
+        |  SELECT emb.vec_id AS vid,
+        |         coalesce(cmin.comp_min, emb.vec_id) AS comp_min
+        |  FROM embeddings emb
+        |  LEFT JOIN hook ON hook.v = emb.vec_id
+        |  LEFT JOIN cmin ON cmin.hv = hook.hv)
+        |SELECT l.vid AS vec_id, emb.label
+        |FROM lbl l JOIN embeddings emb ON emb.vec_id = l.vid
+        |WHERE l.vid = l.comp_min
         |ORDER BY vec_id""".stripMargin,
 
     "q85_bm25" -> bm25OracleSql,
@@ -10414,28 +10390,7 @@ object SparkEntry {
     // q249: q37's exact-Jaccard + recursive-reach replay, with the
     // label/size/histogram tail instead of the survivor filter.
     "q249_cluster_histogram" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                       x -> length(x) > 0) AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      ("WITH RECURSIVE " + dedupPairsCte + ",\n" + dedupCcCte + """,
         |labels AS (
         |  SELECT src AS doc_id, min(dst) AS cluster
         |  FROM reach GROUP BY 1),
@@ -10443,7 +10398,7 @@ object SparkEntry {
         |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
         |  FROM labels GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin),
 
     // q248: same rank-exact cutoff day (ceil(0.8·n_days) over the
     // distinct-day order), same integer day buckets, same three-way
@@ -12075,31 +12030,7 @@ object SparkEntry {
     // id — identical to the engine's ghash-rep + min-label composition),
     // the same md5-hex split cuts, and both leak audits.
     "q190_cluster_split" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |    '\s+'), x -> length(x) > 0) AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |           AS s
-        |  FROM (SELECT doc_id, t,
-        |               unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      ("WITH RECURSIVE " + dedupPairsCte + ",\n" + dedupCcCte + """,
         |rep AS (SELECT src AS doc_id, min(dst) AS cluster
         |        FROM reach GROUP BY src),
         |sp AS (
@@ -12122,7 +12053,7 @@ object SparkEntry {
         |       leak.leaky AS leaky_clusters,
         |       nleak.naive_leaky AS naive_leaky_clusters
         |FROM sp CROSS JOIN leak CROSS JOIN nleak
-        |GROUP BY 1, 4, 5 ORDER BY split""".stripMargin,
+        |GROUP BY 1, 4, 5 ORDER BY split""".stripMargin),
 
     // q189: same decimal moments and complement subtraction, same fixed
     // Horner polynomial (literals embedded verbatim), same step-up —
@@ -12458,20 +12389,7 @@ object SparkEntry {
     // q216: q20's exact all-pairs verification at the same threshold,
     // joined to sources and normalized to unordered source pairs.
     "q216_source_overlap" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                       x -> length(x) > 0) AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
-        |        FROM toks)
-        |  GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.s || b.s)) > 0
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6),
+      ("WITH " + dedupPairsCte + """,
         |lab AS (
         |  SELECT least(da.source, db.source) AS source_a,
         |         greatest(da.source, db.source) AS source_b
@@ -12481,7 +12399,7 @@ object SparkEntry {
         |  WHERE da.source IS NOT NULL AND db.source IS NOT NULL)
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM lab GROUP BY 1, 2
-        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
+        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin),
 
     // q214: q208's exact computation restricted to pairs that involve
     // the screened seventh (a_id or b_id ≡ 0 mod 7) — corpus-wide df,
@@ -13784,27 +13702,99 @@ object SparkEntry {
        |WHERE NOT (SELECT ok FROM chk)
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Shared prelude of the trigram-Jaccard dedup oracles: documents →
+    * per-doc DISTINCT word-trigram shingle lists → exploded postings with
+    * the per-doc set size → the exact thresholded pair set `pairs(a_id,
+    * b_id, n_common, n_union)`.
+    *
+    * Scale-capable by construction (the r13 all-pairs formulation was
+    * quadratic at 50k docs and blew the 240 s per-oracle budget — the
+    * ORACLE'S cost, the engine had already completed): candidate
+    * generation is an inverted-index self-join on the shingle value, so
+    * only pairs sharing ≥1 shingle ever materialize, and the intersection
+    * size falls out of the same join as `count(*)` per pair (the lists are
+    * DISTINCT, so one matched posting = one common shingle); the union is
+    * then `n_a + n_b - n_common` with no per-pair list operation at all.
+    * EXACTNESS is unchanged: Jaccard ≥ 0.6 > 0 forces ≥1 shared shingle,
+    * so the index join is a conservative candidate generator, and
+    * `5·min(n_a,n_b) ≥ 3·max(n_a,n_b)` is the exact integer form of the
+    * AllPairs length filter (j ≥ 3/5 ⇒ min/max ≥ 3/5 — Bayardo et al.,
+    * WWW'07; integer arithmetic so no float boundary). The final ≥ 0.6
+    * double compare is byte-identical to the old formulation. MATERIALIZED
+    * keeps DuckDB from re-inlining the shingle build into both join sides
+    * (and into every recursive-CC iteration downstream). Validated at sf1
+    * against the r13 engine dumps: identical results, 17–73 s per oracle
+    * vs >240 s timeouts before. */
+  private val dedupPairsCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0) AS t FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM toks)
+      |  GROUP BY doc_id),
+      |ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |co AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+      |         CAST(count(*) AS BIGINT) AS n_common
+      |  FROM ex a JOIN ex b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id
+      |   AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a_id, b_id, n_common,
+      |         n_a + n_b - n_common AS n_union
+      |  FROM co
+      |  WHERE CAST(n_common AS DOUBLE)
+      |        / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.6)""".stripMargin
+
+  /** Shared connected-components tail over [[dedupPairsCte]]'s `pairs`:
+    * symmetric edges + the recursive reachability closure seeded with every
+    * document as its own component. Queries take `min(dst)` per `src` as
+    * the component label. */
+  private val dedupCcCte: String =
+    """edges AS MATERIALIZED (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
   /** Exact incremental-dedup recompute (odd-id batch vs even-id corpus:
-    * exact copies out via NOT EXISTS, near-dups out via all-pairs trigram
-    * Jaccard ≥ 0.6) — shared by q62 (self-contained screen) and q75 (the
-    * persisted-index screen): both must produce this identical result. */
+    * exact copies out via NOT EXISTS, near-dups out via trigram Jaccard
+    * ≥ 0.6) — shared by q62 (self-contained screen) and q75 (the
+    * persisted-index screen): both must produce this identical result.
+    * Candidate generation is the same inverted-index co-count as
+    * [[dedupPairsCte]] (exactness argument there), restricted to
+    * (odd batch, even corpus) posting pairs. */
   private val incrementalDedupOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |                       x -> length(x) > 0) AS t
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
       |        FROM toks)
       |  GROUP BY doc_id),
+      |ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |co AS (
+      |  SELECT a.doc_id AS a_id,
+      |         any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+      |         b.doc_id AS b_id,
+      |         CAST(count(*) AS BIGINT) AS n_common
+      |  FROM ex a JOIN ex b
+      |    ON a.g = b.g AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |   AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+      |  GROUP BY 1, 4),
       |near AS (
-      |  SELECT DISTINCT a.doc_id
-      |  FROM sh a, sh b
-      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-      |    AND len(list_distinct(a.s || b.s)) > 0
-      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6)
+      |  SELECT DISTINCT a_id AS doc_id FROM co
+      |  WHERE CAST(n_common AS DOUBLE)
+      |        / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.6)
       |SELECT b.doc_id, b.lang
       |FROM documents b
       |WHERE b.doc_id % 2 = 1

@@ -55,6 +55,18 @@ object AnnIvf {
     * collapse via codegen subexpression elimination. */
   private def vNorm(vec: Column): Column = Similarity.norm(vec)
 
+  /** Above this k the centroid matrix rides as a `Broadcast` variable
+    * ([[graft.functions.IvfNearestCellsBc]]) instead of plan-resident
+    * expression fields. The literal carrier costs k·(dim·4+16) bytes in
+    * EVERY serialized task plan and driver plan copy — at the √n sizing
+    * rule that is ~1 MB of plan at k=4096 (n ≈ 1.7·10⁷, the ceiling's
+    * rationale: comfortably inside normal plan sizes) but ~80 MB at
+    * k = √(10¹¹) — while a broadcast ships once per executor and is
+    * shared by every task and plan. Below the ceiling the literal path
+    * is kept: self-contained plans, no broadcast lifecycle, and the
+    * plan-fingerprint stability the specs pin. */
+  private[ext] val LiteralCentroidCeiling = 4096
+
   /** The `nprobe` nearest cells, ascending (dist, cell), via the native
     * [[graft.functions.IvfNearestCells]] expression: the whole centroid
     * matrix is ONE reference object behind a single codegen'd call, so k
@@ -63,13 +75,36 @@ object AnnIvf {
     * Janino/JIT method limits and fall back to interpreted evaluation).
     * [[nearestCellsUnrolled]] is kept as the engine-level semantics
     * reference; AnnIvfSpec pins the two bit-equal at k=16 and k=256 and
-    * the executed plan CodegenFallback-free at k=256. */
+    * the executed plan CodegenFallback-free at k=256. Above
+    * [[LiteralCentroidCeiling]] the same kernel runs behind the broadcast
+    * carrier ([[nearestCellsBcast]] — spec-pinned bit-equal), so the
+    * matrix never outgrows the plan. */
   private[ext] def nearestCells(vec: Column, cents: Cents, nprobe: Int): Column =
-    call_function("graft_ivf_cells", vec,
+    if (cents.sizeIs > LiteralCentroidCeiling) nearestCellsBcast(vec, cents, nprobe)
+    else call_function("graft_ivf_cells", vec,
       typedLit(cents.map(_._1)),
       typedLit(cents.flatMap(_._2)),
       typedLit(cents.map(_._3)),
       lit(cents.head._2.length), lit(nprobe))
+
+  /** [[nearestCells]]'s broadcast-carrier form, unconditionally: the
+    * centroid matrix ships once per executor as a
+    * `Broadcast[IvfCentroidSet]` and the generated code fetches it in
+    * class init. Exposed (package-private) so the spec can pin
+    * bit-equality against the literal path at sub-ceiling k. */
+  private[ext] def nearestCellsBcast(vec: Column, cents: Cents, nprobe: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.iterator.zipWithIndex.foreach { case ((_, v, _), i) =>
+      v.copyToArray(flat, i * dim)
+    }
+    val payload = graft.functions.IvfCentroidSet(
+      cents.map(_._1).toArray, flat, cents.map(_._3).toArray, dim)
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(payload)
+    ExpressionUtils.column(graft.functions.IvfNearestCellsBc(
+      ExpressionUtils.expression(vec), bc, nprobe))
+  }
 
   /** One `struct(dist, cell)` per centroid, fully UNROLLED: every distance
     * a separate codegen'd `graft_dot` against an `array<float>` literal.
@@ -153,6 +188,16 @@ object AnnIvf {
    * equi-joins need. Each iteration is ONE corpus pass: per-row argmin
    * (narrow) → posexplode → per-(cell, dim) mean — the partial aggregate
    * reduces each partition to ≤ k·dim rows before the tiny shuffle.
+   *
+   * Scale law of the training loop itself: each iteration COLLECTS the
+   * k·dim refined means to the driver (the centroids must become the next
+   * iteration's argmin matrix) and, when k exceeds
+   * [[LiteralCentroidCeiling]], re-broadcasts them for the next pass — so
+   * driver memory and per-iteration transfer are k·dim·(4–8) bytes:
+   * ~80 MB at the √n rule for n = 10¹¹, fine; growing past that wants a
+   * hierarchical/sampled trainer (train on a corpus sample — the FAISS
+   * practice — which bounds k·dim independently of n), not a bigger
+   * driver.
    */
   /**
    * Corpus-size-aware IVF cell count: `max(16, ⌈√n⌉)` — the standard

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
  * Scoring is ADC (asymmetric distance computation): the QUERY stays
  * exact; a candidate's dot is approximated by Σ_j q_subⱼ · codebookⱼ[codeⱼ]
  * — m codegen'd sub-dots against literal codebook matrices (codebooks are
- * k·dim floats — driver metadata, the [[AnnIvf]] centroid contract), then
+ * k·dim floats — driver metadata, the [[AnnIvf]] centroid contract; and
+ * unlike IVF centroids they NEVER outgrow the plan: the full codebook set
+ * is `ksub`·dim floats — 256·dim at the standard 8-bit codes — bounded by
+ * the embedding dimensionality, independent of corpus size, so the
+ * literal carrier needs no broadcast twin here), then
  * an exact re-rank of the ADC top-`rerank` candidates against their raw
  * embeddings. Final (id, sim) pairs therefore carry EXACT cosine — PQ
  * approximation decides only WHICH candidates surface, the same

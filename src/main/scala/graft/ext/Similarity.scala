@@ -60,10 +60,25 @@ object Similarity {
    * The blocked join is the deterministic scale path for near-dup mining —
    * work is Σ|block|² instead of |corpus|²; for unblocked data use
    * [[AnnLsh]] buckets as the block key instead.
+   *
+   * Σ|block|² is still quadratic in block SIZE: a low-cardinality block
+   * key (the 10-value label column at 10× data = 100× pairs, measured
+   * 27.6× wall at sf1) melts at 100× regardless of cluster size. The
+   * [[graft.Guards.requireBlockPairsAtMost]] probe therefore fails fast —
+   * at plan-build time, before any quadratic work — when the within-block
+   * pair count exceeds `maxBlockPairs` (default 2×10⁸ ≈ the largest job
+   * this stays an interactive-scale exact baseline for), naming the LSH
+   * (q21) / ANN-cell (q84) block keys as the scale path. Pass
+   * `maxBlockPairs = 0` to opt out when the scale is intended (a real
+   * cluster absorbing a priced Σ|block|² is a legitimate choice — the
+   * guard makes it explicit instead of implicit).
    */
   def nearDupPairsBlocked(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBlockPairs: Long = 200000000L): DataFrame = {
+    graft.Guards.requireBlockPairsAtMost(df, blockCol, maxBlockPairs,
+      "Similarity.nearDupPairsBlocked")
     // norms once per ROW before the join — computing cosine() inline would
     // re-fold both norms once per PAIR (|block|× redundant work); the
     // value is the identical double, so oracle equivalence is unaffected

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
@@ -89,6 +90,80 @@ case class IvfNearestCells(
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfNearestCells =
+    copy(child = newChild)
+}
+
+/**
+ * The centroid matrix as one serializable value — the payload of
+ * [[IvfNearestCellsBc]]'s broadcast carrier. Same layout the literal
+ * expression holds as fields: cell ids, the row-major flat float matrix,
+ * the precomputed norms, and the dimension.
+ */
+case class IvfCentroidSet(
+    cells: Array[Long], flat: Array[Float], norms: Array[Double], dim: Int) {
+  require(dim > 0, s"bad dim=$dim")
+  require(cells.nonEmpty, "empty centroid set")
+  require(flat.length == cells.length * dim,
+    s"centroid matrix size ${flat.length} != k*dim ${cells.length * dim}")
+  require(norms.length == cells.length,
+    s"norms size ${norms.length} != k ${cells.length}")
+}
+
+/**
+ * Broadcast-carrier twin of [[IvfNearestCells]]: identical semantics (the
+ * two share [[IvfNearestCells.compute]] verbatim, so bit-equality is by
+ * construction — AnnIvfSpec pins it anyway), different transport. The
+ * literal form holds the centroid matrix as expression FIELDS, which ride
+ * inside the serialized plan of every task; at IVF's k≈√N rule that is
+ * ~8 MB of plan at N=10⁹ and ~80 MB at 10¹¹ — past the point where
+ * per-task plan shipping and driver plan copies hurt. Here the matrix
+ * lives in ONE `Broadcast[IvfCentroidSet]`: shipped once per executor via
+ * the torrent protocol, fetched in the generated class's init (not per
+ * row), and shared by every task and every plan that references it.
+ *
+ * [[graft.ext.AnnIvf.nearestCells]] dispatches on k: the literal path
+ * below `LiteralCentroidCeiling` (self-contained plans, no broadcast
+ * lifecycle), this carrier above it. The broadcast lives until the
+ * session ends — the standard lifetime of a broadcast dim table.
+ */
+case class IvfNearestCellsBc(
+    child: Expression, bc: Broadcast[IvfCentroidSet],
+    nprobe: Int, metric: String = "cosine")
+    extends UnaryExpression {
+  require(nprobe > 0, s"bad nprobe=$nprobe")
+  require(IvfNearestCells.metricCodes.contains(metric),
+    s"unknown metric '$metric' (one of ${IvfNearestCells.metricCodes.keys.mkString(", ")})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_cells_bc requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells_bc"
+
+  private def metricCode: Int = IvfNearestCells.metricCodes(metric)
+
+  override def nullSafeEval(a: Any): Any = {
+    val c = bc.value
+    IvfNearestCells.compute(a.asInstanceOf[ArrayData],
+      c.cells, c.flat, c.norms, c.dim, nprobe, metricCode)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ivfCentsBc", bc,
+      classOf[Broadcast[_]].getName)
+    // fetch the broadcast value ONCE, in the generated class's init —
+    // the per-row code touches only resolved primitive arrays
+    val cents = ctx.addMutableState("graft.functions.IvfCentroidSet", "ivfCents",
+      v => s"$v = (graft.functions.IvfCentroidSet) $bcRef.value();")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.IvfNearestCells$$.MODULE$$.compute(" +
+        s"$a, $cents.cells(), $cents.flat(), $cents.norms(), " +
+        s"$cents.dim(), $nprobe, $metricCode)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestCellsBc =
     copy(child = newChild)
 }
 

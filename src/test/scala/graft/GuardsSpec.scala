@@ -21,6 +21,42 @@ class GuardsSpec extends GraftSpec {
     Guards.requireRowsAtMost(df, 0L, "test") // explicit opt-out
   }
 
+  test("requireBlockPairsAtMost: probes the within-block pair count " +
+    "exactly, throws over the cap naming the scale path, 0 opts out") {
+    // two blocks of 4 and 3 rows → 4·3/2 + 3·2/2 = 9 within-block pairs
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+                 ("b", 5), ("b", 6), ("b", 7)).toDF("blk", "x")
+    Guards.requireBlockPairsAtMost(df, "blk", 9L, "test") // at the cap: fine
+    val e = intercept[IllegalArgumentException] {
+      Guards.requireBlockPairsAtMost(df, "blk", 8L, "test-contract")
+    }
+    assert(e.getMessage.contains("test-contract"))
+    assert(e.getMessage.contains("q21"), "must name the LSH scale path")
+    assert(e.getMessage.contains("q84"), "must name the ANN-dedup scale path")
+    Guards.requireBlockPairsAtMost(df, "blk", 0L, "test") // explicit opt-out
+    // empty input: zero pairs, any positive cap passes
+    Guards.requireBlockPairsAtMost(df.filter(lit(false)), "blk", 1L, "test")
+  }
+
+  test("nearDupPairsBlocked: the Σ|block|² contract is enforced at plan " +
+    "build; an in-contract frame is unaffected; 0 opts out") {
+    val emb = Seq((1L, Array(1.0f, 0.0f), "x"), (2L, Array(1.0f, 0.0f), "x"),
+                  (3L, Array(0.0f, 1.0f), "x"), (4L, Array(1.0f, 0.0f), "y"))
+      .toDF("id", "vec", "blk")
+    // 3-row block x + 1-row block y = 3 pairs; cap 2 must throw
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.nearDupPairsBlocked(
+        emb, "id", "vec", "blk", threshold = 0.9, maxBlockPairs = 2L)
+    }
+    // default cap: unaffected result; opt-out: identical result
+    val guarded = graft.ext.Similarity.nearDupPairsBlocked(
+      emb, "id", "vec", "blk", threshold = 0.9).collect()
+    val optOut = graft.ext.Similarity.nearDupPairsBlocked(
+      emb, "id", "vec", "blk", threshold = 0.9, maxBlockPairs = 0L).collect()
+    assert(guarded.toSeq == optOut.toSeq)
+    assert(guarded.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)))
+  }
+
   test("liftTable: the eval-sample contract is enforced, and an " +
     "in-contract frame is unaffected") {
     val df = (1 to 50)

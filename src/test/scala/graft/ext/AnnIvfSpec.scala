@@ -191,6 +191,35 @@ class AnnIvfSpec extends GraftSpec {
     assert(plan.contains("*(1) Project"), plan.take(2000))
   }
 
+  test("broadcast centroid carrier ≡ literal carrier, codegen holds, " +
+    "and the dispatch ceiling routes large k to the broadcast path") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val centroids = AnnIvf.trainCentroids(emb, k = 64, iters = 1)
+    val cents = AnnIvf.collectCents(centroids)
+    // bit-equality: the two carriers share IvfNearestCells.compute, and
+    // this pins the transport (broadcast fetch + codegen init path) too
+    def probes(c: org.apache.spark.sql.Column) =
+      emb.select(col("vec_id"), c.as("cells")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(probes(AnnIvf.nearestCellsBcast(col("embedding"), cents, 4))
+      == probes(AnnIvf.nearestCells(col("embedding"), cents, 4)),
+      "broadcast carrier drifted from the literal carrier")
+    // the broadcast path must stay inside whole-stage codegen
+    val plan = emb.select(
+        AnnIvf.nearestCellsBcast(col("embedding"), cents, 4).as("cells"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+    // dispatch: above the ceiling nearestCells must choose the broadcast
+    // carrier (prettyName distinguishes the two expressions in the plan)
+    val bigCents: AnnIvf.Cents = (0 until AnnIvf.LiteralCentroidCeiling + 1)
+      .map(i => (i.toLong, Seq(1.0f + i, 2.0f), math.sqrt((1.0 + i) * (1.0 + i) + 4.0)))
+    val bigPlan = emb.limit(1).select(
+        AnnIvf.nearestCells(col("embedding"), bigCents, 2).as("cells"))
+      .queryExecution.analyzed.toString
+    assert(bigPlan.contains("graft_ivf_cells_bc"),
+      s"k > ceiling must route to the broadcast carrier:\n${bigPlan.take(500)}")
+  }
+
   test("empty corpus: training, assignment, and topK degrade to empty, not throw") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val empty = emb.filter(col("vec_id") < 0)
