@@ -28,11 +28,20 @@ object Guards {
    */
   def requireRowsAtMost(df: DataFrame, maxRows: Long, contract: String): Unit =
     if (maxRows > 0 && maxRows < Int.MaxValue - 1L) {
-      val n = df.limit(maxRows.toInt + 1).count()
-      require(n <= maxRows,
-        s"$contract: input exceeds the $maxRows-row cap (found > $maxRows). " +
-          "This operator is super-linear in its input — aggregate/sample " +
-          "first, or raise the cap explicitly if the scale is intended.")
+      // a LocalRelation's size is a plan-time fact — in-contract local
+      // frames (tests, hand-built series) skip the probe job entirely
+      val knownSmall = df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.sizeIs <= maxRows.min(Int.MaxValue).toInt
+        case _ => false
+      }
+      if (!knownSmall) {
+        val n = df.limit(maxRows.toInt + 1).count()
+        require(n <= maxRows,
+          s"$contract: input exceeds the $maxRows-row cap (found > $maxRows). " +
+            "This operator is super-linear in its input — aggregate/sample " +
+            "first, or raise the cap explicitly if the scale is intended.")
+      }
     }
 
   /**

@@ -24,10 +24,6 @@ import org.apache.spark.sql.functions._
  */
 object Contamination {
 
-  /** Unique suffix for the Bloom scalar-subquery carrier views —
-    * sequential callers never collide, and a still-lazy frame from an
-    * earlier call keeps resolving its own (already-analyzed) view. */
-  private val carrierSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
    * Per-document overlap with `bench`: `(idCol, n_shingles, n_contaminated,
@@ -131,16 +127,21 @@ object Contamination {
     // canonicalization, and codegen reference the session accumulates
     // (the r12 bench recorded a 12x session artifact on exactly this
     // query), and the head() forced a driver round-trip at plan-build
-    // time. The subquery executes once per run, executor-side.
-    val session = corpus.sparkSession
-    val carrier = "graft_bloom_carrier_" +
-      Contamination.carrierSeq.incrementAndGet()
-    benchShingles
+    // time. The subquery executes once per run, executor-side. The
+    // subquery expression is built DIRECTLY on the aggregate's analyzed
+    // plan — no named temp view: the per-call
+    // `createOrReplaceTempView(graft_bloom_carrier_N)` carrier leaked one
+    // analyzed view per call into the session catalog for the session's
+    // lifetime (the r13 advice), in exactly the repeated-bench sessions
+    // the subquery carrier was introduced for.
+    val bloomAgg = benchShingles
       .select(call_function("graft_bloom_agg", xxhash64(col("s")),
         lit(expectedItems), lit(fpBits)).as("bf"))
-      .createOrReplaceTempView(carrier)
     val mightContain = call_function("graft_might_contain",
-      expr(s"(select bf from $carrier)"), xxhash64(col("s")))
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloomAgg.queryExecution.analyzed)),
+      xxhash64(col("s")))
 
     // materialized: the totals aggregate and the pruned verify branch both
     // read it — uncut, each branch is a full redundant corpus text scan,

@@ -148,17 +148,23 @@ object GraphOps {
       .filter(col("_g").isNotNull && col("_i").isNotNull)
       .distinct()
     val r = if (maxGroupSize <= 0) r0 else {
-      val wg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_g")).orderBy(col("_i").asc)
-      val ranked = r0.withColumn("_gr", row_number().over(wg))
-      val nTruncated = ranked.filter(col("_gr") > maxGroupSize)
-        .select(col("_g")).distinct().count()
+      // truncation census: a capped run must SAY what it dropped (the
+      // no-silent-caps rule), and saying it accurately needs an action —
+      // deliberately eager, the Guards fail-fast class. But the census is
+      // a group-size AGGREGATE (partial counts, no sort), not the old
+      // rank-window replay: the probe no longer pays the partitionBy sort
+      // the pairing itself is about to pay again (the r13 advice).
+      val nTruncated = r0.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxGroupSize).count()
       if (nTruncated > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"coOccurrence: $nTruncated group(s) exceeded maxGroupSize=" +
             s"$maxGroupSize and were truncated to their $maxGroupSize " +
             "smallest item ids before pairing")
-      ranked.filter(col("_gr") <= maxGroupSize).drop("_gr")
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_i").asc)
+      r0.withColumn("_gr", row_number().over(wg))
+        .filter(col("_gr") <= maxGroupSize).drop("_gr")
     }
     r.as("a").join(r.as("b"),
         col("a._g") === col("b._g") && col("a._i") < col("b._i"))

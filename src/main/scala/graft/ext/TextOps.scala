@@ -1239,8 +1239,15 @@ object TextOps {
       .select(col("a_id"), col("b_id"),
         grams(col("_ta")).as("n_a"),
         grams(col("_tb")).as("n_b"),
-        call_function("graft_clipped_overlap",
-          col("_ta"), col("_tb"), lit(n)).as("clip"))
+        // coalesce restores the exploded formulation's convention on
+        // NULL-text pairs: the join-based count was 0 when a side had no
+        // grams INCLUDING null text, while the native expression is
+        // null-intolerant (BinaryExpression) — without this, callers
+        // passing nullable text would see clip flip 0 → NULL (the r13
+        // advice; the ratio columns were never affected, their n_a/n_b
+        // guards already gate NULL sides)
+        coalesce(call_function("graft_clipped_overlap",
+          col("_ta"), col("_tb"), lit(n)), lit(0L)).as("clip"))
     val r = col("clip").cast("double") / col("n_a").cast("double")
     val p = col("clip").cast("double") / col("n_b").cast("double")
     scored

@@ -4,10 +4,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 /**
  * Column ⇄ Expression bridge for graft's expressions that cannot travel
- * through the function registry — today only
- * [[graft.functions.IvfNearestCellsBc]], whose `Broadcast` handle is a
- * runtime object, not a SQL argument, so `call_function` (the carrier
- * every other graft native expression uses) cannot construct it.
+ * through the function registry: [[graft.functions.IvfNearestCellsBc]]
+ * (its `Broadcast` handle is a runtime object, not a SQL argument, so
+ * `call_function` — the carrier every other graft native expression
+ * uses — cannot construct it) and the catalog-free `ScalarSubquery`
+ * carrier in [[graft.ext.Contamination]] (built directly on an analyzed
+ * plan, so no per-call temp view accumulates in the session catalog).
  *
  * Lives in `org.apache.spark.sql` because the canonical helpers
  * (`classic.ExpressionUtils.column/expression`) are `private[sql]` in

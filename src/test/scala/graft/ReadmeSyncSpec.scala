@@ -21,6 +21,21 @@ class ReadmeSyncSpec extends GraftSpec {
       s"README table rows with no declared query: ${tabled.diff(declared).toSeq.sorted}")
   }
 
+  test("README names every native expression in graft/functions") {
+    // a new native expression must land with a README mention (the r13
+    // additions LangId/ClippedOverlap shipped with rows only because the
+    // query table happened to cite them — this pins the module list)
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/functions")
+    val sources = java.nio.file.Files.list(dir).iterator()
+    val names = Iterator.continually(sources)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.endsWith(".scala")).map(_.stripSuffix(".scala")).toSet
+    assert(names.nonEmpty, "functions dir scan came up empty — wrong cwd?")
+    val missing = names.filterNot(readme.contains)
+    assert(missing.isEmpty,
+      s"native expressions with no README mention: ${missing.toSeq.sorted}")
+  }
+
   test("README carries no hand-written totals that can drift") {
     val drifty = Seq(
       "\\d+ declared queries".r,

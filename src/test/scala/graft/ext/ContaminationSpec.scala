@@ -43,6 +43,12 @@ class ContaminationSpec extends GraftSpec {
     assert(bloom.count() == direct.count(), "bloom path dropped/added docs")
     assert(direct.unionAll(bloom).distinct().count() == direct.count(),
       "bloom path diverged from the exact path on some doc")
+    // the subquery carrier is catalog-free: repeated calls must leave NO
+    // per-call temp view behind (the r13 advice — the old
+    // graft_bloom_carrier_N views accumulated for the session's lifetime)
+    assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_bloom_carrier")),
+      "bloom carrier leaked a temp view into the session catalog")
   }
 
   test("bloom prune keeps per-doc totals: a clean doc still reports all shingles") {

@@ -738,4 +738,21 @@ class TextOpsSpec extends GraftSpec {
         col("tb"), n = 0)
     }
   }
+
+  test("rougeN: NULL text clips to 0 (the exploded formulation's " +
+    "convention), with NULL gram count and ratios on that side") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (1L, 2L, null.asInstanceOf[String], "the cat sat"),
+      (3L, 4L, "a b c", null.asInstanceOf[String]))
+      .toDF("aid", "bid", "ta", "tb")
+    val got = TextOps.rougeN(pairs, col("aid"), col("bid"),
+      col("ta"), col("tb"), n = 2).collect()
+    got.foreach { r =>
+      assert(r.getLong(4) == 0L, s"clip must coalesce to 0, got $r")
+      assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    }
+    assert(got.find(_.getLong(0) == 1L).get.isNullAt(2)) // n_a NULL
+    assert(got.find(_.getLong(0) == 3L).get.isNullAt(3)) // n_b NULL
+  }
 }
