@@ -886,4 +886,131 @@ object Dedup {
       .filter(size(array_union(col("b_sh"), col("c_sh"))) > 0 &&
         jaccard(col("b_sh"), col("c_sh")) >= threshold)
       .select(col("b_gh").as("ghash")).distinct()
+
+  /**
+   * Paragraph-level exact deduplication — the CCNet move (Wenzek et al.
+   * 2020: CommonCrawl is deduplicated by PARAGRAPH hash before any
+   * document-level pass, because licenses, navigation chrome and quoted
+   * passages repeat across otherwise-unique pages): split each document
+   * on `sep`, keep only the globally FIRST occurrence of every distinct
+   * paragraph (first = least `(idCol, position)`, so the result is
+   * deterministic and insertion-order-faithful), and rebuild each
+   * document from its surviving paragraphs in original order.
+   *
+   * Returns `(idCol, n_paras, n_kept, <textCol>)` with `textCol`
+   * rewritten to the sep-rejoined survivors (possibly `""` when every
+   * paragraph of a document appeared earlier elsewhere). Paragraph
+   * identity is the exact byte content (hashed to md5 so the
+   * first-occurrence shuffle moves 16-byte keys, not paragraph text —
+   * the `ghash` convention; a collision needs 2⁶⁴ paragraphs).
+   *
+   * Shape at scale: one shuffle keyed on the paragraph hash (the
+   * groupBy that elects each hash's first occurrence, map-side
+   * partial), one equi-join back on the same key (co-partitioned —
+   * AQE reuses the exchange), one shuffle back to documents for the
+   * rebuild. Never all-pairs; the per-document `collect_list` is
+   * bounded by the document's own paragraph count (document-sized,
+   * the same class as the text itself).
+   */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = paraRows(docs, idCol, textCol, sep)
+    val first = paras.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    rebuildDocs(
+      paras.join(first, Seq("h"))
+        .withColumn("keep",
+          col(idCol) === col(s"f.$idCol") && col("pos") === col("f.pos")),
+      idCol, textCol, sep)
+  }
+
+  /** One row per paragraph: `(idCol, pos, para, h)` with `h` the md5 of
+    * the exact paragraph bytes — the 16-byte key all paragraph-dedup
+    * shuffles move instead of text. */
+  private def paraRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para").cast("binary")))
+
+  /** The rebuild half shared by both paragraph-dedup forms: per-document
+    * census + survivors rejoined in original position order. */
+  private def rebuildDocs(
+      marked: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    marked.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("para"))))).as("ps"))
+      .select(col(idCol), col("n_paras"), col("n_kept"),
+        array_join(transform(col("ps"), p => p.getField("para")), sep)
+          .as(textCol))
+
+  /**
+   * The standing state of [[dedupParagraphs]]: one row per distinct
+   * paragraph hash with its first occurrence —
+   * `(h, first_id, first_pos)`. ADDITIVE under
+   * [[mergeParagraphIndexes]] (min associates), so a persisted index
+   * maintains per crawl instead of re-splitting history — the CCNet
+   * production shape: each new shard dedups against all prior shards'
+   * paragraph hashes.
+   */
+  def buildParagraphIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame =
+    paraRows(docs, idCol, textCol, sep)
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol).as("first_id"), col("pos").as("first_pos")))
+        .as("f"))
+      .select(col("h"), col("f.first_id").as("first_id"),
+        col("f.first_pos").as("first_pos"))
+
+  /** `merge ≡ from-scratch` for the paragraph index: min over
+    * `(first_id, first_pos)` associates, so disjoint shards' indexes
+    * fold to the full corpus's (the [[TextOps.mergeTermFrequencies]]
+    * law applied to first occurrences). */
+  def mergeParagraphIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("h"))
+      .agg(min(struct(col("first_id"), col("first_pos"))).as("f"))
+      .select(col("h"), col("f.first_id").as("first_id"),
+        col("f.first_pos").as("first_pos"))
+
+  /**
+   * Screen a NEW batch against a standing paragraph index: a batch
+   * paragraph survives iff its hash is absent from the index AND it is
+   * the batch's own first occurrence. When every history id precedes
+   * every batch id (the incremental-dedup id contract, as
+   * [[dedupIncremental]]), this equals [[dedupParagraphs]] over
+   * `history ∪ batch` restricted to batch documents — spec-pinned.
+   * The index side joins ONLY on the 16-byte hash; history text is
+   * never read again.
+   */
+  def dedupParagraphsIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = paraRows(batch, idCol, textCol, sep)
+    val firstInBatch = paras.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    rebuildDocs(
+      paras.join(firstInBatch, Seq("h"))
+        .join(index.select(col("h"), lit(true).as("__seen")),
+          Seq("h"), "left")
+        .withColumn("keep",
+          col("__seen").isNull &&
+          col(idCol) === col(s"f.$idCol") && col("pos") === col("f.pos")),
+      idCol, textCol, sep)
+  }
 }

@@ -510,4 +510,82 @@ class DedupSpec extends GraftSpec {
       col("a_id") === 10L || col("b_id") === 10L)))
     assert(screened.nonEmpty, "fixture must exercise the screen")
   }
+
+  test("dedupParagraphs: globally-first occurrence survives, rebuilt " +
+      "in order; within-doc and cross-doc repeats both removed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\n\nB\n\nA"),   // trailing A repeats within the doc
+      (2L, "B\n\nC"),        // B already seen in doc 1
+      (3L, "D"),
+      (4L, "A\n\nB")         // every paragraph seen before → ""
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((3L, 2L, "A\n\nB")))
+    assert(out(2L) == ((2L, 1L, "C")))
+    assert(out(3L) == ((1L, 1L, "D")))
+    assert(out(4L) == ((2L, 0L, "")))
+
+    // idempotent: a second pass keeps everything that survived
+    val again = Dedup.dedupParagraphs(
+        Dedup.dedupParagraphs(docs, "doc_id", "text")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == Map(1L -> "A\n\nB", 2L -> "C", 3L -> "D"))
+
+    // repartition-invariant (first = least (id, pos), not arrival order)
+    val shuffled = Dedup.dedupParagraphs(
+        docs.repartition(5), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(shuffled == out)
+  }
+
+  test("paragraph index: merge ≡ from-scratch; indexed screen ≡ " +
+      "full-corpus dedup restricted to the batch (history ids first)") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "A\n\nB"),
+      (2L, "B\n\nC")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "C\n\nX\n\nX"),   // C seen in history; X fresh, repeated
+      (11L, "X\n\nY"),        // X taken by doc 10; Y fresh
+      (12L, "A\n\nB")         // nothing survives
+    ).toDF("doc_id", "text")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+    // merge law
+    val mergedIdx = Dedup.mergeParagraphIndexes(
+      Dedup.buildParagraphIndex(history, "doc_id", "text"),
+      Dedup.buildParagraphIndex(batch, "doc_id", "text"))
+    val fullIdx = Dedup.buildParagraphIndex(
+      history.unionByName(batch), "doc_id", "text")
+    assert(mergedIdx.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet ==
+      fullIdx.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
+
+    // screen law
+    val screened = rows(Dedup.dedupParagraphsIndexed(batch,
+      Dedup.buildParagraphIndex(history, "doc_id", "text"),
+      "doc_id", "text"))
+    val full = rows(Dedup.dedupParagraphs(
+        history.unionByName(batch), "doc_id", "text")
+      .filter(col("doc_id") >= 10L))
+    assert(screened == full)
+    assert(screened == Set(
+      (10L, 3L, 1L, "X"),
+      (11L, 2L, 1L, "Y"),
+      (12L, 2L, 0L, "")))
+  }
 }

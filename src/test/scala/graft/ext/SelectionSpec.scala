@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends GraftSpec {
+  import spark.implicits._
+
+  // freq: d=4, a=3, c=3, b=2 → top-3 vocab (freq DESC, token ASC) =
+  // {d, a, c}; b is OOV. Target = en docs (d1, d2).
+  private lazy val docs = Seq(
+    (1L, "a a b", "en"),
+    (2L, "a b c", "en"),
+    (3L, "c c d", "es"),
+    (4L, "d d d", "es"),
+    (5L, null.asInstanceOf[String], "es")
+  ).toDF("doc_id", "text", "lang")
+
+  private lazy val ratios = Selection.ngramLogRatios(
+    docs, docs.filter($"lang" === "en"), "text", vocabK = 3)
+
+  private def r12(x: Double): BigDecimal =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  test("ngramLogRatios: V+1 bucket domain with hand-computed ratios") {
+    val m = ratios.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toMap
+    assert(m.keySet == Set("d", "a", "c", Selection.OovBucket))
+    assert(m("a")._1 == 3L && m("a")._2 == 3L)
+    assert(m(Selection.OovBucket)._1 == 2L &&
+      m(Selection.OovBucket)._2 == 2L)
+    assert(m("d")._1 == 4L && m("d")._2 == 0L)
+    // N_raw=12, N_tgt=6, V=3: p_t=(c+1)/10, p_r=(c+1)/16
+    assert(BigDecimal(m("a")._3) ==
+      r12(math.log(4.0 / 10) - math.log(4.0 / 16)))   // ln 1.6
+    assert(BigDecimal(m("d")._3) ==
+      r12(math.log(1.0 / 10) - math.log(5.0 / 16)))   // ln 0.32
+    assert(BigDecimal(m("c")._3) ==
+      r12(math.log(2.0 / 10) - math.log(4.0 / 16)))   // ln 0.8
+  }
+
+  test("importanceWeights: exact decimal token-sum; NULL text weighs 0") {
+    val lr = ratios.collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(3))).toMap
+    val w = Selection.importanceWeights(docs, "doc_id", "text", ratios)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toMap
+    assert(w(1L) == ((3L, lr("a") * 2 + lr(Selection.OovBucket))))
+    assert(w(2L) == ((3L,
+      lr("a") + lr("c") + lr(Selection.OovBucket))))
+    assert(w(4L) == ((3L, lr("d") * 3)))
+    assert(w(5L) == ((0L, BigDecimal(0))))
+    // the target slice outscores the off-target slice
+    assert((w(1L)._2 + w(2L)._2) / 2 > (w(3L)._2 + w(4L)._2) / 2)
+  }
+
+  test("select: deterministic top-k by (weight DESC, id), dense ranks") {
+    val sel = Selection.select(
+      Selection.importanceWeights(docs, "doc_id", "text", ratios),
+      "doc_id", k = 3).collect()
+    assert(sel.length == 3)
+    assert(sel.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val ws = sel.map(r => BigDecimal(r.getDecimal(2)))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // en docs 1 and 2 lead the selection
+    assert(sel.take(2).map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("weights are repartition-invariant (exact decimal fold)") {
+    val a = Selection.importanceWeights(docs, "doc_id", "text", ratios)
+      .collect().map(r => (r.getLong(0), r.getDecimal(2))).toSet
+    val b = Selection.importanceWeights(
+        docs.repartition(7), "doc_id", "text", ratios)
+      .collect().map(r => (r.getLong(0), r.getDecimal(2))).toSet
+    assert(a == b)
+  }
+
+  test("ngramLogRatiosFromTf: merged shard tf ≡ from-scratch fit") {
+    def tf(df: org.apache.spark.sql.DataFrame) =
+      TextOps.termFrequencies(df, "text")
+    val rawTf = TextOps.mergeTermFrequencies(
+      tf(docs.filter($"doc_id" % 2 === 0)),
+      tf(docs.filter($"doc_id" % 2 === 1)))
+    val tgt = docs.filter($"lang" === "en")
+    val tgtTf = TextOps.mergeTermFrequencies(
+      tf(tgt.filter($"doc_id" % 2 === 0)),
+      tf(tgt.filter($"doc_id" % 2 === 1)))
+    val merged = Selection.ngramLogRatiosFromTf(rawTf, tgtTf, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toSet
+    val direct = ratios.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toSet
+    assert(merged == direct)
+  }
+
+  test("scale shape: ratio table rides broadcast, no cartesian") {
+    val plan = Selection.importanceWeights(docs, "doc_id", "text", ratios)
+      .queryExecution.executedPlan.toString
+    // vocab + ratio lookups are broadcast hash joins; the only nested-
+    // loop joins are the 1-row scalar attaches inside ngramLogRatios
+    // (the established crossJoin(broadcast(<1-row agg>)) pattern).
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
