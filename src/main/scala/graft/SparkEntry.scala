@@ -313,6 +313,120 @@ object SparkEntry {
           round(col("log_ratio").cast("double"), 6).as("log_ratio"))
     }),
 
+    // X4 — REAL video-style frame sampling end-to-end: per-doc
+    // concatenated-Netpbm containers (2–4 complete P5 frames laid end to
+    // end, per-frame dims and pixels from integer formulas), walked and
+    // every-2nd-frame-decoded by the actual multi-frame parser
+    // (MediaCodec.parseNetpbmFrames — skipped frames are header-hopped,
+    // never pixel-read); moments come out exact, so the oracle recomputes
+    // them from the formula WITHOUT parsing (the q120/q121 principle
+    // extended to the time axis).
+    "q342_frame_sample" -> ((s, d) => {
+      def frame(i: Column): Column = {
+        val w = lit(3L) + pmod(col("doc_id") + i, lit(4L))
+        val h = lit(2L) + pmod(col("doc_id") + i * 2, lit(3L))
+        val rasterHex = array_join(
+          transform(sequence(lit(0L), w * h - 1), j =>
+            lpad(hex(pmod(col("doc_id") * 17 + i * 11 + j * 5, lit(256))),
+              2, "0")), "")
+        concat(
+          concat(lit("P5\n"), w.cast("string"), lit(" "),
+            h.cast("string"), lit("\n255\n")).cast("binary"),
+          unhex(rasterHex))
+      }
+      val assets = t(s, d, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            sequence(lit(0L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+            lit("").cast("binary"),
+            (acc, fi) => concat(acc, frame(fi))).as("payload"))
+      Multimodal.sampleNetpbmFrames(assets, "payload", every = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_width").as("width"), col("frame_height").as("height"),
+          round(col("frame_sum").cast("double")
+            / (col("frame_width") * col("frame_height")), 6).as("mean_px"),
+          round(col("frame_sq_sum").cast("double")
+            / (col("frame_width") * col("frame_height")), 6).as("ms_px"))
+        .orderBy(col("doc_id").asc, col("frame_idx").asc)
+    }),
+
+    // X1+ — SOFT dedup (SoftDeDup, He et al. 2024): duplicated content
+    // is down-WEIGHTED (1/cluster_size sampling weight), never dropped —
+    // the gradient-preserving alternative to q14's hard drop. Cluster
+    // key here = the 5-token prefix fingerprint (the corpus's real
+    // cluster structure at this SF; md5-exact and Dedup.components keys
+    // plug into the same seam). One window shuffle, rows preserved.
+    "q343_soft_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val key = array_join(
+        slice(graft.ext.TextOps.tokens(col("text")), 1, 5), " ")
+      Selection.softDedupWeights(
+          docs.withColumn("__pfp", key), "doc_id", "__pfp")
+        .select(col("doc_id"), col("cluster_size"),
+          round(col("weight").cast("double"), 6).as("weight"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // X2+ — CCNet perplexity buckets (Wenzek et al. 2020 §4.4): within
+    // each language, head/middle/tail terciles by reference-LM score
+    // (head = most reference-like third — the slice CCNet ships).
+    // Scores are q80's own 6-dp nll; NTILE over (nll, doc_id) is
+    // engine-invariant because q80's hash-match certifies the scores
+    // equal. One window shuffle on the language key.
+    "q344_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = LmScore.train(docs.filter(col("source") === "src0"), "text")
+      val scored = LmScore.score(docs, "doc_id", "text", lm)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Selection.perplexityBuckets(scored, "doc_id", "lang", "nll")
+        .select(col("doc_id"), col("lang"), col("nll"), col("ppl_bucket"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // X2+ — filter-funnel census over a Gopher/C4-style rule chain:
+    // first-fail attribution (marginal removals, not double-booked
+    // per-rule counts) + survivors after each stage. ONE corpus pass
+    // (all rules are per-row expressions in one projection) into a
+    // rules-sized census; the cumulative window never sees the corpus.
+    "q345_filter_funnel" -> ((s, d) => {
+      val tk = graft.ext.TextOps.tokens(col("text"))
+      val wc = size(tk)
+      val rules = Seq(
+        "min_words_20" -> (wc >= 20),
+        "ttr_0.35" ->
+          (size(array_distinct(tk)).cast("double") / wc >= 0.35),
+        "top_token_0.12" ->
+          (array_max(transform(array_distinct(tk),
+            w => size(filter(tk, x => x === w)))).cast("double") / wc
+            <= 0.12),
+        "has_stopword" ->
+          (array_contains(tk, "the") || array_contains(tk, "a")))
+      DataPrep.filterFunnel(t(s, d, "documents"), rules)
+        .orderBy(col("rule_idx").asc)
+    }),
+
+    // X2+ — DoReMi-style domain reweighting (Xie et al. 2023), one
+    // linearized multiplicative-weights step: per-source mean reference-
+    // LM loss (exact decimal sum / one division), excess vs the domain
+    // mean, weight ∝ max(0, 1 + η·excess) renormalized — the data-MIXING
+    // member of the selection family (DSIR picks documents, this sets
+    // source rates). All frames past the q80-style scoring shuffle are
+    // domain-sized metadata.
+    "q346_domain_reweight" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = LmScore.train(docs.filter(col("source") === "src0"), "text")
+      val losses = LmScore.score(docs, "doc_id", "text", lm)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(round(
+          sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double") / count(lit(1)), 6).as("loss"))
+      Selection.domainReweight(losses, "source", "loss", eta = 0.5)
+        .select(col("source"), col("loss"),
+          round(col("excess").cast("double"), 6).as("excess"), col("weight"))
+        .orderBy(col("source").asc_nulls_last)
+    }),
+
     // X+/S — k-anonymity release audit over the customer dimension's
     // quasi-identifiers (nation × market segment): the re-identification
     // gate a published per-user table must pass. One hash agg to the
@@ -4915,7 +5029,169 @@ object SparkEntry {
       |                    e'\n\n' ORDER BY pos) AS clean
       |  FROM k GROUP BY 1)""".stripMargin
 
+  /** q80's reference-LM scoring as shared CTEs (train on src0, add-one
+    * smoothing over the src0 vocabulary, per-doc 6-dp mean NLL) — the
+    * scoring base q344/q346 build on; ends with
+    * `perdoc(doc_id, n_bigrams, nll)`. */
+  private val lmScoreCtes: String =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> length(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, source, t,
+      |               unnest(range(1, greatest(len(t), 1))) AS i
+      |        FROM toks)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+      |        WHERE source = 'src0' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |         -ln((coalesce(c12.c12, 0) + 1.0) /
+      |             (coalesce(c1.c1, 0) + (SELECT v FROM v))) AS nl
+      |  FROM bg
+      |  LEFT JOIN c12 USING (w1, w2)
+      |  LEFT JOIN c1 USING (w1)),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         round(avg(nl), 6) AS nll
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    // q342: the formula recompute — per sampled frame (even indexes),
+    // the same integer dims and pixel sums, no parsing.
+    "q342_frame_sample" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS i FROM g),
+        |s AS (
+        |  SELECT doc_id, i,
+        |         3 + (doc_id + i) % 4 AS w, 2 + (doc_id + 2*i) % 3 AS h
+        |  FROM f WHERE i % 2 = 0),
+        |m AS (
+        |  SELECT doc_id, i, w, h,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           j -> (doc_id*17 + i*11 + j*5) % 256), 'sum') AS ps,
+        |         list_aggregate(list_transform(range(0, w*h),
+        |           j -> ((doc_id*17 + i*11 + j*5) % 256)
+        |                * ((doc_id*17 + i*11 + j*5) % 256)), 'sum') AS pq
+        |  FROM s)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       round(CAST(ps AS DOUBLE) / (w*h), 6) AS mean_px,
+        |       round(CAST(pq AS DOUBLE) / (w*h), 6) AS ms_px
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q343: same 5-token prefix key, same window count (NULL keys form
+    // one partition in both engines), same 1/n rounding.
+    "q343_soft_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         array_to_string(
+        |           list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0)[1:5], ' ') AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         count(*) OVER (PARTITION BY k) AS cluster_size
+        |  FROM t)
+        |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       round(round(CAST(1.0 AS DOUBLE) / cluster_size, 12), 6)
+        |         AS weight
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q344: q80's scores verbatim (hash-certified equal), then standard
+    // NTILE(3) per language over (nll, doc_id) — the same bucket-size
+    // rule in both engines, id tiebreak pins equal scores.
+    "q344_ccnet_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |l AS (
+         |  SELECT p.doc_id, d.lang, p.nll
+         |  FROM perdoc p JOIN documents d USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, lang, nll,
+         |         ntile(3) OVER (PARTITION BY lang
+         |                        ORDER BY nll, doc_id) AS t
+         |  FROM l)
+         |SELECT doc_id, lang, nll,
+         |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |              ELSE 'tail' END AS ppl_bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q345: same one-pass rule flags (NULL rule value = fail, the
+    // coalesce-false convention on both sides), same first-fail CASE
+    // chain, same rules-sized cumulative census.
+    "q345_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(tk) AS wc, len(list_distinct(tk)) AS dt,
+        |         list_max(list_transform(list_distinct(tk),
+        |           w -> len(list_filter(tk, x -> x = w)))) AS topc,
+        |         list_contains(tk, 'the') OR list_contains(tk, 'a')
+        |           AS has_stop
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN NOT coalesce(wc >= 20, false) THEN 1
+        |              WHEN NOT coalesce(
+        |                CAST(dt AS DOUBLE) / wc >= 0.35, false) THEN 2
+        |              WHEN NOT coalesce(
+        |                CAST(topc AS DOUBLE) / wc <= 0.12, false) THEN 3
+        |              WHEN NOT coalesce(has_stop, false) THEN 4
+        |              ELSE 0 END AS ff
+        |  FROM m),
+        |r AS (SELECT * FROM (VALUES
+        |        (1, 'min_words_20'), (2, 'ttr_0.35'),
+        |        (3, 'top_token_0.12'), (4, 'has_stopword'))
+        |        AS v(rule_idx, rule)),
+        |c AS (SELECT ff, count(*) AS n FROM f GROUP BY ff),
+        |tot AS (SELECT count(*) AS total FROM f)
+        |SELECT CAST(r.rule_idx AS BIGINT) AS rule_idx, r.rule,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_failed_here,
+        |       CAST(total - sum(coalesce(c.n, 0))
+        |              OVER (ORDER BY r.rule_idx) AS BIGINT) AS n_remaining
+        |FROM r LEFT JOIN c ON c.ff = r.rule_idx CROSS JOIN tot
+        |ORDER BY rule_idx""".stripMargin,
+
+    // q346: q80's per-doc scores → per-source decimal-sum mean loss →
+    // excess vs the domain mean → linearized MW factor (12-dp, clamped
+    // at 0) → one renormalizing division, 6-dp.
+    "q346_domain_reweight" ->
+      s"""WITH $lmScoreCtes,
+         |dl AS (
+         |  SELECT d.source,
+         |         round(CAST(sum(CAST(p.nll AS DECIMAL(38,12)))
+         |                 AS DOUBLE) / count(*), 6) AS loss
+         |  FROM perdoc p JOIN documents d USING (doc_id)
+         |  GROUP BY d.source),
+         |mn AS (
+         |  SELECT round(CAST(sum(CAST(round(loss, 12) AS DECIMAL(38,12)))
+         |                 AS DOUBLE) / count(*), 12) AS m
+         |  FROM dl),
+         |fx AS (
+         |  SELECT source, loss, round(loss - m, 12) AS excess
+         |  FROM dl CROSS JOIN mn),
+         |fc AS (
+         |  SELECT source, loss, excess,
+         |         greatest(CAST(0 AS DECIMAL(38,12)),
+         |           CAST(round(1.0 + 0.5 * excess, 12)
+         |                AS DECIMAL(38,12))) AS factor
+         |  FROM fx),
+         |tt AS (SELECT sum(factor) AS total FROM fc)
+         |SELECT source, loss, round(excess, 6) AS excess,
+         |       round(CAST(factor AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |         AS weight
+         |FROM fc CROSS JOIN tt ORDER BY source""".stripMargin,
 
     // q335: same top-256 (freq DESC, token) vocabulary + OOV domain,
     // same Laplace smoothing over V+1 buckets, same 12-dp decimal

@@ -194,4 +194,64 @@ object DataPrep {
     Packing.packOrdered(sampled, idCol, col("epoch_key").asc,
       size(TextOps.tokens(text)), contextLen, shards)
   }
+
+  /**
+   * Filter-funnel census — the diagnostic every rule-based cleaning
+   * pipeline (C4, Gopher, FineWeb) publishes next to its rules: given an
+   * ORDERED rule list, how many documents does each rule remove that
+   * earlier rules had not already removed, and how many survive after
+   * each stage? Attribution is first-fail: a document failing rules 2
+   * and 4 counts against rule 2 only — the number an operator watches to
+   * see which rule is doing the work and which is dead weight (marginal
+   * removals, not the misleading independent per-rule counts, whose sum
+   * double-books overlapping failures).
+   *
+   * A NULL rule value counts as a failure (a rule that cannot evaluate
+   * did not pass — the conservative screen contract, same as
+   * [[graft.ext.LmScore.screen]]'s evidence-free drop).
+   *
+   * Output: one row per rule in order — `(rule_idx, rule,
+   * n_failed_here, n_remaining)` with `n_remaining` the survivor count
+   * after rules `1..rule_idx` have all applied; the last row's
+   * `n_remaining` is the shipped-corpus size.
+   *
+   * Shape at scale: ONE pass over the corpus (every rule is a per-row
+   * expression evaluated in the same projection) into ONE rule-count-
+   * sized aggregation; the cumulative window runs over the rules-sized
+   * census frame, never the corpus. Adding a rule adds zero passes.
+   */
+  def filterFunnel(
+      docs: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // first failing rule (1-based), 0 = passes all — a single CASE chain
+    // so the census is one projection + one tiny aggregation
+    val firstFail = rules.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, ((_, rule), i)) =>
+        acc.when(!coalesce(rule, lit(false)), lit(i + 1))
+      }
+      .otherwise(lit(0))
+    val census = docs
+      .select(firstFail.as("first_fail"))
+      .groupBy(col("first_fail"))
+      .agg(count(lit(1)).as("n"))
+    val total = census.agg(sum(col("n")).as("__total"))
+    val rulesDf = rules.zipWithIndex
+      .map { case ((name, _), i) => ((i + 1).toLong, name) }
+      .toDF("rule_idx", "rule")
+    rulesDf
+      .join(broadcast(census), col("rule_idx") === col("first_fail"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("rule_idx"), col("rule"),
+        coalesce(col("n"), lit(0L)).as("n_failed_here"), col("__total"))
+      .withColumn("n_remaining",
+        col("__total") - sum(col("n_failed_here")).over(
+          Window.orderBy(col("rule_idx").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rule_idx"), col("rule"), col("n_failed_here"),
+        col("n_remaining"))
+  }
 }

@@ -51,14 +51,22 @@ object MediaCodec {
     * overflowing dimensions, maxval outside 1..255, or a truncated
     * raster. Trailing bytes after the raster are tolerated. */
   private[ext] def parseNetpbmHeader(
-      bytes: Array[Byte]): Option[NetpbmHeader] = {
-    if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
-    val channels = bytes(1) match {
+      bytes: Array[Byte]): Option[NetpbmHeader] =
+    parseNetpbmHeaderAt(bytes, 0)
+
+  /** [[parseNetpbmHeader]] starting at `start` — the multi-frame walk
+    * entry point: a concatenated-Netpbm container is parsed frame by
+    * frame by re-entering here at each frame's first byte. */
+  private[ext] def parseNetpbmHeaderAt(
+      bytes: Array[Byte], start: Int): Option[NetpbmHeader] = {
+    if (bytes == null || start < 0 || bytes.length < start + 2 ||
+        bytes(start) != 'P') return None
+    val channels = bytes(start + 1) match {
       case '5' => 1
       case '6' => 3
       case _   => return None
     }
-    var pos = 2
+    var pos = start + 2
     // read the next decimal token, skipping whitespace and # comments
     def nextInt(): Option[Int] = {
       while (pos < bytes.length &&
@@ -110,6 +118,52 @@ object MediaCodec {
       }
       NetpbmStats(hd.width, hd.height, hd.channels, sums, sqSums)
     }
+
+  /** One sampled frame of a concatenated-Netpbm container: the frame's
+    * 0-based index in the container plus its exact raster moments
+    * (grayscale: sum and sum of squares over all pixels). */
+  final case class FrameStats(
+      idx: Int, width: Int, height: Int, sum: Long, sqSum: Long)
+
+  /**
+   * Frame-sample a concatenated-Netpbm "animation" container — the
+   * hand-parseable stand-in for a video bitstream: frames are raw P5
+   * payloads laid end to end (each a complete header + raster, the
+   * multi-image Netpbm convention), and every `every`-th frame
+   * (0, every, 2·every, …) is decoded to exact moments while skipped
+   * frames are only WALKED (header parse + raster-length hop, no pixel
+   * reads — the cheap seek a real container's frame index would give).
+   * None for an empty container, a non-grayscale frame, any malformed
+   * frame, or trailing garbage — a container is decodable as a whole or
+   * not at all (a half-parsed video must not silently truncate).
+   */
+  def parseNetpbmFrames(
+      bytes: Array[Byte], every: Int): Option[Seq[FrameStats]] = {
+    if (every <= 0 || bytes == null || bytes.length == 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+    var pos = 0
+    var idx = 0
+    while (pos < bytes.length) {
+      parseNetpbmHeaderAt(bytes, pos) match {
+        case Some(hd) if hd.channels == 1 =>
+          val n = hd.width * hd.height
+          if (idx % every == 0) {
+            var sum = 0L
+            var sq = 0L
+            var i = 0
+            while (i < n) {
+              val v = (bytes(hd.rasterPos + i) & 0xff).toLong
+              sum += v; sq += v * v; i += 1
+            }
+            out += FrameStats(idx, hd.width, hd.height, sum, sq)
+          }
+          pos = hd.rasterPos + n
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.toSeq)
+  }
 
   /**
    * Nearest-neighbor resize of a raw Netpbm payload, re-encoded in the

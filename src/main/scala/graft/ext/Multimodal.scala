@@ -193,6 +193,62 @@ object Multimodal {
   }
 
   /**
+   * The one-row-in / many-features-out sibling of [[decodeWith]] — the
+   * batch shape a FRAME SAMPLER rides (one container payload decodes to
+   * a variable number of per-frame feature rows): same bounded batching,
+   * same failure contract (undecodable container → NULL, never a dead
+   * pass), same no-shuffle narrow plan. Appends one
+   * `array<array<double>>` column; the caller explodes it (posexplode /
+   * explode are narrow too, so the whole sample stays shuffle-free).
+   */
+  private[ext] def decodeMultiWith(
+      df: DataFrame, payloadCol: String, outCol: String, batchSize: Int)(
+      f: Array[Byte] => Option[Seq[Array[Double]]]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val schema = df.schema.add(outCol, ArrayType(ArrayType(DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val decoded = f(r.getAs[Array[Byte]](idx))
+          Row.fromSeq(r.toSeq :+ decoded.orNull)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /**
+   * REAL video-style frame sampling over concatenated-Netpbm containers
+   * ([[MediaCodec.parseNetpbmFrames]]): every `every`-th frame of the
+   * container decodes to one output row with its exact moments —
+   * `(…input columns…, frame_idx, frame_width, frame_height, frame_sum,
+   * frame_sq_sum)` — skipped frames are walked but never pixel-read, and
+   * an undecodable container contributes NO rows (the explode of a NULL
+   * frame list; route such assets to quarantine by anti-joining the
+   * result's ids against the input's). Moments, not means: sums are
+   * exact integers carried as doubles (< 2^53), so the caller's
+   * divisions are engine-reproducible — the q120/q121 oracle principle
+   * extended to the time axis.
+   */
+  def sampleNetpbmFrames(
+      df: DataFrame, payloadCol: String, every: Int,
+      batchSize: Int = 64): DataFrame = {
+    val multi = decodeMultiWith(df, payloadCol, "__frames", batchSize)(
+      MediaCodec.parseNetpbmFrames(_, every).map(_.map(s =>
+        Array(s.idx.toDouble, s.width.toDouble, s.height.toDouble,
+          s.sum.toDouble, s.sqSum.toDouble))))
+    multi
+      .select(multi.columns.filter(_ != "__frames").map(col) :+
+        explode(col("__frames")).as("__f"): _*)
+      .withColumn("frame_idx", element_at(col("__f"), 1).cast("long"))
+      .withColumn("frame_width", element_at(col("__f"), 2).cast("long"))
+      .withColumn("frame_height", element_at(col("__f"), 3).cast("long"))
+      .withColumn("frame_sum", element_at(col("__f"), 4).cast("long"))
+      .withColumn("frame_sq_sum", element_at(col("__f"), 5).cast("long"))
+      .drop("__f")
+  }
+
+  /**
    * REAL image resize over Netpbm payloads
    * ([[MediaCodec.resizeNetpbmNearest]]): nearest-neighbor to
    * `outW × outH`, re-encoded in the source format with maxval

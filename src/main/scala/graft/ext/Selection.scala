@@ -185,4 +185,131 @@ object Selection {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("weight").desc, col(idCol).asc)).cast("long"))
   }
+
+  /**
+   * Soft deduplication — down-WEIGHT duplicated content instead of
+   * dropping it (SoftDeDup, He et al. 2024): every document keeps its
+   * row, but its training sampling weight becomes `1 / cluster_size`
+   * under the caller-chosen duplication key, so a cluster of n copies
+   * contributes ONE document's worth of gradient in expectation while
+   * each copy's unique context still appears. The key column is the
+   * composition seam: md5 of the text for exact clusters
+   * ([[graft.ext.Dedup]]'s `ghash` convention), a shingle-prefix
+   * fingerprint for prefix clusters, or [[Dedup.components]]' cluster
+   * labels for near-dup clusters — the operator itself never re-derives
+   * candidates.
+   *
+   * Determinism: weights are `round(1/n, 12)` carried as
+   * DECIMAL(38,12); NULL keys form one cluster (both SQL engines'
+   * window-partition convention — route genuinely-unknown content to
+   * distinct sentinel keys upstream if that is not wanted).
+   *
+   * Shape at scale: ONE shuffle — the window partition on the key (same
+   * exchange a groupBy would pay, with no join back); output rows =
+   * input rows, so downstream samplers stream over it unchanged.
+   */
+  def softDedupWeights(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .select(col(idCol),
+        col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 12).cast(dec).as("weight"))
+  }
+
+  /**
+   * CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+   * §4.4): within each group (language, in the paper), documents split
+   * into equal-count head / middle / tail terciles by their
+   * reference-LM score — head = most-fluent third, the slice CCNet
+   * ships by default. Scores come from any per-document quality model;
+   * [[graft.ext.LmScore.score]]'s `nll` is the faithful choice (lower =
+   * more like the reference corpus = head).
+   *
+   * Determinism: standard-SQL NTILE over `(scoreCol ASC, idCol ASC)` —
+   * the id tiebreak pins equal scores, and both engines implement the
+   * same NTILE bucket-size rule (first `n mod k` buckets get the extra
+   * row), so assignments are engine-invariant given engine-invariant
+   * scores (round the score upstream, the q80 6-dp convention).
+   *
+   * Shape at scale: ONE shuffle — the window partition on the group
+   * column. The window ORDERS within group, so a pathological
+   * single-group corpus serializes; group = language gives natural
+   * parallelism, and per-group row counts are the corpus's language
+   * mix, not a skew amplifier.
+   */
+  def perplexityBuckets(
+      scored: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    scored
+      .withColumn("__tile", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("__tile") === 1, lit("head"))
+          .when(col("__tile") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__tile")
+  }
+
+  /**
+   * Domain reweighting by excess loss — ONE multiplicative-weights step
+   * of the DoReMi scheme (Xie et al. 2023, "Doremi: Optimizing Data
+   * Mixtures Speeds Up Language Model Pretraining"), linearized for
+   * exactness: starting from the uniform mixture, each domain's weight
+   * scales by `max(0, 1 + η · excess_d)` where
+   * `excess_d = loss_d − mean_over_domains(loss)` (the paper's
+   * per-domain excess of proxy over reference loss; the unweighted
+   * domain mean stands in for the reference when no second model
+   * exists), then renormalizes. The paper's exponential tilt
+   * `exp(η·excess)` is `1 + η·excess + O(η²)` — at one step and small η
+   * the linear form ranks identically, and unlike `exp` it is exactly
+   * reproducible across engines (the repo-wide no-transcendental-in-
+   * the-hash rule; ln is the one exception both engines bit-match).
+   *
+   * Determinism: excess and the scale factor round to 12 dp and ride as
+   * DECIMAL(38,12); the final normalization is the only division,
+   * rounded to 6 dp. Output: `(domain, loss, excess, weight)`.
+   *
+   * Shape at scale: the input is already domain-sized (one row per
+   * domain — metadata, not data); the mean and the normalizer attach as
+   * broadcast one-row aggregates, so the whole step is a few narrow
+   * stages over a tiny frame. The expensive part of DoReMi is computing
+   * `loss_d` — that is the caller's per-domain aggregation (one
+   * map-side-partial shuffle over the corpus, e.g. LmScore → groupBy).
+   */
+  def domainReweight(
+      losses: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      eta: Double = 0.5): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    // mean via exact decimal sum then ONE double division — an avg of
+    // doubles is summation-order-dependent, this is not (the q336
+    // decimal-sum convention; losses arrive pre-rounded from the caller)
+    val mean = losses.agg(
+      round(sum(round(col(lossCol), 12).cast(dec)).cast("double") /
+        count(lit(1)), 12).as("__mean"))
+    val withFactor = losses
+      .crossJoin(broadcast(mean))
+      .select(col(domainCol), col(lossCol),
+        round(col(lossCol) - col("__mean"), 12).cast(dec).as("excess"))
+      .withColumn("__factor",
+        greatest(lit(0).cast(dec),
+          round(lit(1.0) + lit(eta) * col("excess"), 12).cast(dec)))
+    val total = withFactor.agg(sum(col("__factor")).as("__total"))
+    withFactor
+      .crossJoin(broadcast(total))
+      .select(col(domainCol), col(lossCol), col("excess"),
+        round(col("__factor").cast("double") /
+          col("__total").cast("double"), 6).as("weight"))
+  }
 }

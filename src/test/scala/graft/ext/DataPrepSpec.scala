@@ -174,4 +174,45 @@ class DataPrepSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("filterFunnel: first-fail attribution, cumulative survivors, " +
+      "NULL rule value = fail, rules with zero marginal removals") {
+    val docs = Seq(
+      (1L, Some(10), true),  // passes both
+      (2L, Some(1), true),   // fails rule 1 only
+      (3L, Some(1), false),  // fails 1 AND 2 → booked against 1
+      (4L, Some(10), false), // fails rule 2 only
+      (5L, None, true)       // NULL rule-1 value → fails 1
+    ).toDF("id", "n", "flag")
+    val out = DataPrep.filterFunnel(docs, Seq(
+        "n_at_least_5" -> (col("n") >= 5),
+        "flag_set" -> col("flag"),
+        "always_true" -> lit(true)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "n_at_least_5", 3L, 2L),  // ids 2,3,5 fail here → 2 remain
+      (2L, "flag_set", 1L, 1L),      // id 4 → 1 remains
+      (3L, "always_true", 0L, 1L)))  // dead-weight rule: marginal 0
+    // sum of marginals + final survivors == corpus
+    assert(out.map(_._3).sum + out.last._4 == 5L)
+  }
+
+  test("filterFunnel: one corpus aggregation, window only over the " +
+      "rules-sized census") {
+    val docs = (1 to 50).map(i => (i.toLong, i)).toDF("id", "n")
+    val out = DataPrep.filterFunnel(docs,
+      Seq("r1" -> (col("n") % 2 === 0), "r2" -> (col("n") > 10)))
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus contributes exactly one partial+final aggregate pair
+    // (the census); everything after is rules-sized
+    assert(plan.contains("HashAggregate"))
+    assert(out.collect().map(_.getLong(2)).sum == 25L + 5L) // odds; ≤10 evens
+    require(DataPrep.filterFunnel(docs, Seq("r" -> lit(true)))
+      .collect().head.getLong(3) == 50L)
+    intercept[IllegalArgumentException] {
+      DataPrep.filterFunnel(docs, Seq.empty)
+    }
+  }
 }

@@ -297,4 +297,50 @@ class MultimodalSpec extends GraftSpec {
     assert(feats(1L)._2.get == Seq(2.0, 2.0, 12.0, 56.0)) // 0+2+4+6, 4+16+36
     assert(feats(2L)._1.isEmpty && feats(2L)._2.isEmpty)
   }
+
+  test("MediaCodec.parseNetpbmFrames: golden container, skip stride, " +
+      "all-or-nothing on malformed frames") {
+    // 3 frames: 2x1 [10,20] | 1x2 [5,7] | 1x1 [9]
+    val container = pgm(2, 1, Seq(10, 20)) ++ pgm(1, 2, Seq(5, 7)) ++
+      pgm(1, 1, Seq(9))
+    val every2 = MediaCodec.parseNetpbmFrames(container, every = 2).get
+    assert(every2.map(f => (f.idx, f.width, f.height, f.sum, f.sqSum)) ==
+      Seq((0, 2, 1, 30L, 500L), (2, 1, 1, 9L, 81L)))
+    // every=1 decodes all; the skipped middle frame's moments are real
+    val all = MediaCodec.parseNetpbmFrames(container, every = 1).get
+    assert(all.size == 3 &&
+      (all(1).idx, all(1).sum, all(1).sqSum) == ((1, 12L, 74L)))
+    // all-or-nothing: trailing garbage, an embedded P6, truncation,
+    // empty container, non-positive stride
+    assert(MediaCodec.parseNetpbmFrames(
+      container ++ Array[Byte]('x'), 2).isEmpty)
+    assert(MediaCodec.parseNetpbmFrames(
+      pgm(1, 1, Seq(9)) ++ "P6\n1 1\n255\nabc".getBytes("US-ASCII"),
+      1).isEmpty)
+    assert(MediaCodec.parseNetpbmFrames(
+      container.dropRight(1), 1).isEmpty)
+    assert(MediaCodec.parseNetpbmFrames(Array.emptyByteArray, 1).isEmpty)
+    assert(MediaCodec.parseNetpbmFrames(container, 0).isEmpty)
+  }
+
+  test("Multimodal.sampleNetpbmFrames: exploded per-frame rows through " +
+      "the batch core; undecodable container yields zero rows") {
+    val good = pgm(2, 1, Seq(10, 20)) ++ pgm(1, 2, Seq(5, 7)) ++
+      pgm(1, 1, Seq(9))
+    val df = Seq(
+      (1L, good),
+      (2L, "not a container".getBytes("US-ASCII"))
+    ).toDF("id", "payload")
+    val out = Multimodal.sampleNetpbmFrames(df, "payload", every = 2)
+    val rows = out.select($"id", $"frame_idx", $"frame_width",
+        $"frame_height", $"frame_sum", $"frame_sq_sum")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(r => (r._1, r._2))
+    assert(rows == Seq(
+      (1L, 0L, 2L, 1L, 30L, 500L),
+      (1L, 2L, 1L, 1L, 9L, 81L))) // id 2: no rows, quarantine by anti-join
+    // narrow plan: no exchange anywhere in the sample
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

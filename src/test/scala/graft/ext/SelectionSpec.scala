@@ -105,4 +105,68 @@ class SelectionSpec extends GraftSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("softDedupWeights: 1/cluster_size decimals, rows preserved, " +
+      "NULL keys one cluster") {
+    val d = Seq(
+      (1L, "k1"), (2L, "k1"), (3L, "k1"),
+      (4L, "k2"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String])
+    ).toDF("id", "k")
+    val w = Selection.softDedupWeights(d, "id", "k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+    assert(w.size == 6) // soft: nothing dropped
+    assert(w(1L) == ((3L, r12(1.0 / 3))))
+    assert(w(2L) == w(1L) && w(3L) == w(1L))
+    assert(w(4L) == ((1L, r12(1.0))))
+    assert(w(5L) == ((2L, r12(0.5))) && w(6L) == w(5L))
+    // a cluster's total weight is ~1 doc's worth: 3·round(1/3) ≈ 1
+    assert((w(1L)._2 * 3 - 1).abs < BigDecimal("1e-11"))
+  }
+
+  test("perplexityBuckets: per-group NTILE terciles, score-then-id " +
+      "order, head = lowest score") {
+    val scored = Seq(
+      // group g1: 7 docs, scores break 3/2/2 by the NTILE rule
+      (1L, "g1", 0.1), (2L, "g1", 0.2), (3L, "g1", 0.3), (4L, "g1", 0.4),
+      (5L, "g1", 0.5), (6L, "g1", 0.6), (7L, "g1", 0.7),
+      // group g2: ties everywhere — the id tiebreak decides
+      (10L, "g2", 1.0), (11L, "g2", 1.0), (12L, "g2", 1.0)
+    ).toDF("id", "g", "s")
+    val b = Selection.perplexityBuckets(scored, "id", "g", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // 7 rows: first ceil buckets get the extra row → 3,2,2
+    assert(Seq(1L, 2L, 3L).forall(b(_) == "head"))
+    assert(Seq(4L, 5L).forall(b(_) == "middle"))
+    assert(Seq(6L, 7L).forall(b(_) == "tail"))
+    // equal scores: lowest id is head
+    assert(b(10L) == "head" && b(11L) == "middle" && b(12L) == "tail")
+  }
+
+  test("domainReweight: hand-computed linearized MW step; clamp floors " +
+      "a catastrophic domain at 0") {
+    val losses = Seq(("d1", 1.0), ("d2", 2.0), ("d3", 6.0))
+      .toDF("domain", "loss")
+    // mean 3: excess −2, −1, 3; η=0.5 → factors 0, 0.5, 2.5; total 3
+    val w = Selection.domainReweight(losses, "domain", "loss", eta = 0.5)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(2)), r.getDouble(3)))).toMap
+    assert(w("d1") == ((r12(-2.0), 0.0)))        // clamped: max(0, 1−1)
+    assert(w("d2") == ((r12(-1.0), 0.166667)))   // 0.5/3 → 6 dp
+    assert(w("d3") == ((r12(3.0), 0.833333)))    // 2.5/3
+  }
+
+  test("domainReweight: weights renormalize to ~1 and the input stays " +
+      "domain-sized metadata (no corpus shuffle added)") {
+    val losses = Seq(("a", 1.2), ("b", 1.5), ("c", 0.9), ("d", 1.8))
+      .toDF("domain", "loss")
+    val out = Selection.domainReweight(losses, "domain", "loss")
+    val total = out.agg(sum($"weight")).collect()(0).getDouble(0)
+    assert((total - 1.0).abs < 1e-5)
+    // plan: tiny frame + two broadcast scalar attaches, no SortMergeJoin
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+  }
 }
