@@ -56,6 +56,24 @@ object SparkEntry {
     p
   }
 
+  /** q345/q349's shared Gopher/C4-style rule chain (ordered): word-count
+    * floor, type-token-ratio floor, top-token-dominance cap, stopword
+    * presence — all per-row expressions over the token array. */
+  private def funnelRules: Seq[(String, Column)] = {
+    val tk = graft.ext.TextOps.tokens(col("text"))
+    val wc = size(tk)
+    Seq(
+      "min_words_20" -> (wc >= 20),
+      "ttr_0.35" ->
+        (size(array_distinct(tk)).cast("double") / wc >= 0.35),
+      "top_token_0.12" ->
+        (array_max(transform(array_distinct(tk),
+          w => size(filter(tk, x => x === w)))).cast("double") / wc
+          <= 0.12),
+      "has_stopword" ->
+        (array_contains(tk, "the") || array_contains(tk, "a")))
+  }
+
   /** q339/q340's shared input: multi-paragraph documents synthesized
     * from groups of 4 consecutive docs — a shared license header, the
     * texts in doc_id order, and a trailing repeat of the group's first
@@ -388,21 +406,72 @@ object SparkEntry {
     // per-rule counts) + survivors after each stage. ONE corpus pass
     // (all rules are per-row expressions in one projection) into a
     // rules-sized census; the cumulative window never sees the corpus.
-    "q345_filter_funnel" -> ((s, d) => {
-      val tk = graft.ext.TextOps.tokens(col("text"))
-      val wc = size(tk)
-      val rules = Seq(
-        "min_words_20" -> (wc >= 20),
-        "ttr_0.35" ->
-          (size(array_distinct(tk)).cast("double") / wc >= 0.35),
-        "top_token_0.12" ->
-          (array_max(transform(array_distinct(tk),
-            w => size(filter(tk, x => x === w)))).cast("double") / wc
-            <= 0.12),
-        "has_stopword" ->
-          (array_contains(tk, "the") || array_contains(tk, "a")))
-      DataPrep.filterFunnel(t(s, d, "documents"), rules)
+    "q345_filter_funnel" -> ((s, d) =>
+      DataPrep.filterFunnel(t(s, d, "documents"), funnelRules)
+        .orderBy(col("rule_idx").asc)),
+
+    // X2+ — the funnel MERGE LAW as a declared query: per-shard censuses
+    // (doc_id parity halves) fold additively to the whole-corpus funnel
+    // — the standing-report shape for a sharded corpus, certified
+    // against q345's own oracle.
+    "q349_funnel_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DataPrep.mergeFunnels(
+          DataPrep.filterFunnel(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), funnelRules)
+          .unionByName(DataPrep.filterFunnel(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1), funnelRules)))
         .orderBy(col("rule_idx").asc)
+    }),
+
+    // X1+ — soft dedup against a STANDING count index (the q75/q340
+    // pattern): history's (key, cluster_size) table persists once; a
+    // new batch's weights come from the merged counts — history text is
+    // never re-read, and the result equals the full-corpus weights
+    // restricted to batch ids (the oracle replays exactly that).
+    "q350_soft_dedup_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keyed = docs.withColumn("__pfp", array_join(
+        slice(graft.ext.TextOps.tokens(col("text")), 1, 5), " "))
+      val cut = broadcast(docs.agg(
+        floor(max(col("doc_id")) * 6 / 10).cast("long").as("__cut")))
+      val tmp = scratch("q350", d)
+      Selection.buildSoftDedupIndex(
+          keyed.crossJoin(cut).filter(col("doc_id") < col("__cut")),
+          "__pfp")
+        .write.mode("overwrite").parquet(tmp)
+      Selection.softDedupWeightsIndexed(
+          keyed.crossJoin(cut).filter(col("doc_id") >= col("__cut")),
+          s.read.parquet(tmp), "doc_id", "__pfp")
+        .select(col("doc_id"), col("cluster_size"),
+          round(col("weight").cast("double"), 6).as("weight"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // X2+ — CCNet buckets against STANDING thresholds: the history
+    // corpus's per-language tercile cut scores persist (fit once per
+    // snapshot, like CCNet's released per-language models), then the
+    // batch buckets by score compare alone — zero passes over history.
+    // The LM itself is history-trained (the index must not see the
+    // batch). Ties with a cut land in the lower bucket by contract.
+    "q351_ccnet_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cut = broadcast(docs.agg(
+        floor(max(col("doc_id")) * 6 / 10).cast("long").as("__cut")))
+      val hist = docs.crossJoin(cut).filter(col("doc_id") < col("__cut"))
+      val lm = LmScore.train(hist.filter(col("source") === "src0"), "text")
+      def scoredOf(df: DataFrame) =
+        LmScore.score(df, "doc_id", "text", lm)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val tmp = scratch("q351", d)
+      Selection.buildBucketThresholds(
+          scoredOf(hist), "doc_id", "lang", "nll")
+        .write.mode("overwrite").parquet(tmp)
+      val batch = docs.crossJoin(cut).filter(col("doc_id") >= col("__cut"))
+      Selection.bucketsIndexed(
+          scoredOf(batch).select(col("doc_id"), col("lang"), col("nll")),
+          s.read.parquet(tmp), "lang", "nll")
+        .orderBy(col("doc_id").asc)
     }),
 
     // X2+ — DoReMi-style domain reweighting (Xie et al. 2023), one
@@ -425,6 +494,29 @@ object SparkEntry {
         .select(col("source"), col("loss"),
           round(col("excess").cast("double"), 6).as("excess"), col("weight"))
         .orderBy(col("source").asc_nulls_last)
+    }),
+
+    // X+/S — ε-DP Laplace count release (Dwork et al. 2006) over the
+    // lang×source census: exact counts + seeded Laplace(1/ε) noise,
+    // released as clamped integers — the mechanism the reference's own
+    // published per-group tables lack. One hash agg + a per-group
+    // projection; the exact count never leaves.
+    "q347_dp_counts" -> ((s, d) =>
+      Privacy.dpCounts(t(s, d, "documents"), Seq("lang", "source"),
+          epsilon = 0.5, salt = "dp-r14")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
+
+    // X+/S — randomized response (Warner 1965), the LOCAL-DP companion:
+    // each doc reports "long document?" flipped with seeded prob 0.25
+    // (the collector never holds the true bit), then the per-language
+    // prevalence debiases as (rate − p)/(1 − 2p). Per-row projection +
+    // one hash agg.
+    "q348_randomized_response" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val reports = Privacy.randomizedResponse(docs, "doc_id",
+        col("n_chars") > 300, flipProb = 0.25, salt = "rr-r14")
+      Privacy.rrPrevalence(reports, Seq("lang"), flipProb = 0.25)
+        .orderBy(col("lang").asc_nulls_last)
     }),
 
     // X+/S — k-anonymity release audit over the customer dimension's
@@ -5029,14 +5121,15 @@ object SparkEntry {
       |                    e'\n\n' ORDER BY pos) AS clean
       |  FROM k GROUP BY 1)""".stripMargin
 
-  /** q80's reference-LM scoring as shared CTEs (train on src0, add-one
-    * smoothing over the src0 vocabulary, per-doc 6-dp mean NLL) — the
-    * scoring base q344/q346 build on; ends with
-    * `perdoc(doc_id, n_bigrams, nll)`. */
-  private val lmScoreCtes: String =
-    """toks AS (
+  /** q80's reference-LM scoring as shared CTEs (add-one smoothing over
+    * the training slice's vocabulary, per-doc 6-dp mean NLL) — the
+    * scoring base q344/q346/q351 build on; `trainCond` selects the
+    * training corpus; ends with `perdoc(doc_id, n_bigrams, nll)`. */
+  private def lmScoreCtes(
+      trainCond: String = "source = 'src0'"): String =
+    s"""toks AS (
       |  SELECT doc_id, source,
-      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |         list_filter(string_split_regex(lower(text), '\\s+'),
       |                     x -> length(x) > 0) AS t
       |  FROM documents),
       |bg AS (
@@ -5045,10 +5138,10 @@ object SparkEntry {
       |               unnest(range(1, greatest(len(t), 1))) AS i
       |        FROM toks)),
       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
-      |        WHERE source = 'src0' GROUP BY 1, 2),
+      |        WHERE $trainCond GROUP BY 1, 2),
       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
       |v AS (SELECT count(DISTINCT w) AS v
-      |      FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+      |      FROM (SELECT unnest(t) AS w FROM toks WHERE $trainCond)),
       |sc AS (
       |  SELECT bg.doc_id,
       |         -ln((coalesce(c12.c12, 0) + 1.0) /
@@ -5060,6 +5153,45 @@ object SparkEntry {
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |         round(avg(nl), 6) AS nll
       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** q345/q349's shared funnel oracle: the same one-pass rule flags,
+    * first-fail CASE chain, and rules-sized cumulative census — q349's
+    * merged per-shard censuses must equal it exactly (additivity). */
+  private val funnelOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(tk) AS wc, len(list_distinct(tk)) AS dt,
+      |         list_max(list_transform(list_distinct(tk),
+      |           w -> len(list_filter(tk, x -> x = w)))) AS topc,
+      |         list_contains(tk, 'the') OR list_contains(tk, 'a')
+      |           AS has_stop
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |         CASE WHEN NOT coalesce(wc >= 20, false) THEN 1
+      |              WHEN NOT coalesce(
+      |                CAST(dt AS DOUBLE) / wc >= 0.35, false) THEN 2
+      |              WHEN NOT coalesce(
+      |                CAST(topc AS DOUBLE) / wc <= 0.12, false) THEN 3
+      |              WHEN NOT coalesce(has_stop, false) THEN 4
+      |              ELSE 0 END AS ff
+      |  FROM m),
+      |r AS (SELECT * FROM (VALUES
+      |        (1, 'min_words_20'), (2, 'ttr_0.35'),
+      |        (3, 'top_token_0.12'), (4, 'has_stopword'))
+      |        AS v(rule_idx, rule)),
+      |c AS (SELECT ff, count(*) AS n FROM f GROUP BY ff),
+      |tot AS (SELECT count(*) AS total FROM f)
+      |SELECT CAST(r.rule_idx AS BIGINT) AS rule_idx, r.rule,
+      |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_failed_here,
+      |       CAST(total - sum(coalesce(c.n, 0))
+      |              OVER (ORDER BY r.rule_idx) AS BIGINT) AS n_remaining
+      |FROM r LEFT JOIN c ON c.ff = r.rule_idx CROSS JOIN tot
+      |ORDER BY rule_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5110,7 +5242,7 @@ object SparkEntry {
     // NTILE(3) per language over (nll, doc_id) — the same bucket-size
     // rule in both engines, id tiebreak pins equal scores.
     "q344_ccnet_buckets" ->
-      s"""WITH $lmScoreCtes,
+      s"""WITH ${lmScoreCtes()},
          |l AS (
          |  SELECT p.doc_id, d.lang, p.nll
          |  FROM perdoc p JOIN documents d USING (doc_id)),
@@ -5127,47 +5259,67 @@ object SparkEntry {
     // q345: same one-pass rule flags (NULL rule value = fail, the
     // coalesce-false convention on both sides), same first-fail CASE
     // chain, same rules-sized cumulative census.
-    "q345_filter_funnel" ->
+    "q345_filter_funnel" -> funnelOracleSql,
+
+    // q349: per-shard censuses fold additively — marginals and
+    // survivors both sum over disjoint shards, so the merged funnel IS
+    // the whole-corpus funnel: q345's oracle verbatim.
+    "q349_funnel_merge" -> funnelOracleSql,
+
+    // q350: the indexed screen equals the full-corpus window count
+    // restricted to batch ids (history ∪ batch = the corpus).
+    "q350_soft_dedup_indexed" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(text), '\s+'),
-        |                     x -> length(x) > 0) AS tk
+        |         array_to_string(
+        |           list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> length(x) > 0)[1:5], ' ') AS k
         |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, len(tk) AS wc, len(list_distinct(tk)) AS dt,
-        |         list_max(list_transform(list_distinct(tk),
-        |           w -> len(list_filter(tk, x -> x = w)))) AS topc,
-        |         list_contains(tk, 'the') OR list_contains(tk, 'a')
-        |           AS has_stop
-        |  FROM t),
-        |f AS (
+        |cut AS (SELECT CAST(floor(max(doc_id) * 6 / 10) AS BIGINT) AS cc
+        |        FROM documents),
+        |cs AS (
         |  SELECT doc_id,
-        |         CASE WHEN NOT coalesce(wc >= 20, false) THEN 1
-        |              WHEN NOT coalesce(
-        |                CAST(dt AS DOUBLE) / wc >= 0.35, false) THEN 2
-        |              WHEN NOT coalesce(
-        |                CAST(topc AS DOUBLE) / wc <= 0.12, false) THEN 3
-        |              WHEN NOT coalesce(has_stop, false) THEN 4
-        |              ELSE 0 END AS ff
-        |  FROM m),
-        |r AS (SELECT * FROM (VALUES
-        |        (1, 'min_words_20'), (2, 'ttr_0.35'),
-        |        (3, 'top_token_0.12'), (4, 'has_stopword'))
-        |        AS v(rule_idx, rule)),
-        |c AS (SELECT ff, count(*) AS n FROM f GROUP BY ff),
-        |tot AS (SELECT count(*) AS total FROM f)
-        |SELECT CAST(r.rule_idx AS BIGINT) AS rule_idx, r.rule,
-        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_failed_here,
-        |       CAST(total - sum(coalesce(c.n, 0))
-        |              OVER (ORDER BY r.rule_idx) AS BIGINT) AS n_remaining
-        |FROM r LEFT JOIN c ON c.ff = r.rule_idx CROSS JOIN tot
-        |ORDER BY rule_idx""".stripMargin,
+        |         count(*) OVER (PARTITION BY k) AS cluster_size
+        |  FROM t)
+        |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       round(round(CAST(1.0 AS DOUBLE) / cluster_size, 12), 6)
+        |         AS weight
+        |FROM cs, cut WHERE doc_id >= cc ORDER BY doc_id""".stripMargin,
+
+    // q351: the LM and the tercile cuts both fit on history only
+    // (doc_id below the 60% cut); the batch buckets by score compare
+    // against the cuts — ties land in the lower bucket on both sides.
+    "q351_ccnet_indexed" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 6 / 10) AS BIGINT) AS cc
+         |  FROM documents),
+         |${lmScoreCtes(
+              "source = 'src0' AND doc_id < (SELECT cc FROM cut)")},
+         |th AS (
+         |  SELECT lang,
+         |         max(CASE WHEN tl = 1 THEN nll END) AS head_max,
+         |         max(CASE WHEN tl = 2 THEN nll END) AS middle_max
+         |  FROM (SELECT p.doc_id, d.lang, p.nll,
+         |               ntile(3) OVER (PARTITION BY d.lang
+         |                              ORDER BY p.nll, p.doc_id) AS tl
+         |        FROM perdoc p JOIN documents d USING (doc_id)
+         |        WHERE p.doc_id < (SELECT cc FROM cut))
+         |  GROUP BY lang),
+         |b AS (
+         |  SELECT p.doc_id, d.lang, p.nll
+         |  FROM perdoc p JOIN documents d USING (doc_id)
+         |  WHERE p.doc_id >= (SELECT cc FROM cut))
+         |SELECT b.doc_id, b.lang, b.nll,
+         |       CASE WHEN b.nll <= th.head_max THEN 'head'
+         |            WHEN b.nll <= th.middle_max THEN 'middle'
+         |            ELSE 'tail' END AS ppl_bucket
+         |FROM b LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
     // q346: q80's per-doc scores → per-source decimal-sum mean loss →
     // excess vs the domain mean → linearized MW factor (12-dp, clamped
     // at 0) → one renormalizing division, 6-dp.
     "q346_domain_reweight" ->
-      s"""WITH $lmScoreCtes,
+      s"""WITH ${lmScoreCtes()},
          |dl AS (
          |  SELECT d.source,
          |         round(CAST(sum(CAST(p.nll AS DECIMAL(38,12)))
@@ -5192,6 +5344,48 @@ object SparkEntry {
          |       round(CAST(factor AS DOUBLE) / CAST(total AS DOUBLE), 6)
          |         AS weight
          |FROM fc CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // q347: the same seeded uniform (12 md5 nibbles of salt:key, half-
+    // step offset), the same Laplace inverse CDF, the same clamped
+    // floor(x+½) release — ln is engine-bit-matched (the q80 precedent).
+    "q347_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n,
+        |         (CAST(('0x' || substr(md5('dp-r14:' ||
+        |            concat_ws(chr(1),
+        |              coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |              coalesce(CAST(source AS VARCHAR), chr(0)))), 1, 12))
+        |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source,
+        |       CAST(greatest(0, floor(
+        |         n + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 0.5)
+        |           + 0.5)) AS BIGINT) AS released_count,
+        |       CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM g ORDER BY lang, source""".stripMargin,
+
+    // q348: same per-row seeded flip, same debias arithmetic
+    // (1 − 2·0.25 = 0.5 exactly in both engines' doubles).
+    "q348_randomized_response" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars IS NULL THEN NULL
+        |              WHEN (CAST(('0x' || substr(md5('rr-r14:' ||
+        |                     CAST(doc_id AS VARCHAR)), 1, 12))
+        |                     AS UBIGINT) + 0.5) / 281474976710656.0 < 0.25
+        |              THEN NOT (n_chars > 300) ELSE (n_chars > 300)
+        |         END AS reported
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_reports,
+        |         CAST(coalesce(sum(CASE WHEN reported THEN 1 END), 0)
+        |              AS BIGINT) AS n_reported_yes
+        |  FROM r WHERE reported IS NOT NULL GROUP BY lang)
+        |SELECT lang, n_reports, n_reported_yes,
+        |       round((CAST(n_reported_yes AS DOUBLE) / n_reports
+        |              - CAST(0.25 AS DOUBLE)) / CAST(0.5 AS DOUBLE), 6)
+        |         AS pi_hat
+        |FROM c ORDER BY lang""".stripMargin,
 
     // q335: same top-256 (freq DESC, token) vocabulary + OOV domain,
     // same Laplace smoothing over V+1 buckets, same 12-dp decimal

@@ -254,4 +254,20 @@ object DataPrep {
       .select(col("rule_idx"), col("rule"), col("n_failed_here"),
         col("n_remaining"))
   }
+
+  /**
+   * Fold [[filterFunnel]] censuses from DISJOINT shards of one corpus
+   * (same rule list, same order): first-fail attribution is per-row, so
+   * marginal removals are additive under union, and `n_remaining` —
+   * total minus the cumulative marginals — is additive too. The merge
+   * law `mergeFunnels(funnel(a) ∪ funnel(b)) ≡ funnel(a ∪ b)` makes the
+   * funnel a STANDING report over a sharded corpus: per-shard censuses
+   * (rules-sized rows each) append, the fleet-wide funnel folds at read,
+   * history is never re-screened (the [[Privacy.mergeClasses]] shape).
+   */
+  def mergeFunnels(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("rule_idx"), col("rule"))
+      .agg(sum(col("n_failed_here")).as("n_failed_here"),
+        sum(col("n_remaining")).as("n_remaining"))
 }

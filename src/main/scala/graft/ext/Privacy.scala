@@ -106,4 +106,106 @@ object Privacy {
       .agg(count(lit(1)).as("n_classes"),
         sum(col("class_size")).as("n_rows"))
       .orderBy(col("diversity").asc)
+
+  /** Uniform in (0,1) from the first 12 md5 nibbles of `salt:key` —
+    * the repo's seeded-randomness idiom ([[Sampling]]'s es-key), offset
+    * by half a grid step so 0 and 1 are unreachable (the Laplace
+    * inverse CDF below takes a log of `1 − 2|u − ½|`). */
+  private def seededUniform(key: Column, salt: String): Column =
+    (conv(substring(
+        md5(concat(lit(s"$salt:"), key).cast("binary")), 1, 12),
+      16, 10).cast("double") + 0.5) / lit(281474976710656.0) // 16^12
+
+  /**
+   * ε-differentially-private count release (Dwork et al. 2006): each
+   * group's exact count plus Laplace(1/ε) noise — a count's sensitivity
+   * under add/remove-one neighbors is 1 — released as the clamped
+   * integer `max(0, ⌊count + noise + ½⌋)`. The exact count never
+   * appears in the output; this is the mechanism that publishes a
+   * per-group report (the reference's own per-user request table is
+   * exactly such a release) with a provable bound on what any one row
+   * can change.
+   *
+   * The noise is SEEDED: uniform from `md5(salt : group-key)` through
+   * the Laplace inverse CDF `−(1/ε)·sgn(u−½)·ln(1−2|u−½|)`. A fixed
+   * salt makes the release reproducible across engines and testable
+   * against an oracle — and is also the correct production posture for
+   * a SINGLE release (re-randomizing the same release leaks: averaging
+   * n re-releases shrinks the noise √n-fold). Publishing k DIFFERENT
+   * releases of the same data requires fresh salts AND paying ε each
+   * time — sequential composition, total budget Σε — which is the
+   * caller's ledger, priced here in the output's `epsilon` column.
+   *
+   * NULL group values form their own group, keyed by a sentinel
+   * (`chr(0)`) that cannot appear in the cast group values; group keys
+   * join with `chr(1)` so adjacent columns cannot concatenate-collide.
+   *
+   * Shape at scale: ONE hash aggregate (map-side partial) to the
+   * group frame; noise is a per-group projection — no second pass, no
+   * window, no join.
+   */
+  def dpCounts(
+      df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val u = seededUniform(key, salt)
+    val t = u - lit(0.5)
+    val noise = -signum(t) * log(lit(1.0) - lit(2.0) * abs(t)) / lit(epsilon)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        greatest(lit(0L),
+          floor(col("__n") + noise + lit(0.5)).cast("long"))
+          .as("released_count") :+
+        lit(epsilon).as("epsilon"): _*)
+  }
+
+  /**
+   * Randomized response (Warner 1965) — LOCAL differential privacy for
+   * a boolean attribute: each row reports its true value flipped with
+   * probability `flipProb`, seeded per row from `md5(salt : id)`, so no
+   * collector ever holds the true column (ln(1/p − 1)-LDP per report
+   * at flipProb = p). NULL attributes report NULL (no evidence is not
+   * a "no"). Adds one column, `reported`; per-row projection, no
+   * shuffle — run it at ingest and drop the true column.
+   */
+  def randomizedResponse(
+      df: DataFrame, idCol: String, sensitive: Column,
+      flipProb: Double, salt: String): DataFrame = {
+    require(flipProb > 0 && flipProb < 0.5,
+      s"flipProb must be in (0, 0.5) — 0.5 destroys the signal: $flipProb")
+    val flip = seededUniform(col(idCol).cast("string"), salt) < flipProb
+    df.withColumn("reported",
+      when(sensitive.isNull, lit(null).cast("boolean"))
+        .otherwise(when(flip, !sensitive).otherwise(sensitive)))
+  }
+
+  /**
+   * The debiasing census over [[randomizedResponse]] reports: with flip
+   * probability p, `E[reported yes rate] = π(1−p) + (1−π)p`, so the
+   * unbiased prevalence estimate is `π̂ = (yes_rate − p) / (1 − 2p)` —
+   * per group: `(…, n_reports, n_reported_yes, pi_hat)`. π̂ can land
+   * outside [0,1] by sampling noise (small n, rare attribute); that is
+   * the honest estimator — clamp at the consumer if a proportion is
+   * required. One hash aggregate over the reports; NULL reports are
+   * excluded from both n and yes (they carry no evidence).
+   */
+  def rrPrevalence(
+      reports: DataFrame, groupCols: Seq[String],
+      flipProb: Double): DataFrame = {
+    require(flipProb > 0 && flipProb < 0.5,
+      s"flipProb must be in (0, 0.5): $flipProb")
+    reports
+      .filter(col("reported").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_reports"),
+        coalesce(sum(when(col("reported"), 1L)), lit(0L))
+          .as("n_reported_yes"))
+      .withColumn("pi_hat",
+        round((col("n_reported_yes").cast("double")
+            / col("n_reports") - flipProb) / (1.0 - 2.0 * flipProb), 6))
+  }
 }

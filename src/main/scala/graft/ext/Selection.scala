@@ -222,6 +222,53 @@ object Selection {
   }
 
   /**
+   * The standing-state form of [[softDedupWeights]]: a persisted
+   * `(key, cluster_size)` count table. Counts are additive under
+   * disjoint-batch union, so the index maintains by
+   * [[mergeSoftDedupIndex]] without re-reading history text — only the
+   * key column ever moves.
+   */
+  def buildSoftDedupIndex(docs: DataFrame, keyCol: String): DataFrame =
+    docs.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cluster_size"))
+
+  /** Additive fold of [[buildSoftDedupIndex]] partials from DISJOINT
+    * batches — `merge(index(a), index(b)) ≡ index(a ∪ b)` (counts sum;
+    * spec-pinned). */
+  def mergeSoftDedupIndex(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key"))
+      .agg(sum(col("cluster_size")).as("cluster_size"))
+
+  /**
+   * Weigh a NEW batch against a standing corpus: each batch document's
+   * cluster size counts the history index PLUS the batch itself (the
+   * batch is part of the corpus it joins), so
+   * `weightsIndexed(batch, index(history)) ≡
+   * softDedupWeights(history ∪ batch) restricted to batch ids` —
+   * history text is never re-read; the join key side is the
+   * metadata-shaped count table. Note the asymmetry soft dedup shares
+   * with every standing-weight scheme: HISTORY documents' weights
+   * dilute as new duplicates arrive — re-derive history weights from
+   * the merged index (one join, no text) when re-sampling old shards.
+   */
+  def softDedupWeightsIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      keyCol: String): DataFrame = {
+    val total = mergeSoftDedupIndex(
+      index.unionByName(buildSoftDedupIndex(batch, keyCol)))
+    val b = batch.select(col(idCol), col(keyCol).as("__bkey"))
+    // null-SAFE key equality: the index holds NULL keys as one row
+    // (GROUP BY semantics), so the lookup must match them too — a plain
+    // equi-join would silently drop every NULL-keyed batch doc
+    b.join(total, b("__bkey") <=> total("key"), "left")
+      .select(col(idCol),
+        col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 12).cast(dec).as("weight"))
+  }
+
+  /**
    * CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
    * §4.4): within each group (language, in the paper), documents split
@@ -259,6 +306,53 @@ object Selection {
           .otherwise(lit("tail")))
       .drop("__tile")
   }
+
+  /**
+   * The standing-thresholds form of [[perplexityBuckets]]: persist each
+   * group's tercile CUT SCORES — `(groupCol, head_max, middle_max)`,
+   * the highest score inside tiles 1 and 2 — and bucket any future
+   * document by comparing its score against the cuts with ZERO passes
+   * over the corpus ([[bucketsIndexed]]). CCNet's production shape:
+   * thresholds fit once per (language, snapshot); every crawl shard
+   * then buckets independently. The frame is group-cardinality-sized
+   * metadata, so it rides every lookup as a broadcast.
+   */
+  def buildBucketThresholds(
+      scored: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String): DataFrame =
+    perplexityBuckets(scored, idCol, groupCol, scoreCol)
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("ppl_bucket") === "head", col(scoreCol)))
+          .as("head_max"),
+        max(when(col("ppl_bucket") === "middle", col(scoreCol)))
+          .as("middle_max"))
+
+  /**
+   * Bucket a batch against [[buildBucketThresholds]] cuts: head if
+   * `score ≤ head_max`, middle if `≤ middle_max`, tail otherwise.
+   * Contract difference from the self-contained form, by design: the
+   * index assigns by SCORE alone (a batch doc tying a cut lands in the
+   * lower bucket), while ntile splits ties by id to force exact
+   * tercile counts — an index cannot know the corpus's tie ids. A
+   * group absent from the thresholds (or one too small to have filled
+   * its tiles) buckets to tail — the conservative unseen-group default.
+   * One broadcast join, no window, no shuffle beyond the input's.
+   */
+  def bucketsIndexed(
+      batch: DataFrame,
+      thresholds: DataFrame,
+      groupCol: String,
+      scoreCol: String): DataFrame =
+    batch
+      .join(broadcast(thresholds), Seq(groupCol), "left")
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) <= col("head_max"), lit("head"))
+          .when(col(scoreCol) <= col("middle_max"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("head_max", "middle_max")
 
   /**
    * Domain reweighting by excess loss — ONE multiplicative-weights step

@@ -215,4 +215,22 @@ class DataPrepSpec extends GraftSpec {
       DataPrep.filterFunnel(docs, Seq.empty)
     }
   }
+
+  test("mergeFunnels: disjoint-shard censuses fold to the whole-corpus " +
+      "funnel (marginals and survivors are both additive)") {
+    val docs = (1 to 60).map(i => (i.toLong, i)).toDF("id", "n")
+    val rules = Seq("r1" -> (col("n") % 3 =!= 0), "r2" -> (col("n") > 6))
+    val whole = DataPrep.filterFunnel(docs, rules)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val merged = DataPrep.mergeFunnels(
+        DataPrep.filterFunnel(docs.filter(col("id") % 2 === 0), rules)
+          .unionByName(
+            DataPrep.filterFunnel(docs.filter(col("id") % 2 === 1), rules)))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(merged == whole)
+  }
 }

@@ -84,4 +84,85 @@ class PrivacySpec extends GraftSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L)))
   }
+
+  test("dpCounts: released = clamped floor(n + Laplace(1/eps) + 1/2) " +
+      "under the seeded inverse CDF; exact count absent; salt matters") {
+    val d = (1 to 40).map(i => (i.toLong, if (i <= 30) "a" else "b"))
+      .toDF("id", "g")
+    val out = Privacy.dpCounts(d, Seq("g"), epsilon = 0.5, salt = "s1")
+    assert(out.columns.toSeq == Seq("g", "released_count", "epsilon"))
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the mechanism by hand from the same md5 seed
+    def released(g: String, n: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12)
+      val t = u - 0.5
+      val noise = -math.signum(t) * math.log(1 - 2 * math.abs(t)) / 0.5
+      math.max(0L, math.floor(n + noise + 0.5).toLong)
+    }
+    assert(got("a") == released("a", 30L))
+    assert(got("b") == released("b", 10L))
+    // a different salt is a different (fresh-budget) release
+    val got2 = Privacy.dpCounts(d, Seq("g"), 0.5, "s2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got != got2 || got("a") != got2("a") || got("b") != got2("b"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(d, Seq("g"), epsilon = 0.0, salt = "s")
+    }
+  }
+
+  test("dpCounts: noise magnitude tracks 1/epsilon and the clamp floors " +
+      "small groups at zero") {
+    // one singleton group whose seeded u is in the noisy-negative half
+    // for some salt: scan salts until the released count clamps to 0 at
+    // a tiny epsilon (huge noise) — proves the clamp path executes
+    val d = Seq((1L, "only")).toDF("id", "g")
+    val clamped = (1 to 20).exists { k =>
+      Privacy.dpCounts(d, Seq("g"), epsilon = 0.01, salt = s"c$k")
+        .collect()(0).getLong(1) == 0L
+    }
+    assert(clamped)
+  }
+
+  test("randomizedResponse + rrPrevalence: seeded flips replay by hand, " +
+      "NULLs carry no evidence, debias recovers the rate") {
+    val d = (1 to 200).map(i =>
+        (i.toLong, if (i % 10 == 0) None else Some(i % 4 == 0)))
+      .toDF("id", "truth")
+    val rep = Privacy.randomizedResponse(d, "id", col("truth"),
+      flipProb = 0.25, salt = "rr")
+    val rows = rep.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+      .toMap
+    def flips(i: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rr:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12) < 0.25
+    }
+    (1 to 200).foreach { i =>
+      val expected =
+        if (i % 10 == 0) None
+        else Some(if (flips(i)) !(i % 4 == 0) else i % 4 == 0)
+      assert(rows(i.toLong) == expected, s"id $i")
+    }
+    // census: NULL reports excluded; pi_hat = (rate − p)/(1 − 2p)
+    val prev = Privacy.rrPrevalence(
+      rep.withColumn("g", lit("all")), Seq("g"), 0.25).collect()(0)
+    val n = prev.getLong(1)
+    val yes = prev.getLong(2)
+    assert(n == 180L) // 20 NULL rows carry no evidence
+    val expectedPi = BigDecimal((yes.toDouble / n - 0.25) / 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(prev.getDouble(3) == expectedPi)
+    // the debiased estimate lands near the true 25% long before the
+    // reported raw rate does (which sits near .25·.75 + .75·.25 ≈ 0.375)
+    assert(math.abs(prev.getDouble(3) - 0.25) < 0.25)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(d, "id", col("truth"), 0.5, "rr")
+    }
+  }
 }

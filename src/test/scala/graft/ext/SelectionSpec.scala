@@ -158,6 +158,65 @@ class SelectionSpec extends GraftSpec {
     assert(w("d3") == ((r12(3.0), 0.833333)))    // 2.5/3
   }
 
+  test("softDedup index laws: merge(index(a), index(b)) ≡ index(a ∪ b); " +
+      "indexed batch weights ≡ full-corpus weights restricted to batch; " +
+      "NULL keys survive the lookup") {
+    val hist = Seq((1L, "k1"), (2L, "k1"),
+      (3L, null.asInstanceOf[String])).toDF("id", "k")
+    val batch = Seq((10L, "k1"), (11L, "k2"),
+      (12L, null.asInstanceOf[String])).toDF("id", "k")
+    // merge law
+    val mergedIdx = Selection.mergeSoftDedupIndex(
+        Selection.buildSoftDedupIndex(hist, "k")
+          .unionByName(Selection.buildSoftDedupIndex(batch, "k")))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val wholeIdx = Selection.buildSoftDedupIndex(
+        hist.unionByName(batch), "k")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(mergedIdx == wholeIdx)
+    assert(mergedIdx == Map(Some("k1") -> 3L, Some("k2") -> 1L,
+      (None: Option[String]) -> 2L))
+    // indexed ≡ from-scratch restricted to batch (incl. the NULL key)
+    val indexed = Selection.softDedupWeightsIndexed(batch,
+        Selection.buildSoftDedupIndex(hist, "k"), "id", "k")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toSet
+    val whole = Selection.softDedupWeights(
+        hist.unionByName(batch), "id", "k")
+      .filter($"id" >= 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toSet
+    assert(indexed == whole)
+    assert(indexed.exists(t => t._1 == 12L && t._2 == 2L),
+      "NULL-keyed batch doc found its history NULL cluster")
+  }
+
+  test("bucket thresholds: cuts are the tile maxima; indexed assignment " +
+      "matches the self-contained buckets away from cut ties; unseen " +
+      "group buckets to tail") {
+    val scored = Seq(
+      (1L, "g1", 0.1), (2L, "g1", 0.2), (3L, "g1", 0.3), (4L, "g1", 0.4),
+      (5L, "g1", 0.5), (6L, "g1", 0.6), (7L, "g1", 0.7)
+    ).toDF("id", "g", "s")
+    val th = Selection.buildBucketThresholds(scored, "id", "g", "s")
+      .collect()
+    assert(th.length == 1)
+    assert((th(0).getString(0), th(0).getDouble(1), th(0).getDouble(2))
+      == (("g1", 0.3, 0.5))) // head tile {0.1,0.2,0.3}, middle {0.4,0.5}
+    // a fresh batch with scores strictly between the corpus's buckets
+    val batch = Seq((20L, "g1", 0.05), (21L, "g1", 0.45),
+      (22L, "g1", 0.9), (23L, "g1", 0.3), (24L, "gX", 0.0))
+      .toDF("id", "g", "s")
+    val got = Selection.bucketsIndexed(batch,
+        Selection.buildBucketThresholds(scored, "id", "g", "s"), "g", "s")
+      .select($"id", $"ppl_bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(20L) == "head" && got(21L) == "middle" && got(22L) == "tail")
+    assert(got(23L) == "head", "a cut tie lands in the lower bucket")
+    assert(got(24L) == "tail", "unseen group defaults to tail")
+  }
+
   test("domainReweight: weights renormalize to ~1 and the input stays " +
       "domain-sized metadata (no corpus shuffle added)") {
     val losses = Seq(("a", 1.2), ("b", 1.5), ("c", 0.9), ("d", 1.8))
