@@ -879,6 +879,80 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q342: the frame sample is one narrow pass — the only exchange " +
+    "is the output-order sort, no join, and the scan reads only doc_id") {
+    val p = plan("q342_frame_sample")
+    // MapPartitions (decode) → Generate (explode) are narrow; the single
+    // Exchange is the rangepartitioning the deterministic dump order
+    // needs, nothing upstream of it shuffles
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "frame sampling itself must not shuffle")
+    assert(p.contains("rangepartitioning"),
+      "the one exchange is the output sort")
+    assert(!p.contains("Join"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "payload synthesis needs only doc_id — text must be pruned")
+  }
+
+  test("q345/q349: the funnel census reads only the text column and " +
+    "the cumulative window runs over the rules-sized frame (its input " +
+    "is the rules LocalTableScan join, behind the census aggregate)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps the executed plan in opaque stages — pin the static
+    // shape instead (the contract is planner-level, not runtime-level)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (key <- Seq("q345_filter_funnel", "q349_funnel_merge")) {
+      val e = SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.executedPlan
+      val p = e.toString
+      // q345 needs only text; q349's shard split also reads doc_id —
+      // either way, nothing beyond the rule inputs reaches the scan
+      val expected =
+        if (key.startsWith("q349")) "struct<doc_id:bigint,text:string>"
+        else "struct<text:string>"
+      assert(p.contains(s"ReadSchema: $expected"),
+        s"$key: scan must read only the rule inputs")
+      assert(!p.contains("CartesianProduct"), key)
+      val windows = e.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$key: cumulative window expected")
+      windows.foreach { w =>
+        // the window's direct input is the rules frame joined to the
+        // (already-aggregated) census — the corpus only ever reaches it
+        // through a HashAggregate, never as raw rows
+        assert(w.child.toString.contains("LocalTableScan"),
+          s"$key: window must sit on the rules-sized frame")
+        assert(w.child.toString.contains("HashAggregate"),
+          s"$key: the corpus side must be aggregated before the window")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q350: the soft-dedup index lookup stays a hash-joinable " +
+    "equi-join even with broadcast disabled (at 100 TB neither the " +
+    "batch nor a web-scale count index is broadcastable)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q350_soft_dedup_indexed")
+      assert(!p.contains("CartesianProduct"))
+      // the null-safe <=> key lookup must never degrade to a nested
+      // loop; the only BNLJ allowed is the established 1-row scalar-cut
+      // attach (Cross BuildRight over a 1-row aggregate)
+      assert(!p.contains("BroadcastNestedLoopJoin LeftOuter"),
+        "the null-safe key lookup must stay a hash-joinable equi-join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "with broadcast off the lookup must become a shuffled equi-join")
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q351: the threshold table rides the batch as a broadcast") {
+    val p = plan("q351_ccnet_indexed")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q157: linkage candidates come from the UNION of the name and " +
     "balance-band blocks — never a nation-only join") {
     val p = plan("q157_record_linkage")
