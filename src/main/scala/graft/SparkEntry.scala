@@ -496,6 +496,17 @@ object SparkEntry {
         .orderBy(col("source").asc_nulls_last)
     }),
 
+    // X3+ — Matryoshka truncation eval (Kusupati et al. 2022): exact
+    // recall@10 of prefix-truncated cosine retrieval vs the full 64
+    // dims, for prefixes 8/16/32/64 — the number that decides whether
+    // the ANN index runs at m/64 of the memory. Queries broadcast, the
+    // corpus is touched once, all prefixes share the projection.
+    "q352_matryoshka_eval" -> ((s, d) =>
+      VectorOps.matryoshkaEval(t(s, d, "embeddings"), "vec_id",
+          "embedding", prefixes = Seq(8, 16, 32, 64), k = 10,
+          col("vec_id") < 50)
+        .orderBy(col("dims").asc)),
+
     // X+/S — ε-DP Laplace count release (Dwork et al. 2006) over the
     // lang×source census: exact counts + seeded Laplace(1/ε) noise,
     // released as clamped integers — the mechanism the reference's own
@@ -5344,6 +5355,46 @@ object SparkEntry {
          |       round(CAST(factor AS DOUBLE) / CAST(total AS DOUBLE), 6)
          |         AS weight
          |FROM fc CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // q352: the same exact-double cosine over the same sliced prefixes
+    // (the q84 list-fold idiom), the same (sim DESC NULLS LAST, cid)
+    // rank, the same hits/(n·k) recall arithmetic.
+    "q352_matryoshka_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        |m AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        |p AS (
+        |  SELECT m.dims, q.qid, c.cid,
+        |         list_aggregate(list_transform(
+        |             list_zip(q.qv[1:m.dims], c.cv[1:m.dims]),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |           'sum')
+        |         / nullif(
+        |             sqrt(list_aggregate(list_transform(q.qv[1:m.dims],
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           * sqrt(list_aggregate(list_transform(c.cv[1:m.dims],
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |             0.0) AS sim
+        |  FROM q, c, m WHERE q.qid <> c.cid),
+        |t AS (
+        |  SELECT dims, qid, cid,
+        |         row_number() OVER (PARTITION BY dims, qid
+        |                            ORDER BY sim DESC NULLS LAST, cid)
+        |           AS rk
+        |  FROM p),
+        |tk AS (SELECT dims, qid, cid FROM t WHERE rk <= 10),
+        |b AS (SELECT qid, cid FROM tk WHERE dims = 64),
+        |h AS (SELECT tk.dims, count(*) AS hits
+        |      FROM tk JOIN b USING (qid, cid) GROUP BY tk.dims),
+        |nq AS (SELECT count(*) AS n FROM q)
+        |SELECT CAST(m.dims AS BIGINT) AS dims,
+        |       CAST(n AS BIGINT) AS n_queries,
+        |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / (n * 10), 6)
+        |         AS recall_at_k
+        |FROM m LEFT JOIN h ON h.dims = m.dims CROSS JOIN nq
+        |ORDER BY dims""".stripMargin,
 
     // q347: the same seeded uniform (12 md5 nibbles of salt:key, half-
     // step offset), the same Laplace inverse CDF, the same clamped

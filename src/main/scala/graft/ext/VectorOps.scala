@@ -269,4 +269,74 @@ object VectorOps {
       acc.withColumn(s"p${j + 1}", round(dotCol / lit(scale), 6))
     }
   }
+
+  /**
+   * Matryoshka truncation eval (Kusupati et al., NeurIPS 2022,
+   * "Matryoshka Representation Learning"): how much retrieval quality
+   * survives cutting the embedding to its first `m` dimensions? For
+   * each prefix length, every query's exact-cosine top-`k` under the
+   * truncated vectors is compared against the full-dimension top-`k`,
+   * and the per-prefix `recall@k` — the fraction of true top-`k`
+   * neighbors the truncated index still finds — is the number that
+   * decides whether an ANN index can run at m/d of the memory and
+   * bandwidth. One row per prefix: `(dims, n_queries, recall_at_k)`;
+   * the full-dimension row is its own baseline (recall 1.0 — a built-in
+   * sanity check of the rank plumbing).
+   *
+   * Determinism: sims are exact doubles (the [[Similarity.nativeDot]]
+   * ascending-index fold both engines reproduce), ranking is
+   * `(sim DESC NULLS LAST, id ASC)` — ties, including exact ones, break
+   * identically everywhere.
+   *
+   * Shape at scale: the query set broadcasts (bounded, like q19's exact
+   * baseline); the corpus is touched ONCE — all prefixes' sims compute
+   * in the same projection from the same sliced arrays, then one window
+   * per (prefix, query) group ranks |corpus|-sized partitions. This is
+   * the EXACT eval harness — run it on a sampled query set to grade a
+   * truncation, not as the production retrieval path (that is the ANN
+   * family's job, fed by the prefix this eval picks).
+   */
+  def matryoshkaEval(
+      emb: DataFrame, idCol: String, vecCol: String,
+      prefixes: Seq[Int], k: Int, queryPred: Column): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ > 0),
+      s"prefixes must be positive: $prefixes")
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val baseline = prefixes.max
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val sims = prefixes.distinct.sorted.map(m =>
+      struct(lit(m).as("dims"),
+        Similarity.cosine(
+          slice(col("qv"), 1, m), slice(col("cv"), 1, m)).as("sim")))
+    val tops = corpus
+      .join(broadcast(queries), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), explode(array(sims: _*)).as("s"))
+      .select(col("qid"), col("cid"),
+        col("s.dims").as("dims"), col("s.sim").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dims"), col("qid"))
+          .orderBy(col("sim").desc_nulls_last, col("cid").asc)))
+      .filter(col("rk") <= k)
+    val base = tops.filter(col("dims") === baseline)
+      .select(col("qid"), col("cid"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val hits = tops.select(col("dims"), col("qid"), col("cid"))
+      .join(base, Seq("qid", "cid"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("__hits"))
+    // one row per prefix even at zero hits — a fully-off truncation must
+    // report recall 0, not vanish from the curve
+    val spark = emb.sparkSession
+    import spark.implicits._
+    prefixes.distinct.sorted.map(_.toLong).toDF("dims")
+      .join(broadcast(hits), Seq("dims"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("dims"),
+        col("__nq").as("n_queries"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double")
+          / (col("__nq") * k), 6).as("recall_at_k"))
+  }
 }

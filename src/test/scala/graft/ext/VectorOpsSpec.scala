@@ -150,4 +150,33 @@ class VectorOpsSpec extends GraftSpec {
     }
     assert(rmax(0.5f) < rmax(2.0f), "compactness improves the index")
   }
+
+  test("matryoshkaEval: hand-built prefix geometry — truncation flips " +
+      "the neighbor, the full-dim row is its own 1.0 baseline") {
+    import org.apache.spark.sql.functions._
+    // query q=(1,0,0,1). Under the 2-dim prefix, n1=(1,0,...) is the
+    // perfect match; under full 4 dims, n2=(1,0,0,1) is. n3 is noise.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),  // the query (vec_id < 1)
+      (1L, Seq(1f, 0f, 9f, -9f)), // prefix twin, full-dim stranger
+      (2L, Seq(1f, 0f, 0f, 1f)),  // full-dim twin
+      (3L, Seq(-1f, 2f, -3f, 4f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.matryoshkaEval(emb, "vec_id", "embedding",
+        prefixes = Seq(2, 4), k = 1, col("vec_id") < 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // prefix 2: top-1 is vec 1 or 2 (both cosine 1 on (1,0)) → tie
+    // breaks to cid 1, which is NOT the full-dim top-1 (vec 2) → recall 0
+    assert(got(2L) == 0.0, "the truncated index found the wrong neighbor")
+    assert(got(4L) == 1.0, "full dims are their own baseline")
+    // widen k: with k=2 both twins fit, truncation recovers the true one
+    val got2 = VectorOps.matryoshkaEval(emb, "vec_id", "embedding",
+        Seq(2, 4), k = 2, col("vec_id") < 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got2(2L) == 0.5 && got2(4L) == 1.0)
+    intercept[IllegalArgumentException] {
+      VectorOps.matryoshkaEval(emb, "vec_id", "embedding", Seq.empty, 1,
+        col("vec_id") < 1)
+    }
+  }
 }
