@@ -517,6 +517,16 @@ object SparkEntry {
           epsilon = 0.5, salt = "dp-r14")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
 
+    // X+/S — ε-DP top-k via the exponential mechanism in Gumbel form
+    // (McSherry–Talwar 2007; one-shot top-k per Durfee–Rogers 2019):
+    // release WHICH languages dominate, ranked, with no count of any
+    // kind leaving — the release for when even a noised count says too
+    // much. Key frame is metadata-sized; TakeOrdered-bounded.
+    "q353_dp_topk" -> ((s, d) =>
+      Privacy.dpTopK(t(s, d, "documents"), "lang", k = 3,
+          epsilon = 1.0, salt = "dpk-r14")
+        .orderBy(col("rank").asc)),
+
     // X+/S — randomized response (Warner 1965), the LOCAL-DP companion:
     // each doc reports "long document?" flipped with seeded prob 0.25
     // (the collector never holds the true bit), then the per-language
@@ -5414,6 +5424,29 @@ object SparkEntry {
         |           + 0.5)) AS BIGINT) AS released_count,
         |       CAST(0.5 AS DOUBLE) AS epsilon
         |FROM g ORDER BY lang, source""".stripMargin,
+
+    // q353: the same seeded Gumbel (−ln(−ln u) over the md5 uniform),
+    // the same count + (2/ε)·g score, the same (score DESC, key) rank —
+    // and no count column anywhere in the release.
+    "q353_dp_topk" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n,
+        |         (CAST(('0x' || substr(md5('dpk-r14:' ||
+        |            coalesce(CAST(lang AS VARCHAR), chr(0))), 1, 12))
+        |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT lang,
+        |         n + CAST(2.0 AS DOUBLE) * (-ln(-ln(u))) AS score
+        |  FROM g),
+        |r AS (
+        |  SELECT lang,
+        |         CAST(row_number() OVER (
+        |           ORDER BY score DESC, lang ASC NULLS LAST) AS BIGINT)
+        |           AS rank
+        |  FROM s)
+        |SELECT rank, lang, CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
 
     // q348: same per-row seeded flip, same debias arithmetic
     // (1 − 2·0.25 = 0.5 exactly in both engines' doubles).

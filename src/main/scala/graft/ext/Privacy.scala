@@ -164,6 +164,46 @@ object Privacy {
   }
 
   /**
+   * ε-DP top-k selection — the EXPONENTIAL mechanism (McSherry & Talwar
+   * 2007) in its Gumbel-noise form: releasing
+   * `argmax(count + (2/ε)·Gumbel)` is distributionally identical to the
+   * exponential mechanism with utility = count and sensitivity 1, and
+   * taking the k largest noisy scores at once is the one-shot top-k of
+   * Durfee & Rogers (NeurIPS 2019). What leaves is the RANKED KEY LIST
+   * ONLY — no count, noisy or otherwise: the "which languages dominate
+   * this corpus?" release when even a Laplace-noised count says too
+   * much. Each key's Gumbel draw `−ln(−ln u)` is seeded from
+   * `md5(salt : key)` — the same reproducibility-and-budget posture as
+   * [[dpCounts]] (one salt = one release; k keys from one draw set =
+   * one Durfee–Rogers top-k budget, not k compositions).
+   *
+   * Output: `(rank, keyCol, epsilon)`, rank 1 = noisy-largest. NULL
+   * keys participate as their own group (seeded by the sentinel).
+   *
+   * Shape at scale: one hash aggregate to the key frame; the noisy sort
+   * is TakeOrdered-bounded to k over that metadata-sized frame.
+   */
+  def dpTopK(
+      df: DataFrame, keyCol: String, k: Int,
+      epsilon: Double, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    import org.apache.spark.sql.expressions.Window
+    val u = seededUniform(
+      coalesce(col(keyCol).cast("string"), lit("\u0000")), salt)
+    val gumbel = -log(-log(u))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__score", col("__n") + lit(2.0 / epsilon) * gumbel)
+      .orderBy(col("__score").desc, col(keyCol).asc_nulls_last)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__score").desc, col(keyCol).asc_nulls_last))
+        .cast("long"))
+      .select(col("rank"), col(keyCol), lit(epsilon).as("epsilon"))
+  }
+
+  /**
    * Randomized response (Warner 1965) — LOCAL differential privacy for
    * a boolean attribute: each row reports its true value flipped with
    * probability `flipProb`, seeded per row from `md5(salt : id)`, so no

@@ -127,6 +127,37 @@ class PrivacySpec extends GraftSpec {
     assert(clamped)
   }
 
+  test("dpTopK: Gumbel scores replay by hand; no count leaves; big " +
+      "count gaps survive the noise, epsilon scales the scramble") {
+    val d = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (1 to 3).map(i => (100L + i, "tiny")) ++
+      (1 to 2).map(i => (200L + i, "mini"))).toDF("id", "g")
+    val out = Privacy.dpTopK(d, "g", k = 2, epsilon = 1.0, salt = "t1")
+    assert(out.columns.toSeq == Seq("rank", "g", "epsilon"),
+      "no count column may leave")
+    // replay: score = n + 2/eps * (-ln(-ln u)) from the same md5 seed
+    def score(g: String, n: Long, eps: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t1:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12)
+      n + (2.0 / eps) * (-math.log(-math.log(u)))
+    }
+    val expected = Seq("big" -> score("big", 100, 1.0),
+      "tiny" -> score("tiny", 3, 1.0), "mini" -> score("mini", 2, 1.0))
+      .sortBy(-_._2).map(_._1).take(2)
+    val got = out.collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    assert(got == expected)
+    // a 97-count gap is ~25 Gumbel scales at eps=1: "big" must win
+    assert(got.head == "big")
+    intercept[IllegalArgumentException] {
+      Privacy.dpTopK(d, "g", k = 0, epsilon = 1.0, salt = "t1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpTopK(d, "g", k = 1, epsilon = -1.0, salt = "t1")
+    }
+  }
+
   test("randomizedResponse + rrPrevalence: seeded flips replay by hand, " +
       "NULLs carry no evidence, debias recovers the rate") {
     val d = (1 to 200).map(i =>
