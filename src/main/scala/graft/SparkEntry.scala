@@ -517,6 +517,21 @@ object SparkEntry {
           epsilon = 0.5, salt = "dp-r14")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
 
+    // X1+/X+ — clustering-agreement report: grade the MinHash dedup
+    // clustering (threshold 0.6 — q190's exact-certified labels)
+    // against the language partition with purity, NMI and B³ —
+    // the external measures an entity-resolution/dedup config sweep
+    // compares on. Everything reduces over the contingency frame; B³'s
+    // per-item form collapses to n_pg²/margin cells.
+    "q354_cluster_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pred = Dedup.clusterLabels(docs, "doc_id", "text",
+        threshold = 0.6)
+      val gold = docs.select(col("doc_id"), col("lang").as("gold"))
+      Eval.clusteringAgreement(pred.join(gold, Seq("doc_id")),
+        "doc_id", "cluster", "gold")
+    }),
+
     // X+/S — ε-DP top-k via the exponential mechanism in Gumbel form
     // (McSherry–Talwar 2007; one-shot top-k per Durfee–Rogers 2019):
     // release WHICH languages dominate, ranked, with no count of any
@@ -5424,6 +5439,68 @@ object SparkEntry {
         |           + 0.5)) AS BIGINT) AS released_count,
         |       CAST(0.5 AS DOUBLE) AS epsilon
         |FROM g ORDER BY lang, source""".stripMargin,
+
+    // q354: the same exact-Jaccard components (q190's pair + CC CTEs),
+    // the same contingency reduction — 12-dp decimal term sums for the
+    // log/ratio measures, exact integers elsewhere, F1 from the
+    // rounded precision/recall.
+    "q354_cluster_agreement" ->
+      ("WITH RECURSIVE " + dedupPairsCte + ",\n" + dedupCcCte + """,
+        |rep AS (SELECT src AS doc_id, min(dst) AS cluster
+        |        FROM reach GROUP BY src),
+        |gt AS (SELECT doc_id, lang AS g FROM documents),
+        |j AS (
+        |  SELECT CAST(r.cluster AS VARCHAR) AS p, gt.g
+        |  FROM rep r JOIN gt USING (doc_id) WHERE gt.g IS NOT NULL),
+        |cells AS (
+        |  SELECT p, g, CAST(count(*) AS BIGINT) AS n_pg
+        |  FROM j GROUP BY p, g),
+        |pc AS (SELECT p, sum(n_pg) AS n_p FROM cells GROUP BY p),
+        |gc AS (SELECT g, sum(n_pg) AS n_g FROM cells GROUP BY g),
+        |nn AS (SELECT sum(n_pg) AS n FROM cells),
+        |pur AS (SELECT sum(mx) AS s FROM
+        |        (SELECT p, max(n_pg) AS mx FROM cells GROUP BY p)),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred_clusters
+        |       FROM pc),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold_clusters
+        |       FROM gc),
+        |tr AS (SELECT c.n_pg, pc.n_p, gc.n_g, nn.n
+        |       FROM cells c JOIN pc USING (p) JOIN gc USING (g)
+        |       CROSS JOIN nn),
+        |sums AS (
+        |  SELECT
+        |    sum(CAST(round(CAST(n_pg AS DOUBLE) * n_pg / n_p, 12)
+        |        AS DECIMAL(38,12))) AS bp,
+        |    sum(CAST(round(CAST(n_pg AS DOUBLE) * n_pg / n_g, 12)
+        |        AS DECIMAL(38,12))) AS br,
+        |    sum(CAST(round((CAST(n_pg AS DOUBLE) / n) *
+        |        ln(CAST(n AS DOUBLE) * n_pg /
+        |           (CAST(n_p AS DOUBLE) * n_g)), 12)
+        |        AS DECIMAL(38,12))) AS mi
+        |  FROM tr),
+        |hp AS (SELECT sum(CAST(round(-(CAST(n_p AS DOUBLE) / n) *
+        |         ln(CAST(n_p AS DOUBLE) / n), 12) AS DECIMAL(38,12)))
+        |         AS h
+        |       FROM pc CROSS JOIN nn),
+        |hg AS (SELECT sum(CAST(round(-(CAST(n_g AS DOUBLE) / n) *
+        |         ln(CAST(n_g AS DOUBLE) / n), 12) AS DECIMAL(38,12)))
+        |         AS h
+        |       FROM gc CROSS JOIN nn)
+        |SELECT CAST(nn.n AS BIGINT) AS n_items,
+        |       np.n_pred_clusters, ng.n_gold_clusters,
+        |       round(CAST(pur.s AS DOUBLE) / nn.n, 6) AS purity,
+        |       round(CAST(sums.mi AS DOUBLE) /
+        |         nullif(sqrt(CAST(hp.h AS DOUBLE) * CAST(hg.h AS DOUBLE)),
+        |                0.0), 6) AS nmi,
+        |       round(CAST(sums.bp AS DOUBLE) / nn.n, 6) AS b3_precision,
+        |       round(CAST(sums.br AS DOUBLE) / nn.n, 6) AS b3_recall,
+        |       round(CAST(2.0 AS DOUBLE)
+        |         * round(CAST(sums.bp AS DOUBLE) / nn.n, 6)
+        |         * round(CAST(sums.br AS DOUBLE) / nn.n, 6)
+        |         / nullif(round(CAST(sums.bp AS DOUBLE) / nn.n, 6)
+        |                + round(CAST(sums.br AS DOUBLE) / nn.n, 6), 0.0),
+        |           6) AS b3_f1
+        |FROM nn, pur, np, ng, sums, hp, hg""".stripMargin),
 
     // q353: the same seeded Gumbel (−ln(−ln u) over the md5 uniform),
     // the same count + (2/ε)·g score, the same (score DESC, key) rank —

@@ -1197,4 +1197,91 @@ object Eval {
         (count(lit(1)) - sum(col("_u"))).as("n_bins_dropped"),
         round(sum(col("_t")).cast("double"), 6).as("psi"))
   }
+
+  /**
+   * Clustering-agreement report — grade one clustering against another
+   * (a dedup/linkage clustering vs a gold partition, or two candidate
+   * dedup configurations against each other) with the three standard
+   * external measures:
+   *
+   *  - **purity** — Σ_p max_g |p∩g| / n: the fraction of items whose
+   *    predicted cluster's majority gold class they carry (Manning et
+   *    al., IIR §16.3); trivially gamed by over-splitting, which is why
+   *    the other two ride along;
+   *  - **NMI** — I(P;G)/√(H(P)·H(G)): information-theoretic agreement,
+   *    penalizes both over- and under-splitting (Strehl & Ghosh 2002);
+   *    NULL when either side is a single cluster (zero entropy — no
+   *    information to normalize by);
+   *  - **B³ precision/recall/F1** — per-ITEM overlap of predicted and
+   *    gold clusters (Bagga & Baldwin 1998), the measure the entity-
+   *    resolution literature standardized on because it weights items,
+   *    not pairs, so one mega-cluster cannot drown the tail.
+   *
+   * Determinism: every measure reduces over the CONTINGENCY frame
+   * (one row per (pred, gold) cell — at most min-side-cluster-count ×
+   * items/cluster, metadata-shaped for real clusterings); cell terms
+   * round to 12 dp and sum as DECIMAL(38,12) (the [[psi]] log-term
+   * convention), integer counts stay exact, and each output rounds
+   * once at 6 dp. F1 folds from the ROUNDED precision/recall so the
+   * published triple is self-consistent.
+   *
+   * Shape at scale: one hash aggregate to the contingency frame, two
+   * cluster-frame aggregates for the margins, equi-joins back — no
+   * windows, no item-level pairs (B³'s naive form is per-pair; the
+   * n_pg²/margin identity reduces it to the contingency cells). Rows
+   * with a NULL label on either side are excluded (no evidence).
+   */
+  def clusteringAgreement(
+      df: DataFrame, idCol: String,
+      predCol: String, goldCol: String): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Materialize.cut(
+      df.filter(col(predCol).isNotNull && col(goldCol).isNotNull)
+        .select(col(predCol).cast("string").as("__p"),
+          col(goldCol).cast("string").as("__g"))
+        .groupBy(col("__p"), col("__g"))
+        .agg(count(lit(1)).as("n_pg")))
+    val pc = cells.groupBy(col("__p")).agg(sum(col("n_pg")).as("n_p"))
+    val gc = cells.groupBy(col("__g")).agg(sum(col("n_pg")).as("n_g"))
+    val nn = cells.agg(sum(col("n_pg")).as("__n"))
+    val purity = cells.groupBy(col("__p")).agg(max(col("n_pg")).as("__mx"))
+      .agg(sum(col("__mx")).as("__pur"))
+    val nPred = pc.agg(count(lit(1)).as("n_pred_clusters"))
+    val nGold = gc.agg(count(lit(1)).as("n_gold_clusters"))
+    val terms = cells
+      .join(pc, Seq("__p")).join(gc, Seq("__g"))
+      .crossJoin(broadcast(nn))
+    val sums = terms.agg(
+      sum(round(col("n_pg").cast("double") * col("n_pg") / col("n_p"), 12)
+        .cast(d12)).as("__bp"),
+      sum(round(col("n_pg").cast("double") * col("n_pg") / col("n_g"), 12)
+        .cast(d12)).as("__br"),
+      sum(round((col("n_pg").cast("double") / col("__n")) *
+        log(col("__n").cast("double") * col("n_pg") /
+          (col("n_p").cast("double") * col("n_g"))), 12)
+        .cast(d12)).as("__mi"))
+    def entropy(margin: DataFrame, cnt: String, out: String): DataFrame =
+      margin.crossJoin(broadcast(nn)).agg(
+        sum(round(-(col(cnt).cast("double") / col("__n")) *
+          log(col(cnt).cast("double") / col("__n")), 12)
+          .cast(d12)).as(out))
+    val prec = round(col("__bp").cast("double") / col("__n"), 6)
+    val rec = round(col("__br").cast("double") / col("__n"), 6)
+    nn.crossJoin(broadcast(purity))
+      .crossJoin(broadcast(nPred)).crossJoin(broadcast(nGold))
+      .crossJoin(broadcast(sums))
+      .crossJoin(broadcast(entropy(pc, "n_p", "__hp")))
+      .crossJoin(broadcast(entropy(gc, "n_g", "__hg")))
+      .select(
+        col("__n").as("n_items"),
+        col("n_pred_clusters"), col("n_gold_clusters"),
+        round(col("__pur").cast("double") / col("__n"), 6).as("purity"),
+        round(col("__mi").cast("double") /
+          nullif(sqrt(col("__hp").cast("double") *
+            col("__hg").cast("double")), lit(0.0)), 6).as("nmi"),
+        prec.as("b3_precision"),
+        rec.as("b3_recall"),
+        round(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 6)
+          .as("b3_f1"))
+  }
 }

@@ -668,4 +668,36 @@ class EvalSpec extends GraftSpec {
       .head()
     assert(doubled.getLong(1) == 200L && doubled.getDouble(4) == 0.0)
   }
+
+  test("clusteringAgreement: hand-computed purity/NMI/B3 on a 5-item " +
+      "contingency; identity scores 1.0; single-cluster gold nulls NMI") {
+    val d = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "x"), (5L, "b", "y"),
+      (6L, null.asInstanceOf[String], "x") // NULL label: excluded
+    ).toDF("id", "pred", "gold")
+    val r = Eval.clusteringAgreement(d, "id", "pred", "gold").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.6) // (max(2,1) + max(1,1)) / 5
+    // cells (a,x)=2 (a,y)=1 (b,x)=1 (b,y)=1; margins a=3 b=2 x=3 y=2
+    val mi = 0.4 * math.log(10.0 / 9) + 0.2 * math.log(5.0 / 6) +
+      0.2 * math.log(5.0 / 6) + 0.2 * math.log(5.0 / 4)
+    val h = -0.6 * math.log(0.6) - 0.4 * math.log(0.4)
+    assert(math.abs(r.getDouble(4) - mi / h) < 1e-6)
+    // B3 prec = rec here: (4/3 + 1/3 + 1/2 + 1/2) / 5 = 8/15
+    assert(math.abs(r.getDouble(5) - 8.0 / 15) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 8.0 / 15) < 1e-6)
+    assert(math.abs(r.getDouble(7) - 8.0 / 15) < 1e-6) // F1 of equals
+    // identity: everything 1.0
+    val same = Eval.clusteringAgreement(
+      d.filter($"pred".isNotNull).withColumn("gold", $"pred"),
+      "id", "pred", "gold").head()
+    assert(Seq(3, 4, 5, 6, 7).forall(same.getDouble(_) == 1.0))
+    // a single-cluster gold has zero entropy: NMI must be NULL, not NaN
+    val flat = Eval.clusteringAgreement(
+      d.filter($"pred".isNotNull).withColumn("gold", lit("all")),
+      "id", "pred", "gold").head()
+    assert(flat.isNullAt(4))
+    assert(flat.getDouble(3) == 1.0) // every cluster is pure against one class
+  }
 }
