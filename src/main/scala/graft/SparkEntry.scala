@@ -517,6 +517,25 @@ object SparkEntry {
           epsilon = 0.5, salt = "dp-r14")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
 
+    // X+/S — the DP release as a STANDING CENSUS: per-batch class
+    // partials (doc_id parity halves) fold additively, then ONE noisy
+    // projection releases with zero passes over any batch's rows —
+    // noise seeds on the group key, so merged ≡ whole-data (q347's
+    // oracle verbatim).
+    "q355_dp_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def cls(df: DataFrame) = Privacy.equivalenceClasses(
+        df, Seq(col("lang"), col("source")))
+      Privacy.dpCountsFromClasses(
+          Privacy.mergeClasses(
+            cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+              .unionByName(
+                cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 1))),
+            Seq(col("lang"), col("source"))),
+          Seq("lang", "source"), epsilon = 0.5, salt = "dp-r14")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    }),
+
     // X1+/X+ — clustering-agreement report: grade the MinHash dedup
     // clustering (threshold 0.6 — q190's exact-certified labels)
     // against the language partition with purity, NMI and B³ —
@@ -5229,6 +5248,26 @@ object SparkEntry {
       |FROM r LEFT JOIN c ON c.ff = r.rule_idx CROSS JOIN tot
       |ORDER BY rule_idx""".stripMargin
 
+  /** q347/q355's shared DP count-release oracle: the same seeded
+    * uniform, Laplace inverse CDF, and clamped floor release — q355's
+    * merged-partial census must reproduce it exactly (noise seeds on
+    * the key, counts are additive). */
+  private val dpCountsOracleSql: String =
+    """WITH g AS (
+      |  SELECT lang, source, count(*) AS n,
+      |         (CAST(('0x' || substr(md5('dp-r14:' ||
+      |            concat_ws(chr(1),
+      |              coalesce(CAST(lang AS VARCHAR), chr(0)),
+      |              coalesce(CAST(source AS VARCHAR), chr(0)))), 1, 12))
+      |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, source,
+      |       CAST(greatest(0, floor(
+      |         n + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 0.5)
+      |           + 0.5)) AS BIGINT) AS released_count,
+      |       CAST(0.5 AS DOUBLE) AS epsilon
+      |FROM g ORDER BY lang, source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // q342: the formula recompute — per sampled frame (even indexes),
@@ -5424,21 +5463,12 @@ object SparkEntry {
     // q347: the same seeded uniform (12 md5 nibbles of salt:key, half-
     // step offset), the same Laplace inverse CDF, the same clamped
     // floor(x+½) release — ln is engine-bit-matched (the q80 precedent).
-    "q347_dp_counts" ->
-      """WITH g AS (
-        |  SELECT lang, source, count(*) AS n,
-        |         (CAST(('0x' || substr(md5('dp-r14:' ||
-        |            concat_ws(chr(1),
-        |              coalesce(CAST(lang AS VARCHAR), chr(0)),
-        |              coalesce(CAST(source AS VARCHAR), chr(0)))), 1, 12))
-        |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
-        |  FROM documents GROUP BY lang, source)
-        |SELECT lang, source,
-        |       CAST(greatest(0, floor(
-        |         n + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 0.5)
-        |           + 0.5)) AS BIGINT) AS released_count,
-        |       CAST(0.5 AS DOUBLE) AS epsilon
-        |FROM g ORDER BY lang, source""".stripMargin,
+    "q347_dp_counts" -> dpCountsOracleSql,
+
+    // q355: the standing-census release — noise seeds on the group key,
+    // so a release from parity-merged class partials IS the whole-data
+    // release: q347's oracle verbatim.
+    "q355_dp_merge" -> dpCountsOracleSql,
 
     // q354: the same exact-Jaccard components (q190's pair + CC CTEs),
     // the same contingency reduction — 12-dp decimal term sums for the
@@ -5485,13 +5515,23 @@ object SparkEntry {
         |hg AS (SELECT sum(CAST(round(-(CAST(n_g AS DOUBLE) / n) *
         |         ln(CAST(n_g AS DOUBLE) / n), 12) AS DECIMAL(38,12)))
         |         AS h
-        |       FROM gc CROSS JOIN nn)
+        |       FROM gc CROSS JOIN nn),
+        |ai AS (SELECT sum((n_pg * (n_pg - 1)) // 2) AS idx FROM cells),
+        |ap AS (SELECT sum((n_p * (n_p - 1)) // 2) AS a FROM pc),
+        |ag AS (SELECT sum((n_g * (n_g - 1)) // 2) AS b FROM gc)
         |SELECT CAST(nn.n AS BIGINT) AS n_items,
         |       np.n_pred_clusters, ng.n_gold_clusters,
         |       round(CAST(pur.s AS DOUBLE) / nn.n, 6) AS purity,
         |       round(CAST(sums.mi AS DOUBLE) /
         |         nullif(sqrt(CAST(hp.h AS DOUBLE) * CAST(hg.h AS DOUBLE)),
         |                0.0), 6) AS nmi,
+        |       round((CAST(ai.idx AS DOUBLE)
+        |            - CAST(ap.a AS DOUBLE) * ag.b
+        |              / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0))
+        |         / nullif((CAST(ap.a AS DOUBLE) + ag.b) / 2.0
+        |            - CAST(ap.a AS DOUBLE) * ag.b
+        |              / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0), 0.0),
+        |           6) AS ari,
         |       round(CAST(sums.bp AS DOUBLE) / nn.n, 6) AS b3_precision,
         |       round(CAST(sums.br AS DOUBLE) / nn.n, 6) AS b3_recall,
         |       round(CAST(2.0 AS DOUBLE)
@@ -5500,7 +5540,7 @@ object SparkEntry {
         |         / nullif(round(CAST(sums.bp AS DOUBLE) / nn.n, 6)
         |                + round(CAST(sums.br AS DOUBLE) / nn.n, 6), 0.0),
         |           6) AS b3_f1
-        |FROM nn, pur, np, ng, sums, hp, hg""".stripMargin),
+        |FROM nn, pur, np, ng, sums, hp, hg, ai, ap, ag""".stripMargin),
 
     // q353: the same seeded Gumbel (−ln(−ln u) over the md5 uniform),
     // the same count + (2/ε)·g score, the same (score DESC, key) rank —

@@ -1212,6 +1212,11 @@ object Eval {
    *    penalizes both over- and under-splitting (Strehl & Ghosh 2002);
    *    NULL when either side is a single cluster (zero entropy — no
    *    information to normalize by);
+   *  - **ARI** — the Adjusted Rand Index (Hubert & Arabie 1985):
+   *    pair-counting agreement corrected for chance, the most-reported
+   *    external measure; exact integer pair sums, two final divisions;
+   *    NULL when the chance correction degenerates (both sides all
+   *    singletons or both one cluster — agreement is vacuous);
    *  - **B³ precision/recall/F1** — per-ITEM overlap of predicted and
    *    gold clusters (Bagga & Baldwin 1998), the measure the entity-
    *    resolution literature standardized on because it weights items,
@@ -1259,7 +1264,13 @@ object Eval {
       sum(round((col("n_pg").cast("double") / col("__n")) *
         log(col("__n").cast("double") * col("n_pg") /
           (col("n_p").cast("double") * col("n_g"))), 12)
-        .cast(d12)).as("__mi"))
+        .cast(d12)).as("__mi"),
+      // pair-counting sums for ARI — exact longs via integral div
+      // (Spark's `/` is double division; x·(x−1) stays inside 2^63 to
+      // cluster sizes ≈ 3·10^9, and Σ C(x,2) ≤ C(n,2))
+      sum(expr("(n_pg * (n_pg - 1)) div 2")).as("__idx"))
+    val pairP = pc.agg(sum(expr("(n_p * (n_p - 1)) div 2")).as("__a"))
+    val pairG = gc.agg(sum(expr("(n_g * (n_g - 1)) div 2")).as("__b"))
     def entropy(margin: DataFrame, cnt: String, out: String): DataFrame =
       margin.crossJoin(broadcast(nn)).agg(
         sum(round(-(col(cnt).cast("double") / col("__n")) *
@@ -1267,9 +1278,19 @@ object Eval {
           .cast(d12)).as(out))
     val prec = round(col("__bp").cast("double") / col("__n"), 6)
     val rec = round(col("__br").cast("double") / col("__n"), 6)
+    // ARI (Hubert & Arabie 1985): (idx − a·b/t) / ((a+b)/2 − a·b/t)
+    // over the exact pair sums; NULL when the correction degenerates
+    // (all singletons on both sides, or one cluster on both sides).
+    val t2 = col("__n").cast("double") * (col("__n") - 1) / 2.0
+    val expIdx = col("__a").cast("double") * col("__b") / t2
+    val ari = round(
+      (col("__idx").cast("double") - expIdx) /
+        nullif((col("__a").cast("double") + col("__b")) / 2.0 - expIdx,
+          lit(0.0)), 6)
     nn.crossJoin(broadcast(purity))
       .crossJoin(broadcast(nPred)).crossJoin(broadcast(nGold))
       .crossJoin(broadcast(sums))
+      .crossJoin(broadcast(pairP)).crossJoin(broadcast(pairG))
       .crossJoin(broadcast(entropy(pc, "n_p", "__hp")))
       .crossJoin(broadcast(entropy(gc, "n_g", "__hg")))
       .select(
@@ -1279,6 +1300,7 @@ object Eval {
         round(col("__mi").cast("double") /
           nullif(sqrt(col("__hp").cast("double") *
             col("__hg").cast("double")), lit(0.0)), 6).as("nmi"),
+        ari.as("ari"),
         prec.as("b3_precision"),
         rec.as("b3_recall"),
         round(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 6)

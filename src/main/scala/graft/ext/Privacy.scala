@@ -164,6 +164,37 @@ object Privacy {
   }
 
   /**
+   * [[dpCounts]] evaluated over an already-built class frame — the
+   * STANDING-CENSUS release shape: per-batch [[equivalenceClasses]]
+   * partials accumulate (counts are additive, [[mergeClasses]]), and a
+   * release is ONE noisy projection over the folded class frame with
+   * zero passes over any batch's rows. The merge law
+   * `dpCountsFromClasses(mergeClasses(cls(a) ∪ cls(b))) ≡
+   * dpCounts(a ∪ b)` holds exactly because the noise seeds on the
+   * GROUP KEY, not the data — the q349/q350 standing-state pattern
+   * applied to a privacy release. Budget accounting is unchanged: each
+   * distinct (salt, ε) release spends ε, however the counts were
+   * assembled.
+   */
+  def dpCountsFromClasses(
+      classes: DataFrame, groupCols: Seq[String],
+      epsilon: Double, salt: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "dpCountsFromClasses needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val u = seededUniform(key, salt)
+    val t = u - lit(0.5)
+    val noise = -signum(t) * log(lit(1.0) - lit(2.0) * abs(t)) / lit(epsilon)
+    classes.select(groupCols.map(col) :+
+      greatest(lit(0L),
+        floor(col("class_size") + noise + lit(0.5)).cast("long"))
+        .as("released_count") :+
+      lit(epsilon).as("epsilon"): _*)
+  }
+
+  /**
    * ε-DP top-k selection — the EXPONENTIAL mechanism (McSherry & Talwar
    * 2007) in its Gumbel-noise form: releasing
    * `argmax(count + (2/ε)·Gumbel)` is distributionally identical to the

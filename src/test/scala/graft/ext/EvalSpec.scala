@@ -684,20 +684,25 @@ class EvalSpec extends GraftSpec {
       0.2 * math.log(5.0 / 6) + 0.2 * math.log(5.0 / 4)
     val h = -0.6 * math.log(0.6) - 0.4 * math.log(0.4)
     assert(math.abs(r.getDouble(4) - mi / h) < 1e-6)
+    // ARI: idx=C(2,2)=1, a=b=C(3,2)+C(2,2)=4, t=C(5,2)=10 →
+    // (1 − 16/10) / (4 − 16/10) = −0.6/2.4 = −0.25 (worse than chance)
+    assert(r.getDouble(5) == -0.25)
     // B3 prec = rec here: (4/3 + 1/3 + 1/2 + 1/2) / 5 = 8/15
-    assert(math.abs(r.getDouble(5) - 8.0 / 15) < 1e-6)
     assert(math.abs(r.getDouble(6) - 8.0 / 15) < 1e-6)
-    assert(math.abs(r.getDouble(7) - 8.0 / 15) < 1e-6) // F1 of equals
+    assert(math.abs(r.getDouble(7) - 8.0 / 15) < 1e-6)
+    assert(math.abs(r.getDouble(8) - 8.0 / 15) < 1e-6) // F1 of equals
     // identity: everything 1.0
     val same = Eval.clusteringAgreement(
       d.filter($"pred".isNotNull).withColumn("gold", $"pred"),
       "id", "pred", "gold").head()
-    assert(Seq(3, 4, 5, 6, 7).forall(same.getDouble(_) == 1.0))
-    // a single-cluster gold has zero entropy: NMI must be NULL, not NaN
+    assert(Seq(3, 4, 5, 6, 7, 8).forall(same.getDouble(_) == 1.0))
+    // a single-cluster gold has zero entropy: NMI must be NULL, not
+    // NaN — while ARI is DEFINED there and reads exactly chance level
     val flat = Eval.clusteringAgreement(
       d.filter($"pred".isNotNull).withColumn("gold", lit("all")),
       "id", "pred", "gold").head()
     assert(flat.isNullAt(4))
+    assert(flat.getDouble(5) == 0.0) // idx=4=exp → no better than chance
     assert(flat.getDouble(3) == 1.0) // every cluster is pure against one class
   }
 }

@@ -127,6 +127,28 @@ class PrivacySpec extends GraftSpec {
     assert(clamped)
   }
 
+  test("dpCountsFromClasses: the standing-census release — merged " +
+      "disjoint-batch partials release exactly the whole-data counts " +
+      "(noise seeds on the key, counts are additive)") {
+    val d = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g1", "g2")
+    val whole = Privacy.dpCounts(d, Seq("g1", "g2"), 0.5, "mc1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val quasi = Seq(col("g1"), col("g2"))
+    val merged = Privacy.dpCountsFromClasses(
+        Privacy.mergeClasses(
+          Privacy.equivalenceClasses(d.filter($"id" <= 30), quasi)
+            .unionByName(
+              Privacy.equivalenceClasses(d.filter($"id" > 30), quasi)),
+          quasi),
+        Seq("g1", "g2"), 0.5, "mc1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(merged == whole)
+  }
+
   test("dpTopK: Gumbel scores replay by hand; no count leaves; big " +
       "count gaps survive the noise, epsilon scales the scramble") {
     val d = ((1 to 100).map(i => (i.toLong, "big")) ++
