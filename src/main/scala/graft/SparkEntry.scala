@@ -514,7 +514,7 @@ object SparkEntry {
     // projection; the exact count never leaves.
     "q347_dp_counts" -> ((s, d) =>
       Privacy.dpCounts(t(s, d, "documents"), Seq("lang", "source"),
-          epsilon = 0.5, salt = "dp-r14")
+          epsilon = 0.5, secretSalt = "dp-r14")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
 
     // X+/S — the DP release as a STANDING CENSUS: per-batch class
@@ -532,7 +532,7 @@ object SparkEntry {
               .unionByName(
                 cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 1))),
             Seq(col("lang"), col("source"))),
-          Seq("lang", "source"), epsilon = 0.5, salt = "dp-r14")
+          Seq("lang", "source"), epsilon = 0.5, secretSalt = "dp-r14")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
     }),
 
@@ -558,7 +558,7 @@ object SparkEntry {
     // much. Key frame is metadata-sized; TakeOrdered-bounded.
     "q353_dp_topk" -> ((s, d) =>
       Privacy.dpTopK(t(s, d, "documents"), "lang", k = 3,
-          epsilon = 1.0, salt = "dpk-r14")
+          epsilon = 1.0, secretSalt = "dpk-r14")
         .orderBy(col("rank").asc)),
 
     // X+/S — randomized response (Warner 1965), the LOCAL-DP companion:
@@ -569,9 +569,52 @@ object SparkEntry {
     "q348_randomized_response" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val reports = Privacy.randomizedResponse(docs, "doc_id",
-        col("n_chars") > 300, flipProb = 0.25, salt = "rr-r14")
+        col("n_chars") > 300, flipProb = 0.25, secretSalt = "rr-r14")
       Privacy.rrPrevalence(reports, Seq("lang"), flipProb = 0.25)
         .orderBy(col("lang").asc_nulls_last)
+    }),
+
+    // X+/S — (ε,δ)-DP GAUSSIAN count release (Dwork & Roth Thm A.1)
+    // over the same lang×source census: seeded N(0,σ²) noise via the
+    // engine-bit-matched Acklam probit (pure arithmetic + ln + sqrt),
+    // σ = √(2·ln(1.25/δ))/ε embedded driver-side. The mechanism real
+    // release pipelines run — √k composition where Laplace pays k·ε.
+    "q356_dp_gaussian" -> ((s, d) =>
+      Privacy.dpCountsGaussian(t(s, d, "documents"), Seq("lang", "source"),
+          epsilon = 0.5, delta = 1e-6, secretSalt = "dpg-r15")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
+
+    // X+/S — the Gaussian release as a STANDING CENSUS (q355's merge
+    // law with Gaussian tails): parity-split class partials fold
+    // additively, one noisy projection releases — noise seeds on the
+    // group key, so merged ≡ whole-data (q356's oracle verbatim).
+    "q358_dp_gaussian_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def cls(df: DataFrame) = Privacy.equivalenceClasses(
+        df, Seq(col("lang"), col("source")))
+      Privacy.dpCountsGaussianFromClasses(
+          Privacy.mergeClasses(
+            cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+              .unionByName(
+                cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 1))),
+            Seq(col("lang"), col("source"))),
+          Seq("lang", "source"), epsilon = 0.5, delta = 1e-6,
+          secretSalt = "dpg-r15")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    }),
+
+    // X+/S — the privacy LEDGER: one (ε,δ) row per per-source release
+    // (heterogeneous ε ∈ {0.25,0.5,0.75} keyed off the source name),
+    // priced under basic (Σε) and advanced (DRV'10 √Σε²) composition —
+    // the budget gate that decides whether the NEXT release ships.
+    // Releases-sized metadata end to end; the corpus never appears.
+    "q357_dp_compose" -> ((s, d) => {
+      val rel = t(s, d, "documents").select(col("source")).distinct()
+        .withColumn("eps", lit(0.25) * (lit(1.0) +
+          expr("ascii(right(coalesce(source, '0'), 1)) % 3")
+            .cast("double")))
+        .withColumn("delta", lit(1e-6))
+      Privacy.composeBudget(rel, "eps", "delta", deltaSlack = 1e-6)
     }),
 
     // X+/S — k-anonymity release audit over the customer dimension's
@@ -5172,8 +5215,8 @@ object SparkEntry {
       |r AS (
       |  SELECT pid, count(*) AS n_paras,
       |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-      |         string_agg(CASE WHEN rn = 1 THEN para END,
-      |                    e'\n\n' ORDER BY pos) AS clean
+      |         coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+      |                             e'\n\n' ORDER BY pos), '') AS clean
       |  FROM k GROUP BY 1)""".stripMargin
 
   /** q80's reference-LM scoring as shared CTEs (add-one smoothing over
@@ -5268,7 +5311,109 @@ object SparkEntry {
       |       CAST(0.5 AS DOUBLE) AS epsilon
       |FROM g ORDER BY lang, source""".stripMargin
 
+  /** DuckDB mirror of [[graft.ext.Privacy.probit]] — Acklam's inverse
+    * normal CDF with the IDENTICAL expression tree (same literals, same
+    * parenthesization): every op is IEEE `+ − * /` plus `ln`/`sqrt`,
+    * both engine-bit-matched, so the scalar is bit-equal to the Spark
+    * plan's. `u` is the caller's uniform-in-(0,1) SQL expression. */
+  private def probitSql(u: String): String = {
+    // Horner folds generated, not hand-parenthesized: the fold IS the
+    // Scala expression tree, so the two sides cannot drift. Coefficient
+    // literals stay in e-notation — DuckDB parses e-notation as DOUBLE
+    // (a bare decimal would parse as DECIMAL and change the arithmetic);
+    // the few bare decimals (0.5, 1.0, 2.0, the branch cuts) are either
+    // exactly representable or only compared, so DECIMAL→DOUBLE
+    // promotion is value-identical. Verified bit-equal to the reference
+    // fold over both tails, the central region, and the branch cuts.
+    def lp(x: String): String = if (x.startsWith("-")) s"($x)" else x
+    def horner(cs: Seq[String], v: String): String =
+      cs.tail.foldLeft(lp(cs.head))((s, c) => s"($s * $v + ${lp(c)})")
+    val a = Seq("-3.969683028665376e1", "2.209460984245205e2",
+      "-2.759285104469687e2", "1.383577518672690e2",
+      "-3.066479806614716e1", "2.506628277459239e0")
+    val b = Seq("-5.447609879822406e1", "1.615858368580409e2",
+      "-1.556989798598866e2", "6.680131188771972e1",
+      "-1.328068155288572e1")
+    val c = Seq("-7.784894002430293e-3", "-3.223964580411365e-1",
+      "-2.400758277161838e0", "-2.549732539343734e0",
+      "4.374664141464968e0", "2.938163982698783e0")
+    val d = Seq("7.784695709041462e-3", "3.224671290700398e-1",
+      "2.445134137142996e0", "3.754408661907416e0")
+    def tl(q: String) = s"(${horner(c, q)} / ${horner(d :+ "1.0", q)})"
+    val ql = s"sqrt(-2.0 * ln($u))"
+    val qu = s"sqrt(-2.0 * ln(1.0 - $u))"
+    val qc = s"($u - 0.5)"
+    val rc = s"($qc * $qc)"
+    val central =
+      s"((${horner(a, rc)} * $qc) / (${horner(b, rc)} * $rc + 1.0))"
+    s"(CASE WHEN $u < 0.02425 THEN ${tl(ql)}" +
+      s" WHEN $u > 0.97575 THEN -${tl(qu)}" +
+      s" ELSE $central END)"
+  }
+
+  /** q356/q358's shared Gaussian count-release oracle: the q347 census
+    * + seeded uniform, [[probitSql]] noise scaled by the driver-side σ
+    * (embedded with round-trip precision so both engines hold the
+    * identical double), clamped floor release — q358's merged-partial
+    * census must reproduce it exactly. */
+  private val dpGaussianOracleSql: String = {
+    val sigma = java.lang.Double.toString(
+      graft.ext.Privacy.gaussianSigma(0.5, 1e-6))
+    s"""WITH g AS (
+       |  SELECT lang, source, count(*) AS n,
+       |         (CAST(('0x' || substr(md5('dpg-r15:' ||
+       |            concat_ws(chr(1),
+       |              coalesce(CAST(lang AS VARCHAR), chr(0)),
+       |              coalesce(CAST(source AS VARCHAR), chr(0)))), 1, 12))
+       |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+       |  FROM documents GROUP BY lang, source)
+       |SELECT lang, source,
+       |       CAST(greatest(0, floor(
+       |         n + ($sigma * ${probitSql("u")}) + 0.5)) AS BIGINT)
+       |         AS released_count,
+       |       CAST(0.5 AS DOUBLE) AS epsilon,
+       |       CAST(1e-6 AS DOUBLE) AS delta
+       |FROM g ORDER BY lang, source""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // q356: the q347 seeded-uniform census through the Acklam probit —
+    // engine-bit-matched noise (see probitSql) — with the analytic σ
+    // embedded as the identical driver-side double.
+    "q356_dp_gaussian" -> dpGaussianOracleSql,
+
+    // q358: the standing Gaussian census — noise seeds on the group
+    // key, counts are additive, so a release from parity-merged class
+    // partials IS the whole-data release: q356's oracle verbatim.
+    "q358_dp_gaussian_merge" -> dpGaussianOracleSql,
+
+    // q357: same heterogeneous ledger (ε keyed off the source name's
+    // last character), same 12-dp decimal term sums, same DRV'10
+    // advanced-composition closed form — ln/sqrt bit-matched, the one
+    // exp( ) term verified off the rounding boundary for these ε.
+    "q357_dp_compose" ->
+      """WITH r AS (
+        |  SELECT source,
+        |         CAST(0.25 AS DOUBLE) * (1.0 +
+        |           (ascii(right(coalesce(source, '0'), 1)) % 3)) AS eps,
+        |         CAST(1e-6 AS DOUBLE) AS delta
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |a AS (
+        |  SELECT count(*) AS n_releases,
+        |         sum(CAST(round(eps, 12) AS DECIMAL(38,12))) AS se,
+        |         sum(CAST(round(delta, 12) AS DECIMAL(38,12))) AS sd,
+        |         sum(CAST(round(eps * eps, 12) AS DECIMAL(38,12))) AS s2,
+        |         sum(CAST(round(eps * (exp(eps) - 1.0), 12)
+        |             AS DECIMAL(38,12))) AS lin
+        |  FROM r)
+        |SELECT CAST(n_releases AS BIGINT) AS n_releases,
+        |       round(CAST(se AS DOUBLE), 6) AS basic_epsilon,
+        |       round(CAST(sd AS DOUBLE), 6) AS basic_delta,
+        |       round(sqrt(2.0 * ln(1.0 / 1e-6) * CAST(s2 AS DOUBLE))
+        |           + CAST(lin AS DOUBLE), 6) AS advanced_epsilon,
+        |       round(CAST(sd AS DOUBLE) + 1e-6, 6) AS advanced_delta
+        |FROM a""".stripMargin,
 
     // q342: the formula recompute — per sampled frame (even indexes),
     // the same integer dims and pixel sums, no parsing.
@@ -5539,7 +5684,14 @@ object SparkEntry {
         |         * round(CAST(sums.br AS DOUBLE) / nn.n, 6)
         |         / nullif(round(CAST(sums.bp AS DOUBLE) / nn.n, 6)
         |                + round(CAST(sums.br AS DOUBLE) / nn.n, 6), 0.0),
-        |           6) AS b3_f1
+        |           6) AS b3_f1,
+        |       round(CAST(sums.mi AS DOUBLE) /
+        |         nullif(CAST(hg.h AS DOUBLE), 0.0), 6) AS homogeneity,
+        |       round(CAST(sums.mi AS DOUBLE) /
+        |         nullif(CAST(hp.h AS DOUBLE), 0.0), 6) AS completeness,
+        |       round(CAST(2.0 AS DOUBLE) * CAST(sums.mi AS DOUBLE) /
+        |         nullif(CAST(hp.h AS DOUBLE) + CAST(hg.h AS DOUBLE), 0.0),
+        |           6) AS v_measure
         |FROM nn, pur, np, ng, sums, hp, hg, ai, ap, ag""".stripMargin),
 
     // q353: the same seeded Gumbel (−ln(−ln u) over the md5 uniform),

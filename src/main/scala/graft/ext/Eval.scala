@@ -1220,7 +1220,18 @@ object Eval {
    *  - **B³ precision/recall/F1** — per-ITEM overlap of predicted and
    *    gold clusters (Bagga & Baldwin 1998), the measure the entity-
    *    resolution literature standardized on because it weights items,
-   *    not pairs, so one mega-cluster cannot drown the tail.
+   *    not pairs, so one mega-cluster cannot drown the tail;
+   *  - **homogeneity / completeness / V-measure** (Rosenberg &
+   *    Hirschberg 2007): homogeneity = I(P;G)/H(G) — does each
+   *    predicted cluster hold one gold class? — completeness =
+   *    I(P;G)/H(P) — does each gold class land in one predicted
+   *    cluster? — and V = their harmonic mean = 2·I/(H(P)+H(G)), the
+   *    decomposition ablation sweeps report beside NMI because it
+   *    names WHICH direction a configuration fails in. Same NULL
+   *    convention as NMI when the normalizing entropy is zero (a
+   *    single-cluster side carries no information to normalize by;
+   *    sklearn's "vacuously 1.0" convention is NOT used — a NULL says
+   *    "undefined", a 1.0 would read as a perfect score).
    *
    * Determinism: every measure reduces over the CONTINGENCY frame
    * (one row per (pred, gold) cell — at most min-side-cluster-count ×
@@ -1304,6 +1315,16 @@ object Eval {
         prec.as("b3_precision"),
         rec.as("b3_recall"),
         round(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 6)
-          .as("b3_f1"))
+          .as("b3_f1"),
+        round(col("__mi").cast("double") /
+          nullif(col("__hg").cast("double"), lit(0.0)), 6)
+          .as("homogeneity"),
+        round(col("__mi").cast("double") /
+          nullif(col("__hp").cast("double"), lit(0.0)), 6)
+          .as("completeness"),
+        round(lit(2.0) * col("__mi").cast("double") /
+          nullif(col("__hp").cast("double") + col("__hg").cast("double"),
+            lit(0.0)), 6)
+          .as("v_measure"))
   }
 }

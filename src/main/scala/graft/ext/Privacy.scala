@@ -110,11 +110,74 @@ object Privacy {
   /** Uniform in (0,1) from the first 12 md5 nibbles of `salt:key` —
     * the repo's seeded-randomness idiom ([[Sampling]]'s es-key), offset
     * by half a grid step so 0 and 1 are unreachable (the Laplace
-    * inverse CDF below takes a log of `1 − 2|u − ½|`). */
+    * inverse CDF below takes a log of `1 − 2|u − ½|`).
+    *
+    * THE SALT IS A SECRET KEY. Every mechanism below derives its noise
+    * as a deterministic function `PRF(secretSalt, group-key)` — that is
+    * what makes a single release reproducible and oracle-testable, and
+    * it is a standard construction (PRF-based DP noise), but the DP
+    * guarantee holds ONLY against adversaries who do not know the
+    * salt: anyone holding it recomputes the noise exactly and recovers
+    * the true count from `released_count`. Operationally the salt is
+    * key material — generate it with high entropy, store it like a
+    * signing key, and NEVER ship it with (or derive it from) the
+    * release. Publishing the salt voids the privacy guarantee
+    * retroactively for every release made under it. The mechanism
+    * parameters (`secretSalt`) are named to keep this contract loud at
+    * every call site. */
   private def seededUniform(key: Column, salt: String): Column =
     (conv(substring(
         md5(concat(lit(s"$salt:"), key).cast("binary")), 1, 12),
       16, 10).cast("double") + 0.5) / lit(281474976710656.0) // 16^12
+
+  /**
+   * Inverse standard-normal CDF Φ⁻¹(p) — Acklam's rational
+   * approximation (P. J. Acklam 2003, |relative error| < 1.15e-9):
+   * a central rational in `q = p − ½` for p ∈ [0.02425, 0.97575] and
+   * a tail rational in `q = √(−2·ln p)` (mirrored for the upper tail).
+   *
+   * Why this form and not Box–Muller or the exact erfinv: every
+   * operation here is `+ − * /` on doubles (IEEE-correctly-rounded and
+   * order-pinned by the shared parenthesization), one `ln` (the one
+   * transcendental Spark and DuckDB bit-match — the Laplace path's
+   * standing precedent) and one `sqrt` (IEEE requires correct
+   * rounding) — so the value is ENGINE-BIT-MATCHED, which Box–Muller's
+   * `cos` is not guaranteed to be. The DuckDB oracle mirrors this
+   * exact expression tree ([[graft.SparkEntry]]'s probit SQL).
+   */
+  private[ext] def probit(p: Column): Column = {
+    def central(q: Column): Column = {
+      val r = q * q
+      (((((lit(-3.969683028665376e+01) * r + lit(2.209460984245205e+02)) * r
+        + lit(-2.759285104469687e+02)) * r + lit(1.383577518672690e+02)) * r
+        + lit(-3.066479806614716e+01)) * r + lit(2.506628277459239e+00)) * q /
+      ((((((lit(-5.447609879822406e+01) * r + lit(1.615858368580409e+02)) * r
+        + lit(-1.556989798598866e+02)) * r + lit(6.680131188771972e+01)) * r
+        + lit(-1.328068155288572e+01)) * r) + lit(1.0))
+    }
+    def tail(q: Column): Column =
+      (((((lit(-7.784894002430293e-03) * q + lit(-3.223964580411365e-01)) * q
+        + lit(-2.400758277161838e+00)) * q + lit(-2.549732539343734e+00)) * q
+        + lit(4.374664141464968e+00)) * q + lit(2.938163982698783e+00)) /
+      ((((lit(7.784695709041462e-03) * q + lit(3.224671290700398e-01)) * q
+        + lit(2.445134137142996e+00)) * q + lit(3.754408661907416e+00)) * q
+        + lit(1.0))
+    when(p < lit(0.02425), tail(sqrt(lit(-2.0) * log(p))))
+      .when(p > lit(0.97575),
+        -tail(sqrt(lit(-2.0) * log(lit(1.0) - p))))
+      .otherwise(central(p - lit(0.5)))
+  }
+
+  /** The analytic Gaussian-mechanism noise scale (Dwork & Roth 2014,
+    * Thm A.1): `σ = √(2·ln(1.25/δ)) · Δ / ε` with sensitivity Δ = 1
+    * for counting queries; valid for ε ∈ (0, 1]. Computed driver-side
+    * so both the plan and the oracle embed the identical double. */
+  def gaussianSigma(epsilon: Double, delta: Double): Double = {
+    require(epsilon > 0 && epsilon <= 1.0,
+      s"the analytic Gaussian bound needs epsilon in (0, 1], got $epsilon")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+  }
 
   /**
    * ε-differentially-private count release (Dwork et al. 2006): each
@@ -146,12 +209,12 @@ object Privacy {
    */
   def dpCounts(
       df: DataFrame, groupCols: Seq[String],
-      epsilon: Double, salt: String): DataFrame = {
+      epsilon: Double, secretSalt: String): DataFrame = {
     require(groupCols.nonEmpty, "dpCounts needs at least one group column")
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     val key = concat_ws("\u0001",
       groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    val u = seededUniform(key, salt)
+    val u = seededUniform(key, secretSalt)
     val t = u - lit(0.5)
     val noise = -signum(t) * log(lit(1.0) - lit(2.0) * abs(t)) / lit(epsilon)
     df.groupBy(groupCols.map(col): _*)
@@ -178,13 +241,13 @@ object Privacy {
    */
   def dpCountsFromClasses(
       classes: DataFrame, groupCols: Seq[String],
-      epsilon: Double, salt: String): DataFrame = {
+      epsilon: Double, secretSalt: String): DataFrame = {
     require(groupCols.nonEmpty,
       "dpCountsFromClasses needs at least one group column")
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     val key = concat_ws("\u0001",
       groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    val u = seededUniform(key, salt)
+    val u = seededUniform(key, secretSalt)
     val t = u - lit(0.5)
     val noise = -signum(t) * log(lit(1.0) - lit(2.0) * abs(t)) / lit(epsilon)
     classes.select(groupCols.map(col) :+
@@ -216,12 +279,12 @@ object Privacy {
    */
   def dpTopK(
       df: DataFrame, keyCol: String, k: Int,
-      epsilon: Double, salt: String): DataFrame = {
+      epsilon: Double, secretSalt: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     import org.apache.spark.sql.expressions.Window
     val u = seededUniform(
-      coalesce(col(keyCol).cast("string"), lit("\u0000")), salt)
+      coalesce(col(keyCol).cast("string"), lit("\u0000")), secretSalt)
     val gumbel = -log(-log(u))
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"))
@@ -235,20 +298,33 @@ object Privacy {
   }
 
   /**
-   * Randomized response (Warner 1965) — LOCAL differential privacy for
-   * a boolean attribute: each row reports its true value flipped with
-   * probability `flipProb`, seeded per row from `md5(salt : id)`, so no
-   * collector ever holds the true column (ln(1/p − 1)-LDP per report
-   * at flipProb = p). NULL attributes report NULL (no evidence is not
-   * a "no"). Adds one column, `reported`; per-row projection, no
-   * shuffle — run it at ingest and drop the true column.
+   * Randomized response (Warner 1965) — the LOCAL-DP reporting
+   * primitive for a boolean attribute: each row's reported value is its
+   * true value flipped with probability `flipProb`, seeded per row from
+   * `md5(secretSalt : id)` (ln(1/p − 1)-LDP per report at flipProb = p).
+   * NULL attributes report NULL (no evidence is not a "no"). Adds one
+   * column, `reported`; per-row projection, no shuffle.
+   *
+   * TRUST MODEL — read before deploying: this operator runs SERVER-SIDE
+   * over the true sensitive column, so the engine executing it (and
+   * anyone with read access to its input) sees the truth. The local-DP
+   * guarantee holds only against DOWNSTREAM consumers of the `reported`
+   * column, and only while `secretSalt` is withheld from them (the
+   * [[seededUniform]] key contract). True client-side LDP requires
+   * running the flip on the client before collection; here the operator
+   * is the ingest-boundary transform — run it at ingest, drop the true
+   * column immediately, and never persist the input. `idCol` MUST be
+   * unique per row: duplicate ids draw the same uniform, so their flips
+   * are perfectly correlated (k copies of one row amplify its report
+   * k-fold instead of averaging out), which both biases [[rrPrevalence]]
+   * and weakens the per-individual guarantee.
    */
   def randomizedResponse(
       df: DataFrame, idCol: String, sensitive: Column,
-      flipProb: Double, salt: String): DataFrame = {
+      flipProb: Double, secretSalt: String): DataFrame = {
     require(flipProb > 0 && flipProb < 0.5,
       s"flipProb must be in (0, 0.5) — 0.5 destroys the signal: $flipProb")
-    val flip = seededUniform(col(idCol).cast("string"), salt) < flipProb
+    val flip = seededUniform(col(idCol).cast("string"), secretSalt) < flipProb
     df.withColumn("reported",
       when(sensitive.isNull, lit(null).cast("boolean"))
         .otherwise(when(flip, !sensitive).otherwise(sensitive)))
@@ -278,5 +354,118 @@ object Privacy {
       .withColumn("pi_hat",
         round((col("n_reported_yes").cast("double")
             / col("n_reports") - flipProb) / (1.0 - 2.0 * flipProb), 6))
+  }
+
+  /** Shared release projection of the Gaussian mechanism: the seeded
+    * uniform on the group key through [[probit]], scaled by the
+    * analytic σ, clamped-floor released — the [[dpCountsFromClasses]]
+    * shape with Gaussian tails. */
+  private def gaussianRelease(
+      classes: DataFrame, groupCols: Seq[String], countCol: String,
+      epsilon: Double, delta: Double, secretSalt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sigma = gaussianSigma(epsilon, delta)
+    val key = concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val noise = lit(sigma) * probit(seededUniform(key, secretSalt))
+    classes.select(groupCols.map(col) :+
+      greatest(lit(0L),
+        floor(col(countCol) + noise + lit(0.5)).cast("long"))
+        .as("released_count") :+
+      lit(epsilon).as("epsilon") :+ lit(delta).as("delta"): _*)
+  }
+
+  /**
+   * (ε,δ)-differentially-private count release — the GAUSSIAN mechanism
+   * (Dwork & Roth 2014, Thm A.1): each group's exact count plus
+   * `N(0, σ²)` noise with `σ = √(2·ln(1.25/δ))/ε` (sensitivity 1,
+   * valid for ε ≤ 1), released as the clamped integer
+   * `max(0, ⌊count + noise + ½⌋)`. The (ε,δ) relaxation buys the
+   * lighter tails that make high-dimensional and COMPOSED release sets
+   * affordable: under k-fold composition Gaussian releases spend
+   * ~√k·ε (the [[composeBudget]] advanced bound) where pure-ε Laplace
+   * spends k·ε — this is the mechanism any real release PIPELINE runs,
+   * with [[dpCounts]] as the single-release pure-ε special case.
+   *
+   * Noise is seeded per group key via [[seededUniform]] → [[probit]]
+   * (engine-bit-matched — see the probit scaladoc), under the same
+   * secret-salt contract and the same one-salt-one-release budget
+   * posture as [[dpCounts]]; σ embeds driver-side so plan and oracle
+   * carry the identical double. Output: group cols +
+   * `(released_count, epsilon, delta)`.
+   *
+   * Shape at scale: ONE hash aggregate (map-side partial) to the group
+   * frame; the noise is a per-group projection — no second pass, no
+   * window, no join.
+   */
+  def dpCountsGaussian(
+      df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, delta: Double, secretSalt: String): DataFrame =
+    gaussianRelease(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n")),
+      groupCols, "__n", epsilon, delta, secretSalt)
+
+  /**
+   * [[dpCountsGaussian]] over an already-built class frame — the
+   * standing-census (ε,δ) release: per-batch [[equivalenceClasses]]
+   * partials fold additively ([[mergeClasses]]) and a release is ONE
+   * noisy projection with zero passes over any batch's rows. The merge
+   * law `dpCountsGaussianFromClasses(mergeClasses(cls(a) ∪ cls(b))) ≡
+   * dpCountsGaussian(a ∪ b)` holds exactly because the noise seeds on
+   * the GROUP KEY — the [[dpCountsFromClasses]] law with Gaussian
+   * tails.
+   */
+  def dpCountsGaussianFromClasses(
+      classes: DataFrame, groupCols: Seq[String],
+      epsilon: Double, delta: Double, secretSalt: String): DataFrame =
+    gaussianRelease(classes, groupCols, "class_size",
+      epsilon, delta, secretSalt)
+
+  /**
+   * Composition accounting — the privacy LEDGER over a release set:
+   * given one row per past/planned release with its `(ε, δ)`, price the
+   * total spend two ways and release both:
+   *
+   *  - **basic** (sequential) composition: `(Σε, Σδ)` — always valid,
+   *    the bound pure-ε pipelines pay;
+   *  - **advanced** composition (Dwork, Rothblum & Vadhan 2010, in the
+   *    heterogeneous form of Dwork & Roth Thm 3.20): for any slack
+   *    `δ' > 0`, the set is `(ε_adv, Σδ + δ')`-DP with
+   *    `ε_adv = √(2·ln(1/δ')·Σε²) + Σ ε·(e^ε − 1)` — the √k-growth
+   *    bound that makes long release schedules affordable, at the
+   *    price of the caller-chosen `deltaSlack`.
+   *
+   * The budget gate reads: a new release ships only while
+   * `min(basic_epsilon, advanced_epsilon)` stays under policy. One row
+   * out: `(n_releases, basic_epsilon, basic_delta, advanced_epsilon,
+   * advanced_delta)`, everything rounded at 6 dp from 12-dp decimal
+   * term sums (order-independent over the ledger).
+   *
+   * Shape at scale: the ledger is releases-sized metadata — one
+   * aggregate, no shuffle concern at any corpus scale (the corpus never
+   * appears here; that is the mechanisms' job).
+   */
+  def composeBudget(
+      releases: DataFrame, epsCol: String, deltaCol: String,
+      deltaSlack: Double): DataFrame = {
+    require(deltaSlack > 0 && deltaSlack < 1,
+      s"deltaSlack must be in (0, 1), got $deltaSlack")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val e = col(epsCol).cast("double")
+    releases.agg(
+        count(lit(1)).as("n_releases"),
+        sum(round(e, 12).cast(d12)).as("__se"),
+        sum(round(col(deltaCol).cast("double"), 12).cast(d12)).as("__sd"),
+        sum(round(e * e, 12).cast(d12)).as("__s2"),
+        sum(round(e * (exp(e) - lit(1.0)), 12).cast(d12)).as("__lin"))
+      .select(
+        col("n_releases"),
+        round(col("__se").cast("double"), 6).as("basic_epsilon"),
+        round(col("__sd").cast("double"), 6).as("basic_delta"),
+        round(sqrt(lit(2.0) * log(lit(1.0) / lit(deltaSlack)) *
+            col("__s2").cast("double")) +
+          col("__lin").cast("double"), 6).as("advanced_epsilon"),
+        round(col("__sd").cast("double") + lit(deltaSlack), 6)
+          .as("advanced_delta"))
   }
 }

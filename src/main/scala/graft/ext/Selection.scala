@@ -296,8 +296,13 @@ object Selection {
       groupCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // asc_nulls_last, not plain asc: Spark's default ASC is NULLS FIRST
+    // while standard-SQL engines (the DuckDB oracle included) default
+    // NULLS LAST — a NULL score must not land in the head tercile, and
+    // nulls-last matches where bucketsIndexed routes the same NULL
+    // scores (its CASE falls through to tail)
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).asc, col(idCol).asc)
+      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc)
     scored
       .withColumn("__tile", ntile(3).over(w))
       .withColumn("ppl_bucket",

@@ -292,20 +292,45 @@ object VectorOps {
    * baseline); the corpus is touched ONCE — all prefixes' sims compute
    * in the same projection from the same sliced arrays, then one window
    * per (prefix, query) group ranks |corpus|-sized partitions. This is
-   * the EXACT eval harness — run it on a sampled query set to grade a
+   * the EXACT eval harness — run it on a SAMPLED query set to grade a
    * truncation, not as the production retrieval path (that is the ANN
-   * family's job, fed by the prefix this eval picks).
+   * family's job, fed by the prefix this eval picks). That contract is
+   * ENFORCED: the query side is probed against `maxQueries`
+   * ([[graft.Guards.requireRowsAtMost]], the q22 precedent) — a
+   * `queryPred` matching the whole corpus would otherwise silently go
+   * quadratic (|Q|·n sims with an unbounded broadcast). Pass
+   * `maxQueries = 0` to opt out explicitly when the scale is intended.
+   *
+   * `prefixes` MUST include the embedding's FULL dimensionality: the
+   * largest prefix is the recall baseline, so omitting the true
+   * dimension would silently grade truncations against a truncated
+   * baseline while reporting it as full-dim recall. Enforced against
+   * the first corpus vector's length (one `limit(1)` probe; vectors
+   * are homogeneous by the embedding-table contract).
    */
   def matryoshkaEval(
       emb: DataFrame, idCol: String, vecCol: String,
-      prefixes: Seq[Int], k: Int, queryPred: Column): DataFrame = {
+      prefixes: Seq[Int], k: Int, queryPred: Column,
+      maxQueries: Long = 10000): DataFrame = {
     require(prefixes.nonEmpty && prefixes.forall(_ > 0),
       s"prefixes must be positive: $prefixes")
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val baseline = prefixes.max
+    emb.select(size(col(vecCol)).as("__d")).filter(col("__d") >= 0)
+      .head(1).foreach { r =>
+        val d = r.getInt(0)
+        require(baseline == d,
+          s"prefixes.max (= $baseline) must equal the embedding's full " +
+            s"dimensionality (= $d): the largest prefix is the recall " +
+            "baseline, and a truncated baseline would silently misgrade " +
+            "every smaller prefix. Include the full dimension in " +
+            "`prefixes` (it doubles as the rank-plumbing sanity row).")
+      }
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    graft.Guards.requireRowsAtMost(queries, maxQueries,
+      "VectorOps.matryoshkaEval query set")
     val corpus = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val sims = prefixes.distinct.sorted.map(m =>
       struct(lit(m).as("dims"),

@@ -953,6 +953,19 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q356/q358: the Gaussian release is one hash aggregate + a " +
+    "noise projection — no join, no window; the seeded probit stays a " +
+    "scalar expression over the group frame") {
+    for (key <- Seq("q356_dp_gaussian", "q358_dp_gaussian_merge")) {
+      val p = plan(key)
+      assert(!p.contains("Join"), s"$key: the release must not join")
+      assert(!p.contains("Window"), s"$key: no window — noise is a " +
+        "per-group projection, not a rank")
+      assert(p.contains("HashAggregate"),
+        s"$key: the census must be a hash aggregate (map-side partial)")
+    }
+  }
+
   test("q157: linkage candidates come from the UNION of the name and " +
     "balance-band blocks — never a nation-only join") {
     val p = plan("q157_record_linkage")

@@ -684,6 +684,12 @@ class EvalSpec extends GraftSpec {
       0.2 * math.log(5.0 / 6) + 0.2 * math.log(5.0 / 4)
     val h = -0.6 * math.log(0.6) - 0.4 * math.log(0.4)
     assert(math.abs(r.getDouble(4) - mi / h) < 1e-6)
+    // V-measure family: margins are equal here (a/b = x/y = 3/2), so
+    // homogeneity = I/H(G), completeness = I/H(P) and V = 2I/(Hp+Hg)
+    // all collapse to the same value as NMI
+    assert(math.abs(r.getDouble(9) - mi / h) < 1e-6)
+    assert(math.abs(r.getDouble(10) - mi / h) < 1e-6)
+    assert(math.abs(r.getDouble(11) - mi / h) < 1e-6)
     // ARI: idx=C(2,2)=1, a=b=C(3,2)+C(2,2)=4, t=C(5,2)=10 →
     // (1 − 16/10) / (4 − 16/10) = −0.6/2.4 = −0.25 (worse than chance)
     assert(r.getDouble(5) == -0.25)
@@ -695,7 +701,7 @@ class EvalSpec extends GraftSpec {
     val same = Eval.clusteringAgreement(
       d.filter($"pred".isNotNull).withColumn("gold", $"pred"),
       "id", "pred", "gold").head()
-    assert(Seq(3, 4, 5, 6, 7, 8).forall(same.getDouble(_) == 1.0))
+    assert(Seq(3, 4, 5, 6, 7, 8, 9, 10, 11).forall(same.getDouble(_) == 1.0))
     // a single-cluster gold has zero entropy: NMI must be NULL, not
     // NaN — while ARI is DEFINED there and reads exactly chance level
     val flat = Eval.clusteringAgreement(
@@ -704,5 +710,21 @@ class EvalSpec extends GraftSpec {
     assert(flat.isNullAt(4))
     assert(flat.getDouble(5) == 0.0) // idx=4=exp → no better than chance
     assert(flat.getDouble(3) == 1.0) // every cluster is pure against one class
+    // single-cluster gold: H(G)=0 → homogeneity NULL (same convention as
+    // NMI, not sklearn's vacuous 1.0); I=0 → completeness and V read 0
+    assert(flat.isNullAt(9))
+    assert(flat.getDouble(10) == 0.0)
+    assert(flat.getDouble(11) == 0.0)
+    // asymmetric direction check: over-split preds against 2-class gold
+    // — perfectly homogeneous (each cluster one class), incomplete
+    val split = Seq(
+      (1L, "p1", "x"), (2L, "p1", "x"), (3L, "p2", "x"),
+      (4L, "p3", "y"), (5L, "p3", "y")
+    ).toDF("id", "pred", "gold")
+    val sr = Eval.clusteringAgreement(split, "id", "pred", "gold").head()
+    assert(sr.getDouble(9) == 1.0, s"over-split stays homogeneous: $sr")
+    assert(sr.getDouble(10) < 1.0, s"over-split loses completeness: $sr")
+    val h2 = sr.getDouble(9); val c2 = sr.getDouble(10)
+    assert(math.abs(sr.getDouble(11) - 2 * h2 * c2 / (h2 + c2)) < 1e-5)
   }
 }

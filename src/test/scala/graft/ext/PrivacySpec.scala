@@ -89,7 +89,7 @@ class PrivacySpec extends GraftSpec {
       "under the seeded inverse CDF; exact count absent; salt matters") {
     val d = (1 to 40).map(i => (i.toLong, if (i <= 30) "a" else "b"))
       .toDF("id", "g")
-    val out = Privacy.dpCounts(d, Seq("g"), epsilon = 0.5, salt = "s1")
+    val out = Privacy.dpCounts(d, Seq("g"), epsilon = 0.5, secretSalt = "s1")
     assert(out.columns.toSeq == Seq("g", "released_count", "epsilon"))
     val got = out.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -110,7 +110,7 @@ class PrivacySpec extends GraftSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got != got2 || got("a") != got2("a") || got("b") != got2("b"))
     intercept[IllegalArgumentException] {
-      Privacy.dpCounts(d, Seq("g"), epsilon = 0.0, salt = "s")
+      Privacy.dpCounts(d, Seq("g"), epsilon = 0.0, secretSalt = "s")
     }
   }
 
@@ -121,7 +121,7 @@ class PrivacySpec extends GraftSpec {
     // a tiny epsilon (huge noise) — proves the clamp path executes
     val d = Seq((1L, "only")).toDF("id", "g")
     val clamped = (1 to 20).exists { k =>
-      Privacy.dpCounts(d, Seq("g"), epsilon = 0.01, salt = s"c$k")
+      Privacy.dpCounts(d, Seq("g"), epsilon = 0.01, secretSalt = s"c$k")
         .collect()(0).getLong(1) == 0L
     }
     assert(clamped)
@@ -154,7 +154,7 @@ class PrivacySpec extends GraftSpec {
     val d = ((1 to 100).map(i => (i.toLong, "big")) ++
       (1 to 3).map(i => (100L + i, "tiny")) ++
       (1 to 2).map(i => (200L + i, "mini"))).toDF("id", "g")
-    val out = Privacy.dpTopK(d, "g", k = 2, epsilon = 1.0, salt = "t1")
+    val out = Privacy.dpTopK(d, "g", k = 2, epsilon = 1.0, secretSalt = "t1")
     assert(out.columns.toSeq == Seq("rank", "g", "epsilon"),
       "no count column may leave")
     // replay: score = n + 2/eps * (-ln(-ln u)) from the same md5 seed
@@ -173,10 +173,10 @@ class PrivacySpec extends GraftSpec {
     // a 97-count gap is ~25 Gumbel scales at eps=1: "big" must win
     assert(got.head == "big")
     intercept[IllegalArgumentException] {
-      Privacy.dpTopK(d, "g", k = 0, epsilon = 1.0, salt = "t1")
+      Privacy.dpTopK(d, "g", k = 0, epsilon = 1.0, secretSalt = "t1")
     }
     intercept[IllegalArgumentException] {
-      Privacy.dpTopK(d, "g", k = 1, epsilon = -1.0, salt = "t1")
+      Privacy.dpTopK(d, "g", k = 1, epsilon = -1.0, secretSalt = "t1")
     }
   }
 
@@ -186,7 +186,7 @@ class PrivacySpec extends GraftSpec {
         (i.toLong, if (i % 10 == 0) None else Some(i % 4 == 0)))
       .toDF("id", "truth")
     val rep = Privacy.randomizedResponse(d, "id", col("truth"),
-      flipProb = 0.25, salt = "rr")
+      flipProb = 0.25, secretSalt = "rr")
     val rows = rep.collect().map(r =>
       r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
       .toMap
@@ -216,6 +216,133 @@ class PrivacySpec extends GraftSpec {
     assert(math.abs(prev.getDouble(3) - 0.25) < 0.25)
     intercept[IllegalArgumentException] {
       Privacy.randomizedResponse(d, "id", col("truth"), 0.5, "rr")
+    }
+  }
+
+  // plain-Scala replay of the Acklam probit with the engine's exact
+  // operation order — the reference the seeded Gaussian noise is
+  // checked against, branch by branch
+  private def probitRef(u: Double): Double = {
+    def tl(q: Double): Double = {
+      val num = (((((-7.784894002430293e-3) * q + (-3.223964580411365e-1))
+        * q + (-2.400758277161838e0)) * q + (-2.549732539343734e0))
+        * q + 4.374664141464968e0) * q + 2.938163982698783e0
+      val den = (((7.784695709041462e-3 * q + 3.224671290700398e-1)
+        * q + 2.445134137142996e0) * q + 3.754408661907416e0) * q + 1.0
+      num / den
+    }
+    if (u < 0.02425) tl(math.sqrt(-2.0 * math.log(u)))
+    else if (u > 0.97575) -tl(math.sqrt(-2.0 * math.log(1.0 - u)))
+    else {
+      val q = u - 0.5; val r = q * q
+      val num = (((((-3.969683028665376e1 * r + 2.209460984245205e2)
+        * r + (-2.759285104469687e2)) * r + 1.383577518672690e2)
+        * r + (-3.066479806614716e1)) * r + 2.506628277459239e0) * q
+      val den = (((((-5.447609879822406e1 * r + 1.615858368580409e2)
+        * r + (-1.556989798598866e2)) * r + 6.680131188771972e1)
+        * r + (-1.328068155288572e1)) * r) + 1.0
+      num / den
+    }
+  }
+
+  private def uniformOf(salt: String, key: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12)
+  }
+
+  test("dpCountsGaussian: released = clamped floor(n + sigma*probit(u) " +
+      "+ 1/2) replayed by hand across BOTH probit tails and the " +
+      "central region; parameter bounds enforced") {
+    // scan keys until the seeded uniform lands in each probit branch,
+    // so all three rational approximations provably execute
+    val lower = (1 to 999).map(i => s"lo$i")
+      .find(k => uniformOf("gs1", k) < 0.02425).get
+    val upper = (1 to 999).map(i => s"hi$i")
+      .find(k => uniformOf("gs1", k) > 0.97575).get
+    val mid = (1 to 999).map(i => s"md$i")
+      .find(k => { val u = uniformOf("gs1", k); u >= 0.3 && u <= 0.7 }).get
+    val rows = Seq(lower -> 40, upper -> 25, mid -> 10).flatMap {
+      case (g, n) => (1 to n).map(i => (g.hashCode * 1000L + i, g))
+    }
+    val d = rows.toDF("id", "g")
+    val out = Privacy.dpCountsGaussian(d, Seq("g"),
+      epsilon = 0.5, delta = 1e-6, secretSalt = "gs1")
+    assert(out.columns.toSeq ==
+      Seq("g", "released_count", "epsilon", "delta"))
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sigma = Privacy.gaussianSigma(0.5, 1e-6)
+    def released(g: String, n: Long): Long =
+      math.max(0L,
+        math.floor(n + sigma * probitRef(uniformOf("gs1", g)) + 0.5).toLong)
+    assert(got(lower) == released(lower, 40L), s"lower tail ($lower)")
+    assert(got(upper) == released(upper, 25L), s"upper tail ($upper)")
+    assert(got(mid) == released(mid, 10L), s"central ($mid)")
+    // sigma for (0.5, 1e-6): sqrt(2·ln(1.25e6))/0.5 ≈ 10.6 — the noise
+    // is material, so at least one release differs from its true count
+    assert(Seq(lower -> 40L, upper -> 25L, mid -> 10L)
+      .exists { case (g, n) => got(g) != n })
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountsGaussian(d, Seq("g"), 1.5, 1e-6, "gs1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountsGaussian(d, Seq("g"), 0.5, 0.0, "gs1")
+    }
+  }
+
+  test("dpCountsGaussianFromClasses: the standing Gaussian census — " +
+      "merged disjoint-batch partials release exactly the whole-data " +
+      "counts") {
+    val d = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g1", "g2")
+    val whole = Privacy.dpCountsGaussian(d, Seq("g1", "g2"),
+        0.5, 1e-6, "gm1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val quasi = Seq(col("g1"), col("g2"))
+    val merged = Privacy.dpCountsGaussianFromClasses(
+        Privacy.mergeClasses(
+          Privacy.equivalenceClasses(d.filter($"id" <= 30), quasi)
+            .unionByName(
+              Privacy.equivalenceClasses(d.filter($"id" > 30), quasi)),
+          quasi),
+        Seq("g1", "g2"), 0.5, 1e-6, "gm1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(merged == whole)
+  }
+
+  test("composeBudget: basic = (sum eps, sum delta); advanced = DRV'10 " +
+      "sqrt(2 ln(1/d') sum eps^2) + sum eps(e^eps - 1), hand-computed; " +
+      "slack validated") {
+    val rel = Seq(("r1", 0.25, 1e-6), ("r2", 0.5, 1e-6), ("r3", 0.75, 0.0))
+      .toDF("release", "eps", "delta")
+    val got = Privacy.composeBudget(rel, "eps", "delta", deltaSlack = 1e-6)
+      .collect()(0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == 1.5)
+    assert(got.getDouble(2) == r6(2e-6))
+    val eps = Seq(0.25, 0.5, 0.75)
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = eps.map(e => r12(e * e)).sum
+    val lin = eps.map(e => r12(e * (math.exp(e) - 1.0))).sum
+    val adv = math.sqrt(2.0 * math.log(1.0 / 1e-6) * s2) + lin
+    assert(math.abs(got.getDouble(3) - adv) < 1e-6, s"$got vs $adv")
+    assert(got.getDouble(4) == r6(2e-6 + 1e-6))
+    // advanced beats basic once the schedule is long enough: 100 small
+    // releases at eps=0.05 — basic spends 5.0, advanced ~2.9
+    val many = (1 to 100).map(i => (s"r$i", 0.05, 1e-7))
+      .toDF("release", "eps", "delta")
+    val m = Privacy.composeBudget(many, "eps", "delta", 1e-6).collect()(0)
+    assert(m.getDouble(3) < m.getDouble(1),
+      s"advanced ${m.getDouble(3)} must undercut basic ${m.getDouble(1)}")
+    intercept[IllegalArgumentException] {
+      Privacy.composeBudget(rel, "eps", "delta", deltaSlack = 0.0)
     }
   }
 }

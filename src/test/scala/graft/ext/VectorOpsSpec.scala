@@ -179,4 +179,29 @@ class VectorOpsSpec extends GraftSpec {
         col("vec_id") < 1)
     }
   }
+
+  test("matryoshkaEval: the eval-sample contract is enforced — an " +
+      "oversized query set fails fast, maxQueries = 0 opts out, and " +
+      "prefixes must reach the true dimensionality") {
+    import org.apache.spark.sql.functions._
+    val emb = (0L to 9L).map(i => (i, Seq(i.toFloat, 1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // queryPred matching the whole corpus over a 3-row cap: the |Q|·n
+    // quadratic the guard exists to refuse (the q22 precedent)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.matryoshkaEval(emb, "vec_id", "embedding", Seq(2, 4),
+        k = 1, queryPred = lit(true), maxQueries = 3)
+    }
+    assert(e.getMessage.contains("matryoshkaEval"), e.getMessage)
+    // the documented opt-out: maxQueries = 0 disables the probe
+    assert(VectorOps.matryoshkaEval(emb, "vec_id", "embedding", Seq(2, 4),
+      k = 1, queryPred = lit(true), maxQueries = 0).count() == 2L)
+    // a prefix set that omits the true dimensionality would silently
+    // grade against a truncated baseline — refused loudly instead
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.matryoshkaEval(emb, "vec_id", "embedding", Seq(1, 2),
+        k = 1, col("vec_id") < 1)
+    }
+    assert(e2.getMessage.contains("dimensionality"), e2.getMessage)
+  }
 }
