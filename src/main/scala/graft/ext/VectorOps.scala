@@ -304,9 +304,11 @@ object VectorOps {
    * `prefixes` MUST include the embedding's FULL dimensionality: the
    * largest prefix is the recall baseline, so omitting the true
    * dimension would silently grade truncations against a truncated
-   * baseline while reporting it as full-dim recall. Enforced against
-   * the first corpus vector's length (one `limit(1)` probe; vectors
-   * are homogeneous by the embedding-table contract).
+   * baseline while reporting it as full-dim recall. Enforced with one
+   * aggregate probe (`min(size) = max(size) = prefixes.max`), so the
+   * check is deterministic — an arbitrary-row probe would pass or fail
+   * nondeterministically on (contract-violating) mixed-length data —
+   * and also catches that contract violation itself.
    */
   def matryoshkaEval(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -317,12 +319,18 @@ object VectorOps {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val baseline = prefixes.max
-    emb.select(size(col(vecCol)).as("__d")).filter(col("__d") >= 0)
-      .head(1).foreach { r =>
-        val d = r.getInt(0)
-        require(baseline == d,
+    emb.agg(min(size(col(vecCol))).as("__dmin"),
+        max(size(col(vecCol))).as("__dmax"))
+      .head(1).filterNot(_.isNullAt(0)).foreach { r =>
+        val (dMin, dMax) = (r.getInt(0), r.getInt(1))
+        require(dMin == dMax,
+          s"embedding vectors must be homogeneous in length, found " +
+            s"sizes in [$dMin, $dMax]: recall over mixed-length vectors " +
+            "is ill-defined (the prefix slice silently truncates or " +
+            "short-reads depending on the row)")
+        require(baseline == dMax,
           s"prefixes.max (= $baseline) must equal the embedding's full " +
-            s"dimensionality (= $d): the largest prefix is the recall " +
+            s"dimensionality (= $dMax): the largest prefix is the recall " +
             "baseline, and a truncated baseline would silently misgrade " +
             "every smaller prefix. Include the full dimension in " +
             "`prefixes` (it doubles as the rank-plumbing sanity row).")

@@ -203,5 +203,15 @@ class VectorOpsSpec extends GraftSpec {
         k = 1, col("vec_id") < 1)
     }
     assert(e2.getMessage.contains("dimensionality"), e2.getMessage)
+    // mixed-length vectors: the aggregate probe fires DETERMINISTICALLY
+    // (an arbitrary-row probe would pass or fail depending on which row
+    // it happened to sample)
+    val mixed = Seq((0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      VectorOps.matryoshkaEval(mixed, "vec_id", "embedding", Seq(2, 4),
+        k = 1, col("vec_id") < 1)
+    }
+    assert(e3.getMessage.contains("homogeneous"), e3.getMessage)
   }
 }

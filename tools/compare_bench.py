@@ -39,6 +39,10 @@ def main(prev_path, curr_path):
     drifts = []
     for name in sorted(set(prev) & set(curr)):
         p, c = prev[name], curr[name]
+        if p <= 0:
+            # Bench rounds to 4 dp, so a sub-0.1 ms prior can record as
+            # 0.0 -- no meaningful ratio exists and c/p would crash.
+            continue
         if c > THRESHOLD * p and c > ABS_FLOOR:
             entry = {
                 "query": name,

@@ -15,34 +15,41 @@ clusters, q37 incremental CC, q339 paragraph dedup — read only
 
 Deterministic, stdlib + duckdb only; driver-side dev tool, never an
 engine dependency. Usage:
-    python3 tools/make_sf10.py [/tmp/graft_sf10] [sf1_dir]
+    python3 tools/make_sf10.py [/tmp/graft_sf10] [sf1_dir] [src_dir]
 """
 import os
 import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("GRAFT_SF10_SRC", "/root/testdata/sf0.1")
 N_DOCS = 5000   # sf0.1 row count (asserted below)
 REPS = 100
 
 
-def main(out: str, sf1: str) -> None:
+def main(out: str, sf1: str, src: str = SRC) -> None:
+    assert os.path.exists(f"{src}/documents.parquet"), (
+        f"source documents table missing under {src}")
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
+        link_src = f"{sf1}/{t}.parquet"
+        assert os.path.exists(link_src), (
+            f"sf1 fixture table missing: {link_src} -- run make_sf1.py "
+            f"into {sf1} first (a dangling symlink would only fail later "
+            "as a confusing read error)")
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{sf1}/{t}.parquet", dst)
+            os.symlink(link_src, dst)
 
     con = duckdb.connect()
     n_docs = con.sql(
-        f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+        f"SELECT count(*) FROM '{src}/documents.parquet'").fetchone()[0]
     assert n_docs == N_DOCS, n_docs
 
     con.sql(f"""
       COPY (
-        WITH base AS (SELECT * FROM '{SRC}/documents.parquet'),
+        WITH base AS (SELECT * FROM '{src}/documents.parquet'),
         reps AS (SELECT unnest(range({REPS})) AS k),
         rep_docs AS (
           SELECT b.doc_id + k * {N_DOCS} AS doc_id, b.text, b.lang,
@@ -68,4 +75,5 @@ def main(out: str, sf1: str) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf10",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1")
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1",
+         sys.argv[3] if len(sys.argv) > 3 else SRC)
