@@ -8,7 +8,7 @@ import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
-import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FeatureScreen, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, Scrub, Selection, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
+import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FeatureScreen, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, BloomIndex, Scrub, Selection, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
 /**
  * Driver contract (SURVEY.md §7.2): one declared query per implemented
@@ -23,6 +23,25 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  /** q361/q362's shared audit projection: screen `batch` against the
+    * standing Bloom `bloom` (built over history text keys, words=4096,
+    * k=3) and pair each verdict with the authoritative exact answer —
+    * `(doc_id, maybe_dup, true_dup)`. The exact side is a null-safe
+    * semi-join flag, so a NULL batch text matches a NULL history text
+    * exactly like the screen's sentinel does. */
+  private def bloomAudit(
+      batch: DataFrame, hist: DataFrame, bloom: DataFrame): DataFrame = {
+    val scr = BloomIndex.bloomScreen(batch, "doc_id", col("text"),
+      bloom, words = 4096, k = 3, salt = "bloom-r16")
+    val truth = batch.select(col("doc_id"), col("text"))
+      .join(hist.select(col("text").as("__ht")).distinct()
+          .withColumn("__seen", lit(true)),
+        col("text") <=> col("__ht"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__seen"), lit(false)).as("true_dup"))
+    scr.join(truth, Seq("doc_id")).orderBy(col("doc_id").asc)
+  }
 
   /** Scratch path for queries that persist an intermediate (staged
     * layouts, round-tripped indexes): keyed by the data dir AND the JVM
@@ -616,6 +635,69 @@ object SparkEntry {
         .withColumn("delta", lit(1e-6))
       Privacy.composeBudget(rel, "eps", "delta", deltaSlack = 1e-6)
     }),
+
+    // X+/S — the q356 census re-released under zCDP calibration (Bun &
+    // Steinke 2016): \u03c3 = 1/\u221a(2\u03c1) with NO \u03b5 ceiling, additive \u03c1
+    // composition, priced in both currencies via the \u03c1 + 2\u221a(\u03c1\u00b7ln(1/\u03b4))
+    // conversion. Same seeded-probit noise, same one-agg shape.
+    "q359_zcdp_gaussian" -> ((s, d) =>
+      Privacy.dpCountsZcdp(t(s, d, "documents"), Seq("lang", "source"),
+          rho = 0.125, delta = 1e-6, secretSalt = "zcdp-r16")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
+
+    // X+/S — the R\u00e9nyi accountant (Mironov 2017) over a heterogeneous
+    // ledger (mechanism and noise scale keyed off the source name):
+    // per-order RDP curves compose additively, each order converts via
+    // Prop 3, the minimizing order is flagged. The tight frame q357's
+    // DRV'10 bound upper-bounds; releases-sized metadata end to end.
+    "q360_rdp_account" -> ((s, d) => {
+      val a = expr("ascii(right(coalesce(source, '0'), 1))")
+      val rel = t(s, d, "documents").select(col("source")).distinct()
+        .withColumn("mechanism",
+          when(a % 2 === 0, "gaussian").otherwise("laplace"))
+        .withColumn("scale",
+          lit(0.5) * (lit(1.0) + (a % 4).cast("double")))
+      Privacy.rdpAccount(rel, "mechanism", "scale", delta = 1e-6)
+    }),
+
+    // X1 — Bloom-filter standing dedup screen (Bloom 1970): history's
+    // text keys summarized into a fixed-size bit frame, the batch
+    // screened with zero false negatives (maybe_dup \u2287 true_dup,
+    // BloomIndexSpec) and one broadcast join. The memory-bounded front
+    // door to the exact standing indexes (q62/q75) at 100-TB history.
+    "q361_bloom_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      val bloom = BloomIndex.bloomBuild(hist, col("text"),
+        words = 4096, k = 3, salt = "bloom-r16")
+      bloomAudit(batch, hist, bloom)
+    }),
+
+    // X1/X++idx — the Bloom filter's merge law: per-batch partials
+    // fold by bit_or (associative, commutative, idempotent), so
+    // merge(build(A), build(B)) screens EXACTLY like build(A \u222a B) —
+    // q361's oracle verbatim.
+    "q362_bloom_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      def part(r: Long) = BloomIndex.bloomBuild(
+        docs.filter(pmod(col("doc_id"), lit(4L)) === r), col("text"),
+        words = 4096, k = 3, salt = "bloom-r16")
+      val bloom = BloomIndex.bloomMerge(part(0L).unionByName(part(2L)))
+      bloomAudit(batch, hist, bloom)
+    }),
+
+    // X1+++/X3++ — prototypicality pruning (Sorscher et al. 2022):
+    // rank every embedding by cosine to its label centroid (the q30
+    // centroid, 6-dp pinned), prune the most-prototypical 30% per
+    // label — "beyond neural scaling laws" data pruning as an audit
+    // frame. Centroids broadcast; one per-label ranking window.
+    "q363_prototypicality" -> ((s, d) =>
+      Selection.prototypicalityPrune(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", pruneFrac = 0.3)
+        .orderBy(col("label").asc_nulls_last, col("rank").asc)),
 
     // X+/S — k-anonymity release audit over the customer dimension's
     // quasi-identifiers (nation × market segment): the re-identification
@@ -5376,6 +5458,74 @@ object SparkEntry {
        |FROM g ORDER BY lang, source""".stripMargin
   }
 
+  /** q359's zCDP release oracle: the q356 census + probit shape with
+    * \u03c3 = 1/\u221a(2\u03c1) and the Bun & Steinke conversion, every driver-side
+    * double embedded with round-trip precision. */
+  private val zcdpGaussianOracleSql: String = {
+    val sigma = java.lang.Double.toString(graft.ext.Privacy.zcdpSigma(0.125))
+    val eps = java.lang.Double.toString(
+      graft.ext.Privacy.zcdpEpsilon(0.125, 1e-6))
+    s"""WITH g AS (
+       |  SELECT lang, source, count(*) AS n,
+       |         (CAST(('0x' || substr(md5('zcdp-r16:' ||
+       |            concat_ws(chr(1),
+       |              coalesce(CAST(lang AS VARCHAR), chr(0)),
+       |              coalesce(CAST(source AS VARCHAR), chr(0)))), 1, 12))
+       |            AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+       |  FROM documents GROUP BY lang, source)
+       |SELECT lang, source,
+       |       CAST(greatest(0, floor(
+       |         n + ($sigma * ${probitSql("u")}) + 0.5)) AS BIGINT)
+       |         AS released_count,
+       |       CAST(0.125 AS DOUBLE) AS rho,
+       |       CAST($eps AS DOUBLE) AS epsilon,
+       |       CAST(1e-6 AS DOUBLE) AS delta
+       |FROM g ORDER BY lang, source""".stripMargin
+  }
+
+  /** q361/q362's shared Bloom-screen oracle: the identical seeded
+    * buckets (12 md5 nibbles of salt:j:key mod 4096\u00b763), the identical
+    * 63-bit words and bit_or fold, the identical all-k-bits screen,
+    * plus the exact null-safe truth flag. q362 (merged partials) must
+    * reproduce it bit-for-bit \u2014 OR's merge law. */
+  private val bloomScreenOracleSql: String =
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      |js AS (SELECT unnest(range(3)) AS j),
+      |hp AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x' || substr(md5('bloom-r16:' || j || ':' ||
+      |      coalesce(h.text, chr(0))), 1, 12)) AS UBIGINT) % 258048
+      |      AS bucket
+      |  FROM hist h CROSS JOIN js),
+      |bloom AS (
+      |  SELECT CAST(bucket // 63 AS BIGINT) AS word,
+      |         bit_or(1::BIGINT << CAST(bucket % 63 AS INT)) AS bits
+      |  FROM hp GROUP BY 1),
+      |probes AS (
+      |  SELECT b.doc_id,
+      |    CAST(('0x' || substr(md5('bloom-r16:' || j || ':' ||
+      |      coalesce(b.text, chr(0))), 1, 12)) AS UBIGINT) % 258048
+      |      AS bucket
+      |  FROM batch b CROSS JOIN js),
+      |scr AS (
+      |  SELECT p.doc_id,
+      |         min(CASE WHEN (coalesce(bl.bits, 0) &
+      |               (1::BIGINT << CAST(p.bucket % 63 AS INT))) =
+      |               (1::BIGINT << CAST(p.bucket % 63 AS INT))
+      |             THEN 1 ELSE 0 END) AS hit
+      |  FROM probes p
+      |  LEFT JOIN bloom bl ON bl.word = CAST(p.bucket // 63 AS BIGINT)
+      |  GROUP BY p.doc_id),
+      |tr AS (
+      |  SELECT b.doc_id,
+      |         EXISTS(SELECT 1 FROM hist h
+      |                WHERE h.text IS NOT DISTINCT FROM b.text)
+      |           AS true_dup
+      |  FROM batch b)
+      |SELECT s.doc_id, s.hit = 1 AS maybe_dup, tr.true_dup
+      |FROM scr s JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // q356: the q347 seeded-uniform census through the Acklam probit —
@@ -5414,6 +5564,92 @@ object SparkEntry {
         |           + CAST(lin AS DOUBLE), 6) AS advanced_epsilon,
         |       round(CAST(sd AS DOUBLE) + 1e-6, 6) AS advanced_delta
         |FROM a""".stripMargin,
+
+    // q359: the q356 probit census with the zCDP \u03c3 and conversion \u03b5
+    // embedded as identical driver-side doubles.
+    "q359_zcdp_gaussian" -> zcdpGaussianOracleSql,
+
+    // q360: the same heterogeneous (mechanism, scale) ledger, the same
+    // per-order RDP closed forms (gaussian \u03b1/(2\u03c3\u00b2); laplace via
+    // Mironov Table II \u2014 exp/ln shared-tree, the q357 precedent), the
+    // same 12-dp decimal sums, Prop-3 conversion, 12-dp min flag.
+    "q360_rdp_account" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN ascii(right(coalesce(source, '0'), 1)) % 2 = 0
+        |         THEN 'gaussian' ELSE 'laplace' END AS mechanism,
+        |    CAST(0.5 AS DOUBLE) *
+        |      (1.0 + (ascii(right(coalesce(source, '0'), 1)) % 4))
+        |      AS scale
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |o AS (SELECT unnest([1.5e0, 2.0e0, 3.0e0, 4.0e0,
+        |                     8.0e0, 1.6e1, 3.2e1, 6.4e1]) AS alpha),
+        |t AS (
+        |  SELECT o.alpha,
+        |    CASE WHEN r.mechanism = 'gaussian'
+        |      THEN o.alpha / (2.0 * r.scale * r.scale)
+        |      ELSE (1.0 / (o.alpha - 1.0)) *
+        |        ln((o.alpha * exp((o.alpha - 1.0) / r.scale) +
+        |            (o.alpha - 1.0) * exp(-o.alpha / r.scale)) /
+        |           (2.0 * o.alpha - 1.0)) END AS term
+        |  FROM r CROSS JOIN o),
+        |c AS (
+        |  SELECT alpha,
+        |    CAST(sum(CAST(round(term, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS rdp
+        |  FROM t GROUP BY alpha),
+        |x AS (SELECT alpha, rdp,
+        |             rdp + ln(1.0 / 1e-6) / (alpha - 1.0) AS conv
+        |      FROM c),
+        |b AS (SELECT min(round(conv, 12)) AS best FROM x)
+        |SELECT alpha, round(rdp, 6) AS rdp_epsilon,
+        |       round(conv, 6) AS converted_epsilon,
+        |       round(conv, 12) = best AS is_best
+        |FROM x CROSS JOIN b ORDER BY alpha""".stripMargin,
+
+    // q361: the identical seeded Bloom geometry replayed end to end.
+    "q361_bloom_screen" -> bloomScreenOracleSql,
+
+    // q362: OR's merge law \u2014 merged per-batch partials screen exactly
+    // like the from-scratch build: q361's oracle verbatim.
+    "q362_bloom_merge" -> bloomScreenOracleSql,
+
+    // q363: the q30 6-dp centroid rebuilt per label, the q352 exact-
+    // double cosine fold, (sim DESC NULLS LAST, id) ranks, and the
+    // \u230apruneFrac\u00b7n\u230b cut in identical-double arithmetic.
+    "q363_prototypicality" ->
+      """WITH c0 AS (
+        |  SELECT label, CAST(p - 1 AS BIGINT) AS pos,
+        |         round(avg(CAST(embedding[p] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, generate_series(1, 512) g(p)
+        |  WHERE p <= len(embedding)
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS centroid
+        |         FROM c0 GROUP BY label),
+        |sims AS (
+        |  SELECT e.label, e.vec_id AS id,
+        |    list_aggregate(list_transform(
+        |        list_zip(e.embedding, ct.centroid),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |      'sum')
+        |    / nullif(
+        |        sqrt(list_aggregate(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |      * sqrt(list_aggregate(list_transform(ct.centroid,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+        |        0.0) AS sim
+        |  FROM embeddings e JOIN cent ct USING (label)),
+        |r AS (
+        |  SELECT label, id, sim,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY sim DESC NULLS LAST, id)
+        |           AS rank,
+        |         count(*) OVER (PARTITION BY label) AS n
+        |  FROM sims)
+        |SELECT label, id, round(sim, 6) AS proto_sim,
+        |       CAST(rank AS BIGINT) AS rank,
+        |       rank > CAST(floor(3.0e-1 * n) AS BIGINT) AS kept
+        |FROM r ORDER BY label, rank""".stripMargin,
 
     // q342: the formula recompute — per sampled frame (even indexes),
     // the same integer dims and pixel sums, no parsing.

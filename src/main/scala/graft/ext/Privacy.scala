@@ -170,11 +170,14 @@ object Privacy {
 
   /** The analytic Gaussian-mechanism noise scale (Dwork & Roth 2014,
     * Thm A.1): `σ = √(2·ln(1.25/δ)) · Δ / ε` with sensitivity Δ = 1
-    * for counting queries; valid for ε ∈ (0, 1]. Computed driver-side
-    * so both the plan and the oracle embed the identical double. */
+    * for counting queries; the theorem is stated for ε ∈ (0, 1), so the
+    * open interval is enforced (for ε ≥ 1 use the zCDP calibration
+    * `zcdpSigma`, whose guarantee has no ε ceiling). Computed
+    * driver-side so both the plan and the oracle embed the identical
+    * double. */
   def gaussianSigma(epsilon: Double, delta: Double): Double = {
-    require(epsilon > 0 && epsilon <= 1.0,
-      s"the analytic Gaussian bound needs epsilon in (0, 1], got $epsilon")
+    require(epsilon > 0 && epsilon < 1.0,
+      s"the analytic Gaussian bound needs epsilon in (0, 1), got $epsilon")
     require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
     math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
   }
@@ -362,17 +365,27 @@ object Privacy {
     * shape with Gaussian tails. */
   private def gaussianRelease(
       classes: DataFrame, groupCols: Seq[String], countCol: String,
-      epsilon: Double, delta: Double, secretSalt: String): DataFrame = {
+      epsilon: Double, delta: Double, secretSalt: String): DataFrame =
+    noisyFloorRelease(classes, groupCols, countCol,
+      gaussianSigma(epsilon, delta), secretSalt,
+      Seq(lit(epsilon).as("epsilon"), lit(delta).as("delta")))
+
+  /** The shared noisy-count projection every Gaussian-family release
+    * reduces to: the seeded uniform on the group key through
+    * [[probit]], scaled by the caller's \u03c3, clamped-floor released,
+    * with the caller's budget columns appended. */
+  private def noisyFloorRelease(
+      classes: DataFrame, groupCols: Seq[String], countCol: String,
+      sigma: Double, secretSalt: String,
+      budgetCols: Seq[Column]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val sigma = gaussianSigma(epsilon, delta)
     val key = concat_ws("\u0001",
       groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     val noise = lit(sigma) * probit(seededUniform(key, secretSalt))
-    classes.select(groupCols.map(col) :+
+    classes.select((groupCols.map(col) :+
       greatest(lit(0L),
         floor(col(countCol) + noise + lit(0.5)).cast("long"))
-        .as("released_count") :+
-      lit(epsilon).as("epsilon") :+ lit(delta).as("delta"): _*)
+        .as("released_count")) ++ budgetCols: _*)
   }
 
   /**
@@ -420,6 +433,125 @@ object Privacy {
       epsilon: Double, delta: Double, secretSalt: String): DataFrame =
     gaussianRelease(classes, groupCols, "class_size",
       epsilon, delta, secretSalt)
+
+  /** zCDP Gaussian calibration (Bun & Steinke 2016, Prop 1.6): the
+    * Gaussian mechanism with `σ = Δ/√(2ρ)` satisfies ρ-zCDP, Δ = 1 for
+    * counts. Unlike [[gaussianSigma]]'s Dwork & Roth bound this has NO
+    * ε ceiling — zCDP is the calibration to use past ε ≈ 1 — and zCDP
+    * composes by simple addition of ρ (no √k slack term, no δ' tax).
+    * Computed driver-side so plan and oracle embed the identical
+    * double. */
+  def zcdpSigma(rho: Double): Double = {
+    require(rho > 0, s"rho must be positive, got $rho")
+    1.0 / math.sqrt(2.0 * rho)
+  }
+
+  /** zCDP→(ε,δ) conversion (Bun & Steinke 2016, Prop 1.3): ρ-zCDP
+    * implies `(ρ + 2·√(ρ·ln(1/δ)), δ)`-DP for every δ ∈ (0, 1) — the
+    * closed form that prices a zCDP ledger in the (ε,δ) currency
+    * policies are written in. Driver-side for the same embedding
+    * reason as [[zcdpSigma]]. */
+  def zcdpEpsilon(rho: Double, delta: Double): Double = {
+    require(rho > 0, s"rho must be positive, got $rho")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+  }
+
+  /**
+   * ρ-zCDP count release (Bun & Steinke 2016): the Gaussian mechanism
+   * calibrated in the zCDP currency — `σ = 1/√(2ρ)` ([[zcdpSigma]]),
+   * the same seeded-probit noise and clamped-floor projection as
+   * [[dpCountsGaussian]]. Why a second Gaussian front door: zCDP is
+   * the accounting frame long release SCHEDULES actually run under —
+   * k releases at ρ each are exactly kρ-zCDP (additive, tight for
+   * Gaussians, no caller-chosen δ' slack), and the total converts to
+   * (ε,δ) once at the end via [[zcdpEpsilon]] instead of paying the
+   * DRV'10 slack per composition. It also covers the ε ≥ 1 regime
+   * [[gaussianSigma]]'s cited bound excludes.
+   *
+   * Output: group cols + `(released_count, rho, epsilon, delta)` where
+   * `epsilon` is the [[zcdpEpsilon]] conversion at the caller's δ —
+   * the release self-describes in both currencies. Same
+   * one-hash-aggregate + per-group-projection shape as
+   * [[dpCountsGaussian]]; same secret-salt contract.
+   */
+  def dpCountsZcdp(
+      df: DataFrame, groupCols: Seq[String],
+      rho: Double, delta: Double, secretSalt: String): DataFrame =
+    noisyFloorRelease(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n")),
+      groupCols, "__n", zcdpSigma(rho), secretSalt,
+      Seq(lit(rho).as("rho"),
+        lit(zcdpEpsilon(rho, delta)).as("epsilon"),
+        lit(delta).as("delta")))
+
+  /**
+   * Rényi-DP accountant (Mironov 2017): price a heterogeneous release
+   * ledger at a GRID of Rényi orders and convert the best order to
+   * (ε,δ). Per ledger row the mechanism's RDP curve at order α
+   * (sensitivity 1, noise scale `scaleCol`):
+   *
+   *  - `gaussian` with σ: `ε_α = α/(2σ²)` (Mironov Cor. 3);
+   *  - `laplace` with b:  `ε_α = (1/(α−1))·ln((α·e^((α−1)/b)
+   *    + (α−1)·e^(−α/b)) / (2α−1))` (Mironov Table II, α > 1).
+   *
+   * RDP composes ADDITIVELY per order (Prop 1) — the whole ledger sums
+   * at each α with 12-dp decimal terms (order-independent) — and each
+   * order converts via `ε(δ) = ε_α + ln(1/δ)/(α−1)` (Prop 3); the
+   * accountant releases the full curve plus `is_best` on the minimizing
+   * order. This is the tight frame for long schedules: where the
+   * DRV'10 bound ([[composeBudget]]) pays a fixed δ' slack per
+   * PIPELINE, the RDP minimum tracks the actual mechanisms — for an
+   * all-Gaussian ledger it recovers zCDP accounting exactly
+   * (`ε_α = α·Σρ` is linear in α).
+   *
+   * Output: `(alpha, rdp_epsilon, converted_epsilon, is_best)` ordered
+   * by α, 6-dp rounded from the 12-dp sums; `is_best` ties resolve on
+   * 12-dp values so the flag is engine-stable. Shape at scale: the
+   * ledger is releases-sized metadata × |orders| — one explode, one
+   * hash aggregate, one |orders|-row window; the corpus never appears.
+   */
+  def rdpAccount(
+      releases: DataFrame, mechCol: String, scaleCol: String,
+      delta: Double,
+      orders: Seq[Double] = Seq(1.5, 2.0, 3.0, 4.0, 8.0, 16.0, 32.0, 64.0))
+      : DataFrame = {
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    require(orders.nonEmpty && orders.forall(_ > 1.0),
+      s"Renyi orders must all exceed 1: $orders")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val a = col("alpha")
+    val b = col(scaleCol).cast("double")
+    val gaussianTerm = a / (lit(2.0) * b * b)
+    val laplaceTerm = (lit(1.0) / (a - lit(1.0))) *
+      log((a * exp((a - lit(1.0)) / b) +
+        (a - lit(1.0)) * exp(-a / b)) / (lit(2.0) * a - lit(1.0)))
+    val term = when(col(mechCol) === "gaussian", gaussianTerm)
+      .when(col(mechCol) === "laplace", laplaceTerm)
+      .otherwise(raise_error(concat(
+        lit("rdpAccount: unknown mechanism '"), col(mechCol),
+        lit("' (expected 'gaussian' or 'laplace')"))).cast("double"))
+    val curve = releases
+      .select(col(mechCol), b.as(scaleCol),
+        explode(array(orders.map(lit): _*)).as("alpha"))
+      .groupBy(a)
+      .agg(sum(round(term, 12).cast(d12)).as("__rdp"))
+      .select(a,
+        col("__rdp").cast("double").as("__rdpd"),
+        (col("__rdp").cast("double") +
+          log(lit(1.0) / lit(delta)) / (a - lit(1.0))).as("__conv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    curve
+      .withColumn("__best", min(round(col("__conv"), 12)).over(w))
+      .select(a,
+        round(col("__rdpd"), 6).as("rdp_epsilon"),
+        round(col("__conv"), 6).as("converted_epsilon"),
+        (round(col("__conv"), 12) === col("__best")).as("is_best"))
+      .orderBy(a.asc)
+  }
 
   /**
    * Composition accounting — the privacy LEDGER over a release set:

@@ -411,4 +411,72 @@ object Selection {
         round(col("__factor").cast("double") /
           col("__total").cast("double"), 6).as("weight"))
   }
+
+  /**
+   * Prototypicality-based data pruning (Sorscher et al., NeurIPS 2022,
+   * "Beyond neural scaling laws: beating power law scaling via data
+   * pruning"): rank every embedding by cosine similarity to its
+   * cluster's centroid and PRUNE the most prototypical fraction — the
+   * paper's central result is that when data is ABUNDANT the easy
+   * (prototypical) examples are the redundant ones, and dropping them
+   * beats random subsampling; `pruneFrac` of each cluster's
+   * highest-similarity rows are flagged `kept = false`.
+   *
+   * The cluster structure here is the caller's `labelCol` (a k-means
+   * assignment from [[AnnIvf]], an LSH bucket, or a supervised label —
+   * the paper uses k-means over the embedding space); the centroid is
+   * the per-label coordinate-wise mean with each component rounded to
+   * 6 dp (the q30 centroid definition — rounding absorbs cross-
+   * partition float-sum order, and AFTER it both engines hold the
+   * identical doubles, so the cosine below is exact-double
+   * reproducible). Cosine is the ordered `Σ vᵢ·cᵢ` list fold (the q352
+   * oracle idiom); ranks break ties on `idCol` (repo convention), and
+   * the per-label cut is `rank ≤ ⌊pruneFrac·n_label⌋` in exact
+   * arithmetic on identical doubles.
+   *
+   * Output: `(label, id, proto_sim, rank, kept)` — the audit frame; a
+   * caller prunes with `filter(col("kept"))` and keeps the frame as
+   * the release's provenance.
+   *
+   * Shape at scale: the centroid aggregate is one posexplode +
+   * map-side-combined hash aggregate to a |labels|×d frame that
+   * BROADCASTS back (labels are few by construction); the only data
+   * shuffle is the per-label ranking window. With very-low-cardinality
+   * labels at extreme scale that window concentrates per-label — the
+   * amortized path is the [[buildBucketThresholds]] pattern: persist
+   * per-label sim thresholds from history, cut new batches with a pure
+   * projection (the q351 shape).
+   */
+  def prototypicalityPrune(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      pruneFrac: Double): DataFrame = {
+    require(pruneFrac >= 0 && pruneFrac < 1,
+      s"pruneFrac must be in [0, 1), got $pruneFrac")
+    import org.apache.spark.sql.expressions.Window
+    val cent = emb
+      .select(col(labelCol).as("__label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("__label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy(col("__label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    def dotD(a: Column, b: Column) = Similarity.dot(a, b)
+    val sim = dotD(col(vecCol), col("centroid")) /
+      nullif(sqrt(dotD(col(vecCol), col(vecCol))) *
+        sqrt(dotD(col("centroid"), col("centroid"))), lit(0.0))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("__sim").desc_nulls_last, col("id").asc)
+    val wAll = Window.partitionBy(col("label"))
+    emb.join(broadcast(cent), col(labelCol) === col("__label"))
+      .withColumn("__sim", sim)
+      .select(col(labelCol).as("label"), col(idCol).as("id"), col("__sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col("label"), col("id"),
+        round(col("__sim"), 6).as("proto_sim"), col("rank"),
+        (col("rank") > floor(lit(pruneFrac) *
+          col("__n").cast("double")).cast("long")).as("kept"))
+  }
 }

@@ -345,4 +345,110 @@ class PrivacySpec extends GraftSpec {
       Privacy.composeBudget(rel, "eps", "delta", deltaSlack = 0.0)
     }
   }
+
+  test("zcdpSigma / zcdpEpsilon: the Bun & Steinke closed forms, " +
+      "hand-checked, with guards") {
+    assert(Privacy.zcdpSigma(0.125) == 2.0) // 1/sqrt(2*0.125) exactly
+    assert(Privacy.zcdpSigma(0.5) == 1.0)
+    val eps = Privacy.zcdpEpsilon(0.125, 1e-6)
+    val want = 0.125 + 2.0 * math.sqrt(0.125 * math.log(1e6))
+    assert(eps == want, s"$eps vs $want")
+    // zCDP covers the regime the Dwork & Roth bound excludes: a rho
+    // whose conversion lands past epsilon = 1 is still valid input
+    assert(Privacy.zcdpEpsilon(1.0, 1e-6) > 1.0)
+    intercept[IllegalArgumentException] { Privacy.zcdpSigma(0.0) }
+    intercept[IllegalArgumentException] { Privacy.zcdpEpsilon(0.125, 0.0) }
+    intercept[IllegalArgumentException] { Privacy.zcdpEpsilon(-1.0, 1e-6) }
+    // and the Dwork & Roth calibration now refuses epsilon = 1.0 (the
+    // cited theorem is stated on the OPEN interval)
+    intercept[IllegalArgumentException] { Privacy.gaussianSigma(1.0, 1e-6) }
+  }
+
+  test("dpCountsZcdp: the seeded release replayed by hand from the md5 " +
+      "seed at sigma = 1/sqrt(2 rho), both budget currencies attached") {
+    val rows = Seq("a" -> 40, "b" -> 25, "c" -> 10).flatMap {
+      case (g, n) => (1 to n).map(i => (g.hashCode * 1000L + i, g))
+    }
+    val d = rows.toDF("id", "g")
+    val out = Privacy.dpCountsZcdp(d, Seq("g"),
+      rho = 0.125, delta = 1e-6, secretSalt = "zc1")
+    assert(out.columns.toSeq ==
+      Seq("g", "released_count", "rho", "epsilon", "delta"))
+    val got = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val sigma = Privacy.zcdpSigma(0.125)
+    def released(g: String, n: Long): Long =
+      math.max(0L,
+        math.floor(n + sigma * probitRef(uniformOf("zc1", g)) + 0.5).toLong)
+    Seq("a" -> 40L, "b" -> 25L, "c" -> 10L).foreach { case (g, n) =>
+      val (rc, rho, eps, del) = got(g)
+      assert(rc == released(g, n), s"group $g")
+      assert(rho == 0.125 && del == 1e-6)
+      assert(eps == Privacy.zcdpEpsilon(0.125, 1e-6))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountsZcdp(d, Seq("g"), 0.0, 1e-6, "zc1")
+    }
+  }
+
+  test("rdpAccount: per-order RDP hand-computed for a gaussian+laplace " +
+      "ledger, Prop-3 conversion, best flag on the grid minimum") {
+    val rel = Seq(("g1", "gaussian", 2.0), ("l1", "laplace", 0.5))
+      .toDF("release", "mechanism", "scale")
+    val orders = Seq(1.5, 2.0, 3.0, 4.0, 8.0, 16.0, 32.0, 64.0)
+    val got = Privacy.rdpAccount(rel, "mechanism", "scale", delta = 1e-6)
+      .collect()
+    assert(got.map(_.getDouble(0)).toSeq == orders)
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gaussTerm(a: Double) = a / (2.0 * 2.0 * 2.0)
+    def lapTerm(a: Double, b: Double) = (1.0 / (a - 1.0)) *
+      math.log((a * math.exp((a - 1.0) / b) +
+        (a - 1.0) * math.exp(-a / b)) / (2.0 * a - 1.0))
+    val conv = orders.map { a =>
+      val rdp = r(gaussTerm(a), 12) + r(lapTerm(a, 0.5), 12)
+      a -> (rdp, rdp + math.log(1e6) / (a - 1.0))
+    }.toMap
+    val bestConv = conv.values.map(v => r(v._2, 12)).min
+    got.foreach { row =>
+      val a = row.getDouble(0)
+      assert(row.getDouble(1) == r(conv(a)._1, 6), s"rdp at alpha=$a")
+      assert(row.getDouble(2) == r(conv(a)._2, 6), s"conv at alpha=$a")
+      assert(row.getBoolean(3) == (r(conv(a)._2, 12) == bestConv),
+        s"is_best at alpha=$a")
+    }
+    assert(got.count(_.getBoolean(3)) >= 1)
+
+    // all-gaussian ledger: RDP is linear in alpha (alpha * sum rho) and
+    // the grid minimum lands within a hair of the zCDP closed form
+    val rhos = Seq(0.01, 0.02, 0.04)
+    val gs = rhos.zipWithIndex
+      .map { case (rho, i) => (s"g$i", "gaussian", Privacy.zcdpSigma(rho)) }
+      .toDF("release", "mechanism", "scale")
+    val g = Privacy.rdpAccount(gs, "mechanism", "scale", delta = 1e-6)
+      .collect()
+    val sumRho = rhos.sum
+    g.foreach { row =>
+      assert(math.abs(row.getDouble(1) - row.getDouble(0) * sumRho) < 1e-5,
+        s"linear-in-alpha at ${row.getDouble(0)}")
+    }
+    val best = g.filter(_.getBoolean(3)).map(_.getDouble(2)).min
+    val closed = Privacy.zcdpEpsilon(sumRho, 1e-6)
+    assert(best >= closed - 1e-6, "grid cannot beat the continuous optimum")
+    assert(best <= closed * 1.25, s"grid min $best far from zCDP $closed")
+
+    intercept[IllegalArgumentException] {
+      Privacy.rdpAccount(rel, "mechanism", "scale", 1e-6, Seq(1.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.rdpAccount(rel, "mechanism", "scale", 0.0)
+    }
+    val bad = Seq(("x", "cauchy", 1.0)).toDF("release", "mechanism", "scale")
+    val e = intercept[Exception] {
+      Privacy.rdpAccount(bad, "mechanism", "scale", 1e-6).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("rdpAccount"),
+      s"unexpected: ${e.getMessage}")
+  }
 }

@@ -228,4 +228,45 @@ class SelectionSpec extends GraftSpec {
     assert(!out.queryExecution.executedPlan.toString
       .contains("SortMergeJoin"))
   }
+
+  test("prototypicalityPrune: hand geometry — the centroid twin ranks " +
+      "first and is pruned, the outlier survives, zero-norm ranks last") {
+    // label "x": two copies of e1, one e2, one zero vector.
+    // centroid = round(mean, 6) per dim = (0.5, 0.25, 0)
+    val emb = Seq(
+      (1L, "x", Seq(1f, 0f, 0f)),
+      (2L, "x", Seq(1f, 0f, 0f)),
+      (3L, "x", Seq(0f, 1f, 0f)),
+      (4L, "x", Seq(0f, 0f, 0f)),
+      (5L, "y", Seq(0f, 0f, 2f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Selection.prototypicalityPrune(
+        emb, "vec_id", "embedding", "label", pruneFrac = 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getLong(3), r.getBoolean(4))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Seq(0.5, 0.25, 0.0) // exact 6-dp means
+    val nc = math.sqrt(c.map(v => v * v).sum)
+    def cos(v: Seq[Double]): Double = {
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(v.map(x => x * x).sum) * nc)
+    }
+    // ranks in "x": e1 twins (cos highest) -> ids 1,2; outlier 3; zero 4
+    assert(got(("x", 1L)) == (r6(cos(Seq(1, 0, 0))), 1L, false),
+      s"${got(("x", 1L))}") // floor(0.3*4) = 1 -> rank 1 pruned
+    assert(got(("x", 2L)) == (r6(cos(Seq(1, 0, 0))), 2L, true))
+    assert(got(("x", 3L)) == (r6(cos(Seq(0, 1, 0))), 3L, true))
+    val (zs, zr, zk) = got(("x", 4L))
+    assert(zs.isNaN && zr == 4L && zk,
+      "zero-norm must rank last with NULL sim and survive")
+    // label "y": its own centroid's twin, cos = 1, n = 1, floor(.3) = 0
+    assert(got(("y", 5L)) == (1.0, 1L, true))
+    intercept[IllegalArgumentException] {
+      Selection.prototypicalityPrune(emb, "vec_id", "embedding", "label",
+        pruneFrac = 1.0)
+    }
+  }
 }
