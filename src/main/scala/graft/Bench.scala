@@ -7,9 +7,10 @@ import graft.ext.Materialize
 
 /**
  * Benchmark main: times every declared query on `SPARK_GRAFT_SF_DIR`
- * (default sf0.1) and prints the full JSON record as the FIRST stdout
- * line (tail-truncating capture windows keep it whole), followed by a
- * short summary line carrying the totals and the durable record path.
+ * (default sf0.1) and prints the full JSON record as BOTH the FIRST and
+ * the LAST stdout line (head-keeping and tail-keeping capture windows
+ * each hold a whole copy), with a short summary line between them
+ * carrying the totals and the durable record path.
  *
  * What a timed run executes: [[Harness.consume]] — a noop-sink write that
  * produces every output column and honors the final sort. `count()` would
@@ -223,16 +224,18 @@ object Bench {
     // the durable path tells a reader where the untruncated copy lives
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"durable":${jstr(out)},"queries":$qs,"errors":$es,"meta":$meta,"sf":"$sfDir"}"""
-    // The FULL record is the FIRST stdout line (the r14 verdict's parse
-    // fix): the driver's capture truncates the TAIL of long output, so
-    // leading with the full ~15 KB line is what makes BENCH_rN.json's
-    // `parsed` field non-null — a tail-truncated window then loses
-    // only the trailing summary, which merely restates the totals and
-    // the durable path for a human reader.
+    // The FULL record is the FIRST stdout line AND the LAST (the r14/r15
+    // verdict parse fixes): a head-keeping capture window holds the first
+    // copy, a tail-keeping window (the driver keeps a tail — r15's record
+    // parsed null because only the head-emission existed) holds the last
+    // copy; the short summary between them restates the totals and the
+    // durable path for a human reader, and the durable file is the
+    // always-whole fallback either way.
     val summary =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"n_errors":${errors.size},"durable":${jstr(out)},"record":"summary","sf":"$sfDir"}"""
     println(line)
     println(summary)
+    println(line)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
     // A query-filtered run writes to a .partial path — also when the

@@ -702,12 +702,20 @@ object TextOps {
    * identical UTF-8 bytes) instead of shipping id arrays through the
    * dump.
    *
-   * Shape at scale: the vocab reaches every executor as a DRIVER-
-   * LITERAL map (vocab-sized metadata, the IVF-centroid contract — k
-   * tokens, not corpus data), so encoding is a pure narrow projection:
-   * zero shuffle, zero joins, codegen'd `element_at` per token. The
-   * per-token join alternative would shuffle the exploded corpus by
-   * token — data-sized — to look up a metadata-sized table.
+   * Shape at scale: the vocab reaches every executor as vocab-sized
+   * metadata, never via a join (the per-token join alternative would
+   * shuffle the exploded corpus by token — data-sized — to look up a
+   * metadata-sized table), so encoding is a pure narrow projection:
+   * zero shuffle, zero joins, one codegen'd lookup per token. The
+   * TRANSPORT dispatches on vocabulary size (the
+   * [[AnnIvf.nearestCells]] carrier pattern, r15-verdict item): below
+   * [[LiteralVocabCeiling]] entries the map rides as a `typedLit` plan
+   * literal (self-contained plans, stable plan fingerprints); above it
+   * — `vocabFromTf`'s k is caller-chosen, and a real 10⁵–10⁶-token
+   * tokenizer vocabulary would bloat EVERY serialized task plan — the
+   * map ships once per executor as a `Broadcast` consumed by the
+   * [[graft.functions.VocabEncodeBc]] expression (TextOpsSpec pins the
+   * two paths bit-equal).
    */
   def encodeWithVocab(
       docs: DataFrame, idCol: String, textCol: String,
@@ -715,18 +723,47 @@ object TextOps {
     val entries = vocab.select(col("token"), col("id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(entries.nonEmpty, "empty vocabulary — build it first")
-    val vmap = typedLit(entries)
+    if (entries.size > LiteralVocabCeiling)
+      encodeWith(docs, idCol, textCol, bcastIds(entries))
+    else {
+      val vmap = typedLit(entries)
+      encodeWith(docs, idCol, textCol,
+        toks => transform(toks, t => coalesce(element_at(vmap, t), lit(0L))))
+    }
+  }
+
+  /** Above this vocabulary size the id map rides as a `Broadcast`
+    * instead of a plan-resident `typedLit` — same rationale and value
+    * as [[AnnIvf.LiteralCentroidCeiling]]: a few thousand entries are
+    * comfortably inside normal plan sizes, a tokenizer-scale
+    * vocabulary is megabytes shipped with every task plan. */
+  private[ext] val LiteralVocabCeiling = 4096
+
+  /** The broadcast id-lookup column builder ([[encodeWithVocab]]'s
+    * above-ceiling transport), exposed so the spec can pin it bit-equal
+    * to the literal path at sub-ceiling sizes. */
+  private[ext] def bcastIds(
+      entries: Map[String, Long]): Column => Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(entries)
+    toks => ExpressionUtils.column(graft.functions.VocabEncodeBc(
+      ExpressionUtils.expression(toks), bc))
+  }
+
+  /** [[encodeWithVocab]]'s shared projection over either id transport. */
+  private def encodeWith(
+      docs: DataFrame, idCol: String, textCol: String,
+      idsOf: Column => Column): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .withColumn("_toks", tokens(col(textCol)))
       .filter(size(col("_toks")) > 0)
-      .withColumn("_ids", transform(col("_toks"),
-        t => coalesce(element_at(vmap, t), lit(0L))))
+      .withColumn("_ids", idsOf(col("_toks")))
       .select(col(idCol),
         size(col("_toks")).cast("long").as("n_tokens"),
         size(filter(col("_ids"), i => i === 0L)).cast("long").as("n_oov"),
         md5(concat_ws(" ", transform(col("_ids"), _.cast("string")))
           .cast("binary")).as("ids_md5"))
-  }
 
   /**
    * LIX readability (Björnsson 1968 — language-neutral, no syllable

@@ -339,6 +339,49 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("encodeWithVocab: the broadcast carrier is bit-equal to the " +
+      "literal path, and an above-ceiling vocabulary dispatches to it " +
+      "end-to-end") {
+    val docs = Seq(
+      (1L, "tok1 tok2 zzz tok3"),
+      (2L, "tok4999 tok5000 tok1"),
+      (3L, "all oov here")
+    ).toDF("doc_id", "text")
+    // a synthetic 5000-entry vocabulary: over LiteralVocabCeiling, so
+    // the PUBLIC path must take the broadcast carrier
+    assert(5000 > TextOps.LiteralVocabCeiling)
+    val big = (1 to 5000).map(i => (s"tok$i", i.toLong, 1L))
+      .toDF("token", "id", "freq")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val viaPublic = rows(
+      TextOps.encodeWithVocab(docs, "doc_id", "text", big))
+    // hand expectation for doc 1: ids "1 2 0 3"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("1 2 0 3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(viaPublic.head == ((1L, 4L, 1L, h)), s"${viaPublic.head}")
+    assert(viaPublic(2)._3 == 3L, "doc 3 is all-OOV")
+    // bit-equality of the two transports at a sub-ceiling size: run the
+    // bcast column builder directly against the literal public path
+    val small = (1 to 10).map(i => (s"tok$i", i.toLong, 1L))
+      .toDF("token", "id", "freq")
+    val entries = small.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val bc = TextOps.bcastIds(entries)
+    val viaBcast = docs.filter($"text".isNotNull)
+      .withColumn("_ids", bc(split(lower($"text"), "\\s+")))
+      .select($"doc_id", $"_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val vmap = typedLit(entries)
+    val viaLit = docs.filter($"text".isNotNull)
+      .withColumn("_ids", transform(split(lower($"text"), "\\s+"),
+        t => coalesce(element_at(vmap, t), lit(0L))))
+      .select($"doc_id", $"_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaBcast == viaLit)
+  }
+
   test("mergeTermFrequencies(history, batch) ranks identically to the " +
     "from-scratch vocab at any split") {
     val docs = Seq(
