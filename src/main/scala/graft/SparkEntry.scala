@@ -699,6 +699,34 @@ object SparkEntry {
           "vec_id", "embedding", "label", pruneFrac = 0.3)
         .orderBy(col("label").asc_nulls_last, col("rank").asc)),
 
+    // X1+ — q20's computation re-declared under the READ-BACK partial
+    // oracle (the q33 precedent) so the flagship dedup pair is
+    // hash-certifiable at sf10, where the full all-pairs oracle is
+    // priced out: every returned pair's (n_common, n_union, jaccard)
+    // is recomputed exactly and sub-threshold/duplicate/unknown-id rows
+    // poison the compare (soundness, corpus-wide), and the pair set is
+    // checked COMPLETE on the deterministic doc_id < 2000 slice — a
+    // slice that CONTAINS real near-dup pairs at every scale point (45
+    // at sf0.1; measured, not assumed — a modulus slice held zero) and
+    // equals the whole corpus at sf0.01, where it reduces to the full
+    // oracle. Every true pair inside the slice missing from the dump
+    // emits a sentinel row. q20 keeps the full oracle at sf0.01/sf1.
+    "q364_near_dedup_cert" -> ((s, d) =>
+      Dedup.nearDuplicatePairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)),
+
+    // X1+ — q37's computation under the chained partial oracle: the
+    // survivor set is recomputed INDEPENDENTLY (DuckDB recursive CC +
+    // min-reachable-is-self) over q364's sound-certified pair dump, so
+    // the only inherited assumption is q364's slice-bounded
+    // completeness. Requires q364 in the same Verify dump.
+    "q365_dedup_survivors_cert" -> ((s, d) =>
+      Dedup.dedupTransitive(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc_nulls_last)),
+
     // X+/S — k-anonymity release audit over the customer dimension's
     // quasi-identifiers (nation × market segment): the re-identification
     // gate a published per-user table must pass. One hash agg to the
@@ -5526,6 +5554,86 @@ object SparkEntry {
       |SELECT s.doc_id, s.hit = 1 AS maybe_dup, tr.true_dup
       |FROM scr s JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q364's read-back partial oracle (the q33 precedent, extended with
+    * a completeness slice): recompute every dumped pair's exact shingle
+    * arithmetic — linear in the dump, no candidate generation — poison
+    * anything malformed, and append a sentinel row for every true pair
+    * inside the deterministic doc_id < 2000 slice that the dump missed
+    * (the slice holds 45 true pairs at sf0.1 and is the WHOLE corpus at
+    * sf0.01, where this reduces to full completeness). Sound
+    * corpus-wide, complete on the slice; the full-oracle q20 covers
+    * completeness corpus-wide at sf0.01/sf1. */
+  private val nearDedupCertOracleSql: String =
+    """WITH dump AS (
+      |  SELECT DISTINCT a_id, b_id
+      |  FROM read_parquet('__OUT__/q364_near_dedup_cert/*.parquet')),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0) AS t FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, list(DISTINCT (t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM toks)
+      |  GROUP BY doc_id),
+      |re AS (
+      |  SELECT d.a_id, d.b_id,
+      |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS c,
+      |         CAST(len(sa.s) AS BIGINT) AS na,
+      |         CAST(len(sb.s) AS BIGINT) AS nb
+      |  FROM dump d JOIN sh sa ON sa.doc_id = d.a_id
+      |              JOIN sh sb ON sb.doc_id = d.b_id),
+      |chk AS (
+      |  SELECT a_id, b_id,
+      |         CASE WHEN ok THEN c ELSE CAST(-1 AS BIGINT) END AS n_common,
+      |         CASE WHEN ok THEN na + nb - c
+      |              ELSE CAST(-1 AS BIGINT) END AS n_union,
+      |         CASE WHEN ok THEN CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE)
+      |              ELSE CAST(-1 AS DOUBLE) END AS jaccard
+      |  FROM (SELECT *, a_id < b_id AND c > 0 AND
+      |               CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.6
+      |               AS ok
+      |        FROM re)),
+      |ss AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE doc_id < 2000),
+      |strue AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ss a JOIN ss b
+      |    ON a.doc_id < b.doc_id
+      |   AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        >= 0.6),
+      |missing AS (
+      |  SELECT a_id, b_id FROM strue
+      |  EXCEPT SELECT a_id, b_id FROM dump)
+      |SELECT a_id, b_id, n_common, n_union, jaccard FROM chk
+      |UNION ALL
+      |SELECT a_id, b_id, CAST(-2 AS BIGINT), CAST(-2 AS BIGINT),
+      |       CAST(-2 AS DOUBLE)
+      |FROM missing
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** q365's chained partial oracle: recompute the survivor set from
+    * scratch — recursive reachability closure seeded with every
+    * document, survivors = min-reachable-is-self (the q37 tail
+    * verbatim) — over the CERTIFIED pair dump of [[q364]] instead of a
+    * regenerated pair set. Independent CC, inherited pair set: the one
+    * assumption is q364's slice-bounded completeness, which is the
+    * honest shape of a certification the full oracle prices out. */
+  private val dedupSurvivorsCertOracleSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT a_id, b_id
+      |  FROM read_parquet('__OUT__/q364_near_dedup_cert/*.parquet')),
+      |edges AS MATERIALIZED (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) = src
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // q356: the q347 seeded-uniform census through the Acklam probit —
@@ -5650,6 +5758,11 @@ object SparkEntry {
         |       CAST(rank AS BIGINT) AS rank,
         |       rank > CAST(floor(3.0e-1 * n) AS BIGINT) AS kept
         |FROM r ORDER BY label, rank""".stripMargin,
+
+    // q364/q365: the sf10-certifiable partial-oracle pair — see the
+    // oracle vals' scaladocs for the soundness/completeness contract.
+    "q364_near_dedup_cert" -> nearDedupCertOracleSql,
+    "q365_dedup_survivors_cert" -> dedupSurvivorsCertOracleSql,
 
     // q342: the formula recompute — per sampled frame (even indexes),
     // the same integer dims and pixel sums, no parsing.
