@@ -49,6 +49,24 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q361: the Bloom screen joins the word frame by BROADCAST — the " +
+      "batch side never shuffles for the filter lookup") {
+    // the screen's whole scale story is that the filter frame (<= m/63
+    // rows) ships to the batch, not the batch to the filter: a silent
+    // degradation to a shuffle join would drag the exploded batch
+    // through the network at 100-TB history
+    val p = plan("q361_bloom_screen")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q363: the per-label centroid frame broadcasts back to the " +
+      "corpus — labels are few by construction, the corpus is not") {
+    val p = plan("q363_prototypicality")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q37 components round: equi-joins only, even with broadcast disabled") {
     // the label-propagation round executes up to maxIters times per q37 run;
     // at 100 TB neither the edge list nor the label table is broadcastable,
