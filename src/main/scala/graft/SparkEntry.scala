@@ -727,6 +727,26 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id").asc_nulls_last)),
 
+    // X+/S — the zCDP release as a STANDING CENSUS (q358's merge law in
+    // the zCDP currency): parity-split class partials fold additively,
+    // one noisy projection releases — noise seeds on the group key, so
+    // merged ≡ whole-data (q359's oracle verbatim). Closes the
+    // front-door/standing-census pair for every release family.
+    "q366_zcdp_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def cls(df: DataFrame) = Privacy.equivalenceClasses(
+        df, Seq(col("lang"), col("source")))
+      Privacy.dpCountsZcdpFromClasses(
+          Privacy.mergeClasses(
+            cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+              .unionByName(
+                cls(docs.filter(pmod(col("doc_id"), lit(2L)) === 1))),
+            Seq(col("lang"), col("source"))),
+          Seq("lang", "source"), rho = 0.125, delta = 1e-6,
+          secretSalt = "zcdp-r16")
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    }),
+
     // X+/S — k-anonymity release audit over the customer dimension's
     // quasi-identifiers (nation × market segment): the re-identification
     // gate a published per-user table must pass. One hash agg to the
@@ -5676,6 +5696,11 @@ object SparkEntry {
     // q359: the q356 probit census with the zCDP \u03c3 and conversion \u03b5
     // embedded as identical driver-side doubles.
     "q359_zcdp_gaussian" -> zcdpGaussianOracleSql,
+
+    // q366: the standing zCDP census — noise seeds on the group key,
+    // so the merged-partial release equals q359's whole-data release
+    // verbatim (the merge law IS the shared oracle).
+    "q366_zcdp_merge" -> zcdpGaussianOracleSql,
 
     // q360: the same heterogeneous (mechanism, scale) ledger, the same
     // per-order RDP closed forms (gaussian \u03b1/(2\u03c3\u00b2); laplace via

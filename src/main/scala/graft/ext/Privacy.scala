@@ -486,6 +486,28 @@ object Privacy {
         lit(delta).as("delta")))
 
   /**
+   * [[dpCountsZcdp]] over an already-built class frame — the standing
+   * census released in the zCDP currency: per-batch
+   * [[equivalenceClasses]] partials fold additively
+   * ([[mergeClasses]]) and a release is ONE noisy projection with zero
+   * passes over any batch's rows. The merge law
+   * `dpCountsZcdpFromClasses(mergeClasses(cls(a) ∪ cls(b))) ≡
+   * dpCountsZcdp(a ∪ b)` holds exactly because the noise seeds on the
+   * GROUP KEY — the [[dpCountsGaussianFromClasses]] law in the zCDP
+   * currency, closing the front-door/standing-census pair for every
+   * release family (Laplace q347/q355, Gaussian q356/q358, zCDP
+   * q359/q366).
+   */
+  def dpCountsZcdpFromClasses(
+      classes: DataFrame, groupCols: Seq[String],
+      rho: Double, delta: Double, secretSalt: String): DataFrame =
+    noisyFloorRelease(classes, groupCols, "class_size",
+      zcdpSigma(rho), secretSalt,
+      Seq(lit(rho).as("rho"),
+        lit(zcdpEpsilon(rho, delta)).as("epsilon"),
+        lit(delta).as("delta")))
+
+  /**
    * Rényi-DP accountant (Mironov 2017): price a heterogeneous release
    * ledger at a GRID of Rényi orders and convert the best order to
    * (ε,δ). Per ledger row the mechanism's RDP curve at order α

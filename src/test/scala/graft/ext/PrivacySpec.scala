@@ -314,6 +314,38 @@ class PrivacySpec extends GraftSpec {
     assert(merged == whole)
   }
 
+  test("dpCountsZcdpFromClasses: the standing zCDP census — merged " +
+      "disjoint-batch partials release exactly the whole-data counts, " +
+      "with the rho/epsilon/delta budget columns attached") {
+    val d = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g1", "g2")
+    val whole = Privacy.dpCountsZcdp(d, Seq("g1", "g2"),
+        rho = 0.125, delta = 1e-6, secretSalt = "zm1")
+    assert(whole.columns.toSeq ==
+      Seq("g1", "g2", "released_count", "rho", "epsilon", "delta"))
+    val wholeSet = whole
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    val quasi = Seq(col("g1"), col("g2"))
+    val merged = Privacy.dpCountsZcdpFromClasses(
+        Privacy.mergeClasses(
+          Privacy.equivalenceClasses(d.filter($"id" <= 30), quasi)
+            .unionByName(
+              Privacy.equivalenceClasses(d.filter($"id" > 30), quasi)),
+          quasi),
+        Seq("g1", "g2"), rho = 0.125, delta = 1e-6, secretSalt = "zm1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(merged == wholeSet)
+    assert(wholeSet.forall { case (_, _, _, rho, eps, delta) =>
+      rho == 0.125 && delta == 1e-6 &&
+        eps == Privacy.zcdpEpsilon(0.125, 1e-6)
+    })
+  }
+
   test("composeBudget: basic = (sum eps, sum delta); advanced = DRV'10 " +
       "sqrt(2 ln(1/d') sum eps^2) + sum eps(e^eps - 1), hand-computed; " +
       "slack validated") {
