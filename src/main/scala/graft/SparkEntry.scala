@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.clf.ClfParser
 import graft.sinks.JdbcSink
 import graft.stage.Staging
+import graft.streaming.StreamHarness
 import graft.analytics.{Changepoint, LogAnalytics, Robust, Rollup, StatsTests, Survival, TimeSeries, Trend}
 import graft.ext.{AnnIvf, AnnLsh, AnnPq, AsofJoin, Audit, BmpDecoder, Boilerplate, Conformal, Contamination, CorpusCompare, DataPrep, Dedup, Eval, FeatureScreen, FuzzyJoin, GraphOps, LmScore, Materialize, Mining, Multimodal, Pca, NetpbmDecoder, Packing, Privacy, Probe, Quantize, RangeJoin, RecordLinkage, Sampling, BloomIndex, Scrub, Selection, SemDedup, Similarity, SkewJoin, Sketches, SpanDedup, TextOps, TextSearch, VectorOps, WavDecoder}
 
@@ -745,6 +746,101 @@ object SparkEntry {
           Seq("lang", "source"), rho = 0.125, delta = 1e-6,
           secretSalt = "zcdp-r16")
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    }),
+
+    // §2.10 — the first ORACLED streaming entry: a REAL Structured
+    // Streaming run (checkpointed file source, one file per micro-batch,
+    // Trigger.AvailableNow) over the events table sharded into 8 files —
+    // the reference's one-file-one-pass deployment
+    // (sree-etl-tdk-lambda.py:145-221) re-expressed as a stateful
+    // streaming aggregate whose state-across-batches census must equal
+    // the batch GROUP BY. StreamHarness THROWS unless >= 4 micro-batches
+    // carried rows, so a degenerate single-batch run poisons the compare
+    // instead of passing it. Complete output mode; decimal value sums
+    // for batch-order independence.
+    "q367_stream_census" -> ((s, d) => {
+      val dir = scratch("q367shards", d)
+      StreamHarness.shard(
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        pmod(coalesce(col("event_id"), lit(0L)), lit(8L)), 8, dir)
+      StreamHarness.drain(s, dir, "complete", minDataBatches = 4) { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("value"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+              .as("__sv"))
+      }
+        .select(col("event_type"), col("cnt"),
+          round(col("__sv").cast("double"), 6).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }),
+
+    // §2.10 — EVENT-TIME semantics under the hash gate: watermarked
+    // 1-day tumbling windows in APPEND mode over time-range shards
+    // drained in watermark order (mod-time-ordered files), with two
+    // far-future sentinel batches whose only job is to push the
+    // watermark past every real window so append mode emits ALL of them
+    // — each exactly once, which is precisely what the oracle's batch
+    // census checks. Late-drop correctness is structural: shards are
+    // contiguous day ranges, so no row ever arrives below the watermark.
+    "q368_stream_windows" -> ((s, d) => {
+      val dir = scratch("q368shards", d)
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("ts"), col("event_type"))
+      val b = ev.agg(
+        min(to_date(col("ts"))).cast("string"),
+        max(to_date(col("ts"))).cast("string"),
+        max(col("ts")).cast("string")).collect()(0)
+      val (minD, nDays) = (b.getString(0),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(b.getString(0)),
+          java.time.LocalDate.parse(b.getString(1))) + 1)
+      val sentinels = s.range(2).select(
+        (to_timestamp(lit(b.getString(2))) +
+          expr("make_interval(0, 0, 0, CAST(100 * (id + 1) AS INT), " +
+            "0, 0, 0)")).as("ts"),
+        lit("__sentinel__").as("event_type"))
+      val shardOf = when(col("event_type") === "__sentinel__",
+          when(col("ts") <= to_timestamp(lit(b.getString(2))) +
+            expr("interval 150 days"), lit(6)).otherwise(lit(7)))
+        .otherwise(expr(
+          s"CAST((datediff(to_date(ts), date'$minD') * 6) DIV $nDays AS INT)"))
+      StreamHarness.shard(ev.unionByName(sentinels), shardOf, 8, dir)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 4) { src =>
+        src.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+        .filter(col("event_type").isNull ||
+          col("event_type") =!= "__sentinel__")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    }),
+
+    // §2.10/X1 — STREAMING exact dedup under the hash gate: the q14
+    // first-occurrence election as a streaming dropDuplicates whose
+    // dedup state spans micro-batches — a key seen in batch 1 must
+    // suppress its re-arrivals in batches 2..8, so the appended union
+    // of per-batch emissions equals the batch DISTINCT exactly. The
+    // front door of the standing dedup indexes (q62/q75/q361) run as a
+    // stream; production swaps dropDuplicatesWithinWatermark to bound
+    // the state store.
+    "q369_stream_dedup" -> ((s, d) => {
+      val dir = scratch("q367shards", d)
+      StreamHarness.shard(
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        pmod(coalesce(col("event_id"), lit(0L)), lit(8L)), 8, dir)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 4) { src =>
+        src.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+      }
+        .orderBy(col("user_id").asc_nulls_last,
+          col("event_type").asc_nulls_last)
     }),
 
     // X+/S — k-anonymity release audit over the customer dimension's
@@ -5701,6 +5797,30 @@ object SparkEntry {
     // so the merged-partial release equals q359's whole-data release
     // verbatim (the merge law IS the shared oracle).
     "q366_zcdp_merge" -> zcdpGaussianOracleSql,
+
+    // q367: the streaming census must converge to the batch GROUP BY —
+    // the complete-mode state after the last micro-batch IS the
+    // whole-table aggregate. Decimal value sums for order independence.
+    "q367_stream_census" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,12)))
+        |         AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q368: watermarked 1-day windows in append mode, every real window
+    // flushed by the sentinel batches — the emitted union must equal the
+    // batch per-day census exactly (exactly-once emission).
+    "q368_stream_windows" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       event_type, count(*) AS cnt
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q369: streaming first-occurrence election across micro-batches —
+    // the appended per-batch emissions must union to the batch DISTINCT.
+    "q369_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // q360: the same heterogeneous (mechanism, scale) ledger, the same
     // per-order RDP closed forms (gaussian \u03b1/(2\u03c3\u00b2); laplace via

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.{GraftSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pins the properties that make q367/q368/q369 genuine STREAMING
+ * certificates rather than batch queries in costume:
+ *
+ *  - the drain really runs one file per micro-batch (batch count == file
+ *    count), so aggregate/dedup state demonstrably spans batches;
+ *  - the minDataBatches tooth THROWS on a degenerate run — the guard
+ *    that poisons the oracle compare instead of vacuously passing it;
+ *  - shard assignment must be total — a partial assignment (dropped
+ *    rows) throws at fixture-build time, never silently thins the data;
+ *  - streaming dropDuplicates emits a key seen in an early batch exactly
+ *    once even when it recurs in later batches (the state property).
+ */
+class StreamHarnessSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_shs_$tag").toString
+
+  test("shard writes one mod-time-ordered file per shard and the drain " +
+      "runs exactly one data micro-batch per file") {
+    val dir = freshDir("perfile")
+    val df = (1 to 100).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "k")
+    StreamHarness.shard(df, pmod(col("id"), lit(5L)), 5, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 5)
+    // strictly increasing modification times = deterministic drain order
+    assert(files.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
+    val out = StreamHarness.drain(spark, dir, "complete",
+        minDataBatches = 5) { src =>
+      src.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    }
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("minDataBatches tooth: a run that cannot reach the floor throws " +
+      "instead of returning a result") {
+    val dir = freshDir("tooth")
+    val df = (1 to 20).map(i => (i.toLong, "x")).toDF("id", "k")
+    StreamHarness.shard(df, pmod(col("id"), lit(2L)), 2, dir)
+    val ex = intercept[IllegalArgumentException] {
+      StreamHarness.drain(spark, dir, "complete", minDataBatches = 6) {
+        src => src.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      }
+    }
+    assert(ex.getMessage.contains("degenerated"))
+  }
+
+  test("shard totality: an assignment that drops rows (nulls or " +
+      "out-of-range values) throws at build time") {
+    val dir = freshDir("total")
+    val df = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      // id % 7 lands in [0,7) but only 4 shards are declared — rows in
+      // shards 4..6 would be dropped
+      StreamHarness.shard(df, pmod(col("id"), lit(7L)), 4, dir)
+    }
+    assert(ex.getMessage.contains("not total"))
+  }
+
+  test("streaming dropDuplicates state spans batches: a key recurring " +
+      "in every shard is emitted exactly once (q369's property)") {
+    val dir = freshDir("dedup")
+    // key "hot" appears in all 4 shards; cold keys are shard-local
+    val df = (0 until 4).flatMap(sh =>
+      ("hot", sh.toLong) +: (1 to 5).map(i => (s"cold_${sh}_$i", sh.toLong)))
+      .toDF("k", "sh")
+    StreamHarness.shard(df, col("sh"), 4, dir)
+    val out = StreamHarness.drain(spark, dir, "append",
+        minDataBatches = 4) { src =>
+      src.select(col("k")).dropDuplicates("k")
+    }.collect().map(_.getString(0))
+    assert(out.count(_ == "hot") == 1, "hot key must emit exactly once")
+    assert(out.length == 21, s"4*5 cold + 1 hot, got ${out.length}")
+  }
+
+  test("the q367 complete-mode census over the real events shards " +
+      "equals the batch aggregate (merge-to-batch law at fixture scale)") {
+    val dir = freshDir("census")
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+    StreamHarness.shard(ev, pmod(col("event_id"), lit(8L)), 8, dir)
+    val streamed = StreamHarness.drain(spark, dir, "complete",
+        minDataBatches = 4) { src =>
+      src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
