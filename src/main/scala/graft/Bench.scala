@@ -203,18 +203,12 @@ object Bench {
     // binary; the r12 advice). Must be a single JSON object; anything
     // unreadable/unparseable degrades to {} rather than corrupting the
     // record line.
+    // r16 verdict: embedding the notes VERBATIM made the record line
+    // outgrow the driver's 2000-char stdout tail window — 16 rounds of
+    // unparseable records. The record now carries a POINTER; the notes
+    // stay a checked-in artifact read at adjudication time.
     val notesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", "BENCH_NOTES.json")
-    val notes = try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(notesPath)),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      org.json4s.jackson.JsonMethods.parse(txt) match {
-        case o: org.json4s.JObject =>
-          org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(o))
-        case _ => "{}"
-      }
-    } catch { case scala.util.control.NonFatal(_) => "{}" }
+    val notes = s"""{"path":${jstr(notesPath)}}"""
     val rerunsJson = reruns.map { case (k, (s, f)) =>
       s"${jstr(k)}:{" + s""""sweep_sec":${sec(s)},"fresh_sec":${sec(f)}}"""
     }.mkString("{", ",", "}")
@@ -235,7 +229,6 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"n_errors":${errors.size},"durable":${jstr(out)},"record":"summary","sf":"$sfDir"}"""
     println(line)
     println(summary)
-    println(line)
     // Durable copy: stdout capture windows can truncate a long run's tail,
     // losing early per-query timings; the file always carries the full line.
     // A query-filtered run writes to a .partial path — also when the
@@ -248,6 +241,18 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
+    // The TAIL record — printed after spark.stop() so no shutdown log
+    // can land between it and sbt's trailing [success] line, and sized
+    // to FIT the driver's 2000-char tail window whole: full totals, but
+    // "queries" restricted to the 19 round-1 BASELINE keys (what
+    // BENCH_r01/BASELINE.md grade against; ~900 chars all-in). The full
+    // 369-entry map lives in the durable file named right here and in
+    // the head-emitted full record.
+    val baselineQs = results.filter { case (k, _) =>
+      k.matches("^q(0[1-9]|1[0-9])_.*")
+    }.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_sec":${sec(total)},"n_queries":${results.size},"n_errors":${errors.size},"durable":${jstr(out)},"queries":$baselineQs,"queries_truncated_to_baseline":true,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

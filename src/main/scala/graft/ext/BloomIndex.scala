@@ -57,6 +57,39 @@ object BloomIndex {
     require(k > 0, s"k (hash count) must be positive, got $k")
   }
 
+  /** The filter's geometry, carried as metadata ON the `bits` column by
+    * [[bloomBuild]]/[[bloomMerge]] (it survives select/union and a
+    * parquet round-trip — Spark stores field metadata in the footer's
+    * schema). A probe hashed under different (words, k, salt) lands in
+    * different buckets, which silently voids the zero-false-negative
+    * guarantee — the ONE property routing depends on — so the geometry
+    * must travel with the filter, not with the caller. */
+  private def geomMeta(words: Int, k: Int, salt: String)
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("bloom.words", words.toLong)
+      .putLong("bloom.k", k.toLong)
+      .putString("bloom.salt", salt)
+      .build()
+
+  /** Read the geometry off a filter frame; a frame without it was not
+    * built by [[bloomBuild]]/[[bloomMerge]] and cannot be screened
+    * safely. */
+  private def geometryOf(filter: DataFrame)
+      : (Int, Int, String) = {
+    val field = filter.schema.fields.find(_.name == "bits").getOrElse(
+      throw new IllegalArgumentException(
+        "filter frame has no 'bits' column — not a Bloom filter frame"))
+    val m = field.metadata
+    require(m.contains("bloom.words") && m.contains("bloom.k") &&
+        m.contains("bloom.salt"),
+      "filter frame carries no geometry metadata — build it with " +
+        "bloomBuild/bloomMerge (a hand-assembled frame can silently " +
+        "void the zero-false-negative guarantee)")
+    (m.getLong("bloom.words").toInt, m.getLong("bloom.k").toInt,
+      m.getString("bloom.salt"))
+  }
+
   /** Probe rows for one key column: k rows `(word, mask)` per input
     * row, the shared fan-out of build and screen. */
   private def probes(
@@ -91,16 +124,20 @@ object BloomIndex {
     checkShape(words, k)
     probes(df, Seq.empty, key, words, k, salt)
       .groupBy(col("word"))
-      .agg(bit_or(col("mask")).as("bits"))
+      .agg(bit_or(col("mask")).as("bits", geomMeta(words, k, salt)))
   }
 
   /** Fold per-batch filter partials (SAME words/k/salt generation) into
     * one filter: `bit_or` per word. Exactly equals a from-scratch build
     * over the unioned batches — OR is associative, commutative and
     * idempotent, so partials may arrive in any order, any grouping,
-    * even overlapping. */
-  def bloomMerge(partials: DataFrame): DataFrame =
-    partials.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+    * even overlapping. The partials' geometry metadata (validated
+    * present) propagates to the merged filter. */
+  def bloomMerge(partials: DataFrame): DataFrame = {
+    val (words, k, salt) = geometryOf(partials)
+    partials.groupBy(col("word"))
+      .agg(bit_or(col("bits")).as("bits", geomMeta(words, k, salt)))
+  }
 
   /**
    * Screen a batch against a standing filter: one row per batch row,
@@ -115,6 +152,12 @@ object BloomIndex {
       batch: DataFrame, idCol: String, key: Column, bloom: DataFrame,
       words: Int, k: Int, salt: String): DataFrame = {
     checkShape(words, k)
+    val (bw, bk, bsalt) = geometryOf(bloom)
+    require(bw == words && bk == k && bsalt == salt,
+      s"probe geometry (words=$words, k=$k, salt=$salt) does not match " +
+        s"the filter's build geometry (words=$bw, k=$bk, salt=$bsalt) — " +
+        "mismatched probes hash to different buckets and void the " +
+        "zero-false-negative guarantee")
     probes(batch, Seq(col(idCol)), key, words, k, salt)
       .join(broadcast(bloom), Seq("word"), "left")
       .withColumn("__hit",

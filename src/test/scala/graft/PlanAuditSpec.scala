@@ -54,10 +54,25 @@ class PlanAuditSpec extends GraftSpec {
     // the screen's whole scale story is that the filter frame (<= m/63
     // rows) ships to the batch, not the batch to the filter: a silent
     // degradation to a shuffle join would drag the exploded batch
-    // through the network at 100-TB history
-    val p = plan("q361_bloom_screen")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"))
+    // through the network at 100-TB history. Audited on the SCREEN's
+    // own plan (not q361's, which has two more joins that could satisfy
+    // a loose broadcast assertion), and keyed: the one broadcast join
+    // must be ON word.
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables(spark, sfDir, "documents")
+    val bloom = graft.ext.BloomIndex.bloomBuild(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0), col("text"),
+      words = 4096, k = 3, salt = "bloom-r16")
+    val p = graft.ext.BloomIndex.bloomScreen(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1), "doc_id",
+        col("text"), bloom, words = 4096, k = 3, salt = "bloom-r16")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[word#\\d+L?\\]".r.findFirstIn(p).nonEmpty,
+      s"screen's filter lookup must be a broadcast join keyed on word:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // and the full q361 composition still has no cartesian anywhere
+    val full = plan("q361_bloom_screen")
+    assert(!full.contains("CartesianProduct"))
   }
 
   test("q363: the per-label centroid frame broadcasts back to the " +

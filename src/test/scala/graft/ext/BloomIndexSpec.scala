@@ -94,4 +94,44 @@ class BloomIndexSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(merged.sameElements(whole))
   }
+
+  test("geometry travels WITH the filter: mismatched probe geometry is " +
+      "rejected, a hand-assembled frame is rejected, and the metadata " +
+      "survives a parquet round-trip") {
+    val hist = (1 to 40).map(i => (i.toLong, s"k-$i")).toDF("id", "key")
+    val bloom = BloomIndex.bloomBuild(hist, col("key"), words = 256,
+      k = 3, salt = "blg")
+    // every axis of a geometry mismatch voids zero-false-negatives —
+    // each must throw, not silently mis-probe
+    Seq((128, 3, "blg"), (256, 2, "blg"), (256, 3, "other")).foreach {
+      case (w, k, s) =>
+        val ex = intercept[IllegalArgumentException] {
+          BloomIndex.bloomScreen(hist, "id", col("key"), bloom, w, k, s)
+        }
+        assert(ex.getMessage.contains("does not match"), ex.getMessage)
+    }
+    // a frame not built by bloomBuild/bloomMerge carries no geometry
+    val fake = Seq((0L, 7L)).toDF("word", "bits")
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.bloomScreen(hist, "id", col("key"), fake, 256, 3, "blg")
+    }.getMessage.contains("no geometry metadata"))
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.bloomMerge(fake)
+    }.getMessage.contains("no geometry metadata"))
+    // the persisted-filter path: metadata rides the parquet footer
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomgeo").toString
+    bloom.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val ok = BloomIndex.bloomScreen(
+        hist.limit(5), "id", col("key"), reread, 256, 3, "blg")
+      .collect()
+    assert(ok.length == 5 && ok.forall(_.getBoolean(1)),
+      "re-read filter must still screen with zero false negatives")
+    // merged filters keep the geometry too
+    val merged = BloomIndex.bloomMerge(bloom)
+    val ok2 = BloomIndex.bloomScreen(
+      hist.limit(3), "id", col("key"), merged, 256, 3, "blg").collect()
+    assert(ok2.forall(_.getBoolean(1)))
+  }
 }

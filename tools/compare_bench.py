@@ -41,8 +41,10 @@ def main(prev_path, curr_path):
         p, c = prev[name], curr[name]
         if p <= 0:
             # Bench rounds to 4 dp, so a sub-0.1 ms prior can record as
-            # 0.0 -- no meaningful ratio exists and c/p would crash.
-            continue
+            # 0.0. Clamp to the rounding quantum instead of skipping:
+            # a genuine regression from a sub-0.1 ms prior to multi-
+            # second current must stay visible to drift detection.
+            p = 0.0001
         if c > THRESHOLD * p and c > ABS_FLOOR:
             entry = {
                 "query": name,
