@@ -106,12 +106,19 @@ def main(out: str) -> None:
       ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
     """)
 
-    # documents: the boilerplate cluster
+    # documents: the boilerplate cluster, plus (r17) a HOT CENSUS GROUP —
+    # 40% of all docs remapped to one (lang, source) class so the
+    # standing-census family (q356/q358/q359/q366) gets measured under a
+    # hot-group split: the parity partials each carry ~half of one
+    # dominant class, and the merge law must hold (and stay flat) when
+    # one group is ~20x the uniform class size instead of 1x.
     con.sql(f"""
       COPY (
         SELECT * REPLACE (
           CASE WHEN doc_id < {DUP_DOCS} THEN '{BOILERPLATE}'
-               ELSE text END AS text)
+               ELSE text END AS text,
+          CASE WHEN doc_id % 5 < 2 THEN 'en' ELSE lang END AS lang,
+          CASE WHEN doc_id % 5 < 2 THEN 'src0' ELSE source END AS source)
         FROM '{SRC}/documents.parquet'
         ORDER BY doc_id
       ) TO '{out}/documents.parquet' (FORMAT PARQUET)
