@@ -3688,9 +3688,15 @@ object SparkEntry {
     // oracle; recall + rerank=|corpus|≡brute-force properties in AnnPqSpec)
     "q81_pq_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      // SCALE-AWARE geometry (the suggestedCells lesson, r17): fixed
+      // ksub=16/rerank=50 held recall 0.925 on the 2k fixture but
+      // collapsed to 0.05 at the 200k sf10 point; the √n rules keep the
+      // fixture behavior and restore recall at depth.
+      val n = emb.count()
+      val cb = AnnPq.trainCodebooks(emb, m = 8,
+        ksub = AnnPq.suggestedKsub(n), iters = 2)
       AnnPq.topK(emb.filter(col("vec_id") < 8), emb, cb,
-        kNeighbors = 5, rerank = 50)
+        kNeighbors = 5, rerank = AnnPq.suggestedRerank(n, 5))
     }),
 
     // X3+ — IVF-PQ (the FAISS IVFPQ layout): coarse cells bound COMPUTE
@@ -3699,11 +3705,19 @@ object SparkEntry {
     // oracle; nprobe=k ≡ flat-PQ + recall properties in AnnPqSpec)
     "q82_ivfpq_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cb = AnnPq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
-      val centroids = AnnIvf.trainCentroids(emb, k = 16, iters = 2)
+      // scale-aware on BOTH axes (q81's PQ rules + q44's cell rule):
+      // cells and nprobe grow as √n so a probe touches ~nprobe/√n of
+      // the corpus, ksub/rerank grow so the codes keep contrast and the
+      // true neighbors reach the exact re-rank.
+      val n = emb.count()
+      val cells = AnnIvf.suggestedCells(n)
+      val cb = AnnPq.trainCodebooks(emb, m = 8,
+        ksub = AnnPq.suggestedKsub(n), iters = 2)
+      val centroids = AnnIvf.trainCentroids(emb, k = cells, iters = 2)
       AnnPq.ivfPqTopK(emb.filter(col("vec_id") < 8),
         AnnPq.buildIvfPqIndex(emb, centroids, cb), emb, centroids, cb,
-        kNeighbors = 5, nprobe = 10, rerank = 50)
+        kNeighbors = 5, nprobe = math.max(10, cells / 8),
+        rerank = AnnPq.suggestedRerank(n, 5))
     }),
 
     // X1+ — the CUT step of exact substring dedup: rebuild text from the

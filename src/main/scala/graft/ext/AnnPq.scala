@@ -46,6 +46,38 @@ import org.apache.spark.sql.functions._
  */
 object AnnPq {
 
+  /**
+   * Scale rule for the sub-codebook size — the [[AnnIvf.suggestedCells]]
+   * lesson applied to PQ. Fixture-sized geometry does NOT survive a
+   * scale-up: at 200k vectors, ksub = 16 (the 2k-vector harness setting)
+   * collapses recall@5 to 0.05 — each subspace quantizes 200k points
+   * onto 16 codes, ADC distances lose all contrast, and the true
+   * neighbors never reach the re-rank list (measured,
+   * BENCH_NOTES.json#ann_cert_r17). `min(256, max(16, ⌈√n⌉))`: tiny
+   * fixtures keep the cheap 16 (certified outputs unchanged), the
+   * standard 8-bit ksub = 256 caps it from ~65k vectors up (the FAISS
+   * IVFPQ convention), and the √n ramp keeps ≥ √n training points per
+   * sub-centroid between.
+   */
+  def suggestedKsub(n: Long): Int =
+    math.min(256L, math.max(16L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /**
+   * Scale rule for the exact-re-rank candidate-list length. The list
+   * must grow with the corpus — quantization error is scale-free but
+   * the number of decoys inside one ADC-distance quantum grows with n,
+   * so a FIXED rerank = 50 at 200k vectors leaves the true neighbors
+   * outside the list no matter how good the codes are.
+   * `max(10·kNeighbors, ⌈2√n⌉)`: fixture-sized corpora keep the
+   * certified 50, and the √n ramp prices re-rank I/O at
+   * |queries|·2√n point lookups — still vanishing vs the O(n·m) ADC
+   * sweep it filters for.
+   */
+  def suggestedRerank(n: Long, kNeighbors: Int): Int =
+    math.max(10L * kNeighbors,
+      math.ceil(2.0 * math.sqrt(n.toDouble)).toLong).toInt
+
   /** Driver-resident PQ model: `books(j)(c)` = sub-centroid `c` of
     * subspace `j`; all `m` books have `ksub` entries of `subDim` floats. */
   final case class Codebooks(m: Int, subDim: Int, books: Seq[Seq[Seq[Float]]]) {

@@ -147,4 +147,26 @@ class AnnPqSpec extends GraftSpec {
     assert(AnnPq.ivfPqTopK(q, AnnPq.buildIvfPqIndex(empty, cents, cb),
       empty, cents, cb, 5, 2, 10).count() == 0)
   }
+
+  test("suggestedKsub/suggestedRerank: fixture floors hold the certified " +
+      "small-SF geometry, the sqrt(n) ramp engages between, the 8-bit " +
+      "cap binds at depth") {
+    // floors: the harness fixtures (200 and 2000 vectors at sf0.01) must
+    // keep their certified ksub=16 / rerank=50 behavior at sf0.01 scale
+    assert(AnnPq.suggestedKsub(200L) == 16)
+    assert(AnnPq.suggestedRerank(200L, 5) == 50)
+    // ramp: ceil(sqrt(n)) and 2*ceil... at the sf1 point
+    assert(AnnPq.suggestedKsub(20000L) == 142)
+    assert(AnnPq.suggestedRerank(20000L, 5) == 283)
+    // cap: the FAISS 8-bit convention from ~65k vectors up (sf10 = 200k)
+    assert(AnnPq.suggestedKsub(200000L) == 256)
+    assert(AnnPq.suggestedKsub(2000000000L) == 256)
+    // rerank keeps growing (it prices point lookups, not codebook size)
+    assert(AnnPq.suggestedRerank(200000L, 5) == 895)
+    // monotone non-decreasing on a scale ladder
+    val ladder = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(ladder.map(AnnPq.suggestedKsub) == ladder.map(AnnPq.suggestedKsub).sorted)
+    assert(ladder.map(AnnPq.suggestedRerank(_, 5)) ==
+      ladder.map(AnnPq.suggestedRerank(_, 5)).sorted)
+  }
 }

@@ -32,7 +32,7 @@ def main(out: str, sf1: str, src: str = SRC) -> None:
         f"source documents table missing under {src}")
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "events"):
         link_src = f"{sf1}/{t}.parquet"
         assert os.path.exists(link_src), (
             f"sf1 fixture table missing: {link_src} -- run make_sf1.py "
@@ -67,6 +67,36 @@ def main(out: str, sf1: str, src: str = SRC) -> None:
         FROM rep_docs
         ORDER BY doc_id
       ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+    # embeddings (r17): a REAL 100x point (200k vectors) instead of the sf1
+    # symlink, so the ANN family (q33/q44/q76/q81/q82 read-back partial
+    # oracles) certifies at the same deepest scale point as the dedup
+    # family. Same construction as make_sf1.py's embeddings: replica 0
+    # verbatim (query ids vec_id < 8 keep their exact vectors), replicas
+    # 1..99 deterministically perturbed into DISTINCT vectors with the
+    # family's sin-based delta.
+    n_vecs = con.sql(
+        f"SELECT count(*) FROM '{src}/embeddings.parquet'").fetchone()[0]
+    assert n_vecs == 2000, n_vecs
+    con.sql(f"""
+      COPY (
+        WITH base AS (SELECT * FROM '{src}/embeddings.parquet'),
+        reps AS (SELECT unnest(range({REPS})) AS k),
+        rep_vecs AS (
+          SELECT b.vec_id + k * {n_vecs} AS vec_id, b.embedding,
+                 b.label, r.k
+          FROM base b CROSS JOIN reps r)
+        SELECT vec_id,
+          CASE WHEN k = 0 OR embedding IS NULL THEN embedding ELSE
+            list_transform(embedding,
+              (x, i) -> CAST(x + 0.015 * k *
+                             sin(vec_id * 0.7 + i * 1.3) AS FLOAT))
+          END AS embedding,
+          label
+        FROM rep_vecs
+        ORDER BY vec_id
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
     n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
