@@ -748,6 +748,24 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
     }),
 
+    // X+/S — privacy amplification by subsampling (Mironov, Talwar &
+    // Zhang 2019): the Sampled-Gaussian-Mechanism RDP accountant over a
+    // heterogeneous (q, σ) ledger — the accounting frame minibatched
+    // (DP-SGD-style) pipelines actually run, whose curves the full-data
+    // q360 accountant upper-bounds. Integer-order binomial closed form
+    // with exact-BigInt ln C(α,j) literals and a max-subtracted
+    // log-sum-exp, engine-shared tree (oracle generated from the same
+    // fold). Releases-sized metadata end to end.
+    "q370_sgm_rdp" -> ((s, d) => {
+      val a = expr("ascii(right(coalesce(source, '0'), 1))")
+      val rel = t(s, d, "documents").select(col("source")).distinct()
+        .withColumn("q_samp",
+          lit(0.01) * (lit(1.0) + (a % 3).cast("double")))
+        .withColumn("sigma",
+          lit(1.5) + lit(0.5) * (a % 4).cast("double"))
+      Privacy.sgmRdpAccount(rel, "q_samp", "sigma", delta = 1e-6)
+    }),
+
     // §2.10 — the first ORACLED streaming entry: a REAL Structured
     // Streaming run (checkpointed file source, one file per micro-batch,
     // Trigger.AvailableNow) over the events table sharded into 8 files —
@@ -5641,6 +5659,63 @@ object SparkEntry {
        |FROM g ORDER BY lang, source""".stripMargin
   }
 
+  /** q370's sampled-Gaussian RDP oracle, GENERATED from the same fold
+    * as [[graft.ext.Privacy.sgmRdpAccount]] (the probitSql discipline:
+    * the Scala fold IS the expression tree on both sides, so they
+    * cannot drift): per order α, the integer-binomial closed form with
+    * exact-BigInt `ln C(α,j)` literals in e-notation, the identical
+    * max-subtracted log-sum-exp left-fold, 12-dp decimal sums, Prop-3
+    * conversion, grid-min flag. */
+  private val sgmRdpOracleSql: String = {
+    def dl(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+    val orders = Seq(2, 3, 4, 8, 16, 32)
+    val perAlpha = orders.map { a =>
+      val es = (0 to a).map { j =>
+        s"(${dl(graft.ext.Privacy.lnBinom(a, j))} + " +
+          s"${dl((a - j).toDouble)} * ln1q + ${dl(j.toDouble)} * lnq + " +
+          s"${dl((j.toLong * j - j).toDouble)} / s2x2) AS e$j"
+      }
+      val names = (0 to a).map(j => s"e$j")
+      val sumExp = names.map(n => s"exp($n - m)").mkString(" + ")
+      s"""ea$a AS (SELECT ${es.mkString(",\n         ")} FROM r),
+         |em$a AS (SELECT *, greatest(${names.mkString(", ")}) AS m
+         |         FROM ea$a),
+         |tm$a AS (SELECT ${dl(a.toDouble)} AS alpha,
+         |                round((m + ln($sumExp)) / ${dl((a - 1).toDouble)},
+         |                      12) AS term
+         |         FROM em$a)""".stripMargin
+    }
+    val unioned = orders.map(a => s"SELECT alpha, term FROM tm$a")
+      .mkString("\n      UNION ALL ")
+    s"""WITH led AS (
+       |  SELECT CAST(1e-2 AS DOUBLE) *
+       |           (1.0e0 + (ascii(right(coalesce(source, '0'), 1)) % 3))
+       |           AS q_samp,
+       |         1.5e0 + 5.0e-1 * (ascii(right(coalesce(source, '0'), 1)) % 4)
+       |           AS sigma
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |r AS (SELECT q_samp, sigma, ln(q_samp) AS lnq,
+       |             ln(1.0e0 - q_samp) AS ln1q,
+       |             2.0e0 * sigma * sigma AS s2x2
+       |      FROM led),
+       |${perAlpha.mkString(",\n")},
+       |t AS (
+       |      $unioned),
+       |c AS (SELECT alpha,
+       |             CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+       |               AS rdp
+       |      FROM t GROUP BY alpha),
+       |x AS (SELECT alpha, rdp,
+       |             rdp + ln(1.0 / 1e-6) / (alpha - 1.0) AS conv
+       |      FROM c),
+       |b AS (SELECT min(round(conv, 12)) AS best FROM x)
+       |SELECT alpha, round(rdp, 6) AS rdp_epsilon,
+       |       round(conv, 6) AS converted_epsilon,
+       |       round(conv, 12) = best AS is_best
+       |FROM x CROSS JOIN b ORDER BY alpha""".stripMargin
+  }
+
   /** q361/q362's shared Bloom-screen oracle: the identical seeded
     * buckets (12 md5 nibbles of salt:j:key mod 4096\u00b763), the identical
     * 63-bit words and bit_or fold, the identical all-k-bits screen,
@@ -5811,6 +5886,11 @@ object SparkEntry {
     // so the merged-partial release equals q359's whole-data release
     // verbatim (the merge law IS the shared oracle).
     "q366_zcdp_merge" -> zcdpGaussianOracleSql,
+
+    // q370: the sampled-Gaussian accountant — the oracle is generated
+    // from the same binomial/log-sum-exp fold as the plan (probitSql
+    // discipline), so the two sides cannot drift.
+    "q370_sgm_rdp" -> sgmRdpOracleSql,
 
     // q367: the streaming census must converge to the batch GROUP BY —
     // the complete-mode state after the last micro-batch IS the

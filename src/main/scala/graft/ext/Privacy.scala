@@ -575,6 +575,88 @@ object Privacy {
       .orderBy(a.asc)
   }
 
+  /** Exact `ln C(a, j)` via BigInt factorials, driver-side — both the
+    * plan and the oracle embed the identical double literal (binomials
+    * to C(32,16) are exact in BigInt; the ln of the exact quotient is
+    * correctly rounded once). */
+  private[graft] def lnBinom(a: Int, j: Int): Double = {
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    math.log((fact(a) / (fact(j) * fact(a - j))).toDouble)
+  }
+
+  /**
+   * RDP accountant for the SAMPLED (Poisson-subsampled) Gaussian
+   * mechanism — privacy amplification by subsampling (Mironov, Talwar &
+   * Zhang 2019, "Rényi Differential Privacy of the Sampled Gaussian
+   * Mechanism", Thm 5 / the standard integer-order closed form): a
+   * release that runs the Gaussian mechanism on a q-fraction Poisson
+   * sample spends, at integer order α,
+   *
+   *   ε_α = ln( Σ_{j=0}^{α} C(α,j)·(1−q)^{α−j}·q^j·e^{(j²−j)/(2σ²)} )
+   *         / (α−1)
+   *
+   * — strictly less than the full-data α/(2σ²) for q < 1, which is WHY
+   * minibatched pipelines (DP-SGD-style: each step touches a q-sample)
+   * are affordable: the per-step cost carries a ~q² factor at small q.
+   * This is the accounting frame [[rdpAccount]]'s full-data curves
+   * upper-bound; per ledger row `(qCol, sigmaCol)`, per order, the
+   * closed form is evaluated as an ENGINE-SHARED expression tree —
+   * exact-BigInt `ln C(α,j)` literals, a max-subtracted log-sum-exp
+   * fold (the j = α exponent reaches (α²−α)/(2σ²); the raw sum would
+   * overflow), identical left-fold association on both sides — then
+   * composes additively per order with 12-dp decimal sums and converts
+   * via Prop 3 exactly like [[rdpAccount]].
+   *
+   * Orders must be INTEGERS ≥ 2 (the closed form is the binomial
+   * expansion at integer α); sampling rates must lie in (0,1) and σ > 0
+   * (caller contract — the ledger is constructed, not user input).
+   * Output: `(alpha, rdp_epsilon, converted_epsilon, is_best)` ordered
+   * by α — [[rdpAccount]]'s exact shape. Scale: ledger-sized metadata ×
+   * |orders|; the corpus never appears.
+   */
+  def sgmRdpAccount(
+      releases: DataFrame, qCol: String, sigmaCol: String, delta: Double,
+      orders: Seq[Int] = Seq(2, 3, 4, 8, 16, 32)): DataFrame = {
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    require(orders.nonEmpty && orders.forall(_ >= 2),
+      s"sampled-Gaussian RDP needs integer orders >= 2: $orders")
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val qc = col(qCol).cast("double")
+    val sc = col(sigmaCol).cast("double")
+    val lnq = log(qc)
+    val ln1q = log(lit(1.0) - qc)
+    val s2x2 = lit(2.0) * sc * sc
+    val branches = orders.map { a =>
+      val es = (0 to a).map { j =>
+        lit(lnBinom(a, j)) + lit((a - j).toDouble) * ln1q +
+          lit(j.toDouble) * lnq +
+          lit((j.toLong * j - j).toDouble) / s2x2
+      }
+      val m = greatest(es: _*)
+      val lse = m + log(es.map(e => exp(e - m)).reduce(_ + _))
+      releases.select(lit(a.toDouble).as("alpha"),
+        round(lse / lit((a - 1).toDouble), 12).cast(d12).as("__t"))
+    }
+    val al = col("alpha")
+    val curve = branches.reduce(_ unionByName _)
+      .groupBy(al).agg(sum(col("__t")).as("__rdp"))
+      .select(al,
+        col("__rdp").cast("double").as("__rdpd"),
+        (col("__rdp").cast("double") +
+          log(lit(1.0) / lit(delta)) / (al - lit(1.0))).as("__conv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    curve
+      .withColumn("__best", min(round(col("__conv"), 12)).over(w))
+      .select(al,
+        round(col("__rdpd"), 6).as("rdp_epsilon"),
+        round(col("__conv"), 6).as("converted_epsilon"),
+        (round(col("__conv"), 12) === col("__best")).as("is_best"))
+      .orderBy(al.asc)
+  }
+
   /**
    * Composition accounting — the privacy LEDGER over a release set:
    * given one row per past/planned release with its `(ε, δ)`, price the

@@ -483,4 +483,58 @@ class PrivacySpec extends GraftSpec {
     assert(e.getMessage != null && e.getMessage.contains("rdpAccount"),
       s"unexpected: ${e.getMessage}")
   }
+
+  test("sgmRdpAccount: hand-computed alpha=2 closed form; q=1 degenerates " +
+      "to the full-data Gaussian curve; q<1 amplifies (strictly below " +
+      "full-data at every order); additive composition; grid-min flag") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = Seq((0.01, 1.5)).toDF("q_samp", "sigma")
+    val out = Privacy.sgmRdpAccount(one, "q_samp", "sigma", delta = 1e-6)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(2.0, 3.0, 4.0, 8.0, 16.0, 32.0))
+    // alpha = 2 by independent arithmetic: the j-sum telescopes to
+    // ln(1 + q^2 (e^{1/sigma^2} - 1)) because j in {0,1} has zero
+    // Gaussian exponent and the binomial terms sum to 1 - q^2
+    val eps2 = math.log(1.0 + 0.01 * 0.01 *
+      (math.exp(1.0 / (1.5 * 1.5)) - 1.0))
+    assert(out(0)._2 == r6(eps2), s"${out(0)._2} vs $eps2")
+    // q < 1 amplifies: strictly below the full-data alpha/(2 sigma^2)
+    out.foreach { case (a, eps, _, _) =>
+      assert(eps < a / (2.0 * 1.5 * 1.5), s"order $a not amplified")
+    }
+    // q -> 1 (vanishing subsampling): the curve approaches the
+    // full-data Gaussian alpha/(2 sigma^2) from below. (q = 1 itself is
+    // outside the (0,1) contract: ln(1-q) = -inf makes the j = alpha
+    // term 0 * -inf = NaN.)
+    val full = Privacy.sgmRdpAccount(
+        Seq((1.0 - 1e-9, 1.5)).toDF("q_samp", "sigma"),
+        "q_samp", "sigma", 1e-6)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    Seq(2, 3, 4, 8, 16, 32).foreach { a =>
+      val want = a / (2.0 * 1.5 * 1.5)
+      // released values are 6-dp rounded, so compare by tolerance only
+      assert(math.abs(full(a.toDouble) - want) < 1e-3,
+        s"q->1 order $a: ${full(a.toDouble)} vs $want")
+    }
+    // additive composition: two identical releases double the curve
+    val two = Seq((0.01, 1.5), (0.01, 1.5)).toDF("q_samp", "sigma")
+    val comp = Privacy.sgmRdpAccount(two, "q_samp", "sigma", 1e-6)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(comp(2.0) == r6(r12(eps2) * 2), s"${comp(2.0)}")
+    // exactly one best flag, on the grid minimum of the converted curve
+    assert(out.count(_._4) >= 1)
+    val minConv = out.map(_._3).min
+    assert(out.filter(_._4).forall(_._3 == minConv))
+    // guards
+    intercept[IllegalArgumentException] {
+      Privacy.sgmRdpAccount(one, "q_samp", "sigma", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.sgmRdpAccount(one, "q_samp", "sigma", 1e-6, orders = Seq(1))
+    }
+  }
 }
