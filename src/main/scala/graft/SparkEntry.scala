@@ -861,6 +861,51 @@ object SparkEntry {
           col("event_type").asc_nulls_last)
     }),
 
+    // §2.10 — the CUSTOM-STATE operator under the hash gate: the typed
+    // flatMapGroupsWithState sessionizer (StreamingAnalytics.sessionize,
+    // per-user gap-rule state + event-time timeout) run as a REAL
+    // checkpointed streaming query over epoch-range shards drained in
+    // watermark order. With in-order arrival its late-event machinery is
+    // provably inert and the gap rule reduces exactly to q34's batch
+    // rule, so the per-user count of emitted sessions must equal the
+    // batch lag-then-running-sum answer — q34's oracle VERBATIM is the
+    // certificate. Two far-future sentinel batches (one to advance the
+    // watermark past every idle deadline, one to fire the resulting
+    // event-time timeouts) flush every still-open session exactly once;
+    // sessions spanning shard boundaries certify state across batches.
+    "q371_stream_sessions" -> ((s, d) => {
+      val dir = scratch("q371shards", d)
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val b = ev.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))),
+        max(col("ts")).cast("string")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = math.max(hi - lo + 1, 1L)
+      val sentinels = s.range(2).select(
+        lit(-1L).as("user_id"),
+        (to_timestamp(lit(b.getString(2))) +
+          expr("make_interval(0, 0, 0, CAST(100 * (id + 1) AS INT), " +
+            "0, 0, 0)")).as("ts"),
+        (lit(-1L) - col("id")).as("event_id"))
+      val shardOf = when(col("user_id") === -1L,
+          when(col("event_id") === -1L, lit(8)).otherwise(lit(9)))
+        .otherwise(least(
+          floor((unix_timestamp(col("ts")) - lit(lo)) * lit(8L) / lit(span)),
+          lit(7L)).cast("int"))
+      StreamHarness.shard(ev.unionByName(sentinels), shardOf, 10, dir)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 6) { src =>
+        graft.streaming.StreamingAnalytics.sessionize(
+          src.select(col("user_id"), col("ts").as("time")),
+          gapSeconds = 1800L, watermarkDelay = "10 minutes").toDF()
+      }
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }),
+
     // X+/S — k-anonymity release audit over the customer dimension's
     // quasi-identifiers (nation × market segment): the re-identification
     // gate a published per-user table must pass. One hash agg to the
@@ -5915,6 +5960,23 @@ object SparkEntry {
     "q369_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // q371: the flatMapGroupsWithState sessionizer's emitted sessions,
+    // counted per user, must equal q34's batch lag-then-running-sum
+    // answer — the oracle IS q34's, verbatim (the streaming/batch law).
+    "q371_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(tsu) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q360: the same heterogeneous (mechanism, scale) ledger, the same
     // per-order RDP closed forms (gaussian \u03b1/(2\u03c3\u00b2); laplace via

@@ -85,6 +85,51 @@ class StreamHarnessSpec extends GraftSpec {
     assert(out.length == 21, s"4*5 cold + 1 hot, got ${out.length}")
   }
 
+  test("q371's property: the flatMapGroupsWithState sessionizer under " +
+      "time-monotone shards — sessions span batch boundaries, gaps break " +
+      "across batches, the 1800s boundary merges, sentinels flush opens " +
+      "exactly once, and counts equal the batch sessionizer") {
+    val dir = freshDir("sessions")
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z
+    def ts(e: Long) = new java.sql.Timestamp(e * 1000L)
+    // (user, epoch, shard): shard ranges are time-monotone, so arrival
+    // order is event-time order — the q371 harness contract
+    val rows = Seq(
+      (1L, t0, 0L), (1L, t0 + 600, 0L),   // u1 session 1
+      (2L, t0, 0L),                        // u2 session 1 opens
+      (4L, t0 + 1000, 0L),                 // u4 opens at shard 0's edge
+      (4L, t0 + 2500, 1L),                 // gap 1500: SAME session, next batch
+      (1L, t0 + 2600, 1L),                 // gap 2000: NEW session cross-batch
+      (2L, t0 + 1800, 1L),                 // gap exactly 1800: merges
+      (2L, t0 + 3600, 2L),                 // again exactly 1800: still one
+      (3L, t0 + 4000, 2L),                 // u3 session 1
+      (3L, t0 + 10000, 3L),                // gap 6000: u3 session 2
+      (-1L, t0 + 100L * 86400, 4L),        // sentinel: advance watermark
+      (-1L, t0 + 200L * 86400, 5L))        // sentinel: fire the timeouts
+    val df = rows.zipWithIndex
+      .map { case ((u, e, sh), i) => (u, ts(e), i.toLong, sh) }
+      .toDF("user_id", "time", "event_id", "sh")
+    StreamHarness.shard(df, col("sh"), 6, dir)
+    val out = StreamHarness.drain(spark, dir, "append",
+        minDataBatches = 6) { src =>
+      StreamingAnalytics.sessionize(
+        src.select(col("user_id"), col("time")),
+        gapSeconds = 1800L, watermarkDelay = "10 minutes").toDF()
+    }.filter(col("user_id") =!= -1L).collect()
+    val counts = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(counts == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1))
+    // the cross-batch session kept its exact bounds and request count
+    val u4 = out.filter(_.getLong(0) == 4L)
+    assert(u4.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((t0 + 1000, t0 + 2500, 2L)))
+    // emitted-session counts equal the batch lag-then-running-sum answer
+    val batch = graft.analytics.LogAnalytics.sessionCounts(
+      df.filter(col("user_id") =!= -1L), userCol = "user_id",
+      tsCol = "time", tieCol = "event_id", gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == batch)
+  }
+
   test("the q367 complete-mode census over the real events shards " +
       "equals the batch aggregate (merge-to-batch law at fixture scale)") {
     val dir = freshDir("census")
