@@ -690,6 +690,41 @@ object SparkEntry {
       bloomAudit(batch, hist, bloom)
     }),
 
+    // X1bloom — the Bloom screen's OPERATING POINT certified: geometry
+    // from suggestedShape (textbook m = ⌈−n·ln p/(ln 2)²⌉, k =
+    // round((m/n)·ln 2) — the formula both engines replay from the
+    // distinct-key count), fill telemetry off the built filter, and the
+    // predicted FPP (fill^k via the engine-shared exp/ln tree) measured
+    // against the realized rate on PROVABLY-NOVEL probes — batch keys
+    // absent from history, so every maybe_dup is a false positive by
+    // construction. 1-row output; the filter stays words-sized.
+    "q372_bloom_fpp" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val key = coalesce(col("text").cast("string"), lit("\u0000"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      val n = hist.select(key.as("k")).distinct().count()
+      val (words, k) = BloomIndex.suggestedShape(n, targetFpp = 0.01)
+      val bloom = BloomIndex.bloomBuild(hist, col("text"), words, k,
+        salt = "bloom-r17")
+      val novel = batch.join(
+        hist.select(key.as("__hk")).distinct(),
+        key === col("__hk"), "left_anti")
+      val meas = BloomIndex.bloomScreen(novel, "doc_id", col("text"),
+          bloom, words, k, salt = "bloom-r17")
+        .agg(count(lit(1)).cast("long").as("n_probed"),
+          coalesce(sum(col("maybe_dup").cast("long")), lit(0L))
+            .as("n_false_pos"))
+      BloomIndex.fppTelemetry(bloom)
+        .withColumn("n_keys", lit(n))
+        .crossJoin(meas)
+        .select(col("m_bits"), col("k_hashes"), col("n_keys"),
+          col("set_bits"), col("fill_ratio"), col("predicted_fpp"),
+          col("n_probed"), col("n_false_pos"),
+          round(col("n_false_pos").cast("double") /
+            col("n_probed").cast("double"), 6).as("fp_rate"))
+    }),
+
     // X1+++/X3++ — prototypicality pruning (Sorscher et al. 2022):
     // rank every embedding by cosine to its label centroid (the q30
     // centroid, 6-dp pinned), prune the most-prototypical 30% per
@@ -6022,6 +6057,74 @@ object SparkEntry {
     // q362: OR's merge law \u2014 merged per-batch partials screen exactly
     // like the from-scratch build: q361's oracle verbatim.
     "q362_bloom_merge" -> bloomScreenOracleSql,
+
+    // q372: geometry from the same suggestedShape formula over the same
+    // distinct-key count (ln/ceil/round shared-tree), the same seeded
+    // build at the derived (m, k), fill via bit_count, predicted FPP
+    // via the engine-shared exp(k·ln ρ) tree, and the measured rate on
+    // the same provably-novel probe set.
+    "q372_bloom_fpp" ->
+      """WITH hk AS (
+        |  SELECT DISTINCT coalesce(text, chr(0)) AS key
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(ceil((-CAST(count(*) AS DOUBLE) * ln(1.0e-2) /
+        |           (ln(2.0e0) * ln(2.0e0))) / 6.3e1) AS BIGINT) AS words
+        |  FROM hk),
+        |g2 AS (
+        |  SELECT n, words, words * 63 AS mbits,
+        |         greatest(1::BIGINT, CAST(round(
+        |           CAST(words AS DOUBLE) * 6.3e1 / CAST(n AS DOUBLE) *
+        |             ln(2.0e0)) AS BIGINT)) AS k
+        |  FROM g),
+        |js AS (SELECT unnest(range((SELECT k FROM g2))) AS j),
+        |hp AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5('bloom-r17:' || j || ':' || h.key),
+        |      1, 12)) AS UBIGINT) % (SELECT mbits FROM g2) AS bucket
+        |  FROM hk h CROSS JOIN js),
+        |bloom AS (
+        |  SELECT CAST(bucket // 63 AS BIGINT) AS word,
+        |         bit_or(1::BIGINT << CAST(bucket % 63 AS INT)) AS bits
+        |  FROM hp GROUP BY 1),
+        |fill AS (
+        |  SELECT CAST(coalesce(sum(bit_count(bits)), 0) AS BIGINT)
+        |    AS set_bits FROM bloom),
+        |novel AS (
+        |  SELECT doc_id, coalesce(text, chr(0)) AS key
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1
+        |    AND coalesce(text, chr(0)) NOT IN (SELECT key FROM hk)),
+        |probes AS (
+        |  SELECT nv.doc_id,
+        |    CAST(('0x' || substr(md5('bloom-r17:' || j || ':' || nv.key),
+        |      1, 12)) AS UBIGINT) % (SELECT mbits FROM g2) AS bucket
+        |  FROM novel nv CROSS JOIN js),
+        |scr AS (
+        |  SELECT p.doc_id,
+        |         min(CASE WHEN (coalesce(bl.bits, 0) &
+        |               (1::BIGINT << CAST(p.bucket % 63 AS INT))) =
+        |               (1::BIGINT << CAST(p.bucket % 63 AS INT))
+        |             THEN 1 ELSE 0 END) AS hit
+        |  FROM probes p
+        |  LEFT JOIN bloom bl ON bl.word = CAST(p.bucket // 63 AS BIGINT)
+        |  GROUP BY p.doc_id),
+        |meas AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_probed,
+        |         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_false_pos
+        |  FROM scr)
+        |SELECT g2.mbits AS m_bits, g2.k AS k_hashes, g2.n AS n_keys,
+        |       f.set_bits,
+        |       round(CAST(f.set_bits AS DOUBLE) /
+        |             CAST(g2.mbits AS DOUBLE), 6) AS fill_ratio,
+        |       round(exp(CAST(g2.k AS DOUBLE) *
+        |             ln(CAST(f.set_bits AS DOUBLE) /
+        |                CAST(g2.mbits AS DOUBLE))), 6) AS predicted_fpp,
+        |       m.n_probed, m.n_false_pos,
+        |       round(CAST(m.n_false_pos AS DOUBLE) /
+        |             CAST(m.n_probed AS DOUBLE), 6) AS fp_rate
+        |FROM g2, fill f, meas m""".stripMargin,
 
     // q363: the q30 6-dp centroid rebuilt per label, the q352 exact-
     // double cosine fold, (sim DESC NULLS LAST, id) ranks, and the

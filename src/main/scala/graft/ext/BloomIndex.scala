@@ -52,6 +52,61 @@ object BloomIndex {
 
   private def mBits(words: Int): Long = words.toLong * 63L
 
+  /**
+   * Size a filter for `nKeys` distinct keys at `targetFpp` — the
+   * operating point IS the value of a Bloom front door, and an
+   * undersized filter silently degrades to "everything maybe_dup"
+   * (every probe pays the exact index, the screen saves nothing).
+   * The textbook optimum (Broder & Mitzenmacher 2004, §2):
+   *
+   *   m = ⌈−n·ln p / (ln 2)²⌉  bits,   k = max(1, round((m/n)·ln 2))
+   *
+   * returned as `(words, k)` with `words = ⌈m/63⌉` (the engine-portable
+   * 63-bit word layout) and k computed from the ACTUAL m = words·63 the
+   * filter will have. ~9.6 bits/key at 1%, ~14.4 at 0.1%; k is the
+   * [[AnnIvf.suggestedCells]]-style default — callers with a measured
+   * probe mix can still pass explicit geometry.
+   */
+  def suggestedShape(nKeys: Long, targetFpp: Double): (Int, Int) = {
+    require(nKeys > 0, s"nKeys must be positive, got $nKeys")
+    require(targetFpp > 0 && targetFpp < 1,
+      s"targetFpp must be in (0, 1), got $targetFpp")
+    val ln2 = math.log(2.0)
+    val mRaw = -nKeys.toDouble * math.log(targetFpp) / (ln2 * ln2)
+    val words = math.ceil(mRaw / 63.0).toLong
+    require(words <= Int.MaxValue,
+      s"suggested filter needs $words words — beyond the broadcast " +
+        "frame; shard the corpus or raise targetFpp")
+    val k = math.max(1L,
+      math.round(words.toDouble * 63.0 / nKeys.toDouble * ln2))
+    (words.toInt, k.toInt)
+  }
+
+  /**
+   * One-row health report of a standing filter — the telemetry that
+   * tells an operator whether the filter still honors its operating
+   * point as history grows: `(m_bits, k_hashes, set_bits, fill_ratio,
+   * predicted_fpp)` where `predicted_fpp = fill_ratio^k` (the exact
+   * false-positive rate GIVEN the realized bit fill — each of the k
+   * probe bits of a never-inserted key hits a set bit independently
+   * with probability ρ), computed as `exp(k·ln ρ)` so the expression
+   * tree is engine-shared (q372 hash-certifies it against a measured
+   * rate on provably-novel probes). Filter-sized input (≤ words rows),
+   * 1-row output.
+   */
+  def fppTelemetry(bloom: DataFrame): DataFrame = {
+    val (words, k, _) = geometryOf(bloom)
+    val m = mBits(words)
+    val rho = col("set_bits").cast("double") / lit(m.toDouble)
+    bloom
+      .agg(coalesce(sum(expr("bit_count(bits)")).cast("long"), lit(0L))
+        .as("set_bits"))
+      .select(lit(m).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("set_bits"),
+        round(rho, 6).as("fill_ratio"),
+        round(exp(lit(k.toDouble) * log(rho)), 6).as("predicted_fpp"))
+  }
+
   private def checkShape(words: Int, k: Int): Unit = {
     require(words > 0, s"words must be positive, got $words")
     require(k > 0, s"k (hash count) must be positive, got $k")

@@ -95,6 +95,59 @@ class BloomIndexSpec extends GraftSpec {
     assert(merged.sameElements(whole))
   }
 
+  test("suggestedShape pins the textbook operating point: hand-replayed " +
+      "m/k at 1%, ~9.6 bits per key, monotone in the target, k floors " +
+      "at 1, and the degenerate inputs are rejected") {
+    // n = 1000, p = 0.01: m_raw = 1000·ln(100)/(ln 2)² = 9585.06 →
+    // words = ⌈9585.06/63⌉ = 153, k = round((153·63/1000)·ln 2) = 7
+    assert(BloomIndex.suggestedShape(1000L, 0.01) == (153, 7))
+    val (w1, _) = BloomIndex.suggestedShape(1000L, 0.01)
+    assert(w1 * 63 >= 9.0 * 1000 && w1 * 63 <= 10.5 * 1000,
+      "~9.6 bits/key at 1%")
+    val (w2, k2) = BloomIndex.suggestedShape(1000L, 0.001)
+    assert(w2 > w1 && k2 >= 7, "tighter target costs more bits + hashes")
+    // a huge corpus against a loose target still floors k at 1
+    assert(BloomIndex.suggestedShape(1L, 0.6)._2 >= 1)
+    intercept[IllegalArgumentException](BloomIndex.suggestedShape(0L, 0.01))
+    intercept[IllegalArgumentException](BloomIndex.suggestedShape(10L, 0.0))
+    intercept[IllegalArgumentException](BloomIndex.suggestedShape(10L, 1.0))
+  }
+
+  test("fppTelemetry reports the exact fill and fill^k prediction; a " +
+      "suggestedShape-sized filter lands near half-full and the novel-" +
+      "probe false-positive rate sits at the operating point's scale") {
+    val n = 600
+    val keys = (0 until n).map(i => s"doc_$i")
+    val (words, k) = BloomIndex.suggestedShape(n.toLong, 0.01)
+    val bloom = BloomIndex.bloomBuild(
+      keys.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "key"),
+      col("key"), words, k, salt = "blt")
+    val t = BloomIndex.fppTelemetry(bloom).collect()(0)
+    assert(t.getLong(0) == words.toLong * 63 && t.getLong(1) == k.toLong)
+    // exact fill replay off the filter's own words
+    val setBits = bloom.collect()
+      .map(r => java.lang.Long.bitCount(r.getLong(1)).toLong).sum
+    assert(t.getLong(2) == setBits)
+    val rho = setBits.toDouble / (words.toLong * 63)
+    assert(math.abs(t.getDouble(3) - math.rint(rho * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(t.getDouble(4) -
+      math.rint(math.exp(k * math.log(rho)) * 1e6) / 1e6) < 1e-9)
+    // the sized filter realizes the design: fill near 1/2, predicted
+    // near the 1% target (both within loose structural bands)
+    assert(rho > 0.35 && rho < 0.65, s"fill $rho should be near 0.5")
+    assert(t.getDouble(4) > 0.001 && t.getDouble(4) < 0.05,
+      s"predicted ${t.getDouble(4)} should be near the 1% target")
+    // measured on 2000 provably-novel probes: same order of magnitude
+    val novel = (0 until 2000).map(i => (i.toLong, s"new_$i"))
+      .toDF("id", "key")
+    val fp = BloomIndex.bloomScreen(novel, "id", col("key"), bloom,
+        words, k, salt = "blt")
+      .filter(col("maybe_dup")).count()
+    assert(fp < 2000 * 0.05,
+      s"$fp false positives on 2000 novel probes at a 1% design point")
+  }
+
   test("geometry travels WITH the filter: mismatched probe geometry is " +
       "rejected, a hand-assembled frame is rejected, and the metadata " +
       "survives a parquet round-trip") {
