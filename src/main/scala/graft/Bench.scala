@@ -103,7 +103,21 @@ object Bench {
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     var rerunBudget = 8 // restarts are ~5 s each; a sweep-wide pathology
                         // should surface as a few entries, not consume the run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sweep order (r16 verdict item 5): the accumulation hypothesis says
+    // in-sweep inflation tracks POSITION (session-state buildup over 370+
+    // queries), not query identity. SPARK_GRAFT_SWEEP_ORDER=reverse runs
+    // the same set back-to-front so ONE comparison run can confirm or
+    // kill it — if totals match and per-query deltas move with position,
+    // the inflation is accumulation; if a band inflates regardless of
+    // position, it is real. Default name-sorted order stays the
+    // cross-round comparable series (pair a reverse run with
+    // SPARK_GRAFT_BENCH_BASELINE=/dev/null so the fresh-session guard
+    // does not replace the very sweep numbers under test).
+    val sweepOrder = sys.env.getOrElse("SPARK_GRAFT_SWEEP_ORDER", "sorted")
+    require(sweepOrder == "sorted" || sweepOrder == "reverse",
+      s"SPARK_GRAFT_SWEEP_ORDER must be sorted|reverse, got $sweepOrder")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (if (sweepOrder == "reverse") ordered.reverse else ordered)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .flatMap { case (name, fn) =>
       def warmUp(): Unit =
@@ -212,8 +226,11 @@ object Bench {
     val rerunsJson = reruns.map { case (k, (s, f)) =>
       s"${jstr(k)}:{" + s""""sweep_sec":${sec(s)},"fresh_sec":${sec(f)}}"""
     }.mkString("{", ",", "}")
-    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)},"fresh_session_reruns":$rerunsJson,"notes":$notes}"""
-    val out = if (only.isEmpty) base else base + ".partial"
+    val meta = s"""{"q37_cc_rounds":${graft.ext.Dedup.lastComponentsRounds.get()},"job_floor_sec":${sec(jobFloor)},"sweep_order":${jstr(sweepOrder)},"fresh_session_reruns":$rerunsJson,"notes":$notes}"""
+    // a reverse-order experiment must never overwrite the durable
+    // forward series the cross-round drift compare reads
+    val out = if (only.isEmpty && sweepOrder == "sorted") base
+      else base + ".partial"
     // total_sec and n_queries lead the line (head-truncation-proof), and
     // the durable path tells a reader where the untruncated copy lives
     val line =
