@@ -818,7 +818,10 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value")),
         pmod(coalesce(col("event_id"), lit(0L)), lit(8L)), 8, dir)
-      StreamHarness.drain(s, dir, "complete", minDataBatches = 4) { src =>
+      // state = one row per event_type (5 keys, ~16 KB): 4 state stores,
+      // not the session's corpus-shuffle width (StreamHarness scaladoc)
+      StreamHarness.drain(s, dir, "complete", minDataBatches = 4,
+          statePartitions = Some(4)) { src =>
         src.groupBy(col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             sum(round(col("value"), 6)
@@ -861,7 +864,10 @@ object SparkEntry {
         .otherwise(expr(
           s"CAST((datediff(to_date(ts), date'$minD') * 6) DIV $nDays AS INT)"))
       StreamHarness.shard(ev.unionByName(sentinels), shardOf, 8, dir)
-      StreamHarness.drain(s, dir, "append", minDataBatches = 4) { src =>
+      // state = open (day-window × event_type) rows — hundreds of keys,
+      // KBs: 4 state stores (StreamHarness scaladoc)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 4,
+          statePartitions = Some(4)) { src =>
         src.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"))
@@ -888,7 +894,10 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value")),
         pmod(coalesce(col("event_id"), lit(0L)), lit(8L)), 8, dir)
-      StreamHarness.drain(s, dir, "append", minDataBatches = 4) { src =>
+      // state = one row per distinct (user_id, event_type) — tens of
+      // thousands of keys, MBs: 8 state stores (StreamHarness scaladoc)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 4,
+          statePartitions = Some(8)) { src =>
         src.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
       }
@@ -930,7 +939,10 @@ object SparkEntry {
           floor((unix_timestamp(col("ts")) - lit(lo)) * lit(8L) / lit(span)),
           lit(7L)).cast("int"))
       StreamHarness.shard(ev.unionByName(sentinels), shardOf, 10, dir)
-      StreamHarness.drain(s, dir, "append", minDataBatches = 6) { src =>
+      // state = one open session per active user — thousands of keys:
+      // 8 state stores (StreamHarness scaladoc)
+      StreamHarness.drain(s, dir, "append", minDataBatches = 6,
+          statePartitions = Some(8)) { src =>
         graft.streaming.StreamingAnalytics.sessionize(
           src.select(col("user_id"), col("ts").as("time")),
           gapSeconds = 1800L, watermarkDelay = "10 minutes").toDF()

@@ -258,10 +258,15 @@ object Eval {
       classified: DataFrame,
       labelCol: String = "label",
       predCol: String = "pred"): DataFrame = {
-    val cells = classified.groupBy(col(labelCol), col(predCol))
-      .agg(count(lit(1)).as("n"))
-    val totals = classified.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("_row_n"))
+    // ONE pass over `classified` (guide §7.2 — the input is typically an
+    // expensive classifier pipeline, e.g. q116's all-pairs kNN vote): the
+    // class²-sized cell frame is cut once and the row marginal folds from
+    // it by exact integer sums — identical counts, not a re-scan.
+    val cells = Materialize.cut(
+      classified.groupBy(col(labelCol), col(predCol))
+        .agg(count(lit(1)).as("n")))
+    val totals = cells.groupBy(col(labelCol))
+      .agg(sum(col("n")).as("_row_n"))
     cells.join(broadcast(totals), Seq(labelCol))
       .select(col(labelCol), col(predCol), col("n"),
         round(col("n") / col("_row_n"), 6).as("share"))
@@ -283,13 +288,20 @@ object Eval {
       classified: DataFrame,
       labelCol: String = "label",
       predCol: String = "pred"): DataFrame = {
-    val truth = classified.groupBy(col(labelCol).as("class"))
-      .agg(count(lit(1)).as("support"))
-    val predicted = classified.groupBy(col(predCol).as("class"))
-      .agg(count(lit(1)).as("_pred_n"))
-    val diag = classified.filter(col(labelCol) === col(predCol))
-      .groupBy(col(labelCol).as("class"))
-      .agg(count(lit(1)).as("_diag"))
+    // ONE pass over `classified` (the [[confusion]] rule): both axis
+    // marginals and the diagonal fold from the cut class²-sized cell
+    // frame by exact integer sums — identical counts to the three
+    // direct scans this replaced.
+    val cells = Materialize.cut(
+      classified.groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+        .agg(count(lit(1)).as("__n")))
+    val truth = cells.groupBy(col("__l").as("class"))
+      .agg(sum(col("__n")).as("support"))
+    val predicted = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).as("_pred_n"))
+    val diag = cells.filter(col("__l") === col("__p"))
+      .groupBy(col("__l").as("class"))
+      .agg(sum(col("__n")).as("_diag"))
     // a missing diagonal row means ZERO correct predictions, not unknown:
     // coalesce so "predicted but always wrong" reads precision 0.0 and
     // "occurs but never found" reads recall 0.0; the NULLs that remain
@@ -364,17 +376,28 @@ object Eval {
       labelCol: String = "label",
       predCol: String = "pred"): DataFrame = {
     val dec = "decimal(38,0)"
-    val truth = classified.groupBy(col(labelCol).as("class"))
-      .agg(count(lit(1)).cast(dec).as("_sup"))
-    val predicted = classified.groupBy(col(predCol).as("class"))
-      .agg(count(lit(1)).cast(dec).as("_prd"))
+    // ONE pass over `classified` (the [[confusion]] rule): marginals,
+    // total and diagonal all fold from the cut class²-sized cell frame
+    // by exact integer sums — identical counts to the three direct
+    // scans this replaced. NULL semantics preserved: a NULL label/pred
+    // forms its own cell (groupBy keeps NULL keys) exactly as before,
+    // and the original per-row `(label === pred).cast(long)` summed
+    // NULL for any NULL-keyed row — i.e. contributed nothing — which
+    // the null-safe filter below reproduces.
+    val cells = Materialize.cut(
+      classified.groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+        .agg(count(lit(1)).as("__n")))
+    val truth = cells.groupBy(col("__l").as("class"))
+      .agg(sum(col("__n")).cast(dec).as("_sup"))
+    val predicted = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).cast(dec).as("_prd"))
     val s = truth.join(predicted, Seq("class"))
       .agg(coalesce(sum(col("_sup") * col("_prd")), lit(0).cast(dec))
         .as("_s"))
       .withColumn("_j", lit(1))
-    val totals = classified.agg(
-      count(lit(1)).cast(dec).as("_n"),
-      coalesce(sum((col(labelCol) === col(predCol)).cast("long")), lit(0L))
+    val totals = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).cast(dec).as("_n"),
+      coalesce(sum(when(col("__l") === col("__p"), col("__n"))), lit(0L))
         .cast(dec).as("_diag"))
       .withColumn("_j", lit(1))
     totals.join(s, Seq("_j")) // 1×1 — two scalar frames, not a data join

@@ -626,6 +626,16 @@ object Privacy {
     val lnq = log(qc)
     val ln1q = log(lit(1.0) - qc)
     val s2x2 = lit(2.0) * sc * sc
+    // The |orders| branches each re-read `releases`, so an expensive
+    // ledger subtree (q370's is a distinct over the corpus) would be
+    // re-scanned per order — cut it once; the branches then read the
+    // materialized ledger (tiny: one row per release). A single-select
+    // explode variant was measured SLOWER (3.98 s → 9.14 s at sf0.1):
+    // fusing every order's ~α exp() terms into one projection produces
+    // a codegen method too large to JIT well, while per-branch
+    // projections stay small — the cut removes the re-scans without
+    // touching the per-branch expression trees (oracle-identical).
+    val rel = Materialize.cut(releases)
     val branches = orders.map { a =>
       val es = (0 to a).map { j =>
         lit(lnBinom(a, j)) + lit((a - j).toDouble) * ln1q +
@@ -634,7 +644,7 @@ object Privacy {
       }
       val m = greatest(es: _*)
       val lse = m + log(es.map(e => exp(e - m)).reduce(_ + _))
-      releases.select(lit(a.toDouble).as("alpha"),
+      rel.select(lit(a.toDouble).as("alpha"),
         round(lse / lit((a - 1).toDouble), 12).cast(d12).as("__t"))
     }
     val al = col("alpha")

@@ -62,13 +62,56 @@ object Probe {
    * order- and partitioning-invariant with one buffer per task and no
    * exploded term rows.
    */
+  /** Reference form of the 12-dp term rounding: the decimal value of the
+    * double's SHORTEST representation (`BigDecimal.valueOf` ≡
+    * `Double.toString`), rounded HALF_UP at 12 dp, as a scaled long. */
+  private[ext] def term12Reference(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .movePointRight(12).longValueExact()
+
+  /**
+   * [[term12Reference]] with a PROVABLY-IDENTICAL fast path (guide §1.2
+   * step 2 — per-task work: the reference form costs a `Double.toString`
+   * + decimal parse + decimal division per term, ~0.6 µs on JDK 17, and
+   * [[MomentAgg]] evaluates it (d+1)(d+4)/2 ≈ 2 210 times per row).
+   *
+   * Let B = the double's exact binary value and D = the decimal value of
+   * its shortest representation (what the reference rounds). Both round
+   * to the same double, so |D − B| ≤ ½·ulp(x). The fast path computes
+   * B·10¹² EXACTLY as a double-double via an FMA two-product
+   * (10¹² is exact; `e = fma(x, 1e12, −p)` is the exact residual of
+   * `p = x·1e12`), splits it as `n0 + frac` around the nearest integer
+   * (`p − n0` exact by Sterbenz for |p| < 2⁵², the |x| < 4.5·10³ guard),
+   * and accepts `n0` whenever
+   *
+   *   |frac| + ½·ulp(x)·10¹² + 1e-9  <  0.5
+   *
+   * — then BOTH B·10¹² and D·10¹² lie strictly inside
+   * (n0 − ½, n0 + ½), where HALF_UP is plain nearest-rounding for either
+   * sign, so the reference answer IS n0. Anything near the half
+   * boundary (≈0.1% of uniform inputs), non-finite, or ≥ 4.5·10³ falls
+   * back to the reference form — never a different value, only a
+   * different speed. Equivalence is additionally fuzz-pinned across
+   * magnitudes and adversarial half-boundary values in ProbeSpec.
+   */
+  private[ext] def term12(x: Double): Long = {
+    if (x == 0.0) return 0L // ±0 → 0, as the reference
+    val ax = math.abs(x)
+    if (!(ax < 4.5e3)) return term12Reference(x) // non-finite/huge → exact
+    val p = x * 1e12
+    val e = Math.fma(x, 1e12, -p)
+    val n0 = Math.rint(p)
+    val frac = (p - n0) + e
+    if (math.abs(frac) + 0.5e12 * Math.ulp(x) + 1e-9 >= 0.5)
+      term12Reference(x)
+    else n0.toLong
+  }
+
   private[ext] final class MomentAgg(d1: Int)
       extends Aggregator[(Array[Double], Double), Array[Long], Array[Long]] {
     private val tri = d1 * (d1 + 1) / 2
-    private def term12(x: Double): Long =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(12, java.math.RoundingMode.HALF_UP)
-        .movePointRight(12).longValueExact()
+    private def term12(x: Double): Long = Probe.term12(x)
     override def zero: Array[Long] = new Array[Long](tri + d1)
     override def reduce(
         buf: Array[Long], r: (Array[Double], Double)): Array[Long] = {
@@ -310,10 +353,21 @@ object Probe {
         size(col(vecCol)) === dim && stratum.isNotNull &&
         stratum.cast("long") > last)
       .select(y.cast("double").as("_y"), col(vecCol).as("_v"))
-    val scored = fits.map { case (s, nTrain, w) =>
-      test.select(lit(s).as("train_upto"), lit(nTrain).as("n_train"),
-        col("_y"), score(col("_v"), w).as("_p"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the held-out stratum (guide §7.2): the per-prefix
+    // scores are per-row expressions against literal weights, so all
+    // |prefixes| curves ride a single explode instead of |prefixes|
+    // unioned re-scans — and the narrow scored frame is cut because it
+    // feeds both the per-prefix totals and the SSE/SST fold (without
+    // the cut each consumer would re-run the scan). Same rows, same
+    // expression trees per prefix, so every aggregate is unchanged.
+    val scored = Materialize.cut(
+      test.select(col("_y"), explode(array(fits.map { case (s, nTrain, w) =>
+        struct(lit(s).as("train_upto"), lit(nTrain).as("n_train"),
+          score(col("_v"), w).as("_p"))
+      }: _*)).as("__f"))
+        .select(col("__f.train_upto").as("train_upto"),
+          col("__f.n_train").as("n_train"), col("_y"),
+          col("__f._p").as("_p")))
     val tot = scored.groupBy(col("train_upto"))
       .agg(count(lit(1)).as("n_test"), sum(col("_y")).as("_sy"))
     scored.join(broadcast(tot), Seq("train_upto"))
@@ -397,12 +451,18 @@ object Probe {
       .filter(col(vecCol).isNotNull && y.isNotNull &&
         size(col(vecCol)) === dim)
       .select(y.cast("double").as("_y"), col(vecCol).as("_v"))
-    val scored = fits.map { case (du, ws) =>
-      val full = Array.fill(dim + 1)(0.0)
-      ws.foreach { case (oi, w) => full(oi) = w }
-      base.select(lit(du.toLong).as("dims_used"), col("_y"),
-        score(col("_v"), full).as("_p"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass (the [[learningCurve]] rule): all |dims| ablation
+    // scores ride a single explode over per-row literal-weight score
+    // expressions, and the narrow scored frame is cut because it feeds
+    // both the totals and the SSE/SST fold. Identical rows/expressions.
+    val scored = Materialize.cut(
+      base.select(col("_y"), explode(array(fits.map { case (du, ws) =>
+        val full = Array.fill(dim + 1)(0.0)
+        ws.foreach { case (oi, w) => full(oi) = w }
+        struct(lit(du.toLong).as("dims_used"), score(col("_v"), full).as("_p"))
+      }: _*)).as("__f"))
+        .select(col("__f.dims_used").as("dims_used"), col("_y"),
+          col("__f._p").as("_p")))
     val tot = scored.groupBy(col("dims_used"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("_sy"))
     scored.join(broadcast(tot), Seq("dims_used"))
@@ -456,7 +516,11 @@ object Probe {
       case (acc, (f, w)) => when(col("_f") === f, score(col("_v"), w))
         .otherwise(acc)
     }
-    val rows = base.select(col("_f"), col("_y"), pred.as("_p"))
+    // cut: `rows` feeds both the per-fold totals and the metric fold —
+    // without it the corpus scan (and the k-way scored when-chain) runs
+    // twice (guide §7.2). Narrow (3-column) frame; values unchanged.
+    val rows = Materialize.cut(
+      base.select(col("_f"), col("_y"), pred.as("_p")))
     val tot = rows.groupBy(col("_f"))
       .agg(count(lit(1)).as("n_test"), sum(col("_y")).as("_sy"))
     rows.join(broadcast(tot), Seq("_f"))
@@ -662,11 +726,13 @@ object Probe {
       df: DataFrame, vecCol: String, y: Column, dim: Int,
       lambda: Double = 1e-3): DataFrame = {
     val w = fitRidge(df, vecCol, y, dim, lambda)
-    val rows = df
+    // cut: `rows` feeds both the scalar totals and the metric fold —
+    // without it the corpus scan + score runs twice (guide §7.2).
+    val rows = Materialize.cut(df
       .filter(col(vecCol).isNotNull && y.isNotNull &&
         size(col(vecCol)) === dim)
       .select(y.cast("double").as("_y"),
-        score(col(vecCol), w).as("_p"))
+        score(col(vecCol), w).as("_p")))
     val tot = rows.agg(count(lit(1)).as("n"), sum(col("_y")).as("_sy"))
     rows.crossJoin(broadcast(tot))
       .select(col("n"), col("_y"), col("_p"),

@@ -865,9 +865,16 @@ object TextOps {
       .filter(size(toks) >= gramN)
       .select(explode(units).as("_t"))
       .groupBy(col("_t")).agg(count(lit(1)).as("_r"))
-    val fof = counts.groupBy(col("_r").as("r"))
-      .agg(count(lit(1)).as("n_r"))
-    val tot = counts.agg(sum(col("_r")).as("_nt"))
+    // ONE corpus pass (guide §7.2, duplicated subtrees): `fof` feeds both
+    // sides of the shift self-join and the total, so without a cut the
+    // tokenize+explode+groupBy `counts` subtree runs three times. The cut
+    // pins the tiny frequency-of-frequencies frame; the unit total is
+    // Σ r·n_r over it — exact long arithmetic, identical to summing `_r`
+    // over `counts` directly (each of the n_r units of count r contributes
+    // r), so the released numbers are unchanged.
+    val fof = Materialize.cut(counts.groupBy(col("_r").as("r"))
+      .agg(count(lit(1)).as("n_r")))
+    val tot = fof.agg(sum(col("r") * col("n_r")).as("_nt"))
     fof.filter(col("r") <= rMax)
       .join(fof.select((col("r") - 1).as("r"), col("n_r").as("_next")),
         Seq("r"), "left")

@@ -261,4 +261,49 @@ class ProbeSpec extends GraftSpec {
       Probe.ablationWeights(spark, df, "embedding", y, Seq(dim + 1), dim)
     }
   }
+
+  test("term12 fast path is bit-identical to the BigDecimal reference " +
+      "across magnitudes and at adversarial half boundaries") {
+    // deterministic fuzz: magnitudes 1e-15..1e3, both signs, float-origin
+    // products (the MomentAgg input shape), plus exact decimal halves
+    val rnd = new scala.util.Random(0x5eed17)
+    var n = 0
+    while (n < 2000000) {
+      val scale = math.pow(10.0, rnd.nextInt(19) - 15)
+      val x = (rnd.nextDouble() * 2 - 1) * scale
+      assert(Probe.term12(x) == Probe.term12Reference(x),
+        s"fuzz mismatch at x=$x (${java.lang.Double.toHexString(x)})")
+      val a = rnd.nextFloat().toDouble * (if (rnd.nextBoolean()) 1 else -1)
+      val b = rnd.nextFloat().toDouble
+      assert(Probe.term12(a * b) == Probe.term12Reference(a * b),
+        s"product mismatch at ${a * b}")
+      n += 1
+    }
+    // adversarial: doubles whose shortest decimal lands ON or NEXT TO a
+    // 12-dp half boundary (m + 0.5)/1e12 -- the only region where the
+    // binary and shortest-decimal roundings could diverge; the guard
+    // must route every one of these through the reference path
+    (0L until 200000L).foreach { m =>
+      Seq((m.toDouble + 0.5) / 1e12, -(m.toDouble + 0.5) / 1e12,
+          (m.toDouble + 0.5) * 1e-12,
+          Math.nextUp((m.toDouble + 0.5) / 1e12),
+          Math.nextDown((m.toDouble + 0.5) / 1e12)).foreach { x =>
+        assert(Probe.term12(x) == Probe.term12Reference(x),
+          s"half-boundary mismatch at x=$x (${java.lang.Double.toHexString(x)})")
+      }
+    }
+    // exact-representable halves at larger magnitudes + specials
+    Seq(2.5e-12, 0.0000000000005, 1.0000000000005, -1.0000000000005,
+        123.4567890123455, 4.4999999999995e3, 0.0, -0.0,
+        Double.MinPositiveValue, -Double.MinPositiveValue).foreach { x =>
+      assert(Probe.term12(x) == Probe.term12Reference(x), s"special $x")
+    }
+    // non-finite and overflow behavior matches (both throw)
+    Seq(Double.NaN, Double.PositiveInfinity, 1e7).foreach { x =>
+      val ref = scala.util.Try(Probe.term12Reference(x))
+      val fast = scala.util.Try(Probe.term12(x))
+      assert(ref.isFailure == fast.isFailure, s"throw parity at $x")
+      if (ref.isSuccess) assert(ref.get == fast.get)
+    }
+  }
 }
