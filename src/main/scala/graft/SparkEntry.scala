@@ -5083,11 +5083,15 @@ object SparkEntry {
     "q190_cluster_split" -> ((s, d) => {
       val labeled = Dedup.clusterLabels(
         t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
-      val sp = Sampling.hashSplit(
+      // cut: `sp` feeds three consumers (the per-split census and both
+      // leakage audits) — without it the clusterLabels tail (two joins +
+      // ghash agg over the corpus) re-runs per consumer (guide §7.2)
+      val sp = graft.ext.Materialize.cut(Sampling.hashSplit(
         Sampling.hashSplit(labeled, col("cluster").cast("string"),
           Seq("train", "test"), Seq("c0")),
         col("doc_id").cast("string"),
         Seq("train", "test"), Seq("c0"), "naive_split")
+        .select(col("cluster"), col("split"), col("naive_split")))
       sp.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("cluster")).as("n_clusters"))

@@ -130,6 +130,32 @@ class StreamHarnessSpec extends GraftSpec {
     assert(counts == batch)
   }
 
+  test("statePartitions: results are partition-count-invariant, the " +
+      "session's shuffle partitions are restored after the drain, and " +
+      "the spark.graft.stream.statePartitions override is accepted") {
+    val df = (1 to 120).map(i => (i.toLong, s"k${i % 6}")).toDF("id", "k")
+    val want = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def censusWith(statePartitions: Option[Int]): Map[String, Long] = {
+      val dir = freshDir(s"sp${statePartitions.getOrElse(0)}")
+      StreamHarness.shard(df, pmod(col("id"), lit(4L)), 4, dir)
+      StreamHarness.drain(spark, dir, "complete", minDataBatches = 4,
+          statePartitions = statePartitions) { src =>
+        src.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(censusWith(None) == want)
+    assert(censusWith(Some(1)) == want)
+    assert(censusWith(Some(3)) == want)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "drain must restore the session's batch shuffle width")
+    spark.conf.set("spark.graft.stream.statePartitions", "2")
+    try assert(censusWith(Some(7)) == want) // override path exercises too
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("the q367 complete-mode census over the real events shards " +
       "equals the batch aggregate (merge-to-batch law at fixture scale)") {
     val dir = freshDir("census")
