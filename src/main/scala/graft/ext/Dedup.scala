@@ -80,7 +80,16 @@ object Dedup {
     * surrounding whitespace would grow phantom shingles, depress their
     * Jaccard below 1, and evade dedup (and mismatch benchmark text in the
     * contamination screen, which shares this shingler). */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", split(lower(text), "\\s+"), lit(n))
+
+  /** HOF formulation of [[shingles]] — kept as the engine-agnostic
+    * semantics reference the spec checks the native expression against
+    * (the [[minhashSignatureHof]] twin discipline). The interpreted
+    * filter→zip→transform→filter→distinct chain was the per-row hot
+    * path of the whole near-dup family until r17 swapped in the
+    * codegen'd `graft_shingles` (full-array-equality spec-pinned). */
+  private[graft] def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     val shifted = (0 until n).map { k =>
       if (k == 0) toks

@@ -856,15 +856,31 @@ object TextOps {
     require(gramN >= 1, s"gramN must be >= 1, got $gramN")
     val toks = tokens(col(textCol))
     // unit = token (gramN 1) or space-joined n-gram occurrence — the
-    // tail only exists at n-gram granularity on small vocabularies
-    val units =
-      if (gramN == 1) toks
-      else transform(sequence(lit(0), size(toks) - gramN),
-        i => array_join(slice(toks, i + lit(1), lit(gramN)), " "))
-    val counts = docs.filter(col(textCol).isNotNull)
-      .filter(size(toks) >= gramN)
-      .select(explode(units).as("_t"))
-      .groupBy(col("_t")).agg(count(lit(1)).as("_r"))
+    // tail only exists at n-gram granularity on small vocabularies.
+    // The n-gram path keys the census by md5 OF the joined window, the
+    // [[SpanDedup.tokenWindows]] shape (guide §2.3, shuffle keys not
+    // payloads): the unit string never reaches the output — only its
+    // occurrence count does — so a 128-bit content key counts the same
+    // multiset (collision odds ~2⁻¹²⁸·pairs, the repo's established
+    // md5-keying contract) while the shuffle carries a fixed 16-byte
+    // key instead of the window text, and the per-row work drops the
+    // interpreted `transform` HOF that built a full window-string array
+    // per document (explode-then-slice stays in codegen).
+    val counts =
+      if (gramN == 1)
+        docs.filter(col(textCol).isNotNull)
+          .filter(size(toks) >= gramN)
+          .select(explode(toks).as("_t"))
+          .groupBy(col("_t")).agg(count(lit(1)).as("_r"))
+      else
+        docs.filter(col(textCol).isNotNull)
+          .select(toks.as("_tk"))
+          .filter(size(col("_tk")) >= gramN)
+          .select(col("_tk"), explode(
+            sequence(lit(1), size(col("_tk")) - (gramN - 1))).as("_pos"))
+          .select(md5(concat_ws(" ",
+            slice(col("_tk"), col("_pos"), lit(gramN)))).as("_t"))
+          .groupBy(col("_t")).agg(count(lit(1)).as("_r"))
     // ONE corpus pass (guide §7.2, duplicated subtrees): `fof` feeds both
     // sides of the shift self-join and the total, so without a cut the
     // tokenize+explode+groupBy `counts` subtree runs three times. The cut

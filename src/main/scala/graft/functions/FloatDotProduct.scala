@@ -130,6 +130,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_lsh_buckets requires exactly 5 arguments, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getCanonicalName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, k) if k.foldable && k.dataType == IntegerType =>
+          WordShingles(a, k.eval().asInstanceOf[Int])
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "graft_shingles requires a literal integer n as argument 2")
+        case _ => throw new IllegalArgumentException(
+          s"graft_shingles requires exactly 2 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash48].getCanonicalName, "graft_simhash"),
       (children: Seq[Expression]) => children match {

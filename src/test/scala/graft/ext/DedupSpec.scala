@@ -588,4 +588,40 @@ class DedupSpec extends GraftSpec {
       (11L, 2L, 1L, "Y"),
       (12L, 2L, 0L, "")))
   }
+
+  test("graft_shingles equals the HOF twin ELEMENT-FOR-ELEMENT (order " +
+      "included) on fuzzed unicode text, whitespace runs, short texts " +
+      "and repeated windows, for n = 1..4") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5419)
+    val words = Seq("the", "cat", "sat", "\u00e9t\u00e9", "\u4e2d\u6587", "a", "BB",
+      "x1", "", " ", "CAT", "Tab\u00dc")
+    val ws = Seq(" ", "  ", "\t", "\n", " \t ")
+    val texts = (1 to 400).map { i =>
+      val k = rnd.nextInt(12)
+      val body = (0 to k).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(ws(rnd.nextInt(ws.size)))
+      if (i % 7 == 0) ws(rnd.nextInt(ws.size)) + body else body
+    } ++ Seq("", " ", "one", "one two", "a a a a a a", "A b A b A b",
+      "\u4e2d \u6587 \u4e2d \u6587")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    (1 to 4).foreach { n =>
+      val got = df.select(col("id"),
+          Dedup.shingles(col("text"), n).as("a"),
+          Dedup.shinglesHof(col("text"), n).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)} text=${texts(r.getLong(0).toInt)}: " +
+            s"native=${r.getSeq[String](1)} hof=${r.getSeq[String](2)}")
+      }
+    }
+    // null text: both null
+    val nulls = Seq((0L, null: String)).toDF("id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("a"),
+        Dedup.shinglesHof(col("text"), 3).as("b"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }
